@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-provided TPC-H-ish parquet tables (TESTDATA.md).
+  *
+  * Mirrors the reference's lazy, scan-based table model (a table is a schema +
+  * scan provider; see /root/reference/crates/connectors/src/sources/file.rs:26-364):
+  * each table is a parquet `ListingTable` there, a parquet DataFrame scan here.
+  * Catalyst provides predicate pushdown / column pruning on top, exactly as
+  * DataFusion does for the reference.
+  *
+  * At 100 TB these reads are partitioned parquet directories; nothing here
+  * assumes single-file inputs — `spark.read.parquet(path)` handles both.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def load(name: String): DataFrame =
+    if (name == "events") events
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = load("region")
+  def nation: DataFrame = load("nation")
+  def customer: DataFrame = load("customer")
+  def supplier: DataFrame = load("supplier")
+  def part: DataFrame = load("part")
+  def orders: DataFrame = load("orders")
+  def lineitem: DataFrame = load("lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read nanos as long and truncate to microseconds (exactly what
+    * DuckDB's nanos→timestamp conversion does). */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents: DataFrame = load("documents")
+  def embeddings: DataFrame = load("embeddings")
+
+  /** All table names the engine serves (the `strake.public` namespace in the
+    * reference; /root/reference/crates/runtime/src/federation.rs:104-110). */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` works against the
+    * same namespace the DataFrame queries use. */
+  def registerAll(): Unit =
+    names.foreach(n => load(n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat media payloads as opaque `binary`
+  * columns with typed metadata, and run decode / feature-extraction as
+  * partition-local batch functions.
+  *
+  * The decode step itself is STUBBED (no image/audio codecs in this
+  * container): `decodeStub` derives deterministic fake features from the
+  * bytes. Everything around it — the binary column schema, the
+  * mapPartitions batch shape, partitioning, and the metadata contract — is
+  * real and is what matters at 100 TB: payload bytes never shuffle except
+  * where the plan requires it, and feature extraction is embarrassingly
+  * parallel map-only work.
+  */
+object Multimodal {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Synthesize a binary payload column from the documents table (the
+    * container ships no media files); downstream treats it as opaque. */
+  private def assets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents.select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(col("n_chars").as("n_chars"), col("source").as("source"),
+        lit("text/plain").as("mime")).as("meta"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("first_byte", IntegerType, nullable = false),
+    StructField("byte_checksum", LongType, nullable = false)))
+
+  /** Stub decoder: in production this is the codec call (image decode,
+    * audio resample, frame sample). Deterministic fake: byte stats. */
+  def decodeStub(assetId: Long, payload: Array[Byte]): Row = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
+    Row(assetId, payload.length.toLong, if (payload.isEmpty) -1 else payload(0) & 0xff, sum)
+  }
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // Binary metadata path — fully oracled: byte length + sha256 of the
+    // payload computed by the engine's native binary functions.
+    GraftQuery("m_binary_meta",
+      """SELECT doc_id AS asset_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS payload_sha,
+        |  n_chars
+        |FROM documents""".stripMargin) { (s, dir) =>
+      t(s, dir).documents.select(
+        col("doc_id").as("asset_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("payload_sha"),
+        col("n_chars"))
+    },
+
+    // Decode/feature-extract pipeline: binary column → mapPartitions batch
+    // decode (stubbed) → typed feature rows. Rows-only check (the stub is
+    // engine-local by design).
+    GraftQuery.unverified("m_decode_features") { (s, dir) =>
+      val df = assets(s, dir)
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(featureSchema)
+      df.select(col("asset_id"), col("payload"))
+        .mapPartitions { rows =>
+          // one decoder instance per partition — the real-codec pattern
+          rows.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+        }
+    }
+  )
+}

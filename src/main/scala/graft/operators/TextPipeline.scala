@@ -1,0 +1,274 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data text pipeline over the `documents` table:
+  * exact + fuzzy deduplication, token statistics, language ID, quality
+  * scoring, fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (`split`, `transform`,
+  * `aggregate`, `xxhash64`, …) — no UDFs — so whole-stage codegen covers the
+  * hot path and the pipeline scales linearly with documents. MinHash/SimHash
+  * signatures are engine-specific (they depend on xxhash64), so those
+  * queries are declared without a DuckDB oracle; their *exact-jaccard*
+  * verification queries are oracled.
+  *
+  * Scale design (100 TB of documents):
+  *  - all per-doc feature extraction is map-only (no shuffle);
+  *  - near-dup candidate generation shuffles on (band, bucket) keys, never
+  *    cross-joins the corpus; bucket sizes are bounded by the band width;
+  *  - exact dedup groups on a 128-bit content hash, not the raw text, so
+  *    shuffle rows are ~16 bytes + key.
+  */
+object TextPipeline {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Normalized text: lowercase, strip non-alphanumerics, squash spaces.
+    * Spark and DuckDB forms kept in lockstep for oracle parity. */
+  private val normExpr =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"
+  private val normSqlDuck =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", expr(normExpr))
+      .withColumn("words", split(col("norm"), " "))
+
+  // MinHash permutation constants: h_j(x) = (a_j * x + b_j) mod P over
+  // base hash x = xxhash64(shingle) mod P. Deterministic seed.
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private val perms: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(32)((rng.nextInt(Int.MaxValue - 1).toLong + 1, rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------- exact dedup
+    GraftQuery("d_dedup_exact",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin) { (s, dir) =>
+      t(s, dir).documents
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // Normalized dedup: case/punctuation-insensitive content identity.
+    GraftQuery("d_dedup_norm",
+      s"""SELECT md5($normSqlDuck) AS norm_hash, min(doc_id) AS keep_id,
+         |       count(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      withNorm(t(s, dir).documents)
+        .groupBy(md5(col("norm")).as("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // -------------------------------------------------- token statistics
+    GraftQuery("t_token_count",
+      s"""SELECT doc_id,
+         |  len(string_split($normSqlDuck, ' ')) AS n_ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+         |  length(text) AS n_chars_actual,
+         |  n_chars
+         |FROM documents""".stripMargin) { (s, dir) =>
+      withNorm(t(s, dir).documents).select(
+        col("doc_id"),
+        size(col("words")).cast("bigint").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .cast("bigint").as("n_bpe_tokens"),
+        length(col("text")).cast("bigint").as("n_chars_actual"),
+        col("n_chars"))
+    },
+
+    // --------------------------------------------------- quality scoring
+    GraftQuery("t_quality_score",
+      s"""WITH q AS (
+         |  SELECT doc_id, text, $normSqlDuck AS norm,
+         |         len(string_split($normSqlDuck, ' ')) AS n_words
+         |  FROM documents)
+         |SELECT doc_id, n_words,
+         |  CAST(length(replace(norm, ' ', '')) AS DOUBLE) / n_words AS avg_word_len,
+         |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS punct_ratio,
+         |  least(1.0, CAST(n_words AS DOUBLE) / 64.0)
+         |    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |             / length(text)) AS quality
+         |FROM q""".stripMargin) { (s, dir) =>
+      val punct = (length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double") /
+        length(col("text"))
+      withNorm(t(s, dir).documents)
+        .withColumn("n_words", size(col("words")).cast("bigint"))
+        .select(col("doc_id"), col("n_words"),
+          (length(regexp_replace(col("norm"), " ", "")).cast("double") / col("n_words"))
+            .as("avg_word_len"),
+          punct.as("punct_ratio"),
+          (least(lit(1.0), col("n_words").cast("double") / 64.0) * (lit(1.0) - punct))
+            .as("quality"))
+    },
+
+    // ------------------------------------------------------- language ID
+    // n-gram/stopword heuristic: count marker-word hits per language,
+    // argmax with a fixed tie order. Identical arithmetic both engines.
+    GraftQuery("t_langid", {
+      def hits(duck: String): String =
+        s"len(list_filter(string_split($normSqlDuck, ' '), w -> $duck))"
+      val en = hits("w IN ('the','and','of','to','a','is','in','that')")
+      val es = hits("w IN ('el','la','de','que','y','los','se','un')")
+      val de = hits("w IN ('der','die','das','und','ist','nicht','ein','zu')")
+      val fr = hits("w IN ('le','la','les','et','des','est','une','du')")
+      s"""SELECT doc_id, lang,
+         |  $en AS en_hits, $es AS es_hits, $de AS de_hits, $fr AS fr_hits,
+         |  CASE WHEN greatest($en, $es, $de, $fr) = 0 THEN 'unk'
+         |       WHEN $en >= greatest($es, $de, $fr) THEN 'en'
+         |       WHEN $es >= greatest($de, $fr) THEN 'es'
+         |       WHEN $de >= $fr THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM documents""".stripMargin
+    }) { (s, dir) =>
+      def hits(ws: Seq[String]): Column =
+        size(filter(col("words"),
+          w => ws.foldLeft(lit(false))((acc, x) => acc || w === x))).cast("bigint")
+      val en = hits(Seq("the", "and", "of", "to", "a", "is", "in", "that"))
+      val es = hits(Seq("el", "la", "de", "que", "y", "los", "se", "un"))
+      val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"))
+      val fr = hits(Seq("le", "la", "les", "et", "des", "est", "une", "du"))
+      withNorm(t(s, dir).documents).select(
+        col("doc_id"), col("lang"),
+        en.as("en_hits"), es.as("es_hits"), de.as("de_hits"), fr.as("fr_hits"),
+        when(greatest(en, es, de, fr) === 0, "unk")
+          .when(en >= greatest(es, de, fr), "en")
+          .when(es >= greatest(de, fr), "es")
+          .when(de >= fr, "de")
+          .otherwise("fr").as("lang_pred"))
+    },
+
+    // --------------------------------------------------- fingerprinting
+    // Bag-of-words fingerprint (order-insensitive content identity) +
+    // md5 content hash.
+    GraftQuery("t_fingerprint",
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(string_split($normSqlDuck, ' '))), ' ')) AS bow_fp,
+         |  md5(text) AS content_fp
+         |FROM documents""".stripMargin) { (s, dir) =>
+      withNorm(t(s, dir).documents).select(
+        col("doc_id"),
+        md5(array_join(array_sort(array_distinct(col("words"))), " ")).as("bow_fp"),
+        md5(col("text")).as("content_fp"))
+    },
+
+    // ------------------------------------------------ exact n-gram jaccard
+    // Word-set Jaccard over a bounded candidate set (doc_id < 60), fully
+    // oracled. At scale the candidate set comes from LSH banding (below),
+    // never a cross join; the bounded cross here exists to verify the
+    // jaccard arithmetic itself.
+    GraftQuery("d_ngram_jaccard", {
+      val setSql = s"list_distinct(string_split($normSqlDuck, ' '))"
+      s"""WITH d AS (SELECT doc_id, $setSql AS ws FROM documents WHERE doc_id < 60)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+         |    / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
+         |FROM d a, d b WHERE a.doc_id < b.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = withNorm(t(s, dir).documents.filter(col("doc_id") < 60))
+        .select(col("doc_id"), array_distinct(col("words")).as("ws"))
+      val a = d.select(col("doc_id").as("id_a"), col("ws").as("ws_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))
+      val inter = size(array_intersect(col("ws_a"), col("ws_b")))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (inter.cast("double") /
+            (size(col("ws_a")) + size(col("ws_b")) - inter)).as("jaccard"))
+    },
+
+    // --------------------------------------------------------- MinHash LSH
+    // Signatures: 32 permutations over 3-word shingles. Engine-specific
+    // hash basis (xxhash64) → no SQL oracle; verified structurally by spec.
+    GraftQuery.unverified("d_minhash_signatures") { (s, dir) =>
+      minhashSignatures(shingled(withNorm(t(s, dir).documents)))
+        .select(col("doc_id"), col("sig"))
+        .withColumn("sig_head", expr("sig[0]"))
+        .drop("sig")
+    },
+
+    // Candidate pairs via band-bucket join (8 bands × 4 minhash rows over
+    // 3-word shingles), exact-jaccard rerank, top-100 pairs.
+    //
+    // The 100 TB shape, in order:
+    //  1. signatures are map-only;
+    //  2. the self-join shuffles ONLY (band, bucket, doc_id) — never text
+    //     or shingle arrays;
+    //  3. degenerate buckets (bucket size > 200, i.e. hash skew or
+    //     boilerplate-heavy corpora) are dropped before the join — the
+    //     standard LSH skew guard; candidate volume is bounded by
+    //     bands × cap² per bucket;
+    //  4. shingle sets are re-attached to the *small* candidate pair set
+    //     for exact rerank.
+    GraftQuery.unverified("d_minhash_lsh_pairs") { (s, dir) =>
+      val docs = shingled(withNorm(t(s, dir).documents))
+      val sigs = minhashSignatures(docs)
+      val banded = sigs.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 7), b -> hash(slice(sig, b * 4 + 1, 4)))"))
+          .as(Seq("band", "bucket")))
+      val capped = banded.withColumn("bsize",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+        .filter(col("bsize") <= 200).drop("bsize")
+      val pairs = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+        .join(capped.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val sets = docs.select(col("doc_id"), col("shingles"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      pairs
+        .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (inter.cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------ SimHash
+    // 32-bit simhash over word hashes; near-dups = small hamming distance.
+    GraftQuery.unverified("d_simhash") { (s, dir) =>
+      withNorm(t(s, dir).documents)
+        .withColumn("hashes", expr("transform(array_distinct(words), w -> xxhash64(w))"))
+        .withColumn("bitcounts", expr(
+          """aggregate(hashes, array_repeat(0L, 32),
+            |  (acc, h) -> zip_with(acc, sequence(0, 31),
+            |     (c, i) -> c + CASE WHEN shiftright(h, i) % 2 != 0 THEN 1 ELSE -1 END))""".stripMargin))
+        .withColumn("simhash", expr(
+          """aggregate(zip_with(bitcounts, sequence(0, 31),
+            |  (c, i) -> CASE WHEN c > 0 THEN shiftleft(1L, i) ELSE 0L END),
+            |  0L, (a, x) -> a + x)""".stripMargin))
+        .select(col("doc_id"), col("simhash"))
+    }
+  )
+
+  /** Distinct 3-word shingles per document (docs shorter than 3 words get
+    * their whole text as one shingle). Map-only. */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.withColumn("shingles", expr(
+      """CASE WHEN size(words) < 3 THEN array(concat_ws(' ', words))
+        |ELSE array_distinct(transform(sequence(1, size(words) - 2),
+        |  i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),
+        |                 element_at(words, i + 2)))) END""".stripMargin))
+
+  /** doc_id, shingles, sig: array of 32 minhash values. Map-only: base-hash
+    * each distinct shingle once (xxhash64 mod P), then one array_min per
+    * permutation. Products stay < 2^62, no overflow. */
+  private def minhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bh",
+        expr(s"transform(shingles, w -> pmod(xxhash64(w), ${P}L))"))
+      .withColumn("sig", array(perms.map { case (a, b) =>
+        expr(s"array_min(transform(bh, h -> pmod(h * ${a}L + ${b}L, ${P}L)))")
+      }: _*))
+}

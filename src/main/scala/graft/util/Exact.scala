@@ -1,0 +1,36 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine hash-stable aggregation helpers.
+  *
+  * Summing IEEE doubles is order-dependent: Spark's partial/final aggregation
+  * order differs from DuckDB's, so `sum(double)` can differ in the last few
+  * ULPs between engines — enough to break the driver's hash comparison.
+  * The fix: round each addend to a fixed decimal scale (exactly representable
+  * in Decimal), sum exactly (Decimal addition is associative), and cast the
+  * final result back to double. Both engines then produce bit-identical
+  * doubles regardless of aggregation order or parallelism.
+  *
+  * This also mirrors classic TPC-H semantics where money columns are
+  * DECIMAL(15,2) (the reference's declared-schema default — see
+  * /root/reference/crates/connectors/src/sources/file.rs:370-394).
+  */
+object Exact {
+  /** Exact sum of a money-like double column; result as double. */
+  def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+
+  /** Exact average: exact decimal sum divided by count, in double. */
+  def davg(c: Column, scale: Int = 6): Column =
+    (sum(c.cast(DecimalType(30, scale))).cast(DoubleType) / count(c)).cast(DoubleType)
+
+  /** DuckDB-side SQL for the same exact sum, for oracle parity. */
+  def dsumSql(expr: String, scale: Int = 6): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
+
+  def davgSql(expr: String, scale: Int = 6): String =
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE) / COUNT($expr) AS DOUBLE)"
+}

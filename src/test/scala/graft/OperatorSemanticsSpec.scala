@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Targeted value-level assertions for operators whose semantics deserve a
+  * local proof independent of the DuckDB differential gate. */
+class OperatorSemanticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("recursive CTE fixpoint yields 1..20") {
+    val rows = run("q_recursive_cte").collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    assert(rows.map(_._1).toSeq == (1 to 20))
+    assert(rows.forall { case (n, sq) => sq == n * n })
+  }
+
+  test("distinct_on keeps exactly one row per customer") {
+    val df = run("q_distinct_on")
+    val n = df.count()
+    assert(df.select("o_custkey").distinct().count() == n)
+  }
+
+  test("topk is ordered and bounded") {
+    val prices = run("q_topk").collect().map(_.getDouble(1))
+    assert(prices.length == 10)
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("window rank bounded to 3 per partition") {
+    val df = run("q_window_rank")
+    val maxPer = df.groupBy("o_custkey").count().agg(max("count")).head().getLong(0)
+    assert(maxPer <= 3)
+  }
+
+  test("exact dedup groups cover all documents") {
+    val total = Tables(spark, sf).documents.count()
+    val sumCopies = run("d_dedup_exact").agg(sum("n_copies")).head().getLong(0)
+    assert(sumCopies == total)
+  }
+
+  test("minhash signature similarity approximates jaccard on synthetic dups") {
+    import spark.implicits._
+    // two near-identical docs must agree on most minhash rows
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, "completely different content about spark catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("minhash_test_docs")
+    val norm = lower(col("text"))
+    val sigs = docs
+      .withColumn("norm", norm)
+      .withColumn("words", split(col("norm"), " "))
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(1, size(words) - 2),
+          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),
+          |                 element_at(words, i + 2))))""".stripMargin))
+      .withColumn("bh", expr("transform(shingles, w -> pmod(xxhash64(w), 2147483647L))"))
+    // reuse the public pair query on real data for plan sanity; here just
+    // check base-hash arrays differ appropriately
+    val rows = sigs.select("doc_id", "bh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val simDup = rows(1L).intersect(rows(2L)).size.toDouble / rows(1L).union(rows(2L)).size
+    val simDiff = rows(1L).intersect(rows(3L)).size.toDouble / rows(1L).union(rows(3L)).size
+    assert(simDup > 0.7, s"near-dup shingle overlap too low: $simDup")
+    assert(simDiff < 0.1, s"unrelated docs overlap too high: $simDiff")
+  }
+
+  test("ann bruteforce returns 10 ranked neighbors per query vector") {
+    val df = run("s_ann_bruteforce")
+    val perQ = df.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(perQ.forall(_ == 10))
+    val cos = df.select("cos").collect().map(_.getDouble(0))
+    assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("decode stub produces deterministic byte features") {
+    val r = Multimodal_decodeCheck()
+    assert(r._1 == r._2)
+  }
+  private def Multimodal_decodeCheck(): (Long, Long) = {
+    val payload = "hello graft".getBytes("UTF-8")
+    val a = graft.operators.Multimodal.decodeStub(1L, payload).getLong(3)
+    val b = graft.operators.Multimodal.decodeStub(1L, payload).getLong(3)
+    (a, b)
+  }
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables and diff against the Verify output.
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, json, glob, math
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+                if v == -0.0: v = 0.0
+            if isinstance(v, list):
+                v = tuple(round(x,9) if isinstance(x,float) else x for x in v)
+            rr.append(v)
+        out.append(tuple(rr))
+    return sorted(out, key=repr), [cols[i] for i in order]
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    if only and name not in only: continue
+    pq = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not pq:
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        s_rows, s_cols = spark_rel.fetchall(), [d[0] for d in spark_rel.description]
+        duck_rel = con.sql(sql)
+        d_rows, d_cols = duck_rel.fetchall(), [d[0] for d in duck_rel.description]
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {e}"); fails += 1; continue
+    sc, scol = canon(s_rows, s_cols)
+    dc, dcol = canon(d_rows, d_cols)
+    if scol != dcol:
+        print(f"FAIL {name}: columns spark={scol} duck={dcol}"); fails += 1; continue
+    if len(sc) != len(dc):
+        print(f"FAIL {name}: rows spark={len(sc)} duck={len(dc)}"); fails += 1; continue
+    bad = [(a, b) for a, b in zip(sc, dc) if a != b]
+    if bad:
+        print(f"FAIL {name}: {len(bad)}/{len(sc)} rows differ; first: spark={bad[0][0]} duck={bad[0][1]}")
+        fails += 1; continue
+    print(f"OK   {name}: {len(sc)} rows")
+
+# rows-only queries
+import os
+for d in sorted(os.listdir(outdir)):
+    p = os.path.join(outdir, d)
+    if os.path.isdir(p) and d not in oracle:
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+            print(f"ROWS {d}: {n} rows{'  (!! EMPTY)' if n==0 else ''}")
+        except Exception as e:
+            print(f"ROWS {d}: unreadable: {e}")
+print(f"\n{fails} failures")
+sys.exit(1 if fails else 0)
