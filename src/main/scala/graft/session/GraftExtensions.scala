@@ -1,0 +1,21 @@
+package graft.session
+
+import graft.plans.RowPolicyRule
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions installer for the engine's Catalyst additions.
+  * Use via `GraftSession.builder(...)` or
+  * `spark.sql.extensions=graft.session.GraftExtensions`.
+  *
+  * Mirrors how the reference assembles its session: DataFusion defaults
+  * plus custom rules registered at context build time
+  * (/root/reference/crates/runtime/src/federation.rs:159-273).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    // RLS + masking: resolution-stage rewrite reading the session-local
+    // user policies installed by GraftSession.executeQuery
+    e.injectResolutionRule(s =>
+      RowPolicyRule(s.sessionState.sqlParser, () => RowPolicyRule.active()))
+  }
+}

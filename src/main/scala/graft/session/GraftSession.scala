@@ -1,0 +1,139 @@
+package graft.session
+
+import graft.plans.{CostValidator, DefensiveLimitRule}
+import graft.util.Scrubber
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.mutable
+import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+import scala.concurrent.duration._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Engine configuration (the subset of the reference's config surface that
+  * governs query execution — /root/reference/crates/common/src/config.rs:
+  * DEFAULT_CONNECTION_BUDGET=100, DEFAULT_LIMIT=1000; 300 s timeout in
+  * federation.rs:415). */
+final case class GraftConfig(
+    defensiveLimit: Int = 1000,
+    maxScanBytes: Option[Long] = None,
+    maxOutputRows: Option[Long] = None,
+    queryTimeout: Duration = 300.seconds,
+    cacheEnabled: Boolean = true,
+    connectionBudget: Int = 100)
+
+final case class QueryResult(df: DataFrame, warnings: Seq[QueryWarning])
+
+final case class QueryLogEntry(
+    userId: String, scrubbedSql: String, durationMillis: Long,
+    cacheHit: Boolean, succeeded: Boolean)
+
+/** The engine facade: `executeQuery(sql, user)` runs the full reference
+  * lifecycle (/root/reference/crates/runtime/src/federation.rs:326-487) on
+  * Spark:
+  *
+  *   user context → analyze (RLS/masking applied by [[graft.plans.RowPolicyRule]]
+  *   if the session was built with [[GraftExtensions]]) → defensive limit →
+  *   cost validation → cache lookup → execute with timeout → cache store →
+  *   structured query log with PII scrubbing.
+  *
+  * Everything heavy stays distributed: the cache stores Parquet (a hit is
+  * a scan, not a driver payload), and execution is triggered by the cache
+  * write or left lazy for the caller when caching is off.
+  */
+final class GraftSession(
+    val spark: SparkSession,
+    val config: GraftConfig = GraftConfig(),
+    cache: Option[QueryCache] = None) {
+
+  private val budget = new graft.util.Resilience.ConcurrencyBudget(config.connectionBudget)
+  private val limitRule = DefensiveLimitRule(config.defensiveLimit)
+  private val validator = CostValidator(config.maxScanBytes, config.maxOutputRows)
+  private val log = mutable.ArrayBuffer.empty[QueryLogEntry]
+  private val groupId = new AtomicLong()
+
+  def queryLog: Seq[QueryLogEntry] = log.synchronized(log.toSeq)
+
+  def executeQuery(sql: String,
+      user: AuthenticatedUser = AuthenticatedUser.anonymous): QueryResult = {
+    val warnings = new WarningCollector
+    val start = System.currentTimeMillis()
+    var cacheHit = false
+    var ok = false
+    try {
+      RowPolicyRule_setUser(user)
+      val result = budget { () =>
+        var df = spark.sql(sql)
+        // defensive limit (decided on the analyzed plan, applied via API)
+        if (config.defensiveLimit > 0 &&
+          (limitRule(df.queryExecution.analyzed) ne df.queryExecution.analyzed)) {
+          warnings.add(WarningCodes.DefensiveLimit,
+            s"injected LIMIT ${config.defensiveLimit}")
+          df = df.limit(config.defensiveLimit)
+        }
+        validator.validate(df)
+        cache match {
+          case Some(c) if config.cacheEnabled =>
+            val k = c.key(df, user)
+            c.lookup(spark, k) match {
+              case Some(hit) =>
+                cacheHit = true
+                warnings.add(WarningCodes.CacheHit, k.take(16))
+                hit
+              case None =>
+                warnings.add(WarningCodes.CacheMiss, k.take(16))
+                withTimeout(k) { c.store(df, k) }
+                c.lookup(spark, k).getOrElse(df)
+            }
+          case _ => df
+        }
+      }
+      ok = true
+      QueryResult(result, warnings.all)
+    } finally {
+      RowPolicyRule_clear()
+      log.synchronized {
+        log += QueryLogEntry(user.id, Scrubber.scrub(sql),
+          System.currentTimeMillis() - start, cacheHit, ok)
+      }
+    }
+  }
+
+  /** Run `action` on a cancellable job group; cancel on timeout (the Spark
+    * analog of the reference's 300 s execution timeout, federation.rs:415). */
+  private def withTimeout[T](tag: String)(action: => T): T = {
+    val group = s"graft-${groupId.incrementAndGet()}-$tag"
+    implicit val ec: ExecutionContext = GraftSession.executionContext
+    val sc = spark.sparkContext
+    val fut = Future {
+      sc.setJobGroup(group, s"graft query $tag", interruptOnCancel = true)
+      try action finally sc.clearJobGroup()
+    }
+    try Await.result(fut, config.queryTimeout)
+    catch {
+      case e: TimeoutException =>
+        sc.cancelJobGroup(group)
+        throw new RuntimeException(s"query timed out after ${config.queryTimeout}", e)
+    }
+  }
+
+  // indirection keeps the analyzer-rule dependency soft: sessions built
+  // without GraftExtensions still work (no policies applied)
+  private def RowPolicyRule_setUser(u: AuthenticatedUser): Unit =
+    graft.plans.RowPolicyRule.setUser(u)
+  private def RowPolicyRule_clear(): Unit = graft.plans.RowPolicyRule.clear()
+}
+
+object GraftSession {
+  private lazy val executionContext: ExecutionContext =
+    ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-exec"); t.setDaemon(true); t
+      }))
+
+  /** Build a SparkSession with the engine's analyzer extensions installed. */
+  def builder(master: String = "local[*]"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}

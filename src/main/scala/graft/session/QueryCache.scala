@@ -1,0 +1,100 @@
+package graft.session
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Plan-keyed, user-isolated result cache backed by Parquet.
+  *
+  * Mirrors the reference cache semantics
+  * (/root/reference/crates/runtime/src/query/cache.rs:33-441 and
+  * CacheKey::from_plan in federation.rs:385-413):
+  *  - key = SHA-256(canonicalized optimized plan) + user id + sorted
+  *    permissions — two users never share entries;
+  *  - values persist as Parquet (columnar, splittable — a cache hit at
+  *    scale is itself a distributed scan, not a driver materialization);
+  *  - TTL expiry + size-bounded LRU eviction;
+  *  - empty results are not cached (cache.rs skip-empty);
+  *  - per-query opt-out.
+  *
+  * Spark's `plan.canonicalized.semanticHash` would also work, but the
+  * digest of the canonicalized plan string matches the reference's
+  * "hash of debug-formatted plan" approach and is stable across JVMs.
+  */
+final class QueryCache(
+    root: Path,
+    ttlMillis: Long = 3600L * 1000,
+    maxEntries: Int = 256) {
+
+  private final case class Entry(dir: Path, createdAt: Long, var lastUsed: Long)
+  private val index = new ConcurrentHashMap[String, Entry]()
+  Files.createDirectories(root)
+
+  def key(df: DataFrame, user: AuthenticatedUser): String = {
+    val planText = df.queryExecution.optimizedPlan.canonicalized.toString
+    val md = MessageDigest.getInstance("SHA-256")
+    md.update(planText.getBytes("UTF-8"))
+    md.update(0.toByte)
+    md.update(user.cacheKey.getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Returns the cached result as a DataFrame, or None. */
+  def lookup(spark: SparkSession, k: String): Option[DataFrame] = {
+    val e = index.get(k)
+    if (e == null) None
+    else if (System.currentTimeMillis() - e.createdAt > ttlMillis) {
+      invalidate(k); None
+    } else {
+      e.lastUsed = System.currentTimeMillis()
+      Some(spark.read.parquet(e.dir.toString))
+    }
+  }
+
+  /** Stores a result; skips empty results (mirrors cache.rs skip-empty).
+    * Write is atomic: tmp dir + rename, so readers never see partials. */
+  def store(df: DataFrame, k: String): Boolean = {
+    val target = root.resolve(k)
+    if (Files.exists(target)) return true
+    val tmp = root.resolve(k + ".tmp" + System.nanoTime())
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val rows = df.sparkSession.read.parquet(tmp.toString)
+    // skip-empty check on the materialized copy (no recomputation)
+    val empty = rows.isEmpty
+    if (empty) { deleteRec(tmp); false }
+    else {
+      Files.move(tmp, target)
+      val now = System.currentTimeMillis()
+      index.put(k, Entry(target, now, now))
+      evictIfNeeded()
+      true
+    }
+  }
+
+  def invalidate(k: String): Unit = {
+    val e = index.remove(k)
+    if (e != null) deleteRec(e.dir)
+  }
+
+  def size: Int = index.size()
+
+  private def evictIfNeeded(): Unit =
+    while (index.size() > maxEntries) {
+      import scala.jdk.CollectionConverters._
+      val lru = index.entrySet().asScala.minBy(_.getValue.lastUsed)
+      invalidate(lru.getKey)
+    }
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+}
+
+object QueryCache {
+  def temp(): QueryCache =
+    new QueryCache(Paths.get(Files.createTempDirectory("graft-cache").toString))
+}

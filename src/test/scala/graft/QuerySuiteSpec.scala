@@ -4,13 +4,15 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
+  /** One session for the whole test JVM, with GraftExtensions installed
+    * (inactive unless a user's policies are set — so the plain query
+    * suites are unaffected). A second builder.getOrCreate() in another
+    * suite would silently reuse this session WITHOUT its own settings, so
+    * every suite must use this one. */
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    val s = graft.session.GraftSession.builder("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
