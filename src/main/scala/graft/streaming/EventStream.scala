@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension over the `events` table.
+  *
+  * The reference engine is strictly batch (every custom ExecutionPlan
+  * declares Boundedness::Bounded — e.g.
+  * /root/reference/crates/connectors/src/sources/rest.rs:398-403), so none
+  * of this is required for parity; it extends the engine the way a
+  * training-data pipeline needs: the same event analytics computed
+  * incrementally, with watermarks bounding state.
+  *
+  * At scale: the windowed aggregate is partial-aggregated per micro-batch
+  * and keyed-state is bounded by the watermark, so state size tracks
+  * (active keys × window), not history.
+  */
+object EventStream {
+
+  /** events schema for streaming reads (ts arrives as TIMESTAMP(NANOS)
+    * parquet → read as long, converted to microsecond timestamps, same as
+    * graft.Tables.events). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // streaming file sources list directories; select just the events file
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums per event type, 2-hour watermark
+    * for late data. Streaming twin of the batch `q_events_window` query. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class SessionUpdate(
+      userId: Long, nEvents: Long, sessionSeconds: Long, expired: Boolean)
+  // public: the state encoder's generated code constructs it reflectively
+  final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
+
+  /** Custom stateful operator: per-user session tracking with a 30-minute
+    * event-time inactivity gap, via mapGroupsWithState (the Spark-native
+    * form of a custom stateful streaming operator). Emits one update per
+    * user per micro-batch. A production deployment would add
+    * `GroupStateTimeout.EventTimeTimeout` + watermark to expire idle
+    * state; with timeouts enabled `processAllAvailable()` cannot settle,
+    * so the test-drivable form keeps state explicit. */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val gapMicros = 30L * 60 * 1000 * 1000
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val ts = rows.map(_._2).toSeq.sorted
+          val merged = state.getOption match {
+            case Some(s) if ts.nonEmpty && ts.head - s.lastTs <= gapMicros =>
+              SessionState(s.nEvents + ts.size, s.firstTs, ts.last)
+            case _ if ts.nonEmpty => SessionState(ts.size, ts.head, ts.last)
+            case Some(s) => s
+            case None => SessionState(0, 0, 0)
+          }
+          state.update(merged)
+          SessionUpdate(userId, merged.nEvents,
+            (merged.lastTs - merged.firstTs) / 1000000, expired = false)
+      }
+  }
+}
