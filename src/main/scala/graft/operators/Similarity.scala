@@ -14,17 +14,20 @@ import org.apache.spark.sql.functions._
   *    come from a bucket equi-join — shuffle on the 16-bit signature —
   *    then exact rerank of the small candidate set).
   *
-  * All vector math uses codegen'd higher-order functions (zip_with +
-  * aggregate) over double-cast elements — sequential fold order makes the
-  * result deterministic and engine-portable.
+  * All vector math goes through the native codegen'd expressions in
+  * [[graft.functions.VectorFunctions]] (fused loops, no per-row
+  * intermediate arrays); summation is sequential in index order so the
+  * result is deterministic and engine-portable.
   */
 object Similarity {
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
-  /** Sequential-fold dot product of two double arrays (SQL expr). */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Sequential-fold dot product via the native codegen'd expression
+    * (graft.functions.DotProduct) — same index-order summation as the
+    * aggregate(zip_with(...)) form it replaces, minus the per-row
+    * intermediate array. */
+  private def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 
   /** Cast a float vector column to double once, up front. */
   private val toDouble = "transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -51,9 +54,10 @@ object Similarity {
          |       FROM scored)
          |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 10""".stripMargin
     }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
       val vecs = t(s, dir).embeddings
         .select(col("vec_id"), expr(toDouble).as("v"))
-        .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       val q = vecs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       val corpus = vecs.filter(col("vec_id") >= 5)
@@ -75,9 +79,10 @@ object Similarity {
     // xxhash64(plane, dim) — engine-specific, so rows-only verification;
     // the rerank arithmetic is the same code verified by s_ann_bruteforce.
     GraftQuery.unverified("s_ann_lsh") { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
       val vecs = t(s, dir).embeddings
         .select(col("vec_id"), expr(toDouble).as("v"))
-        .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       val banded = vecs.select(col("vec_id"), col("v"), col("nrm"),
         posexplode(bandSignatures("v", bands = 4, planesPerBand = 4))
           .as(Seq("band", "bucket")))
@@ -110,9 +115,10 @@ object Similarity {
          |WHERE a.vec_id < b.vec_id
          |  AND round($dotAB / (a.nrm * b.nrm), 6) >= 0.3""".stripMargin
     }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
       val vecs = t(s, dir).embeddings.filter(col("vec_id") < 150)
         .select(col("vec_id"), expr(toDouble).as("v"))
-        .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       val a = vecs.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
       val b = vecs.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))

@@ -236,8 +236,35 @@ object TextPipeline {
     },
 
     // ------------------------------------------------------------ SimHash
+    // Near-dup pairs: bucket on the top 16 simhash bits (map-side key),
+    // join within buckets, rerank by exact hamming distance via the native
+    // graft_hamming64 expression. Same candidate-generation shape as the
+    // MinHash pipeline: the join shuffles only (bucket, id, simhash).
+    GraftQuery.unverified("d_simhash_pairs") { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val sigs = simhashes(s, dir).select(col("doc_id"), col("simhash"))
+        .withColumn("bucket", expr("shiftright(simhash, 16)"))
+      val l = sigs.select(col("bucket"), col("doc_id").as("id_a"),
+        col("simhash").as("sim_a"))
+      val r = sigs.select(col("bucket"), col("doc_id").as("id_b"),
+        col("simhash").as("sim_b"))
+      l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("graft_hamming64(sim_a, sim_b)").as("hamming"))
+        .filter(col("hamming") <= 10)
+        .orderBy(col("hamming"), col("id_a"), col("id_b"))
+        .limit(100)
+    },
+
     // 32-bit simhash over word hashes; near-dups = small hamming distance.
     GraftQuery.unverified("d_simhash") { (s, dir) =>
+      simhashes(s, dir)
+        .select(col("doc_id"), col("simhash"))
+    }
+  )
+
+  /** doc_id, simhash for every document (map-only). */
+  private def simhashes(s: SparkSession, dir: String): DataFrame =
       withNorm(t(s, dir).documents)
         .withColumn("hashes", expr("transform(array_distinct(words), w -> xxhash64(w))"))
         .withColumn("bitcounts", expr(
@@ -249,8 +276,6 @@ object TextPipeline {
             |  (c, i) -> CASE WHEN c > 0 THEN shiftleft(1L, i) ELSE 0L END),
             |  0L, (a, x) -> a + x)""".stripMargin))
         .select(col("doc_id"), col("simhash"))
-    }
-  )
 
   /** Distinct 3-word shingles per document (docs shorter than 3 words get
     * their whole text as one shingle). Map-only. */

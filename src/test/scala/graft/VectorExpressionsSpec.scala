@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native vector expressions: interpreted vs codegen parity, equivalence
+  * with the higher-order-function formulation they replace, null/edge
+  * semantics. */
+class VectorExpressionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def withVecs[T](f: org.apache.spark.sql.DataFrame => T): T = {
+    VectorFunctions.register(spark)
+    f(Tables(spark, sf).embeddings.limit(200)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+  }
+
+  test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
+    withVecs { vecs =>
+      val both = vecs.select(
+        expr("graft_dot(v, v)").as("native"),
+        expr("aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    }
+  }
+
+  test("graft_cosine of a vector with itself is 1") {
+    withVecs { vecs =>
+      val cos = vecs.select(expr("graft_cosine(v, v)").as("c"))
+      assert(cos.filter(abs(col("c") - 1.0) > 1e-12).count() == 0)
+    }
+  }
+
+  test("graft_cosine null semantics: zero vector and null input") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS zero,
+        |       graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS nul""".stripMargin)
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("graft_hamming64 counts differing bits") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_hamming64(0L, -1L) AS a,
+        |       graft_hamming64(5L, 6L) AS b,
+        |       graft_hamming64(42L, 42L) AS c""".stripMargin).head()
+    assert(r.getInt(0) == 64 && r.getInt(1) == 2 && r.getInt(2) == 0)
+  }
+
+  test("codegen and interpreted paths agree") {
+    withVecs { vecs =>
+      // force interpreted path via codegen-off config on a copy
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+      try {
+        val on = vecs.select(sum(expr("graft_dot(v, v)"))).head().getDouble(0)
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        val off = vecs.select(sum(expr("graft_dot(v, v)"))).head().getDouble(0)
+        assert(on == off)
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+  }
+}
