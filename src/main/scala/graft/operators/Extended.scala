@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Second wave of operator coverage: multiset set-ops, lateral/explode,
+  * ordered-set aggregates (percentiles, mode), regexp extraction,
+  * time-interval window frames, and approximate-distinct sketches.
+  * These extend SURVEY.md §2.1/§2.2 coverage to the full surface a
+  * reference user could reach through DataFusion SQL.
+  */
+object Extended {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  private def withViews(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => t(s, dir).load(n).createOrReplaceTempView(n))
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // Multiset semantics (INTERSECT ALL / EXCEPT ALL) — beyond the
+    // reference translator (which only unparsed distinct set-ops), but
+    // executable by DataFusion locally.
+    GraftQuery("q_intersect_all",
+      """SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 200000
+        |INTERSECT ALL
+        |SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, dir) =>
+      val o = t(s, dir).orders
+      o.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("ck"))
+        .intersectAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("ck")))
+    },
+
+    GraftQuery("q_except_all",
+      """SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 200000
+        |EXCEPT ALL
+        |SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, dir) =>
+      val o = t(s, dir).orders
+      o.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("ck"))
+        .exceptAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("ck")))
+    },
+
+    // Lateral explode (UNNEST): word frequencies over documents.
+    GraftQuery("q_explode",
+      """SELECT w, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id < 100)
+        |GROUP BY w HAVING count(*) >= 5""".stripMargin) { (s, dir) =>
+      t(s, dir).documents.filter(col("doc_id") < 100)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+    },
+
+    // Ordered-set aggregates: exact percentiles + mode. l_quantity is
+    // integer-valued, so disc/cont interpolation is exact in both engines.
+    GraftQuery("q_percentiles",
+      """SELECT l_returnflag,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_disc,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_cont,
+        |  percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_cont,
+        |  mode(l_linestatus) AS common_status
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      withViews(s, dir, "lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_disc,
+          |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_cont,
+          |  percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_cont,
+          |  mode(l_linestatus) AS common_status
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    },
+
+    // Regexp extraction (group capture) — same function name/semantics in
+    // both engines for RE2-safe patterns.
+    GraftQuery("q_regexp_extract",
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS id_digits
+        |FROM customer WHERE c_custkey < 200""".stripMargin) { (s, dir) =>
+      t(s, dir).customer.filter(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("id_digits"))
+    },
+
+    // Time-interval RANGE frame (expr.rs:183-203 interval window bounds):
+    // orders placed in the trailing 30 days per customer.
+    GraftQuery("q_window_time_range",
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n_trailing_30d
+        |FROM orders WHERE o_custkey < 30""".stripMargin) { (s, dir) =>
+      withViews(s, dir, "orders")
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+          |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n_trailing_30d
+          |FROM orders WHERE o_custkey < 30""".stripMargin)
+    },
+
+    // HLL sketch (extension beyond the reference — SURVEY.md §2.2 notes
+    // none exist there). Sketch values are engine-specific → rows-only
+    // check here; the spec asserts <5% relative error vs exact.
+    GraftQuery.unverified("q_approx_distinct") { (s, dir) =>
+      t(s, dir).lineitem.groupBy(col("l_returnflag")).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+
+    // TABLESAMPLE (deterministic seed within Spark; engines differ on
+    // sampling algorithms → rows-only).
+    GraftQuery.unverified("q_tablesample") { (s, dir) =>
+      t(s, dir).lineitem.sample(withReplacement = false, fraction = 0.1, seed = 42)
+        .agg(count(lit(1)).as("n_sampled"))
+    }
+  )
+}

@@ -1,0 +1,178 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.session.{AuthenticatedUser, GraftSession}
+import graft.sources.SourcesConfig
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** Embedded REST serving layer over the engine — the Spark analog of the
+  * reference's axum API (/root/reference/crates/server/src/api.rs:22-232):
+  *
+  *   POST /api/v1/query       {"sql": "..."}  → {columns, rows, warnings}
+  *   POST /api/v1/validate    {"sources_yaml": "..."} → {valid, errors}
+  *   GET  /api/v1/sources     → registered tables
+  *   GET  /api/v1/introspect/{table} → schema of one table
+  *
+  * Auth mirrors server/src/auth.rs: `Authorization: Bearer <key>` resolved
+  * through a pluggable authenticator (API key → AuthenticatedUser with
+  * permissions + policy rules); 401 without a valid key.
+  *
+  * Result rows are JSON for the control-plane API; bulk data egress at
+  * scale belongs to the Arrow path (Spark Connect / Thrift server), which
+  * this API deliberately doesn't replace — same stance as the reference
+  * (REST for control, Flight for data).
+  */
+final class ApiServer(
+    engine: GraftSession,
+    authenticator: String => Option[AuthenticatedUser],
+    maxRows: Int = 1000) {
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/api/v1/query", authed(handleQuery))
+    server.createContext("/api/v1/validate", authed(handleValidate))
+    server.createContext("/api/v1/sources", authed(handleSources))
+    server.createContext("/api/v1/introspect/", authed(handleIntrospect))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ------------------------------------------------------------- handlers
+
+  private def handleQuery(ex: HttpExchange, user: AuthenticatedUser): Unit = {
+    if (ex.getRequestMethod != "POST") { respond(ex, 405, err("POST required")); return }
+    val body = mapper.readTree(ex.getRequestBody)
+    val sql = Option(body.get("sql")).map(_.asText()).getOrElse("")
+    if (sql.isEmpty) { respond(ex, 400, err("missing sql")); return }
+    try {
+      val result = engine.executeQuery(sql, user)
+      val rows = result.df.limit(maxRows).collect()
+      val out = mapper.createObjectNode()
+      val cols = out.putArray("columns")
+      result.df.columns.foreach(cols.add)
+      val data = out.putArray("rows")
+      rows.foreach { r =>
+        val arr = data.addArray()
+        r.toSeq.foreach {
+          case null => arr.addNull()
+          case v: Long => arr.add(v)
+          case v: Int => arr.add(v)
+          case v: Double => arr.add(v)
+          case v: Boolean => arr.add(v)
+          case v => arr.add(String.valueOf(v))
+        }
+      }
+      val warn = out.putArray("warnings")
+      result.warnings.foreach(w => warn.add(s"${w.code}: ${w.message}"))
+      respond(ex, 200, out)
+    } catch {
+      case NonFatal(e) => respond(ex, 400, err(e.getMessage))
+    }
+  }
+
+  private def handleValidate(ex: HttpExchange, user: AuthenticatedUser): Unit = {
+    if (ex.getRequestMethod != "POST") { respond(ex, 405, err("POST required")); return }
+    val body = mapper.readTree(ex.getRequestBody)
+    val yaml = Option(body.get("sources_yaml")).map(_.asText()).getOrElse("")
+    val out = mapper.createObjectNode()
+    val errors = out.putArray("errors")
+    try {
+      val cfg = SourcesConfig.fromYamlString(yaml)
+      cfg.sources.foreach { s =>
+        if (s.name == "null") errors.add("source missing name")
+        if (s.sourceType == "null") errors.add(s"source ${s.name}: missing type")
+      }
+    } catch {
+      case NonFatal(e) => errors.add(s"YAML parsing error: ${e.getMessage}")
+    }
+    out.put("valid", errors.size() == 0)
+    respond(ex, 200, out)
+  }
+
+  private def handleSources(ex: HttpExchange, user: AuthenticatedUser): Unit = {
+    val out = mapper.createObjectNode()
+    val tables = out.putArray("tables")
+    engine.spark.catalog.listTables().collect().foreach { t =>
+      val o = tables.addObject()
+      o.put("name", t.name)
+      o.put("isTemporary", t.isTemporary)
+    }
+    respond(ex, 200, out)
+  }
+
+  private def handleIntrospect(ex: HttpExchange, user: AuthenticatedUser): Unit = {
+    val table = ex.getRequestURI.getPath.stripPrefix("/api/v1/introspect/")
+    try {
+      graft.util.Sanitize.validateIdentifier(table)
+      val schema = engine.spark.table(table).schema
+      val out = mapper.createObjectNode()
+      out.put("table", table)
+      val cols = out.putArray("columns")
+      schema.fields.foreach { f =>
+        val o = cols.addObject()
+        o.put("name", f.name)
+        o.put("type", f.dataType.simpleString)
+        o.put("nullable", f.nullable)
+      }
+      respond(ex, 200, out)
+    } catch {
+      case NonFatal(e) => respond(ex, 404, err(s"unknown table: $table"))
+    }
+  }
+
+  // ---------------------------------------------------------------- plumbing
+
+  private def authed(h: (HttpExchange, AuthenticatedUser) => Unit): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+          val token = header.stripPrefix("Bearer ").trim
+          authenticator(token) match {
+            case Some(user) => h(ex, user)
+            case None => respond(ex, 401, err("unauthenticated"))
+          }
+        } catch {
+          case NonFatal(e) => respond(ex, 500, err(e.getMessage))
+        }
+    }
+
+  private def err(msg: String): ObjectNode = {
+    val o = mapper.createObjectNode(); o.put("error", msg); o
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: ObjectNode): Unit = {
+    val bytes = mapper.writeValueAsBytes(body)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}
+
+/** In-memory API-key authenticator (the reference hashes keys with Argon2
+  * against a database, auth.rs:25-155; the store is pluggable — this
+  * implementation keeps sha-256 digests so raw keys never live in memory). */
+final class ApiKeyAuthenticator(keys: Map[String, AuthenticatedUser]) {
+  private val byDigest: Map[String, AuthenticatedUser] =
+    keys.map { case (k, u) => ApiKeyAuthenticator.digest(k) -> u }
+  def apply(token: String): Option[AuthenticatedUser] =
+    if (token.isEmpty) None else byDigest.get(ApiKeyAuthenticator.digest(token))
+}
+
+object ApiKeyAuthenticator {
+  def digest(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+}

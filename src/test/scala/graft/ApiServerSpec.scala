@@ -1,0 +1,116 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.server.{ApiKeyAuthenticator, ApiServer}
+import graft.session._
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Serving layer driven over real HTTP: auth, query (with RLS applied per
+  * API key), validation, introspection. */
+class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import SparkTestSession._
+
+  private val mapper = new ObjectMapper()
+  private var api: ApiServer = _
+  private var port: Int = _
+
+  override def beforeAll(): Unit = {
+    Tables(spark, sf).registerAll()
+    val engine = new GraftSession(spark, GraftConfig(defensiveLimit = 100))
+    val auth = new ApiKeyAuthenticator(Map(
+      "admin-key" -> AuthenticatedUser("admin"),
+      "analyst-key" -> AuthenticatedUser("analyst", rules = Map(
+        "orders" -> TablePolicy(rlsFilter = Some("o_custkey < 10"))))))
+    api = new ApiServer(engine, auth.apply)
+    port = api.start()
+  }
+
+  override def afterAll(): Unit = if (api != null) api.stop()
+
+  private def call(path: String, method: String = "GET", body: String = null,
+      key: String = "admin-key"): (Int, String) = {
+    val conn = new URI(s"http://localhost:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (key != null) conn.setRequestProperty("Authorization", s"Bearer $key")
+    if (body != null) {
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+    }
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = if (in == null) "" else new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, text)
+  }
+
+  test("query endpoint executes SQL and returns rows + warnings") {
+    val (code, body) = call("/api/v1/query", "POST",
+      """{"sql": "SELECT count(*) AS n FROM nation"}""")
+    assert(code == 200, body)
+    val j = mapper.readTree(body)
+    assert(j.get("columns").get(0).asText == "n")
+    assert(j.get("rows").get(0).get(0).asLong == 25)
+  }
+
+  test("RLS rules attached to the API key shape results") {
+    val (_, adminBody) = call("/api/v1/query", "POST",
+      """{"sql": "SELECT count(*) AS n FROM orders"}""", key = "admin-key")
+    val (_, analystBody) = call("/api/v1/query", "POST",
+      """{"sql": "SELECT count(*) AS n FROM orders"}""", key = "analyst-key")
+    val admin = mapper.readTree(adminBody).get("rows").get(0).get(0).asLong
+    val analyst = mapper.readTree(analystBody).get("rows").get(0).get(0).asLong
+    assert(analyst < admin)
+  }
+
+  test("defensive limit warning surfaces in the response") {
+    val (_, body) = call("/api/v1/query", "POST",
+      """{"sql": "SELECT o_orderkey FROM orders"}""")
+    val j = mapper.readTree(body)
+    assert(j.get("rows").size() == 100)
+    val warnings = (0 until j.get("warnings").size())
+      .map(j.get("warnings").get(_).asText())
+    assert(warnings.exists(_.contains(WarningCodes.DefensiveLimit)))
+  }
+
+  test("401 on missing or wrong key") {
+    assert(call("/api/v1/sources", key = null)._1 == 401)
+    assert(call("/api/v1/sources", key = "wrong")._1 == 401)
+  }
+
+  test("sources lists registered tables") {
+    val (code, body) = call("/api/v1/sources")
+    assert(code == 200)
+    assert(body.contains("lineitem") && body.contains("orders"))
+  }
+
+  test("introspect returns a table schema; 404 for unknown") {
+    val (code, body) = call("/api/v1/introspect/nation")
+    assert(code == 200)
+    val j = mapper.readTree(body)
+    val cols = (0 until j.get("columns").size())
+      .map(j.get("columns").get(_).get("name").asText())
+    assert(cols == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(call("/api/v1/introspect/nope")._1 == 404)
+  }
+
+  test("validate accepts good YAML and rejects garbage") {
+    val good = """{"sources_yaml": "sources:\n  - name: f\n    type: parquet\n"}"""
+    val (c1, b1) = call("/api/v1/validate", "POST", good)
+    assert(c1 == 200 && mapper.readTree(b1).get("valid").asBoolean)
+    val bad = """{"sources_yaml": "sources: ["}"""
+    val (c2, b2) = call("/api/v1/validate", "POST", bad)
+    assert(c2 == 200 && !mapper.readTree(b2).get("valid").asBoolean)
+  }
+
+  test("query error returns structured 400") {
+    val (code, body) = call("/api/v1/query", "POST",
+      """{"sql": "SELECT FROM nowhere"}""")
+    assert(code == 400)
+    assert(mapper.readTree(body).has("error"))
+  }
+}

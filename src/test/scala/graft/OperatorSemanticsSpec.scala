@@ -76,6 +76,16 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
   }
 
+  test("approx distinct within 5% of exact") {
+    val rows = run("q_approx_distinct").collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
   test("decode stub produces deterministic byte features") {
     val r = Multimodal_decodeCheck()
     assert(r._1 == r._2)
