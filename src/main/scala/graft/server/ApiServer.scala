@@ -30,7 +30,9 @@ import scala.util.control.NonFatal
 final class ApiServer(
     engine: GraftSession,
     authenticator: String => Option[AuthenticatedUser],
-    maxRows: Int = 1000) {
+    maxRows: Int = 1000,
+    guardMode: graft.security.PromptInjectionGuard.GuardMode =
+      graft.security.PromptInjectionGuard.Disabled) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -57,6 +59,11 @@ final class ApiServer(
     try {
       val result = engine.executeQuery(sql, user)
       val rows = result.df.limit(maxRows).collect()
+      // agent-context guard: scan string columns of the outgoing rows
+      // (reference: per-batch scan before returning to the agent,
+      // python/src/connection.rs:370-412). Enforce throws → 400 below.
+      val guardFinding =
+        graft.security.PromptInjectionGuard.guard(rows.toSeq, guardMode)
       val out = mapper.createObjectNode()
       val cols = out.putArray("columns")
       result.df.columns.foreach(cols.add)
@@ -74,6 +81,8 @@ final class ApiServer(
       }
       val warn = out.putArray("warnings")
       result.warnings.foreach(w => warn.add(s"${w.code}: ${w.message}"))
+      guardFinding.foreach(f =>
+        warn.add(s"x-graft-injection-dryrun: ${f.column} matched '${f.pattern}'"))
       respond(ex, 200, out)
     } catch {
       case NonFatal(e) => respond(ex, 400, err(e.getMessage))

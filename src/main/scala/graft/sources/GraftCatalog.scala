@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Three-level namespace catalog: `graft.<source>.<table>`, mirroring the
+  * reference's Catalog → Schema → Table model where each configured
+  * source becomes a schema (default catalog `strake`, per-source
+  * namespaces — /root/reference/crates/runtime/src/federation.rs:104-110,
+  * crates/connectors/src/sources/sql/mod.rs:178-185).
+  *
+  * Activate with:
+  * {{{
+  * spark.sql.catalog.graft = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.config = /path/to/sources.yaml
+  * }}}
+  * then `SELECT * FROM graft.files.lineitem` / `SHOW NAMESPACES IN graft`.
+  *
+  * Tables are file-backed (parquet/csv/json) V2 tables; the path and
+  * declared schema come from the YAML config. JDBC/REST sources keep
+  * their own specialized access paths (JDBCTableCatalog, RestDataSource)
+  * and aren't duplicated here.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var config: SourcesConfig = SourcesConfig(Nil)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    Option(options.get("config")).foreach { path =>
+      config = SourcesConfig.fromYamlFile(path)
+    }
+  }
+
+  override def name(): String = catalogName
+
+  /** Test/embedding hook: install a config programmatically. */
+  private[graft] def setConfig(c: SourcesConfig): Unit = config = c
+
+  private def fileSources = config.sources.filter(s =>
+    Set("parquet", "csv", "json").contains(s.sourceType.toLowerCase))
+
+  // -------------------------------------------------------- namespaces
+  override def listNamespaces(): Array[Array[String]] =
+    fileSources.map(s => Array(s.name)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && fileSources.exists(_.name == namespace(0))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    val src = fileSources.find(_.name == namespace(0)).get
+    Map("type" -> src.sourceType).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  // ------------------------------------------------------------ tables
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    fileSources.filter(s => namespace.isEmpty || s.name == namespace(0))
+      .flatMap(s => s.tables.map(t => Identifier.of(Array(s.name), t.name)))
+      .toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val src = fileSources.find(s => ident.namespace.sameElements(Array(s.name)))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+    val tbl = src.tables.find(_.name == ident.name)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+    val path = tbl.path.getOrElse(
+      throw new IllegalArgumentException(s"table ${tbl.name} needs a path"))
+    // delegate to Spark's native file tables: full pushdown/pruning applies
+    org.apache.spark.sql.execution.datasources.v2.GraftFileTables.create(
+      src.sourceType, s"${src.name}.${tbl.name}", Seq(path),
+      tbl.declaredSchema,
+      src.options ++ (if (src.sourceType.equalsIgnoreCase("csv"))
+        Map("header" -> src.options.getOrElse("header", "true")) else Map.empty))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+}

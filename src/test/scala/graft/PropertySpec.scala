@@ -1,0 +1,100 @@
+package graft
+
+import graft.security.PromptInjectionGuard
+import graft.util.{Exact, Sanitize, Scrubber}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests, mirroring the reference's proptest suites
+  * (flatten_joins_proptest.rs, arrow_proptest.rs) for the components we
+  * authored by hand: the Aho–Corasick automaton, the exact-sum helper's
+  * order-independence, identifier sanitation, and the scrubber.
+  * (Plain ScalaCheck generators sampled deterministically — the
+  * scalatest/scalacheck bridge isn't among the allowed dependencies.)
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      (20, Gen.alphaNumChar), (5, Gen.const(' ')),
+      (1, Gen.oneOf('.', ',', '!', '-', ':')))).map(_.mkString)
+
+  test("automaton agrees with naive contains on random haystacks") {
+    val patterns = PromptInjectionGuard.DefaultPatterns
+    val auto = new PromptInjectionGuard.Automaton(patterns)
+    val cases = samples(for {
+      hay <- asciiText
+      pat <- Gen.oneOf(patterns)
+      inject <- Gen.oneOf(true, false)
+    } yield (hay, pat, inject), 200)
+    assert(cases.size > 150)
+    cases.foreach { case (hay, pat, inject) =>
+      val text = if (inject) hay.take(500) + pat + hay.drop(500) else hay
+      val naive = patterns.exists(p => text.toLowerCase.contains(p))
+      val got = auto.firstMatch(text) >= 0
+      assert(got == naive, s"auto=$got naive=$naive text=${text.take(80)}")
+    }
+  }
+
+  test("dsum decimal cast is order-independent") {
+    import SparkTestSession._
+    import spark.implicits._
+    val lists = samples(Gen.listOfN(40,
+      Gen.chooseNum(-1e6, 1e6).map(v => math.round(v * 100) / 100.0)), 10)
+    lists.filter(_.nonEmpty).foreach { xs =>
+      val a = xs.toDF("v").agg(Exact.dsum(org.apache.spark.sql.functions.col("v")))
+        .head().getDouble(0)
+      val b = new scala.util.Random(7).shuffle(xs).toDF("v")
+        .agg(Exact.dsum(org.apache.spark.sql.functions.col("v")))
+        .head().getDouble(0)
+      assert(a == b, s"order-dependent sum: $a vs $b")
+    }
+  }
+
+  test("dsum matches BigDecimal reference arithmetic") {
+    import SparkTestSession._
+    import spark.implicits._
+    val lists = samples(Gen.listOfN(30,
+      Gen.chooseNum(-1e5, 1e5).map(v => math.round(v * 100) / 100.0)), 10)
+    lists.filter(_.nonEmpty).foreach { xs =>
+      val got = xs.toDF("v").agg(Exact.dsum(org.apache.spark.sql.functions.col("v")))
+        .head().getDouble(0)
+      val want = xs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(got == want, s"dsum=$got reference=$want")
+    }
+  }
+
+  test("sanitizer accepts exactly the safe identifiers") {
+    val safe = Gen.nonEmptyListOf(Gen.frequency(
+      (10, Gen.alphaNumChar), (1, Gen.const('_')), (1, Gen.const('.'))))
+      .map(_.mkString.take(128))
+    samples(safe, 100).foreach { id =>
+      assert(Sanitize.validateIdentifier(id) == id)
+    }
+    val bads = samples(for {
+      id <- safe
+      c <- Gen.oneOf('"', '\'', ' ', ';', '`', '\\')
+      pos <- Gen.chooseNum(0, 10)
+    } yield id.take(pos) + c + id.drop(pos), 100)
+    bads.foreach { bad =>
+      intercept[Sanitize.UnsafeIdentifier](Sanitize.validateIdentifier(bad))
+    }
+  }
+
+  test("scrubber removes every embedded email") {
+    val cases = samples(for {
+      text <- asciiText
+      u <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(10))
+      d <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(10))
+    } yield (text, s"$u@$d.com"), 100)
+    cases.foreach { case (text, mail) =>
+      val s = Scrubber.scrub(text + " " + mail + " " + text)
+      assert(!s.contains(mail), s"leaked $mail in: ${s.take(100)}")
+    }
+  }
+}
