@@ -14,9 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * assumes single-file inputs — `spark.read.parquet(path)` handles both.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  /** Resolved-relation cache: `spark.read.parquet` builds a fresh file
+    * index + reads footers for schema on every call; resolving each table
+    * once per (session, dir) removes that constant cost from every query.
+    * This is driver-side metadata only (the analog of a catalog's table
+    * cache) — at 100 TB the file listing is exactly the thing you don't
+    * want to redo per query. */
   def load(name: String): DataFrame =
-    if (name == "events") events
-    else spark.read.parquet(s"$dir/$name.parquet")
+    Tables.cache.getOrElseUpdate((spark, dir, name),
+      if (name == "events") loadEvents
+      else spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame = load("region")
   def nation: DataFrame = load("nation")
@@ -28,7 +35,9 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects; read nanos as long and truncate to microseconds (exactly what
     * DuckDB's nanos→timestamp conversion does). */
-  def events: DataFrame = {
+  def events: DataFrame = load("events")
+
+  private def loadEvents: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.withColumn("ts",
@@ -46,4 +55,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     * same namespace the DataFrame queries use. */
   def registerAll(): Unit =
     names.foreach(n => load(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 }
