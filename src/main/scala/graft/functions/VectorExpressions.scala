@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for vector math over `array<double>` /
@@ -123,7 +123,145 @@ final case class Hamming64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 32-bit SimHash over an `array<long>` of per-token hashes.
+  *
+  * Replaces the `aggregate(hashes, array_repeat(0L, 32), zip_with(...))`
+  * formulation: higher-order functions are CodegenFallback in Spark, so
+  * that form pays lambda dispatch + two intermediate arrays *per token per
+  * row*. This is one fused loop inside whole-stage codegen — semantics
+  * bit-identical (bit i counts +1 when bit i of the token hash is set,
+  * else -1; output bit i set when the count is positive).
+  */
+final case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](32)
+    var k = 0
+    val n = hs.numElements()
+    while (k < n) {
+      val h = hs.getLong(k)
+      var i = 0
+      while (i < 32) {
+        if (((h >>> i) & 1L) != 0L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      k += 1
+    }
+    var sim = 0L
+    var i = 0
+    while (i < 32) { if (counts(i) > 0) sim |= (1L << i); i += 1 }
+    sim
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val counts = ctx.freshName("counts"); val n = ctx.freshName("n")
+      val k = ctx.freshName("k"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val sim = ctx.freshName("sim")
+      s"""
+         |int[] $counts = new int[32];
+         |int $n = $hs.numElements();
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $h = $hs.getLong($k);
+         |  for (int $i = 0; $i < 32; $i++) {
+         |    $counts[$i] += (($h >>> $i) & 1L) != 0L ? 1 : -1;
+         |  }
+         |}
+         |long $sim = 0L;
+         |for (int $i = 0; $i < 32; $i++) {
+         |  if ($counts[$i] > 0) $sim |= (1L << $i);
+         |}
+         |${ev.value} = $sim;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** MinHash signature: for base hashes `bh` (each in [0, P)), signature
+  * element j = min over h of (h * a_j + b_j) mod P. One fused loop, one
+  * output allocation — replaces 32 interpreted `array_min(transform(...))`
+  * expressions (each allocating an intermediate array per row). Products
+  * stay < 2^62 (h < 2^31, a_j < 2^31), so plain `%` == pmod here.
+  * Returns null for an empty input (the `array_min(empty)` analog).
+  */
+final case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
+    extends UnaryExpression {
+  require(as.length == bs.length)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val bh = input.asInstanceOf[ArrayData]
+    val n = bh.numElements()
+    if (n == 0) return null
+    val m = as.length
+    val mins = Array.fill(m)(Long.MaxValue)
+    var k = 0
+    while (k < n) {
+      val h = bh.getLong(k)
+      var j = 0
+      while (j < m) {
+        val v = (h * as(j) + bs(j)) % VectorFunctions.MinHashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bh => {
+      val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val mins = ctx.freshName("mins"); val k = ctx.freshName("k")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $bh.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  int $m = $aRef.length;
+         |  long[] $mins = new long[$m];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    long $h = $bh.getLong($k);
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      long $v = ($h * $aRef[$j] + $bRef[$j]) % ${VectorFunctions.MinHashP}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
+
+  /** MinHash modulus: 2^31 - 1 (Mersenne prime). */
+  val MinHashP: Long = 2147483647L
+
+  /** The 32 (a, b) permutation constants for `graft_minhash32`.
+    * Deterministic seed — signatures are stable across runs and sessions. */
+  val minhashPerms: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(32)((rng.nextInt(Int.MaxValue - 1).toLong + 1, rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  private val permA: Array[Long] = minhashPerms.map(_._1).toArray
+  private val permB: Array[Long] = minhashPerms.map(_._2).toArray
+
   /** Register `graft_dot`, `graft_cosine`, `graft_hamming64` in the
     * session's function registry so SQL and `expr(...)` can use them.
     * Idempotent. */
@@ -135,5 +273,9 @@ object VectorFunctions {
       es => CosineSimilarity(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hamming64",
       es => Hamming64(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash32",
+      es => SimHash32(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash32",
+      es => MinHashSig(es.head, permA, permB), "built-in")
   }
 }

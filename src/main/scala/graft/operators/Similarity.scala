@@ -128,18 +128,24 @@ object Similarity {
     }
   )
 
+  /** Random hyperplanes as driver-side constants: bands × planesPerBand
+    * vectors of ±1 components, fixed seed → stable buckets across runs.
+    * Constants fold into the plan as array literals, so the per-row work is
+    * `bands × planesPerBand` codegen'd graft_dot loops — no per-element
+    * hashing or lambda dispatch on the scan path. */
+  private val planes: IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rng = new scala.util.Random(2026)
+    IndexedSeq.fill(4)(IndexedSeq.fill(4)(
+      Array.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0)))
+  }
+
   /** Array of per-band bucket keys. Band b's key packs `planesPerBand`
-    * sign bits, bit j = sign of dot(v, plane_{b,j}) where
-    * plane_{b,j}[i] = ±1 derived from xxhash64("p<b>:<j>:<i>"). */
+    * sign bits, bit j = sign of graft_dot(v, plane_{b,j}). */
   private def bandSignatures(v: String, bands: Int, planesPerBand: Int) = {
     val bandExprs = (0 until bands).map { b =>
       (0 until planesPerBand).map { j =>
-        val planeDot =
-          s"""aggregate(zip_with($v, sequence(0, 63),
-             |  (x, i) -> x * (CASE WHEN pmod(xxhash64(concat('p$b:$j:', CAST(i AS STRING))), 2) = 0
-             |                 THEN 1.0 ELSE -1.0 END)),
-             |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
-        s"(CASE WHEN $planeDot > 0 THEN ${1L << j}L ELSE 0L END)"
+        val planeLit = planes(b)(j).mkString("array(", "D, ", "D)")
+        s"(CASE WHEN graft_dot($v, $planeLit) > 0 THEN ${1L << j}L ELSE 0L END)"
       }.mkString(" + ")
     }
     expr(s"array(${bandExprs.mkString(", ")})")

@@ -38,13 +38,10 @@ object TextPipeline {
     df.withColumn("norm", expr(normExpr))
       .withColumn("words", split(col("norm"), " "))
 
-  // MinHash permutation constants: h_j(x) = (a_j * x + b_j) mod P over
-  // base hash x = xxhash64(shingle) mod P. Deterministic seed.
-  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
-  private val perms: Seq[(Long, Long)] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(32)((rng.nextInt(Int.MaxValue - 1).toLong + 1, rng.nextInt(Int.MaxValue).toLong))
-  }
+  // MinHash: h_j(x) = (a_j * x + b_j) mod P over base hash
+  // x = xxhash64(shingle) mod P; constants live in VectorFunctions and are
+  // evaluated by the fused codegen'd graft_minhash32 expression.
+  private val P = graft.functions.VectorFunctions.MinHashP
 
   val defs: Seq[GraftQuery] = Seq(
 
@@ -190,6 +187,7 @@ object TextPipeline {
     // Signatures: 32 permutations over 3-word shingles. Engine-specific
     // hash basis (xxhash64) → no SQL oracle; verified structurally by spec.
     GraftQuery.unverified("d_minhash_signatures") { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
       minhashSignatures(shingled(withNorm(t(s, dir).documents)))
         .select(col("doc_id"), col("sig"))
         .withColumn("sig_head", expr("sig[0]"))
@@ -210,6 +208,7 @@ object TextPipeline {
     //  4. shingle sets are re-attached to the *small* candidate pair set
     //     for exact rerank.
     GraftQuery.unverified("d_minhash_lsh_pairs") { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
       val docs = shingled(withNorm(t(s, dir).documents))
       val sigs = minhashSignatures(docs)
       val banded = sigs.select(col("doc_id"),
@@ -263,19 +262,16 @@ object TextPipeline {
     }
   )
 
-  /** doc_id, simhash for every document (map-only). */
-  private def simhashes(s: SparkSession, dir: String): DataFrame =
-      withNorm(t(s, dir).documents)
-        .withColumn("hashes", expr("transform(array_distinct(words), w -> xxhash64(w))"))
-        .withColumn("bitcounts", expr(
-          """aggregate(hashes, array_repeat(0L, 32),
-            |  (acc, h) -> zip_with(acc, sequence(0, 31),
-            |     (c, i) -> c + CASE WHEN shiftright(h, i) % 2 != 0 THEN 1 ELSE -1 END))""".stripMargin))
-        .withColumn("simhash", expr(
-          """aggregate(zip_with(bitcounts, sequence(0, 31),
-            |  (c, i) -> CASE WHEN c > 0 THEN shiftleft(1L, i) ELSE 0L END),
-            |  0L, (a, x) -> a + x)""".stripMargin))
-        .select(col("doc_id"), col("simhash"))
+  /** doc_id, simhash for every document (map-only, fused codegen'd loop —
+    * same bit-count formulation the interpreted aggregate/zip_with version
+    * computed, minus per-token array allocations). */
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    withNorm(t(s, dir).documents)
+      .withColumn("hashes", expr("transform(array_distinct(words), w -> xxhash64(w))"))
+      .withColumn("simhash", expr("graft_simhash32(hashes)"))
+      .select(col("doc_id"), col("simhash"))
+  }
 
   /** Distinct 3-word shingles per document (docs shorter than 3 words get
     * their whole text as one shingle). Map-only. */
@@ -293,7 +289,5 @@ object TextPipeline {
     docs
       .withColumn("bh",
         expr(s"transform(shingles, w -> pmod(xxhash64(w), ${P}L))"))
-      .withColumn("sig", array(perms.map { case (a, b) =>
-        expr(s"array_min(transform(bh, h -> pmod(h * ${a}L + ${b}L, ${P}L)))")
-      }: _*))
+      .withColumn("sig", expr("graft_minhash32(bh)"))
 }
