@@ -19,18 +19,23 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * /root/reference/crates/connectors/src/sources/file.rs:370-394).
   */
 object Exact {
+  // Precision 18 (not higher) keeps Spark's Decimal in its compact-long
+  // representation, so the sum's inner loop is a long add instead of a
+  // per-row BigDecimal allocation. Addends are money-like (≤ 12 integer
+  // digits at scale 6); the 28-digit sum buffer still widens exactly.
+
   /** Exact sum of a money-like double column; result as double. */
   def dsum(c: Column, scale: Int = 6): Column =
-    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
   /** Exact average: exact decimal sum divided by count, in double. */
   def davg(c: Column, scale: Int = 6): Column =
-    (sum(c.cast(DecimalType(30, scale))).cast(DoubleType) / count(c)).cast(DoubleType)
+    (sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(c)).cast(DoubleType)
 
   /** DuckDB-side SQL for the same exact sum, for oracle parity. */
   def dsumSql(expr: String, scale: Int = 6): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
 
   def davgSql(expr: String, scale: Int = 6): String =
-    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE) / COUNT($expr) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT($expr) AS DOUBLE)"
 }
