@@ -40,6 +40,7 @@ final class ApiServer(
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/api/v1/query", authed(handleQuery))
+    server.createContext("/api/v1/query_arrow", authed(handleQueryArrow))
     server.createContext("/api/v1/validate", authed(handleValidate))
     server.createContext("/api/v1/sources", authed(handleSources))
     server.createContext("/api/v1/introspect/", authed(handleIntrospect))
@@ -84,6 +85,27 @@ final class ApiServer(
       guardFinding.foreach(f =>
         warn.add(s"x-graft-injection-dryrun: ${f.column} matched '${f.pattern}'"))
       respond(ex, 200, out)
+    } catch {
+      case NonFatal(e) => respond(ex, 400, err(e.getMessage))
+    }
+  }
+
+  /** Same query path, Arrow IPC stream out — the bulk-data twin of the
+    * JSON endpoint (reference: Flight SQL / PyArrow zero-copy delivery). */
+  private def handleQueryArrow(ex: HttpExchange, user: AuthenticatedUser): Unit = {
+    if (ex.getRequestMethod != "POST") { respond(ex, 405, err("POST required")); return }
+    val body = mapper.readTree(ex.getRequestBody)
+    val sql = Option(body.get("sql")).map(_.asText()).getOrElse("")
+    if (sql.isEmpty) { respond(ex, 400, err("missing sql")); return }
+    try {
+      val result = engine.executeQuery(sql, user)
+      val bytes = ArrowResults.toArrowStream(result.df, maxRows)
+      ex.getResponseHeaders.add("Content-Type", "application/vnd.apache.arrow.stream")
+      result.warnings.foreach(w =>
+        ex.getResponseHeaders.add("X-Graft-Warning", s"${w.code}: ${w.message}"))
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
     } catch {
       case NonFatal(e) => respond(ex, 400, err(e.getMessage))
     }
