@@ -40,6 +40,16 @@ object Extended {
         .exceptAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("ck")))
     },
 
+    // Expression limits (reference unparser handles e.g. `LIMIT 10+5`,
+    // translator/set_ops.rs:586-592). Spark requires a foldable limit
+    // expression and folds it at analysis — same pre-evaluation the
+    // reference applies.
+    GraftQuery("q_limit_expr",
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10+5") { (s, dir) =>
+      withViews(s, dir, "orders")
+      s.sql("SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10+5")
+    },
+
     // Lateral explode (UNNEST): word frequencies over documents.
     GraftQuery("q_explode",
       """SELECT w, count(*) AS n FROM (

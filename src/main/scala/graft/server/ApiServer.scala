@@ -41,6 +41,7 @@ final class ApiServer(
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/api/v1/query", authed(handleQuery))
     server.createContext("/api/v1/query_arrow", authed(handleQueryArrow))
+    server.createContext("/api/v1/explain", authed(handleExplain))
     server.createContext("/api/v1/validate", authed(handleValidate))
     server.createContext("/api/v1/sources", authed(handleSources))
     server.createContext("/api/v1/introspect/", authed(handleIntrospect))
@@ -84,6 +85,33 @@ final class ApiServer(
       result.warnings.foreach(w => warn.add(s"${w.code}: ${w.message}"))
       guardFinding.foreach(f =>
         warn.add(s"x-graft-injection-dryrun: ${f.column} matched '${f.pattern}'"))
+      respond(ex, 200, out)
+    } catch {
+      case NonFatal(e) => respond(ex, 400, err(e.getMessage))
+    }
+  }
+
+  /** Prepared-statement analog: plan under the caller's policies, return
+    * the result schema + formatted plan with pushdown indicators — no
+    * execution (reference plans statements for their schema,
+    * flight_sql.rs:533-566; pushdown-annotated tree, query/plan_tree.rs). */
+  private def handleExplain(ex: HttpExchange, user: AuthenticatedUser): Unit = {
+    if (ex.getRequestMethod != "POST") { respond(ex, 405, err("POST required")); return }
+    val body = mapper.readTree(ex.getRequestBody)
+    val sql = Option(body.get("sql")).map(_.asText()).getOrElse("")
+    if (sql.isEmpty) { respond(ex, 400, err("missing sql")); return }
+    try {
+      val info = engine.planQuery(sql, user)
+      val out = mapper.createObjectNode()
+      val cols = out.putArray("columns")
+      info.schema.fields.foreach { f =>
+        val o = cols.addObject()
+        o.put("name", f.name)
+        o.put("type", f.dataType.simpleString)
+        o.put("nullable", f.nullable)
+      }
+      out.put("plan", info.plan)
+      out.put("defensive_limited", info.defensiveLimited)
       respond(ex, 200, out)
     } catch {
       case NonFatal(e) => respond(ex, 400, err(e.getMessage))

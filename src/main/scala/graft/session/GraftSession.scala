@@ -22,6 +22,12 @@ final case class GraftConfig(
 
 final case class QueryResult(df: DataFrame, warnings: Seq[QueryWarning])
 
+/** Result of planning without executing (prepared-statement analog). */
+final case class PlanInfo(
+    schema: org.apache.spark.sql.types.StructType,
+    plan: String,
+    defensiveLimited: Boolean)
+
 final case class QueryLogEntry(
     userId: String, scrubbedSql: String, durationMillis: Long,
     cacheHit: Boolean, succeeded: Boolean)
@@ -95,6 +101,29 @@ final class GraftSession(
           System.currentTimeMillis() - start, cacheHit, ok)
       }
     }
+  }
+
+  /** Plan-only path — the prepared-statement analog (the reference plans
+    * a statement to return its schema before any execution,
+    * server/src/flight_sql.rs:533-566). Applies the same per-user policy
+    * rewrite, defensive limit, and cost gate as executeQuery, but never
+    * executes or caches; the formatted plan exposes pushdown indicators. */
+  def planQuery(sql: String,
+      user: AuthenticatedUser = AuthenticatedUser.anonymous): PlanInfo = {
+    RowPolicyRule_setUser(user)
+    try {
+      var df = spark.sql(sql)
+      var limited = false
+      if (config.defensiveLimit > 0 &&
+        (limitRule(df.queryExecution.analyzed) ne df.queryExecution.analyzed)) {
+        df = df.limit(config.defensiveLimit)
+        limited = true
+      }
+      validator.validate(df)
+      PlanInfo(df.schema,
+        df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode),
+        defensiveLimited = limited)
+    } finally RowPolicyRule_clear()
   }
 
   /** Run `action` on a cancellable job group; cancel on timeout (the Spark

@@ -113,4 +113,27 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code == 400)
     assert(mapper.readTree(body).has("error"))
   }
+
+  test("explain plans without executing: schema, pushdown, defensive limit flag") {
+    val (code, body) = call("/api/v1/explain", "POST",
+      """{"sql": "SELECT o_orderkey FROM orders WHERE o_custkey = 7"}""")
+    assert(code == 200, body)
+    val j = mapper.readTree(body)
+    assert(j.get("columns").get(0).get("name").asText == "o_orderkey")
+    assert(j.get("columns").get(0).get("type").asText == "bigint")
+    // the filter must reach the parquet scan
+    assert(j.get("plan").asText.contains("PushedFilters"))
+    assert(j.get("plan").asText.contains("o_custkey"))
+    // unaggregated, unlimited interactive query → defensive limit applies
+    assert(j.get("defensive_limited").asBoolean)
+  }
+
+  test("explain applies the caller's RLS policy to the plan") {
+    val (_, admin) = call("/api/v1/explain", "POST",
+      """{"sql": "SELECT count(*) AS n FROM orders"}""")
+    val (_, analyst) = call("/api/v1/explain", "POST",
+      """{"sql": "SELECT count(*) AS n FROM orders"}""", key = "analyst-key")
+    assert(!mapper.readTree(admin).get("plan").asText.contains("o_custkey"))
+    assert(mapper.readTree(analyst).get("plan").asText.contains("o_custkey"))
+  }
 }
