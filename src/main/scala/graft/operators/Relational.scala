@@ -252,16 +252,29 @@ object Relational {
       s"""SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
          |       count(*) AS n
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
-      t(s, dir).lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      // Two-phase: reduce on the full grouping key first (map-side
+      // combinable hash agg, no Expand), then rollup the tiny reduced
+      // relation. Expand otherwise multiplies the FACT table by the
+      // number of grouping sets before the shuffle — at 100 TB that's
+      // the difference between shuffling 6 rows and 300 TB. Decimal
+      // partials keep the re-aggregation exact.
+      val base = t(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsumPart(col("l_quantity")).as("pq"), count(lit(1)).as("pn"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsumFinal(col("pq")).as("sum_qty"), sum(col("pn")).as("n"))
     },
 
     GraftQuery("q_agg_cube",
       s"""SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
          |       count(*) AS n
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
-      t(s, dir).lineitem.cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      // same two-phase shape as q_agg_rollup
+      val base = t(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsumPart(col("l_quantity")).as("pq"), count(lit(1)).as("pn"))
+      base.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsumFinal(col("pq")).as("sum_qty"), sum(col("pn")).as("n"))
     },
 
     GraftQuery("q_grouping_sets",
@@ -271,11 +284,17 @@ object Relational {
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, dir) =>
       val tt = t(s, dir)
       tt.lineitem.createOrReplaceTempView("lineitem")
+      // two-phase (see q_agg_rollup); grouping() flags depend only on the
+      // grouping set, so they survive the pre-aggregation unchanged
       s.sql(
-        s"""SELECT l_returnflag, l_linestatus, grouping(l_returnflag) AS g_rf,
-           |       ${dsumSql("l_quantity")} AS sum_qty
-           |FROM lineitem
-           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+        """WITH base AS (
+          |  SELECT l_returnflag, l_linestatus,
+          |         sum(CAST(l_quantity AS DECIMAL(18,6))) AS pq
+          |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+          |SELECT l_returnflag, l_linestatus, grouping(l_returnflag) AS g_rf,
+          |       CAST(sum(pq) AS DOUBLE) AS sum_qty
+          |FROM base
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
     },
 
     // Exact variance/stddev via algebraic sums: deterministic across engines

@@ -32,6 +32,14 @@ object Exact {
   def davg(c: Column, scale: Int = 6): Column =
     (sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(c)).cast(DoubleType)
 
+  /** Two-phase split of dsum for multi-phase aggregations (rollup/cube/
+    * grouping sets): keep the partial as DECIMAL so the re-aggregation
+    * stays exact; cast to double only at the very end. */
+  def dsumPart(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(18, scale)))
+  def dsumFinal(partial: Column): Column =
+    sum(partial).cast(DoubleType)
+
   /** DuckDB-side SQL for the same exact sum, for oracle parity. */
   def dsumSql(expr: String, scale: Int = 6): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
