@@ -35,6 +35,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicates within the watermark horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    in.addData((1L, at(0)), (1L, at(1)), (2L, at(2)), (2L, at(2)), (3L, at(5)))
+    val deduped = EventStream.dedupedEvents(
+      in.toDF().toDF("event_id", "ts"), horizon = "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt3").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // a later duplicate of id=1 still inside the horizon is dropped too
+      in.addData((1L, at(10)), (4L, at(11)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L, 4L)), ids.mkString(","))
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches without streaming state") {
+    val events = EventStream.readEvents(spark, sf)
+    val dim = Tables(spark, sf).customer.select(
+      col("c_custkey"), col("c_mktsegment"))
+    val q = EventStream.enriched(events, dim, "user_id", "c_custkey")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt4").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+      assert(out.count() == Tables(spark, sf).events.count(),
+        "left enrichment must preserve every event")
+      assert(out.filter(col("c_mktsegment").isNotNull).count() > 0)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits per-user updates") {
     val events = EventStream.readEvents(spark, sf)
     val sessions = EventStream.sessionize(spark, events)
