@@ -50,6 +50,46 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 64 && r.getInt(1) == 2 && r.getInt(2) == 0)
   }
 
+  test("graft_simhash32 matches the aggregate/zip_with formulation on documents") {
+    VectorFunctions.register(spark)
+    val hashed = Tables(spark, sf).documents.limit(300)
+      .withColumn("words",
+        split(expr("trim(regexp_replace(lower(text), '[^a-z0-9 ]', ''))"), " "))
+      .withColumn("hashes", expr("transform(array_distinct(words), w -> xxhash64(w))"))
+    val both = hashed.select(
+      expr("graft_simhash32(hashes)").as("native"),
+      expr(
+        """aggregate(zip_with(
+          |  aggregate(hashes, array_repeat(0L, 32),
+          |    (acc, h) -> zip_with(acc, sequence(0, 31),
+          |       (c, i) -> c + CASE WHEN shiftright(h, i) % 2 != 0 THEN 1 ELSE -1 END)),
+          |  sequence(0, 31),
+          |  (c, i) -> CASE WHEN c > 0 THEN shiftleft(1L, i) ELSE 0L END),
+          |  0L, (a, x) -> a + x)""".stripMargin).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("graft_minhash32 matches 32 array_min(transform(...)) expressions") {
+    VectorFunctions.register(spark)
+    val P = VectorFunctions.MinHashP
+    val bh = Tables(spark, sf).documents.limit(300)
+      .withColumn("words", split(lower(col("text")), " "))
+      .withColumn("bh", expr(s"transform(array_distinct(words), w -> pmod(xxhash64(w), ${P}L))"))
+    val hof = array(VectorFunctions.minhashPerms.map { case (a, b) =>
+      expr(s"array_min(transform(bh, h -> pmod(h * ${a}L + ${b}L, ${P}L)))")
+    }: _*)
+    val both = bh.select(expr("graft_minhash32(bh)").as("native"), hof.as("hof"))
+    assert(both.filter(expr("native != hof")).count() == 0)
+  }
+
+  test("graft_minhash32 returns null for an empty hash array") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_minhash32(array_remove(array(1L), 1L)) AS empty,
+        |       graft_minhash32(CAST(NULL AS ARRAY<BIGINT>)) AS nul""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("codegen and interpreted paths agree") {
     withVecs { vecs =>
       // force interpreted path via codegen-off config on a copy
