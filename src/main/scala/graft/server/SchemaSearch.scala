@@ -23,7 +23,12 @@ object SchemaSearch {
       val tableHit = if (tableScore > 0) Seq(Hit(t.name, None, tableScore)) else Nil
       val colHits =
         try spark.catalog.listColumns(t.name).collect().toSeq.flatMap { c =>
-          val s = score(terms, tokenize(c.name) ++ tokenize(c.dataType))
+          // comments (declared in YAML, carried as field metadata) count
+          // toward relevance — an agent searching "customer churn risk"
+          // should hit a column whose comment says so even if the name is
+          // an opaque code
+          val s = score(terms, tokenize(c.name) ++ tokenize(c.dataType) ++
+            tokenize(Option(c.description).getOrElse("")))
           if (s > 0) Some(Hit(t.name, Some(c.name), s)) else None
         } catch { case _: Exception => Nil }
       tableHit ++ colHits

@@ -25,15 +25,24 @@ final case class TableDef(
     name: String,
     path: Option[String] = None,
     partitionColumn: Option[String] = None,
+    comment: Option[String] = None,
     columns: Seq[ColumnDef] = Nil) {
+  /** Declared schema with comments carried as field metadata — the
+    * reference attaches table/column comments to the Arrow schema for
+    * agent discovery (MetadataEnrichedTableProvider,
+    * crates/connectors/src/sources/sql/wrappers.rs:96-190). */
   def declaredSchema: Option[StructType] =
     if (columns.isEmpty) None
-    else Some(StructType(columns.map(c =>
-      StructField(c.name, TypeMapper.fromConfig(c.dataType), nullable = !c.notNull))))
+    else Some(StructType(columns.map { c =>
+      val f = StructField(c.name, TypeMapper.fromConfig(c.dataType),
+        nullable = !c.notNull)
+      c.comment.fold(f)(f.withComment)
+    }))
 }
 
 final case class ColumnDef(
-    name: String, dataType: String, notNull: Boolean = false)
+    name: String, dataType: String, notNull: Boolean = false,
+    comment: Option[String] = None)
 
 /** Config type-string → Spark type. Same names the reference accepts in
   * declared schemas (file.rs:370-394: int/int32, bigint/int64, utf8/
@@ -95,9 +104,11 @@ object SourcesConfig {
             name = str(t, "name"),
             path = opt(t, "path"),
             partitionColumn = opt(t, "partition_column"),
+            comment = opt(t, "comment"),
             columns = list(t.get("columns")).map { c =>
               ColumnDef(str(c, "name"), str(c, "type"),
-                Option(c.get("not_null")).exists(v => String.valueOf(v).toBoolean))
+                Option(c.get("not_null")).exists(v => String.valueOf(v).toBoolean),
+                comment = opt(c, "comment"))
             })
         })
     }

@@ -70,4 +70,29 @@ class AgentLayerSpec extends AnyFunSuite {
     val none = SchemaSearch.search(spark, "zzzz qqqq")
     assert(none.isEmpty)
   }
+
+  test("schema search ranks columns by declared comment metadata") {
+    val yaml =
+      """sources:
+        |  - name: crm
+        |    type: parquet
+        |    tables:
+        |      - name: accounts
+        |        comment: customer master data
+        |        columns:
+        |          - name: fld_17
+        |            type: double
+        |            comment: churn risk score from the retention model
+        |""".stripMargin
+    val cfg = graft.sources.SourcesConfig.fromYamlString(yaml)
+    val schema = cfg.sources.head.tables.head.declaredSchema.get
+    assert(schema("fld_17").getComment().contains("churn risk score from the retention model"))
+    // registered as a view, the comment drives discovery of an opaque name
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .createOrReplaceTempView("accounts")
+    val hits = SchemaSearch.search(spark, "churn risk")
+    assert(hits.exists(h => h.table == "accounts" && h.column.contains("fld_17")),
+      hits.take(5).toString)
+  }
 }
