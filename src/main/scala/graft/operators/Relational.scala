@@ -44,15 +44,26 @@ object Relational {
          |  count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= '1998-12-01'
          |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      // pre-project the decimal casts once per row: sum_qty/avg_qty,
+      // sum_base_price/avg_price share their cast column (5 casts instead
+      // of 8), and the aggregate's inner loop sees plain column refs
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val dec = DecimalType(18, 6)
       val l = t(s, dir).lineitem.filter(col("l_shipdate") <= "1998-12-01")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast(dec).as("q"),
+          col("l_extendedprice").cast(dec).as("ep"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec).as("dp"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(dec).as("ch"),
+          col("l_discount").cast(dec).as("dc"))
       l.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-        davg(col("l_quantity")).as("avg_qty"),
-        davg(col("l_extendedprice")).as("avg_price"),
-        davg(col("l_discount")).as("avg_disc"),
+        sum(col("q")).cast(DoubleType).as("sum_qty"),
+        sum(col("ep")).cast(DoubleType).as("sum_base_price"),
+        sum(col("dp")).cast(DoubleType).as("sum_disc_price"),
+        sum(col("ch")).cast(DoubleType).as("sum_charge"),
+        (sum(col("q")).cast(DoubleType) / count(col("q"))).cast(DoubleType).as("avg_qty"),
+        (sum(col("ep")).cast(DoubleType) / count(col("ep"))).cast(DoubleType).as("avg_price"),
+        (sum(col("dc")).cast(DoubleType) / count(col("dc"))).cast(DoubleType).as("avg_disc"),
         count(lit(1)).as("count_order"))
     },
 
