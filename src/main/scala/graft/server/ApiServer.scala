@@ -42,6 +42,9 @@ final class ApiServer(
     server.createContext("/api/v1/query", authed(handleQuery))
     server.createContext("/api/v1/query_arrow", authed(handleQueryArrow))
     server.createContext("/api/v1/explain", authed(handleExplain))
+    server.createContext("/metrics", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = handleMetrics(ex)
+    })
     server.createContext("/api/v1/validate", authed(handleValidate))
     server.createContext("/api/v1/sources", authed(handleSources))
     server.createContext("/api/v1/introspect/", authed(handleIntrospect))
@@ -187,6 +190,38 @@ final class ApiServer(
     } catch {
       case NonFatal(e) => respond(ex, 404, err(s"unknown table: $table"))
     }
+  }
+
+  /** Prometheus text exposition over the engine's query log — the
+    * reference serves /metrics alongside its REST API
+    * (crates/server/src/lib.rs:465-487). Unauthenticated by convention
+    * (scrape targets), and derived from already-scrubbed log entries. */
+  private def handleMetrics(ex: HttpExchange): Unit = {
+    val entries = engine.queryLog
+    val ok = entries.count(_.succeeded)
+    val failed = entries.size - ok
+    val hits = entries.count(_.cacheHit)
+    val durs = entries.map(_.durationMillis).sorted
+    def pct(p: Double): Long =
+      if (durs.isEmpty) 0L else durs(math.min(durs.size - 1, (p * durs.size).toInt))
+    val body =
+      s"""# TYPE graft_queries_total counter
+         |graft_queries_total{status="ok"} $ok
+         |graft_queries_total{status="error"} $failed
+         |# TYPE graft_cache_hits_total counter
+         |graft_cache_hits_total $hits
+         |# TYPE graft_query_duration_ms summary
+         |graft_query_duration_ms{quantile="0.5"} ${pct(0.5)}
+         |graft_query_duration_ms{quantile="0.95"} ${pct(0.95)}
+         |graft_query_duration_ms{quantile="0.99"} ${pct(0.99)}
+         |graft_query_duration_ms_sum ${durs.sum}
+         |graft_query_duration_ms_count ${durs.size}
+         |""".stripMargin
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "text/plain; version=0.0.4")
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
   }
 
   // ---------------------------------------------------------------- plumbing

@@ -128,6 +128,21 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.get("defensive_limited").asBoolean)
   }
 
+  test("metrics endpoint exposes query counters in Prometheus format") {
+    call("/api/v1/query", "POST", """{"sql": "SELECT 1 AS one"}""")
+    call("/api/v1/query", "POST", """{"sql": "SELECT FROM broken"}""")
+    val (code, body) = call("/metrics", key = null)
+    assert(code == 200, body)
+    assert(body.contains("graft_queries_total{status=\"ok\"}"))
+    assert(body.contains("graft_query_duration_ms{quantile=\"0.95\"}"))
+    val okCount = "graft_queries_total\\{status=\"ok\"\\} (\\d+)".r
+      .findFirstMatchIn(body).get.group(1).toInt
+    assert(okCount >= 1)
+    val errCount = "graft_queries_total\\{status=\"error\"\\} (\\d+)".r
+      .findFirstMatchIn(body).get.group(1).toInt
+    assert(errCount >= 1)
+  }
+
   test("explain applies the caller's RLS policy to the plan") {
     val (_, admin) = call("/api/v1/explain", "POST",
       """{"sql": "SELECT count(*) AS n FROM orders"}""")
