@@ -102,16 +102,21 @@ object Relational {
          |  AND c_nationkey = n_nationkey
          |GROUP BY c_custkey, c_name""".stripMargin) { (s, dir) =>
       val tt = t(s, dir)
-      val l = tt.lineitem
-      // nation and customer broadcast; single shuffle on l_orderkey,
-      // then re-agg on c_custkey (AQE coalesces the post-join shuffle).
+      // Pre-aggregate lineitem revenue by orderkey BEFORE the join: the
+      // shuffle key is the same either way, but the join then probes one
+      // row per order instead of ~4 line items, and the final custkey
+      // re-aggregation is exact over decimal partials. nation and
+      // customer broadcast as before.
+      val rev = tt.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(dsumPart(discPrice(tt.lineitem)).as("rev"))
       tt.orders
         .join(broadcast(tt.customer.join(broadcast(tt.nation),
           col("c_nationkey") === col("n_nationkey"))),
           col("o_custkey") === col("c_custkey"))
-        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(rev, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(dsum(discPrice(l)).as("revenue"))
+        .agg(dsumFinal(col("rev")).as("revenue"))
     },
 
     // ------------------------------------------------------- scan / project
