@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -100,6 +100,41 @@ object Similarity {
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
     },
 
+    // IVF (inverted-file) ANN — the second scale path beside LSH.
+    // Train: k-means centroids on a small deterministic sample, computed
+    // driver-side (IVF training is sample-based by design: O(k·sample)
+    // work regardless of corpus size). Assign: map-only nearest-centroid
+    // over broadcast constant centroids — each vector lands in one
+    // inverted list. Search: probe the nprobe lists nearest the query;
+    // candidates = corpus ∩ probed lists (equi-join on list_id, shuffles
+    // ids + list keys, never vectors); exact cosine rerank of the small
+    // candidate set. Deterministic end-to-end; rows-only verification
+    // (rerank arithmetic is the code verified by s_ann_bruteforce).
+    GraftQuery.unverified("s_ann_ivf") { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val k = 8; val nprobe = 4
+      val vecs = t(s, dir).embeddings
+        .select(col("vec_id"), expr(toDouble).as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val sample = t(s, dir).embeddings.filter(col("vec_id") % 7 === 0)
+        .orderBy(col("vec_id")).limit(128)
+        .select(expr(toDouble)).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val centroids = kmeans(sample, k, iters = 5)
+      val assigned = vecs.withColumn("list_id", nearestCentroid("v", centroids))
+      val corpus = assigned.filter(col("vec_id") >= 5)
+      val probes = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          posexplode(topCentroids("v", centroids, nprobe)).as(Seq("probe_rank", "list_id")))
+      val cand = corpus.join(probes, Seq("list_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      cand.select(col("qid"), col("vec_id"),
+          round(expr(dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cos"))
+        .distinct()
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    },
+
     // Embedding near-duplicate pairs on a bounded window (vec_id < 150),
     // oracled: pairs above a cosine threshold chosen for this corpus
     // (random 64-dim vectors ⇒ cosines concentrate near 0).
@@ -127,6 +162,57 @@ object Similarity {
         .filter(col("cos") >= 0.3)
     }
   )
+
+  /** Lloyd's k-means on a driver-side sample: deterministic init (first k
+    * sample points), fixed iteration count, cosine-space assignment on
+    * normalized vectors. The trained centroids become plan constants. */
+  private[graft] def kmeans(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(normalize)
+    var cents = pts.take(k).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](pts.head.length))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        val best = cents.indices.maxBy(i =>
+          cents(i).zip(p).map { case (a, b) => a * b }.sum)
+        counts(best) += 1
+        var d = 0
+        while (d < p.length) { sums(best)(d) += p(d); d += 1 }
+      }
+      cents = cents.indices.map { i =>
+        if (counts(i) == 0) cents(i) else normalize(sums(i))
+      }.toArray
+    }
+    cents
+  }
+
+  private def centroidLit(c: Array[Double]): String =
+    c.mkString("array(", "D, ", "D)")
+
+  /** argmax over centroids of dot(v, c_i): array_max over (dot, idx)
+    * structs — struct ordering compares dot first, index breaks ties. */
+  private[graft] def nearestCentroid(v: String,
+      cents: Array[Array[Double]]): Column = {
+    val entries = cents.zipWithIndex.map { case (c, i) =>
+      s"struct(graft_dot($v, ${centroidLit(c)}) AS d, $i AS i)"
+    }
+    expr(s"array_max(array(${entries.mkString(", ")})).i")
+  }
+
+  /** Top-`nprobe` centroid ids by dot(v, c_i), best first. */
+  private[graft] def topCentroids(v: String, cents: Array[Array[Double]],
+      nprobe: Int): Column = {
+    val entries = cents.zipWithIndex.map { case (c, i) =>
+      s"struct(-graft_dot($v, ${centroidLit(c)}) AS negd, $i AS i)"
+    }
+    expr(s"transform(slice(array_sort(array(${entries.mkString(", ")})), 1, $nprobe), e -> e.i)")
+  }
 
   /** Random hyperplanes as driver-side constants: bands × planesPerBand
     * vectors of ±1 components, fixed seed → stable buckets across runs.

@@ -76,6 +76,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
   }
 
+  test("ann ivf returns 10 ranked candidates per query with useful recall") {
+    val ivf = run("s_ann_ivf")
+    val perQ = ivf.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(perQ.length == 5 && perQ.forall(_ == 10), perQ.mkString(","))
+    // recall@10 vs brute force: probing half the lists (nprobe=4 of k=8)
+    // must recover a meaningful share of the true neighbors even on
+    // near-orthogonal random vectors
+    val exact = run("s_ann_bruteforce").select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ivf.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
+  }
+
+  test("ivf kmeans is deterministic and produces k unit centroids") {
+    val sample = Array.tabulate(40)(i =>
+      Array.tabulate(8)(d => math.sin(i * 8 + d).abs + 0.01))
+    val a = graft.operators.Similarity.kmeans(sample, 4, 5)
+    val b = graft.operators.Similarity.kmeans(sample, 4, 5)
+    assert(a.length == 4)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+    a.foreach(c => assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9))
+  }
+
   test("approx distinct within 5% of exact") {
     val rows = run("q_approx_distinct").collect()
     rows.foreach { r =>
