@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural plan assertions: the properties that make these plans hold
+  * at 100 TB (pushdown reaching the scan, pruned read schemas, broadcast
+  * dimension joins, fused top-k, partial aggregation, codegen coverage)
+  * are checked here so a refactor can't silently regress them. */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("filters reach the parquet scan (PushedFilters non-empty)") {
+    Seq("q_filter_complex", "q6_forecast_revenue", "q3_shipping_priority")
+      .foreach { q =>
+        val p = plan(q)
+        assert("PushedFilters: \\[.+\\]".r.findFirstIn(p).isDefined,
+          s"$q has no pushed filters:\n$p")
+      }
+  }
+
+  test("projection pruning: scans read only referenced columns") {
+    val p = plan("q_scan_projection")
+    val read = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).get.group(1)
+    assert(read.split(",").length == 2, s"over-read: $read")
+    // q6 must not read any of the 12 unreferenced lineitem columns
+    val p6 = plan("q6_forecast_revenue")
+    val read6 = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p6).get.group(1)
+    assert(!read6.contains("l_comment") && !read6.contains("l_orderkey"),
+      s"q6 over-reads: $read6")
+  }
+
+  test("dimension joins broadcast; fact side still shuffles on its key") {
+    val p3 = plan("q3_shipping_priority")
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    val p10 = plan("q10_returned_items")
+    assert(p10.contains("BroadcastHashJoin"), p10)
+    // the fact table reaches its join/aggregation through a hash
+    // partition exchange, not a broadcast of lineitem
+    assert(p10.contains("hashpartitioning"), p10)
+  }
+
+  test("sort+limit fuses to TakeOrderedAndProject") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations are two-phase (partial before the shuffle)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("hashpartitioning"), p)
+  }
+
+  test("rollup expands the reduced relation, not the fact table") {
+    val p = plan("q_agg_rollup")
+    // Expand must appear; the scan feeding it reads only the 3 needed cols
+    assert(p.contains("Expand"), p)
+    val read = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).get.group(1)
+    assert(read.split(",").length == 3, s"rollup over-reads: $read")
+    // two aggregation layers: pre-agg + rollup agg
+    assert("HashAggregate".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("whole-stage codegen covers the hot path") {
+    // AQE-wrapped plans only annotate codegen ids after execution, so
+    // probe shuffle-free (non-AQE) plans: the map-only pipelines whose
+    // per-row work must stay inside whole-stage codegen
+    Seq("q_scan_projection", "d_simhash", "t_token_count").foreach { q =>
+      assert(plan(q).contains("[codegen id :"), s"$q lost codegen")
+    }
+  }
+}
