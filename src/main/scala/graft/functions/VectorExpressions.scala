@@ -247,6 +247,78 @@ final case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
     copy(child = newChild)
 }
 
+/** Multiset membership count: elements of `left` (array<string>) found in
+  * `right` (array<string>, typically a constant marker-word list).
+  * Duplicates in `left` count each time — identical to
+  * `size(filter(arr, w -> w IN (...)))`, minus the per-element lambda
+  * dispatch and the 8-way OR chain. When `right` is foldable (the normal
+  * case) the lookup set is built once per expression instance.
+  */
+final case class CountIn(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val staticSet: java.util.HashSet[Any] = {
+    val s = new java.util.HashSet[Any]()
+    if (right.foldable) {
+      val arr = right.eval(InternalRow.empty).asInstanceOf[ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        s.add(arr.getUTF8String(i)); i += 1
+      }
+    }
+    s
+  }
+
+  private def toSet(r: Any): java.util.HashSet[Any] =
+    if (right.foldable) staticSet
+    else {
+      val s = new java.util.HashSet[Any]()
+      val arr = r.asInstanceOf[ArrayData]
+      var i = 0
+      while (i < arr.numElements()) { s.add(arr.getUTF8String(i)); i += 1 }
+      s
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val set = toSet(r)
+    val arr = l.asInstanceOf[ArrayData]
+    var n = 0; var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val setRef = ctx.addReferenceObj("countInExpr", this, classOf[CountIn].getName)
+      if (right.foldable) {
+        val arr = ctx.freshName("arr"); val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $arr = $l;
+           |int $n = 0;
+           |for (int $i = 0; $i < $arr.numElements(); $i++) {
+           |  if (!$arr.isNullAt($i) && $setRef.staticContains($arr.getUTF8String($i))) $n++;
+           |}
+           |${ev.value} = $n;
+         """.stripMargin
+      } else s"${ev.value} = $setRef.dynCount($l, $r);"
+    })
+
+  /** Codegen entry points. */
+  def staticContains(s: Any): Boolean = staticSet.contains(s)
+  def dynCount(l: Any, r: Any): Int = nullSafeEval(l, r).asInstanceOf[Int]
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountIn =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** MinHash modulus: 2^31 - 1 (Mersenne prime). */
@@ -277,5 +349,7 @@ object VectorFunctions {
       es => SimHash32(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash32",
       es => MinHashSig(es.head, permA, permB), "built-in")
+    reg.createOrReplaceTempFunction("graft_count_in",
+      es => CountIn(es.head, es(1)), "built-in")
   }
 }

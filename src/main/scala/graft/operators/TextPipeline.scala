@@ -127,9 +127,12 @@ object TextPipeline {
          |       ELSE 'fr' END AS lang_pred
          |FROM documents""".stripMargin
     }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      // marker-hit counting via the codegen'd graft_count_in (constant
+      // lookup set, no per-element lambda / OR-chain dispatch)
       def hits(ws: Seq[String]): Column =
-        size(filter(col("words"),
-          w => ws.foldLeft(lit(false))((acc, x) => acc || w === x))).cast("bigint")
+        expr(s"graft_count_in(words, array(${ws.map("'" + _ + "'").mkString(",")}))")
+          .cast("bigint")
       val en = hits(Seq("the", "and", "of", "to", "a", "is", "in", "that"))
       val es = hits(Seq("el", "la", "de", "que", "y", "los", "se", "un"))
       val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"))

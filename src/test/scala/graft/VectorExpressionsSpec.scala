@@ -82,6 +82,23 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(both.filter(expr("native != hof")).count() == 0)
   }
 
+  test("graft_count_in matches size(filter(arr, w -> w IN set)) incl. duplicates") {
+    VectorFunctions.register(spark)
+    val both = Tables(spark, sf).documents.limit(300)
+      .withColumn("words", split(lower(col("text")), " "))
+      .select(
+        expr("graft_count_in(words, array('the','and','of','to'))").as("native"),
+        size(filter(col("words"), w =>
+          w === "the" || w === "and" || w === "of" || w === "to")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    val edge = spark.sql(
+      """SELECT graft_count_in(array('a','a','b'), array('a')) AS dups,
+        |       graft_count_in(array(), array('a')) AS empty,
+        |       graft_count_in(CAST(NULL AS ARRAY<STRING>), array('a')) AS nul""".stripMargin)
+      .head()
+    assert(edge.getInt(0) == 2 && edge.getInt(1) == 0 && edge.isNullAt(2))
+  }
+
   test("graft_minhash32 returns null for an empty hash array") {
     VectorFunctions.register(spark)
     val r = spark.sql(
