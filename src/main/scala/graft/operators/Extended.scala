@@ -40,6 +40,24 @@ object Extended {
         .exceptAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("ck")))
     },
 
+    // Correlated EXISTS / NOT EXISTS as SQL text — DataFusion decorrelates
+    // these locally (SURVEY.md §2.1 Subquery row); Spark's
+    // RewritePredicateSubquery turns them into semi/anti joins.
+    GraftQuery("q_subquery_exists",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin) { (s, dir) =>
+      withViews(s, dir, "customer", "orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o2
+          |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin)
+    },
+
     // Expression limits (reference unparser handles e.g. `LIMIT 10+5`,
     // translator/set_ops.rs:586-592). Spark requires a foldable limit
     // expression and folds it at analysis — same pre-evaluation the
