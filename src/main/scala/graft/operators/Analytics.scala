@@ -45,9 +45,9 @@ object Analytics {
 
     GraftQuery("q_window_running",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  sum(CAST(l_quantity AS BIGINT)) OVER (
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty,
         |  count(*) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS win3
@@ -103,9 +103,9 @@ object Analytics {
     // RANGE frame over a numeric ordering (expr.rs:183-203 interval bounds)
     GraftQuery("q_window_range",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  sum(CAST(l_quantity AS BIGINT)) OVER (
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
         |    PARTITION BY l_suppkey ORDER BY CAST(l_quantity AS BIGINT)
-        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS qty_range_sum
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_range_sum
         |FROM lineitem WHERE l_suppkey < 3""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_quantity").cast("bigint"))

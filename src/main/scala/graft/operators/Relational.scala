@@ -335,13 +335,17 @@ object Relational {
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
     },
 
+    // array_agg proper: the sorted array is serialized to its JSON form so
+    // the oracle compare has a scalar, sortable representation (the driver's
+    // pandas-based hash cannot sort raw array columns).
     GraftQuery("q_array_agg",
-      """SELECT n_regionkey, list_sort(list(n_name)) AS nations,
+      """SELECT n_regionkey,
+        |       CAST(to_json(list_sort(list(n_name))) AS VARCHAR) AS nations,
         |       len(list(n_name)) AS n
         |FROM nation GROUP BY n_regionkey""".stripMargin) { (s, dir) =>
       t(s, dir).nation.groupBy(col("n_regionkey"))
-        .agg(array_sort(collect_list(col("n_name"))).as("nations"),
-          size(collect_list(col("n_name"))).as("n"))
+        .agg(to_json(array_sort(collect_list(col("n_name")))).as("nations"),
+          size(collect_list(col("n_name"))).cast("bigint").as("n"))
     },
 
     // ------------------------------------------------------ sort/limit/topk
@@ -541,7 +545,8 @@ object Relational {
     GraftQuery("q_math_funcs",
       """SELECT o_orderkey,
         |  abs(o_totalprice - 200000) AS dist,
-        |  ceil(o_totalprice) AS c, floor(o_totalprice) AS f,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS c,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS f,
         |  round(o_totalprice, 1) AS r1,
         |  CAST(o_orderkey % 7 AS BIGINT) AS m7,
         |  sqrt(o_totalprice) AS sq,

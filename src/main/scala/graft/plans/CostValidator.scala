@@ -31,7 +31,13 @@ final case class CostValidator(
     val plan = df.queryExecution.optimizedPlan
     val nodes = plan.collect { case p => p.stats }
     maxScanBytes.foreach { budget =>
-      val worst = nodes.map(_.sizeInBytes).max
+      // Scan budget is judged on LEAF estimates only: Spark propagates
+      // sizeInBytes multiplicatively through joins (output ≈ product of the
+      // child sizes), so an interior-node check would spuriously reject any
+      // join whose inputs are individually tiny. Leaves carry the
+      // post-pushdown file-index estimate — exactly what "scan bytes" means.
+      val scans = plan.collectLeaves().map(_.stats.sizeInBytes)
+      val worst = if (scans.isEmpty) BigInt(0) else scans.max
       if (worst > budget)
         throw BudgetExceeded("scan_bytes", worst, budget,
           "add filters or select fewer columns so the scan prunes more data")

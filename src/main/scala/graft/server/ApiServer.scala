@@ -39,15 +39,15 @@ final class ApiServer(
 
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/api/v1/query", authed(handleQuery))
-    server.createContext("/api/v1/query_arrow", authed(handleQueryArrow))
-    server.createContext("/api/v1/explain", authed(handleExplain))
+    server.createContext("/api/v1/query", authed("query:execute", handleQuery))
+    server.createContext("/api/v1/query_arrow", authed("query:execute", handleQueryArrow))
+    server.createContext("/api/v1/explain", authed("query:explain", handleExplain))
     server.createContext("/metrics", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = handleMetrics(ex)
     })
-    server.createContext("/api/v1/validate", authed(handleValidate))
-    server.createContext("/api/v1/sources", authed(handleSources))
-    server.createContext("/api/v1/introspect/", authed(handleIntrospect))
+    server.createContext("/api/v1/validate", authed("catalog:read", handleValidate))
+    server.createContext("/api/v1/sources", authed("catalog:read", handleSources))
+    server.createContext("/api/v1/introspect/", authed("catalog:read", handleIntrospect))
     server.start()
     server.getAddress.getPort
   }
@@ -130,10 +130,19 @@ final class ApiServer(
     if (sql.isEmpty) { respond(ex, 400, err("missing sql")); return }
     try {
       val result = engine.executeQuery(sql, user)
-      val bytes = ArrowResults.toArrowStream(result.df, maxRows)
+      val rows = result.df.limit(maxRows).collect()
+      // same injection policy as the JSON endpoint: the Arrow path is the
+      // bulk twin, not a policy bypass. Enforce throws → 400 below;
+      // dry-run findings surface via X-Graft-Warning.
+      val guardFinding =
+        graft.security.PromptInjectionGuard.guard(rows.toSeq, guardMode)
+      val bytes = ArrowResults.toArrowStream(result.df.schema, rows)
       ex.getResponseHeaders.add("Content-Type", "application/vnd.apache.arrow.stream")
       result.warnings.foreach(w =>
         ex.getResponseHeaders.add("X-Graft-Warning", s"${w.code}: ${w.message}"))
+      guardFinding.foreach(f =>
+        ex.getResponseHeaders.add("X-Graft-Warning",
+          s"x-graft-injection-dryrun: ${f.column} matched '${f.pattern}'"))
       ex.sendResponseHeaders(200, bytes.length)
       ex.getResponseBody.write(bytes)
       ex.close()
@@ -226,14 +235,20 @@ final class ApiServer(
 
   // ---------------------------------------------------------------- plumbing
 
-  private def authed(h: (HttpExchange, AuthenticatedUser) => Unit): HttpHandler =
+  /** Auth then authorization: the authenticated user must hold `permission`
+    * (with the reference's wildcard/admin semantics,
+    * common/src/auth.rs:113-155) or the request is refused with 403 —
+    * permissions are enforced at the edge, not just mixed into cache keys. */
+  private def authed(permission: String,
+      h: (HttpExchange, AuthenticatedUser) => Unit): HttpHandler =
     new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         try {
           val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
           val token = header.stripPrefix("Bearer ").trim
           authenticator(token) match {
-            case Some(user) => h(ex, user)
+            case Some(user) if user.hasPermission(permission) => h(ex, user)
+            case Some(_) => respond(ex, 403, err(s"missing permission: $permission"))
             case None => respond(ex, 401, err("unauthenticated"))
           }
         } catch {

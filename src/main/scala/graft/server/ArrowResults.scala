@@ -28,9 +28,12 @@ import scala.jdk.CollectionConverters._
 object ArrowResults {
 
   /** Encode `df`'s first `maxRows` rows as one Arrow IPC stream. */
-  def toArrowStream(df: DataFrame, maxRows: Int): Array[Byte] = {
-    val rows = df.limit(maxRows).collect()
-    val sparkSchema = df.schema
+  def toArrowStream(df: DataFrame, maxRows: Int): Array[Byte] =
+    toArrowStream(df.schema, df.limit(maxRows).collect())
+
+  /** Encode already-collected rows — lets the caller scan/guard the rows
+    * (prompt-injection policy) before serialization. */
+  def toArrowStream(sparkSchema: StructType, rows: Array[Row]): Array[Byte] = {
     val arrowFields = sparkSchema.fields.map(f =>
       new Field(f.name, FieldType.nullable(arrowTypeOf(f.dataType)), null))
     val schema = new ArrowSchema(arrowFields.toSeq.asJava)

@@ -56,7 +56,16 @@ final class QueryCache(
     * Write is atomic: tmp dir + rename, so readers never see partials. */
   def store(df: DataFrame, k: String): Boolean = {
     val target = root.resolve(k)
-    if (Files.exists(target)) return true
+    if (Files.exists(target)) {
+      // Data already on disk (persistent root across restarts, or a
+      // concurrent store won the race) — adopt it into the index so the
+      // key can actually hit from now on.
+      index.computeIfAbsent(k, _ => {
+        val now = System.currentTimeMillis()
+        Entry(target, now, now)
+      })
+      return true
+    }
     val tmp = root.resolve(k + ".tmp" + System.nanoTime())
     df.write.mode("overwrite").parquet(tmp.toString)
     val rows = df.sparkSession.read.parquet(tmp.toString)
@@ -64,7 +73,12 @@ final class QueryCache(
     val empty = rows.isEmpty
     if (empty) { deleteRec(tmp); false }
     else {
-      Files.move(tmp, target)
+      try Files.move(tmp, target)
+      catch {
+        // concurrent store of the same key won the move — its contents are
+        // identical (same plan + user), so losing the race is success
+        case _: java.nio.file.FileAlreadyExistsException => deleteRec(tmp)
+      }
       val now = System.currentTimeMillis()
       index.put(k, Entry(target, now, now))
       evictIfNeeded()

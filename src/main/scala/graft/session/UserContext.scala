@@ -13,6 +13,28 @@ final case class AuthenticatedUser(
     * (mirrors CacheKey user hashing, crates/runtime/src/query/cache.rs). */
   def cacheKey: String =
     id + "|" + permissions.toSeq.sorted.mkString(",")
+
+  /** Permission check with the reference's semantics
+    * (crates/common/src/auth.rs:113-155):
+    *  - `admin` or `system:admin` grants everything;
+    *  - `*` grants everything;
+    *  - exact match;
+    *  - hierarchical wildcard: `foo:*` matches `foo:bar` and
+    *    `foo:bar:baz` but not `foo` itself nor `foobar:x`.
+    */
+  def hasPermission(permission: String): Boolean =
+    permissions.contains("admin") ||
+      permissions.contains("system:admin") ||
+      permissions.contains("*") ||
+      permissions.contains(permission) ||
+      permissions.exists { p =>
+        p.endsWith(":*") && {
+          val prefix = p.dropRight(2)
+          permission.length > prefix.length &&
+            permission.startsWith(prefix) &&
+            permission.charAt(prefix.length) == ':'
+        }
+      }
 }
 
 object AuthenticatedUser {

@@ -24,10 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types for which salting preserves row-identical results. Outer
+    * joins on the right/full side are excluded: the exploded right side
+    * would emit each unmatched right row once per salt bucket. */
+  private val saltableJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "semi", "anti")
+
   def saltedJoin(left: DataFrame, right: DataFrame,
       joinKey: String, saltBuckets: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    require(saltableJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin does not preserve '$joinType' semantics: unmatched right " +
+        "rows would be replicated once per salt bucket; use inner/left/semi/anti")
     val saltCol = "__graft_salt"
     // per-row scatter by position, NOT by content: a true hot key often
     // repeats identical rows, and hashing row content would send them all

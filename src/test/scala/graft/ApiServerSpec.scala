@@ -21,9 +21,12 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     Tables(spark, sf).registerAll()
     val engine = new GraftSession(spark, GraftConfig(defensiveLimit = 100))
     val auth = new ApiKeyAuthenticator(Map(
-      "admin-key" -> AuthenticatedUser("admin"),
-      "analyst-key" -> AuthenticatedUser("analyst", rules = Map(
-        "orders" -> TablePolicy(rlsFilter = Some("o_custkey < 10"))))))
+      "admin-key" -> AuthenticatedUser("admin", permissions = Set("admin")),
+      "analyst-key" -> AuthenticatedUser("analyst",
+        permissions = Set("query:*", "catalog:read"),
+        rules = Map(
+          "orders" -> TablePolicy(rlsFilter = Some("o_custkey < 10")))),
+      "noperm-key" -> AuthenticatedUser("intern")))
     api = new ApiServer(engine, auth.apply)
     port = api.start()
   }
@@ -80,6 +83,17 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("401 on missing or wrong key") {
     assert(call("/api/v1/sources", key = null)._1 == 401)
     assert(call("/api/v1/sources", key = "wrong")._1 == 401)
+  }
+
+  test("403 when the key lacks the endpoint permission") {
+    val (code, body) = call("/api/v1/query", "POST",
+      """{"sql": "SELECT 1 AS one"}""", key = "noperm-key")
+    assert(code == 403, body)
+    assert(mapper.readTree(body).get("error").asText.contains("query:execute"))
+    assert(call("/api/v1/sources", key = "noperm-key")._1 == 403)
+    // analyst's query:* wildcard covers query:execute and query:explain
+    assert(call("/api/v1/explain", "POST",
+      """{"sql": "SELECT 1 AS one"}""", key = "analyst-key")._1 == 200)
   }
 
   test("sources lists registered tables") {

@@ -76,7 +76,8 @@ class ArrowResultsSpec extends AnyFunSuite {
     Tables(spark, sf).registerAll()
     val engine = new GraftSession(spark, GraftConfig(defensiveLimit = 100))
     val api = new ApiServer(engine,
-      new ApiKeyAuthenticator(Map("k" -> AuthenticatedUser("u"))).apply)
+      new ApiKeyAuthenticator(Map(
+        "k" -> AuthenticatedUser("u", permissions = Set("query:execute")))).apply)
     val port = api.start()
     try {
       val conn = new java.net.URI(s"http://localhost:$port/api/v1/query_arrow")

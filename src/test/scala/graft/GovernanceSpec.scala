@@ -132,6 +132,51 @@ class GovernanceSpec extends AnyFunSuite {
     CostValidator(maxScanBytes = Some(Long.MaxValue)).validate(df)
   }
 
+  test("cost validator judges scan bytes on leaves, not join-output estimates") {
+    // Spark estimates join output ≈ product of child sizes, so a budget that
+    // comfortably covers both scans must still pass a join between them.
+    val join = gspark.sql(
+      """SELECT l_orderkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey""")
+    val leafMax = join.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).max
+    val interiorMax = join.queryExecution.optimizedPlan.collect { case p => p }
+      .map(_.stats.sizeInBytes).max
+    assert(interiorMax > leafMax) // the join estimate really is bigger
+    CostValidator(maxScanBytes = Some((leafMax * 2).toLong)).validate(join)
+    // and a budget below the actual scan still rejects
+    intercept[BudgetExceeded](
+      CostValidator(maxScanBytes = Some(1L)).validate(join))
+  }
+
+  test("hasPermission: admin bypass, global + hierarchical wildcards, boundaries") {
+    assert(AuthenticatedUser("a", Set("admin")).hasPermission("anything:at:all"))
+    assert(AuthenticatedUser("a", Set("system:admin")).hasPermission("x"))
+    assert(AuthenticatedUser("a", Set("*")).hasPermission("x:y"))
+    val u = AuthenticatedUser("a", Set("governance:*", "query:execute"))
+    assert(u.hasPermission("query:execute"))
+    assert(u.hasPermission("governance:contracts:read"))
+    assert(!u.hasPermission("governance"))      // strict hierarchy: foo:* ≠ foo
+    assert(!u.hasPermission("governance_plus:x")) // boundary must be ':'
+    assert(!u.hasPermission("query:explain"))
+    assert(!AuthenticatedUser("a").hasPermission("query:execute"))
+  }
+
+  test("cache: persistent root is re-adopted after a restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cache-restart")
+    val df = gspark.sql("SELECT n_nationkey FROM nation WHERE n_nationkey < 5")
+    val u = AuthenticatedUser("restart-user")
+    val c1 = new QueryCache(root)
+    val k = c1.key(df, u)
+    assert(c1.store(df, k))
+    // simulated restart: fresh (empty) index over the same on-disk root
+    val c2 = new QueryCache(root)
+    assert(c2.lookup(gspark, k).isEmpty)       // cold index, no entry yet
+    assert(c2.store(df, k))                    // adopts the existing dir…
+    val hit = c2.lookup(gspark, k)             // …so the key can hit now
+    assert(hit.isDefined)
+    assert(hit.get.count() == 5)
+  }
+
   test("query log records scrubbed sql and cache flag") {
     val before = engine.queryLog.size
     engine.executeQuery(

@@ -72,8 +72,10 @@ class JwtAuthenticatorSpec extends AnyFunSuite {
         conn.setRequestProperty("Authorization", s"Bearer $token")
         conn.getResponseCode
       }
-      assert(call(a.issue("alice", Set.empty, now + 60)) == 200)
-      assert(call(a.issue("alice", Set.empty, now - 60)) == 401)
+      assert(call(a.issue("alice", Set("catalog:read"), now + 60)) == 200)
+      // valid token without the endpoint permission → 403, not 401
+      assert(call(a.issue("alice", Set.empty, now + 60)) == 403)
+      assert(call(a.issue("alice", Set("catalog:read"), now - 60)) == 401)
       assert(call("garbage") == 401)
     } finally api.stop()
   }

@@ -44,6 +44,16 @@ class SkewSpec extends AnyFunSuite {
     assert(max < 900, "all hot rows in one bucket")
   }
 
+  test("salted join refuses right/full outer (salt would duplicate null rows)") {
+    Seq("right", "full", "full_outer", "right_outer").foreach { jt =>
+      val e = intercept[IllegalArgumentException](
+        Skew.saltedJoin(skewed, dim, "k", 4, jt))
+      assert(e.getMessage.contains("saltedJoin"))
+    }
+    // allowed types still work
+    assert(Skew.saltedJoin(skewed, dim, "k", 4, "left_semi").count() > 0)
+  }
+
   test("heavy hitters surfaces the skew") {
     val top = Skew.heavyHitters(skewed, "k", 3).collect()
     assert(top.head.getLong(0) == 1L && top.head.getLong(1) == 900L)

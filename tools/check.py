@@ -22,9 +22,16 @@ def canon(rows, cols):
         rr = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
+            # Type-tag scalars: the driver's hash is dtype-sensitive, so
+            # int64 123 vs float64 123.0 must NOT compare equal here.
+            if isinstance(v, bool):
+                v = ('b', v)
+            elif isinstance(v, float):
                 v = round(v, 9)
                 if v == -0.0: v = 0.0
+                v = ('f', v)
+            elif isinstance(v, int):
+                v = ('i', v)
             if isinstance(v, list):
                 v = tuple(round(x,9) if isinstance(x,float) else x for x in v)
             rr.append(v)
