@@ -83,19 +83,26 @@ object Similarity {
       val vecs = t(s, dir).embeddings
         .select(col("vec_id"), expr(toDouble).as("v"))
         .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-      val banded = vecs.select(col("vec_id"), col("v"), col("nrm"),
+      // candidate generation handles IDS ONLY — the (band, bucket) join and
+      // the dedup shuffle never touch a vector, exactly as the scale note
+      // above promises. Vectors are re-fetched map-side for the rerank.
+      val banded = vecs.select(col("vec_id"),
         posexplode(bandSignatures("v", bands = 4, planesPerBand = 4))
           .as(Seq("band", "bucket")))
-      val q = banded.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn"), col("band"), col("bucket"))
-      val cand = banded.filter(col("vec_id") >= 5)
-        .join(q, Seq("band", "bucket"))
-        .select(col("qid"), col("vec_id"), col("qv"), col("qn"),
-          col("v"), col("nrm")).distinct()
+      val qBands = banded.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+      val candIds = banded.filter(col("vec_id") >= 5)
+        .join(qBands, Seq("band", "bucket"))
+        .select(col("qid"), col("vec_id")).distinct()
+      // rerank: broadcast the cap-bounded candidate id pairs and the 5
+      // query vectors; the corpus re-derives (v, nrm) map-only.
+      val qVecs = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      cand.select(col("qid"), col("vec_id"),
+      vecs.join(candIds, "vec_id")
+        .join(broadcast(qVecs), "qid")
+        .select(col("qid"), col("vec_id"),
           round(expr(dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cos"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
     },

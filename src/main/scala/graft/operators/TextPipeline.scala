@@ -232,18 +232,24 @@ object TextPipeline {
           Seq("band", "bucket"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b")).distinct()
-      // Rerank re-attaches shingles by joining the full (map-only) shingle
-      // pipeline to the pair set. Measured alternative at sf0.1: checkpoint
-      // `pairs`, semi-join documents to candidate ids, re-shingle only
-      // candidates (1.9s vs 1.4s here — the eager checkpoint barrier costs
-      // more than re-shingling this corpus). That variant wins once the
-      // corpus is large enough that shingling everything twice dwarfs one
-      // materialization of the tiny pair set — flip when corpus >> cap².
+      // Rerank re-attaches shingles in ONE pass over the shingle pipeline:
+      // melt each pair into its two member ids, broadcast-join the (tiny,
+      // cap-bounded) role table against the map-only shingle pipeline, then
+      // fold the two roles back into (sh_a, sh_b) per pair. The previous
+      // two-join form ran the shingling map twice (one join per side);
+      // a checkpoint+semi-join variant was also measured and lost (1.9s vs
+      // 1.4s at sf0.1 — the eager barrier costs more than one extra map
+      // pass on this corpus). This shape keeps the single-pass property AND
+      // no barrier: the shingle pipeline executes exactly once.
+      val roles = pairs.select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       val sets = docs.select(col("doc_id"), col("shingles"))
+      val paired = sets.join(roles, "doc_id")
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(when(col("doc_id") === col("id_a"), col("shingles"))).as("sh_a"),
+          max(when(col("doc_id") === col("id_b"), col("shingles"))).as("sh_b"))
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      pairs
-        .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-        .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      paired
         .select(col("id_a"), col("id_b"),
           (inter.cast("double") /
             (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
@@ -286,7 +292,12 @@ object TextPipeline {
     graft.functions.VectorFunctions.register(s)
     withNorm(t(s, dir).documents)
       .withColumn("hashes", expr("transform(array_distinct(words), w -> xxhash64(w))"))
-      .withColumn("simhash", expr("graft_simhash32(hashes)"))
+      // coalesce makes the column non-nullable, which matters downstream:
+      // when simhash feeds a join key, Catalyst infers IsNotNull(key)
+      // filters and pushes them below the projection — re-evaluating this
+      // whole pipeline once per inferred filter. Non-nullable → the
+      // inferred filters fold away and the signature is computed once.
+      .withColumn("simhash", coalesce(expr("graft_simhash32(hashes)"), lit(0L)))
       .select(col("doc_id"), col("simhash"))
   }
 
