@@ -129,9 +129,14 @@ object Extended {
     // none exist there). Sketch values are engine-specific → rows-only
     // check here; the spec asserts <5% relative error vs exact.
     GraftQuery.unverified("q_approx_distinct") { (s, dir) =>
-      t(s, dir).lineitem.groupBy(col("l_returnflag")).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+      // HLL is duplicate-insensitive, so both the sketch and the exact
+      // count read the deduplicated (flag, partkey) relation — one
+      // map-side-combinable shuffle instead of Expand + distinct handling.
+      t(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_partkey")).agg(lit(1))
+        .groupBy(col("l_returnflag")).agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("exact_parts"))
     },
 
     // TABLESAMPLE (deterministic seed within Spark; engines differ on

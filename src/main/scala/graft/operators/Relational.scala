@@ -110,11 +110,16 @@ object Relational {
       val rev = tt.lineitem
         .groupBy(col("l_orderkey"))
         .agg(dsumPart(discPrice(tt.lineitem)).as("rev"))
+      // shuffle_hash keeps the orders⋈rev join co-partitioned on the order
+      // key: rev is already hash-partitioned by its aggregation, so only
+      // orders shuffles. Without the hint AQE broadcasts rev — a driver
+      // round-trip that is also scale-wrong (rev grows with the fact table,
+      // the one thing that must never be a build side at 100 TB).
       tt.orders
         .join(broadcast(tt.customer.join(broadcast(tt.nation),
           col("c_nationkey") === col("n_nationkey"))),
           col("o_custkey") === col("c_custkey"))
-        .join(rev, col("l_orderkey") === col("o_orderkey"))
+        .join(rev.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(dsumFinal(col("rev")).as("revenue"))
     },
@@ -251,10 +256,21 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-      t(s, dir).lineitem.groupBy(col("l_returnflag")).agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        count(lit(1)).as("n_rows"))
+      // Two DISTINCT columns in one aggregate make Spark Expand every fact
+      // row once per distinct clause (3× the shuffle volume here; at 100 TB,
+      // 3× the fact table on the wire). Decomposed form: one map-side-
+      // combinable dedup shuffle per distinct column over just (flag, key),
+      // then a 3-row broadcast join to stitch the results.
+      val li = t(s, dir).lineitem
+      def distinctCount(key: String, as: String): DataFrame =
+        li.filter(col(key).isNotNull)
+          .groupBy(col("l_returnflag"), col(key)).agg(lit(1))
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+      val rows = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+      rows
+        .join(broadcast(distinctCount("l_partkey", "n_parts")), Seq("l_returnflag"))
+        .join(broadcast(distinctCount("l_suppkey", "n_supps")), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"))
     },
 
     GraftQuery("q_agg_having",
@@ -451,22 +467,17 @@ object Relational {
 
     // Recursive CTE (set_ops.rs:497-584): the reference delegates local
     // execution to DataFusion; Spark < 4.0 SQL lacks WITH RECURSIVE, so we
-    // run the standard fixpoint iteration driver-side — each step is a
-    // distributed DataFrame op, only the loop control is on the driver.
+    // Spark 4 executes WITH RECURSIVE natively (UnionLoop operator) — one
+    // job instead of the driver-side fixpoint loop this used before (20
+    // isEmpty round-trips and an O(n²) re-analysis of the growing union).
     GraftQuery("q_recursive_cte",
       """WITH RECURSIVE seq(n) AS (
         |  SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 20)
         |SELECT n, n * n AS sq FROM seq""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      var frontier = Seq(1).toDF("n")
-      var acc = frontier
-      var done = false
-      while (!done) {
-        val next = frontier.filter(col("n") < 20).select((col("n") + 1).as("n"))
-        if (next.isEmpty) done = true
-        else { acc = acc.unionAll(next); frontier = next }
-      }
-      acc.select(col("n"), (col("n") * col("n")).as("sq"))
+      s.sql(
+        """WITH RECURSIVE seq(n) AS (
+          |  SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 20)
+          |SELECT n, n * n AS sq FROM seq""".stripMargin)
     },
 
     // -------------------------------------------- scalar expression surface

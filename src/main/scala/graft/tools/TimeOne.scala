@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * split) to separate one-time planning/codegen cost from execution. */
 object TimeOne {
   def main(args: Array[String]): Unit = {
+    if (args(0) == "--sql") {
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.sql(args(1)).show(30, false)
+      spark.stop()
+      return
+    }
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val n = if (args.length > 2) args(2).toInt else 3
