@@ -75,6 +75,60 @@ object Multimodal {
           // one decoder instance per partition — the real-codec pattern
           rows.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
         }
+    },
+
+    // Frame sampling: slice the opaque payload at a fixed stride into
+    // bounded "frames" (the video-sampling shape: per-asset explode, frame
+    // count capped, bytes never shuffled beyond the exploded frames). Fully
+    // declarative — sequence/filter/explode/substring are codegen'd — and
+    // DuckDB-oracled: this corpus is pure ASCII, so byte slicing of the
+    // binary payload equals character slicing of the text (asserted by the
+    // n_bytes = length(text) check the oracle WHERE clause relies on).
+    GraftQuery("m_frame_sample",
+      """SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(substring(text, CAST(i*64 + 1 AS BIGINT), 32)) AS frame_md5
+        |FROM documents, UNNEST([0,1,2,3,4,5,6,7]) AS t(i)
+        |WHERE i*64 + 32 <= length(text)""".stripMargin) { (s, dir) =>
+      assets(s, dir)
+        .select(col("asset_id"), col("payload"),
+          octet_length(col("payload")).as("n_bytes"))
+        .select(col("asset_id"), col("payload"),
+          explode(expr(
+            "filter(sequence(0, 7), i -> i*64 + 32 <= n_bytes)")).as("i"))
+        .select(col("asset_id"), col("i").cast("bigint").as("frame_idx"),
+          md5(expr("substring(payload, i*64 + 1, 32)")).as("frame_md5"))
+    },
+
+    // Resize: downsample each payload to a fixed-size thumbnail by evenly
+    // spaced byte sampling (the stub stand-in for an image resize kernel).
+    // Same partition-local batch shape as the decoder; rows-only check.
+    GraftQuery.unverified("m_resize") { (s, dir) =>
+      val df = assets(s, dir)
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(thumbSchema)
+      df.select(col("asset_id"), col("payload"))
+        .mapPartitions { rows =>
+          rows.map(r => resizeStub(r.getLong(0), r.getAs[Array[Byte]](1), 16))
+        }
     }
   )
+
+  val thumbSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("thumb", BinaryType, nullable = false),
+    StructField("thumb_hex", StringType, nullable = false)))
+
+  /** Stub resize kernel: `target` evenly spaced bytes of the payload (a
+    * real deployment calls the image library here, one instance per
+    * partition). Deterministic: position i samples byte ⌊i·n/target⌋. */
+  def resizeStub(assetId: Long, payload: Array[Byte], target: Int): Row = {
+    val n = payload.length
+    val thumb = new Array[Byte](if (n == 0) 0 else target)
+    var i = 0
+    while (i < thumb.length) {
+      thumb(i) = payload((i.toLong * n / target).toInt min (n - 1))
+      i += 1
+    }
+    Row(assetId, thumb, thumb.map("%02x".format(_)).mkString)
+  }
 }

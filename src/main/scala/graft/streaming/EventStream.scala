@@ -57,6 +57,22 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Native session windows: per-user sessions closed by a 30-minute
+    * event-time gap, aggregated incrementally (Spark's session_window
+    * merges adjacent windows in state; the watermark closes and emits
+    * them). The streaming twin of the batch gap-detection query
+    * `q_events_sessions` — per-user session counts match it exactly once
+    * all input is processed (verified by spec). */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+      horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Stream-static enrichment join: the static dimension is re-read per
     * micro-batch and broadcast — no streaming state at all. */
   def enriched(events: DataFrame, dim: DataFrame,

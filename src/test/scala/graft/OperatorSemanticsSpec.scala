@@ -111,6 +111,32 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("resize stub emits fixed-size deterministic thumbnails") {
+    val p = ("abcdefghij" * 10).getBytes("UTF-8")
+    val r1 = graft.operators.Multimodal.resizeStub(7L, p, 16)
+    val r2 = graft.operators.Multimodal.resizeStub(7L, p, 16)
+    assert(r1.getAs[Array[Byte]](1).length == 16)
+    assert(r1.getAs[Array[Byte]](1).sameElements(r2.getAs[Array[Byte]](1)))
+    assert(r1.getString(2) == r2.getString(2) && r1.getString(2).length == 32)
+    // empty payload → empty thumbnail, no crash
+    assert(graft.operators.Multimodal.resizeStub(8L, Array.empty, 16)
+      .getAs[Array[Byte]](1).isEmpty)
+  }
+
+  test("frame sampling emits one frame per full stride window, capped at 8") {
+    val frames = run("m_frame_sample")
+      .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"))
+    val expected = Tables(spark, sf).documents.select(
+      col("doc_id").as("asset_id"),
+      when(length(col("text")) < 32, 0L)
+        .otherwise(least(lit(8L), floor((length(col("text")) - 32) / 64) + 1))
+        .as("expected"))
+      .filter(col("expected") > 0)
+    val joined = expected.join(frames, Seq("asset_id"), "left")
+    assert(joined.filter(col("n_frames").isNull ||
+      col("n_frames") =!= col("expected")).count() == 0)
+  }
+
   test("decode stub produces deterministic byte features") {
     val r = Multimodal_decodeCheck()
     assert(r._1 == r._2)

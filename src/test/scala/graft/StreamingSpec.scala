@@ -80,6 +80,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session windows match batch gap-detection session counts") {
+    val events = EventStream.readEvents(spark, sf)
+    val q = EventStream.sessionWindowCounts(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesswin_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt5").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sesswin_out")
+      assert(streamed.count() > 0, "no sessions emitted")
+      // batch twin: q_events_sessions gap detection (30-minute gap) —
+      // sessions CLOSED by the final watermark must agree per user. A
+      // bounded file source leaves the tail session of each user open, so
+      // compare on the closed subset only.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val batchSessions = Tables(spark, sf).events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull, 1)
+            .when(col("ts").cast("long") - col("prev_ts").cast("long") > 30 * 60, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      val joined = streamed.alias("s").join(
+        batchSessions.alias("b"), Seq("user_id", "session_start"))
+      assert(joined.count() == streamed.count(),
+        "every emitted session must exist in the batch computation")
+      assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0,
+        "session event counts diverge from batch")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits per-user updates") {
     val events = EventStream.readEvents(spark, sf)
     val sessions = EventStream.sessionize(spark, events)
