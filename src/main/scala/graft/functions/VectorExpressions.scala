@@ -247,6 +247,68 @@ final case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
     copy(child = newChild)
 }
 
+/** Hashed 3-word shingles: for `words` (array<string>) emit
+  * `pmod(xxhash64(concat_ws(' ', w_i, w_i+1, w_i+2)), P)` for every
+  * position i (the whole text as one shingle when fewer than 3 words).
+  *
+  * Value-identical to the composed
+  * `transform(sequence(...), i -> pmod(xxhash64(concat_ws(...)), P))`
+  * pipeline it replaces (asserted by spec) — but that form is interpreted:
+  * higher-order lambdas are CodegenFallback, paying per-shingle dispatch
+  * plus intermediate array allocations. Output is a multiset (no
+  * distinct): MinHash minima are duplicate-insensitive, and set consumers
+  * apply `array_distinct` to the (small) hash array instead of to shingle
+  * strings.
+  */
+final case class ShingleHash3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def pmodP(h: Long): Long = {
+    val m = h % VectorFunctions.MinHashP
+    if (m < 0) m + VectorFunctions.MinHashP else m
+  }
+
+  /** Shared by eval + codegen (one virtual call per row, loops inside). */
+  def compute(input: Any): ArrayData = {
+    val ws = input.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    if (n < 3) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var i = 0
+      while (i < n) { parts(i) = ws.getUTF8String(i); i += 1 }
+      val joined = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+      new GenericArrayData(Array(pmodP(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(joined, StringType, 42L))))
+    } else {
+      val out = new Array[Long](n - 2)
+      var i = 0
+      while (i < n - 2) {
+        val s = org.apache.spark.unsafe.types.UTF8String.concatWs(space,
+          ws.getUTF8String(i), ws.getUTF8String(i + 1), ws.getUTF8String(i + 2))
+        out(i) = pmodP(
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(s, StringType, 42L))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ws => {
+      val ref = ctx.addReferenceObj("shingleExpr", this, classOf[ShingleHash3].getName)
+      s"${ev.value} = $ref.compute($ws);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash3 =
+    copy(child = newChild)
+}
+
 /** Multiset membership count: elements of `left` (array<string>) found in
   * `right` (array<string>, typically a constant marker-word list).
   * Duplicates in `left` count each time — identical to
@@ -351,5 +413,7 @@ object VectorFunctions {
       es => MinHashSig(es.head, permA, permB), "built-in")
     reg.createOrReplaceTempFunction("graft_count_in",
       es => CountIn(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle3",
+      es => ShingleHash3(es.head), "built-in")
   }
 }

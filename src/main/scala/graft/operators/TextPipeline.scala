@@ -39,8 +39,8 @@ object TextPipeline {
 
   // MinHash: h_j(x) = (a_j * x + b_j) mod P over base hash
   // x = xxhash64(shingle) mod P; constants live in VectorFunctions and are
-  // evaluated by the fused codegen'd graft_minhash32 expression.
-  private val P = graft.functions.VectorFunctions.MinHashP
+  // evaluated by the fused codegen'd graft_shingle3 + graft_minhash32
+  // expressions.
 
   val defs: Seq[GraftQuery] = Seq(
 
@@ -190,7 +190,7 @@ object TextPipeline {
     // hash basis (xxhash64) → no SQL oracle; verified structurally by spec.
     GraftQuery.unverified("d_minhash_signatures") { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
-      minhashSignatures(shingled(withNorm(t(s, dir).documents)))
+      minhashSignatures(shingleHashed(withNorm(t(s, dir).documents)))
         .select(col("doc_id"), col("sig"))
         .withColumn("sig_head", expr("sig[0]"))
         .drop("sig")
@@ -211,7 +211,7 @@ object TextPipeline {
     //     for exact rerank.
     GraftQuery.unverified("d_minhash_lsh_pairs") { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
-      val docs = shingled(withNorm(t(s, dir).documents))
+      val docs = shingleHashed(withNorm(t(s, dir).documents))
       val sigs = minhashSignatures(docs)
       val banded = sigs.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 7), b -> hash(slice(sig, b * 4 + 1, 4)))"))
@@ -232,18 +232,21 @@ object TextPipeline {
           Seq("band", "bucket"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b")).distinct()
-      // Rerank re-attaches shingles in ONE pass over the shingle pipeline:
-      // melt each pair into its two member ids, broadcast-join the (tiny,
+      // Rerank re-attaches shingle-hash sets in ONE pass over the shingle
+      // pipeline: melt each pair into its two member ids, join the (tiny,
       // cap-bounded) role table against the map-only shingle pipeline, then
       // fold the two roles back into (sh_a, sh_b) per pair. The previous
       // two-join form ran the shingling map twice (one join per side);
       // a checkpoint+semi-join variant was also measured and lost (1.9s vs
       // 1.4s at sf0.1 — the eager barrier costs more than one extra map
-      // pass on this corpus). This shape keeps the single-pass property AND
-      // no barrier: the shingle pipeline executes exactly once.
+      // pass on this corpus). Jaccard is computed over distinct shingle
+      // HASHES (64→31-bit space) rather than shingle strings — identical
+      // up to hash collisions, and the arrays shipped to the rerank are a
+      // fraction of the string size.
       val roles = pairs.select(col("id_a"), col("id_b"),
         explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      val sets = docs.select(col("doc_id"), col("shingles"))
+      val sets = docs.select(col("doc_id"),
+        array_distinct(col("sh")).as("shingles"))
       val paired = sets.join(roles, "doc_id")
         .groupBy(col("id_a"), col("id_b"))
         .agg(max(when(col("doc_id") === col("id_a"), col("shingles"))).as("sh_a"),
@@ -301,21 +304,15 @@ object TextPipeline {
       .select(col("doc_id"), col("simhash"))
   }
 
-  /** Distinct 3-word shingles per document (docs shorter than 3 words get
-    * their whole text as one shingle). Map-only. */
-  private def shingled(docs: DataFrame): DataFrame =
-    docs.withColumn("shingles", expr(
-      """CASE WHEN size(words) < 3 THEN array(concat_ws(' ', words))
-        |ELSE array_distinct(transform(sequence(1, size(words) - 2),
-        |  i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),
-        |                 element_at(words, i + 2)))) END""".stripMargin))
+  /** Hashed 3-word shingles per document via the fused native expression
+    * (docs shorter than 3 words get their whole text as one shingle).
+    * Map-only; `sh` is a multiset of 31-bit shingle hashes. */
+  private def shingleHashed(docs: DataFrame): DataFrame =
+    docs.withColumn("sh", expr("graft_shingle3(words)"))
 
-  /** doc_id, shingles, sig: array of 32 minhash values. Map-only: base-hash
-    * each distinct shingle once (xxhash64 mod P), then one array_min per
-    * permutation. Products stay < 2^62, no overflow. */
+  /** doc_id, sh, sig: array of 32 minhash values over the hashed shingles.
+    * Map-only; minima are duplicate-insensitive so the multiset `sh` needs
+    * no distinct. Products stay < 2^62, no overflow. */
   private def minhashSignatures(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("bh",
-        expr(s"transform(shingles, w -> pmod(xxhash64(w), ${P}L))"))
-      .withColumn("sig", expr("graft_minhash32(bh)"))
+    docs.withColumn("sig", expr("graft_minhash32(sh)"))
 }

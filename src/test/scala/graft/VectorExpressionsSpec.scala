@@ -99,6 +99,29 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(edge.getInt(0) == 2 && edge.getInt(1) == 0 && edge.isNullAt(2))
   }
 
+  test("graft_shingle3 matches the composed concat_ws+xxhash64 pipeline") {
+    VectorFunctions.register(spark)
+    val P = VectorFunctions.MinHashP
+    val both = Tables(spark, sf).documents.limit(300)
+      .withColumn("words", split(lower(col("text")), " "))
+      .select(
+        expr("graft_shingle3(words)").as("native"),
+        expr(
+          s"""CASE WHEN size(words) < 3
+             |  THEN array(pmod(xxhash64(concat_ws(' ', words)), ${P}L))
+             |  ELSE transform(sequence(1, size(words) - 2),
+             |    i -> pmod(xxhash64(concat_ws(' ', element_at(words, i),
+             |           element_at(words, i + 1), element_at(words, i + 2))), ${P}L))
+             |END""".stripMargin).as("hof"))
+    assert(both.filter(expr("native != hof")).count() == 0)
+    // edge cases: 1-word and 2-word inputs hash the space-joined whole
+    val edge = spark.sql(
+      s"""SELECT graft_shingle3(array('a')) = array(pmod(xxhash64('a'), ${P}L)) AS one,
+         |  graft_shingle3(array('a','b')) = array(pmod(xxhash64('a b'), ${P}L)) AS two,
+         |  graft_shingle3(CAST(NULL AS ARRAY<STRING>)) AS nul""".stripMargin).head()
+    assert(edge.getBoolean(0) && edge.getBoolean(1) && edge.isNullAt(2))
+  }
+
   test("graft_minhash32 returns null for an empty hash array") {
     VectorFunctions.register(spark)
     val r = spark.sql(
