@@ -1,0 +1,210 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Murmur3HashFunction, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native expressions for the ANN pipelines ([[graft.operators.Similarity]]).
+  *
+  * The constant centroid / hyperplane matrices used to be inlined as
+  * `array(0.13D, -0.87D, ...)` literals — 8-16 vectors x 64 components,
+  * each repeated per comparison — which made the expression tree (and the
+  * generated Java) enormous: most of the per-query second went to codegen
+  * compilation, and at cluster scale every task would deserialize that
+  * tree. Here the matrix rides along as ONE reference object per
+  * expression; codegen emits a single virtual call per row and the O(k*dim)
+  * arithmetic runs in a tight JVM loop.
+  *
+  * All dot products widen each element to double before multiplying —
+  * bit-identical to `CAST(x AS DOUBLE)` per element, so results match the
+  * previous literal-array formulation and the DuckDB oracle exactly. Inputs
+  * may be `array<float>` or `array<double>`; the float path avoids
+  * materializing a doubled copy of every embedding (half the bytes through
+  * scan and shuffle).
+  *
+  * Reference capability this extends: vector scoring for the training-data
+  * extension set (SURVEY.md §2.2 names DataFusion's scalar library as the
+  * function surface; these are additive).
+  */
+private[functions] trait VecInput { self: UnaryExpression =>
+  /** True when the child array's elements are floats (else doubles). */
+  @transient protected lazy val floatIn: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected final def elem(a: ArrayData, i: Int): Double =
+    if (floatIn) a.getFloat(i).toDouble else a.getDouble(i)
+}
+
+/** argmax over `cents` of dot(v, c_i); ties resolve to the HIGHER index —
+  * the same total order as `array_max(array(struct(d_0, 0), ...)).i`, the
+  * composed form this replaces. */
+final case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression with VecInput {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: Any): Int = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = 0; var bestD = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var d = 0.0; var i = 0
+      while (i < n) { d += elem(v, i) * cent(i); i += 1 }
+      if (d >= bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("nearCentroid", this, classOf[NearestCentroid].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Indexes of the `nprobe` centroids nearest to `v`, best first; ties
+  * resolve to the LOWER index — the order of
+  * `transform(slice(array_sort(array(struct(-d_i, i)...)), 1, nprobe), e -> e.i)`,
+  * the composed form this replaces. */
+final case class TopCentroids(child: Expression, cents: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression with VecInput {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: Any): ArrayData = {
+    val v = input.asInstanceOf[ArrayData]
+    val k = cents.length
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var d = 0.0; var i = 0
+      while (i < n) { d += elem(v, i) * cent(i); i += 1 }
+      dots(c) = d
+      c += 1
+    }
+    val m = math.min(nprobe, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < m) {
+      var best = -1; var bestD = Double.NegativeInfinity
+      var j = 0
+      while (j < k) {
+        if (!taken(j) && dots(j) > bestD) { bestD = dots(j); best = j }
+        j += 1
+      }
+      taken(best) = true; out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("topCentroids", this, classOf[TopCentroids].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroids =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane band keys: output[b] packs `planesPerBand` sign bits,
+  * bit j = 1 iff dot(v, planes[b*planesPerBand + j]) > 0 — identical to the
+  * `CASE WHEN graft_dot(v, <literal>) > 0 THEN 1<<j ELSE 0` sum chain it
+  * replaces. */
+final case class HyperplaneBands(child: Expression, planes: Array[Array[Double]],
+    bands: Int, planesPerBand: Int) extends UnaryExpression with VecInput {
+  require(planes.length == bands * planesPerBand)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: Any): ArrayData = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < planesPerBand) {
+        val p = planes(b * planesPerBand + j)
+        val n = math.min(v.numElements(), p.length)
+        var d = 0.0; var i = 0
+        while (i < n) { d += elem(v, i) * p(i); i += 1 }
+        if (d > 0) key |= (1L << j)
+        j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("hyperBands", this, classOf[HyperplaneBands].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
+/** LSH band buckets over a MinHash signature (`array<long>`): output[b] =
+  * Murmur3 hash (seed 42, Spark's `hash()`) of signature rows
+  * [b*rowsPerBand, (b+1)*rowsPerBand) — bit-identical to
+  * `transform(sequence(0, bands-1), b -> hash(slice(sig, b*rows+1, rows)))`
+  * (asserted by spec), minus the interpreted lambda and per-band slice
+  * allocations. */
+final case class MinHashBandBuckets(child: Expression, bands: Int,
+    rowsPerBand: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: Any): ArrayData = {
+    val sig = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var j = 0
+      while (j < rowsPerBand) {
+        val idx = b * rowsPerBand + j
+        if (idx < sig.numElements()) {
+          h = Murmur3HashFunction.hash(sig.getLong(idx), LongType, h)
+        }
+        j += 1
+      }
+      out(b) = h.toInt
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sig => {
+      val ref = ctx.addReferenceObj("bandBuckets", this, classOf[MinHashBandBuckets].getName)
+      s"${ev.value} = $ref.compute($sig);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandBuckets =
+    copy(child = newChild)
+}

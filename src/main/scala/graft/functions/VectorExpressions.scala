@@ -26,10 +26,20 @@ import org.apache.spark.sql.types._
 final case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<double> (AbstractDataType is private[sql], so the
-  // contract is enforced by the registering wrapper, not ExpectsInputTypes)
+  // inputs must be array<float|double> (AbstractDataType is private[sql], so
+  // the contract is enforced by the registering wrapper, not
+  // ExpectsInputTypes). Float elements widen to double before multiplying —
+  // bit-identical to a per-element CAST(x AS DOUBLE), without materializing
+  // the doubled array.
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val lFloat = isFloat(left)
+  @transient private lazy val rFloat = isFloat(right)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -37,7 +47,12 @@ final case class DotProduct(left: Expression, right: Expression)
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      val x = if (lFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
     acc
   }
 
@@ -46,11 +61,13 @@ final case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val ax = if (lFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val bx = if (rFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  $acc += $ax * $bx;
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -68,6 +85,13 @@ final case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val lFloat = isFloat(left)
+  @transient private lazy val rFloat = isFloat(right)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -75,7 +99,8 @@ final case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getDouble(i); val y = b.getDouble(i)
+      val x = if (lFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -91,11 +116,13 @@ final case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
       val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      val ax = if (lFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val bx = if (rFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $a.getDouble($i); double $y = $b.getDouble($i);
+         |  double $x = $ax; double $y = $bx;
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);

@@ -2,22 +2,30 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (64-dim float vectors).
   *
-  * Two paths:
+  * Three paths:
   *  - brute-force cosine top-k (the correctness baseline, oracled against
   *    DuckDB with identical double arithmetic and rank-stable rounding);
-  *  - random-hyperplane LSH bucketing (the 100 TB scale path: candidates
-  *    come from a bucket equi-join — shuffle on the 16-bit signature —
-  *    then exact rerank of the small candidate set).
+  *  - random-hyperplane LSH bucketing (scale path 1: candidates come from
+  *    a bucket equi-join — shuffle on the 16-bit signature — then exact
+  *    rerank of the small candidate set);
+  *  - IVF inverted lists (scale path 2: sample-trained k-means, map-only
+  *    assignment, nprobe probing).
   *
   * All vector math goes through the native codegen'd expressions in
-  * [[graft.functions.VectorFunctions]] (fused loops, no per-row
-  * intermediate arrays); summation is sequential in index order so the
-  * result is deterministic and engine-portable.
+  * [[graft.functions]] — fused loops over the RAW float arrays, widening
+  * each element to double in-register (bit-identical to a per-element
+  * `CAST(x AS DOUBLE)`, which is what the DuckDB oracle computes). Keeping
+  * vectors as float end-to-end halves their bytes through scan, shuffle,
+  * and broadcast versus the doubled-copy form, and the constant centroid /
+  * hyperplane matrices ride as reference objects instead of 64-literal
+  * array expressions — the expression tree (and generated code) stays
+  * small no matter how many centroids are configured.
   */
 object Similarity {
 
@@ -29,7 +37,7 @@ object Similarity {
     * intermediate array. */
   private def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 
-  /** Cast a float vector column to double once, up front. */
+  /** Driver-side double cast for the (tiny) k-means training sample. */
   private val toDouble = "transform(embedding, x -> CAST(x AS DOUBLE))"
 
   val defs: Seq[GraftQuery] = Seq(
@@ -56,7 +64,7 @@ object Similarity {
     }) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val vecs = t(s, dir).embeddings
-        .select(col("vec_id"), expr(toDouble).as("v"))
+        .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       val q = vecs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -76,18 +84,18 @@ object Similarity {
     // equi-join on (band, bucket) — at 100 TB this shuffles only
     // (id, 16-byte key) pairs, never the vectors; vectors are re-fetched
     // for the small rerank set. Plane components are deterministic ±1 from
-    // xxhash64(plane, dim) — engine-specific, so rows-only verification;
-    // the rerank arithmetic is the same code verified by s_ann_bruteforce.
+    // a fixed seed — engine-specific, so rows-only verification; the
+    // rerank arithmetic is the same code verified by s_ann_bruteforce.
     GraftQuery.unverified("s_ann_lsh") { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val vecs = t(s, dir).embeddings
-        .select(col("vec_id"), expr(toDouble).as("v"))
+        .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       // candidate generation handles IDS ONLY — the (band, bucket) join and
       // the dedup shuffle never touch a vector, exactly as the scale note
       // above promises. Vectors are re-fetched map-side for the rerank.
       val banded = vecs.select(col("vec_id"),
-        posexplode(bandSignatures("v", bands = 4, planesPerBand = 4))
+        posexplode(bandSignatures(col("v"), bands = 4, planesPerBand = 4))
           .as(Seq("band", "bucket")))
       val qBands = banded.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("band"), col("bucket"))
@@ -111,8 +119,8 @@ object Similarity {
     // Train: k-means centroids on a small deterministic sample, computed
     // driver-side (IVF training is sample-based by design: O(k·sample)
     // work regardless of corpus size). Assign: map-only nearest-centroid
-    // over broadcast constant centroids — each vector lands in one
-    // inverted list. Search: probe the nprobe lists nearest the query;
+    // over the broadcast constant centroid matrix — each vector lands in
+    // one inverted list. Search: probe the nprobe lists nearest the query;
     // candidates = corpus ∩ probed lists (equi-join on list_id, shuffles
     // ids + list keys, never vectors); exact cosine rerank of the small
     // candidate set. Deterministic end-to-end; rows-only verification
@@ -121,18 +129,18 @@ object Similarity {
       graft.functions.VectorFunctions.register(s)
       val k = 8; val nprobe = 4
       val vecs = t(s, dir).embeddings
-        .select(col("vec_id"), expr(toDouble).as("v"))
+        .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       val sample = t(s, dir).embeddings.filter(col("vec_id") % 7 === 0)
         .orderBy(col("vec_id")).limit(128)
         .select(expr(toDouble)).collect()
         .map(_.getSeq[Double](0).toArray)
       val centroids = kmeans(sample, k, iters = 5)
-      val assigned = vecs.withColumn("list_id", nearestCentroid("v", centroids))
+      val assigned = vecs.withColumn("list_id", nearestCentroid(col("v"), centroids))
       val corpus = assigned.filter(col("vec_id") >= 5)
       val probes = vecs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-          posexplode(topCentroids("v", centroids, nprobe)).as(Seq("probe_rank", "list_id")))
+          posexplode(topCentroids(col("v"), centroids, nprobe)).as(Seq("probe_rank", "list_id")))
       val cand = corpus.join(probes, Seq("list_id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
@@ -159,7 +167,7 @@ object Similarity {
     }) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val vecs = t(s, dir).embeddings.filter(col("vec_id") < 150)
-        .select(col("vec_id"), expr(toDouble).as("v"))
+        .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       val a = vecs.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
       val b = vecs.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
@@ -199,33 +207,26 @@ object Similarity {
     cents
   }
 
-  private def centroidLit(c: Array[Double]): String =
-    c.mkString("array(", "D, ", "D)")
+  /** argmax over centroids of dot(v, c_i), ties → higher index; the
+    * centroid matrix rides as one reference object
+    * ([[graft.functions.NearestCentroid]]). */
+  private[graft] def nearestCentroid(v: Column,
+      cents: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(graft.functions.NearestCentroid(
+      GraftColumnBridge.expression(v), cents))
 
-  /** argmax over centroids of dot(v, c_i): array_max over (dot, idx)
-    * structs — struct ordering compares dot first, index breaks ties. */
-  private[graft] def nearestCentroid(v: String,
-      cents: Array[Array[Double]]): Column = {
-    val entries = cents.zipWithIndex.map { case (c, i) =>
-      s"struct(graft_dot($v, ${centroidLit(c)}) AS d, $i AS i)"
-    }
-    expr(s"array_max(array(${entries.mkString(", ")})).i")
-  }
-
-  /** Top-`nprobe` centroid ids by dot(v, c_i), best first. */
-  private[graft] def topCentroids(v: String, cents: Array[Array[Double]],
-      nprobe: Int): Column = {
-    val entries = cents.zipWithIndex.map { case (c, i) =>
-      s"struct(-graft_dot($v, ${centroidLit(c)}) AS negd, $i AS i)"
-    }
-    expr(s"transform(slice(array_sort(array(${entries.mkString(", ")})), 1, $nprobe), e -> e.i)")
-  }
+  /** Top-`nprobe` centroid ids by dot(v, c_i), best first, ties → lower
+    * index ([[graft.functions.TopCentroids]]). */
+  private[graft] def topCentroids(v: Column, cents: Array[Array[Double]],
+      nprobe: Int): Column =
+    GraftColumnBridge.column(graft.functions.TopCentroids(
+      GraftColumnBridge.expression(v), cents, nprobe))
 
   /** Random hyperplanes as driver-side constants: bands × planesPerBand
     * vectors of ±1 components, fixed seed → stable buckets across runs.
-    * Constants fold into the plan as array literals, so the per-row work is
-    * `bands × planesPerBand` codegen'd graft_dot loops — no per-element
-    * hashing or lambda dispatch on the scan path. */
+    * The plane matrix rides as one reference object
+    * ([[graft.functions.HyperplaneBands]]); per-row work is
+    * `bands × planesPerBand` fused dot loops. */
   private val planes: IndexedSeq[IndexedSeq[Array[Double]]] = {
     val rng = new scala.util.Random(2026)
     IndexedSeq.fill(4)(IndexedSeq.fill(4)(
@@ -233,14 +234,11 @@ object Similarity {
   }
 
   /** Array of per-band bucket keys. Band b's key packs `planesPerBand`
-    * sign bits, bit j = sign of graft_dot(v, plane_{b,j}). */
-  private def bandSignatures(v: String, bands: Int, planesPerBand: Int) = {
-    val bandExprs = (0 until bands).map { b =>
-      (0 until planesPerBand).map { j =>
-        val planeLit = planes(b)(j).mkString("array(", "D, ", "D)")
-        s"(CASE WHEN graft_dot($v, $planeLit) > 0 THEN ${1L << j}L ELSE 0L END)"
-      }.mkString(" + ")
-    }
-    expr(s"array(${bandExprs.mkString(", ")})")
+    * sign bits, bit j = sign of dot(v, plane_{b,j}). */
+  private def bandSignatures(v: Column, bands: Int, planesPerBand: Int): Column = {
+    val flat = (0 until bands).flatMap(b => (0 until planesPerBand).map(j =>
+      planes(b)(j))).toArray
+    GraftColumnBridge.column(graft.functions.HyperplaneBands(
+      GraftColumnBridge.expression(v), flat, bands, planesPerBand))
   }
 }

@@ -213,8 +213,14 @@ object TextPipeline {
       graft.functions.VectorFunctions.register(s)
       val docs = shingleHashed(withNorm(t(s, dir).documents))
       val sigs = minhashSignatures(docs)
+      // Band buckets via the native MinHashBandBuckets expression —
+      // bit-identical to transform(sequence(0,7), b -> hash(slice(sig,
+      // b*4+1, 4))) (spec-asserted), minus the interpreted lambda and the
+      // per-band slice allocations.
+      import org.apache.spark.sql.GraftColumnBridge
       val banded = sigs.select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, 7), b -> hash(slice(sig, b * 4 + 1, 4)))"))
+        posexplode(GraftColumnBridge.column(graft.functions.MinHashBandBuckets(
+          GraftColumnBridge.expression(col("sig")), bands = 8, rowsPerBand = 4)))
           .as(Seq("band", "bucket")))
       // Degenerate-bucket cap via count-over-Window, then a bucket-key
       // self-join. Measured against two alternatives at sf0.1 (aggregate +

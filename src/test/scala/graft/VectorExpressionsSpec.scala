@@ -130,6 +130,76 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("graft_dot on raw float arrays equals dot on per-element double casts") {
+    VectorFunctions.register(spark)
+    val both = Tables(spark, sf).embeddings.limit(200)
+      .select(
+        expr("graft_dot(embedding, embedding)").as("floats"),
+        expr("graft_dot(transform(embedding, x -> CAST(x AS DOUBLE)), " +
+          "transform(embedding, x -> CAST(x AS DOUBLE)))").as("doubles"))
+    assert(both.filter(col("floats") =!= col("doubles")).count() == 0)
+  }
+
+  test("MinHashBandBuckets matches hash(slice(sig, ...)) per band") {
+    import org.apache.spark.sql.GraftColumnBridge
+    VectorFunctions.register(spark)
+    val sigs = Tables(spark, sf).documents.limit(300)
+      .withColumn("words", split(lower(col("text")), " "))
+      .select(expr("graft_minhash32(graft_shingle3(words))").as("sig"))
+      .filter(col("sig").isNotNull)
+    val both = sigs.select(
+      GraftColumnBridge.column(graft.functions.MinHashBandBuckets(
+        GraftColumnBridge.expression(col("sig")), bands = 8, rowsPerBand = 4)).as("native"),
+      expr("transform(sequence(0, 7), b -> hash(slice(sig, b * 4 + 1, 4)))").as("hof"))
+    assert(both.filter(expr("native != hof")).count() == 0)
+  }
+
+  test("NearestCentroid / TopCentroids match the composed argmax forms") {
+    import org.apache.spark.sql.GraftColumnBridge
+    VectorFunctions.register(spark)
+    val cents = Array.tabulate(8)(c =>
+      Array.tabulate(64)(i => math.sin(c * 64 + i)))
+    def centLit(c: Array[Double]) = c.mkString("array(", "D, ", "D)")
+    val nearComposed = expr("array_max(array(" + cents.zipWithIndex.map {
+      case (c, i) => s"struct(graft_dot(v, ${centLit(c)}) AS d, $i AS i)"
+    }.mkString(", ") + ")).i")
+    val topComposed = expr("transform(slice(array_sort(array(" +
+      cents.zipWithIndex.map { case (c, i) =>
+        s"struct(-graft_dot(v, ${centLit(c)}) AS negd, $i AS i)"
+      }.mkString(", ") + ")), 1, 4), e -> e.i)")
+    val vecs = Tables(spark, sf).embeddings.limit(200)
+      .select(col("embedding").as("v"))
+    val both = vecs.select(
+      GraftColumnBridge.column(graft.functions.NearestCentroid(
+        GraftColumnBridge.expression(col("v")), cents)).as("n_native"),
+      nearComposed.as("n_hof"),
+      GraftColumnBridge.column(graft.functions.TopCentroids(
+        GraftColumnBridge.expression(col("v")), cents, 4)).as("t_native"),
+      topComposed.as("t_hof"))
+    assert(both.filter(expr("n_native != n_hof OR t_native != t_hof")).count() == 0)
+  }
+
+  test("HyperplaneBands matches the sign-bit CASE chain") {
+    import org.apache.spark.sql.GraftColumnBridge
+    VectorFunctions.register(spark)
+    val rng = new scala.util.Random(7)
+    val planes = Array.fill(8)(
+      Array.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
+    val composed = expr("array(" + (0 until 2).map { b =>
+      (0 until 4).map { j =>
+        val lit = planes(b * 4 + j).mkString("array(", "D, ", "D)")
+        s"(CASE WHEN graft_dot(v, $lit) > 0 THEN ${1L << j}L ELSE 0L END)"
+      }.mkString(" + ")
+    }.mkString(", ") + ")")
+    val vecs = Tables(spark, sf).embeddings.limit(200)
+      .select(col("embedding").as("v"))
+    val both = vecs.select(
+      GraftColumnBridge.column(graft.functions.HyperplaneBands(
+        GraftColumnBridge.expression(col("v")), planes, 2, 4)).as("native"),
+      composed.as("hof"))
+    assert(both.filter(expr("native != hof")).count() == 0)
+  }
+
   test("codegen and interpreted paths agree") {
     withVecs { vecs =>
       // force interpreted path via codegen-off config on a copy
