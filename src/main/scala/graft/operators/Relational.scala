@@ -44,27 +44,23 @@ object Relational {
          |  count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= '1998-12-01'
          |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-      // pre-project the decimal casts once per row: sum_qty/avg_qty,
-      // sum_base_price/avg_price share their cast column (5 casts instead
-      // of 8), and the aggregate's inner loop sees plain column refs
-      import org.apache.spark.sql.types.{DecimalType, DoubleType}
-      val dec = DecimalType(18, 6)
-      val l = t(s, dir).lineitem.filter(col("l_shipdate") <= "1998-12-01")
-        .select(col("l_returnflag"), col("l_linestatus"),
-          col("l_quantity").cast(dec).as("q"),
-          col("l_extendedprice").cast(dec).as("ep"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec).as("dp"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(dec).as("ch"),
-          col("l_discount").cast(dec).as("dc"))
-      l.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
-        sum(col("q")).cast(DoubleType).as("sum_qty"),
-        sum(col("ep")).cast(DoubleType).as("sum_base_price"),
-        sum(col("dp")).cast(DoubleType).as("sum_disc_price"),
-        sum(col("ch")).cast(DoubleType).as("sum_charge"),
-        (sum(col("q")).cast(DoubleType) / count(col("q"))).cast(DoubleType).as("avg_qty"),
-        (sum(col("ep")).cast(DoubleType) / count(col("ep"))).cast(DoubleType).as("avg_price"),
-        (sum(col("dc")).cast(DoubleType) / count(col("dc"))).cast(DoubleType).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+      // Four corpus-growing groups ⇒ the decimal-buffer path (dsum/davg):
+      // per-row work is a scaled-long conversion (no string-based decimal
+      // cast), the sum buffer widens to DECIMAL(28,0) so 100 TB totals
+      // stay exact. Catalyst dedups the identical sum() subexpressions
+      // between each dsum/davg pair — 5 distinct sums, not 8.
+      val dp = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val ch = dp * (lit(1.0) + col("l_tax"))
+      t(s, dir).lineitem.filter(col("l_shipdate") <= "1998-12-01")
+        .groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(dp).as("sum_disc_price"),
+          dsum(ch).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
     },
 
     GraftQuery("q3_shipping_priority",
@@ -81,7 +77,9 @@ object Relational {
       tt.orders.join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(l, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"))
-        .agg(dsum(discPrice(l)).as("revenue"))
+        // per-order revenue is bounded by the entity, not the corpus ⇒
+        // primitive-long exact sum (lsum)
+        .agg(lsum(discPrice(l)).as("revenue"))
     },
 
     GraftQuery("q6_forecast_revenue",
@@ -105,11 +103,12 @@ object Relational {
       // Pre-aggregate lineitem revenue by orderkey BEFORE the join: the
       // shuffle key is the same either way, but the join then probes one
       // row per order instead of ~4 line items, and the final custkey
-      // re-aggregation is exact over decimal partials. nation and
-      // customer broadcast as before.
+      // re-aggregation stays exact over the scaled-long partials (per-order
+      // and per-customer revenue are entity-bounded ⇒ lsum path). nation
+      // and customer broadcast as before.
       val rev = tt.lineitem
         .groupBy(col("l_orderkey"))
-        .agg(dsumPart(discPrice(tt.lineitem)).as("rev"))
+        .agg(lsumPart(discPrice(tt.lineitem)).as("rev"))
       // shuffle_hash keeps the orders⋈rev join co-partitioned on the order
       // key: rev is already hash-partitioned by its aggregation, so only
       // orders shuffles. Without the hint AQE broadcasts rev — a driver
@@ -121,7 +120,7 @@ object Relational {
           col("o_custkey") === col("c_custkey"))
         .join(rev.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(dsumFinal(col("rev")).as("revenue"))
+        .agg(lsumFinal(col("rev")).as("revenue"))
     },
 
     // ------------------------------------------------------- scan / project
