@@ -161,6 +161,74 @@ object TextPipeline {
         md5(col("text")).as("content_fp"))
     },
 
+    // ------------------------------------------------- corpus vocabulary
+    // Corpus-level term frequencies, top 50. Map-side-combinable word
+    // count — the canonical linear-scaling corpus statistic; the final
+    // top-k is a TakeOrdered over the (small) aggregated vocabulary.
+    GraftQuery("t_vocab_topk",
+      s"""WITH words AS (
+         |  SELECT unnest(string_split($normSqlDuck, ' ')) AS word
+         |  FROM documents)
+         |SELECT word, count(*) AS freq FROM words GROUP BY word
+         |ORDER BY freq DESC, word LIMIT 50""".stripMargin) { (s, dir) =>
+      withNorm(t(s, dir).documents)
+        .select(explode(col("words")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word")).limit(50)
+    },
+
+    // ------------------------------------------------------------- TF-IDF
+    // Top-3 characteristic terms per document. Three shuffles, all on
+    // aggregated relations: tf by (doc, term), df by term (vocabulary-
+    // sized — joined by key, never broadcast: vocabulary grows with the
+    // corpus), then back by doc for the ranking window. idf values are
+    // rank-stable across engines via round(., 6) with term tiebreak.
+    GraftQuery("t_tfidf_topterms",
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split($normSqlDuck, ' ')) AS w
+         |  FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.w AS term,
+         |             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+         |           FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+         |ranked AS (SELECT doc_id, term, tfidf,
+         |             row_number() OVER (PARTITION BY doc_id
+         |                                ORDER BY tfidf DESC, term) AS rn
+         |           FROM scored)
+         |SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val docs = withNorm(t(s, dir).documents)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val tf = docs.select(col("doc_id"), explode(col("words")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      tf.join(df, "w").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w").as("term"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
+    },
+
+    // ------------------------------------- deterministic stratified sample
+    // Hash-based per-language sampling: a document is kept iff the first
+    // md5 nibble of its id is in {0,1,2,3} (a 25% rate) — reproducible,
+    // engine-portable, and map-only, unlike RNG-based sampling. The
+    // canonical way to cut a training subset that any engine can re-derive.
+    GraftQuery("d_stratified_sample",
+      """SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |                IN ('0','1','2','3') THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+      t(s, dir).documents.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_total"),
+        sum(when(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3"), 1).otherwise(0)).cast("bigint").as("n_sampled"))
+    },
+
     // ------------------------------------------------ exact n-gram jaccard
     // Word-set Jaccard over a bounded candidate set (doc_id < 60), fully
     // oracled. At scale the candidate set comes from LSH banding (below),

@@ -34,6 +34,59 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(maxPer <= 3)
   }
 
+  test("as-of join matches the brute-force greatest-lower-bound pairing") {
+    val asof = run("q_join_asof")
+    // every matched purchase is at-or-before its click
+    assert(asof.filter(col("purchase_ts") > col("ts")).count() == 0)
+    // brute force: max purchase ts <= click ts per user via inequality join
+    val ev = Tables(spark, sf).events
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val brute = c.join(p, col("user_id") === col("pu") && col("pts") <= col("ts"), "left")
+      .groupBy(col("event_id")).agg(max(col("pts")).as("expect_ts"))
+    val joined = asof.join(brute, "event_id")
+    assert(joined.count() == asof.count())
+    assert(joined.filter(
+      !(col("purchase_ts") <=> col("expect_ts"))).count() == 0)
+  }
+
+  test("range join equals the unbucketed inequality join") {
+    val ranged = run("q_join_range")
+    assert(ranged.filter(abs(col("dt_ms")) > 3600000L).count() == 0)
+    val e = Tables(spark, sf).events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+    val a = e.select(col("event_id").as("id_a"), col("user_id"), col("ms").as("ms_a"))
+    val b = e.select(col("event_id").as("id_b"), col("user_id"), col("ms").as("ms_b"))
+    val brute = a.join(b, "user_id")
+      .filter(col("id_a") < col("id_b") && abs(col("ms_b") - col("ms_a")) <= 3600000L)
+    assert(ranged.count() == brute.count())
+    assert(ranged.except(
+      brute.select(col("id_a"), col("id_b"), (col("ms_b") - col("ms_a")).as("dt_ms")))
+      .count() == 0)
+  }
+
+  test("tfidf emits at most 3 ranked terms per document") {
+    val df = run("t_tfidf_topterms")
+    assert(df.filter(col("rn") < 1 || col("rn") > 3).count() == 0)
+    val perDoc = df.groupBy("doc_id").count().agg(max("count")).head().getLong(0)
+    assert(perDoc <= 3)
+  }
+
+  test("stratified sample keeps a plausible per-language fraction") {
+    val rows = run("d_stratified_sample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_total"); val samp = r.getAs[Long]("n_sampled")
+      assert(samp >= 0 && samp <= total)
+    }
+    // 25% nominal rate over the whole corpus, generous tolerance
+    val total = rows.map(_.getAs[Long]("n_total")).sum.toDouble
+    val samp = rows.map(_.getAs[Long]("n_sampled")).sum.toDouble
+    assert(samp / total > 0.1 && samp / total < 0.45)
+  }
+
   test("exact dedup groups cover all documents") {
     val total = Tables(spark, sf).documents.count()
     val sumCopies = run("d_dedup_exact").agg(sum("n_copies")).head().getLong(0)
