@@ -202,13 +202,17 @@ object TextPipeline {
       val n = docs.agg(count(lit(1)).as("n"))
       val tf = docs.select(col("doc_id"), explode(col("words")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val w = org.apache.spark.sql.expressions.Window
+      // df as count-over-window on the tf relation itself: one shuffle by
+      // term and NO second execution of the tf pipeline (a tf⋈df self-join
+      // runs the explode+aggregate twice and shuffles both sides).
+      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+      val wDoc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-      tf.join(df, "w").crossJoin(broadcast(n))
+      tf.withColumn("df", count(lit(1)).over(wTerm))
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("w").as("term"),
           round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(wDoc))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
     },
