@@ -609,6 +609,42 @@ object Relational {
       t(s, dir).lineitem.groupBy(col("l_linestatus"))
         .pivot(col("l_returnflag"), Seq("A", "N", "R"))
         .agg(dsum(col("l_quantity")))
+    },
+
+    // Unpivot / melt — Pivot's inverse (Spark `Dataset.unpivot`; DuckDB
+    // UNPIVOT as oracle). Map-only: no shuffle at any scale.
+    GraftQuery("q_unpivot",
+      """SELECT o_orderkey, metric, val
+        |FROM (UNPIVOT (SELECT o_orderkey, o_totalprice AS price,
+        |                      CAST(o_custkey AS DOUBLE) AS cust
+        |               FROM orders WHERE o_orderkey < 100)
+        |      ON price, cust INTO NAME metric VALUE val)""".stripMargin) { (s, dir) =>
+      t(s, dir).orders.filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          col("o_custkey").cast("double").as("cust"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("price"), col("cust")), "metric", "val")
+    },
+
+    // GROUPING() indicators over ROLLUP — distinguishes a stored NULL from
+    // a subtotal row. Two-phase like q_agg_rollup: reduce on the full key
+    // BEFORE Expand so the multiplied input is group-sized, not fact-sized.
+    GraftQuery("q_grouping_id",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      val pre = t(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"))
+      pre.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+          grouping(col("l_linestatus")).cast("bigint").as("g_status"),
+          sum(col("pn")).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("g_flag"), col("g_status"), col("n"))
     }
   )
 }
