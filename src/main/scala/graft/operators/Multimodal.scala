@@ -99,6 +99,34 @@ object Multimodal {
           md5(expr("substring(payload, i*64 + 1, 32)")).as("frame_md5"))
     },
 
+    // Audio-style windowed energy: slice the opaque payload into fixed
+    // 64-byte "sample windows" and compute RMS energy per window — the
+    // audio feature-extraction shape (chunk → per-window kernel) with the
+    // kernel running on raw byte values. Fully declarative AND fully
+    // oracled via the same ASCII byte==char identity as m_frame_sample:
+    // the per-window fold visits positions in index order in both engines.
+    GraftQuery("m_audio_energy",
+      """WITH win AS (
+        |  SELECT doc_id, i AS win_idx, substring(text, i*64 + 1, 64) AS chunk
+        |  FROM documents, UNNEST([0,1,2,3]) AS t(i)
+        |  WHERE i*64 + 64 <= length(text)),
+        |pos AS (SELECT doc_id, win_idx, chunk, unnest(range(1, 65)) AS p FROM win)
+        |SELECT doc_id, win_idx,
+        |  round(sqrt(sum(pow(ord(substr(chunk, p, 1)) - 96.0, 2)) / 64), 6) AS rms
+        |FROM pos GROUP BY doc_id, win_idx""".stripMargin) { (s, dir) =>
+      assets(s, dir)
+        .select(col("asset_id").as("doc_id"), col("payload"),
+          octet_length(col("payload")).as("n_bytes"))
+        .select(col("doc_id"), col("payload"),
+          explode(expr("filter(sequence(0, 3), i -> i*64 + 64 <= n_bytes)")).as("win_idx"))
+        .select(col("doc_id"), col("win_idx"),
+          expr("decode(substring(payload, win_idx*64 + 1, 64), 'UTF-8')").as("chunk"))
+        .select(col("doc_id"), col("win_idx"),
+          expr("""round(sqrt(aggregate(sequence(1, 64), 0D,
+                 |  (acc, p) -> acc + pow(CAST(ascii(substring(chunk, p, 1)) AS DOUBLE) - 96.0, 2),
+                 |  acc -> acc / 64)), 6)""".stripMargin).as("rms"))
+    },
+
     // Resize: downsample each payload to a fixed-size thumbnail by evenly
     // spaced byte sampling (the stub stand-in for an image resize kernel).
     // Same partition-local batch shape as the decoder; rows-only check.

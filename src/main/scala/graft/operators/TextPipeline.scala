@@ -161,6 +161,38 @@ object TextPipeline {
         md5(col("text")).as("content_fp"))
     },
 
+    // --------------------------------------------- end-to-end corpus clean
+    // The composed training-data pipeline in one query: quality scoring →
+    // threshold filter → exact-dedup keep-first → per-language counts.
+    // Each stage is individually oracled elsewhere (t_quality_score,
+    // d_dedup_exact); this verifies their COMPOSITION end-to-end. Scale
+    // shape: quality is map-only; dedup groups on a 16-byte hash; the
+    // keep-list join is keyed on doc_id (shuffle join — the keep list
+    // grows with the corpus, never broadcast).
+    GraftQuery("d_corpus_clean",
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    least(1.0, CAST(len(string_split($normSqlDuck, ' ')) AS DOUBLE) / 64.0)
+         |      * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |               / length(text)) AS quality
+         |  FROM documents),
+         |keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text))
+         |SELECT q.lang, count(*) AS n_kept
+         |FROM q JOIN keep ON q.doc_id = keep.keep_id
+         |WHERE q.quality >= 0.5 GROUP BY q.lang""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir).documents
+      val punct = (length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double") /
+        length(col("text"))
+      val q = withNorm(docs).select(col("doc_id"), col("lang"),
+        (least(lit(1.0), size(col("words")).cast("double") / 64.0) *
+          (lit(1.0) - punct)).as("quality"))
+      val keep = docs.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("keep_id"))
+      q.join(keep, col("doc_id") === col("keep_id"))
+        .filter(col("quality") >= 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    },
+
     // ------------------------------------------------- corpus vocabulary
     // Corpus-level term frequencies, top 50. Map-side-combinable word
     // count — the canonical linear-scaling corpus statistic; the final
