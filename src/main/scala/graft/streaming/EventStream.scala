@@ -79,6 +79,31 @@ object EventStream {
       streamKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** Watermarked stream-stream join: each click paired with the same
+    * user's purchases in the hour AFTER it (the streaming attribution
+    * twin of the batch as-of/range joins in `operators/Temporal.scala`).
+    * Both sides carry a watermark and the join condition bounds event time
+    * in BOTH directions, so each side's buffered state is evicted once the
+    * other side's watermark passes `click_ts + 1 hour` — state tracks the
+    * horizon, not history. Self-joining one stream via two filtered reads
+    * is the standard shape. */
+  def clickAttribution(events: DataFrame, horizon: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   final case class SessionUpdate(
       userId: Long, nEvents: Long, sessionSeconds: Long, expired: Boolean)
   // public: the state encoder's generated code constructs it reflectively

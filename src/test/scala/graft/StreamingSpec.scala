@@ -61,6 +61,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream click attribution matches the batch join") {
+    val events = EventStream.readEvents(spark, sf)
+    val q = EventStream.clickAttribution(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt5").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .select(col("click_id"), col("purchase_id"))
+      val ev = Tables(spark, sf).events
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+      val batch = c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("purchase_id"))
+      assert(streamed.count() > 0, "no attributed pairs emitted")
+      assert(streamed.count() == batch.count(),
+        s"streamed ${streamed.count()} pairs vs batch ${batch.count()}")
+      assert(streamed.except(batch).count() == 0 &&
+        batch.except(streamed).count() == 0,
+        "stream-stream join diverges from batch twin")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches without streaming state") {
     val events = EventStream.readEvents(spark, sf)
     val dim = Tables(spark, sf).customer.select(
