@@ -504,6 +504,7 @@ object Relational {
         |  strpos(c_name, '1') AS pos,
         |  trim(concat(' ', c_name, ' ')) AS trimmed,
         |  ltrim(concat('xx', c_name), 'x') AS ltrimmed,
+        |  rtrim(concat(c_name, 'xx'), 'x') AS rtrimmed,
         |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
         |  regexp_matches(c_name, '[02468]$') AS even_id,
         |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
@@ -521,6 +522,7 @@ object Relational {
         instr(col("c_name"), "1").as("pos"),
         trim(concat(lit(" "), col("c_name"), lit(" "))).as("trimmed"),
         ltrim(concat(lit("xx"), col("c_name")), "x").as("ltrimmed"),
+        rtrim(concat(col("c_name"), lit("xx")), "x").as("rtrimmed"),
         regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
         col("c_name").rlike("[02468]$").as("even_id"),
         lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
@@ -538,6 +540,10 @@ object Relational {
         |  o_orderdate + INTERVAL 5 DAY AS plus5,
         |  strftime(o_orderdate, '%Y-%m-%d') AS iso,
         |  CAST(o_orderdate AS DATE) AS as_date,
+        |  CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS parsed_date,
+        |  strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts,
+        |  strftime(make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS from_unix,
         |  date_diff('day', TIMESTAMP '1997-01-01', o_orderdate) AS days_since
         |FROM orders WHERE o_orderkey < 500""".stripMargin) { (s, dir) =>
       t(s, dir).orders.filter(col("o_orderkey") < 500).select(
@@ -549,6 +555,11 @@ object Relational {
         (col("o_orderdate") + expr("INTERVAL 5 DAYS")).as("plus5"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso"),
         col("o_orderdate").cast("date").as("as_date"),
+        to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd").as("parsed_date"),
+        to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+          "yyyy-MM-dd HH:mm:ss").as("parsed_ts"),
+        unix_timestamp(col("o_orderdate")).as("unix_ts"),
+        from_unixtime(unix_timestamp(col("o_orderdate"))).as("from_unix"),
         datediff(col("o_orderdate"), lit("1997-01-01")).cast("bigint").as("days_since"))
     },
 
@@ -560,6 +571,8 @@ object Relational {
         |  round(o_totalprice, 1) AS r1,
         |  CAST(o_orderkey % 7 AS BIGINT) AS m7,
         |  sqrt(o_totalprice) AS sq,
+        |  CAST(trunc(o_totalprice) AS BIGINT) AS tr,
+        |  round(power(o_totalprice, 2), 2) AS pw,
         |  o_totalprice * o_totalprice AS p2,
         |  greatest(o_totalprice, 150000.0) AS g,
         |  least(o_totalprice, 150000.0) AS l
@@ -571,6 +584,10 @@ object Relational {
         round(col("o_totalprice"), 1).as("r1"),
         (col("o_orderkey") % 7).cast("bigint").as("m7"),
         sqrt(col("o_totalprice")).as("sq"),
+        // numeric trunc == toward-zero integer cast (Spark has no scalar
+        // trunc for doubles; the cast is its exact semantic)
+        col("o_totalprice").cast("bigint").as("tr"),
+        round(pow(col("o_totalprice"), 2), 2).as("pw"),
         (col("o_totalprice") * col("o_totalprice")).as("p2"),
         greatest(col("o_totalprice"), lit(150000.0)).as("g"),
         least(col("o_totalprice"), lit(150000.0)).as("l"))
