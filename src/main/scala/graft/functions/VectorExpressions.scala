@@ -408,6 +408,89 @@ final case class CountIn(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Winnowed rolling-hash document fingerprints (the MOSS scheme:
+  * Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+  * Fingerprinting", SIGMOD 2003).
+  *
+  * Karp-Rabin rolling hash over UTF-8 bytes: h_i covers the k-byte window
+  * starting at i, h = Σ b[i+j]·B^(k-1-j) masked to 31 bits (B = 257).
+  * Winnowing then keeps, for every window of `w` consecutive hashes, the
+  * RIGHTMOST minimal hash — guaranteeing any match of length ≥ w+k-1 shares
+  * a fingerprint while keeping fingerprint density ~2/(w+1). Output is the
+  * sorted distinct selected hashes.
+  *
+  * One fused pass per row, no per-window rescans (sliding-minimum deque).
+  * Texts shorter than k yield a single whole-text hash.
+  */
+final case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private final val B = 257L
+  private final val Mask = 0x7fffffffL
+
+  def compute(input: Any): ArrayData = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (h * B + (bytes(i) & 0xff)) & Mask; i += 1 }
+      return new GenericArrayData(Array(h))
+    }
+    // rolling hashes, 31-bit masked; B^(k-1) mod 2^31 for the remove term
+    var bk = 1L
+    var e = 0
+    while (e < k - 1) { bk = (bk * B) & Mask; e += 1 }
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + (bytes(i) & 0xff)) & Mask; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = (((h - ((bytes(i - 1) & 0xff) * bk & Mask) + (Mask + 1)) & Mask) * B
+        + (bytes(i + k - 1) & 0xff)) & Mask
+      hs(i) = h
+      i += 1
+    }
+    // winnow: rightmost minimum of each w-window via a sliding-min deque
+    // holding indices with strictly increasing hash values; on ties the
+    // LATER index wins (rightmost-minimal rule), so pops use >=
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0 // [head, tail)
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) sel.add(hs(deque(head)))
+      i += 1
+    }
+    if (sel.isEmpty) sel.add(hs(deque(head))) // m < w: whole-text window
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("winnowExpr", this, classOf[WinnowFingerprint].getName)
+      s"${ev.value} = $ref.compute($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** MinHash modulus: 2^31 - 1 (Mersenne prime). */
@@ -442,5 +525,7 @@ object VectorFunctions {
       es => CountIn(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle3",
       es => ShingleHash3(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      es => WinnowFingerprint(es.head, k = 8, w = 16), "built-in")
   }
 }

@@ -289,6 +289,42 @@ object TextPipeline {
             (size(col("ws_a")) + size(col("ws_b")) - inter)).as("jaccard"))
     },
 
+    // ------------------------------------------- winnowed rolling-hash fp
+    // Karp-Rabin rolling hash + winnowing (the MOSS fingerprint): any two
+    // documents sharing a normalized substring of >= w+k-1 bytes share at
+    // least one fingerprint. Engine-specific hash basis → rows-only checks;
+    // the selection guarantee and a reference implementation are asserted
+    // by spec.
+    GraftQuery.unverified("t_winnow_fp") { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      withNorm(t(s, dir).documents)
+        .select(col("doc_id"), expr("graft_winnow(norm)").as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fp"),
+          expr("fps[0]").as("fp_min"))
+    },
+
+    // Shared-fingerprint candidate pairs — the scale twin of plagiarism /
+    // near-dup detection over winnowed fingerprints: explode to (fp,
+    // doc_id), cap degenerate fingerprints (boilerplate guard, same as the
+    // LSH bucket cap), self-join per fingerprint, rank pairs by how many
+    // fingerprints they share. Shuffles only (fp, doc_id) pairs.
+    GraftQuery.unverified("d_winnow_pairs") { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val f = withNorm(t(s, dir).documents)
+        .select(col("doc_id"), explode(expr("graft_winnow(norm)")).as("fp"))
+      val capped = f.withColumn("fsize",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp"))))
+        .filter(col("fsize") <= 200).drop("fsize")
+      capped.select(col("fp"), col("doc_id").as("id_a"))
+        .join(capped.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    },
+
     // --------------------------------------------------------- MinHash LSH
     // Signatures: 32 permutations over 3-word shingles. Engine-specific
     // hash basis (xxhash64) → no SQL oracle; verified structurally by spec.

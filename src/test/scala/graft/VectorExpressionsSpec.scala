@@ -200,6 +200,56 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(both.filter(expr("native != hof")).count() == 0)
   }
 
+  test("graft_winnow matches a brute-force reference implementation") {
+    VectorFunctions.register(spark)
+    val k = 8; val w = 16
+    // brute-force reference: all k-gram hashes by direct polynomial
+    // evaluation, then rightmost-minimal rescan per window
+    def ref(text: String): Seq[Long] = {
+      val b = text.getBytes("UTF-8")
+      val B = 257L; val Mask = 0x7fffffffL
+      if (b.length < k) {
+        var h = 0L; b.foreach(c => h = (h * B + (c & 0xff)) & Mask)
+        return Seq(h)
+      }
+      val hs = (0 to b.length - k).map { i =>
+        var h = 0L
+        (i until i + k).foreach(j => h = (h * B + (b(j) & 0xff)) & Mask)
+        h
+      }
+      val sel = scala.collection.mutable.SortedSet[Long]()
+      if (hs.length < w) {
+        // single whole-text window, rightmost minimum
+        sel += hs.zipWithIndex.minBy { case (h, i) => (h, -i) }._1
+      } else {
+        for (s <- 0 to hs.length - w) {
+          val win = hs.slice(s, s + w)
+          sel += win.zipWithIndex.minBy { case (h, i) => (h, -i) }._1
+        }
+      }
+      sel.toSeq
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running far",
+      "short", "exactly8", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    import spark.implicits._
+    val got = texts.toDF("t")
+      .select(expr("graft_winnow(t)").as("fps"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == ref(t), s"winnow mismatch for '$t': $g vs ${ref(t)}")
+    }
+    // guarantee: sharing a >= w+k-1 byte substring ⇒ >= 1 shared fp
+    val common = "this exact shared passage is certainly long enough to fingerprint"
+    val d1 = s"prefix one $common suffix alpha"
+    val d2 = s"completely different beginning $common other ending"
+    val fps = Seq(d1, d2).toDF("t")
+      .select(expr("graft_winnow(t)").as("fps"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert((fps(0) & fps(1)).nonEmpty, "winnowing guarantee violated")
+  }
+
   test("codegen and interpreted paths agree") {
     withVecs { vecs =>
       // force interpreted path via codegen-off config on a copy
