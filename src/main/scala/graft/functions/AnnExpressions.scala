@@ -166,6 +166,53 @@ final case class HyperplaneBands(child: Expression, planes: Array[Array[Double]]
     copy(child = newChild)
 }
 
+/** RMS energy of a binary chunk's bytes around `center`:
+  * sqrt(Σ (b_i - center)² / n). The audio feature kernel of
+  * `m_audio_energy`, fused into one codegen'd loop — value-identical to
+  * the `aggregate(sequence(...), ... pow(ascii(substring(chunk, p, 1)) -
+  * center, 2) ...)` higher-order form it replaces (same index-order
+  * summation; for ASCII payloads byte == char code), which is
+  * CodegenFallback and pays per-position lambda dispatch plus a substring
+  * allocation. Null for an empty chunk. */
+final case class ByteEnergy(child: Expression, center: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length == 0) return null
+    var acc = 0.0
+    var i = 0
+    while (i < b.length) {
+      val d = (b(i) & 0xff) - center
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc / b.length)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($b.length == 0) { ${ev.isNull} = true; } else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $b.length; $i++) {
+         |    double $d = ($b[$i] & 0xff) - $center;
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($acc / $b.length);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteEnergy =
+    copy(child = newChild)
+}
+
 /** LSH band buckets over a MinHash signature (`array<long>`): output[b] =
   * Murmur3 hash (seed 42, Spark's `hash()`) of signature rows
   * [b*rowsPerBand, (b+1)*rowsPerBand) — bit-identical to

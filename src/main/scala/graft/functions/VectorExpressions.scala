@@ -527,5 +527,7 @@ object VectorFunctions {
       es => ShingleHash3(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       es => WinnowFingerprint(es.head, k = 8, w = 16), "built-in")
+    reg.createOrReplaceTempFunction("graft_byte_energy",
+      es => ByteEnergy(es.head, center = 96.0), "built-in")
   }
 }

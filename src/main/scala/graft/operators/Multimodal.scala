@@ -114,17 +114,18 @@ object Multimodal {
         |SELECT doc_id, win_idx,
         |  round(sqrt(sum(pow(ord(substr(chunk, p, 1)) - 96.0, 2)) / 64), 6) AS rms
         |FROM pos GROUP BY doc_id, win_idx""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      // the RMS kernel is the codegen'd graft_byte_energy expression over
+      // the raw binary window — one fused loop, value-identical to the
+      // interpreted aggregate/ascii/substring fold (same index order)
       assets(s, dir)
         .select(col("asset_id").as("doc_id"), col("payload"),
           octet_length(col("payload")).as("n_bytes"))
         .select(col("doc_id"), col("payload"),
           explode(expr("filter(sequence(0, 3), i -> i*64 + 64 <= n_bytes)")).as("win_idx"))
         .select(col("doc_id"), col("win_idx"),
-          expr("decode(substring(payload, win_idx*64 + 1, 64), 'UTF-8')").as("chunk"))
-        .select(col("doc_id"), col("win_idx"),
-          expr("""round(sqrt(aggregate(sequence(1, 64), 0D,
-                 |  (acc, p) -> acc + pow(CAST(ascii(substring(chunk, p, 1)) AS DOUBLE) - 96.0, 2),
-                 |  acc -> acc / 64)), 6)""".stripMargin).as("rms"))
+          expr("round(graft_byte_energy(substring(payload, win_idx*64 + 1, 64)), 6)")
+            .as("rms"))
     },
 
     // Resize: downsample each payload to a fixed-size thumbnail by evenly

@@ -312,10 +312,14 @@ object TextPipeline {
       graft.functions.VectorFunctions.register(s)
       val f = withNorm(t(s, dir).documents)
         .select(col("doc_id"), explode(expr("graft_winnow(norm)")).as("fp"))
+      // cap 50 (vs 200 in the LSH pipeline): this corpus's tiny synthetic
+      // vocabulary makes boilerplate fingerprints near-universal, and the
+      // pair volume inside a bucket is quadratic in its size — the cap is
+      // the knob that bounds join fan-out at any corpus scale
       val capped = f.withColumn("fsize",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("fp"))))
-        .filter(col("fsize") <= 200).drop("fsize")
+        .filter(col("fsize") <= 50).drop("fsize")
       capped.select(col("fp"), col("doc_id").as("id_a"))
         .join(capped.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
         .filter(col("id_a") < col("id_b"))
