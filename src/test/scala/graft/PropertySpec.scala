@@ -69,6 +69,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("scaled-long conversion equals the string-based decimal cast on money values") {
+    import SparkTestSession._
+    import spark.implicits._
+    // money-like: exact 2-decimal values (where every rounding flavor
+    // agrees — the precondition Exact.scaled documents)
+    val xs = samples(Gen.chooseNum(-1e9, 1e9)
+      .map(v => math.round(v * 100) / 100.0), 300).distinct
+    val rows = xs.toDF("v")
+      .select(org.apache.spark.sql.functions.col("v"),
+        Exact.scaled(org.apache.spark.sql.functions.col("v")).as("s"))
+      .collect()
+    assert(rows.length == xs.length)
+    rows.foreach { r =>
+      val v = r.getDouble(0); val s = r.getLong(1)
+      val want = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValueExact
+      assert(s == want, s"scaled($v) = $s, decimal cast gives $want")
+    }
+  }
+
+  test("lsum (primitive-long path) equals dsum (decimal-buffer path)") {
+    import SparkTestSession._
+    import spark.implicits._
+    val lists = samples(Gen.listOfN(50,
+      Gen.chooseNum(0.0, 1e6).map(v => math.round(v * 100) / 100.0)), 10)
+    lists.filter(_.nonEmpty).foreach { xs =>
+      val c = org.apache.spark.sql.functions.col("v")
+      val r = xs.toDF("v").agg(Exact.dsum(c).as("d"), Exact.lsum(c).as("l")).head()
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"dsum=${r.getDouble(0)} lsum=${r.getDouble(1)}")
+    }
+  }
+
   test("sanitizer accepts exactly the safe identifiers") {
     val safe = Gen.nonEmptyListOf(Gen.frequency(
       (10, Gen.alphaNumChar), (1, Gen.const('_')), (1, Gen.const('.'))))
