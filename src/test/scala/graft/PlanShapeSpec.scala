@@ -65,6 +65,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 3, p)
   }
 
+  test("as-of join is a single shuffle by user, no broadcast of either side") {
+    val p = plan("q_join_asof")
+    // tag+union+window form: one Window over one Exchange, never a join
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"as-of regressed to a join:\n$p")
+    assert("hashpartitioning\\(user_id".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("range join stays an equi-join on (user, cell), not a cross product") {
+    val p = plan("q_join_range")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a cross product:\n$p")
+  }
+
+  test("ANN candidate generation never shuffles vector columns") {
+    val p = plan("s_ann_lsh")
+    // every hash-partition exchange must carry ids/keys only — a vector
+    // column (v/embedding) appearing in an exchange means the candidate
+    // join is shipping vectors
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach(e =>
+      assert(!e.contains("v#") && !e.contains("embedding"),
+        s"vector column in shuffle key list: $e"))
+  }
+
   test("whole-stage codegen covers the hot path") {
     // AQE-wrapped plans only annotate codegen ids after execution, so
     // probe shuffle-free (non-AQE) plans: the map-only pipelines whose
