@@ -34,7 +34,9 @@ object TextPipeline {
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", expr(normExpr))
+    df.withColumn("norm", org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.NormalizeText(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")))))
       .withColumn("words", split(col("norm"), " "))
 
   // MinHash: h_j(x) = (a_j * x + b_j) mod P over base hash

@@ -200,6 +200,25 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(both.filter(expr("native != hof")).count() == 0)
   }
 
+  test("graft_norm matches the composed regex normalization") {
+    VectorFunctions.register(spark)
+    val composed =
+      "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"
+    // whole corpus, incl. non-ASCII (zh) documents
+    val docs = Tables(spark, sf).documents
+      .select(expr("graft_norm(text)").as("native"), expr(composed).as("regex"))
+    assert(docs.filter(col("native") =!= col("regex")).count() == 0)
+    // edge cases: punctuation-adjacent words must NOT merge into the
+    // space-squash, leading/trailing/only-space inputs, tabs, unicode
+    import spark.implicits._
+    val edges = Seq("a.b", "a . b", "  leading", "trailing  ", "   ",
+      "", "Tab\tsep", "MiXeD CaSe 42!", "naïve café", "中文 text 漢字")
+    val e = edges.toDF("text")
+      .select(expr("graft_norm(text)").as("native"), expr(composed).as("regex"))
+    assert(e.filter(col("native") =!= col("regex")).count() == 0,
+      e.collect().mkString("; "))
+  }
+
   test("graft_winnow matches a brute-force reference implementation") {
     VectorFunctions.register(spark)
     val k = 8; val w = 16
