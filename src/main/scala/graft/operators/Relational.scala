@@ -71,15 +71,20 @@ object Relational {
          |GROUP BY l_orderkey""".stripMargin) { (s, dir) =>
       val tt = t(s, dir)
       val c = tt.customer.filter(col("c_mktsegment") === "BUILDING")
-      val l = tt.lineitem
-      // customer is the small side at every scale — broadcast it through
-      // orders, then join the fact table on the shuffle key l_orderkey.
+      // Pre-aggregate lineitem to one scaled-long partial per order BEFORE
+      // the join (q10's shape): the orderkey shuffle then carries one
+      // 16-byte row per order instead of ~4 raw line items, and the join
+      // output needs no re-aggregation (orderkey is unique on both sides).
+      // The wasted pre-agg on non-qualifying orders is map-side combine
+      // work, traded for 4× less shuffle volume — the right trade at any
+      // scale. customer broadcasts through orders as before; shuffle_hash
+      // keeps rev (corpus-sized) off the broadcast build side.
+      val rev = tt.lineitem.groupBy(col("l_orderkey"))
+        .agg(lsumPart(discPrice(tt.lineitem)).as("rev"))
       tt.orders.join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(l, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_orderkey"))
-        // per-order revenue is bounded by the entity, not the corpus ⇒
-        // primitive-long exact sum (lsum)
-        .agg(lsum(discPrice(l)).as("revenue"))
+        .select(col("o_orderkey"))
+        .join(rev.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), lvalue(col("rev")).as("revenue"))
     },
 
     GraftQuery("q6_forecast_revenue",

@@ -93,6 +93,11 @@ object Exact {
   def lsumFinal(partial: Column, scale: Int = 6): Column =
     unscaled(sum(partial), scale)
 
+  /** Non-aggregating finisher: convert an already-final scaled partial
+    * back to double (for joins whose key makes the partial unique). */
+  def lvalue(partial: Column, scale: Int = 6): Column =
+    unscaled(partial, scale)
+
   /** DuckDB-side SQL for the same exact sum, for oracle parity. */
   def dsumSql(expr: String, scale: Int = 6): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
