@@ -51,7 +51,7 @@ final class RestTable(schema: StructType, opts: RestOptions)
   override def name(): String = opts.baseUrl
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RestScanBuilder(schema, opts)
 }
@@ -98,6 +98,9 @@ final class RestScan(schema: StructType, opts: RestOptions,
     params: Map[String, String]) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RestMicroBatchStream(schema, opts, params)
   override def planInputPartitions(): Array[InputPartition] =
     Array(RestInputPartition(opts, params))
   override def createReaderFactory(): PartitionReaderFactory =

@@ -57,6 +57,29 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     server.start()
   }
 
+  // growing append-only feed for the streaming read test
+  private val feedRows = new java.util.concurrent.atomic.AtomicInteger(7)
+
+  private def addFeedContext(): Unit =
+    server.createContext("/feed", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.nonEmpty)
+          .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+        val offset = params.getOrElse("offset", "0").toInt
+        val limit = params.getOrElse("limit", "100").toInt
+        val n = feedRows.get()
+        val rows = (offset until math.min(offset + limit, n))
+          .map(i => s"""{"id": $i, "payload": "row$i"}""")
+        val body = "[" + rows.mkString(",") + "]"
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+
   override def afterAll(): Unit = if (server != null) server.stop(0)
 
   private def restReader = spark.read
@@ -109,6 +132,38 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().length == totalRows)
     val scan = df.queryExecution.executedPlan.toString
     assert(scan.contains("RestScan"), scan)
+  }
+
+  test("rest: streaming micro-batch read ingests a growing endpoint exactly once") {
+    addFeedContext()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", StringType)))
+    val q = spark.readStream
+      .format("graft.sources.rest.RestDataSource")
+      .schema(schema)
+      .option("baseUrl", s"http://localhost:$port/feed")
+      .option("pagination", "indices")
+      .option("paramOffset", "offset").option("paramLimit", "limit")
+      .option("pageSize", "5")
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rest_feed")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-rest-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("rest_feed").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(first.sameElements(0L until 7L), first.mkString(","))
+      // the endpoint grows: the short tail page is resumed mid-page, new
+      // rows arrive exactly once
+      feedRows.set(12)
+      q.processAllAvailable()
+      val all = spark.table("rest_feed").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(all.sameElements(0L until 12L), all.mkString(","))
+    } finally q.stop()
   }
 
   test("rest: 401 without credentials") {
