@@ -158,11 +158,21 @@ object GraftSession {
         val t = new Thread(r, "graft-exec"); t.setDaemon(true); t
       }))
 
-  /** Build a SparkSession with the engine's analyzer extensions installed. */
+  /** Build a SparkSession with the engine's analyzer extensions installed
+    * and the scale-relevant runtime optimizations pinned on (defaults have
+    * drifted across Spark versions; the engine's plans assume them):
+    * AQE with partition coalescing and skew-join splitting, and runtime
+    * bloom-filter pruning for large joins (a shuffle-side row filter built
+    * from the selective side — the 100 TB analog of the reference's
+    * pushed-filter transfer narrowing). */
   def builder(master: String = "local[*]"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
 }
