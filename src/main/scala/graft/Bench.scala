@@ -48,19 +48,38 @@ object Bench {
         org.apache.spark.sql.functions.col("n_name")).as("w")))
     catch { case _: Throwable => () }
 
+    // Chaos injection, mirroring the reference harness's --chaos flag
+    // (/root/reference/crates/bench/src/main.rs:30-33,108-120): with
+    // probability SPARK_GRAFT_CHAOS per iteration, skip execution, sleep
+    // 500 ms, and record the iteration as an error. Deterministic seed so
+    // a chaos run is reproducible. Default 0.0 = feature off, output
+    // unchanged.
+    val chaos = sys.env.getOrElse("SPARK_GRAFT_CHAOS", "0.0").toDouble
+    val rng = new scala.util.Random(42)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = SparkEntry.registry.map { q =>
       val n = if (Headline(q.name)) iters else 1
       val times =
-        try (1 to n).map(_ => once(q.run)).sorted
+        try (1 to n).flatMap { _ =>
+          if (chaos > 0.0 && rng.nextDouble() < chaos) {
+            Thread.sleep(500)
+            errors(q.name) = errors.getOrElse(q.name, 0) + 1
+            None
+          } else Some(once(q.run))
+        }.sorted
         catch { case _: Throwable => Seq(-1.0) }
-      q.name -> times(times.size / 2)
+      q.name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val chaosPart =
+      if (errors.nonEmpty)
+        s""","chaos":$chaos,"errors":${errors.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}"""
+      else ""
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"sf":"$sfDir"$chaosPart}""")
     spark.stop()
   }
 }
