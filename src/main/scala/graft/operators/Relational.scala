@@ -128,6 +128,27 @@ object Relational {
         .agg(lsumFinal(col("rev")).as("revenue"))
     },
 
+    // LATERAL correlated derived table (top-1-per-group via per-row
+    // subquery) — Catalyst decorrelates it into a window/aggregate plan,
+    // so the per-customer "subquery" never executes row-at-a-time.
+    GraftQuery("q_join_lateral",
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        |WHERE c.c_custkey < 100""".stripMargin) { (s, dir) =>
+      val tt = t(s, dir)
+      tt.customer.createOrReplaceTempView("customer")
+      tt.orders.createOrReplaceTempView("orders")
+      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+              |FROM customer c, LATERAL (
+              |  SELECT o_orderkey, o_totalprice FROM orders
+              |  WHERE o_custkey = c.c_custkey
+              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+              |WHERE c.c_custkey < 100""".stripMargin)
+    },
+
     // ------------------------------------------------------- scan / project
     // TableScan + Projection (translator/scan.rs:11-105, projection.rs:11-119)
     GraftQuery("q_scan_projection",
