@@ -102,7 +102,10 @@ final case class TopCentroids(child: Expression, cents: Array[Array[Double]],
       var best = -1; var bestD = Double.NegativeInfinity
       var j = 0
       while (j < k) {
-        if (!taken(j) && dots(j) > bestD) { bestD = dots(j); best = j }
+        // `best < 0` adopts the first untaken index even when every dot is
+        // NaN (corrupt embedding): NaN > x is always false, which would
+        // otherwise leave best = -1 and crash taken(best) below.
+        if (!taken(j) && (best < 0 || dots(j) > bestD)) { bestD = dots(j); best = j }
         j += 1
       }
       taken(best) = true; out(r) = best

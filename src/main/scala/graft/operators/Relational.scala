@@ -291,11 +291,19 @@ object Relational {
         li.filter(col(key).isNotNull)
           .groupBy(col("l_returnflag"), col(key)).agg(lit(1))
           .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+          .withColumnRenamed("l_returnflag", s"${as}_flag")
       val rows = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+      // Left joins from `rows` with null-safe keys: a group whose distinct
+      // column is entirely NULL (or a NULL flag group) must still appear
+      // with a 0 count, matching count(DISTINCT) semantics.
       rows
-        .join(broadcast(distinctCount("l_partkey", "n_parts")), Seq("l_returnflag"))
-        .join(broadcast(distinctCount("l_suppkey", "n_supps")), Seq("l_returnflag"))
-        .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"))
+        .join(broadcast(distinctCount("l_partkey", "n_parts")),
+          col("l_returnflag") <=> col("n_parts_flag"), "left")
+        .join(broadcast(distinctCount("l_suppkey", "n_supps")),
+          col("l_returnflag") <=> col("n_supps_flag"), "left")
+        .select(col("l_returnflag"),
+          coalesce(col("n_parts"), lit(0L)).as("n_parts"),
+          coalesce(col("n_supps"), lit(0L)).as("n_supps"), col("n_rows"))
     },
 
     GraftQuery("q_agg_having",

@@ -17,10 +17,18 @@ import org.apache.spark.sql.types.StructType
   * Offsets count rows (`indices` pagination only — a continuation token
   * can't be replayed from an arbitrary position, which Spark's recovery
   * contract requires), so a short tail page that later grows is picked up
-  * exactly where it left off. Admission control: `latestOffset` probes one
-  * page beyond the known tail per trigger. Each admitted page-sized row
-  * range is one InputPartition, so a backlogged stream fans out across
-  * executors page-parallel.
+  * exactly where it left off. Admission control: `latestOffset` probes
+  * forward from the known tail until it sees a short page (or hits the
+  * page cap), so a backlogged endpoint catches up multiple pages per
+  * trigger. Each probed page is cached and shipped inside its
+  * InputPartition, so admitted data is fetched from the endpoint exactly
+  * once; only partitions planned without a cached probe (e.g. re-planned
+  * after a driver restart) re-fetch their range.
+  *
+  * Restart recovery: the high-water mark is re-learned from Spark's
+  * checkpoint via `deserializeOffset`/`planInputPartitions` (monotonic
+  * max), so a fresh stream instance never reports an offset below what a
+  * previous run committed — no re-delivery of already-emitted rows.
   *
   * Standard REST-streaming caveat: the endpoint must be append-only at
   * stable offsets for replay to be exact (the same assumption every
@@ -32,17 +40,30 @@ final class RestMicroBatchStream(schema: StructType, opts: RestOptions,
     "streaming REST reads require pagination=indices (replayable offsets)")
 
   @volatile private var knownRows: Long = 0L
+  // Pages fetched by the latestOffset probe, keyed by their row offset and
+  // handed to planInputPartitions so the reader doesn't re-hit the endpoint.
+  private val probed = scala.collection.concurrent.TrieMap[Long, Seq[String]]()
+
+  /** Monotonically advance the high-water mark from checkpointed offsets. */
+  private def advance(rows: Long): Unit = synchronized {
+    if (rows > knownRows) knownRows = rows
+  }
 
   override def initialOffset(): Offset = RestRowOffset(0)
 
   override def latestOffset(): Offset = {
-    // probe one page past the known tail; the endpoint may have grown
-    if (knownRows < opts.maxPages.toLong * opts.pageSize) {
-      val probe = RestClient.rowsOf(
+    // Probe forward from the known tail, one page at a time, until a short
+    // page (tail reached) or the configured page cap. Each full-or-partial
+    // page is cached for the subsequent reader.
+    var growing = true
+    while (growing && knownRows < opts.maxPages.toLong * opts.pageSize) {
+      val page = RestClient.rowsOf(
         RestClient.fetch(opts, params +
           (opts.paramOffset -> knownRows.toString,
             opts.paramLimit -> opts.pageSize.toString)), opts.dataPath)
-      knownRows += probe.size
+      if (page.nonEmpty) probed.put(knownRows, page.map(_.toString))
+      knownRows += page.size
+      growing = page.size >= opts.pageSize
     }
     RestRowOffset(knownRows)
   }
@@ -50,20 +71,37 @@ final class RestMicroBatchStream(schema: StructType, opts: RestOptions,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[RestRowOffset].rows
     val e = end.asInstanceOf[RestRowOffset].rows
+    advance(e) // checkpoint replay after restart: never regress below `end`
     Iterator.iterate(s)(_ + opts.pageSize).takeWhile(_ < e)
-      .map(lo => RestRangePartition(opts, params, lo,
-        math.min(lo + opts.pageSize, e)): InputPartition)
+      .map { lo =>
+        val hi = math.min(lo + opts.pageSize, e)
+        // Only reuse a probe that covers the exact planned range. Spark
+        // re-plans the same batch several times (analysis, physical plan,
+        // execution), so entries must stay until commit() prunes them —
+        // a remove here would starve the planning pass that actually runs.
+        val cached = probed.get(lo).filter(_.size >= (hi - lo))
+          .map(_.take((hi - lo).toInt))
+        RestRangePartition(opts, params, lo, hi, cached): InputPartition
+      }
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RestRangeReaderFactory(schema)
 
-  override def deserializeOffset(json: String): Offset =
-    RestRowOffset(json.replaceAll("[^0-9]", "").toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val rows = json.replaceAll("[^0-9]", "").toLong
+    advance(rows) // restart: adopt the committed high-water mark
+    RestRowOffset(rows)
+  }
 
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def commit(end: Offset): Unit = {
+    // Drop cached probes below the committed offset (skipped/empty batches).
+    val e = end.asInstanceOf[RestRowOffset].rows
+    probed.keys.filter(_ < e).foreach(probed.remove)
+  }
+
+  override def stop(): Unit = probed.clear()
 }
 
 final case class RestRowOffset(rows: Long) extends Offset {
@@ -71,18 +109,23 @@ final case class RestRowOffset(rows: Long) extends Offset {
 }
 
 final case class RestRangePartition(opts: RestOptions,
-    params: Map[String, String], lo: Long, hi: Long) extends InputPartition
+    params: Map[String, String], lo: Long, hi: Long,
+    prefetched: Option[Seq[String]] = None) extends InputPartition
 
 final class RestRangeReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rp = p.asInstanceOf[RestRangePartition]
     new PartitionReader[InternalRow] {
-      private val rows = RestClient.rowsOf(
-        RestClient.fetch(rp.opts, rp.params +
-          (rp.opts.paramOffset -> rp.lo.toString,
-            rp.opts.paramLimit -> (rp.hi - rp.lo).toString)),
-        rp.opts.dataPath).iterator
+      private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      private val rows = rp.prefetched match {
+        case Some(cached) => cached.iterator.map(mapper.readTree)
+        case None => RestClient.rowsOf(
+          RestClient.fetch(rp.opts, rp.params +
+            (rp.opts.paramOffset -> rp.lo.toString,
+              rp.opts.paramLimit -> (rp.hi - rp.lo).toString)),
+          rp.opts.dataPath).iterator
+      }
       private var current: com.fasterxml.jackson.databind.JsonNode = _
       override def next(): Boolean =
         if (rows.hasNext) { current = rows.next(); true } else false

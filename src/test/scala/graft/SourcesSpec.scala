@@ -59,10 +59,12 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // growing append-only feed for the streaming read test
   private val feedRows = new java.util.concurrent.atomic.AtomicInteger(7)
+  private val feedRequests = new ConcurrentLinkedQueue[String]()
 
   private def addFeedContext(): Unit =
     server.createContext("/feed", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        feedRequests.add(ex.getRequestURI.toString)
         val q = Option(ex.getRequestURI.getQuery).getOrElse("")
         val params = q.split("&").filter(_.nonEmpty)
           .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse("")).toMap
@@ -136,9 +138,10 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("rest: streaming micro-batch read ingests a growing endpoint exactly once") {
     addFeedContext()
+    val ckpt = Files.createTempDirectory("graft-rest-ckpt").toString
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("payload", StringType)))
-    val q = spark.readStream
+    def startStream(sink: ConcurrentLinkedQueue[Long]) = spark.readStream
       .format("graft.sources.rest.RestDataSource")
       .schema(schema)
       .option("baseUrl", s"http://localhost:$port/feed")
@@ -147,23 +150,41 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("pageSize", "5")
       .load()
       .writeStream.outputMode("append")
-      .format("memory").queryName("rest_feed")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-rest-ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").collect().foreach(r => sink.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", ckpt)
       .start()
+    feedRequests.clear()
+    val sink1 = new ConcurrentLinkedQueue[Long]()
+    val q = startStream(sink1)
     try {
       q.processAllAvailable()
-      val first = spark.table("rest_feed").select("id")
-        .collect().map(_.getLong(0)).sorted
+      val first = sink1.asScala.toArray.sorted
       assert(first.sameElements(0L until 7L), first.mkString(","))
+      // probe pages are cached and reused by the reader: offset=0 must be
+      // fetched exactly once, not probe+read twice
+      val offset0 = feedRequests.asScala.count(_.contains("offset=0&"))
+      assert(offset0 == 1, s"offset=0 fetched $offset0 times: $feedRequests")
       // the endpoint grows: the short tail page is resumed mid-page, new
       // rows arrive exactly once
       feedRows.set(12)
       q.processAllAvailable()
-      val all = spark.table("rest_feed").select("id")
-        .collect().map(_.getLong(0)).sorted
+      val all = sink1.asScala.toArray.sorted
       assert(all.sameElements(0L until 12L), all.mkString(","))
     } finally q.stop()
+    // restart from the checkpoint with a FRESH stream instance: the
+    // high-water mark must be re-learned from committed offsets, so rows
+    // 0-11 are NOT re-delivered and only the new tail arrives
+    feedRows.set(18)
+    val sink2 = new ConcurrentLinkedQueue[Long]()
+    val q2 = startStream(sink2)
+    try {
+      q2.processAllAvailable()
+      val resumed = sink2.asScala.toArray.sorted
+      assert(resumed.sameElements(12L until 18L),
+        s"restart re-delivered rows: ${resumed.mkString(",")}")
+    } finally q2.stop()
   }
 
   test("rest: 401 without credentials") {
