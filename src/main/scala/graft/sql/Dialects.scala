@@ -1,0 +1,251 @@
+package graft.sql
+
+import org.apache.spark.sql.types._
+import SqlAst._
+
+/** A remote-SQL dialect: identifier quoting, sort/values capabilities,
+  * type names for CAST, and a function-translation mapper. Mirrors the
+  * reference's `Dialect` + `DialectCapabilities` + `TypeMapper` traits
+  * (/root/reference/crates/sql/src/sql_generator/dialect.rs,
+  * dialects/oracle.rs:296-339, dialects/snowflake.rs:118-150).
+  */
+trait SqlDialect {
+  def name: String
+  def identQuote: Char = '"'
+  def supportsNullsFirstInSort: Boolean = true
+  def supportsDistinctOn: Boolean = false
+  def supportsValuesClause: Boolean = true
+  /** Oracle: zero-table selects read FROM DUAL. */
+  def requiresFromDual: Boolean = false
+  def mapper: FunctionMapper = FunctionMapper.empty
+
+  /** Dialect type name for CAST targets; default mapping is ANSI-ish. */
+  def typeName(dt: DataType): String = dt match {
+    case StringType                => "VARCHAR"
+    case LongType | IntegerType |
+         ShortType | ByteType      => "BIGINT"
+    case DoubleType                => "DOUBLE PRECISION"
+    case FloatType                 => "REAL"
+    case BooleanType               => "BOOLEAN"
+    case DateType                  => "DATE"
+    case _: TimestampType          => "TIMESTAMP"
+    case d: DecimalType            => s"NUMERIC(${d.precision}, ${d.scale})"
+    case BinaryType                => "BYTEA"
+    case other =>
+      throw SqlGenError(s"no SQL type mapping for $other in dialect $name")
+  }
+}
+
+/** Raised for anything the generator can't express in the target dialect;
+  * the federation layer catches it and falls back to local execution. */
+final case class SqlGenError(message: String) extends RuntimeException(message)
+
+object PostgresDialect extends SqlDialect {
+  val name = "postgres"
+}
+
+object MySqlDialect extends SqlDialect {
+  val name = "mysql"
+  override def identQuote: Char = '`'
+  override def supportsNullsFirstInSort: Boolean = false
+  override def typeName(dt: DataType): String = dt match {
+    case StringType   => "CHAR"
+    case DoubleType   => "DOUBLE"
+    case BinaryType   => "BLOB"
+    case other        => super.typeName(other)
+  }
+}
+
+object SqliteDialect extends SqlDialect {
+  val name = "sqlite"
+  override def typeName(dt: DataType): String = dt match {
+    case StringType => "TEXT"
+    case DoubleType => "REAL"
+    case BinaryType => "BLOB"
+    case other      => super.typeName(other)
+  }
+}
+
+/** Oracle: NVL/INSTR/SYSTIMESTAMP/LISTAGG surface, `||` concat, VARCHAR2
+  * casts, FROM DUAL. Function rules port oracle.rs:62-294 one-for-one. */
+object OracleDialect extends SqlDialect {
+  val name = "oracle"
+  override def supportsValuesClause: Boolean = false
+  override def requiresFromDual: Boolean = true
+
+  private def arg(args: Seq[SqlExpr], i: Int): SqlExpr =
+    args.lift(i).getOrElse(NullLit)
+
+  private def concatChain(args: Seq[SqlExpr]): SqlExpr =
+    if (args.isEmpty) NullLit
+    else args.reduceLeft((a, b) => BinOp(a, "||", b))
+
+  override val mapper: FunctionMapper = FunctionMapper.empty
+    // NULL handling
+    .rename("coalesce", "NVL")
+    .rename("nullif", "NULLIF")
+    .transform("ifnull")(a => Func("NVL", Seq(arg(a, 0), arg(a, 1))))
+    // strings
+    .rename("length", "LENGTH")
+    .rename("char_length", "LENGTH")
+    .rename("substr", "SUBSTR")
+    .rename("substring", "SUBSTR")
+    .rename("upper", "UPPER")
+    .rename("lower", "LOWER")
+    .rename("trim", "TRIM")
+    .rename("ltrim", "LTRIM")
+    .rename("rtrim", "RTRIM")
+    .transform("concat")(concatChain)
+    .transform("concat_ws") { args =>
+      if (args.length < 2) NullLit
+      else {
+        val sep = args.head
+        args.tail.reduceLeft((a, b) => BinOp(BinOp(a, "||", sep), "||", b))
+      }
+    }
+    .transform("strpos")(a => Func("INSTR", Seq(arg(a, 0), arg(a, 1))))
+    // ANSI position(needle IN haystack) → INSTR(haystack, needle)
+    .transform("position")(a => Func("INSTR", Seq(arg(a, 1), arg(a, 0))))
+    .transform("regexp_replace")(a =>
+      Func("REGEXP_REPLACE", Seq(arg(a, 0), arg(a, 1), arg(a, 2))))
+    .transform("regexp_like")(a => Func("REGEXP_LIKE", Seq(arg(a, 0), arg(a, 1))))
+    // numerics
+    .rename("abs", "ABS")
+    .rename("ceil", "CEIL")
+    .rename("floor", "FLOOR")
+    .rename("round", "ROUND")
+    .rename("trunc", "TRUNC")
+    .rename("mod", "MOD")
+    .rename("power", "POWER")
+    .rename("sqrt", "SQRT")
+    .transform("random")(_ => RawIdent("DBMS_RANDOM", "VALUE"))
+    .transform("rand")(_ => RawIdent("DBMS_RANDOM", "VALUE"))
+    // date/time
+    .transform("current_timestamp")(_ => RawIdent("SYSTIMESTAMP"))
+    .transform("current_date")(_ => RawIdent("SYSDATE"))
+    .transform("now")(_ => RawIdent("SYSTIMESTAMP"))
+    .transform("extract") { a =>
+      val field = a.headOption match {
+        case Some(StringLit(s)) => s.toUpperCase
+        case _                  => "YEAR"
+      }
+      ExtractExpr(field, a.lift(1).getOrElse(RawIdent("SYSDATE")))
+    }
+    .transform("date_part") { a =>
+      val field = a.headOption match {
+        case Some(StringLit(s)) => s.toUpperCase
+        case _                  => "YEAR"
+      }
+      ExtractExpr(field, a.lift(1).getOrElse(RawIdent("SYSDATE")))
+    }
+    .transform("to_date")(a =>
+      Func("TO_DATE", Seq(arg(a, 0),
+        a.lift(1).getOrElse(StringLit("YYYY-MM-DD")))))
+    .transform("to_timestamp") { a =>
+      if (a.length <= 1) Func("TO_TIMESTAMP", Seq(arg(a, 0)))
+      else Func("TO_TIMESTAMP", Seq(arg(a, 0), arg(a, 1)))
+    }
+    .transform("from_unixtime") { a =>
+      val ts = a.headOption.getOrElse(NumberLit("0"))
+      val epoch = Func("TO_DATE", Seq(StringLit("1970-01-01"), StringLit("YYYY-MM-DD")))
+      BinOp(epoch, "+", Nested(BinOp(ts, "/", NumberLit("86400"))))
+    }
+    // aggregates
+    .rename("count", "COUNT")
+    .rename("sum", "SUM")
+    .rename("avg", "AVG")
+    .rename("min", "MIN")
+    .rename("max", "MAX")
+    .transform("string_agg") { a =>
+      val expr = arg(a, 0)
+      val sep = a.lift(1).getOrElse(StringLit(","))
+      Func("LISTAGG", Seq(expr, sep),
+        withinGroup = Seq(SortItem(expr, ascending = true, nullsFirst = None)))
+    }
+
+  override def typeName(dt: DataType): String = dt match {
+    case StringType                           => "VARCHAR2"
+    case LongType | IntegerType | ShortType |
+         ByteType                             => "NUMERIC"
+    case DoubleType                           => "DOUBLE"
+    case FloatType                            => "FLOAT"
+    case BooleanType                          => "NUMERIC(1, 0)"
+    case DateType                             => "DATE"
+    case _: TimestampType                     => "TIMESTAMP"
+    case other                                => super.typeName(other)
+  }
+}
+
+/** Snowflake: LISTAGG/ARRAY_AGG/CURRENT_TIMESTAMP surface; function rules
+  * port snowflake.rs:57-116 one-for-one. */
+object SnowflakeDialect extends SqlDialect {
+  val name = "snowflake"
+
+  private def arg(args: Seq[SqlExpr], i: Int): SqlExpr =
+    args.lift(i).getOrElse(NullLit)
+
+  override val mapper: FunctionMapper = FunctionMapper.empty
+    .rename("length", "LENGTH")
+    .rename("substr", "SUBSTR")
+    .rename("upper", "UPPER")
+    .rename("lower", "LOWER")
+    .rename("trim", "TRIM")
+    .rename("coalesce", "COALESCE")
+    .rename("abs", "ABS")
+    .rename("ceil", "CEIL")
+    .rename("floor", "FLOOR")
+    .rename("round", "ROUND")
+    .rename("concat", "CONCAT")
+    .rename("to_timestamp", "TO_TIMESTAMP")
+    .rename("to_date", "TO_DATE")
+    .rename("nvl", "NVL")
+    .rename("iff", "IFF")
+    .transform("string_agg")(a =>
+      Func("LISTAGG", Seq(arg(a, 0), a.lift(1).getOrElse(StringLit(",")))))
+    .transform("array_agg")(a => Func("ARRAY_AGG", Seq(arg(a, 0))))
+    .transform("current_timestamp")(_ =>
+      Func("CURRENT_TIMESTAMP", Nil, argless = true))
+    .transform("now")(_ => Func("CURRENT_TIMESTAMP", Nil, argless = true))
+    .transform("from_unixtime")(a => Func("TO_TIMESTAMP", Seq(arg(a, 0))))
+
+  override def typeName(dt: DataType): String = dt match {
+    case StringType                           => "VARCHAR"
+    case LongType | IntegerType | ShortType |
+         ByteType                             => "NUMERIC"
+    case DoubleType | FloatType               => "FLOAT"
+    case BooleanType                          => "BOOLEAN"
+    case DateType                             => "DATE"
+    case _: TimestampType                     => "TIMESTAMP"
+    case other                                => super.typeName(other)
+  }
+}
+
+/** Routes a source type string to its translation path — the reference's
+  * four-tier router (/root/reference/crates/sql/src/dialect_router.rs:50-105):
+  * native dialects, custom enterprise dialects, Substrait-capable engines
+  * (binary plans, not SQL text), and local-execution fallback for unknown
+  * sources.
+  */
+object DialectRouter {
+  sealed trait DialectPath
+  final case class Sql(dialect: SqlDialect) extends DialectPath
+  case object Substrait extends DialectPath
+  case object LocalExecution extends DialectPath
+
+  def route(sourceType: String): DialectPath =
+    sourceType.toLowerCase match {
+      case "postgres" | "postgresql" => Sql(PostgresDialect)
+      case "mysql" | "mariadb"       => Sql(MySqlDialect)
+      case "sqlite"                  => Sql(SqliteDialect)
+      case "oracle"                  => Sql(OracleDialect)
+      case "snowflake"               => Sql(SnowflakeDialect)
+      case "duckdb" | "datafusion"   => Substrait
+      case _                         => LocalExecution
+    }
+
+  def isSubstraitSource(sourceType: String): Boolean =
+    route(sourceType) == Substrait
+
+  def isLocalExecution(sourceType: String): Boolean =
+    route(sourceType) == LocalExecution
+}
