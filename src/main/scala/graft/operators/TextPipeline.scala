@@ -413,21 +413,17 @@ object TextPipeline {
     },
 
     // ------------------------------------------------------------ SimHash
-    // Near-dup pairs: bucket on the top 16 simhash bits (map-side key),
-    // join within buckets, rerank by exact hamming distance via the native
-    // graft_hamming64 expression. Same candidate-generation shape as the
-    // MinHash pipeline: the join shuffles only (bucket, id, simhash).
+    // Near-dup pairs via MULTI-BAND candidate generation: four rotated
+    // 16-bit windows of the 32-bit simhash (rotations 0/8/16/24), each a
+    // (band, bucket) key — a near-dup pair is a candidate if ANY window is
+    // flip-free, where the old single-band form (top 16 bits only) missed
+    // every pair with a flip in those bits. Same shuffle discipline as the
+    // MinHash pipeline: the banded exchange carries only (band, bucket,
+    // doc_id, simhash) and is REUSED by both self-join sides; degenerate
+    // buckets are capped before the join; exact graft_hamming64 rerank.
     GraftQuery.unverified("d_simhash_pairs") { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
-      val sigs = simhashes(s, dir).select(col("doc_id"), col("simhash"))
-        .withColumn("bucket", expr("shiftright(simhash, 16)"))
-      val l = sigs.select(col("bucket"), col("doc_id").as("id_a"),
-        col("simhash").as("sim_a"))
-      val r = sigs.select(col("bucket"), col("doc_id").as("id_b"),
-        col("simhash").as("sim_b"))
-      l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          expr("graft_hamming64(sim_a, sim_b)").as("hamming"))
+      simhashCandidates(simhashes(s, dir))
         .filter(col("hamming") <= 10)
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(100)
@@ -454,6 +450,37 @@ object TextPipeline {
       // inferred filters fold away and the signature is computed once.
       .withColumn("simhash", coalesce(expr("graft_simhash32(hashes)"), lit(0L)))
       .select(col("doc_id"), col("simhash"))
+  }
+
+  /** Multi-band SimHash candidate pairs with exact hamming rerank.
+    * Rotations of the 32-bit signature give 4 overlapping 16-bit band
+    * keys; a pair collides when at least one window is flip-free, so
+    * recall degrades gracefully with hamming distance instead of zeroing
+    * out for pairs whose flips hit the top bits. Candidates dedup across
+    * bands BEFORE the (cheap) hamming rerank. Skew guard: buckets larger
+    * than 200 are dropped (boilerplate corpora), the same cap as the
+    * MinHash pipeline. Exposed for the recall spec. */
+  private[graft] def simhashCandidates(sigsIn: DataFrame): DataFrame = {
+    val sigs = sigsIn.select(col("doc_id"), col("simhash"))
+    def bandKey(r: Int) = shiftright(
+      shiftleft(col("simhash"), r * 8)
+        .bitwiseOR(shiftright(col("simhash"), 32 - r * 8))
+        .bitwiseAND(lit(4294967295L)), 16)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(bandKey): _*)).as(Seq("band", "bucket")))
+    val capped = banded.withColumn("bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsize") <= 200).drop("bsize")
+    capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"),
+        col("simhash").as("sim_a"))
+      .join(capped.select(col("band"), col("bucket"),
+        col("doc_id").as("id_b"), col("simhash").as("sim_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b")).distinct()
+      .select(col("id_a"), col("id_b"),
+        expr("graft_hamming64(sim_a, sim_b)").as("hamming"))
   }
 
   /** Hashed 3-word shingles per document via the fused native expression

@@ -121,6 +121,36 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(simDiff < 0.1, s"unrelated docs overlap too high: $simDiff")
   }
 
+  test("multi-band simhash candidates recall vs brute-force hamming pairs") {
+    val sigs = run("d_simhash")
+    val l = sigs.select(col("doc_id").as("ba"), col("simhash").as("sa"))
+    val r = sigs.select(col("doc_id").as("bb"), col("simhash").as("sb"))
+    graft.functions.VectorFunctions.register(spark)
+    val brute = l.crossJoin(r).filter(col("ba") < col("bb"))
+      .select(col("ba"), col("bb"), expr("graft_hamming64(sa, sb)").as("h"))
+      .filter(col("h") <= 2).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getAs[Number](2).longValue)).toMap
+    val cand = graft.operators.TextPipeline.simhashCandidates(sigs)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getAs[Number](2).longValue)).toMap
+    assert(cand.keySet.forall(k => cand(k) >= 0 && cand(k) <= 32))
+    // candidates carry the TRUE hamming distance (rerank is exact)
+    brute.keySet.intersect(cand.keySet).foreach(k => assert(brute(k) == cand(k)))
+    // guarantee band: a pair within hamming 1 always has a flip-free
+    // 16-bit window, so recall there must be PERFECT — the single-band
+    // defect this replaces dropped any pair with its flip in the top bits
+    val within1 = brute.filter(_._2 <= 1).keySet
+    assert(within1.subsetOf(cand.keySet),
+      s"missed ${within1.diff(cand.keySet).size} of ${within1.size} hamming<=1 pairs")
+    // graceful band: two flips exactly 16 apart defeat every 16-bit window
+    // of a 32-bit ring (structural, not a tuning issue), so hamming<=2
+    // recall is high but not 1.0
+    val within2 = brute.keySet
+    val recall2 = if (within2.isEmpty) 1.0
+      else within2.intersect(cand.keySet).size.toDouble / within2.size
+    assert(recall2 >= 0.8, s"hamming<=2 recall too low: $recall2 (${within2.size} true pairs)")
+  }
+
   test("ann bruteforce returns 10 ranked neighbors per query vector") {
     val df = run("s_ann_bruteforce")
     val perQ = df.groupBy("qid").count().collect().map(_.getLong(1))
