@@ -139,11 +139,20 @@ object Extended {
           count(lit(1)).as("exact_parts"))
     },
 
-    // TABLESAMPLE (deterministic seed within Spark; engines differ on
-    // sampling algorithms → rows-only).
-    GraftQuery.unverified("q_tablesample") { (s, dir) =>
-      t(s, dir).lineitem.sample(withReplacement = false, fraction = 0.1, seed = 42)
-        .agg(count(lit(1)).as("n_sampled"))
+    // TABLESAMPLE via hash-based deterministic sampling: keep rows whose
+    // md5 nibble of the primary key is '0' (a 1/16 rate). Unlike seeded
+    // RNG sampling (whose algorithm differs per engine and per partition
+    // layout), the hash cut is reproducible by ANY engine from the data
+    // alone — the same technique as d_stratified_sample — so the sampled
+    // aggregate is fully oracle-verifiable. Map-only at any scale.
+    GraftQuery("q_tablesample",
+      s"""SELECT count(*) AS n_sampled, ${graft.util.Exact.dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM lineitem
+         |WHERE substr(md5(concat(l_orderkey, '-', l_linenumber)), 1, 1) = '0'""".stripMargin) { (s, dir) =>
+      t(s, dir).lineitem
+        .filter(substring(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), 1, 1) === "0")
+        .agg(count(lit(1)).as("n_sampled"),
+          graft.util.Exact.dsum(col("l_quantity"), 2).as("sum_qty"))
     }
   )
 }

@@ -38,11 +38,18 @@ object Multimodal {
     StructField("byte_checksum", LongType, nullable = false)))
 
   /** Stub decoder: in production this is the codec call (image decode,
-    * audio resample, frame sample). Deterministic fake: byte stats. */
+    * audio resample, frame sample). Deterministic fake: byte stats. The
+    * checksum is a polynomial hash MOD 1e9+7 — modular (not wrapping)
+    * arithmetic so any engine with 64-bit ints can recompute it exactly;
+    * Java's silent i64 wraparound is not portable (DuckDB errors on
+    * overflow). */
   def decodeStub(assetId: Long, payload: Array[Byte]): Row = {
     var sum = 0L
     var i = 0
-    while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
+    while (i < payload.length) {
+      sum = (sum * 31 + (payload(i) & 0xff)) % 1000000007L
+      i += 1
+    }
     Row(assetId, payload.length.toLong, if (payload.isEmpty) -1 else payload(0) & 0xff, sum)
   }
 
@@ -64,9 +71,22 @@ object Multimodal {
     },
 
     // Decode/feature-extract pipeline: binary column → mapPartitions batch
-    // decode (stubbed) → typed feature rows. Rows-only check (the stub is
-    // engine-local by design).
-    GraftQuery.unverified("m_decode_features") { (s, dir) =>
+    // decode (stubbed) → typed feature rows. The stub is deterministic
+    // byte arithmetic, so it IS oracle-able: DuckDB recomputes the same
+    // features with list_reduce over the character positions (pure-ASCII
+    // corpus ⇒ byte == char, the same identity m_audio_energy relies on).
+    GraftQuery("m_decode_features",
+      """SELECT doc_id AS asset_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CASE WHEN length(text) = 0 THEN -1
+        |       ELSE ord(substr(text, 1, 1)) END AS first_byte,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, length(text) + 1),
+        |                          p -> CAST(ord(substr(text, p, 1)) AS BIGINT))),
+        |         (acc, b) -> (acc * 31 + b) % 1000000007) END AS byte_checksum
+        |FROM documents""".stripMargin) { (s, dir) =>
       val df = assets(s, dir)
       implicit val enc: ExpressionEncoder[Row] =
         ExpressionEncoder(featureSchema)
@@ -130,8 +150,21 @@ object Multimodal {
 
     // Resize: downsample each payload to a fixed-size thumbnail by evenly
     // spaced byte sampling (the stub stand-in for an image resize kernel).
-    // Same partition-local batch shape as the decoder; rows-only check.
-    GraftQuery.unverified("m_resize") { (s, dir) =>
+    // Same partition-local batch shape as the decoder. Oracled: DuckDB
+    // re-derives the 16 sampled byte positions with list_transform over
+    // range() and rebuilds the thumbnail blob via unhex of the hex string.
+    GraftQuery("m_resize",
+      """WITH hexed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) = 0 THEN ''
+        |         ELSE list_aggregate(
+        |           list_transform(range(0, 16),
+        |             i -> format('{:02x}', ord(substr(text,
+        |                    CAST(i * length(text) // 16 AS INTEGER) + 1, 1)))),
+        |           'string_agg', '') END AS thumb_hex
+        |  FROM documents)
+        |SELECT doc_id AS asset_id, unhex(thumb_hex) AS thumb, thumb_hex
+        |FROM hexed""".stripMargin) { (s, dir) =>
       val df = assets(s, dir)
       implicit val enc: ExpressionEncoder[Row] =
         ExpressionEncoder(thumbSchema)
