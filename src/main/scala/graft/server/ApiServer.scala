@@ -48,6 +48,12 @@ final class ApiServer(
     server.createContext("/api/v1/validate", authed("catalog:read", handleValidate))
     server.createContext("/api/v1/sources", authed("catalog:read", handleSources))
     server.createContext("/api/v1/introspect/", authed("catalog:read", handleIntrospect))
+    server.createContext("/api/v1/run_python", authed("query:execute", handleRunPython))
+    // a real executor (not the single-threaded default): run_python blocks
+    // while its script calls back into THIS server, so serial dispatch
+    // would deadlock the callback behind the handler that spawned it
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      r => { val t = new Thread(r, "graft-api"); t.setDaemon(true); t }))
     server.start()
     server.getAddress.getPort
   }
@@ -231,6 +237,34 @@ final class ApiServer(
     ex.sendResponseHeaders(200, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()
+  }
+
+  /** Agent "Code Mode": execute a script in the sandbox
+    * (reference mcp.py:258-296 `run_python`). The script's engine access
+    * is the injected `graft.sql(...)` callback, which re-enters THIS
+    * server over HTTP with the caller's own bearer token — so every query
+    * a script issues passes the same auth, permission, row-policy, and
+    * injection-guard path as a direct API call. Only stdout/stderr return. */
+  private def handleRunPython(ex: HttpExchange, user: AuthenticatedUser): Unit = {
+    if (ex.getRequestMethod != "POST") { respond(ex, 405, err("POST required")); return }
+    val body = mapper.readTree(ex.getRequestBody)
+    val script = Option(body.get("script")).map(_.asText()).getOrElse("")
+    if (script.isEmpty) { respond(ex, 400, err("missing script")); return }
+    val token = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .getOrElse("").stripPrefix("Bearer ").trim
+    val timeout = Option(body.get("timeout_secs")).map(_.asDouble())
+      .filter(t => t > 0 && t <= 300)
+    val result = ScriptSandbox.run(script,
+      timeoutSecs = timeout.getOrElse(30.0),
+      context = Map(
+        "GRAFT_URL" -> s"http://localhost:${server.getAddress.getPort}",
+        "GRAFT_TOKEN" -> token))
+    val o = mapper.createObjectNode()
+    o.put("stdout", result.stdout)
+    o.put("stderr", result.stderr)
+    o.put("timed_out", result.timedOut)
+    o.put("duration_ms", result.durationMs)
+    respond(ex, 200, o)
   }
 
   // ---------------------------------------------------------------- plumbing

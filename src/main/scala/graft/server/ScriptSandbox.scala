@@ -1,0 +1,163 @@
+package graft.server
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.concurrent.TimeUnit
+
+/** Sandboxed script execution for the agent layer — the "Code Mode" half
+  * of the reference's MCP surface (`run_python`,
+  * /root/reference/python/strake/mcp.py:258-296): an agent submits a
+  * script; the script talks back to the engine through the serving API
+  * (where the prompt-injection guard and permission checks run in agent
+  * mode) and ONLY its stdout is returned.
+  *
+  * Isolation layers, mirroring sandbox/core.py + native.py semantics with
+  * JVM-available mechanisms (no seccomp/Landlock bindings in-process):
+  *
+  *  1. fast-path validation before any process spawns — code-size cap
+  *     (1 MiB) and an import allowlist (core.py ALLOWED_IMPORTS, enforced
+  *     there at AST level + runtime import shim; here as a line scan that
+  *     also rejects `__import__` so the scan can't be trivially dodged);
+  *  2. OS resource limits on the child — address-space and CPU-seconds
+  *     rlimits via `ulimit` in the launching shell (native.py applies the
+  *     same via setrlimit; defaults 512 MiB / 30 s, env-overridable with
+  *     SANDBOX_MEMORY_LIMIT / SANDBOX_TIMEOUT_SECS like native.py:54-67);
+  *  3. wall-clock timeout with a hard kill of the whole process group;
+  *  4. a scrubbed environment — the child sees ONLY an allowlist
+  *     (PATH/HOME/LANG/TZ) plus the explicitly injected GRAFT_* context,
+  *     never the server JVM's environment (native.py pops STRAKE_TOKEN
+  *     etc. for the same reason);
+  *  5. output caps (10 MiB) so a runaway print loop can't exhaust the
+  *     server (core.py MAX_OUTPUT_SIZE).
+  *
+  * The engine callback is injected as a `graft` object in the script
+  * prelude: `graft.sql("SELECT ...")` posts to the ApiServer's
+  * /api/v1/query with the sandbox session's bearer token — the HTTP twin
+  * of the reference's injected `strake` module (core.py's Table proxy).
+  */
+object ScriptSandbox {
+
+  final case class Result(stdout: String, stderr: String, durationMs: Long,
+      timedOut: Boolean) {
+    /** Reference `SandboxResult.to_str`: stderr wins if present. */
+    def toStr: String =
+      if (stderr.nonEmpty) stderr else if (stdout.isEmpty) "(No output)" else stdout
+  }
+
+  val MaxOutputBytes: Int = 10 * 1024 * 1024
+  val MaxCodeBytes: Int = 1024 * 1024
+
+  /** Port of core.py ALLOWED_IMPORTS (minus firecracker-only entries). */
+  val AllowedImports: Set[String] = Set(
+    "pandas", "numpy", "pyarrow", "sklearn", "scipy", "statsmodels",
+    "matplotlib",
+    "json", "math", "statistics", "datetime", "collections", "itertools",
+    "functools", "decimal", "fractions", "re", "string",
+    "typing", "typing_extensions", "abc", "dataclasses", "enum", "__future__",
+    "graft")
+
+  private val ImportLine = """^\s*(?:import|from)\s+([A-Za-z_][\w.]*)""".r
+
+  /** Fast-path validation (before any process spawns). Returns an error
+    * message, or None when the script is admissible. */
+  def validate(script: String): Option[String] = {
+    if (script.getBytes(StandardCharsets.UTF_8).length > MaxCodeBytes)
+      return Some("Security Error: Code size exceeds limit.")
+    if (script.contains("__import__"))
+      return Some("Security Error: Import of '__import__' is not permitted in the sandbox.")
+    script.linesIterator.foreach { line =>
+      ImportLine.findFirstMatchIn(line).foreach { m =>
+        val root = m.group(1).split("\\.")(0)
+        if (!AllowedImports.contains(root))
+          return Some(s"Security Error: Import of '$root' is not permitted in the sandbox.")
+      }
+    }
+    None
+  }
+
+  /** Child environment: allowlisted parent vars + injected context ONLY. */
+  def scrubbedEnv(extra: Map[String, String]): Map[String, String] = {
+    val keep = Seq("PATH", "HOME", "LANG", "LC_ALL", "TZ")
+    val base = keep.flatMap(k => sys.env.get(k).map(k -> _)).toMap
+    base ++ extra + ("PYTHONDONTWRITEBYTECODE" -> "1")
+  }
+
+  /** Prelude injected above the user script (trusted, not subject to the
+    * allowlist): the engine-callback object. */
+  private def prelude: String =
+    """import json as _json, os as _os, urllib.request as _rq
+      |class _Graft:
+      |    def sql(self, q):
+      |        req = _rq.Request(_os.environ["GRAFT_URL"] + "/api/v1/query",
+      |            data=_json.dumps({"sql": q}).encode("utf-8"),
+      |            headers={"Authorization": "Bearer " + _os.environ.get("GRAFT_TOKEN", ""),
+      |                     "Content-Type": "application/json"})
+      |        with _rq.urlopen(req) as r:
+      |            return _json.loads(r.read().decode("utf-8"))
+      |graft = _Graft()
+      |""".stripMargin
+
+  def run(script: String,
+      timeoutSecs: Double = sys.env.get("SANDBOX_TIMEOUT_SECS")
+        .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(30.0),
+      memoryLimitBytes: Long = sys.env.get("SANDBOX_MEMORY_LIMIT")
+        .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(512L * 1024 * 1024),
+      context: Map[String, String] = Map.empty): Result = {
+    validate(script).foreach(msg => return Result("", msg, 0L, timedOut = false))
+
+    val start = System.nanoTime()
+    var file: Path = null
+    try {
+      file = Files.createTempFile("graft-sandbox", ".py")
+      Files.writeString(file, prelude + "\n" + script)
+      val memKb = math.max(memoryLimitBytes / 1024, 64 * 1024)
+      val cpuSecs = math.max(timeoutSecs.ceil.toLong, 1L)
+      // setsid puts the child in its own process group so the kill below
+      // takes helpers with it; ulimits bound address space + CPU seconds.
+      val pb = new ProcessBuilder("setsid", "bash", "-c",
+        s"ulimit -v $memKb; ulimit -t $cpuSecs; exec python3 ${file.toAbsolutePath}")
+      pb.environment().clear()
+      scrubbedEnv(context).foreach { case (k, v) => pb.environment().put(k, v) }
+      val proc = pb.start()
+      proc.getOutputStream.close()
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val pump = Seq(proc.getInputStream -> outBuf, proc.getErrorStream -> errBuf)
+        .map { case (in, buf) =>
+          val t = new Thread(() => {
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            while (n >= 0) {
+              if (buf.size() < MaxOutputBytes)
+                buf.write(chunk, 0, math.min(n, MaxOutputBytes - buf.size()))
+              n = in.read(chunk)
+            }
+          })
+          t.setDaemon(true); t.start(); t
+        }
+      val finished = proc.waitFor((timeoutSecs * 1000).toLong, TimeUnit.MILLISECONDS)
+      if (!finished) {
+        proc.descendants().forEach(h => { h.destroyForcibly(); () })
+        proc.destroyForcibly()
+        proc.waitFor(5, TimeUnit.SECONDS)
+      }
+      pump.foreach(_.join(1000))
+      val ms = (System.nanoTime() - start) / 1000000L
+      val stdout = outBuf.toString(StandardCharsets.UTF_8)
+      val stderr0 = errBuf.toString(StandardCharsets.UTF_8)
+      if (!finished)
+        Result(stdout, "Resource Error: Execution timed out.", ms, timedOut = true)
+      else if (outBuf.size() >= MaxOutputBytes)
+        Result(stdout,
+          s"Resource Error: Output exceeded maximum size of $MaxOutputBytes bytes",
+          ms, timedOut = false)
+      else Result(stdout, stderr0, ms, timedOut = false)
+    } catch {
+      case e: Exception =>
+        Result("", s"Runtime Error: Internal sandbox failure: ${e.getMessage}",
+          (System.nanoTime() - start) / 1000000L, timedOut = false)
+    } finally {
+      if (file != null) { Files.deleteIfExists(file); () }
+    }
+  }
+}

@@ -95,4 +95,57 @@ class AgentLayerSpec extends AnyFunSuite {
     assert(hits.exists(h => h.table == "accounts" && h.column.contains("fld_17")),
       hits.take(5).toString)
   }
+
+  // ------------------------------------------------------ script sandbox
+
+  import graft.server.ScriptSandbox
+
+  test("sandbox: stdout captured, stderr separated") {
+    // sys is not in the import allowlist (reference parity), so stderr
+    // comes from an uncaught exception after the stdout print
+    val r = ScriptSandbox.run("print('out-line')\nraise ValueError('err-line')\n")
+    assert(r.stdout.trim == "out-line", r.toString)
+    assert(r.stderr.contains("err-line"), r.toString)
+    assert(!r.timedOut)
+    // to_str mirrors the reference: stderr wins when present
+    assert(r.toStr.contains("ValueError"))
+  }
+
+  test("sandbox: environment is scrubbed to the allowlist plus context") {
+    val env = ScriptSandbox.scrubbedEnv(Map("GRAFT_URL" -> "http://x"))
+    val allowed = Set("PATH", "HOME", "LANG", "LC_ALL", "TZ",
+      "PYTHONDONTWRITEBYTECODE", "GRAFT_URL")
+    assert(env.keySet.subsetOf(allowed), env.keySet.toString)
+    assert(env("GRAFT_URL") == "http://x")
+    // the JVM's wider environment must NOT leak into the child
+    val leaked = sys.env.keySet -- allowed
+    assert(leaked.forall(k => !env.contains(k)), s"leaked: ${leaked.filter(env.contains)}")
+  }
+
+  test("sandbox: import allowlist enforced, __import__ dodge rejected") {
+    assert(ScriptSandbox.validate("import subprocess").exists(_.contains("subprocess")))
+    assert(ScriptSandbox.validate("from os import path").exists(_.contains("'os'")))
+    assert(ScriptSandbox.validate("x = __import__('os')").exists(_.contains("__import__")))
+    assert(ScriptSandbox.validate("import json\nimport math\n").isEmpty)
+    assert(ScriptSandbox.validate("import pandas.io.common").isEmpty)
+  }
+
+  test("sandbox: code size cap") {
+    val big = "x = 1\n" * 200000 // ~1.2 MB
+    assert(ScriptSandbox.validate(big).exists(_.contains("Code size")))
+  }
+
+  test("sandbox: timeout kills a runaway script and reports it") {
+    val t0 = System.nanoTime()
+    val r = ScriptSandbox.run("while True:\n    pass\n", timeoutSecs = 1.0)
+    assert(r.timedOut)
+    assert(r.stderr.contains("Execution timed out"))
+    assert((System.nanoTime() - t0) / 1e9 < 10)
+  }
+
+  test("sandbox: exit code failures surface python's stderr") {
+    val r = ScriptSandbox.run("raise ValueError('boom')\n")
+    assert(r.stderr.contains("ValueError"), r.toString)
+    assert(!r.timedOut)
+  }
 }

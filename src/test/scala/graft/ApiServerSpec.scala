@@ -165,4 +165,58 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!mapper.readTree(admin).get("plan").asText.contains("o_custkey"))
     assert(mapper.readTree(analyst).get("plan").asText.contains("o_custkey"))
   }
+
+  // -------------------------------------------------- agent "Code Mode"
+
+  private def runPython(script: String, key: String = "admin-key",
+      timeoutSecs: Double = 30.0): com.fasterxml.jackson.databind.JsonNode = {
+    val o = mapper.createObjectNode()
+    o.put("script", script); o.put("timeout_secs", timeoutSecs)
+    val (code, body) = call("/api/v1/run_python", "POST",
+      mapper.writeValueAsString(o), key = key)
+    assert(code == 200, body)
+    mapper.readTree(body)
+  }
+
+  test("run_python: script queries the engine through the callback and prints") {
+    val j = runPython(
+      """r = graft.sql("SELECT count(*) AS n FROM nation")
+        |print(r["rows"][0][0])
+        |""".stripMargin)
+    assert(j.get("stderr").asText == "", j.toString)
+    assert(j.get("stdout").asText.trim == "25", j.toString)
+    assert(!j.get("timed_out").asBoolean)
+  }
+
+  test("run_python: callback queries carry the caller's own policy") {
+    val script =
+      """r = graft.sql("SELECT count(*) AS n FROM orders")
+        |print(r["rows"][0][0])
+        |""".stripMargin
+    val admin = runPython(script).get("stdout").asText.trim.toLong
+    val analyst = runPython(script, key = "analyst-key").get("stdout").asText.trim.toLong
+    assert(analyst < admin, s"RLS must apply inside scripts: $analyst vs $admin")
+  }
+
+  test("run_python: wall-clock timeout kills the script") {
+    val t0 = System.nanoTime()
+    val j = runPython("while True:\n    pass\n", timeoutSecs = 1.5)
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(j.get("timed_out").asBoolean, j.toString)
+    assert(j.get("stderr").asText.contains("Execution timed out"), j.toString)
+    assert(elapsedSec < 15, s"kill took too long: $elapsedSec s")
+  }
+
+  test("run_python: disallowed import rejected before execution") {
+    val j = runPython("import subprocess\nprint('no')\n")
+    assert(j.get("stderr").asText.contains("Import of 'subprocess' is not permitted"), j.toString)
+    assert(j.get("stdout").asText == "")
+  }
+
+  test("run_python: requires query permission") {
+    val o = mapper.createObjectNode(); o.put("script", "print(1)")
+    val (code, _) = call("/api/v1/run_python", "POST",
+      mapper.writeValueAsString(o), key = "noperm-key")
+    assert(code == 403)
+  }
 }
