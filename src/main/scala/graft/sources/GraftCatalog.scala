@@ -81,7 +81,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .flatMap(s => s.tables.map(t => Identifier.of(Array(s.name), t.name)))
       .toArray
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadVersioned(ident, None)
+
+  /** Time travel by snapshot id / tag / branch —
+    * `SELECT ... VERSION AS OF <v>`. Mirrors the reference's
+    * `TableVersionSpec::{SnapshotId, Tag, Branch}`
+    * (/root/reference/crates/connectors/src/sources/iceberg.rs:43-100,
+    * provider.rs version resolution), over the local snapshot log. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadVersioned(ident, Some(SnapshotLog.ByVersion(version)))
+
+  /** Time travel by timestamp — `SELECT ... TIMESTAMP AS OF <t>`; Spark
+    * passes MICROseconds. As-of semantics: the latest snapshot whose
+    * commit time is <= the requested instant (TableVersionSpec::Timestamp,
+    * validated not-in-future like iceberg.rs:70-77). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadVersioned(ident, Some(SnapshotLog.ByTimestamp(timestampMicros / 1000L)))
+
+  private def loadVersioned(ident: Identifier,
+      spec: Option[SnapshotLog.VersionSpec]): Table = {
     val src = fileSources.find(s => ident.namespace.sameElements(Array(s.name)))
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident))
@@ -90,9 +109,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .NoSuchTableException(ident))
     val path = tbl.path.getOrElse(
       throw new IllegalArgumentException(s"table ${tbl.name} needs a path"))
+    val resolved = SnapshotLog.resolve(path, spec)
     // delegate to Spark's native file tables: full pushdown/pruning applies
     org.apache.spark.sql.execution.datasources.v2.GraftFileTables.create(
-      src.sourceType, s"${src.name}.${tbl.name}", Seq(path),
+      src.sourceType, s"${src.name}.${tbl.name}", Seq(resolved),
       tbl.declaredSchema,
       src.options ++ (if (src.sourceType.equalsIgnoreCase("csv"))
         Map("header" -> src.options.getOrElse("header", "true")) else Map.empty))
