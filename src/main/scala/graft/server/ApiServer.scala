@@ -68,7 +68,22 @@ final class ApiServer(
     val sql = Option(body.get("sql")).map(_.asText()).getOrElse("")
     if (sql.isEmpty) { respond(ex, 400, err("missing sql")); return }
     try {
-      val result = engine.executeQuery(sql, user)
+      // optional prepared-statement binding: {"params": {"name": value}}
+      // → typed literals bound by the analyzer (never string-spliced)
+      val params: Map[String, Any] =
+        Option(body.get("params")).filter(_.isObject).map { p =>
+          p.properties().asScala.map { e =>
+            val v = e.getValue
+            val value: Any =
+              if (v.isNull) null
+              else if (v.isIntegralNumber) v.asLong()
+              else if (v.isFloatingPointNumber) v.asDouble()
+              else if (v.isBoolean) v.asBoolean()
+              else v.asText()
+            e.getKey -> value
+          }.toMap
+        }.getOrElse(Map.empty)
+      val result = engine.executeQuery(sql, user, params)
       val rows = result.df.limit(maxRows).collect()
       // agent-context guard: scan string columns of the outgoing rows
       // (reference: per-batch scan before returning to the agent,

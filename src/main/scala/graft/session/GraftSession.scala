@@ -59,7 +59,19 @@ final class GraftSession(
   def queryLog: Seq[QueryLogEntry] = log.synchronized(log.toSeq)
 
   def executeQuery(sql: String,
-      user: AuthenticatedUser = AuthenticatedUser.anonymous): QueryResult = {
+      user: AuthenticatedUser = AuthenticatedUser.anonymous): QueryResult =
+    executeQuery(sql, user, Map.empty[String, Any])
+
+  /** Prepared-statement execution: `sql` with named `:param` markers bound
+    * to `params` at plan time via Spark's parameterized-SQL API — values
+    * bind as typed literals in the analyzer, never by string splicing, so
+    * a parameter can't smuggle SQL (the injection stance of the
+    * reference's prepared-statement path, flight_sql.rs:533-566, where
+    * planQuery returns the schema and bind+execute follow). Full policy
+    * pipeline applies: RLS rewrite, defensive limit, cost gate, cache
+    * (parameter values participate in the cache key via the plan). */
+  def executeQuery(sql: String, user: AuthenticatedUser,
+      params: Map[String, Any]): QueryResult = {
     val warnings = new WarningCollector
     val start = System.currentTimeMillis()
     var cacheHit = false
@@ -67,7 +79,7 @@ final class GraftSession(
     try {
       RowPolicyRule_setUser(user)
       val result = budget { () =>
-        var df = spark.sql(sql)
+        var df = if (params.isEmpty) spark.sql(sql) else spark.sql(sql, params)
         // defensive limit (decided on the analyzed plan, applied via API)
         if (config.defensiveLimit > 0 &&
           (limitRule(df.queryExecution.analyzed) ne df.queryExecution.analyzed)) {

@@ -213,6 +213,36 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.get("stdout").asText == "")
   }
 
+  test("prepared statement: named parameters bind as typed literals") {
+    val (code, body) = call("/api/v1/query", "POST",
+      """{"sql": "SELECT n_name FROM nation WHERE n_nationkey = :key",
+        | "params": {"key": 3}}""".stripMargin)
+    assert(code == 200, body)
+    val j = mapper.readTree(body)
+    assert(j.get("rows").size() == 1)
+    assert(j.get("rows").get(0).get(0).asText.nonEmpty)
+  }
+
+  test("prepared statement: parameter values cannot smuggle SQL") {
+    // a malicious value binds as a STRING literal, not as SQL text
+    val (code, body) = call("/api/v1/query", "POST",
+      """{"sql": "SELECT count(*) AS n FROM nation WHERE n_name = :name",
+        | "params": {"name": "x' OR '1'='1"}}""".stripMargin)
+    assert(code == 200, body)
+    assert(mapper.readTree(body).get("rows").get(0).get(0).asLong == 0,
+      "injection-shaped value must match nothing")
+  }
+
+  test("prepared statement: same SQL, different bindings, different results") {
+    def n(key: Long): Long = {
+      val (_, body) = call("/api/v1/query", "POST",
+        s"""{"sql": "SELECT count(*) AS n FROM orders WHERE o_custkey < :k",
+           | "params": {"k": $key}}""".stripMargin)
+      mapper.readTree(body).get("rows").get(0).get(0).asLong
+    }
+    assert(n(5) < n(500))
+  }
+
   test("run_python: requires query permission") {
     val o = mapper.createObjectNode(); o.put("script", "print(1)")
     val (code, _) = call("/api/v1/run_python", "POST",
