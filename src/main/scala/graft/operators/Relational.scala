@@ -141,10 +141,17 @@ object Relational {
       val tt = t(s, dir)
       tt.customer.createOrReplaceTempView("customer")
       tt.orders.createOrReplaceTempView("orders")
+      // The uncorrelated `o_custkey < 100` copy of the outer domain filter
+      // is semantically redundant (implied by the equality + outer WHERE)
+      // but load-bearing at scale: Catalyst only INFERS it above the
+      // decorrelated window, after the full orders table has been sorted
+      // and shuffled; stated inside the lateral it reaches the parquet
+      // scan as a pushed filter, so the top-1-per-customer window only
+      // ever sees the 100-customer slice. (PlanShapeSpec pins this.)
       s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
               |FROM customer c, LATERAL (
               |  SELECT o_orderkey, o_totalprice FROM orders
-              |  WHERE o_custkey = c.c_custkey
+              |  WHERE o_custkey = c.c_custkey AND o_custkey < 100
               |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
               |WHERE c.c_custkey < 100""".stripMargin)
     },

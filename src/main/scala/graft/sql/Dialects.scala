@@ -19,6 +19,15 @@ trait SqlDialect {
   def requiresFromDual: Boolean = false
   def mapper: FunctionMapper = FunctionMapper.empty
 
+  /** Render LIMIT/OFFSET; ANSI engines without LIMIT override with
+    * OFFSET ... ROWS / FETCH NEXT ... ROWS ONLY. Rendered AFTER ORDER BY. */
+  def renderLimitOffset(limit: Option[String], offset: Option[String]): String = {
+    val sb = new StringBuilder
+    limit.foreach(l => sb.append(" LIMIT ").append(l))
+    offset.foreach(o => sb.append(" OFFSET ").append(o))
+    sb.toString
+  }
+
   /** Dialect type name for CAST targets; default mapping is ANSI-ish. */
   def typeName(dt: DataType): String = dt match {
     case StringType                => "VARCHAR"
@@ -61,6 +70,30 @@ object SqliteDialect extends SqlDialect {
   override def typeName(dt: DataType): String = dt match {
     case StringType => "TEXT"
     case DoubleType => "REAL"
+    case BinaryType => "BLOB"
+    case other      => super.typeName(other)
+  }
+}
+
+/** Apache Derby: ANSI FETCH-style limits, no LIMIT keyword. Not in the
+  * reference's router (it has no Derby source) — included here because it
+  * is the one dialect this repo can EXECUTE against offline, turning the
+  * generator's string tests into a live differential proof
+  * (SqlGenExecSpec). */
+object DerbyDialect extends SqlDialect {
+  val name = "derby"
+  override def supportsValuesClause: Boolean = false
+  override def renderLimitOffset(limit: Option[String],
+      offset: Option[String]): String = {
+    // ANSI order: OFFSET precedes FETCH
+    val sb = new StringBuilder
+    offset.foreach(o => sb.append(" OFFSET ").append(o).append(" ROWS"))
+    limit.foreach(l => sb.append(" FETCH NEXT ").append(l).append(" ROWS ONLY"))
+    sb.toString
+  }
+  override def typeName(dt: DataType): String = dt match {
+    case StringType => "VARCHAR(32672)"
+    case DoubleType => "DOUBLE"
     case BinaryType => "BLOB"
     case other      => super.typeName(other)
   }
@@ -239,6 +272,7 @@ object DialectRouter {
       case "sqlite"                  => Sql(SqliteDialect)
       case "oracle"                  => Sql(OracleDialect)
       case "snowflake"               => Sql(SnowflakeDialect)
+      case "derby"                   => Sql(DerbyDialect)
       case "duckdb" | "datafusion"   => Substrait
       case _                         => LocalExecution
     }

@@ -88,8 +88,7 @@ final class SqlGenerator(val dialect: SqlDialect) {
       s.having.foreach(h => sb.append(" HAVING ").append(h.render))
       if (s.orderBy.nonEmpty)
         sb.append(" ORDER BY ").append(s.orderBy.map(_.render).mkString(", "))
-      s.limit.foreach(l => sb.append(" LIMIT ").append(l.render))
-      s.offset.foreach(o => sb.append(" OFFSET ").append(o.render))
+      sb.append(dialect.renderLimitOffset(s.limit.map(_.render), s.offset.map(_.render)))
       sb.toString
   }
 

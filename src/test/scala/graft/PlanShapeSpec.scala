@@ -93,6 +93,15 @@ class PlanShapeSpec extends AnyFunSuite {
         s"vector column in shuffle key list: $e"))
   }
 
+  test("lateral join: the outer domain filter reaches the orders scan") {
+    // without the in-lateral copy of the domain predicate, Catalyst only
+    // infers o_custkey < 100 ABOVE the decorrelated window — the whole
+    // orders table would sort+shuffle before 99.9% of groups are dropped
+    val p = plan("q_join_lateral")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(o_custkey,100\\)".r
+      .findFirstIn(p).isDefined, s"o_custkey filter not pushed:\n$p")
+  }
+
   test("whole-stage codegen covers the hot path") {
     // AQE-wrapped plans only annotate codegen ids after execution, so
     // probe shuffle-free (non-AQE) plans: the map-only pipelines whose
