@@ -62,9 +62,18 @@ final class SqlGenerator(val dialect: SqlDialect) {
       limit.isEmpty && offset.isEmpty
   }
 
+  // CTE registry: id → (name, declared column names); SQL accumulates in
+  // definition order, `recursive` flips the WITH keyword.
+  private val cteNames = scala.collection.mutable.Map.empty[Long, (String, Seq[String])]
+  private val cteSqls = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var cteRecursive = false
+
   def generate(plan: LogicalPlan): String = {
     relCounter = 0
-    render(build(plan, 0))
+    cteNames.clear(); cteSqls.clear(); cteRecursive = false
+    val body = render(build(plan, 0))
+    if (cteSqls.isEmpty) body
+    else s"WITH ${if (cteRecursive) "RECURSIVE " else ""}${cteSqls.mkString(", ")} $body"
   }
 
   // ------------------------------------------------------------- rendering
@@ -107,9 +116,15 @@ final class SqlGenerator(val dialect: SqlDialect) {
       throw SqlGenError(s"Maximum recursion depth ($MaxDepth) exceeded")
     plan match {
 
-      // base table: an aliased leaf (temp view, catalog table, JDBC scan)
+      // base table: an aliased leaf (temp view, catalog table, JDBC scan);
+      // a CTE or recursive self-reference keeps its CTE name — user
+      // aliases are systematic rel_N anyway
       case SubqueryAlias(ident, child) if isLeafish(child) =>
-        baseTable(ident.name, plan.output)
+        leafOf(child) match {
+          case Some(r: CTERelationRef) => build(r, depth + 1)
+          case Some(lr: UnionLoopRef)  => build(lr, depth + 1)
+          case _ => baseTable(ident.name, plan.output)
+        }
 
       // user alias over something else: systematic aliases replace user
       // aliases (reference translator does the same with rel_N)
@@ -205,10 +220,82 @@ final class SqlGenerator(val dialect: SqlDialect) {
 
       case lr: LocalRelation => localRelation(lr)
 
+      case _: OneRowRelation =>
+        Sel(Nil, Map.empty,
+          fromSql = if (dialect.requiresFromDual) "DUAL" else "",
+          joinable = false)
+
+      // WITH ... AS (...): register each definition, then build the main
+      // plan; refs render as named relations (reference translator CTE
+      // scopes, set_ops.rs recursive path)
+      case wc: WithCTE =>
+        wc.cteDefs.foreach {
+          case d: CTERelationDef => registerCte(d, depth)
+          case other => throw SqlGenError(s"unexpected CTE def ${other.nodeName}")
+        }
+        build(wc.plan, depth + 1)
+
+      case r: CTERelationRef =>
+        val (name, cols) = cteNames.getOrElse(r.cteId,
+          throw SqlGenError(s"unresolved CTE reference ${r.cteId}"))
+        namedRelation(name, r.output, cols)
+
+      case lr: UnionLoopRef =>
+        val (name, cols) = cteNames.getOrElse(lr.loopId,
+          throw SqlGenError(s"recursive self-reference outside its CTE (loop ${lr.loopId})"))
+        namedRelation(name, lr.output, cols)
+
       case other =>
         throw SqlGenError(
           s"unsupported operator for remote SQL generation: ${other.nodeName}")
     }
+  }
+
+  /** A named relation (CTE or recursive self-reference) exposed under a
+    * fresh rel alias; the ref's fresh ExprIds map positionally onto the
+    * declared column names. */
+  private def namedRelation(name: String, refOutput: Seq[Attribute],
+      cols: Seq[String]): Sel = {
+    val alias = nextRel()
+    val out = refOutput.zip(cols).map { case (a, c) => Out(a.exprId, c, q(alias, c)) }
+    Sel(out, out.map(o => o.id -> o.expr).toMap,
+      s"${q(name).render} AS ${q(alias).render}", joinable = true)
+  }
+
+  private def registerCte(d: CTERelationDef, depth: Int): Unit = {
+    val (name, inner) = d.child match {
+      case SubqueryAlias(ident, c) => (ident.name, c)
+      case c                       => (s"cte_${d.id}", c)
+    }
+    val declared = d.output.map(_.name)
+    // recursive definitions contain a UnionLoop under optional renames
+    findUnionLoop(inner) match {
+      case Some(loop) =>
+        cteRecursive = true
+        cteNames(d.id) = (name, declared)
+        cteNames(loop.id) = (name, declared) // UnionLoopRef keys on loop id
+        val anchor = renameOut(build(loop.anchor, depth + 1), declared)
+        val rec = renameOut(build(loop.recursion, depth + 1), declared)
+        val colList = declared.map(c => q(c).render).mkString(", ")
+        cteSqls += s"${q(name).render} ($colList) AS (${render(anchor)} UNION ALL ${render(rec)})"
+      case None =>
+        val sel = build(inner, depth + 1)
+        cteNames(d.id) = (name, sel.out.map(_.name))
+        cteSqls += s"${q(name).render} AS (${render(sel)})"
+    }
+  }
+
+  /** Force a block's output names positionally (CTE column lists name the
+    * columns; branch-local names like `(i + 1)` are not identifiers). */
+  private def renameOut(s: Sel, names: Seq[String]): Sel =
+    s.copy(out = s.out.zip(names).map { case (o, n) => o.copy(name = n) },
+      projected = true)
+
+  private def findUnionLoop(p: LogicalPlan): Option[UnionLoop] = p match {
+    case ul: UnionLoop          => Some(ul)
+    case Project(_, c)          => findUnionLoop(c)
+    case SubqueryAlias(_, c)    => findUnionLoop(c)
+    case _                      => None
   }
 
   private def distinctOf(child: LogicalPlan, depth: Int): Sel = child match {
@@ -316,6 +403,13 @@ final class SqlGenerator(val dialect: SqlDialect) {
     case SubqueryAlias(_, c) => isLeafish(c)
     case _: LeafNode       => true
     case _                 => false
+  }
+
+  private def leafOf(p: LogicalPlan): Option[LogicalPlan] = p match {
+    case SubqueryAlias(_, c) => leafOf(c)
+    case v: View             => Some(v)
+    case leaf: LeafNode      => Some(leaf)
+    case _                   => None
   }
 
   // ------------------------------------------------------- expressions

@@ -96,6 +96,22 @@ class AgentLayerSpec extends AnyFunSuite {
       hits.take(5).toString)
   }
 
+  test("schema search: synonym-level recall without exact token overlap") {
+    Tables(spark, sf).registerAll()
+    // "client attrition likelihood" shares NO token with
+    // "churn risk score from the retention model" — synonyms must carry it
+    val syn = SchemaSearch.search(spark, "client attrition likelihood")
+    assert(syn.exists(h => h.table == "accounts" && h.column.contains("fld_17")),
+      syn.take(5).toString)
+    // "vendor" → supplier table, no shared tokens or substrings
+    val vendor = SchemaSearch.search(spark, "vendor")
+    assert(vendor.exists(_.table == "supplier"), vendor.take(5).toString)
+    // trigram affinity: morphological variant with no synonym entry
+    val ship = SchemaSearch.search(spark, "shipdate")
+    assert(ship.exists(h => h.column.exists(_.contains("shipdate"))),
+      ship.take(5).toString)
+  }
+
   // ------------------------------------------------------ script sandbox
 
   import graft.server.ScriptSandbox

@@ -338,6 +338,31 @@ class SqlGenSpec extends AnyFunSuite {
     assert(sql.contains("WHERE \"rel_1\".\"rn\" = 1"), sql)
   }
 
+  test("generator: multi-referenced CTE renders WITH and named refs") {
+    users // ensure view exists
+    val df = spark.sql(
+      """WITH big AS (SELECT id, name FROM sqlgen_users WHERE id > 0)
+        |SELECT a.id, b.name FROM big a JOIN big b ON a.id = b.id""".stripMargin)
+    val sql = pgDf(df)
+    assert(sql.startsWith("""WITH "big" AS (SELECT"""), sql)
+    assert(sql.contains(""""big" AS "rel_"""), sql)
+    // the definition body renders once; both join sides reference it
+    assert("\"big\" AS \"rel_".r.findAllIn(sql).length == 2, sql)
+  }
+
+  test("generator: recursive CTE renders WITH RECURSIVE + UNION ALL") {
+    // mirrors end_to_end.rs test_recursive_query_generation
+    val df = spark.sql(
+      """WITH RECURSIVE recc(i) AS (
+        |  SELECT 1 UNION ALL SELECT i + 1 FROM recc WHERE i < 10)
+        |SELECT i FROM recc""".stripMargin)
+    val sql = pgDf(df)
+    assert(sql.contains("WITH RECURSIVE"), sql)
+    assert(sql.contains("UNION ALL"), sql)
+    assert(sql.contains("recc"), sql)
+    assert(sql.contains("""("i") AS ("""), sql)
+  }
+
   // --------------------------------------------------------------- router
 
   test("router: native, custom, substrait, fallback tiers") {
