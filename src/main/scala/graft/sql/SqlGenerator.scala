@@ -216,6 +216,14 @@ final class SqlGenerator(val dialect: SqlDialect) {
 
       case u: Union => setOp(u.children, "UNION ALL", depth, u.output)
 
+      case i: Intersect =>
+        setOp(Seq(i.left, i.right),
+          if (i.isAll) "INTERSECT ALL" else "INTERSECT", depth, i.output)
+
+      case e: Except =>
+        setOp(Seq(e.left, e.right),
+          if (e.isAll) "EXCEPT ALL" else "EXCEPT", depth, e.output)
+
       case j: Join => join(j, depth)
 
       case lr: LocalRelation => localRelation(lr)
@@ -498,9 +506,30 @@ final class SqlGenerator(val dialect: SqlDialect) {
       case agg: AggregateExpression => aggregate(agg, env, node)
       case we: WindowExpression     => window(we, env, node)
 
+      // uncorrelated subquery expressions render inline; correlated ones
+      // would need the enclosing scope pushed into the subplan — refused,
+      // matching the reference unparser's surface
+      case sq: ScalarSubquery =>
+        requireUncorrelated(sq.outerAttrs, "scalar subquery")
+        Nested(RawSql(render(build(sq.plan, MaxDepth - 10))))
+      case ex: Exists =>
+        requireUncorrelated(ex.outerAttrs, "EXISTS subquery")
+        RawSql(s"EXISTS (${render(build(ex.plan, MaxDepth - 10))})")
+      case in: InSubquery =>
+        requireUncorrelated(in.query.outerAttrs, "IN subquery")
+        val v = in.values.map(t) match {
+          case Seq(single) => single
+          case many => Nested(RawSql(many.map(_.render).mkString(", ")))
+        }
+        BinOp(v, "IN", Nested(RawSql(render(build(in.query.plan, MaxDepth - 10)))))
+
       case fn => function(fn, env, node)
     }
   }
+
+  private def requireUncorrelated(outer: Seq[Expression], what: String): Unit =
+    if (outer.nonEmpty)
+      throw SqlGenError(s"correlated $what cannot be rendered as standalone SQL")
 
   private def isNumeric(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |

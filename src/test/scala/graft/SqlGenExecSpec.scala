@@ -146,4 +146,52 @@ class SqlGenExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy().agg(count(lit(1)).as("n"), avg(col("score")).as("avg_score"))
     check(df)
   }
+
+  test("exec: whole-subplan federation pushes a join+aggregate as one SQL") {
+    val sub = users.join(orders, col("id") === col("user_id"))
+      .groupBy(col("name")).agg(sum(col("amount")).as("total"))
+    val pushed = FederatedQuery.viaJdbc(spark, sub, "derby", url).get
+    // the remote result equals Spark executing the same plan locally
+    assert(sparkRows(pushed).sortBy(_.mkString("|")) ==
+      sparkRows(sub).sortBy(_.mkString("|")))
+    // and the Spark-side plan over the pushed read is a bare JDBC scan —
+    // the join/aggregate ran remotely
+    val plan = pushed.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate") && !plan.contains("Join"), plan)
+  }
+
+  test("exec: federation falls back to None for sources without a dialect") {
+    assert(FederatedQuery.viaJdbc(spark, users, "unknown_engine", url).isEmpty)
+  }
+
+  test("exec: randomized differential fuzz — 40 generated plans match Derby") {
+    val rnd = new scala.util.Random(20260812)
+    val numCols = Seq("id", "score")
+    val cmps = Seq[(org.apache.spark.sql.Column, Double) => org.apache.spark.sql.Column](
+      (c, v) => c > v, (c, v) => c >= v, (c, v) => c < v,
+      (c, v) => c <= v, (c, v) => c === v, (c, v) => c =!= v)
+    def leaf(): org.apache.spark.sql.Column = {
+      val c = col(numCols(rnd.nextInt(numCols.length)))
+      val v = BigDecimal(rnd.nextDouble() * 10).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      cmps(rnd.nextInt(cmps.length))(c, v)
+    }
+    def pred(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0 || rnd.nextBoolean()) leaf()
+      else if (rnd.nextBoolean()) pred(depth - 1) && pred(depth - 1)
+      else pred(depth - 1) || pred(depth - 1)
+    (1 to 40).foreach { i =>
+      val base = users.filter(pred(2))
+      val projected =
+        if (rnd.nextBoolean()) base.select(col("id"), col("name"))
+        else base
+      val shaped =
+        if (rnd.nextBoolean())
+          projected.orderBy(col("id")).limit(1 + rnd.nextInt(5))
+        else projected
+      val ordered = shaped.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.GlobalLimit]
+      withClue(s"fuzz case $i: ") { check(shaped, ordered = ordered) }
+    }
+  }
 }

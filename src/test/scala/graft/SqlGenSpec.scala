@@ -363,6 +363,38 @@ class SqlGenSpec extends AnyFunSuite {
     assert(sql.contains("""("i") AS ("""), sql)
   }
 
+  test("generator: INTERSECT and EXCEPT render with ALL variants") {
+    assert(pgDf(users.select("id").intersect(orders.select("user_id")))
+      .contains(" INTERSECT "))
+    assert(pgDf(users.select("id").exceptAll(orders.select("user_id")))
+      .contains(" EXCEPT ALL "))
+  }
+
+  test("generator: uncorrelated subquery expressions render inline") {
+    users; orders
+    val in = pgDf(spark.sql(
+      """SELECT id FROM sqlgen_users
+        |WHERE id IN (SELECT user_id FROM sqlgen_orders)""".stripMargin))
+    assert(in.contains("IN (SELECT"), in)
+    val exists = pgDf(spark.sql(
+      """SELECT id FROM sqlgen_users
+        |WHERE EXISTS (SELECT 1 FROM sqlgen_orders WHERE user_id = 1)""".stripMargin))
+    assert(exists.contains("EXISTS (SELECT"), exists)
+    val scalar = pgDf(spark.sql(
+      """SELECT id, (SELECT max(user_id) FROM sqlgen_orders) AS mx
+        |FROM sqlgen_users""".stripMargin))
+    assert(scalar.contains("(SELECT MAX("), scalar)
+  }
+
+  test("generator: correlated subqueries are refused") {
+    users; orders
+    val df = spark.sql(
+      """SELECT id FROM sqlgen_users u
+        |WHERE EXISTS (SELECT 1 FROM sqlgen_orders o WHERE o.user_id = u.id)""".stripMargin)
+    val e = intercept[SqlGenError](pgDf(df))
+    assert(e.getMessage.contains("correlated"), e.getMessage)
+  }
+
   // --------------------------------------------------------------- router
 
   test("router: native, custom, substrait, fallback tiers") {
