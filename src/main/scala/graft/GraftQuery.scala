@@ -25,4 +25,26 @@ object GraftQuery {
   def unverified(name: String)(
       run: (SparkSession, String) => DataFrame): GraftQuery =
     GraftQuery(name, run, None)
+
+  /** Run SQL against per-invocation temp views: each `{name}` placeholder
+    * binds to a UNIQUE view over the given DataFrame, so query builders
+    * never clobber a shared SparkSession's global temp views (two serving
+    * sessions building the same query concurrently would otherwise race
+    * on `createOrReplaceTempView("orders")`). The views are dropped again
+    * once the plan is analyzed — the resolved relations live inside the
+    * plan, not the catalog. */
+  def sqlOn(s: SparkSession, tables: Map[String, DataFrame],
+      sql: String): DataFrame = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val viewNames = tables.keys.map(n => n -> s"graft_${n}_$suffix").toMap
+    viewNames.foreach { case (n, vn) => tables(n).createOrReplaceTempView(vn) }
+    try {
+      val text = viewNames.foldLeft(sql) { case (acc, (n, vn)) =>
+        acc.replace("{" + n + "}", vn)
+      }
+      val df = s.sql(text)
+      df.queryExecution.analyzed // force resolution before the views drop
+      df
+    } finally viewNames.values.foreach(s.catalog.dropTempView)
+  }
 }

@@ -14,8 +14,11 @@ object Extended {
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
-  private def withViews(s: SparkSession, dir: String, names: String*): Unit =
-    names.foreach(n => t(s, dir).load(n).createOrReplaceTempView(n))
+  /** SQL over per-invocation views: `{name}` placeholders bind unique
+    * temp views so concurrent sessions never race on shared view names. */
+  private def sqlOn(s: SparkSession, dir: String, sql: String,
+      names: String*) =
+    graft.GraftQuery.sqlOn(s, names.map(n => n -> t(s, dir).load(n)).toMap, sql)
 
   val defs: Seq[GraftQuery] = Seq(
 
@@ -49,13 +52,13 @@ object Extended {
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |  AND NOT EXISTS (SELECT 1 FROM orders o2
         |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin) { (s, dir) =>
-      withViews(s, dir, "customer", "orders")
-      s.sql(
-        """SELECT c_custkey, c_name FROM customer c
-          |WHERE EXISTS (SELECT 1 FROM orders o
+      sqlOn(s, dir,
+        """SELECT c_custkey, c_name FROM {customer} c
+          |WHERE EXISTS (SELECT 1 FROM {orders} o
           |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
-          |  AND NOT EXISTS (SELECT 1 FROM orders o2
-          |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin)
+          |  AND NOT EXISTS (SELECT 1 FROM {orders} o2
+          |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin,
+        "customer", "orders")
     },
 
     // Expression limits (reference unparser handles e.g. `LIMIT 10+5`,
@@ -64,8 +67,8 @@ object Extended {
     // reference applies.
     GraftQuery("q_limit_expr",
       "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10+5") { (s, dir) =>
-      withViews(s, dir, "orders")
-      s.sql("SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10+5")
+      sqlOn(s, dir,
+        "SELECT o_orderkey FROM {orders} ORDER BY o_orderkey LIMIT 10+5", "orders")
     },
 
     // Lateral explode (UNNEST): word frequencies over documents.
@@ -89,14 +92,13 @@ object Extended {
         |  percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_cont,
         |  mode(l_linestatus) AS common_status
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-      withViews(s, dir, "lineitem")
-      s.sql(
+      sqlOn(s, dir,
         """SELECT l_returnflag,
           |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_disc,
           |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_cont,
           |  percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_cont,
           |  mode(l_linestatus) AS common_status
-          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+          |FROM {lineitem} GROUP BY l_returnflag""".stripMargin, "lineitem")
     },
 
     // Regexp extraction (group capture) — same function name/semantics in
@@ -117,12 +119,11 @@ object Extended {
         |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
         |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n_trailing_30d
         |FROM orders WHERE o_custkey < 30""".stripMargin) { (s, dir) =>
-      withViews(s, dir, "orders")
-      s.sql(
+      sqlOn(s, dir,
         """SELECT o_custkey, o_orderkey,
           |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
           |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n_trailing_30d
-          |FROM orders WHERE o_custkey < 30""".stripMargin)
+          |FROM {orders} WHERE o_custkey < 30""".stripMargin, "orders")
     },
 
     // HLL sketch (extension beyond the reference — SURVEY.md §2.2 notes

@@ -139,8 +139,6 @@ object Relational {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
         |WHERE c.c_custkey < 100""".stripMargin) { (s, dir) =>
       val tt = t(s, dir)
-      tt.customer.createOrReplaceTempView("customer")
-      tt.orders.createOrReplaceTempView("orders")
       // The uncorrelated `o_custkey < 100` copy of the outer domain filter
       // is semantically redundant (implied by the equality + outer WHERE)
       // but load-bearing at scale: Catalyst only INFERS it above the
@@ -148,12 +146,14 @@ object Relational {
       // and shuffled; stated inside the lateral it reaches the parquet
       // scan as a pushed filter, so the top-1-per-customer window only
       // ever sees the 100-customer slice. (PlanShapeSpec pins this.)
-      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-              |FROM customer c, LATERAL (
-              |  SELECT o_orderkey, o_totalprice FROM orders
-              |  WHERE o_custkey = c.c_custkey AND o_custkey < 100
-              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
-              |WHERE c.c_custkey < 100""".stripMargin)
+      GraftQuery.sqlOn(s,
+        Map("customer" -> tt.customer, "orders" -> tt.orders),
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM {customer} c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM {orders}
+          |  WHERE o_custkey = c.c_custkey AND o_custkey < 100
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+          |WHERE c.c_custkey < 100""".stripMargin)
     },
 
     // ------------------------------------------------------- scan / project
@@ -355,14 +355,13 @@ object Relational {
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, dir) =>
       val tt = t(s, dir)
-      tt.lineitem.createOrReplaceTempView("lineitem")
       // two-phase (see q_agg_rollup); grouping() flags depend only on the
       // grouping set, so they survive the pre-aggregation unchanged
-      s.sql(
+      GraftQuery.sqlOn(s, Map("lineitem" -> tt.lineitem),
         """WITH base AS (
           |  SELECT l_returnflag, l_linestatus,
           |         sum(CAST(l_quantity AS DECIMAL(18,6))) AS pq
-          |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+          |  FROM {lineitem} GROUP BY l_returnflag, l_linestatus)
           |SELECT l_returnflag, l_linestatus, grouping(l_returnflag) AS g_rf,
           |       CAST(sum(pq) AS DOUBLE) AS sum_qty
           |FROM base
@@ -640,9 +639,9 @@ object Relational {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)""".stripMargin) { (s, dir) =>
       val tt = t(s, dir)
-      tt.orders.createOrReplaceTempView("orders")
-      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
-              |WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)""".stripMargin)
+      GraftQuery.sqlOn(s, Map("orders" -> tt.orders),
+        """SELECT o_orderkey, o_totalprice FROM {orders}
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM {orders})""".stripMargin)
     },
 
     GraftQuery("q_subquery_in",
@@ -650,11 +649,11 @@ object Relational {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
         |  AND o_totalprice > 100000""".stripMargin) { (s, dir) =>
       val tt = t(s, dir)
-      tt.orders.createOrReplaceTempView("orders")
-      tt.customer.createOrReplaceTempView("customer")
-      s.sql("""SELECT o_orderkey FROM orders
-              |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
-              |  AND o_totalprice > 100000""".stripMargin)
+      GraftQuery.sqlOn(s,
+        Map("orders" -> tt.orders, "customer" -> tt.customer),
+        """SELECT o_orderkey FROM {orders}
+          |WHERE o_custkey IN (SELECT c_custkey FROM {customer} WHERE c_acctbal < 0)
+          |  AND o_totalprice > 100000""".stripMargin)
     },
 
     // Pivot (Spark-side convenience; oracle via conditional aggregation)
