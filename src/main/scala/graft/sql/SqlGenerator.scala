@@ -55,7 +55,8 @@ final class SqlGenerator(val dialect: SqlDialect) {
       orderBy: Seq[SortItem] = Nil,
       limit: Option[SqlExpr] = None,
       offset: Option[SqlExpr] = None,
-      verbatim: Option[String] = None // set-op trees render as-is at top level
+      verbatim: Option[String] = None, // set-op trees render as-is at top level
+      volatileOut: Boolean = false // select list has non-deterministic exprs
   ) {
     def untouched: Boolean = !projected && !distinct && where.isEmpty &&
       groupBy.isEmpty && having.isEmpty && orderBy.isEmpty &&
@@ -137,23 +138,26 @@ final class SqlGenerator(val dialect: SqlDialect) {
       case Project(list, child) =>
         val c0 = build(child, depth + 1)
         val c = if (!c0.distinct && c0.orderBy.isEmpty && c0.limit.isEmpty &&
-          c0.offset.isEmpty) c0 else derive(c0)
+          c0.offset.isEmpty && !c0.volatileOut) c0 else derive(c0)
         val items = list.map(ne => namedOut(ne, c.env))
+        // a non-deterministic item (random(), ...) must evaluate exactly
+        // once: later operators may not re-render it outside a subquery
         c.copy(projected = true, out = items,
-          env = c.env ++ items.map(o => o.id -> o.expr))
+          env = c.env ++ items.map(o => o.id -> o.expr),
+          volatileOut = c.volatileOut || list.exists(!_.deterministic))
 
       case Filter(cond, child) =>
         val c0 = build(child, depth + 1)
         lazy val e0 = expr(cond, c0.env, "Filter")
         if (c0.groupBy.isDefined && c0.having.isEmpty && c0.orderBy.isEmpty &&
             c0.limit.isEmpty && c0.offset.isEmpty && !c0.distinct &&
-            !SqlAst.containsWindow(e0)) {
+            !c0.volatileOut && !SqlAst.containsWindow(e0)) {
           c0.copy(having = Some(e0))
         } else {
           // a condition over a window column can't live in WHERE — nest
           val mergeable = !c0.distinct && c0.orderBy.isEmpty &&
             c0.limit.isEmpty && c0.offset.isEmpty && c0.groupBy.isEmpty &&
-            !SqlAst.containsWindow(e0)
+            !c0.volatileOut && !SqlAst.containsWindow(e0)
           val c = if (mergeable) c0 else derive(c0)
           val e = expr(cond, c.env, "Filter")
           c.copy(where = Some(c.where.map(w => BinOp(w, "AND", e)).getOrElse(e)))
@@ -164,7 +168,7 @@ final class SqlGenerator(val dialect: SqlDialect) {
           throw SqlGenError("GROUPING SETS / ROLLUP / CUBE cannot be pushed to a remote SQL source")
         val c0 = build(child, depth + 1)
         val c1 = if (!c0.distinct && c0.groupBy.isEmpty && c0.orderBy.isEmpty &&
-          c0.limit.isEmpty && c0.offset.isEmpty) c0 else derive(c0)
+          c0.limit.isEmpty && c0.offset.isEmpty && !c0.volatileOut) c0 else derive(c0)
         // aggregating a window column requires the window in a subquery
         val c = if ((aggs.map(ne => namedOut(ne, c1.env).expr) ++
             grouping.map(g => expr(g, c1.env, "Aggregate")))
@@ -177,7 +181,7 @@ final class SqlGenerator(val dialect: SqlDialect) {
       case w: Window =>
         val c0 = build(w.child, depth + 1)
         val c = if (!c0.distinct && c0.orderBy.isEmpty && c0.limit.isEmpty &&
-          c0.offset.isEmpty && c0.having.isEmpty) c0 else derive(c0)
+          c0.offset.isEmpty && c0.having.isEmpty && !c0.volatileOut) c0 else derive(c0)
         val passthrough = w.child.output.map(a =>
           Out(a.exprId, a.name, expr(a, c.env, "Window")))
         val winItems = w.windowExpressions.map(ne => namedOut(ne, c.env))
@@ -187,8 +191,8 @@ final class SqlGenerator(val dialect: SqlDialect) {
 
       case Sort(order, true, child, _) =>
         val c0 = build(child, depth + 1)
-        val c = if (c0.orderBy.isEmpty && c0.limit.isEmpty && c0.offset.isEmpty)
-          c0 else derive(c0)
+        val c = if (c0.orderBy.isEmpty && c0.limit.isEmpty && c0.offset.isEmpty &&
+          !c0.volatileOut) c0 else derive(c0)
         c.copy(orderBy = order.map(sortItem(_, c.env)))
 
       case Sort(_, false, _, _) =>
@@ -600,7 +604,10 @@ final class SqlGenerator(val dialect: SqlDialect) {
   private def function(fn: Expression, env: Map[ExprId, SqlExpr],
       node: String): SqlExpr = {
     val name = engineName(fn)
-    val args = fn.children.map(expr(_, env, node))
+    val args = fn match {
+      case _: Rand => Nil // Spark's internal seed literal is not SQL surface
+      case _       => fn.children.map(expr(_, env, node))
+    }
     dialect.mapper.translate(name, args).getOrElse {
       if (!name.matches("[A-Za-z_][A-Za-z0-9_]*"))
         throw SqlGenError(

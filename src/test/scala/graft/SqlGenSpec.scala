@@ -386,6 +386,15 @@ class SqlGenSpec extends AnyFunSuite {
     assert(scalar.contains("(SELECT MAX("), scalar)
   }
 
+  test("generator: non-deterministic projections are never re-evaluated in WHERE") {
+    val df = users.select(rand().as("r"), col("id")).filter(col("r") > 0.5)
+    val sql = pgDf(df)
+    // RANDOM() must appear exactly once, inside a derived table; the
+    // filter references the subquery column, not a second RANDOM() call
+    assert("RANDOM\\(\\)".r.findAllIn(sql).length == 1, sql)
+    assert(sql.contains("""WHERE "rel_1"."r" > 0.5"""), sql)
+  }
+
   test("generator: correlated subqueries are refused") {
     users; orders
     val df = spark.sql(
