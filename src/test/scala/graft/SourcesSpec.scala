@@ -61,7 +61,9 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val feedRows = new java.util.concurrent.atomic.AtomicInteger(7)
   private val feedRequests = new ConcurrentLinkedQueue[String]()
 
-  private def addFeedContext(): Unit =
+  private val feedAdded = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def addFeedContext(): Unit = if (feedAdded.compareAndSet(false, true))
     server.createContext("/feed", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         feedRequests.add(ex.getRequestURI.toString)
@@ -185,6 +187,41 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(resumed.sameElements(12L until 18L),
         s"restart re-delivered rows: ${resumed.mkString(",")}")
     } finally q2.stop()
+  }
+
+  test("rest: streaming catch-up admits a multi-page backlog in one trigger") {
+    addFeedContext()
+    feedRows.set(18) // 4 pages at pageSize 5 already waiting
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", StringType)))
+    val sink = new ConcurrentLinkedQueue[Long]()
+    val dataBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream
+      .format("graft.sources.rest.RestDataSource")
+      .schema(schema)
+      .option("baseUrl", s"http://localhost:$port/feed")
+      .option("pagination", "indices")
+      .option("paramOffset", "offset").option("paramLimit", "limit")
+      .option("pageSize", "5")
+      .load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.select("id").collect().map(_.getLong(0))
+        if (ids.nonEmpty) dataBatches.incrementAndGet()
+        ids.foreach(sink.add)
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-rest-backlog").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(sink.asScala.toSeq.sorted == (0L until 18L),
+        sink.asScala.toSeq.sorted.mkString(","))
+      // the probe loops past full pages, so the whole backlog lands in a
+      // single batch instead of one page per trigger
+      assert(dataBatches.get() == 1,
+        s"backlog split across ${dataBatches.get()} batches")
+    } finally q.stop()
   }
 
   test("rest: 401 without credentials") {
