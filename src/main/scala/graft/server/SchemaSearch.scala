@@ -92,8 +92,12 @@ object SchemaSearch {
         if (syn) 0.9
         else {
           val tri = target.map(t => trigramCosine(q, t)).maxOption.getOrElse(0.0)
-          if (tri >= 0.45) 0.7 * tri
-          else if (target.exists(t => t.contains(q) || q.contains(t))) 0.5
+          val sub = target.exists(t => t.contains(q) || q.contains(t))
+          // the trigram tier outranks-or-equals the substring tier by
+          // design: floor it at 0.5 so a close morphological match never
+          // ranks below a weaker containment match
+          if (tri >= 0.45) math.max(0.7 * tri, 0.5)
+          else if (sub) 0.5
           else 0.0
         }
       }

@@ -16,8 +16,8 @@ import java.util.concurrent.TimeUnit
   *
   *  1. fast-path validation before any process spawns — code-size cap
   *     (1 MiB) and an import allowlist (core.py ALLOWED_IMPORTS, enforced
-  *     there at AST level + runtime import shim; here as a line scan that
-  *     also rejects `__import__` so the scan can't be trivially dodged);
+  *     there at AST level + runtime import shim; here as a whole-script token
+  *     scan incl. `__import__` so mid-line or branch-nested imports reject);
   *  2. OS resource limits on the child — address-space and CPU-seconds
   *     rlimits via `ulimit` in the launching shell (native.py applies the
   *     same via setrlimit; defaults 512 MiB / 30 s, env-overridable with
@@ -56,21 +56,25 @@ object ScriptSandbox {
     "typing", "typing_extensions", "abc", "dataclasses", "enum", "__future__",
     "graft")
 
-  private val ImportLine = """^\s*(?:import|from)\s+([A-Za-z_][\w.]*)""".r
+  // every import-shaped token anywhere in the script: `import x`,
+  // `from x import y`, whether after `;`, inside an if-branch, or
+  // mid-line — findAllMatchIn, never just the first per line
+  private val ImportToken = """(?m)\b(?:import|from)\s+([A-Za-z_][\w.]*)""".r
 
   /** Fast-path validation (before any process spawns). Returns an error
-    * message, or None when the script is admissible. */
+    * message, or None when the script is admissible. Deliberately
+    * over-strict (an "import" inside a string rejects too): false
+    * positives are acceptable for a sandbox gate, false negatives are
+    * not. */
   def validate(script: String): Option[String] = {
     if (script.getBytes(StandardCharsets.UTF_8).length > MaxCodeBytes)
       return Some("Security Error: Code size exceeds limit.")
     if (script.contains("__import__"))
       return Some("Security Error: Import of '__import__' is not permitted in the sandbox.")
-    script.linesIterator.foreach { line =>
-      ImportLine.findFirstMatchIn(line).foreach { m =>
-        val root = m.group(1).split("\\.")(0)
-        if (!AllowedImports.contains(root))
-          return Some(s"Security Error: Import of '$root' is not permitted in the sandbox.")
-      }
+    ImportToken.findAllMatchIn(script).foreach { m =>
+      val root = m.group(1).split("\\.")(0)
+      if (!AllowedImports.contains(root))
+        return Some(s"Security Error: Import of '$root' is not permitted in the sandbox.")
     }
     None
   }

@@ -39,6 +39,9 @@ final case class RestOptions(raw: Map[String, String]) {
   def paramToken: String = ci.getOrElse("paramtoken", "token")
   /** Safety cap on pages fetched (rest.rs:514 caps at 50). */
   def maxPages: Int = ci.getOrElse("maxpages", "50").toInt
+  /** Streaming admission control: pages fetched per trigger (the Kafka
+    * maxOffsetsPerTrigger analog) — bounds driver memory during catch-up. */
+  def maxPagesPerTrigger: Int = ci.getOrElse("maxpagespertrigger", "20").toInt
   /** pushdown.<column> = "<op>:<param>" */
   def pushdownRule(column: String, op: String): Option[String] =
     raw.collectFirst {

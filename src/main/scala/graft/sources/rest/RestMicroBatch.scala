@@ -53,16 +53,21 @@ final class RestMicroBatchStream(schema: StructType, opts: RestOptions,
 
   override def latestOffset(): Offset = {
     // Probe forward from the known tail, one page at a time, until a short
-    // page (tail reached) or the configured page cap. Each full-or-partial
-    // page is cached for the subsequent reader.
+    // page (tail reached), the per-trigger admission cap, or the global
+    // page cap. The cap (maxPagesPerTrigger, like Kafka's
+    // maxOffsetsPerTrigger) bounds how much backlog the driver fetches
+    // and buffers in one trigger — catch-up proceeds across triggers.
     var growing = true
-    while (growing && knownRows < opts.maxPages.toLong * opts.pageSize) {
+    var pagesThisTrigger = 0
+    while (growing && pagesThisTrigger < opts.maxPagesPerTrigger &&
+      knownRows < opts.maxPages.toLong * opts.pageSize) {
       val page = RestClient.rowsOf(
         RestClient.fetch(opts, params +
           (opts.paramOffset -> knownRows.toString,
             opts.paramLimit -> opts.pageSize.toString)), opts.dataPath)
       if (page.nonEmpty) probed.put(knownRows, page.map(_.toString))
       knownRows += page.size
+      pagesThisTrigger += 1
       growing = page.size >= opts.pageSize
     }
     RestRowOffset(knownRows)

@@ -19,6 +19,18 @@ trait SqlDialect {
   def requiresFromDual: Boolean = false
   def mapper: FunctionMapper = FunctionMapper.empty
 
+  /** Escape a string literal's CONTENT (quotes are added by the caller).
+    * ANSI doubles single quotes; MySQL additionally treats backslash as an
+    * escape character, so it must be doubled or a value like `x\` breaks
+    * out of the literal (data-driven SQL injection). */
+  def escapeStringContent(s: String): String = s.replace("'", "''")
+
+  /** Null-safe equality (`<=>`): ANSI `IS NOT DISTINCT FROM` by default;
+    * engines without it override (MySQL `<=>`, Oracle/Derby a NULL-aware
+    * disjunction). */
+  def nullSafeEq(l: SqlExpr, r: SqlExpr): SqlExpr =
+    BinOp(l, "IS NOT DISTINCT FROM", r)
+
   /** Render LIMIT/OFFSET; ANSI engines without LIMIT override with
     * OFFSET ... ROWS / FETCH NEXT ... ROWS ONLY. Rendered AFTER ORDER BY. */
   def renderLimitOffset(limit: Option[String], offset: Option[String]): String = {
@@ -53,10 +65,23 @@ object PostgresDialect extends SqlDialect {
   val name = "postgres"
 }
 
+/** `(l = r OR (l IS NULL AND r IS NULL))` — null-safe equality for engines
+  * without IS NOT DISTINCT FROM: one-null compares NULL OR FALSE = NULL
+  * (treated as false), both-null hits the second disjunct. */
+private[sql] object NullSafeEqRewrite {
+  def apply(l: SqlExpr, r: SqlExpr): SqlExpr =
+    Nested(BinOp(BinOp(l, "=", r), "OR",
+      Nested(BinOp(PostfixOp(l, "IS NULL"), "AND", PostfixOp(r, "IS NULL")))))
+}
+
 object MySqlDialect extends SqlDialect {
   val name = "mysql"
   override def identQuote: Char = '`'
   override def supportsNullsFirstInSort: Boolean = false
+  override def escapeStringContent(s: String): String =
+    super.escapeStringContent(s).replace("\\", "\\\\")
+  override def nullSafeEq(l: SqlExpr, r: SqlExpr): SqlExpr =
+    BinOp(l, "<=>", r)
   override def typeName(dt: DataType): String = dt match {
     case StringType   => "CHAR"
     case DoubleType   => "DOUBLE"
@@ -83,6 +108,8 @@ object SqliteDialect extends SqlDialect {
 object DerbyDialect extends SqlDialect {
   val name = "derby"
   override def supportsValuesClause: Boolean = false
+  override def nullSafeEq(l: SqlExpr, r: SqlExpr): SqlExpr =
+    NullSafeEqRewrite(l, r)
   override def renderLimitOffset(limit: Option[String],
       offset: Option[String]): String = {
     // ANSI order: OFFSET precedes FETCH
@@ -105,6 +132,8 @@ object OracleDialect extends SqlDialect {
   val name = "oracle"
   override def supportsValuesClause: Boolean = false
   override def requiresFromDual: Boolean = true
+  override def nullSafeEq(l: SqlExpr, r: SqlExpr): SqlExpr =
+    NullSafeEqRewrite(l, r)
 
   private def arg(args: Seq[SqlExpr], i: Int): SqlExpr =
     args.lift(i).getOrElse(NullLit)

@@ -24,7 +24,13 @@ object FederatedQuery {
     * default — the push is for plans whose result is dimension-sized). */
   def viaJdbc(spark: SparkSession, df: DataFrame, sourceType: String,
       url: String, options: Map[String, String] = Map.empty): Option[DataFrame] =
-    GraftSqlGen.forDataFrame(df, sourceType).map { sql =>
+    (try GraftSqlGen.forDataFrame(df, sourceType)
+     catch {
+       // a plan the dialect can't express (rollup, correlated subquery,
+       // semi join, ...) falls back to local execution, same as an
+       // unknown source — the documented contract of the dialect layer
+       case _: SqlGenError => None
+     }).map { sql =>
       val reader = spark.read.format("jdbc")
         .option("url", url)
         .option("query", sql)

@@ -95,9 +95,12 @@ object SqlAst {
       s"${e.render} ${if (negated) "NOT IN" else "IN"} (${list.map(_.render).mkString(", ")})"
   }
 
-  final case class LikeExpr(e: SqlExpr, pattern: SqlExpr, negated: Boolean) extends SqlExpr {
-    def render: String =
-      s"${e.render} ${if (negated) "NOT LIKE" else "LIKE"} ${pattern.render}"
+  final case class LikeExpr(e: SqlExpr, pattern: SqlExpr, negated: Boolean,
+      escape: Option[String] = None) extends SqlExpr {
+    def render: String = {
+      val esc = escape.map(c => s" ESCAPE '$c'").getOrElse("")
+      s"${e.render} ${if (negated) "NOT LIKE" else "LIKE"} ${pattern.render}$esc"
+    }
   }
 
   final case class Between(e: SqlExpr, lo: SqlExpr, hi: SqlExpr) extends SqlExpr {
@@ -140,7 +143,7 @@ object SqlAst {
     case CastExpr(x, _)         => containsWindow(x)
     case ExtractExpr(_, x)      => containsWindow(x)
     case InList(x, list, _)     => containsWindow(x) || list.exists(containsWindow)
-    case LikeExpr(x, p, _)      => containsWindow(x) || containsWindow(p)
+    case LikeExpr(x, p, _, _)   => containsWindow(x) || containsWindow(p)
     case Between(x, lo, hi)     => Seq(x, lo, hi).exists(containsWindow)
     case CaseWhen(bs, e2)       => bs.exists(b => containsWindow(b._1) || containsWindow(b._2)) || e2.exists(containsWindow)
     case SortItem(x, _, _)      => containsWindow(x)

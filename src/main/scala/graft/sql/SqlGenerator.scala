@@ -56,7 +56,8 @@ final class SqlGenerator(val dialect: SqlDialect) {
       limit: Option[SqlExpr] = None,
       offset: Option[SqlExpr] = None,
       verbatim: Option[String] = None, // set-op trees render as-is at top level
-      volatileOut: Boolean = false // select list has non-deterministic exprs
+      volatileOut: Boolean = false, // select list has non-deterministic exprs
+      hasWindow: Boolean = false // select list computes window functions
   ) {
     def untouched: Boolean = !projected && !distinct && where.isEmpty &&
       groupBy.isEmpty && having.isEmpty && orderBy.isEmpty &&
@@ -110,6 +111,29 @@ final class SqlGenerator(val dialect: SqlDialect) {
       s"(${render(s)}) AS ${q(alias).render}", joinable = true)
   }
 
+  /** Nest a SORTED block and restate its ORDER BY on the outer block:
+    * SQL gives no ordering guarantee for derived tables, so LIMIT/OFFSET
+    * above one would otherwise pick engine-dependent rows. Requires every
+    * sort key to be exposed by the inner select list. */
+  private def deriveKeepingOrder(s0: Sel, node: String): Sel = {
+    if (s0.orderBy.isEmpty) derive(s0)
+    else {
+      val byRender = s0.out.map(o => o.expr.render -> o.name).toMap
+      val d = derive(s0)
+      val alias = d.out.headOption.map(_.expr).collect {
+        case QuotedIdent(_, parts) => parts.head
+      }.getOrElse(throw SqlGenError(s"$node over an empty subquery"))
+      val outer = s0.orderBy.map { si =>
+        byRender.get(si.e.render) match {
+          case Some(name) => si.copy(e = q(alias, name))
+          case None => throw SqlGenError(
+            s"$node above a sorted subquery whose sort key is not in its select list")
+        }
+      }
+      d.copy(orderBy = outer)
+    }
+  }
+
   // ------------------------------------------------------------- plan fold
 
   private def build(plan: LogicalPlan, depth: Int): Sel = {
@@ -144,20 +168,23 @@ final class SqlGenerator(val dialect: SqlDialect) {
         // once: later operators may not re-render it outside a subquery
         c.copy(projected = true, out = items,
           env = c.env ++ items.map(o => o.id -> o.expr),
-          volatileOut = c.volatileOut || list.exists(!_.deterministic))
+          volatileOut = c.volatileOut || list.exists(!_.deterministic),
+          hasWindow = c.hasWindow && items.exists(i => SqlAst.containsWindow(i.expr)))
 
       case Filter(cond, child) =>
         val c0 = build(child, depth + 1)
         lazy val e0 = expr(cond, c0.env, "Filter")
         if (c0.groupBy.isDefined && c0.having.isEmpty && c0.orderBy.isEmpty &&
             c0.limit.isEmpty && c0.offset.isEmpty && !c0.distinct &&
-            !c0.volatileOut && !SqlAst.containsWindow(e0)) {
+            !c0.volatileOut && !c0.hasWindow && !SqlAst.containsWindow(e0)) {
           c0.copy(having = Some(e0))
         } else {
-          // a condition over a window column can't live in WHERE — nest
+          // never merge into a window-computing SELECT: SQL evaluates
+          // WHERE before window functions, Spark filters AFTER the window
+          // is computed over all rows — merging silently renumbers
           val mergeable = !c0.distinct && c0.orderBy.isEmpty &&
             c0.limit.isEmpty && c0.offset.isEmpty && c0.groupBy.isEmpty &&
-            !c0.volatileOut && !SqlAst.containsWindow(e0)
+            !c0.volatileOut && !c0.hasWindow && !SqlAst.containsWindow(e0)
           val c = if (mergeable) c0 else derive(c0)
           val e = expr(cond, c.env, "Filter")
           c.copy(where = Some(c.where.map(w => BinOp(w, "AND", e)).getOrElse(e)))
@@ -187,7 +214,7 @@ final class SqlGenerator(val dialect: SqlDialect) {
         val winItems = w.windowExpressions.map(ne => namedOut(ne, c.env))
         val items = passthrough ++ winItems
         c.copy(projected = true, out = items,
-          env = c.env ++ items.map(o => o.id -> o.expr))
+          env = c.env ++ items.map(o => o.id -> o.expr), hasWindow = true)
 
       case Sort(order, true, child, _) =>
         val c0 = build(child, depth + 1)
@@ -200,15 +227,28 @@ final class SqlGenerator(val dialect: SqlDialect) {
 
       case GlobalLimit(l, child) =>
         val c0 = build(child, depth + 1)
-        val c = if (c0.limit.isEmpty) c0 else derive(c0)
+        val c = if (c0.limit.isEmpty) c0 else deriveKeepingOrder(c0, "LIMIT")
         c.copy(limit = Some(expr(l, c.env, "Limit")))
 
       case LocalLimit(_, child) => build(child, depth + 1)
 
       case Offset(o, child) =>
         val c0 = build(child, depth + 1)
-        val c = if (c0.offset.isEmpty && c0.limit.isEmpty) c0 else derive(c0)
-        c.copy(offset = Some(expr(o, c.env, "Offset")))
+        if (c0.offset.isEmpty && c0.limit.isEmpty)
+          c0.copy(offset = Some(expr(o, c0.env, "Offset")))
+        else (o, c0.limit) match {
+          // Spark's Offset(o, Limit(l)) takes l rows THEN skips o; SQL
+          // applies OFFSET before the fetch — fold to OFFSET o LIMIT l-o
+          // so the ORDER BY stays in the same (governing) block
+          case (Literal(ov: Int, IntegerType), Some(NumberLit(lt)))
+              if c0.offset.isEmpty && lt.forall(_.isDigit) =>
+            val remaining = math.max(lt.toLong - ov, 0L)
+            c0.copy(offset = Some(NumberLit(ov.toString)),
+              limit = Some(NumberLit(remaining.toString)))
+          case _ =>
+            val c = deriveKeepingOrder(c0, "OFFSET")
+            c.copy(offset = Some(expr(o, c.env, "Offset")))
+        }
 
       case Distinct(child) => distinctOf(child, depth)
 
@@ -325,7 +365,16 @@ final class SqlGenerator(val dialect: SqlDialect) {
 
   private def setOp(children: Seq[LogicalPlan], op: String, depth: Int,
       output: Seq[Attribute]): Sel = {
-    val parts = children.map(c => render(build(c, depth + 1)))
+    val parts = children.map { c =>
+      val sel = build(c, depth + 1)
+      // a branch with ORDER BY / LIMIT / OFFSET (or a nested set-op) must
+      // become SELECT ... FROM (branch) — bare concatenation with the
+      // set operator is a syntax error on Postgres/Derby
+      val wrapped =
+        if (sel.orderBy.nonEmpty || sel.limit.isDefined ||
+          sel.offset.isDefined || sel.verbatim.isDefined) derive(sel) else sel
+      render(wrapped)
+    }
     val sql = parts.mkString(s" $op ")
     val alias = nextRel()
     val out = output.map(a => Out(a.exprId, a.name, q(alias, a.name)))
@@ -482,24 +531,24 @@ final class SqlGenerator(val dialect: SqlDialect) {
       case LessThanOrEqual(l, r)    => binop(l, "<=", r)
       case GreaterThan(l, r)        => binop(l, ">", r)
       case GreaterThanOrEqual(l, r) => binop(l, ">=", r)
-      case EqualNullSafe(l, r)      => BinOp(t(l), "IS NOT DISTINCT FROM", t(r))
+      case EqualNullSafe(l, r)      => dialect.nullSafeEq(t(l), t(r))
       case Not(EqualTo(l, r))       => binop(l, "<>", r)
       case Not(In(v, list))         => InList(t(v), list.map(t), negated = true)
-      case Not(l: Like)             => LikeExpr(t(l.left), t(l.right), negated = true)
+      case Not(l: Like)             => likeOf(l, env, node, negated = true)
       case Not(c)                   => PrefixOp("NOT", Nested(t(c)))
       case And(l, r)                => BinOp(nestIfOr(t(l)), "AND", nestIfOr(t(r)))
       case Or(l, r)                 => BinOp(t(l), "OR", t(r))
       case IsNull(c)                => PostfixOp(t(c), "IS NULL")
       case IsNotNull(c)             => PostfixOp(t(c), "IS NOT NULL")
       case In(v, list)              => InList(t(v), list.map(t), negated = false)
-      case l: Like                  => LikeExpr(t(l.left), t(l.right), negated = false)
+      case l: Like                  => likeOf(l, env, node, negated = false)
 
       case Contains(l, Literal(p, StringType)) =>
-        LikeExpr(t(l), StringLit(s"%${likeEscape(String.valueOf(p))}%"), negated = false)
+        substringMatch(t(l), String.valueOf(p), "%", "%")
       case StartsWith(l, Literal(p, StringType)) =>
-        LikeExpr(t(l), StringLit(s"${likeEscape(String.valueOf(p))}%"), negated = false)
+        substringMatch(t(l), String.valueOf(p), "", "%")
       case EndsWith(l, Literal(p, StringType)) =>
-        LikeExpr(t(l), StringLit(s"%${likeEscape(String.valueOf(p))}"), negated = false)
+        substringMatch(t(l), String.valueOf(p), "%", "")
 
       case cexpr.expressions.CaseWhen(branches, elseValue) =>
         SqlAst.CaseWhen(branches.map { case (c, v) => (t(c), t(v)) },
@@ -541,6 +590,32 @@ final class SqlGenerator(val dialect: SqlDialect) {
     case _ => false
   }
 
+  /** User LIKE: emit the pattern as-is; add an ESCAPE clause only when the
+    * literal pattern actually contains the escape character. */
+  private def likeOf(l: Like, env: Map[ExprId, SqlExpr], node: String,
+      negated: Boolean): SqlExpr = {
+    val esc = l.right match {
+      case Literal(p, StringType) if p != null &&
+        String.valueOf(p).contains(l.escapeChar) =>
+        Some(dialect.escapeStringContent(l.escapeChar.toString))
+      case _ => None
+    }
+    LikeExpr(expr(l.left, env, node), expr(l.right, env, node), negated, esc)
+  }
+
+  /** Contains/StartsWith/EndsWith → LIKE with %/_/\ escaped in the raw
+    * value and an explicit ESCAPE clause whenever escaping was applied —
+    * without it, engines with no default escape character (Derby, Oracle)
+    * would match the backslashes literally. */
+  private def substringMatch(e: SqlExpr, raw: String, prefix: String,
+      suffix: String): SqlExpr = {
+    val escaped = likeEscape(raw)
+    val esc = if (escaped != raw) Some(dialect.escapeStringContent("\\")) else None
+    LikeExpr(e,
+      RawSql("'" + dialect.escapeStringContent(prefix + escaped + suffix) + "'"),
+      negated = false, esc)
+  }
+
   private def nestIfOr(e: SqlExpr): SqlExpr = e match {
     case b @ BinOp(_, "OR", _) => Nested(b)
     case other                 => other
@@ -552,7 +627,8 @@ final class SqlGenerator(val dialect: SqlDialect) {
   private def literal(l: Literal): SqlExpr = l.value match {
     case null => NullLit
     case v => l.dataType match {
-      case StringType  => StringLit(v.toString)
+      case StringType  =>
+        RawSql("'" + dialect.escapeStringContent(v.toString) + "'")
       case BooleanType => BoolLit(v.asInstanceOf[Boolean])
       case DateType =>
         RawSql(s"DATE '${java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)}'")

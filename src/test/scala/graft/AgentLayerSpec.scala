@@ -144,6 +144,13 @@ class AgentLayerSpec extends AnyFunSuite {
     assert(ScriptSandbox.validate("x = __import__('os')").exists(_.contains("__import__")))
     assert(ScriptSandbox.validate("import json\nimport math\n").isEmpty)
     assert(ScriptSandbox.validate("import pandas.io.common").isEmpty)
+    // dodges: second import on one line, indentation, mid-line after colon
+    assert(ScriptSandbox.validate("import json; import subprocess")
+      .exists(_.contains("subprocess")))
+    assert(ScriptSandbox.validate("if True: import subprocess")
+      .exists(_.contains("subprocess")))
+    assert(ScriptSandbox.validate("def f():\n    import socket\n")
+      .exists(_.contains("socket")))
   }
 
   test("sandbox: code size cap") {

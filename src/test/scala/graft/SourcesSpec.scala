@@ -224,6 +224,39 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("rest: maxPagesPerTrigger bounds catch-up admission per batch") {
+    addFeedContext()
+    feedRows.set(18)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", StringType)))
+    val batches = new ConcurrentLinkedQueue[Int]()
+    val q = spark.readStream
+      .format("graft.sources.rest.RestDataSource")
+      .schema(schema)
+      .option("baseUrl", s"http://localhost:$port/feed")
+      .option("pagination", "indices")
+      .option("paramOffset", "offset").option("paramLimit", "limit")
+      .option("pageSize", "5")
+      .option("maxPagesPerTrigger", "2")
+      .load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count().toInt
+        if (n > 0) batches.add(n); ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-rest-cap").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val sizes = batches.asScala.toSeq
+      assert(sizes.sum == 18, sizes.mkString(","))
+      // 2 pages x 5 rows max per trigger: 10, 8 — never the whole backlog
+      assert(sizes.forall(_ <= 10), sizes.mkString(","))
+      assert(sizes.length >= 2, sizes.mkString(","))
+    } finally q.stop()
+  }
+
   test("rest: 401 without credentials") {
     val bad = spark.read.format("graft.sources.rest.RestDataSource")
       .option("baseUrl", s"http://localhost:$port/items")

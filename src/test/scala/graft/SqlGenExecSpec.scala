@@ -116,7 +116,9 @@ class SqlGenExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       .limit(3).offset(1)
     val sql = check(df, ordered = true)
     assert(sql.contains("OFFSET 1 ROWS"), sql)
-    assert(sql.contains("FETCH NEXT 3 ROWS ONLY"), sql)
+    // Spark's take-3-then-skip-1 folds to OFFSET 1 FETCH NEXT 2, keeping
+    // the governing ORDER BY in the same block
+    assert(sql.contains("FETCH NEXT 2 ROWS ONLY"), sql)
     assert(!sql.contains("LIMIT"), sql)
   }
 
@@ -162,6 +164,53 @@ class SqlGenExecSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("exec: federation falls back to None for sources without a dialect") {
     assert(FederatedQuery.viaJdbc(spark, users, "unknown_engine", url).isEmpty)
+  }
+
+  test("exec: federation falls back to None for plans the dialect can't express") {
+    val rollup = users.rollup(col("name")).agg(sum(col("score")).as("s"))
+    assert(FederatedQuery.viaJdbc(spark, rollup, "derby", url).isEmpty,
+      "unsupported plan must fall back to local execution, not throw")
+  }
+
+  test("exec: set-op branch with ORDER BY+LIMIT runs on Derby") {
+    check(users.select(col("id")).orderBy(col("id").desc).limit(2)
+      .union(orders.select(col("user_id"))))
+  }
+
+  test("exec: LIKE with escaped wildcard matches literally on Derby") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE "sqlexec_notes" ("id" INT, "note" VARCHAR(64))""")
+      st.execute("""INSERT INTO "sqlexec_notes" VALUES (1, '50% off sale')""")
+      st.execute("""INSERT INTO "sqlexec_notes" VALUES (2, '50 units left')""")
+      st.close()
+    } finally conn.close()
+    import spark.implicits._
+    Seq((1, "50% off sale"), (2, "50 units left")).toDF("id", "note")
+      .createOrReplaceTempView("sqlexec_notes")
+    // without the ESCAPE clause Derby treats the backslash literally and
+    // finds nothing; with it, exactly the row containing '50%' matches
+    check(spark.table("sqlexec_notes").filter(col("note").contains("50%")))
+  }
+
+  test("exec: null-safe equality matches Spark's <=> on Derby") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE "sqlexec_nulls" ("id" INT, "a" VARCHAR(8), "b" VARCHAR(8))""")
+      st.execute("""INSERT INTO "sqlexec_nulls" VALUES (1, 'x', 'x')""")
+      st.execute("""INSERT INTO "sqlexec_nulls" VALUES (2, 'x', NULL)""")
+      st.execute("""INSERT INTO "sqlexec_nulls" VALUES (3, NULL, NULL)""")
+      st.close()
+    } finally conn.close()
+    import spark.implicits._
+    Seq((1, Some("x"), Some("x")), (2, Some("x"), None),
+      (3, None, None)).toDF("id", "a", "b")
+      .createOrReplaceTempView("sqlexec_nulls")
+    // rows 1 (equal) and 3 (both null) match; row 2 does not
+    check(spark.table("sqlexec_nulls").filter(col("a") <=> col("b"))
+      .select(col("id")))
   }
 
   test("exec: randomized differential fuzz — 40 generated plans match Derby") {

@@ -338,6 +338,58 @@ class SqlGenSpec extends AnyFunSuite {
     assert(sql.contains("WHERE \"rel_1\".\"rn\" = 1"), sql)
   }
 
+  test("generator: filter on a NON-window column above a window still nests") {
+    // SQL evaluates WHERE before window functions; Spark filters after the
+    // window is computed over ALL rows. Merging would silently renumber.
+    val sql = pgDf(users
+      .withColumn("rn", row_number().over(W.partitionBy("name").orderBy("id")))
+      .filter(col("id") > 5))
+    assert(sql.contains(") AS \"rel_1\" WHERE \"rel_1\".\"id\" > 5"), sql)
+  }
+
+  test("generator: set-op branches with ORDER BY/LIMIT wrap in derived tables") {
+    val limited = users.select("id").orderBy("id").limit(2)
+    val sql = pgDf(limited.union(orders.select("user_id")))
+    // "... LIMIT 2 UNION ALL ..." is a syntax error; the branch must nest
+    assert(!sql.contains("LIMIT 2 UNION ALL"), sql)
+    assert(sql.contains("LIMIT 2) AS"), sql)
+  }
+
+  test("generator: string literals escape per dialect (MySQL backslashes)") {
+    val df = users.filter(col("name") === "x\\")
+    val pgSql = pgDf(df)
+    assert(pgSql.contains("'x\\'"), pgSql) // ANSI: backslash is literal
+    val mySql = new SqlGenerator(MySqlDialect).generate(df.queryExecution.analyzed)
+    assert(mySql.contains("'x\\\\'"), mySql) // MySQL: backslash doubled
+  }
+
+  test("generator: contains/startsWith emit ESCAPE only when needed") {
+    val plain = pgDf(users.filter(col("name").contains("ann")))
+    assert(plain.contains("LIKE '%ann%'") && !plain.contains("ESCAPE"), plain)
+    val pct = pgDf(users.filter(col("name").contains("50%")))
+    assert(pct.contains("LIKE '%50\\%%' ESCAPE '\\'"), pct)
+  }
+
+  test("generator: null-safe equality is dialect-specific") {
+    val df = users.filter(col("name") <=> lit("ann"))
+    assert(pgDf(df).contains("IS NOT DISTINCT FROM"), pgDf(df))
+    val my = new SqlGenerator(MySqlDialect).generate(df.queryExecution.analyzed)
+    assert(my.contains("<=>"), my)
+    val derby = new SqlGenerator(DerbyDialect).generate(df.queryExecution.analyzed)
+    assert(derby.contains("= 'ann' OR ("), derby)
+    assert(derby.contains("IS NULL AND"), derby)
+  }
+
+  test("generator: offset above limit folds into one ordered block") {
+    val sql = pgDf(users.orderBy(col("id").desc).limit(3).offset(1))
+    // OFFSET must stay in the block whose ORDER BY governs it; Spark's
+    // take-3-then-skip-1 is SQL's OFFSET 1 LIMIT 2
+    assert(sql.contains("ORDER BY"), sql)
+    assert(sql.contains("LIMIT 2"), sql)
+    assert(sql.contains("OFFSET 1"), sql)
+    assert(!sql.contains("(SELECT"), sql)
+  }
+
   test("generator: multi-referenced CTE renders WITH and named refs") {
     users // ensure view exists
     val df = spark.sql(
