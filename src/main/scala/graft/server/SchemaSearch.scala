@@ -92,7 +92,7 @@ object SchemaSearch {
         if (syn) 0.9
         else {
           val tri = target.map(t => trigramCosine(q, t)).maxOption.getOrElse(0.0)
-          val sub = target.exists(t => t.contains(q) || q.contains(t))
+          lazy val sub = target.exists(t => t.contains(q) || q.contains(t))
           // the trigram tier outranks-or-equals the substring tier by
           // design: floor it at 0.5 so a close morphological match never
           // ranks below a weaker containment match

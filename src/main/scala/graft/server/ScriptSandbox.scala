@@ -56,10 +56,14 @@ object ScriptSandbox {
     "typing", "typing_extensions", "abc", "dataclasses", "enum", "__future__",
     "graft")
 
-  // every import-shaped token anywhere in the script: `import x`,
-  // `from x import y`, whether after `;`, inside an if-branch, or
-  // mid-line — findAllMatchIn, never just the first per line
-  private val ImportToken = """(?m)\b(?:import|from)\s+([A-Za-z_][\w.]*)""".r
+  // `from X import ...` — only X names a module (imported attributes are
+  // members of an already-allowed module, same as the reference's
+  // ImportFrom AST check)
+  private val FromImport = """\bfrom\s+([A-Za-z_][\w.]*)\s+import\b""".r
+  // `import a.b as c, d` — every comma-separated root counts, anywhere in
+  // the script (after `;`, inside branches, mid-line)
+  private val PlainImport =
+    """\bimport\s+([A-Za-z_][\w.]*(?:\s+as\s+\w+)?(?:\s*,\s*[A-Za-z_][\w.]*(?:\s+as\s+\w+)?)*)""".r
 
   /** Fast-path validation (before any process spawns). Returns an error
     * message, or None when the script is admissible. Deliberately
@@ -71,10 +75,20 @@ object ScriptSandbox {
       return Some("Security Error: Code size exceeds limit.")
     if (script.contains("__import__"))
       return Some("Security Error: Import of '__import__' is not permitted in the sandbox.")
-    ImportToken.findAllMatchIn(script).foreach { m =>
+    FromImport.findAllMatchIn(script).foreach { m =>
       val root = m.group(1).split("\\.")(0)
       if (!AllowedImports.contains(root))
         return Some(s"Security Error: Import of '$root' is not permitted in the sandbox.")
+    }
+    // strip from-imports so their `import` keyword isn't re-scanned as a
+    // plain import of the imported NAME
+    val stripped = FromImport.replaceAllIn(script, "FROM_IMPORT")
+    PlainImport.findAllMatchIn(stripped).foreach { m =>
+      m.group(1).split(",").foreach { item =>
+        val root = item.trim.split("\\s+")(0).split("\\.")(0)
+        if (root.nonEmpty && !AllowedImports.contains(root))
+          return Some(s"Security Error: Import of '$root' is not permitted in the sandbox.")
+      }
     }
     None
   }

@@ -65,13 +65,18 @@ object PostgresDialect extends SqlDialect {
   val name = "postgres"
 }
 
-/** `(l = r OR (l IS NULL AND r IS NULL))` — null-safe equality for engines
-  * without IS NOT DISTINCT FROM: one-null compares NULL OR FALSE = NULL
-  * (treated as false), both-null hits the second disjunct. */
+/** Null-safe equality for engines without IS NOT DISTINCT FROM, as a
+  * CASE that is TOTAL (never NULL): a bare `l = r OR (both null)` yields
+  * NULL for one-sided nulls, which inverts incorrectly under NOT and
+  * projects as NULL instead of false. The CASE form also avoids boolean
+  * expressions outside predicates, which Oracle (pre-23) rejects. */
 private[sql] object NullSafeEqRewrite {
   def apply(l: SqlExpr, r: SqlExpr): SqlExpr =
-    Nested(BinOp(BinOp(l, "=", r), "OR",
-      Nested(BinOp(PostfixOp(l, "IS NULL"), "AND", PostfixOp(r, "IS NULL")))))
+    BinOp(
+      CaseWhen(Seq(
+        (BinOp(PostfixOp(l, "IS NULL"), "AND", PostfixOp(r, "IS NULL")), NumberLit("1")),
+        (BinOp(l, "=", r), NumberLit("1"))), Some(NumberLit("0"))),
+      "=", NumberLit("1"))
 }
 
 object MySqlDialect extends SqlDialect {
@@ -188,15 +193,15 @@ object OracleDialect extends SqlDialect {
     .transform("now")(_ => RawIdent("SYSTIMESTAMP"))
     .transform("extract") { a =>
       val field = a.headOption match {
-        case Some(StringLit(s)) => s.toUpperCase
-        case _                  => "YEAR"
+        case Some(StringLit(s, _)) => s.toUpperCase
+        case _                     => "YEAR"
       }
       ExtractExpr(field, a.lift(1).getOrElse(RawIdent("SYSDATE")))
     }
     .transform("date_part") { a =>
       val field = a.headOption match {
-        case Some(StringLit(s)) => s.toUpperCase
-        case _                  => "YEAR"
+        case Some(StringLit(s, _)) => s.toUpperCase
+        case _                     => "YEAR"
       }
       ExtractExpr(field, a.lift(1).getOrElse(RawIdent("SYSDATE")))
     }

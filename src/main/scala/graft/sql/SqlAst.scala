@@ -25,8 +25,15 @@ object SqlAst {
         .mkString(".")
   }
 
-  final case class StringLit(s: String) extends SqlExpr {
-    def render: String = "'" + s.replace("'", "''") + "'"
+  final case class StringLit(s: String,
+      escape: String => String = StringLit.ansi) extends SqlExpr {
+    def render: String = "'" + escape(s) + "'"
+  }
+
+  object StringLit {
+    /** ANSI escaping: double single quotes. Dialects with additional
+      * escape characters (MySQL backslashes) pass their own escaper. */
+    val ansi: String => String = _.replace("'", "''")
   }
 
   final case class NumberLit(text: String) extends SqlExpr {

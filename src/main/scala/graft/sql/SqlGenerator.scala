@@ -203,18 +203,23 @@ final class SqlGenerator(val dialect: SqlDialect) {
         val items = aggs.map(ne => namedOut(ne, c.env))
         c.copy(projected = true, out = items,
           groupBy = Some(grouping.map(g => expr(g, c.env, "Aggregate"))),
-          env = c.env ++ items.map(o => o.id -> o.expr))
+          env = c.env ++ items.map(o => o.id -> o.expr),
+          volatileOut = aggs.exists(!_.deterministic))
 
       case w: Window =>
         val c0 = build(w.child, depth + 1)
+        // !hasWindow: a second Window referencing the first's output would
+        // otherwise render SUM(ROW_NUMBER() OVER ...) OVER ... — illegal
         val c = if (!c0.distinct && c0.orderBy.isEmpty && c0.limit.isEmpty &&
-          c0.offset.isEmpty && c0.having.isEmpty && !c0.volatileOut) c0 else derive(c0)
+          c0.offset.isEmpty && c0.having.isEmpty && !c0.volatileOut &&
+          !c0.hasWindow) c0 else derive(c0)
         val passthrough = w.child.output.map(a =>
           Out(a.exprId, a.name, expr(a, c.env, "Window")))
         val winItems = w.windowExpressions.map(ne => namedOut(ne, c.env))
         val items = passthrough ++ winItems
         c.copy(projected = true, out = items,
-          env = c.env ++ items.map(o => o.id -> o.expr), hasWindow = true)
+          env = c.env ++ items.map(o => o.id -> o.expr), hasWindow = true,
+          volatileOut = c.volatileOut || w.windowExpressions.exists(!_.deterministic))
 
       case Sort(order, true, child, _) =>
         val c0 = build(child, depth + 1)
@@ -543,6 +548,12 @@ final class SqlGenerator(val dialect: SqlDialect) {
       case In(v, list)              => InList(t(v), list.map(t), negated = false)
       case l: Like                  => likeOf(l, env, node, negated = false)
 
+      case Contains(l, Literal(null, StringType)) =>
+        LikeExpr(t(l), NullLit, negated = false)
+      case StartsWith(l, Literal(null, StringType)) =>
+        LikeExpr(t(l), NullLit, negated = false)
+      case EndsWith(l, Literal(null, StringType)) =>
+        LikeExpr(t(l), NullLit, negated = false)
       case Contains(l, Literal(p, StringType)) =>
         substringMatch(t(l), String.valueOf(p), "%", "%")
       case StartsWith(l, Literal(p, StringType)) =>
@@ -596,9 +607,8 @@ final class SqlGenerator(val dialect: SqlDialect) {
       negated: Boolean): SqlExpr = {
     val esc = l.right match {
       case Literal(p, StringType) if p != null &&
-        String.valueOf(p).contains(l.escapeChar) =>
-        Some(dialect.escapeStringContent(l.escapeChar.toString))
-      case _ => None
+        !String.valueOf(p).contains(l.escapeChar) => None
+      case _ => Some(dialect.escapeStringContent(l.escapeChar.toString))
     }
     LikeExpr(expr(l.left, env, node), expr(l.right, env, node), negated, esc)
   }
@@ -612,7 +622,7 @@ final class SqlGenerator(val dialect: SqlDialect) {
     val escaped = likeEscape(raw)
     val esc = if (escaped != raw) Some(dialect.escapeStringContent("\\")) else None
     LikeExpr(e,
-      RawSql("'" + dialect.escapeStringContent(prefix + escaped + suffix) + "'"),
+      StringLit(prefix + escaped + suffix, dialect.escapeStringContent),
       negated = false, esc)
   }
 
@@ -627,8 +637,7 @@ final class SqlGenerator(val dialect: SqlDialect) {
   private def literal(l: Literal): SqlExpr = l.value match {
     case null => NullLit
     case v => l.dataType match {
-      case StringType  =>
-        RawSql("'" + dialect.escapeStringContent(v.toString) + "'")
+      case StringType  => StringLit(v.toString, dialect.escapeStringContent)
       case BooleanType => BoolLit(v.asInstanceOf[Boolean])
       case DateType =>
         RawSql(s"DATE '${java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)}'")

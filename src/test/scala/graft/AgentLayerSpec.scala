@@ -151,6 +151,16 @@ class AgentLayerSpec extends AnyFunSuite {
       .exists(_.contains("subprocess")))
     assert(ScriptSandbox.validate("def f():\n    import socket\n")
       .exists(_.contains("socket")))
+    // comma lists check every root; as-aliases don't confuse the scan
+    assert(ScriptSandbox.validate("import json, subprocess")
+      .exists(_.contains("subprocess")))
+    assert(ScriptSandbox.validate("import json as j, math as m").isEmpty)
+    // from-imports of allowed modules are legal — the imported NAME is a
+    // member, not a module (regression: 'from math import sqrt' once
+    // rejected 'sqrt')
+    assert(ScriptSandbox.validate("from math import sqrt").isEmpty)
+    assert(ScriptSandbox.validate("from collections import Counter").isEmpty)
+    assert(ScriptSandbox.validate("from pandas import DataFrame\nprint(1)").isEmpty)
   }
 
   test("sandbox: code size cap") {

@@ -194,7 +194,7 @@ class SqlGenExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(spark.table("sqlexec_notes").filter(col("note").contains("50%")))
   }
 
-  test("exec: null-safe equality matches Spark's <=> on Derby") {
+  private lazy val nullsFixture: Unit = {
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
@@ -208,8 +208,20 @@ class SqlGenExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((1, Some("x"), Some("x")), (2, Some("x"), None),
       (3, None, None)).toDF("id", "a", "b")
       .createOrReplaceTempView("sqlexec_nulls")
+  }
+
+  test("exec: null-safe equality matches Spark's <=> on Derby") {
+    nullsFixture
     // rows 1 (equal) and 3 (both null) match; row 2 does not
     check(spark.table("sqlexec_nulls").filter(col("a") <=> col("b"))
+      .select(col("id")))
+  }
+
+  test("exec: NEGATED null-safe equality matches Spark on Derby") {
+    nullsFixture
+    // the rewrite must be total (never NULL): NOT over a NULL-yielding
+    // form silently dropped one-sided-null rows
+    check(spark.table("sqlexec_nulls").filter(!(col("a") <=> col("b")))
       .select(col("id")))
   }
 
