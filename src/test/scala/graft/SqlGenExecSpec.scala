@@ -225,6 +225,31 @@ class SqlGenExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("id")))
   }
 
+  test("exec: join/aggregate differential fuzz — 30 generated plans match Derby") {
+    val rnd = new scala.util.Random(42424242)
+    val aggFns = Seq[(org.apache.spark.sql.Column => org.apache.spark.sql.Column, String)](
+      (c => sum(c), "s"), (c => count(c), "c"), (c => min(c), "mn"),
+      (c => max(c), "mx"), (c => avg(c), "av"))
+    (1 to 30).foreach { i =>
+      val joined = rnd.nextInt(3) match {
+        case 0 => users.join(orders, col("id") === col("user_id"))
+        case 1 => users.join(orders, col("id") === col("user_id"), "left")
+        case _ => users
+      }
+      val filtered =
+        if (rnd.nextBoolean()) joined.filter(col("score") > rnd.nextInt(8)) else joined
+      val hasAmount = filtered.columns.contains("amount")
+      val aggCol = if (hasAmount && rnd.nextBoolean()) col("amount") else col("score")
+      val shaped =
+        if (rnd.nextBoolean()) {
+          val (fn, nm) = aggFns(rnd.nextInt(aggFns.length))
+          val agged = filtered.groupBy(col("name")).agg(fn(aggCol).as(nm))
+          if (rnd.nextBoolean()) agged.filter(col(nm).isNotNull) else agged
+        } else filtered.select(col("id"), col("name"))
+      withClue(s"join/agg fuzz case $i: ") { check(shaped) }
+    }
+  }
+
   test("exec: randomized differential fuzz — 40 generated plans match Derby") {
     val rnd = new scala.util.Random(20260812)
     val numCols = Seq("id", "score")
