@@ -472,10 +472,16 @@ object TextPipeline {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))))
       .filter(col("bsize") <= 200).drop("bsize")
+    // shuffle_hash: both sides shuffle on (band, bucket) and Spark reuses
+    // the single banded exchange (ReusedExchange, pinned by
+    // PlanShapeSpec). Without it AQE broadcasts one side — a build side
+    // that GROWS with the corpus, and the whole signature pipeline would
+    // be computed twice (once per join input).
     capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"),
         col("simhash").as("sim_a"))
       .join(capped.select(col("band"), col("bucket"),
-        col("doc_id").as("id_b"), col("simhash").as("sim_b")),
+        col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+        .hint("shuffle_hash"),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b")).distinct()

@@ -93,6 +93,25 @@ class PlanShapeSpec extends AnyFunSuite {
         s"vector column in shuffle key list: $e"))
   }
 
+  test("simhash multi-band: banded exchange reused by both self-join sides; no text shuffled") {
+    val df = SparkEntry.queries("d_simhash_pairs")(spark, sf)
+    df.collect() // AQE must finalize THIS QueryExecution (write() re-plans)
+    // AQE finalizes exchange reuse at runtime: the (band, bucket, doc_id,
+    // simhash) exchange must be computed once and reused — recomputing
+    // the signature pipeline per join side doubles the map work at scale
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p)
+    assert(!p.contains("BroadcastHashJoin"),
+      "banded self-join must not broadcast a corpus-growing side:\n" + p)
+    val staticPlan = plan("d_simhash_pairs")
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(staticPlan).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, staticPlan)
+    exchanges.foreach(e =>
+      assert(!e.contains("text#") && !e.contains("norm#") && !e.contains("words#"),
+        s"raw text in shuffle key list: $e"))
+  }
+
   test("lateral join: the outer domain filter reaches the orders scan") {
     // without the in-lateral copy of the domain predicate, Catalyst only
     // infers o_custkey < 100 ABOVE the decorrelated window — the whole
