@@ -216,6 +216,44 @@ final case class ByteEnergy(child: Expression, center: Double)
     copy(child = newChild)
 }
 
+/** `target` evenly spaced bytes of a binary payload: output[i] =
+  * payload[⌊i·n/target⌋] — the resize-stub kernel of `m_resize`, fused
+  * into one codegen'd loop so the whole pipeline stays inside whole-stage
+  * codegen (the previous `mapPartitions` formulation broke codegen and
+  * pushdown at the encoder boundary). Empty payload ⇒ empty result.
+  * DuckDB re-derives the same positions with
+  * `list_transform(range(0, target), i -> i * n // target)`. */
+final case class ByteSample(child: Expression, target: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: Array[Byte]): Array[Byte] = {
+    val n = input.length
+    if (n == 0) return Array.emptyByteArray
+    val out = new Array[Byte](target)
+    var i = 0
+    while (i < target) {
+      out(i) = input((i.toLong * n / target).toInt)
+      i += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val ref = ctx.addReferenceObj("byteSample", this, classOf[ByteSample].getName)
+      s"${ev.value} = $ref.compute($b);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSample =
+    copy(child = newChild)
+}
+
 /** LSH band buckets over a MinHash signature (`array<long>`): output[b] =
   * Murmur3 hash (seed 42, Spark's `hash()`) of signature rows
   * [b*rowsPerBand, (b+1)*rowsPerBand) — bit-identical to

@@ -149,48 +149,28 @@ object Multimodal {
     },
 
     // Resize: downsample each payload to a fixed-size thumbnail by evenly
-    // spaced byte sampling (the stub stand-in for an image resize kernel).
-    // Same partition-local batch shape as the decoder. Oracled: DuckDB
+    // spaced byte sampling (the stub stand-in for an image resize kernel),
+    // fused into the codegen'd `graft_byte_sample` expression — the stub
+    // kernel is pure byte arithmetic, so it belongs inside whole-stage
+    // codegen rather than behind a mapPartitions encoder boundary (a real
+    // codec would need the partition-local batch shape; see
+    // m_decode_features for that pattern). Output carries the hex rendering
+    // only: the raw thumbnail blob is informationally identical and binary
+    // columns are not hashable by the oracle diff. Oracled: DuckDB
     // re-derives the 16 sampled byte positions with list_transform over
-    // range() and rebuilds the thumbnail blob via unhex of the hex string.
+    // range().
     GraftQuery("m_resize",
-      """WITH hexed AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(text) = 0 THEN ''
-        |         ELSE list_aggregate(
-        |           list_transform(range(0, 16),
-        |             i -> format('{:02x}', ord(substr(text,
-        |                    CAST(i * length(text) // 16 AS INTEGER) + 1, 1)))),
-        |           'string_agg', '') END AS thumb_hex
-        |  FROM documents)
-        |SELECT doc_id AS asset_id, unhex(thumb_hex) AS thumb, thumb_hex
-        |FROM hexed""".stripMargin) { (s, dir) =>
-      val df = assets(s, dir)
-      implicit val enc: ExpressionEncoder[Row] =
-        ExpressionEncoder(thumbSchema)
-      df.select(col("asset_id"), col("payload"))
-        .mapPartitions { rows =>
-          rows.map(r => resizeStub(r.getLong(0), r.getAs[Array[Byte]](1), 16))
-        }
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN length(text) = 0 THEN ''
+        |       ELSE list_aggregate(
+        |         list_transform(range(0, 16),
+        |           i -> format('{:02x}', ord(substr(text,
+        |                  CAST(i * length(text) // 16 AS INTEGER) + 1, 1)))),
+        |         'string_agg', '') END AS thumb_hex
+        |FROM documents""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      assets(s, dir).select(col("asset_id"),
+        lower(hex(expr("graft_byte_sample(payload)"))).as("thumb_hex"))
     }
   )
-
-  val thumbSchema: StructType = StructType(Seq(
-    StructField("asset_id", LongType, nullable = false),
-    StructField("thumb", BinaryType, nullable = false),
-    StructField("thumb_hex", StringType, nullable = false)))
-
-  /** Stub resize kernel: `target` evenly spaced bytes of the payload (a
-    * real deployment calls the image library here, one instance per
-    * partition). Deterministic: position i samples byte ⌊i·n/target⌋. */
-  def resizeStub(assetId: Long, payload: Array[Byte], target: Int): Row = {
-    val n = payload.length
-    val thumb = new Array[Byte](if (n == 0) 0 else target)
-    var i = 0
-    while (i < thumb.length) {
-      thumb(i) = payload((i.toLong * n / target).toInt min (n - 1))
-      i += 1
-    }
-    Row(assetId, thumb, thumb.map("%02x".format(_)).mkString)
-  }
 }

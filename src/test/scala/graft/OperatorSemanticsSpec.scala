@@ -194,16 +194,16 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
-  test("resize stub emits fixed-size deterministic thumbnails") {
+  test("resize kernel emits fixed-size deterministic thumbnails") {
     val p = ("abcdefghij" * 10).getBytes("UTF-8")
-    val r1 = graft.operators.Multimodal.resizeStub(7L, p, 16)
-    val r2 = graft.operators.Multimodal.resizeStub(7L, p, 16)
-    assert(r1.getAs[Array[Byte]](1).length == 16)
-    assert(r1.getAs[Array[Byte]](1).sameElements(r2.getAs[Array[Byte]](1)))
-    assert(r1.getString(2) == r2.getString(2) && r1.getString(2).length == 32)
+    val k = graft.functions.ByteSample(
+      org.apache.spark.sql.catalyst.expressions.Literal(p), target = 16)
+    val r1 = k.compute(p); val r2 = k.compute(p)
+    assert(r1.length == 16 && r1.sameElements(r2))
+    // position i samples byte floor(i*n/target)
+    assert(r1(0) == p(0) && r1(15) == p(15 * p.length / 16))
     // empty payload → empty thumbnail, no crash
-    assert(graft.operators.Multimodal.resizeStub(8L, Array.empty, 16)
-      .getAs[Array[Byte]](1).isEmpty)
+    assert(k.compute(Array.empty).isEmpty)
   }
 
   test("frame sampling emits one frame per full stride window, capped at 8") {
