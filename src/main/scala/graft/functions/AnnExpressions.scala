@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, Murmur3HashFunction, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -255,11 +255,13 @@ final case class ByteSample(child: Expression, target: Int)
 }
 
 /** LSH band buckets over a MinHash signature (`array<long>`): output[b] =
-  * Murmur3 hash (seed 42, Spark's `hash()`) of signature rows
-  * [b*rowsPerBand, (b+1)*rowsPerBand) — bit-identical to
+  * low 32 bits of fmix63(FNV-fold of signature rows
+  * [b*rowsPerBand, (b+1)*rowsPerBand)) — the portable-combine analog of
   * `transform(sequence(0, bands-1), b -> hash(slice(sig, b*rows+1, rows)))`
-  * (asserted by spec), minus the interpreted lambda and per-band slice
-  * allocations. */
+  * (equivalence with an independent reimplementation asserted by spec),
+  * minus the interpreted lambda and per-band slice allocations. Uses
+  * [[PortableHash]] so an external engine can re-derive the exact bucket
+  * partition (the LSH-pairs oracle does, in DuckDB SQL). */
 final case class MinHashBandBuckets(child: Expression, bands: Int,
     rowsPerBand: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -270,16 +272,16 @@ final case class MinHashBandBuckets(child: Expression, bands: Int,
     val out = new Array[Int](bands)
     var b = 0
     while (b < bands) {
-      var h = 42L
+      var h = 0L
       var j = 0
       while (j < rowsPerBand) {
         val idx = b * rowsPerBand + j
         if (idx < sig.numElements()) {
-          h = Murmur3HashFunction.hash(sig.getLong(idx), LongType, h)
+          h = h * PortableHash.FoldP + sig.getLong(idx)
         }
         j += 1
       }
-      out(b) = h.toInt
+      out(b) = ((PortableHash.fmix64(h) >>> 1) % 4294967296L).toInt
       b += 1
     }
     new GenericArrayData(out)

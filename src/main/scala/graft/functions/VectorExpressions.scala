@@ -275,26 +275,22 @@ final case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
 }
 
 /** Hashed 3-word shingles: for `words` (array<string>) emit
-  * `pmod(xxhash64(concat_ws(' ', w_i, w_i+1, w_i+2)), P)` for every
+  * `graft_porthash63(concat_ws(' ', w_i, w_i+1, w_i+2)) % P` for every
   * position i (the whole text as one shingle when fewer than 3 words).
   *
   * Value-identical to the composed
-  * `transform(sequence(...), i -> pmod(xxhash64(concat_ws(...)), P))`
+  * `transform(sequence(...), i -> porthash63(concat_ws(...)) % P)`
   * pipeline it replaces (asserted by spec) — but that form is interpreted:
   * higher-order lambdas are CodegenFallback, paying per-shingle dispatch
-  * plus intermediate array allocations. Output is a multiset (no
-  * distinct): MinHash minima are duplicate-insensitive, and set consumers
-  * apply `array_distinct` to the (small) hash array instead of to shingle
-  * strings.
+  * plus intermediate array allocations. The portable basis hash keeps the
+  * whole MinHash pipeline re-derivable in any engine (see
+  * [[PortableHash]]). Output is a multiset (no distinct): MinHash minima
+  * are duplicate-insensitive, and set consumers apply `array_distinct` to
+  * the (small) hash array instead of to shingle strings.
   */
 final case class ShingleHash3(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
-
-  private def pmodP(h: Long): Long = {
-    val m = h % VectorFunctions.MinHashP
-    if (m < 0) m + VectorFunctions.MinHashP else m
-  }
 
   /** Shared by eval + codegen (one virtual call per row, loops inside). */
   def compute(input: Any): ArrayData = {
@@ -306,18 +302,15 @@ final case class ShingleHash3(child: Expression) extends UnaryExpression {
       var i = 0
       while (i < n) { parts(i) = ws.getUTF8String(i); i += 1 }
       val joined = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
-      new GenericArrayData(Array(pmodP(
-        org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(joined, StringType, 42L))))
+      new GenericArrayData(Array(
+        PortableHash.hash63(joined) % VectorFunctions.MinHashP))
     } else {
       val out = new Array[Long](n - 2)
       var i = 0
       while (i < n - 2) {
         val s = org.apache.spark.unsafe.types.UTF8String.concatWs(space,
           ws.getUTF8String(i), ws.getUTF8String(i + 1), ws.getUTF8String(i + 2))
-        out(i) = pmodP(
-          org.apache.spark.sql.catalyst.expressions.XxHash64Function
-            .hash(s, StringType, 42L))
+        out(i) = PortableHash.hash63(s) % VectorFunctions.MinHashP
         i += 1
       }
       new GenericArrayData(out)
@@ -583,5 +576,9 @@ object VectorFunctions {
       es => ByteSample(es.head, target = 16), "built-in")
     reg.createOrReplaceTempFunction("graft_norm",
       es => NormalizeText(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_porthash63",
+      es => PortHash63(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_porthash_arr",
+      es => PortHashArr(es.head), "built-in")
   }
 }

@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * exact + fuzzy deduplication, token statistics, language ID, quality
   * scoring, fingerprinting.
   *
-  * Everything is built from codegen'd built-ins (`split`, `transform`,
-  * `aggregate`, `xxhash64`, …) — no UDFs — so whole-stage codegen covers the
-  * hot path and the pipeline scales linearly with documents. MinHash/SimHash
-  * signatures are engine-specific (they depend on xxhash64), so those
-  * queries are declared without a DuckDB oracle; their *exact-jaccard*
-  * verification queries are oracled.
+  * Everything is built from codegen'd built-ins and native Catalyst
+  * expressions — no UDFs — so whole-stage codegen covers the hot path and
+  * the pipeline scales linearly with documents. MinHash/SimHash/winnow
+  * signatures use the engine-portable basis hash
+  * ([[graft.functions.PortableHash]]), so every sketch query is fully
+  * DuckDB-oracled ([[SketchOracleSql]] re-derives the exact signatures in
+  * SQL); the *exact-jaccard* twins verify the rerank arithmetic
+  * independently.
   *
   * Scale design (100 TB of documents):
   *  - all per-doc feature extraction is map-only (no shuffle);
@@ -40,8 +42,8 @@ object TextPipeline {
       .withColumn("words", split(col("norm"), " "))
 
   // MinHash: h_j(x) = (a_j * x + b_j) mod P over base hash
-  // x = xxhash64(shingle) mod P; constants live in VectorFunctions and are
-  // evaluated by the fused codegen'd graft_shingle3 + graft_minhash32
+  // x = porthash63(shingle) mod P; constants live in VectorFunctions and
+  // are evaluated by the fused codegen'd graft_shingle3 + graft_minhash32
   // expressions.
 
   val defs: Seq[GraftQuery] = Seq(
@@ -294,10 +296,11 @@ object TextPipeline {
     // ------------------------------------------- winnowed rolling-hash fp
     // Karp-Rabin rolling hash + winnowing (the MOSS fingerprint): any two
     // documents sharing a normalized substring of >= w+k-1 bytes share at
-    // least one fingerprint. Engine-specific hash basis → rows-only checks;
-    // the selection guarantee and a reference implementation are asserted
-    // by spec.
-    GraftQuery.unverified("t_winnow_fp") { (s, dir) =>
+    // least one fingerprint. The 31-bit Karp-Rabin hash is plain integer
+    // arithmetic, so DuckDB re-derives the exact fingerprints (full hash
+    // oracle); the selection guarantee and a reference implementation are
+    // additionally asserted by spec.
+    GraftQuery("t_winnow_fp", SketchOracleSql.winnowFp(normSqlDuck)) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       withNorm(t(s, dir).documents)
         .select(col("doc_id"), expr("graft_winnow(norm)").as("fps"))
@@ -310,7 +313,7 @@ object TextPipeline {
     // doc_id), cap degenerate fingerprints (boilerplate guard, same as the
     // LSH bucket cap), self-join per fingerprint, rank pairs by how many
     // fingerprints they share. Shuffles only (fp, doc_id) pairs.
-    GraftQuery.unverified("d_winnow_pairs") { (s, dir) =>
+    GraftQuery("d_winnow_pairs", SketchOracleSql.winnowPairs(normSqlDuck)) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val f = withNorm(t(s, dir).documents)
         .select(col("doc_id"), explode(expr("graft_winnow(norm)")).as("fp"))
@@ -332,9 +335,9 @@ object TextPipeline {
     },
 
     // --------------------------------------------------------- MinHash LSH
-    // Signatures: 32 permutations over 3-word shingles. Engine-specific
-    // hash basis (xxhash64) → no SQL oracle; verified structurally by spec.
-    GraftQuery.unverified("d_minhash_signatures") { (s, dir) =>
+    // Signatures: 32 permutations over 3-word shingles on the portable
+    // basis hash — DuckDB re-derives sig[0] exactly (full hash oracle).
+    GraftQuery("d_minhash_signatures", SketchOracleSql.minhashSignatures(normSqlDuck)) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       minhashSignatures(shingleHashed(withNorm(t(s, dir).documents)))
         .select(col("doc_id"), col("sig"))
@@ -355,7 +358,7 @@ object TextPipeline {
     //     bands × cap² per bucket;
     //  4. shingle sets are re-attached to the *small* candidate pair set
     //     for exact rerank.
-    GraftQuery.unverified("d_minhash_lsh_pairs") { (s, dir) =>
+    GraftQuery("d_minhash_lsh_pairs", SketchOracleSql.minhashLshPairs(normSqlDuck)) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val docs = shingleHashed(withNorm(t(s, dir).documents))
       val sigs = minhashSignatures(docs)
@@ -421,7 +424,7 @@ object TextPipeline {
     // MinHash pipeline: the banded exchange carries only (band, bucket,
     // doc_id, simhash) and is REUSED by both self-join sides; degenerate
     // buckets are capped before the join; exact graft_hamming64 rerank.
-    GraftQuery.unverified("d_simhash_pairs") { (s, dir) =>
+    GraftQuery("d_simhash_pairs", SketchOracleSql.simhashPairs(normSqlDuck)) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       simhashCandidates(simhashes(s, dir))
         .filter(col("hamming") <= 10)
@@ -430,7 +433,7 @@ object TextPipeline {
     },
 
     // 32-bit simhash over word hashes; near-dups = small hamming distance.
-    GraftQuery.unverified("d_simhash") { (s, dir) =>
+    GraftQuery("d_simhash", SketchOracleSql.simhash(normSqlDuck)) { (s, dir) =>
       simhashes(s, dir)
         .select(col("doc_id"), col("simhash"))
     }
@@ -442,7 +445,7 @@ object TextPipeline {
   private def simhashes(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     withNorm(t(s, dir).documents)
-      .withColumn("hashes", expr("transform(array_distinct(words), w -> xxhash64(w))"))
+      .withColumn("hashes", expr("graft_porthash_arr(array_distinct(words))"))
       // coalesce makes the column non-nullable, which matters downstream:
       // when simhash feeds a join key, Catalyst infers IsNotNull(key)
       // filters and pushes them below the projection — re-evaluating this

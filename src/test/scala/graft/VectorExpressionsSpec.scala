@@ -99,7 +99,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(edge.getInt(0) == 2 && edge.getInt(1) == 0 && edge.isNullAt(2))
   }
 
-  test("graft_shingle3 matches the composed concat_ws+xxhash64 pipeline") {
+  test("graft_shingle3 matches the composed concat_ws+porthash63 pipeline") {
     VectorFunctions.register(spark)
     val P = VectorFunctions.MinHashP
     val both = Tables(spark, sf).documents.limit(300)
@@ -108,18 +108,46 @@ class VectorExpressionsSpec extends AnyFunSuite {
         expr("graft_shingle3(words)").as("native"),
         expr(
           s"""CASE WHEN size(words) < 3
-             |  THEN array(pmod(xxhash64(concat_ws(' ', words)), ${P}L))
+             |  THEN array(graft_porthash63(concat_ws(' ', words)) % ${P}L)
              |  ELSE transform(sequence(1, size(words) - 2),
-             |    i -> pmod(xxhash64(concat_ws(' ', element_at(words, i),
-             |           element_at(words, i + 1), element_at(words, i + 2))), ${P}L))
+             |    i -> graft_porthash63(concat_ws(' ', element_at(words, i),
+             |           element_at(words, i + 1), element_at(words, i + 2))) % ${P}L)
              |END""".stripMargin).as("hof"))
     assert(both.filter(expr("native != hof")).count() == 0)
     // edge cases: 1-word and 2-word inputs hash the space-joined whole
     val edge = spark.sql(
-      s"""SELECT graft_shingle3(array('a')) = array(pmod(xxhash64('a'), ${P}L)) AS one,
-         |  graft_shingle3(array('a','b')) = array(pmod(xxhash64('a b'), ${P}L)) AS two,
+      s"""SELECT graft_shingle3(array('a')) = array(graft_porthash63('a') % ${P}L) AS one,
+         |  graft_shingle3(array('a','b')) = array(graft_porthash63('a b') % ${P}L) AS two,
          |  graft_shingle3(CAST(NULL AS ARRAY<STRING>)) AS nul""".stripMargin).head()
     assert(edge.getBoolean(0) && edge.getBoolean(1) && edge.isNullAt(2))
+  }
+
+  test("graft_porthash63 matches an independent reference implementation") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    // reference: BigInt arithmetic, unsigned throughout (no Long wrapping)
+    def ref(s: String): Long = {
+      val M = BigInt(1) << 64
+      var h = BigInt(0)
+      s.getBytes("UTF-8").foreach(b => h = (h * 257 + (b & 0xff)) % M)
+      def x33(v: BigInt) = v ^ (v >> 33)
+      h = x33(h); h = (h * BigInt("ff51afd7ed558ccd", 16)) % M
+      h = x33(h); h = (h * BigInt("c4ceb9fe1a85ec53", 16)) % M
+      (x33(h) >> 1).longValue
+    }
+    val texts = Seq("", "a", "hello world", "the quick brown fox",
+      "0123456789 abcdef", "zz top")
+    val got = texts.toDF("t").select(expr("graft_porthash63(t)").as("h"))
+      .collect().map(_.getLong(0))
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == ref(t), s"porthash mismatch for '$t'")
+      assert(g >= 0L, s"porthash must be nonnegative, got $g for '$t'")
+    }
+    // graft_porthash_arr = element-wise graft_porthash63
+    val arr = spark.sql(
+      "SELECT graft_porthash_arr(array('a', 'b', '', 'c d')) AS hs").head()
+      .getSeq[Long](0)
+    assert(arr == Seq(ref("a"), ref("b"), ref(""), ref("c d")))
   }
 
   test("graft_minhash32 returns null for an empty hash array") {
@@ -140,18 +168,39 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(both.filter(col("floats") =!= col("doubles")).count() == 0)
   }
 
-  test("MinHashBandBuckets matches hash(slice(sig, ...)) per band") {
+  test("MinHashBandBuckets matches the portable fold+fmix per band") {
     import org.apache.spark.sql.GraftColumnBridge
     VectorFunctions.register(spark)
-    val sigs = Tables(spark, sf).documents.limit(300)
+    // independent reference: unsigned BigInt fold + fmix, low 32 bits
+    def refBuckets(sig: Seq[Long]): Seq[Int] = {
+      val M = BigInt(1) << 64
+      def x33(v: BigInt) = v ^ (v >> 33)
+      (0 until 8).map { b =>
+        var h = BigInt(0)
+        (0 until 4).foreach { j =>
+          val idx = b * 4 + j
+          if (idx < sig.length) h = (h * 1099511628211L + sig(idx)) % M
+        }
+        h = x33(h); h = (h * BigInt("ff51afd7ed558ccd", 16)) % M
+        h = x33(h); h = (h * BigInt("c4ceb9fe1a85ec53", 16)) % M
+        (((x33(h) >> 1) % (BigInt(1) << 32))).toLong.toInt
+      }
+    }
+    val rows = Tables(spark, sf).documents.limit(300)
       .withColumn("words", split(lower(col("text")), " "))
       .select(expr("graft_minhash32(graft_shingle3(words))").as("sig"))
       .filter(col("sig").isNotNull)
-    val both = sigs.select(
-      GraftColumnBridge.column(graft.functions.MinHashBandBuckets(
-        GraftColumnBridge.expression(col("sig")), bands = 8, rowsPerBand = 4)).as("native"),
-      expr("transform(sequence(0, 7), b -> hash(slice(sig, b * 4 + 1, 4)))").as("hof"))
-    assert(both.filter(expr("native != hof")).count() == 0)
+      .select(col("sig"),
+        GraftColumnBridge.column(graft.functions.MinHashBandBuckets(
+          GraftColumnBridge.expression(col("sig")), bands = 8, rowsPerBand = 4))
+          .as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sig = r.getSeq[Long](0)
+      val native = r.getSeq[Int](1)
+      assert(native == refBuckets(sig), s"bucket mismatch for sig $sig")
+    }
   }
 
   test("NearestCentroid / TopCentroids match the composed argmax forms") {
