@@ -71,6 +71,26 @@ final case class PortHash63(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_fmix63(bigint)` → fmix64 finalizer with the sign bit cleared:
+  * the portable integer hash (deterministic sampling, bucket keys).
+  * Inline wrapping-long arithmetic — far cheaper than the md5-of-concat
+  * string hash it replaces in TABLESAMPLE (no per-row string allocation
+  * or digest), and any engine re-derives it with 128-bit staging. */
+final case class Fmix63(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    PortableHash.fmix64(input.asInstanceOf[Long]) >>> 1
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PortableHash.fmix64($v) >>> 1;")
+
+  override protected def withNewChildInternal(newChild: Expression): Fmix63 =
+    copy(child = newChild)
+}
+
 /** `graft_porthash_arr(array<string>)` → `array<long>`: hash63 of every
   * element, one fused loop (replaces `transform(arr, w -> hash(w))`, which
   * is CodegenFallback with per-element lambda dispatch). Null elements

@@ -549,10 +549,19 @@ object VectorFunctions {
   private val permA: Array[Long] = minhashPerms.map(_._1).toArray
   private val permB: Array[Long] = minhashPerms.map(_._2).toArray
 
-  /** Register `graft_dot`, `graft_cosine`, `graft_hamming64` in the
-    * session's function registry so SQL and `expr(...)` can use them.
-    * Idempotent. */
+  /** Sessions whose registry already holds the graft functions (weak so a
+    * stopped session doesn't pin its state). Registration is
+    * createOrReplace, so this guard is purely log hygiene: every
+    * re-registration emitted a SimpleFunctionRegistry "replaced a
+    * previously registered function" warning per function per query. */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register the graft functions in the session's function registry so
+    * SQL and `expr(...)` can use them. Idempotent and once per session. */
   def register(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
       es => DotProduct(es.head, es(1)), "built-in")
@@ -580,5 +589,7 @@ object VectorFunctions {
       es => PortHash63(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_porthash_arr",
       es => PortHashArr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_fmix63",
+      es => Fmix63(es.head), "built-in")
   }
 }

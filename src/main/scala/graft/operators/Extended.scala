@@ -141,17 +141,25 @@ object Extended {
     },
 
     // TABLESAMPLE via hash-based deterministic sampling: keep rows whose
-    // md5 nibble of the primary key is '0' (a 1/16 rate). Unlike seeded
-    // RNG sampling (whose algorithm differs per engine and per partition
-    // layout), the hash cut is reproducible by ANY engine from the data
-    // alone — the same technique as d_stratified_sample — so the sampled
-    // aggregate is fully oracle-verifiable. Map-only at any scale.
-    GraftQuery("q_tablesample",
-      s"""SELECT count(*) AS n_sampled, ${graft.util.Exact.dsumSql("l_quantity", 2)} AS sum_qty
-         |FROM lineitem
-         |WHERE substr(md5(concat(l_orderkey, '-', l_linenumber)), 1, 1) = '0'""".stripMargin) { (s, dir) =>
+    // fmix63 of the packed primary key is 0 mod 16 (a 1/16 rate). Unlike
+    // seeded RNG sampling (whose algorithm differs per engine and per
+    // partition layout), the hash cut is reproducible by ANY engine from
+    // the data alone, so the sampled aggregate is fully
+    // oracle-verifiable. The integer fmix is pure wrapping arithmetic —
+    // no per-row string build + md5 digest like the first cut of this
+    // query — and the packed key (linenumber is 1..7 in this schema) is
+    // one multiply-add. Map-only at any scale.
+    GraftQuery("q_tablesample", {
+      val (ctes, last) = SketchOracleSql.fmixScalarCtes("s", "k", "l_quantity", "h")
+      s"""WITH k AS (SELECT l_quantity,
+         |  CAST(l_orderkey * 8 + l_linenumber AS HUGEINT) AS h FROM lineitem),
+         |$ctes
+         |SELECT count(*) AS n_sampled, ${graft.util.Exact.dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM $last WHERE fh % 16 = 0""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
       t(s, dir).lineitem
-        .filter(substring(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), 1, 1) === "0")
+        .filter(expr("graft_fmix63(l_orderkey * 8 + l_linenumber) % 16 = 0"))
         .agg(count(lit(1)).as("n_sampled"),
           graft.util.Exact.dsum(col("l_quantity"), 2).as("sum_qty"))
     }

@@ -63,8 +63,9 @@ object SketchOracleSql {
   }
 
   /** CTE chain applying fmix63 to scalar HUGEINT column `col` of `src`;
-    * final CTE has `keys` + `fh` (BIGINT, 63-bit). */
-  private def fmixScalarCtes(pfx: String, src: String, keys: String,
+    * final CTE has `keys` + `fh` (BIGINT, 63-bit). Public: also the
+    * oracle-side of `graft_fmix63` (deterministic TABLESAMPLE). */
+  def fmixScalarCtes(pfx: String, src: String, keys: String,
       col: String): (String, String) = {
     val stages = Seq(
       s"${pfx}1 AS (SELECT $keys, ${x33(col)} AS fh FROM $src)",
@@ -94,8 +95,9 @@ object SketchOracleSql {
        |FROM $last""".stripMargin
   }
 
-  /** The full multi-band SimHash near-dup pipeline: 4 rotated 16-bit
-    * windows, bucket-size cap 200, exact hamming rerank, top-100. */
+  /** The full multi-band SimHash near-dup pipeline: 3 disjoint bands
+    * (bits 21-31 / 10-20 / 0-9 — perfect recall at hamming <= 2 by
+    * pigeonhole), bucket-size cap 200, exact hamming rerank, top-100. */
   def simhashPairs(norm: String): String = {
     val (ctes, last) = tokenHashCtes(norm)
     s"""WITH $ctes,
@@ -105,9 +107,10 @@ object SketchOracleSql {
        |              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
        |  FROM $last),
        |bands AS (SELECT doc_id, simhash, b AS band,
-       |    (((simhash * (CAST(1 AS BIGINT) << (8 * b))) % 4294967296)
-       |     + (simhash // (CAST(1 AS BIGINT) << (32 - 8 * b)))) // 65536 AS bucket
-       |  FROM sims, UNNEST([0, 1, 2, 3]) t(b)),
+       |    CASE WHEN b = 0 THEN simhash // 2097152
+       |         WHEN b = 1 THEN (simhash // 1024) % 2048
+       |         ELSE simhash % 1024 END AS bucket
+       |  FROM sims, UNNEST([0, 1, 2]) t(b)),
        |capped AS (SELECT band, bucket, doc_id, simhash FROM (
        |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsize FROM bands)
        |  WHERE bsize <= 200),

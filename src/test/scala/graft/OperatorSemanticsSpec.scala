@@ -136,19 +136,14 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(cand.keySet.forall(k => cand(k) >= 0 && cand(k) <= 32))
     // candidates carry the TRUE hamming distance (rerank is exact)
     brute.keySet.intersect(cand.keySet).foreach(k => assert(brute(k) == cand(k)))
-    // guarantee band: a pair within hamming 1 always has a flip-free
-    // 16-bit window, so recall there must be PERFECT — the single-band
-    // defect this replaces dropped any pair with its flip in the top bits
-    val within1 = brute.filter(_._2 <= 1).keySet
-    assert(within1.subsetOf(cand.keySet),
-      s"missed ${within1.diff(cand.keySet).size} of ${within1.size} hamming<=1 pairs")
-    // graceful band: two flips exactly 16 apart defeat every 16-bit window
-    // of a 32-bit ring (structural, not a tuning issue), so hamming<=2
-    // recall is high but not 1.0
+    // pigeonhole guarantee: with 3 disjoint bands, any pair within
+    // hamming 2 leaves at least one band flip-free, so recall at
+    // hamming <= 2 must be PERFECT (the brute set here IS hamming <= 2) —
+    // strictly stronger than the rotated-window scheme this replaces,
+    // whose 16-bit windows could all be hit by two flips ~16 apart
     val within2 = brute.keySet
-    val recall2 = if (within2.isEmpty) 1.0
-      else within2.intersect(cand.keySet).size.toDouble / within2.size
-    assert(recall2 >= 0.8, s"hamming<=2 recall too low: $recall2 (${within2.size} true pairs)")
+    assert(within2.subsetOf(cand.keySet),
+      s"missed ${within2.diff(cand.keySet).size} of ${within2.size} hamming<=2 pairs")
   }
 
   test("ann bruteforce returns 10 ranked neighbors per query vector") {
