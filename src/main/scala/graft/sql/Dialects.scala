@@ -131,6 +131,25 @@ object DerbyDialect extends SqlDialect {
   }
 }
 
+/** DuckDB: near-ANSI surface — double-quote idents, LIMIT/OFFSET,
+  * IS NOT DISTINCT FROM, VALUES, NULLS FIRST/LAST all native, so the
+  * base dialect needs no overrides beyond type names. The reference
+  * routes DuckDB through its Substrait producer
+  * (substrait_producer.rs:529-536); this repo routes it through SQL text
+  * instead because that path can be EXECUTED and differentially verified
+  * offline (DuckDbExecSpec runs the generated SQL in a real DuckDB via
+  * the oracle's python module) — `datafusion` stays on the Substrait
+  * marker tier. */
+object DuckDbDialect extends SqlDialect {
+  val name = "duckdb"
+  override def supportsDistinctOn: Boolean = true
+  override def typeName(dt: DataType): String = dt match {
+    case DoubleType => "DOUBLE"
+    case BinaryType => "BLOB"
+    case other      => super.typeName(other)
+  }
+}
+
 /** Oracle: NVL/INSTR/SYSTIMESTAMP/LISTAGG surface, `||` concat, VARCHAR2
   * casts, FROM DUAL. Function rules port oracle.rs:62-294 one-for-one. */
 object OracleDialect extends SqlDialect {
@@ -307,7 +326,8 @@ object DialectRouter {
       case "oracle"                  => Sql(OracleDialect)
       case "snowflake"               => Sql(SnowflakeDialect)
       case "derby"                   => Sql(DerbyDialect)
-      case "duckdb" | "datafusion"   => Substrait
+      case "duckdb"                  => Sql(DuckDbDialect)
+      case "datafusion"              => Substrait
       case _                         => LocalExecution
     }
 

@@ -469,8 +469,9 @@ class SqlGenSpec extends AnyFunSuite {
     assert(route("sqlite").isInstanceOf[Sql])
     assert(route("oracle") == Sql(OracleDialect))
     assert(route("snowflake") == Sql(SnowflakeDialect))
-    assert(isSubstraitSource("duckdb"))
+    assert(route("duckdb") == Sql(DuckDbDialect))
     assert(isSubstraitSource("datafusion"))
+    assert(!isSubstraitSource("duckdb"))
     assert(!isSubstraitSource("postgres"))
     assert(isLocalExecution("unknown_db"))
   }
@@ -480,7 +481,7 @@ class SqlGenSpec extends AnyFunSuite {
   }
 
   test("router: substrait sources refuse SQL-text generation") {
-    val e = intercept[SqlGenError](GraftSqlGen.forDataFrame(users, "duckdb"))
+    val e = intercept[SqlGenError](GraftSqlGen.forDataFrame(users, "datafusion"))
     assert(e.getMessage.contains("Substrait"))
   }
 
