@@ -1,0 +1,211 @@
+package graft.sources.grpc
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{HttpURLConnection, URI}
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.sparkproject.spark_core.protobuf.DynamicMessage
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 reader for gRPC services with dynamic protobuf decoding —
+  * the Spark-native re-expression of the reference's gRPC source
+  * (/root/reference/crates/connectors/src/sources/grpc.rs:21-90 config,
+  * :316-345 service/method resolution, :405-409 unary exchange, :415-460
+  * response->rows mapping). The reference round-trips the decoded message
+  * through JSON into Arrow's JSON reader; here the descriptor drives a
+  * direct DynamicMessage->InternalRow conversion (lossless 64-bit ints,
+  * no intermediate text).
+  *
+  * Options:
+  *   url            service base URL
+  *   service        fully-qualified service name in the descriptor set
+  *   method         unary method name
+  *   descriptorSet  path to a compiled FileDescriptorSet (protoc
+  *                  --descriptor_set_out), the reference's
+  *                  `descriptor_set` option
+  *   requestJson    optional JSON request body mapped onto the method's
+  *                  input message (reference `request_body`)
+  *   rowsField      optional repeated-message field of the response whose
+  *                  elements become the rows; omitted -> the whole
+  *                  response is one row (the reference's JSON-reader
+  *                  behavior)
+  *
+  * Transport: gRPC's LENGTH_PREFIXED_MESSAGE framing (1-byte compressed
+  * flag + u32 big-endian length + message) POSTed as
+  * `application/grpc+proto`. The HTTP/2 carrier needs grpc-netty, which
+  * this build intentionally omits — the framing, descriptor resolution,
+  * dynamic decode, and row mapping (the engine-side 90%) are identical
+  * over HTTP/1.1 and are what the specs exercise end-to-end.
+  *
+  * Scale notes: a unary gRPC response is one stream -> one
+  * InputPartition, the same stance as the reference's
+  * `Partitioning::UnknownPartitioning(1)` (grpc.rs:245). Parallelism
+  * comes from many sources/param-splits; column pruning reaches the
+  * decode loop (unrequested fields are never converted).
+  */
+class GrpcDataSource extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GrpcOptions(options.asCaseSensitiveMap().asScala.toMap).rowSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GrpcTable(schema, GrpcOptions(properties.asScala.toMap))
+}
+
+final case class GrpcOptions(conf: Map[String, String]) {
+  private def req(k: String): String = conf.getOrElse(k,
+    throw new IllegalArgumentException(s"graft-grpc: missing option '$k'"))
+  val url: String = req("url")
+  val service: String = req("service")
+  val method: String = req("method")
+  val descriptorSet: String = req("descriptorSet")
+  val requestJson: Option[String] = conf.get("requestJson")
+  val rowsField: Option[String] = conf.get("rowsField")
+
+  @transient lazy val methodDesc: org.sparkproject.spark_core.protobuf.Descriptors.MethodDescriptor =
+    ProtoSchema.findMethod(ProtoSchema.loadDescriptorSet(descriptorSet), service, method)
+
+  /** Descriptor of the message that becomes one row. */
+  @transient lazy val rowDesc: org.sparkproject.spark_core.protobuf.Descriptors.Descriptor =
+    rowsField match {
+      case None => methodDesc.getOutputType
+      case Some(f) =>
+        val fd = Option(methodDesc.getOutputType.findFieldByName(f)).getOrElse(
+          throw new IllegalArgumentException(
+            s"rowsField '$f' not in response '${methodDesc.getOutputType.getFullName}'"))
+        require(fd.isRepeated && fd.getJavaType ==
+          org.sparkproject.spark_core.protobuf.Descriptors.FieldDescriptor.JavaType.MESSAGE,
+          s"rowsField '$f' must be a repeated message field")
+        fd.getMessageType
+    }
+
+  @transient lazy val rowSchema: StructType = ProtoSchema.toStructType(rowDesc)
+}
+
+final class GrpcTable(schema: StructType, opts: GrpcOptions)
+    extends Table with SupportsRead {
+  override def name(): String = s"${opts.url}/${opts.service}/${opts.method}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GrpcScanBuilder(schema, opts)
+}
+
+final class GrpcScanBuilder(fullSchema: StructType, opts: GrpcOptions)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GrpcScan(required, opts)
+}
+
+final class GrpcScan(schema: StructType, opts: GrpcOptions)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GrpcInputPartition(opts))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GrpcReaderFactory(schema)
+  override def description(): String =
+    s"GrpcScan(${opts.url}/${opts.service}/${opts.method})"
+}
+
+final case class GrpcInputPartition(opts: GrpcOptions) extends InputPartition
+
+final class GrpcReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GrpcPartitionReader(schema, p.asInstanceOf[GrpcInputPartition].opts)
+}
+
+final class GrpcPartitionReader(schema: StructType, opts: GrpcOptions)
+    extends PartitionReader[InternalRow] {
+
+  private var rows: Iterator[DynamicMessage] = _
+  private var current: InternalRow = _
+
+  private def fetch(): Iterator[DynamicMessage] = {
+    val md = opts.methodDesc
+    val request = opts.requestJson match {
+      case Some(j) => ProtoSchema.jsonToMessage(md.getInputType, j)
+      case None    => DynamicMessage.newBuilder(md.getInputType).build()
+    }
+    val response = GrpcFraming.unaryCall(
+      s"${opts.url}/${opts.service}/${opts.method}", request.toByteArray)
+    val msg = DynamicMessage.parseFrom(md.getOutputType, response)
+    opts.rowsField match {
+      case None => Iterator.single(msg)
+      case Some(f) =>
+        val fd = md.getOutputType.findFieldByName(f)
+        msg.getField(fd).asInstanceOf[java.util.List[_]]
+          .asScala.iterator.map(_.asInstanceOf[DynamicMessage])
+    }
+  }
+
+  override def next(): Boolean = {
+    if (rows == null) rows = fetch()
+    if (rows.hasNext) { current = ProtoSchema.toRow(rows.next(), schema); true }
+    else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** gRPC LENGTH_PREFIXED_MESSAGE framing and the unary HTTP exchange. */
+object GrpcFraming {
+
+  /** 1-byte compressed flag (0) + u32 big-endian length + payload. */
+  def frame(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 5)
+    val d = new DataOutputStream(out)
+    d.writeByte(0)
+    d.writeInt(payload.length)
+    d.write(payload)
+    out.toByteArray
+  }
+
+  /** Reads one frame; rejects the compressed flag (no codec negotiated —
+    * same stance as an identity-only gRPC endpoint). */
+  def unframe(in: java.io.InputStream): Array[Byte] = {
+    val d = new DataInputStream(in)
+    val flag = d.readByte()
+    require(flag == 0, s"compressed gRPC frame (flag=$flag) not supported")
+    val len = d.readInt()
+    require(len >= 0 && len <= 64 * 1024 * 1024, s"gRPC frame length $len out of range")
+    val buf = new Array[Byte](len)
+    d.readFully(buf)
+    buf
+  }
+
+  /** POST one framed request to `/{Service}/{Method}`, return the unframed
+    * response payload. */
+  def unaryCall(fullUrl: String, requestPayload: Array[Byte]): Array[Byte] = {
+    val conn = new URI(fullUrl).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/grpc+proto")
+      conn.setRequestProperty("TE", "trailers")
+      conn.getOutputStream.write(frame(requestPayload))
+      conn.getOutputStream.close()
+      val code = conn.getResponseCode
+      if (code != 200)
+        throw new java.io.IOException(s"gRPC endpoint returned HTTP $code")
+      val in = conn.getInputStream
+      try unframe(in) finally in.close()
+    } finally conn.disconnect()
+  }
+}
