@@ -47,6 +47,7 @@ final class ApiServer(
     })
     server.createContext("/api/v1/validate", authed("catalog:read", handleValidate))
     server.createContext("/api/v1/sources", authed("catalog:read", handleSources))
+    server.createContext("/api/v1/tables", authed("catalog:read", handleTables))
     server.createContext("/api/v1/introspect/", authed("catalog:read", handleIntrospect))
     server.createContext("/api/v1/run_python", authed("query:execute", handleRunPython))
     // a real executor (not the single-threaded default): run_python blocks
@@ -201,6 +202,78 @@ final class ApiServer(
     }
     respond(ex, 200, out)
   }
+
+  /** Catalog discovery in the Flight SQL GetTables shape — one Arrow IPC
+    * batch with (catalog_name, db_schema_name, table_name, table_type,
+    * table_schema), where table_schema is each table's encapsulated Arrow
+    * IPC Schema message (reference: flight_sql.rs:625-729,
+    * `build_tables_batch`). Query params mirror CommandGetTables:
+    * `catalog`, `db_schema_filter_pattern` / `table_name_filter_pattern`
+    * (SQL LIKE: % and _), `table_types` (comma list), and
+    * `include_schema` (default true; false leaves the binary column
+    * empty, as the reference does). */
+  private def handleTables(ex: HttpExchange, user: AuthenticatedUser): Unit = {
+    if (ex.getRequestMethod != "GET") { respond(ex, 405, err("GET required")); return }
+    try {
+      val q: Map[String, String] = Option(ex.getRequestURI.getRawQuery)
+        .map(_.split("&").toSeq.filter(_.contains("="))
+          .map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+          }.toMap).getOrElse(Map.empty)
+      // SQL LIKE semantics, same as the reference's matches_like_pattern
+      def like(value: String, pattern: Option[String]): Boolean = pattern match {
+        case None | Some("%") => true
+        case Some(p) =>
+          val rx = "^" + java.util.regex.Pattern.quote(p)
+            .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$"
+          value.matches(rx)
+      }
+      val catalogName = engine.spark.catalog.currentCatalog()
+      val includeSchema = q.get("include_schema").forall(_.toBoolean)
+      val typeFilter = q.get("table_types").map(_.split(",").toSet)
+      val rows: Array[org.apache.spark.sql.Row] =
+        if (!like(catalogName, q.get("catalog"))) Array.empty
+        else engine.spark.catalog.listTables().collect()
+          .filter(t => typeFilter.forall(_.contains("TABLE")))
+          .filter { t =>
+            val db = Option(t.namespace).filter(_.nonEmpty)
+              .map(_.mkString(".")).getOrElse("default")
+            like(db, q.get("db_schema_filter_pattern")) &&
+              like(t.name, q.get("table_name_filter_pattern"))
+          }
+          .map { t =>
+            val ns = Option(t.namespace).filter(_.nonEmpty)
+            val db = ns.map(_.mkString(".")).getOrElse("default")
+            val qualified = (ns.getOrElse(Array.empty[String]) :+ t.name).mkString(".")
+            val schemaBytes =
+              if (includeSchema)
+                ArrowResults.schemaIpcBytes(engine.spark.table(qualified).schema)
+              else Array.emptyByteArray
+            org.apache.spark.sql.Row(catalogName, db, t.name, "TABLE", schemaBytes)
+          }
+      val out = ArrowResults.toArrowStream(tablesResultSchema, rows)
+      ex.getResponseHeaders.add("Content-Type", "application/vnd.apache.arrow.stream")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out)
+      ex.close()
+    } catch {
+      case NonFatal(e) => respond(ex, 400, err(e.getMessage))
+    }
+  }
+
+  /** The Flight SQL GetTables result schema (flight_sql.rs tables_schema). */
+  private val tablesResultSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("catalog_name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("db_schema_name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("table_name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("table_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("table_schema",
+      org.apache.spark.sql.types.BinaryType)))
 
   private def handleIntrospect(ex: HttpExchange, user: AuthenticatedUser): Unit = {
     val table = ex.getRequestURI.getPath.stripPrefix("/api/v1/introspect/")

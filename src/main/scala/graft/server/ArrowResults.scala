@@ -55,6 +55,22 @@ object ArrowResults {
     } finally allocator.close()
   }
 
+  /** Encapsulated Arrow IPC Schema message for one table — the payload of
+    * the `table_schema` binary column in the Flight SQL GetTables result
+    * (reference: flight_sql.rs:691-704, `SchemaAsIpc` → `IpcMessage`).
+    * Any Arrow client decodes it with `read_schema` /
+    * `MessageSerializer.deserializeSchema`. */
+  def schemaIpcBytes(sparkSchema: StructType): Array[Byte] = {
+    val arrowFields = sparkSchema.fields.map(f =>
+      new Field(f.name, FieldType.nullable(arrowTypeOf(f.dataType)), null))
+    val schema = new ArrowSchema(arrowFields.toSeq.asJava)
+    val out = new ByteArrayOutputStream()
+    org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(
+      new org.apache.arrow.vector.ipc.WriteChannel(Channels.newChannel(out)),
+      schema)
+    out.toByteArray
+  }
+
   private def arrowTypeOf(dt: DataType): ArrowType = dt match {
     case BooleanType => ArrowType.Bool.INSTANCE
     case IntegerType => new ArrowType.Int(32, true)

@@ -98,4 +98,64 @@ class ArrowResultsSpec extends AnyFunSuite {
       }
     } finally api.stop()
   }
+
+  test("tables endpoint serves Flight-SQL-shaped catalog discovery with embedded schemas") {
+    import graft.server.{ApiKeyAuthenticator, ApiServer}
+    import graft.session.{AuthenticatedUser, GraftConfig, GraftSession}
+    Tables(spark, sf).registerAll()
+    val engine = new GraftSession(spark, GraftConfig(defensiveLimit = 100))
+    val api = new ApiServer(engine,
+      new ApiKeyAuthenticator(Map(
+        "k" -> AuthenticatedUser("u", permissions = Set("catalog:read")))).apply)
+    val port = api.start()
+    def get(params: String): Array[Byte] = {
+      val conn = new java.net.URI(s"http://localhost:$port/api/v1/tables$params")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestProperty("Authorization", "Bearer k")
+      assert(conn.getResponseCode == 200, params)
+      assert(conn.getHeaderField("Content-Type") == "application/vnd.apache.arrow.stream")
+      conn.getInputStream.readAllBytes()
+    }
+    try {
+      // full listing: the GetTables 5-column shape, lineitem present, and
+      // its table_schema bytes decode back to the table's Arrow schema
+      readBack(get("")) { root =>
+        val names = root.getSchema.getFields
+        assert((0 until names.size()).map(names.get(_).getName) ==
+          Seq("catalog_name", "db_schema_name", "table_name", "table_type",
+            "table_schema"))
+        val tn = root.getVector("table_name").asInstanceOf[VarCharVector]
+        val all = (0 until root.getRowCount).map(i => new String(tn.get(i)))
+        assert(all.contains("lineitem") && all.contains("orders"), all)
+        val i = all.indexOf("lineitem")
+        assert(new String(root.getVector("table_type")
+          .asInstanceOf[VarCharVector].get(i)) == "TABLE")
+        val schemaBytes = root.getVector("table_schema")
+          .asInstanceOf[VarBinaryVector].get(i)
+        val decoded = org.apache.arrow.vector.ipc.message.MessageSerializer
+          .deserializeSchema(new org.apache.arrow.vector.ipc.ReadChannel(
+            java.nio.channels.Channels.newChannel(
+              new ByteArrayInputStream(schemaBytes))))
+        val fieldNames = decoded.getFields
+        assert((0 until fieldNames.size()).map(fieldNames.get(_).getName).toSet ==
+          spark.table("lineitem").schema.fieldNames.toSet)
+      }
+      // LIKE filter narrows the listing
+      readBack(get("?table_name_filter_pattern=line%25")) { root =>
+        val tn = root.getVector("table_name").asInstanceOf[VarCharVector]
+        val all = (0 until root.getRowCount).map(i => new String(tn.get(i)))
+        assert(all.nonEmpty && all.forall(_.startsWith("line")), all)
+      }
+      // include_schema=false leaves the binary column empty
+      readBack(get("?include_schema=false&table_name_filter_pattern=orders")) { root =>
+        assert(root.getRowCount >= 1)
+        assert(root.getVector("table_schema")
+          .asInstanceOf[VarBinaryVector].get(0).isEmpty)
+      }
+      // catalog pattern that matches nothing yields an empty (but valid) batch
+      readBack(get("?catalog=nope")) { root =>
+        assert(root.getRowCount == 0)
+      }
+    } finally api.stop()
+  }
 }
