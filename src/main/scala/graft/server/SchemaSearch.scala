@@ -56,26 +56,101 @@ object SchemaSearch {
   private val synonymId: Map[String, Int] =
     SynonymGroups.zipWithIndex.flatMap { case (g, i) => g.map(_ -> i) }.toMap
 
+  /** Glue words carry no relevance signal and dilute per-term averages —
+    * "customer purchases by country" should score over 3 terms, not 4. */
+  private val Stopwords = Set("a", "an", "the", "by", "of", "in", "on",
+    "for", "with", "to", "and", "or", "from", "per", "all")
+
   def search(spark: SparkSession, query: String, limit: Int = 10): Seq[Hit] = {
-    val terms = tokenize(query)
+    val raw = tokenize(query)
+    val terms = { val t = raw.filterNot(Stopwords); if (t.isEmpty) raw else t }
     if (terms.isEmpty) return Nil
+    val qVec = embed(terms)
     val tables = spark.catalog.listTables().collect()
     val hits = tables.flatMap { t =>
+      val cols =
+        try spark.catalog.listColumns(t.name).collect().toSeq
+        catch { case _: Exception => Nil }
       val tableScore = score(terms, tokenize(t.name))
-      val tableHit = if (tableScore > 0) Seq(Hit(t.name, None, tableScore)) else Nil
-      val colHits =
-        try spark.catalog.listColumns(t.name).collect().toSeq.flatMap { c =>
-          // comments (declared in YAML, carried as field metadata) count
-          // toward relevance — an agent searching "customer churn risk"
-          // should hit a column whose comment says so even if the name is
-          // an opaque code
-          val s = score(terms, tokenize(c.name) ++ tokenize(c.dataType) ++
-            tokenize(Option(c.description).getOrElse("")))
-          if (s > 0) Some(Hit(t.name, Some(c.name), s)) else None
-        } catch { case _: Exception => Nil }
+      // document-level embedding over the table's whole metadata text
+      // (name + columns + types + comments), the search.py unit of
+      // indexing: cross-term evidence accumulates even when no single
+      // token matches outright. Weighted below the exact-token tier so a
+      // literal name match always outranks a paraphrase.
+      val doc = tokenize(t.name) ++ cols.flatMap(c =>
+        tokenize(c.name) ++ tokenize(c.dataType) ++
+          tokenize(Option(c.description).getOrElse("")))
+      val sem = 0.85 * cosine(qVec, embed(doc))
+      val tableHit =
+        if (math.max(tableScore, sem) > 0.15)
+          Seq(Hit(t.name, None, math.max(tableScore, sem)))
+        else Nil
+      val colHits = cols.flatMap { c =>
+        // comments (declared in YAML, carried as field metadata) count
+        // toward relevance — an agent searching "customer churn risk"
+        // should hit a column whose comment says so even if the name is
+        // an opaque code
+        val s = score(terms, tokenize(c.name) ++ tokenize(c.dataType) ++
+          tokenize(Option(c.description).getOrElse("")))
+        if (s > 0) Some(Hit(t.name, Some(c.name), s)) else None
+      }
       tableHit ++ colHits
     }
     hits.sortBy(h => (-h.score, h.table, h.column.getOrElse(""))).take(limit).toSeq
+  }
+
+  // ------------------------------------------------- hash-ngram embedding
+
+  /** Embedding dimensionality. 256 keeps collisions rare for identifier
+    * vocabularies while the vectors stay trivially cheap. */
+  private val Dim = 256
+
+  /** Deterministic hash-ngram embedding — the no-model stand-in for the
+    * reference's LanceDB vectors (search.py embeds `table col type desc`
+    * text per column; here the same text embeds via signed feature
+    * hashing). Features per token: the word itself, its light stem, its
+    * synonym GROUP (so "purchases" and "orders" share a dimension), and
+    * its character trigrams (morphology). Signed hashing (the sign bit of
+    * the feature hash) keeps collisions unbiased. The serving path scores
+    * a catalog's worth of vectors driver-side; at index scale the same
+    * vectors go in a DataFrame and rank with the codegen'd
+    * `graft_cosine` — identical arithmetic. */
+  private[graft] def embed(tokens: Seq[String]): Array[Double] = {
+    val v = new Array[Double](Dim)
+    def add(feature: String, w: Double): Unit = {
+      val h = graft.functions.PortableHash.hash63(
+        feature.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sign = if (((h >> 32) & 1L) == 0L) 1.0 else -1.0
+      v((h % Dim).toInt) += w * sign
+    }
+    tokens.foreach { t =>
+      add("w:" + t, 1.0)
+      val st = stem(t)
+      if (st != t) add("w:" + st, 0.8)
+      (synonymId.get(t) orElse synonymId.get(st)).foreach(g => add("g:" + g, 1.0))
+      trigrams(t).foreach(tri => add("t:" + tri, 0.3))
+    }
+    v
+  }
+
+  /** Plural-stripping stem — enough for identifier vocabulary
+    * ("purchases"→"purchase", "orders"→"order"); no Porter machinery. */
+  private def stem(t: String): String =
+    if (t.length > 3 && t.endsWith("ies")) t.dropRight(3) + "y"
+    else if (t.length > 2 && t.endsWith("es") && !t.endsWith("ses")) t.dropRight(1)
+    else if (t.length > 2 && t.endsWith("s") && !t.endsWith("ss")) t.dropRight(1)
+    else t
+
+  /** Same arithmetic as the codegen'd graft_cosine expression. */
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   private def tokenize(s: String): Seq[String] =
@@ -87,12 +162,21 @@ object SchemaSearch {
     query.map { q =>
       if (targetSet.contains(q)) 1.0
       else {
-        val syn = synonymId.get(q)
-          .exists(g => target.exists(t => synonymId.get(t).contains(g)))
+        // synonym groups match through the light stem on either side:
+        // "purchases" must find the order group even though only
+        // "purchase" is in the lexicon
+        def groupOf(w: String): Option[Int] =
+          synonymId.get(w) orElse synonymId.get(stem(w))
+        val syn = groupOf(q)
+          .exists(g => target.exists(t => groupOf(t).contains(g)))
         if (syn) 0.9
         else {
           val tri = target.map(t => trigramCosine(q, t)).maxOption.getOrElse(0.0)
-          lazy val sub = target.exists(t => t.contains(q) || q.contains(t))
+          // containment needs ≥3 chars on both sides: single-letter
+          // prefix tokens ("c", "r") would otherwise substring-match
+          // every query term at 0.5
+          lazy val sub = target.exists(t => t.length >= 3 && q.length >= 3 &&
+            (t.contains(q) || q.contains(t)))
           // the trigram tier outranks-or-equals the substring tier by
           // design: floor it at 0.5 so a close morphological match never
           // ranks below a weaker containment match

@@ -112,6 +112,23 @@ class AgentLayerSpec extends AnyFunSuite {
       ship.take(5).toString)
   }
 
+  test("schema search: embedding tier ranks paraphrases with no shared tokens") {
+    Tables(spark, sf).registerAll()
+    // "customer purchases by country" shares no token with any table NAME
+    // (orders, nation); the document-level hash-ngram embedding must carry
+    // both through stems + synonym-group dimensions + trigram morphology
+    val hits = SchemaSearch.search(spark, "customer purchases by country")
+    assert(hits.exists(_.table == "orders"), hits.take(10).toString)
+    assert(hits.exists(_.table == "nation"), hits.take(10).toString)
+    // an unrelated query must not surface spurious high-score tables
+    val junk = SchemaSearch.search(spark, "zebra xylophone")
+    assert(junk.forall(_.score < 0.5), junk.take(5).toString)
+    // embedding determinism: same input, same vector
+    val a = SchemaSearch.embed(Seq("customer", "orders"))
+    val b = SchemaSearch.embed(Seq("customer", "orders"))
+    assert(a.sameElements(b))
+  }
+
   // ------------------------------------------------------ script sandbox
 
   import graft.server.ScriptSandbox
