@@ -84,9 +84,12 @@ object Similarity {
     // equi-join on (band, bucket) — at 100 TB this shuffles only
     // (id, 16-byte key) pairs, never the vectors; vectors are re-fetched
     // for the small rerank set. Plane components are deterministic ±1 from
-    // a fixed seed — engine-specific, so rows-only verification; the
-    // rerank arithmetic is the same code verified by s_ann_bruteforce.
-    GraftQuery.unverified("s_ann_lsh") { (s, dir) =>
+    // a fixed seed, embedded as literals in the oracle SQL; the sign-bit
+    // fold replicates Spark's index-order summation with a sequential
+    // list_reduce, so the bucket partition — and therefore the candidate
+    // set and the reranked top-10 — is derived exactly by DuckDB (full
+    // hash oracle).
+    GraftQuery("s_ann_lsh", lshOracleSql) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val vecs = t(s, dir).embeddings
         .select(col("vec_id"), col("embedding").as("v"))
@@ -227,10 +230,53 @@ object Similarity {
     * The plane matrix rides as one reference object
     * ([[graft.functions.HyperplaneBands]]); per-row work is
     * `bands × planesPerBand` fused dot loops. */
-  private val planes: IndexedSeq[IndexedSeq[Array[Double]]] = {
+  // lazy: referenced by lshOracleSql during `defs` initialization, which
+  // runs before this val in declaration order
+  private lazy val planes: IndexedSeq[IndexedSeq[Array[Double]]] = {
     val rng = new scala.util.Random(2026)
     IndexedSeq.fill(4)(IndexedSeq.fill(4)(
       Array.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0)))
+  }
+
+  /** DuckDB oracle for the full LSH pipeline. The ±1 plane rows embed as
+    * list literals; each sign bit re-derives via a SEQUENTIAL fold
+    * (list_reduce) over v[i]·s_i — the same index-order double summation
+    * the fused HyperplaneBands loop performs, so the sign test agrees
+    * bit-for-bit and the bucket partition matches Spark's exactly. */
+  private def lshOracleSql: String = {
+    def signLit(b: Int, j: Int): String =
+      planes(b)(j).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+    def dotFold(b: Int, j: Int): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(list_zip(v, ${signLit(b, j)}), p -> p[1] * p[2])), " +
+        "(a, x) -> a + x)"
+    def bucket(b: Int): String =
+      (0 until 4).map(j =>
+        s"(CASE WHEN ${dotFold(b, j)} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+    val bandArms = (0 until 4).map(b =>
+      s"SELECT vec_id, $b AS band, ${bucket(b)} AS bucket FROM vecs")
+      .mkString("\n UNION ALL ")
+    s"""WITH vecs AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |norms AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM vecs),
+       |banded AS ($bandArms),
+       |qbands AS (SELECT vec_id AS qid, band, bucket FROM banded WHERE vec_id < 5),
+       |cands AS (SELECT DISTINCT q.qid, c.vec_id
+       |  FROM banded c JOIN qbands q ON c.band = q.band AND c.bucket = q.bucket
+       |  WHERE c.vec_id >= 5),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM norms WHERE vec_id < 5),
+       |scored AS (SELECT cands.qid, cands.vec_id,
+       |    round(list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]))
+       |          / (q.qn * e.nrm), 6) AS cos
+       |  FROM cands JOIN norms e ON cands.vec_id = e.vec_id
+       |  JOIN q ON cands.qid = q.qid),
+       |ranked AS (SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 10""".stripMargin
   }
 
   /** Array of per-band bucket keys. Band b's key packs `planesPerBand`
