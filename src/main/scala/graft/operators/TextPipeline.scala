@@ -416,14 +416,12 @@ object TextPipeline {
     },
 
     // ------------------------------------------------------------ SimHash
-    // Near-dup pairs via MULTI-BAND candidate generation: four rotated
-    // 16-bit windows of the 32-bit simhash (rotations 0/8/16/24), each a
-    // (band, bucket) key — a near-dup pair is a candidate if ANY window is
-    // flip-free, where the old single-band form (top 16 bits only) missed
-    // every pair with a flip in those bits. Same shuffle discipline as the
-    // MinHash pipeline: the banded exchange carries only (band, bucket,
-    // doc_id, simhash) and is REUSED by both self-join sides; degenerate
-    // buckets are capped before the join; exact graft_hamming64 rerank.
+    // Near-dup pairs via 3 DISJOINT bands of the 32-bit simhash (see
+    // simhashCandidates: bits 21-31 / 10-20 / 0-9, perfect recall at
+    // hamming <= 2 by pigeonhole). Same shuffle discipline as the MinHash
+    // pipeline: the banded exchange carries only (band, bucket, doc_id,
+    // simhash) and is REUSED by both self-join sides; degenerate buckets
+    // are capped before the join; exact graft_hamming64 rerank.
     GraftQuery("d_simhash_pairs", SketchOracleSql.simhashPairs(normSqlDuck)) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       simhashCandidates(simhashes(s, dir))

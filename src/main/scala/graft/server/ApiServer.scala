@@ -232,10 +232,15 @@ final class ApiServer(
       val catalogName = engine.spark.catalog.currentCatalog()
       val includeSchema = q.get("include_schema").forall(_.toBoolean)
       val typeFilter = q.get("table_types").map(_.split(",").toSet)
+      // the Flight SQL table-type vocabulary: views (incl. temp views)
+      // report as VIEW, everything else as TABLE
+      def typeOf(t: org.apache.spark.sql.catalog.Table): String =
+        if (t.isTemporary || Option(t.tableType).exists(_.toUpperCase.contains("VIEW")))
+          "VIEW" else "TABLE"
       val rows: Array[org.apache.spark.sql.Row] =
         if (!like(catalogName, q.get("catalog"))) Array.empty
         else engine.spark.catalog.listTables().collect()
-          .filter(t => typeFilter.forall(_.contains("TABLE")))
+          .filter(t => typeFilter.forall(_.contains(typeOf(t))))
           .filter { t =>
             val db = Option(t.namespace).filter(_.nonEmpty)
               .map(_.mkString(".")).getOrElse("default")
@@ -250,7 +255,7 @@ final class ApiServer(
               if (includeSchema)
                 ArrowResults.schemaIpcBytes(engine.spark.table(qualified).schema)
               else Array.emptyByteArray
-            org.apache.spark.sql.Row(catalogName, db, t.name, "TABLE", schemaBytes)
+            org.apache.spark.sql.Row(catalogName, db, t.name, typeOf(t), schemaBytes)
           }
       val out = ArrowResults.toArrowStream(tablesResultSchema, rows)
       ex.getResponseHeaders.add("Content-Type", "application/vnd.apache.arrow.stream")

@@ -31,12 +31,26 @@ object ArrowResults {
   def toArrowStream(df: DataFrame, maxRows: Int): Array[Byte] =
     toArrowStream(df.schema, df.limit(maxRows).collect())
 
+  /** Spark schema -> Arrow schema. Result streams force every field
+    * nullable (any outer join can introduce nulls the writer must be able
+    * to encode); the discovery path preserves the declared nullability —
+    * that is metadata the remote client is entitled to. */
+  private def toArrowSchema(sparkSchema: StructType,
+      forceNullable: Boolean): ArrowSchema = {
+    val arrowFields = sparkSchema.fields.map { f =>
+      val ft =
+        if (forceNullable || f.nullable)
+          FieldType.nullable(arrowTypeOf(f.dataType))
+        else FieldType.notNullable(arrowTypeOf(f.dataType))
+      new Field(f.name, ft, null)
+    }
+    new ArrowSchema(arrowFields.toSeq.asJava)
+  }
+
   /** Encode already-collected rows — lets the caller scan/guard the rows
     * (prompt-injection policy) before serialization. */
   def toArrowStream(sparkSchema: StructType, rows: Array[Row]): Array[Byte] = {
-    val arrowFields = sparkSchema.fields.map(f =>
-      new Field(f.name, FieldType.nullable(arrowTypeOf(f.dataType)), null))
-    val schema = new ArrowSchema(arrowFields.toSeq.asJava)
+    val schema = toArrowSchema(sparkSchema, forceNullable = true)
 
     val allocator = new RootAllocator(Long.MaxValue)
     try {
@@ -61,9 +75,7 @@ object ArrowResults {
     * Any Arrow client decodes it with `read_schema` /
     * `MessageSerializer.deserializeSchema`. */
   def schemaIpcBytes(sparkSchema: StructType): Array[Byte] = {
-    val arrowFields = sparkSchema.fields.map(f =>
-      new Field(f.name, FieldType.nullable(arrowTypeOf(f.dataType)), null))
-    val schema = new ArrowSchema(arrowFields.toSeq.asJava)
+    val schema = toArrowSchema(sparkSchema, forceNullable = false)
     val out = new ByteArrayOutputStream()
     org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(
       new org.apache.arrow.vector.ipc.WriteChannel(Channels.newChannel(out)),

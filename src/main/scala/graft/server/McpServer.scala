@@ -92,12 +92,16 @@ final class McpServer(spark: SparkSession) {
     o
   }
 
+  /** Protocol revisions this server implements; the handshake echoes a
+    * requested version only when it is one of these, else answers with
+    * the latest supported so a spec-compliant client downgrades. */
+  private val SupportedVersions = Set("2024-11-05", "2025-03-26")
+
   private def initializeResult(params: JsonNode): ObjectNode = {
     val o = mapper.createObjectNode()
-    // echo the client's requested version when we can serve it; MCP pins
-    // behavior to the negotiated date version
     val requested = Option(params.get("protocolVersion")).map(_.asText())
-    o.put("protocolVersion", requested.getOrElse("2024-11-05"))
+    o.put("protocolVersion",
+      requested.filter(SupportedVersions).getOrElse("2025-03-26"))
     o.putObject("capabilities").putObject("tools")
     val info = o.putObject("serverInfo")
     info.put("name", "graft"); info.put("version", "0.4.0")

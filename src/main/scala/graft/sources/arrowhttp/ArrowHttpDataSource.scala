@@ -105,8 +105,14 @@ final class ArrowHttpScanBuilder(fullSchema: StructType, opts: ArrowHttpOptions)
   private def whereClause(f: Filter): Option[String] = {
     def lit(v: Any): Option[String] = v match {
       case s: String => Some("'" + s.replace("'", "''") + "'")
-      case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float) =>
-        Some(n.toString)
+      case n @ (_: Int | _: Long | _: Short | _: Byte) => Some(n.toString)
+      // doubles as an explicit string cast: Double.toString round-trips
+      // exactly through string->double, while a bare 1.1 literal parses
+      // as DECIMAL on the remote side; non-finite values have no SQL
+      // literal, and FLOAT comparisons are precision-hazardous (the
+      // remote widens the column to double) — both stay in Spark
+      case d: Double if !d.isNaN && !d.isInfinite =>
+        Some(s"CAST('$d' AS DOUBLE)")
       case d: java.math.BigDecimal => Some(d.toPlainString)
       case b: Boolean => Some(b.toString)
       case _ => None
@@ -215,7 +221,8 @@ object ArrowHttpClient {
             .deserializeSchema(new org.apache.arrow.vector.ipc.ReadChannel(
               java.nio.channels.Channels.newChannel(new ByteArrayInputStream(ipc))))
           StructType(arrowSchema.getFields.asScala.toSeq.map(f =>
-            StructField(f.getName, sparkType(f.getType), nullable = true)))
+            StructField(f.getName, sparkType(f.getType),
+              nullable = f.isNullable)))
         } finally reader.close()
       } finally alloc.close()
     } finally conn.disconnect()

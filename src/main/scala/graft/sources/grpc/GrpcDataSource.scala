@@ -146,7 +146,11 @@ final class GrpcPartitionReader(schema: StructType, opts: GrpcOptions)
     opts.rowsField match {
       case None => Iterator.single(msg)
       case Some(f) =>
-        val fd = md.getOutputType.findFieldByName(f)
+        // same validation message as opts.rowDesc — which this task may
+        // not have evaluated when the schema was supplied externally
+        val fd = Option(md.getOutputType.findFieldByName(f)).getOrElse(
+          throw new IllegalArgumentException(
+            s"rowsField '$f' not in response '${md.getOutputType.getFullName}'"))
         msg.getField(fd).asInstanceOf[java.util.List[_]]
           .asScala.iterator.map(_.asInstanceOf[DynamicMessage])
     }

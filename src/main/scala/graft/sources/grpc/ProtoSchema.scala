@@ -69,10 +69,17 @@ object ProtoSchema {
     else fqn
   }
 
+  /** Relational schemas don't nest deeper than this; a recursive message
+    * type (message Node { Node child = 1; }) has no finite StructType at
+    * all, so the mapper must refuse it rather than overflow the stack. */
+  private val MaxNestingDepth = 16
+
   /** Spark type for a proto field (the reference maps via JSON+Arrow
     * inference; a direct mapping is both faster and lossless for 64-bit
     * ints, which JSON inference can mangle). */
-  def fieldType(fd: Descriptors.FieldDescriptor): DataType = {
+  def fieldType(fd: Descriptors.FieldDescriptor): DataType = fieldType(fd, 0)
+
+  private def fieldType(fd: Descriptors.FieldDescriptor, depth: Int): DataType = {
     import Descriptors.FieldDescriptor.JavaType._
     val scalar = fd.getJavaType match {
       case STRING      => StringType
@@ -83,20 +90,28 @@ object ProtoSchema {
       case BOOLEAN     => BooleanType
       case BYTE_STRING => BinaryType
       case ENUM        => StringType // decoded as the enum value's name
-      case MESSAGE     => toStructType(fd.getMessageType)
+      case MESSAGE     => toStructType(fd.getMessageType, depth + 1)
     }
     if (fd.isRepeated) ArrayType(scalar, containsNull = false) else scalar
   }
 
   /** StructType mirroring a message descriptor (field order preserved). */
   def toStructType(desc: Descriptors.Descriptor): StructType =
+    toStructType(desc, 0)
+
+  private def toStructType(desc: Descriptors.Descriptor, depth: Int): StructType = {
+    if (depth > MaxNestingDepth)
+      throw new IllegalArgumentException(
+        s"message '${desc.getFullName}' nests deeper than $MaxNestingDepth " +
+          "levels (recursive message types have no finite relational schema)")
     StructType(desc.getFields.asScala.toSeq.map { fd =>
       // proto3 scalars always carry a (default) value; submessages may be
       // absent -> null
-      StructField(fd.getName, fieldType(fd),
+      StructField(fd.getName, fieldType(fd, depth),
         nullable = fd.getJavaType == Descriptors.FieldDescriptor.JavaType.MESSAGE
           && !fd.isRepeated)
     })
+  }
 
   /** One decoded message -> InternalRow for the (possibly pruned) schema:
     * only requested fields are converted — column pruning reaches the

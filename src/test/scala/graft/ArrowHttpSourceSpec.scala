@@ -58,7 +58,9 @@ class ArrowHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.toString).mkString
     // remote SQL carries the predicates and only the requested columns
     assert(scanDesc.contains("c_nationkey` = 3"), scanDesc)
-    assert(scanDesc.contains("c_acctbal` > 0"), scanDesc)
+    // double literals travel as exact string casts (Double.toString
+    // round-trips; a bare 0.0 would parse as DECIMAL remotely)
+    assert(scanDesc.contains("c_acctbal` > CAST('0.0' AS DOUBLE)"), scanDesc)
     assert(!scanDesc.contains("c_address"), scanDesc)
     val want = spark.table("customer")
       .filter(col("c_nationkey") === 3 && col("c_acctbal") > 0)

@@ -128,8 +128,9 @@ class ArrowResultsSpec extends AnyFunSuite {
         val all = (0 until root.getRowCount).map(i => new String(tn.get(i)))
         assert(all.contains("lineitem") && all.contains("orders"), all)
         val i = all.indexOf("lineitem")
+        // registerAll creates temp views -> Flight SQL's VIEW type
         assert(new String(root.getVector("table_type")
-          .asInstanceOf[VarCharVector].get(i)) == "TABLE")
+          .asInstanceOf[VarCharVector].get(i)) == "VIEW")
         val schemaBytes = root.getVector("table_schema")
           .asInstanceOf[VarBinaryVector].get(i)
         val decoded = org.apache.arrow.vector.ipc.message.MessageSerializer

@@ -223,6 +223,25 @@ class GrpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("recursive message types are refused, not stack-overflowed") {
+    import DescriptorProtos._
+    import FieldDescriptorProto.{Label, Type}
+    val node = DescriptorProto.newBuilder().setName("Node")
+      .addField(FieldDescriptorProto.newBuilder()
+        .setName("child").setNumber(1).setType(Type.TYPE_MESSAGE)
+        .setLabel(Label.LABEL_OPTIONAL).setTypeName(".rec.Node"))
+      .build()
+    val file = FileDescriptorProto.newBuilder()
+      .setName("rec.proto").setPackage("rec").setSyntax("proto3")
+      .addMessageType(node).build()
+    val fd = ProtoSchema.linkFiles(
+      FileDescriptorSet.newBuilder().addFile(file).build()).head
+    val e = intercept[IllegalArgumentException] {
+      ProtoSchema.toStructType(fd.findMessageTypeByName("Node"))
+    }
+    assert(e.getMessage.contains("recursive"), e.getMessage)
+  }
+
   test("unknown service or method fails with a clear error") {
     val e1 = intercept[Exception] {
       spark.read.format("graft.sources.grpc.GrpcDataSource")
