@@ -534,6 +534,53 @@ final case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Per-document repetition statistics over the word array, one fused
+  * pass: output = [n_distinct_words, top_bigram_count, n_bigrams]. The
+  * composed form (explode bigrams → groupBy(doc, gram) → groupBy(doc))
+  * shuffles every bigram STRING in the corpus twice; each document's
+  * statistics only ever depend on its own words, so this is map-only
+  * work — at 100 TB the difference between scan-bandwidth scaling and a
+  * corpus-sized string shuffle. Cross-engine parity is unaffected: the
+  * counts are over exact gram strings either way. */
+final case class GramStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: Any): ArrayData = {
+    val ws = input.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    val distinct = new java.util.HashSet[Any]()
+    var i = 0
+    while (i < n) { distinct.add(ws.getUTF8String(i)); i += 1 }
+    var top = 0
+    if (n >= 2) {
+      val counts = new java.util.HashMap[Any, Int]()
+      val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      i = 0
+      while (i < n - 1) {
+        val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(space,
+          ws.getUTF8String(i), ws.getUTF8String(i + 1))
+        val c = counts.merge(gram, 1, (a, b) => a + b)
+        if (c > top) top = c
+        i += 1
+      }
+    }
+    new GenericArrayData(Array(distinct.size.toLong, top.toLong,
+      math.max(n - 1, 0).toLong))
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("gramStats", this, classOf[GramStats].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramStats =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** MinHash modulus: 2^31 - 1 (Mersenne prime). */
@@ -591,5 +638,7 @@ object VectorFunctions {
       es => PortHashArr(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_fmix63",
       es => Fmix63(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_stats",
+      es => GramStats(es.head), "built-in")
   }
 }

@@ -98,9 +98,10 @@ object CorpusOps {
     // words / words) and top-bigram fraction (occurrences of the most
     // frequent word 2-gram / total 2-grams). Boilerplate and degenerate
     // generations score high on the bigram fraction and low on TTR.
-    // Shape: TTR is map-only; the bigram mode aggregates per (doc_id,
-    // gram) with map-side combine — partials are (doc, hash, count),
-    // never gram text beyond the first shuffle.
+    // Shape: entirely MAP-ONLY — each document's statistics depend only
+    // on its own words, so the fused graft_gram_stats pass replaces the
+    // explode → two-shuffle bigram aggregation (which shipped every gram
+    // string in the corpus through an exchange, twice).
     GraftQuery("t_repetition",
       s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
          |base AS (SELECT doc_id, len(ws) AS n_words,
@@ -119,25 +120,15 @@ object CorpusOps {
          |  round(CASE WHEN top.total_c IS NULL THEN 0.0
          |        ELSE CAST(top.top_c AS DOUBLE) / top.total_c END, 6) AS top_bigram_frac
          |FROM base b LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin) { (s, dir) =>
-      val docs = withNorm(t(s, dir).documents)
-      val base = docs.select(col("doc_id"), size(col("words")).as("n_words"),
-        size(array_distinct(col("words"))).as("n_distinct"))
-      val grams = docs.filter(size(col("words")) >= 2)
-        .select(col("doc_id"), explode(
-          expr("transform(sequence(1, size(words) - 1), " +
-            "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"))
-          .as("gram"))
-      val top = grams.groupBy(col("doc_id"), col("gram"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("top_c"), sum(col("c")).as("total_c"))
-      base.join(top, Seq("doc_id"), "left")
+      graft.functions.VectorFunctions.register(s)
+      withNorm(t(s, dir).documents)
+        .withColumn("st", expr("graft_gram_stats(words)"))
         .select(col("doc_id"),
-          col("n_words").cast("bigint").as("n_words"),
-          round(col("n_distinct").cast("double") / col("n_words"), 6).as("ttr"),
-          coalesce(col("top_c"), lit(0L)).cast("bigint").as("top_bigram_count"),
-          round(when(col("total_c").isNull, 0.0)
-            .otherwise(col("top_c").cast("double") / col("total_c")), 6)
+          size(col("words")).cast("bigint").as("n_words"),
+          round(expr("st[0]").cast("double") / size(col("words")), 6).as("ttr"),
+          expr("st[1]").as("top_bigram_count"),
+          round(when(expr("st[2]") === 0, 0.0)
+            .otherwise(expr("st[1]").cast("double") / expr("st[2]")), 6)
             .as("top_bigram_frac"))
     }
   )
