@@ -5,13 +5,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators a large-scale training pipeline runs
-  * after cleaning: context-window chunking, PII redaction, and
-  * repetition-based quality filters (the Gopher/C4 rule family).
+  * after cleaning: context-window chunking, PII redaction,
+  * repetition-based quality filters (the Gopher/C4 rule family),
+  * duplicate-cluster resolution (connected components over the
+  * near-dup pair graph), benchmark decontamination (eval-vs-train
+  * n-gram overlap), and chunk-level dedup.
   *
-  * All three are DuckDB-oracled. Scale shapes: chunking and redaction
-  * are map-only (no shuffle — they scale with scan bandwidth);
-  * repetition aggregates per-document n-grams with map-side combine,
-  * shuffling only (doc_id, gram-hash, count) partials.
+  * All are DuckDB-oracled. Scale shapes: chunking, redaction, and
+  * repetition are map-only (no shuffle — they scale with scan
+  * bandwidth); decontamination and chunk dedup shuffle only 16-byte
+  * gram/chunk hashes; clustering iterates O(log diameter) rounds of
+  * (node, label) long pairs.
   */
 object CorpusOps {
 
@@ -130,6 +134,159 @@ object CorpusOps {
           round(when(expr("st[2]") === 0, 0.0)
             .otherwise(expr("st[1]").cast("double") / expr("st[2]")), 6)
             .as("top_bigram_frac"))
+    },
+
+    // -------------------------------------------- duplicate clustering
+    // Near-dup detection emits PAIRS; dedup needs CLUSTERS (keep one
+    // representative per connected component of the pair graph — pairs
+    // alone can't decide which of {a,b}, {b,c} to drop). Edges here are
+    // word-set jaccard >= 0.9 over a bounded candidate set (doc_id <
+    // 150, the oracle baseline — at scale the edge list comes from the
+    // LSH candidate pipeline, never a cross join). Components are
+    // resolved by neighbor-min label propagation with pointer doubling
+    // (label(v) <- label(label(v))), the standard distributed-CC shape:
+    // O(log diameter) rounds, each shuffling only (node, label) long
+    // pairs; lineage is truncated per round with localCheckpoint. Plain
+    // propagation would need O(diameter) rounds — this corpus's largest
+    // component is a 53-doc transitivity chain, exactly the case
+    // pointer doubling exists for.
+    GraftQuery("d_dup_clusters",
+      s"""WITH RECURSIVE d AS (SELECT doc_id, list_distinct(string_split($normSqlDuck, ' ')) AS ws
+         |  FROM documents WHERE doc_id < 150),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM d a, d b WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+         |      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT doc_id, doc_id FROM d
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+         |  WHERE r.label < e.dst),
+         |cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM cc""".stripMargin) { (s, dir) =>
+      val d = withNorm(t(s, dir).documents.filter(col("doc_id") < 150))
+        .select(col("doc_id"), array_distinct(col("words")).as("ws"))
+      val a = d.select(col("doc_id").as("id_a"), col("ws").as("ws_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))
+      val inter = size(array_intersect(col("ws_a"), col("ws_b")))
+      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(inter.cast("double") /
+          (size(col("ws_a")) + size(col("ws_b")) - inter) >= 0.9)
+        .select(col("id_a"), col("id_b"))
+      val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+        .toDF("e_src", "e_dst").localCheckpoint()
+      var labels = d.select(col("doc_id").as("node"), col("doc_id").as("label"))
+        .localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 40) {
+        // neighbor-min: label(v) <- min(label(v), min over in-neighbors)
+        val viaEdges = edges.join(labels, col("e_src") === col("node"))
+          .select(col("e_dst").as("node"), col("label"))
+        val nbrMin = labels.union(viaEdges)
+          .groupBy("node").agg(min("label").as("label"))
+          .localCheckpoint()
+        // pointer doubling: label(v) <- label(label(v))
+        val parents = nbrMin
+          .select(col("node").as("p_node"), col("label").as("p_label"))
+        val next = nbrMin.join(parents, col("label") === col("p_node"))
+          .select(col("node"), col("p_label").as("label"))
+          .localCheckpoint()
+        converged = next
+          .join(labels.select(col("node").as("o_node"), col("label").as("o_label")),
+            col("node") === col("o_node"))
+          .filter(col("label") < col("o_label")).limit(1).isEmpty
+        labels = next
+        rounds += 1
+      }
+      val win = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(win))
+        .withColumn("is_canonical",
+          when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+    },
+
+    // ------------------------------------------------- decontamination
+    // Benchmark-leak detection: for each eval document (held-out split =
+    // doc_id % 10 == 0), the fraction of its distinct 5-word shingles
+    // that appear anywhere in the train split. Joins on md5 of the gram
+    // text, so the exchange ships 16-byte keys (never gram strings); the
+    // train side is dedup'd before the join. At 100 TB the train gram
+    // set is far too large to broadcast — this is a shuffle equi-join by
+    // design, with a bloom-filter prefilter as the optional fast path.
+    GraftQuery("d_decontaminate",
+      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
+         |grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 3),
+         |            i -> md5(array_to_string(ws[i : i + 4], ' ')))) AS gs
+         |          FROM w WHERE len(ws) >= 5),
+         |ev AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 10 = 0),
+         |tr AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 10 <> 0),
+         |hits AS (SELECT ev.doc_id, count(*) AS n_hit FROM ev JOIN tr ON ev.g = tr.g GROUP BY 1)
+         |SELECT b.doc_id, CAST(b.n_grams AS BIGINT) AS n_grams,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_overlap,
+         |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / b.n_grams, 6) AS overlap_frac,
+         |  CAST(CASE WHEN CAST(coalesce(h.n_hit, 0) AS DOUBLE) / b.n_grams >= 0.5
+         |       THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM (SELECT doc_id, len(gs) AS n_grams FROM grams WHERE doc_id % 10 = 0) b
+         |LEFT JOIN hits h ON b.doc_id = h.doc_id""".stripMargin) { (s, dir) =>
+      val grams = withNorm(t(s, dir).documents)
+        .filter(size(col("words")) >= 5)
+        .select(col("doc_id"), array_distinct(
+          expr("transform(sequence(1, size(words) - 4), " +
+            "i -> md5(concat_ws(' ', slice(words, i, 5))))")).as("gs"))
+      val ev = grams.filter(col("doc_id") % 10 === 0)
+      val tr = grams.filter(col("doc_id") % 10 =!= 0)
+        .select(explode(col("gs")).as("g")).distinct()
+      val hits = ev.select(col("doc_id"), explode(col("gs")).as("g"))
+        .join(tr, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      val frac = coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams")
+      ev.select(col("doc_id"), size(col("gs")).cast("bigint").as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).cast("bigint").as("n_overlap"),
+          round(frac, 6).as("overlap_frac"),
+          when(frac >= 0.5, 1L).otherwise(0L).as("contaminated"))
+    },
+
+    // ---------------------------------------------- chunk-level dedup
+    // Dedup at context-window granularity (the unit that actually enters
+    // training): rank every chunk occurrence by (doc_id, chunk_idx)
+    // within its hash, count per document how many of its chunks are
+    // repeats of an earlier occurrence. Shuffles only (hash, doc_id,
+    // idx) — chunk text never leaves the map side.
+    GraftQuery("d_chunk_dedup",
+      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
+         |chunks AS (SELECT doc_id, CAST(s / $Stride AS BIGINT) AS chunk_idx,
+         |    md5(array_to_string(ws[s + 1 : s + $ChunkLen], ' ')) AS h
+         |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws), $Stride)) AS s FROM w)),
+         |ranked AS (SELECT doc_id, h,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |    AS dup_frac
+         |FROM ranked GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val chunks = withNorm(t(s, dir).documents)
+        .withColumn("n_tokens", size(col("words")))
+        .select(col("doc_id"), col("words"),
+          explode(expr(s"sequence(0, n_tokens - 1, $Stride)")).as("st"))
+        .select(col("doc_id"), (col("st") / Stride).cast("bigint").as("chunk_idx"),
+          md5(expr(s"concat_ws(' ', slice(words, st + 1, $ChunkLen))")).as("h"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_idx"))
+      chunks.withColumn("rn", row_number().over(win))
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).cast("bigint").as("n_dup_chunks"),
+          round(sum(when(col("rn") > 1, 1.0).otherwise(0.0)) / count(lit(1)), 6)
+            .as("dup_frac"))
     }
   )
 }
