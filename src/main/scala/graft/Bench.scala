@@ -55,9 +55,14 @@ object Bench {
     // a chaos run is reproducible. Default 0.0 = feature off, output
     // unchanged.
     val chaos = sys.env.getOrElse("SPARK_GRAFT_CHAOS", "0.0").toDouble
+    // optional comma-separated allowlist for iterating on single queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val rng = new scala.util.Random(42)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    val results = SparkEntry.registry.map { q =>
+    val selected = only.fold(SparkEntry.registry)(
+      names => SparkEntry.registry.filter(q => names(q.name)))
+    val results = selected.map { q =>
       val n = if (Headline(q.name)) iters else 1
       val times =
         try (1 to n).flatMap { _ =>

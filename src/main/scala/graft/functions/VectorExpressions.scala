@@ -581,6 +581,60 @@ final case class GramStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_gram_hashes(array<string>, n)` → `array<long>`: the DISTINCT
+  * 63-bit portable hashes of every space-joined n-gram, first-occurrence
+  * order, in one fused pass. Each value equals
+  * `graft_porthash63(concat_ws(' ', slice(words, i, n)))` — the polynomial
+  * runs straight across the gram's words with the joining space folded in,
+  * no gram string is ever materialized. Replaces the
+  * `array_distinct(transform(sequence(...), i -> md5(concat_ws(...))))`
+  * shape, which is CodegenFallback (per-gram lambda dispatch) and
+  * allocates a 32-char hex string per gram; downstream joins ship 8-byte
+  * longs instead of those strings. */
+final case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "gram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: Any): ArrayData = {
+    val ws = input.asInstanceOf[ArrayData]
+    val m = ws.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](m - n + 1)
+    var k = 0
+    var i = 0
+    while (i <= m - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        val b =
+          if (ws.isNullAt(i + j)) Array.emptyByteArray
+          else ws.getUTF8String(i + j).getBytes
+        var p = 0
+        while (p < b.length) { h = h * PortableHash.PolyB + (b(p) & 0xff); p += 1 }
+        if (j < n - 1) h = h * PortableHash.PolyB + ' '.toInt
+        j += 1
+      }
+      val hv = PortableHash.fmix64(h) >>> 1
+      if (seen.add(hv)) { out(k) = hv; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("gramHashes", this, classOf[GramHashes].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** MinHash modulus: 2^31 - 1 (Mersenne prime). */
@@ -640,5 +694,8 @@ object VectorFunctions {
       es => Fmix63(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_gram_stats",
       es => GramStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_hashes",
+      es => GramHashes(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue), "built-in")
   }
 }

@@ -214,11 +214,17 @@ object CorpusOps {
     // ------------------------------------------------- decontamination
     // Benchmark-leak detection: for each eval document (held-out split =
     // doc_id % 10 == 0), the fraction of its distinct 5-word shingles
-    // that appear anywhere in the train split. Joins on md5 of the gram
-    // text, so the exchange ships 16-byte keys (never gram strings); the
-    // train side is dedup'd before the join. At 100 TB the train gram
-    // set is far too large to broadcast — this is a shuffle equi-join by
-    // design, with a bloom-filter prefilter as the optional fast path.
+    // that appear anywhere in the train split. Spark joins on the 63-bit
+    // portable gram hash (fused codegen'd graft_gram_hashes — no gram
+    // string or md5 hex is ever materialized, the exchange ships 8-byte
+    // longs); DuckDB joins on md5 of the same gram text. The hashes never
+    // meet across engines — the OUTPUT is counts/fractions, so each
+    // engine only needs its own collision-free gram key. The eval side is
+    // computed once and LEFT-joined against the dedup'd train set (count
+    // rows = n_grams, count matches = n_overlap), not re-derived per
+    // output column. At 100 TB the train gram set is far too large to
+    // broadcast — a shuffle equi-join by design, with a bloom-filter
+    // prefilter as the optional fast path.
     GraftQuery("d_decontaminate",
       s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
          |grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 3),
@@ -234,24 +240,28 @@ object CorpusOps {
          |       THEN 1 ELSE 0 END AS BIGINT) AS contaminated
          |FROM (SELECT doc_id, len(gs) AS n_grams FROM grams WHERE doc_id % 10 = 0) b
          |LEFT JOIN hits h ON b.doc_id = h.doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
       val grams = withNorm(t(s, dir).documents)
         .filter(size(col("words")) >= 5)
-        .select(col("doc_id"), array_distinct(
-          expr("transform(sequence(1, size(words) - 4), " +
-            "i -> md5(concat_ws(' ', slice(words, i, 5))))")).as("gs"))
-      val ev = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), expr("graft_gram_hashes(words, 5)").as("gs"))
       val tr = grams.filter(col("doc_id") % 10 =!= 0)
         .select(explode(col("gs")).as("g")).distinct()
-      val hits = ev.select(col("doc_id"), explode(col("gs")).as("g"))
-        .join(tr, "g")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-      val frac = coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams")
-      ev.select(col("doc_id"), size(col("gs")).cast("bigint").as("n_grams"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_hit"), lit(0L)).cast("bigint").as("n_overlap"),
-          round(frac, 6).as("overlap_frac"),
-          when(frac >= 0.5, 1L).otherwise(0L).as("contaminated"))
+        .withColumn("hit", lit(1L))
+      val ev = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), explode(col("gs")).as("g"))
+      // every len>=5 eval doc has >=1 gram, so no group is lost to the
+      // explode; tr is distinct, so the left join preserves one row per
+      // eval gram (matched or null)
+      val agg = ev.join(tr, Seq("g"), "left")
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      val frac = col("n_hit").cast("double") / col("n_grams")
+      agg.select(col("doc_id"),
+        col("n_grams").cast("bigint").as("n_grams"),
+        col("n_hit").cast("bigint").as("n_overlap"),
+        round(frac, 6).as("overlap_frac"),
+        when(frac >= 0.5, 1L).otherwise(0L).as("contaminated"))
     },
 
     // ---------------------------------------------- chunk-level dedup

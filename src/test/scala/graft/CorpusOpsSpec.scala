@@ -38,6 +38,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gram hashes equal distinct porthash63 of space-joined 5-grams") {
+    functions.VectorFunctions.register(spark)
+    val rows = Tables(spark, sf).documents.limit(50)
+      .select(split(expr("graft_norm(text)"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(
+        expr("graft_gram_hashes(ws, 5)").as("fused"),
+        array_distinct(expr(
+          "transform(sequence(1, size(ws) - 4), " +
+            "i -> graft_porthash63(concat_ws(' ', slice(ws, i, 5))))"))
+          .as("spelled"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    // short input: fewer words than the gram size → empty, not a crash
+    val empty = spark.sql(
+      "SELECT graft_gram_hashes(array('a', 'b'), 5) AS g").collect()
+    assert(empty.head.getSeq[Long](0).isEmpty)
+  }
+
   test("pii redaction masks emails and phones, counts match, hash changes") {
     import spark.implicits._
     val docs = Seq(
