@@ -182,6 +182,14 @@ object CorpusOps {
         .toDF("e_src", "e_dst").localCheckpoint()
       var labels = d.select(col("doc_id").as("node"), col("doc_id").as("label"))
         .localCheckpoint()
+      // Labels are monotone non-increasing under both steps (min over a
+      // set containing the own label; label(u) <= u), so sum(label) is a
+      // sound fixpoint detector: it strictly decreases iff any node
+      // changed. One aggregate action per round replaces the old
+      // convergence join, and only the round's RESULT is checkpointed —
+      // nbrMin's one-join lineage recomputes cheaper than an extra
+      // materialization per round.
+      var prevSum = Long.MaxValue
       var converged = false
       var rounds = 0
       while (!converged && rounds < 40) {
@@ -190,17 +198,15 @@ object CorpusOps {
           .select(col("e_dst").as("node"), col("label"))
         val nbrMin = labels.union(viaEdges)
           .groupBy("node").agg(min("label").as("label"))
-          .localCheckpoint()
         // pointer doubling: label(v) <- label(label(v))
         val parents = nbrMin
           .select(col("node").as("p_node"), col("label").as("p_label"))
         val next = nbrMin.join(parents, col("label") === col("p_node"))
           .select(col("node"), col("p_label").as("label"))
           .localCheckpoint()
-        converged = next
-          .join(labels.select(col("node").as("o_node"), col("label").as("o_label")),
-            col("node") === col("o_node"))
-          .filter(col("label") < col("o_label")).limit(1).isEmpty
+        val s = next.agg(sum(col("label"))).head.getLong(0)
+        converged = s == prevSum
+        prevSum = s
         labels = next
         rounds += 1
       }
