@@ -1,0 +1,246 @@
+"""Python client for the graft engine's serving layer.
+
+The analog of the reference's Python client (`python/strake/__init__.py`,
+`__init__.pyi`: ``strake.connect(...).sql(...)`` -> ``pyarrow.Table``),
+re-expressed over graft's wire surface instead of PyO3 bindings:
+
+- ``sql()`` executes over the Arrow IPC bulk endpoint
+  (``POST /api/v1/query_arrow``) and returns a ``pyarrow.Table`` —
+  the same columnar-delivery contract the reference gets from
+  Flight SQL / zero-copy PyArrow.
+- ``sql_rows()`` is the dependency-free control-plane twin
+  (``POST /api/v1/query``, JSON rows) for environments without pyarrow.
+- ``trace()`` / ``schema()`` mirror ``StrakeConnection.trace`` /
+  prepared-statement planning: the plan and result schema without
+  executing (``POST /api/v1/explain``).
+- ``describe()`` mirrors ``StrakeConnection.describe``: a pretty table
+  listing, or one table's columns.
+- ``tables()`` is Flight SQL ``CommandGetTables`` discovery
+  (``GET /api/v1/tables``): one Arrow batch whose ``table_schema``
+  column carries each table's encapsulated IPC schema bytes.
+- ``run_python()`` submits a script to the server-side sandbox
+  ("Code Mode", reference ``mcp.py:258-296``).
+
+Only the standard library is required; ``pyarrow`` is imported lazily by
+the Arrow-returning methods.
+"""
+
+import json as _json
+import urllib.error as _urlerror
+import urllib.parse as _urlparse
+import urllib.request as _urlrequest
+
+__all__ = [
+    "connect", "GraftConnection",
+    "GraftError", "ConnectionError", "QueryError", "AuthError",
+]
+
+
+class GraftError(Exception):
+    """Base class for client errors (reference: StrakeException)."""
+
+
+class ConnectionError(GraftError):  # noqa: A001 - mirrors the reference name
+    """The server could not be reached."""
+
+
+class QueryError(GraftError):
+    """The server rejected the request (bad SQL, unknown table, ...)."""
+
+
+class AuthError(GraftError):
+    """Missing/invalid API key or insufficient permissions."""
+
+
+def connect(url, api_key=None, timeout=60.0):
+    """Connect to a running graft server.
+
+    :param url: base URL, e.g. ``http://localhost:8080``. (The reference's
+        embedded mode boots an in-process engine from ``strake.yaml``;
+        graft's engine is a JVM library, so the Python surface is
+        remote-only — point it at a served engine.)
+    :param api_key: bearer token resolved server-side to an
+        AuthenticatedUser (permissions + row policies).
+    :param timeout: per-request timeout in seconds.
+    """
+    return GraftConnection(url, api_key=api_key, timeout=timeout)
+
+
+class GraftConnection:
+    """A connection to a graft serving endpoint.
+
+    Context-manager capable, like the reference's StrakeConnection.
+    ``last_warnings`` holds the warning channel of the most recent query
+    (schema drift, cache hits, injection dry-run findings, ...).
+    """
+
+    def __init__(self, url, api_key=None, timeout=60.0):
+        self._base = url.rstrip("/")
+        self._key = api_key
+        self._timeout = timeout
+        self.last_warnings = []
+        self._closed = False
+
+    # ------------------------------------------------------------ queries
+
+    def sql(self, query, params=None):
+        """Execute SQL, return a ``pyarrow.Table`` (Arrow IPC delivery).
+
+        :param params: optional dict for named ``:param`` placeholders,
+            bound server-side as typed literals (never string-spliced).
+        """
+        import pyarrow.ipc as _ipc
+
+        body = {"sql": query}
+        if params:
+            body["params"] = params
+        raw, headers = self._post_raw("/api/v1/query_arrow", body)
+        self.last_warnings = [v for k, v in headers if k.lower() == "x-graft-warning"]
+        return _ipc.open_stream(raw).read_all()
+
+    def sql_rows(self, query, params=None):
+        """Execute SQL over the JSON control endpoint.
+
+        Returns ``(columns, rows, warnings)`` with rows as plain lists —
+        no pyarrow needed. Numeric/boolean scalars keep their JSON types;
+        everything else arrives stringified.
+        """
+        body = {"sql": query}
+        if params:
+            body["params"] = params
+        out = self._post_json("/api/v1/query", body)
+        self.last_warnings = out.get("warnings", [])
+        return out["columns"], out["rows"], self.last_warnings
+
+    def trace(self, query):
+        """Return the formatted execution plan (with pushdown indicators)
+        without executing — reference ``StrakeConnection.trace`` /
+        ``explain_tree``."""
+        return self._post_json("/api/v1/explain", {"sql": query})["plan"]
+
+    def schema(self, query):
+        """Plan a statement and return its result schema as a list of
+        ``{name, type, nullable}`` dicts (prepared-statement planning,
+        reference ``flight_sql.rs:533-566``)."""
+        return self._post_json("/api/v1/explain", {"sql": query})["columns"]
+
+    # ------------------------------------------------------------ catalog
+
+    def describe(self, table_name=None):
+        """List tables, or describe one table's columns, as pretty text
+        (reference ``StrakeConnection.describe``)."""
+        if table_name is None:
+            out = self._get_json("/api/v1/sources")
+            names = [t["name"] for t in out.get("tables", [])]
+            width = max([len("table")] + [len(n) for n in names])
+            lines = ["table".ljust(width), "-" * width]
+            lines += [n.ljust(width) for n in sorted(names)]
+            return "\n".join(lines)
+        quoted = _urlparse.quote(table_name, safe="")
+        out = self._get_json("/api/v1/introspect/" + quoted)
+        cols = out.get("columns", [])
+        nw = max([len("column")] + [len(c["name"]) for c in cols])
+        tw = max([len("type")] + [len(c["type"]) for c in cols])
+        lines = ["%s  %s  %s" % ("column".ljust(nw), "type".ljust(tw), "nullable"),
+                 "-" * (nw + tw + 12)]
+        for c in cols:
+            lines.append("%s  %s  %s" % (
+                c["name"].ljust(nw), c["type"].ljust(tw),
+                "true" if c.get("nullable", True) else "false"))
+        return "\n".join(lines)
+
+    def tables(self, catalog=None, db_schema_filter_pattern=None,
+               table_name_filter_pattern=None, table_types=None,
+               include_schema=True):
+        """Catalog discovery in the Flight SQL GetTables shape.
+
+        Returns a ``pyarrow.Table`` with columns (catalog_name,
+        db_schema_name, table_name, table_type, table_schema); when
+        ``include_schema`` the last column holds each table's
+        encapsulated Arrow IPC schema — decode with
+        ``pyarrow.ipc.read_schema(pyarrow.BufferReader(b))``.
+        """
+        import pyarrow.ipc as _ipc
+
+        q = {}
+        if catalog is not None:
+            q["catalog"] = catalog
+        if db_schema_filter_pattern is not None:
+            q["db_schema_filter_pattern"] = db_schema_filter_pattern
+        if table_name_filter_pattern is not None:
+            q["table_name_filter_pattern"] = table_name_filter_pattern
+        if table_types is not None:
+            q["table_types"] = ",".join(table_types)
+        if not include_schema:
+            q["include_schema"] = "false"
+        path = "/api/v1/tables"
+        if q:
+            path += "?" + _urlparse.urlencode(q)
+        raw, _ = self._request_raw("GET", path, None)
+        return _ipc.open_stream(raw).read_all()
+
+    # ------------------------------------------------------------- agent
+
+    def run_python(self, script, timeout_secs=None):
+        """Execute a script in the server-side sandbox; returns the dict
+        ``{stdout, stderr, timed_out, duration_ms}``. The script reaches
+        the engine only through its injected ``graft.sql()`` callback,
+        which re-enters the server under this connection's own key."""
+        body = {"script": script}
+        if timeout_secs is not None:
+            body["timeout_secs"] = timeout_secs
+        return self._post_json("/api/v1/run_python", body)
+
+    # ---------------------------------------------------------- lifecycle
+
+    def close(self):
+        """Nothing to tear down (stateless HTTP), kept for API parity."""
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_value, traceback):
+        self.close()
+
+    # ----------------------------------------------------------- plumbing
+
+    def _headers(self):
+        h = {"Content-Type": "application/json"}
+        if self._key:
+            h["Authorization"] = "Bearer " + self._key
+        return h
+
+    def _request_raw(self, method, path, body):
+        if self._closed:
+            raise ConnectionError("connection is closed")
+        data = None
+        if body is not None:
+            data = _json.dumps(body).encode("utf-8")
+        req = _urlrequest.Request(
+            self._base + path, data=data, headers=self._headers(), method=method)
+        try:
+            with _urlrequest.urlopen(req, timeout=self._timeout) as resp:
+                return resp.read(), resp.getheaders()
+        except _urlerror.HTTPError as e:
+            detail = ""
+            try:
+                detail = _json.loads(e.read().decode("utf-8")).get("error", "")
+            except Exception:
+                pass
+            if e.code in (401, 403):
+                raise AuthError(detail or ("HTTP %d" % e.code)) from None
+            raise QueryError(detail or ("HTTP %d" % e.code)) from None
+        except _urlerror.URLError as e:
+            raise ConnectionError(str(e.reason)) from None
+
+    def _post_raw(self, path, body):
+        return self._request_raw("POST", path, body)
+
+    def _post_json(self, path, body):
+        raw, _ = self._request_raw("POST", path, body)
+        return _json.loads(raw.decode("utf-8"))
+
+    def _get_json(self, path):
+        raw, _ = self._request_raw("GET", path, None)
+        return _json.loads(raw.decode("utf-8"))

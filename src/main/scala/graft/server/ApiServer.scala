@@ -69,22 +69,7 @@ final class ApiServer(
     val sql = Option(body.get("sql")).map(_.asText()).getOrElse("")
     if (sql.isEmpty) { respond(ex, 400, err("missing sql")); return }
     try {
-      // optional prepared-statement binding: {"params": {"name": value}}
-      // → typed literals bound by the analyzer (never string-spliced)
-      val params: Map[String, Any] =
-        Option(body.get("params")).filter(_.isObject).map { p =>
-          p.properties().asScala.map { e =>
-            val v = e.getValue
-            val value: Any =
-              if (v.isNull) null
-              else if (v.isIntegralNumber) v.asLong()
-              else if (v.isFloatingPointNumber) v.asDouble()
-              else if (v.isBoolean) v.asBoolean()
-              else v.asText()
-            e.getKey -> value
-          }.toMap
-        }.getOrElse(Map.empty)
-      val result = engine.executeQuery(sql, user, params)
+      val result = engine.executeQuery(sql, user, parseParams(body))
       val rows = result.df.limit(maxRows).collect()
       // agent-context guard: scan string columns of the outgoing rows
       // (reference: per-batch scan before returning to the agent,
@@ -151,7 +136,7 @@ final class ApiServer(
     val sql = Option(body.get("sql")).map(_.asText()).getOrElse("")
     if (sql.isEmpty) { respond(ex, 400, err("missing sql")); return }
     try {
-      val result = engine.executeQuery(sql, user)
+      val result = engine.executeQuery(sql, user, parseParams(body))
       val rows = result.df.limit(maxRows).collect()
       // same injection policy as the JSON endpoint: the Arrow path is the
       // bulk twin, not a policy bypass. Enforce throws → 400 below;
@@ -361,6 +346,24 @@ final class ApiServer(
   }
 
   // ---------------------------------------------------------------- plumbing
+
+  /** Optional prepared-statement binding on a request body:
+    * {"params": {"name": value}} → typed literals bound by the analyzer
+    * (never string-spliced). Shared by the JSON and Arrow query paths —
+    * the bulk endpoint takes the same statements as the control one. */
+  private def parseParams(body: com.fasterxml.jackson.databind.JsonNode): Map[String, Any] =
+    Option(body.get("params")).filter(_.isObject).map { p =>
+      p.properties().asScala.map { e =>
+        val v = e.getValue
+        val value: Any =
+          if (v.isNull) null
+          else if (v.isIntegralNumber) v.asLong()
+          else if (v.isFloatingPointNumber) v.asDouble()
+          else if (v.isBoolean) v.asBoolean()
+          else v.asText()
+        e.getKey -> value
+      }.toMap
+    }.getOrElse(Map.empty)
 
   /** Auth then authorization: the authenticated user must hold `permission`
     * (with the reference's wildcard/admin semantics,

@@ -1,0 +1,49 @@
+package graft
+
+import graft.server.{ApiKeyAuthenticator, ApiServer}
+import graft.session._
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.TimeUnit
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Python client (`python/graft/`) driven end-to-end against a live
+  * ApiServer — the analog of the reference's PyO3 client surface
+  * (`python/strake/__init__.pyi`: connect/sql/trace/describe/close). The
+  * whole client contract lives in `python/tests/e2e_client.py`: Arrow IPC
+  * results, named parameters, plan/schema introspection, GetTables
+  * discovery with embedded schemas, sandboxed run_python, and the
+  * error-mapping hierarchy. This spec boots the server, hands the script
+  * a URL + key, and requires its ALL OK. */
+class PythonClientSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import SparkTestSession._
+
+  private var api: ApiServer = _
+  private var port: Int = _
+
+  override def beforeAll(): Unit = {
+    Tables(spark, sf).registerAll()
+    val engine = new GraftSession(spark, GraftConfig(defensiveLimit = 100))
+    val auth = new ApiKeyAuthenticator(Map(
+      "client-key" -> AuthenticatedUser("pyclient", permissions = Set("admin"))))
+    api = new ApiServer(engine, auth.apply)
+    port = api.start()
+  }
+
+  override def afterAll(): Unit = if (api != null) api.stop()
+
+  test("python client exercises the full serving surface over HTTP") {
+    val repo = new java.io.File(".").getCanonicalFile
+    val script = new java.io.File(repo, "python/tests/e2e_client.py")
+    assert(script.isFile, s"missing $script")
+    val pb = new ProcessBuilder(
+      "python3", script.getAbsolutePath, s"http://localhost:$port", "client-key")
+    pb.environment().put("PYTHONPATH", new java.io.File(repo, "python").getAbsolutePath)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    assert(proc.waitFor(120, TimeUnit.SECONDS), s"client timed out:\n$out")
+    assert(proc.exitValue == 0, s"client failed:\n$out")
+    assert(out.contains("ALL OK"), out)
+  }
+}
