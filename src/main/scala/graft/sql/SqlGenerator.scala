@@ -788,4 +788,20 @@ object GraftSqlGen {
 
   def forDataFrame(df: DataFrame, sourceType: String): Option[String] =
     forPlan(df.queryExecution.analyzed, sourceType)
+
+  /** Binary-plan twin of forPlan for Substrait-tier sources — the path
+    * the reference reserves for DuckDB's `from_substrait(?)`
+    * (substrait_producer.rs:14-21, sources/sql/duckdb.rs:44-110).
+    * Some(plan bytes) when the source speaks Substrait, None otherwise
+    * (SQL-tier sources keep their text path, unknown sources run
+    * locally). Encoding is Acero-verified by SubstraitExecSpec. */
+  def substraitForPlan(plan: LogicalPlan, sourceType: String): Option[Array[Byte]] =
+    route(sourceType) match {
+      case Substrait =>
+        Some(graft.sql.substrait.SubstraitProducer.produce(plan))
+      case _ => None
+    }
+
+  def substraitForDataFrame(df: DataFrame, sourceType: String): Option[Array[Byte]] =
+    substraitForPlan(df.queryExecution.analyzed, sourceType)
 }
