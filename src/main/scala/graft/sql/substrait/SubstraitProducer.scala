@@ -192,6 +192,28 @@ object SubstraitProducer {
       case Aggregate(groupExprs, aggList, child, _) =>
         emitAggregate(groupExprs, aggList, child, fns)
 
+      case Join(left, right, joinType, cond, _) =>
+        val (lb, lout) = emitRel(left, fns)
+        val (rb, rout) = emitRel(right, fns)
+        import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
+        val jt = joinType match {
+          case Inner => 1
+          case FullOuter => 2
+          case LeftOuter => 3
+          case RightOuter => 4
+          case other => throw SubstraitUnsupported(s"join type $other")
+        }
+        val out = lout ++ rout
+        val w = new ProtoWriter
+        w.msg(6) { j => // Rel.join = 6 {left=2, right=3, expression=4, type=6}
+          j.bytesField(2, lb)
+          j.bytesField(3, rb)
+          j.bytesField(4, exprBytes(
+            cond.getOrElse(Literal(true, BooleanType)), out, fns))
+          j.int(6, jt.toLong)
+        }
+        (w.bytes, out)
+
       case Deduplicate(keys, child) if keys.toSet == child.output.toSet =>
         // DISTINCT over all columns = group-by-everything, no measures
         val (cb, cout) = emitRel(child, fns)
