@@ -52,7 +52,7 @@ class AuthError(GraftError):
     """Missing/invalid API key or insufficient permissions."""
 
 
-def connect(url, api_key=None, timeout=60.0):
+def connect(url, api_key=None, timeout=60.0, trace_dir=None):
     """Connect to a running graft server.
 
     :param url: base URL, e.g. ``http://localhost:8080``. (The reference's
@@ -62,8 +62,12 @@ def connect(url, api_key=None, timeout=60.0):
     :param api_key: bearer token resolved server-side to an
         AuthenticatedUser (permissions + row policies).
     :param timeout: per-request timeout in seconds.
+    :param trace_dir: directory for JSON-lines session traces (reference:
+        ``strake.connect(trace_dir=...)``); every query emits a timed
+        record with the statement's hash — never its text.
     """
-    return GraftConnection(url, api_key=api_key, timeout=timeout)
+    return GraftConnection(url, api_key=api_key, timeout=timeout,
+                           trace_dir=trace_dir)
 
 
 class GraftConnection:
@@ -74,12 +78,30 @@ class GraftConnection:
     (schema drift, cache hits, injection dry-run findings, ...).
     """
 
-    def __init__(self, url, api_key=None, timeout=60.0):
+    def __init__(self, url, api_key=None, timeout=60.0, trace_dir=None):
         self._base = url.rstrip("/")
         self._key = api_key
         self._timeout = timeout
         self.last_warnings = []
         self._closed = False
+        self._session = None
+        if trace_dir is not None:
+            from . import tracing
+            self._session = tracing.AgentSession(
+                tracing.get_emitter(trace_dir),
+                metadata={"kind": "client", "endpoint": self._base})
+            self._session.__enter__()
+
+    def _trace_query(self, path, sql, start, status, rows):
+        if self._session is not None:
+            import hashlib
+            self._session.record_event("query", {
+                "path": path,
+                "sql_sha256": hashlib.sha256(sql.encode("utf-8")).hexdigest(),
+                "status": status,
+                "rows": rows,
+                "duration_ms": round((__import__("time").monotonic() - start) * 1000, 2),
+            })
 
     # ------------------------------------------------------------ queries
 
@@ -89,14 +111,22 @@ class GraftConnection:
         :param params: optional dict for named ``:param`` placeholders,
             bound server-side as typed literals (never string-spliced).
         """
+        import time as _t
         import pyarrow.ipc as _ipc
 
         body = {"sql": query}
         if params:
             body["params"] = params
-        raw, headers = self._post_raw("/api/v1/query_arrow", body)
+        start = _t.monotonic()
+        try:
+            raw, headers = self._post_raw("/api/v1/query_arrow", body)
+        except Exception:
+            self._trace_query("query_arrow", query, start, "error", None)
+            raise
         self.last_warnings = [v for k, v in headers if k.lower() == "x-graft-warning"]
-        return _ipc.open_stream(raw).read_all()
+        table = _ipc.open_stream(raw).read_all()
+        self._trace_query("query_arrow", query, start, "ok", table.num_rows)
+        return table
 
     def sql_rows(self, query, params=None):
         """Execute SQL over the JSON control endpoint.
@@ -105,11 +135,18 @@ class GraftConnection:
         no pyarrow needed. Numeric/boolean scalars keep their JSON types;
         everything else arrives stringified.
         """
+        import time as _t
         body = {"sql": query}
         if params:
             body["params"] = params
-        out = self._post_json("/api/v1/query", body)
+        start = _t.monotonic()
+        try:
+            out = self._post_json("/api/v1/query", body)
+        except Exception:
+            self._trace_query("query", query, start, "error", None)
+            raise
         self.last_warnings = out.get("warnings", [])
+        self._trace_query("query", query, start, "ok", len(out["rows"]))
         return out["columns"], out["rows"], self.last_warnings
 
     def trace(self, query):
@@ -194,7 +231,9 @@ class GraftConnection:
     # ---------------------------------------------------------- lifecycle
 
     def close(self):
-        """Nothing to tear down (stateless HTTP), kept for API parity."""
+        """Close the trace session (HTTP itself is stateless)."""
+        if self._session is not None and not self._closed:
+            self._session.__exit__(None, None, None)
         self._closed = True
 
     def __enter__(self):

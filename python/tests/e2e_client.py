@@ -71,6 +71,58 @@ def main():
             "print(graft.sql('SELECT 1 AS one')['rows'])\n")
         assert "[[1]]" in out["stdout"], out
 
+    # session tracing: connect(trace_dir=...) emits JSON-lines records
+    import glob
+    import json
+    import os
+    import tempfile
+    tdir = tempfile.mkdtemp(prefix="graft-trace-")
+    with graft.connect(url, api_key=key, trace_dir=tdir) as traced:
+        traced.sql_rows("SELECT count(*) AS n FROM nation")
+        traced.sql("SELECT n_name FROM nation LIMIT 2")
+    files = glob.glob(os.path.join(tdir, "*.jsonl"))
+    assert len(files) == 1, files
+    events = [json.loads(l) for l in open(files[0])]
+    kinds = [e["event"] for e in events]
+    assert kinds[0] == "session_start" and kinds[-1] == "session_end", kinds
+    queries = [e for e in events if e["event"] == "query"]
+    assert len(queries) == 2, events
+    assert queries[0]["rows"] == 1 and queries[1]["rows"] == 2, queries
+    assert all(len(q["sql_sha256"]) == 64 for q in queries), queries
+    assert all("SELECT" not in json.dumps(e) for e in events), \
+        "sql text must never reach the trace"
+    assert events[-1]["termination_reason"] == "natural", events[-1]
+
+    # the span decorator emits timed records through a custom emitter
+    from graft import tracing
+
+    class Collect(tracing.TraceEmitter):
+        def __init__(self):
+            self.records = []
+
+        def emit(self, record):
+            self.records.append(record)
+
+    sink = Collect()
+    tracing.set_emitter(sink)
+
+    @tracing.span(span_type="tool_call", name="probe")
+    def probe(x):
+        return x * 2
+
+    assert probe(21) == 42
+    try:
+        @tracing.span()
+        def boom():
+            raise ValueError("nope")
+        boom()
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    spans = [r for r in sink.records if r["event"] == "span"]
+    assert spans[0]["name"] == "probe" and spans[0]["status"] == "ok", spans
+    assert spans[1]["status"] == "error" and "nope" in spans[1]["error"], spans
+
     # error mapping
     try:
         graft.connect(url, api_key="wrong-key").sql_rows("SELECT 1 AS x")
