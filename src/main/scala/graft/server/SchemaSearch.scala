@@ -61,12 +61,25 @@ object SchemaSearch {
   private val Stopwords = Set("a", "an", "the", "by", "of", "in", "on",
     "for", "with", "to", "and", "or", "from", "per", "all")
 
-  def search(spark: SparkSession, query: String, limit: Int = 10): Seq[Hit] = {
+  def search(spark: SparkSession, query: String, limit: Int = 10): Seq[Hit] =
+    search(spark, query, limit, NullEnricher, "")
+
+  /** Search with remote-catalog enrichment: descriptions the Spark
+    * catalog doesn't carry (JDBC-registered tables) are looked up through
+    * the enricher (information_schema / pg_catalog / REMARKS probes —
+    * [[InformationSchemaEnricher]]), so a column whose remote comment
+    * explains an opaque name still ranks. Declared YAML comments win
+    * where both exist. */
+  def search(spark: SparkSession, query: String, limit: Int,
+      enricher: MetadataEnricher, source: String): Seq[Hit] = {
     val raw = tokenize(query)
     val terms = { val t = raw.filterNot(Stopwords); if (t.isEmpty) raw else t }
     if (terms.isEmpty) return Nil
     val qVec = embed(terms)
     val tables = spark.catalog.listTables().collect()
+    def describe(table: String, column: Option[String], declared: String): String =
+      Option(declared).filter(_.nonEmpty)
+        .orElse(enricher.enrich(table, column, source)).getOrElse("")
     val hits = tables.flatMap { t =>
       val cols =
         try spark.catalog.listColumns(t.name).collect().toSeq
@@ -77,21 +90,22 @@ object SchemaSearch {
       // indexing: cross-term evidence accumulates even when no single
       // token matches outright. Weighted below the exact-token tier so a
       // literal name match always outranks a paraphrase.
-      val doc = tokenize(t.name) ++ cols.flatMap(c =>
-        tokenize(c.name) ++ tokenize(c.dataType) ++
-          tokenize(Option(c.description).getOrElse("")))
+      val doc = tokenize(t.name) ++
+        tokenize(describe(t.name, None, "")) ++ cols.flatMap(c =>
+          tokenize(c.name) ++ tokenize(c.dataType) ++
+            tokenize(describe(t.name, Some(c.name), c.description)))
       val sem = 0.85 * cosine(qVec, embed(doc))
       val tableHit =
         if (math.max(tableScore, sem) > 0.15)
           Seq(Hit(t.name, None, math.max(tableScore, sem)))
         else Nil
       val colHits = cols.flatMap { c =>
-        // comments (declared in YAML, carried as field metadata) count
-        // toward relevance — an agent searching "customer churn risk"
-        // should hit a column whose comment says so even if the name is
-        // an opaque code
+        // comments (declared in YAML, carried as field metadata, or
+        // probed from the remote catalog) count toward relevance — an
+        // agent searching "customer churn risk" should hit a column
+        // whose comment says so even if the name is an opaque code
         val s = score(terms, tokenize(c.name) ++ tokenize(c.dataType) ++
-          tokenize(Option(c.description).getOrElse("")))
+          tokenize(describe(t.name, Some(c.name), c.description)))
         if (s > 0) Some(Hit(t.name, Some(c.name), s)) else None
       }
       tableHit ++ colHits
