@@ -32,10 +32,23 @@ final class ApiServer(
     authenticator: String => Option[AuthenticatedUser],
     maxRows: Int = 1000,
     guardMode: graft.security.PromptInjectionGuard.GuardMode =
-      graft.security.PromptInjectionGuard.Disabled) {
+      graft.security.PromptInjectionGuard.Disabled,
+    maxConcurrentRequests: Int = 0,
+    queueTimeoutMillis: Long = 30000) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
+
+  /** Serving-edge connection slots (reference ConcurrencyLayer,
+    * crates/server/src/concurrency.rs:52-90): a caller past the slot
+    * limit WAITS up to the queue timeout for a slot, then is refused
+    * with 429 — admission control at the edge, before any engine work.
+    * 0 = unlimited (the default; per-source budgets still apply inside
+    * the engine). Fair ordering so a burst can't starve early waiters. */
+  private val slots: Option[java.util.concurrent.Semaphore] =
+    if (maxConcurrentRequests > 0)
+      Some(new java.util.concurrent.Semaphore(maxConcurrentRequests, true))
+    else None
 
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -377,7 +390,18 @@ final class ApiServer(
           val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
           val token = header.stripPrefix("Bearer ").trim
           authenticator(token) match {
-            case Some(user) if user.hasPermission(permission) => h(ex, user)
+            case Some(user) if user.hasPermission(permission) =>
+              slots match {
+                case Some(sem) =>
+                  if (!sem.tryAcquire(queueTimeoutMillis,
+                      java.util.concurrent.TimeUnit.MILLISECONDS)) {
+                    ex.getResponseHeaders.add("Retry-After", "1")
+                    respond(ex, 429,
+                      err("connection slots exhausted (queue timeout)"))
+                  } else
+                    try h(ex, user) finally sem.release()
+                case None => h(ex, user)
+              }
             case Some(_) => respond(ex, 403, err(s"missing permission: $permission"))
             case None => respond(ex, 401, err("unauthenticated"))
           }

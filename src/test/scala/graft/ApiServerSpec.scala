@@ -249,4 +249,46 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       mapper.writeValueAsString(o), key = "noperm-key")
     assert(code == 403)
   }
+
+  test("connection slots: a full edge queues then refuses with 429") {
+    // dedicated single-slot server (reference ConcurrencyLayer semantics:
+    // wait up to the queue timeout for a slot, then resource-exhausted)
+    val engine = new GraftSession(spark, GraftConfig(defensiveLimit = 100))
+    val gated = new server.ApiServer(engine,
+      new ApiKeyAuthenticator(Map(
+        "k" -> AuthenticatedUser("u", permissions = Set("admin")))).apply,
+      maxConcurrentRequests = 1, queueTimeoutMillis = 250)
+    val gport = gated.start()
+    def gcall(path: String, body: String): (Int, String) = {
+      val conn = new URI(s"http://localhost:$gport$path").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Authorization", "Bearer k")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+      val code = conn.getResponseCode
+      val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+      val text = if (in == null) "" else new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      conn.disconnect(); (code, text)
+    }
+    try {
+      // hold the only slot for ~2s via a sandbox busy-wait (`time` is
+      // not on the sandbox import allowlist; datetime is)
+      val holder = new Thread(() => gcall("/api/v1/run_python",
+        """{"script": "import datetime\ne = datetime.datetime.now() + datetime.timedelta(seconds=2)\nwhile datetime.datetime.now() < e:\n    pass\n"}"""))
+      holder.start()
+      Thread.sleep(400) // let the holder acquire
+      val t0 = System.nanoTime()
+      val (code, body) = gcall("/api/v1/query",
+        """{"sql": "SELECT 1 AS one"}""")
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      assert(code == 429, body)
+      assert(body.contains("slots exhausted"), body)
+      assert(waitedMs >= 200, s"must QUEUE for the timeout first ($waitedMs ms)")
+      holder.join(15000)
+      // slot released → service restored
+      val (ok, again) = gcall("/api/v1/query", """{"sql": "SELECT 1 AS one"}""")
+      assert(ok == 200, again)
+    } finally gated.stop()
+  }
 }
