@@ -21,14 +21,12 @@ object CorpusOps {
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
-  private val normSqlDuck =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
-
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", org.apache.spark.sql.GraftColumnBridge.column(
-        graft.functions.NormalizeText(
-          org.apache.spark.sql.GraftColumnBridge.expression(col("text")))))
-      .withColumn("words", split(col("norm"), " "))
+  // ONE normalization contract across engines and modules: both the
+  // DuckDB form and the Spark fused pass come from TextPipeline — a
+  // drifted private copy here would silently break oracle parity for
+  // every CorpusOps query
+  private def normSqlDuck = TextPipeline.normSqlDuck
+  private def withNorm(df: DataFrame): DataFrame = TextPipeline.withNorm(df)
 
   /** Chunk geometry: 64-token windows, stride 48 (16-token overlap) —
     * the sliding-context shape every LM data pipeline cuts. */

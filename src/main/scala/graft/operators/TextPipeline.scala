@@ -29,13 +29,15 @@ object TextPipeline {
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
   /** Normalized text: lowercase, strip non-alphanumerics, squash spaces.
-    * Spark and DuckDB forms kept in lockstep for oracle parity. */
+    * Spark and DuckDB forms kept in lockstep for oracle parity — this
+    * pair IS the cross-engine contract for every text/sketch/corpus
+    * query, so there is exactly ONE definition (CorpusOps shares it). */
   private val normExpr =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"
-  private val normSqlDuck =
+  private[operators] val normSqlDuck =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private[operators] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("norm", org.apache.spark.sql.GraftColumnBridge.column(
         graft.functions.NormalizeText(
           org.apache.spark.sql.GraftColumnBridge.expression(col("text")))))

@@ -62,7 +62,14 @@ final class ApiServer(
     server.createContext("/api/v1/sources", authed("catalog:read", handleSources))
     server.createContext("/api/v1/tables", authed("catalog:read", handleTables))
     server.createContext("/api/v1/introspect/", authed("catalog:read", handleIntrospect))
-    server.createContext("/api/v1/run_python", authed("query:execute", handleRunPython))
+    // run_python is NOT slot-gated: its handler only babysits a sandbox
+    // subprocess — the engine work happens when the script's graft.sql()
+    // callback re-enters this server, and THAT request takes a slot. A
+    // gated run_python holding its slot across the callback would
+    // deadlock a full edge against itself (slots model engine admission,
+    // not wall-clock handler occupancy).
+    server.createContext("/api/v1/run_python",
+      authed("query:execute", handleRunPython, gated = false))
     // a real executor (not the single-threaded default): run_python blocks
     // while its script calls back into THIS server, so serial dispatch
     // would deadlock the callback behind the handler that spawned it
@@ -83,7 +90,7 @@ final class ApiServer(
     if (sql.isEmpty) { respond(ex, 400, err("missing sql")); return }
     try {
       val result = engine.executeQuery(sql, user, parseParams(body))
-      val rows = result.df.limit(maxRows).collect()
+      val (rows, truncated) = collectCapped(result.df)
       // agent-context guard: scan string columns of the outgoing rows
       // (reference: per-batch scan before returning to the agent,
       // python/src/connection.rs:370-412). Enforce throws → 400 below.
@@ -106,6 +113,7 @@ final class ApiServer(
       }
       val warn = out.putArray("warnings")
       result.warnings.foreach(w => warn.add(s"${w.code}: ${w.message}"))
+      if (truncated) warn.add(truncationWarning)
       guardFinding.foreach(f =>
         warn.add(s"x-graft-injection-dryrun: ${f.column} matched '${f.pattern}'"))
       respond(ex, 200, out)
@@ -150,7 +158,7 @@ final class ApiServer(
     if (sql.isEmpty) { respond(ex, 400, err("missing sql")); return }
     try {
       val result = engine.executeQuery(sql, user, parseParams(body))
-      val rows = result.df.limit(maxRows).collect()
+      val (rows, truncated) = collectCapped(result.df)
       // same injection policy as the JSON endpoint: the Arrow path is the
       // bulk twin, not a policy bypass. Enforce throws → 400 below;
       // dry-run findings surface via X-Graft-Warning.
@@ -160,6 +168,8 @@ final class ApiServer(
       ex.getResponseHeaders.add("Content-Type", "application/vnd.apache.arrow.stream")
       result.warnings.foreach(w =>
         ex.getResponseHeaders.add("X-Graft-Warning", s"${w.code}: ${w.message}"))
+      if (truncated)
+        ex.getResponseHeaders.add("X-Graft-Warning", truncationWarning)
       guardFinding.foreach(f =>
         ex.getResponseHeaders.add("X-Graft-Warning",
           s"x-graft-injection-dryrun: ${f.column} matched '${f.pattern}'"))
@@ -360,6 +370,20 @@ final class ApiServer(
 
   // ---------------------------------------------------------------- plumbing
 
+  private def truncationWarning: String =
+    s"x-graft-truncated: result capped at $maxRows rows"
+
+  /** Collect up to maxRows, DETECTING overflow (fetch one extra row) so
+    * truncation is a declared warning, never a silent one — a federated
+    * client consuming a capped result as if complete would compute wrong
+    * aggregates downstream. */
+  private def collectCapped(df: org.apache.spark.sql.DataFrame)
+      : (Array[org.apache.spark.sql.Row], Boolean) = {
+    val collected = df.limit(maxRows + 1).collect()
+    if (collected.length > maxRows) (collected.take(maxRows), true)
+    else (collected, false)
+  }
+
   /** Optional prepared-statement binding on a request body:
     * {"params": {"name": value}} → typed literals bound by the analyzer
     * (never string-spliced). Shared by the JSON and Arrow query paths —
@@ -383,7 +407,8 @@ final class ApiServer(
     * common/src/auth.rs:113-155) or the request is refused with 403 —
     * permissions are enforced at the edge, not just mixed into cache keys. */
   private def authed(permission: String,
-      h: (HttpExchange, AuthenticatedUser) => Unit): HttpHandler =
+      h: (HttpExchange, AuthenticatedUser) => Unit,
+      gated: Boolean = true): HttpHandler =
     new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         try {
@@ -391,7 +416,7 @@ final class ApiServer(
           val token = header.stripPrefix("Bearer ").trim
           authenticator(token) match {
             case Some(user) if user.hasPermission(permission) =>
-              slots match {
+              slots.filter(_ => gated) match {
                 case Some(sem) =>
                   if (!sem.tryAcquire(queueTimeoutMillis,
                       java.util.concurrent.TimeUnit.MILLISECONDS)) {

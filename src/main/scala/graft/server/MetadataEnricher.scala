@@ -88,6 +88,13 @@ object InformationSchemaEnricher {
     * the blacklist, exactly the reference's NullEnricher degradation. */
   val genericJdbcProbe: Probe = conn => {
     val md = conn.getMetaData
+    // '_' and '%' are LIKE wildcards in DatabaseMetaData patterns: a
+    // literal table name like AUDIT_LOG would also match AUDIT1LOG's
+    // columns, misattributing remarks and inflating the coverage
+    // denominator — escape with the driver's own escape string
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def literal(name: String): String = name
+      .replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
     val out = Map.newBuilder[(String, Option[String]), String]
     var total = 0
     val tables = md.getTables(null, null, "%", Array("TABLE", "VIEW"))
@@ -99,7 +106,8 @@ object InformationSchemaEnricher {
         if (schema == null || !schema.toUpperCase.startsWith("SYS")) {
           val tr = tables.getString("REMARKS")
           if (tr != null && tr.nonEmpty) out += ((t.toLowerCase, None) -> tr)
-          val cols = md.getColumns(null, schema, t, "%")
+          val cols = md.getColumns(null,
+            Option(schema).map(literal).orNull, literal(t), "%")
           try {
             while (cols.next()) {
               total += 1
@@ -142,8 +150,12 @@ final class InformationSchemaEnricher(
   /** Visible for tests: how many live fetches ran (fetch-once contract). */
   private[graft] var fetchCount = 0
 
+  /** Serving-path callers run on the API's thread pool: the whole
+    * lookup-or-fetch is synchronized so concurrent searches keep the
+    * fetch-once contract and never race the mutable caches (probing is
+    * rare and bounded — one remote round-trip per source, ever). */
   override def enrich(table: String, column: Option[String],
-      source: String): Option[String] = {
+      source: String): Option[String] = this.synchronized {
     if (blacklisted(source)) return None
     if (!fetched(source)) {
       fetchFor(source)

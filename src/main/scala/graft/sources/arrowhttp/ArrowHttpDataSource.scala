@@ -250,6 +250,19 @@ object ArrowHttpClient {
         throw new java.io.IOException(
           s"remote query returned HTTP ${conn.getResponseCode}: $err")
       }
+      // A capped result is NOT this table's data — consuming it would
+      // silently produce wrong counts/joins downstream. The server
+      // declares the cap; a federated scan must refuse it. (Header
+      // lookup is case-insensitive: HTTP servers normalize casing.)
+      val warnings = conn.getHeaderFields.asScala.collect {
+        case (k, vs) if k != null && k.equalsIgnoreCase("X-Graft-Warning") =>
+          vs.asScala.toSeq
+      }.flatten.toSeq
+      warnings.find(_.startsWith("x-graft-truncated")).foreach { w =>
+        throw new java.io.IOException(
+          s"remote result was truncated ($w): raise the server's maxRows " +
+            "or push a LIMIT/filter into the scan")
+      }
       val bytes = conn.getInputStream.readAllBytes()
       val alloc = new RootAllocator(Long.MaxValue)
       try {

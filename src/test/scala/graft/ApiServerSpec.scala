@@ -272,10 +272,9 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       conn.disconnect(); (code, text)
     }
     try {
-      // hold the only slot for ~2s via a sandbox busy-wait (`time` is
-      // not on the sandbox import allowlist; datetime is)
-      val holder = new Thread(() => gcall("/api/v1/run_python",
-        """{"script": "import datetime\ne = datetime.datetime.now() + datetime.timedelta(seconds=2)\nwhile datetime.datetime.now() < e:\n    pass\n"}"""))
+      // hold the only slot with a genuinely slow gated query
+      val holder = new Thread(() => gcall("/api/v1/query",
+        """{"sql": "SELECT count(*) AS n FROM range(8000000000)"}"""))
       holder.start()
       Thread.sleep(400) // let the holder acquire
       val t0 = System.nanoTime()
@@ -285,10 +284,35 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(code == 429, body)
       assert(body.contains("slots exhausted"), body)
       assert(waitedMs >= 200, s"must QUEUE for the timeout first ($waitedMs ms)")
-      holder.join(15000)
+      holder.join(60000)
       // slot released → service restored
       val (ok, again) = gcall("/api/v1/query", """{"sql": "SELECT 1 AS one"}""")
       assert(ok == 200, again)
+      // Code Mode must not deadlock a full edge against itself:
+      // run_python is ungated; only its callback takes the single slot
+      val (rp, rpBody) = gcall("/api/v1/run_python",
+        """{"script": "r = graft.sql('SELECT 2 AS two')\nprint(r['rows'][0][0])\n"}""")
+      assert(rp == 200, rpBody)
+      assert(mapper.readTree(rpBody).get("stdout").asText.trim == "2", rpBody)
     } finally gated.stop()
+  }
+
+  test("results past maxRows are declared truncated, never silent") {
+    // explicit LIMIT above the server cap (defensive limit skips
+    // explicitly-limited queries) → cap applies → declared warning
+    val (code, body) = call("/api/v1/query", "POST",
+      """{"sql": "SELECT l_orderkey FROM lineitem LIMIT 2000"}""")
+    assert(code == 200, body)
+    val j = mapper.readTree(body)
+    assert(j.get("rows").size() == 1000, j.get("rows").size())
+    val warnings = (0 until j.get("warnings").size())
+      .map(j.get("warnings").get(_).asText)
+    assert(warnings.exists(_.startsWith("x-graft-truncated")), warnings)
+    // under the cap: no truncation warning
+    val (_, small) = call("/api/v1/query", "POST",
+      """{"sql": "SELECT n_name FROM nation"}""")
+    val js = mapper.readTree(small)
+    val sw = (0 until js.get("warnings").size()).map(js.get("warnings").get(_).asText)
+    assert(!sw.exists(_.startsWith("x-graft-truncated")), sw)
   }
 }

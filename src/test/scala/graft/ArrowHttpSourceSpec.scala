@@ -74,6 +74,33 @@ class ArrowHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 0) // no match, and no injection/parse failure
   }
 
+  test("a truncated remote result fails the scan loudly") {
+    // a second server whose cap is below the table size: consuming the
+    // capped stream would silently mis-count downstream, so the source
+    // must refuse it (the server declares x-graft-truncated)
+    val engine = new GraftSession(spark, GraftConfig(defensiveLimit = 10000))
+    val small = new ApiServer(engine,
+      new ApiKeyAuthenticator(Map("k" -> AuthenticatedUser("u",
+        permissions = Set("query:execute", "catalog:read")))).apply,
+      maxRows = 5)
+    val sport = small.start()
+    try {
+      val df = spark.read.format("graft.sources.arrowhttp.ArrowHttpDataSource")
+        .option("url", s"http://localhost:$sport")
+        .option("table", "nation").option("authToken", "k").load()
+      val e = intercept[Exception] { df.count() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("truncated")), messages(e).toString)
+      // under the cap the same server serves complete results
+      val filtered = spark.read.format("graft.sources.arrowhttp.ArrowHttpDataSource")
+        .option("url", s"http://localhost:$sport")
+        .option("table", "nation").option("authToken", "k").load()
+        .filter(org.apache.spark.sql.functions.col("n_nationkey") < 5)
+      assert(filtered.count() == 5)
+    } finally small.stop()
+  }
+
   test("unknown table fails with a clear error") {
     val e = intercept[Exception](remote("no_such_table").schema)
     assert(e.getMessage.contains("not found"), e.getMessage)
