@@ -33,6 +33,9 @@ object CorpusOps {
   private val ChunkLen = 64
   private val Stride = 48
 
+  /** Packing budget: tokens per training sequence. */
+  private val PackBudget = 2048
+
   // PII patterns shared verbatim by both engines (RE2 and java.util.regex
   // agree on this subset: char classes, bounded repetition, no
   // backreferences). Spark's SQL string literals process backslash
@@ -266,6 +269,51 @@ object CorpusOps {
         col("n_hit").cast("bigint").as("n_overlap"),
         round(frac, 6).as("overlap_frac"),
         when(frac >= 0.5, 1L).otherwise(0L).as("contaminated"))
+    },
+
+    // ------------------------------------------------ sequence packing
+    // Concat-and-chunk packing — the step that turns cleaned documents
+    // into fixed-budget training sequences: documents are laid end to
+    // end in deterministic order and cut every `PackBudget` tokens, so
+    // each doc gets a start offset and the window range it spans
+    // (straddling a boundary = the doc is split across sequences).
+    // Sharding is the scale shape: packing is a running sum, inherently
+    // sequential, so it runs per-shard (doc_id mod 32) — each shard's
+    // window is an independent partition-local cumsum; no global
+    // ordering bottleneck, and 32 becomes "thousands" at cluster scale.
+    // Both engines derive identical offsets from the same ordering.
+    GraftQuery("d_pack_sequences",
+      s"""WITH w AS (SELECT doc_id, len(string_split($normSqlDuck, ' ')) AS n_tokens,
+         |            doc_id % 32 AS shard FROM documents),
+         |c AS (SELECT doc_id, n_tokens, shard,
+         |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                            ROWS UNBOUNDED PRECEDING) AS end_off
+         |      FROM w WHERE n_tokens > 0)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(shard AS BIGINT) AS shard,
+         |  CAST(end_off - n_tokens AS BIGINT) AS start_off,
+         |  CAST((end_off - n_tokens) // $PackBudget AS BIGINT) AS seq_first,
+         |  CAST((end_off - 1) // $PackBudget AS BIGINT) AS seq_last,
+         |  CAST((end_off - 1) // $PackBudget - (end_off - n_tokens) // $PackBudget + 1
+         |       AS BIGINT) AS n_seqs
+         |FROM c""".stripMargin) { (s, dir) =>
+      val toks = withNorm(t(s, dir).documents)
+        .select(col("doc_id"), size(col("words")).cast("bigint").as("n_tokens"),
+          (col("doc_id") % 32).as("shard"))
+        .filter(col("n_tokens") > 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      toks.withColumn("end_off", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("n_tokens"),
+          col("shard").cast("bigint").as("shard"),
+          (col("end_off") - col("n_tokens")).cast("bigint").as("start_off"),
+          floor((col("end_off") - col("n_tokens")) / PackBudget)
+            .cast("bigint").as("seq_first"),
+          floor((col("end_off") - 1) / PackBudget).cast("bigint").as("seq_last"),
+          (floor((col("end_off") - 1) / PackBudget) -
+            floor((col("end_off") - col("n_tokens")) / PackBudget) + 1)
+            .cast("bigint").as("n_seqs"))
     },
 
     // ---------------------------------------------- chunk-level dedup

@@ -86,6 +86,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(2) >= 0))
   }
 
+  test("sequence packing tiles each shard without gaps and flags straddles") {
+    val rows = run("d_pack_sequences").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val budget = 2048L
+    rows.groupBy(_._3).foreach { case (shard, docs) =>
+      val ordered = docs.sortBy(_._1)
+      // offsets tile: each doc starts exactly where the previous ended
+      ordered.foldLeft(0L) { case (expected, (id, n, _, start, first, last, nseq)) =>
+        assert(start == expected, s"shard $shard doc $id: gap at $start != $expected")
+        assert(first == start / budget, s"doc $id seq_first")
+        assert(last == (start + n - 1) / budget, s"doc $id seq_last")
+        assert(nseq == last - first + 1 && nseq >= 1, s"doc $id n_seqs")
+        start + n
+      }
+      // every straddling doc really crosses a budget boundary
+      ordered.filter(d => d._7 > 1).foreach { case (id, n, _, start, _, _, _) =>
+        assert(start / budget != (start + n - 1) / budget, s"doc $id straddle")
+      }
+    }
+  }
+
   test("repetition: degenerate text maxes the bigram fraction, varied text doesn't") {
     import spark.implicits._
     // mirror the query arithmetic over constructed docs
