@@ -129,4 +129,29 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan(q).contains("[codegen id :"), s"$q lost codegen")
     }
   }
+
+  test("decontamination shuffles 8-byte gram keys, no lambda hashing") {
+    val p = plan("d_decontaminate")
+    // the fused graft_gram_hashes kernel replaced transform()+md5: an
+    // ArrayTransform in this plan means interpreted per-gram lambda
+    // dispatch is back in the hot path
+    assert(!p.contains("transform("), s"lambda gram hashing regressed:\n$p")
+    assert(!p.contains("md5("), s"md5 gram keys regressed:\n$p")
+    // every exchange ships longs/ids — never text, words, or hex strings
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach(e =>
+      assert(!e.contains("text#") && !e.contains("words#") && !e.contains("norm#"),
+        s"corpus text in decontamination shuffle: $e"))
+  }
+
+  test("sequence packing windows are sharded, never single-partition") {
+    val p = plan("d_pack_sequences")
+    // a Window with an empty partition spec funnels the corpus through
+    // ONE task — the exact bottleneck the shard column exists to avoid
+    assert(p.contains("Window"), p)
+    assert("hashpartitioning\\(shard".r.findFirstIn(p).isDefined,
+      s"packing window lost its shard partitioning:\n$p")
+  }
 }
