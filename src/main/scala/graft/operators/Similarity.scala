@@ -144,7 +144,10 @@ object Similarity {
       val probes = vecs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
           posexplode(topCentroids(col("v"), centroids, nprobe)).as(Seq("probe_rank", "list_id")))
-      val cand = corpus.join(probes, Seq("list_id"))
+      // probes = queries × nprobe rows — bounded at ANY corpus scale, so
+      // pin the broadcast rather than letting AQE re-decide per run (the
+      // strategy flap showed up as run-to-run bench variance)
+      val cand = corpus.join(broadcast(probes), Seq("list_id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       cand.select(col("qid"), col("vec_id"),
