@@ -59,24 +59,30 @@ class JsonLinesFileEmitter(TraceEmitter):
     def __init__(self, trace_dir):
         self.trace_dir = _os.path.abspath(trace_dir)
         _os.makedirs(self.trace_dir, exist_ok=True)
-        self._file = None
+        # One open file per session_id: the emitter is a module-level
+        # singleton shared by every session in the process, so pinning a
+        # single handle to the first record's session would append later
+        # sessions into the first session's file.
+        self._files = {}
 
     def emit(self, record):
-        if self._file is None:
-            sid = record.get("session_id", "unknown")
+        sid = record.get("session_id", "unknown")
+        f = self._files.get(sid)
+        if f is None:
             day = _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%d")
             path = _os.path.join(self.trace_dir, "%s_%s.jsonl" % (day, sid))
-            self._file = open(path, "a", encoding="utf-8")
-        self._file.write(_json.dumps(record, default=str) + "\n")
+            f = open(path, "a", encoding="utf-8")
+            self._files[sid] = f
+        f.write(_json.dumps(record, default=str) + "\n")
 
     def flush(self):
-        if self._file is not None:
-            self._file.flush()
+        for f in self._files.values():
+            f.flush()
 
     def close(self):
-        if self._file is not None:
-            self._file.close()
-            self._file = None
+        for f in self._files.values():
+            f.close()
+        self._files = {}
 
 
 _emitter = None

@@ -695,7 +695,24 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("graft_gram_stats",
       es => GramStats(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_gram_hashes",
-      es => GramHashes(es.head,
-        es(1).eval(null).asInstanceOf[Number].intValue), "built-in")
+      es => GramHashes(es.head, gramSizeLiteral(es(1))), "built-in")
+  }
+
+  /** The gram size must be a foldable integral literal — a column (or a
+    * null) here would otherwise surface as an opaque NPE/ClassCast from
+    * eval at registration time. */
+  private def gramSizeLiteral(e: Expression): Int = {
+    val ok = e.foldable && (e.dataType match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
+      case _ => false
+    })
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+    if (!ok) fail("graft_gram_hashes: gram size must be an integer literal")
+    e.eval(null) match {
+      case n: Number => n.intValue
+      case _ => fail("graft_gram_hashes: gram size must be a non-null integer literal")
+    }
   }
 }

@@ -1,7 +1,6 @@
 package graft.server
 
 import java.sql.Connection
-import scala.collection.mutable
 import scala.util.control.NonFatal
 
 /** Remote-catalog metadata enrichment for agent schema discovery — the
@@ -143,43 +142,65 @@ final class InformationSchemaEnricher(
   extends MetadataEnricher {
   import InformationSchemaEnricher._
 
-  private val cache = mutable.Map.empty[(String, String, Option[String]), String]
-  private val fetched = mutable.Set.empty[String]
-  private val blacklisted = mutable.Set.empty[String]
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Option[String]), String]()
+  private val fetched =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val blacklisted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // One lock PER SOURCE, not a global one: a hung remote probe must only
+  // stall callers asking about that source, never every enrich() caller
+  // on every source.
+  private val fetchLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // Daemon executor for JDBC setNetworkTimeout enforcement.
+  private val probeTimeoutExecutor =
+    java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "enricher-probe-timeout"); t.setDaemon(true); t
+    }
 
   /** Visible for tests: how many live fetches ran (fetch-once contract). */
-  private[graft] var fetchCount = 0
+  private[graft] val fetchCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def fetchCount: Int = fetchCounter.get
 
-  /** Serving-path callers run on the API's thread pool: the whole
-    * lookup-or-fetch is synchronized so concurrent searches keep the
-    * fetch-once contract and never race the mutable caches (probing is
-    * rare and bounded — one remote round-trip per source, ever). */
   override def enrich(table: String, column: Option[String],
-      source: String): Option[String] = this.synchronized {
-    if (blacklisted(source)) return None
-    if (!fetched(source)) {
-      fetchFor(source)
-      fetched += source
+      source: String): Option[String] = {
+    if (blacklisted.contains(source)) return None
+    if (!fetched.contains(source)) {
+      val lock = fetchLocks.computeIfAbsent(source, _ => new Object)
+      lock.synchronized {
+        if (!fetched.contains(source)) {
+          fetchFor(source)
+          fetched.add(source)
+        }
+      }
     }
-    cache.get((source, table.toLowerCase, column.map(_.toLowerCase)))
+    Option(cache.get((source, table.toLowerCase, column.map(_.toLowerCase))))
   }
 
   private def fetchFor(source: String): Unit = {
-    fetchCount += 1
+    fetchCounter.incrementAndGet()
     val probes = probeOverride.getOrElse(probesFor(dialectOf(source)))
     val found = probes.view.flatMap { probe =>
       try {
         val conn = connect(source)
-        try Some(probe(conn)) finally conn.close()
+        try {
+          // Best-effort network timeout so one unresponsive catalog can't
+          // hold its source's lock forever; drivers without support
+          // (Derby embedded) just skip it.
+          try conn.setNetworkTimeout(probeTimeoutExecutor, 15000)
+          catch { case NonFatal(_) => () }
+          Some(probe(conn))
+        } finally conn.close()
       } catch { case NonFatal(_) => None } // wrong dialect — try the next
     }.headOption
     found match {
       case Some(d) if meetsCoverage(d) =>
-        d.byKey.foreach { case ((t, c), desc) => cache((source, t, c)) = desc }
+        d.byKey.foreach { case ((t, c), desc) => cache.put((source, t, c), desc) }
       case _ =>
         // no strategy answered, or the catalog carries too few real
         // comments to be useful — degrade to NullEnricher for this source
-        blacklisted += source
+        blacklisted.add(source)
     }
   }
 

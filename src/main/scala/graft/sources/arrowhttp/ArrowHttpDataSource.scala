@@ -82,10 +82,19 @@ final class ArrowHttpTable(schema: StructType, opts: ArrowHttpOptions)
 
 final class ArrowHttpScanBuilder(fullSchema: StructType, opts: ArrowHttpOptions)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var limit: Option[Int] = None
+
+  // Without this, any remote table larger than the server's maxRows is
+  // entirely unscannable (the truncation guard below refuses capped
+  // results) — even `SELECT * FROM remote LIMIT 3` would fetch the full
+  // table first. LIMIT in the remote SQL keeps small queries over large
+  // remote tables working; the loud failure then only fires for
+  // genuinely capped full scans.
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(whereClause(_).isDefined)
@@ -99,7 +108,7 @@ final class ArrowHttpScanBuilder(fullSchema: StructType, opts: ArrowHttpOptions)
     required = requiredSchema
 
   override def build(): Scan =
-    new ArrowHttpScan(required, opts, pushed.flatMap(whereClause).toSeq)
+    new ArrowHttpScan(required, opts, pushed.flatMap(whereClause).toSeq, limit)
 
   /** filter -> SQL predicate; None keeps it in Spark. */
   private def whereClause(f: Filter): Option[String] = {
@@ -133,7 +142,7 @@ final class ArrowHttpScanBuilder(fullSchema: StructType, opts: ArrowHttpOptions)
 }
 
 final class ArrowHttpScan(schema: StructType, opts: ArrowHttpOptions,
-    wheres: Seq[String]) extends Scan with Batch {
+    wheres: Seq[String], limit: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
@@ -149,7 +158,8 @@ final class ArrowHttpScan(schema: StructType, opts: ArrowHttpOptions,
       else schema.fieldNames.map(n => s"`$n`").mkString(", ")
     val where =
       if (wheres.isEmpty) "" else wheres.mkString(" WHERE ", " AND ", "")
-    s"SELECT $cols FROM `${opts.table}`$where"
+    val fetch = limit.map(n => s" LIMIT $n").getOrElse("")
+    s"SELECT $cols FROM `${opts.table}`$where$fetch"
   }
 }
 

@@ -101,6 +101,28 @@ class ArrowHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally small.stop()
   }
 
+  test("LIMIT pushes into the remote SQL, so capped servers stay usable") {
+    // a server whose cap is below the table size: a pushed LIMIT keeps
+    // the result under the cap, so small queries over large remote
+    // tables work — the truncation refusal only fires for full scans
+    val engine = new GraftSession(spark, GraftConfig(defensiveLimit = 10000))
+    val small = new ApiServer(engine,
+      new ApiKeyAuthenticator(Map("k" -> AuthenticatedUser("u",
+        permissions = Set("query:execute", "catalog:read")))).apply,
+      maxRows = 5)
+    val sport = small.start()
+    try {
+      val df = spark.read.format("graft.sources.arrowhttp.ArrowHttpDataSource")
+        .option("url", s"http://localhost:$sport")
+        .option("table", "nation").option("authToken", "k").load()
+        .limit(3)
+      val scanDesc = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString
+      assert(scanDesc.contains("LIMIT 3"), scanDesc)
+      assert(df.collect().length == 3)
+    } finally small.stop()
+  }
+
   test("unknown table fails with a clear error") {
     val e = intercept[Exception](remote("no_such_table").schema)
     assert(e.getMessage.contains("not found"), e.getMessage)

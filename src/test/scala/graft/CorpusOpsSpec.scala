@@ -58,6 +58,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     val empty = spark.sql(
       "SELECT graft_gram_hashes(array('a', 'b'), 5) AS g").collect()
     assert(empty.head.getSeq[Long](0).isEmpty)
+    // a non-literal gram size is a clear analysis error, not an NPE
+    Tables(spark, sf).documents.limit(1).createOrReplaceTempView("gram_docs")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_gram_hashes(array('a'), cast(doc_id AS int))" +
+        " FROM gram_docs").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(err).contains("integer literal"), msgs(err))
+    val errNull = intercept[Exception] {
+      spark.sql("SELECT graft_gram_hashes(array('a'), CAST(NULL AS INT))")
+        .collect()
+    }
+    assert(msgs(errNull).contains("integer literal"), msgs(errNull))
   }
 
   test("pii redaction masks emails and phones, counts match, hash changes") {
