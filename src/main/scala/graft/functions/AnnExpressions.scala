@@ -254,6 +254,55 @@ final case class ByteSample(child: Expression, target: Int)
     copy(child = newChild)
 }
 
+/** 63-bit perceptual hash of a binary payload (the average-hash family —
+  * aHash in the pHash literature): sample 63 evenly spaced bytes
+  * (`payload[⌊i·n/63⌋]`, the ByteSample positions), and set bit `i` when
+  * sample `i` exceeds the sample mean. The mean test is pure integer
+  * arithmetic (`b_i · 63 > Σ b`) so any engine reproduces the bit pattern
+  * exactly; 63 bits keep the result non-negative, which DuckDB's BIGINT
+  * bit-shift arithmetic re-derives without sign traps. Near-identical
+  * payloads differ in few sampled bytes ⇒ small Hamming distance; the
+  * pair-generation query bands the hash the same way SimHash is banded.
+  * Empty payload ⇒ 0. */
+final case class PHash63(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: Array[Byte]): Long = {
+    val n = input.length
+    if (n == 0) return 0L
+    val samples = new Array[Int](63)
+    var sum = 0L
+    var i = 0
+    while (i < 63) {
+      val b = input((i.toLong * n / 63).toInt) & 0xff
+      samples(i) = b
+      sum += b
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < 63) {
+      if (samples(i) * 63L > sum) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val ref = ctx.addReferenceObj("pHash63", this, classOf[PHash63].getName)
+      s"${ev.value} = $ref.compute($b);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PHash63 =
+    copy(child = newChild)
+}
+
 /** LSH band buckets over a MinHash signature (`array<long>`): output[b] =
   * low 32 bits of fmix63(FNV-fold of signature rows
   * [b*rowsPerBand, (b+1)*rowsPerBand)) — the portable-combine analog of

@@ -684,6 +684,8 @@ object VectorFunctions {
       es => ByteEnergy(es.head, center = 96.0), "built-in")
     reg.createOrReplaceTempFunction("graft_byte_sample",
       es => ByteSample(es.head, target = 16), "built-in")
+    reg.createOrReplaceTempFunction("graft_phash63",
+      es => PHash63(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_norm",
       es => NormalizeText(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_porthash63",

@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines, beyond the
+  * per-document text statistics in [[TextPipeline]]:
+  *
+  *  - `d_semdedup` — semantic (embedding-space) deduplication, the
+  *    SemDeDup shape: partition vectors into hyperplane-LSH buckets
+  *    (the deterministic stand-in for the paper's k-means clusters),
+  *    compare only within a bucket, and drop every vector that has a
+  *    smaller-id neighbor above the cosine threshold (keep-first).
+  *  - `d_source_filter` — domain/source-level curation: aggregate quality
+  *    statistics per source and keep documents only from sources that
+  *    pass; the "block low-quality domains" stage of a web-corpus
+  *    pipeline.
+  *  - `d_lang_balance` — deterministic language rebalancing: downsample
+  *    every language to the size of the smallest via portable hash
+  *    sampling, so the kept subset is reproducible on any engine.
+  *  - `t_unigram_logprob` — unigram-LM surprisal per document (the
+  *    CCNet-style perplexity proxy): mean −ln p(word) under the corpus's
+  *    own unigram distribution; high surprisal ⇒ text unlike the corpus
+  *    (gibberish), low ⇒ boilerplate.
+  *
+  * All four are exactly DuckDB-oracled: bucket signs re-derive via the
+  * sequential list_reduce fold (same index-order double summation as the
+  * fused HyperplaneBands loop), sampling uses the portable fmix63 recipe,
+  * and float summations cross engines only as integer micro-units.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** 8 hyperplanes of ±1 over 64 dims — one 8-bit band ⇒ 256 buckets.
+    * Fixed seed, embedded as literals in the oracle SQL. Distinct seed
+    * from the ANN planes so the two operators stay independent. */
+  private lazy val planes: IndexedSeq[Array[Double]] = {
+    val rng = new scala.util.Random(7031)
+    IndexedSeq.fill(8)(Array.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  private def bucketCol(v: Column): Column =
+    GraftColumnBridge.column(graft.functions.HyperplaneBands(
+      GraftColumnBridge.expression(v), planes.toArray, bands = 1, planesPerBand = 8))
+
+  /** DuckDB bucket re-derivation: per-plane sequential sign fold (the
+    * list_reduce visits v[i]·s_i in index order — bit-identical to the
+    * fused loop), packed exactly like HyperplaneBands (`d > 0 ⇒ 1 << j`). */
+  private def bucketSql: String = {
+    def signLit(j: Int): String =
+      planes(j).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    def dotFold(j: Int): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(list_zip(v, ${signLit(j)}), p -> p[1] * p[2])), " +
+        "(a, x) -> a + x)"
+    (0 until 8).map(j =>
+      s"(CASE WHEN ${dotFold(j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+  }
+
+  private val dotAB =
+    "list_sum(list_transform(list_zip(a.v, b.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------- semantic dedup
+    // SemDeDup (Abbas et al. 2023): cluster, then near-dup only within a
+    // cluster. Buckets come from one 8-plane LSH band (deterministic, so
+    // the full pipeline is hash-oracled; the paper's k-means would train
+    // on a sample — the s_ann_ivf pattern — at the cost of the oracle).
+    // Candidate generation ships (vec_id, bucket) ONLY; vectors are
+    // re-fetched by id for the bounded rerank — at 100 TB the bucket join
+    // never carries an embedding, and there is never an all-pairs pass.
+    GraftQuery("d_semdedup",
+      s"""WITH vecs AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |norms AS (SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM vecs),
+         |sig AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM norms),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM sig a JOIN sig b ON a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id
+         |    AND round($dotAB / (a.nrm * b.nrm), 6) >= 0.3)
+         |SELECT s.vec_id, s.bucket, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM sig s LEFT JOIN dups d ON s.vec_id = d.vec_id""".stripMargin) {
+      (s, dir) =>
+        graft.functions.VectorFunctions.register(s)
+        val vecs = t(s, dir).embeddings
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        val sig = vecs.withColumn("bucket",
+          element_at(bucketCol(col("v")), 1))
+        // ids-only candidate generation (the s_ann_lsh shape)
+        val banded = sig.select(col("vec_id"), col("bucket"))
+        val candIds = banded.alias("a")
+          .join(banded.alias("b"), col("a.bucket") === col("b.bucket"))
+          .filter(col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        // rerank: re-fetch vectors by id, keep-first ⇒ the LARGER id of
+        // any pair above the threshold is the duplicate
+        val av = vecs.select(col("vec_id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na"))
+        val bv = vecs.select(col("vec_id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb"))
+        val dupIds = candIds.join(av, "id_a").join(bv, "id_b")
+          .filter(round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6)
+            >= 0.3)
+          .select(col("id_b").as("vec_id")).distinct()
+        sig.select(col("vec_id"), col("bucket"))
+          .join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("bucket"),
+            coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    },
+
+    // -------------------------------------------- source-level curation
+    // Per-source quality gate: sources are few (domain cardinality ≪ doc
+    // count), so the stats relation is tiny and broadcasts back onto the
+    // fact side — one full-table aggregate plus a map-side join, no
+    // second fact shuffle. avg length is exact-integer-derived
+    // (sum/count of BIGINTs), so the filter is engine-portable.
+    GraftQuery("d_source_filter",
+      """WITH stats AS (
+        |  SELECT source, count(*) AS src_docs,
+        |         round(sum(n_chars) / count(*), 6) AS src_avg_chars
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, s.src_docs, s.src_avg_chars
+        |FROM documents d JOIN stats s ON d.source = s.source
+        |WHERE s.src_avg_chars >= 295 AND s.src_docs >= 10""".stripMargin) {
+      (s, dir) =>
+        val docs = t(s, dir).documents
+        val stats = docs.groupBy(col("source")).agg(
+          count(lit(1)).as("src_docs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+            .as("src_avg_chars"))
+        docs.join(broadcast(stats), "source")
+          .filter(col("src_avg_chars") >= 295 && col("src_docs") >= 10)
+          .select(col("doc_id"), col("source"), col("src_docs"),
+            col("src_avg_chars"))
+    },
+
+    // ------------------------------------------------ language balance
+    // Downsample every language to the smallest language's size with
+    // portable hash sampling: keep doc ⇔ fmix63(doc_id) mod 2^20 falls
+    // under the per-language rate. The comparison is pure integer
+    // arithmetic ((h mod 2^20)·n_lang < 2^20·target), so the kept set is
+    // bit-reproducible on any engine. Language counts are a 5-row
+    // broadcast; the pass over documents is map-only — the exact shape
+    // that holds at 100 TB (no per-language shuffle, no window).
+    GraftQuery("d_lang_balance", {
+      val (ctes, last) = SketchOracleSql.fmixScalarCtes(
+        "f", "k", "doc_id, lang", "h")
+      s"""WITH k AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS h
+         |           FROM documents),
+         |$ctes,
+         |counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+         |target AS (SELECT min(n_lang) AS target FROM counts)
+         |SELECT f.doc_id, f.lang
+         |FROM $last f JOIN counts c ON f.lang = c.lang CROSS JOIN target t
+         |WHERE (f.fh % 1048576) * c.n_lang < 1048576 * t.target""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val docs = t(s, dir).documents
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val target = counts.agg(min(col("n_lang")).as("target"))
+      docs.select(col("doc_id"), col("lang"),
+          expr("graft_fmix63(doc_id) % 1048576").as("slot"))
+        .join(broadcast(counts), "lang")
+        .crossJoin(broadcast(target))
+        .filter(col("slot") * col("n_lang") < lit(1048576L) * col("target"))
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // ---------------------------------------------- unigram surprisal
+    // CCNet-style quality proxy without a trained LM: the corpus's own
+    // unigram distribution scores each document's mean −ln p(word).
+    // Same scale shape as TF-IDF: tf by (doc, word), corpus frequency by
+    // word (vocabulary-sized — joined by key, never broadcast), token
+    // total as a 1-row broadcast. Per-term surprisal crosses engines as
+    // ROUNDED INTEGER MICRO-UNITS so the per-doc sum is an exact BIGINT
+    // aggregate — no float summation-order hazard; the final mean
+    // divides exact integers.
+    GraftQuery("t_unigram_logprob",
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split(${TextPipeline.normSqlDuck}, ' ')) AS w
+         |  FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+         |       WHERE w <> '' GROUP BY doc_id, w),
+         |cf AS (SELECT w, sum(tf) AS cf FROM tf GROUP BY w),
+         |tot AS (SELECT sum(cf) AS tot FROM cf),
+         |terms AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |    CAST(round(tf.tf * ln(CAST(cf.cf AS DOUBLE) / tot.tot) * 1000000, 0)
+         |         AS BIGINT) AS micro
+         |  FROM tf JOIN cf ON tf.w = cf.w CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  round(-CAST(sum(micro) AS DOUBLE) / 1000000 / sum(tf), 6) AS surprisal
+         |FROM terms GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val words = TextPipeline.withNorm(t(s, dir).documents)
+        .select(col("doc_id"), explode(col("words")).as("w"))
+        .filter(col("w") =!= "")
+      val tf = words.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      // corpus frequency as sum-over-window on tf itself (the
+      // t_tfidf_topterms shape): one shuffle by word, NO second execution
+      // of the explode+aggregate pipeline and no vocabulary join. The
+      // token total comes from a separate cheap scan (per-doc word counts,
+      // no explode) and broadcasts as one row.
+      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+      // norm is trimmed, so split() only yields an empty token when the
+      // whole norm is empty — counting is a codegen'd size(), no lambda
+      val tot = TextPipeline.withNorm(t(s, dir).documents)
+        .select(when(col("norm") === "", lit(0))
+          .otherwise(size(col("words"))).as("n"))
+        .agg(sum(col("n")).as("tot"))
+      val terms = tf.withColumn("cf", sum(col("tf")).over(wTerm))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("tf"),
+          round(col("tf") * log(col("cf").cast("double") / col("tot"))
+            * 1000000, 0).cast("bigint").as("micro"))
+      terms.groupBy(col("doc_id")).agg(
+        sum(col("tf")).as("n_tokens"),
+        round(-sum(col("micro")).cast("double") / 1000000 / sum(col("tf")), 6)
+          .as("surprisal"))
+    }
+  )
+}

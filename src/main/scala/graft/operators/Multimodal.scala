@@ -171,6 +171,72 @@ object Multimodal {
       graft.functions.VectorFunctions.register(s)
       assets(s, dir).select(col("asset_id"),
         lower(hex(expr("graft_byte_sample(payload)"))).as("thumb_hex"))
+    },
+
+    // Perceptual hash (average-hash family) over the opaque payload: the
+    // image-dedup primitive. Map-only, fused into the codegen'd
+    // graft_phash63 kernel; the bit pattern is integer arithmetic on 63
+    // evenly sampled bytes, so DuckDB re-derives it exactly (ASCII corpus
+    // ⇒ byte == char code, as every m_* oracle relies on).
+    GraftQuery("m_phash",
+      s"""WITH $phashCtes
+         |SELECT doc_id AS asset_id, h AS phash FROM ph""".stripMargin) {
+      (s, dir) =>
+        graft.functions.VectorFunctions.register(s)
+        assets(s, dir).select(col("asset_id"),
+          expr("graft_phash63(payload)").as("phash"))
+    },
+
+    // Perceptual near-duplicate pairs: band the 63-bit hash into four
+    // 16-bit windows and equi-join per window (any shared window makes a
+    // candidate — by pigeonhole, recall is PERFECT for Hamming ≤ 3), then
+    // rerank candidates with the exact popcount distance. At 100 TB the
+    // join ships (id, window-key, 8-byte hash) — payload bytes never
+    // shuffle and there is never an all-pairs comparison.
+    GraftQuery("m_phash_pairs",
+      s"""WITH $phashCtes,
+         |bands AS (
+         |  SELECT doc_id, h, b, (h >> (b * 16)) & 65535 AS w
+         |  FROM ph, UNNEST([0, 1, 2, 3]) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                  a.h AS ha, b.h AS hb
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.w = b.w
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 8""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val ph = assets(s, dir).select(col("asset_id").as("doc_id"),
+        expr("graft_phash63(payload)").as("h"))
+      val bands = ph.select(col("doc_id"), col("h"),
+          explode(expr("sequence(0, 3)")).as("b"))
+        .withColumn("w", expr("shiftright(h, b * 16) & 65535"))
+      val a = bands.select(col("b"), col("w"),
+        col("doc_id").as("id_a"), col("h").as("ha"))
+      val b = bands.select(col("b"), col("w"),
+        col("doc_id").as("id_b"), col("h").as("hb"))
+      a.join(b, Seq("b", "w")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
+        .select(col("id_a"), col("id_b"),
+          expr("graft_hamming64(ha, hb)").as("hamming"))
+        .filter(col("hamming") <= 8)
     }
   )
+
+  /** DuckDB re-derivation of graft_phash63 over the text payload, as CTEs
+    * `sm` (the 63 sampled byte positions) and `ph(doc_id, h)` (the integer
+    * mean test + bit packing; 63 bits ⇒ the BIGINT stays non-negative
+    * through `<<`). */
+  private def phashCtes: String =
+    """sm AS (SELECT doc_id,
+      |  CASE WHEN length(text) = 0 THEN CAST([] AS INTEGER[]) ELSE
+      |    list_transform(range(0, 63),
+      |      i -> ord(substr(text, CAST(i * length(text) // 63 AS INTEGER) + 1, 1)))
+      |  END AS sm FROM documents),
+      |ph AS (SELECT doc_id,
+      |  CASE WHEN len(sm) = 0 THEN 0 ELSE
+      |    list_sum(list_transform(range(0, 63),
+      |      i -> CASE WHEN sm[i + 1] * 63 > list_sum(sm)
+      |                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+      |  END AS h FROM sm)""".stripMargin
 }
