@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
   * and its declared-schema type surface
   * (/root/reference/crates/connectors/src/sources/file.rs:370-394).
   */
-final case class SourcesConfig(sources: Seq[SourceDef])
+final case class SourcesConfig(sources: Seq[SourceDef],
+    domain: Option[String] = None)
 
 final case class SourceDef(
     name: String,
@@ -112,7 +113,8 @@ object SourcesConfig {
             })
         })
     }
-    SourcesConfig(sources)
+    SourcesConfig(sources,
+      domain = Option(root.get("domain")).map(String.valueOf))
   }
 
   private def list(o: Object): Seq[java.util.Map[String, Object]] =
