@@ -34,7 +34,8 @@ final class ApiServer(
     guardMode: graft.security.PromptInjectionGuard.GuardMode =
       graft.security.PromptInjectionGuard.Disabled,
     maxConcurrentRequests: Int = 0,
-    queueTimeoutMillis: Long = 30000) {
+    queueTimeoutMillis: Long = 30000,
+    license: LicenseGate.LicenseCache = LicenseGate.alwaysValid) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -81,10 +82,26 @@ final class ApiServer(
 
   def stop(): Unit = if (server != null) server.stop(0)
 
+  /** License gate on the execution paths (reference flight_sql.rs:131-143,
+    * api.rs:238-244): one atomic read per request — Invalid refuses with
+    * a permission error, Degraded executes with a warning attached. */
+  private def licenseAdmits(ex: HttpExchange): Boolean =
+    license.currentState match {
+      case LicenseGate.Invalid =>
+        respond(ex, 403, err("License invalid or expired. Please contact support."))
+        false
+      case LicenseGate.Degraded =>
+        ex.getResponseHeaders.add("X-Graft-Warning",
+          "x-graft-license: executing in degraded license state")
+        true
+      case LicenseGate.Valid => true
+    }
+
   // ------------------------------------------------------------- handlers
 
   private def handleQuery(ex: HttpExchange, user: AuthenticatedUser): Unit = {
     if (ex.getRequestMethod != "POST") { respond(ex, 405, err("POST required")); return }
+    if (!licenseAdmits(ex)) return
     val body = mapper.readTree(ex.getRequestBody)
     val sql = Option(body.get("sql")).map(_.asText()).getOrElse("")
     if (sql.isEmpty) { respond(ex, 400, err("missing sql")); return }
@@ -153,6 +170,7 @@ final class ApiServer(
     * JSON endpoint (reference: Flight SQL / PyArrow zero-copy delivery). */
   private def handleQueryArrow(ex: HttpExchange, user: AuthenticatedUser): Unit = {
     if (ex.getRequestMethod != "POST") { respond(ex, 405, err("POST required")); return }
+    if (!licenseAdmits(ex)) return
     val body = mapper.readTree(ex.getRequestBody)
     val sql = Option(body.get("sql")).map(_.asText()).getOrElse("")
     if (sql.isEmpty) { respond(ex, 400, err("missing sql")); return }

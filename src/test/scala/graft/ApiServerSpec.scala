@@ -315,4 +315,83 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sw = (0 until js.get("warnings").size()).map(js.get("warnings").get(_).asText)
     assert(!sw.exists(_.startsWith("x-graft-truncated")), sw)
   }
+
+  test("license gate: Invalid refuses queries, Degraded warns, Valid passes") {
+    import graft.server.LicenseGate
+    val cache = new LicenseGate.LicenseCache
+    val engine = new GraftSession(spark, GraftConfig(defensiveLimit = 100))
+    val gated = new ApiServer(engine,
+      new ApiKeyAuthenticator(Map("k" -> AuthenticatedUser("u",
+        permissions = Set("query:execute", "catalog:read")))).apply,
+      license = cache)
+    val gport = gated.start()
+    def gcall(state: LicenseGate.LicenseState): (Int, String, Seq[String]) = {
+      cache.updateState(state)
+      val conn = new URI(s"http://localhost:$gport/api/v1/query").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Authorization", "Bearer k")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        """{"sql": "SELECT count(*) AS n FROM nation"}"""
+          .getBytes(StandardCharsets.UTF_8))
+      val code = conn.getResponseCode
+      val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+      val text = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      import scala.jdk.CollectionConverters._
+      val warns = conn.getHeaderFields.asScala.collect {
+        case (k2, vs) if k2 != null && k2.equalsIgnoreCase("X-Graft-Warning") =>
+          vs.asScala.toSeq
+      }.flatten.toSeq
+      conn.disconnect()
+      (code, text, warns)
+    }
+    try {
+      val (okCode, okBody, okWarns) = gcall(LicenseGate.Valid)
+      assert(okCode == 200 && okBody.contains("rows"), okBody)
+      assert(!okWarns.exists(_.contains("license")), okWarns)
+      val (degCode, _, degWarns) = gcall(LicenseGate.Degraded)
+      assert(degCode == 200)
+      assert(degWarns.exists(_.contains("degraded license")), degWarns)
+      val (badCode, badBody, _) = gcall(LicenseGate.Invalid)
+      assert(badCode == 403 && badBody.contains("License invalid"), badBody)
+      // non-execution endpoints stay available when invalid (the gate
+      // guards execution, not discovery — reference api.rs gates /query)
+      cache.updateState(LicenseGate.Invalid)
+      val conn2 = new URI(s"http://localhost:$gport/api/v1/sources").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn2.setRequestProperty("Authorization", "Bearer k")
+      assert(conn2.getResponseCode == 200)
+      conn2.disconnect()
+    } finally gated.stop()
+  }
+
+  test("license monitor: polls the validator, keeps cached state on failure") {
+    import graft.server.LicenseGate
+    val cache = new LicenseGate.LicenseCache
+    val states = new java.util.concurrent.atomic.AtomicReference[
+      List[Either[String, LicenseGate.LicenseState]]](
+      List(Right(LicenseGate.Degraded), Left("license service down"),
+        Right(LicenseGate.Valid)))
+    val validator = new LicenseGate.LicenseValidator {
+      override def validate(): LicenseGate.LicenseState =
+        states.getAndUpdate(l => if (l.size > 1) l.tail else l).head match {
+          case Right(s) => s
+          case Left(msg) => throw new RuntimeException(msg)
+        }
+    }
+    val handle = LicenseGate.spawnMonitor(validator, cache, intervalMillis = 50)
+    try {
+      // first check is immediate → Degraded
+      val t0 = System.currentTimeMillis()
+      while (cache.currentState != LicenseGate.Degraded &&
+        System.currentTimeMillis() - t0 < 5000) Thread.sleep(10)
+      assert(cache.currentState == LicenseGate.Degraded)
+      // the failing validation keeps Degraded; the next one flips to Valid
+      val t1 = System.currentTimeMillis()
+      while (cache.currentState != LicenseGate.Valid &&
+        System.currentTimeMillis() - t1 < 5000) Thread.sleep(10)
+      assert(cache.currentState == LicenseGate.Valid)
+    } finally handle.close()
+  }
 }
