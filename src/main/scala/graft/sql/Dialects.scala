@@ -97,6 +97,10 @@ object MySqlDialect extends SqlDialect {
 
 object SqliteDialect extends SqlDialect {
   val name = "sqlite"
+  /** SQLite's native null-safe comparison is the `IS` operator (every
+    * version); `IS NOT DISTINCT FROM` only arrived as an alias in 3.39. */
+  override def nullSafeEq(l: SqlExpr, r: SqlExpr): SqlExpr =
+    BinOp(l, "IS", r)
   override def typeName(dt: DataType): String = dt match {
     case StringType => "TEXT"
     case DoubleType => "REAL"

@@ -154,4 +154,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("hashpartitioning\\(shard".r.findFirstIn(p).isDefined,
       s"packing window lost its shard partitioning:\n$p")
   }
+
+  test("semdedup candidate exchanges ship ids and buckets, never vectors") {
+    val p = plan("d_semdedup")
+    // the bucket self-join and the dup-id dedup shuffle must not carry
+    // an embedding — vectors are re-fetched by id for the rerank only
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    exchanges.foreach(e =>
+      assert(!e.contains("v#") && !e.contains("embedding#"),
+        s"vector in a semdedup exchange: $e"))
+  }
+
+  test("source filter broadcasts the stats relation onto the fact side") {
+    val p = plan("d_source_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // documents (the fact side) is never broadcast: exactly one exchange
+    // broadcasts, and it is the aggregated per-source stats
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("language balance is map-only over documents plus tiny broadcasts") {
+    val p = plan("d_lang_balance")
+    // counts (5 rows) and the target scalar broadcast; the documents
+    // pass itself must not hash-exchange by language
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    exchanges.foreach(e => assert(!e.contains("doc_id#"),
+      s"documents shuffled in a sampling pass: $e"))
+  }
+
+  test("unigram surprisal computes cf over a window, not a self-join") {
+    val p = plan("t_unigram_logprob")
+    assert(p.contains("Window"), p)
+    // two scans total (the explode pipeline + the cheap token-total
+    // scan): a vocabulary self-join would add a third, re-running the
+    // explode. FormattedMode lists each scan twice (tree + detail), so
+    // count the numbered detail entries only.
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"unigram plan re-reads documents:\n$p")
+  }
+
+  test("phash pairs band-join ships (id, window, hash) — payloads stay map-side") {
+    val p = plan("m_phash_pairs")
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    exchanges.foreach(e =>
+      assert(!e.contains("payload#") && !e.contains("text#"),
+        s"payload bytes in a phash exchange: $e"))
+  }
 }
