@@ -187,4 +187,8 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // static conf for the optional Thrift JDBC edge (server/JdbcEdge):
+      // ODBC/JDBC sessions share THIS session's catalog (temp views,
+      // registered sources) instead of getting isolated empty sessions
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
 }
