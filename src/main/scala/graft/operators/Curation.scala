@@ -175,6 +175,41 @@ object Curation {
         .select(col("doc_id"), col("lang"))
     },
 
+    // ------------------------------------------------ mixture weights
+    // Training-mixture design (the DoReMi-style reweighting input): per
+    // domain/source, the sampling weight that makes every source
+    // contribute an equal token share to the training mix — weight > 1
+    // means the source must be upsampled (repeated), < 1 downsampled.
+    // One aggregate over a map-only token-count pass; the totals are a
+    // 1-row broadcast. All inputs are exact integers, and the weight
+    // divides them in a fixed order, so the output is engine-portable.
+    GraftQuery("d_mix_weights",
+      s"""WITH tok AS (
+         |  SELECT source, ${TextPipeline.normSqlDuck} AS nm FROM documents),
+         |stats AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN nm = '' THEN 0
+         |             ELSE len(string_split(nm, ' ')) END) AS BIGINT) AS n_tokens
+         |  FROM tok GROUP BY source),
+         |tot AS (SELECT sum(n_tokens) AS t, count(*) AS s FROM stats)
+         |SELECT source, n_docs, n_tokens,
+         |  round(CAST(tot.t AS DOUBLE) / tot.s / n_tokens, 6) AS weight
+         |FROM stats CROSS JOIN tot""".stripMargin) { (s, dir) =>
+      val stats = TextPipeline.withNorm(t(s, dir).documents)
+        .select(col("source"),
+          when(col("norm") === "", lit(0))
+            .otherwise(size(col("words"))).as("n"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("bigint").as("n_tokens"))
+      val tot = stats.agg(sum(col("n_tokens")).as("t"),
+        count(lit(1)).as("s"))
+      stats.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("t").cast("double") / col("s") / col("n_tokens"), 6)
+            .as("weight"))
+    },
+
     // ---------------------------------------------- unigram surprisal
     // CCNet-style quality proxy without a trained LM: the corpus's own
     // unigram distribution scores each document's mean −ln p(word).

@@ -102,6 +102,21 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture weights equalize per-source token share") {
+    val rows = q("d_mix_weights")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20) // 20 sources in the corpus
+    val total = rows.map(_._3).sum.toDouble
+    val share = total / rows.length
+    rows.foreach { case (src, nDocs, nTokens, w) =>
+      assert(nDocs > 0 && nTokens > 0)
+      // weight × actual tokens = the uniform share, to rounding
+      assert(math.abs(w * nTokens - share) < 1.0, s"$src: $w")
+    }
+    // weights straddle 1: some sources upsample, some downsample
+    assert(rows.exists(_._4 > 1.0) && rows.exists(_._4 < 1.0))
+  }
+
   test("phash: identical payloads collide, local edits stay near, the pair query finds only close hashes") {
     val ph = graft.functions.PHash63(null)
     val base = ("the quick brown fox jumps over the lazy dog " * 8).getBytes
