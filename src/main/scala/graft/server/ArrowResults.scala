@@ -121,11 +121,21 @@ object ArrowResults {
         case (x: VarCharVector, _) => // exotic type rendered as string
           x.setSafe(i, String.valueOf(r.get(c)).getBytes("UTF-8"))
         case (x: VarBinaryVector, _) => x.setSafe(i, r.getAs[Array[Byte]](c))
-        case (x: DateDayVector, _) =>
-          x.setSafe(i, r.getDate(c).toLocalDate.toEpochDay.toInt)
-        case (x: TimeStampMicroTZVector, _) =>
-          val ts = r.getTimestamp(c)
-          x.setSafe(i, ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
+        // both external date/timestamp representations appear depending
+        // on spark.sql.datetime.java8API.enabled — a SESSION-wide conf
+        // that other components (e.g. the Thrift JDBC edge) may flip
+        case (x: DateDayVector, _) => r.get(c) match {
+          case d: java.sql.Date => x.setSafe(i, d.toLocalDate.toEpochDay.toInt)
+          case d: java.time.LocalDate => x.setSafe(i, d.toEpochDay.toInt)
+          case other => throw new IllegalStateException(s"unhandled date $other")
+        }
+        case (x: TimeStampMicroTZVector, _) => r.get(c) match {
+          case ts: java.sql.Timestamp =>
+            x.setSafe(i, ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
+          case ts: java.time.Instant =>
+            x.setSafe(i, ts.getEpochSecond * 1000000L + ts.getNano / 1000L)
+          case other => throw new IllegalStateException(s"unhandled timestamp $other")
+        }
         case (x: DecimalVector, _) =>
           x.setSafe(i, r.getDecimal(c).setScale(x.getScale))
         case (x, t) =>
