@@ -65,10 +65,18 @@ class JsonLinesFileEmitter(TraceEmitter):
         # sessions into the first session's file.
         self._files = {}
 
+    # Cap on simultaneously open per-session files: a long-lived service
+    # with many short sessions must not leak fds — evicted (closed)
+    # sessions transparently reopen in append mode on their next emit.
+    MAX_OPEN_FILES = 64
+
     def emit(self, record):
         sid = record.get("session_id", "unknown")
         f = self._files.get(sid)
         if f is None:
+            if len(self._files) >= self.MAX_OPEN_FILES:
+                oldest_sid = next(iter(self._files))
+                self._files.pop(oldest_sid).close()
             day = _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%d")
             path = _os.path.join(self.trace_dir, "%s_%s.jsonl" % (day, sid))
             f = open(path, "a", encoding="utf-8")

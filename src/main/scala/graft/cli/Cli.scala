@@ -68,7 +68,7 @@ object Cli {
     try cmd match {
       case "init" => cmdInit(rest, flags, json, out)
       case "validate" => cmdValidate(rest, flags, json, out)
-      case "diff" => withStore(rest, flags)(cmdDiff(_, _, json, out))
+      case "diff" => withStore(rest, flags)(cmdDiff(_, _, flags, json, out))
       case "apply" => withStore(rest, flags)(cmdApply(_, _, flags, json, out))
       case "test-connection" => cmdTestConnection(rest, flags, json, out)
       case "search" | "introspect" => cmdSearch(rest, flags, json, out)
@@ -82,6 +82,7 @@ object Cli {
       }
       case other => fail(UsageError, s"unknown command: $other\n$usage")
     } catch {
+      case e: UsageException => fail(UsageError, e.getMessage)
       case e: VersionConflictException => fail(ConflictError, e.getMessage)
       case e: ForceRequiredException => fail(ConflictError, e.getMessage)
       case e: ConfigException => fail(ConfigError, e.getMessage)
@@ -136,8 +137,9 @@ object Cli {
   }
 
   private def cmdDiff(store: MetadataStore, file: String,
-      json: Boolean, out: java.io.PrintStream): Int = {
-    val changes = diffAgainstStore(store, file)
+      flags: Map[String, String], json: Boolean,
+      out: java.io.PrintStream): Int = {
+    val changes = diffAgainstStore(store, file, flags)
     if (json) {
       val items = changes.map(c =>
         s"""{"change": ${quote(c.change)}, "path": ${quote(c.path)}""" +
@@ -169,7 +171,7 @@ object Cli {
     if (problems.nonEmpty) throw new ValidateException(problems.mkString("; "))
     val domain = domainOf(cfg, flags)
     if (flags.contains("dry-run")) {
-      val changes = diffAgainstStore(store, file)
+      val changes = diffAgainstStore(store, file, flags)
       if (json)
         out.println(s"""{"ok": true, "dry_run": true, "domain": ${quote(domain)}, "version": ${store.getDomainVersion(domain)}, "pending_changes": ${changes.size}}""")
       else {
@@ -178,9 +180,12 @@ object Cli {
       }
       return Success
     }
-    val outcome = store.applySources(domain, expanded, currentUser(),
+    // persist the RAW yaml, placeholders intact (reference apply.rs:153,
+    // 165): expanded secrets must never land on disk in the metadata
+    // store, and the audit hash must not change just because env changed
+    val outcome = store.applySources(domain, raw, currentUser(),
       force = flags.contains("force"),
-      expectedVersion = flags.get("expected-version").map(_.toInt))
+      expectedVersion = flags.get("expected-version").map(intFlag("expected-version", _)))
     if (json)
       out.println(s"""{"ok": true, "domain": ${quote(outcome.domain)}, "version": ${outcome.version}, "added": [${outcome.sourcesAdded.map(quote).mkString(", ")}], "deleted": [${outcome.sourcesDeleted.map(quote).mkString(", ")}]}""")
     else out.println(s"Applied '$file' to domain '${outcome.domain}' " +
@@ -305,7 +310,7 @@ object Cli {
   private def cmdRollback(store: MetadataStore, domain: String,
       flags: Map[String, String], json: Boolean,
       out: java.io.PrintStream): Int = {
-    val toVersion = flags.get("to-version").map(_.toInt).getOrElse(
+    val toVersion = flags.get("to-version").map(intFlag("to-version", _)).getOrElse(
       throw new ConfigException("rollback requires --to-version <n>"))
     // rollback = re-apply the old config as a NEW version (domain.rs:39-:
     // history stays append-only; the audit trail records the revert)
@@ -327,10 +332,13 @@ object Cli {
 
   /** Local config vs the domain's stored config (diff.rs:77-230):
     * added/deleted sources, per-source type/url changes, added/deleted
-    * tables, per-table column changes. */
-  def diffAgainstStore(store: MetadataStore, file: String): Seq[DiffChange] = {
-    val local = loadConfig(file)
-    val domain = domainOf(local, Map.empty)
+    * tables, per-table column changes. Both sides diff RAW (placeholders
+    * intact) — the store persists raw YAML, and expanding only the local
+    * side would report phantom url changes whenever env vars are set. */
+  def diffAgainstStore(store: MetadataStore, file: String,
+      flags: Map[String, String] = Map.empty): Seq[DiffChange] = {
+    val local = parseConfig(readFile(file), file)
+    val domain = domainOf(local, flags)
     val storedYaml = store.getSources(domain)
     val stored =
       if (storedYaml.isEmpty) SourcesConfig(Nil)
@@ -432,11 +440,13 @@ object Cli {
     val fromDir = s.url.map(Paths.get(_)).filter(Files.isDirectory(_)) match {
       case Some(dir) =>
         val exts = Set(".parquet", ".csv", ".json")
-        Files.list(dir).iterator().asScala
+        val stream = Files.list(dir)
+        try stream.iterator().asScala
           .map(_.getFileName.toString)
           .filter(n => exts.exists(n.endsWith))
           .map(n => n.substring(0, n.lastIndexOf('.')))
           .toSeq
+        finally stream.close()
       case None => Nil
     }
     (declared ++ fromDir).distinct.sorted
@@ -445,10 +455,18 @@ object Cli {
   private def appendTableYaml(raw: String, source: String,
       table: String): String = {
     val lines = raw.linesIterator.toVector
-    val idx = lines.indexWhere(_.matches(s"""\\s*-\\s*name:\\s*"?$source"?\\s*"""))
+    val nameRe = s"""\\s*-\\s*name:\\s*"?${Regex.quote(source)}"?\\s*""".r
+    // source entries are the SHALLOWEST `- name:` items: matching by name
+    // alone could hit a same-named TABLE nested under an earlier source
+    val entryIndents = lines.collect {
+      case l if l.trim.startsWith("- name:") => l.indexOf('-')
+    }
+    require(entryIndents.nonEmpty, "no sources in YAML text")
+    val topIndent = entryIndents.min
+    val idx = lines.indexWhere(l =>
+      nameRe.matches(l) && l.indexOf('-') == topIndent)
     require(idx >= 0, s"source '$source' not found in YAML text")
-    // find this source's `tables:` line before the next source entry
-    val srcIndent = lines(idx).indexOf('-')
+    val srcIndent = topIndent
     val end = lines.indexWhere(
       l => l.trim.startsWith("- name:") && l.indexOf('-') == srcIndent,
       idx + 1) match { case -1 => lines.size; case e => e }
@@ -572,9 +590,29 @@ object Cli {
         |""".stripMargin
   }
 
-  private def quote(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n") + "\""
+  /** A numeric flag value; anything else is a usage error (exit 2), not
+    * a general failure with a raw NumberFormatException message. */
+  private def intFlag(name: String, v: String): Int =
+    try v.toInt catch {
+      case _: NumberFormatException =>
+        throw new UsageException(s"--$name requires an integer, got '$v'")
+    }
+
+  final class UsageException(msg: String) extends RuntimeException(msg)
+
+  private def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
 
   private val usage: String =
     """usage: graft-cli <command> [args] [--format json] [--metadata dir]

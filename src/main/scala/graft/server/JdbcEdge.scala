@@ -21,8 +21,33 @@ import org.apache.spark.sql.SparkSession
   */
 object JdbcEdge {
 
-  /** Start on an OS-assigned free port; returns (port, closeable). */
-  def start(spark: SparkSession): (Int, AutoCloseable) = {
+  /** License enforcement for wire-protocol queries: the Thrift server
+    * executes SQL directly on the session, bypassing the REST edge's
+    * admission check — this optimizer-stage gate closes that hole
+    * (reference gates its Flight SQL edge the same way,
+    * flight_sql.rs:131-137). Valid/Degraded pass (a plan rule has no
+    * warning channel; Degraded is the REST edge's concern). */
+  private final class LicenseEnforcementRule(license: LicenseGate.LicenseCache)
+      extends org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+      if (license.currentState == LicenseGate.Invalid)
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            "License invalid or expired. Please contact support."))
+      plan
+    }
+  }
+
+  /** Start on an OS-assigned free port; returns (port, closeable).
+    * Blocks until the server accepts connections (the bind is
+    * asynchronous; the probed free port can also be lost to another
+    * process between probe and bind — TOCTOU — in which case this fails
+    * loudly within the timeout instead of handing out a dead port). */
+  def start(spark: SparkSession,
+      license: LicenseGate.LicenseCache = LicenseGate.alwaysValid,
+      bindTimeoutMillis: Long = 30000): (Int, AutoCloseable) = {
     val port = {
       val s = new java.net.ServerSocket(0)
       try s.getLocalPort finally s.close()
@@ -31,8 +56,25 @@ object JdbcEdge {
     spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)
     spark.sqlContext.setConf("hive.server2.thrift.bind.host", "localhost")
     spark.sqlContext.setConf("hive.server2.authentication", "NOSASL")
+    if (license ne LicenseGate.alwaysValid)
+      spark.experimental.extraOptimizations ++=
+        Seq(new LicenseEnforcementRule(license))
     val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
       .startWithContext(spark.sqlContext)
+    val deadline = System.currentTimeMillis() + bindTimeoutMillis
+    var up = false
+    while (!up && System.currentTimeMillis() < deadline) {
+      try {
+        val s = new java.net.Socket("localhost", port)
+        s.close(); up = true
+      } catch { case _: java.io.IOException => Thread.sleep(200) }
+    }
+    if (!up) {
+      server.stop()
+      throw new IllegalStateException(
+        s"thrift server did not accept connections on port $port " +
+          s"within ${bindTimeoutMillis}ms")
+    }
     (port, () => server.stop())
   }
 }

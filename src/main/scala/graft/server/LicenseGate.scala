@@ -61,8 +61,10 @@ object LicenseGate {
         catch { case _: InterruptedException => () }
         if (running) {
           try {
-            val next = validator.validate()
-            if (next != cache.currentState) cache.updateState(next)
+            // update on EVERY success (not only transitions): lastCheck
+            // is the staleness signal, and a monitor that keeps
+            // succeeding with the same state is not stale
+            cache.updateState(validator.validate())
           } catch { case NonFatal(_) => () } // keep using cached state
         }
       }

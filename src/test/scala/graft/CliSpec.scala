@@ -181,5 +181,71 @@ class CliSpec extends AnyFunSuite {
     assert(run()._1 == Cli.UsageError)
     assert(run("frobnicate")._1 == Cli.UsageError)
     assert(run("domain", "bogus")._1 == Cli.UsageError)
+    // non-numeric version flags are usage errors, not raw exceptions
+    val dir = tempDir()
+    val f = writeConfig(dir)
+    val (c, _, err) = run("apply", f.toString, "--expected-version", "next")
+    assert(c == Cli.UsageError && err.contains("integer"), err)
+  }
+
+  test("apply stores the RAW yaml — expanded secrets never reach the store") {
+    val dir = tempDir()
+    val f = dir.resolve("sources.yaml")
+    val lineitem = "/root/testdata/sf0.001/lineitem.parquet"
+    Files.writeString(f,
+      s"""|domain: secretdom
+          |sources:
+          |  - name: files
+          |    type: parquet
+          |    options:
+          |      token: $${CLI_SECRET_TOKEN}
+          |    tables:
+          |      - name: lineitem
+          |        path: $lineitem
+          |""".stripMargin)
+    assert(run("apply", f.toString)._1 == 0)
+    val store = new graft.cli.DerbyMetadataStore(
+      dir.resolve(".graft-metadata").toString)
+    try {
+      store.init()
+      val stored = store.getSources("secretdom")
+      assert(stored.contains("${CLI_SECRET_TOKEN}"), stored)
+      // history hash is env-independent: it hashes the raw file bytes
+      val hash = store.getHistory("secretdom", 1).head.configHash
+      val fileHash = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(Files.readString(f).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(hash == fileHash)
+    } finally store.close()
+    // a clean diff right after apply, regardless of env expansion
+    val (d, od, _) = run("diff", f.toString, "--format", "json")
+    assert(d == 0 && od.contains("\"changes\": []"), od)
+  }
+
+  test("add targets the top-level source even when a table shares its name") {
+    val dir = tempDir()
+    val f = dir.resolve("sources.yaml")
+    val lineitem = "/root/testdata/sf0.001/lineitem.parquet"
+    // source 'alpha' declares a TABLE named 'beta'; source 'beta' follows
+    Files.writeString(f,
+      s"""|sources:
+          |  - name: alpha
+          |    type: parquet
+          |    tables:
+          |      - name: beta
+          |        path: $lineitem
+          |  - name: beta
+          |    type: parquet
+          |    url: /root/testdata/sf0.001
+          |    tables:
+          |      - name: lineitem
+          |        path: $lineitem
+          |""".stripMargin)
+    assert(run("add", "beta", "nation", f.toString)._1 == 0)
+    val cfg = graft.sources.SourcesConfig.fromYamlString(Files.readString(f))
+    // the table landed under SOURCE beta, and alpha is untouched
+    assert(cfg.sources.find(_.name == "beta").get.tables.exists(_.name == "nation"))
+    assert(cfg.sources.find(_.name == "alpha").get.tables.map(_.name) == Seq("beta"))
+    assert(run("validate", f.toString, "--offline")._1 == 0)
   }
 }

@@ -12,24 +12,21 @@ class JdbcEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var port: Int = _
   private var handle: AutoCloseable = _
+  private val license = new graft.server.LicenseGate.LicenseCache
 
   override def beforeAll(): Unit = {
     Tables(spark, sf).registerAll()
-    val (p, h) = graft.server.JdbcEdge.start(spark)
+    // start() blocks until the socket accepts connections
+    val (p, h) = graft.server.JdbcEdge.start(spark, license)
     port = p; handle = h
-    // the server binds asynchronously: wait for the socket
-    val deadline = System.currentTimeMillis() + 30000
-    var up = false
-    while (!up && System.currentTimeMillis() < deadline) {
-      try {
-        val s = new java.net.Socket("localhost", port)
-        s.close(); up = true
-      } catch { case _: Exception => Thread.sleep(200) }
-    }
-    assert(up, "thrift server did not bind")
   }
 
-  override def afterAll(): Unit = if (handle != null) handle.close()
+  override def afterAll(): Unit = {
+    // the enforcement rule stays attached to the shared session: leave
+    // it in the passing state for every later suite in this JVM
+    license.updateState(graft.server.LicenseGate.Valid)
+    if (handle != null) handle.close()
+  }
 
   private def connect() = {
     Class.forName("org.apache.hive.jdbc.HiveDriver")
@@ -75,6 +72,29 @@ class JdbcEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
         .takeWhile(_.next()).map(_.getString("TABLE_NAME")).toSet
       assert(names.contains("nation") && names.contains("lineitem"), names)
     } finally conn.close()
+  }
+
+  test("an invalid license refuses wire-protocol queries too") {
+    import graft.server.LicenseGate
+    license.updateState(LicenseGate.Invalid)
+    try {
+      // refusal can fire at session open (setup statements also run
+      // through the optimizer) or at the query — either way it's a
+      // licensing SQLException, never silent execution
+      val e = intercept[java.sql.SQLException] {
+        val conn = connect()
+        try conn.createStatement().executeQuery("SELECT count(*) FROM nation")
+        finally conn.close()
+      }
+      assert(e.getMessage.contains("License invalid"), e.getMessage)
+    } finally license.updateState(LicenseGate.Valid)
+    // recovered: the same edge serves again
+    val conn2 = connect()
+    try {
+      val rs = conn2.createStatement()
+        .executeQuery("SELECT count(*) FROM nation")
+      assert(rs.next() && rs.getLong(1) > 0)
+    } finally conn2.close()
   }
 
   test("wire sessions see the engine session's catalog (singleSession)") {
