@@ -38,10 +38,38 @@ import java.util.concurrent.TimeUnit
 object ScriptSandbox {
 
   final case class Result(stdout: String, stderr: String, durationMs: Long,
-      timedOut: Boolean) {
+      timedOut: Boolean,
+      attestation: Option[SandboxAttestation] = None) {
     /** Reference `SandboxResult.to_str`: stderr wins if present. */
     def toStr: String =
       if (stderr.nonEmpty) stderr else if (stdout.isEmpty) "(No output)" else stdout
+  }
+
+  /** Policy DSL — the portable subset of the reference's `SandboxPolicy`
+    * (/root/reference/python/strake/policy.py:76-110). The JVM has no
+    * seccomp/Landlock/Seatbelt bindings, so `strict = true` (which the
+    * reference defines as "fail initialization if OS-level isolation
+    * primitives are unavailable") honestly REFUSES to run here rather
+    * than silently degrading. */
+  final case class SandboxPolicy(
+      memoryLimitMb: Int = 512,
+      cpuSeconds: Int = 30,
+      strict: Boolean = false,
+      workspaceRoot: Option[String] = None,
+      extraImports: Set[String] = Set.empty)
+
+  /** Audit record of the constraints actually applied — the reference's
+    * `SandboxAttestation` (policy.py:41-73): a plain SHA-256 over the
+    * constraint list, explicitly NOT cryptographic attestation. */
+  final case class SandboxAttestation(
+      sandboxId: String,
+      constraintsApplied: Seq[String],
+      timestampMillis: Long) {
+    def digest: String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest((sandboxId + constraintsApplied.mkString(",") + timestampMillis)
+          .getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
   }
 
   val MaxOutputBytes: Int = 10 * 1024 * 1024
@@ -70,14 +98,15 @@ object ScriptSandbox {
     * over-strict (an "import" inside a string rejects too): false
     * positives are acceptable for a sandbox gate, false negatives are
     * not. */
-  def validate(script: String): Option[String] = {
+  def validate(script: String,
+      allowedImports: Set[String] = AllowedImports): Option[String] = {
     if (script.getBytes(StandardCharsets.UTF_8).length > MaxCodeBytes)
       return Some("Security Error: Code size exceeds limit.")
     if (script.contains("__import__"))
       return Some("Security Error: Import of '__import__' is not permitted in the sandbox.")
     FromImport.findAllMatchIn(script).foreach { m =>
       val root = m.group(1).split("\\.")(0)
-      if (!AllowedImports.contains(root))
+      if (!allowedImports.contains(root))
         return Some(s"Security Error: Import of '$root' is not permitted in the sandbox.")
     }
     // strip from-imports so their `import` keyword isn't re-scanned as a
@@ -86,7 +115,7 @@ object ScriptSandbox {
     PlainImport.findAllMatchIn(stripped).foreach { m =>
       m.group(1).split(",").foreach { item =>
         val root = item.trim.split("\\s+")(0).split("\\.")(0)
-        if (root.nonEmpty && !AllowedImports.contains(root))
+        if (root.nonEmpty && !allowedImports.contains(root))
           return Some(s"Security Error: Import of '$root' is not permitted in the sandbox.")
       }
     }
@@ -115,13 +144,45 @@ object ScriptSandbox {
       |graft = _Graft()
       |""".stripMargin
 
+  /** Policy-driven entry (the `run_python(script, policy)` surface):
+    * maps the portable policy fields onto the mechanisms below and
+    * returns an attestation of what was actually applied. */
+  def runWithPolicy(script: String, policy: SandboxPolicy,
+      context: Map[String, String] = Map.empty): Result = {
+    if (policy.strict)
+      return Result("", "Security Error: strict policy requires OS-level " +
+        "isolation primitives (seccomp/Landlock/Seatbelt), which are not " +
+        "available to this runtime — refusing to run degraded.",
+        0L, timedOut = false)
+    val allowed = AllowedImports ++ policy.extraImports
+    val res = run(script,
+      timeoutSecs = policy.cpuSeconds.toDouble,
+      memoryLimitBytes = policy.memoryLimitMb.toLong * 1024 * 1024,
+      context = context,
+      workspaceRoot = policy.workspaceRoot,
+      allowedImports = allowed)
+    val constraints = Seq(
+      s"rlimit-as:${policy.memoryLimitMb}mb",
+      s"rlimit-cpu:${policy.cpuSeconds}s",
+      "process-group-kill", "scrubbed-env",
+      s"import-allowlist:${allowed.size}",
+      s"output-cap:$MaxOutputBytes") ++
+      policy.workspaceRoot.map(w => s"workspace-cwd:$w")
+    res.copy(attestation = Some(SandboxAttestation(
+      java.util.UUID.randomUUID().toString, constraints,
+      System.currentTimeMillis())))
+  }
+
   def run(script: String,
       timeoutSecs: Double = sys.env.get("SANDBOX_TIMEOUT_SECS")
         .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(30.0),
       memoryLimitBytes: Long = sys.env.get("SANDBOX_MEMORY_LIMIT")
         .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(512L * 1024 * 1024),
-      context: Map[String, String] = Map.empty): Result = {
-    validate(script).foreach(msg => return Result("", msg, 0L, timedOut = false))
+      context: Map[String, String] = Map.empty,
+      workspaceRoot: Option[String] = None,
+      allowedImports: Set[String] = AllowedImports): Result = {
+    validate(script, allowedImports)
+      .foreach(msg => return Result("", msg, 0L, timedOut = false))
 
     val start = System.nanoTime()
     var file: Path = null
@@ -134,8 +195,18 @@ object ScriptSandbox {
       // takes helpers with it; ulimits bound address space + CPU seconds.
       val pb = new ProcessBuilder("setsid", "bash", "-c",
         s"ulimit -v $memKb; ulimit -t $cpuSecs; exec python3 ${file.toAbsolutePath}")
+      // the policy's single writable directory becomes the child's cwd
+      // and TMPDIR (write confinement beyond that needs Landlock — see
+      // runWithPolicy's strict refusal)
+      workspaceRoot.foreach { w =>
+        val dir = java.nio.file.Paths.get(w)
+        Files.createDirectories(dir)
+        pb.directory(dir.toFile)
+      }
       pb.environment().clear()
-      scrubbedEnv(context).foreach { case (k, v) => pb.environment().put(k, v) }
+      val env = scrubbedEnv(context) ++
+        workspaceRoot.map(w => "TMPDIR" -> w).toMap
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
       val proc = pb.start()
       proc.getOutputStream.close()
       val outBuf = new java.io.ByteArrayOutputStream()

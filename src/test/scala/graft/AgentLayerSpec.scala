@@ -198,4 +198,47 @@ class AgentLayerSpec extends AnyFunSuite {
     assert(r.stderr.contains("ValueError"), r.toString)
     assert(!r.timedOut)
   }
+
+  test("sandbox policy: attestation records applied constraints") {
+    val policy = ScriptSandbox.SandboxPolicy(memoryLimitMb = 256, cpuSeconds = 10)
+    val r = ScriptSandbox.runWithPolicy("print('ok')\n", policy)
+    assert(r.stdout.contains("ok"), r.toString)
+    val att = r.attestation.get
+    assert(att.constraintsApplied.exists(_.startsWith("rlimit-as:256mb")), att)
+    assert(att.constraintsApplied.exists(_.startsWith("rlimit-cpu:10s")), att)
+    assert(att.constraintsApplied.contains("scrubbed-env"), att)
+    assert(att.digest.length == 64)
+  }
+
+  test("sandbox policy: strict mode refuses rather than degrading") {
+    // the reference's strict contract: fail initialization when OS-level
+    // isolation primitives are unavailable (policy.py strict param) —
+    // this runtime has no seccomp/Landlock bindings, so strict refuses
+    val r = ScriptSandbox.runWithPolicy("print('never')\n",
+      ScriptSandbox.SandboxPolicy(strict = true))
+    assert(r.stderr.contains("strict policy"), r.toString)
+    assert(r.stdout.isEmpty)
+  }
+
+  test("sandbox policy: workspace root becomes the child's cwd and TMPDIR") {
+    val ws = java.nio.file.Files.createTempDirectory("graft-ws").toString
+    val r = ScriptSandbox.runWithPolicy(
+      "import os\nprint(os.getcwd())\nprint(os.environ['TMPDIR'])\n" +
+        "open('probe.txt', 'w').write('x')\n",
+      ScriptSandbox.SandboxPolicy(workspaceRoot = Some(ws),
+        extraImports = Set("os")))
+    assert(r.stdout.contains(ws), r.toString)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ws, "probe.txt")))
+    assert(r.attestation.get.constraintsApplied.exists(_.startsWith("workspace-cwd:")), r)
+  }
+
+  test("sandbox policy: extra imports extend the allowlist for that run only") {
+    val denied = ScriptSandbox.runWithPolicy("import hashlib\nprint('no')\n",
+      ScriptSandbox.SandboxPolicy())
+    assert(denied.stderr.contains("not permitted"), denied.toString)
+    val allowed = ScriptSandbox.runWithPolicy(
+      "import hashlib\nprint(hashlib.sha256(b'x').hexdigest()[:8])\n",
+      ScriptSandbox.SandboxPolicy(extraImports = Set("hashlib")))
+    assert(allowed.stderr.isEmpty && allowed.stdout.trim.length == 8, allowed.toString)
+  }
 }
