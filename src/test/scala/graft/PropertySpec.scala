@@ -102,6 +102,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("phash63 matches a model implementation on random payloads") {
+    val ph = graft.functions.PHash63(null)
+    val payloads = samples(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(_.toArray), 300)
+    payloads.foreach { b =>
+      val got = ph.compute(b)
+      // independent model: sample, mean test, bit pack
+      val want =
+        if (b.isEmpty) 0L
+        else {
+          val s = (0 until 63).map(i => b((i.toLong * b.length / 63).toInt) & 0xff)
+          val sum = s.map(_.toLong).sum
+          (0 until 63).map(i => if (s(i) * 63L > sum) 1L << i else 0L).sum
+        }
+      assert(got == want, s"payload len ${b.length}")
+      assert(got >= 0L, "63-bit hash must stay non-negative")
+    }
+  }
+
+  test("secret expansion: no placeholders → identity; unknown vars survive") {
+    val texts = samples(asciiText, 100)
+    texts.foreach { t =>
+      val clean = t.replace("$", "")
+      assert(graft.cli.Cli.expandSecrets(clean, _ => None) == clean)
+    }
+    assert(graft.cli.Cli.expandSecrets("a ${X} b ${Y}",
+      Map("X" -> "1").get) == "a 1 b ${Y}")
+  }
+
   test("sanitizer accepts exactly the safe identifiers") {
     val safe = Gen.nonEmptyListOf(Gen.frequency(
       (10, Gen.alphaNumChar), (1, Gen.const('_')), (1, Gen.const('.'))))
