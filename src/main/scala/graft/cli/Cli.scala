@@ -434,22 +434,48 @@ object Cli {
     }
 
   /** Table discovery per source (discovery.rs `search`): declared tables
-    * plus, for file sources with a directory url, sibling data files. */
+    * plus what the upstream itself reports — directory data files for
+    * file sources, the JDBC catalog (DatabaseMetaData) for databases. */
   private def discoverTables(s: graft.sources.SourceDef): Seq[String] = {
     val declared = s.tables.map(_.name)
-    val fromDir = s.url.map(Paths.get(_)).filter(Files.isDirectory(_)) match {
-      case Some(dir) =>
-        val exts = Set(".parquet", ".csv", ".json")
-        val stream = Files.list(dir)
-        try stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(n => exts.exists(n.endsWith))
-          .map(n => n.substring(0, n.lastIndexOf('.')))
-          .toSeq
-        finally stream.close()
-      case None => Nil
+    val upstream = s.sourceType.toLowerCase match {
+      case "jdbc" | "derby" =>
+        s.url.toSeq.flatMap { u =>
+          val conn =
+            try { DriverManagerShim.connect(u) }
+            catch { case NonFatal(e) =>
+              throw new ConnectException(
+                s"source '${s.name}' unreachable: ${e.getMessage}") }
+          try {
+            val rs = conn.getMetaData.getTables(null, null, "%",
+              Array("TABLE", "VIEW"))
+            try {
+              val out = Seq.newBuilder[String]
+              while (rs.next()) {
+                val schema = rs.getString("TABLE_SCHEM")
+                // system catalogs describe the engine, not the data
+                if (schema == null || !schema.toUpperCase.startsWith("SYS"))
+                  out += rs.getString("TABLE_NAME").toLowerCase
+              }
+              out.result()
+            } finally rs.close()
+          } finally conn.close()
+        }
+      case _ =>
+        s.url.map(Paths.get(_)).filter(Files.isDirectory(_)) match {
+          case Some(dir) =>
+            val exts = Set(".parquet", ".csv", ".json")
+            val stream = Files.list(dir)
+            try stream.iterator().asScala
+              .map(_.getFileName.toString)
+              .filter(n => exts.exists(n.endsWith))
+              .map(n => n.substring(0, n.lastIndexOf('.')))
+              .toSeq
+            finally stream.close()
+          case None => Nil
+        }
     }
-    (declared ++ fromDir).distinct.sorted
+    (declared ++ upstream).distinct.sorted
   }
 
   private def appendTableYaml(raw: String, source: String,
@@ -627,12 +653,12 @@ object Cli {
       |  domain list | domain history [name] | domain rollback [name] --to-version n""".stripMargin
 
   private object DriverManagerShim {
-    def probe(url: String): Unit = {
+    def connect(url: String): java.sql.Connection = {
       if (url.startsWith("jdbc:derby:"))
         Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
-      val c = java.sql.DriverManager.getConnection(url)
-      c.close()
+      java.sql.DriverManager.getConnection(url)
     }
+    def probe(url: String): Unit = connect(url).close()
   }
 
   private implicit class IterShim[A](it: java.util.Iterator[A]) {

@@ -177,6 +177,36 @@ class CliSpec extends AnyFunSuite {
     assert(run("add", "files", "no_such", f.toString)._1 == Cli.ValidationError)
   }
 
+  test("search discovers tables from a live JDBC catalog") {
+    // an embedded Derby database with two user tables
+    val dir = tempDir()
+    val dbUrl = s"jdbc:derby:${dir.resolve("discodb")};create=true"
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(dbUrl)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE shipments (id INT)")
+      st.executeUpdate("CREATE TABLE depots (id INT)")
+      st.close()
+    } finally conn.close()
+    val f = dir.resolve("sources.yaml")
+    Files.writeString(f,
+      s"""|sources:
+          |  - name: warehouse
+          |    type: derby
+          |    url: jdbc:derby:${dir.resolve("discodb")}
+          |""".stripMargin)
+    val (code, out, _) = run("search", "warehouse", f.toString, "--format", "json")
+    assert(code == 0 && out.contains("\"shipments\"") && out.contains("\"depots\""), out)
+    // system catalogs are excluded
+    assert(!out.contains("systables"), out)
+    // unreachable database is a connection error, not a stack trace
+    Files.writeString(f, Files.readString(f)
+      .replace("discodb", "no_such_db_anywhere"))
+    val (bad, _, err) = run("search", "warehouse", f.toString)
+    assert(bad == Cli.ConnectionError, err)
+  }
+
   test("usage errors exit 2") {
     assert(run()._1 == Cli.UsageError)
     assert(run("frobnicate")._1 == Cli.UsageError)
