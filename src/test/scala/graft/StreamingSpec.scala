@@ -168,4 +168,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.filter(col("nEvents") <= 0).count() == 0)
     } finally q.stop()
   }
+
+  test("streaming document curation matches the batch pipeline") {
+    import graft.streaming.DocumentStream
+    val docs = DocumentStream.readDocuments(spark, sf)
+    val q = DocumentStream.cleaned(docs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("docs_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt3").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("docs_out")
+        .select(col("content_hash"), col("lang"), col("n_tokens"))
+        .collect().map(_.toSeq).toSet
+      val batch = Tables(spark, sf).documents
+        .filter(col("n_chars") >= 100)
+        .withColumn("content_hash", sha2(col("text"), 256))
+        .dropDuplicates("content_hash")
+        .select(col("content_hash"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch, "stream and batch curation diverge")
+    } finally q.stop()
+  }
 }
