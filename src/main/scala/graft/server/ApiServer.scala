@@ -35,7 +35,8 @@ final class ApiServer(
       graft.security.PromptInjectionGuard.Disabled,
     maxConcurrentRequests: Int = 0,
     queueTimeoutMillis: Long = 30000,
-    license: LicenseGate.LicenseCache = LicenseGate.alwaysValid) {
+    license: LicenseGate.LicenseCache = LicenseGate.alwaysValid,
+    sandboxPolicy: ScriptSandbox.SandboxPolicy = ScriptSandbox.SandboxPolicy()) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -373,8 +374,12 @@ final class ApiServer(
       .getOrElse("").stripPrefix("Bearer ").trim
     val timeout = Option(body.get("timeout_secs")).map(_.asDouble())
       .filter(t => t > 0 && t <= 300)
-    val result = ScriptSandbox.run(script,
-      timeoutSecs = timeout.getOrElse(30.0),
+    // the SERVER's policy governs; the request may only tighten the
+    // timeout within it (a caller must never widen its own sandbox)
+    val policy = sandboxPolicy.copy(cpuSeconds =
+      math.min(timeout.getOrElse(sandboxPolicy.cpuSeconds.toDouble),
+        sandboxPolicy.cpuSeconds.toDouble).toInt.max(1))
+    val result = ScriptSandbox.runWithPolicy(script, policy,
       context = Map(
         "GRAFT_URL" -> s"http://localhost:${server.getAddress.getPort}",
         "GRAFT_TOKEN" -> token))
@@ -383,6 +388,13 @@ final class ApiServer(
     o.put("stderr", result.stderr)
     o.put("timed_out", result.timedOut)
     o.put("duration_ms", result.durationMs)
+    result.attestation.foreach { a =>
+      val att = o.putObject("attestation")
+      att.put("sandbox_id", a.sandboxId)
+      att.put("digest", a.digest)
+      val cs = att.putArray("constraints")
+      a.constraintsApplied.foreach(cs.add)
+    }
     respond(ex, 200, o)
   }
 

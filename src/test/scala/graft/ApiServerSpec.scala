@@ -186,6 +186,12 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.get("stderr").asText == "", j.toString)
     assert(j.get("stdout").asText.trim == "25", j.toString)
     assert(!j.get("timed_out").asBoolean)
+    // the response attests which sandbox constraints were applied
+    val att = j.get("attestation")
+    assert(att != null && att.get("digest").asText.length == 64, j.toString)
+    val cs = (0 until att.get("constraints").size())
+      .map(att.get("constraints").get(_).asText)
+    assert(cs.contains("scrubbed-env") && cs.exists(_.startsWith("rlimit-as:")), cs)
   }
 
   test("run_python: callback queries carry the caller's own policy") {
