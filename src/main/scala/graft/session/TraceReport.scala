@@ -12,13 +12,41 @@ object TraceReport {
 
   final case class Trace(
       report: String, durationMillis: Long, rowCount: Long,
-      pushedFilters: Seq[String], scannedColumns: Seq[String])
+      pushedFilters: Seq[String], scannedColumns: Seq[String],
+      nodeMetrics: Seq[NodeMetrics] = Nil)
+
+  /** Post-execution per-operator metrics — the EXPLAIN ANALYZE half of
+    * the reference report (trace.rs renders DataFusion's analyzed plan
+    * with per-node row counts). */
+  final case class NodeMetrics(node: String, metrics: Map[String, Long])
+
+  /** Walk the EXECUTED plan (through AQE's final plan and reused
+    * subtrees) and pull each node's populated SQLMetric values. */
+  private def collectMetrics(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[NodeMetrics] = {
+    val resolved = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    resolved.collect { case node =>
+      val vals = node.metrics.collect {
+        case (name, m) if m.value > 0 => name -> m.value
+      }.toMap
+      NodeMetrics(node.nodeName, vals)
+    }.filter(_.metrics.nonEmpty)
+  }
 
   /** Execute the frame (count + sample) and render the report. */
   def run(df: DataFrame, sampleRows: Int = 10): Trace = {
     val t0 = System.nanoTime()
-    val rows = df.count()
+    // run the frame's OWN physical plan (df.count() would execute a
+    // different, aggregated plan whose metrics don't describe this one);
+    // the RDD count is a distributed action — nothing materializes on
+    // the driver beyond per-partition counts
+    val rows = df.queryExecution.executedPlan.execute().count()
     val durationMillis = (System.nanoTime() - t0) / 1000000
+    val nodeMetrics = collectMetrics(df.queryExecution.executedPlan)
     val sample = df.limit(sampleRows)
     val sampleText = sample.showString(sampleRows)
     val planText = df.queryExecution.explainString(
@@ -38,8 +66,16 @@ object TraceReport {
     sb.append(s"pushed_filters: ${if (pushed.isEmpty) "(none)" else pushed.mkString("; ")}\n")
     sb.append(s"scanned_columns: ${if (readSchemas.isEmpty) "(n/a)" else readSchemas.mkString(", ")}\n")
     sb.append("\n--- first rows ---\n").append(sampleText)
+    if (nodeMetrics.nonEmpty) {
+      sb.append("\n--- runtime metrics (analyze) ---\n")
+      nodeMetrics.foreach { nm =>
+        val ms = nm.metrics.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(", ")
+        sb.append(s"${nm.node}: $ms\n")
+      }
+    }
     sb.append("\n--- physical plan ---\n").append(planText)
-    Trace(sb.toString, durationMillis, rows, pushed, readSchemas)
+    Trace(sb.toString, durationMillis, rows, pushed, readSchemas, nodeMetrics)
   }
 
   /** Spark 4 keeps Dataset.showString private; rebuild a small sample

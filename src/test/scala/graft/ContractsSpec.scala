@@ -101,5 +101,13 @@ class ContractsSpec extends AnyFunSuite {
     assert(t.pushedFilters.exists(_.contains("l_quantity")),
       s"no pushdown recorded: ${t.pushedFilters}")
     assert(t.scannedColumns.contains("l_orderkey"))
+    // runtime metrics (the EXPLAIN ANALYZE half): the scan reports the
+    // rows it actually produced, and the count matches the plan output
+    assert(t.nodeMetrics.nonEmpty, "no runtime metrics collected")
+    val outputRows = t.nodeMetrics
+      .flatMap(_.metrics.get("numOutputRows"))
+    assert(outputRows.exists(_ == t.rowCount),
+      s"no node reports the result row count: ${t.nodeMetrics}")
+    assert(t.report.contains("runtime metrics"), t.report)
   }
 }
