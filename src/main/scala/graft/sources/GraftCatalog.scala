@@ -49,17 +49,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   // -------------------------------------------------------- namespaces
   override def listNamespaces(): Array[Array[String]] =
-    fileSources.map(s => Array(s.name)).toArray
+    fileSources.map(s => Array(s.name)).toArray :+
+      Array(InformationSchema.Namespace)
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && fileSources.exists(_.name == namespace(0))
+    namespace.length == 1 && (namespace(0) == InformationSchema.Namespace ||
+      fileSources.exists(_.name == namespace(0)))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    if (namespace(0) == InformationSchema.Namespace)
+      return Map("type" -> "system").asJava
     val src = fileSources.find(_.name == namespace(0)).get
     Map("type" -> src.sourceType).asJava
   }
@@ -76,13 +80,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("graft catalog is read-only")
 
   // ------------------------------------------------------------ tables
-  override def listTables(namespace: Array[String]): Array[Identifier] =
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val infoSchema =
+      if (namespace.isEmpty || namespace(0) == InformationSchema.Namespace)
+        Array("tables", "columns").map(
+          Identifier.of(Array(InformationSchema.Namespace), _))
+      else Array.empty[Identifier]
     fileSources.filter(s => namespace.isEmpty || s.name == namespace(0))
       .flatMap(s => s.tables.map(t => Identifier.of(Array(s.name), t.name)))
-      .toArray
+      .toArray ++ infoSchema
+  }
 
   override def loadTable(ident: Identifier): Table =
-    loadVersioned(ident, None)
+    if (ident.namespace.sameElements(Array(InformationSchema.Namespace)))
+      loadInformationSchema(ident)
+    else loadVersioned(ident, None)
+
+  /** `information_schema.{tables,columns}` — catalog introspection as
+    * plain SQL (the reference's with_information_schema(true)). Column
+    * rows use the DECLARED schema when present and fall back to the
+    * file-inferred one (a metadata read, not a data scan). */
+  private def loadInformationSchema(ident: Identifier): Table = {
+    def columnsOf(src: SourceDef, tbl: TableDef)
+        : Seq[org.apache.spark.sql.types.StructField] =
+      tbl.declaredSchema.map(_.fields.toSeq).getOrElse {
+        try loadVersioned(Identifier.of(Array(src.name), tbl.name), None)
+          .schema().fields.toSeq
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+    ident.name match {
+      case "tables" => new InformationSchema.RowsTable(
+        "information_schema.tables", InformationSchema.tablesSchema,
+        () => fileSources.flatMap(s => s.tables.map(t =>
+          Seq(catalogName, s.name, t.name, "BASE TABLE"))))
+      case "columns" => new InformationSchema.RowsTable(
+        "information_schema.columns", InformationSchema.columnsSchema,
+        () => fileSources.flatMap(s => s.tables.flatMap(t =>
+          columnsOf(s, t).zipWithIndex.map { case (f, i) =>
+            Seq(catalogName, s.name, t.name, f.name, i + 1,
+              f.dataType.sql, if (f.nullable) "YES" else "NO")
+          })))
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    }
+  }
 
   /** Time travel by snapshot id / tag / branch —
     * `SELECT ... VERSION AS OF <v>`. Mirrors the reference's

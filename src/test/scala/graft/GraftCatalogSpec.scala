@@ -43,10 +43,30 @@ class GraftCatalogSpec extends AnyFunSuite {
   test("SHOW NAMESPACES / SHOW TABLES surface the config") {
     configPath
     val ns = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0))
-    assert(ns.toSet == Set("warehouse", "docs"))
+    assert(ns.toSet == Set("warehouse", "docs", "information_schema"))
     val tables = spark.sql("SHOW TABLES IN graft.warehouse")
       .collect().map(_.getString(1))
     assert(tables.toSet == Set("lineitem", "orders"))
+  }
+
+  test("information_schema is queryable with plain SQL") {
+    configPath
+    val tables = spark.sql(
+      "SELECT table_schema, table_name FROM graft.information_schema.tables " +
+        "ORDER BY table_schema, table_name")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(tables.contains(("warehouse", "lineitem")), tables.toSeq)
+    assert(tables.contains(("docs", "documents")), tables.toSeq)
+    // columns carry names, positions, and SQL types; filters work
+    val cols = spark.sql(
+      """SELECT column_name, ordinal_position, data_type
+        |FROM graft.information_schema.columns
+        |WHERE table_name = 'lineitem' ORDER BY ordinal_position""".stripMargin)
+      .collect()
+    assert(cols.nonEmpty)
+    assert(cols.map(_.getString(0)).contains("l_orderkey"), cols.map(_.getString(0)).toSeq)
+    assert(cols.head.getInt(1) == 1)
+    assert(cols.forall(_.getString(2).nonEmpty))
   }
 
   test("filters push down through catalog-resolved scans") {
