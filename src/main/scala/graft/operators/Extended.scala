@@ -149,6 +149,41 @@ object Extended {
     // no per-row string build + md5 digest like the first cut of this
     // query — and the packed key (linenumber is 1..7 in this schema) is
     // one multiply-add. Map-only at any scale.
+    // ------------------------------------------- file-format round-trips
+    // The CSV and JSON readers carry driver-checkable correctness: the
+    // engine WRITES the table in the format, reads it back with a
+    // declared schema, and the result must hash-match the oracle reading
+    // the original parquet — any loss in either direction (quoting,
+    // escapes, date/decimal text forms, null encodings) breaks the hash.
+    // The write lands in a per-(format, dir) temp location, overwritten
+    // each run; reference file source: file.rs:26-364.
+    GraftQuery("q_csv_roundtrip",
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_rt_csv_${dir.hashCode.toHexString}"
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      t(s, dir).customer.select(cols.map(col): _*)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+          "c_acctbal DOUBLE, c_mktsegment STRING")
+        .csv(tmp)
+    },
+
+    GraftQuery("q_json_roundtrip",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_rt_json_${dir.hashCode.toHexString}"
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate")
+      t(s, dir).orders.select(cols.map(col): _*)
+        .write.mode("overwrite").json(tmp)
+      s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, o_orderdate TIMESTAMP")
+        .json(tmp)
+    },
+
     GraftQuery("q_tablesample", {
       val (ctes, last) = SketchOracleSql.fmixScalarCtes("s", "k", "l_quantity", "h")
       s"""WITH k AS (SELECT l_quantity,
