@@ -81,9 +81,13 @@ object Curation {
          |norms AS (SELECT vec_id, v,
          |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM vecs),
          |sig AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM norms),
+         |capped AS (
+         |  SELECT * FROM (SELECT vec_id, v, nrm, bucket,
+         |    count(*) OVER (PARTITION BY bucket) AS bsize FROM sig)
+         |  WHERE bsize <= 1000),
          |dups AS (
          |  SELECT DISTINCT b.vec_id
-         |  FROM sig a JOIN sig b ON a.bucket = b.bucket
+         |  FROM capped a JOIN capped b ON a.bucket = b.bucket
          |  WHERE a.vec_id < b.vec_id
          |    AND round($dotAB / (a.nrm * b.nrm), 6) >= 0.3)
          |SELECT s.vec_id, s.bucket, (d.vec_id IS NOT NULL) AS is_dup
@@ -95,8 +99,15 @@ object Curation {
           .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
         val sig = vecs.withColumn("bucket",
           element_at(bucketCol(col("v")), 1))
-        // ids-only candidate generation (the s_ann_lsh shape)
+        // ids-only candidate generation (the s_ann_lsh shape), with the
+        // degenerate-bucket cap the minhash path uses: a pathological
+        // bucket (all-zero embeddings land together) would otherwise go
+        // quadratic — at this corpus the cap (1000 ≫ observed sizes)
+        // changes nothing, which is why the oracle can mirror it exactly
         val banded = sig.select(col("vec_id"), col("bucket"))
+          .withColumn("bsize", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+          .filter(col("bsize") <= 1000).drop("bsize")
         val candIds = banded.alias("a")
           .join(banded.alias("b"), col("a.bucket") === col("b.bucket"))
           .filter(col("a.vec_id") < col("b.vec_id"))

@@ -195,9 +195,13 @@ object Multimodal {
     // shuffle and there is never an all-pairs comparison.
     GraftQuery("m_phash_pairs",
       s"""WITH $phashCtes,
-         |bands AS (
+         |allbands AS (
          |  SELECT doc_id, h, b, (h >> (b * 16)) & 65535 AS w
          |  FROM ph, UNNEST([0, 1, 2, 3]) AS t(b)),
+         |bands AS (
+         |  SELECT * FROM (SELECT doc_id, h, b, w,
+         |    count(*) OVER (PARTITION BY b, w) AS bsize FROM allbands)
+         |  WHERE bsize <= 500),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |                  a.h AS ha, b.h AS hb
@@ -208,9 +212,15 @@ object Multimodal {
       graft.functions.VectorFunctions.register(s)
       val ph = assets(s, dir).select(col("asset_id").as("doc_id"),
         expr("graft_phash63(payload)").as("h"))
+      // degenerate-window cap (the minhash shape): identical or trivial
+      // payloads piling into one 16-bit window must not go quadratic —
+      // the cap (500 ≫ observed sizes here) is mirrored in the oracle
       val bands = ph.select(col("doc_id"), col("h"),
           explode(expr("sequence(0, 3)")).as("b"))
         .withColumn("w", expr("shiftright(h, b * 16) & 65535"))
+        .withColumn("bsize", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("w"))))
+        .filter(col("bsize") <= 500).drop("bsize")
       val a = bands.select(col("b"), col("w"),
         col("doc_id").as("id_a"), col("h").as("ha"))
       val b = bands.select(col("b"), col("w"),
