@@ -440,6 +440,14 @@ object Cli {
     val declared = s.tables.map(_.name)
     val upstream = s.sourceType.toLowerCase match {
       case "jdbc" | "derby" =>
+        // engine catalogs describe the engine, not the data — exact-name
+        // deny set (a prefix match would hide user schemas like
+        // 'sysadmin'); table names keep their case: lowercasing would
+        // corrupt `add` on case-sensitive databases
+        val systemSchemas = Set("SYS", "SYSIBM", "SYSCAT", "SYSFUN",
+          "SYSPROC", "SYSSTAT", "SYSCS_DIAG", "SYSCS_UTIL", "NULLID",
+          "SQLJ", "INFORMATION_SCHEMA", "PG_CATALOG", "MYSQL",
+          "PERFORMANCE_SCHEMA")
         s.url.toSeq.flatMap { u =>
           val conn =
             try { DriverManagerShim.connect(u) }
@@ -453,9 +461,9 @@ object Cli {
               val out = Seq.newBuilder[String]
               while (rs.next()) {
                 val schema = rs.getString("TABLE_SCHEM")
-                // system catalogs describe the engine, not the data
-                if (schema == null || !schema.toUpperCase.startsWith("SYS"))
-                  out += rs.getString("TABLE_NAME").toLowerCase
+                if (schema == null ||
+                    !systemSchemas.contains(schema.toUpperCase))
+                  out += rs.getString("TABLE_NAME")
               }
               out.result()
             } finally rs.close()

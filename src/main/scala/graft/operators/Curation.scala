@@ -104,10 +104,8 @@ object Curation {
         // bucket (all-zero embeddings land together) would otherwise go
         // quadratic — at this corpus the cap (1000 ≫ observed sizes)
         // changes nothing, which is why the oracle can mirror it exactly
-        val banded = sig.select(col("vec_id"), col("bucket"))
-          .withColumn("bsize", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
-          .filter(col("bsize") <= 1000).drop("bsize")
+        val banded = graft.util.Buckets.cap(
+          sig.select(col("vec_id"), col("bucket")), 1000, col("bucket"))
         val candIds = banded.alias("a")
           .join(banded.alias("b"), col("a.bucket") === col("b.bucket"))
           .filter(col("a.vec_id") < col("b.vec_id"))

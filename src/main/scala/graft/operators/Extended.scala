@@ -160,7 +160,10 @@ object Extended {
     GraftQuery("q_csv_roundtrip",
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin) { (s, dir) =>
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_rt_csv_${dir.hashCode.toHexString}"
+      // a fresh per-call directory: a fixed path would race concurrent
+      // sessions (one overwrite deleting files under another's lazy
+      // read) and hashCode collisions could cross-wire data dirs
+      val tmp = roundTripDir("csv")
       val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       t(s, dir).customer.select(cols.map(col): _*)
         .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -173,7 +176,7 @@ object Extended {
     GraftQuery("q_json_roundtrip",
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders""".stripMargin) { (s, dir) =>
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_rt_json_${dir.hashCode.toHexString}"
+      val tmp = roundTripDir("json")
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate")
       t(s, dir).orders.select(cols.map(col): _*)
@@ -199,4 +202,12 @@ object Extended {
           graft.util.Exact.dsum(col("l_quantity"), 2).as("sum_qty"))
     }
   )
+
+  /** Unique writable scratch dir per round-trip invocation; marked for
+    * JVM-exit cleanup so repeated bench iterations don't accumulate. */
+  private def roundTripDir(format: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_rt_$format")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
 }

@@ -215,12 +215,11 @@ object Multimodal {
       // degenerate-window cap (the minhash shape): identical or trivial
       // payloads piling into one 16-bit window must not go quadratic —
       // the cap (500 ≫ observed sizes here) is mirrored in the oracle
-      val bands = ph.select(col("doc_id"), col("h"),
-          explode(expr("sequence(0, 3)")).as("b"))
-        .withColumn("w", expr("shiftright(h, b * 16) & 65535"))
-        .withColumn("bsize", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("w"))))
-        .filter(col("bsize") <= 500).drop("bsize")
+      val bands = graft.util.Buckets.cap(
+        ph.select(col("doc_id"), col("h"),
+            explode(expr("sequence(0, 3)")).as("b"))
+          .withColumn("w", expr("shiftright(h, b * 16) & 65535")),
+        500, col("b"), col("w"))
       val a = bands.select(col("b"), col("w"),
         col("doc_id").as("id_a"), col("h").as("ha"))
       val b = bands.select(col("b"), col("w"),

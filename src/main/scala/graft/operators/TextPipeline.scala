@@ -380,10 +380,7 @@ object TextPipeline {
       // REUSED by both self-join sides (ReusedExchange), while the
       // alternatives recompute the signature pipeline or fall into
       // ObjectHashAggregate's sort-based fallback.
-      val capped = banded.withColumn("bsize",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("bucket"))))
-        .filter(col("bsize") <= 200).drop("bsize")
+      val capped = graft.util.Buckets.cap(banded, 200, col("band"), col("bucket"))
       val pairs = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
         .join(capped.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
           Seq("band", "bucket"))
@@ -477,10 +474,7 @@ object TextPipeline {
     }
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 3).map(bandKey): _*)).as(Seq("band", "bucket")))
-    val capped = banded.withColumn("bsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsize") <= 200).drop("bsize")
+    val capped = graft.util.Buckets.cap(banded, 200, col("band"), col("bucket"))
     // shuffle_hash: both sides shuffle on (band, bucket) and Spark reuses
     // the single banded exchange (ReusedExchange, pinned by
     // PlanShapeSpec). Without it AQE broadcasts one side — a build side

@@ -375,10 +375,11 @@ final class ApiServer(
     val timeout = Option(body.get("timeout_secs")).map(_.asDouble())
       .filter(t => t > 0 && t <= 300)
     // the SERVER's policy governs; the request may only tighten the
-    // timeout within it (a caller must never widen its own sandbox)
+    // timeout within it (a caller must never widen its own sandbox).
+    // ceil, not truncate: a 2.9s request must not become a 2s limit
     val policy = sandboxPolicy.copy(cpuSeconds =
       math.min(timeout.getOrElse(sandboxPolicy.cpuSeconds.toDouble),
-        sandboxPolicy.cpuSeconds.toDouble).toInt.max(1))
+        sandboxPolicy.cpuSeconds.toDouble).ceil.toInt.max(1))
     val result = ScriptSandbox.runWithPolicy(script, policy,
       context = Map(
         "GRAFT_URL" -> s"http://localhost:${server.getAddress.getPort}",

@@ -31,7 +31,8 @@ import scala.util.control.NonFatal
   * specs can drive a full session in-memory; `main` binds stdin/stdout
   * (stderr is free for logs, as the stdio transport requires).
   */
-final class McpServer(spark: SparkSession) {
+final class McpServer(spark: SparkSession,
+    sandboxPolicy: ScriptSandbox.SandboxPolicy = ScriptSandbox.SandboxPolicy()) {
 
   private val mapper = new ObjectMapper()
 
@@ -173,7 +174,9 @@ final class McpServer(spark: SparkSession) {
           textResult(mapper.writeValueAsString(arr), isError = false)
         case "run_python" =>
           val script = Option(args.get("script")).map(_.asText()).getOrElse("")
-          val r = ScriptSandbox.run(script)
+          // same policy as the REST edge — a tightened serving policy
+          // (strict, smaller limits) must not be bypassable over MCP
+          val r = ScriptSandbox.runWithPolicy(script, sandboxPolicy)
           // reference semantics (sandbox/core.py to_str): stderr wins
           textResult(r.toStr, isError = r.stderr.nonEmpty || r.timedOut)
         case other =>

@@ -52,8 +52,15 @@ object ScriptSandbox {
     * primitives are unavailable") honestly REFUSES to run here rather
     * than silently degrading. */
   final case class SandboxPolicy(
-      memoryLimitMb: Int = 512,
-      cpuSeconds: Int = 30,
+      // defaults honor the same env knobs as the policy-free path
+      // (native.py:54-67), so a deployment's SANDBOX_MEMORY_LIMIT /
+      // SANDBOX_TIMEOUT_SECS keep applying when a policy is introduced
+      memoryLimitMb: Int = sys.env.get("SANDBOX_MEMORY_LIMIT")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .map(b => (b / (1024 * 1024)).toInt).getOrElse(512),
+      cpuSeconds: Int = sys.env.get("SANDBOX_TIMEOUT_SECS")
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
+        .map(_.ceil.toInt).getOrElse(30),
       strict: Boolean = false,
       workspaceRoot: Option[String] = None,
       extraImports: Set[String] = Set.empty)
@@ -161,13 +168,23 @@ object ScriptSandbox {
       context = context,
       workspaceRoot = policy.workspaceRoot,
       allowedImports = allowed)
-    val constraints = Seq(
-      s"rlimit-as:${policy.memoryLimitMb}mb",
-      s"rlimit-cpu:${policy.cpuSeconds}s",
-      "process-group-kill", "scrubbed-env",
-      s"import-allowlist:${allowed.size}",
-      s"output-cap:$MaxOutputBytes") ++
-      policy.workspaceRoot.map(w => s"workspace-cwd:$w")
+    // the attestation records what was ACTUALLY applied: a script the
+    // validator rejected (or an internal spawn failure) never saw the
+    // process-level constraints, and the rlimit has a 64 MB floor — an
+    // audit record that lists constraints that never existed is worse
+    // than none
+    val spawned = !res.stderr.startsWith("Security Error:") &&
+      !res.stderr.startsWith("Runtime Error: Internal sandbox failure")
+    val effectiveMb = math.max(policy.memoryLimitMb, 64)
+    val constraints =
+      if (!spawned) Seq("code-size-cap", s"import-allowlist:${allowed.size}")
+      else Seq(
+        s"rlimit-as:${effectiveMb}mb",
+        s"rlimit-cpu:${policy.cpuSeconds}s",
+        "process-group-kill", "scrubbed-env",
+        s"import-allowlist:${allowed.size}",
+        s"output-cap:$MaxOutputBytes") ++
+        policy.workspaceRoot.map(w => s"workspace-cwd:$w")
     res.copy(attestation = Some(SandboxAttestation(
       java.util.UUID.randomUUID().toString, constraints,
       System.currentTimeMillis())))

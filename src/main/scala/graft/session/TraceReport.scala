@@ -20,21 +20,32 @@ object TraceReport {
     * with per-node row counts). */
   final case class NodeMetrics(node: String, metrics: Map[String, Long])
 
-  /** Walk the EXECUTED plan (through AQE's final plan and reused
-    * subtrees) and pull each node's populated SQLMetric values. */
+  /** Walk the EXECUTED plan and pull each node's populated SQLMetric
+    * values. AQE wraps materialized subtrees in QueryStageExec LEAF
+    * nodes (and reuse in ReusedExchangeExec), so a plain TreeNode
+    * traversal stops at every exchange — exactly where the interesting
+    * metrics live; this walk descends through them explicitly. */
   private def collectMetrics(plan: org.apache.spark.sql.execution.SparkPlan)
       : Seq[NodeMetrics] = {
-    val resolved = plan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(node: SparkPlan): Seq[NodeMetrics] = {
+      val here = {
+        val vals = node.metrics.collect {
+          case (name, m) if m.value > 0 => name -> m.value
+        }.toMap
+        if (vals.isEmpty) Nil else Seq(NodeMetrics(node.nodeName, vals))
+      }
+      val below = node match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child)
+        case p => p.children.flatMap(walk)
+      }
+      here ++ below
     }
-    resolved.collect { case node =>
-      val vals = node.metrics.collect {
-        case (name, m) if m.value > 0 => name -> m.value
-      }.toMap
-      NodeMetrics(node.nodeName, vals)
-    }.filter(_.metrics.nonEmpty)
+    walk(plan)
   }
 
   /** Execute the frame (count + sample) and render the report. */

@@ -35,14 +35,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     Option(options.get("config")).foreach { path =>
-      config = SourcesConfig.fromYamlFile(path)
+      config = validated(SourcesConfig.fromYamlFile(path))
     }
   }
 
   override def name(): String = catalogName
 
   /** Test/embedding hook: install a config programmatically. */
-  private[graft] def setConfig(c: SourcesConfig): Unit = config = c
+  private[graft] def setConfig(c: SourcesConfig): Unit = config = validated(c)
+
+  /** The synthetic namespace would silently shadow a same-named source
+    * (its tables become unreachable) — reject it up front. */
+  private def validated(c: SourcesConfig): SourcesConfig = {
+    require(!c.sources.exists(_.name.equalsIgnoreCase(InformationSchema.Namespace)),
+      s"'${InformationSchema.Namespace}' is a reserved namespace and " +
+        "cannot be used as a source name")
+    c
+  }
 
   private def fileSources = config.sources.filter(s =>
     Set("parquet", "csv", "json").contains(s.sourceType.toLowerCase))
@@ -98,15 +107,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** `information_schema.{tables,columns}` — catalog introspection as
     * plain SQL (the reference's with_information_schema(true)). Column
-    * rows use the DECLARED schema when present and fall back to the
-    * file-inferred one (a metadata read, not a data scan). */
+    * rows use the DECLARED schema when present; undeclared PARQUET
+    * tables fall back to the footer (metadata-only). Undeclared CSV/JSON
+    * tables are listed in .tables but contribute no column rows —
+    * inferring their schema would SCAN the data, and a catalog
+    * introspection query must never read table data. */
   private def loadInformationSchema(ident: Identifier): Table = {
     def columnsOf(src: SourceDef, tbl: TableDef)
         : Seq[org.apache.spark.sql.types.StructField] =
       tbl.declaredSchema.map(_.fields.toSeq).getOrElse {
-        try loadVersioned(Identifier.of(Array(src.name), tbl.name), None)
-          .schema().fields.toSeq
-        catch { case scala.util.control.NonFatal(_) => Nil }
+        if (!src.sourceType.equalsIgnoreCase("parquet")) Nil
+        else
+          try loadVersioned(Identifier.of(Array(src.name), tbl.name), None)
+            .schema().fields.toSeq
+          catch { case scala.util.control.NonFatal(_) => Nil }
       }
     ident.name match {
       case "tables" => new InformationSchema.RowsTable(

@@ -4,12 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Streaming twin of the corpus-curation pipeline: continuous document
-  * intake with the same quality gate, exact dedup, and token accounting
-  * as the batch operators (`d_corpus_clean` / `d_dedup_exact` /
-  * `t_token_count`) — the "ingest the next crawl increment" shape. The
-  * reference engine is bounded-only, so this is an extension; the batch
-  * twins are the verified semantics and the spec pins stream == batch.
+/** Streaming twin of the corpus-curation pipeline SHAPE: continuous
+  * document intake with a quality gate, content-hash exact dedup, and
+  * token accounting — the "ingest the next crawl increment" stages. The
+  * stage DEFINITIONS here are deliberately simple (length gate, sha-256
+  * hash, whitespace tokens); the registered batch operators carry the
+  * richer, oracle-verified semantics (`d_corpus_clean`'s quality score,
+  * `d_dedup_exact`'s normalized md5 keys), and what the spec pins is
+  * that THIS pipeline produces identical results run as a stream or as
+  * a batch over the same corpus. The reference engine is bounded-only,
+  * so streaming is an extension either way.
   *
   * Scale notes: the quality gate and hashing are map-only (stateless);
   * exact dedup keeps one 16-byte key per distinct document in state. On

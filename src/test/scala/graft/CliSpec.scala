@@ -197,9 +197,12 @@ class CliSpec extends AnyFunSuite {
           |    url: jdbc:derby:${dir.resolve("discodb")}
           |""".stripMargin)
     val (code, out, _) = run("search", "warehouse", f.toString, "--format", "json")
-    assert(code == 0 && out.contains("\"shipments\"") && out.contains("\"depots\""), out)
+    // Derby canonicalizes unquoted identifiers to upper case; discovery
+    // preserves the database's own casing (lowercasing would corrupt
+    // `add` against case-sensitive engines)
+    assert(code == 0 && out.contains("\"SHIPMENTS\"") && out.contains("\"DEPOTS\""), out)
     // system catalogs are excluded
-    assert(!out.contains("systables"), out)
+    assert(!out.toLowerCase.contains("systables"), out)
     // unreachable database is a connection error, not a stack trace
     Files.writeString(f, Files.readString(f)
       .replace("discodb", "no_such_db_anywhere"))
