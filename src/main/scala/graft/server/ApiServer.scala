@@ -57,6 +57,7 @@ final class ApiServer(
     server.createContext("/api/v1/query", authed("query:execute", handleQuery))
     server.createContext("/api/v1/query_arrow", authed("query:execute", handleQueryArrow))
     server.createContext("/api/v1/explain", authed("query:explain", handleExplain))
+    server.createContext("/api/v1/trace", authed("query:execute", handleTrace))
     server.createContext("/metrics", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = handleMetrics(ex)
     })
@@ -161,6 +162,40 @@ final class ApiServer(
       }
       out.put("plan", info.plan)
       out.put("defensive_limited", info.defensiveLimited)
+      respond(ex, 200, out)
+    } catch {
+      case NonFatal(e) => respond(ex, 400, err(e.getMessage))
+    }
+  }
+
+  /** Execute WITH tracing — the reference's `execute_query_with_trace`
+    * ("STRAKE QUERY REPORT", query/trace.rs:7-72): runs the query under
+    * the caller's policies and returns the report text plus the
+    * structured fields (timing, row count, pushdown, per-operator
+    * runtime metrics). Heavier than /query by design — it executes the
+    * plan to populate metrics — so it shares /query's license gate. */
+  private def handleTrace(ex: HttpExchange, user: AuthenticatedUser): Unit = {
+    if (ex.getRequestMethod != "POST") { respond(ex, 405, err("POST required")); return }
+    if (!licenseAdmits(ex)) return
+    val body = mapper.readTree(ex.getRequestBody)
+    val sql = Option(body.get("sql")).map(_.asText()).getOrElse("")
+    if (sql.isEmpty) { respond(ex, 400, err("missing sql")); return }
+    try {
+      val result = engine.executeQuery(sql, user, parseParams(body))
+      val trace = graft.session.TraceReport.run(result.df)
+      val out = mapper.createObjectNode()
+      out.put("report", trace.report)
+      out.put("duration_ms", trace.durationMillis)
+      out.put("rows", trace.rowCount)
+      val pf = out.putArray("pushed_filters")
+      trace.pushedFilters.foreach(pf.add)
+      val nm = out.putArray("node_metrics")
+      trace.nodeMetrics.foreach { n =>
+        val o = nm.addObject()
+        o.put("node", n.node)
+        val ms = o.putObject("metrics")
+        n.metrics.foreach { case (k, v) => ms.put(k, v) }
+      }
       respond(ex, 200, out)
     } catch {
       case NonFatal(e) => respond(ex, 400, err(e.getMessage))

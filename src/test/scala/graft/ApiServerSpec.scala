@@ -322,6 +322,22 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!sw.exists(_.startsWith("x-graft-truncated")), sw)
   }
 
+  test("trace endpoint executes with per-operator runtime metrics") {
+    val (code, body) = call("/api/v1/trace", "POST",
+      """{"sql": "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey"}""")
+    assert(code == 200, body)
+    val j = mapper.readTree(body)
+    assert(j.get("report").asText.contains("GRAFT QUERY REPORT"))
+    assert(j.get("rows").asLong == 5)
+    val nodes = (0 until j.get("node_metrics").size())
+      .map(j.get("node_metrics").get(_).get("node").asText)
+    assert(nodes.exists(_.toLowerCase.contains("scan")), nodes)
+    // the trace path is execution: it requires the execute permission
+    val (denied, _) = call("/api/v1/trace", "POST",
+      """{"sql": "SELECT 1"}""", key = "noperm-key")
+    assert(denied == 403)
+  }
+
   test("license gate: Invalid refuses queries, Degraded warns, Valid passes") {
     import graft.server.LicenseGate
     val cache = new LicenseGate.LicenseCache
