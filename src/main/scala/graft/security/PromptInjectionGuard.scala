@@ -146,6 +146,24 @@ object PromptInjectionGuard {
       }
   }
 
+  /** Same contract over pre-formatted text cells (the trace report's
+    * sample) — every outgoing data rendering goes through the guard,
+    * whatever its shape. */
+  def guardCells(cells: Seq[Array[String]], mode: GuardMode): Option[Finding] = {
+    if (mode == Disabled) return None
+    val auto = new Automaton(DefaultPatterns)
+    val finding = cells.iterator.flatMap { row =>
+      row.iterator.flatMap { cell =>
+        val m = auto.firstMatch(cell)
+        if (m >= 0) Some(Finding("(trace sample)", DefaultPatterns(m))) else None
+      }
+    }.nextOption()
+    mode match {
+      case Enforce => finding.foreach(f => throw InjectionDetected(f)); None
+      case _ => finding
+    }
+  }
+
   /** Distributed audit: rows whose string columns match a pattern, tagged
     * with the column that matched. Uses codegen'd `contains` on lowercase
     * text — the automaton matters driver-side; at scale the per-pattern

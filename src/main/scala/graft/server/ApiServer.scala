@@ -181,8 +181,15 @@ final class ApiServer(
     val sql = Option(body.get("sql")).map(_.asText()).getOrElse("")
     if (sql.isEmpty) { respond(ex, 400, err("missing sql")); return }
     try {
-      val result = engine.executeQuery(sql, user, parseParams(body))
+      // cache BYPASSED: tracing a cached-relation scan would report empty
+      // pushdown and cache-scan metrics for the query being diagnosed
+      val result = engine.executeQuery(sql, user, parseParams(body),
+        useCache = false)
       val trace = graft.session.TraceReport.run(result.df)
+      // the report embeds real sample rows — same outgoing-data guard as
+      // the query endpoints (Enforce throws → 400 below)
+      val guardFinding = graft.security.PromptInjectionGuard
+        .guardCells(trace.sampleCells, guardMode)
       val out = mapper.createObjectNode()
       out.put("report", trace.report)
       out.put("duration_ms", trace.durationMillis)
@@ -196,6 +203,12 @@ final class ApiServer(
         val ms = o.putObject("metrics")
         n.metrics.foreach { case (k, v) => ms.put(k, v) }
       }
+      // warnings travel with the trace: a defensive-limit cap means the
+      // reported row count is the CAPPED count, and the caller must know
+      val warnings = out.putArray("warnings")
+      result.warnings.foreach(w => warnings.add(s"${w.code}: ${w.message}"))
+      guardFinding.foreach(f => warnings.add(
+        s"x-graft-injection-dryrun: ${f.column} matched '${f.pattern}'"))
       respond(ex, 200, out)
     } catch {
       case NonFatal(e) => respond(ex, 400, err(e.getMessage))

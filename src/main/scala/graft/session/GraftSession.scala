@@ -71,7 +71,15 @@ final class GraftSession(
     * pipeline applies: RLS rewrite, defensive limit, cost gate, cache
     * (parameter values participate in the cache key via the plan). */
   def executeQuery(sql: String, user: AuthenticatedUser,
-      params: Map[String, Any]): QueryResult = {
+      params: Map[String, Any]): QueryResult =
+    executeQuery(sql, user, params, useCache = true)
+
+  /** `useCache = false` skips the result cache in BOTH directions (no
+    * lookup, no store): the trace path needs the REAL plan — tracing a
+    * cached-relation scan would report empty pushdown and cache-scan
+    * metrics for the query being diagnosed. */
+  def executeQuery(sql: String, user: AuthenticatedUser,
+      params: Map[String, Any], useCache: Boolean): QueryResult = {
     val warnings = new WarningCollector
     val start = System.currentTimeMillis()
     var cacheHit = false
@@ -89,7 +97,7 @@ final class GraftSession(
         }
         validator.validate(df)
         cache match {
-          case Some(c) if config.cacheEnabled =>
+          case Some(c) if config.cacheEnabled && useCache =>
             val k = c.key(df, user)
             c.lookup(spark, k) match {
               case Some(hit) =>

@@ -13,7 +13,10 @@ object TraceReport {
   final case class Trace(
       report: String, durationMillis: Long, rowCount: Long,
       pushedFilters: Seq[String], scannedColumns: Seq[String],
-      nodeMetrics: Seq[NodeMetrics] = Nil)
+      nodeMetrics: Seq[NodeMetrics] = Nil,
+      /** formatted sample cells — exposed so serving edges can run the
+        * outgoing-data guard over exactly what the report embeds */
+      sampleCells: Seq[Array[String]] = Nil)
 
   /** Post-execution per-operator metrics — the EXPLAIN ANALYZE half of
     * the reference report (trace.rs renders DataFusion's analyzed plan
@@ -52,14 +55,39 @@ object TraceReport {
   def run(df: DataFrame, sampleRows: Int = 10): Trace = {
     val t0 = System.nanoTime()
     // run the frame's OWN physical plan (df.count() would execute a
-    // different, aggregated plan whose metrics don't describe this one);
-    // the RDD count is a distributed action — nothing materializes on
-    // the driver beyond per-partition counts
-    val rows = df.queryExecution.executedPlan.execute().count()
+    // different, aggregated plan whose metrics don't describe this one).
+    // Count AND sample in ONE distributed pass: each partition ships its
+    // row count plus up to `sampleRows` pre-formatted cells — a separate
+    // limit(n).collect() would re-execute the whole plan (doubling
+    // remote I/O on federated sources).
+    val fields = df.schema.fields
+    val nSample = sampleRows
+    val perPartition = df.queryExecution.executedPlan.execute()
+      .mapPartitions { it =>
+        var n = 0L
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+        while (it.hasNext) {
+          val r = it.next()
+          if (buf.size < nSample) {
+            buf += fields.indices.map { i =>
+              if (r.isNullAt(i)) "NULL"
+              else r.get(i, fields(i).dataType) match {
+                case b: Array[Byte] => s"<${b.length} bytes>"
+                case v => String.valueOf(v).take(40)
+              }
+            }.toArray
+          }
+          n += 1
+        }
+        Iterator.single((n, buf.toArray))
+      }.collect()
+    val rows = perPartition.map(_._1).sum
+    val sampleCells = perPartition.iterator.flatMap(_._2).take(nSample).toSeq
     val durationMillis = (System.nanoTime() - t0) / 1000000
     val nodeMetrics = collectMetrics(df.queryExecution.executedPlan)
-    val sample = df.limit(sampleRows)
-    val sampleText = sample.showString(sampleRows)
+    val sampleText =
+      (df.columns.mkString(" | ") +:
+        sampleCells.map(_.mkString(" | "))).mkString("\n")
     val planText = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     val pushed = "PushedFilters: \\[(.*?)\\]".r
@@ -86,21 +114,7 @@ object TraceReport {
       }
     }
     sb.append("\n--- physical plan ---\n").append(planText)
-    Trace(sb.toString, durationMillis, rows, pushed, readSchemas, nodeMetrics)
-  }
-
-  /** Spark 4 keeps Dataset.showString private; rebuild a small sample
-    * rendering from collected rows. */
-  private implicit class Shows(df: DataFrame) {
-    def showString(n: Int): String = {
-      val rows = df.collect()
-      val header = df.columns.mkString(" | ")
-      val body = rows.map(_.toSeq.map {
-        case null => "NULL"
-        case b: Array[Byte] => s"<${b.length} bytes>"
-        case v => v.toString.take(40)
-      }.mkString(" | "))
-      (header +: body).mkString("\n")
-    }
+    Trace(sb.toString, durationMillis, rows, pushed, readSchemas,
+      nodeMetrics, sampleCells)
   }
 }
