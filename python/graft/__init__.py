@@ -161,6 +161,18 @@ class GraftConnection:
         reference ``flight_sql.rs:533-566``)."""
         return self._post_json("/api/v1/explain", {"sql": query})["columns"]
 
+    def trace_run(self, query, params=None):
+        """EXECUTE the query with tracing (reference
+        ``execute_query_with_trace``): returns a dict with ``report``
+        (the GRAFT QUERY REPORT text), ``duration_ms``, ``rows``,
+        ``pushed_filters``, per-operator ``node_metrics``, and
+        ``warnings``. Heavier than :meth:`sql` — it runs the plan to
+        populate runtime metrics."""
+        body = {"sql": query}
+        if params:
+            body["params"] = params
+        return self._post_json("/api/v1/trace", body)
+
     # ------------------------------------------------------------ catalog
 
     def describe(self, table_name=None):

@@ -49,6 +49,14 @@ def main():
         sch = conn.schema("SELECT n_name FROM nation")
         assert sch[0]["name"] == "n_name", sch
 
+        # executed trace: report text + runtime metrics
+        tr = conn.trace_run(
+            "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey")
+        assert tr["rows"] == 5, tr
+        assert "GRAFT QUERY REPORT" in tr["report"], tr["report"][:200]
+        nodes = [m["node"].lower() for m in tr["node_metrics"]]
+        assert any("scan" in n for n in nodes), nodes
+
         # catalog describe: listing and one table
         listing = conn.describe()
         assert "nation" in listing and "orders" in listing, listing

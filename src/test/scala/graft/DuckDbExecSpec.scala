@@ -197,6 +197,19 @@ class DuckDbExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       i => s"batch case $i:")
   }
 
+  test("duck: window functions execute — ranking, running totals, global rank") {
+    import org.apache.spark.sql.expressions.Window
+    checkAll(Seq(
+      (u.withColumn("rn", row_number().over(
+        Window.partitionBy(col("score")).orderBy(col("id")))), false),
+      (o.withColumn("running", sum(col("amount")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("order_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))), false),
+      (u.withColumn("r", rank().over(
+        Window.orderBy(col("score").desc, col("id")))), false)),
+      i => s"window case $i:")
+  }
+
   test("duck: null-safe equality uses native IS NOT DISTINCT FROM") {
     val sql = check(spark.table("duck_nulls").filter(col("a") <=> col("b"))
       .select(col("id")))

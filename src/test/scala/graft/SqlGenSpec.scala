@@ -277,7 +277,7 @@ class SqlGenSpec extends AnyFunSuite {
     val payloads = Seq(
       "users\" UNION SELECT",
       "x; DROP TABLE users",
-      "name hidden",
+      "name\u0000hidden",
       "\"\"\"",
       "back`tick",
       "back\\slash")
