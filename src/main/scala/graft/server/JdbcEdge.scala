@@ -14,10 +14,15 @@ import org.apache.spark.sql.SparkSession
   * GraftSession.builder — it is a static conf) makes wire sessions share
   * the engine session's catalog, so registered temp views are visible.
   *
-  * Auth note: the Thrift edge serves in NOSASL/NONE auth here; API-key /
-  * JWT auth and per-user RLS remain on the REST edge, which carries the
-  * user identity. The reference splits the same way — Flight SQL carries
-  * Bearer auth, the embedded engine trusts its caller.
+  * Governance boundary: the Thrift edge serves in NOSASL/NONE auth;
+  * API-key / JWT auth, per-user RLS, defensive limits, and the
+  * result cache live on the REST edge, which carries the user identity
+  * (the per-request machinery in GraftSession.executeQuery). What IS
+  * enforced here session-wide: the license gate (below) and the RLS
+  * resolution rule (inactive without a user context — fail-open to
+  * no-policies is correct for an identity-less wire). The reference
+  * splits the same way — Flight SQL carries Bearer auth, the embedded
+  * engine trusts its caller.
   */
 object JdbcEdge {
 
