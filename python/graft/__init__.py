@@ -13,6 +13,8 @@ re-expressed over graft's wire surface instead of PyO3 bindings:
 - ``trace()`` / ``schema()`` mirror ``StrakeConnection.trace`` /
   prepared-statement planning: the plan and result schema without
   executing (``POST /api/v1/explain``).
+- ``trace_run()`` EXECUTES with tracing (``POST /api/v1/trace``):
+  the query report plus per-operator runtime metrics.
 - ``describe()`` mirrors ``StrakeConnection.describe``: a pretty table
   listing, or one table's columns.
 - ``tables()`` is Flight SQL ``CommandGetTables`` discovery
@@ -167,11 +169,21 @@ class GraftConnection:
         (the GRAFT QUERY REPORT text), ``duration_ms``, ``rows``,
         ``pushed_filters``, per-operator ``node_metrics``, and
         ``warnings``. Heavier than :meth:`sql` — it runs the plan to
-        populate runtime metrics."""
+        populate runtime metrics. Like every executing call, it emits a
+        session trace record and refreshes ``last_warnings``."""
+        import time as _t
         body = {"sql": query}
         if params:
             body["params"] = params
-        return self._post_json("/api/v1/trace", body)
+        start = _t.monotonic()
+        try:
+            out = self._post_json("/api/v1/trace", body)
+        except Exception:
+            self._trace_query("trace", query, start, "error", None)
+            raise
+        self.last_warnings = out.get("warnings", [])
+        self._trace_query("trace", query, start, "ok", out.get("rows"))
+        return out
 
     # ------------------------------------------------------------ catalog
 

@@ -7,8 +7,8 @@ import org.apache.spark.sql.SparkSession
   * analog of the reference's Arrow Flight SQL server
   * (/root/reference/crates/server/src/flight_sql.rs:48-216): any JDBC/BI
   * client (beeline, DBeaver, Tableau) points at the engine and runs SQL
-  * against the registered sources with the session's Catalyst
-  * extensions (defensive limits, policies) in force.
+  * against the registered sources (see the governance-boundary note
+  * below for exactly which protections apply on this edge).
   *
   * `spark.sql.hive.thriftServer.singleSession=true` (set by
   * GraftSession.builder — it is a static conf) makes wire sessions share
