@@ -243,9 +243,9 @@ object Multimodal {
       |      i -> ord(substr(text, CAST(i * length(text) // 63 AS INTEGER) + 1, 1)))
       |  END AS sm FROM documents),
       |ph AS (SELECT doc_id,
-      |  CASE WHEN len(sm) = 0 THEN 0 ELSE
+      |  CAST(CASE WHEN len(sm) = 0 THEN 0 ELSE
       |    list_sum(list_transform(range(0, 63),
       |      i -> CASE WHEN sm[i + 1] * 63 > list_sum(sm)
       |                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
-      |  END AS h FROM sm)""".stripMargin
+      |  END AS BIGINT) AS h FROM sm)""".stripMargin
 }

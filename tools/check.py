@@ -15,6 +15,25 @@ for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
+import pyarrow as pa
+
+def arrow_family(t):
+    """Collapse an arrow dtype to the equivalence class the driver's
+    dtype-sensitive hash actually distinguishes: Python values erase integer
+    width and float precision, but int64 vs decimal128 (the m_phash HUGEINT
+    bug) and string vs binary DO hash differently."""
+    if pa.types.is_integer(t): return "int"
+    if pa.types.is_floating(t): return "float"
+    if pa.types.is_decimal(t): return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t): return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "binary"
+    if pa.types.is_date(t): return "date"
+    if pa.types.is_timestamp(t): return "timestamp"
+    if pa.types.is_boolean(t): return "bool"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_family(t.value_type)}>"
+    return str(t)
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -47,14 +66,25 @@ for name, sql in sorted(oracle.items()):
     try:
         spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         s_rows, s_cols = spark_rel.fetchall(), [d[0] for d in spark_rel.description]
+        s_arrow = {f.name: arrow_family(f.type) for f in
+                   con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").arrow().schema}
         duck_rel = con.sql(sql)
         d_rows, d_cols = duck_rel.fetchall(), [d[0] for d in duck_rel.description]
+        d_arrow = {f.name: arrow_family(f.type) for f in con.sql(sql).arrow().schema}
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {e}"); fails += 1; continue
     sc, scol = canon(s_rows, s_cols)
     dc, dcol = canon(d_rows, d_cols)
     if scol != dcol:
         print(f"FAIL {name}: columns spark={scol} duck={dcol}"); fails += 1; continue
+    # The driver's hash is arrow-dtype-sensitive (int64 vs decimal128 of equal
+    # values hash differently); python values erase that, so compare the arrow
+    # schemas too — this is the blind spot that hid the m_phash HUGEINT bug.
+    dtype_bad = {c: (s_arrow.get(c), d_arrow.get(c)) for c in scol
+                 if s_arrow.get(c) != d_arrow.get(c)}
+    if dtype_bad:
+        print(f"FAIL {name}: arrow dtypes differ (spark, duck): {dtype_bad}")
+        fails += 1; continue
     if len(sc) != len(dc):
         print(f"FAIL {name}: rows spark={len(sc)} duck={len(dc)}"); fails += 1; continue
     bad = [(a, b) for a, b in zip(sc, dc) if a != b]
