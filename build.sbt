@@ -28,3 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// HiveThriftServer2 can only be started once per JVM, so the CUSTOM-auth
+// wire suite gets its own forked test JVM; everything else shares one.
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  def group(name: String, ts: Seq[TestDefinition]) =
+    Tests.Group(name, ts,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  val (solo, rest) = (Test / definedTests).value
+    .partition(_.name == "graft.JdbcCustomAuthSpec")
+  group("main", rest) +: (if (solo.nonEmpty) Seq(group("jdbc-custom-auth", solo)) else Nil)
+}

@@ -54,7 +54,13 @@ object Cli {
   /** Testable entry: returns the exit code, prints to the given streams. */
   def run(args: Array[String], out: java.io.PrintStream,
       err: java.io.PrintStream): Int = {
-    val (flags, positional) = parseArgs(args.toList)
+    // flag parsing happens before the JSON-mode flag is known, so a parse
+    // failure reports plain-text to stderr
+    val (flags, positional) =
+      try parseArgs(args.toList)
+      catch { case e: UsageException =>
+        err.println(s"error: ${e.getMessage}"); return UsageError
+      }
     val json = flags.get("format").contains("json")
     def fail(code: Int, msg: String): Int = {
       if (json) out.println(s"""{"ok": false, "error": ${quote(msg)}}""")
@@ -562,20 +568,29 @@ object Cli {
     try { store.init(); f(store) } finally store.close()
   }
 
-  /** `--flag value` and `--flag` (boolean) args; the rest positional. */
+  /** `--flag value` and `--flag` (boolean) args; the rest positional.
+    * Value-taking flags MUST have an argument: `--format` alone or
+    * `--metadata --force` would otherwise silently bind "true" (JSON mode
+    * ignored; a Derby store created in a directory literally named `true`). */
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) = {
     val flags = Map.newBuilder[String, String]
     val positional = List.newBuilder[String]
     var rest = args
     val boolFlags = Set("force", "dry-run", "offline", "sources-only")
+    val valueFlags = Set("format", "template", "expected-version", "domain",
+      "to-version", "metadata")
     while (rest.nonEmpty) {
       rest match {
         case flag :: tail if flag.startsWith("--") =>
           val name = flag.drop(2)
-          if (boolFlags(name) || tail.isEmpty || tail.head.startsWith("--")) {
+          if (boolFlags(name)) { flags += name -> "true"; rest = tail }
+          else if (tail.isEmpty || tail.head.startsWith("--")) {
+            if (valueFlags(name))
+              throw new UsageException(s"--$name requires a value")
             flags += name -> "true"; rest = tail
           } else { flags += name -> tail.head; rest = tail.tail }
         case p :: tail => positional += p; rest = tail
+        case Nil => // unreachable: loop guard is rest.nonEmpty
       }
     }
     (flags.result(), positional.result())

@@ -14,9 +14,11 @@ import org.apache.spark.sql.SparkSession
   * GraftSession.builder — it is a static conf) makes wire sessions share
   * the engine session's catalog, so registered temp views are visible.
   *
-  * Governance boundary: the Thrift edge serves in NOSASL/NONE auth;
-  * API-key / JWT auth, per-user RLS, defensive limits, and the
-  * result cache live on the REST edge, which carries the user identity
+  * Governance boundary: the Thrift edge serves NOSASL by default; on
+  * multi-user hosts pass `auth=` to serve Hive CUSTOM auth backed by the
+  * REST edge's API-key authenticator (password = key). Per-user RLS,
+  * defensive limits, and the result cache still live on the REST edge,
+  * which carries the user identity
   * (the per-request machinery in GraftSession.executeQuery). What IS
   * enforced here session-wide: the license gate (below) and the RLS
   * resolution rule (inactive without a user context — fail-open to
@@ -24,7 +26,32 @@ import org.apache.spark.sql.SparkSession
   * splits the same way — Flight SQL carries Bearer auth, the embedded
   * engine trusts its caller.
   */
+/** Hive CUSTOM-auth bridge. HiveServer2's CustomAuthenticationProviderImpl
+  * instantiates `hive.server2.custom.authentication.class` reflectively
+  * through a no-arg constructor, so the credential check is handed over via
+  * the static hook on [[JdbcEdge]] rather than a constructor argument. */
+final class ApiKeyPasswdAuthenticationProvider
+    extends org.apache.hive.service.auth.PasswdAuthenticationProvider {
+  override def Authenticate(user: String, password: String): Unit =
+    if (!JdbcEdge.wireCredentialsValid(user, password))
+      throw new javax.security.sasl.AuthenticationException(
+        s"invalid API key for user '$user'")
+}
+
 object JdbcEdge {
+
+  /** The authenticator consulted by [[ApiKeyPasswdAuthenticationProvider]];
+    * JVM-global because HiveServer2 builds the provider reflectively (and a
+    * JVM runs at most one engine Thrift edge). */
+  @volatile private var wireAuth: Option[ApiKeyAuthenticator] = None
+
+  /** JDBC password = the API key; the JDBC user name, when non-empty, must
+    * match the identity the key resolves to (a mismatched name with a valid
+    * key is a misconfigured client worth refusing, not mapping silently). */
+  private[server] def wireCredentialsValid(user: String, password: String)
+      : Boolean =
+    wireAuth.exists(_.apply(password).exists(u =>
+      user == null || user.isEmpty || user == u.id))
 
   /** License enforcement for wire-protocol queries: the Thrift server
     * executes SQL directly on the session, bypassing the REST edge's
@@ -52,7 +79,12 @@ object JdbcEdge {
     * loudly within the timeout instead of handing out a dead port). */
   def start(spark: SparkSession,
       license: LicenseGate.LicenseCache = LicenseGate.alwaysValid,
-      bindTimeoutMillis: Long = 30000): (Int, AutoCloseable) = {
+      bindTimeoutMillis: Long = 30000,
+      /** When set, the edge serves SASL/PLAIN with Hive CUSTOM auth: the
+        * JDBC password must be a registered API key (the REST edge's
+        * authenticator, reused) — for multi-user hosts where NOSASL would
+        * hand ungoverned SQL access to any local process. */
+      auth: Option[ApiKeyAuthenticator] = None): (Int, AutoCloseable) = {
     val port = {
       val s = new java.net.ServerSocket(0)
       try s.getLocalPort finally s.close()
@@ -60,7 +92,21 @@ object JdbcEdge {
     // HiveServer2 reads the port from the context's hadoop/sql conf
     spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)
     spark.sqlContext.setConf("hive.server2.thrift.bind.host", "localhost")
-    spark.sqlContext.setConf("hive.server2.authentication", "NOSASL")
+    auth match {
+      case Some(a) =>
+        wireAuth = Some(a)
+        spark.sqlContext.setConf("hive.server2.authentication", "CUSTOM")
+        // Hive's PlainSaslHelper resolves the provider from a FRESH
+        // HiveConf() per connection (AuthenticationProviderFactory passes
+        // conf=null), so the session conf never reaches it — but HiveConf
+        // applies matching JVM system properties at construction.
+        System.setProperty("hive.server2.custom.authentication.class",
+          classOf[ApiKeyPasswdAuthenticationProvider].getName)
+        spark.sqlContext.setConf("hive.server2.custom.authentication.class",
+          classOf[ApiKeyPasswdAuthenticationProvider].getName)
+      case None =>
+        spark.sqlContext.setConf("hive.server2.authentication", "NOSASL")
+    }
     if (license ne LicenseGate.alwaysValid)
       spark.experimental.extraOptimizations ++=
         Seq(new LicenseEnforcementRule(license))

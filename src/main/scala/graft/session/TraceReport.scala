@@ -71,7 +71,12 @@ object TraceReport {
           if (buf.size < nSample) {
             buf += fields.indices.map { i =>
               if (r.isNullAt(i)) "NULL"
-              else r.get(i, fields(i).dataType) match {
+              // Catalyst internal values render unreadably (DateType is an
+              // epoch-day Int, TimestampType a micros Long, strings are
+              // UTF8String) — convert to external Scala values first.
+              else org.apache.spark.sql.catalyst.CatalystTypeConverters
+                .convertToScala(r.get(i, fields(i).dataType),
+                  fields(i).dataType) match {
                 case b: Array[Byte] => s"<${b.length} bytes>"
                 case v => String.valueOf(v).take(40)
               }

@@ -219,6 +219,13 @@ class CliSpec extends AnyFunSuite {
     val f = writeConfig(dir)
     val (c, _, err) = run("apply", f.toString, "--expected-version", "next")
     assert(c == Cli.UsageError && err.contains("integer"), err)
+    // a value-taking flag without its argument is a usage error, not a
+    // silent "true" (e.g. `--metadata --force` once created a Derby store
+    // in a directory literally named `true`)
+    val (c2, _, err2) = run("validate", f.toString, "--format")
+    assert(c2 == Cli.UsageError && err2.contains("--format"), err2)
+    val (c3, _, err3) = run("apply", f.toString, "--metadata", "--force")
+    assert(c3 == Cli.UsageError && err3.contains("--metadata"), err3)
   }
 
   test("apply stores the RAW yaml — expanded secrets never reach the store") {
