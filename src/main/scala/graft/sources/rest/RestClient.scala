@@ -26,8 +26,42 @@ final case class RestOptions(raw: Map[String, String]) {
         Base64.getEncoder.encodeToString(cred.getBytes(StandardCharsets.UTF_8))))
     case Some("bearer") =>
       Map("Authorization" -> s"Bearer ${ci.getOrElse("authtoken", "")}")
+    case Some("oauth_client_credentials") =>
+      Map("Authorization" -> s"Bearer ${RestAuth.token(oauthConfig.get)}")
+    case Some("jwt_assertion") =>
+      Map("Authorization" -> s"Bearer ${RestAuth.generateAssertion(jwtConfig.get)}")
     case _ => Map.empty
   }
+
+  /** OAuth client-credentials options (rest.rs:55-62). */
+  def oauthConfig: Option[RestAuth.OAuthConfig] =
+    if (!ci.get("authtype").map(_.toLowerCase)
+        .contains("oauth_client_credentials")) None
+    else Some(RestAuth.OAuthConfig(
+      clientId = ci.getOrElse("clientid",
+        throw new IllegalArgumentException("oauth auth requires clientId")),
+      clientSecret = ci.getOrElse("clientsecret", ""),
+      tokenUrl = ci.getOrElse("tokenurl",
+        throw new IllegalArgumentException("oauth auth requires tokenUrl")),
+      scopes = ci.get("scopes").toSeq
+        .flatMap(_.split("[ ,]+")).filter(_.nonEmpty)))
+
+  /** Self-signed JWT assertion options (rest.rs:64-78); custom claims are
+    * `claim.<name>=<value>` entries, case-preserving like `header.`. */
+  def jwtConfig: Option[RestAuth.JwtConfig] =
+    if (!ci.get("authtype").map(_.toLowerCase).contains("jwt_assertion")) None
+    else Some(RestAuth.JwtConfig(
+      issuer = ci.getOrElse("issuer",
+        throw new IllegalArgumentException("jwt_assertion requires issuer")),
+      audience = ci.getOrElse("audience",
+        throw new IllegalArgumentException("jwt_assertion requires audience")),
+      privateKeyPem = ci.getOrElse("privatekeypem",
+        throw new IllegalArgumentException("jwt_assertion requires privateKeyPem")),
+      algorithm = ci.getOrElse("algorithm", "RS256"),
+      expirySecs = ci.getOrElse("expirysecs", "3600").toLong,
+      subject = ci.get("subject"),
+      claims = raw.collect { case (k, v) if k.toLowerCase.startsWith("claim.") =>
+        k.substring("claim.".length) -> v }))
   def extraHeaders: Map[String, String] =
     raw.collect { case (k, v) if k.toLowerCase.startsWith("header.") =>
       k.substring("header.".length) -> v }
@@ -109,17 +143,34 @@ object RestClient {
         java.net.URLEncoder.encode(v, "UTF-8")
     }.mkString("&")
     val url = if (query.isEmpty) opts.baseUrl else opts.baseUrl + sep + query
-    val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod("GET")
-    conn.setConnectTimeout(10000)
-    conn.setReadTimeout(30000)
-    (opts.authHeaders ++ opts.extraHeaders).foreach { case (k, v) =>
-      conn.setRequestProperty(k, v) }
-    val code = conn.getResponseCode
-    if (code >= 400)
-      throw new RuntimeException(s"REST source HTTP $code from $url")
-    val in = conn.getInputStream
-    try mapper.readTree(in) finally { in.close(); conn.disconnect() }
+    def once(): (Int, Option[JsonNode]) = {
+      val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      // authHeaders is re-evaluated per attempt: for OAuth sources a
+      // refreshed cache entry yields a fresh Bearer token here
+      (opts.authHeaders ++ opts.extraHeaders).foreach { case (k, v) =>
+        conn.setRequestProperty(k, v) }
+      val code = conn.getResponseCode
+      if (code >= 400) { conn.disconnect(); (code, None) }
+      else {
+        val in = conn.getInputStream
+        try (code, Some(mapper.readTree(in)))
+        finally { in.close(); conn.disconnect() }
+      }
+    }
+    val (code, body) = once() match {
+      // A 401 under OAuth means the cached token outlived its server-side
+      // validity: invalidate and retry once with a freshly fetched token
+      // (the reference's expiry-refresh loop, rest_auth.rs:115-137).
+      case (401, None) if opts.oauthConfig.isDefined =>
+        RestAuth.invalidate(opts.oauthConfig.get)
+        once()
+      case r => r
+    }
+    body.getOrElse(
+      throw new RuntimeException(s"REST source HTTP $code from $url"))
   }
 
   def rowsOf(body: JsonNode, dataPath: Option[String]): Seq[JsonNode] = {
