@@ -77,11 +77,16 @@ object Relational {
       // output needs no re-aggregation (orderkey is unique on both sides).
       // The wasted pre-agg on non-qualifying orders is map-side combine
       // work, traded for 4× less shuffle volume — the right trade at any
-      // scale. customer broadcasts through orders as before; shuffle_hash
-      // keeps rev (corpus-sized) off the broadcast build side.
+      // scale. customer SCALES WITH SF (0.15×SF rows), so it is never
+      // forced to broadcast: shuffle_hash builds on the (filtered,
+      // smaller) customer side while both sides stay distributed — at
+      // 100 TB a customer broadcast would move billions of rows through
+      // the driver. Fixed-size dims (nation/region) are the only
+      // relations this file broadcasts.
       val rev = tt.lineitem.groupBy(col("l_orderkey"))
         .agg(lsumPart(discPrice(tt.lineitem)).as("rev"))
-      tt.orders.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      tt.orders.join(c.hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"))
         .join(rev.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), lvalue(col("rev")).as("revenue"))
@@ -110,7 +115,9 @@ object Relational {
       // row per order instead of ~4 line items, and the final custkey
       // re-aggregation stays exact over the scaled-long partials (per-order
       // and per-customer revenue are entity-bounded ⇒ lsum path). nation
-      // and customer broadcast as before.
+      // (25 rows, constant in SF) broadcasts; customer scales with SF so
+      // its join runs shuffle_hash — distributed build, no driver
+      // round-trip, and AQE keeps skew handling available.
       val rev = tt.lineitem
         .groupBy(col("l_orderkey"))
         .agg(lsumPart(discPrice(tt.lineitem)).as("rev"))
@@ -120,8 +127,8 @@ object Relational {
       // round-trip that is also scale-wrong (rev grows with the fact table,
       // the one thing that must never be a build side at 100 TB).
       tt.orders
-        .join(broadcast(tt.customer.join(broadcast(tt.nation),
-          col("c_nationkey") === col("n_nationkey"))),
+        .join(tt.customer.join(broadcast(tt.nation),
+          col("c_nationkey") === col("n_nationkey")).hint("shuffle_hash"),
           col("o_custkey") === col("c_custkey"))
         .join(rev.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("c_custkey"), col("c_name"))
@@ -200,8 +207,11 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE o_totalprice > 400000""".stripMargin) { (s, dir) =>
       val tt = t(s, dir)
+      // no broadcast hint: customer scales with SF, so the join strategy is
+      // left to stats/AQE (which will still broadcast at small scale, from
+      // MEASURED sizes, and switch to a distributed join when it grows)
       tt.orders.filter(col("o_totalprice") > 400000)
-        .join(broadcast(tt.customer), col("o_custkey") === col("c_custkey"))
+        .join(tt.customer, col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
     },
 

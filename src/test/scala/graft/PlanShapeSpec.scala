@@ -35,11 +35,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q6 over-reads: $read6")
   }
 
-  test("dimension joins broadcast; fact side still shuffles on its key") {
+  test("only fixed-size dims broadcast; SF-scaling relations never do") {
+    // q3: customer grows with SF (0.15×SF rows) — at 100 TB a forced
+    // broadcast is a driver OOM. Both its joins are distributed
+    // shuffled-hash; nothing broadcasts.
     val p3 = plan("q3_shipping_priority")
-    assert(p3.contains("BroadcastHashJoin"), p3)
+    assert(p3.contains("ShuffledHashJoin"), p3)
+    assert(!p3.contains("BroadcastHashJoin"),
+      s"q3 must not broadcast an SF-scaling relation:\n$p3")
+    // q10: exactly one broadcast — nation (25 rows, constant in SF);
+    // the customer and revenue joins are shuffled.
     val p10 = plan("q10_returned_items")
-    assert(p10.contains("BroadcastHashJoin"), p10)
+    // formatted explain lists every node twice (tree + details): count the
+    // details-section entries, "(n) BroadcastHashJoin"
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p10).size == 1, p10)
+    assert(p10.contains("ShuffledHashJoin"), p10)
     // the fact table reaches its join/aggregation through a hash
     // partition exchange, not a broadcast of lineitem
     assert(p10.contains("hashpartitioning"), p10)
@@ -91,6 +101,24 @@ class PlanShapeSpec extends AnyFunSuite {
     exchanges.foreach(e =>
       assert(!e.contains("v#") && !e.contains("embedding"),
         s"vector column in shuffle key list: $e"))
+  }
+
+  test("corpus-frequency stats never window over a corpus-cardinality key") {
+    // A Window.partitionBy(word) puts every (doc,word) row of a stopword
+    // on ONE task — a hot spot AQE cannot split. cf/df must come from a
+    // map-side-combined groupBy joined back by key (a shuffled join AQE
+    // CAN skew-split). Pin: any Window node partitions by doc_id only.
+    for (q <- Seq("t_tfidf_topterms", "t_unigram_logprob")) {
+      val p = plan(q)
+      // every window spec's partition key (first windowspecdefinition arg)
+      // must be the bounded per-document key
+      val windowKeys = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(windowKeys.forall(_ == "doc_id"),
+        s"$q windows over a corpus-cardinality key (${windowKeys.mkString(",")}):\n$p")
+      // and the per-word stat arrives through an aggregate feeding a join
+      assert(p.contains("HashAggregate"), p)
+    }
   }
 
   test("simhash multi-band: banded exchange reused by both self-join sides; no text shuffled") {
@@ -186,15 +214,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"documents shuffled in a sampling pass: $e"))
   }
 
-  test("unigram surprisal computes cf over a window, not a self-join") {
+  test("unigram surprisal joins checkpointed tf — no window, no re-explode") {
     val p = plan("t_unigram_logprob")
-    assert(p.contains("Window"), p)
-    // two scans total (the explode pipeline + the cheap token-total
-    // scan): a vocabulary self-join would add a third, re-running the
-    // explode. FormattedMode lists each scan twice (tree + detail), so
-    // count the numbered detail entries only.
+    // cf comes from groupBy + join-back on the checkpointed tf relation;
+    // the plan has no Window node at all (a sum-over-window by word would
+    // hot-spot one task per stopword)
+    assert(!p.contains("(\\d+) Window"), p)
+    // the explode pipeline was materialized by localCheckpoint: downstream
+    // reads it as an existing RDD, so the only parquet scan left is the
+    // cheap token-total pass — a vocabulary self-join that re-ran the
+    // explode would show a second one
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
     assert(scans <= 2, s"unigram plan re-reads documents:\n$p")
+    assert(p.contains("ExistingRDD"), s"tf not checkpointed:\n$p")
   }
 
   test("phash pairs band-join ships (id, window, hash) — payloads stay map-side") {
