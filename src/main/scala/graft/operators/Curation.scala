@@ -247,21 +247,25 @@ object Curation {
       val words = TextPipeline.withNorm(t(s, dir).documents)
         .select(col("doc_id"), explode(col("words")).as("w"))
         .filter(col("w") =!= "")
+      // cf via map-side-combined groupBy + join-back (the t_tfidf_topterms
+      // shape): a sum-over-Window.partitionBy(w) would put every (doc,word)
+      // row of a stopword on ONE task — a hot spot AQE cannot split, since
+      // skew handling covers joins/aggregates, not windows. tf is lazily
+      // localCheckpointed so the explode+aggregate runs once for both the
+      // cf aggregation and the join probe. The token total comes from a
+      // separate cheap scan (per-doc word counts, no explode) and
+      // broadcasts as one row.
       val tf = words.groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf"))
-      // corpus frequency as sum-over-window on tf itself (the
-      // t_tfidf_topterms shape): one shuffle by word, NO second execution
-      // of the explode+aggregate pipeline and no vocabulary join. The
-      // token total comes from a separate cheap scan (per-doc word counts,
-      // no explode) and broadcasts as one row.
-      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+        .localCheckpoint(false)
+      val cf = tf.groupBy(col("w")).agg(sum(col("tf")).as("cf"))
       // norm is trimmed, so split() only yields an empty token when the
       // whole norm is empty — counting is a codegen'd size(), no lambda
       val tot = TextPipeline.withNorm(t(s, dir).documents)
         .select(when(col("norm") === "", lit(0))
           .otherwise(size(col("words"))).as("n"))
         .agg(sum(col("n")).as("tot"))
-      val terms = tf.withColumn("cf", sum(col("tf")).over(wTerm))
+      val terms = tf.join(cf, "w")
         .crossJoin(broadcast(tot))
         .select(col("doc_id"), col("tf"),
           round(col("tf") * log(col("cf").cast("double") / col("tot"))

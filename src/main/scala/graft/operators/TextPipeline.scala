@@ -238,15 +238,22 @@ object TextPipeline {
          |SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3""".stripMargin) { (s, dir) =>
       val docs = withNorm(t(s, dir).documents)
       val n = docs.agg(count(lit(1)).as("n"))
+      // df via groupBy + join-back, NOT count-over-Window.partitionBy(w):
+      // a window partition is ONE task, and the partition for a stopword
+      // holds a row per containing document — a single-reducer hot spot
+      // AQE cannot split (skew handling covers joins/aggregates, not
+      // windows). The groupBy is map-side combined (reducers see one row
+      // per map task, not per doc) and the join back is a SHUFFLED join,
+      // which AQE's skew-join CAN split. tf is lazily localCheckpointed so
+      // the explode+aggregate pipeline executes once, feeding both the df
+      // aggregation and the join probe from materialized blocks.
       val tf = docs.select(col("doc_id"), explode(col("words")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      // df as count-over-window on the tf relation itself: one shuffle by
-      // term and NO second execution of the tf pipeline (a tf⋈df self-join
-      // runs the explode+aggregate twice and shuffles both sides).
-      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+        .localCheckpoint(false)
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val wDoc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-      tf.withColumn("df", count(lit(1)).over(wTerm))
+      tf.join(df, "w")
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("w").as("term"),
           round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
