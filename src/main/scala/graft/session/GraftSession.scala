@@ -58,6 +58,19 @@ final class GraftSession(
 
   def queryLog: Seq[QueryLogEntry] = log.synchronized(log.toSeq)
 
+  /** A plan touching any `cache: false` source is exempt from the result
+    * cache in both directions (the reference's per-source cache disable,
+    * query/cache.rs): TTL-stale answers from a volatile backend are wrong
+    * answers. View references survive analysis as SubqueryAlias nodes, so
+    * membership is checked against those names. */
+  private def cacheableFor(df: DataFrame): Boolean = {
+    val disabled = graft.sources.SourceRegistry.uncacheableViews(spark)
+    disabled.isEmpty || !df.queryExecution.analyzed.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        s.alias.toLowerCase
+    }.exists(disabled.contains)
+  }
+
   def executeQuery(sql: String,
       user: AuthenticatedUser = AuthenticatedUser.anonymous): QueryResult =
     executeQuery(sql, user, Map.empty[String, Any])
@@ -97,7 +110,7 @@ final class GraftSession(
         }
         validator.validate(df)
         cache match {
-          case Some(c) if config.cacheEnabled && useCache =>
+          case Some(c) if config.cacheEnabled && useCache && cacheableFor(df) =>
             val k = c.key(df, user)
             c.lookup(spark, k) match {
               case Some(hit) =>

@@ -25,9 +25,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class QueryCache(
     root: Path,
     ttlMillis: Long = 3600L * 1000,
-    maxEntries: Int = 256) {
+    maxEntries: Int = 256,
+    /** Byte budget for all cached parquet together — the reference's moka
+      * weigher (cache.rs:33-441 weighs entries by batch bytes, not count),
+      * so one huge result can't pin 255 small ones out while the
+      * entry-count bound never fires. */
+    maxBytes: Long = 1L << 30) {
 
-  private final case class Entry(dir: Path, createdAt: Long, var lastUsed: Long)
+  private final case class Entry(dir: Path, createdAt: Long,
+      var lastUsed: Long, bytes: Long)
   private val index = new ConcurrentHashMap[String, Entry]()
   Files.createDirectories(root)
 
@@ -62,7 +68,7 @@ final class QueryCache(
       // key can actually hit from now on.
       index.computeIfAbsent(k, _ => {
         val now = System.currentTimeMillis()
-        Entry(target, now, now)
+        Entry(target, now, now, dirBytes(target))
       })
       return true
     }
@@ -80,7 +86,7 @@ final class QueryCache(
         case _: java.nio.file.FileAlreadyExistsException => deleteRec(tmp)
       }
       val now = System.currentTimeMillis()
-      index.put(k, Entry(target, now, now))
+      index.put(k, Entry(target, now, now, dirBytes(target)))
       evictIfNeeded()
       true
     }
@@ -93,12 +99,28 @@ final class QueryCache(
 
   def size: Int = index.size()
 
-  private def evictIfNeeded(): Unit =
-    while (index.size() > maxEntries) {
-      import scala.jdk.CollectionConverters._
+  /** Total parquet bytes currently indexed. */
+  def totalBytes: Long = {
+    import scala.jdk.CollectionConverters._
+    index.values().asScala.map(_.bytes).sum
+  }
+
+  private def evictIfNeeded(): Unit = {
+    import scala.jdk.CollectionConverters._
+    while (index.size() > maxEntries ||
+        (index.size() > 1 && totalBytes > maxBytes)) {
+      // size>1 guard: a single over-budget entry stays until its TTL —
+      // evicting the result we just stored would turn the store into a no-op
       val lru = index.entrySet().asScala.minBy(_.getValue.lastUsed)
       invalidate(lru.getKey)
     }
+  }
+
+  private def dirBytes(p: Path): Long = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+  }
 
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p)) {

@@ -20,6 +20,10 @@ final case class SourceDef(
     url: Option[String] = None,
     options: Map[String, String] = Map.empty,
     maxConcurrentQueries: Option[Int] = None,
+    /** `cache: false` opts every table of this source out of the result
+      * cache — for volatile backends where a TTL-stale answer is wrong
+      * (the reference's per-source cache disable, query/cache.rs). */
+    cache: Boolean = true,
     tables: Seq[TableDef] = Nil)
 
 final case class TableDef(
@@ -100,6 +104,7 @@ object SourcesConfig {
             .map { case (k, v) => k -> String.valueOf(v) }.toMap)
           .getOrElse(Map.empty),
         maxConcurrentQueries = opt(s, "max_concurrent_queries").map(_.toInt),
+        cache = opt(s, "cache").forall(_.toBoolean),
         tables = list(s.get("tables")).map { t =>
           TableDef(
             name = str(t, "name"),

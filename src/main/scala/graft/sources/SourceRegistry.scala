@@ -42,7 +42,19 @@ final class SourceRegistry(spark: SparkSession) {
       reconciled.createOrReplaceTempView(s"${src.name}_${t.name}")
       if (spark.catalog.tableExists(t.name) == false)
         reconciled.createOrReplaceTempView(t.name)
+      if (!src.cache) {
+        markUncacheable(s"${src.name}_${t.name}")
+        markUncacheable(t.name)
+      }
     }
+  }
+
+  /** Record a view as cache-exempt in session conf, where the serving
+    * session (which owns the result cache, not this registry) can see it. */
+  private def markUncacheable(view: String): Unit = {
+    val existing = SourceRegistry.uncacheableViews(spark)
+    spark.conf.set(SourceRegistry.UncacheableKey,
+      (existing + view.toLowerCase).toSeq.sorted.mkString(","))
   }
 
   private def load(src: SourceDef, t: TableDef): DataFrame = {
@@ -86,6 +98,31 @@ final class SourceRegistry(spark: SparkSession) {
   }
 
   private def pathOf(src: SourceDef, t: TableDef): String =
-    t.path.orElse(src.url.map(u => s"$u/${t.name}")).getOrElse(
-      throw new IllegalArgumentException(s"table ${t.name} needs a path"))
+    SourceRegistry.normalizeScheme(
+      t.path.orElse(src.url.map(u => s"$u/${t.name}")).getOrElse(
+        throw new IllegalArgumentException(s"table ${t.name} needs a path")))
+}
+
+object SourceRegistry {
+  /** Object-store path support, mirroring the reference's scheme'd file
+    * URIs (s3/gcs/az/http via OpenDAL, file.rs:124-207). Spark's file
+    * sources already resolve any scheme through Hadoop's FileSystem
+    * registry, and per-source credentials/impl classes travel as plain
+    * `options` entries (`fs.s3a.access.key`, `fs.<scheme>.impl`, …)
+    * because file readers merge their options into the per-read Hadoop
+    * conf. The one mapping Spark users need: the reference's `s3://`
+    * spells the Hadoop connector `s3a://`. gs/abfss/https/ftp/sftp pass
+    * through to whatever fs.<scheme>.impl the deployment ships. */
+  private[graft] def normalizeScheme(p: String): String =
+    if (p.startsWith("s3://")) "s3a://" + p.stripPrefix("s3://") else p
+
+  /** Session-conf key listing views whose source opted out of the result
+    * cache (`cache: false`); the session conf is the one state both the
+    * registry and the serving session share. */
+  val UncacheableKey = "spark.graft.cache.disabledViews"
+
+  def uncacheableViews(spark: SparkSession): Set[String] =
+    spark.conf.getOption(UncacheableKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
 }

@@ -177,6 +177,58 @@ class GovernanceSpec extends AnyFunSuite {
     assert(hit.get.count() == 5)
   }
 
+  test("cache: byte-budget eviction drops LRU entries, keeps hot ones") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cache-bytes")
+    val u = AuthenticatedUser("weigher")
+    // budget sized to hold roughly two of the three results
+    val probe = gspark.sql("SELECT n_nationkey FROM nation WHERE n_nationkey < 9")
+    val c0 = new QueryCache(root)
+    val kProbe = c0.key(probe, u)
+    assert(c0.store(probe, kProbe))
+    val oneEntry = c0.totalBytes
+    assert(oneEntry > 0)
+    val c = new QueryCache(
+      java.nio.file.Files.createTempDirectory("graft-cache-bytes2"),
+      maxEntries = 1000, maxBytes = oneEntry * 5 / 2)
+    val dfs = (1 to 3).map(i =>
+      gspark.sql(s"SELECT n_nationkey FROM nation WHERE n_nationkey < $i"))
+    val keys = dfs.map(c.key(_, u))
+    dfs.zip(keys).foreach { case (df, k) =>
+      assert(c.store(df, k)); Thread.sleep(5) }
+    // 3 entries exceed the ~2.5-entry byte budget: the oldest was evicted
+    assert(c.size == 2, s"size=${c.size} bytes=${c.totalBytes}")
+    assert(c.totalBytes <= oneEntry * 5 / 2)
+    assert(c.lookup(gspark, keys.head).isEmpty, "LRU entry survived")
+    assert(c.lookup(gspark, keys.last).isDefined, "hot entry evicted")
+    // an entry-count bound alone (256 default) would never have fired here
+  }
+
+  test("cache: a cache:false source opts its tables out, both directions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nocache")
+    gspark.sql("SELECT n_nationkey, n_name FROM nation")
+      .write.mode("overwrite").parquet(s"$dir/volatile.parquet")
+    new graft.sources.SourceRegistry(gspark).registerAll(
+      graft.sources.SourcesConfig(Seq(graft.sources.SourceDef(
+        name = "livefeed", sourceType = "parquet", cache = false,
+        url = Some(dir.toString),
+        tables = Seq(graft.sources.TableDef("volatile",
+          path = Some(s"$dir/volatile.parquet")))))))
+    val u = AuthenticatedUser("nocache-user")
+    val sql = "SELECT count(*) AS n FROM livefeed_volatile"
+    val r1 = engine.executeQuery(sql, u)
+    val r2 = engine.executeQuery(sql, u)
+    // neither a miss-then-store nor a hit: the cache is bypassed entirely
+    for (r <- Seq(r1, r2)) {
+      assert(!r.warnings.exists(_.code == WarningCodes.CacheHit), r.warnings)
+      assert(!r.warnings.exists(_.code == WarningCodes.CacheMiss), r.warnings)
+    }
+    assert(r2.df.head().getLong(0) == 25)
+    // a query NOT touching the opted-out source still caches
+    val cached = engine.executeQuery(
+      "SELECT count(*) AS n FROM nation WHERE n_regionkey = 0", u)
+    assert(cached.warnings.exists(_.code == WarningCodes.CacheMiss))
+  }
+
   test("query log records scrubbed sql and cache flag") {
     val before = engine.queryLog.size
     engine.executeQuery(
