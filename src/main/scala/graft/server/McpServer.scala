@@ -32,7 +32,13 @@ import scala.util.control.NonFatal
   * (stderr is free for logs, as the stdio transport requires).
   */
 final class McpServer(spark: SparkSession,
-    sandboxPolicy: ScriptSandbox.SandboxPolicy = ScriptSandbox.SandboxPolicy()) {
+    sandboxPolicy: ScriptSandbox.SandboxPolicy = ScriptSandbox.SandboxPolicy(),
+    /** Remote-catalog enrichment consulted by search_schemas: probed
+      * descriptions (pg_catalog / information_schema / JDBC REMARKS) let
+      * an opaque remote column rank for what its comment says it is.
+      * Defaults to no enrichment for catalogs with declared metadata. */
+    enricher: MetadataEnricher = NullEnricher,
+    enricherSource: String = "") {
 
   private val mapper = new ObjectMapper()
 
@@ -150,7 +156,8 @@ final class McpServer(spark: SparkSession,
         case "search_schemas" =>
           val query = Option(args.get("query")).map(_.asText()).getOrElse("")
           val limit = Option(args.get("limit")).map(_.asInt()).getOrElse(10)
-          val hits = SchemaSearch.search(spark, query, limit)
+          val hits = SchemaSearch.search(spark, query, limit,
+            enricher, enricherSource)
           val arr = mapper.createArrayNode()
           hits.foreach { h =>
             val o = arr.addObject()
@@ -169,7 +176,11 @@ final class McpServer(spark: SparkSession,
             o.put("column_name", f.name)
             o.put("data_type", f.dataType.simpleString)
             o.put("nullable", f.nullable)
-            f.getComment().foreach(c => o.put("column_description", c))
+            // declared comments win; probed remote-catalog descriptions
+            // fill the gaps (same precedence as search ranking)
+            f.getComment()
+              .orElse(enricher.enrich(fqn, Some(f.name), enricherSource))
+              .foreach(c => o.put("column_description", c))
           }
           textResult(mapper.writeValueAsString(arr), isError = false)
         case "run_python" =>

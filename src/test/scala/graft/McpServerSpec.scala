@@ -94,6 +94,66 @@ class McpServerSpec extends AnyFunSuite {
     assert(pe.get("error").get("code").asInt() == -32700)
   }
 
+  test("probed remote-catalog comments surface over the live MCP edge") {
+    // a JDBC source with an opaque column name whose meaning lives only in
+    // the remote catalog: Derby holds both the data table and a comments
+    // catalog; the enricher fetches descriptions over a LIVE connection
+    val dir = java.nio.file.Files.createTempDirectory("graft-mcp-enrich")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE fin_accounts (acct_id INT, c77_v DOUBLE)")
+    st.execute("INSERT INTO fin_accounts VALUES (1, 10.5)")
+    st.execute("""CREATE TABLE catalog_comments
+      (table_name VARCHAR(64), column_name VARCHAR(64), description VARCHAR(256))""")
+    st.execute("""INSERT INTO catalog_comments VALUES
+      ('fin_accounts', 'c77_v', 'likelihood the customer will churn next quarter')""")
+    st.close(); conn.close()
+    spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "fin_accounts").load()
+      .createOrReplaceTempView("fin_accounts")
+    // the probe is a real SQL fetch over the live JDBC connection — the
+    // catalog query is custom because embedded Derby has no REMARKS/COMMENT
+    // support, but connection, statement, and result-set plumbing are real
+    val probe: graft.server.InformationSchemaEnricher.Probe = c => {
+      val s = c.createStatement()
+      try {
+        val rs = s.executeQuery(
+          "SELECT table_name, column_name, description FROM catalog_comments")
+        val b = Map.newBuilder[(String, Option[String]), String]
+        while (rs.next()) b += ((rs.getString(1), Option(rs.getString(2))) ->
+          rs.getString(3))
+        graft.server.InformationSchemaEnricher.Descriptions(b.result(), 2)
+      } finally s.close()
+    }
+    val enricher = new graft.server.InformationSchemaEnricher(
+      _ => java.sql.DriverManager.getConnection(url), _ => Some("derby"),
+      probeOverride = Some(Seq(probe)))
+    val esrv = new McpServer(spark, enricher = enricher,
+      enricherSource = "findb")
+    // search by MEANING over the MCP edge: "churn" matches nothing in
+    // the opaque name c77_v (no token, synonym, or trigram affinity) —
+    // only the probed comment can rank it
+    val resp = esrv.handleLine("""{"jsonrpc":"2.0","id":41,"method":"tools/call",
+      |"params":{"name":"search_schemas","arguments":{"query":"customer churn"}}}"""
+      .stripMargin.replace("\n", "")).get
+    val hits = mapper.readTree(
+      resp.get("result").get("content").get(0).get("text").asText())
+    val cols = (0 until hits.size()).map(h => (hits.get(h).get("table").asText(),
+      Option(hits.get(h).get("column")).map(_.asText())))
+    assert(cols.exists(c => c._1.equalsIgnoreCase("fin_accounts") &&
+      c._2.exists(_.equalsIgnoreCase("c77_v"))), cols)
+    // and get_schema_details carries the probed description too
+    val det = esrv.handleLine("""{"jsonrpc":"2.0","id":42,"method":"tools/call",
+      |"params":{"name":"get_schema_details","arguments":{"fqn":"fin_accounts"}}}"""
+      .stripMargin.replace("\n", "")).get
+    val fields = mapper.readTree(
+      det.get("result").get("content").get(0).get("text").asText())
+    val descs = (0 until fields.size()).map(f =>
+      Option(fields.get(f).get("column_description")).map(_.asText()).getOrElse(""))
+    assert(descs.exists(_.contains("churn next quarter")), descs)
+  }
+
   test("full session over the stream transport") {
     val in = new java.io.ByteArrayInputStream(
       ("""{"jsonrpc":"2.0","id":1,"method":"initialize","params":{}}""" + "\n" +
