@@ -54,20 +54,34 @@ class AuthError(GraftError):
     """Missing/invalid API key or insufficient permissions."""
 
 
-def connect(url, api_key=None, timeout=60.0, trace_dir=None):
-    """Connect to a running graft server.
+def connect(url=None, api_key=None, timeout=60.0, trace_dir=None,
+            mode=None, config=None, data_dir=None, boot_timeout=180.0):
+    """Connect to a graft server — remote or embedded.
 
-    :param url: base URL, e.g. ``http://localhost:8080``. (The reference's
-        embedded mode boots an in-process engine from ``strake.yaml``;
-        graft's engine is a JVM library, so the Python surface is
-        remote-only — point it at a served engine.)
+    :param url: base URL, e.g. ``http://localhost:8080``. Omit it (or pass
+        ``mode="embedded"``) to BOOT the engine as a child JVM against
+        ``config``/``data_dir`` and connect to its ephemeral port — the
+        UX of the reference's default in-process ``connect()``
+        (``python/src/backend/embedded.rs``); a JVM engine can't live
+        inside CPython, so "embedded" means a lifecycle-managed child
+        process whose engine dies with this connection.
     :param api_key: bearer token resolved server-side to an
-        AuthenticatedUser (permissions + row policies).
+        AuthenticatedUser (permissions + row policies). Embedded mode
+        generates a private random key for the child automatically.
     :param timeout: per-request timeout in seconds.
     :param trace_dir: directory for JSON-lines session traces (reference:
         ``strake.connect(trace_dir=...)``); every query emits a timed
         record with the statement's hash — never its text.
+    :param mode: ``"embedded"`` to force the child-JVM boot path.
+    :param config: sources.yaml registered at boot (embedded mode).
+    :param data_dir: parquet table directory registered at boot
+        (embedded mode).
+    :param boot_timeout: seconds to wait for the child JVM to serve.
     """
+    if mode == "embedded" or url is None:
+        return EmbeddedConnection(config=config, data_dir=data_dir,
+                                  timeout=timeout, trace_dir=trace_dir,
+                                  boot_timeout=boot_timeout)
     return GraftConnection(url, api_key=api_key, timeout=timeout,
                            trace_dir=trace_dir)
 
@@ -307,3 +321,106 @@ class GraftConnection:
     def _get_json(self, path):
         raw, _ = self._request_raw("GET", path, None)
         return _json.loads(raw.decode("utf-8"))
+
+
+# -------------------------------------------------------------- embedded mode
+
+# Spark on JDK 17 needs these opens when the JVM is launched directly
+# (spark-submit normally injects them; mirrors
+# org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()).
+_JDK17_ADD_OPENS = [
+    "--add-opens=java.base/" + p + "=ALL-UNNAMED" for p in (
+        "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+        "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")
+]
+
+
+class EmbeddedConnection(GraftConnection):
+    """A connection that OWNS its engine: boots ``graft.server.ServerMain``
+    as a child JVM, waits for its ephemeral port, and terminates it on
+    ``close()`` — the child-process realization of the reference's
+    embedded backend. The child serves with a private random API key
+    passed via environment, never argv."""
+
+    def __init__(self, config=None, data_dir=None, timeout=60.0,
+                 trace_dir=None, boot_timeout=180.0):
+        import os
+        import secrets
+        import subprocess
+        import tempfile
+        import time
+
+        repo = os.environ.get("GRAFT_HOME") or os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        classes = os.path.join(repo, "target", "scala-2.13", "classes")
+        if not os.path.isdir(classes):
+            raise ConnectionError(
+                "embedded mode needs compiled engine classes at %s "
+                "(run `sbt compile`, or set GRAFT_HOME)" % classes)
+        spark_jars = os.environ.get("GRAFT_SPARK_JARS", "/opt/spark/jars")
+        key = secrets.token_hex(16)
+        fd, port_file = tempfile.mkstemp(prefix="graft-embedded-", suffix=".port")
+        os.close(fd)
+        os.unlink(port_file)  # ServerMain writes it atomically when ready
+        self._log = tempfile.NamedTemporaryFile(  # noqa: SIM115 - outlives ctor
+            mode="wb", prefix="graft-embedded-", suffix=".log", delete=False)
+        cmd = (["java"] + _JDK17_ADD_OPENS +
+               ["-cp", classes + os.pathsep + os.path.join(spark_jars, "*"),
+                "graft.server.ServerMain", "--port-file", port_file])
+        if config:
+            cmd += ["--config", config]
+        if data_dir:
+            cmd += ["--data", data_dir]
+        env = dict(os.environ, GRAFT_API_KEY=key)
+        self._proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=self._log, stderr=self._log,
+            env=env)
+        deadline = time.monotonic() + boot_timeout
+        port = None
+        while time.monotonic() < deadline:
+            if self._proc.poll() is not None:
+                raise ConnectionError(
+                    "embedded engine exited with code %d; log: %s"
+                    % (self._proc.returncode, self._log.name))
+            try:
+                with open(port_file) as f:
+                    port = int(f.read().strip())
+                break
+            except (FileNotFoundError, ValueError):
+                time.sleep(0.2)
+        if port is None:
+            self._proc.kill()
+            raise ConnectionError(
+                "embedded engine did not serve within %.0fs; log: %s"
+                % (boot_timeout, self._log.name))
+        try:
+            os.unlink(port_file)
+        except OSError:
+            pass
+        super().__init__("http://localhost:%d" % port, api_key=key,
+                         timeout=timeout, trace_dir=trace_dir)
+
+    def close(self):
+        """Shut the child engine down (stdin EOF, then terminate)."""
+        super().close()
+        proc = getattr(self, "_proc", None)
+        if proc is not None and proc.poll() is None:
+            try:
+                proc.stdin.close()  # ServerMain exits on stdin EOF
+                proc.wait(timeout=30)
+            except Exception:
+                proc.terminate()
+                try:
+                    proc.wait(timeout=10)
+                except Exception:
+                    proc.kill()
+        if getattr(self, "_log", None) is not None:
+            try:
+                self._log.close()
+            except Exception:
+                pass
+
+
+__all__.append("EmbeddedConnection")

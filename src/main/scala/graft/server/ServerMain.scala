@@ -1,0 +1,56 @@
+package graft.server
+
+/** Standalone serving entry point — and the JVM half of the Python
+  * client's EMBEDDED mode. The reference's default `connect()` boots the
+  * engine in-process from `strake.yaml`
+  * (/root/reference/python/src/backend/embedded.rs); a JVM engine can't
+  * live inside CPython, so the same UX boots this main as a child process
+  * and points the client at its ephemeral port.
+  *
+  * Usage: `graft.server.ServerMain [--config sources.yaml] [--data sfDir]
+  * [--port N] [--port-file path]`. The bootstrap admin API key arrives via
+  * the GRAFT_API_KEY env var — secrets never appear on a command line
+  * (same stance as the CLI's `${VAR}` expansion). The ephemeral port is
+  * written to `--port-file` once the server accepts connections.
+  *
+  * Lifecycle is child-process-shaped: serve until stdin reaches EOF (the
+  * parent exited or closed the pipe), then stop Spark and exit 0 — no
+  * orphaned JVMs when the Python side dies.
+  */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val a = args.grouped(2).collect { case Array(k, v) => k -> v }.toMap
+    val spark = graft.session.GraftSession.builder(
+        sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .appName("graft-server")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    a.get("--data").foreach(dir => graft.Tables(spark, dir).registerAll())
+    a.get("--config").foreach { yml =>
+      new graft.sources.SourceRegistry(spark)
+        .registerAll(graft.sources.SourcesConfig.fromYamlFile(yml))
+    }
+    val engine = new graft.session.GraftSession(spark,
+      cache = Some(graft.session.QueryCache.temp()))
+    val key = sys.env.getOrElse("GRAFT_API_KEY", "")
+    val auth = new ApiKeyAuthenticator(
+      if (key.isEmpty) Map.empty
+      else Map(key -> graft.session.AuthenticatedUser("embedded", Set("admin"))))
+    val api = new ApiServer(engine, auth.apply)
+    val port = api.start(a.get("--port").map(_.toInt).getOrElse(0))
+    a.get("--port-file").foreach { pf =>
+      // write-then-rename so the watching parent never reads a partial file
+      val tmp = java.nio.file.Paths.get(pf + ".tmp")
+      java.nio.file.Files.writeString(tmp, port.toString)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(pf),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    System.err.println(s"graft server listening on port $port")
+    while (System.in.read() != -1) ()
+    spark.stop()
+    sys.exit(0)
+  }
+}

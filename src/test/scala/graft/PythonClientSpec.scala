@@ -46,4 +46,50 @@ class PythonClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(proc.exitValue == 0, s"client failed:\n$out")
     assert(out.contains("ALL OK"), out)
   }
+
+  test("embedded mode boots the engine as a child JVM — no pre-started server") {
+    val repo = new java.io.File(".").getCanonicalFile
+    val dir = java.nio.file.Files.createTempDirectory("graft-embedded-test")
+    java.nio.file.Files.writeString(dir.resolve("sources.yaml"),
+      s"""sources:
+         |  - name: files
+         |    type: parquet
+         |    tables:
+         |      - name: nation
+         |        path: $sf/nation.parquet
+         |""".stripMargin)
+    val script = dir.resolve("embedded_client.py")
+    java.nio.file.Files.writeString(script,
+      """import sys
+        |import graft
+        |conn = graft.connect(mode="embedded", config=sys.argv[1])
+        |try:
+        |    cols, rows, _ = conn.sql_rows(
+        |        "SELECT count(*) AS n FROM files_nation")
+        |    assert cols == ["n"], cols
+        |    assert rows[0][0] == 25, rows
+        |    # unauthenticated requests to the child are refused: the
+        |    # generated key is real auth, not decoration
+        |    probe = graft.GraftConnection(conn._base, api_key="wrong")
+        |    try:
+        |        probe.sql_rows("SELECT 1")
+        |        raise SystemExit("wrong key accepted")
+        |    except graft.AuthError:
+        |        pass
+        |finally:
+        |    conn.close()
+        |print("EMBEDDED OK")
+        |""".stripMargin)
+    val pb = new ProcessBuilder("python3", script.toString,
+      dir.resolve("sources.yaml").toString)
+    pb.environment().put("PYTHONPATH",
+      new java.io.File(repo, "python").getAbsolutePath)
+    pb.environment().put("GRAFT_HOME", repo.getAbsolutePath)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    assert(proc.waitFor(240, TimeUnit.SECONDS), s"embedded client timed out:\n$out")
+    assert(proc.exitValue == 0, s"embedded client failed:\n$out")
+    assert(out.contains("EMBEDDED OK"), out)
+  }
 }
