@@ -115,6 +115,36 @@ object Analytics {
           sum(col("l_quantity").cast("bigint")).over(w).as("qty_range_sum"))
     },
 
+    // GROUPS frame mode (expr.rs:140-256 translates it). Neither Spark 4
+    // nor this sandbox's DuckDB implements GROUPS frames, so the semantics
+    // are COMPOSED from what both have: dense_rank() numbers the ORDER BY
+    // peer groups, and an integer RANGE frame over that rank IS the GROUPS
+    // frame by definition — "rows whose peer-group index is within N of
+    // mine". The oracle executes the same composition independently in
+    // DuckDB (differential arithmetic check); the SEMANTIC equivalence to
+    // a true GROUPS frame is pinned against hand-computed SQL-standard
+    // values in OperatorSemanticsSpec. Both windows share one
+    // partitioning, so the plan keeps a single exchange.
+    GraftQuery("q_window_groups",
+      """WITH g AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS grp
+        |  FROM lineitem WHERE l_suppkey < 3)
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey ORDER BY grp
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS grp_sum
+        |FROM g""".stripMargin) { (s, dir) =>
+      val byDate = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      val byGroup = Window.partitionBy(col("l_suppkey")).orderBy(col("grp"))
+        .rangeBetween(-1, Window.currentRow)
+      t(s, dir).lineitem.filter(col("l_suppkey") < 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), dense_rank().over(byDate).as("grp"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("bigint")).over(byGroup).as("grp_sum"))
+    },
+
     // ------------------------------------------------------------- events
     // JSON props extraction (the reference flattens nested JSON to Utf8 —
     // rest.rs:616-617; we expose typed extraction, strictly better).

@@ -16,6 +16,29 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(rows.forall { case (n, sq) => sq == n * n })
   }
 
+  test("GROUPS frame composition matches the SQL-standard definition by hand") {
+    // SQL standard (T620): GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW
+    // frames whole ORDER BY peer groups. Hand-computed on a tied dataset:
+    //   k=1: {10,20}   frame = group(1)          → 30 for both rows
+    //   k=2: {5}       frame = groups(1,2)       → 35
+    //   k=3: {1,2,3}   frame = groups(2,3)       → 11 for all three rows
+    // The engine's composition (dense_rank → integer RANGE frame, the
+    // q_window_groups rewrite) must reproduce exactly these values.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1, 10L), (1, 20L), (2, 5L), (3, 1L), (3, 2L), (3, 3L))
+      .toDF("k", "v")
+    val grp = dense_rank().over(Window.orderBy(col("k")))
+    val out = df.select(col("k"), col("v"), grp.as("grp"))
+      .select(col("k"), col("v"), sum(col("v")).over(
+        Window.orderBy(col("grp")).rangeBetween(-1, Window.currentRow))
+        .as("grp_sum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set(
+      (1, 10L, 30L), (1, 20L, 30L), (2, 5L, 35L),
+      (3, 1L, 11L), (3, 2L, 11L), (3, 3L, 11L)), out.mkString(","))
+  }
+
   test("distinct_on keeps exactly one row per customer") {
     val df = run("q_distinct_on")
     val n = df.count()
