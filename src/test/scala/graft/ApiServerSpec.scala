@@ -282,11 +282,20 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       val holder = new Thread(() => gcall("/api/v1/query",
         """{"sql": "SELECT count(*) AS n FROM range(8000000000)"}"""))
       holder.start()
-      Thread.sleep(400) // let the holder acquire
-      val t0 = System.nanoTime()
-      val (code, body) = gcall("/api/v1/query",
-        """{"sql": "SELECT 1 AS one"}""")
-      val waitedMs = (System.nanoTime() - t0) / 1e6
+      // Poll instead of a fixed sleep (a loaded box can delay the holder
+      // past any constant): while the slot is still free a probe just
+      // executes (200); once the holder holds it, the probe QUEUES for the
+      // 250 ms timeout and gets 429 — that first 429 is itself the
+      // queue-then-refuse contract, and its duration is the queue wait.
+      var code = 0; var body = ""; var waitedMs = 0.0
+      val deadline = System.currentTimeMillis() + 30000
+      while (code != 429 && System.currentTimeMillis() < deadline) {
+        val t0 = System.nanoTime()
+        val r = gcall("/api/v1/query", """{"sql": "SELECT 1 AS one"}""")
+        code = r._1; body = r._2
+        waitedMs = (System.nanoTime() - t0) / 1e6
+        if (code != 429) Thread.sleep(50)
+      }
       assert(code == 429, body)
       assert(body.contains("slots exhausted"), body)
       assert(waitedMs >= 200, s"must QUEUE for the timeout first ($waitedMs ms)")
