@@ -32,10 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // HiveThriftServer2 can only be started once per JVM, so the CUSTOM-auth
 // wire suite gets its own forked test JVM; everything else shares one.
 Test / testGrouping := {
-  val opts = (Test / javaOptions).value.toVector
+  // the settings-derived forkOptions carries javaOptions AND working
+  // directory / env vars / log routing — a bare ForkOptions() would not
+  val fo = (Test / forkOptions).value
   def group(name: String, ts: Seq[TestDefinition]) =
-    Tests.Group(name, ts,
-      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+    Tests.Group(name, ts, Tests.SubProcess(fo))
   val (solo, rest) = (Test / definedTests).value
     .partition(_.name == "graft.JdbcCustomAuthSpec")
   group("main", rest) +: (if (solo.nonEmpty) Seq(group("jdbc-custom-auth", solo)) else Nil)

@@ -381,6 +381,7 @@ class EmbeddedConnection(GraftConnection):
         port = None
         while time.monotonic() < deadline:
             if self._proc.poll() is not None:
+                self._log.close()  # keep the file — named in the error
                 raise ConnectionError(
                     "embedded engine exited with code %d; log: %s"
                     % (self._proc.returncode, self._log.name))
@@ -391,7 +392,14 @@ class EmbeddedConnection(GraftConnection):
             except (FileNotFoundError, ValueError):
                 time.sleep(0.2)
         if port is None:
+            # reap, don't just signal: an unkilled-unwaited child is a
+            # zombie until interpreter GC happens to run Popen.__del__
             self._proc.kill()
+            try:
+                self._proc.wait(timeout=10)
+            except Exception:
+                pass
+            self._log.close()  # keep the file — named in the error
             raise ConnectionError(
                 "embedded engine did not serve within %.0fs; log: %s"
                 % (boot_timeout, self._log.name))
@@ -417,8 +425,12 @@ class EmbeddedConnection(GraftConnection):
                 except Exception:
                     proc.kill()
         if getattr(self, "_log", None) is not None:
+            # clean shutdown: the boot log served its purpose — close AND
+            # remove it (failure paths keep it and name it in the error)
             try:
                 self._log.close()
+                import os
+                os.unlink(self._log.name)
             except Exception:
                 pass
 

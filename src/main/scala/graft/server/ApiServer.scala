@@ -52,8 +52,12 @@ final class ApiServer(
       Some(new java.util.concurrent.Semaphore(maxConcurrentRequests, true))
     else None
 
-  def start(port: Int = 0): Int = {
-    server = HttpServer.create(new InetSocketAddress(port), 0)
+  def start(port: Int = 0, bindHost: String = null): Int = {
+    // bindHost = null binds all interfaces (a deliberately-served edge);
+    // process-private deployments (the embedded child) pass loopback
+    server = HttpServer.create(
+      if (bindHost == null) new InetSocketAddress(port)
+      else new InetSocketAddress(bindHost, port), 0)
     server.createContext("/api/v1/query", authed("query:execute", handleQuery))
     server.createContext("/api/v1/query_arrow", authed("query:execute", handleQueryArrow))
     server.createContext("/api/v1/explain", authed("query:explain", handleExplain))

@@ -39,7 +39,10 @@ object ServerMain {
       if (key.isEmpty) Map.empty
       else Map(key -> graft.session.AuthenticatedUser("embedded", Set("admin"))))
     val api = new ApiServer(engine, auth.apply)
-    val port = api.start(a.get("--port").map(_.toInt).getOrElse(0))
+    // loopback-only: this main exists to be a process-private child of the
+    // Python client — never a network-exposed edge with one admin key
+    val port = api.start(a.get("--port").map(_.toInt).getOrElse(0),
+      bindHost = "127.0.0.1")
     a.get("--port-file").foreach { pf =>
       // write-then-rename so the watching parent never reads a partial file
       val tmp = java.nio.file.Paths.get(pf + ".tmp")

@@ -62,7 +62,12 @@ final class GraftSession(
     * cache in both directions (the reference's per-source cache disable,
     * query/cache.rs): TTL-stale answers from a volatile backend are wrong
     * answers. View references survive analysis as SubqueryAlias nodes, so
-    * membership is checked against those names. */
+    * membership is checked against those names. This over-approximates: a
+    * user CTE/alias that happens to collide with an opted-out view name
+    * also skips the cache — deliberately accepted, because the failure
+    * direction is a redundant execution, never a stale answer, and
+    * DataFrame-created temp views leave no View marker in the analyzed
+    * plan to distinguish precisely. */
   private def cacheableFor(df: DataFrame): Boolean = {
     val disabled = graft.sources.SourceRegistry.uncacheableViews(spark)
     disabled.isEmpty || !df.queryExecution.analyzed.collect {

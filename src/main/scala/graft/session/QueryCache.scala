@@ -105,28 +105,38 @@ final class QueryCache(
     index.values().asScala.map(_.bytes).sum
   }
 
-  private def evictIfNeeded(): Unit = {
+  // Serializes evictions: two concurrent store()s racing the same LRU
+  // victim (or a TTL invalidate shrinking the index mid-minBy) must not
+  // throw out of a user's query.
+  private val evictLock = new Object
+
+  private def evictIfNeeded(): Unit = evictLock.synchronized {
     import scala.jdk.CollectionConverters._
     while (index.size() > maxEntries ||
         (index.size() > 1 && totalBytes > maxBytes)) {
       // size>1 guard: a single over-budget entry stays until its TTL —
       // evicting the result we just stored would turn the store into a no-op
-      val lru = index.entrySet().asScala.minBy(_.getValue.lastUsed)
-      invalidate(lru.getKey)
+      index.entrySet().asScala.minByOption(_.getValue.lastUsed) match {
+        case Some(lru) => invalidate(lru.getKey)
+        case None => return
+      }
     }
   }
 
   private def dirBytes(p: Path): Long = {
     import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala
+    val stream = Files.walk(p)
+    try stream.iterator().asScala
       .filter(Files.isRegularFile(_)).map(Files.size).sum
+    finally stream.close()
   }
 
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
+      val stream = Files.walk(p)
+      val all = try stream.iterator().asScala.toSeq finally stream.close()
+      all.reverse.foreach(f => Files.deleteIfExists(f))
     }
 }
 

@@ -40,21 +40,30 @@ final class SourceRegistry(spark: SparkSession) {
         case None => df
       }
       reconciled.createOrReplaceTempView(s"${src.name}_${t.name}")
-      if (spark.catalog.tableExists(t.name) == false)
+      // the bare name belongs to the FIRST source claiming it — only that
+      // owner may mark/unmark its cache exemption, or a cache:false source
+      // sharing a table name would poison an unrelated source's bare view
+      val ownsBare = !spark.catalog.tableExists(t.name) ||
+        SourceRegistry.bareOwner(spark, t.name).contains(src.name)
+      if (ownsBare) {
         reconciled.createOrReplaceTempView(t.name)
-      if (!src.cache) {
-        markUncacheable(s"${src.name}_${t.name}")
-        markUncacheable(t.name)
+        spark.conf.set(SourceRegistry.bareOwnerKey(t.name), src.name)
       }
+      // re-registration with cache: true must also UNDO an earlier mark
+      setUncacheable(s"${src.name}_${t.name}", !src.cache)
+      if (ownsBare) setUncacheable(t.name, !src.cache)
     }
   }
 
-  /** Record a view as cache-exempt in session conf, where the serving
-    * session (which owns the result cache, not this registry) can see it. */
-  private def markUncacheable(view: String): Unit = {
+  /** Record/clear a view's cache exemption in session conf, where the
+    * serving session (which owns the result cache, not this registry) can
+    * see it. */
+  private def setUncacheable(view: String, exempt: Boolean): Unit = {
     val existing = SourceRegistry.uncacheableViews(spark)
+    val updated =
+      if (exempt) existing + view.toLowerCase else existing - view.toLowerCase
     spark.conf.set(SourceRegistry.UncacheableKey,
-      (existing + view.toLowerCase).toSeq.sorted.mkString(","))
+      updated.toSeq.sorted.mkString(","))
   }
 
   private def load(src: SourceDef, t: TableDef): DataFrame = {
@@ -125,4 +134,12 @@ object SourceRegistry {
     spark.conf.getOption(UncacheableKey)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+
+  private[sources] def bareOwnerKey(table: String): String =
+    s"spark.graft.source.bareOwner.${table.toLowerCase}"
+
+  /** Which source first claimed the bare (unprefixed) view name. */
+  private[sources] def bareOwner(spark: SparkSession, table: String)
+      : Option[String] =
+    spark.conf.getOption(bareOwnerKey(table))
 }

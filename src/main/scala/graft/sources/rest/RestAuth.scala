@@ -39,15 +39,28 @@ object RestAuth {
   private val fetches = new java.util.concurrent.atomic.AtomicLong(0)
   def fetchCount: Long = fetches.get()
 
-  /** Valid access token for the config, from cache or a fresh fetch.
-    * compute-if-absent keeps concurrent readers off the wire while one
-    * fetch is in flight (the reference's try_get_with). */
+  // One lock PER KEY, never the map's own bins: a hung authorization
+  // server (up to ~40s of connect+read timeout) must only stall callers
+  // of ITS key, not unrelated sources whose keys share a hash bin
+  // (the reference's try_get_with is per-key for the same reason).
+  private val fetchLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Valid access token for the config, from cache or a fresh fetch;
+    * concurrent callers of the same key wait for one in-flight fetch. */
   def token(cfg: OAuthConfig): String = {
-    val now = System.nanoTime()
-    val t = cache.compute(cfg.cacheKey, (_, existing) =>
-      if (existing != null && !existing.isExpired(now)) existing
-      else fetchToken(cfg))
-    t.accessToken
+    val fast = cache.get(cfg.cacheKey)
+    if (fast != null && !fast.isExpired(System.nanoTime())) return fast.accessToken
+    val lock = fetchLocks.computeIfAbsent(cfg.cacheKey, _ => new Object)
+    lock.synchronized {
+      val again = cache.get(cfg.cacheKey)
+      if (again != null && !again.isExpired(System.nanoTime())) again.accessToken
+      else {
+        val fresh = fetchToken(cfg)
+        cache.put(cfg.cacheKey, fresh)
+        fresh.accessToken
+      }
+    }
   }
 
   /** Drop the cached token (the fetch-retry path after a 401). */

@@ -219,7 +219,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // cf comes from groupBy + join-back on the checkpointed tf relation;
     // the plan has no Window node at all (a sum-over-window by word would
     // hot-spot one task per stopword)
-    assert(!p.contains("(\\d+) Window"), p)
+    assert("\\(\\d+\\) Window".r.findFirstIn(p).isEmpty, p)
     // the explode pipeline was materialized by localCheckpoint: downstream
     // reads it as an existing RDD, so the only parquet scan left is the
     // cheap token-total pass — a vocabulary self-join that re-ran the

@@ -32,6 +32,23 @@ class PythonClientSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (api != null) api.stop()
 
+  /** Drain the process output on a thread so the timeout is REAL: a
+    * blocking readAllBytes before waitFor could hang the suite forever on
+    * a wedged client (and waitFor-then-read can deadlock on a full pipe).
+    * On timeout the process is killed and the assert carries the output. */
+  private def drainWithTimeout(proc: Process, seconds: Long): String = {
+    val buf = new java.io.ByteArrayOutputStream
+    val reader = new Thread(() => proc.getInputStream.transferTo(buf))
+    reader.setDaemon(true)
+    reader.start()
+    val finished = proc.waitFor(seconds, TimeUnit.SECONDS)
+    if (!finished) proc.destroyForcibly().waitFor(10, TimeUnit.SECONDS)
+    reader.join(5000)
+    val out = buf.toString(StandardCharsets.UTF_8.name)
+    assert(finished, s"client timed out after ${seconds}s:\n$out")
+    out
+  }
+
   test("python client exercises the full serving surface over HTTP") {
     val repo = new java.io.File(".").getCanonicalFile
     val script = new java.io.File(repo, "python/tests/e2e_client.py")
@@ -41,8 +58,7 @@ class PythonClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     pb.environment().put("PYTHONPATH", new java.io.File(repo, "python").getAbsolutePath)
     pb.redirectErrorStream(true)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-    assert(proc.waitFor(120, TimeUnit.SECONDS), s"client timed out:\n$out")
+    val out = drainWithTimeout(proc, 120)
     assert(proc.exitValue == 0, s"client failed:\n$out")
     assert(out.contains("ALL OK"), out)
   }
@@ -87,8 +103,7 @@ class PythonClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     pb.environment().put("GRAFT_HOME", repo.getAbsolutePath)
     pb.redirectErrorStream(true)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-    assert(proc.waitFor(240, TimeUnit.SECONDS), s"embedded client timed out:\n$out")
+    val out = drainWithTimeout(proc, 240)
     assert(proc.exitValue == 0, s"embedded client failed:\n$out")
     assert(out.contains("EMBEDDED OK"), out)
   }

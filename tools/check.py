@@ -63,14 +63,18 @@ for name, sql in sorted(oracle.items()):
     pq = glob.glob(f"{outdir}/{name}/*.parquet")
     if not pq:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
+    # one execution per side: rows AND the arrow schema both come from a
+    # single .arrow() materialization (re-running expensive oracles for the
+    # schema alone would double the check's DuckDB work)
+    def rows_cols_arrow(rel):
+        tbl = rel.arrow()
+        fam = {f.name: arrow_family(f.type) for f in tbl.schema}
+        data = [c.to_pylist() for c in tbl.columns]
+        return list(zip(*data)) if data else [], list(tbl.schema.names), fam
     try:
-        spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-        s_rows, s_cols = spark_rel.fetchall(), [d[0] for d in spark_rel.description]
-        s_arrow = {f.name: arrow_family(f.type) for f in
-                   con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").arrow().schema}
-        duck_rel = con.sql(sql)
-        d_rows, d_cols = duck_rel.fetchall(), [d[0] for d in duck_rel.description]
-        d_arrow = {f.name: arrow_family(f.type) for f in con.sql(sql).arrow().schema}
+        s_rows, s_cols, s_arrow = rows_cols_arrow(
+            con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'"))
+        d_rows, d_cols, d_arrow = rows_cols_arrow(con.sql(sql))
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {e}"); fails += 1; continue
     sc, scol = canon(s_rows, s_cols)
