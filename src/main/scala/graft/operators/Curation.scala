@@ -219,6 +219,67 @@ object Curation {
             .as("weight"))
     },
 
+    // ------------------------------------------- token-budget sampling
+    // "Take documents, in a deterministic order, until each language has
+    // contributed N tokens" — the cut a training-data pipeline makes when
+    // a mixture recipe fixes per-language token budgets. The naive shape
+    // is a running sum over Window.partitionBy(lang) ORDER BY hash: one
+    // task per language holding the whole language's corpus — the exact
+    // hot spot the cf/df rewrite removed. Instead the prefix sum is
+    // DISTRIBUTED two-level: documents bucket by a hash PREFIX (256
+    // buckets here; the prefix width is the knob that scales the shape —
+    // corpus/16^k rows per window task), per-(lang,bucket) token totals
+    // aggregate map-side into a tiny relation whose cumulative offsets
+    // broadcast back, and the running sum inside each bucket completes
+    // the global prefix sum because the bucket id is a PREFIX of the
+    // ordering key. Selection "cum_before < budget" is then exact
+    // take-until over the global hash order; the oracle re-derives it
+    // with DuckDB's naive single-window cumsum.
+    GraftQuery("d_token_budget_sample",
+      s"""WITH d AS (
+         |  SELECT lang, doc_id,
+         |    CASE WHEN ${TextPipeline.normSqlDuck} = '' THEN 0
+         |         ELSE len(string_split(${TextPipeline.normSqlDuck}, ' ')) END AS tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS rk
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, tokens,
+         |    coalesce(sum(tokens) OVER (PARTITION BY lang ORDER BY rk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM d)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS n_tokens
+         |FROM c WHERE cum_before < 2000 GROUP BY lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000L
+      val d = TextPipeline.withNorm(t(s, dir).documents)
+        .select(col("lang"), col("doc_id"),
+          when(col("norm") === "", lit(0L))
+            .otherwise(size(col("words")).cast("long")).as("tokens"),
+          md5(col("doc_id").cast("string")).as("rk"))
+        .withColumn("bucket", substring(col("rk"), 1, 2))
+      // tiny relation: (langs × 256) rows; its window is over ≤256 rows
+      val offsets = d.groupBy(col("lang"), col("bucket"))
+        .agg(sum(col("tokens")).as("btok"))
+        .withColumn("offset",
+          coalesce(sum(col("btok")).over(Window.partitionBy(col("lang"))
+            .orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("btok")
+      // per-bucket running sum: window partitions hold corpus/256 rows,
+      // never a whole language
+      val withinW = Window.partitionBy(col("lang"), col("bucket"))
+        .orderBy(col("rk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.join(broadcast(offsets), Seq("lang", "bucket"))
+        .withColumn("cum_before",
+          col("offset") + sum(col("tokens")).over(withinW) - col("tokens"))
+        .filter(col("cum_before") < budget)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tokens")).cast("bigint").as("n_tokens"))
+    },
+
     // ---------------------------------------------- unigram surprisal
     // CCNet-style quality proxy without a trained LM: the corpus's own
     // unigram distribution scores each document's mean −ln p(word).

@@ -440,6 +440,105 @@ object TextPipeline {
     GraftQuery("d_simhash", SketchOracleSql.simhash(normSqlDuck)) { (s, dir) =>
       simhashes(s, dir)
         .select(col("doc_id"), col("simhash"))
+    },
+
+    // ----------------------------------------------- Gopher quality rules
+    // The Gopher paper's repetition-independent document gates (Rae et al.
+    // 2021, table A1), the de-facto pretraining filter set: word-count
+    // bounds, mean word length bounds, symbol ratio, stopword presence,
+    // alphabetic-word fraction. Every gate is evaluated in INTEGER
+    // arithmetic (3·wc ≤ chars ≤ 10·wc instead of a float mean; 10·sym ≤
+    // len instead of a ratio) so the row hashes identically on any
+    // engine. Map-only — scales with scan bandwidth.
+    GraftQuery("t_gopher_rules",
+      s"""WITH g AS (
+         |  SELECT doc_id, $normSqlDuck AS norm,
+         |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS sym,
+         |    length(text) AS raw_len
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, sym, raw_len,
+         |    CASE WHEN norm = '' THEN 0
+         |         ELSE len(string_split(norm, ' ')) END AS wc,
+         |    CASE WHEN norm = '' THEN 0
+         |         ELSE length(norm) - len(string_split(norm, ' ')) + 1 END AS chars,
+         |    CASE WHEN norm = '' THEN 0
+         |         ELSE len(list_filter(string_split(norm, ' '),
+         |                              x -> regexp_matches(x, '[a-z]'))) END AS alpha_wc,
+         |    CASE WHEN norm = '' THEN false
+         |         ELSE list_has_any(string_split(norm, ' '),
+         |           ['the','be','to','of','and','that','have','with']) END AS has_stop
+         |  FROM g)
+         |SELECT doc_id, CAST(wc AS BIGINT) AS wc,
+         |  wc BETWEEN 50 AND 100000 AS pass_wc,
+         |  wc > 0 AND 3 * wc <= chars AND chars <= 10 * wc AS pass_wordlen,
+         |  10 * sym <= raw_len AS pass_symbols,
+         |  has_stop AS pass_stopwords,
+         |  wc > 0 AND 5 * alpha_wc >= 4 * wc AS pass_alpha,
+         |  (wc BETWEEN 50 AND 100000) AND (wc > 0 AND 3 * wc <= chars AND chars <= 10 * wc)
+         |    AND (10 * sym <= raw_len) AND has_stop
+         |    AND (wc > 0 AND 5 * alpha_wc >= 4 * wc) AS pass
+         |FROM w""".stripMargin) { (s, dir) =>
+      val d = withNorm(t(s, dir).documents)
+        .withColumn("sym", length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+        .withColumn("raw_len", length(col("text")))
+        .withColumn("wc", when(col("norm") === "", 0).otherwise(size(col("words"))))
+        .withColumn("chars", when(col("norm") === "", 0)
+          .otherwise(length(col("norm")) - size(col("words")) + 1))
+        .withColumn("alpha_wc", when(col("norm") === "", 0)
+          .otherwise(expr("size(filter(words, x -> x rlike '[a-z]'))")))
+        .withColumn("has_stop", when(col("norm") === "", lit(false))
+          .otherwise(arrays_overlap(col("words"), array(
+            Seq("the", "be", "to", "of", "and", "that", "have", "with")
+              .map(lit): _*))))
+      val passWc = col("wc").between(50, 100000)
+      val passWordlen = col("wc") > 0 &&
+        lit(3) * col("wc") <= col("chars") && col("chars") <= lit(10) * col("wc")
+      val passSymbols = lit(10) * col("sym") <= col("raw_len")
+      val passAlpha = col("wc") > 0 && lit(5) * col("alpha_wc") >= lit(4) * col("wc")
+      d.select(col("doc_id"), col("wc").cast("bigint").as("wc"),
+        passWc.as("pass_wc"), passWordlen.as("pass_wordlen"),
+        passSymbols.as("pass_symbols"), col("has_stop").as("pass_stopwords"),
+        passAlpha.as("pass_alpha"),
+        (passWc && passWordlen && passSymbols && col("has_stop") && passAlpha)
+          .as("pass"))
+    },
+
+    // -------------------------------------------- per-document token entropy
+    // Shannon entropy of each document's unigram distribution — the
+    // vocabulary-diversity signal (low entropy = template/boilerplate).
+    // H = ln(n) − (Σ c·ln c)/n; each c·ln c term is ROUNDED TO INTEGER
+    // MICRO-UNITS before summing (the t_unigram_logprob discipline), so
+    // the aggregate is an exact BIGINT sum with no float-order hazard, and
+    // the final division of exact integers is deterministic on any
+    // engine. Per-doc aggregation only — scales with scan bandwidth.
+    GraftQuery("t_token_entropy",
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split($normSqlDuck, ' ')) AS w
+         |  FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS c FROM words
+         |       WHERE w <> '' GROUP BY doc_id, w),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(CAST(round(c * ln(c) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s_micro
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n AS n_tokens,
+         |  round((CAST(round(ln(n) * 1000000, 0) AS BIGINT) * n - s_micro)
+         |        / 1000000.0 / n, 6) AS entropy
+         |FROM agg""".stripMargin) { (s, dir) =>
+      val tf = withNorm(t(s, dir).documents)
+        .select(col("doc_id"), explode(col("words")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n"),
+          sum(round(col("c") * log(col("c")) * 1000000, 0).cast("bigint"))
+            .as("s_micro"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          round((round(log(col("n")) * 1000000, 0).cast("bigint") * col("n") -
+            col("s_micro")).cast("double") / 1000000.0 / col("n"), 6)
+            .as("entropy"))
     }
   )
 

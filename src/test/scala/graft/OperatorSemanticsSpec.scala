@@ -39,6 +39,32 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       (3, 1L, 11L), (3, 2L, 11L), (3, 3L, 11L)), out.mkString(","))
   }
 
+  test("token-budget sample equals a naive take-until, independently derived") {
+    // re-derive the expected selection with a driver-side scan: per lang,
+    // sort docs by md5(doc_id), take documents until the budget (2000) is
+    // reached — the two-level distributed prefix sum must agree exactly
+    val docs = Tables(spark, sf).documents
+      .selectExpr("lang",
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' ')) AS norm",
+        "md5(cast(doc_id AS string)) AS rk")
+      .selectExpr("lang",
+        "CAST(CASE WHEN norm = '' THEN 0 ELSE size(split(norm, ' ')) END AS BIGINT) AS tokens",
+        "rk")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      var cum = 0L; var n = 0L; var tok = 0L
+      rows.sortBy(_._3).foreach { case (_, t, _) =>
+        if (cum < 2000L) { n += 1; tok += t }
+        cum += t
+      }
+      lang -> ((n, tok))
+    }
+    val got = run("d_token_budget_sample").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("distinct_on keeps exactly one row per customer") {
     val df = run("q_distinct_on")
     val n = df.count()

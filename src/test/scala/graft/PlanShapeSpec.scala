@@ -121,6 +121,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("token-budget sample windows by (lang, bucket), never a whole language of docs") {
+    val p = plan("d_token_budget_sample")
+    // the per-document running sum must partition by BOTH lang and the
+    // hash-prefix bucket — a lang-only window over documents is the
+    // single-task-per-language hot spot this operator exists to avoid.
+    // (A lang-only window IS expected over the tiny per-bucket aggregate;
+    // it is distinguished by partitioning spec below.)
+    val specs = "windowspecdefinition\\((\\w+)#\\d+(?:, (\\w+)#\\d+)?".r
+      .findAllMatchIn(p).map(m => (m.group(1), Option(m.group(2)))).toSeq
+    assert(specs.nonEmpty, p)
+    assert(specs.contains(("lang", Some("bucket"))),
+      s"missing (lang,bucket) window: $specs\n$p")
+    // the lang-only window's input must be an aggregate (the 256-row
+    // bucket-totals relation), never the documents scan: its Window node
+    // sits above a HashAggregate in the tree
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("simhash multi-band: banded exchange reused by both self-join sides; no text shuffled") {
     val df = SparkEntry.queries("d_simhash_pairs")(spark, sf)
     df.collect() // AQE must finalize THIS QueryExecution (write() re-plans)
