@@ -128,7 +128,11 @@ object Extended {
 
     // HLL sketch (extension beyond the reference — SURVEY.md §2.2 notes
     // none exist there). Sketch values are engine-specific → rows-only
-    // check here; the spec asserts <5% relative error vs exact.
+    // check here — PRINCIPLED, not a gap: an estimate has no cross-engine
+    // hash. Its EXACT TWIN travels in the same result (`exact_parts`,
+    // the true distinct count the estimate is judged against), the spec
+    // asserts <5% relative error, and the exact-distinct pathway itself
+    // is hash-oracled by q_agg_distinct.
     GraftQuery.unverified("q_approx_distinct") { (s, dir) =>
       // HLL is duplicate-insensitive, so both the sketch and the exact
       // count read the deduplicated (flag, partkey) relation — one

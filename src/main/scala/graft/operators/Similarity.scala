@@ -77,6 +77,68 @@ object Similarity {
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
     },
 
+    // Distributed k-means (Lloyd) step over the embedding corpus — the
+    // clustering half of SemDeDup-style curation (cluster, then dedup
+    // within clusters) as a FULLY hash-oracled operator, which the
+    // sample-trained s_ann_ivf deliberately is not. Everything is
+    // derivable from the data alone: seeds = the k=8 vectors with the
+    // smallest md5(vec_id) (TakeOrdered top-k — never a global window);
+    // assignment = argmax of round(cos, 6) over the 8-row broadcast with
+    // cid tiebreak (rank-stable across engines, the s_ann discipline);
+    // update = per-(cluster, dim) means accumulated as EXACT integer
+    // micro-units, so the shuffle carries (cid, dim, int) triples that
+    // combine map-side — at 100 TB the iteration cost is one scan plus a
+    // k·dim-sized aggregate, the canonical distributed-Lloyd shape.
+    GraftQuery("s_kmeans_step", {
+      val dotNS = "list_sum(list_transform(list_zip(n.v, s.cv), p -> p[1] * p[2]))"
+      s"""WITH vecs AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+         |norms AS (SELECT vec_id, v, h,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM vecs),
+         |seeds AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid,
+         |    v AS cv, nrm AS cnrm FROM norms ORDER BY h LIMIT 8),
+         |scored AS (SELECT n.vec_id, s.cid,
+         |    round($dotNS / (n.nrm * s.cnrm), 6) AS cos
+         |  FROM norms n CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |comp AS (SELECT a.cid, t.i - 1 AS dim, n.v[t.i] AS x
+         |  FROM asg a JOIN norms n USING (vec_id)
+         |  CROSS JOIN UNNEST(range(1, 65)) AS t(i))
+         |SELECT cid, dim, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(round(x * 1000000, 0) AS BIGINT)) AS DOUBLE)
+         |        / 1000000.0 / count(*), 6) AS centroid
+         |FROM comp GROUP BY cid, dim""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val vecs = t(s, dir).embeddings
+        .select(col("vec_id"), expr(toDouble).as("v"),
+          md5(col("vec_id").cast("string")).as("h"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      // top-k by hash plans TakeOrderedAndProject; the 8-row window after
+      // it only ranks the already-selected seeds
+      val seeds = vecs.orderBy(col("h")).limit(8)
+        .withColumn("cid", row_number().over(
+          Window.orderBy(col("h"))).cast("int") - 1)
+        .select(col("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val wAsg = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cid"))
+      val asg = vecs.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("v"), col("cid"),
+          round(expr(dot("v", "cv")) / (col("nrm") * col("cnrm")), 6).as("cos"))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+      asg.select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim")).agg(
+          count(lit(1)).as("n"),
+          round(sum(round(col("x") * 1000000, 0).cast("bigint")).cast("double")
+            / 1000000.0 / count(lit(1)), 6).as("centroid"))
+    },
+
     // Scale path: random-hyperplane LSH with OR-amplification — 4 bands of
     // 4 planes each. A corpus vector is a candidate if it shares ANY band
     // bucket with the query (the standard recall/cost dial: more bands →
@@ -126,8 +188,11 @@ object Similarity {
     // one inverted list. Search: probe the nprobe lists nearest the query;
     // candidates = corpus ∩ probed lists (equi-join on list_id, shuffles
     // ids + list keys, never vectors); exact cosine rerank of the small
-    // candidate set. Deterministic end-to-end; rows-only verification
-    // (rerank arithmetic is the code verified by s_ann_bruteforce).
+    // candidate set. Deterministic end-to-end; rows-only verification is
+    // PRINCIPLED, not a gap: centroids come from a runtime sample no other
+    // engine can re-derive. Its EXACT TWIN is s_ann_bruteforce (same
+    // cosine/rerank kernels, hash-oracled), and OperatorSemanticsSpec asserts
+    // recall@10 against that exact answer.
     GraftQuery.unverified("s_ann_ivf") { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val k = 8; val nprobe = 4

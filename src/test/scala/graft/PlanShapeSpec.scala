@@ -139,6 +139,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("k-means step: seeds via distributed top-k; update shuffles scalars by (cid, dim)") {
+    val p = plan("s_kmeans_step")
+    // seed selection must plan TakeOrderedAndProject (distributed top-k
+    // by hash) — a global row_number window over the corpus would put
+    // every vector on one task
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the centroid-update exchange carries (cid, dim) scalar triples —
+    // full vectors must never appear in its shuffle key list
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.exists(e => e.contains("cid#") && e.contains("dim#")), p)
+    exchanges.foreach(e => assert(!e.contains("v#") && !e.contains("cv#"),
+      s"vector column in k-means shuffle keys: $e"))
+  }
+
   test("simhash multi-band: banded exchange reused by both self-join sides; no text shuffled") {
     val df = SparkEntry.queries("d_simhash_pairs")(spark, sf)
     df.collect() // AQE must finalize THIS QueryExecution (write() re-plans)
