@@ -197,6 +197,28 @@ object Cli {
     else out.println(s"Applied '$file' to domain '${outcome.domain}' " +
       s"(v${outcome.version}; +${outcome.sourcesAdded.size} " +
       s"-${outcome.sourcesDeleted.size} sources)")
+    // post-apply cache-invalidation webhook (apply.rs:192-211): best
+    // effort — a failed notification warns but NEVER fails the apply,
+    // which has already been durably persisted
+    flags.get("notify-url").foreach { url =>
+      if (!json) out.println(s"Notifying server at $url...")
+      try {
+        val conn = new java.net.URI(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(10000)
+        conn.setDoOutput(true)
+        conn.getOutputStream.close() // empty body, like the reference
+        val code = conn.getResponseCode
+        conn.disconnect()
+        if (code >= 200 && code < 300) {
+          if (!json) out.println("Server notification successful.")
+        } else out.println(s"warning: server returned error: $code")
+      } catch { case scala.util.control.NonFatal(e) =>
+        out.println(s"warning: failed to notify server: ${e.getMessage}")
+      }
+    }
     Success
   }
 
@@ -578,7 +600,7 @@ object Cli {
     var rest = args
     val boolFlags = Set("force", "dry-run", "offline", "sources-only")
     val valueFlags = Set("format", "template", "expected-version", "domain",
-      "to-version", "metadata")
+      "to-version", "metadata", "notify-url")
     while (rest.nonEmpty) {
       rest match {
         case flag :: tail if flag.startsWith("--") =>

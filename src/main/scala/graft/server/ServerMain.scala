@@ -32,7 +32,30 @@ object ServerMain {
       new graft.sources.SourceRegistry(spark)
         .registerAll(graft.sources.SourcesConfig.fromYamlFile(yml))
     }
-    val engine = new graft.session.GraftSession(spark,
+    // engine settings from graft.yaml beside the sources config (the
+    // reference's embedded backend reads strake.yaml the same way;
+    // `cli init` writes exactly these keys)
+    val settings: Map[String, String] = a.get("--config").flatMap { yml =>
+      val dir = Option(java.nio.file.Paths.get(yml).getParent)
+        .getOrElse(java.nio.file.Paths.get("."))
+      val gy = dir.resolve("graft.yaml")
+      if (!java.nio.file.Files.exists(gy)) None
+      else scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        new org.yaml.snakeyaml.Yaml()
+          .load[java.util.Map[String, Object]](
+            java.nio.file.Files.readString(gy))
+          .asScala.map { case (k, v) => k -> String.valueOf(v) }.toMap
+      }.toOption
+    }.getOrElse(Map.empty)
+    val config = graft.session.GraftConfig(
+      defensiveLimit = settings.get("defensive_limit").map(_.toInt)
+        .getOrElse(graft.session.GraftConfig().defensiveLimit),
+      queryTimeout = settings.get("query_timeout_seconds")
+        .map(s => scala.concurrent.duration.Duration(s.toLong, "s"))
+        .getOrElse(graft.session.GraftConfig().queryTimeout),
+      cacheEnabled = settings.get("cache_enabled").forall(_.toBoolean))
+    val engine = new graft.session.GraftSession(spark, config,
       cache = Some(graft.session.QueryCache.temp()))
     val key = sys.env.getOrElse("GRAFT_API_KEY", "")
     val auth = new ApiKeyAuthenticator(

@@ -228,6 +228,32 @@ class CliSpec extends AnyFunSuite {
     assert(c3 == Cli.UsageError && err3.contains("--metadata"), err3)
   }
 
+  test("apply --notify-url posts the webhook; failures never fail the apply") {
+    val dir = tempDir()
+    val f = writeConfig(dir)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/invalidate", ex => {
+      if (ex.getRequestMethod == "POST") hits.incrementAndGet()
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://localhost:${server.getAddress.getPort}/invalidate"
+      val (code, outTxt, _) = run("apply", f.toString, "--notify-url", url)
+      assert(code == Cli.Success, outTxt)
+      assert(hits.get() == 1, s"webhook hit ${hits.get()} times")
+      assert(outTxt.contains("notification successful"), outTxt)
+      // unreachable notify endpoint: warn, but the apply (already durably
+      // persisted) still exits 0 — reference apply.rs:192-211 semantics
+      val (code2, outTxt2, _) = run("apply", f.toString,
+        "--notify-url", "http://localhost:1/nope")
+      assert(code2 == Cli.Success, outTxt2)
+      assert(outTxt2.contains("warning: failed to notify"), outTxt2)
+    } finally server.stop(0)
+  }
+
   test("apply stores the RAW yaml — expanded secrets never reach the store") {
     val dir = tempDir()
     val f = dir.resolve("sources.yaml")

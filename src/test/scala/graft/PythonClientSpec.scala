@@ -74,6 +74,9 @@ class PythonClientSpec extends AnyFunSuite with BeforeAndAfterAll {
          |      - name: nation
          |        path: $sf/nation.parquet
          |""".stripMargin)
+    // engine settings picked up from graft.yaml beside the sources config
+    java.nio.file.Files.writeString(dir.resolve("graft.yaml"),
+      "defensive_limit: 7\nquery_timeout_seconds: 120\n")
     val script = dir.resolve("embedded_client.py")
     java.nio.file.Files.writeString(script,
       """import sys
@@ -84,6 +87,11 @@ class PythonClientSpec extends AnyFunSuite with BeforeAndAfterAll {
         |        "SELECT count(*) AS n FROM files_nation")
         |    assert cols == ["n"], cols
         |    assert rows[0][0] == 25, rows
+        |    # graft.yaml's defensive_limit: 7 governs unlimited scans
+        |    _, limited, warns = conn.sql_rows(
+        |        "SELECT n_nationkey FROM files_nation")
+        |    assert len(limited) == 7, len(limited)
+        |    assert any("LIMIT 7" in str(w) for w in warns), warns
         |    # unauthenticated requests to the child are refused: the
         |    # generated key is real auth, not decoration
         |    probe = graft.GraftConnection(conn._base, api_key="wrong")
