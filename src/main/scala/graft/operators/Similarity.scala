@@ -89,54 +89,64 @@ object Similarity {
     // micro-units, so the shuffle carries (cid, dim, int) triples that
     // combine map-side — at 100 TB the iteration cost is one scan plus a
     // k·dim-sized aggregate, the canonical distributed-Lloyd shape.
-    GraftQuery("s_kmeans_step", {
-      val dotNS = "list_sum(list_transform(list_zip(n.v, s.cv), p -> p[1] * p[2]))"
-      s"""WITH vecs AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |    md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
-         |norms AS (SELECT vec_id, v, h,
-         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM vecs),
-         |seeds AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid,
-         |    v AS cv, nrm AS cnrm FROM norms ORDER BY h LIMIT 8),
-         |scored AS (SELECT n.vec_id, s.cid,
-         |    round($dotNS / (n.nrm * s.cnrm), 6) AS cos
-         |  FROM norms n CROSS JOIN seeds s),
-         |asg AS (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-         |    FROM scored) WHERE rn = 1),
+    GraftQuery("s_kmeans_step",
+      s"""WITH $kmeansCtes,
          |comp AS (SELECT a.cid, t.i - 1 AS dim, n.v[t.i] AS x
          |  FROM asg a JOIN norms n USING (vec_id)
          |  CROSS JOIN UNNEST(range(1, 65)) AS t(i))
          |SELECT cid, dim, CAST(count(*) AS BIGINT) AS n,
          |  round(CAST(sum(CAST(round(x * 1000000, 0) AS BIGINT)) AS DOUBLE)
          |        / 1000000.0 / count(*), 6) AS centroid
-         |FROM comp GROUP BY cid, dim""".stripMargin
-    }) { (s, dir) =>
-      graft.functions.VectorFunctions.register(s)
-      import org.apache.spark.sql.expressions.Window
-      val vecs = t(s, dir).embeddings
-        .select(col("vec_id"), expr(toDouble).as("v"),
-          md5(col("vec_id").cast("string")).as("h"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-      // top-k by hash plans TakeOrderedAndProject; the 8-row window after
-      // it only ranks the already-selected seeds
-      val seeds = vecs.orderBy(col("h")).limit(8)
-        .withColumn("cid", row_number().over(
-          Window.orderBy(col("h"))).cast("int") - 1)
-        .select(col("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val wAsg = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("cid"))
-      val asg = vecs.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("v"), col("cid"),
-          round(expr(dot("v", "cv")) / (col("nrm") * col("cnrm")), 6).as("cos"))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
+         |FROM comp GROUP BY cid, dim""".stripMargin) { (s, dir) =>
+      val asg = kmeansAssign(s, dir)
       asg.select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim")).agg(
           count(lit(1)).as("n"),
           round(sum(round(col("x") * 1000000, 0).cast("bigint")).cast("double")
             / 1000000.0 / count(lit(1)), 6).as("centroid"))
+    },
+
+    // SemDeDup proper (Abbas et al. 2023): cluster the embedding space,
+    // then drop near-duplicates WITHIN each cluster — the cluster
+    // partition turns the quadratic all-pairs problem into bounded
+    // within-cluster comparisons (at scale, k grows with the corpus so
+    // cluster size stays a constant target; the degenerate-cluster cap
+    // mirrors that bound here). Keep-first semantics: a vector is dropped
+    // iff ANY smaller-id cluster-mate is ≥ the threshold; the report
+    // carries its smallest keeper and strongest similarity.
+    GraftQuery("d_semdedup_kmeans", {
+      val dotAB = "list_sum(list_transform(list_zip(na.v, nb.v), p -> p[1] * p[2]))"
+      s"""WITH $kmeansCtes,
+         |sized AS (SELECT cid FROM asg GROUP BY cid HAVING count(*) <= 500),
+         |pairs AS (
+         |  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round($dotAB / (na.nrm * nb.nrm), 6) AS cos
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN norms na ON na.vec_id = a.vec_id
+         |  JOIN norms nb ON nb.vec_id = b.vec_id
+         |  WHERE a.cid IN (SELECT cid FROM sized))
+         |SELECT id_b AS drop_id, CAST(min(id_a) AS BIGINT) AS kept_by,
+         |  max(cos) AS max_cos
+         |FROM pairs WHERE cos >= 0.3 GROUP BY id_b""".stripMargin
+    }) { (s, dir) =>
+      val asg = kmeansAssign(s, dir)
+        .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+      // degenerate-cluster cap (never binds at target cluster sizes;
+      // a pathological all-in-one-cluster corpus must not go quadratic)
+      val capped = graft.util.Buckets.cap(asg, 500, col("cid"))
+      val a = capped.select(col("cid"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = capped.select(col("cid"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
+        .select(col("id_b"),
+          col("id_a"),
+          round(expr(dot("va", "vb")) / (col("na") * col("nb")), 6).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .groupBy(col("id_b")).agg(
+          min(col("id_a")).cast("bigint").as("kept_by"),
+          max(col("cos")).as("max_cos"))
+        .select(col("id_b").as("drop_id"), col("kept_by"), col("max_cos"))
     },
 
     // Scale path: random-hyperplane LSH with OR-amplification — 4 bands of
@@ -248,6 +258,55 @@ object Similarity {
         .filter(col("cos") >= 0.3)
     }
   )
+
+  /** DuckDB CTE prefix shared by the k-means queries: full-corpus vectors
+    * with norms, the 8 hash-smallest seed vectors as centroids, and the
+    * argmax-cosine assignment (`asg(vec_id, cid)`) with round-6 + cid
+    * tiebreak — the rank-stable discipline every ANN oracle here uses. */
+  private def kmeansCtes: String = {
+    val dotNS = "list_sum(list_transform(list_zip(n.v, s.cv), p -> p[1] * p[2]))"
+    s"""vecs AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+       |norms AS (SELECT vec_id, v, h,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM vecs),
+       |seeds AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid,
+       |    v AS cv, nrm AS cnrm FROM norms ORDER BY h LIMIT 8),
+       |scored AS (SELECT n.vec_id, s.cid,
+       |    round($dotNS / (n.nrm * s.cnrm), 6) AS cos
+       |  FROM norms n CROSS JOIN seeds s),
+       |asg AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Spark half of the shared assignment: (vec_id, v, nrm, cid). Seeds
+    * via TakeOrdered top-k by hash (never a global window over the
+    * corpus); assignment is a map-only pass over the 8-row broadcast. */
+  private def kmeansAssign(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val vecs = t(s, dir).embeddings
+      .select(col("vec_id"), expr(toDouble).as("v"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    // top-k by hash plans TakeOrderedAndProject; the 8-row window after
+    // it only ranks the already-selected seeds
+    val seeds = vecs.orderBy(col("h")).limit(8)
+      .withColumn("cid", row_number().over(
+        Window.orderBy(col("h"))).cast("int") - 1)
+      .select(col("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid"))
+    vecs.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(expr(dot("v", "cv")) / (col("nrm") * col("cnrm")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+  }
 
   /** Lloyd's k-means on a driver-side sample: deterministic init (first k
     * sample points), fixed iteration count, cosine-space assignment on

@@ -41,6 +41,48 @@ class CurationSpec extends AnyFunSuite {
     assert(flagged > 0 && flagged < 500, s"flagged=$flagged")
   }
 
+  test("semdedup-kmeans equals brute-force cluster-then-keep-first") {
+    val out = q("d_semdedup_kmeans")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      r6(dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+    }
+    // seeds = the 8 md5-smallest vectors; cid = rank in hash order
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val seeds = vecs.keys.toSeq.sortBy(id => md5hex(id.toString)).take(8)
+    // assignment: argmax cosine, ties to the smaller cid
+    val cidOf = vecs.keys.map { id =>
+      id -> seeds.zipWithIndex
+        .map { case (s, cid) => (cid, cos(vecs(id), vecs(s))) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+    }.toMap
+    // keep-first within cluster at threshold 0.3
+    val expected = vecs.keys.flatMap { id =>
+      val mates = vecs.keys
+        .filter(o => o < id && cidOf(o) == cidOf(id))
+        .map(o => o -> cos(vecs(o), vecs(id)))
+        .filter(_._2 >= 0.3).toSeq
+      if (mates.isEmpty) None
+      else Some(id -> (mates.map(_._1).min, mates.map(_._2).max))
+    }.toMap
+    assert(out == expected,
+      s"missing=${(expected.keySet -- out.keySet).take(5)} " +
+        s"extra=${(out.keySet -- expected.keySet).take(5)}")
+    // non-degenerate on this corpus
+    assert(out.nonEmpty && out.size < vecs.size)
+  }
+
   test("lang balance keeps ALL of the smallest language, subsets of the rest") {
     val docs = Tables(spark, sf).documents
     val counts = docs.groupBy(col("lang")).count()

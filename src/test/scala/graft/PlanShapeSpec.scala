@@ -227,6 +227,22 @@ class PlanShapeSpec extends AnyFunSuite {
         s"vector in a semdedup exchange: $e"))
   }
 
+  test("semdedup-kmeans: top-k seeds; pair join co-partitions on cid only") {
+    val p = plan("d_semdedup_kmeans")
+    // seed selection stays distributed top-k, as in the k-means step
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the within-cluster pair join is an equi-join partitioned by cid —
+    // co-locating vectors by cluster is the point of SemDeDup, so vectors
+    // DO ride these exchanges, but the partitioning key must be cid alone
+    // (a key that included vec_id would break the cluster co-location)
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val cidOnly = exchanges.filter(_.contains("cid#"))
+    assert(cidOnly.nonEmpty, p)
+    cidOnly.foreach(e => assert(!e.contains("vec_id#") && !e.contains("id_a#"),
+      s"pair-join exchange not keyed by cid alone: $e"))
+  }
+
   test("source filter broadcasts the stats relation onto the fact side") {
     val p = plan("d_source_filter")
     assert(p.contains("BroadcastHashJoin"), p)
