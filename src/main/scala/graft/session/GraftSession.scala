@@ -217,4 +217,9 @@ object GraftSession {
       // ODBC/JDBC sessions share THIS session's catalog (temp views,
       // registered sources) instead of getting isolated empty sessions
       .config("spark.sql.hive.thriftServer.singleSession", "true")
+      // http(s):// file paths resolve out of the box (sources/
+      // HttpFileSystem); per-read auth headers via fs.http.header.*
+      .config(graft.sources.HttpFileSystem.confEntries.map {
+        case (k, v) => s"spark.hadoop.$k" -> v
+      }.toMap)
 }
