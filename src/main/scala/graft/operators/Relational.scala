@@ -293,6 +293,26 @@ object Relational {
         .agg(dsum(col("s_acctbal"), 2).as("total_bal"))
     },
 
+    // Salted skew join as a registered operator: the orders←customer join
+    // executed through util/Skew.saltedJoin — per-row scatter of the fact
+    // side across 8 salt buckets, dimension replicated ×8, equi-join on
+    // (key, salt). Row-identical to the plain join (that plain join IS the
+    // oracle), while the shuffle's hottest key spreads over 8 tasks — the
+    // explicit tool for skew so heavy that even AQE's split partitions
+    // overwhelm a task. A scale extension beyond the reference (which
+    // leaves skew to its remote engines).
+    GraftQuery("q_join_salted",
+      """SELECT o_orderkey, c_name, o_totalprice FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000""".stripMargin) { (s, dir) =>
+      val tt = t(s, dir)
+      graft.util.Skew.saltedJoin(
+          tt.orders.filter(col("o_totalprice") > 400000)
+            .withColumnRenamed("o_custkey", "c_custkey"),
+          tt.customer, "c_custkey", saltBuckets = 8)
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+    },
+
     // ------------------------------------------------------------ aggregates
     GraftQuery("q_agg_distinct",
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

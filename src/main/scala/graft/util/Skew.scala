@@ -46,7 +46,11 @@ object Skew {
       pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
     val rightExploded = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    leftSalted.join(rightExploded, Seq(joinKey, saltCol), joinType)
+    // pin a shuffled join: salting only exists because the right side is
+    // too big to broadcast — letting stats pick a broadcast here (as they
+    // would at test scale) would silently discard the salt's effect
+    leftSalted.join(rightExploded.hint("shuffle_hash"),
+        Seq(joinKey, saltCol), joinType)
       .drop(saltCol)
   }
 

@@ -243,6 +243,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pair-join exchange not keyed by cid alone: $e"))
   }
 
+  test("salted join shuffles on (key, salt), spreading hot keys across tasks") {
+    val p = plan("q_join_salted")
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    // both join sides must partition by the composite (custkey, salt) key —
+    // a plain custkey partitioning would put a hot customer on one task
+    val salted = exchanges.filter(e =>
+      e.contains("c_custkey#") && e.contains("__graft_salt#"))
+    assert(salted.size >= 2, s"expected both sides salted, got: $exchanges\n$p")
+  }
+
   test("source filter broadcasts the stats relation onto the fact side") {
     val p = plan("d_source_filter")
     assert(p.contains("BroadcastHashJoin"), p)
