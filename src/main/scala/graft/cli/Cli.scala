@@ -214,9 +214,9 @@ object Cli {
         conn.disconnect()
         if (code >= 200 && code < 300) {
           if (!json) out.println("Server notification successful.")
-        } else out.println(s"warning: server returned error: $code")
+        } else warn(s"warning: server returned error: $code", json, out)
       } catch { case scala.util.control.NonFatal(e) =>
-        out.println(s"warning: failed to notify server: ${e.getMessage}")
+        warn(s"warning: failed to notify server: ${e.getMessage}", json, out)
       }
     }
     Success
@@ -541,6 +541,12 @@ object Cli {
     }
     updated.mkString("", "\n", "\n")
   }
+
+  /** Diagnostics must not corrupt `--format json` stdout (consumers parse
+    * it); in json mode they go to stderr instead of being dropped. */
+  private def warn(msg: String, json: Boolean,
+      out: java.io.PrintStream): Unit =
+    if (json) System.err.println(msg) else out.println(msg)
 
   private def warnPlaintextPasswords(raw: String, json: Boolean,
       out: java.io.PrintStream): Unit = {

@@ -283,7 +283,10 @@ object Similarity {
 
   /** Spark half of the shared assignment: (vec_id, v, nrm, cid). Seeds
     * via TakeOrdered top-k by hash (never a global window over the
-    * corpus); assignment is a map-only pass over the 8-row broadcast. */
+    * corpus); the 8 seeds collapse into ONE array row, so assignment is
+    * a genuinely map-only projection — argmax of round(cos, 6) with the
+    * cid tiebreak computed per row, no exchange of the (replicated)
+    * corpus and no vectors in any shuffle. */
   private def kmeansAssign(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     graft.functions.VectorFunctions.register(s)
@@ -298,13 +301,18 @@ object Similarity {
       .withColumn("cid", row_number().over(
         Window.orderBy(col("h"))).cast("int") - 1)
       .select(col("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val wAsg = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cid"))
-    vecs.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        round(expr(dot("v", "cv")) / (col("nrm") * col("cnrm")), 6).as("cos"))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
+    // one row holding all k centroids; broadcast-nested-loop of a 1-row
+    // side = a map-side constant, k·dim doubles total
+    val seedRow = seeds.agg(sort_array(
+      collect_list(struct(col("cid"), col("cv"), col("cnrm")))).as("cents"))
+    // ascending sort of (-cos, cid) structs ≡ ORDER BY cos DESC, cid —
+    // the same rank-stable tiebreak the window version (and the DuckDB
+    // oracle's row_number) used
+    vecs.crossJoin(broadcast(seedRow))
+      .withColumn("cid", expr(
+        """element_at(array_sort(transform(cents,
+          |  c -> struct(-round(graft_dot(v, c.cv) / (nrm * c.cnrm), 6) AS negcos,
+          |              c.cid AS cid))), 1).cid""".stripMargin))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
   }
 

@@ -40,21 +40,35 @@ object ServerMain {
         .getOrElse(java.nio.file.Paths.get("."))
       val gy = dir.resolve("graft.yaml")
       if (!java.nio.file.Files.exists(gy)) None
+      // a present-but-broken settings file must fail the boot with a
+      // message naming the file, not silently fall back to defaults (the
+      // user wrote it precisely to change those defaults)
       else scala.util.Try {
         import scala.jdk.CollectionConverters._
         new org.yaml.snakeyaml.Yaml()
           .load[java.util.Map[String, Object]](
             java.nio.file.Files.readString(gy))
           .asScala.map { case (k, v) => k -> String.valueOf(v) }.toMap
-      }.toOption
+      }.fold(e => throw new IllegalArgumentException(
+        s"failed to parse $gy: ${e.getMessage}", e), Some(_))
     }.getOrElse(Map.empty)
+    // value parses get the key name into the error — an uncaught bare
+    // NumberFormatException from a child JVM is undebuggable from the
+    // Python side, which only sees a port-file timeout
+    def setting[T](key: String, parse: String => Option[T],
+        expected: String): Option[T] =
+      settings.get(key).map(s => parse(s).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.yaml: $key must be $expected, got '$s'")))
     val config = graft.session.GraftConfig(
-      defensiveLimit = settings.get("defensive_limit").map(_.toInt)
+      defensiveLimit = setting("defensive_limit", _.toIntOption, "an integer")
         .getOrElse(graft.session.GraftConfig().defensiveLimit),
-      queryTimeout = settings.get("query_timeout_seconds")
-        .map(s => scala.concurrent.duration.Duration(s.toLong, "s"))
+      queryTimeout = setting("query_timeout_seconds", _.toLongOption,
+          "a number of seconds")
+        .map(scala.concurrent.duration.Duration(_, "s"))
         .getOrElse(graft.session.GraftConfig().queryTimeout),
-      cacheEnabled = settings.get("cache_enabled").forall(_.toBoolean))
+      cacheEnabled = setting("cache_enabled", _.toBooleanOption, "a boolean")
+        .getOrElse(true))
     val engine = new graft.session.GraftSession(spark, config,
       cache = Some(graft.session.QueryCache.temp()))
     val key = sys.env.getOrElse("GRAFT_API_KEY", "")

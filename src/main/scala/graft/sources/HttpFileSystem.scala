@@ -19,7 +19,9 @@ import org.apache.hadoop.util.Progressable
   *
   * Auth mirrors the REST source's header model: every `fs.http.header.
   * <Name>` conf entry (per-read via reader options, per-source via
-  * `SourceDef.options`) is sent with each request, which covers bearer,
+  * `SourceDef.options`) is sent with each request — on BOTH schemes, so
+  * the documented keys work for the common https case; scheme-specific
+  * `fs.https.header.<Name>` entries override by name. Covers bearer,
   * basic, and api-key schemes without bespoke config keys.
   *
   * Writes are unsupported by design — the engine's file parity is
@@ -40,14 +42,21 @@ class HttpFileSystem extends FileSystem {
     setConf(conf)
     fsUri = URI.create(
       s"$schemeName://${Option(name.getAuthority).getOrElse("")}")
-    val prefix = s"fs.$schemeName.header."
+    // generic prefix first, scheme-specific second so an fs.https.header.X
+    // overrides fs.http.header.X by name (and plain http reads never see
+    // an https-only credential)
+    val prefixes = Seq("fs.http.header.", s"fs.$schemeName.header.").distinct
     import scala.jdk.CollectionConverters._
-    headers = conf.iterator().asScala
-      .map(_.getKey).filter(_.startsWith(prefix)).toSeq.sorted
-      .map(k => k.stripPrefix(prefix) -> conf.get(k))
+    val keys = conf.iterator().asScala.map(_.getKey).toSeq
+    val byName = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (prefix <- prefixes; k <- keys.filter(_.startsWith(prefix)).sorted)
+      byName(k.stripPrefix(prefix)) = conf.get(k)
+    headers = byName.toSeq
   }
 
   override def getUri: URI = fsUri
+
+  private[graft] def requestHeaders: Seq[(String, String)] = headers
 
   private def urlOf(f: Path): URL = {
     val p = f.toUri
@@ -72,11 +81,31 @@ class HttpFileSystem extends FileSystem {
     * body is never consumed). HEAD is unreliable in the wild (refused,
     * or served without a length). */
   override def getFileStatus(f: Path): FileStatus = {
+    val q = makeQualified(f)
+    val cached = statusCache.get(q)
+    if (cached != null) return cached
+    val st = fetchStatus(q)
+    statusCache.put(q, st)
+    st
+  }
+
+  // statuses are immutable within one read (instances aren't cached across
+  // reads — see confEntries), so the listing-time probe can be reused by
+  // open() instead of paying a second bytes=0-0 round trip per stream
+  private val statusCache =
+    new java.util.concurrent.ConcurrentHashMap[Path, FileStatus]()
+
+  private def fetchStatus(f: Path): FileStatus = {
     val u = urlOf(f)
     val c = connect(u, Some("bytes=0-0"))
     try {
       val code = c.getResponseCode
       if (code == 404) throw new FileNotFoundException(u.toString)
+      // bytes=0-0 is unsatisfiable exactly when the object is empty — a
+      // range-honoring server answers 416 for a valid zero-length file
+      if (code == 416)
+        return new FileStatus(0L, false, 1, 128L * 1024 * 1024,
+          math.max(0L, c.getLastModified), makeQualified(f))
       if (code >= 400)
         throw new IOException(s"GET $u failed: HTTP $code")
       val len =
@@ -186,18 +215,33 @@ object HttpFileSystem {
     override def getPos: Long = pos
     override def seekToNewSource(target: Long): Boolean = false
 
+    // After ensureOpen() returns true, pos < len — so a -1 from the body
+    // is a connection dropped mid-response, NOT end-of-file (len is
+    // authoritative). Passing it through would let line readers treat a
+    // truncated body as a clean EOF and silently lose rows; instead
+    // reopen once at pos, and treat a second immediate EOF as an error.
     override def read(): Int = {
       if (!ensureOpen()) return -1
-      val b = in.read()
-      if (b >= 0) pos += 1 else closeBody()
+      var b = in.read()
+      if (b < 0) {
+        closeBody(); ensureOpen()
+        b = in.read()
+        if (b < 0) throw new EOFException(s"$u truncated at $pos/$len")
+      }
+      pos += 1
       b
     }
 
     override def read(buf: Array[Byte], off: Int, n: Int): Int = {
       if (n == 0) return 0
       if (!ensureOpen()) return -1
-      val got = in.read(buf, off, n)
-      if (got > 0) pos += got else closeBody()
+      var got = in.read(buf, off, n)
+      if (got < 0) {
+        closeBody(); ensureOpen()
+        got = in.read(buf, off, n)
+        if (got < 0) throw new EOFException(s"$u truncated at $pos/$len")
+      }
+      pos += got
       got
     }
 

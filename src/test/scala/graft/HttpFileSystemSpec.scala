@@ -23,6 +23,11 @@ class HttpFileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
   // (path, Range header) per GET
   private val requests = new ConcurrentLinkedQueue[(String, String)]()
   @volatile private var honorRange = true
+  // chunked transfer (no Content-Length) with only half / none of the
+  // body: the dropped-keep-alive shape where the client sees a CLEAN EOF
+  // mid-file rather than an error
+  @volatile private var chunkedHalf = false
+  @volatile private var chunkedEmpty = false
 
   private def serve(ex: HttpExchange): Unit = {
     val rel = ex.getRequestURI.getPath.stripPrefix("/files/")
@@ -46,16 +51,36 @@ class HttpFileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
         val to = b.trim.toLongOption.getOrElse(bytes.length - 1L)
         (from, math.min(to, bytes.length - 1L))
       }
+    // real range-honoring servers answer 416 when the range starts past
+    // the last byte — which for bytes=0-0 means the file is empty
+    if (range.exists { case (from, _) => from >= bytes.length }) {
+      ex.getResponseHeaders.set("Content-Range", s"bytes */${bytes.length}")
+      ex.sendResponseHeaders(416, -1); ex.close(); return
+    }
     try range match {
       case Some((from, to)) =>
         val body = bytes.slice(from.toInt, to.toInt + 1)
         ex.getResponseHeaders.set("Content-Range",
           s"bytes $from-$to/${bytes.length}")
-        ex.sendResponseHeaders(206, body.length.toLong)
-        ex.getResponseBody.write(body)
+        if (chunkedHalf || chunkedEmpty) {
+          ex.sendResponseHeaders(206, 0) // chunked: early close = clean EOF
+          ex.getResponseBody.write(
+            if (chunkedEmpty) Array.emptyByteArray
+            else body.take((body.length + 1) / 2)) // ceil: always progress
+        } else {
+          ex.sendResponseHeaders(206, body.length.toLong)
+          ex.getResponseBody.write(body)
+        }
       case None =>
-        ex.sendResponseHeaders(200, bytes.length.toLong)
-        ex.getResponseBody.write(bytes)
+        if (chunkedHalf || chunkedEmpty) {
+          ex.sendResponseHeaders(200, 0)
+          ex.getResponseBody.write(
+            if (chunkedEmpty) Array.emptyByteArray
+            else bytes.take((bytes.length + 1) / 2))
+        } else {
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+        }
     } catch {
       // the client legitimately disconnects mid-body (size probe, early
       // stream close after a footer read) — not a test failure
@@ -140,6 +165,65 @@ class HttpFileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("fs.http.header.Authorization", "Bearer tok-123")
       .parquet(s"$base/auth/nation.parquet")
     assert(df.count() == 25)
+  }
+
+  test("a zero-length file statuses as len 0 (416 from range-honoring servers)") {
+    Files.write(dir.resolve("empty.bin"), Array.emptyByteArray)
+    val fs = new graft.sources.HttpFileSystem
+    fs.initialize(new java.net.URI(base),
+      new org.apache.hadoop.conf.Configuration())
+    val st = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$base/empty.bin"))
+    assert(st.getLen == 0, st)
+  }
+
+  test("a connection dropped mid-body is resumed at pos, not a silent EOF") {
+    chunkedHalf = true
+    try {
+      val fs = new graft.sources.HttpFileSystem
+      fs.initialize(new java.net.URI(base),
+        new org.apache.hadoop.conf.Configuration())
+      val p = new org.apache.hadoop.fs.Path(s"$base/tiny.csv")
+      val want = Files.readAllBytes(dir.resolve("tiny.csv"))
+      val in = fs.open(p, 4096)
+      try {
+        val buf = new Array[Byte](want.length)
+        in.readFully(0, buf) // every request serves only half — must resume
+        assert(buf.toSeq == want.toSeq)
+      } finally in.close()
+    } finally chunkedHalf = false
+  }
+
+  test("a server that can never serve the body raises EOF, not empty rows") {
+    chunkedEmpty = true
+    try {
+      val fs = new graft.sources.HttpFileSystem
+      fs.initialize(new java.net.URI(base),
+        new org.apache.hadoop.conf.Configuration())
+      val in = fs.open(
+        new org.apache.hadoop.fs.Path(s"$base/tiny.csv"), 4096)
+      try intercept[java.io.EOFException] {
+        in.read(new Array[Byte](8), 0, 8)
+      } finally in.close()
+    } finally chunkedEmpty = false
+  }
+
+  test("https reads honor the documented fs.http.header.* keys, with " +
+      "fs.https.header.* overriding by name") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.http.header.Authorization", "Bearer generic")
+    conf.set("fs.http.header.X-Trace", "t1")
+    conf.set("fs.https.header.Authorization", "Bearer tls-only")
+    val fs = new graft.sources.HttpsFileSystem
+    fs.initialize(new java.net.URI("https://example.invalid"), conf)
+    val h = fs.requestHeaders.toMap
+    assert(h("Authorization") == "Bearer tls-only", h)
+    assert(h("X-Trace") == "t1", h)
+    // and plain http never picks up the https-only credential
+    val plain = new graft.sources.HttpFileSystem
+    plain.initialize(new java.net.URI(base), conf)
+    val ph = plain.requestHeaders.toMap[String, String]
+    assert(ph("Authorization") == "Bearer generic", ph)
   }
 
   test("missing file is a clean FileNotFound, writes are refused") {

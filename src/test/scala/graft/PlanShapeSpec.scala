@@ -128,11 +128,18 @@ class PlanShapeSpec extends AnyFunSuite {
     // single-task-per-language hot spot this operator exists to avoid.
     // (A lang-only window IS expected over the tiny per-bucket aggregate;
     // it is distinguished by partitioning spec below.)
-    val specs = "windowspecdefinition\\((\\w+)#\\d+(?:, (\\w+)#\\d+)?".r
-      .findAllMatchIn(p).map(m => (m.group(1), Option(m.group(2)))).toSeq
+    // a partition column is followed by ","; an ORDER BY column carries a
+    // sort direction — so the offsets window (partition lang, ORDER BY
+    // bucket: "lang#1, bucket#2 ASC ...") must NOT satisfy this pin, only
+    // a genuine two-column partition ("lang#1, bucket#2, ord#3 ASC") does
+    val specs =
+      "windowspecdefinition\\((\\w+)#\\d+(?:, (\\w+)#\\d+( ASC| DESC)?)?".r
+        .findAllMatchIn(p)
+        .map(m => (m.group(1), Option(m.group(2)), Option(m.group(3))))
+        .toSeq
     assert(specs.nonEmpty, p)
-    assert(specs.contains(("lang", Some("bucket"))),
-      s"missing (lang,bucket) window: $specs\n$p")
+    assert(specs.contains(("lang", Some("bucket"), None)),
+      s"missing (lang,bucket) partition window: $specs\n$p")
     // the lang-only window's input must be an aggregate (the 256-row
     // bucket-totals relation), never the documents scan: its Window node
     // sits above a HashAggregate in the tree
@@ -152,6 +159,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.exists(e => e.contains("cid#") && e.contains("dim#")), p)
     exchanges.foreach(e => assert(!e.contains("v#") && !e.contains("cv#"),
       s"vector column in k-means shuffle keys: $e"))
+    // the argmax assignment is a projection over the collapsed seed row —
+    // a window-based argmax would plan hashpartitioning(vec_id) and ship
+    // the k×-replicated corpus (vectors included) through it
+    exchanges.foreach(e => assert(!e.contains("vec_id#"),
+      s"assignment shuffled the corpus by vec_id: $e"))
   }
 
   test("simhash multi-band: banded exchange reused by both self-join sides; no text shuffled") {
@@ -241,6 +253,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(cidOnly.nonEmpty, p)
     cidOnly.foreach(e => assert(!e.contains("vec_id#") && !e.contains("id_a#"),
       s"pair-join exchange not keyed by cid alone: $e"))
+    // and the assignment feeding it must not have shuffled by vec_id
+    exchanges.foreach(e => assert(!e.contains("vec_id#"),
+      s"assignment shuffled the corpus by vec_id: $e"))
   }
 
   test("salted join shuffles on (key, salt), spreading hot keys across tasks") {
