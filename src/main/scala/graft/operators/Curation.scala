@@ -64,6 +64,69 @@ object Curation {
   private val dotAB =
     "list_sum(list_transform(list_zip(a.v, b.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
+  /** Shared unigram-surprisal CTE chain ending in
+    * `surp(doc_id, n_tokens, surprisal)` — the basis of both
+    * `t_unigram_logprob` and `d_ccnet_buckets`. */
+  private def surprisalCtes: String =
+    s"""words AS (
+       |  SELECT doc_id, unnest(string_split(${TextPipeline.normSqlDuck}, ' ')) AS w
+       |  FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+       |       WHERE w <> '' GROUP BY doc_id, w),
+       |cf AS (SELECT w, sum(tf) AS cf FROM tf GROUP BY w),
+       |tot AS (SELECT sum(cf) AS tot FROM cf),
+       |terms AS (
+       |  SELECT tf.doc_id, tf.tf,
+       |    CAST(round(tf.tf * ln(CAST(cf.cf AS DOUBLE) / tot.tot) * 1000000, 0)
+       |         AS BIGINT) AS micro
+       |  FROM tf JOIN cf ON tf.w = cf.w CROSS JOIN tot),
+       |surp AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    round(-CAST(sum(micro) AS DOUBLE) / 1000000 / sum(tf), 6) AS surprisal
+       |  FROM terms GROUP BY doc_id)""".stripMargin
+
+  /** Spark twin of [[surprisalCtes]]: (doc_id, n_tokens, surprisal).
+    * cf via map-side-combined groupBy + join-back (the t_tfidf_topterms
+    * shape): a sum-over-Window.partitionBy(w) would put every (doc,word)
+    * row of a stopword on ONE task — a hot spot AQE cannot split, since
+    * skew handling covers joins/aggregates, not windows. tf is lazily
+    * localCheckpointed so the explode+aggregate runs once for both the
+    * cf aggregation and the join probe. The token total comes from a
+    * separate cheap scan (per-doc word counts, no explode) and
+    * broadcasts as one row. */
+  private def docSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val words = TextPipeline.withNorm(t(s, dir).documents)
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val cf = tf.groupBy(col("w")).agg(sum(col("tf")).as("cf"))
+    // norm is trimmed, so split() only yields an empty token when the
+    // whole norm is empty — counting is a codegen'd size(), no lambda
+    val tot = TextPipeline.withNorm(t(s, dir).documents)
+      .select(when(col("norm") === "", lit(0))
+        .otherwise(size(col("words"))).as("n"))
+      .agg(sum(col("n")).as("tot"))
+    val terms = tf.join(cf, "w")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("tf"),
+        round(col("tf") * log(col("cf").cast("double") / col("tot"))
+          * 1000000, 0).cast("bigint").as("micro"))
+    terms.groupBy(col("doc_id")).agg(
+      sum(col("tf")).as("n_tokens"),
+      round(-sum(col("micro")).cast("double") / 1000000 / sum(col("tf")), 6)
+        .as("surprisal"))
+  }
+
+  /** 64 integer micro-unit weights for the hashed linear classifier —
+    * fixed seed, embedded as a list literal in the oracle SQL (the same
+    * plan-constant discipline as the LSH planes). */
+  private lazy val clfWeights: IndexedSeq[Long] = {
+    val rng = new scala.util.Random(4099)
+    IndexedSeq.fill(64)((rng.nextInt(1000001) - 500000).toLong)
+  }
+
   val defs: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------- semantic dedup
@@ -290,51 +353,103 @@ object Curation {
     // aggregate — no float summation-order hazard; the final mean
     // divides exact integers.
     GraftQuery("t_unigram_logprob",
+      s"""WITH $surprisalCtes
+         |SELECT doc_id, n_tokens, surprisal FROM surp""".stripMargin) {
+      (s, dir) => docSurprisal(s, dir)
+    },
+
+    // --------------------------------------- perplexity bucketing (CCNet)
+    // CCNet (Wenzek et al. 2020) splits each language's documents into
+    // head/middle/tail perplexity terciles and typically keeps head+middle.
+    // The classic implementation sorts per language — a single-task hot
+    // spot at corpus scale. Here tercile BOUNDARIES come from a cumulative
+    // walk over the per-(lang, rounded-ppl) HISTOGRAM: the histogram
+    // aggregate is map-side combinable and its window partitions hold one
+    // row per distinct 2-dp surprisal value (bounded, corpus-size
+    // independent), then boundaries broadcast back onto the documents —
+    // no corpus-cardinality sort or window anywhere. Boundary rank tests
+    // are exact integer comparisons (3·cum ≥ n ⇔ cum ≥ n/3).
+    GraftQuery("d_ccnet_buckets",
+      s"""WITH $surprisalCtes,
+         |d AS (SELECT s.doc_id, doc.lang, round(s.surprisal, 2) AS ppl
+         |      FROM surp s JOIN documents doc USING (doc_id)),
+         |hist AS (SELECT lang, ppl, count(*) AS c FROM d GROUP BY lang, ppl),
+         |cum AS (SELECT lang, ppl,
+         |        sum(c) OVER (PARTITION BY lang ORDER BY ppl) AS cum,
+         |        sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+         |bounds AS (SELECT lang,
+         |    min(CASE WHEN cum * 3 >= n THEN ppl END) AS b1,
+         |    min(CASE WHEN cum * 3 >= 2 * n THEN ppl END) AS b2
+         |  FROM cum GROUP BY lang)
+         |SELECT d.doc_id, d.lang, d.ppl,
+         |  CASE WHEN d.ppl <= b.b1 THEN 'head'
+         |       WHEN d.ppl <= b.b2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM d JOIN bounds b USING (lang)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docSurprisal(s, dir)
+        .join(t(s, dir).documents.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          round(col("surprisal"), 2).as("ppl"))
+      val hist = d.groupBy(col("lang"), col("ppl"))
+        .agg(count(lit(1)).as("c"))
+      // windows over the HISTOGRAM (distinct ppl values per lang), never
+      // the documents; DuckDB's default RANGE frame and this one agree
+      // because (lang, ppl) rows are distinct — no peers
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("lang")).orderBy(col("ppl"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      val bounds = cum.groupBy(col("lang")).agg(
+        min(when(col("cum") * 3 >= col("n"), col("ppl"))).as("b1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("ppl"))).as("b2"))
+      d.join(broadcast(bounds), "lang")
+        .select(col("doc_id"), col("lang"), col("ppl"),
+          when(col("ppl") <= col("b1"), "head")
+            .when(col("ppl") <= col("b2"), "middle")
+            .otherwise("tail").as("bucket"))
+    },
+
+    // --------------------------------- model-based quality filter (hashed
+    // linear classifier). The DCLM/fineweb-edu stage a heuristic pipeline
+    // lacks: score = w·x for hashed bag-of-words features (64 buckets via
+    // the portable 63-bit hash), keep iff score > 0. Weights are fixed
+    // plan constants (a real deployment loads trained ones; the CONTRACT —
+    // feature hashing, sparse dot, threshold — is what's exercised), and
+    // all arithmetic is exact: integer micro-unit weights × integer tf,
+    // summed as BIGINT, divided once at the end. Scale shape: tf by
+    // (doc, word), per-word hash map-side, two scalar shuffles — no
+    // vocabulary broadcast, no window, no model server round-trips.
+    GraftQuery("t_quality_classifier", {
+      val wLit = clfWeights.mkString("[", ", ", "]")
+      val (hashCtes, hashLast) = SketchOracleSql.hashScalarCtes(
+        "qc", "tf", "doc_id, tf", "w")
       s"""WITH words AS (
          |  SELECT doc_id, unnest(string_split(${TextPipeline.normSqlDuck}, ' ')) AS w
          |  FROM documents),
          |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
          |       WHERE w <> '' GROUP BY doc_id, w),
-         |cf AS (SELECT w, sum(tf) AS cf FROM tf GROUP BY w),
-         |tot AS (SELECT sum(cf) AS tot FROM cf),
-         |terms AS (
-         |  SELECT tf.doc_id, tf.tf,
-         |    CAST(round(tf.tf * ln(CAST(cf.cf AS DOUBLE) / tot.tot) * 1000000, 0)
-         |         AS BIGINT) AS micro
-         |  FROM tf JOIN cf ON tf.w = cf.w CROSS JOIN tot)
+         |$hashCtes,
+         |m AS (SELECT doc_id, tf,
+         |    tf * ($wLit[CAST(fh % 64 + 1 AS INT)]) AS m FROM $hashLast)
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         |  round(-CAST(sum(micro) AS DOUBLE) / 1000000 / sum(tf), 6) AS surprisal
-         |FROM terms GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      val words = TextPipeline.withNorm(t(s, dir).documents)
+         |  round(CAST(sum(m) AS DOUBLE) / 1000000 / sum(tf), 6) AS score,
+         |  (sum(m) > 0) AS kept
+         |FROM m GROUP BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val tf = TextPipeline.withNorm(t(s, dir).documents)
         .select(col("doc_id"), explode(col("words")).as("w"))
         .filter(col("w") =!= "")
-      // cf via map-side-combined groupBy + join-back (the t_tfidf_topterms
-      // shape): a sum-over-Window.partitionBy(w) would put every (doc,word)
-      // row of a stopword on ONE task — a hot spot AQE cannot split, since
-      // skew handling covers joins/aggregates, not windows. tf is lazily
-      // localCheckpointed so the explode+aggregate runs once for both the
-      // cf aggregation and the join probe. The token total comes from a
-      // separate cheap scan (per-doc word counts, no explode) and
-      // broadcasts as one row.
-      val tf = words.groupBy(col("doc_id"), col("w"))
+        .groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false)
-      val cf = tf.groupBy(col("w")).agg(sum(col("tf")).as("cf"))
-      // norm is trimmed, so split() only yields an empty token when the
-      // whole norm is empty — counting is a codegen'd size(), no lambda
-      val tot = TextPipeline.withNorm(t(s, dir).documents)
-        .select(when(col("norm") === "", lit(0))
-          .otherwise(size(col("words"))).as("n"))
-        .agg(sum(col("n")).as("tot"))
-      val terms = tf.join(cf, "w")
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"), col("tf"),
-          round(col("tf") * log(col("cf").cast("double") / col("tot"))
-            * 1000000, 0).cast("bigint").as("micro"))
-      terms.groupBy(col("doc_id")).agg(
-        sum(col("tf")).as("n_tokens"),
-        round(-sum(col("micro")).cast("double") / 1000000 / sum(col("tf")), 6)
-          .as("surprisal"))
+      val m = tf.select(col("doc_id"), col("tf"),
+        (col("tf") * element_at(lit(clfWeights.toArray),
+          (expr("graft_porthash63(w) % 64") + 1).cast("int"))).as("m"))
+      m.groupBy(col("doc_id")).agg(
+        sum(col("tf")).cast("bigint").as("n_tokens"),
+        round(sum(col("m")).cast("double") / 1000000 / sum(col("tf")), 6)
+          .as("score"),
+        (sum(col("m")) > 0).as("kept"))
     }
   )
 }

@@ -76,6 +76,16 @@ object SketchOracleSql {
     (stages.mkString(",\n"), s"${pfx}5")
   }
 
+  /** CTE chain hashing scalar string column `strCol` of `src` to its
+    * 63-bit portable hash (`graft_porthash63`'s oracle twin); carries
+    * `keys` through, final CTE has `keys` + `fh` (BIGINT). */
+  def hashScalarCtes(pfx: String, src: String, keys: String,
+      strCol: String): (String, String) = {
+    val s0 = s"${pfx}0 AS (SELECT $keys, ${poly64(strCol)} AS ph FROM $src)"
+    val (rest, last) = fmixScalarCtes(pfx, s"${pfx}0", keys, "ph")
+    (s0 + ",\n" + rest, last)
+  }
+
   /** doc_id + distinct-word 63-bit hashes (`hs`), the SimHash token basis. */
   private def tokenHashCtes(norm: String): (String, String) = {
     val w = s"w AS (SELECT doc_id, list_distinct(string_split($norm, ' ')) AS ws FROM documents)"

@@ -228,6 +228,46 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     a.foreach(c => assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9))
   }
 
+  test("ccnet buckets: per-language terciles cover all docs, head first") {
+    val rows = run("d_ccnet_buckets").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("ppl"),
+        r.getAs[String]("bucket")))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).toSet.subsetOf(Set("head", "middle", "tail")))
+    // bucket assignment must be monotone in ppl within a language: every
+    // head ppl ≤ every middle ppl ≤ every tail ppl
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      def ppls(b: String) = rs.filter(_._3 == b).map(_._2)
+      for (h <- ppls("head").maxOption; m <- ppls("middle").minOption)
+        assert(h <= m, s"$lang: head max $h > middle min $m")
+      for (m <- ppls("middle").maxOption; t <- ppls("tail").minOption)
+        assert(m <= t, s"$lang: middle max $m > tail min $t")
+      // tercile boundaries: head holds at least a third of the docs
+      // (ties can only grow it), and strictly less than all of them
+      val n = rs.size
+      if (n >= 9) {
+        val head = ppls("head").size
+        assert(head * 3 >= n, s"$lang: head $head of $n")
+        assert(head < n, s"$lang: everything in head")
+      }
+    }
+  }
+
+  test("quality classifier: kept ⇔ positive score, scores are bounded means") {
+    val rows = run("t_quality_classifier").collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Double]("score"),
+        r.getAs[Boolean]("kept")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, score, kept) =>
+      assert(kept == (score > 0) || score == 0.0,
+        s"kept=$kept disagrees with score=$score")
+      // score is a mean of per-token weights in [-0.5, 0.5]
+      assert(score >= -0.5 && score <= 0.5 && n > 0, s"($n, $score)")
+    }
+    // the fixed weights must actually split the corpus, not rubber-stamp it
+    assert(rows.exists(_._3) && rows.exists(!_._3), "degenerate classifier")
+  }
+
   test("approx distinct within 5% of exact") {
     val rows = run("q_approx_distinct").collect()
     rows.foreach { r =>

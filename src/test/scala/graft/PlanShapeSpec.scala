@@ -258,6 +258,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"assignment shuffled the corpus by vec_id: $e"))
   }
 
+  test("ccnet buckets: windows only over the per-language histogram; " +
+      "boundaries broadcast back") {
+    val p = plan("d_ccnet_buckets")
+    // every window partitions by lang and consumes the (lang, ppl)
+    // HISTOGRAM aggregate — a window partitioned by anything
+    // corpus-cardinality (doc_id, ppl carrier rows) is the per-language
+    // sort hot spot this formulation exists to avoid
+    val parts = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(parts.nonEmpty, p)
+    assert(parts.forall(_ == "lang"),
+      s"window over a non-lang key: $parts\n$p")
+    assert(p.contains("HashAggregate"), p)
+    // the tiny (lang, b1, b2) relation joins back as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("quality classifier is two scalar aggregations — no window, no broadcast vocabulary") {
+    val p = plan("t_quality_classifier")
+    assert(!p.contains("windowspecdefinition"), p)
+    // shuffles are keyed by (doc_id, w) then doc_id — per-document work
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("doc_id#")),
+      s"unexpected exchange keys: $exchanges\n$p")
+  }
+
   test("salted join shuffles on (key, salt), spreading hot keys across tasks") {
     val p = plan("q_join_salted")
     val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
