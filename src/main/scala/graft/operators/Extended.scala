@@ -191,6 +191,49 @@ object Extended {
         .json(tmp)
     },
 
+    // Iceberg round-trip: WRITE the filtered table as two append-only
+    // Iceberg snapshots (spec-shaped metadata JSON + Avro manifests,
+    // sources/iceberg/IcebergLocal.scala), serve them over a live REST
+    // catalog, and READ the tagged first snapshot back through the REST
+    // client + manifest walk + distributed parquet scan
+    // (IcebergRest.read). The oracle recomputes the snapshot-1 predicate
+    // on the original table, so any slip in the catalog protocol,
+    // snapshot resolution, manifest decoding, or file listing breaks the
+    // hash. Reference: iceberg.rs:43-100 (TableVersionSpec time travel).
+    GraftQuery("q_iceberg_snapshot",
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_regionkey < 2""".stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg"))
+      val tableDir = warehouse.resolve("nation")
+      def appendFiltered(pred: String, ts: Long, tag: Option[String]): Unit = {
+        val df = t(s, dir).nation.filter(pred)
+        val out = java.nio.file.Files.createTempDirectory("graft_ice_data")
+        out.toFile.deleteOnExit()
+        val n = df.count()
+        df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+        import scala.jdk.CollectionConverters._
+        val files = java.nio.file.Files.list(out).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+          .map(p => IcebergLocal.DataFileInfo(p.toUri.toString, n,
+            java.nio.file.Files.size(p)))
+        IcebergLocal.append(tableDir, files, ts, tag)
+      }
+      appendFiltered("n_regionkey < 2", ts = 1000L, tag = Some("v1"))
+      appendFiltered("n_regionkey >= 2", ts = 2000L, tag = None)
+      val server = new IcebergLocal.CatalogServer(warehouse, "lake")
+      val port = server.start()
+      try {
+        val catalog = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+        IcebergRest.read(s, catalog, "lake", "nation",
+            Some(graft.sources.SnapshotLog.ByVersion("v1")))
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          // materialize before the catalog server stops — the fixture is
+          // bounded (one dimension table), so eager is safe
+          .localCheckpoint(true)
+      } finally server.stop()
+    },
+
     GraftQuery("q_tablesample", {
       val (ctes, last) = SketchOracleSql.fmixScalarCtes("s", "k", "l_quantity", "h")
       s"""WITH k AS (SELECT l_quantity,

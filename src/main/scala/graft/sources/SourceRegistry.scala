@@ -92,6 +92,25 @@ final class SourceRegistry(spark: SparkSession) {
           .option("pushDownAggregate", "true")
           .options(src.options)
           .load()
+      case "iceberg" | "iceberg_rest" =>
+        // the reference's iceberg_rest source (iceberg.rs:1-120):
+        // catalog_uri + namespace + token/OAuth; auth reuses the REST
+        // source's header model so static token, basic, OAuth2
+        // client-credentials, and JWT assertion all apply
+        val baseUrl = src.url.getOrElse(
+          throw new IllegalArgumentException(
+            s"iceberg source ${src.name} needs url (catalog uri)"))
+        val ro = graft.sources.rest.RestOptions(
+          src.options + ("baseurl" -> baseUrl))
+        val catalog = new graft.sources.iceberg.IcebergRestCatalog(
+          baseUrl, () => ro.authHeaders ++ ro.extraHeaders)
+        val namespace = src.options.getOrElse("namespace", "default")
+        val spec: Option[SnapshotLog.VersionSpec] =
+          src.options.get("version").map(SnapshotLog.ByVersion)
+            .orElse(src.options.get("timestamp_ms")
+              .map(ms => SnapshotLog.ByTimestamp(ms.toLong)))
+        graft.sources.iceberg.IcebergRest.read(
+          spark, catalog, namespace, t.name, spec)
       case "rest" =>
         val r = spark.read.format("graft.sources.rest.RestDataSource")
           .option("baseUrl", src.url.getOrElse(

@@ -1,0 +1,259 @@
+package graft.sources.iceberg
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.SnapshotLog
+import graft.sources.SnapshotLog.{ByTimestamp, ByVersion, VersionSpec}
+
+/** Minimal Apache Iceberg REST-catalog client + table reader, built from
+  * the PUBLIC Iceberg REST OpenAPI and table-spec documents (endpoint
+  * paths, table-metadata JSON fields, manifest Avro field names are all
+  * spec-normative). This closes the gap the reference serves with
+  * iceberg-rust (`crates/connectors/src/sources/iceberg.rs:1-120`:
+  * REST catalog + OAuth + snapshot isolation + time travel) — the
+  * official Iceberg runtime jars are absent in this environment, but the
+  * catalog protocol is plain HTTP+JSON and the manifests are plain Avro
+  * (on the classpath), so the read path needs no vendored engine:
+  *
+  *   REST `GET /v1/namespaces/{ns}/tables/{t}` → table metadata JSON →
+  *   snapshot (current / id / tag / branch / timestamp, the reference's
+  *   `TableVersionSpec` semantics shared with [[SnapshotLog]]) →
+  *   manifest list (Avro) → manifests (Avro) → live data-file paths →
+  *   `spark.read.parquet(paths)`.
+  *
+  * Scale notes: the catalog/metadata/manifest walk is driver-side and
+  * proportional to MANIFEST count (metadata, not data); the data scan
+  * itself is a plain distributed parquet scan, so predicate pushdown,
+  * column pruning, and split planning all apply to the listed files.
+  * Manifests are read through Hadoop `FsInput`, so manifest/data URIs
+  * may use any registered filesystem scheme (file/http/s3a/...).
+  *
+  * Deliberate bounds (explicit errors, not silent wrong answers):
+  * position/equality DELETES and merge-on-read tables are refused —
+  * append-only v1/v2 tables only.
+  */
+final case class IcebergSnapshot(snapshotId: Long, timestampMs: Long,
+    manifestList: String)
+
+final case class IcebergTableMeta(
+    location: String,
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[IcebergSnapshot],
+    /** ref name → (type: "tag" | "branch", snapshot id) */
+    refs: Map[String, (String, Long)])
+
+/** REST catalog over `baseUrl` (e.g. `http://host:8181`); `headers` is
+  * re-evaluated per request so OAuth bearer refresh (graft's
+  * [[graft.sources.rest.RestAuth]]) plugs in directly. */
+final class IcebergRestCatalog(baseUrl: String,
+    headers: () => Map[String, String] = () => Map.empty) {
+  private val mapper = new ObjectMapper()
+  private val base = baseUrl.stripSuffix("/")
+
+  private def get(path: String): JsonNode = {
+    val c = new URI(base + path).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    c.setRequestMethod("GET")
+    c.setConnectTimeout(15000)
+    c.setReadTimeout(60000)
+    headers().foreach { case (k, v) => c.setRequestProperty(k, v) }
+    try {
+      val code = c.getResponseCode
+      if (code >= 400)
+        throw new java.io.IOException(s"GET $base$path: HTTP $code")
+      val body = new String(c.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8)
+      mapper.readTree(body)
+    } finally c.disconnect()
+  }
+
+  /** `GET /v1/config` — defaults/overrides maps (merged, overrides win). */
+  def config(): Map[String, String] = {
+    val n = get("/v1/config")
+    def m(f: String): Map[String, String] = Option(n.get(f)).map { o =>
+      val it = o.properties().iterator()
+      Iterator.continually(it).takeWhile(_.hasNext)
+        .map(_.next()).map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+    m("defaults") ++ m("overrides")
+  }
+
+  /** `GET /v1/namespaces` — multi-level namespaces joined with '.'. */
+  def listNamespaces(): Seq[String] = {
+    val n = get("/v1/namespaces")
+    jsArr(n.get("namespaces")).map(ns =>
+      jsArr(ns).map(_.asText()).mkString("."))
+  }
+
+  /** `GET /v1/namespaces/{ns}/tables` — table names. */
+  def listTables(namespace: String): Seq[String] = {
+    val n = get(s"/v1/namespaces/${enc(namespace)}/tables")
+    jsArr(n.get("identifiers")).map(_.get("name").asText())
+  }
+
+  /** `GET /v1/namespaces/{ns}/tables/{t}` — LoadTableResult's inline
+    * `metadata` document. */
+  def loadTable(namespace: String, table: String): IcebergTableMeta = {
+    val n = get(s"/v1/namespaces/${enc(namespace)}/tables/${enc(table)}")
+    val meta = Option(n.get("metadata")).getOrElse(
+      throw new IllegalArgumentException(
+        s"LoadTableResult for $namespace.$table has no inline metadata"))
+    IcebergMetadata.parse(meta)
+  }
+
+  private def jsArr(n: JsonNode): Seq[JsonNode] =
+    Option(n).toSeq.flatMap { a =>
+      val it = a.elements(); Iterator.continually(it)
+        .takeWhile(_.hasNext).map(_.next()).toSeq
+    }
+
+  // the REST spec uses %1F as the namespace level separator; single-level
+  // namespaces (the common case) need only plain encoding
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+}
+
+object IcebergMetadata {
+  /** Parse the spec's table-metadata JSON: snapshots, current pointer,
+    * refs (tags/branches). Fields we don't need (schemas, partition
+    * specs, sort orders) are intentionally not modeled — the parquet
+    * footer is schema-authoritative for the read path. */
+  def parse(meta: JsonNode): IcebergTableMeta = {
+    def arr(n: JsonNode): Seq[JsonNode] =
+      Option(n).toSeq.flatMap { a =>
+        val it = a.elements(); Iterator.continually(it)
+          .takeWhile(_.hasNext).map(_.next()).toSeq
+      }
+    val snaps = arr(meta.get("snapshots")).map { s =>
+      IcebergSnapshot(
+        snapshotId = s.get("snapshot-id").asLong(),
+        timestampMs = s.get("timestamp-ms").asLong(),
+        manifestList = s.get("manifest-list").asText())
+    }
+    val refs = Option(meta.get("refs")).map { r =>
+      val it = r.properties().iterator()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).map { e =>
+        e.getKey -> (e.getValue.get("type").asText(),
+          e.getValue.get("snapshot-id").asLong())
+      }.toMap
+    }.getOrElse(Map.empty)
+    IcebergTableMeta(
+      location = Option(meta.get("location")).map(_.asText()).getOrElse(""),
+      currentSnapshotId = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ > 0),
+      snapshots = snaps,
+      refs = refs)
+  }
+
+  /** Resolve a version spec to a snapshot — the same contract as
+    * [[SnapshotLog.resolve]] (and the reference's `TableVersionSpec`):
+    * current head, numeric snapshot id, tag, branch head, or latest
+    * snapshot at-or-before a timestamp. */
+  def select(meta: IcebergTableMeta,
+      spec: Option[VersionSpec]): IcebergSnapshot = {
+    def byId(id: Long): IcebergSnapshot =
+      meta.snapshots.find(_.snapshotId == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot with id $id (have ${
+            meta.snapshots.map(_.snapshotId).sorted.mkString(", ")})"))
+    spec match {
+      case None =>
+        byId(meta.currentSnapshotId.getOrElse(
+          throw new IllegalArgumentException(
+            "table has no current snapshot (empty table)")))
+      case Some(ByVersion(v)) =>
+        require(v.nonEmpty, "version cannot be empty")
+        v.toLongOption match {
+          case Some(id) =>
+            require(id > 0, s"Snapshot ID must be positive, got $id")
+            byId(id)
+          case None =>
+            meta.refs.get(v) match {
+              case Some((_, id)) => byId(id)
+              case None => throw new IllegalArgumentException(
+                s"no snapshot tagged or branched '$v'")
+            }
+        }
+      case Some(ByTimestamp(ms)) =>
+        require(ms <= System.currentTimeMillis(),
+          s"Timestamp cannot be in the future: $ms")
+        val atOrBefore = meta.snapshots.filter(_.timestampMs <= ms)
+        if (atOrBefore.isEmpty)
+          throw new IllegalArgumentException(
+            s"no snapshot at or before timestamp $ms (earliest is ${
+              meta.snapshots.map(_.timestampMs).minOption.getOrElse(-1L)})")
+        atOrBefore.maxBy(s => (s.timestampMs, s.snapshotId))
+    }
+  }
+}
+
+object IcebergManifests {
+  /** Walk snapshot → manifest list → manifests → live data files. Avro
+    * field names are spec-normative: `manifest_path`/`content` in the
+    * manifest list, `status`/`data_file.{content,file_path}` in manifest
+    * entries. Entries with status 2 (DELETED) are dropped; delete
+    * manifests / delete files are refused. */
+  def dataFiles(spark: SparkSession, manifestList: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manifests = readAvro(manifestList, conf).map { r =>
+      val content = intField(r, "content").getOrElse(0)
+      if (content != 0)
+        throw new IllegalArgumentException(
+          s"delete manifest in $manifestList: merge-on-read tables are " +
+            "not supported (append-only reads)")
+      r.get("manifest_path").toString
+    }
+    manifests.flatMap { mf =>
+      readAvro(mf, conf).flatMap { entry =>
+        val status = intField(entry, "status").getOrElse(1)
+        val df = entry.get("data_file").asInstanceOf[GenericRecord]
+        val fileContent = intField(df, "content").getOrElse(0)
+        if (fileContent != 0)
+          throw new IllegalArgumentException(
+            s"delete file in manifest $mf: merge-on-read tables are not " +
+              "supported (append-only reads)")
+        if (status == 2) None // DELETED entry: file no longer in snapshot
+        else Some(df.get("file_path").toString)
+      }
+    }
+  }
+
+  private def intField(r: GenericRecord, name: String): Option[Int] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name)).map(_.asInstanceOf[Number].intValue())
+
+  private def readAvro(uri: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[GenericRecord] = {
+    val in = new FsInput(new org.apache.hadoop.fs.Path(uri), conf)
+    val reader = DataFileReader.openReader(in,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val out = Seq.newBuilder[GenericRecord]
+      while (reader.hasNext) out += reader.next()
+      out.result()
+    } finally reader.close() // closes the FsInput too
+  }
+}
+
+object IcebergRest {
+  /** Read one table at an optional version: catalog → metadata →
+    * snapshot → data files → distributed parquet scan. */
+  def read(spark: SparkSession, catalog: IcebergRestCatalog,
+      namespace: String, table: String,
+      spec: Option[VersionSpec] = None): DataFrame = {
+    val meta = catalog.loadTable(namespace, table)
+    val snap = IcebergMetadata.select(meta, spec)
+    val files = IcebergManifests.dataFiles(spark, snap.manifestList)
+    if (files.isEmpty)
+      throw new IllegalArgumentException(
+        s"snapshot ${snap.snapshotId} of $namespace.$table lists no data files")
+    spark.read.parquet(files: _*)
+  }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.{Files, Path => JPath}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SnapshotLog.{ByTimestamp, ByVersion}
+import graft.sources.iceberg._
+
+/** End-to-end Iceberg REST coverage: a warehouse written by
+  * [[IcebergLocal.append]] (spec-shaped metadata JSON + Avro manifests
+  * over real parquet), served by [[IcebergLocal.CatalogServer]], read
+  * back through [[IcebergRestCatalog]]/[[IcebergRest]] — discovery,
+  * current reads, every time-travel spec form, auth, and the explicit
+  * merge-on-read refusal. */
+class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import SparkTestSession._
+
+  private var warehouse: JPath = _
+  private var server: IcebergLocal.CatalogServer = _
+  private var port: Int = _
+  private var snap1: Long = _
+  private var snap2: Long = _
+
+  private def catalog = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+
+  /** Write `df` as parquet part files and return their DataFileInfo. */
+  private def partFiles(df: org.apache.spark.sql.DataFrame)
+      : Seq[IcebergLocal.DataFileInfo] = {
+    val out = Files.createTempDirectory("ice-data")
+    val n = df.count()
+    df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+    Files.list(out).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+      .map(p => IcebergLocal.DataFileInfo(p.toUri.toString, n, Files.size(p)))
+  }
+
+  override def beforeAll(): Unit = {
+    warehouse = Files.createTempDirectory("ice-wh")
+    val nationDir = warehouse.resolve("nation")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    snap1 = IcebergLocal.append(nationDir,
+      partFiles(nation.filter("n_regionkey < 2")),
+      timestampMs = 1000L, tag = Some("initial"))
+    snap2 = IcebergLocal.append(nationDir,
+      partFiles(nation.filter("n_regionkey >= 2")),
+      timestampMs = 2000L)
+    server = new IcebergLocal.CatalogServer(warehouse, "analytics")
+    port = server.start()
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop()
+
+  test("catalog discovery: config, namespaces, tables") {
+    assert(catalog.config() == Map.empty)
+    assert(catalog.listNamespaces() == Seq("analytics"))
+    assert(catalog.listTables("analytics") == Seq("nation"))
+  }
+
+  test("current read = union of both appended snapshots") {
+    val df = IcebergRest.read(spark, catalog, "analytics", "nation")
+    assert(df.count() == 25)
+    assert(df.columns.toSet.contains("n_nationkey"))
+  }
+
+  test("snapshot-id and tag time travel resolve the first append") {
+    val byId = IcebergRest.read(spark, catalog, "analytics", "nation",
+      Some(ByVersion(snap1.toString)))
+    val byTag = IcebergRest.read(spark, catalog, "analytics", "nation",
+      Some(ByVersion("initial")))
+    val want = spark.read.parquet(s"$sf/nation.parquet")
+      .filter("n_regionkey < 2").count()
+    assert(byId.count() == want && byTag.count() == want)
+    assert(byId.filter("n_regionkey >= 2").count() == 0)
+  }
+
+  test("branch ref resolves the branch head") {
+    val df = IcebergRest.read(spark, catalog, "analytics", "nation",
+      Some(ByVersion("main")))
+    assert(df.count() == 25)
+  }
+
+  test("timestamp time travel picks the latest snapshot at-or-before") {
+    val df = IcebergRest.read(spark, catalog, "analytics", "nation",
+      Some(ByTimestamp(1500L)))
+    assert(df.filter("n_regionkey >= 2").count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      IcebergRest.read(spark, catalog, "analytics", "nation",
+        Some(ByTimestamp(500L)))
+    }
+    assert(e.getMessage.contains("no snapshot at or before"))
+  }
+
+  test("unknown tag and unknown snapshot id are clean errors") {
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergRest.read(spark, catalog, "analytics", "nation",
+        Some(ByVersion("nope")))
+    }
+    assert(e1.getMessage.contains("tagged or branched"))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergRest.read(spark, catalog, "analytics", "nation",
+        Some(ByVersion("99")))
+    }
+    assert(e2.getMessage.contains("no snapshot with id"))
+  }
+
+  test("auth: required header is sent by the client, 401 without it") {
+    val gated = new IcebergLocal.CatalogServer(warehouse, "analytics",
+      requiredHeader = Some("Authorization" -> "Bearer tok"))
+    val gport = gated.start()
+    try {
+      val anon = new IcebergRestCatalog(s"http://127.0.0.1:$gport")
+      val e = intercept[java.io.IOException] { anon.listNamespaces() }
+      assert(e.getMessage.contains("401"))
+      val authed = new IcebergRestCatalog(s"http://127.0.0.1:$gport",
+        () => Map("Authorization" -> "Bearer tok"))
+      assert(authed.listNamespaces() == Seq("analytics"))
+    } finally gated.stop()
+  }
+
+  test("a delete manifest is refused, not silently misread") {
+    // hand-craft a snapshot whose manifest list marks content=1 (deletes):
+    // spec field "content" of manifest_file; the reader must refuse the
+    // whole read rather than return rows that ignore the deletes
+    val dir = warehouse.resolve("deletes")
+    IcebergLocal.append(dir,
+      partFiles(spark.read.parquet(s"$sf/nation.parquet").limit(3)),
+      timestampMs = 1000L)
+    val metaDir = dir.resolve("metadata")
+    val list = Files.list(metaDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("snap-")).get
+    // rewrite the manifest list with content=1 via avro
+    val entries = {
+      val in = new org.apache.avro.mapred.FsInput(
+        new org.apache.hadoop.fs.Path(list.toUri.toString),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.avro.file.DataFileReader.openReader(in,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try {
+        val b = Seq.newBuilder[org.apache.avro.generic.GenericRecord]
+        while (r.hasNext) b += r.next()
+        (r.getSchema, b.result())
+      } finally r.close()
+    }
+    val (schema, recs) = entries
+    recs.foreach(_.put("content", 1))
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, list.toFile)
+    try recs.foreach(w.append) finally w.close()
+    val e = intercept[IllegalArgumentException] {
+      IcebergRest.read(spark, catalog, "analytics", "deletes")
+    }
+    assert(e.getMessage.contains("delete manifest"))
+    // clean up so table listing in other tests stays stable
+    import scala.reflect.io.Directory
+    new Directory(dir.toFile).deleteRecursively()
+  }
+
+  test("iceberg_rest registers through SourceRegistry like any source") {
+    import graft.sources.{SourceDef, SourceRegistry, SourcesConfig, TableDef}
+    new SourceRegistry(spark).registerAll(SourcesConfig(Seq(
+      SourceDef(name = "lake", sourceType = "iceberg_rest",
+        url = Some(s"http://127.0.0.1:$port"),
+        options = Map("namespace" -> "analytics", "version" -> "initial"),
+        tables = Seq(TableDef(name = "nation"))))))
+    val df = spark.table("lake_nation")
+    assert(df.count() ==
+      spark.read.parquet(s"$sf/nation.parquet")
+        .filter("n_regionkey < 2").count())
+  }
+}
