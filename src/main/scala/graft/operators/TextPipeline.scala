@@ -70,6 +70,35 @@ object TextPipeline {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     },
 
+    // Incremental (cross-snapshot) dedup: the "ingest the next crawl
+    // increment against the existing corpus" stage — admit an incoming
+    // document iff its normalized content hash appears neither in the
+    // existing corpus (anti-join) nor earlier within the increment itself
+    // (keep-first). Split here is by doc_id (a deterministic stand-in for
+    // the snapshot boundary). Scale shape: both passes move only
+    // (16-byte hash, id) pairs — a hash anti-join plus a min-per-hash
+    // aggregate, no text in any exchange beyond the map-side md5.
+    GraftQuery("d_incremental_dedup",
+      s"""WITH hashed AS (
+         |  SELECT doc_id, md5($normSqlDuck) AS h FROM documents),
+         |corpus AS (SELECT h FROM hashed WHERE doc_id < 250),
+         |increment AS (SELECT doc_id, h FROM hashed WHERE doc_id >= 250),
+         |fresh AS (
+         |  SELECT i.doc_id, i.h FROM increment i
+         |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = i.h))
+         |SELECT h AS norm_hash, CAST(min(doc_id) AS BIGINT) AS admit_id,
+         |  CAST(count(*) AS BIGINT) AS n_in_increment
+         |FROM fresh GROUP BY h""".stripMargin) { (s, dir) =>
+      val hashed = withNorm(t(s, dir).documents)
+        .select(col("doc_id"), md5(col("norm")).as("h"))
+      val corpus = hashed.filter(col("doc_id") < 250).select(col("h"))
+      val increment = hashed.filter(col("doc_id") >= 250)
+      increment.join(corpus, Seq("h"), "left_anti")
+        .groupBy(col("h").as("norm_hash"))
+        .agg(min(col("doc_id")).cast("bigint").as("admit_id"),
+          count(lit(1)).cast("bigint").as("n_in_increment"))
+    },
+
     // -------------------------------------------------- token statistics
     GraftQuery("t_token_count",
       s"""SELECT doc_id,

@@ -258,6 +258,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"assignment shuffled the corpus by vec_id: $e"))
   }
 
+  test("incremental dedup ships hashes and ids only — never text") {
+    val p = plan("d_incremental_dedup")
+    // the anti-join and the keep-first aggregate move (16-byte md5, id)
+    // pairs; document text/norm must stay inside the map-side scan
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    exchanges.foreach(e => assert(!e.contains("text#") && !e.contains("norm#"),
+      s"text in an incremental-dedup exchange: $e"))
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("ccnet buckets: windows only over the per-language histogram; " +
       "boundaries broadcast back") {
     val p = plan("d_ccnet_buckets")
