@@ -64,15 +64,21 @@ object Curation {
   private val dotAB =
     "list_sum(list_transform(list_zip(a.v, b.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
-  /** Shared unigram-surprisal CTE chain ending in
-    * `surp(doc_id, n_tokens, surprisal)` — the basis of both
-    * `t_unigram_logprob` and `d_ccnet_buckets`. */
-  private def surprisalCtes: String =
+  /** The words → per-(doc, word) term-frequency CTE pair — ONE
+    * definition of the tokenization contract, shared by the surprisal
+    * chain and the classifier oracle. */
+  private def wordsTfCtes: String =
     s"""words AS (
        |  SELECT doc_id, unnest(string_split(${TextPipeline.normSqlDuck}, ' ')) AS w
        |  FROM documents),
        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
-       |       WHERE w <> '' GROUP BY doc_id, w),
+       |       WHERE w <> '' GROUP BY doc_id, w)""".stripMargin
+
+  /** Shared unigram-surprisal CTE chain ending in
+    * `surp(doc_id, n_tokens, surprisal)` — the basis of both
+    * `t_unigram_logprob` and `d_ccnet_buckets`. */
+  private def surprisalCtes: String =
+    s"""$wordsTfCtes,
        |cf AS (SELECT w, sum(tf) AS cf FROM tf GROUP BY w),
        |tot AS (SELECT sum(cf) AS tot FROM cf),
        |terms AS (
@@ -386,10 +392,14 @@ object Curation {
          |       WHEN d.ppl <= b.b2 THEN 'middle' ELSE 'tail' END AS bucket
          |FROM d JOIN bounds b USING (lang)""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // d feeds both the histogram/bounds branch and the final labeling
+      // join — checkpoint it (the docSurprisal pattern) so the surprisal
+      // pipeline executes once, not once per branch
       val d = docSurprisal(s, dir)
         .join(t(s, dir).documents.select(col("doc_id"), col("lang")), "doc_id")
         .select(col("doc_id"), col("lang"),
           round(col("surprisal"), 2).as("ppl"))
+        .localCheckpoint(false)
       val hist = d.groupBy(col("lang"), col("ppl"))
         .agg(count(lit(1)).as("c"))
       // windows over the HISTOGRAM (distinct ppl values per lang), never
@@ -423,11 +433,7 @@ object Curation {
       val wLit = clfWeights.mkString("[", ", ", "]")
       val (hashCtes, hashLast) = SketchOracleSql.hashScalarCtes(
         "qc", "tf", "doc_id, tf", "w")
-      s"""WITH words AS (
-         |  SELECT doc_id, unnest(string_split(${TextPipeline.normSqlDuck}, ' ')) AS w
-         |  FROM documents),
-         |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
-         |       WHERE w <> '' GROUP BY doc_id, w),
+      s"""WITH $wordsTfCtes,
          |$hashCtes,
          |m AS (SELECT doc_id, tf,
          |    tf * ($wLit[CAST(fh % 64 + 1 AS INT)]) AS m FROM $hashLast)

@@ -89,8 +89,11 @@ object TextPipeline {
          |SELECT h AS norm_hash, CAST(min(doc_id) AS BIGINT) AS admit_id,
          |  CAST(count(*) AS BIGINT) AS n_in_increment
          |FROM fresh GROUP BY h""".stripMargin) { (s, dir) =>
+      // both sides of the anti-join derive from hashed — checkpoint it so
+      // the normalize+md5 scan runs once, not once per side
       val hashed = withNorm(t(s, dir).documents)
         .select(col("doc_id"), md5(col("norm")).as("h"))
+        .localCheckpoint(false)
       val corpus = hashed.filter(col("doc_id") < 250).select(col("h"))
       val increment = hashed.filter(col("doc_id") >= 250)
       increment.join(corpus, Seq("h"), "left_anti")

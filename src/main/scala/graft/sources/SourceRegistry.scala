@@ -109,8 +109,11 @@ final class SourceRegistry(spark: SparkSession) {
           src.options.get("version").map(SnapshotLog.ByVersion)
             .orElse(src.options.get("timestamp_ms")
               .map(ms => SnapshotLog.ByTimestamp(ms.toLong)))
+        // per-source options (fs.* credentials etc.) and declared schema
+        // apply to iceberg reads exactly as to file sources
         graft.sources.iceberg.IcebergRest.read(
-          spark, catalog, namespace, t.name, spec)
+          spark, catalog, namespace, t.name, spec,
+          options = src.options, schema = t.declaredSchema)
       case "rest" =>
         val r = spark.read.format("graft.sources.rest.RestDataSource")
           .option("baseUrl", src.url.getOrElse(

@@ -17,10 +17,15 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
   * Avro manifests over parquet data files) and serve them to ANY
   * REST-catalog client — including [[IcebergRestCatalog]], which is how
   * the round-trip is verified end-to-end without the Iceberg runtime
-  * jars. The written artifacts are spec-shaped (`vN.metadata.json`,
-  * `snap-*.avro` manifest lists, `manifest-*.avro` manifests with the
-  * spec's field names), so an external Iceberg reader pointed at the
-  * same warehouse sees the same snapshots.
+  * jars. The written artifacts are spec-shaped (`vN.metadata.json` with
+  * the v2-required structural fields, `snap-*.avro` manifest lists and
+  * `manifest-*.avro` manifests with the spec's field names, counts, and
+  * sequence numbers). Compatibility note, verified against the spec
+  * text only (no external Iceberg reader exists in this environment):
+  * the table schema is written as an EMPTY struct — this engine treats
+  * parquet footers as schema-authoritative — so a schema-strict external
+  * reader will see the snapshot/manifest history but must take column
+  * types from the data files.
   *
   * Writes are append-only commits: each [[IcebergLocal.append]] adds a
   * manifest and a snapshot whose manifest list carries every prior
@@ -50,8 +55,17 @@ object IcebergLocal {
     """{"type":"record","name":"manifest_file","fields":[
       |  {"name":"manifest_path","type":"string"},
       |  {"name":"manifest_length","type":"long"},
+      |  {"name":"partition_spec_id","type":"int"},
       |  {"name":"content","type":"int"},
-      |  {"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+      |  {"name":"sequence_number","type":"long"},
+      |  {"name":"min_sequence_number","type":"long"},
+      |  {"name":"added_snapshot_id","type":"long"},
+      |  {"name":"added_files_count","type":"int"},
+      |  {"name":"existing_files_count","type":"int"},
+      |  {"name":"deleted_files_count","type":"int"},
+      |  {"name":"added_rows_count","type":"long"},
+      |  {"name":"existing_rows_count","type":"long"},
+      |  {"name":"deleted_rows_count","type":"long"}]}""".stripMargin)
 
   private def writeAvro(path: JPath, schema: Schema,
       records: Seq[GenericRecord]): Unit = {
@@ -88,23 +102,41 @@ object IcebergLocal {
       e
     })
 
-    // fast-append commit: the new manifest list = all prior manifests
-    // (unchanged, status stays as written) + the new one
-    val priorManifests = prior.toSeq.flatMap { m =>
-      IcebergManifestListFiles.read(m.snapshots.maxBy(_.snapshotId)
-        .manifestList)
+    // fast-append commit: the new manifest list = every prior manifest
+    // record carried forward VERBATIM (its added_snapshot_id and sequence
+    // numbers are its lineage — rewriting them would corrupt history) +
+    // one new record for this commit's manifest
+    val priorRecords = prior.toSeq.flatMap { m =>
+      IcebergAvro.read(m.snapshots.maxBy(_.snapshotId).manifestList,
+        new org.apache.hadoop.conf.Configuration())
+    }
+    val newRecord = {
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", manifestPath.toUri.toString)
+      r.put("manifest_length", Files.size(manifestPath))
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      // fast-append: the manifest's data sequence number IS the commit's
+      r.put("sequence_number", snapId)
+      r.put("min_sequence_number", snapId)
+      r.put("added_snapshot_id", snapId)
+      r.put("added_files_count", files.size)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", files.map(_.recordCount).sum)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
     }
     val listPath = metaDir.resolve(f"snap-$snapId%05d.avro")
-    writeAvro(listPath, manifestFileSchema,
-      (priorManifests :+ (manifestPath.toUri.toString,
-        Files.size(manifestPath))).map { case (p, len) =>
-        val r = new GenericData.Record(manifestFileSchema)
-        r.put("manifest_path", p)
-        r.put("manifest_length", len)
-        r.put("content", 0)
-        r.put("added_snapshot_id", snapId)
-        r
-      })
+    writeAvro(listPath, manifestFileSchema, priorRecords.map { old =>
+      // re-record under the current schema, copying every field the old
+      // record carries (records written by this writer always carry all)
+      val r = new GenericData.Record(manifestFileSchema)
+      manifestFileSchema.getFields.forEach(f =>
+        r.put(f.name(), old.get(f.name())))
+      r
+    } :+ newRecord)
 
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -112,6 +144,27 @@ object IcebergLocal {
       tableDir.toString.getBytes(StandardCharsets.UTF_8)).toString)
     root.put("location", tableDir.toUri.toString)
     root.put("last-updated-ms", timestampMs)
+    // v2-required structural fields. The schema is written as an empty
+    // struct: parquet footers are schema-authoritative for this engine's
+    // read path, and a schema-strict external reader should take the
+    // columns from the data files (see the class scaladoc's compatibility
+    // note). Partitioning/sort: unpartitioned, unsorted — the only
+    // layouts this writer produces.
+    root.put("last-sequence-number", snapId)
+    root.put("last-column-id", 0)
+    val schemas = root.putArray("schemas")
+    val sc = schemas.addObject()
+    sc.put("type", "struct"); sc.put("schema-id", 0); sc.putArray("fields")
+    root.put("current-schema-id", 0)
+    val specs = root.putArray("partition-specs")
+    val ps = specs.addObject()
+    ps.put("spec-id", 0); ps.putArray("fields")
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 999) // partition field ids start at 1000
+    val orders = root.putArray("sort-orders")
+    val so = orders.addObject()
+    so.put("order-id", 0); so.putArray("fields")
+    root.put("default-sort-order-id", 0)
     root.put("current-snapshot-id", snapId)
     val snaps = root.putArray("snapshots")
     prior.toSeq.flatMap(_.snapshots).foreach(s =>
@@ -142,8 +195,11 @@ object IcebergLocal {
   private def snapNode(n: ObjectNode, id: Long, ts: Long,
       list: String): Unit = {
     n.put("snapshot-id", id)
+    // this writer's commits are strictly serial: sequence number == id
+    n.put("sequence-number", id)
     n.put("timestamp-ms", ts)
     n.put("manifest-list", list)
+    n.put("schema-id", 0)
     n.putObject("summary").put("operation", "append")
   }
 
@@ -153,16 +209,20 @@ object IcebergLocal {
     r.put("snapshot-id", id); r.put("type", tpe)
   }
 
-  /** Latest committed metadata of the table at `tableDir`, if any. */
-  def currentMetadata(tableDir: JPath): Option[IcebergTableMeta] = {
+  /** Latest committed `vN.metadata.json` of the table at `tableDir`. */
+  def currentMetadataFile(tableDir: JPath): Option[JPath] = {
     val metaDir = tableDir.resolve("metadata")
     if (!Files.isDirectory(metaDir)) return None
     import scala.jdk.CollectionConverters._
     Files.list(metaDir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".metadata.json"))
       .toSeq.sortBy(_.getFileName.toString).lastOption
-      .map(p => IcebergMetadata.parse(mapper.readTree(Files.readString(p))))
   }
+
+  /** Latest committed metadata of the table at `tableDir`, if any. */
+  def currentMetadata(tableDir: JPath): Option[IcebergTableMeta] =
+    currentMetadataFile(tableDir)
+      .map(p => IcebergMetadata.parse(mapper.readTree(Files.readString(p))))
 
   /** REST catalog over a warehouse directory: every subdirectory of
     * `warehouse` with committed metadata is a table in `namespace`.
@@ -174,7 +234,10 @@ object IcebergLocal {
     private var server: HttpServer = _
 
     def start(): Int = {
-      server = HttpServer.create(new InetSocketAddress(0), 0)
+      // loopback-only, like the embedded API server: this is a local
+      // serving helper, not a hardened network edge
+      server = HttpServer.create(
+        new InetSocketAddress("127.0.0.1", 0), 0)
       server.createContext("/v1", (ex: HttpExchange) => handle(ex))
       server.start()
       server.getAddress.getPort
@@ -214,8 +277,13 @@ object IcebergLocal {
           send(200, s"""{"identifiers":[${ids.mkString(",")}]}""")
         case p if p.startsWith(tablePrefix + "/") =>
           val t = p.stripPrefix(tablePrefix + "/")
-          val dir = warehouse.resolve(t)
-          metadataFile(dir) match {
+          // getPath percent-decodes, so a crafted ..%2F segment would
+          // otherwise resolve OUTSIDE the warehouse and serve arbitrary
+          // metadata files — only direct child directories are tables
+          val dir = warehouse.resolve(t).normalize()
+          val legalName = !t.contains("/") && !t.contains("..") &&
+            dir.getParent == warehouse.toAbsolutePath.normalize()
+          (if (legalName) currentMetadataFile(dir) else None) match {
             case Some(mf) =>
               send(200, s"""{"metadata-location":"${mf.toUri}",
                 |"metadata":${Files.readString(mf)}}""".stripMargin)
@@ -224,36 +292,6 @@ object IcebergLocal {
         case _ => send(404, """{"error":"not found"}""")
       }
     }
-
-    private def metadataFile(tableDir: JPath): Option[JPath] = {
-      val metaDir = tableDir.resolve("metadata")
-      if (!Files.isDirectory(metaDir)) return None
-      import scala.jdk.CollectionConverters._
-      Files.list(metaDir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".metadata.json"))
-        .toSeq.sortBy(_.getFileName.toString).lastOption
-    }
   }
 }
 
-/** Read a manifest list's (path, length) pairs — shared by the writer's
-  * fast-append (carry prior manifests forward) and kept separate from
-  * [[IcebergManifests]] which validates content kinds for the READ path. */
-private[iceberg] object IcebergManifestListFiles {
-  def read(manifestList: String): Seq[(String, Long)] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val in = new org.apache.avro.mapred.FsInput(
-      new org.apache.hadoop.fs.Path(manifestList), conf)
-    val reader = org.apache.avro.file.DataFileReader.openReader(in,
-      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
-    try {
-      val out = Seq.newBuilder[(String, Long)]
-      while (reader.hasNext) {
-        val r = reader.next()
-        out += ((r.get("manifest_path").toString,
-          r.get("manifest_length").asInstanceOf[Long]))
-      }
-      out.result()
-    } finally reader.close()
-  }
-}

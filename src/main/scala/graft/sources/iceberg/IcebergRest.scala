@@ -108,16 +108,36 @@ final class IcebergRestCatalog(baseUrl: String,
     IcebergMetadata.parse(meta)
   }
 
-  private def jsArr(n: JsonNode): Seq[JsonNode] =
-    Option(n).toSeq.flatMap { a =>
-      val it = a.elements(); Iterator.continually(it)
-        .takeWhile(_.hasNext).map(_.next()).toSeq
-    }
+  private def jsArr(n: JsonNode): Seq[JsonNode] = IcebergJson.arr(n)
 
   // the REST spec uses %1F as the namespace level separator; single-level
   // namespaces (the common case) need only plain encoding
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+}
+
+/** Shared JSON/Avro plumbing for the iceberg module — one definition of
+  * the node-iteration and Avro-container loops. */
+private[iceberg] object IcebergJson {
+  def arr(n: JsonNode): Seq[JsonNode] =
+    Option(n).toSeq.flatMap { a =>
+      val it = a.elements(); Iterator.continually(it)
+        .takeWhile(_.hasNext).map(_.next()).toSeq
+    }
+}
+
+private[iceberg] object IcebergAvro {
+  def read(uri: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[GenericRecord] = {
+    val in = new FsInput(new org.apache.hadoop.fs.Path(uri), conf)
+    val reader = DataFileReader.openReader(in,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val out = Seq.newBuilder[GenericRecord]
+      while (reader.hasNext) out += reader.next()
+      out.result()
+    } finally reader.close() // closes the FsInput too
+  }
 }
 
 object IcebergMetadata {
@@ -126,12 +146,7 @@ object IcebergMetadata {
     * specs, sort orders) are intentionally not modeled — the parquet
     * footer is schema-authoritative for the read path. */
   def parse(meta: JsonNode): IcebergTableMeta = {
-    def arr(n: JsonNode): Seq[JsonNode] =
-      Option(n).toSeq.flatMap { a =>
-        val it = a.elements(); Iterator.continually(it)
-          .takeWhile(_.hasNext).map(_.next()).toSeq
-      }
-    val snaps = arr(meta.get("snapshots")).map { s =>
+    val snaps = IcebergJson.arr(meta.get("snapshots")).map { s =>
       IcebergSnapshot(
         snapshotId = s.get("snapshot-id").asLong(),
         timestampMs = s.get("timestamp-ms").asLong(),
@@ -200,8 +215,14 @@ object IcebergManifests {
     * manifest list, `status`/`data_file.{content,file_path}` in manifest
     * entries. Entries with status 2 (DELETED) are dropped; delete
     * manifests / delete files are refused. */
-  def dataFiles(spark: SparkSession, manifestList: String): Seq[String] = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  def dataFiles(spark: SparkSession, manifestList: String,
+      extraConf: Map[String, String] = Map.empty): Seq[String] = {
+    // per-source Hadoop conf entries (fs.s3a credentials, fs.<scheme>.impl)
+    // apply to the driver-side manifest walk exactly as they do to the
+    // distributed scan — a private copy so they never leak session-wide
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    extraConf.foreach { case (k, v) => conf.set(k, v) }
     val manifests = readAvro(manifestList, conf).map { r =>
       val content = intField(r, "content").getOrElse(0)
       if (content != 0)
@@ -230,30 +251,28 @@ object IcebergManifests {
     else Option(r.get(name)).map(_.asInstanceOf[Number].intValue())
 
   private def readAvro(uri: String,
-      conf: org.apache.hadoop.conf.Configuration): Seq[GenericRecord] = {
-    val in = new FsInput(new org.apache.hadoop.fs.Path(uri), conf)
-    val reader = DataFileReader.openReader(in,
-      new GenericDatumReader[GenericRecord]())
-    try {
-      val out = Seq.newBuilder[GenericRecord]
-      while (reader.hasNext) out += reader.next()
-      out.result()
-    } finally reader.close() // closes the FsInput too
-  }
+      conf: org.apache.hadoop.conf.Configuration): Seq[GenericRecord] =
+    IcebergAvro.read(uri, conf)
 }
 
 object IcebergRest {
   /** Read one table at an optional version: catalog → metadata →
-    * snapshot → data files → distributed parquet scan. */
+    * snapshot → data files → distributed parquet scan. `options` travel
+    * to both the manifest walk (Hadoop conf) and the parquet read, and a
+    * declared `schema` applies like any other registered source's. */
   def read(spark: SparkSession, catalog: IcebergRestCatalog,
       namespace: String, table: String,
-      spec: Option[VersionSpec] = None): DataFrame = {
+      spec: Option[VersionSpec] = None,
+      options: Map[String, String] = Map.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val meta = catalog.loadTable(namespace, table)
     val snap = IcebergMetadata.select(meta, spec)
-    val files = IcebergManifests.dataFiles(spark, snap.manifestList)
+    val files = IcebergManifests.dataFiles(spark, snap.manifestList, options)
     if (files.isEmpty)
       throw new IllegalArgumentException(
         s"snapshot ${snap.snapshotId} of $namespace.$table lists no data files")
-    spark.read.parquet(files: _*)
+    val r = spark.read.options(options)
+    schema.fold(r)(r.schema).parquet(files: _*)
   }
 }

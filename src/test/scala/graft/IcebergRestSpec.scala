@@ -161,6 +161,24 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     new Directory(dir.toFile).deleteRecursively()
   }
 
+  test("catalog server refuses path traversal in table names") {
+    // plant a metadata dir OUTSIDE the warehouse that traversal would hit
+    val outside = warehouse.getParent.resolve("ice-outside")
+    Files.createDirectories(outside.resolve("metadata"))
+    Files.writeString(outside.resolve("metadata").resolve(
+      "v00001.metadata.json"), "{}")
+    try {
+      val c = new java.net.URI(
+        s"http://127.0.0.1:$port/v1/namespaces/analytics/tables/..%2F..%2Fice-outside")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(c.getResponseCode == 404, "traversal must 404, not serve")
+      c.disconnect()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(outside.toFile).deleteRecursively()
+    }
+  }
+
   test("iceberg_rest registers through SourceRegistry like any source") {
     import graft.sources.{SourceDef, SourceRegistry, SourcesConfig, TableDef}
     new SourceRegistry(spark).registerAll(SourcesConfig(Seq(
