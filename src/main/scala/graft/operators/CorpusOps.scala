@@ -276,6 +276,51 @@ object CorpusOps {
         when(frac >= 0.5, 1L).otherwise(0L).as("contaminated"))
     },
 
+    // -------------------------------------- cross-document repetition mass
+    // The measurement behind "Deduplicating Training Data Makes Language
+    // Models Better" (Lee et al. 2021): per document, what fraction of its
+    // distinct 5-grams also occur in at least one OTHER document. High
+    // shared_frac flags boilerplate/templated text that exact and near-dup
+    // passes (whole-doc granularity) miss — the signal their suffix-array
+    // substring dedup acts on, here as a per-doc score over fixed-width
+    // grams. Scale shape: grams are 8-byte fused hashes (graft_gram_hashes,
+    // distinct per doc, so count(*) per gram IS document frequency); the df
+    // aggregate is map-side combinable and the join back moves only
+    // (hash, count) pairs — text never enters an exchange, and there is no
+    // all-pairs or suffix-sort stage. The gram relation feeds both the df
+    // build and the probe; it is checkpointed so the explode runs once.
+    // DuckDB re-derives with md5-string grams: only the equality structure
+    // crosses engines, never the hash values (the d_decontaminate pattern).
+    GraftQuery("d_repeated_ngrams",
+      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
+         |grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 3),
+         |            i -> md5(array_to_string(ws[i : i + 4], ' ')))) AS gs
+         |          FROM w WHERE len(ws) >= 5),
+         |g AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+         |df AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+         |per AS (SELECT g.doc_id, count(*) AS n_grams,
+         |         sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+         |       FROM g JOIN df USING (g) GROUP BY g.doc_id)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(n_shared AS BIGINT) AS n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / n_grams, 6) AS shared_frac
+         |FROM per""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val grams = withNorm(t(s, dir).documents)
+        .filter(size(col("words")) >= 5)
+        .select(col("doc_id"), explode(expr("graft_gram_hashes(words, 5)")).as("g"))
+        .localCheckpoint(false)
+      val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      grams.join(df, "g")
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).cast("bigint").as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("bigint")
+            .as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_grams"), 6)
+            .as("shared_frac"))
+    },
+
     // ------------------------------------------------ sequence packing
     // Concat-and-chunk packing — the step that turns cleaned documents
     // into fixed-budget training sequences: documents are laid end to

@@ -133,6 +133,11 @@ object Curation {
     IndexedSeq.fill(64)((rng.nextInt(1000001) - 500000).toLong)
   }
 
+  /** The DSIR target domain: a fixed source subset standing in for the
+    * "high-quality corpus" (Wikipedia/books in the paper). Plan constant,
+    * embedded in the oracle SQL. */
+  private val dsirTarget = Seq("src0", "src1", "src2", "src3")
+
   val defs: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------- semantic dedup
@@ -456,6 +461,116 @@ object Curation {
         round(sum(col("m")).cast("double") / 1000000 / sum(col("tf")), 6)
           .as("score"),
         (sum(col("m")) > 0).as("kept"))
+    },
+
+    // --------------------------------- DSIR importance weights (Xie et al.
+    // 2023, "Data Selection for Language Models via Importance Resampling").
+    // Per-document log importance weight ln p_target(x) − ln p_raw(x) under
+    // two hashed bag-of-words unigram models: the target model trains on a
+    // fixed high-quality source subset, the raw model on the whole corpus,
+    // both over 64 hash buckets with add-one smoothing. Scale shape: one
+    // (doc, word) tf shuffle (map-side combined), bucket distributions as a
+    // ≤64-row aggregate whose log-ratio table broadcasts back — the "model"
+    // is a plan constant-sized relation, so scoring 100 TB is a map-only
+    // pass over tf. The per-bucket log-ratios cross engines as ROUNDED
+    // INTEGER MICRO-UNITS (the surprisal discipline), so each doc's score
+    // is an exact BIGINT dot product divided once at the end.
+    GraftQuery("t_dsir_score", {
+      val tgtList = dsirTarget.map(s => s"'$s'").mkString(", ")
+      val (hashCtes, hashLast) = SketchOracleSql.hashScalarCtes(
+        "ds", "tf", "doc_id, is_t, tf", "w")
+      s"""WITH wt AS (
+         |  SELECT doc_id, (source IN ($tgtList)) AS is_t,
+         |    unnest(string_split(${TextPipeline.normSqlDuck}, ' ')) AS w
+         |  FROM documents),
+         |tf AS (SELECT doc_id, is_t, w, count(*) AS tf FROM wt
+         |       WHERE w <> '' GROUP BY 1, 2, 3),
+         |$hashCtes,
+         |bkt AS (SELECT doc_id, is_t, tf, fh % 64 AS b FROM $hashLast),
+         |dist AS (SELECT b, sum(tf) AS cr,
+         |    sum(CASE WHEN is_t THEN tf ELSE 0 END) AS ct
+         |  FROM bkt GROUP BY b),
+         |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM dist),
+         |micro AS (SELECT b,
+         |    CAST(round(ln((CAST(ct + 1 AS DOUBLE) / (tt + 64))
+         |      / (CAST(cr + 1 AS DOUBLE) / (tr + 64))) * 1000000, 0)
+         |      AS BIGINT) AS m
+         |  FROM dist CROSS JOIN tot)
+         |SELECT k.doc_id, CAST(sum(k.tf) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(k.tf * m.m) AS DOUBLE) / 1000000 / sum(k.tf), 6)
+         |    AS dsir_logratio
+         |FROM bkt k JOIN micro m ON k.b = m.b
+         |GROUP BY k.doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val tf = TextPipeline.withNorm(t(s, dir).documents)
+        .select(col("doc_id"),
+          col("source").isin(dsirTarget: _*).as("is_t"),
+          explode(col("words")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), col("is_t"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      // bkt feeds both the distribution aggregate and the scoring pass —
+      // checkpoint so the explode+tf shuffle runs once (docSurprisal's
+      // pattern); the hash is recomputed nowhere downstream
+      val bkt = tf.withColumn("b", expr("graft_porthash63(w) % 64"))
+        .drop("w")
+        .localCheckpoint(false)
+      val dist = bkt.groupBy(col("b")).agg(
+        sum(col("tf")).as("cr"),
+        sum(when(col("is_t"), col("tf")).otherwise(0L)).as("ct"))
+      val tot = dist.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+      val micro = dist.crossJoin(broadcast(tot))
+        .select(col("b"),
+          round(log(((col("ct") + 1).cast("double") / (col("tt") + 64))
+            / ((col("cr") + 1).cast("double") / (col("tr") + 64)))
+            * 1000000, 0).cast("bigint").as("m"))
+      bkt.join(broadcast(micro), "b")
+        .groupBy(col("doc_id")).agg(
+          sum(col("tf")).cast("bigint").as("n_tokens"),
+          round(sum(col("tf") * col("m")).cast("double") / 1000000
+            / sum(col("tf")), 6).as("dsir_logratio"))
+    },
+
+    // ------------------------------ weighted sampling without replacement
+    // Efraimidis–Spirakis (2006) one-pass weighted reservoir sampling as a
+    // deterministic top-k: each document draws u from the portable fmix63
+    // hash of its id and ranks by ln(u)/weight (equivalent to the paper's
+    // u^(1/w) key); the k largest keys ARE a weighted sample without
+    // replacement, here with weight = token count. Scale shape: the key is
+    // a map-only expression and the selection is TakeOrdered top-k —
+    // per-partition heaps merged on the driver, never a global sort; the
+    // exact shape a 100 TB "sample n docs ∝ length" step needs. Keys cross
+    // engines as rounded integer micro-units so the cut line is identical
+    // everywhere; doc_id breaks the (measure-zero) ties totally.
+    GraftQuery("d_weighted_sample", {
+      val (ctes, last) = SketchOracleSql.fmixScalarCtes(
+        "es", "k", "doc_id, lang, n_tokens", "h")
+      s"""WITH k AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN ${TextPipeline.normSqlDuck} = '' THEN 0
+         |         ELSE len(string_split(${TextPipeline.normSqlDuck}, ' ')) END
+         |      AS n_tokens,
+         |    CAST(doc_id AS HUGEINT) AS h
+         |  FROM documents),
+         |$ctes
+         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(round(ln((CAST(fh % 1048576 AS DOUBLE) + 0.5) / 1048576)
+         |    / n_tokens * 1000000, 0) AS BIGINT) AS es_key
+         |FROM $last WHERE n_tokens > 0
+         |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      TextPipeline.withNorm(t(s, dir).documents)
+        .select(col("doc_id"), col("lang"),
+          when(col("norm") === "", lit(0L))
+            .otherwise(size(col("words")).cast("long")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("es_key",
+          round(log((expr("graft_fmix63(doc_id) % 1048576").cast("double")
+            + 0.5) / 1048576) / col("n_tokens") * 1000000, 0).cast("bigint"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(100)
     }
   )
 }

@@ -268,6 +268,58 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(rows.exists(_._3) && rows.exists(!_._3), "degenerate classifier")
   }
 
+  test("dsir: target-domain docs score higher than the rest on average") {
+    val scored = run("t_dsir_score")
+      .join(Tables(spark, sf).documents.select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("doc_id"), col("dsir_logratio"),
+        col("source").isin("src0", "src1", "src2", "src3").as("is_t"))
+      .collect().map(r => (r.getAs[Double]("dsir_logratio"),
+        r.getAs[Boolean]("is_t")))
+    assert(scored.nonEmpty)
+    // the importance weight's whole purpose: under the target-trained
+    // numerator model, target-like text must rank above the raw corpus
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    val (tgt, rest) = scored.partition(_._2)
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    assert(mean(tgt.map(_._1)) > mean(rest.map(_._1)),
+      s"target mean ${mean(tgt.map(_._1))} <= rest ${mean(rest.map(_._1))}")
+  }
+
+  test("weighted sample: exactly k docs, keys valid, biased toward weight") {
+    val rows = run("d_weighted_sample").collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("es_key")))
+    assert(rows.length == 100)
+    // ES keys are ln(u)/w with u ∈ (0,1): strictly negative micro-units
+    rows.foreach { case (n, k) => assert(n > 0 && k < 0, s"($n, $k)") }
+    // weight = token count, so the sample must over-represent long docs:
+    // sampled mean length above the corpus mean (deterministic given the
+    // fixed hash — a pinned property, not a flaky probabilistic one)
+    val sampleMeanTokens = rows.map(_._1).sum.toDouble / rows.length
+    val corpusMeanTokens = run("t_token_count")
+      .select(avg(col("n_ws_tokens"))).collect()(0).getDouble(0)
+    assert(sampleMeanTokens > corpusMeanTokens,
+      s"sample mean $sampleMeanTokens <= corpus mean $corpusMeanTokens")
+  }
+
+  test("repeated ngrams: counts bounded, metric separates twins from uniques") {
+    val rows = run("d_repeated_ngrams").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_shared"), r.getAs[Double]("shared_frac")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, s, f) =>
+      assert(s >= 0 && s <= n && f >= 0.0 && f <= 1.0, s"doc $id: $n/$s/$f")
+    }
+    // the metric must discriminate on this fixture: the near-dup pairs
+    // planted for the LSH family give some docs full gram coverage
+    // (boilerplate twins → shared_frac 1.0) while unique docs sit at 0
+    assert(rows.exists(_._4 == 1.0), "no fully-covered near-dup docs")
+    assert(rows.exists(_._4 == 0.0), "no unique docs")
+    // symmetry: a shared gram is shared from BOTH sides, so the number of
+    // docs with any sharing can never be 1
+    assert(rows.count(_._3 > 0) != 1)
+  }
+
   test("approx distinct within 5% of exact") {
     val rows = run("q_approx_distinct").collect()
     rows.foreach { r =>

@@ -296,6 +296,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected exchange keys: $exchanges\n$p")
   }
 
+  test("dsir: the 64-row log-ratio model broadcasts back; no window; " +
+      "no text in exchanges") {
+    val p = plan("t_dsir_score")
+    assert(!p.contains("windowspecdefinition"), p)
+    // the bucketed model is plan-constant-sized — scoring must join it as
+    // a broadcast, never shuffle the corpus by bucket id
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    exchanges.foreach(e => assert(!e.contains("text#") && !e.contains("norm#"),
+      s"text in a dsir exchange: $e"))
+  }
+
+  test("weighted sample is a fused top-k, never a global sort") {
+    val p = plan("d_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // a global Sort before the limit would be the 100 TB bottleneck the
+    // ES-key formulation avoids (per-partition heaps, driver merge of k)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("repeated ngrams shuffles 8-byte gram hashes, never text") {
+    val p = plan("d_repeated_ngrams")
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(!e.contains("text#") && !e.contains("norm#"),
+      s"text in a repeated-ngrams exchange: $e"))
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("salted join shuffles on (key, salt), spreading hot keys across tasks") {
     val p = plan("q_join_salted")
     val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
