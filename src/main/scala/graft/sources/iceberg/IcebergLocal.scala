@@ -41,6 +41,18 @@ object IcebergLocal {
 
   private val mapper = new ObjectMapper()
 
+  /** Directory listing with the stream CLOSED: `Files.list` holds an open
+    * directory fd until close() — iterating it to exhaustion does not
+    * release it, so a per-commit caller (the streaming sink) would leak
+    * one fd per micro-batch until the driver hits ulimit. */
+  private def listDir(dir: JPath): Seq[JPath] = {
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq
+    } finally s.close()
+  }
+
   private val manifestEntrySchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int"},
@@ -75,13 +87,33 @@ object IcebergLocal {
     try records.foreach(w.append) finally w.close()
   }
 
+  /** Prior-manifest count above which a commit first compacts them into
+    * ONE merged manifest (entries re-recorded with status EXISTING).
+    * Without merging, every fast-append manifest list carries one record
+    * per manifest ever committed, so a per-micro-batch committer pays
+    * O(total commits) per commit; with it the amortized carry-forward
+    * stays O(threshold + files/threshold). Real Iceberg bounds the same
+    * growth with its manifest-merge write path. */
+  val MergeManifestsAbove = 100
+
   /** Commit `files` as a new snapshot of the table at `tableDir`
     * (created on first append). `timestampMs` is the commit time
     * (caller-supplied: deterministic history for tests, wall clock for
     * production use); `tag` optionally names the new snapshot. Returns
-    * the new snapshot id (1, 2, ...). */
+    * the new snapshot id (1, 2, ...).
+    *
+    * `retainLast = Some(n)` expires history as it commits: only the
+    * newest n snapshots stay in the metadata (with their snapshot-log
+    * entries and tags — tags on expired snapshots are dropped), and the
+    * expired snapshots' manifest-list files plus superseded metadata
+    * JSONs are deleted. Data files and manifests stay — every surviving
+    * snapshot's manifest list still references them. This bounds both
+    * the per-commit metadata rewrite and the metadata directory's growth
+    * for unbounded streams (Iceberg's expire-snapshots maintenance,
+    * fused into the commit). */
   def append(tableDir: JPath, files: Seq[DataFileInfo],
-      timestampMs: Long, tag: Option[String] = None): Long = {
+      timestampMs: Long, tag: Option[String] = None,
+      retainLast: Option[Int] = None): Long = {
     val metaDir = tableDir.resolve("metadata")
     Files.createDirectories(metaDir)
     val prior = currentMetadata(tableDir)
@@ -105,11 +137,52 @@ object IcebergLocal {
     // fast-append commit: the new manifest list = every prior manifest
     // record carried forward VERBATIM (its added_snapshot_id and sequence
     // numbers are its lineage — rewriting them would corrupt history) +
-    // one new record for this commit's manifest
-    val priorRecords = prior.toSeq.flatMap { m =>
+    // one new record for this commit's manifest. Once the carried tail
+    // exceeds MergeManifestsAbove, it is compacted into one merged
+    // manifest whose entries are re-recorded as EXISTING (status 0 — the
+    // reader keeps 0/1, drops only DELETED), so the tail length resets.
+    val hadoopConf = new org.apache.hadoop.conf.Configuration()
+    val carried = prior.toSeq.flatMap { m =>
       IcebergAvro.read(m.snapshots.maxBy(_.snapshotId).manifestList,
-        new org.apache.hadoop.conf.Configuration())
+        hadoopConf)
     }
+    val priorRecords =
+      if (carried.size < MergeManifestsAbove) carried
+      else {
+        val entries = carried.flatMap(r =>
+          IcebergAvro.read(r.get("manifest_path").toString, hadoopConf))
+        val mergedPath = metaDir.resolve(f"manifest-$snapId%05d-m.avro")
+        writeAvro(mergedPath, manifestEntrySchema, entries.map { old =>
+          val df = new GenericData.Record(
+            manifestEntrySchema.getField("data_file").schema())
+          val oldDf = old.get("data_file").asInstanceOf[GenericRecord]
+          df.getSchema.getFields.forEach(f =>
+            df.put(f.name(), oldDf.get(f.name())))
+          val e = new GenericData.Record(manifestEntrySchema)
+          e.put("status", 0) // EXISTING: carried data, not added here
+          e.put("data_file", df)
+          e
+        })
+        val rows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("record_count").asInstanceOf[Long]).sum
+        val minSeq = carried.map(_.get("min_sequence_number")
+          .asInstanceOf[Long]).min
+        val r = new GenericData.Record(manifestFileSchema)
+        r.put("manifest_path", mergedPath.toUri.toString)
+        r.put("manifest_length", Files.size(mergedPath))
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("sequence_number", snapId)
+        r.put("min_sequence_number", minSeq)
+        r.put("added_snapshot_id", snapId)
+        r.put("added_files_count", 0)
+        r.put("existing_files_count", entries.size)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", 0L)
+        r.put("existing_rows_count", rows)
+        r.put("deleted_rows_count", 0L)
+        Seq(r)
+      }
     val newRecord = {
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", manifestPath.toUri.toString)
@@ -166,8 +239,14 @@ object IcebergLocal {
     so.put("order-id", 0); so.putArray("fields")
     root.put("default-sort-order-id", 0)
     root.put("current-snapshot-id", snapId)
+    val priorSnaps = prior.toSeq.flatMap(_.snapshots).sortBy(_.snapshotId)
+    val keptPrior = retainLast match {
+      case Some(n) => priorSnaps.takeRight(math.max(n - 1, 0))
+      case None => priorSnaps
+    }
+    val keptIds = keptPrior.map(_.snapshotId).toSet + snapId
     val snaps = root.putArray("snapshots")
-    prior.toSeq.flatMap(_.snapshots).foreach(s =>
+    keptPrior.foreach(s =>
       snapNode(snaps.addObject(), s.snapshotId, s.timestampMs,
         s.manifestList))
     snapNode(snaps.addObject(), snapId, timestampMs,
@@ -176,11 +255,13 @@ object IcebergLocal {
     refNode(refs, "main", "branch", snapId)
     val priorRefs = prior.map(_.refs).getOrElse(Map.empty)
     (priorRefs - "main").foreach { case (name, (tpe, id)) =>
-      refNode(refs, name, tpe, id)
+      // a tag on an expired snapshot dies with it — a surviving ref to a
+      // snapshot absent from `snapshots` would be a dangling pointer
+      if (keptIds.contains(id)) refNode(refs, name, tpe, id)
     }
     tag.foreach(tg => refNode(refs, tg, "tag", snapId))
     val log = root.putArray("snapshot-log")
-    prior.toSeq.flatMap(_.snapshots).sortBy(_.snapshotId).foreach { s =>
+    keptPrior.foreach { s =>
       val n = log.addObject()
       n.put("timestamp-ms", s.timestampMs); n.put("snapshot-id", s.snapshotId)
     }
@@ -189,6 +270,16 @@ object IcebergLocal {
 
     Files.writeString(metaDir.resolve(f"v$snapId%05d.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+
+    // GC for expired snapshots: their manifest-list files and their
+    // (superseded) metadata JSONs. Manifests and data files stay — the
+    // surviving manifest lists still reference them.
+    priorSnaps.filterNot(s => keptIds.contains(s.snapshotId)).foreach { s =>
+      Files.deleteIfExists(java.nio.file.Paths.get(
+        java.net.URI.create(s.manifestList)))
+      Files.deleteIfExists(
+        metaDir.resolve(f"v${s.snapshotId}%05d.metadata.json"))
+    }
     snapId
   }
 
@@ -209,14 +300,24 @@ object IcebergLocal {
     r.put("snapshot-id", id); r.put("type", tpe)
   }
 
-  /** Latest committed `vN.metadata.json` of the table at `tableDir`. */
+  private val MetadataName = """v(\d+)\.metadata\.json""".r
+
+  /** Latest committed `vN.metadata.json` of the table at `tableDir`.
+    * Ordered by the NUMERIC version, not the filename: the `v%05d`
+    * padding overflows at snapshot 100000, where a lexicographic sort
+    * would pin "latest" to v99999 forever (a regime the per-micro-batch
+    * streaming sink actually reaches). */
   def currentMetadataFile(tableDir: JPath): Option[JPath] = {
     val metaDir = tableDir.resolve("metadata")
     if (!Files.isDirectory(metaDir)) return None
-    import scala.jdk.CollectionConverters._
-    Files.list(metaDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".metadata.json"))
-      .toSeq.sortBy(_.getFileName.toString).lastOption
+    listDir(metaDir)
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case MetadataName(v) => Some((v.toLong, p))
+          case _ => None
+        }
+      }
+      .sortBy(_._1).lastOption.map(_._2)
   }
 
   /** Latest committed metadata of the table at `tableDir`, if any. */
@@ -245,12 +346,10 @@ object IcebergLocal {
 
     def stop(): Unit = if (server != null) server.stop(0)
 
-    private def tables: Seq[String] = {
-      import scala.jdk.CollectionConverters._
-      Files.list(warehouse).iterator().asScala
-        .filter(d => Files.isDirectory(d.resolve("metadata"))).toSeq
+    private def tables: Seq[String] =
+      listDir(warehouse)
+        .filter(d => Files.isDirectory(d.resolve("metadata")))
         .map(_.getFileName.toString).sorted
-    }
 
     private def handle(ex: HttpExchange): Unit = {
       def send(code: Int, body: String): Unit = {

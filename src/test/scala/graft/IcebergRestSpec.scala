@@ -179,6 +179,78 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("latest metadata is picked by numeric version, not filename order") {
+    // v%05d padding overflows at snapshot 100000; lexicographically
+    // "v100000..." < "v99999...", so a filename sort pins the table to
+    // 99999 forever — the bug regime a per-micro-batch stream reaches
+    val dir = Files.createTempDirectory("ice-vsort")
+    val meta = dir.resolve("metadata")
+    Files.createDirectories(meta)
+    Files.writeString(meta.resolve("v99999.metadata.json"), "{}")
+    Files.writeString(meta.resolve("v100000.metadata.json"), "{}")
+    val latest = IcebergLocal.currentMetadataFile(dir)
+    assert(latest.map(_.getFileName.toString)
+      .contains("v100000.metadata.json"), latest)
+  }
+
+  test("retainLast expires snapshots, their tags, and their meta files") {
+    val dir = Files.createTempDirectory("ice-retain").resolve("t")
+    val one = partFiles(spark.range(1).toDF("v"))
+    (1 to 5).foreach { i =>
+      IcebergLocal.append(dir, one, timestampMs = i * 1000L,
+        tag = Some(s"batch-$i"), retainLast = Some(2))
+    }
+    val m = IcebergLocal.currentMetadata(dir).get
+    assert(m.snapshots.map(_.snapshotId) == Seq(4L, 5L))
+    // tags follow their snapshots: expired ones are gone, kept remain
+    assert(m.refs.keySet == Set("main", "batch-4", "batch-5"), m.refs)
+    // expired snapshots' manifest lists and metadata JSONs are deleted;
+    // the dir holds O(retainLast) files, not one pair per commit ever
+    val names = Files.list(dir.resolve("metadata")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(names.count(_.endsWith(".metadata.json")) == 2, names)
+    assert(names.count(_.startsWith("snap-")) == 2, names)
+    // data files survive expiration: the current snapshot reads all 5
+    assert(countVia(dir) == 5)
+  }
+
+  test("manifest tail compacts into one EXISTING-entry manifest") {
+    val dir = Files.createTempDirectory("ice-merge").resolve("t")
+    val one = partFiles(spark.range(1).toDF("v"))
+    val n = IcebergLocal.MergeManifestsAbove + 2
+    (1 to n).foreach(i => IcebergLocal.append(dir, one, i * 1000L))
+    val m = IcebergLocal.currentMetadata(dir).get
+    // the carried tail reset at the merge: the latest manifest list holds
+    // the merged record + the post-merge appends, not one per commit
+    val listPath = java.nio.file.Paths.get(java.net.URI.create(
+      m.snapshots.maxBy(_.snapshotId).manifestList))
+    val reader = org.apache.avro.file.DataFileReader.openReader(
+      listPath.toFile,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val records = try {
+      val b = Seq.newBuilder[org.apache.avro.generic.GenericRecord]
+      while (reader.hasNext) b += reader.next()
+      b.result()
+    } finally reader.close()
+    assert(records.size < IcebergLocal.MergeManifestsAbove / 2,
+      s"tail did not compact: ${records.size} records")
+    // no rows lost across the compaction
+    assert(countVia(dir) == n.toLong)
+  }
+
+  /** Row count of `tableDir`'s current snapshot through a throwaway
+    * catalog over its PARENT (each ad-hoc table gets its own warehouse
+    * so these tests stay independent of the shared one). */
+  private def countVia(tableDir: JPath): Long = {
+    val s = new IcebergLocal.CatalogServer(tableDir.getParent, "tmp")
+    val p = s.start()
+    try IcebergRest.read(spark,
+      new IcebergRestCatalog(s"http://127.0.0.1:$p"), "tmp",
+      tableDir.getFileName.toString).count()
+    finally s.stop()
+  }
+
   test("iceberg_rest registers through SourceRegistry like any source") {
     import graft.sources.{SourceDef, SourceRegistry, SourcesConfig, TableDef}
     new SourceRegistry(spark).registerAll(SourcesConfig(Seq(
