@@ -406,12 +406,9 @@ object TextPipeline {
       // Band buckets via the native MinHashBandBuckets expression —
       // bit-identical to transform(sequence(0,7), b -> hash(slice(sig,
       // b*4+1, 4))) (spec-asserted), minus the interpreted lambda and the
-      // per-band slice allocations.
-      import org.apache.spark.sql.GraftColumnBridge
-      val banded = sigs.select(col("doc_id"),
-        posexplode(GraftColumnBridge.column(graft.functions.MinHashBandBuckets(
-          GraftColumnBridge.expression(col("sig")), bands = 8, rowsPerBand = 4)))
-          .as(Seq("band", "bucket")))
+      // per-band slice allocations. bandBuckets is the shared definition
+      // the streaming online-dedup twin consumes too.
+      val banded = bandBuckets(sigs)
       // Degenerate-bucket cap via count-over-Window, then a bucket-key
       // self-join. Measured against two alternatives at sf0.1 (aggregate +
       // broadcast anti-join; collect_list + in-bucket pair expansion):
@@ -627,6 +624,23 @@ object TextPipeline {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("graft_hamming64(sim_a, sim_b)").as("hamming")).distinct()
+  }
+
+  /** (doc_id, band, bucket) MinHash LSH band buckets from raw documents
+    * (text column) — ONE definition of the banding contract, shared by
+    * the batch pair pipeline below and the streaming online-dedup twin
+    * ([[graft.streaming.NearDupStream]]). Map-only and codegen'd end to
+    * end, so it runs identically on a static or streaming DataFrame. */
+  private[graft] def minhashBandedFromRaw(docs: DataFrame): DataFrame =
+    bandBuckets(minhashSignatures(shingleHashed(withNorm(docs))))
+
+  /** posexplode of the 8×4 folded band buckets of `sig`. */
+  private[graft] def bandBuckets(sigs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    sigs.select(col("doc_id"),
+      posexplode(GraftColumnBridge.column(graft.functions.MinHashBandBuckets(
+        GraftColumnBridge.expression(col("sig")), bands = 8, rowsPerBand = 4)))
+        .as(Seq("band", "bucket")))
   }
 
   /** Hashed 3-word shingles per document via the fused native expression

@@ -210,6 +210,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("streaming near-dup candidates equal the batch LSH candidate set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.NearDupStream
+      .candidatePairs(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-nd").toString)
+      .start()
+    try {
+      // three increments: pairs must form ACROSS micro-batches (a doc
+      // arriving in chunk 3 pairing with its chunk-1 twin), proving the
+      // bucket state carries over, not just within-batch joins
+      docs.grouped((docs.size + 2) / 3).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("neardup_out")
+      .as[(Long, Long)].collect().toSet
+    // the batch expectation, re-derived from the SAME shared banding
+    // definition (the d_minhash_lsh_pairs candidate stage)
+    graft.functions.VectorFunctions.register(spark)
+    val banded = graft.operators.TextPipeline.minhashBandedFromRaw(
+      Tables(spark, sf).documents)
+    val capped = graft.util.Buckets.cap(banded, 200, col("band"), col("bucket"))
+    val expected = capped
+      .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(capped.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(streamed.nonEmpty, "no candidate pairs emitted")
+    assert(streamed == expected,
+      s"stream-only: ${(streamed -- expected).take(5)}; " +
+        s"batch-only: ${(expected -- streamed).take(5)}")
+  }
+
   test("streaming document curation matches the batch pipeline") {
     import graft.streaming.DocumentStream
     val docs = DocumentStream.readDocuments(spark, sf)
