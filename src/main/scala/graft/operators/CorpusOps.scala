@@ -276,6 +276,96 @@ object CorpusOps {
         when(frac >= 0.5, 1L).otherwise(0L).as("contaminated"))
     },
 
+    // ------------------------------- bloom-prefiltered decontamination
+    // The "bloom-filter prefilter as the optional fast path" the
+    // d_decontaminate scale note promises, made real AND exactly
+    // oracle-able: a Bloom filter over the train grams' 63-bit portable
+    // hashes (m = 2^16 bits, k = 2 — the two 16-bit slices of the
+    // already-avalanched hash, the Kirsch-Mitzenhauer composition), and
+    // an eval side that pays the gram equi-join ONLY for grams passing
+    // the filter. No false negatives by construction, so n_true is
+    // exact — identical to d_decontaminate's n_overlap (spec-pinned) —
+    // while the exact join's shuffle shrinks by the filter's rejection
+    // rate. Scale shape: the filter is a ≤ 2^16-row positions relation —
+    // a CONSTANT-size broadcast however big the corpus (m is a plan
+    // constant sized for this fixture; production sizes m to the train
+    // gram count, the SHAPE is what's pinned) — and the prefilter pass
+    // is map-only. Both engines derive the same hash (GramHashes == the
+    // portable hash63 of the space-joined gram string), so bloom-hit
+    // counts and false-positive counts cross engines exactly.
+    GraftQuery("d_decontaminate_bloom", {
+      val (hashCtes, hashLast) = SketchOracleSql.hashScalarCtes(
+        "bf", "g", "doc_id", "gram")
+      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
+         |gs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 3),
+         |         i -> array_to_string(ws[i : i + 4], ' '))) AS grams
+         |       FROM w WHERE len(ws) >= 5),
+         |g AS (SELECT doc_id, unnest(grams) AS gram FROM gs),
+         |$hashCtes,
+         |gh AS (SELECT doc_id, fh AS g FROM $hashLast),
+         |train AS (SELECT DISTINCT g FROM gh WHERE doc_id % 10 <> 0),
+         |pos AS (SELECT DISTINCT p FROM (
+         |    SELECT g % 65536 AS p FROM train
+         |    UNION ALL SELECT (g // 65536) % 65536 FROM train)),
+         |ev AS (SELECT doc_id, g, g % 65536 AS p1, (g // 65536) % 65536 AS p2
+         |       FROM gh WHERE doc_id % 10 = 0),
+         |flt AS (SELECT ev.doc_id, ev.g,
+         |    (pa.p IS NOT NULL AND pb.p IS NOT NULL) AS bh
+         |  FROM ev
+         |  LEFT JOIN pos pa ON ev.p1 = pa.p
+         |  LEFT JOIN pos pb ON ev.p2 = pb.p),
+         |counts AS (SELECT doc_id, count(*) AS n_grams,
+         |    count(*) FILTER (WHERE bh) AS n_bloom
+         |  FROM flt GROUP BY doc_id),
+         |tr AS (SELECT f.doc_id, count(t.g) AS n_true
+         |  FROM flt f JOIN train t ON f.g = t.g WHERE f.bh
+         |  GROUP BY f.doc_id)
+         |SELECT c.doc_id, CAST(c.n_grams AS BIGINT) AS n_grams,
+         |  CAST(c.n_bloom AS BIGINT) AS n_bloom,
+         |  CAST(coalesce(tr.n_true, 0) AS BIGINT) AS n_true,
+         |  CAST(c.n_bloom - coalesce(tr.n_true, 0) AS BIGINT) AS n_fp
+         |FROM counts c LEFT JOIN tr USING (doc_id)""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val grams = withNorm(t(s, dir).documents)
+        .filter(size(col("words")) >= 5)
+        .select(col("doc_id"), explode(expr("graft_gram_hashes(words, 5)")).as("g"))
+      val train = grams.filter(col("doc_id") % 10 =!= 0)
+        .select(col("g")).distinct()
+        .localCheckpoint(false) // feeds positions AND the exact join
+      // the Bloom filter as data: the distinct set positions of both
+      // 16-bit hash slices — bounded by m, broadcast to the eval side
+      val pos = train.select((col("g") % 65536).as("p"))
+        .union(train.select(expr("(g div 65536) % 65536").as("p")))
+        .distinct()
+      val ev = grams.filter(col("doc_id") % 10 === 0)
+        .withColumn("p1", col("g") % 65536)
+        .withColumn("p2", expr("(g div 65536) % 65536"))
+      val flt = ev
+        .join(broadcast(pos.withColumnRenamed("p", "p1")
+          .withColumn("h1", lit(true))), Seq("p1"), "left")
+        .join(broadcast(pos.withColumnRenamed("p", "p2")
+          .withColumn("h2", lit(true))), Seq("p2"), "left")
+        .withColumn("bh", coalesce(col("h1"), lit(false))
+          && coalesce(col("h2"), lit(false)))
+        .select(col("doc_id"), col("g"), col("bh"))
+      // the fast path being demonstrated: only bloom-passing grams reach
+      // the exact equi-join (no false negatives ⇒ n_true stays exact)
+      val counts = flt.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("bh"), 1L).otherwise(0L)).as("n_bloom"))
+      val truth = flt.filter(col("bh"))
+        .join(train.withColumn("hit", lit(1L)), Seq("g"), "left")
+        .groupBy(col("doc_id")).agg(
+          sum(coalesce(col("hit"), lit(0L))).as("n_true"))
+      counts.join(truth, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams").cast("bigint").as("n_grams"),
+          col("n_bloom").cast("bigint").as("n_bloom"),
+          coalesce(col("n_true"), lit(0L)).cast("bigint").as("n_true"),
+          (col("n_bloom") - coalesce(col("n_true"), lit(0L)))
+            .cast("bigint").as("n_fp"))
+    },
+
     // -------------------------------------- cross-document repetition mass
     // The measurement behind "Deduplicating Training Data Makes Language
     // Models Better" (Lee et al. 2021): per document, what fraction of its

@@ -305,6 +305,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       s"sample mean $sampleMeanTokens <= corpus mean $corpusMeanTokens")
   }
 
+  test("bloom decontamination: no false negatives, exact-join parity, " +
+      "real rejection") {
+    val bloom = run("d_decontaminate_bloom").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_bloom"),
+          r.getAs[Long]("n_true"))).toMap
+    assert(bloom.nonEmpty)
+    // a Bloom filter admits supersets, never drops a member
+    bloom.foreach { case (id, (n, b, t)) =>
+      assert(t <= b && b <= n, s"doc $id: grams=$n bloom=$b true=$t")
+    }
+    // prefiltering must not change the exact answer: n_true per doc ==
+    // d_decontaminate's n_overlap (same split, same gram contract)
+    val exact = run("d_decontaminate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap")).toMap
+    assert(bloom.keySet == exact.keySet)
+    bloom.foreach { case (id, (_, _, t)) =>
+      assert(t == exact(id), s"doc $id: bloom-path true=$t exact=${exact(id)}")
+    }
+    // and the filter must actually reject something on this corpus, or
+    // the "fast path" demonstrates nothing
+    assert(bloom.values.map { case (n, b, _) => n - b }.sum > 0,
+      "bloom filter rejected no grams")
+  }
+
   test("repeated ngrams: counts bounded, metric separates twins from uniques") {
     val rows = run("d_repeated_ngrams").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),

@@ -317,6 +317,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("bloom decontamination: constant-size filter broadcasts; gram " +
+      "exchanges ship longs, never text") {
+    val p = plan("d_decontaminate_bloom")
+    // the ≤2^16-row positions relation must reach the eval side as a
+    // broadcast — shuffling the corpus by bit position would defeat the
+    // prefilter's purpose
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    exchanges.foreach(e => assert(!e.contains("text#") && !e.contains("norm#"),
+      s"text in a bloom-decontaminate exchange: $e"))
+  }
+
   test("repeated ngrams shuffles 8-byte gram hashes, never text") {
     val p = plan("d_repeated_ngrams")
     val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
