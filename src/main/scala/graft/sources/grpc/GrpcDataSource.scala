@@ -37,11 +37,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *                  behavior)
   *
   * Transport: gRPC's LENGTH_PREFIXED_MESSAGE framing (1-byte compressed
-  * flag + u32 big-endian length + message) POSTed as
-  * `application/grpc+proto`. The HTTP/2 carrier needs grpc-netty, which
-  * this build intentionally omits — the framing, descriptor resolution,
-  * dynamic decode, and row mapping (the engine-side 90%) are identical
-  * over HTTP/1.1 and are what the specs exercise end-to-end.
+  * flag + u32 big-endian length + message). Two carriers, selected by
+  * the `transport` option: `http1` POSTs the framed message as
+  * `application/grpc+proto` over HTTP/1.1; `h2c` speaks the real gRPC
+  * wire protocol — HTTP/2 cleartext with HPACK headers and grpc-status
+  * trailers — via the from-the-RFCs implementation in [[Http2Grpc]]
+  * (no grpc-netty in this build, so the carrier is hand-built rather
+  * than omitted). Framing, descriptor resolution, dynamic decode, and
+  * row mapping are identical over both; the specs exercise both ends
+  * to end.
   *
   * Scale notes: a unary gRPC response is one stream -> one
   * InputPartition, the same stance as the reference's
@@ -70,6 +74,15 @@ final case class GrpcOptions(conf: Map[String, String]) {
   val descriptorSet: String = req("descriptorSet")
   val requestJson: Option[String] = conf.get("requestJson")
   val rowsField: Option[String] = conf.get("rowsField")
+  /** `http1` (default): gRPC framing POSTed over HTTP/1.1 — the carrier
+    * the specs drove before an HTTP/2 implementation existed. `h2c`:
+    * the real gRPC wire protocol over cleartext HTTP/2 via the
+    * RFC-7540/7541 implementation in [[Http2Grpc]] — no carrier jars. */
+  val transport: String = conf.getOrElse("transport", "http1") match {
+    case t @ ("http1" | "h2c") => t
+    case other => throw new IllegalArgumentException(
+      s"graft-grpc: transport must be http1 or h2c, got '$other'")
+  }
 
   @transient lazy val methodDesc: org.sparkproject.spark_core.protobuf.Descriptors.MethodDescriptor =
     ProtoSchema.findMethod(ProtoSchema.loadDescriptorSet(descriptorSet), service, method)
@@ -140,8 +153,12 @@ final class GrpcPartitionReader(schema: StructType, opts: GrpcOptions)
       case Some(j) => ProtoSchema.jsonToMessage(md.getInputType, j)
       case None    => DynamicMessage.newBuilder(md.getInputType).build()
     }
-    val response = GrpcFraming.unaryCall(
-      s"${opts.url}/${opts.service}/${opts.method}", request.toByteArray)
+    val fullUrl = s"${opts.url}/${opts.service}/${opts.method}"
+    val response = opts.transport match {
+      case "h2c" => GrpcFraming.unframe(new java.io.ByteArrayInputStream(
+        Http2Grpc.unaryCall(fullUrl, GrpcFraming.frame(request.toByteArray))))
+      case _ => GrpcFraming.unaryCall(fullUrl, request.toByteArray)
+    }
     val msg = DynamicMessage.parseFrom(md.getOutputType, response)
     opts.rowsField match {
       case None => Iterator.single(msg)
