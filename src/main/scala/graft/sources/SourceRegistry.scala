@@ -123,6 +123,34 @@ final class SourceRegistry(spark: SparkSession) {
           case Some(sc) => r.schema(sc)
           case None => r
         }).load()
+      case "grpc" =>
+        // DSv2 gRPC source; service/method/descriptorSet/transport ride
+        // in the source options (the reference's grpc.rs config schema)
+        spark.read.format("graft.sources.grpc.GrpcDataSource")
+          .option("url", src.url.getOrElse(
+            throw new IllegalArgumentException(s"grpc source ${src.name} needs url")))
+          .options(src.options)
+          .load()
+      case "arrowhttp" =>
+        spark.read.format("graft.sources.arrowhttp.ArrowHttpDataSource")
+          .option("url", src.url.getOrElse(
+            throw new IllegalArgumentException(
+              s"arrowhttp source ${src.name} needs url")))
+          .option("table", t.name)
+          .options(src.options)
+          .load()
+      case "flight" =>
+        // Flight SQL over h2c: per-table `query` option, defaulting to a
+        // whole-table SELECT on the (sanitized) table name — the same
+        // remote-statement stance as the reference's flight.rs tables
+        spark.read.format("graft.sources.flight.FlightDataSource")
+          .option("url", src.url.getOrElse(
+            throw new IllegalArgumentException(
+              s"flight source ${src.name} needs url")))
+          .option("query", src.options.getOrElse("query",
+            s"SELECT * FROM ${graft.util.Sanitize.quoteIdentifier(t.name)}"))
+          .options(src.options - "query")
+          .load()
       case other =>
         throw new IllegalArgumentException(s"unsupported source type: $other")
     }

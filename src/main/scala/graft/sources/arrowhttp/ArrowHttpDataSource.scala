@@ -273,30 +273,38 @@ object ArrowHttpClient {
           s"remote result was truncated ($w): raise the server's maxRows " +
             "or push a LIMIT/filter into the scan")
       }
-      val bytes = conn.getInputStream.readAllBytes()
-      val alloc = new RootAllocator(Long.MaxValue)
-      try {
-        val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
-        try {
-          val out = Vector.newBuilder[InternalRow]
-          while (reader.loadNextBatch()) {
-            val root = reader.getVectorSchemaRoot
-            val vectors = schema.fieldNames.map(root.getVector)
-            var i = 0
-            while (i < root.getRowCount) {
-              out += InternalRow.fromSeq(
-                vectors.toSeq.map(v => cell(v, i)))
-              i += 1
-            }
-          }
-          out.result()
-        } finally reader.close()
-      } finally alloc.close()
+      decodeStream(conn.getInputStream.readAllBytes(), schema)
     } finally conn.disconnect()
   }
 
-  /** Arrow type -> Spark type (inverse of ArrowResults.arrowTypeOf). */
-  private def sparkType(t: org.apache.arrow.vector.types.pojo.ArrowType): DataType = {
+  /** Decode a complete Arrow IPC stream into rows for `schema` (columns
+    * selected by name — the pruned read schema). Shared with the Flight
+    * SQL client, whose DoGet stream reassembles to exactly this format. */
+  private[graft] def decodeStream(bytes: Array[Byte],
+      schema: StructType): Vector[InternalRow] = {
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
+      try {
+        val out = Vector.newBuilder[InternalRow]
+        while (reader.loadNextBatch()) {
+          val root = reader.getVectorSchemaRoot
+          val vectors = schema.fieldNames.map(root.getVector)
+          var i = 0
+          while (i < root.getRowCount) {
+            out += InternalRow.fromSeq(
+              vectors.toSeq.map(v => cell(v, i)))
+            i += 1
+          }
+        }
+        out.result()
+      } finally reader.close()
+    } finally alloc.close()
+  }
+
+  /** Arrow type -> Spark type (inverse of ArrowResults.arrowTypeOf).
+    * Shared with the Flight SQL source's schema mapping. */
+  private[graft] def sparkType(t: org.apache.arrow.vector.types.pojo.ArrowType): DataType = {
     import org.apache.arrow.vector.types.pojo.ArrowType
     t match {
       case i: ArrowType.Int if i.getBitWidth == 64 => LongType

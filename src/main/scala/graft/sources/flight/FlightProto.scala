@@ -1,0 +1,125 @@
+package graft.sources.flight
+
+import org.sparkproject.spark_core.protobuf.{DescriptorProtos, Descriptors}
+
+/** The Arrow Flight (SQL) protobuf surface, built programmatically from
+  * the PUBLIC Flight.proto / FlightSql.proto definitions (apache/arrow
+  * format/Flight.proto; the same no-protoc technique the gRPC source's
+  * spec uses). Only the messages the read path needs: descriptors,
+  * tickets, FlightInfo, FlightData, and the Flight SQL statement
+  * command. Field numbers are normative — FlightData.data_body is field
+  * 1000 by design in the official proto (it sorts the large payload
+  * last on the wire). */
+object FlightProto {
+  import DescriptorProtos._
+  import FieldDescriptorProto.{Label, Type}
+
+  private def field(name: String, num: Int, t: Type,
+      label: Label = Label.LABEL_OPTIONAL,
+      typeName: String = null): FieldDescriptorProto = {
+    val b = FieldDescriptorProto.newBuilder()
+      .setName(name).setNumber(num).setType(t).setLabel(label)
+    if (typeName != null) b.setTypeName(typeName)
+    b.build()
+  }
+
+  private def buildSet(): DescriptorProtos.FileDescriptorSet = {
+    val descriptorType = EnumDescriptorProto.newBuilder()
+      .setName("DescriptorType")
+      .addValue(EnumValueDescriptorProto.newBuilder()
+        .setName("UNKNOWN").setNumber(0))
+      .addValue(EnumValueDescriptorProto.newBuilder()
+        .setName("PATH").setNumber(1))
+      .addValue(EnumValueDescriptorProto.newBuilder()
+        .setName("CMD").setNumber(2))
+      .build()
+    val flightDescriptor = DescriptorProto.newBuilder()
+      .setName("FlightDescriptor")
+      .addEnumType(descriptorType)
+      .addField(field("type", 1, Type.TYPE_ENUM,
+        typeName = ".arrow.flight.protocol.FlightDescriptor.DescriptorType"))
+      .addField(field("cmd", 2, Type.TYPE_BYTES))
+      .addField(field("path", 3, Type.TYPE_STRING, Label.LABEL_REPEATED))
+      .build()
+    val ticket = DescriptorProto.newBuilder().setName("Ticket")
+      .addField(field("ticket", 1, Type.TYPE_BYTES))
+      .build()
+    val location = DescriptorProto.newBuilder().setName("Location")
+      .addField(field("uri", 1, Type.TYPE_STRING))
+      .build()
+    val endpoint = DescriptorProto.newBuilder().setName("FlightEndpoint")
+      .addField(field("ticket", 1, Type.TYPE_MESSAGE,
+        typeName = ".arrow.flight.protocol.Ticket"))
+      .addField(field("location", 2, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
+        ".arrow.flight.protocol.Location"))
+      .build()
+    val flightInfo = DescriptorProto.newBuilder().setName("FlightInfo")
+      .addField(field("schema", 1, Type.TYPE_BYTES))
+      .addField(field("flight_descriptor", 2, Type.TYPE_MESSAGE,
+        typeName = ".arrow.flight.protocol.FlightDescriptor"))
+      .addField(field("endpoint", 3, Type.TYPE_MESSAGE, Label.LABEL_REPEATED,
+        ".arrow.flight.protocol.FlightEndpoint"))
+      .addField(field("total_records", 4, Type.TYPE_INT64))
+      .addField(field("total_bytes", 5, Type.TYPE_INT64))
+      .build()
+    val flightData = DescriptorProto.newBuilder().setName("FlightData")
+      .addField(field("flight_descriptor", 1, Type.TYPE_MESSAGE,
+        typeName = ".arrow.flight.protocol.FlightDescriptor"))
+      .addField(field("data_header", 2, Type.TYPE_BYTES))
+      .addField(field("app_metadata", 3, Type.TYPE_BYTES))
+      .addField(field("data_body", 1000, Type.TYPE_BYTES))
+      .build()
+    val service = ServiceDescriptorProto.newBuilder().setName("FlightService")
+      .addMethod(MethodDescriptorProto.newBuilder().setName("GetFlightInfo")
+        .setInputType(".arrow.flight.protocol.FlightDescriptor")
+        .setOutputType(".arrow.flight.protocol.FlightInfo"))
+      .addMethod(MethodDescriptorProto.newBuilder().setName("DoGet")
+        .setInputType(".arrow.flight.protocol.Ticket")
+        .setOutputType(".arrow.flight.protocol.FlightData")
+        .setServerStreaming(true))
+      .build()
+    val flightFile = FileDescriptorProto.newBuilder()
+      .setName("Flight.proto").setPackage("arrow.flight.protocol")
+      .setSyntax("proto3")
+      .addMessageType(flightDescriptor).addMessageType(ticket)
+      .addMessageType(location).addMessageType(endpoint)
+      .addMessageType(flightInfo).addMessageType(flightData)
+      .addService(service)
+      .build()
+    // FlightSql.proto commands are Any-wrapped; the statement query is
+    // the one the read path issues (CommandStatementQuery.query = SQL)
+    val cmdQuery = DescriptorProto.newBuilder()
+      .setName("CommandStatementQuery")
+      .addField(field("query", 1, Type.TYPE_STRING))
+      .build()
+    val sqlFile = FileDescriptorProto.newBuilder()
+      .setName("FlightSql.proto").setPackage("arrow.flight.protocol.sql")
+      .setSyntax("proto3")
+      .addMessageType(cmdQuery)
+      .build()
+    FileDescriptorSet.newBuilder().addFile(flightFile).addFile(sqlFile).build()
+  }
+
+  lazy val files: Seq[Descriptors.FileDescriptor] = {
+    val set = buildSet()
+    set.getFileList.toArray(Array.empty[DescriptorProtos.FileDescriptorProto])
+      .map(fd => Descriptors.FileDescriptor.buildFrom(fd,
+        Array.empty[Descriptors.FileDescriptor]))
+      .toSeq
+  }
+
+  def msg(fullName: String): Descriptors.Descriptor =
+    files.flatMap(f => Option(f.findMessageTypeByName(
+      fullName.stripPrefix(f.getPackage + ".")))).headOption
+      .getOrElse(throw new IllegalArgumentException(s"no message $fullName"))
+
+  val FlightDescriptorD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.FlightDescriptor")
+  val TicketD: Descriptors.Descriptor = msg("arrow.flight.protocol.Ticket")
+  val FlightInfoD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.FlightInfo")
+  val FlightDataD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.FlightData")
+  val CommandStatementQueryD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.sql.CommandStatementQuery")
+}

@@ -208,6 +208,15 @@ object GrpcFraming {
     buf
   }
 
+  /** Split a server-streaming response body — a back-to-back sequence of
+    * LENGTH_PREFIXED_MESSAGEs — into its payloads (Flight DoGet shape). */
+  def unframeAll(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val in = new java.io.ByteArrayInputStream(bytes)
+    val out = Seq.newBuilder[Array[Byte]]
+    while (in.available() > 0) out += unframe(in)
+    out.result()
+  }
+
   /** POST one framed request to `/{Service}/{Method}`, return the unframed
     * response payload. */
   def unaryCall(fullUrl: String, requestPayload: Array[Byte]): Array[Byte] = {

@@ -198,8 +198,8 @@ class GrpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val take = if (limit > 0) all.take(limit.toInt) else all
       val b = DynamicMessage.newBuilder(rd)
       take.foreach(u => b.addRepeatedField(rd.findFieldByName("users"), u))
-      b.setField(rd.findFieldByName("total"),
-        java.lang.Long.valueOf(all.size.toLong)).build().toByteArray
+      Seq(b.setField(rd.findFieldByName("total"),
+        java.lang.Long.valueOf(all.size.toLong)).build().toByteArray)
     })
     val port = h2.start()
     try {
@@ -220,7 +220,7 @@ class GrpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("h2c client surfaces a non-zero grpc-status as an error") {
     // a trailers-borne failure must not be silently decoded as 0 rows
-    val h2 = new Http2TestServer((_, _) => Array.emptyByteArray)
+    val h2 = new Http2TestServer((_, _) => Seq(Array.emptyByteArray))
     // wrap: respond with grpc-status 13 by a server variant — simplest is
     // a raw socket peer that sends only error trailers
     val server = new java.net.ServerSocket(0, 4,

@@ -9,9 +9,12 @@ import graft.sources.grpc.{GrpcFraming, Hpack, Http2Frames}
 /** Minimal h2c gRPC server for exercising [[graft.sources.grpc.Http2Grpc]]
   * against a real RFC-7540 peer: connection preface, SETTINGS exchange,
   * HPACK header decode, gRPC framing, and grpc-status trailers. The
-  * handler maps (path, unframed request payload) → unframed response
-  * payload. Test-only — the engine side under test is the CLIENT. */
-final class Http2TestServer(handler: (String, Array[Byte]) => Array[Byte]) {
+  * handler maps (path, unframed request payload) → the response's
+  * unframed payloads — one element for a unary method, several for a
+  * server-streaming one (each is its own LENGTH_PREFIXED_MESSAGE, the
+  * Flight DoGet shape). Test-only — the engine side under test is the
+  * CLIENT. */
+final class Http2TestServer(handler: (String, Array[Byte]) => Seq[Array[Byte]]) {
   private val server =
     new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   @volatile private var running = true
@@ -85,7 +88,8 @@ final class Http2TestServer(handler: (String, Array[Byte]) => Array[Byte]) {
     import Http2Frames._
     val body = bodies.get(sid).map(_.toByteArray).getOrElse(Array.emptyByteArray)
     val reqPayload = GrpcFraming.unframe(new ByteArrayInputStream(body))
-    val respFramed = GrpcFraming.frame(handler(paths(sid), reqPayload))
+    val respFramed = handler(paths(sid), reqPayload)
+      .map(GrpcFraming.frame).foldLeft(Array.emptyByteArray)(_ ++ _)
     write(out, Headers, FlagEndHeaders, sid, Hpack.encode(Seq(
       ":status" -> "200", "content-type" -> "application/grpc+proto")))
     writeData(out, sid, respFramed, endStream = false)
