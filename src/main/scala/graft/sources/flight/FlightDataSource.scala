@@ -58,6 +58,12 @@ final case class FlightOptions(conf: Map[String, String]) {
     throw new IllegalArgumentException(s"graft-flight: missing option '$k'"))
   val url: String = req("url")
   val query: String = req("query")
+  /** Bearer token for an authenticated edge (Flight SQL's standard
+    * `authorization: Bearer` header auth). */
+  val authToken: Option[String] =
+    conf.get("authToken").orElse(conf.get("authtoken"))
+  def authHeaders: Seq[(String, String)] =
+    authToken.map(t => "authorization" -> s"Bearer $t").toSeq
 }
 
 final class FlightTable(schema: StructType, opts: FlightOptions)
@@ -129,7 +135,7 @@ object FlightSqlClient {
     val respBytes = GrpcFraming.unframe(new java.io.ByteArrayInputStream(
       Http2Grpc.unaryCall(
         s"${opts.url}/arrow.flight.protocol.FlightService/GetFlightInfo",
-        GrpcFraming.frame(desc.toByteArray))))
+        GrpcFraming.frame(desc.toByteArray), opts.authHeaders)))
     val info = DynamicMessage.parseFrom(FlightInfoD, respBytes)
     val endpoints = info.getField(FlightInfoD.findFieldByName("endpoint"))
       .asInstanceOf[java.util.List[_]].asScala.map(_.asInstanceOf[DynamicMessage])
@@ -156,7 +162,7 @@ object FlightSqlClient {
       .build()
     val body = Http2Grpc.unaryCall(
       s"${opts.url}/arrow.flight.protocol.FlightService/DoGet",
-      GrpcFraming.frame(t.toByteArray))
+      GrpcFraming.frame(t.toByteArray), opts.authHeaders)
     val out = new ByteArrayOutputStream()
     val ch = new org.apache.arrow.vector.ipc.WriteChannel(
       java.nio.channels.Channels.newChannel(out))

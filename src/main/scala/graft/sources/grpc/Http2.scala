@@ -218,8 +218,10 @@ private[graft] object Http2Grpc {
 
   /** POST `framedRequest` (already gRPC-length-prefixed) to `fullUrl`'s
     * path over a fresh h2c connection; returns the response's DATA bytes
-    * (the framed gRPC response). Enforces :status 200 and grpc-status 0. */
-  def unaryCall(fullUrl: String, framedRequest: Array[Byte]): Array[Byte] = {
+    * (the framed gRPC response). Enforces :status 200 and grpc-status 0.
+    * `extraHeaders` ride after the required set (e.g. authorization). */
+  def unaryCall(fullUrl: String, framedRequest: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val uri = new URI(fullUrl)
     require(uri.getScheme == "http",
       s"h2c transport is cleartext http, got '${uri.getScheme}'")
@@ -234,7 +236,8 @@ private[graft] object Http2Grpc {
       val headers = Hpack.encode(Seq(
         ":method" -> "POST", ":scheme" -> "http", ":path" -> uri.getPath,
         ":authority" -> s"${uri.getHost}:$port",
-        "content-type" -> "application/grpc+proto", "te" -> "trailers"))
+        "content-type" -> "application/grpc+proto", "te" -> "trailers")
+        ++ extraHeaders)
       write(out, Headers, FlagEndHeaders, 1, headers)
       writeData(out, 1, framedRequest)
 

@@ -1,0 +1,124 @@
+package graft.sources.grpc
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, EOFException, IOException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import scala.collection.mutable
+
+/** Minimal h2c gRPC SERVER over the same RFC-7540/7541 implementation as
+  * the client ([[Http2Grpc]]): connection preface, SETTINGS exchange,
+  * HPACK header decode (full static table + dynamic insertions, Huffman
+  * rejected — see [[Hpack]]), per-stream request assembly, and
+  * grpc-status trailers. Unary and server-streaming methods: the
+  * handler returns one payload per response message.
+  *
+  * Loopback-only, like the embedded API server — a local serving edge,
+  * not a hardened network listener. Errors map to gRPC status codes:
+  * [[GrpcStatusException]] carries an explicit code (16 UNAUTHENTICATED
+  * for auth failures); anything else surfaces as 13 INTERNAL with the
+  * exception message in grpc-message. */
+final class Http2Server(
+    handler: (String, Map[String, String], Array[Byte]) => Seq[Array[Byte]]) {
+
+  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  @volatile private var running = true
+
+  def start(): Int = {
+    val t = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          val w = new Thread(() => serve(s))
+          w.setDaemon(true); w.start()
+        } catch { case _: IOException => /* closed */ }
+      }
+    })
+    t.setDaemon(true); t.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = { running = false; server.close() }
+
+  private def serve(sock: Socket): Unit = {
+    import Http2Frames._
+    try {
+      sock.setSoTimeout(30000)
+      val in = new DataInputStream(sock.getInputStream)
+      val out = sock.getOutputStream
+      val preface = new Array[Byte](Preface.length)
+      in.readFully(preface)
+      require(preface.sameElements(Preface), "bad h2c preface")
+      write(out, Settings, 0, 0, Array.emptyByteArray)
+      val decoder = new Hpack.Decoder
+      val headers = mutable.Map.empty[Int, Map[String, String]]
+      val blocks = mutable.Map.empty[Int, ByteArrayOutputStream]
+      val bodies = mutable.Map.empty[Int, ByteArrayOutputStream]
+      var open = true
+      while (open) {
+        val f =
+          try read(in)
+          catch { case _: EOFException => open = false; null }
+        if (f != null) f.tpe match {
+          case Settings =>
+            if ((f.flags & FlagAck) == 0)
+              write(out, Settings, FlagAck, 0, Array.emptyByteArray)
+          case Ping =>
+            if ((f.flags & FlagAck) == 0) write(out, Ping, FlagAck, 0, f.payload)
+          case Headers | Continuation =>
+            blocks.getOrElseUpdate(f.streamId, new ByteArrayOutputStream())
+              .write(f.payload, 0, f.payload.length)
+            if ((f.flags & FlagEndHeaders) != 0)
+              headers(f.streamId) =
+                decoder.decode(blocks(f.streamId).toByteArray).toMap
+            if ((f.flags & FlagEndStream) != 0)
+              respond(out, f.streamId, headers, bodies)
+          case Data =>
+            bodies.getOrElseUpdate(f.streamId, new ByteArrayOutputStream())
+              .write(f.payload, 0, f.payload.length)
+            if ((f.flags & FlagEndStream) != 0)
+              respond(out, f.streamId, headers, bodies)
+          case GoAway => open = false
+          case _ => // WINDOW_UPDATE, PRIORITY, ... — ignorable here
+        }
+      }
+    } catch {
+      case _: IOException => // connection torn down mid-exchange
+    } finally sock.close()
+  }
+
+  private def respond(out: java.io.OutputStream, sid: Int,
+      headers: mutable.Map[Int, Map[String, String]],
+      bodies: mutable.Map[Int, ByteArrayOutputStream]): Unit = {
+    import Http2Frames._
+    val hs = headers.getOrElse(sid, Map.empty)
+    val body = bodies.get(sid).map(_.toByteArray).getOrElse(Array.emptyByteArray)
+    try {
+      val payload =
+        if (body.isEmpty) Array.emptyByteArray
+        else GrpcFraming.unframe(new ByteArrayInputStream(body))
+      val responses = handler(hs.getOrElse(":path",
+        throw new IOException("no :path")), hs, payload)
+      val framed = responses.map(GrpcFraming.frame)
+        .foldLeft(Array.emptyByteArray)(_ ++ _)
+      write(out, Headers, FlagEndHeaders, sid, Hpack.encode(Seq(
+        ":status" -> "200", "content-type" -> "application/grpc+proto")))
+      if (framed.nonEmpty) writeData(out, sid, framed, endStream = false)
+      write(out, Headers, FlagEndHeaders | FlagEndStream, sid,
+        Hpack.encode(Seq("grpc-status" -> "0")))
+    } catch {
+      case e: Throwable =>
+        val code = e match {
+          case g: GrpcStatusException => g.code
+          case _ => 13 // INTERNAL
+        }
+        // trailers-only error response, the gRPC failure shape
+        write(out, Headers, FlagEndHeaders | FlagEndStream, sid,
+          Hpack.encode(Seq(":status" -> "200", "grpc-status" -> code.toString,
+            "grpc-message" -> String.valueOf(e.getMessage).take(512))))
+    }
+  }
+}
+
+/** An error with an explicit gRPC status code (RFC-defined registry:
+  * 7 PERMISSION_DENIED, 16 UNAUTHENTICATED, ...). */
+final class GrpcStatusException(val code: Int, msg: String)
+    extends RuntimeException(msg)

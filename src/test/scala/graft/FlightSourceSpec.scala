@@ -62,26 +62,9 @@ class FlightSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Split a complete IPC stream into its encapsulated messages —
-    * (metadata, body) pairs, the exact content of FlightData frames. */
-  private def splitIpc(stream: Array[Byte]): Seq[(Array[Byte], Array[Byte])] = {
-    val bb = ByteBuffer.wrap(stream).order(ByteOrder.LITTLE_ENDIAN)
-    val out = Seq.newBuilder[(Array[Byte], Array[Byte])]
-    var done = false
-    while (!done && bb.remaining() >= 8) {
-      val cont = bb.getInt
-      require(cont == -1, s"expected continuation marker, got $cont")
-      val len = bb.getInt
-      if (len == 0) done = true // EOS
-      else {
-        val meta = new Array[Byte](len); bb.get(meta)
-        val m = org.apache.arrow.flatbuf.Message.getRootAsMessage(
-          ByteBuffer.wrap(meta).order(ByteOrder.LITTLE_ENDIAN))
-        val body = new Array[Byte](m.bodyLength().toInt); bb.get(body)
-        out += ((meta, body))
-      }
-    }
-    out.result()
-  }
+    * the production splitter the Flight edge serves with. */
+  private def splitIpc(stream: Array[Byte]): Seq[(Array[Byte], Array[Byte])] =
+    graft.server.FlightIpc.split(stream)
 
   private def schemaBytes(): Array[Byte] = {
     val out = new ByteArrayOutputStream()
