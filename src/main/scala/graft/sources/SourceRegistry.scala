@@ -92,6 +92,23 @@ final class SourceRegistry(spark: SparkSession) {
           .option("pushDownAggregate", "true")
           .options(src.options)
           .load()
+      case "postgres" | "postgresql" =>
+        // live wire-protocol source (sources/pg) — no driver jar: the
+        // hand-built protocol-v3 client with filter/column/limit pushdown
+        // and optional range-partitioned parallel reads (the reference's
+        // postgres.rs federation stance). partition_column on the table
+        // def rides through as the range-partitioning column.
+        val r = spark.read.format("graft.sources.pg.PgDataSource")
+          .option("url", src.url.getOrElse(
+            throw new IllegalArgumentException(
+              s"postgres source ${src.name} needs url")))
+          .option("table", t.name)
+          .options(src.options ++
+            t.partitionColumn.map("partitionColumn" -> _).toMap)
+        (t.declaredSchema match {
+          case Some(sc) => r.schema(sc)
+          case None => r
+        }).load()
       case "iceberg" | "iceberg_rest" =>
         // the reference's iceberg_rest source (iceberg.rs:1-120):
         // catalog_uri + namespace + token/OAuth; auth reuses the REST
