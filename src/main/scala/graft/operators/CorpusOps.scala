@@ -36,6 +36,65 @@ object CorpusOps {
   /** Packing budget: tokens per training sequence. */
   private val PackBudget = 2048
 
+  /** Sequence-packing shard count. Packing is a per-shard running sum
+    * (inherently sequential), so each shard's window is one
+    * partition-local cumsum owning ~corpus_tokens/shards tokens. The
+    * count must therefore SCALE WITH INPUT so a shard stays
+    * task-sized: at cluster scale pick
+    * `ceil(corpus_tokens / targetTokensPerShard)` (e.g. 100 TB of
+    * ~25e12 tokens at 2^31 tokens/shard → ~12k shards). The registry
+    * query and its oracle are both derived from the same value via
+    * [[packSequencesDf]]/[[packOracleSql]]; CorpusOpsSpec pins the
+    * tiling invariants at two different shard counts. */
+  private[graft] val DefaultPackShards = 32
+
+  /** Shard count for a given corpus size — the rule the scaladoc above
+    * states, exposed so callers size shards from data volume. */
+  private[graft] def packShardsFor(corpusTokens: Long,
+      targetTokensPerShard: Long = 1L << 31): Int =
+    math.max(1L, (corpusTokens + targetTokensPerShard - 1) / targetTokensPerShard).toInt
+
+  /** The d_pack_sequences plan at an explicit shard count (the registry
+    * uses [[DefaultPackShards]]; specs exercise other values). */
+  private[graft] def packSequencesDf(s: SparkSession, dir: String,
+      shards: Int): DataFrame = {
+    val toks = withNorm(t(s, dir).documents)
+      .select(col("doc_id"), size(col("words")).cast("bigint").as("n_tokens"),
+        (col("doc_id") % shards).as("shard"))
+      .filter(col("n_tokens") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    toks.withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        col("shard").cast("bigint").as("shard"),
+        (col("end_off") - col("n_tokens")).cast("bigint").as("start_off"),
+        floor((col("end_off") - col("n_tokens")) / PackBudget)
+          .cast("bigint").as("seq_first"),
+        floor((col("end_off") - 1) / PackBudget).cast("bigint").as("seq_last"),
+        (floor((col("end_off") - 1) / PackBudget) -
+          floor((col("end_off") - col("n_tokens")) / PackBudget) + 1)
+          .cast("bigint").as("n_seqs"))
+  }
+
+  /** DuckDB oracle for d_pack_sequences, derived from the SAME shard
+    * count as the Spark plan. */
+  private[graft] def packOracleSql(shards: Int): String =
+    s"""WITH w AS (SELECT doc_id, len(string_split($normSqlDuck, ' ')) AS n_tokens,
+       |            doc_id % $shards AS shard FROM documents),
+       |c AS (SELECT doc_id, n_tokens, shard,
+       |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                            ROWS UNBOUNDED PRECEDING) AS end_off
+       |      FROM w WHERE n_tokens > 0)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(shard AS BIGINT) AS shard,
+       |  CAST(end_off - n_tokens AS BIGINT) AS start_off,
+       |  CAST((end_off - n_tokens) // $PackBudget AS BIGINT) AS seq_first,
+       |  CAST((end_off - 1) // $PackBudget AS BIGINT) AS seq_last,
+       |  CAST((end_off - 1) // $PackBudget - (end_off - n_tokens) // $PackBudget + 1
+       |       AS BIGINT) AS n_seqs
+       |FROM c""".stripMargin
+
   // PII patterns shared verbatim by both engines (RE2 and java.util.regex
   // agree on this subset: char classes, bounded repetition, no
   // backreferences). Spark's SQL string literals process backslash
@@ -216,11 +275,21 @@ object CorpusOps {
         labels = next
         rounds += 1
       }
-      val win = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(win))
-        .withColumn("is_canonical",
-          when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+      // cluster_size via map-side-combined groupBy + join-back, NOT a
+      // window over cluster_id: duplicate clusters are exactly the skewed
+      // entity in a dedup graph (one boilerplate page duplicated 10^8
+      // times puts the whole cluster into a single window task, and AQE
+      // cannot split window partitions). The aggregate pre-combines per
+      // map task, so the exchange carries one (cluster_id, partial count)
+      // row per task per cluster — same pattern as the cf/df rewrite in
+      // TextPipeline.
+      val cc = labels
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)
+            .as("is_canonical"))
     },
 
     // ------------------------------------------------- decontamination
@@ -418,42 +487,14 @@ object CorpusOps {
     // each doc gets a start offset and the window range it spans
     // (straddling a boundary = the doc is split across sequences).
     // Sharding is the scale shape: packing is a running sum, inherently
-    // sequential, so it runs per-shard (doc_id mod 32) — each shard's
-    // window is an independent partition-local cumsum; no global
-    // ordering bottleneck, and 32 becomes "thousands" at cluster scale.
-    // Both engines derive identical offsets from the same ordering.
-    GraftQuery("d_pack_sequences",
-      s"""WITH w AS (SELECT doc_id, len(string_split($normSqlDuck, ' ')) AS n_tokens,
-         |            doc_id % 32 AS shard FROM documents),
-         |c AS (SELECT doc_id, n_tokens, shard,
-         |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |                            ROWS UNBOUNDED PRECEDING) AS end_off
-         |      FROM w WHERE n_tokens > 0)
-         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |  CAST(shard AS BIGINT) AS shard,
-         |  CAST(end_off - n_tokens AS BIGINT) AS start_off,
-         |  CAST((end_off - n_tokens) // $PackBudget AS BIGINT) AS seq_first,
-         |  CAST((end_off - 1) // $PackBudget AS BIGINT) AS seq_last,
-         |  CAST((end_off - 1) // $PackBudget - (end_off - n_tokens) // $PackBudget + 1
-         |       AS BIGINT) AS n_seqs
-         |FROM c""".stripMargin) { (s, dir) =>
-      val toks = withNorm(t(s, dir).documents)
-        .select(col("doc_id"), size(col("words")).cast("bigint").as("n_tokens"),
-          (col("doc_id") % 32).as("shard"))
-        .filter(col("n_tokens") > 0)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      toks.withColumn("end_off", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("n_tokens"),
-          col("shard").cast("bigint").as("shard"),
-          (col("end_off") - col("n_tokens")).cast("bigint").as("start_off"),
-          floor((col("end_off") - col("n_tokens")) / PackBudget)
-            .cast("bigint").as("seq_first"),
-          floor((col("end_off") - 1) / PackBudget).cast("bigint").as("seq_last"),
-          (floor((col("end_off") - 1) / PackBudget) -
-            floor((col("end_off") - col("n_tokens")) / PackBudget) + 1)
-            .cast("bigint").as("n_seqs"))
+    // sequential, so it runs per-shard (doc_id mod [[DefaultPackShards]])
+    // — each shard's window is an independent partition-local cumsum; no
+    // global ordering bottleneck. The shard count is a parameter (plan
+    // and oracle derive from the same value; see the scaling rule on
+    // DefaultPackShards / packShardsFor). Both engines derive identical
+    // offsets from the same ordering.
+    GraftQuery("d_pack_sequences", packOracleSql(DefaultPackShards)) {
+      (s, dir) => packSequencesDf(s, dir, DefaultPackShards)
     },
 
     // ---------------------------------------------- chunk-level dedup

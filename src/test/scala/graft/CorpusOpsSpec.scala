@@ -101,26 +101,44 @@ class CorpusOpsSpec extends AnyFunSuite {
   }
 
   test("sequence packing tiles each shard without gaps and flags straddles") {
-    val rows = run("d_pack_sequences").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6)))
-    assert(rows.nonEmpty)
-    val budget = 2048L
-    rows.groupBy(_._3).foreach { case (shard, docs) =>
-      val ordered = docs.sortBy(_._1)
-      // offsets tile: each doc starts exactly where the previous ended
-      ordered.foldLeft(0L) { case (expected, (id, n, _, start, first, last, nseq)) =>
-        assert(start == expected, s"shard $shard doc $id: gap at $start != $expected")
-        assert(first == start / budget, s"doc $id seq_first")
-        assert(last == (start + n - 1) / budget, s"doc $id seq_last")
-        assert(nseq == last - first + 1 && nseq >= 1, s"doc $id n_seqs")
-        start + n
+    // the shard count is a parameter (plan + oracle derive from the same
+    // value) — pin the invariants at the registry default AND a second
+    // count, so the parameterization is exercised, not just plumbed
+    val registryRows = run("d_pack_sequences").collect()
+    val shardCounts = Seq(
+      graft.operators.CorpusOps.DefaultPackShards -> Some(registryRows),
+      7 -> None)
+    for ((nShards, preRun) <- shardCounts) {
+      val rows = preRun
+        .getOrElse(graft.operators.CorpusOps
+          .packSequencesDf(spark, sf, nShards).collect())
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+      assert(rows.nonEmpty)
+      val budget = 2048L
+      rows.foreach { case (id, _, shard, _, _, _, _) =>
+        assert(shard == id % nShards, s"doc $id shard at $nShards shards")
       }
-      // every straddling doc really crosses a budget boundary
-      ordered.filter(d => d._7 > 1).foreach { case (id, n, _, start, _, _, _) =>
-        assert(start / budget != (start + n - 1) / budget, s"doc $id straddle")
+      rows.groupBy(_._3).foreach { case (shard, docs) =>
+        val ordered = docs.sortBy(_._1)
+        // offsets tile: each doc starts exactly where the previous ended
+        ordered.foldLeft(0L) { case (expected, (id, n, _, start, first, last, nseq)) =>
+          assert(start == expected, s"shard $shard doc $id: gap at $start != $expected")
+          assert(first == start / budget, s"doc $id seq_first")
+          assert(last == (start + n - 1) / budget, s"doc $id seq_last")
+          assert(nseq == last - first + 1 && nseq >= 1, s"doc $id n_seqs")
+          start + n
+        }
+        // every straddling doc really crosses a budget boundary
+        ordered.filter(d => d._7 > 1).foreach { case (id, n, _, start, _, _, _) =>
+          assert(start / budget != (start + n - 1) / budget, s"doc $id straddle")
+        }
       }
     }
+    // the scaling rule sizes shards from corpus volume
+    import graft.operators.CorpusOps.packShardsFor
+    assert(packShardsFor(1L) == 1)
+    assert(packShardsFor(25L * 1000 * 1000 * 1000 * 1000) == 11642)
   }
 
   test("repetition: degenerate text maxes the bigram fraction, varied text doesn't") {

@@ -386,6 +386,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"), s"tf not checkpointed:\n$p")
   }
 
+  test("dup clusters: cluster_size via aggregate join-back, no window over cluster_id") {
+    // duplicate clusters are exactly the skewed entity in a dedup graph —
+    // a Window.partitionBy(cluster_id) puts a 10^8-member boilerplate
+    // cluster on ONE task (AQE cannot split window partitions). The size
+    // must come from a map-side-combined groupBy joined back (a shuffled
+    // join AQE CAN skew-split), so the final plan has no Window at all.
+    val p = plan("d_dup_clusters")
+    assert(!p.contains("windowspecdefinition"),
+      s"d_dup_clusters reintroduced a window:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("phash pairs band-join ships (id, window, hash) — payloads stay map-side") {
     val p = plan("m_phash_pairs")
     val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
