@@ -32,16 +32,24 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = load("part")
   def orders: DataFrame = load("orders")
   def lineitem: DataFrame = load("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and truncate to microseconds (exactly what
-    * DuckDB's nanos→timestamp conversion does). */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects → read nanos as long, truncate to micros) and
+    * plain timestamp[us] (reads as TIMESTAMP_NTZ under Spark 4's NTZ
+    * inference). Land on session-zoned TimestampType either way so every
+    * downstream query sees one type. */
   def events: DataFrame = load("events")
 
   private def loadEvents: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame = load("documents")
   def embeddings: DataFrame = load("embeddings")

@@ -17,13 +17,169 @@ import scala.collection.mutable
   *  - h2c only (no TLS/ALPN — the sandbox has no CA infrastructure);
   *  - one concurrent stream per connection (a unary source call);
   *  - HPACK encoding uses literal-without-indexing exclusively (legal
-  *    per RFC 7541 §6.2.2, zero table state to corrupt); decoding
-  *    implements the full static table, dynamic-table insertion and
-  *    indexed lookups, but NOT Huffman strings — a peer that sends
-  *    Huffman-coded headers gets a clear error, not a mis-parse
-  *    (Huffman is sender-optional; our encoder never emits it).
+  *    per RFC 7541 §6.2.2, zero table state to corrupt) and raw strings
+  *    by default (Huffman is sender-optional); decoding implements the
+  *    full static table, dynamic-table insertion, indexed lookups, AND
+  *    Huffman-coded strings (§5.2 + Appendix B), so the client interops
+  *    with real gRPC/Flight servers, which Huffman-encode response
+  *    headers by default.
   */
 private[graft] object Hpack {
+
+  /** RFC 7541 §5.2 + Appendix B — the HTTP/2 static Huffman code.
+    * Decode is required for interop (most servers Huffman-encode);
+    * encode exists so the in-repo server edge and the spec's
+    * independent peers exercise the decode path for real. Validated
+    * against the RFC's Appendix C vectors in Http2HuffmanSpec. */
+  object Huffman {
+    // (code, bit-length) per symbol 0..255, in symbol order. EOS (256)
+    // is never emitted; its prefix is the mandated all-ones padding.
+    private val Table: Array[(Int, Int)] = Array(
+      (0x1ff8, 13), (0x7fffd8, 23), (0xfffffe2, 28), (0xfffffe3, 28),
+      (0xfffffe4, 28), (0xfffffe5, 28), (0xfffffe6, 28), (0xfffffe7, 28),
+      (0xfffffe8, 28), (0xffffea, 24), (0x3ffffffc, 30), (0xfffffe9, 28),
+      (0xfffffea, 28), (0x3ffffffd, 30), (0xfffffeb, 28), (0xfffffec, 28),
+      (0xfffffed, 28), (0xfffffee, 28), (0xfffffef, 28), (0xffffff0, 28),
+      (0xffffff1, 28), (0xffffff2, 28), (0x3ffffffe, 30), (0xffffff3, 28),
+      (0xffffff4, 28), (0xffffff5, 28), (0xffffff6, 28), (0xffffff7, 28),
+      (0xffffff8, 28), (0xffffff9, 28), (0xffffffa, 28), (0xffffffb, 28),
+      (0x14, 6), (0x3f8, 10), (0x3f9, 10), (0xffa, 12),
+      (0x1ff9, 13), (0x15, 6), (0xf8, 8), (0x7fa, 11),
+      (0x3fa, 10), (0x3fb, 10), (0xf9, 8), (0x7fb, 11),
+      (0xfa, 8), (0x16, 6), (0x17, 6), (0x18, 6),
+      (0x0, 5), (0x1, 5), (0x2, 5), (0x19, 6),
+      (0x1a, 6), (0x1b, 6), (0x1c, 6), (0x1d, 6),
+      (0x1e, 6), (0x1f, 6), (0x5c, 7), (0xfb, 8),
+      (0x7ffc, 15), (0x20, 6), (0xffb, 12), (0x3fc, 10),
+      (0x1ffa, 13), (0x21, 6), (0x5d, 7), (0x5e, 7),
+      (0x5f, 7), (0x60, 7), (0x61, 7), (0x62, 7),
+      (0x63, 7), (0x64, 7), (0x65, 7), (0x66, 7),
+      (0x67, 7), (0x68, 7), (0x69, 7), (0x6a, 7),
+      (0x6b, 7), (0x6c, 7), (0x6d, 7), (0x6e, 7),
+      (0x6f, 7), (0x70, 7), (0x71, 7), (0x72, 7),
+      (0xfc, 8), (0x73, 7), (0xfd, 8), (0x1ffb, 13),
+      (0x7fff0, 19), (0x1ffc, 13), (0x3ffc, 14), (0x22, 6),
+      (0x7ffd, 15), (0x3, 5), (0x23, 6), (0x4, 5),
+      (0x24, 6), (0x5, 5), (0x25, 6), (0x26, 6),
+      (0x27, 6), (0x6, 5), (0x74, 7), (0x75, 7),
+      (0x28, 6), (0x29, 6), (0x2a, 6), (0x7, 5),
+      (0x2b, 6), (0x76, 7), (0x2c, 6), (0x8, 5),
+      (0x9, 5), (0x2d, 6), (0x77, 7), (0x78, 7),
+      (0x79, 7), (0x7a, 7), (0x7b, 7), (0x7ffe, 15),
+      (0x7fc, 11), (0x3ffd, 14), (0x1ffd, 13), (0xffffffc, 28),
+      (0xfffe6, 20), (0x3fffd2, 22), (0xfffe7, 20), (0xfffe8, 20),
+      (0x3fffd3, 22), (0x3fffd4, 22), (0x3fffd5, 22), (0x7fffd9, 23),
+      (0x3fffd6, 22), (0x7fffda, 23), (0x7fffdb, 23), (0x7fffdc, 23),
+      (0x7fffdd, 23), (0x7fffde, 23), (0xffffeb, 24), (0x7fffdf, 23),
+      (0xffffec, 24), (0xffffed, 24), (0x3fffd7, 22), (0x7fffe0, 23),
+      (0xffffee, 24), (0x7fffe1, 23), (0x7fffe2, 23), (0x7fffe3, 23),
+      (0x7fffe4, 23), (0x1fffdc, 21), (0x3fffd8, 22), (0x7fffe5, 23),
+      (0x3fffd9, 22), (0x7fffe6, 23), (0x7fffe7, 23), (0xffffef, 24),
+      (0x3fffda, 22), (0x1fffdd, 21), (0xfffe9, 20), (0x3fffdb, 22),
+      (0x3fffdc, 22), (0x7fffe8, 23), (0x7fffe9, 23), (0x1fffde, 21),
+      (0x7fffea, 23), (0x3fffdd, 22), (0x3fffde, 22), (0xfffff0, 24),
+      (0x1fffdf, 21), (0x3fffdf, 22), (0x7fffeb, 23), (0x7fffec, 23),
+      (0x1fffe0, 21), (0x1fffe1, 21), (0x3fffe0, 22), (0x1fffe2, 21),
+      (0x7fffed, 23), (0x3fffe1, 22), (0x7fffee, 23), (0x7fffef, 23),
+      (0xfffea, 20), (0x3fffe2, 22), (0x3fffe3, 22), (0x3fffe4, 22),
+      (0x7ffff0, 23), (0x3fffe5, 22), (0x3fffe6, 22), (0x7ffff1, 23),
+      (0x3ffffe0, 26), (0x3ffffe1, 26), (0xfffeb, 20), (0x7fff1, 19),
+      (0x3fffe7, 22), (0x7ffff2, 23), (0x3fffe8, 22), (0x1ffffec, 25),
+      (0x3ffffe2, 26), (0x3ffffe3, 26), (0x3ffffe4, 26), (0x7ffffde, 27),
+      (0x7ffffdf, 27), (0x3ffffe5, 26), (0xfffff1, 24), (0x1ffffed, 25),
+      (0x7fff2, 19), (0x1fffe3, 21), (0x3ffffe6, 26), (0x7ffffe0, 27),
+      (0x7ffffe1, 27), (0x3ffffe7, 26), (0x7ffffe2, 27), (0xfffff2, 24),
+      (0x1fffe4, 21), (0x1fffe5, 21), (0x3ffffe8, 26), (0x3ffffe9, 26),
+      (0xffffffd, 28), (0x7ffffe3, 27), (0x7ffffe4, 27), (0x7ffffe5, 27),
+      (0xfffec, 20), (0xfffff3, 24), (0xfffed, 20), (0x1fffe6, 21),
+      (0x3fffe9, 22), (0x1fffe7, 21), (0x1fffe8, 21), (0x7ffff3, 23),
+      (0x3fffea, 22), (0x3fffeb, 22), (0x1ffffee, 25), (0x1ffffef, 25),
+      (0xfffff4, 24), (0xfffff5, 24), (0x3ffffea, 26), (0x7ffff4, 23),
+      (0x3ffffeb, 26), (0x7ffffe6, 27), (0x3ffffec, 26), (0x3ffffed, 26),
+      (0x7ffffe7, 27), (0x7ffffe8, 27), (0x7ffffe9, 27), (0x7ffffea, 27),
+      (0x7ffffeb, 27), (0xffffffe, 28), (0x7ffffec, 27), (0x7ffffed, 27),
+      (0x7ffffee, 27), (0x7ffffef, 27), (0x7fffff0, 27), (0x3ffffee, 26))
+
+    // Decoding trie as flat arrays: child0/child1 hold the next node id
+    // or -1; sym holds the decoded symbol at a leaf or -1. Built once.
+    private val (child0, child1, leafSym) = {
+      val c0 = mutable.ArrayBuffer(-1)
+      val c1 = mutable.ArrayBuffer(-1)
+      val sy = mutable.ArrayBuffer(-1)
+      def newNode(): Int = { c0 += -1; c1 += -1; sy += -1; c0.length - 1 }
+      var s = 0
+      while (s < Table.length) {
+        val (code, bits) = Table(s)
+        var node = 0
+        var i = bits - 1
+        while (i >= 0) {
+          val bit = (code >>> i) & 1
+          val kids = if (bit == 0) c0 else c1
+          if (kids(node) == -1) kids(node) = newNode()
+          node = kids(node)
+          i -= 1
+        }
+        sy(node) = s
+        s += 1
+      }
+      (c0.toArray, c1.toArray, sy.toArray)
+    }
+
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream(raw.length)
+      var acc = 0L
+      var nbits = 0
+      var i = 0
+      while (i < raw.length) {
+        val (code, bits) = Table(raw(i) & 0xff)
+        acc = (acc << bits) | (code & 0xffffffffL)
+        nbits += bits
+        while (nbits >= 8) {
+          nbits -= 8
+          out.write(((acc >>> nbits) & 0xff).toInt)
+        }
+        i += 1
+      }
+      // pad the final partial byte with the EOS prefix (all ones)
+      if (nbits > 0)
+        out.write((((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xff).toInt)
+      out.toByteArray
+    }
+
+    /** Canonical bit-walk decode. Padding must be a <8-bit all-ones EOS
+      * prefix (RFC 7541 §5.2); anything else is a decode error, never a
+      * silent mis-parse. */
+    def decode(coded: Array[Byte], off: Int, len: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream(len * 2)
+      var node = 0
+      var depth = 0
+      var pathAllOnes = true
+      var i = off
+      val end = off + len
+      while (i < end) {
+        val b = coded(i) & 0xff
+        var bit = 7
+        while (bit >= 0) {
+          val v = (b >>> bit) & 1
+          node = if (v == 0) child0(node) else child1(node)
+          if (node == -1)
+            throw new IOException("hpack: invalid Huffman code from peer")
+          if (v == 0) pathAllOnes = false
+          depth += 1
+          if (leafSym(node) >= 0) {
+            out.write(leafSym(node))
+            node = 0; depth = 0; pathAllOnes = true
+          }
+          bit -= 1
+        }
+        i += 1
+      }
+      if (depth >= 8 || !pathAllOnes)
+        throw new IOException(
+          "hpack: Huffman padding is not a <8-bit EOS prefix")
+      out.toByteArray
+    }
+  }
 
   /** RFC 7541 Appendix A — the complete static table. */
   val Static: IndexedSeq[(String, String)] = IndexedSeq(
@@ -62,20 +218,25 @@ private[graft] object Hpack {
     }
   }
 
-  private def writeString(out: ByteArrayOutputStream, s: String): Unit = {
-    val b = s.getBytes(StandardCharsets.UTF_8)
-    writeInt(out, 0x00, 7, b.length) // H=0: raw, never Huffman
+  private def writeString(out: ByteArrayOutputStream, s: String,
+      huffman: Boolean): Unit = {
+    val raw = s.getBytes(StandardCharsets.UTF_8)
+    val b = if (huffman) Huffman.encode(raw) else raw
+    writeInt(out, if (huffman) 0x80 else 0x00, 7, b.length)
     out.write(b, 0, b.length)
   }
 
   /** Encode a header list as literal-without-indexing with new names
-    * (§6.2.2) — stateless and legal for every header incl. pseudo. */
-  def encode(headers: Seq[(String, String)]): Array[Byte] = {
+    * (§6.2.2) — stateless and legal for every header incl. pseudo.
+    * `huffman = true` emits §5.2 Huffman-coded strings (what real
+    * servers send); the client's own requests stay raw. */
+  def encode(headers: Seq[(String, String)],
+      huffman: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     headers.foreach { case (n, v) =>
       out.write(0x00)
-      writeString(out, n)
-      writeString(out, v)
+      writeString(out, n, huffman)
+      writeString(out, v, huffman)
     }
     out.toByteArray
   }
@@ -102,9 +263,10 @@ private[graft] object Hpack {
     def string(): String = {
       val huffman = (peek & 0x80) != 0
       val len = int(7)
-      if (huffman) throw new IOException(
-        "hpack: Huffman-coded string from peer not supported by this decoder")
-      val s = new String(buf, i, len, StandardCharsets.UTF_8)
+      val s =
+        if (huffman)
+          new String(Huffman.decode(buf, i, len), StandardCharsets.UTF_8)
+        else new String(buf, i, len, StandardCharsets.UTF_8)
       i += len
       s
     }

@@ -6,9 +6,11 @@ import scala.collection.mutable
 
 /** Minimal h2c gRPC SERVER over the same RFC-7540/7541 implementation as
   * the client ([[Http2Grpc]]): connection preface, SETTINGS exchange,
-  * HPACK header decode (full static table + dynamic insertions, Huffman
-  * rejected — see [[Hpack]]), per-stream request assembly, and
-  * grpc-status trailers. Unary and server-streaming methods: the
+  * HPACK header decode (full static table + dynamic insertions +
+  * Huffman strings — see [[Hpack]]), per-stream request assembly, and
+  * grpc-status trailers. Response headers are Huffman-encoded, like
+  * real gRPC servers, so every in-repo client call exercises the
+  * decode path. Unary and server-streaming methods: the
   * handler returns one payload per response message.
   *
   * Loopback-only, like the embedded API server — a local serving edge,
@@ -100,10 +102,11 @@ final class Http2Server(
       val framed = responses.map(GrpcFraming.frame)
         .foldLeft(Array.emptyByteArray)(_ ++ _)
       write(out, Headers, FlagEndHeaders, sid, Hpack.encode(Seq(
-        ":status" -> "200", "content-type" -> "application/grpc+proto")))
+        ":status" -> "200", "content-type" -> "application/grpc+proto"),
+        huffman = true))
       if (framed.nonEmpty) writeData(out, sid, framed, endStream = false)
       write(out, Headers, FlagEndHeaders | FlagEndStream, sid,
-        Hpack.encode(Seq("grpc-status" -> "0")))
+        Hpack.encode(Seq("grpc-status" -> "0"), huffman = true))
     } catch {
       case e: Throwable =>
         val code = e match {

@@ -20,21 +20,22 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema for streaming reads (ts arrives as TIMESTAMP(NANOS)
-    * parquet → read as long, converted to microsecond timestamps, same as
-    * graft.Tables.events). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ts has shipped as TIMESTAMP(NANOS) (→ long under nanosAsLong) and as
+    // timestamp[us] (→ TIMESTAMP_NTZ); take the schema from the batch
+    // footer and normalize to session-zoned TimestampType, same as
+    // graft.Tables.events.
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // streaming file sources list directories; select just the events file
-    spark.readStream.schema(rawSchema)
+    val raw = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    rawSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour windowed counts/sums per event type, 2-hour watermark

@@ -243,9 +243,10 @@ class GrpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
           else if (f.tpe == Settings && (f.flags & FlagAck) == 0)
             write(out, Settings, FlagAck, 0, Array.emptyByteArray)
         }
+        // Huffman-coded trailers, like a real gRPC server would send
         write(out, Headers, FlagEndHeaders | FlagEndStream, 1,
           Hpack.encode(Seq(":status" -> "200",
-            "grpc-status" -> "13", "grpc-message" -> "boom")))
+            "grpc-status" -> "13", "grpc-message" -> "boom"), huffman = true))
       } finally s.close()
     })
     t.setDaemon(true); t.start()
@@ -267,8 +268,7 @@ class GrpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { h2.stop(); server.close() }
   }
 
-  test("hpack decoder: indexed static, incremental indexing, dynamic " +
-      "refs, huffman rejection") {
+  test("hpack decoder: indexed static, incremental indexing, dynamic refs") {
     import graft.sources.grpc.Hpack
     val d = new Hpack.Decoder
     // 0x82 = indexed static 2 (:method GET); 0x41 = literal with
@@ -279,15 +279,59 @@ class GrpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hs = d.decode(block)
     assert(hs == Seq(":method" -> "GET", ":authority" -> "example.com",
       ":authority" -> "example.com"))
-    // a Huffman-coded literal (H bit set) is refused loudly, never
-    // mis-parsed: sender-side Huffman is optional and ours never emits it
-    val huff = Array[Byte](0x00, 0x83.toByte, 0x01, 0x02, 0x03)
-    val e = intercept[java.io.IOException] { (new Hpack.Decoder).decode(huff) }
-    assert(e.getMessage.contains("Huffman"))
     // prefix-int continuation: value 1337 in a 5-bit prefix field
     // (dynamic table size update: 0x3f then varint) must not throw
     val big = Hpack.encode(Seq("x-a" -> ("y" * 200))) // 200 > 127 length
     assert((new Hpack.Decoder).decode(big) == Seq("x-a" -> ("y" * 200)))
+  }
+
+  test("hpack huffman: RFC 7541 Appendix C vectors, round-trip, " +
+      "bad-padding rejection") {
+    import graft.sources.grpc.Hpack.Huffman
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    def enc(s: String): Array[Byte] = Huffman.encode(s.getBytes("UTF-8"))
+    def dec(b: Array[Byte]): String =
+      new String(Huffman.decode(b, 0, b.length), "UTF-8")
+    // C.4.1-C.4.3 (request examples) and C.6.1/C.6.3 (response examples):
+    // known ciphertexts pin the entire code table, not just round-trips
+    val vectors = Seq(
+      "www.example.com" -> "f1e3 c2e5 f23a 6ba0 ab90 f4ff",
+      "no-cache" -> "a8eb 1064 9cbf",
+      "custom-key" -> "25a8 49e9 5ba9 7d7f",
+      "custom-value" -> "25a8 49e9 5bb8 e8b4 bf",
+      "302" -> "6402",
+      "private" -> "aec3 771a 4b",
+      "Mon, 21 Oct 2013 20:13:21 GMT" ->
+        "d07a be94 1054 d444 a820 0595 040b 8166 e082 a62d 1bff",
+      "https://www.example.com" -> "9d29 ad17 1863 c78f 0b97 c8e9 ae82 ae43 d3",
+      "gzip" -> "9bd9 ab",
+      "foo=ASDJKHQKBZXOQWEOPIUAXQWEOIU; max-age=3600; version=1" ->
+        ("94e7 821d d7f2 e6c7 b335 dfdf cd5b 3960 d5af 2708 7f36 72c1" +
+         " ab27 0fb5 291f 9587 3160 65c0 03ed 4ee5 b106 3d50 07"))
+    vectors.foreach { case (plain, coded) =>
+      assert(enc(plain).sameElements(hex(coded)), s"encode '$plain'")
+      assert(dec(hex(coded)) == plain, s"decode '$plain'")
+    }
+    // full byte surface round-trips (covers every code in the table)
+    val allBytes = Array.tabulate[Byte](256)(_.toByte)
+    assert(Huffman.decode(Huffman.encode(allBytes), 0,
+      Huffman.encode(allBytes).length).sameElements(allBytes))
+    // padding that is not an all-ones EOS prefix must be refused:
+    // 'a' = 00011 + '0xxx' zero padding is invalid
+    val bad = Array[Byte](0x18) // 00011000: 'a' then 000 padding
+    val e1 = intercept[java.io.IOException] { Huffman.decode(bad, 0, 1) }
+    assert(e1.getMessage.contains("padding"))
+    // >=8 bits of padding (a whole 0xff byte after a symbol) is invalid
+    val longPad = Array[Byte](0x1f, 0xff.toByte) // 'a'=00011 + 11 ones
+    val e2 = intercept[java.io.IOException] { Huffman.decode(longPad, 0, 2) }
+    assert(e2.getMessage.contains("padding"))
+    // a decoder-visible huffman literal inside a header block decodes
+    val block = graft.sources.grpc.Hpack.encode(
+      Seq("x-hdr" -> "Value-123; q=0.9"), huffman = true)
+    assert((new graft.sources.grpc.Hpack.Decoder).decode(block) ==
+      Seq("x-hdr" -> "Value-123; q=0.9"))
   }
 
   test("requestJson maps onto the input message and drives the response") {
