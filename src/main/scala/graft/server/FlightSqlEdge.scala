@@ -65,8 +65,11 @@ final class FlightSqlEdge(
       val query = queryOf(desc
         .getField(FlightDescriptorD.findFieldByName("cmd"))
         .asInstanceOf[ByteString].toByteArray)
-      // plan only: the analyzed schema, no execution
-      val result = engine.executeQuery(query, user, Map.empty)
+      // plan only: analyzed schema via planQuery — policy rewrite, defensive
+      // limit, and cost gate apply, but nothing executes and nothing is
+      // cache-stored (a GetFlightInfo→DoGet pair must run the query ONCE;
+      // reference plans-without-executing here, flight_sql.rs:533-566)
+      val info = engine.planQuery(query, user)
       val ticket = DynamicMessage.newBuilder(TicketD)
         .setField(TicketD.findFieldByName("ticket"),
           ByteString.copyFromUtf8(query)).build()
@@ -75,7 +78,7 @@ final class FlightSqlEdge(
       ep.setField(ep.getDescriptorForType.findFieldByName("ticket"), ticket)
       Seq(DynamicMessage.newBuilder(FlightInfoD)
         .setField(FlightInfoD.findFieldByName("schema"), ByteString.copyFrom(
-          ArrowResults.schemaIpcBytes(result.df.schema)))
+          ArrowResults.schemaIpcBytes(info.schema)))
         .addRepeatedField(FlightInfoD.findFieldByName("endpoint"), ep.build())
         .build().toByteArray)
     case "/arrow.flight.protocol.FlightService/DoGet" =>

@@ -13,12 +13,13 @@ import graft.session._
 class FlightEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
   import SparkTestSession._
 
+  private var engine: GraftSession = _
   private var edge: FlightSqlEdge = _
   private var url: String = _
 
   override def beforeAll(): Unit = {
     Tables(spark, sf).registerAll()
-    val engine = new GraftSession(spark, GraftConfig(defensiveLimit = 1000))
+    engine = new GraftSession(spark, GraftConfig(defensiveLimit = 1000))
     val auth = new ApiKeyAuthenticator(Map(
       "admin-key" -> AuthenticatedUser("admin", permissions = Set("admin")),
       "analyst-key" -> AuthenticatedUser("analyst",
@@ -60,6 +61,35 @@ class FlightEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter("o_custkey < 10").count()
     assert(analyst == expected, s"analyst=$analyst expected=$expected")
     assert(admin > analyst)
+  }
+
+  test("GetFlightInfo is plan-only: zero jobs, no executeQuery") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val logBefore = engine.queryLog.size
+      // .schema resolves via GetFlightInfo alone (no DoGet, no collect)
+      val schema = read(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = 7").schema
+      assert(schema.fieldNames.toSeq == Seq("o_orderkey", "o_totalprice"))
+      assert(engine.queryLog.size == logBefore,
+        "GetFlightInfo must plan, not executeQuery (double-execution per fetch)")
+      // barrier job (raw RDD — exactly one job, no AQE sub-jobs): the
+      // listener bus is ordered, so once this job's start event lands,
+      // any job GetFlightInfo ran would already be counted
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"GetFlightInfo ran ${jobs.get() - 1} Spark job(s); must be plan-only")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("a bad api key is UNAUTHENTICATED (grpc-status 16), not a hang") {
