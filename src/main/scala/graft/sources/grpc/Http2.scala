@@ -16,6 +16,11 @@ import scala.collection.mutable
   * Deliberate bounds, stated honestly:
   *  - h2c only (no TLS/ALPN — the sandbox has no CA infrastructure);
   *  - one concurrent stream per connection (a unary source call);
+  *  - send-side flow control IS honored (§5.2/§6.9): [[SendWindows]]
+  *    tracks the peer's connection+stream windows from SETTINGS and
+  *    WINDOW_UPDATE, so requests and responses larger than 65535 bytes
+  *    interop with conforming peers instead of risking
+  *    FLOW_CONTROL_ERROR resets;
   *  - HPACK encoding uses literal-without-indexing exclusively (legal
   *    per RFC 7541 §6.2.2, zero table state to corrupt) and raw strings
   *    by default (Huffman is sender-optional); decoding implements the
@@ -30,7 +35,7 @@ private[graft] object Hpack {
     * Decode is required for interop (most servers Huffman-encode);
     * encode exists so the in-repo server edge and the spec's
     * independent peers exercise the decode path for real. Validated
-    * against the RFC's Appendix C vectors in Http2HuffmanSpec. */
+    * against the RFC's Appendix C vectors in GrpcSourceSpec. */
   object Huffman {
     // (code, bit-length) per symbol 0..255, in symbol order. EOS (256)
     // is never emitted; its prefix is the mandated all-ones padding.
@@ -263,6 +268,9 @@ private[graft] object Hpack {
     def string(): String = {
       val huffman = (peek & 0x80) != 0
       val len = int(7)
+      if (len < 0 || i + len > buf.length)
+        throw new IOException(
+          s"hpack: string length $len exceeds header block (${buf.length - i} left)")
       val s =
         if (huffman)
           new String(Huffman.decode(buf, i, len), StandardCharsets.UTF_8)
@@ -311,6 +319,75 @@ private[graft] object Hpack {
   }
 }
 
+/** Peer-advertised SEND windows (RFC 7540 §5.2, §6.9): one connection
+  * window plus one per open stream, all starting at 65535. A writer
+  * consumes window before each DATA frame; the frame-reading side
+  * replenishes on WINDOW_UPDATE and rebases open streams when the peer's
+  * SETTINGS_INITIAL_WINDOW_SIZE changes (§6.9.2 — the delta applies to
+  * every open stream, and a window may legally go negative). Without
+  * this a conforming peer that stops replenishing could be overrun and
+  * would answer with FLOW_CONTROL_ERROR. */
+private[graft] final class SendWindows {
+  import scala.collection.mutable
+  private var conn: Long = 65535L
+  private var initial: Long = 65535L
+  private val streams = mutable.Map.empty[Int, Long]
+
+  private def streamWindow(sid: Int): Long =
+    streams.getOrElseUpdate(sid, initial)
+
+  /** Peer SETTINGS_INITIAL_WINDOW_SIZE: rebase every open stream. */
+  def setInitial(n: Long): Unit = synchronized {
+    val delta = n - initial
+    initial = n
+    streams.mapValuesInPlace((_, w) => w + delta)
+    notifyAll()
+  }
+
+  /** WINDOW_UPDATE on stream 0 (connection) or a stream. */
+  def update(sid: Int, inc: Int): Unit = synchronized {
+    if (sid == 0) conn += inc
+    else streams.update(sid, streamWindow(sid) + inc)
+    notifyAll()
+  }
+
+  /** Take up to `want` bytes for `sid`, BLOCKING until the peer opens
+    * some window (for writers whose connection has a concurrent frame
+    * reader calling update). Returns the granted chunk size. */
+  def reserve(sid: Int, want: Int, timeoutMs: Long = 30000): Int =
+    synchronized {
+      if (want <= 0) return 0
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var avail = math.min(conn, streamWindow(sid))
+      while (avail <= 0) {
+        val left = deadline - System.currentTimeMillis()
+        if (left <= 0) throw new IOException(
+          "http2: send window exhausted and peer sent no WINDOW_UPDATE " +
+            s"in ${timeoutMs}ms (stream $sid)")
+        wait(left)
+        avail = math.min(conn, streamWindow(sid))
+      }
+      grant(sid, want, avail)
+    }
+
+  /** Non-blocking take for single-threaded writers that pump the frame
+    * stream themselves while the window is closed. 0 = closed. */
+  def tryReserve(sid: Int, want: Int): Int = synchronized {
+    if (want <= 0) return 0
+    val avail = math.min(conn, streamWindow(sid))
+    if (avail <= 0) 0 else grant(sid, want, avail)
+  }
+
+  private def grant(sid: Int, want: Int, avail: Long): Int = {
+    val g = math.min(want.toLong, avail).toInt
+    conn -= g
+    streams.update(sid, streamWindow(sid) - g)
+    g
+  }
+
+  def release(sid: Int): Unit = synchronized { streams.remove(sid) }
+}
+
 /** RFC 7540 frame I/O. */
 private[graft] object Http2Frames {
   val Data = 0x0; val Headers = 0x1; val Priority = 0x2; val RstStream = 0x3
@@ -318,6 +395,33 @@ private[graft] object Http2Frames {
   val WindowUpdate = 0x8; val Continuation = 0x9
 
   val FlagEndStream = 0x1; val FlagEndHeaders = 0x4; val FlagAck = 0x1
+
+  val SettingsInitialWindowSize = 0x4
+
+  /** SETTINGS payload: (identifier, value) pairs, 6 bytes each (§6.5.1). */
+  def settings(payload: Array[Byte]): Seq[(Int, Long)] = {
+    val out = Seq.newBuilder[(Int, Long)]
+    var i = 0
+    while (i + 6 <= payload.length) {
+      out += ((((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff),
+        ((payload(i + 2) & 0xffL) << 24) | ((payload(i + 3) & 0xffL) << 16) |
+          ((payload(i + 4) & 0xffL) << 8) | (payload(i + 5) & 0xffL)))
+      i += 6
+    }
+    out.result()
+  }
+
+  /** WINDOW_UPDATE payload for `inc` bytes (§6.9). */
+  def windowUpdatePayload(inc: Int): Array[Byte] = Array(
+    (inc >> 24).toByte, (inc >> 16).toByte, (inc >> 8).toByte, inc.toByte)
+
+  /** WINDOW_UPDATE payload: 31-bit increment (§6.9). */
+  def windowIncrement(payload: Array[Byte]): Int = {
+    if (payload.length < 4)
+      throw new IOException("http2: truncated WINDOW_UPDATE")
+    ((payload(0) & 0x7f) << 24) | ((payload(1) & 0xff) << 16) |
+      ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
+  }
 
   val Preface: Array[Byte] =
     "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
@@ -372,6 +476,27 @@ private[graft] object Http2Frames {
       off += n
     } while (off < data.length)
   }
+
+  /** Flow-controlled DATA write: each chunk first reserves send-window
+    * bytes (blocking until a concurrent frame reader replenishes via
+    * WINDOW_UPDATE), then writes under `lock` so frames from concurrent
+    * streams never interleave inside a single frame write. This is the
+    * path a peer-conforming server MUST use for responses that may
+    * exceed the default 65535-byte window (RFC 7540 §6.9.1). */
+  def writeDataFlow(out: OutputStream, streamId: Int, data: Array[Byte],
+      endStream: Boolean, windows: SendWindows, lock: AnyRef): Unit = {
+    var off = 0
+    do {
+      val want = math.min(MaxFrame, data.length - off)
+      val n = if (want == 0) 0 else windows.reserve(streamId, want)
+      val last = off + n >= data.length
+      lock.synchronized {
+        write(out, Data, if (last && endStream) FlagEndStream else 0,
+          streamId, java.util.Arrays.copyOfRange(data, off, off + n))
+      }
+      off += n
+    } while (off < data.length)
+  }
 }
 
 /** The unary gRPC-over-h2c exchange. */
@@ -393,15 +518,69 @@ private[graft] object Http2Grpc {
     try {
       val out = socket.getOutputStream
       val in = new DataInputStream(socket.getInputStream)
+      val windows = new SendWindows
+      // frames that arrive while we're still sending (early response,
+      // headers before the request completes) wait here for the
+      // response loop; control frames are consumed on the spot
+      val deferred = mutable.Queue.empty[Frame]
+      def control(f: Frame): Boolean = f.tpe match {
+        case Settings =>
+          if ((f.flags & FlagAck) == 0) {
+            settings(f.payload).foreach { case (id, v) =>
+              if (id == SettingsInitialWindowSize) windows.setInitial(v)
+            }
+            write(out, Settings, FlagAck, 0, Array.emptyByteArray)
+          }
+          true
+        case Ping =>
+          if ((f.flags & FlagAck) == 0) write(out, Ping, FlagAck, 0, f.payload)
+          true
+        case WindowUpdate =>
+          windows.update(f.streamId, windowIncrement(f.payload)); true
+        case Priority => true
+        case GoAway =>
+          throw new IOException("http2: server sent GOAWAY before response")
+        case RstStream =>
+          throw new IOException("http2: stream reset by server")
+        case _ => false
+      }
       out.write(Preface)
       write(out, Settings, 0, 0, Array.emptyByteArray)
+      // the server connection preface is a SETTINGS frame (RFC 7540
+      // §3.5); read it before sending DATA so a non-default
+      // SETTINGS_INITIAL_WINDOW_SIZE is honored from the first byte
+      var sawServerSettings = false
+      while (!sawServerSettings) {
+        val f = read(in)
+        if (f.tpe == Settings && (f.flags & FlagAck) == 0)
+          sawServerSettings = true
+        if (!control(f)) deferred += f
+      }
       val headers = Hpack.encode(Seq(
         ":method" -> "POST", ":scheme" -> "http", ":path" -> uri.getPath,
         ":authority" -> s"${uri.getHost}:$port",
         "content-type" -> "application/grpc+proto", "te" -> "trailers")
         ++ extraHeaders)
       write(out, Headers, FlagEndHeaders, 1, headers)
-      writeData(out, 1, framedRequest)
+      // send the request body under flow control; while the window is
+      // closed, pump incoming frames (the single-threaded writer IS the
+      // frame reader) until a WINDOW_UPDATE reopens it
+      var off = 0
+      var sentEnd = false
+      while (!sentEnd) {
+        val want = math.min(MaxFrame, framedRequest.length - off)
+        val n = windows.tryReserve(1, want)
+        if (want > 0 && n == 0) {
+          val f = read(in)
+          if (!control(f)) deferred += f
+        } else {
+          val last = off + n >= framedRequest.length
+          write(out, Data, if (last) FlagEndStream else 0, 1,
+            java.util.Arrays.copyOfRange(framedRequest, off, off + n))
+          off += n
+          sentEnd = last
+        }
+      }
 
       val decoder = new Hpack.Decoder
       val data = new ByteArrayOutputStream()
@@ -411,18 +590,8 @@ private[graft] object Http2Grpc {
       var blockEndStream = false
       var done = false
       while (!done) {
-        val f = read(in)
-        f.tpe match {
-          case Settings =>
-            if ((f.flags & FlagAck) == 0)
-              write(out, Settings, FlagAck, 0, Array.emptyByteArray)
-          case Ping =>
-            if ((f.flags & FlagAck) == 0) write(out, Ping, FlagAck, 0, f.payload)
-          case WindowUpdate | Priority => // enough window for a unary call
-          case GoAway =>
-            throw new IOException("http2: server sent GOAWAY before response")
-          case RstStream =>
-            throw new IOException("http2: stream reset by server")
+        val f = if (deferred.nonEmpty) deferred.dequeue() else read(in)
+        if (!control(f)) f.tpe match {
           case Headers | Continuation if f.streamId == 1 =>
             // HEADERS may carry a priority block only with a flag we never
             // request; payload is the header fragment
@@ -446,10 +615,7 @@ private[graft] object Http2Grpc {
             data.write(f.payload, 0, f.payload.length)
             if (f.payload.nonEmpty) {
               // replenish both flow-control windows
-              val inc = new Array[Byte](4)
-              val n = f.payload.length
-              inc(0) = (n >> 24).toByte; inc(1) = (n >> 16).toByte
-              inc(2) = (n >> 8).toByte; inc(3) = n.toByte
+              val inc = windowUpdatePayload(f.payload.length)
               write(out, WindowUpdate, 0, 0, inc)
               write(out, WindowUpdate, 0, 1, inc)
             }

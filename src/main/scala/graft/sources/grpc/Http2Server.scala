@@ -42,6 +42,14 @@ final class Http2Server(
 
   private def serve(sock: Socket): Unit = {
     import Http2Frames._
+    // peer SEND windows: consumed by response writers (worker threads),
+    // replenished here as the read loop sees WINDOW_UPDATE / SETTINGS
+    val windows = new SendWindows
+    // all frame writes go through this lock — responders run on worker
+    // threads so the read loop stays free to replenish windows while a
+    // large response is blocked mid-stream
+    val writeLock = new Object
+    val workers = mutable.ArrayBuffer.empty[Thread]
     try {
       sock.setSoTimeout(30000)
       val in = new DataInputStream(sock.getInputStream)
@@ -54,6 +62,18 @@ final class Http2Server(
       val headers = mutable.Map.empty[Int, Map[String, String]]
       val blocks = mutable.Map.empty[Int, ByteArrayOutputStream]
       val bodies = mutable.Map.empty[Int, ByteArrayOutputStream]
+      def dispatch(sid: Int): Unit = {
+        val hs = headers.getOrElse(sid, Map.empty)
+        val body = bodies.get(sid).map(_.toByteArray)
+          .getOrElse(Array.emptyByteArray)
+        headers.remove(sid); blocks.remove(sid); bodies.remove(sid)
+        val w = new Thread(() => {
+          try respond(out, sid, hs, body, windows, writeLock)
+          finally windows.release(sid)
+        }, s"h2-respond-$sid")
+        w.setDaemon(true); w.start()
+        workers += w
+      }
       var open = true
       while (open) {
         val f =
@@ -61,38 +81,55 @@ final class Http2Server(
           catch { case _: EOFException => open = false; null }
         if (f != null) f.tpe match {
           case Settings =>
-            if ((f.flags & FlagAck) == 0)
-              write(out, Settings, FlagAck, 0, Array.emptyByteArray)
+            if ((f.flags & FlagAck) == 0) {
+              settings(f.payload).foreach { case (id, v) =>
+                if (id == SettingsInitialWindowSize) windows.setInitial(v)
+              }
+              writeLock.synchronized {
+                write(out, Settings, FlagAck, 0, Array.emptyByteArray)
+              }
+            }
           case Ping =>
-            if ((f.flags & FlagAck) == 0) write(out, Ping, FlagAck, 0, f.payload)
+            if ((f.flags & FlagAck) == 0) writeLock.synchronized {
+              write(out, Ping, FlagAck, 0, f.payload)
+            }
+          case WindowUpdate =>
+            windows.update(f.streamId, windowIncrement(f.payload))
           case Headers | Continuation =>
             blocks.getOrElseUpdate(f.streamId, new ByteArrayOutputStream())
               .write(f.payload, 0, f.payload.length)
             if ((f.flags & FlagEndHeaders) != 0)
               headers(f.streamId) =
                 decoder.decode(blocks(f.streamId).toByteArray).toMap
-            if ((f.flags & FlagEndStream) != 0)
-              respond(out, f.streamId, headers, bodies)
+            if ((f.flags & FlagEndStream) != 0) dispatch(f.streamId)
           case Data =>
             bodies.getOrElseUpdate(f.streamId, new ByteArrayOutputStream())
               .write(f.payload, 0, f.payload.length)
-            if ((f.flags & FlagEndStream) != 0)
-              respond(out, f.streamId, headers, bodies)
+            if (f.payload.nonEmpty) {
+              // replenish OUR receive windows so a window-conforming
+              // client can keep sending a >65535-byte request
+              val inc = windowUpdatePayload(f.payload.length)
+              writeLock.synchronized {
+                write(out, WindowUpdate, 0, 0, inc)
+                write(out, WindowUpdate, 0, f.streamId, inc)
+              }
+            }
+            if ((f.flags & FlagEndStream) != 0) dispatch(f.streamId)
           case GoAway => open = false
-          case _ => // WINDOW_UPDATE, PRIORITY, ... — ignorable here
+          case _ => // PRIORITY, ... — ignorable here
         }
       }
+      // clean shutdown: let in-flight responses drain before closing
+      workers.foreach(_.join(5000))
     } catch {
       case _: IOException => // connection torn down mid-exchange
     } finally sock.close()
   }
 
   private def respond(out: java.io.OutputStream, sid: Int,
-      headers: mutable.Map[Int, Map[String, String]],
-      bodies: mutable.Map[Int, ByteArrayOutputStream]): Unit = {
+      hs: Map[String, String], body: Array[Byte],
+      windows: SendWindows, writeLock: AnyRef): Unit = {
     import Http2Frames._
-    val hs = headers.getOrElse(sid, Map.empty)
-    val body = bodies.get(sid).map(_.toByteArray).getOrElse(Array.emptyByteArray)
     try {
       val payload =
         if (body.isEmpty) Array.emptyByteArray
@@ -101,12 +138,17 @@ final class Http2Server(
         throw new IOException("no :path")), hs, payload)
       val framed = responses.map(GrpcFraming.frame)
         .foldLeft(Array.emptyByteArray)(_ ++ _)
-      write(out, Headers, FlagEndHeaders, sid, Hpack.encode(Seq(
-        ":status" -> "200", "content-type" -> "application/grpc+proto"),
-        huffman = true))
-      if (framed.nonEmpty) writeData(out, sid, framed, endStream = false)
-      write(out, Headers, FlagEndHeaders | FlagEndStream, sid,
-        Hpack.encode(Seq("grpc-status" -> "0"), huffman = true))
+      writeLock.synchronized {
+        write(out, Headers, FlagEndHeaders, sid, Hpack.encode(Seq(
+          ":status" -> "200", "content-type" -> "application/grpc+proto"),
+          huffman = true))
+      }
+      if (framed.nonEmpty)
+        writeDataFlow(out, sid, framed, endStream = false, windows, writeLock)
+      writeLock.synchronized {
+        write(out, Headers, FlagEndHeaders | FlagEndStream, sid,
+          Hpack.encode(Seq("grpc-status" -> "0"), huffman = true))
+      }
     } catch {
       case e: Throwable =>
         val code = e match {
@@ -114,9 +156,11 @@ final class Http2Server(
           case _ => 13 // INTERNAL
         }
         // trailers-only error response, the gRPC failure shape
-        write(out, Headers, FlagEndHeaders | FlagEndStream, sid,
-          Hpack.encode(Seq(":status" -> "200", "grpc-status" -> code.toString,
-            "grpc-message" -> String.valueOf(e.getMessage).take(512))))
+        writeLock.synchronized {
+          write(out, Headers, FlagEndHeaders | FlagEndStream, sid,
+            Hpack.encode(Seq(":status" -> "200", "grpc-status" -> code.toString,
+              "grpc-message" -> String.valueOf(e.getMessage).take(512))))
+        }
     }
   }
 }
