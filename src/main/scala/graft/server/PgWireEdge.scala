@@ -32,10 +32,15 @@ final case class PgCredentials(byUser: Map[String, (String, AuthenticatedUser)])
   * with the widest client ecosystem).
   *
   * Protocol surface: startup (SSL/GSS probes answered 'N'), auth,
-  * simple-query ('Q') with text-format results, Terminate. The extended
-  * (Parse/Bind/Execute) protocol is not spoken — honest scope: psql and
-  * most tools use simple query for ad-hoc SQL; drivers that insist on
-  * extended protocol get a clean protocol error, not silent truncation.
+  * simple-query ('Q') with text-format results, AND the extended query
+  * protocol — Parse/Bind/Describe/Execute/Close/Flush/Sync with
+  * text-format parameters — which is what psycopg3, libpq's
+  * PQexecParams, and JDBC's org.postgresql speak by default. `$n`
+  * placeholders rewrite to the engine's named-parameter path, so values
+  * bind as typed literals in the analyzer (never string splicing — the
+  * injection stance of the reference's prepared statements,
+  * flight_sql.rs:533-566). Binary-format parameters or results are
+  * refused loudly (0A000), never mis-decoded.
   *
   * Results are capped at `maxRows` (the edge's bulk-delivery bound, as
   * on the other edges); a capped result is flagged with a NOTICE so the
@@ -63,13 +68,6 @@ final class PgWireEdge(
   }
 
   def start(): Int = {
-    // pg clients quote identifiers with double quotes; make the engine's
-    // parser read them as identifiers (ANSI), not string literals —
-    // without this, SELECT "col" FROM "t" silently selects the LITERAL
-    // 'col'. The conf is session-wide: attaching a pg edge opts the
-    // engine into ANSI identifier quoting.
-    engine.spark.conf.set("spark.sql.ansi.enabled", "true")
-    engine.spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     server = new ServerSocket(0, 64, java.net.InetAddress.getLoopbackAddress)
     val acceptor = new Thread(() => acceptLoop(), "pg-edge-accept")
     acceptor.setDaemon(true)
@@ -138,25 +136,249 @@ final class PgWireEdge(
     writeReady(out)
 
     // ------------------------------------------------------- query loop
+    // extended-query state: named prepared statements and portals, plus
+    // the protocol's error-recovery rule — after an error inside an
+    // extended sequence, ignore everything until Sync (pg docs,
+    // "Extended Query", error handling)
+    val statements = scala.collection.mutable.Map.empty[String, Prepared]
+    val portals = scala.collection.mutable.Map.empty[String, Portal]
+    var skipToSync = false
     var open = true
     while (open) {
       readOrEof(in) match {
         case None => open = false
+        case Some(m) if skipToSync && m.tpe != MsgSync && m.tpe != MsgTerminate =>
+          () // discarded per protocol until the client resyncs
         case Some(m) => m.tpe match {
           case MsgQuery =>
             val sql = cstring(java.nio.ByteBuffer.wrap(m.payload))
             logQuery(sql)
             runQuery(out, sql, user)
             writeReady(out)
+          case MsgParse =>
+            extended(out, { () => handleParse(out, m.payload, statements) },
+              onErr = () => skipToSync = true)
+          case MsgBind =>
+            extended(out, { () => handleBind(out, m.payload, statements, portals) },
+              onErr = () => skipToSync = true)
+          case MsgDescribe =>
+            extended(out, { () =>
+              handleDescribe(out, m.payload, statements, portals, user) },
+              onErr = () => skipToSync = true)
+          case MsgExecute =>
+            extended(out, { () =>
+              handleExecute(out, m.payload, portals, user) },
+              onErr = () => skipToSync = true)
+          case MsgClose =>
+            val bb = java.nio.ByteBuffer.wrap(m.payload)
+            val kind = bb.get().toChar
+            val name = cstring(bb)
+            if (kind == 'S') statements.remove(name) else portals.remove(name)
+            writeMessage(out, MsgCloseComplete, Array.empty)
+          case MsgFlush => out.flush()
+          case MsgSync =>
+            skipToSync = false
+            writeReady(out)
           case MsgTerminate => open = false
           case other =>
-            // extended-protocol or unknown message: loud, precise refusal
             writeError(out, "ERROR", "0A000",
-              s"message '${other.toChar}' not supported (simple query protocol only)")
+              s"message '${other.toChar}' not supported")
             writeReady(out)
         }
       }
     }
+  }
+
+  /** Run one extended-protocol step; on failure emit ErrorResponse and
+    * enter skip-until-Sync (the caller's onErr). */
+  private def extended(out: DataOutputStream, step: () => Unit,
+      onErr: () => Unit): Unit =
+    try step()
+    catch {
+      case e: PgEdgeError =>
+        writeError(out, "ERROR", e.sqlState, e.getMessage); onErr()
+      case e: Exception =>
+        writeError(out, "ERROR", "XX000",
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(4000))
+        onErr()
+    }
+
+  // ------------------------------------------------- extended protocol
+
+  /** A parsed statement: original SQL, the `$n`→`:pn` rewrite the
+    * engine's named-parameter path executes, and declared param OIDs
+    * (0 = unspecified, bound as text). */
+  private final case class Prepared(sql: String, rewritten: String,
+      paramOids: IndexedSeq[Int], nParams: Int)
+
+  /** A bound portal; the result materializes on first Describe/Execute
+    * (capped at maxRows) and Execute's row-count limit pages through it
+    * (PortalSuspended between pages, the JDBC fetchSize shape). */
+  private final class Portal(val stmt: Prepared, val params: Map[String, Any]) {
+    var rows: Array[Row] = _
+    var schema: StructType = _
+    var capped: Boolean = false
+    var pos: Int = 0
+  }
+
+  private def handleParse(out: DataOutputStream, payload: Array[Byte],
+      statements: scala.collection.mutable.Map[String, Prepared]): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    val name = cstring(bb)
+    val sql = cstring(bb)
+    val nOids = bb.getShort.toInt
+    val oids = IndexedSeq.fill(nOids)(bb.getInt)
+    logQuery(sql)
+    val (rewritten, nParams) = PgWireEdge.rewritePlaceholders(sql)
+    val padded = oids.padTo(nParams, 0)
+    statements(name) = Prepared(sql, rewritten, padded, nParams)
+    writeMessage(out, MsgParseComplete, Array.empty)
+  }
+
+  private def handleBind(out: DataOutputStream, payload: Array[Byte],
+      statements: scala.collection.mutable.Map[String, Prepared],
+      portals: scala.collection.mutable.Map[String, Portal]): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    val portalName = cstring(bb)
+    val stmtName = cstring(bb)
+    val stmt = statements.getOrElse(stmtName,
+      throw new PgEdgeError("26000", s"""prepared statement "$stmtName" does not exist"""))
+    val nFmt = bb.getShort.toInt
+    val fmts = IndexedSeq.fill(nFmt)(bb.getShort.toInt)
+    val nParams = bb.getShort.toInt
+    if (nParams != stmt.nParams)
+      throw new PgEdgeError("08P01",
+        s"bind supplies $nParams parameters, statement needs ${stmt.nParams}")
+    val values = IndexedSeq.tabulate(nParams) { i =>
+      val len = bb.getInt
+      val fmt = if (fmts.isEmpty) 0 else fmts(i min (fmts.length - 1))
+      if (fmt != 0)
+        throw new PgEdgeError("0A000",
+          "binary-format parameters not supported (send text format)")
+      if (len == -1) null
+      else {
+        val b = new Array[Byte](len); bb.get(b)
+        textParam(stmt.paramOids(i), new String(b, UTF_8))
+      }
+    }
+    val nResFmt = bb.getShort.toInt
+    val resFmts = IndexedSeq.fill(nResFmt)(bb.getShort.toInt)
+    if (resFmts.exists(_ != 0))
+      throw new PgEdgeError("0A000",
+        "binary-format results not supported (request text format)")
+    val params = values.zipWithIndex.map { case (v, i) => s"p${i + 1}" -> v }.toMap
+    portals(portalName) = new Portal(stmt, params)
+    writeMessage(out, MsgBindComplete, Array.empty)
+  }
+
+  private def handleDescribe(out: DataOutputStream, payload: Array[Byte],
+      statements: scala.collection.mutable.Map[String, Prepared],
+      portals: scala.collection.mutable.Map[String, Portal],
+      user: AuthenticatedUser): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    val kind = bb.get().toChar
+    val name = cstring(bb)
+    kind match {
+      case 'S' =>
+        val stmt = statements.getOrElse(name,
+          throw new PgEdgeError("26000", s"""prepared statement "$name" does not exist"""))
+        val oidBytes = new java.io.ByteArrayOutputStream()
+        val head = java.nio.ByteBuffer.allocate(2).putShort(stmt.nParams.toShort)
+        oidBytes.write(head.array())
+        stmt.paramOids.foreach { o =>
+          val oid = if (o == 0) PgTypes.TextOid else o
+          oidBytes.write(java.nio.ByteBuffer.allocate(4).putInt(oid).array())
+        }
+        writeMessage(out, MsgParameterDescription, oidBytes.toByteArray)
+        // schema preview: plan with typed NULLs substituted for the
+        // parameter markers (engine-generated text, not client data — no
+        // injection surface); if the statement doesn't analyze that way,
+        // NoData is honest
+        try {
+          val preview = ":p(\\d+)".r.replaceAllIn(stmt.rewritten, m => {
+            val oid = stmt.paramOids(m.group(1).toInt - 1)
+            val dt = PgTypes.sparkTypeOf(
+              if (oid == 0) PgTypes.TextOid else oid, -1)
+            java.util.regex.Matcher.quoteReplacement(
+              s"CAST(NULL AS ${dt.sql})")
+          })
+          val info = withAnsiConfs { engine.planQuery(preview, user) }
+          writeMessage(out, MsgRowDescription,
+            rowDescription(fieldDescs(info.schema)))
+        } catch {
+          case _: Exception => writeMessage(out, MsgNoData, Array.empty)
+        }
+      case 'P' =>
+        val portal = portals.getOrElse(name,
+          throw new PgEdgeError("34000", s"""portal "$name" does not exist"""))
+        materialize(portal, user)
+        writeMessage(out, MsgRowDescription,
+          rowDescription(fieldDescs(portal.schema)))
+      case other =>
+        throw new PgEdgeError("08P01", s"describe kind '$other' unknown")
+    }
+  }
+
+  private def handleExecute(out: DataOutputStream, payload: Array[Byte],
+      portals: scala.collection.mutable.Map[String, Portal],
+      user: AuthenticatedUser): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    val name = cstring(bb)
+    val maxRowsReq = bb.getInt
+    val portal = portals.getOrElse(name,
+      throw new PgEdgeError("34000", s"""portal "$name" does not exist"""))
+    materialize(portal, user)
+    val remaining = portal.rows.length - portal.pos
+    val page = if (maxRowsReq > 0) math.min(maxRowsReq, remaining) else remaining
+    val end = portal.pos + page
+    while (portal.pos < end) {
+      val r = portal.rows(portal.pos)
+      writeMessage(out, MsgDataRow, dataRow(encodeRow(r, portal.schema)))
+      portal.pos += 1
+    }
+    if (portal.pos < portal.rows.length)
+      writeMessage(out, MsgPortalSuspended, Array.empty)
+    else {
+      if (portal.capped)
+        writeMessage(out, MsgNoticeResponse, errorResponse("NOTICE", "01000",
+          s"result truncated at $maxRows rows (edge delivery bound)"))
+      writeMessage(out, MsgCommandComplete,
+        commandComplete(s"SELECT ${portal.pos}"))
+    }
+  }
+
+  /** Execute the portal's statement through the engine (once). */
+  private def materialize(portal: Portal, user: AuthenticatedUser): Unit =
+    if (portal.rows == null) {
+      val result = withAnsiConfs {
+        engine.executeQuery(portal.stmt.rewritten, user, portal.params)
+      }
+      portal.schema = result.df.schema
+      val rows = result.df.limit(maxRows + 1).collect()
+      portal.capped = rows.length > maxRows
+      portal.rows = if (portal.capped) rows.take(maxRows) else rows
+    }
+
+  private def fieldDescs(schema: StructType): Seq[FieldDesc] =
+    schema.fields.toSeq.map { f =>
+      val (oid, typmod) = PgTypes.oidOf(f.dataType)
+      FieldDesc(f.name, oid, typmod)
+    }
+
+  /** Text-format parameter → the typed value the engine binds as a
+    * literal, per the declared OID (0/unknown binds as text). */
+  private def textParam(oid: Int, text: String): Any = oid match {
+    case PgTypes.BoolOid => text == "t" || text == "true" || text == "1"
+    case PgTypes.Int2Oid | PgTypes.Int4Oid => text.toInt
+    case PgTypes.Int8Oid => text.toLong
+    case PgTypes.Float4Oid => text.toFloat
+    case PgTypes.Float8Oid => text.toDouble
+    case PgTypes.NumericOid => new java.math.BigDecimal(text)
+    case PgTypes.DateOid => java.sql.Date.valueOf(text)
+    case PgTypes.TimestampOid | PgTypes.TimestamptzOid =>
+      java.sql.Timestamp.valueOf(
+        text.replace('T', ' ').stripSuffix("Z").stripSuffix("+00"))
+    case _ => text
   }
 
   private def runQuery(out: DataOutputStream, sql: String,
@@ -166,7 +388,7 @@ final class PgWireEdge(
       return
     }
     try {
-      val result = engine.executeQuery(sql, user)
+      val result = withAnsiConfs { engine.executeQuery(sql, user) }
       val schema = result.df.schema
       val rows = result.df.limit(maxRows + 1).collect()
       val capped = rows.length > maxRows
@@ -282,9 +504,104 @@ final class PgWireEdge(
     out.flush()
   }
 
+  // -------------------------------------------------------- conf scoping
+
+  // pg clients quote identifiers with double quotes; the engine's parser
+  // must read them as identifiers (ANSI), not string literals — without
+  // this, SELECT "col" FROM "t" silently selects the LITERAL 'col'.
+  // Spark confs are session-wide, so instead of flipping them for the
+  // whole engine at start() (which silently re-enabled ANSI for
+  // deployments that turned it off), they are set only around pg-edge
+  // query execution and restored after, reference-counted so overlapping
+  // pg connections restore the ORIGINAL values, not each other's.
+  private object AnsiGuard {
+    private val keys = Seq(
+      "spark.sql.ansi.enabled", "spark.sql.ansi.doubleQuotedIdentifiers")
+    private var depth = 0
+    private var saved: Seq[(String, Option[String])] = Nil
+    def enter(): Unit = synchronized {
+      if (depth == 0) {
+        saved = keys.map(k => k -> engine.spark.conf.getOption(k))
+        keys.foreach(engine.spark.conf.set(_, "true"))
+      }
+      depth += 1
+    }
+    def exit(): Unit = synchronized {
+      depth -= 1
+      if (depth == 0) saved.foreach {
+        case (k, Some(v)) => engine.spark.conf.set(k, v)
+        case (k, None) => engine.spark.conf.unset(k)
+      }
+    }
+  }
+
+  /** ANSI identifier-quoting confs, scoped to this execution (see
+    * [[AnsiGuard]]). A non-pg query running CONCURRENTLY with a pg-edge
+    * query still observes the pg confs for that window — session confs
+    * have no narrower scope — but the steady state is untouched. */
+  private def withAnsiConfs[T](f: => T): T = {
+    AnsiGuard.enter()
+    try f finally AnsiGuard.exit()
+  }
+
   private def writeError(out: DataOutputStream, severity: String, state: String,
       msg: String): Unit = {
     writeMessage(out, MsgErrorResponse, errorResponse(severity, state, msg))
     out.flush()
+  }
+}
+
+/** An extended-protocol failure with its SQLSTATE. */
+private[server] final class PgEdgeError(val sqlState: String, msg: String)
+    extends RuntimeException(msg)
+
+object PgWireEdge {
+
+  /** Rewrite pg `$n` parameter placeholders to the engine's named
+    * markers `:pn`, skipping string literals ('' with '' escapes),
+    * double-quoted identifiers, line comments and block comments.
+    * Returns the rewritten SQL and the highest placeholder number (=
+    * the statement's parameter count, per pg semantics). */
+  private[server] def rewritePlaceholders(sql: String): (String, Int) = {
+    val out = new StringBuilder(sql.length + 8)
+    val len = sql.length
+    var i = 0
+    var maxN = 0
+    var inStr = false
+    var inIdent = false
+    var inLineComment = false
+    var blockDepth = 0
+    while (i < len) {
+      val c = sql.charAt(i)
+      val next = if (i + 1 < len) sql.charAt(i + 1) else ' '
+      if (inLineComment) {
+        if (c == '\n') inLineComment = false
+        out.append(c); i += 1
+      } else if (blockDepth > 0) {
+        if (c == '*' && next == '/') { blockDepth -= 1; out.append("*/"); i += 2 }
+        else if (c == '/' && next == '*') { blockDepth += 1; out.append("/*"); i += 2 }
+        else { out.append(c); i += 1 }
+      } else if (inStr) {
+        if (c == '\'' && next == '\'') { out.append("''"); i += 2 }
+        else { if (c == '\'') inStr = false; out.append(c); i += 1 }
+      } else if (inIdent) {
+        if (c == '"') inIdent = false
+        out.append(c); i += 1
+      } else c match {
+        case '\'' => inStr = true; out.append(c); i += 1
+        case '"' => inIdent = true; out.append(c); i += 1
+        case '-' if next == '-' => inLineComment = true; out.append("--"); i += 2
+        case '/' if next == '*' => blockDepth = 1; out.append("/*"); i += 2
+        case '$' if next.isDigit =>
+          var j = i + 1
+          while (j < len && sql.charAt(j).isDigit) j += 1
+          val n = sql.substring(i + 1, j).toInt
+          maxN = math.max(maxN, n)
+          out.append(":p").append(n)
+          i = j
+        case _ => out.append(c); i += 1
+      }
+    }
+    (out.toString, maxN)
   }
 }

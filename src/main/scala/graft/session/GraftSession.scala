@@ -147,10 +147,11 @@ final class GraftSession(
     * rewrite, defensive limit, and cost gate as executeQuery, but never
     * executes or caches; the formatted plan exposes pushdown indicators. */
   def planQuery(sql: String,
-      user: AuthenticatedUser = AuthenticatedUser.anonymous): PlanInfo = {
+      user: AuthenticatedUser = AuthenticatedUser.anonymous,
+      params: Map[String, Any] = Map.empty): PlanInfo = {
     RowPolicyRule_setUser(user)
     try {
-      var df = spark.sql(sql)
+      var df = if (params.isEmpty) spark.sql(sql) else spark.sql(sql, params)
       var limited = false
       if (config.defensiveLimit > 0 &&
         (limitRule(df.queryExecution.analyzed) ne df.queryExecution.analyzed)) {

@@ -47,6 +47,22 @@ object PgWire {
   val MsgQuery: Byte = 'Q'
   val MsgPassword: Byte = 'p' // also SASLInitialResponse / SASLResponse
   val MsgTerminate: Byte = 'X'
+  // extended-query frontend messages (same letters collide with some
+  // backend types — the direction disambiguates on the wire)
+  val MsgParse: Byte = 'P'
+  val MsgBind: Byte = 'B'
+  val MsgDescribe: Byte = 'D'
+  val MsgExecute: Byte = 'E'
+  val MsgSync: Byte = 'S'
+  val MsgClose: Byte = 'C'
+  val MsgFlush: Byte = 'H'
+  // extended-query backend messages
+  val MsgParseComplete: Byte = '1'
+  val MsgBindComplete: Byte = '2'
+  val MsgCloseComplete: Byte = '3'
+  val MsgParameterDescription: Byte = 't'
+  val MsgNoData: Byte = 'n'
+  val MsgPortalSuspended: Byte = 's'
 
   // Authentication request codes (payload int32 of an 'R' message)
   val AuthOk = 0
