@@ -573,7 +573,7 @@ object PgWireEdge {
     var blockDepth = 0
     while (i < len) {
       val c = sql.charAt(i)
-      val next = if (i + 1 < len) sql.charAt(i + 1) else ' '
+      val next = if (i + 1 < len) sql.charAt(i + 1) else ' '
       if (inLineComment) {
         if (c == '\n') inLineComment = false
         out.append(c); i += 1

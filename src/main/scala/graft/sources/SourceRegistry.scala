@@ -109,6 +109,23 @@ final class SourceRegistry(spark: SparkSession) {
           case Some(sc) => r.schema(sc)
           case None => r
         }).load()
+      case "mysql" =>
+        // live wire-protocol source (sources/mysql) — the same no-jar
+        // stance as the postgres source: hand-built handshake/auth/
+        // COM_QUERY client with filter/column/limit pushdown and
+        // optional range-partitioned parallel reads (the reference's
+        // mysql.rs connector, there carried by mysql_async)
+        val r = spark.read.format("graft.sources.mysql.MySqlDataSource")
+          .option("url", src.url.getOrElse(
+            throw new IllegalArgumentException(
+              s"mysql source ${src.name} needs url")))
+          .option("table", t.name)
+          .options(src.options ++
+            t.partitionColumn.map("partitionColumn" -> _).toMap)
+        (t.declaredSchema match {
+          case Some(sc) => r.schema(sc)
+          case None => r
+        }).load()
       case "iceberg" | "iceberg_rest" =>
         // the reference's iceberg_rest source (iceberg.rs:1-120):
         // catalog_uri + namespace + token/OAuth; auth reuses the REST
