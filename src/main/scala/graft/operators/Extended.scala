@@ -217,7 +217,7 @@ object Extended {
           .filter(_.toString.endsWith(".parquet")).toSeq
           .map(p => IcebergLocal.DataFileInfo(p.toUri.toString, n,
             java.nio.file.Files.size(p)))
-        IcebergLocal.append(tableDir, files, ts, tag)
+        IcebergLocal.append(tableDir, files, ts, tag, schema = Some(df.schema))
       }
       appendFiltered("n_regionkey < 2", ts = 1000L, tag = Some("v1"))
       appendFiltered("n_regionkey >= 2", ts = 2000L, tag = None)

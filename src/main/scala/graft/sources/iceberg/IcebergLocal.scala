@@ -20,12 +20,12 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
   * jars. The written artifacts are spec-shaped (`vN.metadata.json` with
   * the v2-required structural fields, `snap-*.avro` manifest lists and
   * `manifest-*.avro` manifests with the spec's field names, counts, and
-  * sequence numbers). Compatibility note, verified against the spec
-  * text only (no external Iceberg reader exists in this environment):
-  * the table schema is written as an EMPTY struct — this engine treats
-  * parquet footers as schema-authoritative — so a schema-strict external
-  * reader will see the snapshot/manifest history but must take column
-  * types from the data files.
+  * sequence numbers). The table schema is the spec's typed struct,
+  * derived from the committed DataFrame's schema (nested structs,
+  * lists, maps; depth-first field ids) — so a schema-strict external
+  * reader sees real column types, not just history. When a commit
+  * carries no schema (legacy callers), the previous commit's schema is
+  * carried forward verbatim.
   *
   * Writes are append-only commits: each [[IcebergLocal.append]] adds a
   * manifest and a snapshot whose manifest list carries every prior
@@ -113,9 +113,12 @@ object IcebergLocal {
     * fused into the commit). */
   def append(tableDir: JPath, files: Seq[DataFileInfo],
       timestampMs: Long, tag: Option[String] = None,
-      retainLast: Option[Int] = None): Long = {
+      retainLast: Option[Int] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     val metaDir = tableDir.resolve("metadata")
     Files.createDirectories(metaDir)
+    val priorRaw = currentMetadataFile(tableDir)
+      .map(p => mapper.readTree(Files.readString(p)))
     val prior = currentMetadata(tableDir)
     val snapId = prior.map(_.snapshots.map(_.snapshotId).max + 1).getOrElse(1L)
 
@@ -217,17 +220,34 @@ object IcebergLocal {
       tableDir.toString.getBytes(StandardCharsets.UTF_8)).toString)
     root.put("location", tableDir.toUri.toString)
     root.put("last-updated-ms", timestampMs)
-    // v2-required structural fields. The schema is written as an empty
-    // struct: parquet footers are schema-authoritative for this engine's
-    // read path, and a schema-strict external reader should take the
-    // columns from the data files (see the class scaladoc's compatibility
-    // note). Partitioning/sort: unpartitioned, unsorted — the only
-    // layouts this writer produces.
+    // v2-required structural fields. The schema is the spec's typed
+    // struct derived from the DataFrame schema (carry-forward of the
+    // prior commit's schema for schema-less callers). Partitioning/
+    // sort: unpartitioned, unsorted — the only layouts this writer
+    // produces.
     root.put("last-sequence-number", snapId)
-    root.put("last-column-id", 0)
-    val schemas = root.putArray("schemas")
-    val sc = schemas.addObject()
-    sc.put("type", "struct"); sc.put("schema-id", 0); sc.putArray("fields")
+    schema match {
+      case Some(st) =>
+        val counter = new java.util.concurrent.atomic.AtomicInteger()
+        val sc = icebergStructNode(st, counter)
+        sc.put("schema-id", 0)
+        root.put("last-column-id", counter.get())
+        root.putArray("schemas").add(sc)
+      case None =>
+        val (schemasNode, lastCol) = priorRaw match {
+          case Some(pr) if pr.has("schemas") =>
+            (pr.get("schemas"), pr.path("last-column-id").asInt(0))
+          case _ =>
+            val arr = mapper.createArrayNode()
+            val sc = arr.addObject()
+            sc.put("type", "struct"); sc.put("schema-id", 0)
+            sc.putArray("fields")
+            (arr, 0)
+        }
+        root.put("last-column-id", lastCol)
+        root.set[com.fasterxml.jackson.databind.JsonNode]("schemas", schemasNode.deepCopy())
+        ()
+    }
     root.put("current-schema-id", 0)
     val specs = root.putArray("partition-specs")
     val ps = specs.addObject()
@@ -321,6 +341,63 @@ object IcebergLocal {
   }
 
   /** Latest committed metadata of the table at `tableDir`, if any. */
+  /** Spark schema → the table spec's typed struct (v2 "schemas" entry):
+    * nested structs/lists/maps mapped to the spec's type objects, field
+    * ids assigned depth-first from 1 via `counter` (whose final value is
+    * the metadata's last-column-id). */
+  private[iceberg] def icebergStructNode(
+      st: org.apache.spark.sql.types.StructType,
+      counter: java.util.concurrent.atomic.AtomicInteger): ObjectNode = {
+    import org.apache.spark.sql.types._
+    def typeOf(dt: DataType): com.fasterxml.jackson.databind.JsonNode =
+      dt match {
+        case BooleanType => mapper.getNodeFactory.textNode("boolean")
+        case ByteType | ShortType | IntegerType =>
+          mapper.getNodeFactory.textNode("int")
+        case LongType => mapper.getNodeFactory.textNode("long")
+        case FloatType => mapper.getNodeFactory.textNode("float")
+        case DoubleType => mapper.getNodeFactory.textNode("double")
+        case d: DecimalType =>
+          mapper.getNodeFactory.textNode(s"decimal(${d.precision}, ${d.scale})")
+        case DateType => mapper.getNodeFactory.textNode("date")
+        case TimestampType => mapper.getNodeFactory.textNode("timestamptz")
+        case TimestampNTZType => mapper.getNodeFactory.textNode("timestamp")
+        case BinaryType => mapper.getNodeFactory.textNode("binary")
+        case s: StructType => structOf(s)
+        case ArrayType(et, containsNull) =>
+          val n = mapper.createObjectNode()
+          n.put("type", "list")
+          n.put("element-id", counter.incrementAndGet())
+          n.set[com.fasterxml.jackson.databind.JsonNode]("element", typeOf(et))
+          n.put("element-required", !containsNull)
+          n
+        case MapType(kt, vt, valueContainsNull) =>
+          val n = mapper.createObjectNode()
+          n.put("type", "map")
+          n.put("key-id", counter.incrementAndGet())
+          n.set[com.fasterxml.jackson.databind.JsonNode]("key", typeOf(kt))
+          n.put("value-id", counter.incrementAndGet())
+          n.set[com.fasterxml.jackson.databind.JsonNode]("value", typeOf(vt))
+          n.put("value-required", !valueContainsNull)
+          n
+        case other => mapper.getNodeFactory.textNode("string") // lossy but typed
+      }
+    def structOf(s: StructType): ObjectNode = {
+      val n = mapper.createObjectNode()
+      n.put("type", "struct")
+      val fields = n.putArray("fields")
+      s.fields.foreach { f =>
+        val fn = fields.addObject()
+        fn.put("id", counter.incrementAndGet())
+        fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        fn.set[com.fasterxml.jackson.databind.JsonNode]("type", typeOf(f.dataType))
+      }
+      n
+    }
+    structOf(st)
+  }
+
   def currentMetadata(tableDir: JPath): Option[IcebergTableMeta] =
     currentMetadataFile(tableDir)
       .map(p => IcebergMetadata.parse(mapper.readTree(Files.readString(p))))
@@ -330,8 +407,12 @@ object IcebergLocal {
     * Serves the four read endpoints [[IcebergRestCatalog]] speaks; an
     * optional `requiredHeader` (name → value) turns on auth (401
     * otherwise), mirroring the reference catalog's token gate. */
-  final class CatalogServer(warehouse: JPath, namespace: String,
+  final class CatalogServer(warehouseDir: JPath, namespace: String,
       requiredHeader: Option[(String, String)] = None) {
+    // normalize ONCE: a relative warehouse path would otherwise fail the
+    // per-request containment check (absolute vs relative parent) and
+    // 404 every table
+    private val warehouse = warehouseDir.toAbsolutePath.normalize()
     private var server: HttpServer = _
 
     def start(): Int = {
@@ -381,7 +462,7 @@ object IcebergLocal {
           // metadata files — only direct child directories are tables
           val dir = warehouse.resolve(t).normalize()
           val legalName = !t.contains("/") && !t.contains("..") &&
-            dir.getParent == warehouse.toAbsolutePath.normalize()
+            dir.getParent == warehouse
           (if (legalName) currentMetadataFile(dir) else None) match {
             case Some(mf) =>
               send(200, s"""{"metadata-location":"${mf.toUri}",

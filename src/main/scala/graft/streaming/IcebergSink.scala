@@ -65,7 +65,7 @@ object IcebergSink {
       }
       if (files.exists(_.recordCount > 0))
         IcebergLocal.append(tableDir, files.filter(_.recordCount > 0),
-          clock(), Some(tag), retainLast)
+          clock(), Some(tag), retainLast, schema = Some(batch.schema))
       else deleteRecursively(dataDir) // empty batch: nothing to commit
     }
   }

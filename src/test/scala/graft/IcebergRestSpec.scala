@@ -251,6 +251,72 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally s.stop()
   }
 
+  test("committed metadata carries the DataFrame's typed schema struct") {
+    import org.apache.spark.sql.types._
+    val dir = warehouse.resolve("typed")
+    val df = spark.sql(
+      """SELECT 1 AS i, CAST(2 AS BIGINT) AS l, CAST(2.5 AS DOUBLE) AS d,
+        |CAST('9.99' AS DECIMAL(10,2)) AS dec, 's' AS s, true AS b,
+        |DATE '2024-01-02' AS dt, TIMESTAMP '2024-01-02 03:04:05' AS ts,
+        |named_struct('x', 1, 'y', 'v') AS st, array(1, 2) AS arr,
+        |map('k', 1) AS m""".stripMargin)
+    IcebergLocal.append(dir, partFiles(df), timestampMs = 1000L,
+      schema = Some(df.schema))
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergLocal.currentMetadataFile(dir).get))
+    val sc = meta.get("schemas").get(0)
+    assert(sc.get("schema-id").asInt == 0)
+    assert(meta.get("current-schema-id").asInt == 0)
+    val fields = sc.get("fields")
+    val byName = (0 until fields.size)
+      .map(fields.get).map(f => f.get("name").asText -> f).toMap
+    assert(byName("i").get("type").asText == "int")
+    assert(byName("l").get("type").asText == "long")
+    assert(byName("d").get("type").asText == "double")
+    assert(byName("dec").get("type").asText == "decimal(10, 2)")
+    assert(byName("s").get("type").asText == "string")
+    assert(byName("b").get("type").asText == "boolean")
+    assert(byName("dt").get("type").asText == "date")
+    assert(byName("ts").get("type").asText == "timestamptz")
+    assert(byName("st").get("type").get("type").asText == "struct")
+    assert(byName("arr").get("type").get("type").asText == "list")
+    assert(byName("arr").get("type").get("element").asText == "int")
+    assert(byName("m").get("type").get("type").asText == "map")
+    // ids are unique, dense from 1; last-column-id is the max assigned
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      if (n.has("id")) ids += n.get("id").asInt
+      Seq("element-id", "key-id", "value-id").foreach(k =>
+        if (n.has(k)) ids += n.get(k).asInt)
+      n.elements().asScala.foreach(walk)
+    }
+    walk(sc)
+    assert(ids.distinct.length == ids.length, s"duplicate field ids: $ids")
+    assert(ids.min == 1 && ids.max == meta.get("last-column-id").asInt)
+    // a schema-less follow-up commit carries the schema forward
+    IcebergLocal.append(dir, partFiles(df), timestampMs = 2000L)
+    val meta2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergLocal.currentMetadataFile(dir).get))
+    assert(meta2.get("schemas").get(0).get("fields").size == fields.size)
+    assert(meta2.get("last-column-id").asInt == meta.get("last-column-id").asInt)
+  }
+
+  test("the catalog server works from a relative warehouse path") {
+    val rel = java.nio.file.Paths.get("").toAbsolutePath
+      .relativize(warehouse)
+    assert(!rel.isAbsolute)
+    val s2 = new IcebergLocal.CatalogServer(rel, "relns")
+    val p2 = s2.start()
+    try {
+      val cat = new IcebergRestCatalog(s"http://127.0.0.1:$p2")
+      assert(cat.listTables("relns").contains("nation"))
+      // the table-metadata endpoint (the one the containment check
+      // guarded) must serve, not 404
+      val df = IcebergRest.read(spark, cat, "relns", "nation", None)
+      assert(df.count() == 25)
+    } finally s2.stop()
+  }
+
   test("iceberg_rest registers through SourceRegistry like any source") {
     import graft.sources.{SourceDef, SourceRegistry, SourcesConfig, TableDef}
     new SourceRegistry(spark).registerAll(SourcesConfig(Seq(
