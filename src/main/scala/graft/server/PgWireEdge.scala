@@ -49,7 +49,8 @@ final class PgWireEdge(
     engine: GraftSession,
     credentials: PgCredentials,
     authMode: String = "scram",
-    maxRows: Int = 100000) {
+    maxRows: Int = 100000,
+    ssl: Option[javax.net.ssl.SSLContext] = None) {
 
   require(Set("scram", "md5", "cleartext", "trust").contains(authMode),
     s"pg-edge: unknown auth mode $authMode")
@@ -98,15 +99,31 @@ final class PgWireEdge(
 
   // ---------------------------------------------------------- connection
 
-  private def serve(sock: Socket): Unit = {
-    sock.setTcpNoDelay(true)
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+  private def serve(sock0: Socket): Unit = {
+    sock0.setTcpNoDelay(true)
+    var in = new DataInputStream(new BufferedInputStream(sock0.getInputStream))
+    var out = new DataOutputStream(new BufferedOutputStream(sock0.getOutputStream))
 
-    // startup, skipping over SSL/GSSENC probes (answered 'N': not spoken)
+    // startup. An SSLRequest probe upgrades the connection to TLS when
+    // the edge holds a certificate (reply 'S', handshake in server
+    // mode, continue the protocol on the encrypted streams — the
+    // documented libpq upgrade dance); otherwise probes are answered
+    // 'N' honestly. GSSENC is never spoken.
     var startup = readStartup(in)
     while (startup._1 == SslRequestCode || startup._1 == 80877104) {
-      out.writeByte('N'); out.flush()
+      if (startup._1 == SslRequestCode && ssl.isDefined) {
+        out.writeByte('S'); out.flush()
+        val tls = ssl.get.getSocketFactory
+          .createSocket(sock0, null, sock0.getPort, false)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        tls.setUseClientMode(false)
+        tls.startHandshake()
+        connections.add(tls)
+        in = new DataInputStream(new BufferedInputStream(tls.getInputStream))
+        out = new DataOutputStream(new BufferedOutputStream(tls.getOutputStream))
+      } else {
+        out.writeByte('N'); out.flush()
+      }
       startup = readStartup(in)
     }
     if (startup._1 == CancelRequestCode) return // cancellation not spoken

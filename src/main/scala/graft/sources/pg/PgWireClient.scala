@@ -100,11 +100,30 @@ final class PgWireConnection private (socket: Socket, in: DataInputStream,
 
 object PgWireConnection {
 
-  def connect(info: PgConnInfo, timeoutMillis: Int = 15000): PgWireConnection = {
-    val socket = new Socket()
+  def connect(info: PgConnInfo, timeoutMillis: Int = 15000,
+      ssl: Option[javax.net.ssl.SSLContext] = None): PgWireConnection = {
+    var socket: Socket = new Socket()
     socket.connect(new InetSocketAddress(info.host, info.port), timeoutMillis)
     socket.setSoTimeout(timeoutMillis)
     socket.setTcpNoDelay(true)
+    // sslmode=require semantics when a context is supplied: send the
+    // SSLRequest probe, demand 'S', and handshake before any startup
+    // bytes — a server that can't encrypt is an error, never a silent
+    // cleartext fallback
+    ssl.foreach { ctx =>
+      val plainOut = new DataOutputStream(socket.getOutputStream)
+      plainOut.writeInt(8); plainOut.writeInt(SslRequestCode); plainOut.flush()
+      val answer = socket.getInputStream.read()
+      if (answer != 'S')
+        throw new PgProtocolException(
+          s"pg: server refused TLS (answered '${answer.toChar}') " +
+            "but sslmode=require")
+      val tls = ctx.getSocketFactory
+        .createSocket(socket, info.host, info.port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      tls.startHandshake()
+      socket = tls
+    }
     val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
     try {
