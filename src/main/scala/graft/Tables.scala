@@ -42,6 +42,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def loadEvents: DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    // The NTZ→TimestampType cast below is instant-preserving ONLY at
+    // UTC; every engine entry point pins the session zone, but a caller
+    // who built a bare SparkSession would silently shift events
+    // timestamps relative to the nanos-as-long path. Pin it here too.
+    require(spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
+      "graft.Tables.events needs spark.sql.session.timeZone=UTC " +
+        "(set by GraftSession.builder) — NTZ normalization would shift " +
+        "instants under any other zone")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {

@@ -218,9 +218,11 @@ object GraftSession {
       // ODBC/JDBC sessions share THIS session's catalog (temp views,
       // registered sources) instead of getting isolated empty sessions
       .config("spark.sql.hive.thriftServer.singleSession", "true")
-      // http(s):// file paths resolve out of the box (sources/
-      // HttpFileSystem); per-read auth headers via fs.http.header.*
-      .config(graft.sources.HttpFileSystem.confEntries.map {
+      // http(s):// and ftp:// file paths resolve out of the box
+      // (sources/HttpFileSystem, sources/FtpFileSystem); per-read auth
+      // headers via fs.http.header.*, ftp credentials in the URI
+      .config((graft.sources.HttpFileSystem.confEntries ++
+        graft.sources.FtpFileSystem.confEntries).map {
         case (k, v) => s"spark.hadoop.$k" -> v
       }.toMap)
 }

@@ -26,7 +26,19 @@ object EventStream {
     // timestamp[us] (→ TIMESTAMP_NTZ); take the schema from the batch
     // footer and normalize to session-zoned TimestampType, same as
     // graft.Tables.events.
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // a stream may be DEFINED before its first file exists; fall back to
+    // the long-ts shape (the fixture default) instead of throwing at
+    // definition time
+    val rawSchema =
+      try spark.read.parquet(s"$dir/events.parquet").schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          StructType(Seq(
+            StructField("event_id", LongType), StructField("ts", LongType),
+            StructField("user_id", LongType),
+            StructField("event_type", StringType),
+            StructField("value", DoubleType), StructField("props", StringType)))
+      }
     // streaming file sources list directories; select just the events file
     val raw = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
