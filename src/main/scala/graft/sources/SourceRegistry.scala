@@ -126,6 +126,24 @@ final class SourceRegistry(spark: SparkSession) {
           case Some(sc) => r.schema(sc)
           case None => r
         }).load()
+      case "clickhouse" =>
+        // live native-protocol source (sources/clickhouse) — the same
+        // no-jar stance as postgres/mysql: hand-built Hello/Query/Data
+        // client with filter/column/limit pushdown and optional
+        // range-partitioned parallel reads (the reference's
+        // clickhouse.rs connector, there carried by
+        // datafusion-table-providers)
+        val r = spark.read.format("graft.sources.clickhouse.ClickHouseDataSource")
+          .option("url", src.url.getOrElse(
+            throw new IllegalArgumentException(
+              s"clickhouse source ${src.name} needs url")))
+          .option("table", t.name)
+          .options(src.options ++
+            t.partitionColumn.map("partitionColumn" -> _).toMap)
+        (t.declaredSchema match {
+          case Some(sc) => r.schema(sc)
+          case None => r
+        }).load()
       case "iceberg" | "iceberg_rest" =>
         // the reference's iceberg_rest source (iceberg.rs:1-120):
         // catalog_uri + namespace + token/OAuth; auth reuses the REST

@@ -95,6 +95,40 @@ object MySqlDialect extends SqlDialect {
   }
 }
 
+/** ClickHouse: backtick identifiers (double quotes also legal; backtick
+  * is the convention its own tooling emits), native LIMIT/OFFSET and
+  * NULLS FIRST/LAST, MySQL-style backslash escapes in string literals,
+  * no IS NOT DISTINCT FROM (the CASE rewrite is total and portable),
+  * VALUES is a table FUNCTION with a schema argument — not the ANSI
+  * clause — so constant relations route through the no-VALUES shape.
+  * Types are ClickHouse's own names (String/Float64/DateTime64/
+  * Decimal(p,s)). The reference reaches ClickHouse through
+  * datafusion-table-providers (clickhouse.rs:28-217); the live source
+  * here is `sources/clickhouse/` over the native wire protocol. */
+object ClickHouseDialect extends SqlDialect {
+  val name = "clickhouse"
+  override def identQuote: Char = '`'
+  override def supportsValuesClause: Boolean = false
+  override def escapeStringContent(s: String): String =
+    super.escapeStringContent(s).replace("\\", "\\\\")
+  override def nullSafeEq(l: SqlExpr, r: SqlExpr): SqlExpr =
+    NullSafeEqRewrite(l, r)
+  override def typeName(dt: DataType): String = dt match {
+    case StringType   => "String"
+    case LongType | IntegerType |
+         ShortType | ByteType => "Int64"
+    case DoubleType   => "Float64"
+    case FloatType    => "Float32"
+    case BooleanType  => "Bool"
+    case DateType     => "Date32"
+    case _: TimestampType => "DateTime64(6)"
+    case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+    case BinaryType   => "String"
+    case other =>
+      throw SqlGenError(s"no SQL type mapping for $other in dialect $name")
+  }
+}
+
 object SqliteDialect extends SqlDialect {
   val name = "sqlite"
   /** SQLite's native null-safe comparison is the `IS` operator (every
@@ -326,6 +360,7 @@ object DialectRouter {
     sourceType.toLowerCase match {
       case "postgres" | "postgresql" => Sql(PostgresDialect)
       case "mysql" | "mariadb"       => Sql(MySqlDialect)
+      case "clickhouse"              => Sql(ClickHouseDialect)
       case "sqlite"                  => Sql(SqliteDialect)
       case "oracle"                  => Sql(OracleDialect)
       case "snowflake"               => Sql(SnowflakeDialect)

@@ -299,6 +299,22 @@ class SqlGenSpec extends AnyFunSuite {
     assert(sql == "SELECT `rel_0`.`id`, `rel_0`.`name` FROM `sqlgen_users` AS `rel_0`")
   }
 
+  test("generator: clickhouse backticks, CASE null-safe eq, CH type names") {
+    val sql = new SqlGenerator(ClickHouseDialect)
+      .generate(users.queryExecution.analyzed)
+    assert(sql == "SELECT `rel_0`.`id`, `rel_0`.`name` FROM `sqlgen_users` AS `rel_0`")
+    val nse = new SqlGenerator(ClickHouseDialect)
+      .generate(users.filter(col("name") <=> lit("ann")).queryExecution.analyzed)
+    assert(nse.contains("CASE WHEN") && !nse.contains("DISTINCT FROM"), nse)
+    val cast = new SqlGenerator(ClickHouseDialect)
+      .generate(users.select(col("id").cast("string").as("s"),
+        col("id").cast("double").as("d")).queryExecution.analyzed)
+    assert(cast.contains("AS String") && cast.contains("AS Float64"), cast)
+    val esc = new SqlGenerator(ClickHouseDialect)
+      .generate(users.filter(col("name") === "x\\").queryExecution.analyzed)
+    assert(esc.contains("'x\\\\'"), esc) // backslash doubled, like MySQL
+  }
+
   test("generator: kitchen sink query") {
     // mirrors robustness.rs test_kitchen_sink_query: join → select →
     // filter → aggregate → window → alias → filter → sort → limit
@@ -466,6 +482,7 @@ class SqlGenSpec extends AnyFunSuite {
     assert(route("postgres").isInstanceOf[Sql])
     assert(route("PostgreSQL").isInstanceOf[Sql])
     assert(route("mysql").isInstanceOf[Sql])
+    assert(route("clickhouse") == Sql(ClickHouseDialect))
     assert(route("sqlite").isInstanceOf[Sql])
     assert(route("oracle") == Sql(OracleDialect))
     assert(route("snowflake") == Sql(SnowflakeDialect))
