@@ -28,6 +28,62 @@ object CorpusOps {
   private def normSqlDuck = TextPipeline.normSqlDuck
   private def withNorm(df: DataFrame): DataFrame = TextPipeline.withNorm(df)
 
+  /** Connected-component labels (doc_id, cluster_id) over the
+    * ≥0.9-Jaccard duplicate graph of documents with doc_id < 150 (the
+    * bounded pair-verification window d_dup_clusters documents; at scale
+    * the edge list comes from LSH, the iteration is unchanged). Shared
+    * by d_dup_clusters and d_dup_keep_best. Pointer-doubling label
+    * propagation: O(log diameter) rounds of (node, label) longs. */
+  private def dupClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val d = withNorm(t(s, dir).documents.filter(col("doc_id") < 150))
+      .select(col("doc_id"), array_distinct(col("words")).as("ws"))
+    val a = d.select(col("doc_id").as("id_a"), col("ws").as("ws_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))
+    val inter = size(array_intersect(col("ws_a"), col("ws_b")))
+    val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(inter.cast("double") /
+        (size(col("ws_a")) + size(col("ws_b")) - inter) >= 0.9)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("e_src", "e_dst").localCheckpoint()
+    var labels = d.select(col("doc_id").as("node"), col("doc_id").as("label"))
+      .localCheckpoint()
+    // Labels are monotone non-increasing under both steps (min over a
+    // set containing the own label; label(u) <= u), so sum(label) is a
+    // sound fixpoint detector: it strictly decreases iff any node
+    // changed. One aggregate action per round replaces the old
+    // convergence join, and only the round's RESULT is checkpointed —
+    // nbrMin's one-join lineage recomputes cheaper than an extra
+    // materialization per round.
+    var prevSum = Long.MaxValue
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 40) {
+      // neighbor-min: label(v) <- min(label(v), min over in-neighbors)
+      val viaEdges = edges.join(labels, col("e_src") === col("node"))
+        .select(col("e_dst").as("node"), col("label"))
+      val nbrMin = labels.union(viaEdges)
+        .groupBy("node").agg(min("label").as("label"))
+      // pointer doubling: label(v) <- label(label(v))
+      val parents = nbrMin
+        .select(col("node").as("p_node"), col("label").as("p_label"))
+      // per-round localCheckpoint: measured against checkpointing every
+      // OTHER round (lineage of an unmaterialized round recomputes in
+      // the next round's TWO consumers — nbrMin and the fixpoint agg —
+      // costing more than the materialization saves: 4.6-5.1s vs
+      // 4.0-4.3s solo at sf0.1)
+      val next = nbrMin.join(parents, col("label") === col("p_node"))
+        .select(col("node"), col("p_label").as("label"))
+        .localCheckpoint()
+      val roundSum = next.agg(sum(col("label"))).head.getLong(0)
+      converged = roundSum == prevSum
+      prevSum = roundSum
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Chunk geometry: 64-token windows, stride 48 (16-token overlap) —
     * the sliding-context shape every LM data pipeline cuts. */
   private val ChunkLen = 64
@@ -229,52 +285,6 @@ object CorpusOps {
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
          |FROM cc""".stripMargin) { (s, dir) =>
-      val d = withNorm(t(s, dir).documents.filter(col("doc_id") < 150))
-        .select(col("doc_id"), array_distinct(col("words")).as("ws"))
-      val a = d.select(col("doc_id").as("id_a"), col("ws").as("ws_a"))
-      val b = d.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))
-      val inter = size(array_intersect(col("ws_a"), col("ws_b")))
-      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .filter(inter.cast("double") /
-          (size(col("ws_a")) + size(col("ws_b")) - inter) >= 0.9)
-        .select(col("id_a"), col("id_b"))
-      val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-        .toDF("e_src", "e_dst").localCheckpoint()
-      var labels = d.select(col("doc_id").as("node"), col("doc_id").as("label"))
-        .localCheckpoint()
-      // Labels are monotone non-increasing under both steps (min over a
-      // set containing the own label; label(u) <= u), so sum(label) is a
-      // sound fixpoint detector: it strictly decreases iff any node
-      // changed. One aggregate action per round replaces the old
-      // convergence join, and only the round's RESULT is checkpointed —
-      // nbrMin's one-join lineage recomputes cheaper than an extra
-      // materialization per round.
-      var prevSum = Long.MaxValue
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 40) {
-        // neighbor-min: label(v) <- min(label(v), min over in-neighbors)
-        val viaEdges = edges.join(labels, col("e_src") === col("node"))
-          .select(col("e_dst").as("node"), col("label"))
-        val nbrMin = labels.union(viaEdges)
-          .groupBy("node").agg(min("label").as("label"))
-        // pointer doubling: label(v) <- label(label(v))
-        val parents = nbrMin
-          .select(col("node").as("p_node"), col("label").as("p_label"))
-        // per-round localCheckpoint: measured against checkpointing every
-        // OTHER round (lineage of an unmaterialized round recomputes in
-        // the next round's TWO consumers — nbrMin and the fixpoint agg —
-        // costing more than the materialization saves: 4.6-5.1s vs
-        // 4.0-4.3s solo at sf0.1)
-        val next = nbrMin.join(parents, col("label") === col("p_node"))
-          .select(col("node"), col("p_label").as("label"))
-          .localCheckpoint()
-        val s = next.agg(sum(col("label"))).head.getLong(0)
-        converged = s == prevSum
-        prevSum = s
-        labels = next
-        rounds += 1
-      }
       // cluster_size via map-side-combined groupBy + join-back, NOT a
       // window over cluster_id: duplicate clusters are exactly the skewed
       // entity in a dedup graph (one boilerplate page duplicated 10^8
@@ -283,13 +293,65 @@ object CorpusOps {
       // map task, so the exchange carries one (cluster_id, partial count)
       // row per task per cluster — same pattern as the cf/df rewrite in
       // TextPipeline.
-      val cc = labels
-        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val cc = dupClusterLabels(s, dir)
       val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       cc.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)
             .as("is_canonical"))
+    },
+
+    // ------------------------------------- duplicate-cluster resolution
+    // The step after clustering that a curation pipeline actually ships:
+    // keep ONE representative per duplicate cluster — the highest-quality
+    // member (ties broken by lowest doc_id, deterministic) — and drop the
+    // rest. Representative selection is an argmax-by-key AGGREGATE
+    // (max(struct(quality, -doc_id)) with map-side combine), never a
+    // window over cluster_id: the mega-cluster skew argument of
+    // d_dup_clusters applies verbatim. Output: the kept docs with their
+    // cluster, its size, and the winning quality.
+    GraftQuery("d_dup_keep_best",
+      s"""WITH RECURSIVE d AS (SELECT doc_id, list_distinct(string_split($normSqlDuck, ' ')) AS ws
+         |  FROM documents WHERE doc_id < 150),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM d a, d b WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+         |      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT doc_id, doc_id FROM d
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+         |  WHERE r.label < e.dst),
+         |cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+         |q AS (SELECT doc_id,
+         |  least(1.0, CAST(len(string_split($normSqlDuck, ' ')) AS DOUBLE) / 64.0)
+         |    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |             / length(text)) AS quality
+         |  FROM documents WHERE doc_id < 150),
+         |ranked AS (
+         |  SELECT cc.doc_id, cc.cluster_id, q.quality,
+         |    count(*) OVER (PARTITION BY cc.cluster_id) AS cluster_size,
+         |    row_number() OVER (PARTITION BY cc.cluster_id
+         |      ORDER BY q.quality DESC, cc.doc_id) AS rn
+         |  FROM cc JOIN q ON cc.doc_id = q.doc_id)
+         |SELECT doc_id, cluster_id, cluster_size, quality
+         |FROM ranked WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val punct = (length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double") /
+        length(col("text"))
+      val q = withNorm(t(s, dir).documents.filter(col("doc_id") < 150))
+        .select(col("doc_id"),
+          (least(lit(1.0), size(col("words")).cast("double") / 64.0) *
+            (lit(1.0) - punct)).as("quality"))
+      val scored = dupClusterLabels(s, dir).join(q, "doc_id")
+      scored.groupBy("cluster_id")
+        .agg(
+          max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best"),
+          count(lit(1)).as("cluster_size"))
+        .select((-col("best.neg_id")).as("doc_id"), col("cluster_id"),
+          col("cluster_size"), col("best.quality").as("quality"))
     },
 
     // ------------------------------------------------- decontamination

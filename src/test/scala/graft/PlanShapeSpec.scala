@@ -398,6 +398,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("keep-best dedup: representative via argmax aggregate, no window") {
+    // same mega-cluster skew argument as d_dup_clusters: the per-cluster
+    // representative must come from max(struct(quality, -doc_id)) with
+    // map-side combine, never row_number over a cluster_id window (one
+    // boilerplate cluster = one unsplittable window task)
+    val p = plan("d_dup_keep_best")
+    assert(!p.contains("windowspecdefinition"),
+      s"d_dup_keep_best reintroduced a window:\n$p")
+    // max-of-struct buffers aren't hash-aggregable, so the planner uses
+    // SortAggregate — what matters for skew is the PARTIAL aggregate
+    // before the exchange (one combined row per task per cluster), so
+    // two aggregate nodes must bracket the shuffle
+    assert("SortAggregate|HashAggregate".r.findAllIn(p)
+      .size >= 2, s"no partial aggregate before the exchange:\n$p")
+  }
+
   test("phash pairs band-join ships (id, window, hash) — payloads stay map-side") {
     val p = plan("m_phash_pairs")
     val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
