@@ -40,7 +40,10 @@ final case class PgCredentials(byUser: Map[String, (String, AuthenticatedUser)])
   * bind as typed literals in the analyzer (never string splicing — the
   * injection stance of the reference's prepared statements,
   * flight_sql.rs:533-566). Binary-format parameters or results are
-  * refused loudly (0A000), never mis-decoded.
+  * refused loudly (0A000), never mis-decoded. CancelRequest WORKS: the
+  * BackendKeyData (pid, secret) routes an out-of-band cancel to the
+  * connection's Spark job group (interruptOnCancel), surfacing on the
+  * busy connection as SQLSTATE 57014.
   *
   * Results are capped at `maxRows` (the edge's bulk-delivery bound, as
   * on the other edges); a capped result is flagged with a NOTICE so the
@@ -58,6 +61,9 @@ final class PgWireEdge(
   @volatile private var server: ServerSocket = _
   private val connections = ConcurrentHashMap.newKeySet[Socket]()
   private val threadId = new AtomicInteger()
+  /** pid → (secret, Spark job group) for CancelRequest routing: the
+    * BackendKeyData pair handed to each connection at startup. */
+  private val cancelKeys = new ConcurrentHashMap[Int, (Int, String)]()
 
   /** Last few statements received off the wire (bounded), so tests and
     * operators can assert what a pg client actually pushed down. */
@@ -109,7 +115,7 @@ final class PgWireEdge(
     // mode, continue the protocol on the encrypted streams — the
     // documented libpq upgrade dance); otherwise probes are answered
     // 'N' honestly. GSSENC is never spoken.
-    var startup = readStartup(in)
+    var startup = readStartupRaw(in)
     while (startup._1 == SslRequestCode || startup._1 == 80877104) {
       if (startup._1 == SslRequestCode && ssl.isDefined) {
         out.writeByte('S'); out.flush()
@@ -124,14 +130,41 @@ final class PgWireEdge(
       } else {
         out.writeByte('N'); out.flush()
       }
-      startup = readStartup(in)
+      startup = readStartupRaw(in)
     }
-    if (startup._1 == CancelRequestCode) return // cancellation not spoken
+    if (startup._1 == CancelRequestCode) {
+      // out-of-band cancellation (pg docs, "Canceling Requests in
+      // Progress"): (pid, secret) must match a live connection's
+      // BackendKeyData; on match, cancel that connection's Spark job
+      // group. No response either way — the protocol is fire-and-close.
+      val bb = java.nio.ByteBuffer.wrap(startup._2)
+      if (bb.remaining() >= 8) {
+        val pid = bb.getInt
+        val secret = bb.getInt
+        Option(cancelKeys.get(pid)).foreach { case (expected, group) =>
+          if (java.security.MessageDigest.isEqual(
+            java.nio.ByteBuffer.allocate(4).putInt(expected).array(),
+            java.nio.ByteBuffer.allocate(4).putInt(secret).array()))
+            engine.spark.sparkContext.cancelJobGroup(group)
+        }
+      }
+      return
+    }
     if (startup._1 != ProtocolVersion3) {
       writeError(out, "FATAL", "08P01", s"unsupported protocol version ${startup._1}")
       return
     }
-    val username = startup._2.getOrElse("user", "")
+    val startupParams = {
+      val bb = java.nio.ByteBuffer.wrap(startup._2)
+      val params = Map.newBuilder[String, String]
+      var k = if (bb.remaining() > 1) cstring(bb) else ""
+      while (k.nonEmpty) {
+        params += k -> cstring(bb)
+        k = if (bb.remaining() > 1) cstring(bb) else ""
+      }
+      params.result()
+    }
+    val username = startupParams.getOrElse("user", "")
 
     val user = authenticate(in, out, username) match {
       case Some(u) => u
@@ -147,8 +180,14 @@ final class PgWireEdge(
       b.write(k.getBytes(UTF_8)); b.write(0); b.write(v.getBytes(UTF_8)); b.write(0)
       writeMessage(out, MsgParameterStatus, b.toByteArray)
     }
-    val key = java.nio.ByteBuffer.allocate(8)
-      .putInt(threadId.get()).putInt(scala.util.Random.nextInt())
+    // BackendKeyData that actually WORKS: pid+secret registered so a
+    // CancelRequest on a fresh connection cancels this connection's
+    // running Spark jobs (the jobGroup set around every collect)
+    val pid = threadId.incrementAndGet()
+    val secret = new java.security.SecureRandom().nextInt()
+    val jobGroup = s"pg-edge-$pid"
+    cancelKeys.put(pid, (secret, jobGroup))
+    val key = java.nio.ByteBuffer.allocate(8).putInt(pid).putInt(secret)
     writeMessage(out, MsgBackendKeyData, key.array())
     writeReady(out)
 
@@ -161,7 +200,12 @@ final class PgWireEdge(
     val portals = scala.collection.mutable.Map.empty[String, Portal]
     var skipToSync = false
     var open = true
-    while (open) {
+    // every collect in this loop runs on THIS thread: one thread-local
+    // job group makes the whole connection's work cancellable via
+    // CancelRequest (interruptOnCancel reaches into running tasks)
+    engine.spark.sparkContext.setJobGroup(jobGroup,
+      s"pg-edge connection $pid", interruptOnCancel = true)
+    try while (open) {
       readOrEof(in) match {
         case None => open = false
         case Some(m) if skipToSync && m.tpe != MsgSync && m.tpe != MsgTerminate =>
@@ -203,8 +247,19 @@ final class PgWireEdge(
             writeReady(out)
         }
       }
+    } finally {
+      engine.spark.sparkContext.clearJobGroup()
+      cancelKeys.remove(pid)
     }
   }
+
+  /** pg's SQLSTATE for a user-requested cancellation. */
+  private def sqlStateFor(e: Exception): String =
+    if (String.valueOf(e.getMessage).toLowerCase.contains("cancelled") ||
+      Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(c => String.valueOf(c.getMessage).toLowerCase.contains("cancelled")))
+      "57014" // canceling statement due to user request
+    else "XX000"
 
   /** Run one extended-protocol step; on failure emit ErrorResponse and
     * enter skip-until-Sync (the caller's onErr). */
@@ -215,7 +270,7 @@ final class PgWireEdge(
       case e: PgEdgeError =>
         writeError(out, "ERROR", e.sqlState, e.getMessage); onErr()
       case e: Exception =>
-        writeError(out, "ERROR", "XX000",
+        writeError(out, "ERROR", sqlStateFor(e),
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(4000))
         onErr()
     }
@@ -421,7 +476,7 @@ final class PgWireEdge(
       writeMessage(out, MsgCommandComplete, commandComplete(s"SELECT ${emit.length}"))
     } catch {
       case e: Exception =>
-        writeError(out, "ERROR", "XX000",
+        writeError(out, "ERROR", sqlStateFor(e),
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(4000))
     } finally out.flush()
   }

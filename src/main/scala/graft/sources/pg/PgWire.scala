@@ -106,14 +106,21 @@ object PgWire {
     bb.array()
   }
 
-  /** Reads the startup packet server-side: (version, params). */
-  def readStartup(in: DataInputStream): (Int, Map[String, String]) = {
+  /** Reads the startup packet server-side, keeping the raw body — the
+    * CancelRequest "version" carries (pid, secret) there, not params. */
+  def readStartupRaw(in: DataInputStream): (Int, Array[Byte]) = {
     val len = in.readInt()
     if (len < 8 || len > 65536)
       throw new PgProtocolException(s"pg: insane startup length $len")
     val version = in.readInt()
     val rest = new Array[Byte](len - 8)
     in.readFully(rest)
+    (version, rest)
+  }
+
+  /** Reads the startup packet server-side: (version, params). */
+  def readStartup(in: DataInputStream): (Int, Map[String, String]) = {
+    val (version, rest) = readStartupRaw(in)
     // SSLRequest / GSSENCRequest / CancelRequest carry a magic "version"
     // and no parameter list — return them as-is (rest may be empty)
     if (version != ProtocolVersion3 || rest.isEmpty)
@@ -126,6 +133,13 @@ object PgWire {
       (version, params.result())
     }
   }
+
+  /** The CancelRequest packet a client sends on a FRESH connection:
+    * int32 16, the magic code, then the (pid, secret) pair from
+    * BackendKeyData. */
+  def cancelRequest(pid: Int, secret: Int): Array[Byte] =
+    ByteBuffer.allocate(16).putInt(16).putInt(CancelRequestCode)
+      .putInt(pid).putInt(secret).array()
 
   def cstring(bb: ByteBuffer): String = {
     val out = new java.io.ByteArrayOutputStream()

@@ -55,6 +55,24 @@ final class PgWireConnection private (socket: Socket, in: DataInputStream,
   /** server_version etc. announced during startup. */
   var parameters: Map[String, String] = Map.empty
 
+  /** BackendKeyData from startup: the (pid, secret) pair [[cancel]]
+    * presents out-of-band. */
+  var backendKey: Option[(Int, Int)] = None
+
+  /** Cancel this connection's in-progress query: a FRESH connection
+    * carrying only the CancelRequest packet (the documented out-of-band
+    * dance — the busy connection itself can't be used). Fire-and-close;
+    * the cancelled query surfaces on the main connection as SQLSTATE
+    * 57014. */
+  def cancel(): Unit = backendKey.foreach { case (pid, secret) =>
+    val s = new Socket()
+    try {
+      s.connect(socket.getRemoteSocketAddress, 5000)
+      s.getOutputStream.write(cancelRequest(pid, secret))
+      s.getOutputStream.flush()
+    } finally s.close()
+  }
+
   /** Runs one statement through the simple-query protocol. */
   def query(sql: String): PgResult = {
     writeMessage(out, MsgQuery, queryMessage(sql))
@@ -171,7 +189,9 @@ object PgWireConnection {
         case MsgParameterStatus =>
           val bb = java.nio.ByteBuffer.wrap(m.payload)
           conn.parameters += cstring(bb) -> cstring(bb)
-        case MsgBackendKeyData => () // cancel-key; cancellation not spoken
+        case MsgBackendKeyData =>
+          val bb = java.nio.ByteBuffer.wrap(m.payload)
+          conn.backendKey = Some((bb.getInt, bb.getInt))
         case MsgNoticeResponse => ()
         case MsgReadyForQuery => ready = true
         case MsgErrorResponse =>
