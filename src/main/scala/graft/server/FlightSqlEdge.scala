@@ -30,11 +30,12 @@ import graft.sources.grpc.{GrpcStatusException, Http2Server}
 final class FlightSqlEdge(
     engine: GraftSession,
     authenticator: String => Option[AuthenticatedUser],
-    maxRows: Int = 100000) {
+    maxRows: Int = 100000,
+    ssl: Option[javax.net.ssl.SSLContext] = None) {
   import FlightProto._
 
   private val server = new Http2Server((path, headers, payload) =>
-    handle(path, headers, payload))
+    handle(path, headers, payload), ssl)
 
   def start(): Int = server.start()
   def stop(): Unit = server.stop()

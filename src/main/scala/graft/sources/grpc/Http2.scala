@@ -14,7 +14,9 @@ import scala.collection.mutable
   * DATA-framed LENGTH_PREFIXED_MESSAGEs, and grpc-status trailers.
   *
   * Deliberate bounds, stated honestly:
-  *  - h2c only (no TLS/ALPN — the sandbox has no CA infrastructure);
+  *  - cleartext h2c for `http://`, and h2-over-TLS with ALPN `h2` for
+  *    `https://` (self-signed in tests via an injected SSLContext; the
+  *    JVM truststore for the CA-signed real world);
   *  - one concurrent stream per connection (a unary source call);
   *  - send-side flow control IS honored (§5.2/§6.9): [[SendWindows]]
   *    tracks the peer's connection+stream windows from SETTINGS and
@@ -504,16 +506,38 @@ private[graft] object Http2Grpc {
   import Http2Frames._
 
   /** POST `framedRequest` (already gRPC-length-prefixed) to `fullUrl`'s
-    * path over a fresh h2c connection; returns the response's DATA bytes
-    * (the framed gRPC response). Enforces :status 200 and grpc-status 0.
-    * `extraHeaders` ride after the required set (e.g. authorization). */
+    * path; returns the response's DATA bytes (the framed gRPC
+    * response). Enforces :status 200 and grpc-status 0. `extraHeaders`
+    * ride after the required set (e.g. authorization).
+    *
+    * `http://` is cleartext h2c; `https://` runs the same HTTP/2
+    * exchange over TLS with ALPN `h2` (what real gRPC servers
+    * negotiate) — `ssl` supplies the trust context (None = the JVM
+    * default truststore, the CA-signed real-world case). */
   def unaryCall(fullUrl: String, framedRequest: Array[Byte],
-      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
+      extraHeaders: Seq[(String, String)] = Nil,
+      ssl: Option[javax.net.ssl.SSLContext] = None): Array[Byte] = {
     val uri = new URI(fullUrl)
-    require(uri.getScheme == "http",
-      s"h2c transport is cleartext http, got '${uri.getScheme}'")
-    val port = if (uri.getPort == -1) 80 else uri.getPort
-    val socket = new Socket(uri.getHost, port)
+    require(uri.getScheme == "http" || uri.getScheme == "https",
+      s"expected http(s) url, got '${uri.getScheme}'")
+    val tls = uri.getScheme == "https"
+    val port = if (uri.getPort == -1) { if (tls) 443 else 80 } else uri.getPort
+    val socket: Socket =
+      if (!tls) new Socket(uri.getHost, port)
+      else {
+        val ctx = ssl.getOrElse(javax.net.ssl.SSLContext.getDefault)
+        val s = ctx.getSocketFactory.createSocket(uri.getHost, port)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        val params = s.getSSLParameters
+        params.setApplicationProtocols(Array("h2"))
+        s.setSSLParameters(params)
+        s.startHandshake()
+        val negotiated = s.getApplicationProtocol
+        if (negotiated != null && negotiated.nonEmpty && negotiated != "h2")
+          throw new IOException(
+            s"https: server negotiated ALPN '$negotiated', need h2")
+        s
+      }
     socket.setSoTimeout(30000)
     try {
       val out = socket.getOutputStream
@@ -557,7 +581,8 @@ private[graft] object Http2Grpc {
         if (!control(f)) deferred += f
       }
       val headers = Hpack.encode(Seq(
-        ":method" -> "POST", ":scheme" -> "http", ":path" -> uri.getPath,
+        ":method" -> "POST", ":scheme" -> uri.getScheme,
+        ":path" -> uri.getPath,
         ":authority" -> s"${uri.getHost}:$port",
         "content-type" -> "application/grpc+proto", "te" -> "trailers")
         ++ extraHeaders)

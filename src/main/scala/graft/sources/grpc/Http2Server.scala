@@ -19,9 +19,23 @@ import scala.collection.mutable
   * for auth failures); anything else surfaces as 13 INTERNAL with the
   * exception message in grpc-message. */
 final class Http2Server(
-    handler: (String, Map[String, String], Array[Byte]) => Seq[Array[Byte]]) {
+    handler: (String, Map[String, String], Array[Byte]) => Seq[Array[Byte]],
+    ssl: Option[javax.net.ssl.SSLContext] = None) {
 
-  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  // With a certificate, the carrier serves h2-over-TLS with ALPN (the
+  // shape real gRPC clients require — the reference serves TLS gRPC);
+  // without one, cleartext h2c as before.
+  private val server: ServerSocket = ssl match {
+    case Some(ctx) =>
+      val s = ctx.getServerSocketFactory.createServerSocket(
+        0, 16, InetAddress.getLoopbackAddress)
+        .asInstanceOf[javax.net.ssl.SSLServerSocket]
+      val params = s.getSSLParameters
+      params.setApplicationProtocols(Array("h2"))
+      s.setSSLParameters(params)
+      s
+    case None => new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  }
   @volatile private var running = true
 
   def start(): Int = {
