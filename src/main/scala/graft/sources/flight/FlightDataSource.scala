@@ -64,6 +64,15 @@ final case class FlightOptions(conf: Map[String, String]) {
     conf.get("authToken").orElse(conf.get("authtoken"))
   def authHeaders: Seq[(String, String)] =
     authToken.map(t => "authorization" -> s"Bearer $t").toSeq
+  /** For an `https://` url: a PKCS12 truststore pinning the edge's
+    * certificate (`truststore` + `truststorePassword` options); absent →
+    * the JVM default truststore. Rebuilt per use — options serialize to
+    * executors, SSLContext does not. */
+  def sslContext: Option[javax.net.ssl.SSLContext] =
+    conf.get("truststore").orElse(conf.get("trustStore")).map(p =>
+      graft.sources.grpc.Http2Grpc.trustContext(p,
+        conf.getOrElse("truststorePassword",
+          conf.getOrElse("trustStorePassword", "changeit"))))
 }
 
 final class FlightTable(schema: StructType, opts: FlightOptions)
@@ -135,7 +144,8 @@ object FlightSqlClient {
     val respBytes = GrpcFraming.unframe(new java.io.ByteArrayInputStream(
       Http2Grpc.unaryCall(
         s"${opts.url}/arrow.flight.protocol.FlightService/GetFlightInfo",
-        GrpcFraming.frame(desc.toByteArray), opts.authHeaders)))
+        GrpcFraming.frame(desc.toByteArray), opts.authHeaders,
+        ssl = opts.sslContext)))
     val info = DynamicMessage.parseFrom(FlightInfoD, respBytes)
     val endpoints = info.getField(FlightInfoD.findFieldByName("endpoint"))
       .asInstanceOf[java.util.List[_]].asScala.map(_.asInstanceOf[DynamicMessage])
@@ -162,7 +172,8 @@ object FlightSqlClient {
       .build()
     val body = Http2Grpc.unaryCall(
       s"${opts.url}/arrow.flight.protocol.FlightService/DoGet",
-      GrpcFraming.frame(t.toByteArray), opts.authHeaders)
+      GrpcFraming.frame(t.toByteArray), opts.authHeaders,
+      ssl = opts.sslContext)
     val out = new ByteArrayOutputStream()
     val ch = new org.apache.arrow.vector.ipc.WriteChannel(
       java.nio.channels.Channels.newChannel(out))

@@ -78,6 +78,17 @@ final case class GrpcOptions(conf: Map[String, String]) {
     * the specs drove before an HTTP/2 implementation existed. `h2c`:
     * the real gRPC wire protocol over cleartext HTTP/2 via the
     * RFC-7540/7541 implementation in [[Http2Grpc]] — no carrier jars. */
+  /** For an `https://` url on the h2c transport: a PKCS12 truststore
+    * pinning the server's certificate (`truststore` +
+    * `truststorePassword`); absent → the JVM default truststore.
+    * Rebuilt per use — options serialize to executors, SSLContext
+    * does not. */
+  def sslContext: Option[javax.net.ssl.SSLContext] =
+    conf.get("truststore").orElse(conf.get("trustStore")).map(p =>
+      Http2Grpc.trustContext(p,
+        conf.getOrElse("truststorePassword",
+          conf.getOrElse("trustStorePassword", "changeit"))))
+
   val transport: String = conf.getOrElse("transport", "http1") match {
     case t @ ("http1" | "h2c") => t
     case other => throw new IllegalArgumentException(
@@ -156,7 +167,8 @@ final class GrpcPartitionReader(schema: StructType, opts: GrpcOptions)
     val fullUrl = s"${opts.url}/${opts.service}/${opts.method}"
     val response = opts.transport match {
       case "h2c" => GrpcFraming.unframe(new java.io.ByteArrayInputStream(
-        Http2Grpc.unaryCall(fullUrl, GrpcFraming.frame(request.toByteArray))))
+        Http2Grpc.unaryCall(fullUrl, GrpcFraming.frame(request.toByteArray),
+          ssl = opts.sslContext)))
       case _ => GrpcFraming.unaryCall(fullUrl, request.toByteArray)
     }
     val msg = DynamicMessage.parseFrom(md.getOutputType, response)

@@ -505,6 +505,22 @@ private[graft] object Http2Frames {
 private[graft] object Http2Grpc {
   import Http2Frames._
 
+  /** SSLContext trusting exactly the PKCS12 truststore at `path` — how
+    * a deployment pins a private CA / self-signed edge certificate for
+    * `https://` sources without touching the JVM truststore. Built on
+    * demand per read (SSLContext is not serializable; options are). */
+  def trustContext(path: String, password: String): javax.net.ssl.SSLContext = {
+    val store = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try store.load(in, password.toCharArray) finally in.close()
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(store)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+
   /** POST `framedRequest` (already gRPC-length-prefixed) to `fullUrl`'s
     * path; returns the response's DATA bytes (the framed gRPC
     * response). Enforces :status 200 and grpc-status 0. `extraHeaders`

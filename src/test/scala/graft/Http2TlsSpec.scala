@@ -16,10 +16,12 @@ class Http2TlsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var serverCtx: SSLContext = _
   private var clientCtx: SSLContext = _
+  private var keystorePath: String = _
 
   override def beforeAll(): Unit = {
     val dir = Files.createTempDirectory("h2-tls")
     val ks = dir.resolve("edge.p12")
+    keystorePath = ks.toString
     val keytool = java.nio.file.Paths.get(
       sys.props("java.home"), "bin", "keytool").toString
     val cmd = Array(keytool, "-genkeypair", "-alias", "h2-edge",
@@ -69,6 +71,30 @@ class Http2TlsSpec extends AnyFunSuite with BeforeAndAfterAll {
           ssl = Some(SSLContext.getDefault))
       }
     } finally server.stop()
+  }
+
+  test("spark.read reads an https Flight edge with a pinned truststore") {
+    import graft.server.{ApiKeyAuthenticator, FlightSqlEdge}
+    import graft.session._
+    import SparkTestSession._
+    Tables(spark, sf).registerAll()
+    val engine = new GraftSession(spark, GraftConfig(defensiveLimit = 1000))
+    val auth = new ApiKeyAuthenticator(Map(
+      "k" -> AuthenticatedUser("admin", permissions = Set("admin"))))
+    val edge = new FlightSqlEdge(engine, auth.apply, ssl = Some(serverCtx))
+    val port = edge.start()
+    try {
+      val rows = spark.read.format("graft.sources.flight.FlightDataSource")
+        .option("url", s"https://127.0.0.1:$port")
+        .option("query", "SELECT n_regionkey, count(*) AS n FROM nation " +
+          "GROUP BY n_regionkey ORDER BY n_regionkey")
+        .option("authToken", "k")
+        .option("truststore", keystorePath)
+        .option("truststorePassword", "changeit")
+        .load().collect()
+      assert(rows.length == 5)
+      assert(rows.map(_.getLong(1)).sum == 25L)
+    } finally edge.stop()
   }
 
   test("the Flight SQL edge serves over TLS end to end") {
