@@ -144,15 +144,27 @@ final class OidcAuthenticator(
   /** Key lookup with TTL refresh and rotation handling: refetch on TTL
     * expiry, or once (rate-limited) when a kid is unknown — a freshly
     * rotated signing key becomes usable on the next request, while a
-    * stream of garbage kids cannot hammer the IdP. */
-  private def keyFor(kid: String): Option[java.security.PublicKey] =
-    synchronized {
+    * stream of garbage kids cannot hammer the IdP.
+    *
+    * The JWKS HTTP fetch happens OUTSIDE the object lock: one thread
+    * claims the refresh under the lock, performs the (up to 5s+5s)
+    * network call unlocked, and publishes the result; every concurrent
+    * request keeps serving from the last good key set instead of
+    * queueing behind a slow IdP. */
+  private def keyFor(kid: String): Option[java.security.PublicKey] = {
+    val doFetch = synchronized {
       val now = clock()
-      if (now - fetchedAt >= refreshSeconds ||
-        (!keys.contains(kid) && now - fetchedAt >= minRefetchIntervalSeconds))
-        refetch(now)
-      keys.get(kid)
+      val stale = now - fetchedAt >= refreshSeconds ||
+        (!keys.contains(kid) && now - fetchedAt >= minRefetchIntervalSeconds)
+      if (stale && !refreshing) { refreshing = true; true } else false
     }
+    if (doFetch)
+      try refetch(clock())
+      finally synchronized { refreshing = false }
+    keys.get(kid)
+  }
+
+  private var refreshing = false
 
   private def refetch(now: Long): Unit =
     try {

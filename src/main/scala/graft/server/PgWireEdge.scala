@@ -631,10 +631,11 @@ object PgWireEdge {
 
   /** Rewrite pg `$n` parameter placeholders to the engine's named
     * markers `:pn`, skipping string literals ('' with '' escapes),
-    * double-quoted identifiers, line comments and block comments.
+    * dollar-quoted strings ($$..$$ / $tag$..$tag$), double-quoted
+    * identifiers, line comments and block comments.
     * Returns the rewritten SQL and the highest placeholder number (=
     * the statement's parameter count, per pg semantics). */
-  private[server] def rewritePlaceholders(sql: String): (String, Int) = {
+  private[graft] def rewritePlaceholders(sql: String): (String, Int) = {
     val out = new StringBuilder(sql.length + 8)
     val len = sql.length
     var i = 0
@@ -671,6 +672,21 @@ object PgWireEdge {
           maxN = math.max(maxN, n)
           out.append(":p").append(n)
           i = j
+        case '$' =>
+          // dollar-quoted string: $$...$$ or $tag$...$tag$ (tag =
+          // identifier chars, cannot start with a digit — so `$1` above
+          // is always a parameter). Contents pass through verbatim; a
+          // `$1` inside must NOT count as a parameter.
+          var j = i + 1
+          while (j < len && (sql.charAt(j).isLetterOrDigit ||
+            sql.charAt(j) == '_')) j += 1
+          if (j < len && sql.charAt(j) == '$') {
+            val delim = sql.substring(i, j + 1) // e.g. "$$" or "$tag$"
+            val close = sql.indexOf(delim, j + 1)
+            val stop = if (close < 0) len else close + delim.length
+            out.append(sql.substring(i, stop)) // unterminated → verbatim to end
+            i = stop
+          } else { out.append(c); i += 1 }
         case _ => out.append(c); i += 1
       }
     }

@@ -248,7 +248,12 @@ object ClickHouseWire {
         val w = len.toInt
         Array.fill[Any](n) {
           val b = new Array[Byte](w); in.readFully(b)
-          new String(b, UTF_8).replace(" ", "")
+          // FixedString(N) pads with trailing 0x00; interior NULs are
+          // legitimate payload (binary-ish fixed keys) — strip only the
+          // trailing run
+          var end = w
+          while (end > 0 && b(end - 1) == 0) end -= 1
+          new String(b, 0, end, UTF_8)
         }
       case "Date" => Array.fill[Any](n)(
         java.time.LocalDate.ofEpochDay(readU16(in).toLong))

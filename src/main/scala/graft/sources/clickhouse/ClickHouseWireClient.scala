@@ -81,7 +81,13 @@ final class ClickHouseWireConnection private (socket: Socket,
     var done = false
     while (!done) {
       readVarUInt(in).toInt match {
-        case Server.Data | Server.Totals | Server.Extremes =>
+        case Server.Totals | Server.Extremes =>
+          // WITH TOTALS / extremes=1 ride in their own packets; they are
+          // aggregate summaries, not resultset rows — decode and discard
+          // so they can never masquerade as data
+          if (effectiveRevision >= MinRevisionWithTempTables) readString(in)
+          readBlock(in)
+        case Server.Data =>
           if (effectiveRevision >= MinRevisionWithTempTables) readString(in)
           val block = readBlock(in)
           if (block.columns.nonEmpty) {

@@ -521,6 +521,21 @@ private[graft] object Http2Grpc {
     ctx
   }
 
+  /** Client-side TLS parameters for an h2 socket: ALPN `h2`, plus RFC
+    * 2818 endpoint identification whenever trust comes from the JVM
+    * default truststore — without it ANY CA-signed certificate for ANY
+    * host would pass, letting an active MITM impersonate the server. A
+    * `pinned` context (explicit PKCS12 truststore naming exactly the
+    * edge's cert) is the verify-ca posture and skips the hostname
+    * check, matching the self-signed-edge deployment model. */
+  private[graft] def clientTlsParams(s: javax.net.ssl.SSLSocket,
+      pinned: Boolean): javax.net.ssl.SSLParameters = {
+    val params = s.getSSLParameters
+    params.setApplicationProtocols(Array("h2"))
+    if (!pinned) params.setEndpointIdentificationAlgorithm("HTTPS")
+    params
+  }
+
   /** POST `framedRequest` (already gRPC-length-prefixed) to `fullUrl`'s
     * path; returns the response's DATA bytes (the framed gRPC
     * response). Enforces :status 200 and grpc-status 0. `extraHeaders`
@@ -544,9 +559,7 @@ private[graft] object Http2Grpc {
         val ctx = ssl.getOrElse(javax.net.ssl.SSLContext.getDefault)
         val s = ctx.getSocketFactory.createSocket(uri.getHost, port)
           .asInstanceOf[javax.net.ssl.SSLSocket]
-        val params = s.getSSLParameters
-        params.setApplicationProtocols(Array("h2"))
-        s.setSSLParameters(params)
+        s.setSSLParameters(clientTlsParams(s, pinned = ssl.isDefined))
         s.startHandshake()
         val negotiated = s.getApplicationProtocol
         if (negotiated != null && negotiated.nonEmpty && negotiated != "h2")

@@ -119,7 +119,8 @@ final class PgWireConnection private (socket: Socket, in: DataInputStream,
 object PgWireConnection {
 
   def connect(info: PgConnInfo, timeoutMillis: Int = 15000,
-      ssl: Option[javax.net.ssl.SSLContext] = None): PgWireConnection = {
+      ssl: Option[javax.net.ssl.SSLContext] = None,
+      verifyHostname: Boolean = false): PgWireConnection = {
     var socket: Socket = new Socket()
     socket.connect(new InetSocketAddress(info.host, info.port), timeoutMillis)
     socket.setSoTimeout(timeoutMillis)
@@ -139,6 +140,15 @@ object PgWireConnection {
       val tls = ctx.getSocketFactory
         .createSocket(socket, info.host, info.port, true)
         .asInstanceOf[javax.net.ssl.SSLSocket]
+      // pg sslmode semantics: a pinned context alone is verify-ca;
+      // verifyHostname adds RFC 2818 endpoint identification on top
+      // (verify-full) — required whenever trust is broader than one
+      // pinned certificate, or any CA-signed cert for ANY host passes
+      if (verifyHostname) {
+        val params = tls.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        tls.setSSLParameters(params)
+      }
       tls.startHandshake()
       socket = tls
     }

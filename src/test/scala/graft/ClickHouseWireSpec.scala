@@ -123,6 +123,16 @@ final class ClickHouseServerStub(users: Map[String, String],
                 case ((n, t), i) =>
                   Column(n, t, rows.map(r => r.get(i)).toArray)
               }.toSeq))
+              // WITH TOTALS / extremes=1 summaries ride in their own
+              // packet kinds; emit both on EVERY query so any client
+              // that mistook them for data rows fails the whole suite
+              Seq(Server.Totals, Server.Extremes).foreach { kind =>
+                writeVarUInt(out, kind.toLong)
+                if (eff >= MinRevisionWithTempTables) writeString(out, "")
+                writeBlock(out, Block(cols.zipWithIndex.map {
+                  case ((n, t), i) => Column(n, t, Array(rows.head.get(i)))
+                }.toSeq))
+              }
             }
             writeVarUInt(out, Server.Progress.toLong)
             writeVarUInt(out, rows.length.toLong); writeVarUInt(out, 0)
@@ -265,6 +275,35 @@ class ClickHouseWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 4)
     val wire = stub.recentQueries.find(_.contains("toDate32"))
     assert(wire.isDefined, stub.recentQueries.mkString(" | "))
+  }
+
+  test("Totals and Extremes packets never surface as resultset rows") {
+    // the stub appends a Totals AND an Extremes block (one row each)
+    // after every data block — a client that concatenated them would
+    // return 3 rows here
+    val conn = ClickHouseWireConnection.connect(ClickHouseConnInfo.parse(url()))
+    try {
+      val r = conn.query("SELECT count(*) AS n FROM nation")
+      assert(r.rows.length == 1, r.rows.map(_.toSeq))
+      assert(r.rows(0)(0) == 25L)
+    } finally conn.close()
+  }
+
+  test("FixedString(N) keeps interior NULs and strips only trailing padding") {
+    // the Spark-backed stub can't produce FixedString; exercise the
+    // column codec directly on a hand-laid-out block
+    val bytes = new java.io.ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    writeBlockInfo(out)
+    writeVarUInt(out, 1); writeVarUInt(out, 2) // 1 col, 2 rows
+    writeString(out, "k"); writeString(out, "FixedString(8)")
+    out.write(Array[Byte]('a', 'b', 0, 'c', 'd', 0, 0, 0)) // interior NUL
+    out.write(Array[Byte]('x', 'y', 'z', 0, 0, 0, 0, 0)) // padded only
+    out.flush()
+    val block = readBlock(new DataInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray)))
+    assert(block.columns.head.values(0) == "ab\u0000cd")
+    assert(block.columns.head.values(1) == "xyz")
   }
 
   test("the registry serves clickhouse as a source type") {

@@ -60,6 +60,22 @@ class Http2TlsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("default-truststore clients demand RFC 2818 hostname verification") {
+    // with the JVM truststore any CA-signed cert for ANY host would
+    // otherwise pass — the client must set endpoint identification;
+    // a pinned context (exactly one trusted cert) is verify-ca posture
+    val sock = javax.net.ssl.SSLSocketFactory.getDefault.createSocket()
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+    try {
+      val open = Http2Grpc.clientTlsParams(sock, pinned = false)
+      assert(open.getEndpointIdentificationAlgorithm == "HTTPS")
+      assert(open.getApplicationProtocols.toSeq == Seq("h2"))
+      val pinned = Http2Grpc.clientTlsParams(sock, pinned = true)
+      assert(pinned.getEndpointIdentificationAlgorithm == null)
+      assert(pinned.getApplicationProtocols.toSeq == Seq("h2"))
+    } finally sock.close()
+  }
+
   test("an untrusting client fails the TLS handshake") {
     val server = new Http2Server((_, _, payload) => Seq(payload),
       ssl = Some(serverCtx))

@@ -89,6 +89,7 @@ class JwtAuthenticatorSpec extends AnyFunSuite {
     keyGen.initialize(2048)
     var keyPairs: Map[String, java.security.KeyPair] = Map.empty
     var fetches = 0
+    @volatile var delayMillis = 0
 
     def addKey(kid: String): Unit =
       keyPairs += kid -> keyGen.generateKeyPair()
@@ -98,6 +99,7 @@ class JwtAuthenticatorSpec extends AnyFunSuite {
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/jwks", ex => {
       fetches += 1
+      if (delayMillis > 0) Thread.sleep(delayMillis)
       val body = keyPairs.map { case (kid, kp) =>
         graft.server.OidcAuthenticator.jwkOf(kid,
           kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey])
@@ -225,6 +227,25 @@ class JwtAuthenticatorSpec extends AnyFunSuite {
       assert(oidc(tok).isDefined) // cache warm
       idp.stop() // IdP down
       assert(oidc(tok).isDefined, "cached keys must survive an IdP outage")
+    }
+  }
+
+  test("OIDC: a slow IdP refresh never blocks auths served from cached keys") {
+    withIdp { (idp, oidc, clock) =>
+      val tok = idp.issue("k1", "alice", "https://idp.test", "graft-api",
+        now + 3600)
+      assert(oidc(tok).isDefined) // cache warm (fetch #1)
+      idp.delayMillis = 3000
+      clock.addAndGet(400) // past the 300s TTL → next auth claims a refresh
+      val slow = new Thread(() => oidc(tok), "oidc-slow-refresh")
+      slow.start()
+      Thread.sleep(300) // let it claim the refresh and enter the HTTP fetch
+      val t0 = System.nanoTime()
+      assert(oidc(tok).isDefined, "must serve from the last good key set")
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(ms < 1500,
+        f"auth blocked $ms%.0f ms behind the in-flight JWKS fetch")
+      slow.join()
     }
   }
 }

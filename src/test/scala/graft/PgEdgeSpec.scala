@@ -469,4 +469,21 @@ class PgEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       new graft.session.WarningCollector)
     assert(spark.sql("SELECT count(*) FROM pgsrc_nation").collect()(0).getLong(0) == 25)
   }
+
+  test("placeholder rewrite passes dollar-quoted strings through verbatim") {
+    // a `$1` inside $$..$$ / $tag$..$tag$ is literal text, not a
+    // parameter — rewriting it would inflate the statement's parameter
+    // count and break Parse/Bind
+    assert(PgWireEdge.rewritePlaceholders("SELECT $$literal $1 here$$, $1") ==
+      ("SELECT $$literal $1 here$$, :p1", 1))
+    assert(PgWireEdge.rewritePlaceholders(
+      "SELECT $tag$ $2 '$' $tag$ WHERE x = $1") ==
+      ("SELECT $tag$ $2 '$' $tag$ WHERE x = :p1", 1))
+    // unterminated dollar quote: verbatim to end, no parameters counted
+    assert(PgWireEdge.rewritePlaceholders("SELECT $$unterminated $3") ==
+      ("SELECT $$unterminated $3", 0))
+    // a bare '$' that opens no quote still passes through untouched
+    assert(PgWireEdge.rewritePlaceholders("SELECT a$b, $1 FROM t") ==
+      ("SELECT a$b, :p1 FROM t", 1))
+  }
 }
