@@ -25,7 +25,7 @@ class ClickHouseDataSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = ClickHouseOptions(options.asCaseSensitiveMap().asScala.toMap)
-    val conn = ClickHouseWireConnection.connect(opts.connInfo)
+    val conn = ClickHouseWireConnection.connect(opts.connInfo, compress = opts.compress)
     try conn.query(s"SELECT * FROM ${opts.fromClause} LIMIT 0").sparkSchema
     finally conn.close()
   }
@@ -49,6 +49,11 @@ final case class ClickHouseOptions(conf: Map[String, String]) {
     case Some(t) => ClickHouseSql.quote(t)
     case None => s"(${query.get}) AS graft_q"
   }
+
+  /** LZ4 wire compression (`compress`, default true — the posture of
+    * real deployments; `false` for debugging against plain captures). */
+  val compress: Boolean =
+    conf.getOrElse("compress", "true").toBoolean
 
   val partitionColumn: Option[String] =
     conf.get("partitionColumn").map(graft.util.Sanitize.validateIdentifier)
@@ -195,7 +200,7 @@ final class ClickHousePartitionReader(schema: StructType,
 
   override def next(): Boolean = {
     if (rows == null) {
-      conn = ClickHouseWireConnection.connect(opts.connInfo)
+      conn = ClickHouseWireConnection.connect(opts.connInfo, compress = opts.compress)
       val result = conn.query(sql)
       val got = result.columns.map(_._1)
       val want = schema.fieldNames.toSeq

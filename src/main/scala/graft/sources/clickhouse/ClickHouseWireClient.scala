@@ -42,14 +42,31 @@ final case class ClickHouseResult(columns: Seq[(String, String)],
 }
 
 /** Blocking ClickHouse native-protocol client over a plain socket:
-  * Hello exchange → Query (stage Complete, compression off) → columnar
-  * Data blocks decoded until EndOfStream. One connection per scan
-  * partition, as with the pg/mysql clients. */
+  * Hello exchange → Query (stage Complete, LZ4 compression on by
+  * default — the posture of real deployments) → columnar Data blocks
+  * decoded until EndOfStream. One connection per scan partition, as
+  * with the pg/mysql clients. */
 final class ClickHouseWireConnection private (socket: Socket,
     in: DataInputStream, out: DataOutputStream,
-    val serverName: String, val serverRevision: Long) extends AutoCloseable {
+    val serverName: String, val serverRevision: Long,
+    compress: Boolean) extends AutoCloseable {
 
   private val effectiveRevision = math.min(Revision, serverRevision)
+
+  /** A block-carrying payload: plain on the wire, or LZ4-framed when
+    * compression is negotiated (Log packets are always plain, per the
+    * protocol). */
+  private def blockIn(): DataInputStream =
+    if (!compress) in
+    else new DataInputStream(new ClickHouseCompression.FramedInputStream(in))
+
+  private def writeBlockMaybeCompressed(block: Block): Unit =
+    if (!compress) writeBlock(out, block)
+    else {
+      val fb = new ClickHouseCompression.FrameBuffer
+      writeBlock(fb.data, block)
+      fb.flushTo(out)
+    }
 
   /** Runs one SELECT; concatenates the server's data blocks. */
   def query(sql: String): ClickHouseResult = {
@@ -68,12 +85,13 @@ final class ClickHouseWireConnection private (socket: Socket,
     }
     writeString(out, "") // settings: empty terminator (none overridden)
     writeVarUInt(out, 2) // stage: Complete
-    writeVarUInt(out, 0) // compression: disabled
+    writeVarUInt(out, if (compress) 1L else 0L)
     writeString(out, sql)
-    // end of external-table data: one empty block
+    // end of external-table data: one empty block (compressed framing
+    // applies to the BLOCK bytes only; packet id + name stay plain)
     writeVarUInt(out, Client.Data.toLong)
     if (effectiveRevision >= MinRevisionWithTempTables) writeString(out, "")
-    writeBlock(out, Block(Nil))
+    writeBlockMaybeCompressed(Block(Nil))
     out.flush()
 
     var columns: Seq[(String, String)] = Nil
@@ -86,10 +104,10 @@ final class ClickHouseWireConnection private (socket: Socket,
           // aggregate summaries, not resultset rows — decode and discard
           // so they can never masquerade as data
           if (effectiveRevision >= MinRevisionWithTempTables) readString(in)
-          readBlock(in)
+          readBlock(blockIn())
         case Server.Data =>
           if (effectiveRevision >= MinRevisionWithTempTables) readString(in)
-          val block = readBlock(in)
+          val block = readBlock(blockIn())
           if (block.columns.nonEmpty) {
             if (columns.isEmpty)
               columns = block.columns.map(c => (c.name, c.chType))
@@ -146,8 +164,8 @@ final class ClickHouseWireConnection private (socket: Socket,
 
 object ClickHouseWireConnection {
 
-  def connect(info: ClickHouseConnInfo,
-      timeoutMillis: Int = 15000): ClickHouseWireConnection = {
+  def connect(info: ClickHouseConnInfo, timeoutMillis: Int = 15000,
+      compress: Boolean = true): ClickHouseWireConnection = {
     val socket = new Socket()
     socket.connect(new InetSocketAddress(info.host, info.port), timeoutMillis)
     socket.setSoTimeout(timeoutMillis)
@@ -170,7 +188,7 @@ object ClickHouseWireConnection {
           val rev = readVarUInt(in)
           val eff = math.min(Revision, rev)
           if (eff >= MinRevisionWithServerTimezone) readString(in)
-          new ClickHouseWireConnection(socket, in, out, name, rev)
+          new ClickHouseWireConnection(socket, in, out, name, rev, compress)
         case Server.Exception => throw readException(in)
         case other => throw new ClickHouseProtocolException(
           s"unexpected packet $other in Hello exchange")

@@ -92,14 +92,27 @@ final class ClickHouseServerStub(users: Map[String, String],
           var setting = readString(in)
           while (setting.nonEmpty) { readString(in); setting = readString(in) }
           readVarUInt(in) // stage
-          readVarUInt(in) // compression
+          val compress = readVarUInt(in).toInt == 1
           val sql = readString(in)
+          // compressed framing covers BLOCK bytes only (packet id and
+          // temp-table name stay plain), per the native protocol
+          def blockIn(): DataInputStream =
+            if (!compress) in
+            else new DataInputStream(
+              new ClickHouseCompression.FramedInputStream(in))
+          def writeBlockC(b: Block): Unit =
+            if (!compress) writeBlock(out, b)
+            else {
+              val fb = new ClickHouseCompression.FrameBuffer
+              writeBlock(fb.data, b)
+              fb.flushTo(out)
+            }
           // drain external-table data until the empty block
           var blockDone = false
           while (!blockDone) {
             require(readVarUInt(in).toInt == Client.Data, "expected Data")
             if (eff >= MinRevisionWithTempTables) readString(in)
-            val b = readBlock(in)
+            val b = readBlock(blockIn())
             if (b.columns.isEmpty && b.rows == 0) blockDone = true
           }
           queries.addLast(sql)
@@ -113,13 +126,13 @@ final class ClickHouseServerStub(users: Map[String, String],
             // header block: names+types, zero rows (real servers do this)
             writeVarUInt(out, Server.Data.toLong)
             if (eff >= MinRevisionWithTempTables) writeString(out, "")
-            writeBlock(out, Block(cols.map { case (n, t) =>
+            writeBlockC(Block(cols.map { case (n, t) =>
               Column(n, t, Array.empty[Any]) }.toSeq))
             val rows = df.collect()
             if (rows.nonEmpty) {
               writeVarUInt(out, Server.Data.toLong)
               if (eff >= MinRevisionWithTempTables) writeString(out, "")
-              writeBlock(out, Block(cols.zipWithIndex.map {
+              writeBlockC(Block(cols.zipWithIndex.map {
                 case ((n, t), i) =>
                   Column(n, t, rows.map(r => r.get(i)).toArray)
               }.toSeq))
@@ -129,7 +142,7 @@ final class ClickHouseServerStub(users: Map[String, String],
               Seq(Server.Totals, Server.Extremes).foreach { kind =>
                 writeVarUInt(out, kind.toLong)
                 if (eff >= MinRevisionWithTempTables) writeString(out, "")
-                writeBlock(out, Block(cols.zipWithIndex.map {
+                writeBlockC(Block(cols.zipWithIndex.map {
                   case ((n, t), i) => Column(n, t, Array(rows.head.get(i)))
                 }.toSeq))
               }
@@ -271,8 +284,11 @@ class ClickHouseWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.range(10).selectExpr(
       "date_add(DATE '2024-01-01', cast(id AS INT)) AS d", "id")
       .createOrReplaceTempView("ch_dates")
+    // collect(), not count(): an aggregate over a single wire table
+    // would FEDERATE (whole-query SQL, generator date form) — this test
+    // pins the PER-SCAN pushdown path's dialect literal
     val df = readTable("ch_dates").filter("d < DATE '2024-01-05'").select("id")
-    assert(df.count() == 4)
+    assert(df.collect().length == 4)
     val wire = stub.recentQueries.find(_.contains("toDate32"))
     assert(wire.isDefined, stub.recentQueries.mkString(" | "))
   }
@@ -304,6 +320,56 @@ class ClickHouseWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       new java.io.ByteArrayInputStream(bytes.toByteArray)))
     assert(block.columns.head.values(0) == "ab\u0000cd")
     assert(block.columns.head.values(1) == "xyz")
+  }
+
+  test("LZ4 compressed blocks round-trip both directions (default posture)") {
+    // connect() defaults to compress=true, so the whole suite already
+    // rides LZ4 framing; this pins it explicitly plus the plain fallback
+    val conn = ClickHouseWireConnection.connect(
+      ClickHouseConnInfo.parse(url()), compress = true)
+    try {
+      val r = conn.query(
+        "SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 3")
+      assert(r.rows.map(_(0)) == Vector("NATION_0", "NATION_1", "NATION_2"))
+    } finally conn.close()
+    val plain = ClickHouseWireConnection.connect(
+      ClickHouseConnInfo.parse(url()), compress = false)
+    try assert(plain.query("SELECT count(*) AS n FROM region").rows(0)(0) == 5L)
+    finally plain.close()
+  }
+
+  test("a corrupted compressed frame is rejected by its CityHash checksum") {
+    val raw = Array.tabulate[Byte](1000)(i => (i * 31).toByte)
+    val bytes = new java.io.ByteArrayOutputStream()
+    ClickHouseCompression.writeFrame(new DataOutputStream(bytes), raw)
+    val framed = bytes.toByteArray
+    // round-trip intact
+    val back = ClickHouseCompression.readFrame(new DataInputStream(
+      new java.io.ByteArrayInputStream(framed)))
+    assert(back.sameElements(raw))
+    // flip one payload byte → checksum must catch it
+    framed(framed.length - 1) = (framed(framed.length - 1) ^ 0x01).toByte
+    val e = intercept[ClickHouseProtocolException] {
+      ClickHouseCompression.readFrame(new DataInputStream(
+        new java.io.ByteArrayInputStream(framed)))
+    }
+    assert(e.getMessage.contains("checksum"))
+  }
+
+  test("CityHash128 v1.0.2 covers every length class deterministically") {
+    // self-consistency pins across the algorithm's branches (<8, 8-15,
+    // 16-127 CityMurmur, >=128 long path incl. the 32-byte tail loop);
+    // equal input = equal hash, any byte flip changes it
+    for (len <- Seq(0, 3, 7, 8, 15, 16, 63, 127, 128, 200, 256, 1000)) {
+      val a = Array.tabulate[Byte](len)(i => (i * 7 + len).toByte)
+      val h1 = CityHash102.cityHash128(a, 0, len)
+      val h2 = CityHash102.cityHash128(a.clone(), 0, len)
+      assert(h1 == h2, s"len $len not deterministic")
+      if (len > 0) {
+        val b = a.clone(); b(len / 2) = (b(len / 2) ^ 0x40).toByte
+        assert(CityHash102.cityHash128(b, 0, len) != h1, s"len $len collision")
+      }
+    }
   }
 
   test("the registry serves clickhouse as a source type") {
