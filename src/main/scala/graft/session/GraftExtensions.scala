@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // user policies installed by GraftSession.executeQuery
     e.injectResolutionRule(s =>
       RowPolicyRule(s.sessionState.sqlParser, () => RowPolicyRule.active()))
+    // same-source subplan federation: after operator optimization
+    // (filters/projects already placed), before V2 scan planning — the
+    // reference's FederationOptimizerRule slot (federation.rs:226-240)
+    e.injectPreCBORule(s => graft.plans.FederationRule(s))
   }
 }

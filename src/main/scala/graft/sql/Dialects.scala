@@ -17,6 +17,10 @@ trait SqlDialect {
   def supportsValuesClause: Boolean = true
   /** Oracle: zero-table selects read FROM DUAL. */
   def requiresFromDual: Boolean = false
+  /** SQL-standard engines (Derby) type AVG(int) as INTEGER — truncating
+    * division. Spark's Average over integers is fractional, so those
+    * dialects need the argument cast to DOUBLE before the aggregate. */
+  def integralAvgTruncates: Boolean = false
   def mapper: FunctionMapper = FunctionMapper.empty
 
   /** Escape a string literal's CONTENT (quotes are added by the caller).
@@ -151,6 +155,7 @@ object SqliteDialect extends SqlDialect {
 object DerbyDialect extends SqlDialect {
   val name = "derby"
   override def supportsValuesClause: Boolean = false
+  override def integralAvgTruncates: Boolean = true
   override def nullSafeEq(l: SqlExpr, r: SqlExpr): SqlExpr =
     NullSafeEqRewrite(l, r)
   override def renderLimitOffset(limit: Option[String],

@@ -28,7 +28,8 @@ import SqlAst._
   * immune to name shadowing — the reason the reference needed provenance
   * tracking in its scope stack.
   */
-final class SqlGenerator(val dialect: SqlDialect) {
+final class SqlGenerator(val dialect: SqlDialect,
+    strict: Boolean = false) {
 
   private val MaxDepth = 50
   private var relCounter = 0
@@ -654,7 +655,12 @@ final class SqlGenerator(val dialect: SqlDialect) {
 
   /** Engine-facing function name for a Catalyst expression — the names the
     * reference's FunctionMapper rules key on (DataFusion spellings). */
-  private def engineName(e: Expression): String = e match {
+  /** Functions VETTED to exist (or be mapper-translated) across the SQL
+    * dialects; anything else renders `PRETTYNAME(args)` only in lenient
+    * mode. Strict mode (automatic federation) refuses un-vetted,
+    * un-mapped functions — shipping a Spark-only function would turn a
+    * locally-runnable query into a remote runtime error. */
+  private def vettedName(e: Expression): Option[String] = Some(e).collect {
     case _: Coalesce          => "coalesce"
     case _: NullIf            => "nullif"
     case _: Nvl               => "ifnull"
@@ -683,17 +689,21 @@ final class SqlGenerator(val dialect: SqlDialect) {
     case _: ParseToDate       => "to_date"
     case _: ParseToTimestamp  => "to_timestamp"
     case _: FromUnixTime      => "from_unixtime"
-    case other                => other.prettyName
   }
 
   private def function(fn: Expression, env: Map[ExprId, SqlExpr],
       node: String): SqlExpr = {
-    val name = engineName(fn)
+    val vetted = vettedName(fn)
+    val name = vetted.getOrElse(fn.prettyName)
     val args = fn match {
       case _: Rand => Nil // Spark's internal seed literal is not SQL surface
       case _       => fn.children.map(expr(_, env, node))
     }
     dialect.mapper.translate(name, args).getOrElse {
+      if (strict && vetted.isEmpty)
+        throw SqlGenError(
+          s"function '$name' is not in the federation-safe set for " +
+            s"${dialect.name} — keeping the subtree local")
       if (!name.matches("[A-Za-z_][A-Za-z0-9_]*"))
         throw SqlGenError(
           s"expression ${fn.getClass.getSimpleName} ('$name') has no SQL rendering")
@@ -709,7 +719,19 @@ final class SqlGenerator(val dialect: SqlDialect) {
       case s: Sum         => ("sum", Seq(expr(s.child, env, node)))
       case m: Min         => ("min", Seq(expr(m.child, env, node)))
       case m: Max         => ("max", Seq(expr(m.child, env, node)))
-      case a: Average     => ("avg", Seq(expr(a.child, env, node)))
+      case a: Average =>
+        val arg = expr(a.child, env, node)
+        // Spark's avg over integers is fractional; standard-typed AVG
+        // (Derby) would truncate — widen the argument remotely
+        val integral = a.child.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        val widened =
+          if (dialect.integralAvgTruncates && integral)
+            CastExpr(arg, dialect.typeName(DoubleType))
+          else arg
+        ("avg", Seq(widened))
       case l: ListAgg     => ("string_agg", l.children.map(expr(_, env, node)))
       case c: CollectList => ("array_agg", Seq(expr(c.child, env, node)))
       case other =>
@@ -777,9 +799,10 @@ final class SqlGenerator(val dialect: SqlDialect) {
 object GraftSqlGen {
   import DialectRouter._
 
-  def forPlan(plan: LogicalPlan, sourceType: String): Option[String] =
+  def forPlan(plan: LogicalPlan, sourceType: String,
+      strict: Boolean = false): Option[String] =
     route(sourceType) match {
-      case Sql(d)    => Some(new SqlGenerator(d).generate(plan))
+      case Sql(d)    => Some(new SqlGenerator(d, strict).generate(plan))
       case Substrait =>
         throw SqlGenError(
           s"Source '$sourceType' uses Substrait plan transmission, not SQL text")
