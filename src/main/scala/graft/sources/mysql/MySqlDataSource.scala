@@ -29,7 +29,7 @@ class MySqlDataSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = MySqlOptions(options.asCaseSensitiveMap().asScala.toMap)
-    val conn = MySqlWireConnection.connect(opts.connInfo)
+    val conn = MySqlWireConnection.connect(opts.connInfo, ssl = opts.sslContext)
     try conn.query(s"SELECT * FROM ${opts.fromClause} LIMIT 0").sparkSchema
     finally conn.close()
   }
@@ -53,6 +53,17 @@ final case class MySqlOptions(conf: Map[String, String]) {
     case Some(t) => MySqlSql.quote(t)
     case None => s"(${query.get}) AS graft_q"
   }
+
+  /** `truststore`(+`truststorePassword`): a PKCS12 pinning the server's
+    * certificate — presence turns on the SSLRequest TLS upgrade, which
+    * also unlocks caching_sha2 FULL auth (password over the encrypted
+    * channel). Rebuilt per use: options serialize to executors,
+    * SSLContext does not. */
+  def sslContext: Option[javax.net.ssl.SSLContext] =
+    conf.get("truststore").orElse(conf.get("trustStore")).map(p =>
+      graft.sources.grpc.Http2Grpc.trustContext(p,
+        conf.getOrElse("truststorePassword",
+          conf.getOrElse("trustStorePassword", "changeit"))))
 
   val partitionColumn: Option[String] =
     conf.get("partitionColumn").map(graft.util.Sanitize.validateIdentifier)
@@ -201,7 +212,7 @@ final class MySqlPartitionReader(schema: StructType, opts: MySqlOptions,
 
   override def next(): Boolean = {
     if (rows == null) {
-      conn = MySqlWireConnection.connect(opts.connInfo)
+      conn = MySqlWireConnection.connect(opts.connInfo, ssl = opts.sslContext)
       val result = conn.query(sql)
       val got = result.columns.map(_.name)
       val want = schema.fieldNames.toSeq

@@ -46,6 +46,7 @@ object MySqlWire {
   val ClientLongPassword = 0x00000001
   val ClientLongFlag = 0x00000004
   val ClientConnectWithDb = 0x00000008
+  val ClientSsl = 0x00000800
   val ClientProtocol41 = 0x00000200
   val ClientSecureConnection = 0x00008000
   val ClientPluginAuth = 0x00080000
@@ -323,10 +324,12 @@ object MySqlWire {
     Handshake(version, threadId, caps, nonce, authPlugin)
   }
 
-  def renderHandshake(nonce: Array[Byte], authPlugin: String): Array[Byte] = {
+  def renderHandshake(nonce: Array[Byte], authPlugin: String,
+      withSsl: Boolean = false): Array[Byte] = {
     require(nonce.length == 20, "mysql: handshake nonce must be 20 bytes")
     val caps = ClientProtocol41 | ClientSecureConnection | ClientPluginAuth |
-      ClientConnectWithDb | ClientLongPassword
+      ClientConnectWithDb | ClientLongPassword |
+      (if (withSsl) ClientSsl else 0)
     new Writer()
       .u8(10).nulString("9.0.0-graft").u32(1L)
       .bytes(nonce.take(8)).u8(0)
@@ -342,9 +345,9 @@ object MySqlWire {
       authResponse: Array[Byte], database: String, authPlugin: String)
 
   def renderHandshakeResponse(user: String, authResponse: Array[Byte],
-      database: String, authPlugin: String): Array[Byte] = {
-    val caps = ClientProtocol41 | ClientSecureConnection | ClientPluginAuth |
-      (if (database.nonEmpty) ClientConnectWithDb else 0) | ClientLongPassword
+      database: String, authPlugin: String,
+      withSsl: Boolean = false): Array[Byte] = {
+    val caps = responseCaps(database, withSsl)
     val w = new Writer()
       .u32(caps.toLong).u32(MaxPacket.toLong).u8(CharsetUtf8mb4).zeros(23)
       .nulString(user)
@@ -353,6 +356,21 @@ object MySqlWire {
     w.nulString(authPlugin)
     w.result()
   }
+
+  /** Protocol::SSLRequest — the 32-byte HandshakeResponse prefix (caps
+    * with CLIENT_SSL, max packet, charset, filler) sent in the clear;
+    * the TLS handshake follows, then the real HandshakeResponse rides
+    * encrypted. */
+  def renderSslRequest(database: String): Array[Byte] =
+    new Writer()
+      .u32(responseCaps(database, withSsl = true).toLong)
+      .u32(MaxPacket.toLong).u8(CharsetUtf8mb4).zeros(23)
+      .result()
+
+  private def responseCaps(database: String, withSsl: Boolean): Int =
+    ClientProtocol41 | ClientSecureConnection | ClientPluginAuth |
+      (if (database.nonEmpty) ClientConnectWithDb else 0) |
+      ClientLongPassword | (if (withSsl) ClientSsl else 0)
 
   def parseHandshakeResponse(payload: Array[Byte]): HandshakeResponse = {
     val r = new Reader(payload)
@@ -409,6 +427,33 @@ object MySqlWire {
 
   private def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     a.zip(b).map { case (x, y) => (x ^ y).toByte }
+
+  /** caching_sha2 full-auth obfuscation for the RSA path: the
+    * NUL-terminated password XORed with the handshake nonce repeated —
+    * ties the ciphertext to this session so a captured blob can't be
+    * replayed against another connection. */
+  def xorPasswordWithNonce(password: String, nonce: Array[Byte]): Array[Byte] = {
+    val pwd = password.getBytes(UTF_8) :+ 0.toByte
+    pwd.zipWithIndex.map { case (b, i) =>
+      (b ^ nonce(i % nonce.length)).toByte
+    }
+  }
+
+  /** PEM "PUBLIC KEY" (SubjectPublicKeyInfo) → RSA public key — the
+    * format the server sends for the full-auth public-key request. */
+  def parsePemPublicKey(pem: String): java.security.PublicKey = {
+    val b64 = pem.linesIterator
+      .filterNot(l => l.contains("-----") || l.trim.isEmpty)
+      .mkString
+    val der = java.util.Base64.getMimeDecoder.decode(b64)
+    java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+  }
+
+  /** The cipher suite MySQL's full-auth RSA exchange uses
+    * (RSA_PKCS1_OAEP_PADDING, SHA-1/MGF1 — what Connector/J negotiates
+    * as sha256_password/caching_sha2 key exchange). */
+  val RsaOaepTransform = "RSA/ECB/OAEPWithSHA-1AndMGF1Padding"
 
   // ------------------------------------------------------ basic packets
 

@@ -96,20 +96,41 @@ final class MySqlWireConnection private (socket: Socket,
 
 object MySqlWireConnection {
 
-  def connect(info: MySqlConnInfo, timeoutMillis: Int = 15000): MySqlWireConnection = {
-    val socket = new Socket()
+  def connect(info: MySqlConnInfo, timeoutMillis: Int = 15000,
+      ssl: Option[javax.net.ssl.SSLContext] = None): MySqlWireConnection = {
+    var socket: Socket = new Socket()
     socket.connect(new InetSocketAddress(info.host, info.port), timeoutMillis)
     socket.setSoTimeout(timeoutMillis)
     socket.setTcpNoDelay(true)
-    val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
-    val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+    var in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+    var out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
     try {
       val hs = parseHandshake(readPacket(in).payload)
+      // TLS upgrade (MySQL's SSLRequest dance): the short capability
+      // prefix goes in the clear, the handshake response rides
+      // encrypted — required semantics when a context is supplied, a
+      // server without CLIENT_SSL is an error, never a silent cleartext
+      // fallback (the pg client's sslmode=require stance)
+      ssl.foreach { ctx =>
+        if ((hs.capabilities & ClientSsl) == 0)
+          throw new MySqlProtocolException(
+            "mysql: server does not offer TLS but ssl was requested")
+        writePacket(out, 1, renderSslRequest(info.database))
+        out.flush()
+        val tls = ctx.getSocketFactory
+          .createSocket(socket, info.host, info.port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        tls.startHandshake()
+        socket = tls
+        in = new DataInputStream(new BufferedInputStream(tls.getInputStream))
+        out = new DataOutputStream(new BufferedOutputStream(tls.getOutputStream))
+      }
       val scramble = scrambleFor(hs.authPlugin, info.password, hs.nonce)
-      writePacket(out, 1, renderHandshakeResponse(
-        info.user, scramble, info.database, hs.authPlugin))
+      writePacket(out, if (ssl.isDefined) 2 else 1, renderHandshakeResponse(
+        info.user, scramble, info.database, hs.authPlugin,
+        withSsl = ssl.isDefined))
       out.flush()
-      finishAuth(info, in, out, hs.nonce, seq = 2)
+      finishAuth(info, in, out, hs.nonce, secure = ssl.isDefined)
       val conn = new MySqlWireConnection(socket, in, out, hs.serverVersion)
       // TIMESTAMP values render in the session time zone; pin it to UTC
       // so decode() reads them unambiguously
@@ -130,22 +151,49 @@ object MySqlWireConnection {
 
   /** Drive the rest of the auth conversation: OK, ERR, AuthSwitchRequest
     * (re-scramble with the new plugin+nonce), or caching_sha2's
-    * AuthMoreData (0x03 fast-auth success → OK follows; 0x04 full auth
-    * needs a secure channel we don't have — loud error, never a
-    * cleartext password on plain TCP). */
+    * AuthMoreData: 0x03 fast-auth success (OK follows); 0x04 FULL
+    * authentication — over TLS the NUL-terminated password goes down
+    * the encrypted channel; on plain TCP the client requests the
+    * server's RSA public key (0x02), then sends the nonce-XORed
+    * password RSA-OAEP encrypted. The cleartext password NEVER rides
+    * plain TCP. (MySQL 8's default plugin; both full-auth exchanges per
+    * the public caching_sha2_password protocol.) */
   @annotation.tailrec
   private def finishAuth(info: MySqlConnInfo, in: DataInputStream,
-      out: DataOutputStream, nonce: Array[Byte], seq: Int): Unit = {
+      out: DataOutputStream, nonce: Array[Byte], secure: Boolean): Unit = {
     val p = readPacket(in)
     (p.payload(0) & 0xff) match {
       case OkHeader => ()
       case ErrHeader => throw parseErr(p.payload)
       case AuthMoreDataHeader =>
         val status = if (p.payload.length > 1) p.payload(1) & 0xff else -1
-        if (status == 0x03) finishAuth(info, in, out, nonce, seq) // OK next
-        else throw new MySqlProtocolException(
-          "mysql: caching_sha2 full authentication needs TLS or RSA " +
-            "(password not cached server-side); not spoken on plain TCP")
+        if (status == 0x03) finishAuth(info, in, out, nonce, secure) // OK next
+        else if (status == 0x04) {
+          if (secure) {
+            // password over the TLS channel, NUL-terminated
+            writePacket(out, p.seq + 1,
+              info.password.getBytes(UTF_8) :+ 0.toByte)
+            out.flush()
+          } else {
+            // RSA public-key exchange on plain TCP
+            writePacket(out, p.seq + 1, Array[Byte](0x02))
+            out.flush()
+            val keyPacket = readPacket(in)
+            if ((keyPacket.payload(0) & 0xff) != AuthMoreDataHeader)
+              throw new MySqlProtocolException(
+                "mysql: expected AuthMoreData with the RSA public key")
+            val pem = new String(keyPacket.payload, 1,
+              keyPacket.payload.length - 1, UTF_8)
+            val cipher = javax.crypto.Cipher.getInstance(RsaOaepTransform)
+            cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+              parsePemPublicKey(pem))
+            writePacket(out, keyPacket.seq + 1,
+              cipher.doFinal(xorPasswordWithNonce(info.password, nonce)))
+            out.flush()
+          }
+          finishAuth(info, in, out, nonce, secure)
+        } else throw new MySqlProtocolException(
+          s"mysql: unknown AuthMoreData status $status")
       case AuthSwitchHeader =>
         val r = new Reader(p.payload)
         r.u8()
@@ -153,7 +201,7 @@ object MySqlWireConnection {
         val newNonce = r.restOfPacket().takeWhile(_ != 0)
         writePacket(out, p.seq + 1, scrambleFor(plugin, info.password, newNonce))
         out.flush()
-        finishAuth(info, in, out, newNonce, seq + 2)
+        finishAuth(info, in, out, newNonce, secure)
       case other =>
         throw new MySqlProtocolException(s"mysql: unexpected auth packet $other")
     }
