@@ -286,7 +286,8 @@ final class PgWireEdge(
   /** A bound portal; the result materializes on first Describe/Execute
     * (capped at maxRows) and Execute's row-count limit pages through it
     * (PortalSuspended between pages, the JDBC fetchSize shape). */
-  private final class Portal(val stmt: Prepared, val params: Map[String, Any]) {
+  private final class Portal(val stmt: Prepared, val params: Map[String, Any],
+      val resFmts: IndexedSeq[Int] = IndexedSeq.empty) {
     var rows: Array[Row] = _
     var schema: StructType = _
     var capped: Boolean = false
@@ -323,23 +324,18 @@ final class PgWireEdge(
         s"bind supplies $nParams parameters, statement needs ${stmt.nParams}")
     val values = IndexedSeq.tabulate(nParams) { i =>
       val len = bb.getInt
-      val fmt = if (fmts.isEmpty) 0 else fmts(i min (fmts.length - 1))
-      if (fmt != 0)
-        throw new PgEdgeError("0A000",
-          "binary-format parameters not supported (send text format)")
+      val fmt = formatFor(fmts, i)
       if (len == -1) null
       else {
         val b = new Array[Byte](len); bb.get(b)
-        textParam(stmt.paramOids(i), new String(b, UTF_8))
+        if (fmt == 0) textParam(stmt.paramOids(i), new String(b, UTF_8))
+        else binaryParam(stmt.paramOids(i), b)
       }
     }
     val nResFmt = bb.getShort.toInt
     val resFmts = IndexedSeq.fill(nResFmt)(bb.getShort.toInt)
-    if (resFmts.exists(_ != 0))
-      throw new PgEdgeError("0A000",
-        "binary-format results not supported (request text format)")
     val params = values.zipWithIndex.map { case (v, i) => s"p${i + 1}" -> v }.toMap
-    portals(portalName) = new Portal(stmt, params)
+    portals(portalName) = new Portal(stmt, params, resFmts)
     writeMessage(out, MsgBindComplete, Array.empty)
   }
 
@@ -385,7 +381,7 @@ final class PgWireEdge(
           throw new PgEdgeError("34000", s"""portal "$name" does not exist"""))
         materialize(portal, user)
         writeMessage(out, MsgRowDescription,
-          rowDescription(fieldDescs(portal.schema)))
+          rowDescription(fieldDescs(portal.schema), portal.resFmts))
       case other =>
         throw new PgEdgeError("08P01", s"describe kind '$other' unknown")
     }
@@ -405,7 +401,8 @@ final class PgWireEdge(
     val end = portal.pos + page
     while (portal.pos < end) {
       val r = portal.rows(portal.pos)
-      writeMessage(out, MsgDataRow, dataRow(encodeRow(r, portal.schema)))
+      writeMessage(out, MsgDataRow,
+        dataRowBytes(encodePortalRow(r, portal.schema, portal.resFmts)))
       portal.pos += 1
     }
     if (portal.pos < portal.rows.length)
@@ -486,6 +483,58 @@ final class PgWireEdge(
       if (r.isNullAt(i)) None
       else Some(PgTypes.encode(r.get(i), f.dataType))
     }
+
+  /** Per-column result encoding honoring the portal's Bind-time result
+    * format codes: text for 0, pg wire binary for 1 (the fixed-width
+    * numeric/bool types plus text — what psycopg3/pgJDBC request when
+    * in binary mode). A binary request on a type without a binary
+    * encoding here is a loud 0A000, never silent text. */
+  private def encodePortalRow(r: Row, schema: StructType,
+      resFmts: IndexedSeq[Int]): Seq[Option[Array[Byte]]] =
+    schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      if (r.isNullAt(i)) None
+      else if (formatFor(resFmts, i) == 0)
+        Some(PgTypes.encode(r.get(i), f.dataType).getBytes(UTF_8))
+      else Some(binaryCell(r.get(i), f.dataType))
+    }
+
+  private def binaryCell(v: Any, dt: org.apache.spark.sql.types.DataType)
+      : Array[Byte] = {
+    import org.apache.spark.sql.types._
+    def buf(n: Int) = java.nio.ByteBuffer.allocate(n)
+    dt match {
+      case BooleanType =>
+        Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+      case ShortType => buf(2).putShort(v.asInstanceOf[Short]).array()
+      case IntegerType => buf(4).putInt(v.asInstanceOf[Int]).array()
+      case LongType => buf(8).putLong(v.asInstanceOf[Long]).array()
+      case FloatType => buf(4).putFloat(v.asInstanceOf[Float]).array()
+      case DoubleType => buf(8).putDouble(v.asInstanceOf[Double]).array()
+      case StringType => v.toString.getBytes(UTF_8) // binary text = utf8
+      case other =>
+        throw new PgEdgeError("0A000",
+          s"binary result format not supported for $other (request text)")
+    }
+  }
+
+  /** Binary-format parameter per the declared OID — the wire encodings
+    * of pg's fixed-width types (network byte order), plus text for
+    * text/varchar/unknown. Anything else is a loud 0A000. */
+  private def binaryParam(oid: Int, b: Array[Byte]): Any = {
+    def buf = java.nio.ByteBuffer.wrap(b)
+    oid match {
+      case PgTypes.BoolOid => b.length == 1 && b(0) == 1
+      case PgTypes.Int2Oid => buf.getShort.toInt
+      case PgTypes.Int4Oid => buf.getInt
+      case PgTypes.Int8Oid => buf.getLong
+      case PgTypes.Float4Oid => buf.getFloat
+      case PgTypes.Float8Oid => buf.getDouble
+      case PgTypes.TextOid | PgTypes.VarcharOid | 0 => new String(b, UTF_8)
+      case other =>
+        throw new PgEdgeError("0A000",
+          s"binary-format parameter not supported for oid $other (send text)")
+    }
+  }
 
   // ------------------------------------------------------------ authents
 

@@ -181,11 +181,15 @@ object PgWire {
   }
 
   /** RowDescription payload for `fields`; typlen -1, format text. */
-  def rowDescription(fields: Seq[FieldDesc]): Array[Byte] = {
+  /** `formats` gives each column's result format code (0 text / 1
+    * binary), cycled pg-style: empty = all text, one entry = applies to
+    * every column. */
+  def rowDescription(fields: Seq[FieldDesc],
+      formats: Seq[Int] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val head = ByteBuffer.allocate(2).putShort(fields.size.toShort)
     out.write(head.array())
-    fields.foreach { f =>
+    fields.zipWithIndex.foreach { case (f, i) =>
       putCString(out, f.name)
       val fixed = ByteBuffer.allocate(18)
       fixed.putInt(0) // table oid
@@ -193,11 +197,18 @@ object PgWire {
       fixed.putInt(f.typeOid)
       fixed.putShort(-1) // typlen (varlena)
       fixed.putInt(f.typmod)
-      fixed.putShort(0) // text format
+      fixed.putShort(formatFor(formats, i).toShort)
       out.write(fixed.array())
     }
     out.toByteArray
   }
+
+  /** pg format-code list semantics: absent → text; a single code
+    * applies to all columns; otherwise positional. */
+  def formatFor(formats: Seq[Int], i: Int): Int =
+    if (formats.isEmpty) 0
+    else if (formats.length == 1) formats.head
+    else formats(i)
 
   /** DataRow → per-column text bytes; None is SQL NULL (length -1). */
   def parseDataRow(payload: Array[Byte]): Array[Option[Array[Byte]]] = {
@@ -210,13 +221,17 @@ object PgWire {
     }
   }
 
-  def dataRow(cols: Seq[Option[String]]): Array[Byte] = {
+  def dataRow(cols: Seq[Option[String]]): Array[Byte] =
+    dataRowBytes(cols.map(_.map(_.getBytes(UTF_8))))
+
+  /** DataRow from raw per-column bytes (text or binary format — the
+    * wire shape is identical, only the encoding differs). */
+  def dataRowBytes(cols: Seq[Option[Array[Byte]]]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(ByteBuffer.allocate(2).putShort(cols.size.toShort).array())
     cols.foreach {
       case None => out.write(ByteBuffer.allocate(4).putInt(-1).array())
-      case Some(s) =>
-        val b = s.getBytes(UTF_8)
+      case Some(b) =>
         out.write(ByteBuffer.allocate(4).putInt(b.length).array())
         out.write(b)
     }

@@ -230,6 +230,12 @@ class PgEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       writeMessage(out, MsgParse, b.toByteArray)
     }
     def bind(portal: String, stmt: String, params: Seq[Option[String]],
+        paramFmts: Seq[Int] = Nil, resultFmts: Seq[Int] = Nil): Unit =
+      bindRaw(portal, stmt, params.map(_.map(_.getBytes("UTF-8"))),
+        paramFmts, resultFmts)
+
+    def bindRaw(portal: String, stmt: String,
+        params: Seq[Option[Array[Byte]]],
         paramFmts: Seq[Int] = Nil, resultFmts: Seq[Int] = Nil): Unit = {
       val b = new ByteArrayOutputStream()
       cstr(b, portal); cstr(b, stmt)
@@ -237,8 +243,7 @@ class PgEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       i16(b, params.size)
       params.foreach {
         case None => i32(b, -1)
-        case Some(v) =>
-          val raw = v.getBytes("UTF-8"); i32(b, raw.length); b.write(raw)
+        case Some(raw) => i32(b, raw.length); b.write(raw)
       }
       i16(b, resultFmts.size); resultFmts.foreach(i16(b, _))
       writeMessage(out, MsgBind, b.toByteArray)
@@ -358,15 +363,75 @@ class PgEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("extended protocol: binary-format parameters are refused loudly") {
+  test("extended protocol: binary-format parameters decode per OID") {
     withExt { c =>
       import PgWire._
-      c.parse("", "SELECT $1", Seq(PgTypes.Int4Oid))
-      c.bind("", "", Seq(Some("42")), paramFmts = Seq(1))
+      def be(n: Int, f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(n); f(b); b.array()
+      }
+      c.parse("", "SELECT $1 AS a, $2 AS b, $3 AS c, $4 AS d, $5 AS e",
+        Seq(PgTypes.Int4Oid, PgTypes.Int8Oid, PgTypes.Float8Oid,
+          PgTypes.BoolOid, PgTypes.TextOid))
+      c.bindRaw("", "", Seq(
+        Some(be(4, _.putInt(42))),
+        Some(be(8, _.putLong(1234567890123L))),
+        Some(be(8, _.putDouble(2.5))),
+        Some(Array[Byte](1)),
+        Some("héllo".getBytes("UTF-8"))),
+        paramFmts = Seq(1)) // one code applies to every parameter
+      c.execute("")
+      c.sync()
+      val ms = c.drain()
+      val row = ms.find(_.tpe == MsgDataRow).get
+      val cells = parseDataRow(row.payload).map(_.map(new String(_, "UTF-8")))
+      assert(cells(0).contains("42"))
+      assert(cells(1).contains("1234567890123"))
+      assert(cells(2).contains("2.5"))
+      assert(cells(3).exists(v => v == "t" || v == "true"))
+      assert(cells(4).contains("héllo"))
+    }
+  }
+
+  test("extended protocol: binary results honor the Bind result formats") {
+    withExt { c =>
+      import PgWire._
+      c.parse("", "SELECT n_nationkey FROM nation WHERE n_nationkey = $1",
+        Seq(PgTypes.Int4Oid))
+      c.bind("", "", Seq(Some("7")), resultFmts = Seq(1))
+      c.describe('P', "")
+      c.execute("")
+      c.sync()
+      val ms = c.drain()
+      // RowDescription advertises format 1; the DataRow cell is the
+      // 4-byte network-order integer, not the text "7"
+      val rd = parseRowDescription(
+        ms.find(_.tpe == MsgRowDescription).get.payload)
+      assert(rd.nonEmpty)
+      val cell = parseDataRow(
+        ms.find(_.tpe == MsgDataRow).get.payload)(0).get
+      assert(cell.length == 4)
+      assert(java.nio.ByteBuffer.wrap(cell).getInt == 7)
+    }
+  }
+
+  test("extended protocol: unsupported binary formats still refuse with 0A000") {
+    withExt { c =>
+      import PgWire._
+      // numeric has no binary decode here — loud refusal, not garbage
+      c.parse("", "SELECT $1", Seq(PgTypes.NumericOid))
+      c.bindRaw("", "", Seq(Some(Array[Byte](0, 1))), paramFmts = Seq(1))
       c.sync()
       val ms = c.drain()
       val err = ms.find(_.tpe == MsgErrorResponse).get
       assert(parseErrorFields(err.payload)('C') == "0A000")
+      // binary RESULT on a date column refuses at execute
+      c.parse("s2", "SELECT DATE '2024-01-02' AS d", Nil)
+      c.bind("p2", "s2", Nil, resultFmts = Seq(1))
+      c.execute("p2")
+      c.sync()
+      val ms2 = c.drain()
+      val err2 = ms2.find(_.tpe == MsgErrorResponse).get
+      assert(parseErrorFields(err2.payload)('C') == "0A000")
     }
   }
 
