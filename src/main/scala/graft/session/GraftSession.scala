@@ -218,11 +218,14 @@ object GraftSession {
       // ODBC/JDBC sessions share THIS session's catalog (temp views,
       // registered sources) instead of getting isolated empty sessions
       .config("spark.sql.hive.thriftServer.singleSession", "true")
-      // http(s):// and ftp:// file paths resolve out of the box
-      // (sources/HttpFileSystem, sources/FtpFileSystem); per-read auth
-      // headers via fs.http.header.*, ftp credentials in the URI
+      // http(s)://, ftp:// and sftp:// file paths resolve out of the
+      // box (sources/HttpFileSystem, FtpFileSystem, SftpFileSystem);
+      // per-read auth headers via fs.http.header.*, ftp/sftp
+      // credentials in the URI, optional sftp host-key pin via
+      // fs.sftp.hostkey.sha256
       .config((graft.sources.HttpFileSystem.confEntries ++
-        graft.sources.FtpFileSystem.confEntries).map {
+        graft.sources.FtpFileSystem.confEntries ++
+        graft.sources.SftpFileSystem.confEntries).map {
         case (k, v) => s"spark.hadoop.$k" -> v
       }.toMap)
 }

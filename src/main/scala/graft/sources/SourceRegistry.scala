@@ -222,10 +222,11 @@ object SourceRegistry {
     * `options` entries (`fs.s3a.access.key`, `fs.<scheme>.impl`, …)
     * because file readers merge their options into the per-read Hadoop
     * conf. The one mapping Spark users need: the reference's `s3://`
-    * spells the Hadoop connector `s3a://`. `http://`/`https://` are
-    * served in-repo by [[HttpFileSystem]] (registered by the session
-    * builder); gs/abfss/ftp/sftp pass through to whatever
-    * fs.<scheme>.impl the deployment ships. */
+    * spells the Hadoop connector `s3a://`. `http://`/`https://`,
+    * `ftp://`, and `sftp://` are served in-repo ([[HttpFileSystem]],
+    * [[FtpFileSystem]], [[SftpFileSystem]], registered by the session
+    * builder); gs/abfss pass through to whatever fs.<scheme>.impl the
+    * deployment ships. */
   private[graft] def normalizeScheme(p: String): String =
     if (p.startsWith("s3://")) "s3a://" + p.stripPrefix("s3://") else p
 
