@@ -171,18 +171,25 @@ final case class FederationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * subtree's own output); jdbc kinds go through the reader, which
     * re-infers the result schema from the remote (v1 JDBC does not
     * accept a user schema). */
+  /** Connection options ride along (credentials beyond the url,
+    * truststores, compression); scan-shape options must not (a `query`
+    * relation has no partition column, and the old table/query are
+    * replaced). */
+  private def passThroughConf(leaf: RemoteLeaf): Map[String, String] =
+    leaf.conf -- Seq("dbtable", "table", "query",
+      "partitioncolumn", "partitionColumn", "numPartitions",
+      "numpartitions", "lowerBound", "lowerbound", "upperBound",
+      "upperbound", "paths")
+
   private def remoteRelation(leaf: RemoteLeaf, sql: String,
       schema: StructType): LogicalPlan =
     if (leaf.viaJdbc) {
-      val passThrough = leaf.conf -- Seq("dbtable", "table", "query",
-        "partitioncolumn", "partitionColumn", "numPartitions",
-        "numpartitions", "lowerBound", "lowerbound", "upperBound",
-        "upperbound")
-      val reader = spark.read.format("jdbc").options(passThrough)
+      val reader = spark.read.format("jdbc").options(passThroughConf(leaf))
         .option("url", leaf.url).option("query", sql)
       reader.load().queryExecution.analyzed
     } else {
-      val conf = Map("url" -> leaf.url, "query" -> sql)
+      val conf = passThroughConf(leaf) ++
+        Map("url" -> leaf.url, "query" -> sql)
       val table = leaf.kind match {
         case "postgres" =>
           new graft.sources.pg.PgTable(schema, graft.sources.pg.PgOptions(conf))

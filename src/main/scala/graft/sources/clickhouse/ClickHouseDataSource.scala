@@ -25,7 +25,8 @@ class ClickHouseDataSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = ClickHouseOptions(options.asCaseSensitiveMap().asScala.toMap)
-    val conn = ClickHouseWireConnection.connect(opts.connInfo, compress = opts.compress)
+    val conn = ClickHouseWireConnection.connect(opts.connInfo, compress = opts.compress,
+      ssl = opts.sslContext)
     try conn.query(s"SELECT * FROM ${opts.fromClause} LIMIT 0").sparkSchema
     finally conn.close()
   }
@@ -54,6 +55,16 @@ final case class ClickHouseOptions(conf: Map[String, String]) {
     * real deployments; `false` for debugging against plain captures). */
   val compress: Boolean =
     conf.getOrElse("compress", "true").toBoolean
+
+  /** `truststore`(+`truststorePassword`): a PKCS12 pinning the server's
+    * certificate — presence makes the connection TLS from the first
+    * byte (ClickHouse's secure port 9440 model). Rebuilt per use:
+    * options serialize to executors, SSLContext does not. */
+  def sslContext: Option[javax.net.ssl.SSLContext] =
+    conf.get("truststore").orElse(conf.get("trustStore")).map(p =>
+      graft.sources.grpc.Http2Grpc.trustContext(p,
+        conf.getOrElse("truststorePassword",
+          conf.getOrElse("trustStorePassword", "changeit"))))
 
   val partitionColumn: Option[String] =
     conf.get("partitionColumn").map(graft.util.Sanitize.validateIdentifier)
@@ -200,7 +211,8 @@ final class ClickHousePartitionReader(schema: StructType,
 
   override def next(): Boolean = {
     if (rows == null) {
-      conn = ClickHouseWireConnection.connect(opts.connInfo, compress = opts.compress)
+      conn = ClickHouseWireConnection.connect(opts.connInfo, compress = opts.compress,
+      ssl = opts.sslContext)
       val result = conn.query(sql)
       val got = result.columns.map(_._1)
       val want = schema.fieldNames.toSeq

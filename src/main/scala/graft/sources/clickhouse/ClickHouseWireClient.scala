@@ -165,11 +165,21 @@ final class ClickHouseWireConnection private (socket: Socket,
 object ClickHouseWireConnection {
 
   def connect(info: ClickHouseConnInfo, timeoutMillis: Int = 15000,
-      compress: Boolean = true): ClickHouseWireConnection = {
-    val socket = new Socket()
+      compress: Boolean = true,
+      ssl: Option[javax.net.ssl.SSLContext] = None): ClickHouseWireConnection = {
+    var socket: Socket = new Socket()
     socket.connect(new InetSocketAddress(info.host, info.port), timeoutMillis)
     socket.setSoTimeout(timeoutMillis)
     socket.setTcpNoDelay(true)
+    // ClickHouse's secure port (9440) is TLS from the first byte (the
+    // clickhouse-client --secure model) — no STARTTLS dance
+    ssl.foreach { ctx =>
+      val tls = ctx.getSocketFactory
+        .createSocket(socket, info.host, info.port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      tls.startHandshake()
+      socket = tls
+    }
     val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
     try {

@@ -38,7 +38,8 @@ class PgDataSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = PgOptions(options.asCaseSensitiveMap().asScala.toMap)
-    val conn = PgWireConnection.connect(opts.connInfo)
+    val conn = PgWireConnection.connect(opts.connInfo, ssl = opts.sslContext,
+      verifyHostname = opts.sslVerifyHostname)
     try conn.query(s"SELECT * FROM ${opts.fromClause} LIMIT 0").sparkSchema
     finally conn.close()
   }
@@ -64,6 +65,20 @@ final case class PgOptions(conf: Map[String, String]) {
     case Some(t) => PgSql.quote(t)
     case None => s"(${query.get}) AS graft_q"
   }
+
+  /** `truststore`(+`truststorePassword`): a PKCS12 pinning the server's
+    * certificate — presence turns on the SSLRequest TLS upgrade
+    * (sslmode=require with verify-ca trust); `sslVerifyHostname=true`
+    * adds RFC 2818 endpoint identification (verify-full). Rebuilt per
+    * use: options serialize to executors, SSLContext does not. */
+  def sslContext: Option[javax.net.ssl.SSLContext] =
+    conf.get("truststore").orElse(conf.get("trustStore")).map(p =>
+      graft.sources.grpc.Http2Grpc.trustContext(p,
+        conf.getOrElse("truststorePassword",
+          conf.getOrElse("trustStorePassword", "changeit"))))
+  val sslVerifyHostname: Boolean =
+    conf.getOrElse("sslVerifyHostname",
+      conf.getOrElse("sslverifyhostname", "false")).toBoolean
 
   val partitionColumn: Option[String] =
     conf.get("partitionColumn").map(graft.util.Sanitize.validateIdentifier)
@@ -214,7 +229,8 @@ final class PgPartitionReader(schema: StructType, opts: PgOptions, sql: String)
 
   override def next(): Boolean = {
     if (rows == null) {
-      conn = PgWireConnection.connect(opts.connInfo)
+      conn = PgWireConnection.connect(opts.connInfo, ssl = opts.sslContext,
+        verifyHostname = opts.sslVerifyHostname)
       val result = conn.query(sql)
       // decode by POSITION against the requested schema (the generated
       // SELECT lists exactly these columns in order), but verify names
