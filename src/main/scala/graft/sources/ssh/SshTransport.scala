@@ -92,6 +92,11 @@ object SshWire {
       i += 4; v
     }
     def raw(n: Int): Array[Byte] = {
+      // peer-supplied lengths must be validated against the packet, or
+      // a lying length surfaces as AIOOBE instead of a clean error
+      if (n < 0 || n > remaining)
+        throw new IOException(
+          s"ssh: field length $n exceeds packet ($remaining left)")
       val b = java.util.Arrays.copyOfRange(buf, i, i + n); i += n; b
     }
     def str(): Array[Byte] = raw(u32().toInt)
@@ -313,7 +318,16 @@ final class SshConnection private[graft] (
       case SshWire.MsgChannelWindowAdjust =>
         r.u32(); remoteWindow += r.u32()
       case SshWire.MsgGlobalRequest =>
-        () // keepalives etc: no reply wanted from a transport this simple
+        // OpenSSH sends e.g. hostkeys-00@openssh.com after auth; decline
+        // politely when a reply is wanted (81 = REQUEST_FAILURE)
+        r.strUtf8()
+        if (r.bool()) io.send(Array(81.toByte))
+      case SshWire.MsgChannelRequest =>
+        // exit-status and friends; decline anything that wants a reply
+        r.u32(); r.strUtf8()
+        if (r.bool())
+          io.send(new SshWire.Writer().u8(SshWire.MsgChannelFailure)
+            .u32(remoteChannel).result())
       case SshWire.MsgChannelEof | SshWire.MsgChannelClose =>
         throw new EOFException("ssh: channel closed by peer")
       case SshWire.MsgDisconnect =>
