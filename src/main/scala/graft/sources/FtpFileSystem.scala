@@ -69,7 +69,18 @@ class FtpFileSystem extends FileSystem {
     val (ep, path) = endpoint(f)
     val c = new FtpFileSystem.Control(ep)
     try {
-      val bySize = c.size(path)
+      val bySize =
+        try c.size(path)
+        catch {
+          case e: FileNotFoundException =>
+            // SIZE answers 550 for directories too — an MLSD that
+            // succeeds on the path distinguishes dir from absent
+            c.mlsd(path) match {
+              case Some(_) => return new FileStatus(0L, true, 1,
+                128L * 1024 * 1024, 0L, makeQualified(f))
+              case None => throw e
+            }
+        }
       val len =
         if (bySize >= 0) bySize
         else { // SIZE unsupported: one counting pass, never a guess
@@ -93,8 +104,22 @@ class FtpFileSystem extends FileSystem {
       new FtpFileSystem.FtpInputStream(ep, path, len), bufferSize))
   }
 
-  override def listStatus(f: Path): Array[FileStatus] =
-    Array(getFileStatus(f))
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val st = getFileStatus(f) // throws FileNotFound for absent paths
+    if (!st.isDirectory) return Array(st)
+    val (ep, path) = endpoint(f)
+    val c = new FtpFileSystem.Control(ep)
+    try c.mlsd(path) match {
+      case Some(entries) =>
+        entries.map { e =>
+          new FileStatus(e.size, e.isDir, 1, 128L * 1024 * 1024, 0L,
+            makeQualified(new Path(f, e.name)))
+        }.toArray
+      // server speaks no MLSD (RFC 3659): single files still read;
+      // directory reads need the machine-readable listing
+      case None => Array(st)
+    } finally c.close()
+  }
 
   override def setWorkingDirectory(d: Path): Unit = ()
   override def getWorkingDirectory: Path = new Path(fsUri.toString + "/")
@@ -122,6 +147,8 @@ object FtpFileSystem {
 
   final case class Endpoint(host: String, port: Int, user: String,
       pass: String)
+
+  final case class MlsdEntry(name: String, size: Long, isDir: Boolean)
 
   /** One FTP control connection (RFC 959): login, TYPE I, SIZE, and
     * passive-mode RETR with REST resume. Multiline replies handled per
@@ -169,6 +196,50 @@ object FtpFileSystem {
       case (213, msg) => msg.drop(4).trim.toLong
       case (550, msg) => throw new FileNotFoundException(s"ftp: $msg")
       case _ => -1L
+    }
+
+    /** RFC 3659 MLSD over a passive data connection: the
+      * machine-readable directory listing (`type=file;size=N; name`
+      * facts) — None when the server doesn't speak MLSD (500/502). */
+    def mlsd(path: String): Option[Seq[MlsdEntry]] = {
+      val pasv = expect(cmd("PASV"), 227)
+      val nums = "\\d+".r.findAllIn(
+        pasv.substring(pasv.indexOf('('))).map(_.toInt).toSeq
+      if (nums.length < 6) throw new IOException(s"ftp: bad PASV '$pasv'")
+      val dataPort = (nums(4) << 8) | nums(5)
+      val data = new Socket()
+      data.connect(new InetSocketAddress(ep.host, dataPort), 15000)
+      data.setSoTimeout(60000)
+      cmd(s"MLSD $path") match {
+        case (code, _) if code == 150 || code == 125 =>
+          val lines =
+            try new String(data.getInputStream.readAllBytes(), US_ASCII)
+              .split("\r?\n").toSeq.filter(_.nonEmpty)
+            finally data.close()
+          reply() // transfer-complete 226
+          Some(lines.flatMap(parseMlsdLine))
+        case (550, msg) =>
+          data.close(); throw new FileNotFoundException(s"ftp: $msg")
+        case _ => data.close(); None // 500/502: MLSD unsupported
+      }
+    }
+
+    private def parseMlsdLine(line: String): Option[MlsdEntry] = {
+      // "type=file;size=123;modify=...; name" — facts, then SP, then name
+      val sp = line.indexOf(' ')
+      if (sp < 0) return None
+      val facts = line.substring(0, sp).split(";").flatMap { f =>
+        val eq = f.indexOf('=')
+        if (eq < 0) None else Some(f.substring(0, eq).toLowerCase -> f.substring(eq + 1))
+      }.toMap
+      val name = line.substring(sp + 1)
+      facts.get("type") match {
+        case Some("file") =>
+          Some(MlsdEntry(name, facts.get("size").map(_.toLong).getOrElse(0L),
+            isDir = false))
+        case Some("dir") => Some(MlsdEntry(name, 0L, isDir = true))
+        case _ => None // cdir/pdir/links skipped
+      }
     }
 
     /** Open a passive-mode RETR at `offset`. The returned stream owns

@@ -78,8 +78,33 @@ final class FtpServerStub(root: JPath, user: String, pass: String) {
               reply("250 ok")
             } catch { case _: Exception => reply("550 no such directory") }
           case "SIZE" =>
-            try reply(s"213 ${Files.size(resolve(arg))}")
-            catch { case _: Exception => reply("550 no such file") }
+            try {
+              val p = resolve(arg)
+              if (Files.isRegularFile(p)) reply(s"213 ${Files.size(p)}")
+              else reply("550 not a plain file") // dirs: real-server answer
+            } catch { case _: Exception => reply("550 no such file") }
+          case "MLSD" =>
+            (try Some(resolve(if (arg.isEmpty) "." else arg))
+              .filter(Files.isDirectory(_))
+            catch { case _: Exception => None }) match {
+              case None => reply("550 no such directory")
+              case Some(_) if data == null => reply("425 use PASV first")
+              case Some(p) =>
+                reply("150 listing")
+                val d = data.accept()
+                try {
+                  val w = new PrintWriter(d.getOutputStream, false)
+                  import scala.jdk.CollectionConverters._
+                  Files.list(p).iterator().asScala.foreach { e =>
+                    if (Files.isDirectory(e))
+                      w.print(s"type=dir; ${e.getFileName}\r\n")
+                    else w.print(
+                      s"type=file;size=${Files.size(e)}; ${e.getFileName}\r\n")
+                  }
+                  w.flush()
+                } finally { d.close(); data.close(); data = null }
+                reply("226 done")
+            }
           case "PASV" =>
             val p = openPassive()
             reply(s"227 Entering Passive Mode (127,0,0,1,${p >> 8},${p & 0xff})")
@@ -161,6 +186,17 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // projection + filter run through the same stream machinery
     val r0 = df.filter("n_regionkey = 0").select("n_name").collect()
     assert(r0.length == 5)
+  }
+
+  test("spark reads a DIRECTORY over ftp:// (MLSD listing)") {
+    // point the reader at the directory, not the file — getFileStatus
+    // must classify it as a dir and listStatus must enumerate via MLSD
+    val dirOnly = root.resolve("parquet-dir")
+    Files.createDirectories(dirOnly)
+    Files.copy(root.resolve("data/nation.parquet"),
+      dirOnly.resolve("part-0.parquet"))
+    val df = spark.read.parquet(url("/parquet-dir"))
+    assert(df.count() == 25)
   }
 
   test("spark reads csv over ftp://") {
