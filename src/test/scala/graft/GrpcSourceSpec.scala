@@ -285,6 +285,17 @@ class GrpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((new Hpack.Decoder).decode(big) == Seq("x-a" -> ("y" * 200)))
   }
 
+  test("hpack: a lying string length fails cleanly, never out-of-bounds") {
+    import graft.sources.grpc.Hpack
+    // literal header, name length claims 100 bytes but only 3 follow —
+    // a truncated/hostile block must surface as the codec's IOException
+    val lying = Array[Byte](0x40.toByte, 100.toByte, 'a', 'b', 'c')
+    val e = intercept[java.io.IOException] {
+      (new Hpack.Decoder).decode(lying)
+    }
+    assert(e.getMessage.contains("exceeds header block"), e.getMessage)
+  }
+
   test("hpack huffman: RFC 7541 Appendix C vectors, round-trip, " +
       "bad-padding rejection") {
     import graft.sources.grpc.Hpack.Huffman
