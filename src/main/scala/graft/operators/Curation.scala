@@ -369,6 +369,65 @@ object Curation {
       (s, dir) => docSurprisal(s, dir)
     },
 
+    // ------------------------------------------------ bigram surprisal
+    // One Markov order up from t_unigram_logprob — the direction CCNet's
+    // KenLM scorer actually goes: per document, the mean −ln p(w_i |
+    // w_{i−1}) under the corpus's own MLE bigram model (counts come from
+    // the corpus being scored, so every observed bigram has count ≥ 1 and
+    // no smoothing mass is needed). Conditional probability = bigram
+    // count / count of the prefix AS A PREFIX (occurrences of w1 as the
+    // first element of any bigram — NOT its unigram count, which would
+    // overweight document-final tokens). Scale shape mirrors the unigram
+    // chain: per-(doc, bigram) tf by map-side-combined groupBy; global
+    // bigram counts aggregate FROM tf (checkpointed, so the explode runs
+    // once); prefix counts aggregate from the bigram counts (vocab-sized,
+    // joined by key — never broadcast, never a window over the corpus).
+    // Per-term contributions cross engines as rounded integer micro-units
+    // (the t_unigram_logprob discipline), so the per-doc sum is an exact
+    // BIGINT aggregate.
+    GraftQuery("t_bigram_logprob",
+      s"""WITH w AS (SELECT doc_id, string_split(${TextPipeline.normSqlDuck}, ' ') AS ws
+         |           FROM documents),
+         |bi0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+         |        FROM w WHERE len(ws) >= 2),
+         |bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bi0),
+         |tfb AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bi
+         |        GROUP BY doc_id, w1, w2),
+         |cb AS (SELECT w1, w2, sum(tf) AS cb FROM tfb GROUP BY w1, w2),
+         |cp AS (SELECT w1, sum(cb) AS cp FROM cb GROUP BY w1),
+         |terms AS (SELECT tfb.doc_id, tfb.tf,
+         |    CAST(round(tfb.tf * ln(CAST(cb.cb AS DOUBLE) / cp.cp) * 1000000, 0)
+         |         AS BIGINT) AS micro
+         |  FROM tfb JOIN cb USING (w1, w2) JOIN cp USING (w1))
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  round(-CAST(sum(micro) AS DOUBLE) / 1000000 / sum(tf), 6) AS surprisal
+         |FROM terms GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      // size >= 2 guards the sequence bounds (sequence(1, 0) would count
+      // DOWN); single-token and empty-norm docs have no bigrams in either
+      // engine. Adjacency via sequence + element_at — codegen'd built-ins,
+      // no lambda in the corpus-wide path.
+      val pairs = TextPipeline.withNorm(t(s, dir).documents)
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), col("words"),
+          explode(expr("sequence(1, size(words) - 1)")).as("i"))
+        .select(col("doc_id"),
+          expr("words[i - 1]").as("w1"), expr("words[i]").as("w2"))
+      val tfb = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // feeds cb AND the probe side
+      val cb = tfb.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
+        .localCheckpoint(false) // feeds cp AND the join
+      val cp = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+      val terms = tfb.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+        .select(col("doc_id"), col("tf"),
+          round(col("tf") * log(col("cb").cast("double") / col("cp"))
+            * 1000000, 0).cast("bigint").as("micro"))
+      terms.groupBy(col("doc_id")).agg(
+        sum(col("tf")).cast("bigint").as("n_bigrams"),
+        round(-sum(col("micro")).cast("double") / 1000000 / sum(col("tf")), 6)
+          .as("surprisal"))
+    },
+
     // --------------------------------------- perplexity bucketing (CCNet)
     // CCNet (Wenzek et al. 2020) splits each language's documents into
     // head/middle/tail perplexity terciles and typically keeps head+middle.

@@ -414,6 +414,46 @@ class PlanShapeSpec extends AnyFunSuite {
       .size >= 2, s"no partial aggregate before the exchange:\n$p")
   }
 
+  test("bm25: one corpus aggregate, 1-row stats broadcast, fused top-k") {
+    val p = plan("t_bm25_topk")
+    // the ranked list comes from TakeOrderedAndProject (distributed
+    // per-partition top-k + merge), never a global sort or a window
+    assert(p.contains("TakeOrderedAndProject"), s"bm25 lost its top-k:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"bm25 reintroduced a window:\n$p")
+    // per-doc (dl, tf*) is checkpointed and feeds BOTH the stats build
+    // and the scoring probe — a plan that re-ran the explode would show
+    // a parquet scan below the join
+    assert(p.contains("ExistingRDD"), s"per-doc aggregate not reused:\n$p")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
+      s"bm25 re-reads documents:\n$p")
+    // corpus statistics ride as a broadcast, not a shuffle-side join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"stats row not broadcast:\n$p")
+  }
+
+  test("bigram surprisal: counts join back by key — no window, no re-explode") {
+    val p = plan("t_bigram_logprob")
+    // the same stopword-skew argument as the unigram pin: a
+    // sum-over-window by prefix word would put every bigram row of 'the'
+    // on one task; marginals must aggregate + join back instead
+    assert(!p.contains("windowspecdefinition"),
+      s"t_bigram_logprob reintroduced a window:\n$p")
+    assert(p.contains("ExistingRDD"), s"tfb not checkpointed:\n$p")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
+      s"bigram plan re-reads documents:\n$p")
+  }
+
+  test("pmi collocations aggregate the bigram table, never re-scan the corpus") {
+    val p = plan("t_collocations_pmi")
+    assert(p.contains("TakeOrderedAndProject"), s"pmi lost its top-k:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"pmi uses a window:\n$p")
+    // marginals and the total derive from the checkpointed bigram counts
+    assert(p.contains("ExistingRDD"), s"cb not checkpointed:\n$p")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
+      s"pmi re-reads documents:\n$p")
+  }
+
   test("phash pairs band-join ships (id, window, hash) — payloads stay map-side") {
     val p = plan("m_phash_pairs")
     val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
