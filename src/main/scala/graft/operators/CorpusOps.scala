@@ -497,6 +497,93 @@ object CorpusOps {
             .cast("bigint").as("n_fp"))
     },
 
+    // ------------------------------ centrality over the near-dup graph
+    // PageRank on the shared-gram similarity graph — the centrality signal
+    // for picking a CANONICAL document inside a boilerplate neighborhood
+    // (keep-best uses a quality scalar; centrality prefers the doc most
+    // representative of its template family). Graph: u—v iff the docs
+    // share ≥ 3 distinct non-hub 5-grams (hub grams, df > 64, carry no
+    // discriminative similarity and would blow the pair join quadratic —
+    // the MinHash bucket-cap argument; at production scale the cap is a
+    // constant, so per-gram pair fan-out is bounded). Five fixed-point
+    // power iterations with damping 0.85 in EXACT INTEGER micro-units:
+    // contribution = pr div deg, update = 150000 + (85·Σ) div 100 — every
+    // engine derives the identical BIGINTs, no float summation-order
+    // hazard anywhere (the micro-unit discipline applied to an iterative
+    // graph algorithm). Scale shape: each iteration is one equi-join of
+    // the (src, dst, deg) edge relation with the (node, pr) vector plus a
+    // map-side-combinable sum — the canonical distributed PageRank step;
+    // edges checkpoint once, iterations reuse them.
+    GraftQuery("d_dup_pagerank", {
+      val prStages = (1 to 5).map(i =>
+        s"""pr$i AS (SELECT e.dst AS node,
+           |    CAST(150000 + (85 * sum(p.pr // e.deg)) // 100 AS BIGINT) AS pr
+           |  FROM edges e JOIN pr${i - 1} p ON e.src = p.node
+           |  GROUP BY e.dst)""".stripMargin).mkString(",\n")
+      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
+         |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+         |            i -> md5(array_to_string(ws[i : i + 4], ' '))))) AS g
+         |          FROM w WHERE len(ws) >= 5),
+         |df AS (SELECT g, count(*) AS df FROM grams GROUP BY g
+         |       HAVING count(*) >= 2 AND count(*) <= 64),
+         |gf AS (SELECT grams.doc_id, grams.g FROM grams JOIN df USING (g)),
+         |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |          FROM gf a JOIN gf b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT u AS node FROM pairs
+         |          UNION ALL SELECT v FROM pairs) GROUP BY node),
+         |edges AS (SELECT u AS src, v AS dst, d.deg FROM pairs
+         |            JOIN deg d ON d.node = pairs.u
+         |          UNION ALL
+         |          SELECT v, u, d.deg FROM pairs
+         |            JOIN deg d ON d.node = pairs.v),
+         |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |$prStages
+         |SELECT p.node AS doc_id, d.deg,
+         |  round(CAST(p.pr AS DOUBLE) / 1000000, 6) AS pagerank
+         |FROM pr5 p JOIN deg d USING (node)""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      // Spark ships 8-byte fused gram hashes where the oracle uses
+      // md5-string grams — only the equality structure crosses engines
+      // (the d_repeated_ngrams contract)
+      val grams = withNorm(t(s, dir).documents)
+        .filter(size(col("words")) >= 5)
+        .select(col("doc_id"), explode(expr("graft_gram_hashes(words, 5)")).as("g"))
+        .localCheckpoint(false)
+      val dfg = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 64)
+      val gf = grams.join(dfg, "g").select(col("doc_id"), col("g"))
+      val a = gf.select(col("g"), col("doc_id").as("u"))
+      val b = gf.select(col("g"), col("doc_id").as("v"))
+      val pairs = a.join(b, Seq("g")).filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3).select(col("u"), col("v"))
+        .localCheckpoint(false) // feeds deg AND both edge directions
+      val deg = pairs.select(col("u").as("node"))
+        .union(pairs.select(col("v")))
+        .groupBy(col("node")).agg(count(lit(1)).cast("bigint").as("deg"))
+        .localCheckpoint(false)
+      val edges = pairs.join(deg, pairs("u") === deg("node"))
+        .select(col("u").as("src"), col("v").as("dst"), col("deg"))
+        .union(pairs.join(deg, pairs("v") === deg("node"))
+          .select(col("v"), col("u"), col("deg")))
+        .localCheckpoint(false) // 5 iterations reuse the edge relation
+      var pr = deg.select(col("node"), lit(1000000L).as("pr"))
+      for (_ <- 1 to 5) {
+        pr = edges.join(pr, edges("src") === pr("node"))
+          .select(col("dst"), expr("pr div deg").as("contrib"))
+          .groupBy(col("dst")).agg(
+            (lit(150000L) + expr("85 * sum(contrib) div 100"))
+              .cast("bigint").as("pr"))
+          .select(col("dst").as("node"), col("pr"))
+      }
+      pr.join(deg, "node")
+        .select(col("node").as("doc_id"), col("deg"),
+          round(col("pr").cast("double") / 1000000, 6).as("pagerank"))
+    },
+
     // -------------------------------------- cross-document repetition mass
     // The measurement behind "Deduplicating Training Data Makes Language
     // Models Better" (Lee et al. 2021): per document, what fraction of its

@@ -369,6 +369,86 @@ object Curation {
       (s, dir) => docSurprisal(s, dir)
     },
 
+    // ----------------------------------------- end-to-end curation verdict
+    // The composed decision a corpus pipeline actually renders per
+    // document — one operator that chains the individually-oracled stages
+    // and attributes every drop to its FIRST failing stage (the order
+    // real pipelines use: dedup before quality before decontamination, so
+    // downstream stage statistics aren't polluted by copies):
+    //   duplicate     — a smaller doc_id shares the normalized md5
+    //   low_quality   — < 20 tokens OR distinct-token ratio < 0.3
+    //                   (exact integer cross-multiplication, no division)
+    //   contaminated  — ≥ 50% of its distinct 5-grams occur in the held
+    //                   eval split (doc_id % 10 = 0; the d_decontaminate
+    //                   contract, 2·hits ≥ grams as an integer test)
+    //   kept          — everything else
+    // Scale shape: stage features are map-only; keep-first is a
+    // (16-byte hash, id) aggregate joined back (never a window); the
+    // contamination probe joins 8-byte fused gram hashes against the
+    // distinct eval-gram relation. One corpus scan feeds every stage
+    // (checkpointed), and the verdict is a single CASE over the three
+    // left-joined stage relations.
+    GraftQuery("d_curation_pipeline",
+      s"""WITH base AS (SELECT doc_id, ${TextPipeline.normSqlDuck} AS norm FROM documents),
+         |tok AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM base),
+         |feat AS (SELECT doc_id, norm, ws,
+         |    CASE WHEN norm = '' THEN 0 ELSE len(ws) END AS n_tokens,
+         |    CASE WHEN norm = '' THEN 0 ELSE len(list_distinct(ws)) END AS n_distinct
+         |  FROM tok WHERE doc_id % 10 <> 0),
+         |minper AS (SELECT md5(norm) AS h, min(doc_id) AS keep_id
+         |  FROM base WHERE doc_id % 10 <> 0 GROUP BY md5(norm)),
+         |evalg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |      range(1, len(ws) - 3), i -> md5(array_to_string(ws[i : i + 4], ' '))))) AS g
+         |  FROM tok WHERE doc_id % 10 = 0 AND len(ws) >= 5),
+         |traing AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(1, len(ws) - 3), i -> md5(array_to_string(ws[i : i + 4], ' '))))) AS g
+         |  FROM feat WHERE len(ws) >= 5),
+         |ov AS (SELECT t.doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |  FROM traing t LEFT JOIN evalg e ON t.g = e.g GROUP BY t.doc_id)
+         |SELECT f.doc_id,
+         |  CAST(f.n_tokens AS BIGINT) AS n_tokens,
+         |  CASE WHEN f.doc_id <> m.keep_id THEN 'duplicate'
+         |       WHEN f.n_tokens < 20 OR f.n_distinct * 10 < f.n_tokens * 3
+         |         THEN 'low_quality'
+         |       WHEN coalesce(o.n_hit, 0) * 2 >= o.n_grams THEN 'contaminated'
+         |       ELSE 'kept' END AS verdict
+         |FROM feat f
+         |JOIN minper m ON md5(f.norm) = m.h
+         |LEFT JOIN ov o ON o.doc_id = f.doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val feat = TextPipeline.withNorm(t(s, dir).documents)
+        .filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("norm"), col("words"),
+          when(col("norm") === "", lit(0))
+            .otherwise(size(col("words"))).as("n_tokens"),
+          when(col("norm") === "", lit(0))
+            .otherwise(size(array_distinct(col("words")))).as("n_distinct"))
+        .localCheckpoint(false) // one corpus scan feeds all three stages
+      val minper = feat.groupBy(md5(col("norm")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val evalg = TextPipeline.withNorm(
+          t(s, dir).documents.filter(col("doc_id") % 10 === 0))
+        .filter(size(col("words")) >= 5)
+        .select(explode(expr("graft_gram_hashes(words, 5)")).as("g"))
+        .distinct()
+      val traing = feat.filter(size(col("words")) >= 5)
+        .select(col("doc_id"), explode(expr("graft_gram_hashes(words, 5)")).as("g"))
+      val ov = traing.join(evalg.withColumn("hit", lit(1L)), Seq("g"), "left")
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      feat.join(minper, md5(col("norm")) === minper("h"))
+        .join(ov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+          when(col("doc_id") =!= col("keep_id"), "duplicate")
+            .when(col("n_tokens") < 20 ||
+              col("n_distinct") * 10 < col("n_tokens") * 3, "low_quality")
+            .when(coalesce(col("n_hit"), lit(0L)) * 2 >= col("n_grams"),
+              "contaminated")
+            .otherwise("kept").as("verdict"))
+    },
+
     // ------------------------------------------------ bigram surprisal
     // One Markov order up from t_unigram_logprob — the direction CCNet's
     // KenLM scorer actually goes: per document, the mean −ln p(w_i |

@@ -231,6 +231,60 @@ object Similarity {
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
     },
 
+    // IVF-PQ — the production composition (faiss IndexIVFPQ): the coarse
+    // quantizer prunes the corpus to nprobe inverted lists (only ~nprobe/k
+    // of the corpus is touched per query) and PQ codes stand in for the
+    // vectors inside the probed lists, so the scan reads 16 bytes per
+    // candidate instead of 256 and never fetches raw vectors at all.
+    // This variant quantizes the normalized vector directly (IVF-Flat
+    // pruning + PQ scoring); classic residual encoding is a refinement on
+    // the same plan shape. Candidate generation is the s_ann_ivf
+    // equi-join on list_id (ids + codes in the exchange, never vectors);
+    // scoring is the s_ann_pq ADC kernel; the per-query ranking windows
+    // over the BOUNDED probed-list candidate set. Rows-only by the same
+    // sample-training argument; recall spec-pinned against the exact twin.
+    GraftQuery.unverified("s_ann_ivfpq") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val Kc = 8; val nprobe = 4
+      val M = 16; val Ksub = 16; val SubDim = 4
+      val sampleRaw = t(s, dir).embeddings.filter(col("vec_id") % 3 === 0)
+        .orderBy(col("vec_id")).limit(256)
+        .select(expr(toDouble)).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val coarse = kmeans(sampleRaw, Kc, iters = 5)
+      val normSample = sampleRaw.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+      val books: Array[Array[Array[Double]]] = Array.tabulate(M) { j =>
+        kmeansL2(normSample.map(_.slice(j * SubDim, (j + 1) * SubDim)), Ksub, 10)
+      }
+      val vecs = t(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").as("v"))
+      // the index: one (list_id, 16-int codes) row per corpus vector —
+      // the ONLY per-vector state the search ever reads
+      val corpus = vecs.filter(col("vec_id") >= 5)
+        .select(col("vec_id"),
+          nearestCentroid(col("v"), coarse).as("list_id"),
+          GraftColumnBridge.column(graft.functions.PqEncode(
+            GraftColumnBridge.expression(col("v")), books)).as("codes"))
+      val probes = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          GraftColumnBridge.column(graft.functions.PqLut(
+            GraftColumnBridge.expression(col("v")), books)).as("lut"),
+          posexplode(topCentroids(col("v"), coarse, nprobe))
+            .as(Seq("probe_rank", "list_id")))
+      // queries × nprobe rows — bounded at any scale; pin the broadcast
+      val cand = corpus.join(broadcast(probes), Seq("list_id"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adist"), col("vec_id"))
+      cand.select(col("qid"), col("vec_id"),
+          round(GraftColumnBridge.column(graft.functions.PqAdc(
+            GraftColumnBridge.expression(col("lut")),
+            GraftColumnBridge.expression(col("codes")), Ksub)), 6).as("adist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    },
+
     // Product quantization (Jégou, Douze, Schmid 2011) — the third scale
     // path beside LSH and IVF, for the regime where even the VECTORS don't
     // fit: the corpus index is m small codes per vector (here 8 codes ≈ 8

@@ -242,6 +242,20 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"PQ recall@10 too low: $recall")
   }
 
+  test("ann ivfpq prunes to probed lists and still recalls against brute force") {
+    val df = run("s_ann_ivfpq")
+    val perQ = df.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(perQ.length == 5 && perQ.forall(_ == 10), perQ.mkString(","))
+    // double approximation (nprobe pruning AND PQ scoring) — the floor is
+    // looser than either path alone but must stay meaningful
+    val exact = run("s_ann_bruteforce").select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = df.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVFPQ recall@10 too low: $recall")
+  }
+
   test("pq L2 kmeans is deterministic; codes/ADC agree with a hand-built quantizer") {
     val sample = Array.tabulate(40)(i =>
       Array.tabulate(8)(d => math.cos(i * 3 + d) * (1 + d)))

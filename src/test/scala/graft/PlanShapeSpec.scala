@@ -480,6 +480,40 @@ class PlanShapeSpec extends AnyFunSuite {
         s"raw vectors in a pq exchange: $e"))
   }
 
+  test("ivfpq: probes broadcast; exchanges carry ids and codes, never vectors") {
+    val p = plan("s_ann_ivfpq")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"), s"probe rows not broadcast:\n$p")
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    exchanges.foreach(e =>
+      assert(!e.contains("v#") && !e.contains("embedding#"),
+        s"raw vectors in an ivfpq exchange: $e"))
+  }
+
+  test("pagerank: iterations reuse checkpointed edges; no window anywhere") {
+    val p = plan("d_dup_pagerank")
+    // each power iteration is join + map-side-combinable sum over the
+    // checkpointed edge relation — never a window (a window by node would
+    // hot-spot the highest-degree boilerplate neighborhood)
+    assert(!p.contains("windowspecdefinition"),
+      s"pagerank reintroduced a window:\n$p")
+    assert(p.contains("ExistingRDD"), s"edges not checkpointed:\n$p")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
+      s"an iteration re-reads documents:\n$p")
+  }
+
+  test("curation pipeline: one checkpointed corpus scan feeds all stages") {
+    val p = plan("d_curation_pipeline")
+    assert(!p.contains("windowspecdefinition"),
+      s"keep-first became a window:\n$p")
+    assert(p.contains("ExistingRDD"), s"features not checkpointed:\n$p")
+    // the only parquet scan left is the eval split for the
+    // decontamination gram set
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 1,
+      s"pipeline re-reads the train split:\n$p")
+  }
+
   test("phash pairs band-join ships (id, window, hash) — payloads stay map-side") {
     val p = plan("m_phash_pairs")
     val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
