@@ -218,14 +218,17 @@ object GraftSession {
       // ODBC/JDBC sessions share THIS session's catalog (temp views,
       // registered sources) instead of getting isolated empty sessions
       .config("spark.sql.hive.thriftServer.singleSession", "true")
-      // http(s)://, ftp:// and sftp:// file paths resolve out of the
-      // box (sources/HttpFileSystem, FtpFileSystem, SftpFileSystem);
-      // per-read auth headers via fs.http.header.*, ftp/sftp
-      // credentials in the URI, optional sftp host-key pin via
-      // fs.sftp.hostkey.sha256
+      // http(s)://, ftp://, sftp://, and s3:///s3a:// file paths resolve
+      // out of the box (sources/HttpFileSystem, FtpFileSystem,
+      // SftpFileSystem, s3/S3FileSystem); per-read auth headers via
+      // fs.http.header.*, ftp/sftp credentials in the URI, optional sftp
+      // host-key pin via fs.sftp.hostkey.sha256, S3 credentials/endpoint
+      // via fs.s3.* (fs.s3a.* accepted as aliases; a deployment shipping
+      // hadoop-aws overrides fs.s3a.impl per read/source and wins)
       .config((graft.sources.HttpFileSystem.confEntries ++
         graft.sources.FtpFileSystem.confEntries ++
-        graft.sources.SftpFileSystem.confEntries).map {
+        graft.sources.SftpFileSystem.confEntries ++
+        graft.sources.s3.S3FileSystem.confEntries).map {
         case (k, v) => s"spark.hadoop.$k" -> v
       }.toMap)
 }

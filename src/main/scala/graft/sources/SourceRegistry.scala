@@ -221,12 +221,14 @@ object SourceRegistry {
     * registry, and per-source credentials/impl classes travel as plain
     * `options` entries (`fs.s3a.access.key`, `fs.<scheme>.impl`, …)
     * because file readers merge their options into the per-read Hadoop
-    * conf. The one mapping Spark users need: the reference's `s3://`
-    * spells the Hadoop connector `s3a://`. `http://`/`https://`,
-    * `ftp://`, and `sftp://` are served in-repo ([[HttpFileSystem]],
-    * [[FtpFileSystem]], [[SftpFileSystem]], registered by the session
-    * builder); gs/abfss pass through to whatever fs.<scheme>.impl the
-    * deployment ships. */
+    * conf. `http://`/`https://`, `ftp://`, `sftp://`, and `s3://`/
+    * `s3a://` are served in-repo ([[HttpFileSystem]], [[FtpFileSystem]],
+    * [[SftpFileSystem]], [[graft.sources.s3.S3FileSystem]] — a direct
+    * SigV4 REST client, no hadoop-aws jar needed — all registered by
+    * the session builder); the s3→s3a spelling is normalized so both
+    * resolve identically, and a deployment that ships hadoop-aws
+    * overrides `fs.s3a.impl` per read/source. gs/abfss pass through to
+    * whatever fs.<scheme>.impl the deployment ships. */
   private[graft] def normalizeScheme(p: String): String =
     if (p.startsWith("s3://")) "s3a://" + p.stripPrefix("s3://") else p
 

@@ -1,0 +1,414 @@
+package graft.sources.s3
+
+import java.io.{EOFException, FileNotFoundException, IOException, InputStream}
+import java.net.{HttpURLConnection, URI, URL}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Read-only Hadoop `FileSystem` speaking the S3 REST API directly —
+  * `spark.read.parquet("s3://bucket/dir")` works against AWS or any
+  * S3-compatible store (MinIO, Ceph RGW, R2) with no hadoop-aws or SDK
+  * jar, the way the reference reads object stores through OpenDAL's s3
+  * operator (crates/connectors/src/sources/file.rs:124-207). Every
+  * request is SigV4-signed ([[SigV4]]); with no access key configured,
+  * requests go unsigned (public buckets).
+  *
+  * Operations used: HEAD object (status), ListObjectsV2 with `/`
+  * delimiter + continuation-token pagination (directory listing — the
+  * piece plain HTTP cannot do), and ranged GET (random access). Seek
+  * maps to `Range: bytes=pos-`, so a parquet footer read fetches the
+  * object tail — scan bytes stay proportional to the pruned read schema
+  * at 100 TB, and column-chunk reads cost one ranged request each.
+  *
+  * Configuration (per-read via reader options or per-source via
+  * `SourceDef.options`, both merge into the per-read Hadoop conf; the
+  * `fs.s3a.*` spellings are accepted as aliases so existing hadoop-aws
+  * configs drop in):
+  *  - `fs.s3.endpoint`   — e.g. `http://127.0.0.1:9000`; unset ⇒ AWS
+  *    (`https://<bucket>.s3.<region>.amazonaws.com`, virtual-host style)
+  *  - `fs.s3.region`     — SigV4 scope region, default `us-east-1`
+  *  - `fs.s3.access.key` / `fs.s3.secret.key` / `fs.s3.session.token`
+  *  - `fs.s3.path.style.access` — force path-style URLs (default: on
+  *    exactly when an endpoint is set — custom endpoints rarely resolve
+  *    virtual-host buckets; AWS default resolves them natively)
+  *
+  * Writes are unsupported by design (the engine's file parity is
+  * read-only, README.md). */
+class S3FileSystem extends FileSystem {
+  protected def schemeName: String = "s3"
+
+  private var fsUri: URI = _
+  private var bucket: String = _
+  private var endpoint: Option[URI] = None
+  private var region: String = "us-east-1"
+  private var accessKey: String = ""
+  private var secretKey: String = ""
+  private var sessionToken: Option[String] = None
+  private var pathStyle: Boolean = false
+
+  override def getScheme: String = schemeName
+
+  /** `fs.s3.<suffix>` with `fs.s3a.<suffix>` accepted as an alias (the
+    * scheme-specific spelling wins so one conf can carry both).
+    * hadoop-common's bundled core-default.xml predefines many fs.s3a.*
+    * properties (e.g. path.style.access=false); a value whose ONLY
+    * source is core-default is a shipped default, not user intent, and
+    * must not shadow this client's own defaults. */
+  private def opt(conf: Configuration, suffix: String): Option[String] = {
+    def userSet(key: String): Option[String] =
+      Option(conf.get(key)).filter { _ =>
+        val srcs = Option(conf.getPropertySources(key)).getOrElse(Array.empty)
+        srcs.isEmpty || srcs.exists(_ != "core-default.xml")
+      }
+    userSet(s"fs.$schemeName.$suffix")
+      .orElse(userSet(s"fs.s3.$suffix"))
+      .orElse(userSet(s"fs.s3a.$suffix"))
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    bucket = Option(name.getAuthority).getOrElse(
+      throw new IOException(s"$schemeName URI needs a bucket: $name"))
+    fsUri = URI.create(s"$schemeName://$bucket")
+    endpoint = opt(conf, "endpoint").map(URI.create)
+    region = opt(conf, "region").getOrElse("us-east-1")
+    accessKey = opt(conf, "access.key").getOrElse("")
+    secretKey = opt(conf, "secret.key").getOrElse("")
+    sessionToken = opt(conf, "session.token")
+    pathStyle = opt(conf, "path.style.access")
+      .map(_.toBoolean).getOrElse(endpoint.isDefined)
+  }
+
+  override def getUri: URI = fsUri
+
+  /** Object key for a path (no leading slash; "" = bucket root). */
+  private def keyOf(f: Path): String = {
+    val p = f.toUri.getPath
+    p.stripPrefix("/")
+  }
+
+  private def baseUri: URI = endpoint.getOrElse(
+    URI.create(s"https://$bucket.s3.$region.amazonaws.com"))
+
+  /** (request URL, canonical path, Host header value) for an object key
+    * or a bucket-level listing (key = None). */
+  private[s3] def requestTarget(key: Option[String]): (URL, String, String) = {
+    val base = baseUri
+    val defaultPort = if (base.getScheme == "https") 443 else 80
+    val host =
+      if (base.getPort == -1 || base.getPort == defaultPort) base.getHost
+      else s"${base.getHost}:${base.getPort}"
+    val rawPath =
+      (if (pathStyle) s"/$bucket" else "") + "/" + key.getOrElse("")
+    val encPath = SigV4.uriEncode(rawPath, keepSlash = true)
+    val url = new URI(base.getScheme, null, base.getHost,
+      base.getPort, null, null, null).toURL
+    (new URL(url, encPath), encPath, host)
+  }
+
+  /** Signed request. `query` raw pairs; the URL gets the encoded query
+    * appended in the same sorted order the signature covers. */
+  private def request(method: String, key: Option[String],
+      query: Seq[(String, String)],
+      range: Option[String]): HttpURLConnection = {
+    val (urlNoQuery, encPath, host) = requestTarget(key)
+    val encQ = query
+      .map { case (k, v) => (SigV4.uriEncode(k, keepSlash = false),
+        SigV4.uriEncode(v, keepSlash = false)) }
+      .sortBy(identity)
+      .map { case (k, v) => s"$k=$v" }.mkString("&")
+    val url = if (encQ.isEmpty) urlNoQuery
+      else new URL(urlNoQuery.toString + "?" + encQ)
+    val c = url.openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setConnectTimeout(15000)
+    c.setReadTimeout(60000)
+    c.setInstanceFollowRedirects(false)
+    val amzDate = SigV4.amzDateNow()
+    var headers = Seq(
+      "host" -> host,
+      "x-amz-content-sha256" -> SigV4.UnsignedPayload,
+      "x-amz-date" -> amzDate)
+    sessionToken.foreach(t => headers :+= ("x-amz-security-token" -> t))
+    range.foreach(r => headers :+= ("range" -> r))
+    headers.foreach { case (k, v) =>
+      if (k != "host") c.setRequestProperty(k, v)
+    }
+    if (accessKey.nonEmpty)
+      c.setRequestProperty("Authorization", SigV4.authorization(
+        method, encPath, query, headers, SigV4.UnsignedPayload,
+        accessKey, secretKey, region, amzDate))
+    c
+  }
+
+  private val statusCache =
+    new java.util.concurrent.ConcurrentHashMap[Path, FileStatus]()
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val q = makeQualified(f)
+    val cached = statusCache.get(q)
+    if (cached != null) return cached
+    val st = fetchStatus(q)
+    statusCache.put(q, st)
+    st
+  }
+
+  private def dirStatus(f: Path): FileStatus =
+    new FileStatus(0L, true, 1, 0L, 0L, makeQualified(f))
+
+  /** Size probe as `GET Range: bytes=0-0` rather than HEAD — the
+    * HttpFileSystem discipline: 206 carries the total after the `/` in
+    * Content-Range, 416 means a zero-length object, and HEAD support
+    * varies across S3-compatible stores. The body (one byte) is never
+    * consumed. */
+  private def fetchStatus(f: Path): FileStatus = {
+    val key = keyOf(f)
+    if (key.isEmpty || key.endsWith("/")) return dirStatus(f)
+    val c = request("GET", Some(key), Nil, Some("bytes=0-0"))
+    try {
+      val code = c.getResponseCode
+      if (code == 416)
+        return new FileStatus(0L, false, 1, 128L * 1024 * 1024,
+          math.max(0L, c.getLastModified), makeQualified(f))
+      if (code == 206 || code == 200) {
+        val len =
+          if (code == 206)
+            Option(c.getHeaderField("Content-Range")).flatMap { cr =>
+              val slash = cr.lastIndexOf('/')
+              if (slash < 0) None
+              else cr.substring(slash + 1).trim.toLongOption
+            }.getOrElse(-1L)
+          else c.getContentLengthLong
+        if (len < 0)
+          throw new IOException(
+            s"$schemeName://$bucket/$key: no usable Content-Range/Length")
+        return new FileStatus(len, false, 1, 128L * 1024 * 1024,
+          math.max(0L, c.getLastModified), makeQualified(f))
+      }
+      if (code != 404)
+        throw new IOException(s"GET $schemeName://$bucket/$key: HTTP $code")
+    } finally c.disconnect()
+    // not an object — a "directory" exists iff any key has this prefix
+    val probe = listPage(key + "/", delimiter = None, token = None,
+      maxKeys = Some(1))
+    if (probe.keys.nonEmpty || probe.prefixes.nonEmpty) dirStatus(f)
+    else throw new FileNotFoundException(s"$schemeName://$bucket/$key")
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val st = getFileStatus(f)
+    if (!st.isDirectory) return Array(st)
+    val key = keyOf(f)
+    val prefix = if (key.isEmpty) "" else key.stripSuffix("/") + "/"
+    val out = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val page = listPage(prefix, delimiter = Some("/"), token = token,
+        maxKeys = None)
+      page.keys.foreach { o =>
+        // the zero-byte "directory marker" some writers leave at the
+        // prefix itself is not a file
+        if (o.key != prefix) {
+          val p = makeQualified(new Path("/" + o.key))
+          out += new FileStatus(o.size, false, 1, 128L * 1024 * 1024,
+            o.mtime, p)
+          statusCache.put(p, out.last)
+        }
+      }
+      page.prefixes.foreach { cp =>
+        out += dirStatus(new Path("/" + cp.stripSuffix("/")))
+      }
+      token = page.nextToken
+      more = token.isDefined
+    }
+    out.toArray
+  }
+
+  private[s3] case class ListedObject(key: String, size: Long, mtime: Long)
+  private[s3] case class ListPage(keys: Seq[ListedObject],
+      prefixes: Seq[String], nextToken: Option[String])
+
+  /** One ListObjectsV2 page. Minimal well-formed-XML extraction: S3's
+    * response schema is flat (Contents/Key/Size/LastModified,
+    * CommonPrefixes/Prefix, NextContinuationToken), parsed with the
+    * JDK DOM parser (external entities disabled). */
+  private def listPage(prefix: String, delimiter: Option[String],
+      token: Option[String], maxKeys: Option[Int]): ListPage = {
+    var query = Seq("list-type" -> "2", "prefix" -> prefix)
+    delimiter.foreach(d => query :+= ("delimiter" -> d))
+    token.foreach(t => query :+= ("continuation-token" -> t))
+    maxKeys.foreach(m => query :+= ("max-keys" -> m.toString))
+    val c = request("GET", None, query, None)
+    try {
+      val code = c.getResponseCode
+      if (code != 200) {
+        val err = Option(c.getErrorStream).map(s =>
+          new String(s.readAllBytes(), "UTF-8").take(500)).getOrElse("")
+        throw new IOException(
+          s"ListObjectsV2 $schemeName://$bucket/$prefix: HTTP $code $err")
+      }
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      dbf.setExpandEntityReferences(false)
+      val doc = dbf.newDocumentBuilder().parse(c.getInputStream)
+      def texts(tag: String): Seq[org.w3c.dom.Element] = {
+        val nl = doc.getElementsByTagName(tag)
+        (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+      }
+      def childText(e: org.w3c.dom.Element, tag: String): Option[String] = {
+        val nl = e.getElementsByTagName(tag)
+        if (nl.getLength == 0) None else Option(nl.item(0).getTextContent)
+      }
+      val keys = texts("Contents").flatMap { e =>
+        childText(e, "Key").map { k =>
+          val size = childText(e, "Size").flatMap(_.trim.toLongOption)
+            .getOrElse(0L)
+          val mtime = childText(e, "LastModified").flatMap(t =>
+            scala.util.Try(java.time.Instant.parse(t.trim).toEpochMilli)
+              .toOption).getOrElse(0L)
+          ListedObject(k, size, mtime)
+        }
+      }
+      val prefixes = texts("CommonPrefixes").flatMap(childText(_, "Prefix"))
+      val truncated = texts("IsTruncated").headOption
+        .exists(_.getTextContent.trim == "true")
+      val next = if (!truncated) None
+        else texts("NextContinuationToken").headOption
+          .map(_.getTextContent.trim).filter(_.nonEmpty)
+      ListPage(keys, prefixes, next)
+    } catch {
+      case e: org.xml.sax.SAXException =>
+        throw new IOException(s"ListObjectsV2: malformed XML: ${e.getMessage}")
+    } finally c.disconnect()
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val st = getFileStatus(f)
+    if (st.isDirectory)
+      throw new FileNotFoundException(s"$f is a directory")
+    val key = keyOf(f)
+    new FSDataInputStream(new BufferedFSInputStream(
+      new S3FileSystem.S3InputStream(s"$schemeName://$bucket/$key",
+        st.getLen, r => request("GET", Some(key), Nil, r)), bufferSize))
+  }
+
+  override def setWorkingDirectory(d: Path): Unit = ()
+  override def getWorkingDirectory: Path = new Path(fsUri.toString + "/")
+  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+    throw new UnsupportedOperationException(s"$schemeName is read-only")
+  override def create(f: Path, permission: FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException(s"$schemeName is read-only")
+  override def append(f: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException(s"$schemeName is read-only")
+  override def rename(src: Path, dst: Path): Boolean =
+    throw new UnsupportedOperationException(s"$schemeName is read-only")
+  override def delete(f: Path, recursive: Boolean): Boolean =
+    throw new UnsupportedOperationException(s"$schemeName is read-only")
+}
+
+/** The `s3a://` registration of [[S3FileSystem]], so existing hadoop-aws
+  * spellings (and [[graft.sources.SourceRegistry.normalizeScheme]]'s
+  * s3→s3a mapping) resolve to the in-repo client. A deployment that
+  * ships hadoop-aws overrides `fs.s3a.impl` per read/source and wins. */
+class S3aFileSystem extends S3FileSystem {
+  override protected def schemeName: String = "s3a"
+}
+
+object S3FileSystem {
+  /** Session-conf registration for both spellings (cache disabled: a
+    * cached instance would pin the credentials of whichever read came
+    * first — the HttpFileSystem discipline). */
+  val confEntries: Seq[(String, String)] = Seq(
+    "fs.s3.impl" -> classOf[S3FileSystem].getName,
+    "fs.s3a.impl" -> classOf[S3aFileSystem].getName,
+    "fs.s3.impl.disable.cache" -> "true",
+    "fs.s3a.impl.disable.cache" -> "true")
+
+  /** Seekable ranged-GET stream — the HttpFileSystem contract: a seek
+    * invalidates the body; the next read opens one signed connection at
+    * the new offset and streams forward; a mid-body disconnect reopens
+    * once (len is authoritative, a truncated body must never read as a
+    * clean EOF). */
+  private final class S3InputStream(name: String, len: Long,
+      conn: Option[String] => HttpURLConnection) extends FSInputStream {
+    private var pos = 0L
+    private var in: InputStream = _
+    private var c: HttpURLConnection = _
+
+    private def ensureOpen(): Boolean = {
+      if (pos >= len) return false
+      if (in == null) {
+        c = conn(if (pos > 0) Some(s"bytes=$pos-") else None)
+        val code = c.getResponseCode
+        if (code == 404) throw new FileNotFoundException(name)
+        if (code >= 400) throw new IOException(s"GET $name: HTTP $code")
+        in = c.getInputStream
+        if (pos > 0 && code == 200) {
+          // a Range-ignoring store answered with the full body
+          var left = pos
+          while (left > 0) {
+            val skipped = in.skip(left)
+            if (skipped <= 0) {
+              if (in.read() < 0) throw new EOFException(name)
+              left -= 1
+            } else left -= skipped
+          }
+        }
+      }
+      true
+    }
+
+    private def closeBody(): Unit = {
+      if (in != null) { try in.close() catch { case _: IOException => () } }
+      if (c != null) c.disconnect()
+      in = null; c = null
+    }
+
+    override def seek(target: Long): Unit = {
+      if (target < 0 || target > len)
+        throw new EOFException(s"seek($target) outside [0,$len] for $name")
+      if (target != pos) { closeBody(); pos = target }
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(target: Long): Boolean = false
+
+    override def read(): Int = {
+      if (!ensureOpen()) return -1
+      var b = in.read()
+      if (b < 0) {
+        closeBody(); ensureOpen()
+        b = in.read()
+        if (b < 0) throw new EOFException(s"$name truncated at $pos/$len")
+      }
+      pos += 1
+      b
+    }
+
+    override def read(buf: Array[Byte], off: Int, n: Int): Int = {
+      if (n == 0) return 0
+      if (!ensureOpen()) return -1
+      var got = in.read(buf, off, n)
+      if (got < 0) {
+        closeBody(); ensureOpen()
+        got = in.read(buf, off, n)
+        if (got < 0) throw new EOFException(s"$name truncated at $pos/$len")
+      }
+      pos += got
+      got
+    }
+
+    override def available(): Int =
+      math.min(len - pos, Int.MaxValue.toLong).toInt
+
+    override def close(): Unit = closeBody()
+  }
+}
