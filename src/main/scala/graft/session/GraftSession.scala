@@ -228,7 +228,8 @@ object GraftSession {
       .config((graft.sources.HttpFileSystem.confEntries ++
         graft.sources.FtpFileSystem.confEntries ++
         graft.sources.SftpFileSystem.confEntries ++
-        graft.sources.s3.S3FileSystem.confEntries).map {
+        graft.sources.s3.S3FileSystem.confEntries ++
+        graft.sources.azure.AbfsFileSystem.confEntries).map {
         case (k, v) => s"spark.hadoop.$k" -> v
       }.toMap)
 }

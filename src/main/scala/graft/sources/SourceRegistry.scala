@@ -221,14 +221,17 @@ object SourceRegistry {
     * registry, and per-source credentials/impl classes travel as plain
     * `options` entries (`fs.s3a.access.key`, `fs.<scheme>.impl`, …)
     * because file readers merge their options into the per-read Hadoop
-    * conf. `http://`/`https://`, `ftp://`, `sftp://`, and `s3://`/
-    * `s3a://` are served in-repo ([[HttpFileSystem]], [[FtpFileSystem]],
-    * [[SftpFileSystem]], [[graft.sources.s3.S3FileSystem]] — a direct
-    * SigV4 REST client, no hadoop-aws jar needed — all registered by
-    * the session builder); the s3→s3a spelling is normalized so both
-    * resolve identically, and a deployment that ships hadoop-aws
-    * overrides `fs.s3a.impl` per read/source. gs/abfss pass through to
-    * whatever fs.<scheme>.impl the deployment ships. */
+    * conf. `http://`/`https://`, `ftp://`, `sftp://`, `s3://`/`s3a://`,
+    * `gs://`, and `abfss://`/`abfs://` are ALL served in-repo
+    * ([[HttpFileSystem]], [[FtpFileSystem]], [[SftpFileSystem]],
+    * [[graft.sources.s3.S3FileSystem]] — a direct SigV4 REST client,
+    * with [[graft.sources.s3.GsFileSystem]] reusing it in GCS
+    * HMAC-interop mode — and [[graft.sources.azure.AbfsFileSystem]] —
+    * Shared Key against the Blob REST API; no hadoop-aws/gcs/azure jars
+    * needed; all registered by the session builder). The s3→s3a
+    * spelling is normalized so both resolve identically; a deployment
+    * shipping the stock connectors overrides fs.<scheme>.impl per
+    * read/source and wins. */
   private[graft] def normalizeScheme(p: String): String =
     if (p.startsWith("s3://")) "s3a://" + p.stripPrefix("s3://") else p
 

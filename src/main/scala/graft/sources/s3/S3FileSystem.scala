@@ -39,6 +39,12 @@ import org.apache.hadoop.util.Progressable
   * read-only, README.md). */
 class S3FileSystem extends FileSystem {
   protected def schemeName: String = "s3"
+  /** Conf spellings consulted for `<suffix>` lookups, highest first. */
+  protected def aliasSchemes: Seq[String] = Seq(schemeName, "s3", "s3a")
+  /** Endpoint when neither conf nor AWS applies (None ⇒ AWS virtual-host). */
+  protected def defaultEndpoint: Option[URI] = None
+  /** Path-style default when no endpoint conf is set. */
+  protected def defaultPathStyle: Boolean = false
 
   private var fsUri: URI = _
   private var bucket: String = _
@@ -63,10 +69,9 @@ class S3FileSystem extends FileSystem {
         val srcs = Option(conf.getPropertySources(key)).getOrElse(Array.empty)
         srcs.isEmpty || srcs.exists(_ != "core-default.xml")
       }
-    userSet(s"fs.$schemeName.$suffix")
-      .orElse(userSet(s"fs.s3.$suffix"))
-      .orElse(userSet(s"fs.s3a.$suffix"))
-      .map(_.trim).filter(_.nonEmpty)
+    aliasSchemes.distinct.iterator
+      .flatMap(a => userSet(s"fs.$a.$suffix"))
+      .map(_.trim).find(_.nonEmpty)
   }
 
   override def initialize(name: URI, conf: Configuration): Unit = {
@@ -81,7 +86,7 @@ class S3FileSystem extends FileSystem {
     secretKey = opt(conf, "secret.key").getOrElse("")
     sessionToken = opt(conf, "session.token")
     pathStyle = opt(conf, "path.style.access")
-      .map(_.toBoolean).getOrElse(endpoint.isDefined)
+      .map(_.toBoolean).getOrElse(endpoint.isDefined || defaultPathStyle)
   }
 
   override def getUri: URI = fsUri
@@ -92,7 +97,7 @@ class S3FileSystem extends FileSystem {
     p.stripPrefix("/")
   }
 
-  private def baseUri: URI = endpoint.getOrElse(
+  private def baseUri: URI = endpoint.orElse(defaultEndpoint).getOrElse(
     URI.create(s"https://$bucket.s3.$region.amazonaws.com"))
 
   /** (request URL, canonical path, Host header value) for an object key
@@ -294,7 +299,7 @@ class S3FileSystem extends FileSystem {
       throw new FileNotFoundException(s"$f is a directory")
     val key = keyOf(f)
     new FSDataInputStream(new BufferedFSInputStream(
-      new S3FileSystem.S3InputStream(s"$schemeName://$bucket/$key",
+      new graft.sources.RangedObjectStream(s"$schemeName://$bucket/$key",
         st.getLen, r => request("GET", Some(key), Nil, r)), bufferSize))
   }
 
@@ -323,6 +328,22 @@ class S3aFileSystem extends S3FileSystem {
   override protected def schemeName: String = "s3a"
 }
 
+/** The `gs://` registration: Google Cloud Storage's XML API in HMAC
+  * interoperability mode accepts exactly this AWS-style V4 signing
+  * (Credential scope `.../s3/aws4_request`, documented under "Simple
+  * migration" in the GCS interoperability guide) against
+  * `storage.googleapis.com` path-style URLs, so the same client serves
+  * `gs://bucket/...` with an HMAC key pair in `fs.gs.access.key`/
+  * `fs.gs.secret.key`. A deployment shipping the GCS connector
+  * overrides `fs.gs.impl` per read/source and wins. */
+class GsFileSystem extends S3FileSystem {
+  override protected def schemeName: String = "gs"
+  override protected def aliasSchemes: Seq[String] = Seq("gs")
+  override protected def defaultEndpoint: Option[java.net.URI] =
+    Some(java.net.URI.create("https://storage.googleapis.com"))
+  override protected def defaultPathStyle: Boolean = true
+}
+
 object S3FileSystem {
   /** Session-conf registration for both spellings (cache disabled: a
     * cached instance would pin the credentials of whichever read came
@@ -330,85 +351,9 @@ object S3FileSystem {
   val confEntries: Seq[(String, String)] = Seq(
     "fs.s3.impl" -> classOf[S3FileSystem].getName,
     "fs.s3a.impl" -> classOf[S3aFileSystem].getName,
+    "fs.gs.impl" -> classOf[GsFileSystem].getName,
     "fs.s3.impl.disable.cache" -> "true",
-    "fs.s3a.impl.disable.cache" -> "true")
+    "fs.s3a.impl.disable.cache" -> "true",
+    "fs.gs.impl.disable.cache" -> "true")
 
-  /** Seekable ranged-GET stream — the HttpFileSystem contract: a seek
-    * invalidates the body; the next read opens one signed connection at
-    * the new offset and streams forward; a mid-body disconnect reopens
-    * once (len is authoritative, a truncated body must never read as a
-    * clean EOF). */
-  private final class S3InputStream(name: String, len: Long,
-      conn: Option[String] => HttpURLConnection) extends FSInputStream {
-    private var pos = 0L
-    private var in: InputStream = _
-    private var c: HttpURLConnection = _
-
-    private def ensureOpen(): Boolean = {
-      if (pos >= len) return false
-      if (in == null) {
-        c = conn(if (pos > 0) Some(s"bytes=$pos-") else None)
-        val code = c.getResponseCode
-        if (code == 404) throw new FileNotFoundException(name)
-        if (code >= 400) throw new IOException(s"GET $name: HTTP $code")
-        in = c.getInputStream
-        if (pos > 0 && code == 200) {
-          // a Range-ignoring store answered with the full body
-          var left = pos
-          while (left > 0) {
-            val skipped = in.skip(left)
-            if (skipped <= 0) {
-              if (in.read() < 0) throw new EOFException(name)
-              left -= 1
-            } else left -= skipped
-          }
-        }
-      }
-      true
-    }
-
-    private def closeBody(): Unit = {
-      if (in != null) { try in.close() catch { case _: IOException => () } }
-      if (c != null) c.disconnect()
-      in = null; c = null
-    }
-
-    override def seek(target: Long): Unit = {
-      if (target < 0 || target > len)
-        throw new EOFException(s"seek($target) outside [0,$len] for $name")
-      if (target != pos) { closeBody(); pos = target }
-    }
-    override def getPos: Long = pos
-    override def seekToNewSource(target: Long): Boolean = false
-
-    override def read(): Int = {
-      if (!ensureOpen()) return -1
-      var b = in.read()
-      if (b < 0) {
-        closeBody(); ensureOpen()
-        b = in.read()
-        if (b < 0) throw new EOFException(s"$name truncated at $pos/$len")
-      }
-      pos += 1
-      b
-    }
-
-    override def read(buf: Array[Byte], off: Int, n: Int): Int = {
-      if (n == 0) return 0
-      if (!ensureOpen()) return -1
-      var got = in.read(buf, off, n)
-      if (got < 0) {
-        closeBody(); ensureOpen()
-        got = in.read(buf, off, n)
-        if (got < 0) throw new EOFException(s"$name truncated at $pos/$len")
-      }
-      pos += got
-      got
-    }
-
-    override def available(): Int =
-      math.min(len - pos, Int.MaxValue.toLong).toInt
-
-    override def close(): Unit = closeBody()
-  }
 }

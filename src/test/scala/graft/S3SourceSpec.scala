@@ -119,6 +119,29 @@ class S3SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         m.contains("absent") || m.contains("PATH_NOT_FOUND"))), all.map(_.toString))
   }
 
+  test("gs:// resolves through the same client in GCS HMAC-interop mode") {
+    val opts = Map(
+      "fs.gs.impl" -> classOf[graft.sources.s3.GsFileSystem].getName,
+      "fs.gs.impl.disable.cache" -> "true",
+      "fs.gs.endpoint" -> server.endpoint,
+      "fs.gs.region" -> "auto",
+      "fs.gs.access.key" -> AK,
+      "fs.gs.secret.key" -> SK)
+    val df = spark.read.options(opts)
+      .parquet("gs://graft-bucket/warehouse/data")
+    assert(df.count() == 1000)
+    // gs must NOT read s3 spellings: an fs.s3.secret.key in the same conf
+    // never leaks into the gs signature
+    val e = intercept[Exception] {
+      spark.read.options(opts - "fs.gs.secret.key" +
+        ("fs.s3.secret.key" -> SK))
+        .parquet("gs://graft-bucket/warehouse/data").count()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_)).mkString(" | ")
+    assert(msgs.contains("403") || msgs.contains("Signature"), msgs)
+  }
+
   test("s3a:// resolves through the same in-repo client") {
     val opts = s3Options.map { case (k, v) =>
       (k.replace("fs.s3.", "fs.s3a."), v) } +
