@@ -542,6 +542,67 @@ final case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   * work — at 100 TB the difference between scan-bandwidth scaling and a
   * corpus-sized string shuffle. Cross-engine parity is unaffected: the
   * counts are over exact gram strings either way. */
+/** BPE token count of a word array under a fixed ordered merge table:
+  * each word segments as characters + the `_` end-of-word symbol, every
+  * merge (w1, w2) applies greedily left-to-right (replace the last
+  * emitted symbol when it equals w1 and the current symbol equals w2 —
+  * identical semantics to the string fold the trainer and the DuckDB
+  * oracle use), and the result is the summed token count over all
+  * non-empty words. The merge table rides as ONE reference object (the
+  * NearestCentroid discipline); per-row work is
+  * O(word-length · merges) in a tight loop — the corpus-wide encode
+  * stays map-only and codegen'd while training happens once on the
+  * vocabulary. */
+final case class BpeTokenCount(child: Expression,
+    merges: Array[Array[String]]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: Any): Long = {
+    val ws = input.asInstanceOf[ArrayData]
+    var total = 0L
+    var i = 0
+    while (i < ws.numElements()) {
+      val w = if (ws.isNullAt(i)) "" else ws.getUTF8String(i).toString
+      if (w.nonEmpty) {
+        var symbols = new Array[String](w.length + 1)
+        var j = 0
+        while (j < w.length) { symbols(j) = String.valueOf(w.charAt(j)); j += 1 }
+        symbols(w.length) = "_"
+        var m = 0
+        while (m < merges.length) {
+          val w1 = merges(m)(0); val w2 = merges(m)(1)
+          val out = new Array[String](symbols.length)
+          var k = 0
+          var s = 0
+          while (s < symbols.length) {
+            val x = symbols(s)
+            if (k > 0 && out(k - 1) == w1 && x == w2) out(k - 1) = w1 + w2
+            else { out(k) = x; k += 1 }
+            s += 1
+          }
+          symbols = java.util.Arrays.copyOf(out, k)
+          m += 1
+        }
+        total += symbols.length
+      }
+      i += 1
+    }
+    total
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ws => {
+      val ref = ctx.addReferenceObj("bpeCount", this, classOf[BpeTokenCount].getName)
+      s"${ev.value} = $ref.compute($ws);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
 final case class GramStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

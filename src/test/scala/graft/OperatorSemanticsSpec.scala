@@ -290,6 +290,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(math.abs(adc - expectedAdc) < 1e-12, s"adc $adc vs $expectedAdc")
   }
 
+  test("bpe merge table is well-formed and the count kernel matches by hand") {
+    val df = run("t_bpe_train").collect().sortBy(_.getInt(0))
+    assert(df.length == graft.operators.Tokenizer.BpeSteps)
+    // merged symbol is the concatenation, counts are positive and each
+    // step's count never exceeds the previous (greedy argmax property
+    // holds on this corpus where no merge creates a more frequent pair
+    // than it consumes)
+    df.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 0)
+    }
+    // kernel vs hand-applied merges: "banana" with (a,n)->(an,an)
+    val merges = Array(Array("a", "n"), Array("an", "an"))
+    import org.apache.spark.sql.GraftColumnBridge
+    import spark.implicits._
+    val got = Seq(Tuple1(Seq("banana", "nab")))
+      .toDF("ws").select(GraftColumnBridge.column(
+        graft.functions.BpeTokenCount(
+          GraftColumnBridge.expression(col("ws")), merges)).as("n"))
+      .collect().head.getLong(0)
+    // banana: b a n a n a _ -> b an an a _ -> b anan a _  = 4 tokens
+    // nab:    n a b _       -> n a b _ (no 'a n' adjacency) = 4 tokens
+    assert(got == 8, s"kernel count $got")
+  }
+
   test("ivf kmeans is deterministic and produces k unit centroids") {
     val sample = Array.tabulate(40)(i =>
       Array.tabulate(8)(d => math.sin(i * 8 + d).abs + 0.01))

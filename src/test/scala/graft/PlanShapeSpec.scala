@@ -514,6 +514,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pipeline re-reads the train split:\n$p")
   }
 
+  test("bpe encode is a map-only corpus pass — no exchange, codegen'd kernel") {
+    val p = plan("t_bpe_encode")
+    // training collapsed to plan constants (the merge table reference
+    // object); the corpus encode itself must not shuffle anything
+    assert(!p.contains("Exchange"), s"bpe encode shuffles:\n$p")
+    assert(p.contains("[codegen id :"), s"bpe kernel fell out of codegen:\n$p")
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("phash pairs band-join ships (id, window, hash) — payloads stay map-side") {
     val p = plan("m_phash_pairs")
     val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
