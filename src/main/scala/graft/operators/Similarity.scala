@@ -287,15 +287,15 @@ object Similarity {
 
     // Product quantization (Jégou, Douze, Schmid 2011) — the third scale
     // path beside LSH and IVF, for the regime where even the VECTORS don't
-    // fit: the corpus index is m small codes per vector (here 8 codes ≈ 8
-    // bytes against 256 bytes of float32), so a 100 TB embedding corpus
-    // compresses ~32× before any pruning. Train: per-subspace k-means
+    // fit: the corpus index is m small codes per vector (here 16 codes ≈
+    // 16 bytes against 256 bytes of float32), so a 100 TB embedding corpus
+    // compresses ~16× before any pruning. Train: per-subspace k-means
     // sub-codebooks on the same deterministic sample IVF uses (PQ training
     // is sample-based by design). Encode: map-only [[graft.functions
-    // .PqEncode]] — normalize, split into 8 contiguous 8-dim subvectors,
+    // .PqEncode]] — normalize, split into 16 contiguous 4-dim subvectors,
     // nearest sub-centroid each. Search: each query builds its O(k·dim)
     // ADC lookup table ONCE ([[graft.functions.PqLut]]); scoring a corpus
-    // vector is then 8 array reads ([[graft.functions.PqAdc]]), and on
+    // vector is then 16 array reads ([[graft.functions.PqAdc]]), and on
     // normalized vectors ‖u−w‖² = 2 − 2·cos, so ascending ADC distance
     // approximates descending cosine — the exact twin s_ann_bruteforce
     // measures recall (spec-pinned). Top-k is a TWO-STAGE ranking: first

@@ -86,7 +86,14 @@ final case class FederationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (foreign) return None
     val wire = infos.flatten
-    val sources = wire.map(w => (w.kind, w.url)).distinct
+    // instance identity = kind + url + the CONNECTION options that would
+    // configure the remote session (passThroughConf: credentials, TLS,
+    // compression — scan-shape keys stripped). Url alone is not enough:
+    // two v1 JDBC scans of one database registered with different
+    // user/password options are different security principals, and
+    // collapsing them would run both under the first scan's credentials
+    // (row-level security ⇒ silently wrong rows).
+    val sources = wire.map(w => (w.kind, w.url, passThroughConf(w))).distinct
     if (sources.size != 1) return None // spans instances — keep local
     // worth shipping only when the remote does work per-scan pushdown
     // can't: a multi-scan subtree (join/union) or a grouped aggregate

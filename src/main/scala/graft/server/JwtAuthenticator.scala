@@ -152,6 +152,7 @@ final class OidcAuthenticator(
     * request keeps serving from the last good key set instead of
     * queueing behind a slow IdP. */
   private def keyFor(kid: String): Option[java.security.PublicKey] = {
+    val known = synchronized(keys.contains(kid))
     val doFetch = synchronized {
       val now = clock()
       val stale = now - fetchedAt >= refreshSeconds ||
@@ -160,8 +161,17 @@ final class OidcAuthenticator(
     }
     if (doFetch)
       try refetch(clock())
-      finally synchronized { refreshing = false }
-    keys.get(kid)
+      finally synchronized { refreshing = false; notifyAll() }
+    else if (!known) synchronized {
+      // rotation case while another thread holds the refresh: the kid is
+      // useless until the fetch lands, so WAIT (bounded by the fetch's
+      // own 5s+5s timeouts) for its result instead of failing the
+      // request — only TTL refreshes stay fully non-blocking, because
+      // there the old keys still verify
+      val deadline = System.nanoTime() + 11_000_000_000L
+      while (refreshing && System.nanoTime() < deadline) wait(200)
+    }
+    synchronized(keys.get(kid))
   }
 
   private var refreshing = false

@@ -322,6 +322,12 @@ final class PgWireEdge(
     if (nParams != stmt.nParams)
       throw new PgEdgeError("08P01",
         s"bind supplies $nParams parameters, statement needs ${stmt.nParams}")
+    // pg format-code list contract: absent, one-for-all, or positional —
+    // any other count is a protocol violation (a count of 2 for 3 params
+    // would otherwise index out of bounds and surface as XX000)
+    if (nFmt > 1 && nFmt != nParams)
+      throw new PgEdgeError("08P01",
+        s"bind message has $nFmt parameter formats but $nParams parameters")
     val values = IndexedSeq.tabulate(nParams) { i =>
       val len = bb.getInt
       val fmt = formatFor(fmts, i)
@@ -490,13 +496,21 @@ final class PgWireEdge(
     * in binary mode). A binary request on a type without a binary
     * encoding here is a loud 0A000, never silent text. */
   private def encodePortalRow(r: Row, schema: StructType,
-      resFmts: IndexedSeq[Int]): Seq[Option[Array[Byte]]] =
+      resFmts: IndexedSeq[Int]): Seq[Option[Array[Byte]]] = {
+    // same contract as parameter formats: absent, one-for-all, or
+    // positional — a mismatched positional count is a protocol error,
+    // not an index crash
+    if (resFmts.length > 1 && resFmts.length != schema.fields.length)
+      throw new PgEdgeError("08P01",
+        s"bind message has ${resFmts.length} result formats but " +
+          s"${schema.fields.length} columns")
     schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
       if (r.isNullAt(i)) None
       else if (formatFor(resFmts, i) == 0)
         Some(PgTypes.encode(r.get(i), f.dataType).getBytes(UTF_8))
       else Some(binaryCell(r.get(i), f.dataType))
     }
+  }
 
   private def binaryCell(v: Any, dt: org.apache.spark.sql.types.DataType)
       : Array[Byte] = {

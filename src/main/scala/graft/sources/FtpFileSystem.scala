@@ -216,7 +216,13 @@ object FtpFileSystem {
             try new String(data.getInputStream.readAllBytes(), US_ASCII)
               .split("\r?\n").toSeq.filter(_.nonEmpty)
             finally data.close()
-          reply() // transfer-complete 226
+          // the final reply decides completeness: 226 = full listing;
+          // 426/451 = transfer aborted mid-stream — a partial directory
+          // must fail loudly, not read as a smaller directory
+          val (done, doneMsg) = reply()
+          if (done != 226 && done != 250)
+            throw new IOException(
+              s"ftp: MLSD $path incomplete: $done $doneMsg")
           Some(lines.flatMap(parseMlsdLine))
         case (550, msg) =>
           data.close(); throw new FileNotFoundException(s"ftp: $msg")

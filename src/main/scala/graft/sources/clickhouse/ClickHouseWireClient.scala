@@ -55,10 +55,16 @@ final class ClickHouseWireConnection private (socket: Socket,
 
   /** A block-carrying payload: plain on the wire, or LZ4-framed when
     * compression is negotiated (Log packets are always plain, per the
-    * protocol). */
+    * protocol). The framed stream is ONE persistent instance per
+    * connection — the server's CompressedWriteBuffer is a continuous
+    * stream whose frame boundaries need not align with block
+    * boundaries, so decompressed bytes left after one block are the
+    * START of the next block and must survive to the next packet (a
+    * per-packet wrapper would drop them and desync the protocol). */
+  private lazy val framedIn =
+    new DataInputStream(new ClickHouseCompression.FramedInputStream(in))
   private def blockIn(): DataInputStream =
-    if (!compress) in
-    else new DataInputStream(new ClickHouseCompression.FramedInputStream(in))
+    if (!compress) in else framedIn
 
   private def writeBlockMaybeCompressed(block: Block): Unit =
     if (!compress) writeBlock(out, block)

@@ -1,12 +1,11 @@
 package graft.sources.s3
 
-import java.io.{EOFException, FileNotFoundException, IOException, InputStream}
+import java.io.IOException
 import java.net.{HttpURLConnection, URI, URL}
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs._
-import org.apache.hadoop.fs.permission.FsPermission
-import org.apache.hadoop.util.Progressable
+
+import graft.sources.ObjectStoreFileSystem
 
 /** Read-only Hadoop `FileSystem` speaking the S3 REST API directly —
   * `spark.read.parquet("s3://bucket/dir")` works against AWS or any
@@ -16,12 +15,12 @@ import org.apache.hadoop.util.Progressable
   * request is SigV4-signed ([[SigV4]]); with no access key configured,
   * requests go unsigned (public buckets).
   *
-  * Operations used: HEAD object (status), ListObjectsV2 with `/`
-  * delimiter + continuation-token pagination (directory listing — the
-  * piece plain HTTP cannot do), and ranged GET (random access). Seek
-  * maps to `Range: bytes=pos-`, so a parquet footer read fetches the
-  * object tail — scan bytes stay proportional to the pruned read schema
-  * at 100 TB, and column-chunk reads cost one ranged request each.
+  * Operations used (shared skeleton: [[ObjectStoreFileSystem]]):
+  * ranged GET for random access — seek maps to `Range: bytes=pos-`, so
+  * a parquet footer read fetches the object tail and scan bytes stay
+  * proportional to the pruned read schema at 100 TB — the
+  * `GET bytes=0-0` size probe, and ListObjectsV2 with `/` delimiter +
+  * continuation-token pagination for directory listings.
   *
   * Configuration (per-read via reader options or per-source via
   * `SourceDef.options`, both merge into the per-read Hadoop conf; the
@@ -37,7 +36,9 @@ import org.apache.hadoop.util.Progressable
   *
   * Writes are unsupported by design (the engine's file parity is
   * read-only, README.md). */
-class S3FileSystem extends FileSystem {
+class S3FileSystem extends ObjectStoreFileSystem {
+  import ObjectStoreFileSystem._
+
   protected def schemeName: String = "s3"
   /** Conf spellings consulted for `<suffix>` lookups, highest first. */
   protected def aliasSchemes: Seq[String] = Seq(schemeName, "s3", "s3a")
@@ -54,8 +55,6 @@ class S3FileSystem extends FileSystem {
   private var secretKey: String = ""
   private var sessionToken: Option[String] = None
   private var pathStyle: Boolean = false
-
-  override def getScheme: String = schemeName
 
   /** `fs.s3.<suffix>` with `fs.s3a.<suffix>` accepted as an alias (the
     * scheme-specific spelling wins so one conf can carry both).
@@ -91,11 +90,8 @@ class S3FileSystem extends FileSystem {
 
   override def getUri: URI = fsUri
 
-  /** Object key for a path (no leading slash; "" = bucket root). */
-  private def keyOf(f: Path): String = {
-    val p = f.toUri.getPath
-    p.stripPrefix("/")
-  }
+  override protected def displayName(key: String): String =
+    s"$schemeName://$bucket/$key"
 
   private def baseUri: URI = endpoint.orElse(defaultEndpoint).getOrElse(
     URI.create(s"https://$bucket.s3.$region.amazonaws.com"))
@@ -151,100 +147,14 @@ class S3FileSystem extends FileSystem {
     c
   }
 
-  private val statusCache =
-    new java.util.concurrent.ConcurrentHashMap[Path, FileStatus]()
+  override protected def objectRequest(key: String,
+      range: Option[String]): HttpURLConnection =
+    request("GET", Some(key), Nil, range)
 
-  override def getFileStatus(f: Path): FileStatus = {
-    val q = makeQualified(f)
-    val cached = statusCache.get(q)
-    if (cached != null) return cached
-    val st = fetchStatus(q)
-    statusCache.put(q, st)
-    st
-  }
-
-  private def dirStatus(f: Path): FileStatus =
-    new FileStatus(0L, true, 1, 0L, 0L, makeQualified(f))
-
-  /** Size probe as `GET Range: bytes=0-0` rather than HEAD — the
-    * HttpFileSystem discipline: 206 carries the total after the `/` in
-    * Content-Range, 416 means a zero-length object, and HEAD support
-    * varies across S3-compatible stores. The body (one byte) is never
-    * consumed. */
-  private def fetchStatus(f: Path): FileStatus = {
-    val key = keyOf(f)
-    if (key.isEmpty || key.endsWith("/")) return dirStatus(f)
-    val c = request("GET", Some(key), Nil, Some("bytes=0-0"))
-    try {
-      val code = c.getResponseCode
-      if (code == 416)
-        return new FileStatus(0L, false, 1, 128L * 1024 * 1024,
-          math.max(0L, c.getLastModified), makeQualified(f))
-      if (code == 206 || code == 200) {
-        val len =
-          if (code == 206)
-            Option(c.getHeaderField("Content-Range")).flatMap { cr =>
-              val slash = cr.lastIndexOf('/')
-              if (slash < 0) None
-              else cr.substring(slash + 1).trim.toLongOption
-            }.getOrElse(-1L)
-          else c.getContentLengthLong
-        if (len < 0)
-          throw new IOException(
-            s"$schemeName://$bucket/$key: no usable Content-Range/Length")
-        return new FileStatus(len, false, 1, 128L * 1024 * 1024,
-          math.max(0L, c.getLastModified), makeQualified(f))
-      }
-      if (code != 404)
-        throw new IOException(s"GET $schemeName://$bucket/$key: HTTP $code")
-    } finally c.disconnect()
-    // not an object — a "directory" exists iff any key has this prefix
-    val probe = listPage(key + "/", delimiter = None, token = None,
-      maxKeys = Some(1))
-    if (probe.keys.nonEmpty || probe.prefixes.nonEmpty) dirStatus(f)
-    else throw new FileNotFoundException(s"$schemeName://$bucket/$key")
-  }
-
-  override def listStatus(f: Path): Array[FileStatus] = {
-    val st = getFileStatus(f)
-    if (!st.isDirectory) return Array(st)
-    val key = keyOf(f)
-    val prefix = if (key.isEmpty) "" else key.stripSuffix("/") + "/"
-    val out = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
-    var token: Option[String] = None
-    var more = true
-    while (more) {
-      val page = listPage(prefix, delimiter = Some("/"), token = token,
-        maxKeys = None)
-      page.keys.foreach { o =>
-        // the zero-byte "directory marker" some writers leave at the
-        // prefix itself is not a file
-        if (o.key != prefix) {
-          val p = makeQualified(new Path("/" + o.key))
-          out += new FileStatus(o.size, false, 1, 128L * 1024 * 1024,
-            o.mtime, p)
-          statusCache.put(p, out.last)
-        }
-      }
-      page.prefixes.foreach { cp =>
-        out += dirStatus(new Path("/" + cp.stripSuffix("/")))
-      }
-      token = page.nextToken
-      more = token.isDefined
-    }
-    out.toArray
-  }
-
-  private[s3] case class ListedObject(key: String, size: Long, mtime: Long)
-  private[s3] case class ListPage(keys: Seq[ListedObject],
-      prefixes: Seq[String], nextToken: Option[String])
-
-  /** One ListObjectsV2 page. Minimal well-formed-XML extraction: S3's
-    * response schema is flat (Contents/Key/Size/LastModified,
-    * CommonPrefixes/Prefix, NextContinuationToken), parsed with the
-    * JDK DOM parser (external entities disabled). */
-  private def listPage(prefix: String, delimiter: Option[String],
-      token: Option[String], maxKeys: Option[Int]): ListPage = {
+  /** One ListObjectsV2 page: a flat schema (Contents/Key/Size/
+    * LastModified, CommonPrefixes/Prefix, NextContinuationToken). */
+  override protected def listPage(prefix: String, delimiter: Option[String],
+      token: Option[String], maxKeys: Option[Int]): Page = {
     var query = Seq("list-type" -> "2", "prefix" -> prefix)
     delimiter.foreach(d => query :+= ("delimiter" -> d))
     token.foreach(t => query :+= ("continuation-token" -> t))
@@ -256,68 +166,28 @@ class S3FileSystem extends FileSystem {
         val err = Option(c.getErrorStream).map(s =>
           new String(s.readAllBytes(), "UTF-8").take(500)).getOrElse("")
         throw new IOException(
-          s"ListObjectsV2 $schemeName://$bucket/$prefix: HTTP $code $err")
+          s"ListObjectsV2 ${displayName(prefix)}: HTTP $code $err")
       }
-      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      dbf.setExpandEntityReferences(false)
-      val doc = dbf.newDocumentBuilder().parse(c.getInputStream)
-      def texts(tag: String): Seq[org.w3c.dom.Element] = {
-        val nl = doc.getElementsByTagName(tag)
-        (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
-      }
-      def childText(e: org.w3c.dom.Element, tag: String): Option[String] = {
-        val nl = e.getElementsByTagName(tag)
-        if (nl.getLength == 0) None else Option(nl.item(0).getTextContent)
-      }
-      val keys = texts("Contents").flatMap { e =>
+      val doc = parseXml(c.getInputStream)
+      val keys = elems(doc, "Contents").flatMap { e =>
         childText(e, "Key").map { k =>
           val size = childText(e, "Size").flatMap(_.trim.toLongOption)
             .getOrElse(0L)
           val mtime = childText(e, "LastModified").flatMap(t =>
             scala.util.Try(java.time.Instant.parse(t.trim).toEpochMilli)
               .toOption).getOrElse(0L)
-          ListedObject(k, size, mtime)
+          Obj(k, size, mtime)
         }
       }
-      val prefixes = texts("CommonPrefixes").flatMap(childText(_, "Prefix"))
-      val truncated = texts("IsTruncated").headOption
+      val prefixes = elems(doc, "CommonPrefixes").flatMap(childText(_, "Prefix"))
+      val truncated = elems(doc, "IsTruncated").headOption
         .exists(_.getTextContent.trim == "true")
       val next = if (!truncated) None
-        else texts("NextContinuationToken").headOption
+        else elems(doc, "NextContinuationToken").headOption
           .map(_.getTextContent.trim).filter(_.nonEmpty)
-      ListPage(keys, prefixes, next)
-    } catch {
-      case e: org.xml.sax.SAXException =>
-        throw new IOException(s"ListObjectsV2: malformed XML: ${e.getMessage}")
+      Page(keys, prefixes, next)
     } finally c.disconnect()
   }
-
-  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
-    val st = getFileStatus(f)
-    if (st.isDirectory)
-      throw new FileNotFoundException(s"$f is a directory")
-    val key = keyOf(f)
-    new FSDataInputStream(new BufferedFSInputStream(
-      new graft.sources.RangedObjectStream(s"$schemeName://$bucket/$key",
-        st.getLen, r => request("GET", Some(key), Nil, r)), bufferSize))
-  }
-
-  override def setWorkingDirectory(d: Path): Unit = ()
-  override def getWorkingDirectory: Path = new Path(fsUri.toString + "/")
-  override def mkdirs(f: Path, permission: FsPermission): Boolean =
-    throw new UnsupportedOperationException(s"$schemeName is read-only")
-  override def create(f: Path, permission: FsPermission,
-      overwrite: Boolean, bufferSize: Int, replication: Short,
-      blockSize: Long, progress: Progressable): FSDataOutputStream =
-    throw new UnsupportedOperationException(s"$schemeName is read-only")
-  override def append(f: Path, bufferSize: Int,
-      progress: Progressable): FSDataOutputStream =
-    throw new UnsupportedOperationException(s"$schemeName is read-only")
-  override def rename(src: Path, dst: Path): Boolean =
-    throw new UnsupportedOperationException(s"$schemeName is read-only")
-  override def delete(f: Path, recursive: Boolean): Boolean =
-    throw new UnsupportedOperationException(s"$schemeName is read-only")
 }
 
 /** The `s3a://` registration of [[S3FileSystem]], so existing hadoop-aws
@@ -339,14 +209,14 @@ class S3aFileSystem extends S3FileSystem {
 class GsFileSystem extends S3FileSystem {
   override protected def schemeName: String = "gs"
   override protected def aliasSchemes: Seq[String] = Seq("gs")
-  override protected def defaultEndpoint: Option[java.net.URI] =
-    Some(java.net.URI.create("https://storage.googleapis.com"))
+  override protected def defaultEndpoint: Option[URI] =
+    Some(URI.create("https://storage.googleapis.com"))
   override protected def defaultPathStyle: Boolean = true
 }
 
 object S3FileSystem {
-  /** Session-conf registration for both spellings (cache disabled: a
-    * cached instance would pin the credentials of whichever read came
+  /** Session-conf registration for all three spellings (cache disabled:
+    * a cached instance would pin the credentials of whichever read came
     * first — the HttpFileSystem discipline). */
   val confEntries: Seq[(String, String)] = Seq(
     "fs.s3.impl" -> classOf[S3FileSystem].getName,
@@ -355,5 +225,4 @@ object S3FileSystem {
     "fs.s3.impl.disable.cache" -> "true",
     "fs.s3a.impl.disable.cache" -> "true",
     "fs.gs.impl.disable.cache" -> "true")
-
 }

@@ -243,7 +243,10 @@ final class SshPacketIO(in: DataInputStream, out: DataOutputStream,
         val first = new Array[Byte](16); in.readFully(first)
         val clear = recvCipher.update(first)
         val total = java.nio.ByteBuffer.wrap(clear).getInt
-        if (total < 1 || total > (1 << 20))
+        // >= 12: the first decrypted block already holds 12 payload
+        // bytes past the length word — a smaller claimed length would
+        // drive the remainder allocation negative (lying-length class)
+        if (total < 12 || total > (1 << 20))
           throw new IOException(s"ssh: packet length $total out of range")
         val rest = new Array[Byte](total - 12); in.readFully(rest)
         val clearRest = if (rest.isEmpty) rest else recvCipher.update(rest)
@@ -259,6 +262,10 @@ final class SshPacketIO(in: DataInputStream, out: DataOutputStream,
       }
     recvSeq = (recvSeq + 1) & 0xffffffffL
     val padLen = packet(4) & 0xff
+    // padding must leave a non-negative payload (lying-padding class:
+    // copyOfRange with to < from throws AIOOBE, not a protocol error)
+    if (packet.length - padLen < 5)
+      throw new IOException(s"ssh: padding length $padLen exceeds packet")
     java.util.Arrays.copyOfRange(packet, 5, packet.length - padLen)
   }
 }
@@ -285,8 +292,10 @@ final class SshConnection private[graft] (
     var off = 0
     while (off < data.length) {
       while (remoteWindow <= 0) pumpOne()
-      val n = math.min(math.min(data.length - off,
-        remoteMaxPacket.toInt), remoteWindow.toInt)
+      // min on LONGS first: window/max-packet are u32 values that can
+      // legally exceed Int.MaxValue — a .toInt there wraps negative
+      val n = math.min(data.length - off,
+        math.min(remoteMaxPacket, remoteWindow)).toInt
       io.send(new SshWire.Writer().u8(SshWire.MsgChannelData)
         .u32(remoteChannel).str(java.util.Arrays.copyOfRange(data, off, off + n))
         .result())
@@ -319,9 +328,11 @@ final class SshConnection private[graft] (
         r.u32(); remoteWindow += r.u32()
       case SshWire.MsgGlobalRequest =>
         // OpenSSH sends e.g. hostkeys-00@openssh.com after auth; decline
-        // politely when a reply is wanted (81 = REQUEST_FAILURE)
+        // politely when a reply is wanted (82 = SSH_MSG_REQUEST_FAILURE;
+        // 81 is REQUEST_SUCCESS, which would misreport the request as
+        // granted with an empty payload)
         r.strUtf8()
-        if (r.bool()) io.send(Array(81.toByte))
+        if (r.bool()) io.send(Array(82.toByte))
       case SshWire.MsgChannelRequest =>
         // exit-status and friends; decline anything that wants a reply
         r.u32(); r.strUtf8()

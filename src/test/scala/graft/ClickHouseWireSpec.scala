@@ -368,6 +368,27 @@ class ClickHouseWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("checksum"))
   }
 
+  test("framed stream preserves decompressed bytes across frame boundaries") {
+    // a server whose CompressedWriteBuffer flushes on buffer-full (not
+    // per block) may pack the tail of block N and the head of block N+1
+    // into ONE frame — the leftover decompressed bytes after block N are
+    // the start of block N+1 and must survive to the next read, which is
+    // why the client keeps ONE FramedInputStream per connection (a
+    // per-packet wrapper would drop them and desync the protocol)
+    val b1 = "block-one-payload".getBytes("UTF-8")
+    val b2 = "SECOND".getBytes("UTF-8")
+    val bytes = new java.io.ByteArrayOutputStream()
+    ClickHouseCompression.writeFrame(new DataOutputStream(bytes), b1 ++ b2)
+    val in = new DataInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray))
+    val framed = new DataInputStream(
+      new ClickHouseCompression.FramedInputStream(in))
+    val got1 = new Array[Byte](b1.length); framed.readFully(got1)
+    val got2 = new Array[Byte](b2.length); framed.readFully(got2)
+    assert(new String(got1, "UTF-8") == "block-one-payload")
+    assert(new String(got2, "UTF-8") == "SECOND")
+  }
+
   test("CityHash128 v1.0.2 covers every length class deterministically") {
     // self-consistency pins across the algorithm's branches (<8, 8-15,
     // 16-127 CityMurmur, >=128 long path incl. the 32-byte tail loop);

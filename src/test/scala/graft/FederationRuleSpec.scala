@@ -306,6 +306,39 @@ class FederationRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == expect)
   }
 
+  test("same url, different credentials: scans are different principals, no collapse") {
+    graft.sources.DerbyFederationDialect.register()
+    val dir = java.nio.file.Files.createTempDirectory("graft-fedcred").toString
+    val url = s"jdbc:derby:$dir/cred;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE ta (id INT NOT NULL)")
+    st.execute("CREATE TABLE tb (id INT NOT NULL)")
+    (1 to 4).foreach(i => st.execute(s"INSERT INTO ta VALUES ($i)"))
+    (1 to 4).foreach(i => st.execute(s"INSERT INTO tb VALUES ($i)"))
+    st.close(); conn.close()
+    // Derby without auth ignores the password but Spark carries it as a
+    // connection option — exactly the shape of a credentialed register
+    // (the user option would also shift Derby's default schema, so the
+    // password is the cleanest distinguishing credential here)
+    def t(name: String, pw: String) = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", name)
+      .option("user", "app").option("password", pw)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+    // merging these would run tb's scan under the first scan's
+    // credentials — with row-level security that silently changes the
+    // visible rows, so the rule must treat the scans as different
+    // instances
+    val df = t("ta", "pw-alice").join(t("tb", "pw-bob"), "id")
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case j: Join => j }.nonEmpty,
+      s"credential-mixing collapse:\n$opt")
+    // identical credentials on the same url DO still collapse
+    val same = t("ta", "pw-alice").join(t("tb", "pw-alice"), "id")
+    val opt2 = same.queryExecution.optimizedPlan
+    assert(opt2.collect { case j: Join => j }.isEmpty, opt2)
+  }
+
   test("spark.graft.federation.enabled=false restores per-scan execution") {
     spark.conf.set(FederationRule.EnabledKey, "false")
     try {

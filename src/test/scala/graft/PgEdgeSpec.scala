@@ -435,6 +435,25 @@ class PgEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("extended protocol: a mismatched format-code count is 08P01, not a crash") {
+    withExt { c =>
+      import PgWire._
+      // 2 format codes for 3 parameters: neither absent, one-for-all,
+      // nor positional — pg answers 08P01; an index crash would surface
+      // as XX000
+      c.parse("", "SELECT $1, $2, $3",
+        Seq(PgTypes.TextOid, PgTypes.TextOid, PgTypes.TextOid))
+      c.bindRaw("", "", Seq(Some("a".getBytes("UTF-8")),
+        Some("b".getBytes("UTF-8")), Some("c".getBytes("UTF-8"))),
+        paramFmts = Seq(0, 0))
+      c.sync()
+      val ms = c.drain()
+      val err = ms.find(_.tpe == MsgErrorResponse).get
+      assert(parseErrorFields(err.payload)('C') == "08P01",
+        parseErrorFields(err.payload))
+    }
+  }
+
   test("extended protocol: NULL parameter binds as SQL NULL") {
     withExt { c =>
       import PgWire._
