@@ -41,6 +41,7 @@ class AbfsFileSystem extends ObjectStoreFileSystem {
   private var host: String = _
   private var endpoint: Option[URI] = None
   private var accountKey: String = ""
+  private var sasToken: Seq[(String, String)] = Nil
 
   private def opt(conf: Configuration, keys: Seq[String]): Option[String] =
     keys.iterator.flatMap(k => Option(conf.get(k)))
@@ -63,6 +64,19 @@ class AbfsFileSystem extends ObjectStoreFileSystem {
       s"fs.azure.account.key.$host",
       s"fs.azure.account.key.${host.replaceFirst("\\.dfs\\.", ".blob.")}"))
       .getOrElse("")
+    // SAS auth: the token (with or without a leading '?') is a bundle of
+    // pre-signed query parameters appended to every request — no
+    // Authorization header at all. Takes precedence over the account key
+    // when both are set (a SAS is the narrower grant).
+    sasToken = opt(conf, Seq(s"fs.$schemeName.sas.token",
+      "fs.abfss.sas.token", "fs.abfs.sas.token")).toSeq
+      .flatMap(_.stripPrefix("?").split('&')).filter(_.nonEmpty)
+      .map { p =>
+        p.split("=", 2) match {
+          case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+          case Array(k) => k -> ""
+        }
+      }
   }
 
   override def getUri: URI = fsUri
@@ -80,7 +94,8 @@ class AbfsFileSystem extends ObjectStoreFileSystem {
     val base = baseUri
     val rawPath = "/" + container + blob.map("/" + _).getOrElse("")
     val encPath = graft.sources.s3.SigV4.uriEncode(rawPath, keepSlash = true)
-    val encQ = query.map { case (k, v) =>
+    val fullQuery = query ++ sasToken
+    val encQ = fullQuery.map { case (k, v) =>
       (graft.sources.s3.SigV4.uriEncode(k, keepSlash = false),
         graft.sources.s3.SigV4.uriEncode(v, keepSlash = false))
     }.sortBy(identity).map { case (k, v) => s"$k=$v" }.mkString("&")
@@ -98,7 +113,7 @@ class AbfsFileSystem extends ObjectStoreFileSystem {
       "x-ms-version" -> "2021-08-06")
     xms.foreach { case (k, v) => c.setRequestProperty(k, v) }
     range.foreach(r => c.setRequestProperty("Range", r))
-    if (accountKey.nonEmpty) {
+    if (sasToken.isEmpty && accountKey.nonEmpty) {
       val sts = AzureSharedKey.stringToSign(method, xms, range,
         AzureSharedKey.canonicalizedResource(account, rawPath, query))
       c.setRequestProperty("Authorization",

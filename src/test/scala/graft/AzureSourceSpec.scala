@@ -81,9 +81,22 @@ class AzureSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     case e: Exception => respond(ex, 500, e.toString)
   } finally ex.close()
 
+  private val SasSig = "sastestsig123"
+
   /** Azure's server side: rebuild the StringToSign from the raw request
-    * and compare signatures. */
+    * and compare signatures; a SAS request authorizes by its pre-signed
+    * query parameters instead (no Authorization header). */
   private def verify(ex: HttpExchange): Boolean = {
+    val rawQ = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    if (Option(ex.getRequestHeaders.getFirst("Authorization")).isEmpty &&
+        rawQ.contains("sig=")) {
+      val sig = rawQ.split('&').collectFirst {
+        case p if p.startsWith("sig=") =>
+          java.net.URLDecoder.decode(p.stripPrefix("sig="), "UTF-8")
+      }
+      return sig.contains(SasSig) && rawQ.contains("sv=2021-08-06") &&
+        rawQ.contains("sp=r")
+    }
     val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
       .getOrElse(return false)
     val xms = {
@@ -212,6 +225,24 @@ class AzureSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(t.getMessage).exists(m =>
         m.contains("nope") || m.contains("PATH_NOT_FOUND"))),
       all.map(_.toString))
+  }
+
+  test("SAS-token auth rides as query parameters, no Authorization header") {
+    val opts = azOptions - "fs.abfss.account.key" +
+      ("fs.abfss.sas.token" -> s"?sv=2021-08-06&sp=r&sig=$SasSig")
+    val df = spark.read.options(opts)
+      .parquet(s"abfss://$Container@$Account.dfs.core.windows.net/warehouse/data")
+    assert(df.count() == 500)
+    // and a bad SAS signature is refused
+    val e = intercept[Exception] {
+      spark.read.options(azOptions - "fs.abfss.account.key" +
+        ("fs.abfss.sas.token" -> "?sv=2021-08-06&sp=r&sig=WRONG"))
+        .parquet(s"abfss://$Container@$Account.dfs.core.windows.net/warehouse/data")
+        .count()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_)).mkString(" | ")
+    assert(msgs.contains("403") || msgs.contains("Authentication"), msgs)
   }
 
   test("hadoop-azure account-key spelling is accepted as an alias") {
