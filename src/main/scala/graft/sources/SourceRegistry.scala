@@ -183,6 +183,17 @@ final class SourceRegistry(spark: SparkSession) {
             throw new IllegalArgumentException(s"grpc source ${src.name} needs url")))
           .options(src.options)
           .load()
+      case "kafka" =>
+        // DSv2 Kafka topic source over the hand-built wire client; the
+        // table name is the topic unless `topic` is set in options.
+        // `url` carries the bootstrap host:port.
+        spark.read.format("graft.sources.kafka.KafkaDataSource")
+          .option("bootstrap", src.url.getOrElse(
+            throw new IllegalArgumentException(
+              s"kafka source ${src.name} needs url (bootstrap host:port)")))
+          .option("topic", src.options.getOrElse("topic", t.name))
+          .options(src.options - "topic")
+          .load()
       case "arrowhttp" =>
         spark.read.format("graft.sources.arrowhttp.ArrowHttpDataSource")
           .option("url", src.url.getOrElse(

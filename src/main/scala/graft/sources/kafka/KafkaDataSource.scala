@@ -1,0 +1,212 @@
+package graft.sources.kafka
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Kafka topic reads over the hand-built wire client, batch AND
+  * Structured Streaming micro-batch — `spark.read.format("graft.sources
+  * .kafka.KafkaDataSource")` / `spark.readStream.format(...)` with no
+  * kafka-clients or spark-sql-kafka jar. Output schema mirrors the
+  * stock Kafka source (key/value binary, topic, partition, offset,
+  * timestamp as epoch millis) so downstream pipelines port unchanged.
+  *
+  * Options: `bootstrap` (host:port), `topic`, `startingOffsets`
+  * (earliest|latest, default earliest for batch / latest for streams
+  * matching the stock source), `endingOffsets` (batch only:
+  * earliest|latest, default latest), `maxBytesPerFetch`.
+  *
+  * Scale shape: one input partition per Kafka partition — the broker's
+  * own parallelism unit; each task fetches its partition's offset range
+  * from that partition's leader with bounded-size Fetch loops. Offsets
+  * are the stream checkpoint state (JSON `{partition: nextOffset}`), so
+  * recovery resumes exactly where the last batch ended. */
+class KafkaDataSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaSourceOptions.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KafkaTable(KafkaSourceOptions(properties.asScala.toMap))
+}
+
+final case class KafkaSourceOptions(conf: Map[String, String]) {
+  private def req(k: String): String = conf.getOrElse(k,
+    throw new IllegalArgumentException(s"graft-kafka: missing option '$k'"))
+  val bootstrap: String = req("bootstrap")
+  val topic: String = req("topic")
+  val startingOffsets: String = conf.getOrElse("startingOffsets", "earliest")
+  val endingOffsets: String = conf.getOrElse("endingOffsets", "latest")
+  val maxBytesPerFetch: Int =
+    conf.getOrElse("maxBytesPerFetch", (4 * 1024 * 1024).toString).toInt
+
+  def partitions(): Seq[Int] = {
+    val (h, p) = KafkaWireClient.parseBootstrap(bootstrap)
+    val c = new KafkaWireClient(h, p)
+    try {
+      val t = c.metadata(Seq(topic)).topics.find(_.name == topic).getOrElse(
+        throw new IllegalArgumentException(s"graft-kafka: unknown topic $topic"))
+      if (t.errorCode != 0)
+        throw new java.io.IOException(s"kafka: topic $topic error ${t.errorCode}")
+      t.partitions.map(_.partition).sorted
+    } finally c.close()
+  }
+
+  def offsetsAt(spec: String): Map[Int, Long] = {
+    val ts = spec match {
+      case "earliest" => -2L
+      case "latest" => -1L
+      case other => throw new IllegalArgumentException(
+        s"graft-kafka: offsets spec must be earliest|latest, got '$other'")
+    }
+    val parts = partitions()
+    val (h, p) = KafkaWireClient.parseBootstrap(bootstrap)
+    val c = new KafkaWireClient(h, p)
+    try c.listOffsets(topic, parts, ts) finally c.close()
+  }
+}
+
+object KafkaSourceOptions {
+  /** The stock Kafka source's column set (timestamp as epoch millis). */
+  val Schema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = true),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp_ms", LongType, nullable = false)))
+}
+
+final class KafkaTable(opts: KafkaSourceOptions)
+    extends Table with SupportsRead {
+  override def name(): String = s"kafka:${opts.bootstrap}/${opts.topic}"
+  override def schema(): StructType = KafkaSourceOptions.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new KafkaScan(opts)
+    }
+}
+
+/** Stream/batch offsets: partition → NEXT offset to read. */
+final case class KafkaOffsets(next: Map[Int, Long]) extends StreamOffset {
+  override def json(): String =
+    next.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+
+object KafkaOffsets {
+  def parse(json: String): KafkaOffsets = KafkaOffsets(
+    "\"(\\d+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+}
+
+final class KafkaScan(opts: KafkaSourceOptions) extends Scan {
+  override def readSchema(): StructType = KafkaSourceOptions.Schema
+  override def description(): String = s"KafkaScan(${opts.topic})"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val from = opts.offsetsAt(opts.startingOffsets)
+      val until = opts.offsetsAt(opts.endingOffsets)
+      from.toSeq.sortBy(_._1).map { case (p, lo) =>
+        KafkaRange(opts, p, lo, until.getOrElse(p, lo))
+          : InputPartition
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      KafkaReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      override def latestOffset(): StreamOffset =
+        KafkaOffsets(opts.offsetsAt("latest"))
+      override def initialOffset(): StreamOffset = {
+        // stock-source semantics: streams default to latest (only new
+        // data), batch to earliest
+        val spec = opts.conf.getOrElse("startingOffsets", "latest")
+        KafkaOffsets(opts.offsetsAt(spec))
+      }
+      override def deserializeOffset(json: String): StreamOffset =
+        KafkaOffsets.parse(json)
+      override def planInputPartitions(start: StreamOffset,
+          end: StreamOffset): Array[InputPartition] = {
+        val from = start.asInstanceOf[KafkaOffsets].next
+        val until = end.asInstanceOf[KafkaOffsets].next
+        until.toSeq.sortBy(_._1).map { case (p, hi) =>
+          KafkaRange(opts, p, from.getOrElse(p, 0L), hi): InputPartition
+        }.toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        KafkaReaderFactory
+      override def commit(end: StreamOffset): Unit = ()
+      override def stop(): Unit = ()
+    }
+}
+
+final case class KafkaRange(opts: KafkaSourceOptions, partition: Int,
+    from: Long, until: Long) extends InputPartition
+
+object KafkaReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new KafkaPartitionReader(p.asInstanceOf[KafkaRange])
+}
+
+final class KafkaPartitionReader(range: KafkaRange)
+    extends PartitionReader[InternalRow] {
+
+  private lazy val client = KafkaWireClient.forLeader(
+    range.opts.bootstrap, range.opts.topic, range.partition)
+  private var pos = range.from
+  private var buffer: Iterator[KafkaWire.Record] = Iterator.empty
+  private var current: InternalRow = _
+  private val topicUtf8 = UTF8String.fromString(range.opts.topic)
+
+  private def refill(): Boolean = {
+    while (!buffer.hasNext && pos < range.until) {
+      val res = client.fetch(range.opts.topic, range.partition, pos,
+        maxBytes = range.opts.maxBytesPerFetch)
+      val recs = res.records.filter(r => r.offset >= pos && r.offset < range.until)
+      if (recs.isEmpty) {
+        // nothing below the range end is available yet (or a fetch
+        // landed exactly at the high watermark): the bounded range
+        // [from, until) came from ListOffsets, so an empty result with
+        // pos < until means truncated retention — stop cleanly
+        if (res.highWatermark <= pos) return false
+        val after = res.records.filter(_.offset >= pos)
+        if (after.isEmpty) return false
+        pos = after.map(_.offset).max + 1
+      } else {
+        pos = recs.map(_.offset).max + 1
+        buffer = recs.iterator
+      }
+    }
+    buffer.hasNext
+  }
+
+  override def next(): Boolean = {
+    if (!refill()) return false
+    val r = buffer.next()
+    current = new GenericInternalRow(Array[Any](
+      r.key.orNull, r.value.orNull, topicUtf8,
+      range.partition, r.offset, r.timestampMs))
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit =
+    try client.close() catch { case _: Exception => () }
+}

@@ -1,0 +1,257 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+
+import scala.collection.concurrent.TrieMap
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.kafka.{KafkaWire, KafkaWireClient}
+import KafkaWire._
+
+/** In-repo single-node Kafka broker for the wire-source live loop:
+  * Metadata v1 / ListOffsets v1 / Fetch v4 over real sockets, records
+  * served as properly CRC'd RecordBatch v2 sets. Partitioned in-memory
+  * logs with append, so the streaming test can produce between
+  * micro-batches. */
+final class KafkaBrokerStub(topic: String, nPartitions: Int) {
+  private val logs: TrieMap[Int, Vector[(Option[Array[Byte]], Array[Byte], Long)]] =
+    TrieMap((0 until nPartitions).map(_ -> Vector.empty): _*)
+  @volatile private var running = true
+  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+
+  def start(): Int = {
+    val t = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          val w = new Thread(() => try session(s) catch { case _: Exception => () }
+            finally s.close())
+          w.setDaemon(true); w.start()
+        } catch { case _: Exception => () }
+      }
+    }, "kafka-stub-accept")
+    t.setDaemon(true); t.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = { running = false; server.close() }
+
+  def produce(partition: Int, key: Option[String], value: String,
+      ts: Long = 1700000000000L): Unit =
+    logs.updateWith(partition)(v => Some(v.getOrElse(Vector.empty) :+
+      ((key.map(_.getBytes("UTF-8")), value.getBytes("UTF-8"), ts))))
+
+  def endOffset(partition: Int): Long = logs(partition).size.toLong
+
+  private def session(sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    while (true) {
+      val req = new Reader(recvFrame(in))
+      val apiKey = req.i16(); val apiVer = req.i16()
+      val corr = req.i32(); req.nullableStr()
+      val resp = new Writer
+      resp.i32(corr)
+      apiKey match {
+        case ApiMetadata =>
+          require(apiVer == 1, s"metadata v$apiVer")
+          val n = req.i32()
+          val asked = Seq.fill(n)(req.str())
+          val names = if (asked.isEmpty) Seq(topic) else asked
+          resp.i32(1) // brokers
+          resp.i32(0); resp.str("127.0.0.1"); resp.i32(server.getLocalPort)
+          resp.nullableStr(None)
+          resp.i32(0) // controller
+          resp.i32(names.length)
+          names.foreach { t =>
+            if (t == topic) {
+              resp.i16(0); resp.str(t); resp.i8(0)
+              resp.i32(nPartitions)
+              (0 until nPartitions).foreach { p =>
+                resp.i16(0); resp.i32(p); resp.i32(0)
+                resp.i32(1); resp.i32(0) // replicas
+                resp.i32(1); resp.i32(0) // isr
+              }
+            } else {
+              resp.i16(3); resp.str(t); resp.i8(0); resp.i32(0) // unknown topic
+            }
+          }
+        case ApiListOffsets =>
+          require(apiVer == 1, s"listoffsets v$apiVer")
+          req.i32() // replica
+          val nt = req.i32()
+          resp.i32(nt)
+          (0 until nt).foreach { _ =>
+            val t = req.str()
+            val np = req.i32()
+            resp.str(t)
+            resp.i32(np)
+            (0 until np).foreach { _ =>
+              val pid = req.i32(); val ts = req.i64()
+              val off = ts match {
+                case -2L => 0L
+                case -1L => endOffset(pid)
+                case _ => 0L
+              }
+              resp.i32(pid); resp.i16(0); resp.i64(-1L); resp.i64(off)
+            }
+          }
+        case ApiFetch =>
+          require(apiVer == 4, s"fetch v$apiVer")
+          req.i32(); req.i32(); req.i32(); req.i32(); req.i8()
+          val nt = req.i32()
+          resp.i32(0) // throttle
+          resp.i32(nt)
+          (0 until nt).foreach { _ =>
+            val t = req.str()
+            val np = req.i32()
+            resp.str(t)
+            resp.i32(np)
+            (0 until np).foreach { _ =>
+              val pid = req.i32(); val off = req.i64(); req.i32()
+              val log = logs.getOrElse(pid, Vector.empty)
+              resp.i32(pid); resp.i16(0)
+              resp.i64(log.size.toLong) // high watermark
+              resp.i64(log.size.toLong) // last stable
+              resp.i32(0) // aborted txns
+              if (off >= log.size) resp.bytes(Array.emptyByteArray)
+              else {
+                // serve in two batches when possible, exercising the
+                // client's multi-batch record-set walk
+                val rest = log.drop(off.toInt)
+                val (a, b) = rest.splitAt(math.max(1, rest.size / 2))
+                val bytes =
+                  encode(off, a) ++
+                    (if (b.nonEmpty) encode(off + a.size, b)
+                     else Array.emptyByteArray)
+                resp.bytes(bytes)
+              }
+            }
+          }
+        case other => throw new IllegalStateException(s"api $other")
+      }
+      sendFrame(out, resp.result())
+    }
+  }
+
+  private def encode(base: Long,
+      recs: Seq[(Option[Array[Byte]], Array[Byte], Long)]): Array[Byte] =
+    KafkaWire.encodeBatch(base, recs.head._3,
+      recs.map { case (k, v, _) => (k, v) })
+}
+
+class KafkaSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import SparkTestSession._
+
+  private var stub: KafkaBrokerStub = _
+  private var port: Int = _
+
+  override def beforeAll(): Unit = {
+    stub = new KafkaBrokerStub("docs", nPartitions = 3)
+    port = stub.start()
+    (0 until 30).foreach { i =>
+      stub.produce(i % 3, Some(s"k$i"), s"value-$i")
+    }
+  }
+
+  override def afterAll(): Unit = if (stub != null) stub.stop()
+
+  private def opts = Map(
+    "bootstrap" -> s"127.0.0.1:$port",
+    "topic" -> "docs")
+
+  test("varint zigzag round-trips across the range") {
+    for (v <- Seq(0L, 1L, -1L, 63L, -64L, 300L, -300L, 1L << 40,
+        -(1L << 40), Long.MaxValue, Long.MinValue)) {
+      val w = new Writer; w.varlong(v)
+      assert(new Reader(w.result()).varlong() == v, s"varlong $v")
+    }
+  }
+
+  test("record batches round-trip with a verified CRC32C") {
+    val batch = KafkaWire.encodeBatch(7L, 123L,
+      Seq((Some("a".getBytes), "va".getBytes), (None, "vb".getBytes)))
+    val recs = KafkaWire.decodeRecordSet(batch)
+    assert(recs.map(_.offset) == Seq(7L, 8L))
+    assert(recs(0).key.map(new String(_)).contains("a"))
+    assert(recs(1).key.isEmpty)
+    assert(new String(recs(1).value.get) == "vb")
+    // a flipped payload byte must fail the CRC, not decode garbage
+    val bad = batch.clone()
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 1).toByte
+    val e = intercept[java.io.IOException] {
+      KafkaWire.decodeRecordSet(bad)
+    }
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+  }
+
+  test("a compressed batch is refused loudly, never silent garbage") {
+    val batch = KafkaWire.encodeBatch(0L, 1L, Seq((None, "x".getBytes)))
+    // set a compression codec bit in attributes (offset 21 = hi byte)
+    batch(22) = (batch(22) | 0x01).toByte
+    // fix the CRC so ONLY the codec check fires
+    val crc = new java.util.zip.CRC32C
+    crc.update(batch, 21, batch.length - 21)
+    val cv = crc.getValue.toInt
+    batch(17) = (cv >>> 24).toByte; batch(18) = (cv >>> 16).toByte
+    batch(19) = (cv >>> 8).toByte; batch(20) = cv.toByte
+    val e = intercept[java.io.IOException] {
+      KafkaWire.decodeRecordSet(batch)
+    }
+    assert(e.getMessage.contains("compressed"), e.getMessage)
+  }
+
+  test("the wire client lists offsets and fetches typed records") {
+    val c = new KafkaWireClient("127.0.0.1", port)
+    try {
+      val md = c.metadata(Seq("docs"))
+      assert(md.topics.head.partitions.map(_.partition).sorted == Seq(0, 1, 2))
+      val latest = c.listOffsets("docs", Seq(0, 1, 2), -1L)
+      assert(latest.values.sum == 30)
+      val r = c.fetch("docs", 0, 0L)
+      assert(r.records.size == 10)
+      assert(new String(r.records.head.value.get, "UTF-8") == "value-0")
+    } finally c.close()
+  }
+
+  test("batch reads a topic range with one task per partition") {
+    val df = spark.read.format("graft.sources.kafka.KafkaDataSource")
+      .options(opts).load()
+    assert(df.rdd.getNumPartitions == 3)
+    val rows = df.selectExpr("CAST(value AS STRING) AS v", "partition",
+      "offset").collect()
+    assert(rows.length == 30)
+    assert(rows.map(_.getString(0)).toSet ==
+      (0 until 30).map(i => s"value-$i").toSet)
+    // offsets are per-partition contiguous from 0
+    rows.groupBy(_.getInt(1)).values.foreach { g =>
+      assert(g.map(_.getLong(2)).sorted.toSeq == (0L until 10L))
+    }
+  }
+
+  test("micro-batch streaming resumes from checkpointed offsets") {
+    val ckpt = java.nio.file.Files.createTempDirectory("kckpt").toString
+    val q = spark.readStream.format("graft.sources.kafka.KafkaDataSource")
+      .options(opts).option("startingOffsets", "earliest").load()
+      .selectExpr("CAST(value AS STRING) AS v")
+      .writeStream.format("memory").queryName("kafka_sink")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val first = spark.sql("SELECT v FROM kafka_sink").collect()
+        .map(_.getString(0)).toSet
+      assert(first == (0 until 30).map(i => s"value-$i").toSet)
+      // produce between micro-batches: only the NEW records arrive
+      (30 until 36).foreach(i => stub.produce(i % 3, None, s"value-$i"))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT v FROM kafka_sink").collect()
+        .map(_.getString(0))
+      assert(all.length == 36, s"duplicates or losses: ${all.length}")
+      assert(all.toSet == (0 until 36).map(i => s"value-$i").toSet)
+    } finally q.stop()
+  }
+}
