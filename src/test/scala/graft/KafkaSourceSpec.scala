@@ -232,6 +232,47 @@ class KafkaSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kafka intake feeds the streaming curation pipeline end to end") {
+    // the integration the source exists for: a document firehose on a
+    // topic, parsed and pushed through the SAME quality-gate → exact
+    // dedup pipeline the batch corpus uses (DocumentStream.cleaned)
+    val s2 = new KafkaBrokerStub("corpus", 2)
+    val p2 = s2.start()
+    try {
+      def doc(id: Long, text: String, lang: String): String =
+        s"""{"doc_id":$id,"text":"$text","lang":"$lang",""" +
+          s""""source":"s","n_chars":${text.length}}"""
+      val long1 = ("alpha " * 30).trim
+      val long2 = ("beta " * 30).trim
+      val long3 = ("gamma " * 40).trim
+      Seq(doc(1, long1, "en"), doc(2, long2, "en"),
+        doc(3, long1, "en"), // exact duplicate of doc 1
+        doc(4, "short", "de"), // fails the min-chars quality gate
+        doc(5, long3, "fr"))
+        .zipWithIndex.foreach { case (d, i) => s2.produce(i % 2, None, d) }
+      val raw = spark.readStream
+        .format("graft.sources.kafka.KafkaDataSource")
+        .option("bootstrap", s"127.0.0.1:$p2").option("topic", "corpus")
+        .option("startingOffsets", "earliest").load()
+      val parsed = raw.select(org.apache.spark.sql.functions.from_json(
+          org.apache.spark.sql.functions.col("value").cast("string"),
+          graft.streaming.DocumentStream.schema).as("d"))
+        .select("d.*")
+      val q = graft.streaming.DocumentStream.cleaned(parsed)
+        .writeStream.format("memory").queryName("kafka_curated")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.sql(
+          "SELECT lang, n_tokens FROM kafka_curated").collect()
+        // 5 produced → 3 survive (dup collapsed, short doc gated)
+        assert(rows.length == 3, rows.mkString(","))
+        assert(rows.map(_.getString(0)).sorted.toSeq == Seq("en", "en", "fr"))
+        assert(rows.map(_.getInt(1)).toSet == Set(30, 30, 40).map(identity))
+      } finally q.stop()
+    } finally s2.stop()
+  }
+
   test("micro-batch streaming resumes from checkpointed offsets") {
     val ckpt = java.nio.file.Files.createTempDirectory("kckpt").toString
     val q = spark.readStream.format("graft.sources.kafka.KafkaDataSource")
