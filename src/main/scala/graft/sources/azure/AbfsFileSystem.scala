@@ -73,7 +73,11 @@ class AbfsFileSystem extends ObjectStoreFileSystem {
       .flatMap(_.stripPrefix("?").split('&')).filter(_.nonEmpty)
       .map { p =>
         p.split("=", 2) match {
-          case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+          // %XX escapes decode, but a literal '+' must SURVIVE — SAS
+          // signatures are base64 and URLDecoder's +-as-space would
+          // corrupt them into permanent 403s
+          case Array(k, v) => k ->
+            java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8")
           case Array(k) => k -> ""
         }
       }

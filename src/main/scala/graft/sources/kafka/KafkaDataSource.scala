@@ -49,6 +49,13 @@ final case class KafkaSourceOptions(conf: Map[String, String]) {
   val endingOffsets: String = conf.getOrElse("endingOffsets", "latest")
   val maxBytesPerFetch: Int =
     conf.getOrElse("maxBytesPerFetch", (4 * 1024 * 1024).toString).toInt
+  /** Frame cap follows the configured fetch size (plus header room). */
+  def maxFrame: Int = math.max(1 << 26, maxBytesPerFetch + (1 << 16))
+  /** Stock-source default: a planned offset that is no longer readable
+    * (retention, unclean leader election) FAILS the query; opt out to
+    * skip the lost span with the gap recorded in the task logs. */
+  val failOnDataLoss: Boolean =
+    conf.getOrElse("failOnDataLoss", "true").toBoolean
 
   def partitions(): Seq[Int] = {
     val (h, p) = KafkaWireClient.parseBootstrap(bootstrap)
@@ -168,12 +175,27 @@ object KafkaReaderFactory extends PartitionReaderFactory {
 final class KafkaPartitionReader(range: KafkaRange)
     extends PartitionReader[InternalRow] {
 
-  private lazy val client = KafkaWireClient.forLeader(
-    range.opts.bootstrap, range.opts.topic, range.partition)
+  private var clientOpt: Option[KafkaWireClient] = None
+  private def client: KafkaWireClient = clientOpt.getOrElse {
+    val c = KafkaWireClient.forLeader(range.opts.bootstrap,
+      range.opts.topic, range.partition, maxFrame = range.opts.maxFrame)
+    clientOpt = Some(c)
+    c
+  }
   private var pos = range.from
   private var buffer: Iterator[KafkaWire.Record] = Iterator.empty
   private var current: InternalRow = _
   private val topicUtf8 = UTF8String.fromString(range.opts.topic)
+
+  private def dataLoss(detail: String): Boolean = {
+    val msg = s"kafka: offsets [$pos, ${range.until}) of " +
+      s"${range.opts.topic}/${range.partition} are gone ($detail)"
+    if (range.opts.failOnDataLoss)
+      throw new java.io.IOException(
+        s"$msg — set failOnDataLoss=false to skip lost spans")
+    System.err.println(s"[graft-kafka] WARN $msg — skipping")
+    false
+  }
 
   private def refill(): Boolean = {
     while (!buffer.hasNext && pos < range.until) {
@@ -181,13 +203,15 @@ final class KafkaPartitionReader(range: KafkaRange)
         maxBytes = range.opts.maxBytesPerFetch)
       val recs = res.records.filter(r => r.offset >= pos && r.offset < range.until)
       if (recs.isEmpty) {
-        // nothing below the range end is available yet (or a fetch
-        // landed exactly at the high watermark): the bounded range
-        // [from, until) came from ListOffsets, so an empty result with
-        // pos < until means truncated retention — stop cleanly
-        if (res.highWatermark <= pos) return false
+        // the bounded range [from, until) came from ListOffsets, so an
+        // empty result with pos < until means the span vanished
+        // (retention kicked in, or an unclean election truncated the
+        // log below the planned end) — that is DATA LOSS, not a clean
+        // end: fail by default, the stock source's contract
+        if (res.highWatermark <= pos)
+          return dataLoss(s"high watermark ${res.highWatermark}")
         val after = res.records.filter(_.offset >= pos)
-        if (after.isEmpty) return false
+        if (after.isEmpty) return dataLoss("empty fetch below the range end")
         pos = after.map(_.offset).max + 1
       } else {
         pos = recs.map(_.offset).max + 1
@@ -207,6 +231,9 @@ final class KafkaPartitionReader(range: KafkaRange)
   }
 
   override def get(): InternalRow = current
+  // close only what was opened: an empty range's task never dialed the
+  // leader, and forcing the connection here just to close it would cost
+  // a metadata round trip per idle partition per trigger
   override def close(): Unit =
-    try client.close() catch { case _: Exception => () }
+    clientOpt.foreach(c => try c.close() catch { case _: Exception => () })
 }

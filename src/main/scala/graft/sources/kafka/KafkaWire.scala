@@ -110,15 +110,22 @@ object KafkaWire {
 
   /** Decode every RecordBatch (magic 2) in a Fetch partition's record
     * set; a trailing partial batch (the broker may truncate at
-    * maxBytes) is skipped, matching client behavior. */
+    * maxBytes) is skipped, matching client behavior. Control batches
+    * (transaction COMMIT/ABORT markers) are skipped — they are not
+    * data, and the stock consumer filters them the same way. */
   def decodeRecordSet(bytes: Array[Byte]): Seq[Record] = {
     val out = Vector.newBuilder[Record]
     var p = 0
     while (bytes.length - p >= 12) {
-      val r = new Reader(java.util.Arrays.copyOfRange(bytes, p, bytes.length))
-      val baseOffset = r.i64()
-      val batchLength = r.i32()
-      if (batchLength < 0 || r.remaining < batchLength) {
+      // read the 12-byte header in place — copying the remaining set
+      // per batch would be O(n·batches) allocation on the hot path
+      var baseOffset = 0L
+      var i = 0
+      while (i < 8) { baseOffset = (baseOffset << 8) | (bytes(p + i) & 0xff); i += 1 }
+      var batchLength = 0
+      i = 0
+      while (i < 4) { batchLength = (batchLength << 8) | (bytes(p + 8 + i) & 0xff); i += 1 }
+      if (batchLength < 0 || bytes.length - p - 12 < batchLength) {
         p = bytes.length // partial trailing batch: stop
       } else {
         out ++= decodeBatch(new Reader(
@@ -153,6 +160,8 @@ object KafkaWire {
     if ((attrs & 0x7) != 0)
       throw new IOException(s"kafka: compressed record batch (codec " +
         s"${attrs & 0x7}) — only uncompressed batches are supported")
+    // bit 5 = control batch: transaction COMMIT/ABORT markers, not data
+    if ((attrs & 0x20) != 0) return Nil
     rr.i32() // lastOffsetDelta
     val firstTimestamp = rr.i64()
     rr.i64() // maxTimestamp
@@ -233,10 +242,14 @@ object KafkaWire {
     out.flush()
   }
 
-  def recvFrame(in: DataInputStream): Array[Byte] = {
+  /** `maxFrame` tracks the configured fetch size (plus response
+    * overhead) — a fixed cap would reject legal responses when the user
+    * raises maxBytesPerFetch past it. */
+  def recvFrame(in: DataInputStream,
+      maxFrame: Int = 1 << 26): Array[Byte] = {
     val n = in.readInt()
-    if (n < 0 || n > (1 << 26))
-      throw new IOException(s"kafka: frame length $n out of range")
+    if (n < 0 || n > maxFrame)
+      throw new IOException(s"kafka: frame length $n out of range (cap $maxFrame)")
     val b = new Array[Byte](n)
     in.readFully(b)
     b

@@ -12,7 +12,8 @@ import KafkaWire._
   * each partition's leader; [[KafkaWireClient.forLeader]] reconnects
   * there when it differs from the bootstrap address. */
 final class KafkaWireClient(host: String, port: Int,
-    clientId: String = "graft") extends AutoCloseable {
+    clientId: String = "graft",
+    maxFrame: Int = 1 << 26) extends AutoCloseable {
 
   private val socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), 15000)
@@ -32,7 +33,7 @@ final class KafkaWireClient(host: String, port: Int,
     w.nullableStr(Some(clientId))
     w.raw(body)
     sendFrame(out, w.result())
-    val r = new Reader(recvFrame(in))
+    val r = new Reader(recvFrame(in, maxFrame))
     val cid = r.i32()
     if (cid != correlation)
       throw new IOException(s"kafka: correlation $cid, expected $correlation")
@@ -46,12 +47,24 @@ final class KafkaWireClient(host: String, port: Int,
   final case class BrokerMeta(nodeId: Int, host: String, port: Int)
   final case class Metadata(brokers: Seq[BrokerMeta], topics: Seq[TopicMeta])
 
-  /** Metadata v1 for the named topics (all topics when empty). */
+  /** Metadata v1 for the named topics. Protocol note: a NULL array
+    * (length −1) means "all topics"; an EMPTY array means none — pass
+    * `None` explicitly via [[allMetadata]] for the former. */
   def metadata(topics: Seq[String]): Metadata = {
+    require(topics.nonEmpty,
+      "kafka: Metadata v1 needs topic names (empty array = NO topics; " +
+        "use allMetadata() for the null-array all-topics form)")
     val w = new Writer
     w.i32(topics.length)
     topics.foreach(w.str)
-    val r = exchange(ApiMetadata, 1, w.result())
+    parseMetadata(exchange(ApiMetadata, 1, w.result()))
+  }
+
+  /** Metadata v1 for ALL topics (the null-array form). */
+  def allMetadata(): Metadata =
+    parseMetadata(exchange(ApiMetadata, 1, new Writer().i32(-1).result()))
+
+  private def parseMetadata(r: Reader): Metadata = {
     val brokers = Seq.fill(r.i32()) {
       val id = r.i32(); val h = r.str(); val p = r.i32()
       r.nullableStr() // rack
@@ -152,18 +165,21 @@ object KafkaWireClient {
 
   /** Connect to the leader of (topic, partition): bootstrap metadata
     * names it; same address ⇒ reuse shape, else dial the leader. */
-  def forLeader(bootstrap: String, topic: String,
-      partition: Int): KafkaWireClient = {
+  def forLeader(bootstrap: String, topic: String, partition: Int,
+      maxFrame: Int = 1 << 26): KafkaWireClient = {
     val (h, p) = parseBootstrap(bootstrap)
-    val boot = new KafkaWireClient(h, p)
-    val md = try boot.metadata(Seq(topic)) finally ()
+    val boot = new KafkaWireClient(h, p, maxFrame = maxFrame)
+    val md =
+      try boot.metadata(Seq(topic))
+      catch { case e: Throwable => boot.close(); throw e }
     val leader = md.topics.find(_.name == topic)
       .flatMap(_.partitions.find(_.partition == partition))
       .map(_.leader)
     val broker = leader.flatMap(l => md.brokers.find(_.nodeId == l))
     broker match {
       case Some(b) if b.host == h && b.port == p => boot
-      case Some(b) => boot.close(); new KafkaWireClient(b.host, b.port)
+      case Some(b) => boot.close()
+        new KafkaWireClient(b.host, b.port, maxFrame = maxFrame)
       case None => boot.close()
         throw new IOException(s"kafka: no leader for $topic/$partition")
     }

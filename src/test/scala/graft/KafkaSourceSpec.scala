@@ -58,9 +58,9 @@ final class KafkaBrokerStub(topic: String, nPartitions: Int) {
       apiKey match {
         case ApiMetadata =>
           require(apiVer == 1, s"metadata v$apiVer")
+          // protocol rule: null array (-1) = ALL topics; empty = none
           val n = req.i32()
-          val asked = Seq.fill(n)(req.str())
-          val names = if (asked.isEmpty) Seq(topic) else asked
+          val names = if (n < 0) Seq(topic) else Seq.fill(n)(req.str())
           resp.i32(1) // brokers
           resp.i32(0); resp.str("127.0.0.1"); resp.i32(server.getLocalPort)
           resp.nullableStr(None)
@@ -202,6 +202,38 @@ class KafkaSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       KafkaWire.decodeRecordSet(batch)
     }
     assert(e.getMessage.contains("compressed"), e.getMessage)
+  }
+
+  test("control batches (transaction markers) are skipped, not data rows") {
+    val batch = KafkaWire.encodeBatch(0L, 1L, Seq((None, "x".getBytes)))
+    batch(22) = (batch(22) | 0x20).toByte // attributes bit 5: control
+    val crc = new java.util.zip.CRC32C
+    crc.update(batch, 21, batch.length - 21)
+    val cv = crc.getValue.toInt
+    batch(17) = (cv >>> 24).toByte; batch(18) = (cv >>> 16).toByte
+    batch(19) = (cv >>> 8).toByte; batch(20) = cv.toByte
+    assert(KafkaWire.decodeRecordSet(batch).isEmpty)
+  }
+
+  test("a vanished offset span fails by default; failOnDataLoss=false skips") {
+    // plan a range whose records never existed (the retention/unclean-
+    // election shape): hw=0 while the checkpointed range says [0, 5)
+    val s2 = new KafkaBrokerStub("gone", 1)
+    val p2 = s2.start()
+    try {
+      import graft.sources.kafka._
+      def reader(conf: Map[String, String]) = new KafkaPartitionReader(
+        KafkaRange(KafkaSourceOptions(conf +
+          ("bootstrap" -> s"127.0.0.1:$p2") + ("topic" -> "gone")),
+          0, 0L, 5L))
+      val strict = reader(Map.empty)
+      val e = intercept[java.io.IOException] { strict.next() }
+      assert(e.getMessage.contains("failOnDataLoss"), e.getMessage)
+      strict.close()
+      val lax = reader(Map("failOnDataLoss" -> "false"))
+      assert(!lax.next()) // skips the lost span cleanly
+      lax.close()
+    } finally s2.stop()
   }
 
   test("the wire client lists offsets and fetches typed records") {
