@@ -462,6 +462,24 @@ final class PgWireEdge(
       writeMessage(out, MsgEmptyQueryResponse, Array.empty)
       return
     }
+    if (CopyFromRe.matches(sql)) {
+      writeError(out, "ERROR", "0A000",
+        "COPY FROM STDIN is not supported: the edge is read-only")
+      return
+    }
+    CopyToRe.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        try runCopyOut(out, m.group(1).trim, m.group(2), user)
+        catch {
+          case e: PgEdgeError =>
+            writeError(out, "ERROR", e.sqlState, e.getMessage)
+          case e: Exception =>
+            writeError(out, "ERROR", sqlStateFor(e),
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(4000))
+        } finally out.flush()
+        return
+      case None => ()
+    }
     try {
       val result = withAnsiConfs { engine.executeQuery(sql, user) }
       val schema = result.df.schema
@@ -483,6 +501,92 @@ final class PgWireEdge(
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(4000))
     } finally out.flush()
   }
+
+  // ------------------------------------------------ COPY ... TO STDOUT
+  // The bulk-export path psql's \copy and pg_dump-style tooling speak:
+  // CopyOutResponse → CopyData per row → CopyDone → CommandComplete.
+  // Supported sources: a parenthesized query or a table (optionally
+  // with a column list); formats: pg text (tab-delimited, \N nulls,
+  // backslash escapes) and CSV (WITH CSV [HEADER] / FORMAT csv).
+  // Rows stream via toLocalIterator — no maxRows delivery cap (bulk
+  // export is the point; session governance like the defensive limit
+  // and cost gate still applies to the inner query). COPY FROM STDIN
+  // refuses with 0A000: the edge is read-only.
+  private val CopyToRe =
+    "(?is)^\\s*COPY\\s+(.+?)\\s+TO\\s+STDOUT\\s*(.*?)\\s*;?\\s*$".r
+  private val CopyFromRe = "(?is)^\\s*COPY\\s+.+?\\s+FROM\\s+STDIN.*$".r
+
+  private def runCopyOut(out: DataOutputStream, source: String,
+      options: String, user: AuthenticatedUser): Unit = {
+    val up = options.toUpperCase
+    val csv = up.contains("CSV")
+    val header = csv && up.contains("HEADER") && !up.contains("HEADER FALSE")
+    val inner =
+      if (source.startsWith("(")) {
+        if (!source.endsWith(")"))
+          throw new PgEdgeError("42601", "unterminated COPY subquery")
+        source.substring(1, source.length - 1)
+      } else {
+        val m = "^([A-Za-z_][A-Za-z0-9_$]*)\\s*(?:\\(([^)]*)\\))?$".r
+          .findFirstMatchIn(source).getOrElse(
+            throw new PgEdgeError("42601",
+              s"cannot parse COPY source '$source'"))
+        val table = graft.util.Sanitize.quoteIdentifier(m.group(1))
+        val cols = Option(m.group(2)) match {
+          case Some(cs) => cs.split(',').map(c =>
+            graft.util.Sanitize.quoteIdentifier(c.trim)).mkString(", ")
+          case None => "*"
+        }
+        s"SELECT $cols FROM $table"
+      }
+    val result = withAnsiConfs { engine.executeQuery(inner, user) }
+    val schema = result.df.schema
+    val resp = new java.io.ByteArrayOutputStream()
+    resp.write(0) // overall format: text
+    resp.write(schema.fields.length >> 8); resp.write(schema.fields.length & 0xff)
+    schema.fields.foreach { _ => resp.write(0); resp.write(0) }
+    writeMessage(out, MsgCopyOutResponse, resp.toByteArray)
+    if (header)
+      writeMessage(out, MsgCopyData,
+        (schema.fields.map(f => csvField(f.name)).mkString(",") + "\n")
+          .getBytes(UTF_8))
+    var n = 0L
+    val it = result.df.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val line = schema.fields.indices.map { i =>
+        if (r.isNullAt(i)) { if (csv) "" else "\\N" }
+        else {
+          val v = PgTypes.encode(r.get(i), schema.fields(i).dataType)
+          if (csv) csvField(v) else copyTextField(v)
+        }
+      }.mkString(if (csv) "," else "\t") + "\n"
+      writeMessage(out, MsgCopyData, line.getBytes(UTF_8))
+      n += 1
+      if (n % 256 == 0) out.flush()
+    }
+    writeMessage(out, MsgCopyDone, Array.empty)
+    writeMessage(out, MsgCommandComplete, commandComplete(s"COPY $n"))
+  }
+
+  /** pg COPY text-format escaping: backslash, tab, newline, CR. */
+  private def copyTextField(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    v.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\t' => sb.append("\\t")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** CSV field quoting per RFC 4180 (double-quote doubling). */
+  private def csvField(v: String): String =
+    if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + v.replace("\"", "\"\"") + "\""
+    else v
 
   private def encodeRow(r: Row, schema: StructType): Seq[Option[String]] =
     schema.fields.toSeq.zipWithIndex.map { case (f, i) =>

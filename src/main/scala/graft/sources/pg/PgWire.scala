@@ -63,6 +63,11 @@ object PgWire {
   val MsgParameterDescription: Byte = 't'
   val MsgNoData: Byte = 'n'
   val MsgPortalSuspended: Byte = 's'
+  // COPY sub-protocol (backend 'H' is CopyOutResponse — the frontend 'H'
+  // Flush shares the byte but travels the other direction)
+  val MsgCopyOutResponse: Byte = 'H'
+  val MsgCopyData: Byte = 'd'
+  val MsgCopyDone: Byte = 'c'
 
   // Authentication request codes (payload int32 of an 'R' message)
   val AuthOk = 0

@@ -435,6 +435,37 @@ class PgEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("COPY TO STDOUT streams text-format rows; CSV HEADER and table forms work") {
+    withExt { c =>
+      import PgWire._
+      // subquery form, pg text format
+      c.simpleQuery(
+        "COPY (SELECT n_name FROM nation ORDER BY n_name LIMIT 3) TO STDOUT")
+      val ms = c.drain()
+      assert(ms.exists(_.tpe == MsgCopyOutResponse), ms.map(_.tpe.toChar))
+      val data = ms.filter(_.tpe == MsgCopyData)
+        .map(m => new String(m.payload, "UTF-8"))
+      assert(data.length == 3 && data.forall(_.endsWith("\n")), data)
+      val done = ms.find(_.tpe == MsgCommandComplete).get
+      assert(new String(done.payload, "UTF-8").startsWith("COPY 3"))
+      // table form with a column list, CSV with header
+      c.simpleQuery("COPY nation (n_name, n_nationkey) TO STDOUT WITH CSV HEADER")
+      val ms2 = c.drain()
+      val rows2 = ms2.filter(_.tpe == MsgCopyData)
+        .map(m => new String(m.payload, "UTF-8"))
+      assert(rows2.head.trim == "n_name,n_nationkey", rows2.head)
+      assert(rows2.length == 26) // header + 25 nations
+      assert(rows2.tail.forall(_.count(_ == ',') >= 1))
+      // governance still applies on the inner query: RLS etc. ride the
+      // same executeQuery path (covered by the edge's other tests);
+      // COPY FROM refuses loudly
+      c.simpleQuery("COPY nation FROM STDIN")
+      val ms3 = c.drain()
+      val err = ms3.find(_.tpe == MsgErrorResponse).get
+      assert(parseErrorFields(err.payload)('C') == "0A000")
+    }
+  }
+
   test("extended protocol: a mismatched format-code count is 08P01, not a crash") {
     withExt { c =>
       import PgWire._
