@@ -95,16 +95,25 @@ object KafkaSourceOptions {
 }
 
 final class KafkaTable(opts: KafkaSourceOptions)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"kafka:${opts.bootstrap}/${opts.topic}"
   override def schema(): StructType = KafkaSourceOptions.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      // appends to a log: "truncate" has no meaning, but Spark's
+      // overwrite-mode guard wants the flag absent — leave it off
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new KafkaScan(opts)
     }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new KafkaWriteBuilder(opts, info.schema())
 }
 
 /** Stream/batch offsets: partition → NEXT offset to read. */

@@ -23,9 +23,36 @@ import java.nio.charset.StandardCharsets.UTF_8
 object KafkaWire {
 
   // api keys
+  val ApiProduce = 0
   val ApiFetch = 1
   val ApiListOffsets = 2
   val ApiMetadata = 3
+
+  /** Kafka's default-partitioner hash (murmur2, seed 0x9747b28c, sign
+    * cleared) — byte-compatible with the Java client so keyed records
+    * land on the same partitions a stock producer would pick. */
+  def murmur2(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    var h = seed ^ data.length
+    val n4 = data.length / 4
+    var i = 0
+    while (i < n4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) | ((data(i4 + 1) & 0xff) << 8) |
+        ((data(i4 + 2) & 0xff) << 16) | ((data(i4 + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> r; k *= m
+      h *= m; h ^= k
+      i += 1
+    }
+    val tail = data.length & 3
+    if (tail == 3) h ^= (data(data.length - 1) & 0xff) << 16
+    if (tail >= 2) h ^= (data(data.length - (tail - 1)) & 0xff) << 8
+    if (tail >= 1) { h ^= data(data.length - tail) & 0xff; h *= m }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h
+  }
 
   final class Writer {
     private val buf = new java.io.ByteArrayOutputStream()

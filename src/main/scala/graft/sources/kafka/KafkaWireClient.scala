@@ -113,6 +113,39 @@ final class KafkaWireClient(host: String, port: Int,
     res
   }
 
+  /** Produce v3 (acks=-1: all in-sync replicas — the durable default)
+    * of one uncompressed v2 record batch; returns the assigned base
+    * offset. */
+  def produce(topic: String, partition: Int,
+      records: Seq[(Option[Array[Byte]], Array[Byte])],
+      timestampMs: Long): Long = {
+    require(records.nonEmpty, "kafka: empty produce")
+    val batch = KafkaWire.encodeBatch(0L, timestampMs, records)
+    val w = new Writer
+    w.nullableStr(None) // transactional id
+    w.i16(-1) // acks: all
+    w.i32(30000) // timeout
+    w.i32(1); w.str(topic)
+    w.i32(1); w.i32(partition)
+    w.bytes(batch)
+    val r = exchange(ApiProduce, 3, w.result())
+    var base = -1L
+    (0 until r.i32()).foreach { _ =>
+      r.str() // topic
+      (0 until r.i32()).foreach { _ =>
+        val pid = r.i32()
+        val err = r.i16()
+        if (err != 0)
+          throw new IOException(s"kafka: Produce $topic/$pid error $err")
+        val off = r.i64()
+        r.i64() // log append time
+        if (pid == partition) base = off
+      }
+    }
+    r.i32() // throttle
+    base
+  }
+
   final case class FetchResult(records: Seq[Record], highWatermark: Long)
 
   /** Fetch v4 from one partition starting at `offset`. */

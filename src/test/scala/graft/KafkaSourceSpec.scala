@@ -56,6 +56,31 @@ final class KafkaBrokerStub(topic: String, nPartitions: Int) {
       val resp = new Writer
       resp.i32(corr)
       apiKey match {
+        case ApiProduce =>
+          require(apiVer == 3, s"produce v$apiVer")
+          req.nullableStr() // transactional id
+          req.i16() // acks
+          req.i32() // timeout
+          val nt = req.i32()
+          resp.i32(nt)
+          (0 until nt).foreach { _ =>
+            val t = req.str()
+            val np = req.i32()
+            resp.str(t)
+            resp.i32(np)
+            (0 until np).foreach { _ =>
+              val pid = req.i32()
+              val set = req.bytesOpt().getOrElse(Array.emptyByteArray)
+              val recs = KafkaWire.decodeRecordSet(set)
+              val base = endOffset(pid)
+              recs.foreach(r =>
+                logs.updateWith(pid)(v => Some(v.getOrElse(Vector.empty) :+
+                  ((r.key, r.value.getOrElse(Array.emptyByteArray),
+                    r.timestampMs)))))
+              resp.i32(pid); resp.i16(0); resp.i64(base); resp.i64(-1L)
+            }
+          }
+          resp.i32(0) // throttle
         case ApiMetadata =>
           require(apiVer == 1, s"metadata v$apiVer")
           // protocol rule: null array (-1) = ALL topics; empty = none
@@ -303,6 +328,67 @@ class KafkaSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(rows.map(_.getInt(1)).toSet == Set(30, 30, 40).map(identity))
       } finally q.stop()
     } finally s2.stop()
+  }
+
+  test("murmur2 matches Kafka's published test vectors") {
+    // Apache Kafka UtilsTest.testMurmur2 — byte compatibility with the
+    // Java client's default partitioner
+    assert(KafkaWire.murmur2("21".getBytes("UTF-8")) == -973932308)
+    assert(KafkaWire.murmur2("foobar".getBytes("UTF-8")) == -790332482)
+    assert(KafkaWire.murmur2(
+      "a-little-bit-long-string".getBytes("UTF-8")) == -985981536)
+    assert(KafkaWire.murmur2(Array.emptyByteArray) == 275646681)
+  }
+
+  test("the sink publishes batch writes; keyed rows use the stock partitioner") {
+    val s2 = new KafkaBrokerStub("out", 3)
+    val p2 = s2.start()
+    try {
+      import spark.implicits._
+      val df = (0 until 12).map(i => (s"key-$i", s"payload-$i"))
+        .toDF("key", "value")
+      df.write.format("graft.sources.kafka.KafkaDataSource")
+        .option("bootstrap", s"127.0.0.1:$p2").option("topic", "out")
+        .mode("append").save()
+      val back = spark.read.format("graft.sources.kafka.KafkaDataSource")
+        .option("bootstrap", s"127.0.0.1:$p2").option("topic", "out")
+        .load()
+        .selectExpr("CAST(key AS STRING) k", "CAST(value AS STRING) v",
+          "partition").collect()
+      assert(back.length == 12)
+      assert(back.map(_.getString(1)).toSet ==
+        (0 until 12).map(i => s"payload-$i").toSet)
+      // every keyed record sits where Kafka's own partitioner puts it
+      back.foreach { r =>
+        val expect = (KafkaWire.murmur2(
+          r.getString(0).getBytes("UTF-8")) & 0x7fffffff) % 3
+        assert(r.getInt(2) == expect, s"${r.getString(0)} on ${r.getInt(2)}")
+      }
+    } finally s2.stop()
+  }
+
+  test("topic-to-topic streaming: source feeds the sink continuously") {
+    val dst = new KafkaBrokerStub("curated", 2)
+    val pDst = dst.start()
+    try {
+      val q = spark.readStream.format("graft.sources.kafka.KafkaDataSource")
+        .options(opts).option("startingOffsets", "earliest").load()
+        .selectExpr("key", "CAST(CONCAT('clean:', CAST(value AS STRING)) AS BINARY) AS value")
+        .writeStream.format("graft.sources.kafka.KafkaDataSource")
+        .option("bootstrap", s"127.0.0.1:$pDst").option("topic", "curated")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ksink").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        val out = spark.read.format("graft.sources.kafka.KafkaDataSource")
+          .option("bootstrap", s"127.0.0.1:$pDst").option("topic", "curated")
+          .load().selectExpr("CAST(value AS STRING) v").collect()
+          .map(_.getString(0))
+        assert(out.length >= 30, s"only ${out.length} forwarded")
+        assert(out.forall(_.startsWith("clean:")), out.take(3).mkString(","))
+      } finally q.stop()
+    } finally dst.stop()
   }
 
   test("micro-batch streaming resumes from checkpointed offsets") {
