@@ -302,6 +302,12 @@ final class PgWireEdge(
     val nOids = bb.getShort.toInt
     val oids = IndexedSeq.fill(nOids)(bb.getInt)
     logQuery(sql)
+    // COPY rides the simple-query sub-protocol; a Parse of it would
+    // otherwise fall through to Spark's parser and die with a
+    // confusing syntax error instead of a clean refusal
+    if (parseCopy(sql).isDefined)
+      throw new PgEdgeError("0A000",
+        "COPY is supported via the simple query protocol only")
     val (rewritten, nParams) = PgWireEdge.rewritePlaceholders(sql)
     val padded = oids.padTo(nParams, 0)
     statements(name) = Prepared(sql, rewritten, padded, nParams)
@@ -462,15 +468,12 @@ final class PgWireEdge(
       writeMessage(out, MsgEmptyQueryResponse, Array.empty)
       return
     }
-    if (CopyFromRe.matches(sql)) {
-      writeError(out, "ERROR", "0A000",
-        "COPY FROM STDIN is not supported: the edge is read-only")
-      return
-    }
-    CopyToRe.findFirstMatchIn(sql) match {
-      case Some(m) =>
-        try runCopyOut(out, m.group(1).trim, m.group(2), user)
-        catch {
+    parseCopy(sql) match {
+      case Some(parsed) =>
+        try parsed match {
+          case Left(err) => throw err
+          case Right(c) => runCopyOut(out, c, user)
+        } catch {
           case e: PgEdgeError =>
             writeError(out, "ERROR", e.sqlState, e.getMessage)
           case e: Exception =>
@@ -505,48 +508,191 @@ final class PgWireEdge(
   // ------------------------------------------------ COPY ... TO STDOUT
   // The bulk-export path psql's \copy and pg_dump-style tooling speak:
   // CopyOutResponse → CopyData per row → CopyDone → CommandComplete.
-  // Supported sources: a parenthesized query or a table (optionally
-  // with a column list); formats: pg text (tab-delimited, \N nulls,
-  // backslash escapes) and CSV (WITH CSV [HEADER] / FORMAT csv).
-  // Rows stream via toLocalIterator — no maxRows delivery cap (bulk
-  // export is the point; session governance like the defensive limit
-  // and cost gate still applies to the inner query). COPY FROM STDIN
-  // refuses with 0A000: the edge is read-only.
-  private val CopyToRe =
-    "(?is)^\\s*COPY\\s+(.+?)\\s+TO\\s+STDOUT\\s*(.*?)\\s*;?\\s*$".r
-  private val CopyFromRe = "(?is)^\\s*COPY\\s+.+?\\s+FROM\\s+STDIN.*$".r
+  // Sources: a parenthesized query, or a (optionally schema-qualified,
+  // optionally double-quoted) table with an optional column list;
+  // formats: pg text (tab-delimited, \N nulls, backslash escapes) and
+  // CSV (WITH CSV [HEADER] / (FORMAT csv[, HEADER]); empty strings
+  // QUOTE so a CSV re-import keeps them distinct from NULL, as pg
+  // does). Parsing is quote-aware — a 'TO STDOUT' inside a string
+  // literal never splits the statement — and options are VALIDATED:
+  // anything unsupported (delimiters, trailing statements) refuses
+  // loudly rather than silently shipping the wrong shape. Rows stream
+  // via toLocalIterator with no delivery cap (bulk export is the
+  // point; session governance still gates the inner query). COPY FROM
+  // STDIN refuses with 0A000: the edge is read-only. The extended
+  // protocol refuses COPY cleanly at Parse (simple protocol only).
 
-  private def runCopyOut(out: DataOutputStream, source: String,
-      options: String, user: AuthenticatedUser): Unit = {
-    val up = options.toUpperCase
-    val csv = up.contains("CSV")
-    val header = csv && up.contains("HEADER") && !up.contains("HEADER FALSE")
-    val inner =
-      if (source.startsWith("(")) {
-        if (!source.endsWith(")"))
-          throw new PgEdgeError("42601", "unterminated COPY subquery")
-        source.substring(1, source.length - 1)
-      } else {
-        val m = "^([A-Za-z_][A-Za-z0-9_$]*)\\s*(?:\\(([^)]*)\\))?$".r
-          .findFirstMatchIn(source).getOrElse(
-            throw new PgEdgeError("42601",
-              s"cannot parse COPY source '$source'"))
-        val table = graft.util.Sanitize.quoteIdentifier(m.group(1))
-        val cols = Option(m.group(2)) match {
-          case Some(cs) => cs.split(',').map(c =>
-            graft.util.Sanitize.quoteIdentifier(c.trim)).mkString(", ")
-          case None => "*"
+  private final case class CopyOut(inner: String, csv: Boolean,
+      header: Boolean)
+
+  /** None: not a COPY statement. Some(Left): a COPY the edge refuses
+    * (with the proper SQLSTATE). Some(Right): a runnable COPY TO
+    * STDOUT. */
+  private def parseCopy(sql: String): Option[Either[PgEdgeError, CopyOut]] = {
+    val t = sql.trim.stripSuffix(";").trim
+    if (!t.regionMatches(true, 0, "COPY", 0, 4) ||
+        (t.length > 4 && !t.charAt(4).isWhitespace)) return None
+    var i = 5
+    def skipWs(): Unit = while (i < t.length && t.charAt(i).isWhitespace) i += 1
+    def err(state: String, msg: String) = Some(Left(new PgEdgeError(state, msg)))
+    skipWs()
+    if (i >= t.length) return err("42601", "incomplete COPY statement")
+
+    /** Scan from an opening delimiter to its match, honoring '...'
+      * (with '' escapes) and "..." (with "" escapes) so literal
+      * parens/keywords inside strings never confuse the split. */
+    def matchParen(start: Int): Int = {
+      var depth = 0
+      var j = start
+      while (j < t.length) {
+        t.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return j
+          case '\'' =>
+            j += 1
+            while (j < t.length && (t.charAt(j) != '\'' ||
+              (j + 1 < t.length && t.charAt(j + 1) == '\''))) {
+              if (t.charAt(j) == '\'') j += 1
+              j += 1
+            }
+          case '"' =>
+            j += 1
+            while (j < t.length && (t.charAt(j) != '"' ||
+              (j + 1 < t.length && t.charAt(j + 1) == '"'))) {
+              if (t.charAt(j) == '"') j += 1
+              j += 1
+            }
+          case _ => ()
         }
-        s"SELECT $cols FROM $table"
+        j += 1
       }
-    val result = withAnsiConfs { engine.executeQuery(inner, user) }
+      -1
+    }
+
+    var inner: String = null
+    if (t.charAt(i) == '(') {
+      val close = matchParen(i)
+      if (close < 0) return err("42601", "unterminated COPY subquery")
+      inner = t.substring(i + 1, close)
+      i = close + 1
+    } else {
+      // [schema.]table, each part bare or double-quoted
+      def ident(): Option[String] = {
+        if (i < t.length && t.charAt(i) == '"') {
+          val close = {
+            var j = i + 1
+            while (j < t.length && (t.charAt(j) != '"' ||
+              (j + 1 < t.length && t.charAt(j + 1) == '"'))) {
+              if (t.charAt(j) == '"') j += 1
+              j += 1
+            }
+            j
+          }
+          if (close >= t.length) None
+          else {
+            val raw = t.substring(i + 1, close).replace("\"\"", "\"")
+            i = close + 1
+            Some(raw)
+          }
+        } else {
+          val start = i
+          while (i < t.length && (t.charAt(i).isLetterOrDigit ||
+            t.charAt(i) == '_' || t.charAt(i) == '$')) i += 1
+          if (i == start) None else Some(t.substring(start, i))
+        }
+      }
+      val first = ident().getOrElse(
+        return err("42601", "cannot parse COPY source"))
+      val qualified =
+        if (i < t.length && t.charAt(i) == '.') {
+          i += 1
+          val second = ident().getOrElse(
+            return err("42601", "cannot parse COPY source"))
+          graft.util.Sanitize.quoteIdentifier(first) + "." +
+            graft.util.Sanitize.quoteIdentifier(second)
+        } else graft.util.Sanitize.quoteIdentifier(first)
+      skipWs()
+      var cols = "*"
+      if (i < t.length && t.charAt(i) == '(') {
+        val close = matchParen(i)
+        if (close < 0) return err("42601", "unterminated column list")
+        cols = t.substring(i + 1, close).split(',').map(c =>
+          graft.util.Sanitize.quoteIdentifier(
+            c.trim.stripPrefix("\"").stripSuffix("\"")))
+          .mkString(", ")
+        i = close + 1
+      }
+      inner = s"SELECT $cols FROM $qualified"
+    }
+    skipWs()
+    val rest = t.substring(i)
+    val restTokens = rest.split("\\s+").filter(_.nonEmpty).toSeq
+    restTokens.map(_.toUpperCase) match {
+      case "FROM" +: "STDIN" +: _ =>
+        err("0A000", "COPY FROM STDIN is not supported: the edge is read-only")
+      case "TO" +: "STDOUT" +: _ =>
+        val opts = restTokens.drop(2)
+          .map(_.replaceAll("[(),]", " ").trim).flatMap(_.split("\\s+"))
+          .filter(_.nonEmpty)
+        parseCopyOptions(opts) match {
+          case Right((csv, header)) => Some(Right(CopyOut(inner, csv, header)))
+          case Left(e) => Some(Left(e))
+        }
+      case "TO" +: _ =>
+        err("0A000", "COPY TO is only supported with STDOUT")
+      case _ => err("42601", "cannot parse COPY statement")
+    }
+  }
+
+  /** Accepted: nothing; [WITH] CSV [HEADER [bool]]; [WITH] FORMAT
+    * {TEXT|CSV} [HEADER [bool]]. Anything else refuses — silently
+    * ignoring a DELIMITER would ship a shape the client mis-parses. */
+  private def parseCopyOptions(
+      tokens: Seq[String]): Either[PgEdgeError, (Boolean, Boolean)] = {
+    var csv = false
+    var header = false
+    var i = 0
+    val up = tokens.map(_.toUpperCase)
+    def boolAt(j: Int): Option[(Boolean, Int)] =
+      if (j < up.length) up(j) match {
+        case "TRUE" | "ON" | "1" => Some((true, j + 1))
+        case "FALSE" | "OFF" | "0" => Some((false, j + 1))
+        case _ => None
+      } else None
+    while (i < up.length) {
+      up(i) match {
+        case "WITH" => i += 1
+        case "FORMAT" if i + 1 < up.length && up(i + 1) == "CSV" =>
+          csv = true; i += 2
+        case "FORMAT" if i + 1 < up.length && up(i + 1) == "TEXT" =>
+          i += 2
+        case "CSV" => csv = true; i += 1
+        case "HEADER" =>
+          boolAt(i + 1) match {
+            case Some((v, next)) => header = v; i = next
+            case None => header = true; i += 1
+          }
+        case other =>
+          return Left(new PgEdgeError("0A000",
+            s"COPY option '$other' is not supported"))
+      }
+    }
+    if (header && !csv)
+      return Left(new PgEdgeError("0A000",
+        "COPY HEADER requires CSV format"))
+    Right((csv, header))
+  }
+
+  private def runCopyOut(out: DataOutputStream, c: CopyOut,
+      user: AuthenticatedUser): Unit = {
+    val result = withAnsiConfs { engine.executeQuery(c.inner, user) }
     val schema = result.df.schema
     val resp = new java.io.ByteArrayOutputStream()
     resp.write(0) // overall format: text
     resp.write(schema.fields.length >> 8); resp.write(schema.fields.length & 0xff)
     schema.fields.foreach { _ => resp.write(0); resp.write(0) }
     writeMessage(out, MsgCopyOutResponse, resp.toByteArray)
-    if (header)
+    if (c.header)
       writeMessage(out, MsgCopyData,
         (schema.fields.map(f => csvField(f.name)).mkString(",") + "\n")
           .getBytes(UTF_8))
@@ -555,12 +701,12 @@ final class PgWireEdge(
     while (it.hasNext) {
       val r = it.next()
       val line = schema.fields.indices.map { i =>
-        if (r.isNullAt(i)) { if (csv) "" else "\\N" }
+        if (r.isNullAt(i)) { if (c.csv) "" else "\\N" }
         else {
           val v = PgTypes.encode(r.get(i), schema.fields(i).dataType)
-          if (csv) csvField(v) else copyTextField(v)
+          if (c.csv) csvField(v) else copyTextField(v)
         }
-      }.mkString(if (csv) "," else "\t") + "\n"
+      }.mkString(if (c.csv) "," else "\t") + "\n"
       writeMessage(out, MsgCopyData, line.getBytes(UTF_8))
       n += 1
       if (n % 256 == 0) out.flush()
@@ -582,9 +728,11 @@ final class PgWireEdge(
     sb.toString
   }
 
-  /** CSV field quoting per RFC 4180 (double-quote doubling). */
+  /** CSV field quoting per RFC 4180; EMPTY strings quote too, so a
+    * re-import keeps them distinct from NULL (pg's behavior). */
   private def csvField(v: String): String =
-    if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+    if (v.isEmpty) "\"\""
+    else if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
       "\"" + v.replace("\"", "\"\"") + "\""
     else v
 

@@ -20,10 +20,15 @@ import org.apache.spark.sql.types._
   * records stick to one partition per Spark task (the task id mod
   * partition count — batch-efficient round robin).
   *
-  * Scale shape: each task buffers per partition and emits ONE Produce
-  * batch per partition per task on commit; leader connections are
-  * dialed once per touched partition. Delivery is at-least-once (the
-  * Produce acks before commit; a retried task re-sends its buffer —
+  * Scale shape: each task buffers per partition with a bounded batch
+  * size — a buffer reaching ~900 KB (under the broker's 1 MB
+  * message.max.bytes default) flushes early, so no single Produce
+  * batch can exceed what a stock broker accepts, and executor memory
+  * per task stays bounded regardless of task output size. On flush,
+  * ONE metadata lookup groups the touched partitions by leader and
+  * each leader gets ONE connection carrying every batch it owns
+  * (O(brokers) dials, not O(partitions)). Delivery is at-least-once
+  * (Produce acks before commit; a retried task re-sends its buffer —
   * the log is append-only, the standard non-transactional sink
   * semantics). */
 final class KafkaWriteBuilder(opts: KafkaSourceOptions, schema: StructType)
@@ -46,7 +51,22 @@ final class KafkaWriteBuilder(opts: KafkaSourceOptions, schema: StructType)
       }
     }
     val keyIdx = colIdx("key")
+    keyIdx.foreach { i =>
+      schema.fields(i).dataType match {
+        case BinaryType | StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"graft-kafka sink: column 'key' must be binary or string, got $dt")
+      }
+    }
     val partIdx = colIdx("partition")
+    // validate the type up front: getInt on (say) a LongType column
+    // would silently read the low word and misroute records
+    partIdx.foreach { i =>
+      if (schema.fields(i).dataType != IntegerType)
+        throw new IllegalArgumentException(
+          "graft-kafka sink: column 'partition' must be int, got " +
+            schema.fields(i).dataType)
+    }
     val nPartitions = opts.partitions().length
     val factory = KafkaWriterFactory(opts, schema, valueIdx, keyIdx,
       partIdx, nPartitions)
@@ -87,8 +107,13 @@ final case class KafkaWriteCommitted(records: Long)
 final class KafkaDataWriter(f: KafkaWriterFactory, sparkPartition: Int)
     extends DataWriter[InternalRow] {
 
+  /** Stay under the broker's default 1 MB message.max.bytes with room
+    * for batch framing. */
+  private val MaxBatchBytes = 900 * 1024
+
   private val buffers = scala.collection.mutable.Map
     .empty[Int, scala.collection.mutable.ArrayBuffer[(Option[Array[Byte]], Array[Byte])]]
+  private val bufferedBytes = scala.collection.mutable.Map.empty[Int, Long]
   private var n = 0L
 
   private def cell(row: InternalRow, i: Int): Option[Array[Byte]] =
@@ -114,18 +139,49 @@ final class KafkaDataWriter(f: KafkaWriterFactory, sparkPartition: Int)
     }
     buffers.getOrElseUpdate(partition,
       scala.collection.mutable.ArrayBuffer.empty) += ((key, value))
+    val sz = bufferedBytes.getOrElse(partition, 0L) +
+      value.length + key.map(_.length).getOrElse(0) + 32
+    bufferedBytes(partition) = sz
     n += 1
+    if (sz >= MaxBatchBytes) flushPartitions(Set(partition))
+  }
+
+  /** Send the named partitions' buffers: one Metadata lookup, one
+    * connection per LEADER, every batch that leader owns in one
+    * Produce request. */
+  private def flushPartitions(parts: Set[Int]): Unit = {
+    val todo = buffers.view.filterKeys(parts).toMap
+      .filter(_._2.nonEmpty)
+    if (todo.isEmpty) return
+    val ts = System.currentTimeMillis()
+    val (h, p0) = KafkaWireClient.parseBootstrap(f.opts.bootstrap)
+    val boot = new KafkaWireClient(h, p0, maxFrame = f.opts.maxFrame)
+    val md = try boot.metadata(Seq(f.opts.topic))
+      catch { case e: Throwable => boot.close(); throw e }
+    val topicMd = md.topics.find(_.name == f.opts.topic).getOrElse {
+      boot.close()
+      throw new java.io.IOException(s"kafka: unknown topic ${f.opts.topic}")
+    }
+    val byLeader = todo.groupBy { case (p, _) =>
+      topicMd.partitions.find(_.partition == p).map(_.leader).getOrElse(
+        throw new java.io.IOException(s"kafka: no leader for partition $p"))
+    }
+    try byLeader.foreach { case (leader, batches) =>
+      val broker = md.brokers.find(_.nodeId == leader).getOrElse(
+        throw new java.io.IOException(s"kafka: unknown broker $leader"))
+      val sameAsBoot = broker.host == h && broker.port == p0
+      val c = if (sameAsBoot) boot
+        else new KafkaWireClient(broker.host, broker.port,
+          maxFrame = f.opts.maxFrame)
+      try c.produceMany(f.opts.topic,
+        batches.toSeq.sortBy(_._1).map { case (p, r) => p -> r.toSeq }, ts)
+      finally if (!sameAsBoot) c.close()
+    } finally boot.close()
+    parts.foreach { p => buffers.remove(p); bufferedBytes.remove(p) }
   }
 
   override def commit(): WriterCommitMessage = {
-    val ts = System.currentTimeMillis()
-    buffers.toSeq.sortBy(_._1).foreach { case (p, recs) =>
-      val c = KafkaWireClient.forLeader(f.opts.bootstrap, f.opts.topic, p,
-        maxFrame = f.opts.maxFrame)
-      try c.produce(f.opts.topic, p, recs.toSeq, ts)
-      finally c.close()
-    }
-    buffers.clear()
+    flushPartitions(buffers.keySet.toSet)
     KafkaWriteCommitted(n)
   }
 

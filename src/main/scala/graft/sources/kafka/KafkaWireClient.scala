@@ -114,22 +114,26 @@ final class KafkaWireClient(host: String, port: Int,
   }
 
   /** Produce v3 (acks=-1: all in-sync replicas — the durable default)
-    * of one uncompressed v2 record batch; returns the assigned base
-    * offset. */
-  def produce(topic: String, partition: Int,
-      records: Seq[(Option[Array[Byte]], Array[Byte])],
-      timestampMs: Long): Long = {
-    require(records.nonEmpty, "kafka: empty produce")
-    val batch = KafkaWire.encodeBatch(0L, timestampMs, records)
+    * of one uncompressed v2 record batch per partition, several
+    * partitions per request (the per-leader batching the sink uses).
+    * Returns each partition's assigned base offset. */
+  def produceMany(topic: String,
+      batches: Seq[(Int, Seq[(Option[Array[Byte]], Array[Byte])])],
+      timestampMs: Long): Map[Int, Long] = {
+    require(batches.nonEmpty && batches.forall(_._2.nonEmpty),
+      "kafka: empty produce")
     val w = new Writer
     w.nullableStr(None) // transactional id
     w.i16(-1) // acks: all
     w.i32(30000) // timeout
     w.i32(1); w.str(topic)
-    w.i32(1); w.i32(partition)
-    w.bytes(batch)
+    w.i32(batches.length)
+    batches.foreach { case (p, recs) =>
+      w.i32(p)
+      w.bytes(KafkaWire.encodeBatch(0L, timestampMs, recs))
+    }
     val r = exchange(ApiProduce, 3, w.result())
-    var base = -1L
+    var base = Map.empty[Int, Long]
     (0 until r.i32()).foreach { _ =>
       r.str() // topic
       (0 until r.i32()).foreach { _ =>
@@ -139,12 +143,17 @@ final class KafkaWireClient(host: String, port: Int,
           throw new IOException(s"kafka: Produce $topic/$pid error $err")
         val off = r.i64()
         r.i64() // log append time
-        if (pid == partition) base = off
+        base += pid -> off
       }
     }
     r.i32() // throttle
     base
   }
+
+  def produce(topic: String, partition: Int,
+      records: Seq[(Option[Array[Byte]], Array[Byte])],
+      timestampMs: Long): Long =
+    produceMany(topic, Seq(partition -> records), timestampMs)(partition)
 
   final case class FetchResult(records: Seq[Record], highWatermark: Long)
 

@@ -466,6 +466,46 @@ class PgEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("COPY parsing is quote-aware and options are validated, never ignored") {
+    withExt { c =>
+      import PgWire._
+      def copyData(sql: String): (Seq[String], Option[(Char, String)]) = {
+        c.simpleQuery(sql)
+        val ms = c.drain()
+        (ms.filter(_.tpe == MsgCopyData).map(m => new String(m.payload, "UTF-8")),
+          ms.find(_.tpe == MsgErrorResponse)
+            .map(e => ('C', parseErrorFields(e.payload)('C'))))
+      }
+      // 'TO STDOUT' inside a string literal never splits the statement
+      val (lit, err0) = copyData(
+        "COPY (SELECT 'go TO STDOUT now' AS msg) TO STDOUT")
+      assert(err0.isEmpty && lit == Seq("go TO STDOUT now\n"), (lit, err0))
+      // a table named stdin_* is a legitimate export, not COPY FROM
+      spark.sql("SELECT 1 AS x").createOrReplaceTempView("stdin_events")
+      val (se, err1) = copyData("COPY (SELECT x FROM stdin_events) TO STDOUT")
+      assert(err1.isEmpty && se == Seq("1\n"), (se, err1))
+      // unsupported options refuse loudly instead of shipping the wrong shape
+      val (_, err2) = copyData("COPY nation TO STDOUT WITH (DELIMITER '|')")
+      assert(err2.exists(_._2 == "0A000"), err2)
+      // HEADER FALSE spelling suppresses the header
+      val (rows, err3) = copyData(
+        "COPY (SELECT n_name FROM nation ORDER BY n_name LIMIT 2) " +
+          "TO STDOUT WITH CSV HEADER FALSE")
+      assert(err3.isEmpty && rows.length == 2 && !rows.head.contains("n_name"))
+      // CSV keeps empty string distinct from NULL (pg round-trip contract)
+      val (nulls, err4) = copyData(
+        "COPY (SELECT '' AS a, CAST(NULL AS STRING) AS b) TO STDOUT WITH CSV")
+      assert(err4.isEmpty && nulls == Seq("\"\",\n"), (nulls, err4))
+      // extended protocol refuses COPY cleanly at Parse
+      c.parse("cp", "COPY nation TO STDOUT", Nil)
+      c.sync()
+      val ms = c.drain()
+      val perr = ms.find(_.tpe == MsgErrorResponse).get
+      assert(parseErrorFields(perr.payload)('C') == "0A000")
+      assert(new String(perr.payload, "UTF-8").contains("simple query"))
+    }
+  }
+
   test("extended protocol: a mismatched format-code count is 08P01, not a crash") {
     withExt { c =>
       import PgWire._
