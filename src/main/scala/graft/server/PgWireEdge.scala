@@ -468,6 +468,23 @@ final class PgWireEdge(
       writeMessage(out, MsgEmptyQueryResponse, Array.empty)
       return
     }
+    // Transaction control: the engine is read-only, so BEGIN/COMMIT/
+    // ROLLBACK are honest no-ops — every statement already has
+    // snapshot-consistent semantics. Answering the proper command tags
+    // keeps non-autocommit clients (pgJDBC with autocommit=false, BI
+    // tools that bracket everything in transactions) working instead
+    // of dying in the SQL parser.
+    TxnRe.findFirstMatchIn(sql.trim) match {
+      case Some(m) =>
+        val tag = m.group(1).toUpperCase match {
+          case "BEGIN" | "START" => "BEGIN"
+          case "COMMIT" | "END" => "COMMIT"
+          case "ROLLBACK" | "ABORT" => "ROLLBACK"
+        }
+        writeMessage(out, MsgCommandComplete, commandComplete(tag))
+        return
+      case None => ()
+    }
     parseCopy(sql) match {
       case Some(parsed) =>
         try parsed match {
@@ -521,6 +538,11 @@ final class PgWireEdge(
   // point; session governance still gates the inner query). COPY FROM
   // STDIN refuses with 0A000: the edge is read-only. The extended
   // protocol refuses COPY cleanly at Parse (simple protocol only).
+
+  /** BEGIN [WORK|TRANSACTION ...], START TRANSACTION, COMMIT/END,
+    * ROLLBACK/ABORT — with optional modifiers, as a whole statement. */
+  private val TxnRe =
+    "(?is)^(BEGIN|START|COMMIT|END|ROLLBACK|ABORT)(\\s+[A-Za-z ,]*)?;?$".r
 
   private final case class CopyOut(inner: String, csv: Boolean,
       header: Boolean)

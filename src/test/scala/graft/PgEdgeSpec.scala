@@ -466,6 +466,39 @@ class PgEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("transaction control statements are honest no-ops with proper tags") {
+    withExt { c =>
+      import PgWire._
+      def tagOf(sql: String): String = {
+        c.simpleQuery(sql)
+        val ms = c.drain()
+        assert(!ms.exists(_.tpe == MsgErrorResponse),
+          s"$sql errored: $ms")
+        new String(ms.find(_.tpe == MsgCommandComplete).get.payload, "UTF-8")
+          .takeWhile(_ != 0)
+      }
+      assert(tagOf("BEGIN") == "BEGIN")
+      assert(tagOf("BEGIN TRANSACTION ISOLATION LEVEL READ COMMITTED") == "BEGIN")
+      assert(tagOf("START TRANSACTION") == "BEGIN")
+      assert(tagOf("COMMIT") == "COMMIT")
+      assert(tagOf("END") == "COMMIT")
+      assert(tagOf("ROLLBACK") == "ROLLBACK")
+      // a query between the brackets still works (the pgJDBC
+      // non-autocommit shape)
+      c.simpleQuery("BEGIN")
+      c.drain()
+      c.simpleQuery("SELECT count(*) AS n FROM nation")
+      val ms = c.drain()
+      assert(ms.exists(_.tpe == MsgDataRow))
+      c.simpleQuery("COMMIT")
+      c.drain()
+      // and a table named beginx is NOT a transaction statement
+      c.simpleQuery("SELECT 'begin' AS w")
+      val ms2 = c.drain()
+      assert(ms2.exists(_.tpe == MsgDataRow), ms2.map(_.tpe.toChar))
+    }
+  }
+
   test("COPY parsing is quote-aware and options are validated, never ignored") {
     withExt { c =>
       import PgWire._
