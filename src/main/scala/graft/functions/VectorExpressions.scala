@@ -696,6 +696,58 @@ final case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_gram_pos_hashes(array<string>, n)` → `array<long>`: the 63-bit
+  * portable hash of the n-gram starting at EVERY position, index i = the
+  * gram over words i..i+n-1 (0-based, NOT deduplicated — the positional
+  * twin of [[GramHashes]]). `posexplode` over the result yields the
+  * (position, gram) relation that substring-level span detection needs:
+  * where [[GramHashes]] answers "which grams does this doc contain",
+  * this answers "which gram sits at each offset". Same fused polynomial
+  * as GramHashes — hash values are interchangeable between the two. */
+final case class GramPosHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "gram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: Any): ArrayData = {
+    val ws = input.asInstanceOf[ArrayData]
+    val m = ws.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        val b =
+          if (ws.isNullAt(i + j)) Array.emptyByteArray
+          else ws.getUTF8String(i + j).getBytes
+        var p = 0
+        while (p < b.length) { h = h * PortableHash.PolyB + (b(p) & 0xff); p += 1 }
+        if (j < n - 1) h = h * PortableHash.PolyB + ' '.toInt
+        j += 1
+      }
+      out(i) = PortableHash.fmix64(h) >>> 1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("gramPosHashes", this,
+        classOf[GramPosHashes].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramPosHashes =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** MinHash modulus: 2^31 - 1 (Mersenne prime). */
@@ -759,6 +811,8 @@ object VectorFunctions {
       es => GramStats(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_gram_hashes",
       es => GramHashes(es.head, gramSizeLiteral(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_pos_hashes",
+      es => GramPosHashes(es.head, gramSizeLiteral(es(1))), "built-in")
   }
 
   /** The gram size must be a foldable integral literal — a column (or a

@@ -89,6 +89,14 @@ object CorpusOps {
   private val ChunkLen = 64
   private val Stride = 48
 
+  /** Minimum repeated-span width in words for d_repeated_spans. The Lee
+    * et al. pipeline uses 50 BPE tokens over web-scale text; the
+    * synthetic corpus' documents average ~54 words, so 8 keeps the same
+    * "longer than chance" intent at this scale. Every shared 5-gram is
+    * trivially a 5-word span — the threshold is what separates signal
+    * from the gram width itself. */
+  private[operators] val MinSpanWords = 8
+
   /** Packing budget: tokens per training sequence. */
   private val PackBudget = 2048
 
@@ -679,6 +687,134 @@ object CorpusOps {
           sum(when(col("rn") > 1, 1L).otherwise(0L)).cast("bigint").as("n_dup_chunks"),
           round(sum(when(col("rn") > 1, 1.0).otherwise(0.0)) / count(lit(1)), 6)
             .as("dup_frac"))
+    },
+
+    // ---------------------------------------- exact repeated-substring spans
+    // The actual PRODUCT of Lee et al. 2021's suffix-array dedup: per
+    // document, the maximal cross-document repeated substrings as
+    // (start, length) word spans — the byte ranges their pipeline cuts
+    // out of the corpus. d_repeated_ngrams scores repetition mass; this
+    // localizes it. Distributed shape replacing the suffix sort: every
+    // position's 5-gram hash (graft_gram_pos_hashes, one fused codegen
+    // pass), document frequency over DISTINCT (doc, gram) pairs
+    // (map-side combinable), then a run of consecutive shared positions
+    // = one maximal span via gaps-and-islands (pos − row_number). The
+    // only window partitions by doc_id — each partition is one
+    // document's positions, bounded by document length, never corpus
+    // cardinality. Exchanges carry (doc_id, pos, 8-byte hash); text
+    // never shuffles, and there is no all-pairs or global sort. Spans
+    // shorter than MinSpanWords words are noise (every shared gram is a
+    // 5-word span) and are dropped, mirroring the reference pipeline's
+    // minimum match length.
+    GraftQuery("d_repeated_spans",
+      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(range(0, len(ws) - 4)) AS pos,
+         |        unnest(list_transform(range(1, len(ws) - 3),
+         |          i -> md5(array_to_string(ws[i : i + 4], ' ')))) AS g
+         |      FROM w WHERE len(ws) >= 5),
+         |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
+         |shared AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (g) WHERE df.df >= 2),
+         |isl AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM shared)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(count(*) + 4 AS BIGINT) AS span_len
+         |FROM isl GROUP BY doc_id, grp
+         |HAVING count(*) + 4 >= $MinSpanWords""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val shared = sharedGramPositions(s, dir)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      shared.withColumn("grp", col("pos") - row_number().over(win))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).cast("bigint").as("span_start"),
+          (count(lit(1)) + 4).cast("bigint").as("span_len"))
+        .filter(col("span_len") >= MinSpanWords)
+        .select(col("doc_id"), col("span_start"), col("span_len"))
+    },
+
+    // ---------------------------------------------- repeated-span coverage
+    // The removal accounting on top of d_repeated_spans: how much of
+    // each document the repeated material actually covers. Two spans
+    // whose WORD ranges overlap (islands separated by ≤ gram-width
+    // positions) merge into one region — positions p and p+4 share
+    // words even though the position runs are distinct — so
+    // covered_words is a true union, never double-counted. Shape: the
+    // same (doc, pos) relation, a lag + running-sum region id (both
+    // windows partition by doc_id — one document per partition), then
+    // two map-side-combinable aggregates. This is the number a curation
+    // pipeline thresholds on to drop template-dominated documents.
+    GraftQuery("d_span_coverage",
+      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, len(ws) AS n_words,
+         |        unnest(range(0, len(ws) - 4)) AS pos,
+         |        unnest(list_transform(range(1, len(ws) - 3),
+         |          i -> md5(array_to_string(ws[i : i + 4], ' ')))) AS g
+         |      FROM w WHERE len(ws) >= 5),
+         |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
+         |shared AS (SELECT g.doc_id, g.n_words, g.pos
+         |           FROM g JOIN df USING (g) WHERE df.df >= 2),
+         |step AS (SELECT doc_id, n_words, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+         |             THEN 0 ELSE 1 END AS brk
+         |      FROM shared),
+         |reg AS (SELECT doc_id, n_words, pos,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS UNBOUNDED PRECEDING) AS rid
+         |      FROM step),
+         |regions AS (SELECT doc_id, n_words, rid,
+         |              min(pos) AS p0, max(pos) + 4 AS p1
+         |            FROM reg GROUP BY doc_id, n_words, rid)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_regions,
+         |  CAST(sum(p1 - p0 + 1) AS BIGINT) AS covered_words,
+         |  round(CAST(sum(p1 - p0 + 1) AS DOUBLE) / n_words, 6) AS frac_covered
+         |FROM regions GROUP BY doc_id, n_words""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val shared = sharedGramPositions(s, dir, withWordCount = true)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val runW = win.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      shared
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(win) <= 4, 0L)
+            .otherwise(1L))
+        .withColumn("rid", sum(col("brk")).over(runW))
+        .groupBy(col("doc_id"), col("n_words"), col("rid"))
+        .agg(min(col("pos")).as("p0"), (max(col("pos")) + 4).as("p1"))
+        .groupBy(col("doc_id"), col("n_words"))
+        .agg(count(lit(1)).cast("bigint").as("n_regions"),
+          sum(col("p1") - col("p0") + 1).cast("bigint").as("covered_words"))
+        .select(col("doc_id"), col("n_regions"), col("covered_words"),
+          round(col("covered_words").cast("double") / col("n_words"), 6)
+            .as("frac_covered"))
     }
   )
+
+  /** The (doc_id, pos[, n_words]) relation of positions whose 5-gram
+    * also occurs in at least one OTHER document — the shared substrate
+    * of d_repeated_spans and d_span_coverage. df counts DISTINCT
+    * documents per gram (a gram repeated only within one document is
+    * not cross-document repetition). Checkpointed so the positional
+    * explode feeds both the df build and the probe side once. */
+  private def sharedGramPositions(s: SparkSession, dir: String,
+      withWordCount: Boolean = false): DataFrame = {
+    val base = withNorm(t(s, dir).documents)
+      .filter(size(col("words")) >= 5)
+    val keep =
+      if (withWordCount)
+        base.withColumn("n_words", size(col("words")).cast("bigint"))
+          .select(col("doc_id"), col("n_words"), col("words"))
+      else base.select(col("doc_id"), col("words"))
+    val grams = keep
+      .select(keep.columns.filterNot(_ == "words").map(col) :+
+        posexplode(expr("graft_gram_pos_hashes(words, 5)")).as(Seq("pos", "g")): _*)
+      .localCheckpoint(false)
+    val dfg = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    grams.join(dfg, "g").drop("g")
+  }
 }

@@ -480,6 +480,8 @@ final class PgWireEdge(
           case "BEGIN" | "START" => "BEGIN"
           case "COMMIT" | "END" => "COMMIT"
           case "ROLLBACK" | "ABORT" => "ROLLBACK"
+          case "SAVEPOINT" => "SAVEPOINT"
+          case "RELEASE" => "RELEASE"
         }
         writeMessage(out, MsgCommandComplete, commandComplete(tag))
         return
@@ -540,9 +542,11 @@ final class PgWireEdge(
   // protocol refuses COPY cleanly at Parse (simple protocol only).
 
   /** BEGIN [WORK|TRANSACTION ...], START TRANSACTION, COMMIT/END,
-    * ROLLBACK/ABORT — with optional modifiers, as a whole statement. */
+    * ROLLBACK/ABORT [TO SAVEPOINT ...], SAVEPOINT/RELEASE (savepoint
+    * names allow digits/underscores/quoted idents) — with optional
+    * modifiers, as a whole statement. */
   private val TxnRe =
-    "(?is)^(BEGIN|START|COMMIT|END|ROLLBACK|ABORT)(\\s+[A-Za-z ,]*)?;?$".r
+    "(?is)^(BEGIN|START|COMMIT|END|ROLLBACK|ABORT|SAVEPOINT|RELEASE)(\\s+[A-Za-z0-9_\" ,]*)?;?$".r
 
   private final case class CopyOut(inner: String, csv: Boolean,
       header: Boolean)

@@ -74,6 +74,83 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(msgs(errNull).contains("integer literal"), msgs(errNull))
   }
 
+  test("positional gram hashes align index-to-offset and match graft_gram_hashes values") {
+    functions.VectorFunctions.register(spark)
+    val rows = Tables(spark, sf).documents.limit(50)
+      .select(split(expr("graft_norm(text)"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(
+        expr("graft_gram_pos_hashes(ws, 5)").as("positional"),
+        expr("transform(sequence(1, size(ws) - 4), " +
+          "i -> graft_porthash63(concat_ws(' ', slice(ws, i, 5))))")
+          .as("spelled"))
+      .collect()
+    assert(rows.nonEmpty)
+    // index i = the gram at offset i, NOT deduplicated
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // fewer words than the gram size → empty, not a crash
+    val empty = spark.sql(
+      "SELECT graft_gram_pos_hashes(array('a', 'b'), 5) AS g").collect()
+    assert(empty.head.getSeq[Long](0).isEmpty)
+  }
+
+  test("repeated spans localize cross-doc runs; within-doc repeats don't count") {
+    import spark.implicits._
+    functions.VectorFunctions.register(spark)
+    val boiler = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    val docs = Seq(
+      // docs 1 and 2 share a 10-word run at different offsets
+      (1L, s"alpha beta gamma $boiler delta epsilon zeta eta theta"),
+      (2L, s"one two three four five six $boiler seven"),
+      // doc 3 repeats a 6-word phrase INTERNALLY only — cross-doc df
+      // stays 1, so no span may be reported for it
+      (3L, "p q r s t u x1 x2 x3 p q r s t u y1 y2 y3"),
+      (4L, "unrelated words entirely here nothing shared at all today"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = SparkEntry.queries("d_repeated_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the shared 10-word run = 6 consecutive shared positions → len 10
+    assert(spans.toSet == Set((1L, 3L, 10L), (2L, 6L, 10L)), spans.toSeq)
+    val cov = SparkEntry.queries("d_span_coverage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // coverage reports the same two docs (one region each, 10 words) and
+    // nothing for the internally-repeating or unrelated docs
+    assert(cov == Set((1L, 1L, 10L), (2L, 1L, 10L)), cov)
+  }
+
+  test("span coverage merges overlapping word ranges into one region") {
+    import spark.implicits._
+    functions.VectorFunctions.register(spark)
+    // doc 1 holds "c d e f g h i": grams A = "c d e f g" (pos 1) and
+    // B = "e f g h i" (pos 3) both recur in doc 2 — but the BRIDGING
+    // gram "d e f g h" (pos 2) does not. Positions 1 and 3 are distinct
+    // islands, yet their word ranges [1,5] and [3,7] overlap → coverage
+    // must merge them into ONE region of 7 words, not count 10.
+    val docs = Seq(
+      (1L, "x c d e f g h i y"),
+      // doc 2 carries A and B far apart with different context
+      (2L, "c d e f g m1 m2 m3 e f g h i"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("spancov").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cov = SparkEntry.queries("d_span_coverage")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: shared positions 1 and 3 (gap ≤ 4) → one merged region of
+    // (3+4) − 1 + 1 = 7 words
+    assert(cov(1L) == (1L, 7L), cov)
+    // doc 2: shared positions 0 and 8 (gap > 4) → two regions, 10 words
+    assert(cov(2L) == (2L, 10L), cov)
+    // and the spans view drops both docs' sub-threshold 5-word islands
+    val spans = SparkEntry.queries("d_repeated_spans")(spark, dir).collect()
+    assert(spans.isEmpty, spans.toSeq)
+  }
+
   test("pii redaction masks emails and phones, counts match, hash changes") {
     import spark.implicits._
     val docs = Seq(

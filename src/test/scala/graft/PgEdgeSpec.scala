@@ -483,6 +483,10 @@ class PgEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(tagOf("COMMIT") == "COMMIT")
       assert(tagOf("END") == "COMMIT")
       assert(tagOf("ROLLBACK") == "ROLLBACK")
+      // pgJDBC's savepoint API shape: create, roll back to, release
+      assert(tagOf("SAVEPOINT sp_1") == "SAVEPOINT")
+      assert(tagOf("ROLLBACK TO SAVEPOINT sp_1") == "ROLLBACK")
+      assert(tagOf("RELEASE SAVEPOINT sp_1") == "RELEASE")
       // a query between the brackets still works (the pgJDBC
       // non-autocommit shape)
       c.simpleQuery("BEGIN")

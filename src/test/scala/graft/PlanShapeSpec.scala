@@ -340,6 +340,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("repeated spans: exchanges ship positions and 8-byte hashes, never " +
+      "text; windows partition by doc_id only") {
+    Seq("d_repeated_spans", "d_span_coverage").foreach { q =>
+      val p = plan(q)
+      val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(exchanges.nonEmpty, p)
+      exchanges.foreach(e => assert(!e.contains("text#") && !e.contains("norm#"),
+        s"$q ships text in an exchange: $e"))
+      // every window partitions by doc_id — one document per partition,
+      // bounded by document length, never corpus cardinality
+      val windows = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(windows.nonEmpty, p)
+      windows.foreach(w => assert(w == "doc_id", s"$q window over $w:\n$p"))
+      // the gram document-frequency aggregate combines map-side before
+      // its exchange (partial_count below a hashpartitioning on g)
+      assert(p.contains("partial_count"), p)
+    }
+  }
+
   test("salted join shuffles on (key, salt), spreading hot keys across tasks") {
     val p = plan("q_join_salted")
     val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
