@@ -812,9 +812,12 @@ object CorpusOps {
       .select(keep.columns.filterNot(_ == "words").map(col) :+
         posexplode(expr("graft_gram_pos_hashes(words, 5)")).as(Seq("pos", "g")): _*)
       .localCheckpoint(false)
-    val dfg = grams.select(col("doc_id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("g"))
+    // "occurs in ≥2 DISTINCT docs" ⇔ min(doc) ≠ max(doc): one map-side-
+    // combinable aggregate per gram instead of a distinct pre-shuffle
+    // followed by a count — saves a whole exchange of the gram relation
+    val dfg = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .filter(col("dmin") < col("dmax")).select(col("g"))
     grams.join(dfg, "g").drop("g")
   }
 }

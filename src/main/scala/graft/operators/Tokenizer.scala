@@ -64,13 +64,13 @@ object Tokenizer {
          |         FROM px$i GROUP BY 1, 2),
          |best$i AS (SELECT w1, w2, c FROM pc$i ORDER BY c DESC, w1, w2 LIMIT 1),
          |wf$i AS (SELECT word, freq,
-         |  CASE WHEN len(string_split(seg, ' ')) < 2 THEN seg ELSE
+         |  CASE WHEN b.w1 IS NULL OR len(string_split(seg, ' ')) < 2 THEN seg ELSE
          |    list_reduce(string_split(seg, ' '), (acc, x) ->
          |      CASE WHEN x = b.w2 AND (acc = b.w1 OR
          |             right(acc, length(b.w1) + 1) = ' ' || b.w1)
          |           THEN left(acc, length(acc) - length(b.w1)) || b.w1 || b.w2
          |           ELSE acc || ' ' || x END) END AS seg
-         |  FROM wf$p CROSS JOIN best$i b)""".stripMargin
+         |  FROM wf$p LEFT JOIN best$i b ON TRUE)""".stripMargin
     }
     ctes.mkString(",\n")
   }
@@ -92,11 +92,28 @@ object Tokenizer {
        |FROM dw JOIN wf$BpeSteps f USING (word)
        |GROUP BY doc_id""".stripMargin
 
+  /** Merge tables already trained this session, per (session, corpus
+    * dir) — t_bpe_train and t_bpe_encode share one training run instead
+    * of each paying the corpus pass and the 6 argmax jobs. Corpus dirs
+    * are immutable for a session's lifetime (testdata and spec temp
+    * dirs are write-once), which is what makes the memo sound. Weak on
+    * the session so a stopped session doesn't pin its tables. */
+  private val trained = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Seq[(Int, String, String, Long)]]]())
+
+  private def trainBpe(s: SparkSession,
+      dir: String): Seq[(Int, String, String, Long)] = {
+    val per = trained.computeIfAbsent(s,
+      _ => scala.collection.concurrent.TrieMap.empty)
+    per.getOrElseUpdate(dir, trainBpeUncached(s, dir))
+  }
+
   /** Run the driver-side training loop: word-frequency table (the one
     * corpus pass), then `BpeSteps` argmax-pair + greedy-re-segment
     * iterations over the vocabulary-sized relation. Returns the ordered
     * merge table. */
-  private def trainBpe(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+  private def trainBpeUncached(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     var wf = TextPipeline.withNorm(t(s, dir).documents)
       .select(explode(col("words")).as("word"))
       .filter(col("word") =!= "")

@@ -98,6 +98,14 @@ class AbfsFileSystem extends ObjectStoreFileSystem {
     val base = baseUri
     val rawPath = "/" + container + blob.map("/" + _).getOrElse("")
     val encPath = graft.sources.s3.SigV4.uriEncode(rawPath, keepSlash = true)
+    // an endpoint may carry a path prefix (Azurite serves the account at
+    // http://host:10000/devstoreaccount1; reverse proxies add their own)
+    // — the request path keeps it, and the canonicalized resource is
+    // /account + the URI path AS SENT (per the Shared Key docs; for the
+    // emulator form the account name appears twice, once as the account
+    // component and once inside the path)
+    val prefix = Option(base.getRawPath).getOrElse("").stripSuffix("/")
+    val sendPath = prefix + encPath
     val fullQuery = query ++ sasToken
     val encQ = fullQuery.map { case (k, v) =>
       (graft.sources.s3.SigV4.uriEncode(k, keepSlash = false),
@@ -106,7 +114,7 @@ class AbfsFileSystem extends ObjectStoreFileSystem {
     val root = new URI(base.getScheme, null, base.getHost,
       base.getPort, null, null, null).toURL
     val url = new URL(root,
-      if (encQ.isEmpty) encPath else s"$encPath?$encQ")
+      if (encQ.isEmpty) sendPath else s"$sendPath?$encQ")
     val c = url.openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod(method)
     c.setConnectTimeout(15000)
@@ -118,8 +126,12 @@ class AbfsFileSystem extends ObjectStoreFileSystem {
     xms.foreach { case (k, v) => c.setRequestProperty(k, v) }
     range.foreach(r => c.setRequestProperty("Range", r))
     if (sasToken.isEmpty && accountKey.nonEmpty) {
+      // sign over the ENCODED path exactly as the request line carries
+      // it — Azure canonicalizes "the resource's encoded URI path", so
+      // signing the decoded form 403s every blob whose name needs
+      // percent-escaping (space, '+', '%', non-ASCII)
       val sts = AzureSharedKey.stringToSign(method, xms, range,
-        AzureSharedKey.canonicalizedResource(account, rawPath, query))
+        AzureSharedKey.canonicalizedResource(account, sendPath, query))
       c.setRequestProperty("Authorization",
         AzureSharedKey.authorization(account, accountKey, sts))
     }

@@ -106,7 +106,12 @@ class S3FileSystem extends ObjectStoreFileSystem {
       else s"${base.getHost}:${base.getPort}"
     val rawPath =
       (if (pathStyle) s"/$bucket" else "") + "/" + key.getOrElse("")
-    val encPath = SigV4.uriEncode(rawPath, keepSlash = true)
+    // a configured endpoint may carry a path prefix (reverse-proxied
+    // MinIO at https://gw/minio, localstack behind a route) — it rides
+    // on the request path AND the SigV4 canonical path, which covers
+    // the absolute path exactly as sent
+    val prefix = Option(base.getRawPath).getOrElse("").stripSuffix("/")
+    val encPath = prefix + SigV4.uriEncode(rawPath, keepSlash = true)
     val url = new URI(base.getScheme, null, base.getHost,
       base.getPort, null, null, null).toURL
     (new URL(url, encPath), encPath, host)

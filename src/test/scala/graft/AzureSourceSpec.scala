@@ -68,7 +68,10 @@ class AzureSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       respond(ex, 403, "<Error><Code>AuthenticationFailed</Code></Error>")
       return
     }
+    // Azurite shape: the account may ride as a path prefix before the
+    // container when the endpoint carries one
     val path = java.net.URLDecoder.decode(ex.getRequestURI.getRawPath, "UTF-8")
+      .stripPrefix(PathPrefix)
     if (!path.startsWith(s"/$Container")) { respond(ex, 404, ""); return }
     val key = path.stripPrefix(s"/$Container").stripPrefix("/")
     val q = Option(ex.getRequestURI.getRawQuery).toSeq
@@ -82,6 +85,9 @@ class AzureSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   } finally ex.close()
 
   private val SasSig = "sastestsig123"
+
+  /** Optional endpoint path prefix the prefix test serves under. */
+  private val PathPrefix = "/devstoreaccount1"
 
   /** Azure's server side: rebuild the StringToSign from the raw request
     * and compare signatures; a SAS request authorizes by its pre-signed
@@ -106,7 +112,10 @@ class AzureSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(_._1.startsWith("x-ms-"))
     }
     val range = Option(ex.getRequestHeaders.getFirst("Range"))
-    val path = java.net.URLDecoder.decode(ex.getRequestURI.getRawPath, "UTF-8")
+    // real Azure canonicalizes the ENCODED URI path exactly as sent —
+    // decoding here would hide a client that signs the decoded form
+    // (which 403s on any blob name needing percent-escaping)
+    val path = ex.getRequestURI.getRawPath
     val q = Option(ex.getRequestURI.getRawQuery).toSeq
       .flatMap(_.split('&')).map(_.split("=", 2))
       .map(a => a(0) -> (if (a.length > 1)
@@ -251,5 +260,33 @@ class AzureSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = spark.read.options(opts)
       .parquet(s"abfss://$Container@$Account.dfs.core.windows.net/warehouse/data")
     assert(df.count() == 500)
+  }
+
+  test("an endpoint path prefix (Azurite shape) rides the URL and the signature") {
+    val before = sigFailures.get
+    val opts = azOptions + ("fs.abfss.endpoint" -> s"$endpoint$PathPrefix")
+    val df = spark.read.options(opts)
+      .parquet(s"abfss://$Container@$Account.dfs.core.windows.net/warehouse/data")
+    assert(df.count() == 500)
+    assert(sigFailures.get == before, "prefix requests failed signing")
+  }
+
+  test("blob names needing percent-escaping sign over the encoded path") {
+    val before = sigFailures.get
+    objects.put("warehouse/esc/my file+pct%.bin", Array[Byte](1, 2, 3, 4))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    azOptions.foreach { case (k, v) => conf.set(k, v) }
+    // the URI multi-arg ctor percent-encodes the space; the client must
+    // sign the encoded form or the stub (like real Azure) answers 403
+    val p = new org.apache.hadoop.fs.Path(new java.net.URI(
+      "abfss", s"$Container@$Account.dfs.core.windows.net",
+      "/warehouse/esc/my file+pct%.bin", null))
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val buf = new Array[Byte](4)
+    in.readFully(0, buf)
+    in.close()
+    assert(buf.toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(sigFailures.get == before, "escaped-name request failed signing")
   }
 }

@@ -315,6 +315,25 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got == 8, s"kernel count $got")
   }
 
+  test("bpe survives a merge-exhausted corpus: encode still counts every doc") {
+    import spark.implicits._
+    // every document is the single word 'a': step 1 merges (a,_), step 2
+    // finds no pairs — training must stop early and encode must still
+    // emit one row per doc (the oracle's LEFT JOIN pass-through twin)
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("bpedeg").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val train = SparkEntry.queries("t_bpe_train")(spark, dir).collect()
+    assert(train.length == 1, train.toSeq)
+    assert(train.head.getString(1) == "a" && train.head.getString(2) == "_")
+    val enc = SparkEntry.queries("t_bpe_encode")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(enc == Set((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)), enc)
+  }
+
   test("ivf kmeans is deterministic and produces k unit centroids") {
     val sample = Array.tabulate(40)(i =>
       Array.tabulate(8)(d => math.sin(i * 8 + d).abs + 0.01))

@@ -88,6 +88,20 @@ class S3SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"listing did not paginate: ${server.listPages.get} pages")
   }
 
+  test("an endpoint path prefix (reverse-proxied store) rides the URL and " +
+      "the canonical path") {
+    val pfx = new S3TestServer("graft-bucket", AK, SK, pathPrefix = "/minio")
+    try {
+      pfx.putDir(new java.io.File(tmp, "data"), "warehouse/data")
+      val df = spark.read.options(s3Options +
+          ("fs.s3.endpoint" -> s"${pfx.endpoint}/minio"))
+        .parquet("s3://graft-bucket/warehouse/data")
+      assert(df.count() == 1000)
+      assert(pfx.signatureFailures.get == 0,
+        "prefixed requests failed signature verification")
+    } finally pfx.stop()
+  }
+
   test("column pruning keeps s3 bytes proportional to the read schema") {
     val before = server.rangedGets.get
     val one = spark.read.options(s3Options)

@@ -16,7 +16,8 @@ import graft.sources.s3.SigV4
   * expose what the client did (ranged reads, listings, pages) so the
   * spec can pin the access pattern, not just the bytes. */
 final class S3TestServer(bucket: String, accessKey: String,
-    secretKey: String, pageSize: Int = 1000) {
+    secretKey: String, pageSize: Int = 1000,
+    pathPrefix: String = "") {
 
   private val objects =
     new java.util.concurrent.ConcurrentSkipListMap[String, Array[Byte]]()
@@ -51,7 +52,11 @@ final class S3TestServer(bucket: String, accessKey: String,
       return
     }
     val rawPath = ex.getRequestURI.getRawPath
+    // reverse-proxy shape: the store may be served under a path prefix
+    // (the signature covers the path AS SENT, so verification above is
+    // prefix-agnostic; only routing strips it)
     val path = java.net.URLDecoder.decode(rawPath, "UTF-8")
+      .stripPrefix(pathPrefix)
     // path-style: /<bucket>/<key...>
     if (path != s"/$bucket" && !path.startsWith(s"/$bucket/")) {
       respond(ex, 404, xmlError("NoSuchBucket")); return
