@@ -69,18 +69,31 @@ final case class KafkaSourceOptions(conf: Map[String, String]) {
     } finally c.close()
   }
 
-  def offsetsAt(spec: String): Map[Int, Long] = {
-    val ts = spec match {
-      case "earliest" => -2L
-      case "latest" => -1L
-      case other => throw new IllegalArgumentException(
-        s"graft-kafka: offsets spec must be earliest|latest, got '$other'")
-    }
-    val parts = partitions()
+  private def tsOf(spec: String): Long = spec match {
+    case "earliest" => -2L
+    case "latest" => -1L
+    case other => throw new IllegalArgumentException(
+      s"graft-kafka: offsets spec must be earliest|latest, got '$other'")
+  }
+
+  /** Offsets for several specs over ONE connection and ONE metadata
+    * fetch — batch planning asks for (starting, ending) together and a
+    * stream's trigger asks every micro-batch, so per-spec dial+metadata
+    * costs add up fast. */
+  def offsetsMulti(specs: Seq[String]): Seq[Map[Int, Long]] = {
     val (h, p) = KafkaWireClient.parseBootstrap(bootstrap)
     val c = new KafkaWireClient(h, p)
-    try c.listOffsets(topic, parts, ts) finally c.close()
+    try {
+      val t = c.metadata(Seq(topic)).topics.find(_.name == topic).getOrElse(
+        throw new IllegalArgumentException(s"graft-kafka: unknown topic $topic"))
+      if (t.errorCode != 0)
+        throw new java.io.IOException(s"kafka: topic $topic error ${t.errorCode}")
+      val parts = t.partitions.map(_.partition).sorted
+      specs.map(s => c.listOffsets(topic, parts, tsOf(s)))
+    } finally c.close()
   }
+
+  def offsetsAt(spec: String): Map[Int, Long] = offsetsMulti(Seq(spec)).head
 }
 
 object KafkaSourceOptions {
@@ -135,8 +148,8 @@ final class KafkaScan(opts: KafkaSourceOptions) extends Scan {
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val from = opts.offsetsAt(opts.startingOffsets)
-      val until = opts.offsetsAt(opts.endingOffsets)
+      val Seq(from, until) =
+        opts.offsetsMulti(Seq(opts.startingOffsets, opts.endingOffsets))
       from.toSeq.sortBy(_._1).map { case (p, lo) =>
         KafkaRange(opts, p, lo, until.getOrElse(p, lo))
           : InputPartition
@@ -208,23 +221,43 @@ final class KafkaPartitionReader(range: KafkaRange)
 
   private def refill(): Boolean = {
     while (!buffer.hasNext && pos < range.until) {
-      val res = client.fetch(range.opts.topic, range.partition, pos,
-        maxBytes = range.opts.maxBytesPerFetch)
-      val recs = res.records.filter(r => r.offset >= pos && r.offset < range.until)
-      if (recs.isEmpty) {
-        // the bounded range [from, until) came from ListOffsets, so an
-        // empty result with pos < until means the span vanished
-        // (retention kicked in, or an unclean election truncated the
-        // log below the planned end) — that is DATA LOSS, not a clean
-        // end: fail by default, the stock source's contract
-        if (res.highWatermark <= pos)
+      val res =
+        try client.fetch(range.opts.topic, range.partition, pos,
+          maxBytes = range.opts.maxBytesPerFetch)
+        catch {
+          case _: KafkaOffsetOutOfRange =>
+            // retention moved the log start past the planned offset —
+            // data loss; with failOnDataLoss=false skip forward to the
+            // earliest offset the broker still has
+            dataLoss("offset out of range — log start moved past it")
+            val earliest = client
+              .listOffsets(range.opts.topic, Seq(range.partition), -2L)
+              .getOrElse(range.partition, range.until)
+            pos =
+              if (earliest > pos) math.min(earliest, range.until)
+              else range.until // can't advance: treat the rest as lost
+            null
+        }
+      if (res != null) {
+        val recs = res.records.filter(r => r.offset >= pos && r.offset < range.until)
+        // batchEnd counts control batches (transaction markers), which
+        // carry no records — without it a trailing COMMIT marker below
+        // `until` would read as an empty fetch and spurious data loss
+        val end = math.min(res.batchEnd, range.until)
+        if (recs.nonEmpty) {
+          buffer = recs.iterator
+          pos = math.max(recs.map(_.offset).max + 1, math.max(end, pos))
+        } else if (end > pos) {
+          pos = end // only control markers / below-range batches here
+        } else if (res.highWatermark <= pos) {
+          // the bounded range [from, until) came from ListOffsets, so an
+          // empty result with pos < until means the span vanished
+          // (retention, or an unclean election truncated the log below
+          // the planned end) — DATA LOSS, not a clean end
           return dataLoss(s"high watermark ${res.highWatermark}")
-        val after = res.records.filter(_.offset >= pos)
-        if (after.isEmpty) return dataLoss("empty fetch below the range end")
-        pos = after.map(_.offset).max + 1
-      } else {
-        pos = recs.map(_.offset).max + 1
-        buffer = recs.iterator
+        } else {
+          return dataLoss("empty fetch below the range end")
+        }
       }
     }
     buffer.hasNext

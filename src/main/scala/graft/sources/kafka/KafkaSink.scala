@@ -146,7 +146,38 @@ final class KafkaDataWriter(f: KafkaWriterFactory, sparkPartition: Int)
     if (sz >= MaxBatchBytes) flushPartitions(Set(partition))
   }
 
-  /** Send the named partitions' buffers: one Metadata lookup, one
+  // Leader map and connections cache, per writer: leadership rarely
+  // changes mid-task, so re-dialing the bootstrap and re-fetching
+  // Metadata on every ~900 KB flush (thousands of round trips on a
+  // multi-GB task) is pure overhead. Invalidated and retried once on
+  // any produce failure — the NOT_LEADER case after an election.
+  private var cachedMeta: Option[
+    (KafkaWireClient#Metadata, KafkaWireClient#TopicMeta)] = None
+  private val conns = scala.collection.mutable.Map
+    .empty[(String, Int), KafkaWireClient]
+
+  private def connTo(host: String, port: Int): KafkaWireClient =
+    conns.getOrElseUpdate((host, port),
+      new KafkaWireClient(host, port, maxFrame = f.opts.maxFrame))
+
+  private def invalidate(): Unit = {
+    conns.values.foreach(c => try c.close() catch { case _: Exception => () })
+    conns.clear()
+    cachedMeta = None
+  }
+
+  private def topicMeta(): (KafkaWireClient#Metadata, KafkaWireClient#TopicMeta) =
+    cachedMeta.getOrElse {
+      val (h, p0) = KafkaWireClient.parseBootstrap(f.opts.bootstrap)
+      val boot = connTo(h, p0)
+      val md = boot.metadata(Seq(f.opts.topic))
+      val tm = md.topics.find(_.name == f.opts.topic).getOrElse(
+        throw new java.io.IOException(s"kafka: unknown topic ${f.opts.topic}"))
+      cachedMeta = Some((md, tm))
+      (md, tm)
+    }
+
+  /** Send the named partitions' buffers: cached leader map, one open
     * connection per LEADER, every batch that leader owns in one
     * Produce request. */
   private def flushPartitions(parts: Set[Int]): Unit = {
@@ -154,37 +185,39 @@ final class KafkaDataWriter(f: KafkaWriterFactory, sparkPartition: Int)
       .filter(_._2.nonEmpty)
     if (todo.isEmpty) return
     val ts = System.currentTimeMillis()
-    val (h, p0) = KafkaWireClient.parseBootstrap(f.opts.bootstrap)
-    val boot = new KafkaWireClient(h, p0, maxFrame = f.opts.maxFrame)
-    val md = try boot.metadata(Seq(f.opts.topic))
-      catch { case e: Throwable => boot.close(); throw e }
-    val topicMd = md.topics.find(_.name == f.opts.topic).getOrElse {
-      boot.close()
-      throw new java.io.IOException(s"kafka: unknown topic ${f.opts.topic}")
+    try sendBatches(todo, ts)
+    catch {
+      case _: Exception =>
+        // stale leadership or a dropped connection: refresh and retry
+        // once (at-least-once delivery — a duplicate beats a loss)
+        invalidate()
+        sendBatches(todo, ts)
     }
+    parts.foreach { p => buffers.remove(p); bufferedBytes.remove(p) }
+  }
+
+  private def sendBatches(
+      todo: Map[Int, scala.collection.mutable.ArrayBuffer[(Option[Array[Byte]], Array[Byte])]],
+      ts: Long): Unit = {
+    val (md, topicMd) = topicMeta()
     val byLeader = todo.groupBy { case (p, _) =>
       topicMd.partitions.find(_.partition == p).map(_.leader).getOrElse(
         throw new java.io.IOException(s"kafka: no leader for partition $p"))
     }
-    try byLeader.foreach { case (leader, batches) =>
+    byLeader.foreach { case (leader, batches) =>
       val broker = md.brokers.find(_.nodeId == leader).getOrElse(
         throw new java.io.IOException(s"kafka: unknown broker $leader"))
-      val sameAsBoot = broker.host == h && broker.port == p0
-      val c = if (sameAsBoot) boot
-        else new KafkaWireClient(broker.host, broker.port,
-          maxFrame = f.opts.maxFrame)
-      try c.produceMany(f.opts.topic,
+      connTo(broker.host, broker.port).produceMany(f.opts.topic,
         batches.toSeq.sortBy(_._1).map { case (p, r) => p -> r.toSeq }, ts)
-      finally if (!sameAsBoot) c.close()
-    } finally boot.close()
-    parts.foreach { p => buffers.remove(p); bufferedBytes.remove(p) }
+    }
   }
 
   override def commit(): WriterCommitMessage = {
     flushPartitions(buffers.keySet.toSet)
+    invalidate() // the task is done with its connections
     KafkaWriteCommitted(n)
   }
 
-  override def abort(): Unit = buffers.clear()
-  override def close(): Unit = ()
+  override def abort(): Unit = { buffers.clear(); invalidate() }
+  override def close(): Unit = invalidate()
 }

@@ -135,13 +135,22 @@ object KafkaWire {
   final case class Record(offset: Long, timestampMs: Long,
       key: Option[Array[Byte]], value: Option[Array[Byte]])
 
+  /** A decoded record set: the data records plus `endOffset`, the
+    * offset AFTER the last complete batch (−1 when none decoded).
+    * Control batches contribute no records but DO advance endOffset —
+    * a reader that tracks position by record offsets alone can never
+    * step past a trailing transaction marker and misreads the
+    * resulting empty fetch as data loss. */
+  final case class DecodedSet(records: Seq[Record], endOffset: Long)
+
   /** Decode every RecordBatch (magic 2) in a Fetch partition's record
     * set; a trailing partial batch (the broker may truncate at
     * maxBytes) is skipped, matching client behavior. Control batches
     * (transaction COMMIT/ABORT markers) are skipped — they are not
     * data, and the stock consumer filters them the same way. */
-  def decodeRecordSet(bytes: Array[Byte]): Seq[Record] = {
+  def decodeRecordSet(bytes: Array[Byte]): DecodedSet = {
     val out = Vector.newBuilder[Record]
+    var end = -1L
     var p = 0
     while (bytes.length - p >= 12) {
       // read the 12-byte header in place — copying the remaining set
@@ -155,16 +164,19 @@ object KafkaWire {
       if (batchLength < 0 || bytes.length - p - 12 < batchLength) {
         p = bytes.length // partial trailing batch: stop
       } else {
-        out ++= decodeBatch(new Reader(
+        val (recs, lastOffsetDelta) = decodeBatch(new Reader(
           java.util.Arrays.copyOfRange(bytes, p, p + 12 + batchLength)),
           baseOffset)
+        out ++= recs
+        end = math.max(end, baseOffset + lastOffsetDelta + 1)
         p += 12 + batchLength
       }
     }
-    out.result()
+    DecodedSet(out.result(), end)
   }
 
-  private def decodeBatch(r: Reader, baseOffset: Long): Seq[Record] = {
+  private def decodeBatch(r: Reader,
+      baseOffset: Long): (Seq[Record], Int) = {
     r.i64() // baseOffset (again, from the copied slice)
     r.i32() // batchLength
     r.i32() // partitionLeaderEpoch
@@ -187,9 +199,10 @@ object KafkaWire {
     if ((attrs & 0x7) != 0)
       throw new IOException(s"kafka: compressed record batch (codec " +
         s"${attrs & 0x7}) — only uncompressed batches are supported")
+    val lastOffsetDelta = rr.i32()
     // bit 5 = control batch: transaction COMMIT/ABORT markers, not data
-    if ((attrs & 0x20) != 0) return Nil
-    rr.i32() // lastOffsetDelta
+    // — but its offset span still counts toward the consumed position
+    if ((attrs & 0x20) != 0) return (Nil, lastOffsetDelta)
     val firstTimestamp = rr.i64()
     rr.i64() // maxTimestamp
     rr.i64() // producerId
@@ -216,7 +229,7 @@ object KafkaWire {
         key, value)
       i += 1
     }
-    recs.result()
+    (recs.result(), lastOffsetDelta)
   }
 
   private def readVarBytes(r: Reader): Option[Array[Byte]] = {

@@ -155,7 +155,11 @@ final class KafkaWireClient(host: String, port: Int,
       timestampMs: Long): Long =
     produceMany(topic, Seq(partition -> records), timestampMs)(partition)
 
-  final case class FetchResult(records: Seq[Record], highWatermark: Long)
+  /** `batchEnd`: offset after the last COMPLETE batch in the response
+    * (−1 when none) — includes control batches, so a caller advancing
+    * by record offsets alone can still step past transaction markers. */
+  final case class FetchResult(records: Seq[Record], highWatermark: Long,
+      batchEnd: Long)
 
   /** Fetch v4 from one partition starting at `offset`. */
   def fetch(topic: String, partition: Int, offset: Long,
@@ -181,19 +185,31 @@ final class KafkaWireClient(host: String, port: Int,
         val nAborted = r.i32()
         (0 until math.max(0, nAborted)).foreach { _ => r.i64(); r.i64() }
         val recordSet = r.bytesOpt().getOrElse(Array.emptyByteArray)
+        if (err == 1)
+          // typed: the reader's failOnDataLoss=false path must be able
+          // to catch retention truncation and skip to the log start
+          throw new KafkaOffsetOutOfRange(
+            s"kafka: Fetch $topic/$pid offset $offset out of range")
         if (err != 0)
           throw new IOException(s"kafka: Fetch $topic/$pid error $err")
-        if (pid == partition)
+        if (pid == partition) {
+          val decoded = decodeRecordSet(recordSet)
           result = Some(FetchResult(
             // the broker may return batches starting BELOW the requested
             // offset (batch granularity); trim to the ask
-            decodeRecordSet(recordSet).filter(_.offset >= offset), hw))
+            decoded.records.filter(_.offset >= offset), hw,
+            decoded.endOffset))
+        }
       }
     }
     result.getOrElse(
       throw new IOException(s"kafka: Fetch response missing $topic/$partition"))
   }
 }
+
+/** The planned offset predates the log start (retention) or exceeds the
+  * log end — Kafka error code 1. */
+final class KafkaOffsetOutOfRange(msg: String) extends IOException(msg)
 
 object KafkaWireClient {
   /** Parse `host:port` (the single-bootstrap form; a list's first entry

@@ -181,6 +181,14 @@ final class SftpClient private (conn: SshConnection, socket: Socket)
       isDir = (perms & 0xf000L) == 0x4000L // S_IFDIR
     }
     if ((flags & 0x00000008) != 0) { r.u32(); r.u32() } // atime/mtime
+    // SSH_FILEXFER_ATTR_EXTENDED: count (type, data) string pairs ride
+    // after mtime — they must be consumed or the READDIR loop desyncs
+    // and reads filenames out of the middle of extension data
+    if ((flags & 0x80000000L) != 0) {
+      val n = r.u32().toInt
+      var i = 0
+      while (i < n) { r.str(); r.str(); i += 1 }
+    }
     SftpAttrs(size, isDir)
   }
 
@@ -229,9 +237,14 @@ object SftpClient {
       val sigBlob = reply.str()
       val hostPub = hostKeyFromBlob(ks)
       hostKeySha256.foreach { pin =>
+        // ssh-keygen -lf prints the SHA-256 fingerprint base64 WITHOUT
+        // padding; compare both sides padding-stripped so a pin copied
+        // from ssh tooling verbatim works
+        def canon(s: String): String =
+          s.stripPrefix("SHA256:").replace("=", "").trim
         val got = java.util.Base64.getEncoder.encodeToString(
           java.security.MessageDigest.getInstance("SHA-256").digest(ks))
-        if (got != pin)
+        if (canon(got) != canon(pin))
           throw new IOException(
             s"ssh: host key mismatch (got SHA256:$got, pinned SHA256:$pin)")
       }
@@ -253,25 +266,48 @@ object SftpClient {
         decIv = SshKex.deriveKey(k, h, 'B', sid, 16),
         recvMacKey = SshKex.deriveKey(k, h, 'F', sid, 32))
 
+      // Read the next packet that matters, servicing the noise a real
+      // OpenSSH peer interleaves: IGNORE/DEBUG anywhere, USERAUTH_BANNER
+      // during auth (RFC 4252 §5.4), and GLOBAL_REQUEST — OpenSSH >= 6.8
+      // fires hostkeys-00@openssh.com right after USERAUTH_SUCCESS —
+      // declined with REQUEST_FAILURE when a reply is wanted.
+      def nextRelevant(): Reader = {
+        while (true) {
+          val p = io.recv()
+          val t = if (p.isEmpty) -1 else p(0) & 0xff
+          t match {
+            case MsgIgnore | MsgDebug | MsgUserauthBanner => ()
+            case MsgGlobalRequest =>
+              val r = new Reader(p)
+              r.u8(); r.strUtf8()
+              if (r.bool()) io.send(Array(82.toByte)) // REQUEST_FAILURE
+            case _ => return new Reader(p)
+          }
+        }
+        throw new IllegalStateException
+      }
+
       // userauth (password)
       io.send(new Writer().u8(MsgServiceRequest).str("ssh-userauth").result())
-      if (new Reader(io.recv()).u8() != MsgServiceAccept)
+      if (nextRelevant().u8() != MsgServiceAccept)
         throw new IOException("ssh: service ssh-userauth refused")
       io.send(new Writer().u8(MsgUserauthRequest).str(user)
         .str("ssh-connection").str("password").bool(false).str(password)
         .result())
-      new Reader(io.recv()).u8() match {
+      nextRelevant().u8() match {
         case MsgUserauthSuccess => ()
         case MsgUserauthFailure =>
           throw new IOException(s"ssh: password authentication failed for $user")
         case other => throw new IOException(s"ssh: unexpected userauth reply $other")
       }
 
-      // session channel + sftp subsystem
-      val conn = new SshConnection(io, sid)
+      // session channel + sftp subsystem; the connection can answer a
+      // server-initiated rekey from here on
+      val conn = new SshConnection(io, sid,
+        Some(SshRekeyContext(vc, vs, ks, random)))
       io.send(new Writer().u8(MsgChannelOpen).str("session")
         .u32(0).u32(1L << 24).u32(32768).result())
-      val confirm = new Reader(io.recv())
+      val confirm = nextRelevant()
       confirm.u8() match {
         case MsgChannelOpenConfirm =>
           confirm.u32() // our id (0)
@@ -284,7 +320,7 @@ object SftpClient {
       }
       io.send(new Writer().u8(MsgChannelRequest).u32(conn.remoteChannel)
         .str("subsystem").bool(true).str("sftp").result())
-      new Reader(io.recv()).u8() match {
+      nextRelevant().u8() match {
         case MsgChannelSuccess => ()
         case MsgChannelFailure => throw new IOException("ssh: sftp subsystem refused")
         case other => throw new IOException(s"ssh: unexpected subsystem reply $other")

@@ -33,8 +33,11 @@ object SshWire {
 
   // message numbers (RFC 4253, 4252, 4254)
   val MsgDisconnect = 1
+  val MsgIgnore = 2
+  val MsgDebug = 4
   val MsgServiceRequest = 5
   val MsgServiceAccept = 6
+  val MsgUserauthBanner = 53
   val MsgKexInit = 20
   val MsgNewKeys = 21
   val MsgKexEcdhInit = 30
@@ -84,9 +87,16 @@ object SshWire {
 
   final class Reader(buf: Array[Byte]) {
     private var i = 0
-    def u8(): Int = { val b = buf(i) & 0xff; i += 1; b }
+    // fixed-width reads bound-check like raw(): a packet truncated
+    // mid-field must be a clean protocol IOException, never an AIOOBE
+    private def need(n: Int): Unit =
+      if (n > remaining)
+        throw new IOException(
+          s"ssh: field needs $n bytes, packet has $remaining left")
+    def u8(): Int = { need(1); val b = buf(i) & 0xff; i += 1; b }
     def bool(): Boolean = u8() != 0
     def u32(): Long = {
+      need(4)
       val v = ((buf(i) & 0xffL) << 24) | ((buf(i + 1) & 0xffL) << 16) |
         ((buf(i + 2) & 0xffL) << 8) | (buf(i + 3) & 0xffL)
       i += 4; v
@@ -272,10 +282,16 @@ final class SshPacketIO(in: DataInputStream, out: DataOutputStream,
 
 /** One established, encrypted, authenticated SSH connection (either
   * role) with the sftp channel open — the piece both the client and the
-  * in-repo stub build on. */
+  * in-repo stub build on.
+  *
+  * `rekeyContext` (client role only) carries what a client needs to
+  * answer a server-initiated re-exchange: OpenSSH rekeys by default
+  * after ~1-4 GB of traffic, so without it any long transfer dies at
+  * the rekey boundary. */
 final class SshConnection private[graft] (
     val io: SshPacketIO,
-    val sessionId: Array[Byte]) {
+    val sessionId: Array[Byte],
+    rekeyContext: Option[SshRekeyContext] = None) {
 
   // ------------------------------------------------- channel bookkeeping
   var remoteChannel: Long = 0
@@ -341,6 +357,13 @@ final class SshConnection private[graft] (
             .u32(remoteChannel).result())
       case SshWire.MsgChannelEof | SshWire.MsgChannelClose =>
         throw new EOFException("ssh: channel closed by peer")
+      case SshWire.MsgIgnore | SshWire.MsgDebug => ()
+      case SshWire.MsgKexInit =>
+        rekeyContext match {
+          case Some(ctx) => rekeyAsClient(ctx, p)
+          case None => throw new IOException(
+            "ssh: peer initiated rekey but this connection has no rekey context")
+        }
       case SshWire.MsgDisconnect =>
         r.u32()
         throw new EOFException(s"ssh: peer disconnected: ${r.strUtf8()}")
@@ -348,7 +371,62 @@ final class SshConnection private[graft] (
         throw new IOException(s"ssh: unexpected message $other mid-session")
     }
   }
+
+  /** Server-initiated re-exchange, client side (RFC 4253 §9): answer
+    * with our KEXINIT + ECDH_INIT, verify the (unchanged) host key's
+    * signature over the NEW exchange hash, swap keys at the NEWKEYS
+    * boundary. Key derivation keeps the ORIGINAL session id; sequence
+    * numbers continue. Between the peer's KEXINIT and its NEWKEYS only
+    * kex messages (plus IGNORE/DEBUG) are legal, so the reads here
+    * need no channel-data handling. */
+  private def rekeyAsClient(ctx: SshRekeyContext, is2: Array[Byte]): Unit = {
+    SshKex.checkKexInit(is2)
+    val ic2 = SshKex.kexInitPayload(ctx.random)
+    io.send(ic2)
+    val eph = SshKex.newX25519(ctx.random)
+    val qc = SshWire.x25519Raw(eph.getPublic)
+    io.send(new SshWire.Writer().u8(SshWire.MsgKexEcdhInit).str(qc).result())
+    def recvSkippingNoise(): Array[Byte] = {
+      var p = io.recv()
+      while (p.nonEmpty && ((p(0) & 0xff) == SshWire.MsgIgnore ||
+          (p(0) & 0xff) == SshWire.MsgDebug)) p = io.recv()
+      p
+    }
+    val reply = new SshWire.Reader(recvSkippingNoise())
+    val tpe = reply.u8()
+    if (tpe != SshWire.MsgKexEcdhReply)
+      throw new IOException(s"ssh: expected KEX_ECDH_REPLY in rekey, got $tpe")
+    val ks2 = reply.str()
+    val qs2 = reply.str()
+    val sig = reply.str()
+    // the host key must be the SAME key that was verified (and possibly
+    // pinned) at connect — a rekey is not a chance to swap identities
+    if (!java.util.Arrays.equals(ks2, ctx.hostKeyBlob))
+      throw new IOException("ssh: host key changed across rekey")
+    val k2 = SshKex.agree(eph.getPrivate, SshWire.x25519FromRaw(qs2))
+    val h2 = SshKex.exchangeHash(ctx.vc, ctx.vs, ic2, is2, ks2, qc, qs2, k2)
+    if (!SshKex.verify(SshWire.hostKeyFromBlob(ks2), h2,
+        SshWire.signatureFromBlob(sig)))
+      throw new IOException("ssh: rekey host key signature verification FAILED")
+    io.send(Array(SshWire.MsgNewKeys.toByte))
+    val nk = new SshWire.Reader(recvSkippingNoise()).u8()
+    if (nk != SshWire.MsgNewKeys)
+      throw new IOException(s"ssh: expected NEWKEYS in rekey, got $nk")
+    io.enable(
+      encKey = SshKex.deriveKey(k2, h2, 'C', sessionId, 16),
+      encIv = SshKex.deriveKey(k2, h2, 'A', sessionId, 16),
+      macKey = SshKex.deriveKey(k2, h2, 'E', sessionId, 32),
+      decKey = SshKex.deriveKey(k2, h2, 'D', sessionId, 16),
+      decIv = SshKex.deriveKey(k2, h2, 'B', sessionId, 16),
+      recvMacKey = SshKex.deriveKey(k2, h2, 'F', sessionId, 32))
+  }
 }
+
+/** What a client-role connection needs to answer a server-initiated
+  * rekey: the version strings and host-key blob of the initial
+  * exchange, and the RNG. */
+private[graft] final case class SshRekeyContext(vc: String, vs: String,
+    hostKeyBlob: Array[Byte], random: SecureRandom)
 
 object SshKex {
 

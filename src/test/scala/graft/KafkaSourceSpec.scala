@@ -44,7 +44,34 @@ final class KafkaBrokerStub(topic: String, nPartitions: Int) {
     logs.updateWith(partition)(v => Some(v.getOrElse(Vector.empty) :+
       ((key.map(_.getBytes("UTF-8")), value.getBytes("UTF-8"), ts))))
 
-  def endOffset(partition: Int): Long = logs(partition).size.toLong
+  def endOffset(partition: Int): Long =
+    logs(partition).size.toLong +
+      (if (trailingControl.contains(partition)) 1 else 0)
+
+  /** Partitions whose log ends in a transaction COMMIT marker (a
+    * control batch): the high watermark sits one past the last data
+    * record — the shape that breaks readers that track position by
+    * record offsets alone. */
+  @volatile var trailingControl: Set[Int] = Set.empty
+
+  /** Per-partition log start offset (retention simulation): a Fetch
+    * below it answers OFFSET_OUT_OF_RANGE (error 1), and ListOffsets
+    * earliest reports it. */
+  @volatile var logStart: Map[Int, Long] = Map.empty
+
+  /** A control batch (COMMIT marker) at `offset`: encode one record,
+    * set attributes bit 5, restore the CRC. */
+  private def controlBatchAt(offset: Long): Array[Byte] = {
+    val b = KafkaWire.encodeBatch(offset, 1700000000000L,
+      Seq((Some(Array[Byte](0, 0, 0, 1)), Array[Byte](0, 0))))
+    b(22) = (b(22) | 0x20).toByte
+    val crc = new java.util.zip.CRC32C
+    crc.update(b, 21, b.length - 21)
+    val cv = crc.getValue.toInt
+    b(17) = (cv >>> 24).toByte; b(18) = (cv >>> 16).toByte
+    b(19) = (cv >>> 8).toByte; b(20) = cv.toByte
+    b
+  }
 
   private def session(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
@@ -71,7 +98,7 @@ final class KafkaBrokerStub(topic: String, nPartitions: Int) {
             (0 until np).foreach { _ =>
               val pid = req.i32()
               val set = req.bytesOpt().getOrElse(Array.emptyByteArray)
-              val recs = KafkaWire.decodeRecordSet(set)
+              val recs = KafkaWire.decodeRecordSet(set).records
               val base = endOffset(pid)
               recs.foreach(r =>
                 logs.updateWith(pid)(v => Some(v.getOrElse(Vector.empty) :+
@@ -117,7 +144,7 @@ final class KafkaBrokerStub(topic: String, nPartitions: Int) {
             (0 until np).foreach { _ =>
               val pid = req.i32(); val ts = req.i64()
               val off = ts match {
-                case -2L => 0L
+                case -2L => logStart.getOrElse(pid, 0L)
                 case -1L => endOffset(pid)
                 case _ => 0L
               }
@@ -138,21 +165,34 @@ final class KafkaBrokerStub(topic: String, nPartitions: Int) {
             (0 until np).foreach { _ =>
               val pid = req.i32(); val off = req.i64(); req.i32()
               val log = logs.getOrElse(pid, Vector.empty)
-              resp.i32(pid); resp.i16(0)
-              resp.i64(log.size.toLong) // high watermark
-              resp.i64(log.size.toLong) // last stable
-              resp.i32(0) // aborted txns
-              if (off >= log.size) resp.bytes(Array.emptyByteArray)
-              else {
-                // serve in two batches when possible, exercising the
-                // client's multi-batch record-set walk
-                val rest = log.drop(off.toInt)
-                val (a, b) = rest.splitAt(math.max(1, rest.size / 2))
-                val bytes =
-                  encode(off, a) ++
-                    (if (b.nonEmpty) encode(off + a.size, b)
-                     else Array.emptyByteArray)
-                resp.bytes(bytes)
+              val hw = endOffset(pid)
+              resp.i32(pid)
+              if (off < logStart.getOrElse(pid, 0L)) {
+                resp.i16(1) // OFFSET_OUT_OF_RANGE: retention ate it
+                resp.i64(hw); resp.i64(hw); resp.i32(0)
+                resp.bytes(Array.emptyByteArray)
+              } else {
+                resp.i16(0)
+                resp.i64(hw) // high watermark
+                resp.i64(hw) // last stable
+                resp.i32(0) // aborted txns
+                val marker =
+                  if (trailingControl.contains(pid))
+                    controlBatchAt(log.size.toLong)
+                  else Array.emptyByteArray
+                if (off >= log.size) resp.bytes(
+                  if (off == log.size) marker else Array.emptyByteArray)
+                else {
+                  // serve in two batches when possible, exercising the
+                  // client's multi-batch record-set walk
+                  val rest = log.drop(off.toInt)
+                  val (a, b) = rest.splitAt(math.max(1, rest.size / 2))
+                  val bytes =
+                    encode(off, a) ++
+                      (if (b.nonEmpty) encode(off + a.size, b)
+                       else Array.emptyByteArray) ++ marker
+                  resp.bytes(bytes)
+                }
               }
             }
           }
@@ -199,8 +239,10 @@ class KafkaSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("record batches round-trip with a verified CRC32C") {
     val batch = KafkaWire.encodeBatch(7L, 123L,
       Seq((Some("a".getBytes), "va".getBytes), (None, "vb".getBytes)))
-    val recs = KafkaWire.decodeRecordSet(batch)
+    val decoded = KafkaWire.decodeRecordSet(batch)
+    val recs = decoded.records
     assert(recs.map(_.offset) == Seq(7L, 8L))
+    assert(decoded.endOffset == 9L)
     assert(recs(0).key.map(new String(_)).contains("a"))
     assert(recs(1).key.isEmpty)
     assert(new String(recs(1).value.get) == "vb")
@@ -237,7 +279,11 @@ class KafkaSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cv = crc.getValue.toInt
     batch(17) = (cv >>> 24).toByte; batch(18) = (cv >>> 16).toByte
     batch(19) = (cv >>> 8).toByte; batch(20) = cv.toByte
-    assert(KafkaWire.decodeRecordSet(batch).isEmpty)
+    val decoded = KafkaWire.decodeRecordSet(batch)
+    assert(decoded.records.isEmpty)
+    // ...but the marker's offset span still advances the end position,
+    // so a reader can step past a trailing COMMIT marker
+    assert(decoded.endOffset == 1L)
   }
 
   test("a vanished offset span fails by default; failOnDataLoss=false skips") {
@@ -258,6 +304,50 @@ class KafkaSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val lax = reader(Map("failOnDataLoss" -> "false"))
       assert(!lax.next()) // skips the lost span cleanly
       lax.close()
+    } finally s2.stop()
+  }
+
+  test("a trailing transaction marker is stepped over, not data loss") {
+    // transactional producers leave a COMMIT control batch after the
+    // last record, so the high watermark (and the planned range end)
+    // sits one past the last DATA offset — the read must consume
+    // records 0..4 and step over the marker at 5, not die at it
+    val s2 = new KafkaBrokerStub("txn", 1)
+    val p2 = s2.start()
+    try {
+      (0 until 5).foreach(i => s2.produce(0, None, s"v$i"))
+      s2.trailingControl = Set(0)
+      val df = spark.read.format("graft.sources.kafka.KafkaDataSource")
+        .option("bootstrap", s"127.0.0.1:$p2").option("topic", "txn")
+        .load()
+      val vals = df.selectExpr("CAST(value AS STRING)")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(vals == (0 until 5).map(i => s"v$i"), vals)
+    } finally s2.stop()
+  }
+
+  test("OFFSET_OUT_OF_RANGE honors failOnDataLoss=false by skipping to the log start") {
+    val s2 = new KafkaBrokerStub("aged", 1)
+    val p2 = s2.start()
+    try {
+      (0 until 6).foreach(i => s2.produce(0, None, s"v$i"))
+      s2.logStart = Map(0 -> 3L) // retention ate offsets 0-2
+      import graft.sources.kafka._
+      def reader(conf: Map[String, String]) = new KafkaPartitionReader(
+        KafkaRange(KafkaSourceOptions(conf +
+          ("bootstrap" -> s"127.0.0.1:$p2") + ("topic" -> "aged")),
+          0, 0L, 6L)) // checkpointed start predates the log start
+      val strict = reader(Map.empty)
+      val e = intercept[java.io.IOException] { strict.next() }
+      assert(e.getMessage.contains("failOnDataLoss"), e.getMessage)
+      strict.close()
+      // lax mode: skip the lost span, read what's still there
+      val lax = reader(Map("failOnDataLoss" -> "false"))
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (lax.next())
+        got += new String(lax.get().getBinary(1), "UTF-8")
+      lax.close()
+      assert(got.toSeq == Seq("v3", "v4", "v5"), got)
     } finally s2.stop()
   }
 

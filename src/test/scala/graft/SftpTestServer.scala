@@ -16,7 +16,15 @@ import graft.sources.ssh.SshWire._
   * session channel, sftp v3 subsystem over a local directory). The
   * same bytes a stock OpenSSH endpoint would exchange for this suite;
   * drives [[graft.sources.SftpFileSystem]] end to end. */
-final class SftpServerStub(root: JPath, user: String, pass: String) {
+final class SftpServerStub(root: JPath, user: String, pass: String,
+    rekeyAfterReads: Int = 0) {
+
+  /** Completed server-initiated re-exchanges (asserted by the spec). */
+  val rekeysCompleted = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Print session-thread exceptions (debug aid; sessions die silently
+    * otherwise, as a real server's would). */
+  @volatile var debugErrors = false
 
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   @volatile private var running = true
@@ -34,7 +42,7 @@ final class SftpServerStub(root: JPath, user: String, pass: String) {
       while (running) {
         try {
           val s = server.accept()
-          val w = new Thread(() => try session(s) catch { case _: Exception => () }
+          val w = new Thread(() => try session(s) catch { case e: Exception => if (debugErrors) e.printStackTrace() }
             finally s.close())
           w.setDaemon(true); w.start()
         } catch { case _: Exception => () }
@@ -106,7 +114,15 @@ final class SftpServerStub(root: JPath, user: String, pass: String) {
         req.bool()
         val p = req.strUtf8()
         if (u == user && p == pass) {
+          // a real server may banner before the auth result (RFC 4252
+          // 5.4) and OpenSSH >= 6.8 fires hostkeys-00@openssh.com right
+          // after success — both must be tolerated by the client
+          io.send(new Writer().u8(MsgUserauthBanner)
+            .str("graft stub says hello\n").str("en").result())
           io.send(Array(MsgUserauthSuccess.toByte))
+          io.send(new Writer().u8(MsgGlobalRequest)
+            .str("hostkeys-00@openssh.com").bool(true)
+            .str(hostKeyBlob(hostKey.getPublic)).result())
           authed = true
         } else {
           io.send(new Writer().u8(MsgUserauthFailure)
@@ -119,8 +135,17 @@ final class SftpServerStub(root: JPath, user: String, pass: String) {
       }
     }
 
-    // session channel + sftp subsystem
-    val open = new Reader(io.recv())
+    // session channel + sftp subsystem. The client may answer our
+    // hostkeys-00 global request with REQUEST_SUCCESS/FAILURE (81/82)
+    // interleaved with its channel setup — skip those replies.
+    def recvSkippingReplies(): Reader = {
+      var p = io.recv()
+      while (p.nonEmpty && ((p(0) & 0xff) == 81 || (p(0) & 0xff) == 82 ||
+          (p(0) & 0xff) == MsgIgnore || (p(0) & 0xff) == MsgDebug))
+        p = io.recv()
+      new Reader(p)
+    }
+    val open = recvSkippingReplies()
     if (open.u8() != MsgChannelOpen || open.strUtf8() != "session")
       throw new IOException("stub: expected session CHANNEL_OPEN")
     val clientChannel = open.u32()
@@ -128,7 +153,7 @@ final class SftpServerStub(root: JPath, user: String, pass: String) {
     val clientMaxPkt = open.u32()
     io.send(new Writer().u8(MsgChannelOpenConfirm).u32(clientChannel)
       .u32(0).u32(1L << 24).u32(32768).result())
-    val sub = new Reader(io.recv())
+    val sub = recvSkippingReplies()
     if (sub.u8() != MsgChannelRequest) throw new IOException("stub: expected CHANNEL_REQUEST")
     sub.u32()
     if (sub.strUtf8() != "subsystem") throw new IOException("stub: expected subsystem")
@@ -141,13 +166,52 @@ final class SftpServerStub(root: JPath, user: String, pass: String) {
     conn.remoteChannel = clientChannel
     conn.remoteWindow = clientWindow
     conn.remoteMaxPacket = clientMaxPkt
-    sftpLoop(conn)
+    sftpLoop(conn, io, vc, vs, random, h)
+  }
+
+  /** Server-initiated re-exchange (what OpenSSH does every ~1-4 GB):
+    * send KEXINIT at a request/response quiet point (the client is
+    * blocked awaiting an SFTP reply, so nothing is in flight), run the
+    * curve25519 exchange signed with the SAME host key, swap keys at
+    * NEWKEYS. Key derivation uses the ORIGINAL session id `sid`. */
+  private def rekeyAsServer(io: SshPacketIO, vc: String, vs: String,
+      random: SecureRandom, sid: Array[Byte]): Unit = {
+    val is2 = SshKex.kexInitPayload(random)
+    io.send(is2)
+    val ic2 = io.recv()
+    if (ic2.headOption.map(_ & 0xff).getOrElse(-1) != MsgKexInit)
+      throw new IOException("stub: expected KEXINIT in rekey")
+    SshKex.checkKexInit(ic2)
+    val init = new Reader(io.recv())
+    if (init.u8() != MsgKexEcdhInit)
+      throw new IOException("stub: expected KEX_ECDH_INIT in rekey")
+    val qc = init.str()
+    val eph = SshKex.newX25519(random)
+    val qs = x25519Raw(eph.getPublic)
+    val ks = hostKeyBlob(hostKey.getPublic)
+    val k2 = SshKex.agree(eph.getPrivate, x25519FromRaw(qc))
+    val h2 = SshKex.exchangeHash(vc, vs, ic2, is2, ks, qc, qs, k2)
+    val sig = signatureBlob(SshKex.sign(hostKey.getPrivate, h2))
+    io.send(new Writer().u8(MsgKexEcdhReply).str(ks).str(qs).str(sig).result())
+    io.send(Array(MsgNewKeys.toByte))
+    if (new Reader(io.recv()).u8() != MsgNewKeys)
+      throw new IOException("stub: expected NEWKEYS in rekey")
+    io.enable(
+      encKey = SshKex.deriveKey(k2, h2, 'D', sid, 16),
+      encIv = SshKex.deriveKey(k2, h2, 'B', sid, 16),
+      macKey = SshKex.deriveKey(k2, h2, 'F', sid, 32),
+      decKey = SshKex.deriveKey(k2, h2, 'C', sid, 16),
+      decIv = SshKex.deriveKey(k2, h2, 'A', sid, 16),
+      recvMacKey = SshKex.deriveKey(k2, h2, 'E', sid, 32))
+    rekeysCompleted.incrementAndGet()
   }
 
   // ------------------------------------------------------- sftp subsystem
 
-  private def sftpLoop(conn: SshConnection): Unit = {
+  private def sftpLoop(conn: SshConnection, io: SshPacketIO, vc: String,
+      vs: String, random: SecureRandom, sid: Array[Byte]): Unit = {
     import SftpPacket._
+    var reads = 0
     var buf = Array.emptyByteArray
     var off = 0
     def readExact(n: Int): Array[Byte] = {
@@ -169,8 +233,11 @@ final class SftpServerStub(root: JPath, user: String, pass: String) {
     def attrsOf(p: JPath): Array[Byte] = {
       val size = if (Files.isDirectory(p)) 0L else Files.size(p)
       val perms = if (Files.isDirectory(p)) 0x4000L | 0x1edL else 0x8000L | 0x1a4L
-      new Writer().u32((FlagSize | FlagPermissions).toLong)
-        .u32(size >>> 32).u32(size & 0xffffffffL).u32(perms).result()
+      // include an extended (type, data) pair: servers that set
+      // SSH_FILEXFER_ATTR_EXTENDED desync clients that don't consume it
+      new Writer().u32(FlagSize | FlagPermissions | 0x80000000L)
+        .u32(size >>> 32).u32(size & 0xffffffffL).u32(perms)
+        .u32(1).str("graft@test").str("x").result()
     }
     def resolve(path: String): JPath = {
       val p = root.resolve(path.stripPrefix("/")).normalize()
@@ -215,6 +282,11 @@ final class SftpServerStub(root: JPath, user: String, pass: String) {
             val hid = new String(r.str(), UTF_8)
             val offset = (r.u32() << 32) | r.u32()
             val want = r.u32().toInt
+            // quiet point: the client is blocked awaiting this reply, so
+            // a rekey here exercises the mid-transfer boundary exactly
+            reads += 1
+            if (rekeyAfterReads > 0 && reads % rekeyAfterReads == 0)
+              rekeyAsServer(io, vc, vs, random, sid)
             handles.get(hid) match {
               case None => status(id, FxPermissionDenied, "bad handle")
               case Some(p) =>
