@@ -790,6 +790,79 @@ object CorpusOps {
         .select(col("doc_id"), col("n_regions"), col("covered_words"),
           round(col("covered_words").cast("double") / col("n_words"), 6)
             .as("frac_covered"))
+    },
+
+    // ------------------------------------------------- strip repeated spans
+    // The ACTION on top of d_repeated_spans/d_span_coverage: emit each
+    // document with its cross-document repeated regions cut out — the
+    // transform Lee et al.'s pipeline applies to the corpus before
+    // training. Regions per doc ride as a tiny collected array
+    // (documents are bounded; regions ≤ words/5) joined back to the
+    // corpus, and the cut itself is one higher-order filter over the
+    // word array — map-only after the region join, no per-word shuffle.
+    // cleaned_hash (md5 of the re-joined text) crosses engines exactly,
+    // so the oracle verifies the RECONSTRUCTED TEXT, not just counts.
+    GraftQuery("d_strip_spans",
+      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(range(0, len(ws) - 4)) AS pos,
+         |        unnest(list_transform(range(1, len(ws) - 3),
+         |          i -> md5(array_to_string(ws[i : i + 4], ' ')))) AS g
+         |      FROM w WHERE len(ws) >= 5),
+         |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
+         |shared AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (g) WHERE df.df >= 2),
+         |step AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+         |             THEN 0 ELSE 1 END AS brk
+         |      FROM shared),
+         |reg AS (SELECT doc_id, pos,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS UNBOUNDED PRECEDING) AS rid
+         |      FROM step),
+         |regions AS (SELECT doc_id, rid, min(pos) AS p0, max(pos) + 4 AS p1
+         |            FROM reg GROUP BY doc_id, rid),
+         |covered AS (SELECT doc_id, unnest(range(p0, p1 + 1)) AS cp FROM regions),
+         |wordpos AS (SELECT doc_id, unnest(ws) AS wrd,
+         |              generate_subscripts(ws, 1) - 1 AS i FROM w),
+         |kept AS (SELECT wp.doc_id, wp.wrd, wp.i FROM wordpos wp
+         |         LEFT JOIN covered c ON c.doc_id = wp.doc_id AND c.cp = wp.i
+         |         WHERE c.cp IS NULL)
+         |SELECT w.doc_id,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(w.ws) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(k.h, md5('')) AS cleaned_hash
+         |FROM w LEFT JOIN (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    md5(string_agg(wrd, ' ' ORDER BY i)) AS h
+         |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val shared = sharedGramPositions(s, dir)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val runW = win.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val regions = shared
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(win) <= 4, 0L)
+            .otherwise(1L))
+        .withColumn("rid", sum(col("brk")).over(runW))
+        .groupBy(col("doc_id"), col("rid"))
+        .agg(min(col("pos")).as("p0"), (max(col("pos")) + 4).as("p1"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("p0"), col("p1"))).as("regions"))
+      withNorm(t(s, dir).documents)
+        .join(regions, Seq("doc_id"), "left")
+        .withColumn("kept", expr(
+          """CASE WHEN regions IS NULL THEN words
+            |ELSE filter(words, (w, i) ->
+            |  NOT exists(regions, r -> i >= r.p0 AND i <= r.p1)) END"""
+            .stripMargin))
+        .select(col("doc_id"),
+          size(col("kept")).cast("bigint").as("n_kept"),
+          (size(col("words")) - size(col("kept"))).cast("bigint")
+            .as("n_removed"),
+          md5(concat_ws(" ", col("kept"))).as("cleaned_hash"))
     }
   )
 

@@ -151,6 +151,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(spans.isEmpty, spans.toSeq)
   }
 
+  test("strip spans cuts exactly the covered words and keeps the rest in order") {
+    import spark.implicits._
+    functions.VectorFunctions.register(spark)
+    val boiler = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon zeta eta theta"),
+      (2L, s"one two three four five six $boiler seven"),
+      (3L, "nothing shared here at all today ok fine"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("strip").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d_strip_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // doc 1: the 10 boiler words go, the 8 frame words stay in order
+    assert(got(1L) == (8L, 10L,
+      md5("alpha beta gamma delta epsilon zeta eta theta")), got(1L))
+    // doc 2: 7 words remain
+    assert(got(2L) == (7L, 10L, md5("one two three four five six seven")))
+    // doc 3: untouched — cleaned text IS the normalized text
+    assert(got(3L) == (8L, 0L, md5("nothing shared here at all today ok fine")))
+  }
+
   test("pii redaction masks emails and phones, counts match, hash changes") {
     import spark.implicits._
     val docs = Seq(

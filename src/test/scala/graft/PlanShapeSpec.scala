@@ -342,7 +342,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("repeated spans: exchanges ship positions and 8-byte hashes, never " +
       "text; windows partition by doc_id only") {
-    Seq("d_repeated_spans", "d_span_coverage").foreach { q =>
+    Seq("d_repeated_spans", "d_span_coverage", "d_strip_spans").foreach { q =>
       val p = plan(q)
       val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
         .findAllMatchIn(p).map(_.group(1)).toSeq
@@ -356,8 +356,9 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(windows.nonEmpty, p)
       windows.foreach(w => assert(w == "doc_id", s"$q window over $w:\n$p"))
       // the gram document-frequency aggregate combines map-side before
-      // its exchange (partial_count below a hashpartitioning on g)
-      assert(p.contains("partial_count"), p)
+      // its exchange (partial min/max of doc_id below the g partition —
+      // "≥2 distinct docs" is computed as min(doc) ≠ max(doc))
+      assert(p.contains("partial_min"), p)
     }
   }
 
