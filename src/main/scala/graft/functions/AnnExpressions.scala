@@ -433,11 +433,17 @@ final case class PqAdc(left: Expression, right: Expression, k: Int)
     val lut = l.asInstanceOf[ArrayData]
     val codes = r.asInstanceOf[ArrayData]
     val m = codes.numElements()
+    // fail fast on a k that disagrees with the LUT the query built —
+    // silently skipping out-of-range entries would collapse distances
+    // to the surviving subspaces and return garbage rankings
+    if (m.toLong * k != lut.numElements())
+      throw new IllegalStateException(
+        s"graft_pq_adc: LUT has ${lut.numElements()} entries for $m " +
+          s"subspaces × k=$k — codebook size mismatch")
     var acc = 0.0
     var j = 0
     while (j < m) {
-      val idx = j * k + codes.getInt(j)
-      if (idx < lut.numElements()) acc += lut.getDouble(idx)
+      acc += lut.getDouble(j * k + codes.getInt(j))
       j += 1
     }
     acc

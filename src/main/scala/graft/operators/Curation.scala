@@ -88,6 +88,7 @@ object Curation {
        |  FROM tf JOIN cf ON tf.w = cf.w CROSS JOIN tot),
        |surp AS (
        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    CAST(-sum(micro) AS BIGINT) AS pmicro,
        |    round(-CAST(sum(micro) AS DOUBLE) / 1000000 / sum(tf), 6) AS surprisal
        |  FROM terms GROUP BY doc_id)""".stripMargin
 
@@ -121,6 +122,7 @@ object Curation {
           * 1000000, 0).cast("bigint").as("micro"))
     terms.groupBy(col("doc_id")).agg(
       sum(col("tf")).as("n_tokens"),
+      (-sum(col("micro"))).cast("bigint").as("pmicro"),
       round(-sum(col("micro")).cast("double") / 1000000 / sum(col("tf")), 6)
         .as("surprisal"))
   }
@@ -163,7 +165,7 @@ object Curation {
          |  SELECT DISTINCT b.vec_id
          |  FROM capped a JOIN capped b ON a.bucket = b.bucket
          |  WHERE a.vec_id < b.vec_id
-         |    AND round($dotAB / (a.nrm * b.nrm), 6) >= 0.3)
+         |    AND round(coalesce($dotAB / nullif(a.nrm * b.nrm, 0), 0), 6) >= 0.3)
          |SELECT s.vec_id, s.bucket, (d.vec_id IS NOT NULL) AS is_dup
          |FROM sig s LEFT JOIN dups d ON s.vec_id = d.vec_id""".stripMargin) {
       (s, dir) =>
@@ -191,7 +193,7 @@ object Curation {
         val bv = vecs.select(col("vec_id").as("id_b"), col("v").as("vb"),
           col("nrm").as("nb"))
         val dupIds = candIds.join(av, "id_a").join(bv, "id_b")
-          .filter(round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6)
+          .filter(Similarity.cosine(expr("graft_dot(va, vb)"), col("na") * col("nb"))
             >= 0.3)
           .select(col("id_b").as("vec_id")).distinct()
         sig.select(col("vec_id"), col("bucket"))
@@ -289,7 +291,8 @@ object Curation {
         count(lit(1)).as("s"))
       stats.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          round(col("t").cast("double") / col("s") / col("n_tokens"), 6)
+          round(col("t").cast("double") / col("s") /
+            when(col("n_tokens") =!= 0, col("n_tokens")), 6)
             .as("weight"))
     },
 
@@ -367,6 +370,7 @@ object Curation {
       s"""WITH $surprisalCtes
          |SELECT doc_id, n_tokens, surprisal FROM surp""".stripMargin) {
       (s, dir) => docSurprisal(s, dir)
+        .select(col("doc_id"), col("n_tokens"), col("surprisal"))
     },
 
     // ----------------------------------------- end-to-end curation verdict
@@ -521,7 +525,9 @@ object Curation {
     // are exact integer comparisons (3·cum ≥ n ⇔ cum ≥ n/3).
     GraftQuery("d_ccnet_buckets",
       s"""WITH $surprisalCtes,
-         |d AS (SELECT s.doc_id, doc.lang, round(s.surprisal, 2) AS ppl
+         |d AS (SELECT s.doc_id, doc.lang,
+         |        CAST((s.pmicro + 5000 * s.n_tokens) // (10000 * s.n_tokens)
+         |             AS DOUBLE) / 100 AS ppl
          |      FROM surp s JOIN documents doc USING (doc_id)),
          |hist AS (SELECT lang, ppl, count(*) AS c FROM d GROUP BY lang, ppl),
          |cum AS (SELECT lang, ppl,
@@ -541,8 +547,15 @@ object Curation {
       // pipeline executes once, not once per branch
       val d = docSurprisal(s, dir)
         .join(t(s, dir).documents.select(col("doc_id"), col("lang")), "doc_id")
+        // ppl in exact integer centi-units from the micro sum: a second
+        // float round() of the already-rounded surprisal can land on a
+        // decimal half boundary where Spark (BigDecimal HALF_UP on the
+        // shortest repr) and DuckDB (binary-value rounding) disagree —
+        // (pmicro + 5000n) div (10000n) is HALF_UP by construction and
+        // BIGINT-identical in both engines
         .select(col("doc_id"), col("lang"),
-          round(col("surprisal"), 2).as("ppl"))
+          (expr("(pmicro + 5000L * n_tokens) div (10000L * n_tokens)")
+            .cast("double") / 100).as("ppl"))
         .localCheckpoint(false)
       val hist = d.groupBy(col("lang"), col("ppl"))
         .agg(count(lit(1)).as("c"))

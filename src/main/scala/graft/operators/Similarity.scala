@@ -29,6 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** ANSI-safe cosine with the zero-norm convention cos = 0: Spark 4's
+    * default ANSI mode throws DIVIDE_BY_ZERO on an all-zero embedding
+    * (denominator 0) where DuckDB yields NULL — both engines agree on 0
+    * via nullif + coalesce, applied identically in every oracle. */
+  private[operators] def cosine(dotE: org.apache.spark.sql.Column,
+      denom: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(coalesce(dotE / when(denom =!= 0, denom), lit(0.0)), 6)
+
+  /** ONE L2-normalize (zero-guard included) for every driver-side
+    * trainer: PQ/IVF correctness depends on the sample-side and the
+    * corpus-side ([[graft.functions.PqEncode]]) agreeing on this exact
+    * convention, so there is a single definition to agree with. */
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
   /** Sequential-fold dot product via the native codegen'd expression
@@ -54,7 +72,7 @@ object Similarity {
          |     q AS (SELECT vec_id AS qid, v, nrm FROM norms WHERE vec_id < 5),
          |     scored AS (
          |       SELECT q.qid, e.vec_id,
-         |         round($dotQE / (q.nrm * e.nrm), 6) AS cos
+         |         round(coalesce($dotQE / nullif(q.nrm * e.nrm, 0), 0), 6) AS cos
          |       FROM q CROSS JOIN norms e WHERE e.vec_id >= 5),
          |     ranked AS (
          |       SELECT qid, vec_id, cos,
@@ -71,7 +89,7 @@ object Similarity {
       val corpus = vecs.filter(col("vec_id") >= 5)
       val scored = corpus.crossJoin(broadcast(q))
         .select(col("qid"), col("vec_id"),
-          round(expr(dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cos"))
+          cosine(expr(dot("qv", "v")), col("qn") * col("nrm")).as("cos"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
@@ -102,7 +120,7 @@ object Similarity {
       asg.select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim")).agg(
           count(lit(1)).as("n"),
-          round(sum(round(col("x") * 1000000, 0).cast("bigint")).cast("double")
+          round(sum(round(col("x").cast("double") * 1000000, 0).cast("bigint")).cast("double")
             / 1000000.0 / count(lit(1)), 6).as("centroid"))
     },
 
@@ -120,7 +138,7 @@ object Similarity {
          |sized AS (SELECT cid FROM asg GROUP BY cid HAVING count(*) <= 500),
          |pairs AS (
          |  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
-         |    round($dotAB / (na.nrm * nb.nrm), 6) AS cos
+         |    round(coalesce($dotAB / nullif(na.nrm * nb.nrm, 0), 0), 6) AS cos
          |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
          |  JOIN norms na ON na.vec_id = a.vec_id
          |  JOIN norms nb ON nb.vec_id = b.vec_id
@@ -141,7 +159,7 @@ object Similarity {
       a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
         .select(col("id_b"),
           col("id_a"),
-          round(expr(dot("va", "vb")) / (col("na") * col("nb")), 6).as("cos"))
+          cosine(expr(dot("va", "vb")), col("na") * col("nb")).as("cos"))
         .filter(col("cos") >= 0.3)
         .groupBy(col("id_b")).agg(
           min(col("id_a")).cast("bigint").as("kept_by"),
@@ -186,7 +204,7 @@ object Similarity {
       vecs.join(candIds, "vec_id")
         .join(broadcast(qVecs), "qid")
         .select(col("qid"), col("vec_id"),
-          round(expr(dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cos"))
+          cosine(expr(dot("qv", "v")), col("qn") * col("nrm")).as("cos"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
     },
 
@@ -225,9 +243,12 @@ object Similarity {
       val cand = corpus.join(broadcast(probes), Seq("list_id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      // no distinct: each corpus vector lives in exactly one inverted
+      // list and the probe list_ids are distinct per query, so the join
+      // already yields unique (qid, vec_id) — deduplicating again would
+      // add a full extra exchange of the candidate set for nothing
       cand.select(col("qid"), col("vec_id"),
-          round(expr(dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cos"))
-        .distinct()
+          cosine(expr(dot("qv", "v")), col("qn") * col("nrm")).as("cos"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
     },
 
@@ -252,10 +273,7 @@ object Similarity {
         .select(expr(toDouble)).collect()
         .map(_.getSeq[Double](0).toArray)
       val coarse = kmeans(sampleRaw, Kc, iters = 5)
-      val normSample = sampleRaw.map { v =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        if (n == 0) v else v.map(_ / n)
-      }
+      val normSample = sampleRaw.map(normalize)
       val books: Array[Array[Array[Double]]] = Array.tabulate(M) { j =>
         kmeansL2(normSample.map(_.slice(j * SubDim, (j + 1) * SubDim)), Ksub, 10)
       }
@@ -314,10 +332,7 @@ object Similarity {
         .orderBy(col("vec_id")).limit(256)
         .select(expr(toDouble)).collect()
         .map(_.getSeq[Double](0).toArray)
-        .map { v =>
-          val n = math.sqrt(v.map(x => x * x).sum)
-          if (n == 0) v else v.map(_ / n)
-        }
+        .map(normalize)
       val books: Array[Array[Array[Double]]] = Array.tabulate(M) { j =>
         kmeansL2(sample.map(_.slice(j * SubDim, (j + 1) * SubDim)), Ksub, 10)
       }
@@ -359,10 +374,10 @@ object Similarity {
          |     norms AS (SELECT vec_id, v,
          |                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM vecs)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       round($dotAB / (a.nrm * b.nrm), 6) AS cos
+         |       round(coalesce($dotAB / nullif(a.nrm * b.nrm, 0), 0), 6) AS cos
          |FROM norms a, norms b
          |WHERE a.vec_id < b.vec_id
-         |  AND round($dotAB / (a.nrm * b.nrm), 6) >= 0.3""".stripMargin
+         |  AND round(coalesce($dotAB / nullif(a.nrm * b.nrm, 0), 0), 6) >= 0.3""".stripMargin
     }) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val vecs = t(s, dir).embeddings.filter(col("vec_id") < 150)
@@ -372,7 +387,7 @@ object Similarity {
       val b = vecs.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(expr(dot("va", "vb")) / (col("na") * col("nb")), 6).as("cos"))
+          cosine(expr(dot("va", "vb")), col("na") * col("nb")).as("cos"))
         .filter(col("cos") >= 0.3)
     }
   )
@@ -391,7 +406,7 @@ object Similarity {
        |seeds AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid,
        |    v AS cv, nrm AS cnrm FROM norms ORDER BY h LIMIT 8),
        |scored AS (SELECT n.vec_id, s.cid,
-       |    round($dotNS / (n.nrm * s.cnrm), 6) AS cos
+       |    round(coalesce($dotNS / nullif(n.nrm * s.cnrm, 0), 0), 6) AS cos
        |  FROM norms n CROSS JOIN seeds s),
        |asg AS (SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
@@ -409,8 +424,12 @@ object Similarity {
       : org.apache.spark.sql.DataFrame = {
     graft.functions.VectorFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
+    // v stays FLOAT end to end (the file's discipline): graft_dot widens
+    // in-register bit-identically to a CAST, and the float arrays halve
+    // the bytes through the assignment's downstream window exchange and
+    // the d_semdedup_kmeans self-join shuffle
     val vecs = t(s, dir).embeddings
-      .select(col("vec_id"), expr(toDouble).as("v"),
+      .select(col("vec_id"), col("embedding").as("v"),
         md5(col("vec_id").cast("string")).as("h"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
     // top-k by hash plans TakeOrderedAndProject; the 8-row window after
@@ -429,7 +448,7 @@ object Similarity {
     vecs.crossJoin(broadcast(seedRow))
       .withColumn("cid", expr(
         """element_at(array_sort(transform(cents,
-          |  c -> struct(-round(graft_dot(v, c.cv) / (nrm * c.cnrm), 6) AS negcos,
+          |  c -> struct(-round(coalesce(graft_dot(v, c.cv) / nullif(nrm * c.cnrm, 0.0D), 0.0D), 6) AS negcos,
           |              c.cid AS cid))), 1).cid""".stripMargin))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
   }
@@ -440,10 +459,6 @@ object Similarity {
   private[graft] def kmeans(sample: Array[Array[Double]], k: Int,
       iters: Int): Array[Array[Double]] = {
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
-    def normalize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
-    }
     val pts = sample.map(normalize)
     var cents = pts.take(k).map(_.clone())
     for (_ <- 1 to iters) {
@@ -555,8 +570,8 @@ object Similarity {
        |  WHERE c.vec_id >= 5),
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM norms WHERE vec_id < 5),
        |scored AS (SELECT cands.qid, cands.vec_id,
-       |    round(list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]))
-       |          / (q.qn * e.nrm), 6) AS cos
+       |    round(coalesce(list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]))
+       |          / nullif(q.qn * e.nrm, 0), 0), 6) AS cos
        |  FROM cands JOIN norms e ON cands.vec_id = e.vec_id
        |  JOIN q ON cands.qid = q.qid),
        |ranked AS (SELECT qid, vec_id, cos,

@@ -315,6 +315,28 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got == 8, s"kernel count $got")
   }
 
+  test("an all-zero embedding doesn't crash ANSI division; its cosine is 0") {
+    import spark.implicits._
+    // vec_id 0 is a query vector with zero norm — under Spark 4's
+    // default ANSI mode the unguarded cosine division would throw
+    // DIVIDE_BY_ZERO; the convention (matching the oracle's
+    // coalesce(x / nullif(d, 0), 0)) is cos = 0
+    val rows = (0L until 20L).map { i =>
+      val v = Array.tabulate(64)(d =>
+        if (i == 0) 0f else ((i * 64 + d) % 7).toFloat * 0.1f + 0.1f)
+      (i, v, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("zerovec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("s_ann_bruteforce")(spark, dir).collect()
+    assert(got.nonEmpty)
+    val q0 = got.filter(_.getLong(0) == 0L)
+    assert(q0.nonEmpty && q0.forall(_.getDouble(2) == 0.0), q0.toSeq)
+    // the kmeans assignment path survives the zero vector too
+    assert(SparkEntry.queries("s_kmeans_step")(spark, dir).count() > 0)
+  }
+
   test("bpe survives a merge-exhausted corpus: encode still counts every doc") {
     import spark.implicits._
     // every document is the single word 'a': step 1 merges (a,_), step 2
