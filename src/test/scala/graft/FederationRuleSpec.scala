@@ -111,6 +111,27 @@ class FederationRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       local.map(r => (r.getString(0), r.getString(1))).sorted.toSeq)
   }
 
+  test("a window over a same-source join federates with the OVER clause inside") {
+    val df = spark.sql(
+      """SELECT n.n_name, r.r_name,
+        |  row_number() OVER (PARTITION BY r.r_name ORDER BY n.n_name) AS rk
+        |FROM fedpg_nation n JOIN fedpg_region r ON n.n_regionkey = r.r_regionkey
+        |""".stripMargin)
+    assert(leafCount(df) == 1, df.queryExecution.optimizedPlan)
+    val (rows, remote) = remoteQueriesDuring(df.collect())
+    assert(remote.size == 1, s"expected ONE pushed query, got: $remote")
+    assert(remote.head.toUpperCase.contains("OVER"), remote.head)
+    assert(remote.head.toUpperCase.contains("JOIN"), remote.head)
+    val local = spark.sql(
+      """SELECT n.n_name, r.r_name,
+        |  row_number() OVER (PARTITION BY r.r_name ORDER BY n.n_name) AS rk
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet ==
+      local.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet)
+    assert(rows.length == 25)
+  }
+
   test("a bare filtered scan keeps per-scan pushdown (never collapsed)") {
     val df = spark.sql(
       "SELECT n_name FROM fedpg_nation WHERE n_regionkey = 0")
