@@ -135,6 +135,14 @@ object Curation {
     IndexedSeq.fill(64)((rng.nextInt(1000001) - 500000).toLong)
   }
 
+  /** One Kneser-Ney term's micro-unit contribution — IDENTICAL text feeds
+    * Spark's expr() and the DuckDB oracle so the operation order (and
+    * therefore every intermediate double) matches bit-for-bit. Column
+    * contract: tf/cb/cp/n1f/nbw/ntot are all BIGINT on both sides. */
+  private val knMicroSql =
+    "CAST(round(tf * ln(((CAST(cb AS DOUBLE) - 0.75) + " +
+      "0.75 * (n1f * (CAST(nbw AS DOUBLE) / ntot))) / cp) * 1000000, 0) AS BIGINT)"
+
   /** The DSIR target domain: a fixed source subset standing in for the
     * "high-quality corpus" (Wikipedia/books in the paper). Plan constant,
     * embedded in the oracle SQL. */
@@ -512,6 +520,70 @@ object Curation {
           .as("surprisal"))
     },
 
+    // ------------------------------- interpolated Kneser-Ney surprisal
+    // The smoothing KenLM actually ships (Heafield 2011; Kneser & Ney
+    // 1995): p_KN(w2 | w1) = (c(w1,w2) − D)/c(w1·) + D·N1+(w1,·)/c(w1·)
+    // · N1+(·,w2)/N1+(··) with absolute discount D = 0.75. t_bigram_logprob
+    // is the MLE baseline; KN redistributes discount mass to the
+    // CONTINUATION distribution (how many distinct contexts a word
+    // follows), the estimate that made backoff LMs work. The model is
+    // trained on the corpus being scored, so every scored bigram has
+    // count ≥ 1 and (c − D) stays positive — the max(·, 0) clamp never
+    // binds and is omitted on both sides. Scale shape: identical to
+    // t_bigram_logprob (per-(doc,bigram) tf → vocabulary-sized count
+    // relations joined by key; the type total is a 1-row broadcast); the
+    // continuation counts are COUNT(*) over the checkpointed bigram-type
+    // table, so KN costs two extra vocab-sized aggregates, nothing more.
+    // Per-term contributions cross engines as rounded integer micro-units
+    // through ONE shared expression text (knMicroSql), the established
+    // float discipline.
+    GraftQuery("t_kn_logprob",
+      s"""WITH w AS (SELECT doc_id, string_split(${TextPipeline.normSqlDuck}, ' ') AS ws
+         |           FROM documents),
+         |bi0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+         |        FROM w WHERE len(ws) >= 2),
+         |bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bi0),
+         |tfb AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM bi
+         |        GROUP BY doc_id, w1, w2),
+         |cb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cb FROM tfb
+         |       GROUP BY w1, w2),
+         |pre AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cp,
+         |          CAST(count(*) AS BIGINT) AS n1f FROM cb GROUP BY w1),
+         |nb AS (SELECT w2, CAST(count(*) AS BIGINT) AS nbw FROM cb GROUP BY w2),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM cb),
+         |terms AS (SELECT tfb.doc_id, tfb.tf, $knMicroSql AS micro
+         |  FROM tfb JOIN cb USING (w1, w2) JOIN pre USING (w1)
+         |  JOIN nb USING (w2) CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  round(-CAST(sum(micro) AS DOUBLE) / 1000000 / sum(tf), 6) AS kn_surprisal
+         |FROM terms GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = TextPipeline.withNorm(t(s, dir).documents)
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), col("words"),
+          explode(expr("sequence(1, size(words) - 1)")).as("i"))
+        .select(col("doc_id"),
+          expr("words[i - 1]").as("w1"), expr("words[i]").as("w2"))
+      val tfb = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // feeds cb AND the probe side
+      val cb = tfb.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("tf")).cast("bigint").as("cb"))
+        .localCheckpoint(false) // feeds cp/n1f, nbw, ntot AND the join
+      val pre = cb.groupBy(col("w1")).agg(
+        sum(col("cb")).cast("bigint").as("cp"),
+        count(lit(1)).cast("bigint").as("n1f"))
+      val nb = cb.groupBy(col("w2"))
+        .agg(count(lit(1)).cast("bigint").as("nbw"))
+      val tot = cb.agg(count(lit(1)).cast("bigint").as("ntot"))
+      val terms = tfb.join(cb, Seq("w1", "w2")).join(pre, Seq("w1"))
+        .join(nb, Seq("w2")).crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("tf"), expr(knMicroSql).as("micro"))
+      terms.groupBy(col("doc_id")).agg(
+        sum(col("tf")).cast("bigint").as("n_bigrams"),
+        round(-sum(col("micro")).cast("double") / 1000000 / sum(col("tf")), 6)
+          .as("kn_surprisal"))
+    },
+
     // --------------------------------------- perplexity bucketing (CCNet)
     // CCNet (Wenzek et al. 2020) splits each language's documents into
     // head/middle/tail perplexity terciles and typically keeps head+middle.
@@ -723,6 +795,69 @@ object Curation {
             + 0.5) / 1048576) / col("n_tokens") * 1000000, 0).cast("bigint"))
         .orderBy(col("es_key").desc, col("doc_id"))
         .limit(100)
+    },
+
+    // ------------------------------- count-min-sketch heavy hitters
+    // The frequency-estimation sketch (Cormode & Muthukrishnan 2005)
+    // beside the registry's cardinality sketch (q_approx_distinct/HLL):
+    // depth 4 × width 1024 counters, row hashes = fmix63(porthash63(w)
+    // XOR r) % 1024 (the avalanche finalizer decorrelates the 4 row
+    // salts), estimate = min over rows — a conservative OVERestimate,
+    // never under. Heavy hitters = words whose estimate is ≥ 0.5% of
+    // total token mass; the exact count rides along so the driver's
+    // oracle pins est ≥ exact row by row (CmsSpec pins the ε bound).
+    // Scale shape: word counts are ONE map-side-combined corpus
+    // aggregate; everything after is vocabulary-sized; the 4096-counter
+    // sketch is a CONSTANT-size broadcast at any corpus scale (and the
+    // reason the sketch matters at 100 TB: per-partition sketches merge
+    // by counter addition — the aggregate is associative).
+    // Fully hash-oracled: DuckDB re-derives every row hash through the
+    // staged fmix CTEs (the t_quality_classifier pattern).
+    GraftQuery("t_heavy_hitters_cms", {
+      val (hashCtes, hashLast) = SketchOracleSql.hashScalarCtes(
+        "ch", "cf", "w, c", "w")
+      val (fmixCtes, fmixLast) = SketchOracleSql.fmixScalarCtes(
+        "cm", "rows0", "w, c, r", "x")
+      s"""WITH $wordsTfCtes,
+         |cf AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY w),
+         |$hashCtes,
+         |rows0 AS (SELECT w, c, r,
+         |    CAST(xor(fh, CAST(r AS BIGINT)) AS HUGEINT) AS x
+         |  FROM $hashLast, UNNEST([0, 1, 2, 3]) t(r)),
+         |$fmixCtes,
+         |slots AS (SELECT w, c, r, fh % 1024 AS slot FROM $fmixLast),
+         |sk AS (SELECT r, slot, CAST(sum(c) AS BIGINT) AS sc FROM slots
+         |       GROUP BY r, slot),
+         |est AS (SELECT s.w, max(s.c) AS exact, min(k.sc) AS est
+         |  FROM slots s JOIN sk k ON s.r = k.r AND s.slot = k.slot
+         |  GROUP BY s.w),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cf)
+         |SELECT w, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact
+         |FROM est CROSS JOIN tot WHERE est * 200 >= tt
+         |ORDER BY est DESC, w LIMIT 50""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val cf = TextPipeline.withNorm(t(s, dir).documents)
+        .select(col("doc_id"), explode(col("words")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).cast("bigint").as("c"))
+        .localCheckpoint(false) // feeds the sketch, the probe, and the total
+      val slots = cf.select(col("w"), col("c"),
+          explode(lit(Array(0, 1, 2, 3))).as("r"))
+        .withColumn("slot",
+          expr("graft_fmix63(graft_porthash63(w) ^ CAST(r AS BIGINT)) % 1024"))
+      val sk = slots.groupBy(col("r"), col("slot"))
+        .agg(sum(col("c")).cast("bigint").as("sc"))
+      val tot = cf.agg(sum(col("c")).cast("bigint").as("tt"))
+      slots.join(broadcast(sk), Seq("r", "slot"))
+        .groupBy(col("w"))
+        .agg(max(col("c")).as("exact"), min(col("sc")).as("est"))
+        .crossJoin(broadcast(tot))
+        .filter(col("est") * 200 >= col("tt"))
+        .select(col("w"), col("est").cast("bigint").as("est"),
+          col("exact").cast("bigint").as("exact"))
+        .orderBy(col("est").desc, col("w"))
+        .limit(50)
     }
   )
 }

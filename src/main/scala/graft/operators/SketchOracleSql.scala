@@ -195,6 +195,45 @@ object SketchOracleSql {
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
   }
 
+  /** The fuzzy-decontamination pipeline: the minhashLshPairs machinery
+    * pointed across the train/eval split — candidates are (train, eval)
+    * band-bucket collisions (train = doc_id % 10 ≠ 0, eval = % 10 = 0,
+    * the d_decontaminate split contract), reranked by exact jaccard over
+    * distinct shingle hashes, flagged at `thresh`. */
+  def fuzzyDecontaminate(norm: String, thresh: String): String = {
+    val (ctes, last) = shingleHashCtes(norm)
+    val (fmixCtes, fmixLast) = fmixScalarCtes("f", "fold", "doc_id, band", "fh")
+    s"""WITH $ctes,
+       |sig AS (SELECT doc_id, bh,
+       |  list_transform($permsLiteral,
+       |    p -> list_min(list_transform(bh, h -> (h * p[1] + p[2]) % $P))) AS sig
+       |  FROM $last),
+       |fold AS (SELECT doc_id, b AS band,
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(sig[b * 4 + 1 : b * 4 + 4], v -> CAST(v AS HUGEINT))),
+       |      (a, v) -> (a * 1099511628211 + v) % $M64) AS fh
+       |  FROM sig, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) t(b)),
+       |$fmixCtes,
+       |bb AS (SELECT doc_id, band, fh % 4294967296 AS bucket FROM $fmixLast),
+       |capped AS (SELECT band, bucket, doc_id FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsize FROM bb)
+       |  WHERE bsize <= 200),
+       |pairs AS (SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+       |sets AS (SELECT doc_id, list_distinct(bh) AS s FROM $last)
+       |SELECT p.train_id, p.eval_id,
+       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+       |FROM pairs p
+       |JOIN sets sa ON p.train_id = sa.doc_id
+       |JOIN sets sb ON p.eval_id = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= $thresh
+       |ORDER BY train_id, eval_id LIMIT 500""".stripMargin
+  }
+
   /** 31-bit Karp-Rabin polynomial over the chars of string expr `s` —
     * the winnowing hash (mod 2^31 == the JVM's `& 0x7fffffff` mask). */
   private def poly31(s: String): String =

@@ -450,6 +450,53 @@ object TextPipeline {
         .limit(100)
     },
 
+    // ------------------------------------------- fuzzy decontamination
+    // Doc-level NEAR-duplicate decontamination — the d_decontaminate
+    // gram-overlap check catches verbatim leakage; this catches eval
+    // documents that reached the training set lightly edited (the
+    // Llama/GPT-3 reports' "near-dedup against benchmarks" step). The
+    // machinery IS the MinHash LSH pipeline pointed across the
+    // train/eval split (train = doc_id % 10 ≠ 0, eval = % 10 = 0 — the
+    // d_decontaminate contract): signatures map-only, candidates from
+    // band-bucket collisions between the two sides (the banded exchange
+    // is computed once and reused by both filtered sides), exact-jaccard
+    // rerank over distinct shingle hashes, flag at jaccard ≥ 0.5.
+    // Emits the contamination REPORT (train doc, the eval doc it
+    // matches, the score) — the relation a pipeline anti-joins its
+    // training set against. Fully hash-oracled: DuckDB re-derives
+    // signatures, buckets, candidates, and the rerank exactly.
+    GraftQuery("d_decontaminate_fuzzy",
+        SketchOracleSql.fuzzyDecontaminate(normSqlDuck, "0.5")) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val docs = shingleHashed(withNorm(t(s, dir).documents))
+      val banded = bandBuckets(minhashSignatures(docs))
+      val capped = graft.util.Buckets.cap(banded, 200, col("band"), col("bucket"))
+      val pairs = capped.filter(col("doc_id") % 10 =!= 0)
+          .select(col("band"), col("bucket"), col("doc_id").as("train_id"))
+        .join(capped.filter(col("doc_id") % 10 === 0)
+          .select(col("band"), col("bucket"), col("doc_id").as("eval_id")),
+          Seq("band", "bucket"))
+        .select(col("train_id"), col("eval_id")).distinct()
+      // rerank via the d_minhash_lsh_pairs melt: one pass over the
+      // map-only shingle pipeline feeds both pair roles
+      val roles = pairs.select(col("train_id"), col("eval_id"),
+        explode(array(col("train_id"), col("eval_id"))).as("doc_id"))
+      val sets = docs.select(col("doc_id"),
+        array_distinct(col("sh")).as("shingles"))
+      val paired = sets.join(roles, "doc_id")
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(max(when(col("doc_id") === col("train_id"), col("shingles"))).as("sh_a"),
+          max(when(col("doc_id") === col("eval_id"), col("shingles"))).as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      paired
+        .select(col("train_id"), col("eval_id"),
+          (inter.cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("train_id"), col("eval_id"))
+        .limit(500)
+    },
+
     // ------------------------------------------------------------ SimHash
     // Near-dup pairs via 3 DISJOINT bands of the 32-bit simhash (see
     // simhashCandidates: bits 21-31 / 10-20 / 0-9, perfect recall at

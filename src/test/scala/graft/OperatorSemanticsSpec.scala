@@ -496,6 +496,113 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("cms heavy hitters: conservative overestimate, no false negatives") {
+    val out = run("t_heavy_hitters_cms").collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("est"),
+        r.getAs[Long]("exact")))
+    assert(out.nonEmpty)
+    // count-min can only overestimate (counters absorb collisions)
+    out.foreach { case (w, est, exact) =>
+      assert(est >= exact, s"$w: est=$est < exact=$exact")
+    }
+    // every TRUE heavy hitter must be reported: est >= exact means the
+    // threshold test est*200 >= T admits a superset of the exact one
+    val counts = Tables(spark, sf).documents
+      .selectExpr(
+        "explode(split(trim(regexp_replace(regexp_replace(lower(text), " +
+          "'[^a-z0-9 ]', ''), ' +', ' ')), ' ')) AS w")
+      .filter(col("w") =!= "")
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    val trueHeavy = counts.filter(_._2 * 200 >= total).map(_._1).toSet
+    assert(trueHeavy.nonEmpty, "fixture has no heavy hitters at 0.5%")
+    assert(trueHeavy.subsetOf(out.map(_._1).toSet),
+      s"missed true heavy hitters: ${trueHeavy -- out.map(_._1).toSet}")
+    // and the exact counts the query carries must match the recount
+    val exactByWord = counts.toMap
+    out.foreach { case (w, _, exact) => assert(exactByWord(w) == exact, w) }
+  }
+
+  test("kneser-ney equals a driver-side reference implementation") {
+    val kn = run("t_kn_logprob").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("kn_surprisal")))).toMap
+    assert(kn.nonEmpty)
+    // independent reference: collect the corpus, build the bigram model
+    // in plain Scala, score with the interpolated-KN formula (D = 0.75)
+    val docs = Tables(spark, sf).documents
+      .selectExpr("doc_id",
+        "split(trim(regexp_replace(regexp_replace(lower(text), " +
+          "'[^a-z0-9 ]', ''), ' +', ' ')), ' ') AS ws")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toArray)
+    val bigrams = docs.flatMap { case (_, ws) => ws.sliding(2).collect {
+      case Array(a, b) => (a, b) } }
+    val cb = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cp = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val n1f = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val nbw = cb.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val ntot = cb.size.toLong
+    docs.filter(_._2.length >= 2).foreach { case (id, ws) =>
+      val terms = ws.sliding(2).collect { case Array(a, b) => (a, b) }.toSeq
+      val s = terms.map { case (a, b) =>
+        val p = ((cb((a, b)) - 0.75) +
+          0.75 * (n1f(a) * (nbw(b).toDouble / ntot))) / cp(a)
+        -math.log(p)
+      }.sum / terms.length
+      val (n, got) = kn(id)
+      assert(n == terms.length, s"doc $id n_bigrams")
+      // the engine rounds per-TERM micro-units, the reference doesn't —
+      // tolerance covers accumulated per-term rounding (< 1e-6 each)
+      assert(math.abs(got - s) < 1e-4, s"doc $id: got=$got ref=$s")
+    }
+  }
+
+  test("fuzzy decontamination: exact precision, split discipline, recall " +
+      "on the planted near-dups") {
+    val rep = run("d_decontaminate_fuzzy").collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Double]("jaccard")))
+    assert(rep.nonEmpty, "no contamination found on the planted fixture")
+    rep.foreach { case (tr, ev, j) =>
+      assert(tr % 10 != 0 && ev % 10 == 0, s"pair ($tr,$ev) ignores the split")
+      assert(j >= 0.5 && j <= 1.0, s"pair ($tr,$ev) jaccard $j")
+    }
+    // brute-force cross-split jaccard over distinct 3-word shingles:
+    // everything reported must be exactly right (precision 1 — the rerank
+    // is exact), and the near-verbatim pairs (j >= 0.9) must all be found
+    // (at j = 0.9 a 4-row band collides w.p. 0.9^4 = 0.66; eight
+    // independent bands miss with prob 0.34^8 < 1e-3 — and the planted
+    // fixture's collisions are deterministic under the fixed hash)
+    val sets = Tables(spark, sf).documents
+      .selectExpr("doc_id",
+        "split(trim(regexp_replace(regexp_replace(lower(text), " +
+          "'[^a-z0-9 ]', ''), ' +', ' ')), ' ') AS ws")
+      .collect()
+      .map { r =>
+        val ws = r.getSeq[String](1).toArray
+        val sh = if (ws.length < 3) Set(ws.mkString(" "))
+          else ws.sliding(3).map(_.mkString(" ")).toSet
+        r.getLong(0) -> sh
+      }.toMap
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 0.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+    rep.foreach { case (tr, ev, j) =>
+      assert(math.abs(jac(sets(tr), sets(ev)) - j) < 1e-9,
+        s"pair ($tr,$ev) jaccard off: $j vs ${jac(sets(tr), sets(ev))}")
+    }
+    val nearVerbatim = for {
+      (tr, sa) <- sets.toSeq if tr % 10 != 0
+      (ev, sb) <- sets.toSeq if ev % 10 == 0
+      if jac(sa, sb) >= 0.9
+    } yield (tr, ev)
+    val found = rep.map(p => (p._1, p._2)).toSet
+    nearVerbatim.foreach(p =>
+      assert(found.contains(p), s"missed near-verbatim pair $p"))
+  }
+
   test("resize kernel emits fixed-size deterministic thumbnails") {
     val p = ("abcdefghij" * 10).getBytes("UTF-8")
     val k = graft.functions.ByteSample(

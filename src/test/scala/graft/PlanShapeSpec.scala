@@ -553,4 +553,43 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!e.contains("payload#") && !e.contains("text#"),
         s"payload bytes in a phash exchange: $e"))
   }
+
+  test("kneser-ney: vocabulary-sized joins by key — no window, no text " +
+      "in exchanges, type total broadcasts") {
+    val p = plan("t_kn_logprob")
+    assert(!p.contains("windowspecdefinition"),
+      s"KN stats became a window:\n$p")
+    // the 1-row bigram-type total must ride a broadcast, not shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    exchanges.foreach(e =>
+      assert(!e.contains("text#") && !e.contains("norm#") && !e.contains("words#"),
+        s"raw text in a KN exchange: $e"))
+  }
+
+  test("cms heavy hitters: the 4096-counter sketch joins back as a " +
+      "broadcast — no window, one corpus aggregate") {
+    val p = plan("t_heavy_hitters_cms")
+    assert(!p.contains("windowspecdefinition"), p)
+    // the sketch is constant-size at any corpus scale: its join back onto
+    // the vocabulary relation must be a BroadcastHashJoin, never a
+    // shuffle of the vocabulary by (r, slot)
+    assert(p.contains("BroadcastHashJoin"), s"sketch join not broadcast:\n$p")
+    assert(p.contains("ExistingRDD"), s"word counts not checkpointed:\n$p")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
+      s"a sketch stage re-reads documents:\n$p")
+  }
+
+  test("fuzzy decontamination: banded candidates ship (band, bucket, id) " +
+      "— no text in exchanges, no corpus broadcast") {
+    val p = plan("d_decontaminate_fuzzy")
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach(e =>
+      assert(!e.contains("text#") && !e.contains("norm#") && !e.contains("words#"),
+        s"raw text in a fuzzy-decontamination exchange: $e"))
+  }
 }
