@@ -707,14 +707,7 @@ object CorpusOps {
     // 5-word span) and are dropped, mirroring the reference pipeline's
     // minimum match length.
     GraftQuery("d_repeated_spans",
-      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
-         |g AS (SELECT doc_id,
-         |        unnest(range(0, len(ws) - 4)) AS pos,
-         |        unnest(list_transform(range(1, len(ws) - 3),
-         |          i -> md5(array_to_string(ws[i : i + 4], ' ')))) AS g
-         |      FROM w WHERE len(ws) >= 5),
-         |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
-         |shared AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (g) WHERE df.df >= 2),
+      s"""WITH ${sharedGramCtesDuck(withWordCount = false)},
          |isl AS (SELECT doc_id, pos,
          |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
          |      FROM shared)
@@ -746,44 +739,15 @@ object CorpusOps {
     // two map-side-combinable aggregates. This is the number a curation
     // pipeline thresholds on to drop template-dominated documents.
     GraftQuery("d_span_coverage",
-      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
-         |g AS (SELECT doc_id, len(ws) AS n_words,
-         |        unnest(range(0, len(ws) - 4)) AS pos,
-         |        unnest(list_transform(range(1, len(ws) - 3),
-         |          i -> md5(array_to_string(ws[i : i + 4], ' ')))) AS g
-         |      FROM w WHERE len(ws) >= 5),
-         |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
-         |shared AS (SELECT g.doc_id, g.n_words, g.pos
-         |           FROM g JOIN df USING (g) WHERE df.df >= 2),
-         |step AS (SELECT doc_id, n_words, pos,
-         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
-         |             THEN 0 ELSE 1 END AS brk
-         |      FROM shared),
-         |reg AS (SELECT doc_id, n_words, pos,
-         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-         |          ROWS UNBOUNDED PRECEDING) AS rid
-         |      FROM step),
-         |regions AS (SELECT doc_id, n_words, rid,
-         |              min(pos) AS p0, max(pos) + 4 AS p1
-         |            FROM reg GROUP BY doc_id, n_words, rid)
+      s"""WITH ${sharedGramCtesDuck(withWordCount = true)},
+         |${spanRegionCtesDuck(withWordCount = true)}
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_regions,
          |  CAST(sum(p1 - p0 + 1) AS BIGINT) AS covered_words,
          |  round(CAST(sum(p1 - p0 + 1) AS DOUBLE) / n_words, 6) AS frac_covered
          |FROM regions GROUP BY doc_id, n_words""".stripMargin) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
-      val shared = sharedGramPositions(s, dir, withWordCount = true)
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val runW = win.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-      shared
-        .withColumn("brk",
-          when(col("pos") - lag(col("pos"), 1).over(win) <= 4, 0L)
-            .otherwise(1L))
-        .withColumn("rid", sum(col("brk")).over(runW))
-        .groupBy(col("doc_id"), col("n_words"), col("rid"))
-        .agg(min(col("pos")).as("p0"), (max(col("pos")) + 4).as("p1"))
+      spanRegions(sharedGramPositions(s, dir, withWordCount = true),
+          carry = Seq("n_words"))
         .groupBy(col("doc_id"), col("n_words"))
         .agg(count(lit(1)).cast("bigint").as("n_regions"),
           sum(col("p1") - col("p0") + 1).cast("bigint").as("covered_words"))
@@ -803,24 +767,8 @@ object CorpusOps {
     // cleaned_hash (md5 of the re-joined text) crosses engines exactly,
     // so the oracle verifies the RECONSTRUCTED TEXT, not just counts.
     GraftQuery("d_strip_spans",
-      s"""WITH w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
-         |g AS (SELECT doc_id,
-         |        unnest(range(0, len(ws) - 4)) AS pos,
-         |        unnest(list_transform(range(1, len(ws) - 3),
-         |          i -> md5(array_to_string(ws[i : i + 4], ' ')))) AS g
-         |      FROM w WHERE len(ws) >= 5),
-         |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
-         |shared AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (g) WHERE df.df >= 2),
-         |step AS (SELECT doc_id, pos,
-         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
-         |             THEN 0 ELSE 1 END AS brk
-         |      FROM shared),
-         |reg AS (SELECT doc_id, pos,
-         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-         |          ROWS UNBOUNDED PRECEDING) AS rid
-         |      FROM step),
-         |regions AS (SELECT doc_id, rid, min(pos) AS p0, max(pos) + 4 AS p1
-         |            FROM reg GROUP BY doc_id, rid),
+      s"""WITH ${sharedGramCtesDuck(withWordCount = false)},
+         |${spanRegionCtesDuck(withWordCount = false)},
          |covered AS (SELECT doc_id, unnest(range(p0, p1 + 1)) AS cp FROM regions),
          |wordpos AS (SELECT doc_id, unnest(ws) AS wrd,
          |              generate_subscripts(ws, 1) - 1 AS i FROM w),
@@ -836,19 +784,7 @@ object CorpusOps {
          |    md5(string_agg(wrd, ' ' ORDER BY i)) AS h
          |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
-      val shared = sharedGramPositions(s, dir)
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val runW = win.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-      val regions = shared
-        .withColumn("brk",
-          when(col("pos") - lag(col("pos"), 1).over(win) <= 4, 0L)
-            .otherwise(1L))
-        .withColumn("rid", sum(col("brk")).over(runW))
-        .groupBy(col("doc_id"), col("rid"))
-        .agg(min(col("pos")).as("p0"), (max(col("pos")) + 4).as("p1"))
+      val regions = spanRegions(sharedGramPositions(s, dir), carry = Nil)
         .groupBy(col("doc_id"))
         .agg(collect_list(struct(col("p0"), col("p1"))).as("regions"))
       withNorm(t(s, dir).documents)
@@ -872,6 +808,62 @@ object CorpusOps {
     * documents per gram (a gram repeated only within one document is
     * not cross-document repetition). Checkpointed so the positional
     * explode feeds both the df build and the probe side once. */
+  /** DuckDB twin of [[sharedGramPositions]]: CTEs `w/g/df/shared`, the
+    * final one `shared(doc_id[, n_words], pos)`. ONE definition for the
+    * three span queries — the gram width, the df ≥ 2 rule, and the
+    * ≥ 5-word guard must stay identical across them or their oracles
+    * silently diverge from each other. */
+  private def sharedGramCtesDuck(withWordCount: Boolean): String = {
+    val nw = if (withWordCount) " len(ws) AS n_words," else ""
+    val nwCol = if (withWordCount) " g.n_words," else ""
+    s"""w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id,$nw
+       |        unnest(range(0, len(ws) - 4)) AS pos,
+       |        unnest(list_transform(range(1, len(ws) - 3),
+       |          i -> md5(array_to_string(ws[i : i + 4], ' ')))) AS g
+       |      FROM w WHERE len(ws) >= 5),
+       |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
+       |shared AS (SELECT g.doc_id,$nwCol g.pos
+       |           FROM g JOIN df USING (g) WHERE df.df >= 2)""".stripMargin
+  }
+
+  /** Gaps-and-islands region merge over `shared` (DuckDB): islands of
+    * positions ≤ gram-width apart fuse into one region; ends in
+    * `regions(doc_id[, n_words], rid, p0, p1)`. Shared by
+    * d_span_coverage and d_strip_spans. */
+  private def spanRegionCtesDuck(withWordCount: Boolean): String = {
+    val nw = if (withWordCount) " n_words," else ""
+    s"""step AS (SELECT doc_id,$nw pos,
+       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+       |             THEN 0 ELSE 1 END AS brk
+       |      FROM shared),
+       |reg AS (SELECT doc_id,$nw pos,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS UNBOUNDED PRECEDING) AS rid
+       |      FROM step),
+       |regions AS (SELECT doc_id,$nw rid, min(pos) AS p0, max(pos) + 4 AS p1
+       |            FROM reg GROUP BY doc_id,$nw rid)""".stripMargin
+  }
+
+  /** Spark twin of [[spanRegionCtesDuck]]: merged regions
+    * (doc_id[, carry...], rid, p0, p1). Both windows partition by
+    * doc_id only — one document per partition, bounded by document
+    * length, never corpus cardinality. */
+  private def spanRegions(shared: DataFrame, carry: Seq[String]): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runW = win.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    shared
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(win) <= 4, 0L)
+          .otherwise(1L))
+      .withColumn("rid", sum(col("brk")).over(runW))
+      .groupBy(("doc_id" +: carry :+ "rid").map(col): _*)
+      .agg(min(col("pos")).as("p0"), (max(col("pos")) + 4).as("p1"))
+  }
+
   private def sharedGramPositions(s: SparkSession, dir: String,
       withWordCount: Boolean = false): DataFrame = {
     val base = withNorm(t(s, dir).documents)

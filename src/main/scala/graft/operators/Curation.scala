@@ -135,6 +135,29 @@ object Curation {
     IndexedSeq.fill(64)((rng.nextInt(1000001) - 500000).toLong)
   }
 
+  /** Per-(doc, bigram) tf + global bigram counts over the shared
+    * adjacency CTEs ([[TextPipeline.bigramCtesDuck]]) — the stage both
+    * LM queries (MLE and Kneser-Ney) aggregate their statistics from. */
+  private def bigramCountCtes: String =
+    s"""tfb AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM bi
+       |        GROUP BY doc_id, w1, w2),
+       |cb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cb FROM tfb
+       |       GROUP BY w1, w2)""".stripMargin
+
+  /** Spark twin of [[bigramCountCtes]]: (tfb, cb), both checkpointed —
+    * tfb feeds cb AND the per-doc probe side; cb feeds every marginal
+    * AND the scoring join. */
+  private def bigramTfCb(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tfb = TextPipeline.bigramPairs(s, dir)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val cb = tfb.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf")).cast("bigint").as("cb"))
+      .localCheckpoint(false)
+    (tfb, cb)
+  }
+
   /** One Kneser-Ney term's micro-unit contribution — IDENTICAL text feeds
     * Spark's expr() and the DuckDB oracle so the operation order (and
     * therefore every intermediate double) matches bit-for-bit. Column
@@ -478,14 +501,8 @@ object Curation {
     // (the t_unigram_logprob discipline), so the per-doc sum is an exact
     // BIGINT aggregate.
     GraftQuery("t_bigram_logprob",
-      s"""WITH w AS (SELECT doc_id, string_split(${TextPipeline.normSqlDuck}, ' ') AS ws
-         |           FROM documents),
-         |bi0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-         |        FROM w WHERE len(ws) >= 2),
-         |bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bi0),
-         |tfb AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bi
-         |        GROUP BY doc_id, w1, w2),
-         |cb AS (SELECT w1, w2, sum(tf) AS cb FROM tfb GROUP BY w1, w2),
+      s"""WITH ${TextPipeline.bigramCtesDuck},
+         |$bigramCountCtes,
          |cp AS (SELECT w1, sum(cb) AS cp FROM cb GROUP BY w1),
          |terms AS (SELECT tfb.doc_id, tfb.tf,
          |    CAST(round(tfb.tf * ln(CAST(cb.cb AS DOUBLE) / cp.cp) * 1000000, 0)
@@ -494,21 +511,7 @@ object Curation {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
          |  round(-CAST(sum(micro) AS DOUBLE) / 1000000 / sum(tf), 6) AS surprisal
          |FROM terms GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      // size >= 2 guards the sequence bounds (sequence(1, 0) would count
-      // DOWN); single-token and empty-norm docs have no bigrams in either
-      // engine. Adjacency via sequence + element_at — codegen'd built-ins,
-      // no lambda in the corpus-wide path.
-      val pairs = TextPipeline.withNorm(t(s, dir).documents)
-        .filter(size(col("words")) >= 2)
-        .select(col("doc_id"), col("words"),
-          explode(expr("sequence(1, size(words) - 1)")).as("i"))
-        .select(col("doc_id"),
-          expr("words[i - 1]").as("w1"), expr("words[i]").as("w2"))
-      val tfb = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // feeds cb AND the probe side
-      val cb = tfb.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
-        .localCheckpoint(false) // feeds cp AND the join
+      val (tfb, cb) = bigramTfCb(s, dir)
       val cp = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
       val terms = tfb.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
         .select(col("doc_id"), col("tf"),
@@ -538,15 +541,8 @@ object Curation {
     // through ONE shared expression text (knMicroSql), the established
     // float discipline.
     GraftQuery("t_kn_logprob",
-      s"""WITH w AS (SELECT doc_id, string_split(${TextPipeline.normSqlDuck}, ' ') AS ws
-         |           FROM documents),
-         |bi0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-         |        FROM w WHERE len(ws) >= 2),
-         |bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bi0),
-         |tfb AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM bi
-         |        GROUP BY doc_id, w1, w2),
-         |cb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cb FROM tfb
-         |       GROUP BY w1, w2),
+      s"""WITH ${TextPipeline.bigramCtesDuck},
+         |$bigramCountCtes,
          |pre AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cp,
          |          CAST(count(*) AS BIGINT) AS n1f FROM cb GROUP BY w1),
          |nb AS (SELECT w2, CAST(count(*) AS BIGINT) AS nbw FROM cb GROUP BY w2),
@@ -557,18 +553,7 @@ object Curation {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
          |  round(-CAST(sum(micro) AS DOUBLE) / 1000000 / sum(tf), 6) AS kn_surprisal
          |FROM terms GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      val pairs = TextPipeline.withNorm(t(s, dir).documents)
-        .filter(size(col("words")) >= 2)
-        .select(col("doc_id"), col("words"),
-          explode(expr("sequence(1, size(words) - 1)")).as("i"))
-        .select(col("doc_id"),
-          expr("words[i - 1]").as("w1"), expr("words[i]").as("w2"))
-      val tfb = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // feeds cb AND the probe side
-      val cb = tfb.groupBy(col("w1"), col("w2"))
-        .agg(sum(col("tf")).cast("bigint").as("cb"))
-        .localCheckpoint(false) // feeds cp/n1f, nbw, ntot AND the join
+      val (tfb, cb) = bigramTfCb(s, dir)
       val pre = cb.groupBy(col("w1")).agg(
         sum(col("cb")).cast("bigint").as("cp"),
         count(lit(1)).cast("bigint").as("n1f"))

@@ -136,11 +136,7 @@ object Retrieval {
     GraftQuery("t_collocations_pmi", {
       val pmiMicro = "CAST(round(ln(CAST(cb AS DOUBLE) * tt / " +
         "(CAST(c1 AS DOUBLE) * c2)) * 1000000, 0) AS BIGINT)"
-      s"""WITH w AS (SELECT doc_id, string_split(${TextPipeline.normSqlDuck}, ' ') AS ws
-         |           FROM documents),
-         |bi0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-         |        FROM w WHERE len(ws) >= 2),
-         |bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM bi0),
+      s"""WITH ${TextPipeline.bigramCtesDuck},
          |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bi
          |       GROUP BY w1, w2),
          |c1 AS (SELECT w1, sum(cb) AS c1 FROM cb GROUP BY w1),
@@ -153,13 +149,10 @@ object Retrieval {
          |SELECT w1, w2, cb, pmi FROM sc
          |ORDER BY pmi DESC, w1, w2 LIMIT $TopK""".stripMargin
     }) { (s, dir) =>
-      // bigram extraction shares the t_bigram_logprob shape: sequence +
-      // element_at (codegen'd), then everything downstream aggregates the
+      // bigram extraction is the shared adjacency contract
+      // (TextPipeline.bigramPairs); everything downstream aggregates the
       // VOCABULARY-sized bigram table, never the corpus
-      val bi = TextPipeline.withNorm(t(s, dir).documents)
-        .filter(size(col("words")) >= 2)
-        .select(col("words"), explode(expr("sequence(1, size(words) - 1)")).as("i"))
-        .select(expr("words[i - 1]").as("w1"), expr("words[i]").as("w2"))
+      val bi = TextPipeline.bigramPairs(s, dir).select(col("w1"), col("w2"))
       val cb = bi.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).cast("bigint").as("cb"))
         .localCheckpoint(false) // feeds both marginals, the total, and the probe

@@ -37,6 +37,33 @@ object TextPipeline {
   private[operators] val normSqlDuck =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
+  /** Corpus bigram extraction — ONE definition of the adjacency
+    * contract (normalized words, docs of ≥ 2 tokens, sequence +
+    * element_at pairing), shared by the bigram-LM, Kneser-Ney, and PMI
+    * queries in [[Curation]]/[[Retrieval]] so a guard or checkpoint fix
+    * can't silently reach only some of them. The DuckDB side ends in
+    * CTE `bi(doc_id, w1, w2)`; the Spark side returns the same three
+    * columns. */
+  private[operators] def bigramCtesDuck: String =
+    s"""w AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ws
+       |           FROM documents),
+       |bi0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+       |        FROM w WHERE len(ws) >= 2),
+       |bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bi0)""".stripMargin
+
+  /** Spark twin of [[bigramCtesDuck]]: (doc_id, w1, w2) adjacency rows.
+    * size >= 2 guards the sequence bounds (sequence(1, 0) would count
+    * DOWN); single-token and empty-norm docs have no bigrams in either
+    * engine. Adjacency via sequence + element_at — codegen'd built-ins,
+    * no lambda in the corpus-wide path. */
+  private[operators] def bigramPairs(s: SparkSession, dir: String): DataFrame =
+    withNorm(t(s, dir).documents)
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), col("words"),
+        explode(expr("sequence(1, size(words) - 1)")).as("i"))
+      .select(col("doc_id"),
+        expr("words[i - 1]").as("w1"), expr("words[i]").as("w2"))
+
   private[operators] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("norm", org.apache.spark.sql.GraftColumnBridge.column(
         graft.functions.NormalizeText(

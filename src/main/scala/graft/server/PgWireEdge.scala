@@ -281,7 +281,8 @@ final class PgWireEdge(
     * engine's named-parameter path executes, and declared param OIDs
     * (0 = unspecified, bound as text). */
   private final case class Prepared(sql: String, rewritten: String,
-      paramOids: IndexedSeq[Int], nParams: Int)
+      paramOids: IndexedSeq[Int], nParams: Int,
+      txnTag: Option[String] = None)
 
   /** A bound portal; the result materializes on first Describe/Execute
     * (capped at maxRows) and Execute's row-count limit pages through it
@@ -308,9 +309,14 @@ final class PgWireEdge(
     if (parseCopy(sql).isDefined)
       throw new PgEdgeError("0A000",
         "COPY is supported via the simple query protocol only")
+    // Transaction control arrives via the extended protocol too —
+    // pgJDBC with autocommit=false Parses "BEGIN" before the first
+    // statement — so the no-op must be recognized here, not only in
+    // the simple-query path, or it dies in Spark's SQL parser.
     val (rewritten, nParams) = PgWireEdge.rewritePlaceholders(sql)
     val padded = oids.padTo(nParams, 0)
-    statements(name) = Prepared(sql, rewritten, padded, nParams)
+    statements(name) = Prepared(sql, rewritten, padded, nParams,
+      txnTag = txnCommandTag(sql))
     writeMessage(out, MsgParseComplete, Array.empty)
   }
 
@@ -370,6 +376,10 @@ final class PgWireEdge(
           oidBytes.write(java.nio.ByteBuffer.allocate(4).putInt(oid).array())
         }
         writeMessage(out, MsgParameterDescription, oidBytes.toByteArray)
+        if (stmt.txnTag.isDefined) {
+          writeMessage(out, MsgNoData, Array.empty)
+          return
+        }
         // schema preview: plan with typed NULLs substituted for the
         // parameter markers (engine-generated text, not client data — no
         // injection surface); if the statement doesn't analyze that way,
@@ -391,6 +401,10 @@ final class PgWireEdge(
       case 'P' =>
         val portal = portals.getOrElse(name,
           throw new PgEdgeError("34000", s"""portal "$name" does not exist"""))
+        if (portal.stmt.txnTag.isDefined) {
+          writeMessage(out, MsgNoData, Array.empty)
+          return
+        }
         materialize(portal, user)
         writeMessage(out, MsgRowDescription,
           rowDescription(fieldDescs(portal.schema), portal.resFmts))
@@ -407,6 +421,12 @@ final class PgWireEdge(
     val maxRowsReq = bb.getInt
     val portal = portals.getOrElse(name,
       throw new PgEdgeError("34000", s"""portal "$name" does not exist"""))
+    portal.stmt.txnTag match {
+      case Some(tag) =>
+        writeMessage(out, MsgCommandComplete, commandComplete(tag))
+        return
+      case None => ()
+    }
     materialize(portal, user)
     val remaining = portal.rows.length - portal.pos
     val page = if (maxRowsReq > 0) math.min(maxRowsReq, remaining) else remaining
@@ -435,6 +455,14 @@ final class PgWireEdge(
         engine.executeQuery(portal.stmt.rewritten, user, portal.params)
       }
       portal.schema = result.df.schema
+      // a positional result-format list must match the column count —
+      // checked HERE so both the Describe(portal) and Execute paths get
+      // the clean 08P01 instead of an index crash in rowDescription
+      if (portal.resFmts.length > 1 &&
+          portal.resFmts.length != portal.schema.fields.length)
+        throw new PgEdgeError("08P01",
+          s"bind message has ${portal.resFmts.length} result formats but " +
+            s"${portal.schema.fields.length} columns")
       val rows = result.df.limit(maxRows + 1).collect()
       portal.capped = rows.length > maxRows
       portal.rows = if (portal.capped) rows.take(maxRows) else rows
@@ -474,15 +502,8 @@ final class PgWireEdge(
     // keeps non-autocommit clients (pgJDBC with autocommit=false, BI
     // tools that bracket everything in transactions) working instead
     // of dying in the SQL parser.
-    TxnRe.findFirstMatchIn(sql.trim) match {
-      case Some(m) =>
-        val tag = m.group(1).toUpperCase match {
-          case "BEGIN" | "START" => "BEGIN"
-          case "COMMIT" | "END" => "COMMIT"
-          case "ROLLBACK" | "ABORT" => "ROLLBACK"
-          case "SAVEPOINT" => "SAVEPOINT"
-          case "RELEASE" => "RELEASE"
-        }
+    txnCommandTag(sql) match {
+      case Some(tag) =>
         writeMessage(out, MsgCommandComplete, commandComplete(tag))
         return
       case None => ()
@@ -548,6 +569,20 @@ final class PgWireEdge(
   private val TxnRe =
     "(?is)^(BEGIN|START|COMMIT|END|ROLLBACK|ABORT|SAVEPOINT|RELEASE)(\\s+[A-Za-z0-9_\" ,]*)?;?$".r
 
+  /** The CommandComplete tag for a transaction-control statement, or
+    * None if `sql` is not one. Shared by the simple-query AND extended
+    * (Parse) paths — the engine is read-only, so these are honest
+    * no-ops answered with proper tags to keep non-autocommit clients
+    * working. */
+  private def txnCommandTag(sql: String): Option[String] =
+    TxnRe.findFirstMatchIn(sql.trim).map(_.group(1).toUpperCase match {
+      case "BEGIN" | "START" => "BEGIN"
+      case "COMMIT" | "END" => "COMMIT"
+      case "ROLLBACK" | "ABORT" => "ROLLBACK"
+      case "SAVEPOINT" => "SAVEPOINT"
+      case "RELEASE" => "RELEASE"
+    })
+
   private final case class CopyOut(inner: String, csv: Boolean,
       header: Boolean)
 
@@ -556,9 +591,12 @@ final class PgWireEdge(
     * STDOUT. */
   private def parseCopy(sql: String): Option[Either[PgEdgeError, CopyOut]] = {
     val t = sql.trim.stripSuffix(";").trim
+    // "COPY(SELECT ...) TO STDOUT" is legal pg syntax — a paren may
+    // follow COPY with no whitespace
     if (!t.regionMatches(true, 0, "COPY", 0, 4) ||
-        (t.length > 4 && !t.charAt(4).isWhitespace)) return None
-    var i = 5
+        (t.length > 4 && !t.charAt(4).isWhitespace && t.charAt(4) != '('))
+      return None
+    var i = 4 // scan resumes right after COPY: whitespace or the paren
     def skipWs(): Unit = while (i < t.length && t.charAt(i).isWhitespace) i += 1
     def err(state: String, msg: String) = Some(Left(new PgEdgeError(state, msg)))
     skipWs()

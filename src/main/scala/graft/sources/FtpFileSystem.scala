@@ -105,19 +105,47 @@ class FtpFileSystem extends FileSystem {
   }
 
   override def listStatus(f: Path): Array[FileStatus] = {
-    val st = getFileStatus(f) // throws FileNotFound for absent paths
-    if (!st.isDirectory) return Array(st)
+    val q = makeQualified(f)
+    val cached = statusCache.get(q)
+    if (cached != null && !cached.isDirectory) return Array(cached)
+    // ONE control connection classifies AND lists: files answer SIZE;
+    // a directory's 550 goes straight to MLSD on the same connection,
+    // whose entries both prove the directory exists and ARE the
+    // listing. (getFileStatus-then-list would pay two logins and two
+    // full MLSD transfers per directory scan.)
     val (ep, path) = endpoint(f)
     val c = new FtpFileSystem.Control(ep)
-    try c.mlsd(path) match {
-      case Some(entries) =>
-        entries.map { e =>
-          new FileStatus(e.size, e.isDir, 1, 128L * 1024 * 1024, 0L,
-            makeQualified(new Path(f, e.name)))
-        }.toArray
-      // server speaks no MLSD (RFC 3659): single files still read;
-      // directory reads need the machine-readable listing
-      case None => Array(st)
+    try {
+      val bySize =
+        try Some(c.size(path))
+        catch { case _: FileNotFoundException => None } // dir or absent
+      bySize match {
+        case Some(len) if len >= 0 =>
+          val st = new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, q)
+          statusCache.put(q, st)
+          Array(st)
+        case _ =>
+          val listing =
+            try c.mlsd(path)
+            catch {
+              // SIZE answered "unsupported" (not 550): the path may
+              // still be a FILE — MLSD's 550 must not read as absent;
+              // fall back to the counting single-status path
+              case _: FileNotFoundException if bySize.contains(-1L) => None
+            }
+          listing match {
+            case Some(entries) =>
+              statusCache.put(q,
+                new FileStatus(0L, true, 1, 128L * 1024 * 1024, 0L, q))
+              entries.map { e =>
+                new FileStatus(e.size, e.isDir, 1, 128L * 1024 * 1024, 0L,
+                  makeQualified(new Path(f, e.name)))
+              }.toArray
+            // server speaks no MLSD (RFC 3659): single files still read;
+            // directory reads need the machine-readable listing
+            case None => Array(getFileStatus(f))
+          }
+      }
     } finally c.close()
   }
 
@@ -198,18 +226,29 @@ object FtpFileSystem {
       case _ => -1L
     }
 
-    /** RFC 3659 MLSD over a passive data connection: the
-      * machine-readable directory listing (`type=file;size=N; name`
-      * facts) — None when the server doesn't speak MLSD (500/502). */
-    def mlsd(path: String): Option[Seq[MlsdEntry]] = {
+    /** PASV + data-socket dial, shared by every transfer: parse the 227
+      * reply's h1,h2,h3,h4,p1,p2 (the last six integers — parens are
+      * customary, RFC 959 doesn't require them) and connect to the
+      * CONTROL host (ignore the advertised address — the standard client
+      * hardening against PASV redirection). */
+    private def pasvDataSocket(): Socket = {
       val pasv = expect(cmd("PASV"), 227)
-      val nums = "\\d+".r.findAllIn(
-        pasv.substring(pasv.indexOf('('))).map(_.toInt).toSeq
+      val paren = pasv.indexOf('(')
+      val scan = if (paren >= 0) pasv.substring(paren) else pasv
+      val nums = "\\d+".r.findAllIn(scan).map(_.toInt).toSeq.takeRight(6)
       if (nums.length < 6) throw new IOException(s"ftp: bad PASV '$pasv'")
       val dataPort = (nums(4) << 8) | nums(5)
       val data = new Socket()
       data.connect(new InetSocketAddress(ep.host, dataPort), 15000)
       data.setSoTimeout(60000)
+      data
+    }
+
+    /** RFC 3659 MLSD over a passive data connection: the
+      * machine-readable directory listing (`type=file;size=N; name`
+      * facts) — None when the server doesn't speak MLSD (500/502). */
+    def mlsd(path: String): Option[Seq[MlsdEntry]] = {
+      val data = pasvDataSocket()
       cmd(s"MLSD $path") match {
         case (code, _) if code == 150 || code == 125 =>
           val lines =
@@ -251,21 +290,13 @@ object FtpFileSystem {
     /** Open a passive-mode RETR at `offset`. The returned stream owns
       * the data socket; closing it drains the transfer's final reply. */
     def retr(path: String, offset: Long): InputStream = {
-      val pasv = expect(cmd("PASV"), 227)
-      val nums = "\\d+".r.findAllIn(
-        pasv.substring(pasv.indexOf('('))).map(_.toInt).toSeq
-      if (nums.length < 6) throw new IOException(s"ftp: bad PASV '$pasv'")
-      // connect to the CONTROL host (ignore the advertised address — the
-      // standard client hardening against PASV redirection)
-      val dataPort = (nums(4) << 8) | nums(5)
+      val data = pasvDataSocket()
+      // REST immediately precedes the transfer command (RFC 3659 §5)
       var skipTo = 0L
       if (offset > 0) cmd(s"REST $offset") match {
         case (350, _) => ()
         case _ => skipTo = offset // REST refused: linear fallback
       }
-      val data = new Socket()
-      data.connect(new InetSocketAddress(ep.host, dataPort), 15000)
-      data.setSoTimeout(60000)
       cmd(s"RETR $path") match {
         case (code, _) if code == 150 || code == 125 => ()
         case (550, msg) => data.close(); throw new FileNotFoundException(s"ftp: $msg")

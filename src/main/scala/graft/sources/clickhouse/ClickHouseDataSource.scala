@@ -61,10 +61,7 @@ final case class ClickHouseOptions(conf: Map[String, String]) {
     * byte (ClickHouse's secure port 9440 model). Rebuilt per use:
     * options serialize to executors, SSLContext does not. */
   def sslContext: Option[javax.net.ssl.SSLContext] =
-    conf.get("truststore").orElse(conf.get("trustStore")).map(p =>
-      graft.sources.grpc.Http2Grpc.trustContext(p,
-        conf.getOrElse("truststorePassword",
-          conf.getOrElse("trustStorePassword", "changeit"))))
+    graft.sources.TrustOptions.sslContext(conf)
 
   val partitionColumn: Option[String] =
     conf.get("partitionColumn").map(graft.util.Sanitize.validateIdentifier)

@@ -208,6 +208,12 @@ final class KafkaPartitionReader(range: KafkaRange)
   private var buffer: Iterator[KafkaWire.Record] = Iterator.empty
   private var current: InternalRow = _
   private val topicUtf8 = UTF8String.fromString(range.opts.topic)
+  // empty-fetch retry state: an empty response at a valid offset below
+  // the high watermark is usually transient (broker hiccup) or a first
+  // batch larger than maxBytes — retry with a doubled fetch size before
+  // concluding anything is lost
+  private var fetchBytes = range.opts.maxBytesPerFetch
+  private var emptyFetches = 0
 
   private def dataLoss(detail: String): Boolean = {
     val msg = s"kafka: offsets [$pos, ${range.until}) of " +
@@ -223,7 +229,7 @@ final class KafkaPartitionReader(range: KafkaRange)
     while (!buffer.hasNext && pos < range.until) {
       val res =
         try client.fetch(range.opts.topic, range.partition, pos,
-          maxBytes = range.opts.maxBytesPerFetch)
+          maxBytes = fetchBytes)
         catch {
           case _: KafkaOffsetOutOfRange =>
             // retention moved the log start past the planned offset —
@@ -247,8 +253,10 @@ final class KafkaPartitionReader(range: KafkaRange)
         if (recs.nonEmpty) {
           buffer = recs.iterator
           pos = math.max(recs.map(_.offset).max + 1, math.max(end, pos))
+          emptyFetches = 0
         } else if (end > pos) {
           pos = end // only control markers / below-range batches here
+          emptyFetches = 0
         } else if (res.highWatermark <= pos) {
           // the bounded range [from, until) came from ListOffsets, so an
           // empty result with pos < until means the span vanished
@@ -256,7 +264,17 @@ final class KafkaPartitionReader(range: KafkaRange)
           // the planned end) — DATA LOSS, not a clean end
           return dataLoss(s"high watermark ${res.highWatermark}")
         } else {
-          return dataLoss("empty fetch below the range end")
+          // pos is below the high watermark, so the records exist on the
+          // broker — an empty response is a too-small maxBytes for the
+          // next batch or a transient hiccup, NOT loss. Retry with a
+          // doubled fetch size; only repeated no-progress rounds give up
+          // (and with failOnDataLoss=false that skips just this fetch's
+          // span boundary, not silently — dataLoss logs it).
+          emptyFetches += 1
+          fetchBytes = math.min(fetchBytes * 2, 1 << 25) // stay under maxFrame
+          if (emptyFetches >= 5)
+            return dataLoss(
+              s"5 empty fetches below the range end (hw ${res.highWatermark})")
         }
       }
     }

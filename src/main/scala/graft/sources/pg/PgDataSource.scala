@@ -72,10 +72,7 @@ final case class PgOptions(conf: Map[String, String]) {
     * adds RFC 2818 endpoint identification (verify-full). Rebuilt per
     * use: options serialize to executors, SSLContext does not. */
   def sslContext: Option[javax.net.ssl.SSLContext] =
-    conf.get("truststore").orElse(conf.get("trustStore")).map(p =>
-      graft.sources.grpc.Http2Grpc.trustContext(p,
-        conf.getOrElse("truststorePassword",
-          conf.getOrElse("trustStorePassword", "changeit"))))
+    graft.sources.TrustOptions.sslContext(conf)
   val sslVerifyHostname: Boolean =
     conf.getOrElse("sslVerifyHostname",
       conf.getOrElse("sslverifyhostname", "false")).toBoolean

@@ -59,6 +59,12 @@ final class KafkaBrokerStub(topic: String, nPartitions: Int) {
     * earliest reports it. */
   @volatile var logStart: Map[Int, Long] = Map.empty
 
+  /** Transient-hiccup simulation: the next N Fetch requests answer
+    * success with a correct high watermark but an EMPTY record set —
+    * the shape a real broker produces during leader movement or when
+    * the response assembly races the produce path. */
+  @volatile var emptyFetchesRemaining: Int = 0
+
   /** A control batch (COMMIT marker) at `offset`: encode one record,
     * set attributes bit 5, restore the CRC. */
   private def controlBatchAt(offset: Long): Array[Byte] = {
@@ -171,6 +177,11 @@ final class KafkaBrokerStub(topic: String, nPartitions: Int) {
                 resp.i16(1) // OFFSET_OUT_OF_RANGE: retention ate it
                 resp.i64(hw); resp.i64(hw); resp.i32(0)
                 resp.bytes(Array.emptyByteArray)
+              } else if (emptyFetchesRemaining > 0) {
+                emptyFetchesRemaining -= 1
+                resp.i16(0)
+                resp.i64(hw); resp.i64(hw); resp.i32(0)
+                resp.bytes(Array.emptyByteArray) // transiently empty
               } else {
                 resp.i16(0)
                 resp.i64(hw) // high watermark
@@ -323,6 +334,39 @@ class KafkaSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val vals = df.selectExpr("CAST(value AS STRING)")
         .collect().map(_.getString(0)).sorted.toSeq
       assert(vals == (0 until 5).map(i => s"v$i"), vals)
+    } finally s2.stop()
+  }
+
+  test("a transient empty fetch below the high watermark is retried, not data loss") {
+    val s2 = new KafkaBrokerStub("blip", 1)
+    val p2 = s2.start()
+    try {
+      (0 until 5).foreach(i => s2.produce(0, None, s"v$i"))
+      s2.emptyFetchesRemaining = 2 // two hiccups, then normal service
+      import graft.sources.kafka._
+      // STRICT mode: the records exist on the broker, so a transient
+      // empty response must never surface as a data-loss failure —
+      // the reader retries (with a growing fetch size) and completes
+      val reader = new KafkaPartitionReader(
+        KafkaRange(KafkaSourceOptions(Map(
+          "bootstrap" -> s"127.0.0.1:$p2", "topic" -> "blip")),
+          0, 0L, 5L))
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (reader.next())
+        got += new String(reader.get().getBinary(1), "UTF-8")
+      reader.close()
+      assert(got.toSeq == (0 until 5).map(i => s"v$i"), got)
+      // persistent emptiness (no progress at all) still reports loss
+      // rather than spinning forever
+      s2.emptyFetchesRemaining = 1000
+      val stuck = new KafkaPartitionReader(
+        KafkaRange(KafkaSourceOptions(Map(
+          "bootstrap" -> s"127.0.0.1:$p2", "topic" -> "blip")),
+          0, 0L, 5L))
+      val e = intercept[java.io.IOException] { stuck.next() }
+      assert(e.getMessage.contains("empty fetches"), e.getMessage)
+      stuck.close()
+      s2.emptyFetchesRemaining = 0
     } finally s2.stop()
   }
 

@@ -562,6 +562,79 @@ class PgEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("extended protocol: transaction control is a no-op with proper tags") {
+    withExt { c =>
+      import PgWire._
+      // pgJDBC with autocommit=false Parses BEGIN through the extended
+      // protocol before the first statement — the whole cycle must
+      // answer cleanly, never reach Spark's SQL parser
+      c.parse("", "BEGIN")
+      c.bind("", "", Nil)
+      c.describe('P', "")
+      c.execute("")
+      c.sync()
+      val ms = c.drain()
+      assert(!ms.exists(_.tpe == MsgErrorResponse), ms.map(_.tpe.toChar))
+      assert(ms.exists(_.tpe == MsgNoData), ms.map(_.tpe.toChar))
+      val tag = new String(
+        ms.find(_.tpe == MsgCommandComplete).get.payload, "UTF-8")
+        .takeWhile(_ != 0)
+      assert(tag == "BEGIN", tag)
+      // a real query inside the "transaction" works, then COMMIT
+      c.parse("", "SELECT count(*) AS n FROM nation")
+      c.bind("", "", Nil)
+      c.execute("")
+      c.sync()
+      assert(c.drain().exists(_.tpe == MsgDataRow))
+      c.parse("", "COMMIT")
+      c.bind("", "", Nil)
+      c.execute("")
+      c.sync()
+      val ms2 = c.drain()
+      val tag2 = new String(
+        ms2.find(_.tpe == MsgCommandComplete).get.payload, "UTF-8")
+        .takeWhile(_ != 0)
+      assert(tag2 == "COMMIT", tag2)
+      // Describe('S') on a txn statement is NoData, not a plan attempt
+      c.parse("tx", "ROLLBACK")
+      c.describe('S', "tx")
+      c.sync()
+      val ms3 = c.drain()
+      assert(ms3.exists(_.tpe == MsgNoData), ms3.map(_.tpe.toChar))
+      assert(!ms3.exists(_.tpe == MsgErrorResponse), ms3.map(_.tpe.toChar))
+    }
+  }
+
+  test("extended protocol: Describe(portal) with a short positional " +
+      "result-format list is 08P01, not a crash") {
+    withExt { c =>
+      import PgWire._
+      // 2 result-format codes for a 3-column result, Describe BEFORE
+      // Execute (the normal client order) — must be the clean protocol
+      // error, not an ArrayIndexOutOfBounds surfacing as XX000
+      c.parse("", "SELECT n_name, n_nationkey, n_regionkey FROM nation")
+      c.bindRaw("", "", Nil, resultFmts = Seq(0, 1))
+      c.describe('P', "")
+      c.sync()
+      val ms = c.drain()
+      val err = ms.find(_.tpe == MsgErrorResponse).get
+      assert(parseErrorFields(err.payload)('C') == "08P01",
+        parseErrorFields(err.payload))
+    }
+  }
+
+  test("COPY(SELECT ...) with no space after COPY is recognized") {
+    withExt { c =>
+      import PgWire._
+      c.simpleQuery("COPY(SELECT n_name FROM nation ORDER BY n_name LIMIT 2) TO STDOUT")
+      val ms = c.drain()
+      assert(!ms.exists(_.tpe == MsgErrorResponse), ms.map(_.tpe.toChar))
+      assert(ms.count(_.tpe == MsgCopyData) == 2, ms.map(_.tpe.toChar))
+      val done = ms.find(_.tpe == MsgCommandComplete).get
+      assert(new String(done.payload, "UTF-8").startsWith("COPY 2"))
+    }
+  }
+
   test("extended protocol: NULL parameter binds as SQL NULL") {
     withExt { c =>
       import PgWire._
