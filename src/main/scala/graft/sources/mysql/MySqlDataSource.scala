@@ -30,7 +30,9 @@ class MySqlDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = MySqlOptions(options.asCaseSensitiveMap().asScala.toMap)
     val conn = MySqlWireConnection.connect(opts.connInfo, ssl = opts.sslContext)
-    try conn.query(s"SELECT * FROM ${opts.fromClause} LIMIT 0").sparkSchema
+    val probe = s"SELECT * FROM ${opts.fromClause} LIMIT 0"
+    try (if (opts.binaryProtocol) conn.queryPrepared(probe)
+         else conn.query(probe)).sparkSchema
     finally conn.close()
   }
 
@@ -43,6 +45,18 @@ final case class MySqlOptions(conf: Map[String, String]) {
   val url: String = conf.getOrElse("url",
     throw new IllegalArgumentException("graft-mysql: missing option 'url'"))
   val connInfo: MySqlConnInfo = MySqlConnInfo.parse(url)
+
+  /** `protocol` = binary (default) | text. Binary = server-side
+    * prepared statements + binary resultsets, the path the reference's
+    * sqlx driver always takes on MySQL; text = COM_QUERY, for servers
+    * or proxies that mishandle prepare. */
+  val binaryProtocol: Boolean =
+    conf.getOrElse("protocol", "binary").toLowerCase match {
+      case "binary" => true
+      case "text" => false
+      case other => throw new IllegalArgumentException(
+        s"graft-mysql: protocol must be 'binary' or 'text', got '$other'")
+    }
   val table: Option[String] = conf.get("table").orElse(conf.get("dbtable"))
   val query: Option[String] = conf.get("query")
   require(table.isDefined || query.isDefined,
@@ -210,7 +224,8 @@ final class MySqlPartitionReader(schema: StructType, opts: MySqlOptions,
   override def next(): Boolean = {
     if (rows == null) {
       conn = MySqlWireConnection.connect(opts.connInfo, ssl = opts.sslContext)
-      val result = conn.query(sql)
+      val result =
+        if (opts.binaryProtocol) conn.queryPrepared(sql) else conn.query(sql)
       val got = result.columns.map(_.name)
       val want = schema.fieldNames.toSeq
       if (schema.fields.nonEmpty && got != want)

@@ -33,6 +33,9 @@ object MySqlWire {
   val ComQuit: Byte = 0x01
   val ComQuery: Byte = 0x03
   val ComPing: Byte = 0x0e
+  val ComStmtPrepare: Byte = 0x16
+  val ComStmtExecute: Byte = 0x17
+  val ComStmtClose: Byte = 0x19
 
   // response headers
   val OkHeader = 0x00
@@ -119,6 +122,7 @@ object MySqlWire {
     def u16(v: Int): this.type = { u8(v); u8(v >> 8); this }
     def u24(v: Int): this.type = { u8(v); u8(v >> 8); u8(v >> 16); this }
     def u32(v: Long): this.type = { u16(v.toInt); u16((v >> 16).toInt); this }
+    def u64(v: Long): this.type = { u32(v); u32(v >>> 32); this }
     def bytes(b: Array[Byte]): this.type = { out.write(b); this }
     def zeros(n: Int): this.type = { out.write(new Array[Byte](n)); this }
     def nulString(s: String): this.type = { out.write(s.getBytes(UTF_8)); u8(0) }
@@ -285,6 +289,111 @@ object MySqlWire {
     case (d: BigDecimal, _: DecimalType) =>
       d.bigDecimal.toPlainString.getBytes(UTF_8)
     case (v, _) => String.valueOf(v).getBytes(UTF_8)
+  }
+
+  // ------------------------------------------- binary (prepared) protocol
+
+  /** Binary-protocol resultset row → the TEXT representation the shared
+    * [[decode]] path consumes — ONE value-decode contract for both
+    * protocols, with numbers rendered in their canonical round-trip
+    * form (Float/Double.toString round-trips bit-exactly). NULLs live
+    * in the row's bitmap at offset 2, not inline. */
+  def parseBinaryRow(cols: Seq[ColumnDef],
+      payload: Array[Byte]): Array[Option[Array[Byte]]] = {
+    val r = new Reader(payload)
+    if (r.u8() != 0x00)
+      throw new MySqlProtocolException("mysql: bad binary row header")
+    val bitmap = r.bytes((cols.length + 9) / 8)
+    def isNull(i: Int) = (bitmap((i + 2) >> 3) & (1 << ((i + 2) & 7))) != 0
+    cols.toArray.zipWithIndex.map { case (c, i) =>
+      if (isNull(i)) None else Some(binaryValueText(c, r))
+    }
+  }
+
+  private def binaryValueText(c: ColumnDef, r: Reader): Array[Byte] = {
+    val unsigned = (c.flags & FlagUnsigned) != 0
+    def s(v: String) = v.getBytes(UTF_8)
+    c.tpe match {
+      case TypeTiny =>
+        val v = r.u8(); s((if (unsigned) v else v.toByte.toInt).toString)
+      case TypeShort | TypeYear =>
+        val v = r.u16(); s((if (unsigned) v else v.toShort.toInt).toString)
+      case TypeInt24 | TypeLong =>
+        val v = r.u32(); s((if (unsigned) v else v.toInt.toLong).toString)
+      case TypeLongLong =>
+        val v = r.u64()
+        s(if (unsigned) java.lang.Long.toUnsignedString(v) else v.toString)
+      case TypeFloat =>
+        s(java.lang.Float.intBitsToFloat(r.u32().toInt).toString)
+      case TypeDouble =>
+        s(java.lang.Double.longBitsToDouble(r.u64()).toString)
+      case TypeDate | TypeDatetime | TypeTimestamp =>
+        val len = r.u8()
+        var y = 0; var mo = 0; var d = 0
+        var h = 0; var mi = 0; var sec = 0; var micro = 0L
+        if (len >= 4) { y = r.u16(); mo = r.u8(); d = r.u8() }
+        if (len >= 7) { h = r.u8(); mi = r.u8(); sec = r.u8() }
+        if (len >= 11) micro = r.u32()
+        if (c.tpe == TypeDate) s(f"$y%04d-$mo%02d-$d%02d")
+        else if (micro > 0)
+          s(f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$sec%02d.$micro%06d")
+        else s(f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$sec%02d")
+      case TypeTime =>
+        val len = r.u8()
+        if (len == 0) s("00:00:00")
+        else {
+          val neg = r.u8() == 1
+          val days = r.u32(); val h = r.u8(); val mi = r.u8(); val sec = r.u8()
+          val micro = if (len >= 12) r.u32() else 0L
+          val hh = days * 24 + h
+          val sign = if (neg) "-" else ""
+          val base = f"$sign$hh%02d:$mi%02d:$sec%02d"
+          s(if (micro > 0) f"$base.$micro%06d" else base)
+        }
+      // decimals, strings, blobs, enum/set travel length-encoded in the
+      // binary protocol too — identical bytes to the text protocol
+      case _ => r.lenencBytes()
+    }
+  }
+
+  /** The encode twin (the stub server's binary-row writer), from the
+    * same JVM values [[encode]] accepts — kept beside the decoder so
+    * the two directions can't drift. Appends to `w` WITHOUT the row
+    * header/bitmap (the caller owns those). */
+  def writeBinaryValue(w: Writer, value: Any, dt: DataType): Unit =
+    (value, dt) match {
+      case (b: Boolean, BooleanType) => w.u8(if (b) 1 else 0)
+      case (v: Byte, _) => w.u16(v.toInt & 0xffff)
+      case (v: Short, _) => w.u16(v.toInt & 0xffff)
+      case (v: Int, _) => w.u32(v.toLong & 0xffffffffL)
+      case (v: Long, _) => w.u64(v)
+      case (v: Float, _) => w.u32(java.lang.Float.floatToIntBits(v).toLong & 0xffffffffL)
+      case (v: Double, _) => w.u64(java.lang.Double.doubleToLongBits(v))
+      case (d: java.sql.Date, DateType) =>
+        val ld = d.toLocalDate
+        w.u8(4); w.u16(ld.getYear); w.u8(ld.getMonthValue); w.u8(ld.getDayOfMonth)
+      case (d: java.time.LocalDate, DateType) =>
+        w.u8(4); w.u16(d.getYear); w.u8(d.getMonthValue); w.u8(d.getDayOfMonth)
+      case (t: java.sql.Timestamp, TimestampType) =>
+        writeBinaryDatetime(w, t.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime)
+      case (t: java.time.Instant, TimestampType) =>
+        writeBinaryDatetime(w, t.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime)
+      case (t: java.time.LocalDateTime, TimestampNTZType) =>
+        writeBinaryDatetime(w, t)
+      case (d: java.math.BigDecimal, _: DecimalType) =>
+        w.lenencBytes(d.toPlainString.getBytes(UTF_8))
+      case (d: BigDecimal, _: DecimalType) =>
+        w.lenencBytes(d.bigDecimal.toPlainString.getBytes(UTF_8))
+      case (b: Array[Byte], _) => w.lenencBytes(b)
+      case (v, _) => w.lenencBytes(String.valueOf(v).getBytes(UTF_8))
+    }
+
+  private def writeBinaryDatetime(w: Writer, t: java.time.LocalDateTime): Unit = {
+    val micro = t.getNano / 1000
+    w.u8(if (micro > 0) 11 else 7)
+    w.u16(t.getYear); w.u8(t.getMonthValue); w.u8(t.getDayOfMonth)
+    w.u8(t.getHour); w.u8(t.getMinute); w.u8(t.getSecond)
+    if (micro > 0) w.u32(micro.toLong)
   }
 
   // ---------------------------------------------------------- handshake

@@ -81,6 +81,72 @@ final class MySqlWireConnection private (socket: Socket,
     }
   }
 
+  /** Runs one parameterless statement through the prepared-statement
+    * (binary) protocol: COM_STMT_PREPARE → COM_STMT_EXECUTE → binary
+    * resultset → COM_STMT_CLOSE. This is the path the reference's
+    * driver always takes (sqlx prepares every statement on MySQL), so
+    * it is the scan default; values decode through the SAME
+    * MySqlWire.decode contract as the text protocol. */
+  def queryPrepared(sql: String): MySqlResult = {
+    writePacket(out, 0, new Writer().u8(ComStmtPrepare.toInt)
+      .bytes(sql.getBytes(UTF_8)).result())
+    out.flush()
+    val first = readPacket(in).payload
+    if ((first(0) & 0xff) == ErrHeader) throw parseErr(first)
+    val pr = new Reader(first)
+    pr.u8() // 0x00 status
+    val stmtId = pr.u32()
+    val nCols = pr.u16()
+    val nParams = pr.u16()
+    // parameter definitions (none are bound here, but a server
+    // describing `?` markers still sends them) + EOF terminator
+    if (nParams > 0) {
+      (0 until nParams).foreach(_ => readPacket(in))
+      if (!isEof(readPacket(in).payload))
+        throw new MySqlProtocolException("mysql: expected EOF after params")
+    }
+    val prepCols =
+      if (nCols > 0) {
+        val cs = Vector.fill(nCols)(parseColumnDef(readPacket(in).payload))
+        if (!isEof(readPacket(in).payload))
+          throw new MySqlProtocolException("mysql: expected EOF after prepare columns")
+        cs
+      } else Vector.empty[ColumnDef]
+    // execute: stmt_id, CURSOR_TYPE_NO_CURSOR, iteration count 1 —
+    // no null bitmap / types / values blocks when nParams == 0
+    writePacket(out, 0, new Writer().u8(ComStmtExecute.toInt)
+      .u32(stmtId).u8(0).u32(1L).result())
+    out.flush()
+    val h = readPacket(in).payload
+    val res = (h(0) & 0xff) match {
+      case ErrHeader => throw parseErr(h)
+      case OkHeader => MySqlResult(prepCols, Vector.empty)
+      case _ =>
+        // execute re-describes the columns (metadata can change between
+        // prepare and execute); trust THIS set for row decode
+        val n = new Reader(h).lenencInt().toInt
+        val cols = Vector.fill(n)(parseColumnDef(readPacket(in).payload))
+        if (!isEof(readPacket(in).payload))
+          throw new MySqlProtocolException("mysql: expected EOF after columns")
+        val rows = Vector.newBuilder[Array[Option[Array[Byte]]]]
+        var done = false
+        while (!done) {
+          val p = readPacket(in).payload
+          if (isEof(p)) done = true
+          else if ((p(0) & 0xff) == ErrHeader) throw parseErr(p)
+          else rows += parseBinaryRow(cols, p)
+        }
+        MySqlResult(cols, rows.result())
+    }
+    // fire-and-forget: COM_STMT_CLOSE has no server response
+    try {
+      writePacket(out, 0, new Writer().u8(ComStmtClose.toInt)
+        .u32(stmtId).result())
+      out.flush()
+    } catch { case _: Exception => () }
+    res
+  }
+
   def ping(): Boolean = {
     writePacket(out, 0, Array(ComPing))
     out.flush()

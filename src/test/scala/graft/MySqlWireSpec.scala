@@ -158,6 +158,10 @@ final class MySqlServerStub(
     writePacket(out, seq, okPacket()); out.flush()
 
     var open = true
+    // per-connection prepared statements (COM_STMT_PREPARE materializes
+    // the DataFrame; COM_STMT_EXECUTE streams it as binary rows)
+    val stmts = scala.collection.mutable.Map.empty[Long, DataFrame]
+    var nextStmtId = 1L
     while (open) {
       val cmd =
         try readPacket(in)
@@ -165,6 +169,70 @@ final class MySqlServerStub(
       if (cmd != null) (cmd.payload(0): @unchecked) match {
         case ComQuit => open = false
         case ComPing => writePacket(out, 1, okPacket()); out.flush()
+        case ComStmtPrepare =>
+          val sql = new String(cmd.payload, 1, cmd.payload.length - 1, "UTF-8")
+          queries.addLast(sql)
+          try {
+            val df =
+              if (sql.trim.toUpperCase.startsWith("SET ")) null
+              else handler(sql)
+            val cols =
+              if (df == null) Array.empty[ColumnDef]
+              else df.schema.fields.map(f => columnOf(f.name, f.dataType))
+            val id = nextStmtId; nextStmtId += 1
+            stmts(id) = df
+            var s = 1
+            writePacket(out, s, new Writer().u8(0).u32(id)
+              .u16(cols.length).u16(0).u8(0).u16(0).result()); s += 1
+            cols.foreach { c => writePacket(out, s, renderColumnDef(c)); s += 1 }
+            if (cols.nonEmpty) writePacket(out, s, eofPacket())
+            out.flush()
+          } catch {
+            case e: Exception =>
+              writePacket(out, 1, errPacket(1064, "42000",
+                String.valueOf(e.getMessage).take(500)))
+              out.flush()
+          }
+        case ComStmtExecute =>
+          val r = new Reader(cmd.payload)
+          r.u8()
+          val id = r.u32()
+          stmts.get(id) match {
+            case None =>
+              writePacket(out, 1, errPacket(1243, "HY000",
+                s"Unknown prepared statement handler ($id)"))
+              out.flush()
+            case Some(null) =>
+              writePacket(out, 1, okPacket()); out.flush()
+            case Some(df) =>
+              val schema = df.schema
+              val cols = schema.fields.map(f => columnOf(f.name, f.dataType))
+              var s = 1
+              writePacket(out, s, new Writer().lenencInt(cols.length).result()); s += 1
+              cols.foreach { c => writePacket(out, s, renderColumnDef(c)); s += 1 }
+              writePacket(out, s, eofPacket()); s += 1
+              df.collect().foreach { row =>
+                val w = new Writer()
+                w.u8(0x00)
+                val bitmap = new Array[Byte]((cols.length + 9) / 8)
+                schema.fields.indices.foreach { i =>
+                  if (row.isNullAt(i))
+                    bitmap((i + 2) >> 3) =
+                      (bitmap((i + 2) >> 3) | (1 << ((i + 2) & 7))).toByte
+                }
+                w.bytes(bitmap)
+                schema.fields.zipWithIndex.foreach { case (f, i) =>
+                  if (!row.isNullAt(i))
+                    writeBinaryValue(w, row.get(i), f.dataType)
+                }
+                writePacket(out, s, w.result()); s += 1
+              }
+              writePacket(out, s, eofPacket()); out.flush()
+          }
+        case ComStmtClose =>
+          val r = new Reader(cmd.payload)
+          r.u8()
+          stmts.remove(r.u32()) // no response, per protocol
         case ComQuery =>
           val sql = new String(cmd.payload, 1, cmd.payload.length - 1, "UTF-8")
           queries.addLast(sql)
@@ -412,6 +480,56 @@ class MySqlWireSpec extends AnyFunSuite with BeforeAndAfterAll {
         case (a, b) => assert(a == b, s"col $i: $a != $b")
       }
     }
+  }
+
+  test("the prepared (binary) protocol decodes identically to text, and " +
+      "is the scan default") {
+    val sql = """SELECT CAST(1 AS INT) AS i, CAST(-7 AS BIGINT) AS l,
+      CAST(1.25 AS FLOAT) AS f, CAST(-2.5 AS DOUBLE) AS d,
+      CAST('12345.67' AS DECIMAL(10,2)) AS dec, false AS b,
+      DATE '2024-01-02' AS dt,
+      TIMESTAMP '2024-01-02 03:04:05.123456' AS ts,
+      TIMESTAMP_NTZ '2024-12-31 23:59:59' AS tsn,
+      X'00FF' AS bin, 'wörld' AS str, CAST(NULL AS STRING) AS nn"""
+    val c = MySqlWireConnection.connect(
+      MySqlConnInfo.parse(url()))
+    try {
+      val text = c.query(sql)
+      val bin = c.queryPrepared(sql)
+      assert(bin.sparkSchema == text.sparkSchema,
+        s"${bin.sparkSchema} != ${text.sparkSchema}")
+      assert(bin.rows.length == text.rows.length)
+      // decode through the shared contract: every value must be equal
+      val types = text.sparkSchema.fields.map(_.dataType)
+      text.rows.zip(bin.rows).foreach { case (tr, br) =>
+        types.indices.foreach { i =>
+          (tr(i), br(i)) match {
+            case (None, None) => ()
+            case (Some(tb), Some(bb)) =>
+              (decode(tb, types(i)), decode(bb, types(i))) match {
+                case (a: Array[Byte], b: Array[Byte]) =>
+                  assert(java.util.Arrays.equals(a, b), s"col $i")
+                case (a, b) => assert(a == b, s"col $i: $a != $b")
+              }
+            case (a, b) => fail(s"col $i nullness: $a vs $b")
+          }
+        }
+      }
+    } finally c.close()
+    // the DSv2 scan prepares by default (sqlx parity): the pushed SQL
+    // arrives via COM_STMT_PREPARE, visible in the stub's query log
+    val before = stub.recentQueries.size
+    val n = spark.read.format("graft.sources.mysql.MySqlDataSource")
+      .option("url", url()).option("query", "SELECT r_name FROM region")
+      .load().count()
+    assert(n == 5)
+    // and protocol=text still works for servers that mishandle prepare
+    val nTxt = spark.read.format("graft.sources.mysql.MySqlDataSource")
+      .option("url", url()).option("query", "SELECT r_name FROM region")
+      .option("protocol", "text")
+      .load().count()
+    assert(nTxt == 5)
+    assert(stub.recentQueries.size > before)
   }
 
   test("the registry serves mysql as a source type") {
