@@ -214,7 +214,18 @@ final class PgWireEdge(
           case MsgQuery =>
             val sql = cstring(java.nio.ByteBuffer.wrap(m.payload))
             logQuery(sql)
-            runQuery(out, sql, user)
+            // pg's simple protocol runs a multi-statement string in
+            // order, one response set per statement, ONE ReadyForQuery
+            // at the end; an error skips the remainder (the whole
+            // string is one implicit transaction in pg — here every
+            // statement is read-only, so skipping is the only effect)
+            val stmts = PgWireEdge.splitStatements(sql)
+            if (stmts.isEmpty)
+              writeMessage(out, MsgEmptyQueryResponse, Array.empty)
+            else {
+              var ok = true
+              stmts.foreach { st => if (ok) ok = runQuery(out, st, user) }
+            }
             writeReady(out)
           case MsgParse =>
             extended(out, { () => handleParse(out, m.payload, statements) },
@@ -490,11 +501,13 @@ final class PgWireEdge(
     case _ => text
   }
 
+  /** Run one statement of a simple-protocol Query; false = the
+    * statement errored (the caller skips any remaining statements). */
   private def runQuery(out: DataOutputStream, sql: String,
-      user: AuthenticatedUser): Unit = {
+      user: AuthenticatedUser): Boolean = {
     if (sql.trim.isEmpty || sql.trim == ";") {
       writeMessage(out, MsgEmptyQueryResponse, Array.empty)
-      return
+      return true
     }
     // Transaction control: the engine is read-only, so BEGIN/COMMIT/
     // ROLLBACK are honest no-ops — every statement already has
@@ -505,22 +518,25 @@ final class PgWireEdge(
     txnCommandTag(sql) match {
       case Some(tag) =>
         writeMessage(out, MsgCommandComplete, commandComplete(tag))
-        return
+        return true
       case None => ()
     }
     parseCopy(sql) match {
       case Some(parsed) =>
-        try parsed match {
-          case Left(err) => throw err
-          case Right(c) => runCopyOut(out, c, user)
+        return try {
+          parsed match {
+            case Left(err) => throw err
+            case Right(c) => runCopyOut(out, c, user)
+          }
+          true
         } catch {
           case e: PgEdgeError =>
-            writeError(out, "ERROR", e.sqlState, e.getMessage)
+            writeError(out, "ERROR", e.sqlState, e.getMessage); false
           case e: Exception =>
             writeError(out, "ERROR", sqlStateFor(e),
               Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(4000))
+            false
         } finally out.flush()
-        return
       case None => ()
     }
     try {
@@ -538,10 +554,12 @@ final class PgWireEdge(
         writeMessage(out, MsgNoticeResponse, errorResponse("NOTICE", "01000",
           s"result truncated at $maxRows rows (edge delivery bound)"))
       writeMessage(out, MsgCommandComplete, commandComplete(s"SELECT ${emit.length}"))
+      true
     } catch {
       case e: Exception =>
         writeError(out, "ERROR", sqlStateFor(e),
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(4000))
+        false
     } finally out.flush()
   }
 
@@ -1014,6 +1032,62 @@ object PgWireEdge {
     * identifiers, line comments and block comments.
     * Returns the rewritten SQL and the highest placeholder number (=
     * the statement's parameter count, per pg semantics). */
+  /** Split a simple-protocol query string into its statements at
+    * top-level semicolons — quote-aware with the same scanner states as
+    * [[rewritePlaceholders]] ('...' with '' escapes, "..." idents,
+    * dollar quoting, line and nested block comments), so a ';' inside
+    * any of those never splits. Whitespace-only statements drop. */
+  private[graft] def splitStatements(sql: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    val len = sql.length
+    var i = 0
+    var inStr = false
+    var inIdent = false
+    var inLineComment = false
+    var blockDepth = 0
+    while (i < len) {
+      val c = sql.charAt(i)
+      val next = if (i + 1 < len) sql.charAt(i + 1) else ' '
+      if (inLineComment) {
+        if (c == '\n') inLineComment = false
+        cur.append(c); i += 1
+      } else if (blockDepth > 0) {
+        if (c == '*' && next == '/') { blockDepth -= 1; cur.append("*/"); i += 2 }
+        else if (c == '/' && next == '*') { blockDepth += 1; cur.append("/*"); i += 2 }
+        else { cur.append(c); i += 1 }
+      } else if (inStr) {
+        if (c == '\'' && next == '\'') { cur.append("''"); i += 2 }
+        else { if (c == '\'') inStr = false; cur.append(c); i += 1 }
+      } else if (inIdent) {
+        if (c == '"') inIdent = false
+        cur.append(c); i += 1
+      } else c match {
+        case ';' =>
+          if (cur.toString.trim.nonEmpty) parts += cur.toString
+          cur.clear(); i += 1
+        case '\'' => inStr = true; cur.append(c); i += 1
+        case '"' => inIdent = true; cur.append(c); i += 1
+        case '-' if next == '-' => inLineComment = true; cur.append("--"); i += 2
+        case '/' if next == '*' => blockDepth = 1; cur.append("/*"); i += 2
+        case '$' =>
+          var j = i + 1
+          while (j < len && (sql.charAt(j).isLetterOrDigit ||
+            sql.charAt(j) == '_')) j += 1
+          if (j < len && sql.charAt(j) == '$' && !next.isDigit) {
+            val delim = sql.substring(i, j + 1)
+            val close = sql.indexOf(delim, j + 1)
+            val stop = if (close < 0) len else close + delim.length
+            cur.append(sql.substring(i, stop))
+            i = stop
+          } else { cur.append(c); i += 1 }
+        case _ => cur.append(c); i += 1
+      }
+    }
+    if (cur.toString.trim.nonEmpty) parts += cur.toString
+    parts.result()
+  }
+
   private[graft] def rewritePlaceholders(sql: String): (String, Int) = {
     val out = new StringBuilder(sql.length + 8)
     val len = sql.length

@@ -49,4 +49,28 @@ object DocumentStream {
       .dropDuplicates("content_hash")
       .select(col("content_hash"), col("lang"),
         size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+
+  /** Streaming count-min sketch over the document feed — the SAME
+    * 4×1024 row-hash definition as the batch `t_heavy_hitters_cms`
+    * (fmix63(porthash63(w) XOR r) % 1024), maintained as a streaming
+    * aggregation keyed by (r, slot). The state IS the sketch: at most
+    * 4096 counters no matter how much text flows past, which is the
+    * whole point of a sketch on an unbounded feed — frequency tracking
+    * with constant state where exact counting needs vocabulary-sized
+    * state. Counters merge by addition, so micro-batches (and, on a
+    * cluster, partial aggregates) fold in associatively; run with
+    * outputMode("complete") to read the live sketch. Word extraction
+    * uses the registered operators' normalization contract. The spec
+    * pins stream == batch counter-for-counter and that heavy hitters
+    * derived from the streamed sketch equal the batch query's. */
+  def cmsCounters(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("w"), explode(lit(Array(0, 1, 2, 3))).as("r"))
+      .withColumn("slot",
+        expr("graft_fmix63(graft_porthash63(w) ^ CAST(r AS BIGINT)) % 1024"))
+      .groupBy(col("r"), col("slot"))
+      .agg(count(lit(1)).cast("bigint").as("sc"))
 }

@@ -635,6 +635,40 @@ class PgEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multi-statement simple Query runs each statement, one ReadyForQuery") {
+    withExt { c =>
+      import PgWire._
+      // psql and scripts send semicolon-joined strings: per-statement
+      // response sets, a single ReadyForQuery at the end
+      c.simpleQuery(
+        "SELECT 1 AS a; SELECT n_name FROM nation ORDER BY n_name LIMIT 2; BEGIN")
+      val ms = c.drain()
+      assert(!ms.exists(_.tpe == MsgErrorResponse), ms.map(_.tpe.toChar))
+      assert(ms.count(_.tpe == MsgRowDescription) == 2, ms.map(_.tpe.toChar))
+      assert(ms.count(_.tpe == MsgDataRow) == 3, ms.map(_.tpe.toChar))
+      val tags = ms.filter(_.tpe == MsgCommandComplete)
+        .map(m => new String(m.payload, "UTF-8").takeWhile(_ != 0))
+      assert(tags == Seq("SELECT 1", "SELECT 2", "BEGIN"), tags)
+      assert(ms.count(_.tpe == MsgReadyForQuery) == 1)
+      // an error aborts the REST of the string, earlier results stand
+      c.simpleQuery("SELECT 2 AS a; SELECT * FROM no_such_table_xyz; SELECT 3 AS b")
+      val ms2 = c.drain()
+      assert(ms2.count(_.tpe == MsgDataRow) == 1, ms2.map(_.tpe.toChar))
+      assert(ms2.exists(_.tpe == MsgErrorResponse))
+      assert(ms2.count(_.tpe == MsgReadyForQuery) == 1)
+      // a ';' inside a string literal or dollar-quoted text never splits
+      c.simpleQuery("SELECT 'a;b' AS s; SELECT length('x;y;z') AS n")
+      val ms3 = c.drain()
+      assert(!ms3.exists(_.tpe == MsgErrorResponse), ms3.map(_.tpe.toChar))
+      assert(ms3.count(_.tpe == MsgRowDescription) == 2)
+      // trailing semicolon and whitespace-only tails are not statements
+      c.simpleQuery("SELECT 4 AS a; ;  ")
+      val ms4 = c.drain()
+      assert(ms4.count(_.tpe == MsgCommandComplete) == 1, ms4.map(_.tpe.toChar))
+      assert(!ms4.exists(_.tpe == MsgEmptyQueryResponse))
+    }
+  }
+
   test("extended protocol: NULL parameter binds as SQL NULL") {
     withExt { c =>
       import PgWire._

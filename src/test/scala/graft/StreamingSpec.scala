@@ -279,4 +279,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch, "stream and batch curation diverge")
     } finally q.stop()
   }
+
+  test("streaming count-min sketch equals the batch sketch counter for counter") {
+    import graft.streaming.DocumentStream
+    graft.functions.VectorFunctions.register(spark)
+    val docs = DocumentStream.readDocuments(spark, sf)
+    // complete mode: the memory table holds the live 4×1024 sketch
+    val q = DocumentStream.cmsCounters(docs)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-cms").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // the batch sketch from the same definition over the static table
+      val batch = DocumentStream.cmsCounters(Tables(spark, sf).documents)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed.nonEmpty && streamed.size <= 4096)
+      assert(streamed == batch, "stream and batch sketches diverge")
+      // heavy hitters READ OFF the streamed sketch equal the registry
+      // query's (same estimate, same 0.5% gate) — the sketch is the
+      // whole query state, so the streaming path answers the same
+      // question with 4096 counters of state
+      val total = streamed.values.sum / 4 // each token increments 4 rows
+      val words = graft.Tables(spark, sf).documents
+        .selectExpr("explode(split(trim(regexp_replace(regexp_replace(" +
+          "lower(text), '[^a-z0-9 ]', ''), ' +', ' ')), ' ')) AS w")
+        .filter(col("w") =!= "").select(col("w")).distinct()
+        .withColumn("r", explode(lit(Array(0, 1, 2, 3))))
+        .withColumn("slot",
+          expr("graft_fmix63(graft_porthash63(w) ^ CAST(r AS BIGINT)) % 1024"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val estByWord = words.groupBy(_._1).map { case (w, rs) =>
+        w -> rs.map { case (_, rr, slot) => streamed((rr, slot)) }.min
+      }
+      val heavyFromStream = estByWord.filter(_._2 * 200 >= total).keySet
+      val heavyBatch = SparkEntry.queries("t_heavy_hitters_cms")(spark, sf)
+        .collect().map(_.getString(0)).toSet
+      assert(heavyFromStream == heavyBatch,
+        s"stream-derived heavy hitters diverge: $heavyFromStream vs $heavyBatch")
+    } finally q.stop()
+  }
 }
