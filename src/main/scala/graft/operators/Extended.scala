@@ -101,6 +101,51 @@ object Extended {
           |FROM {lineitem} GROUP BY l_returnflag""".stripMargin, "lineitem")
     },
 
+    // ------------------------------- histogram-quantile approximation
+    // The SCALE PATH beside q_percentiles: percentile_disc/cont sort
+    // every group's rows (per-group sort = the single-task hot spot on
+    // a skewed group at 100 TB); here quantiles come from a cumulative
+    // walk over a fixed-width HISTOGRAM — one map-side-combinable
+    // aggregate over (group, bin), then windows whose partitions hold
+    // one row per distinct bin (bounded by the value range, corpus-size
+    // independent — the d_ccnet_buckets shape applied to relational
+    // aggregation). The estimate is the bin's upper edge, so it
+    // overshoots the exact quantile by at most one bin width (spec-
+    // pinned); bins derive from exact decimal floor division, so both
+    // engines build the identical histogram and the result hashes.
+    GraftQuery("q_quantile_hist",
+      """WITH h AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice / 100) AS BIGINT) AS bin,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT l_returnflag, bin, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n FROM h)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(min(CASE WHEN cum * 2 >= n THEN (bin + 1) * 100 END) AS BIGINT) AS p50_est,
+        |  CAST(min(CASE WHEN cum * 10 >= 9 * n THEN (bin + 1) * 100 END) AS BIGINT) AS p90_est
+        |FROM cum GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = t(s, dir).lineitem
+        .groupBy(col("l_returnflag"),
+          expr("CAST(floor(l_extendedprice / 100) AS BIGINT)").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      // windows over the HISTOGRAM (distinct bins per flag), never the
+      // rows; (flag, bin) rows are distinct so the default RANGE frame
+      // has no peers and both engines agree
+      val cum = h
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))))
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy(col("l_returnflag"))))
+      cum.groupBy(col("l_returnflag")).agg(
+        max(col("n")).cast("bigint").as("n_rows"),
+        min(when(col("cum") * 2 >= col("n"), (col("bin") + 1) * 100))
+          .cast("bigint").as("p50_est"),
+        min(when(col("cum") * 10 >= col("n") * 9, (col("bin") + 1) * 100))
+          .cast("bigint").as("p90_est"))
+    },
+
     // Regexp extraction (group capture) — same function name/semantics in
     // both engines for RE2-safe patterns.
     GraftQuery("q_regexp_extract",

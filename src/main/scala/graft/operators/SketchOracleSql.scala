@@ -234,6 +234,49 @@ object SketchOracleSql {
        |ORDER BY train_id, eval_id LIMIT 500""".stripMargin
   }
 
+  /** The incremental near-dup admission pipeline: the same LSH
+    * machinery, split base (doc_id < `split`) vs increment (≥ `split`,
+    * the d_incremental_dedup contract). An increment doc is admitted
+    * iff it has NO near-dup (jaccard ≥ `thresh`) among base docs or
+    * smaller-id increment docs — the keep-first convention; base ids
+    * sort below increment ids, so ONE `a.doc_id < b.doc_id` predicate
+    * covers both blocker classes. */
+  def incrementalNearDup(norm: String, split: Long, thresh: String): String = {
+    val (ctes, last) = shingleHashCtes(norm)
+    val (fmixCtes, fmixLast) = fmixScalarCtes("f", "fold", "doc_id, band", "fh")
+    s"""WITH $ctes,
+       |sig AS (SELECT doc_id, bh,
+       |  list_transform($permsLiteral,
+       |    p -> list_min(list_transform(bh, h -> (h * p[1] + p[2]) % $P))) AS sig
+       |  FROM $last),
+       |fold AS (SELECT doc_id, b AS band,
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(sig[b * 4 + 1 : b * 4 + 4], v -> CAST(v AS HUGEINT))),
+       |      (a, v) -> (a * 1099511628211 + v) % $M64) AS fh
+       |  FROM sig, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) t(b)),
+       |$fmixCtes,
+       |bb AS (SELECT doc_id, band, fh % 4294967296 AS bucket FROM $fmixLast),
+       |capped AS (SELECT band, bucket, doc_id FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsize FROM bb)
+       |  WHERE bsize <= 200),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.doc_id < b.doc_id AND b.doc_id >= $split),
+       |sets AS (SELECT doc_id, list_distinct(bh) AS s FROM $last),
+       |blk AS (SELECT p.id_b AS doc_id,
+       |    CAST(min(p.id_a) AS BIGINT) AS blocked_by
+       |  FROM pairs p
+       |  JOIN sets sa ON p.id_a = sa.doc_id
+       |  JOIN sets sb ON p.id_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= $thresh
+       |  GROUP BY p.id_b)
+       |SELECT d.doc_id, (b.blocked_by IS NULL) AS admitted, b.blocked_by
+       |FROM documents d LEFT JOIN blk b USING (doc_id)
+       |WHERE d.doc_id >= $split""".stripMargin
+  }
+
   /** 31-bit Karp-Rabin polynomial over the chars of string expr `s` —
     * the winnowing hash (mod 2^31 == the JVM's `& 0x7fffffff` mask). */
   private def poly31(s: String): String =

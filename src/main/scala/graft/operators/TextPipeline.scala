@@ -524,6 +524,52 @@ object TextPipeline {
         .limit(500)
     },
 
+    // ------------------------------------------ incremental near-dedup
+    // The fuzzy twin of d_incremental_dedup: admit a crawl-increment
+    // document (doc_id ≥ 250, the same split contract) only if it has
+    // no NEAR-duplicate (jaccard ≥ 0.5) among the existing corpus OR
+    // among smaller-id increment docs — "dedup dump N+1 against dumps
+    // 1..N plus itself", the per-snapshot operation an exact hash join
+    // can't do for lightly-edited recrawls. Keep-first convention: a
+    // doc is blocked by ANY smaller-id near neighbor regardless of
+    // that neighbor's own fate (the d_semdedup stance — deterministic,
+    // one pass, no cascade recomputation). Base ids sort below
+    // increment ids, so one `id_a < id_b` predicate covers both
+    // blocker classes and the banded exchange is computed once. Output
+    // is the full admission relation (every increment doc, its
+    // verdict, and the smallest blocker), fully hash-oracled.
+    GraftQuery("d_incremental_neardup",
+        SketchOracleSql.incrementalNearDup(normSqlDuck, 250L, "0.5")) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val docs = shingleHashed(withNorm(t(s, dir).documents))
+      val banded = bandBuckets(minhashSignatures(docs))
+      val capped = graft.util.Buckets.cap(banded, 200, col("band"), col("bucket"))
+      val pairs = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+        .join(capped.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b") && col("id_b") >= 250)
+        .select(col("id_a"), col("id_b")).distinct()
+      val roles = pairs.select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      val sets = docs.select(col("doc_id"),
+        array_distinct(col("sh")).as("shingles"))
+      val paired = sets.join(roles, "doc_id")
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(when(col("doc_id") === col("id_a"), col("shingles"))).as("sh_a"),
+          max(when(col("doc_id") === col("id_b"), col("shingles"))).as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val blk = paired
+        .filter((inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)) >= 0.5)
+        .groupBy(col("id_b").as("doc_id"))
+        .agg(min(col("id_a")).cast("bigint").as("blocked_by"))
+      t(s, dir).documents.filter(col("doc_id") >= 250)
+        .select(col("doc_id"))
+        .join(blk, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("blocked_by").isNull.as("admitted"),
+          col("blocked_by"))
+    },
+
     // ------------------------------------------------------------ SimHash
     // Near-dup pairs via 3 DISJOINT bands of the 32-bit simhash (see
     // simhashCandidates: bits 21-31 / 10-20 / 0-9, perfect recall at

@@ -496,6 +496,27 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram quantiles overshoot the exact quantile by at most one bin") {
+    val est = run("q_quantile_hist").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(est.nonEmpty)
+    // exact disc quantiles per flag, derived driver-side
+    val byFlag = Tables(spark, sf).lineitem
+      .selectExpr("l_returnflag", "CAST(l_extendedprice AS DOUBLE) AS p")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (f, rows) => f -> rows.map(_._2).sorted }
+    est.foreach { case (flag, (p50, p90)) =>
+      val vs = byFlag(flag)
+      // percentile_disc(q) = smallest v with CDF >= q = vs[ceil(q·n) − 1]
+      val exact50 = vs(math.ceil(vs.length * 0.5).toInt - 1)
+      val exact90 = vs(math.ceil(vs.length * 0.9).toInt - 1)
+      // the estimate is the containing bin's upper edge: strictly above
+      // the exact value, by at most the bin width (100)
+      assert(p50 > exact50 && p50 - exact50 <= 100, s"$flag p50: $p50 vs $exact50")
+      assert(p90 > exact90 && p90 - exact90 <= 100, s"$flag p90: $p90 vs $exact90")
+    }
+  }
+
   test("cms heavy hitters: conservative overestimate, no false negatives") {
     val out = run("t_heavy_hitters_cms").collect()
       .map(r => (r.getAs[String]("w"), r.getAs[Long]("est"),
@@ -601,6 +622,49 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     val found = rep.map(p => (p._1, p._2)).toSet
     nearVerbatim.foreach(p =>
       assert(found.contains(p), s"missed near-verbatim pair $p"))
+  }
+
+  test("incremental near-dedup: genuine blockers, near-verbatim recall, " +
+      "full partition of the increment") {
+    val out = run("d_incremental_neardup").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("admitted"),
+        Option(r.getAs[java.lang.Long]("blocked_by")).map(_.toLong)))
+    val incrementIds = Tables(spark, sf).documents
+      .filter(col("doc_id") >= 250).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == incrementIds, "not a partition of the increment")
+    assert(out.exists(!_._2), "fixture planted no near-dups to block")
+    val sets = Tables(spark, sf).documents
+      .selectExpr("doc_id",
+        "split(trim(regexp_replace(regexp_replace(lower(text), " +
+          "'[^a-z0-9 ]', ''), ' +', ' ')), ' ') AS ws")
+      .collect()
+      .map { r =>
+        val ws = r.getSeq[String](1).toArray
+        val sh = if (ws.length < 3) Set(ws.mkString(" "))
+          else ws.sliding(3).map(_.mkString(" ")).toSet
+        r.getLong(0) -> sh
+      }.toMap
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 0.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+    out.foreach {
+      case (id, false, Some(blk)) =>
+        // precision: the named blocker is real — smaller id, j >= 0.5
+        assert(blk < id, s"$id blocked by a LATER doc $blk")
+        assert(jac(sets(id), sets(blk)) >= 0.5,
+          s"$id blocked by $blk at j=${jac(sets(id), sets(blk))}")
+      case (id, true, b) => assert(b.isEmpty, s"admitted $id carries blocker $b")
+      case (id, false, None) => fail(s"blocked $id names no blocker")
+    }
+    // deterministic recall on near-verbatim recrawls: any increment doc
+    // with a j >= 0.9 smaller-id neighbor must be blocked
+    val admitted = out.filter(_._2).map(_._1).toSet
+    for {
+      id <- incrementIds if admitted(id)
+      (other, so) <- sets if other < id
+    } assert(jac(sets(id), so) < 0.9,
+      s"admitted $id has a near-verbatim blocker $other")
   }
 
   test("resize kernel emits fixed-size deterministic thumbnails") {

@@ -554,6 +554,19 @@ class PlanShapeSpec extends AnyFunSuite {
         s"payload bytes in a phash exchange: $e"))
   }
 
+  test("histogram quantiles: one partial aggregate, windows over bins — " +
+      "no per-group row sort, two-column read") {
+    val p = plan("q_quantile_hist")
+    // the whole point vs q_percentiles: no sort-based percentile over
+    // the group's ROWS — the only sort feeds the window over the
+    // (flag, bin) histogram
+    assert(!p.toLowerCase.contains("percentile"), p)
+    val read = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).get.group(1)
+    assert(read.split(",").length == 2, s"over-read: $read")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"histogram aggregate not map-side combined:\n$p")
+  }
+
   test("kneser-ney: vocabulary-sized joins by key — no window, no text " +
       "in exchanges, type total broadcasts") {
     val p = plan("t_kn_logprob")
@@ -591,5 +604,17 @@ class PlanShapeSpec extends AnyFunSuite {
     exchanges.foreach(e =>
       assert(!e.contains("text#") && !e.contains("norm#") && !e.contains("words#"),
         s"raw text in a fuzzy-decontamination exchange: $e"))
+  }
+
+  test("incremental near-dedup: banded LSH shape — no text in exchanges") {
+    val p = plan("d_incremental_neardup")
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach(e =>
+      assert(!e.contains("text#") && !e.contains("norm#") && !e.contains("words#"),
+        s"raw text in an incremental-neardup exchange: $e"))
+    assert(!p.contains("windowspecdefinition") ||
+      p.contains("band"), p) // the only window is the bucket-size cap
   }
 }
