@@ -161,14 +161,16 @@ object SketchOracleSql {
        |FROM $last""".stripMargin
   }
 
-  /** The full MinHash LSH pipeline: 32-permutation signatures, 8 bands × 4
-    * rows with fmix63-folded bucket keys, cap 200, exact-jaccard rerank
-    * over distinct shingle-hash sets, top-100 by jaccard. */
-  def minhashLshPairs(norm: String): String = {
-    val (ctes, last) = shingleHashCtes(norm)
+  /** The shared MinHash-LSH candidate chain, appended after
+    * [[shingleHashCtes]]'s tail CTE `last`: 32-permutation signatures,
+    * 8 bands × 4 rows with fmix63-folded bucket keys, bucket cap 200,
+    * and `pairs(id_a, id_b)` under `pairCond` — ONE definition for the
+    * three LSH consumers (pair mining, fuzzy decontamination,
+    * incremental near-dedup), so the band/fold/cap constants cannot
+    * drift between their oracles. */
+  private def lshCandidateCtes(last: String, pairCond: String): String = {
     val (fmixCtes, fmixLast) = fmixScalarCtes("f", "fold", "doc_id, band", "fh")
-    s"""WITH $ctes,
-       |sig AS (SELECT doc_id, bh,
+    s"""sig AS (SELECT doc_id, bh,
        |  list_transform($permsLiteral,
        |    p -> list_min(list_transform(bh, h -> (h * p[1] + p[2]) % $P))) AS sig
        |  FROM $last),
@@ -184,16 +186,33 @@ object SketchOracleSql {
        |  WHERE bsize <= 200),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM capped a JOIN capped b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |sets AS (SELECT doc_id, list_distinct(bh) AS s FROM $last)
-       |SELECT p.id_a, p.id_b,
+       |    ON a.band = b.band AND a.bucket = b.bucket AND $pairCond)""".stripMargin
+  }
+
+  /** Exact-jaccard rerank over `pairs`, ending in
+    * `rr(id_a, id_b, jaccard)` — distinct shingle-hash sets, one
+    * intersection expression. */
+  private def jaccardRerankCtes(last: String): String =
+    s"""sets AS (SELECT doc_id, list_distinct(bh) AS s FROM $last),
+       |rr AS (SELECT p.id_a, p.id_b,
        |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
        |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
-       |FROM pairs p
-       |JOIN sets sa ON p.id_a = sa.doc_id
-       |JOIN sets sb ON p.id_b = sb.doc_id
+       |  FROM pairs p
+       |  JOIN sets sa ON p.id_a = sa.doc_id
+       |  JOIN sets sb ON p.id_b = sb.doc_id)""".stripMargin
+
+  /** The full MinHash LSH pipeline: 32-permutation signatures, 8 bands × 4
+    * rows with fmix63-folded bucket keys, cap 200, exact-jaccard rerank
+    * over distinct shingle-hash sets, top-100 by jaccard. */
+  def minhashLshPairs(norm: String): String = {
+    val (ctes, last) = shingleHashCtes(norm)
+    s"""WITH $ctes,
+       |${lshCandidateCtes(last, "a.doc_id < b.doc_id")},
+       |${jaccardRerankCtes(last)}
+       |SELECT id_a, id_b, jaccard FROM rr
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
   }
+
 
   /** The fuzzy-decontamination pipeline: the minhashLshPairs machinery
     * pointed across the train/eval split — candidates are (train, eval)
@@ -202,37 +221,14 @@ object SketchOracleSql {
     * distinct shingle hashes, flagged at `thresh`. */
   def fuzzyDecontaminate(norm: String, thresh: String): String = {
     val (ctes, last) = shingleHashCtes(norm)
-    val (fmixCtes, fmixLast) = fmixScalarCtes("f", "fold", "doc_id, band", "fh")
     s"""WITH $ctes,
-       |sig AS (SELECT doc_id, bh,
-       |  list_transform($permsLiteral,
-       |    p -> list_min(list_transform(bh, h -> (h * p[1] + p[2]) % $P))) AS sig
-       |  FROM $last),
-       |fold AS (SELECT doc_id, b AS band,
-       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |      list_transform(sig[b * 4 + 1 : b * 4 + 4], v -> CAST(v AS HUGEINT))),
-       |      (a, v) -> (a * 1099511628211 + v) % $M64) AS fh
-       |  FROM sig, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) t(b)),
-       |$fmixCtes,
-       |bb AS (SELECT doc_id, band, fh % 4294967296 AS bucket FROM $fmixLast),
-       |capped AS (SELECT band, bucket, doc_id FROM (
-       |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsize FROM bb)
-       |  WHERE bsize <= 200),
-       |pairs AS (SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
-       |  FROM capped a JOIN capped b
-       |    ON a.band = b.band AND a.bucket = b.bucket
-       |   AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
-       |sets AS (SELECT doc_id, list_distinct(bh) AS s FROM $last)
-       |SELECT p.train_id, p.eval_id,
-       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-       |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
-       |FROM pairs p
-       |JOIN sets sa ON p.train_id = sa.doc_id
-       |JOIN sets sb ON p.eval_id = sb.doc_id
-       |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-       |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= $thresh
+       |${lshCandidateCtes(last, "a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0")},
+       |${jaccardRerankCtes(last)}
+       |SELECT id_a AS train_id, id_b AS eval_id, jaccard FROM rr
+       |WHERE jaccard >= $thresh
        |ORDER BY train_id, eval_id LIMIT 500""".stripMargin
   }
+
 
   /** The incremental near-dup admission pipeline: the same LSH
     * machinery, split base (doc_id < `split`) vs increment (≥ `split`,
@@ -243,39 +239,17 @@ object SketchOracleSql {
     * covers both blocker classes. */
   def incrementalNearDup(norm: String, split: Long, thresh: String): String = {
     val (ctes, last) = shingleHashCtes(norm)
-    val (fmixCtes, fmixLast) = fmixScalarCtes("f", "fold", "doc_id, band", "fh")
     s"""WITH $ctes,
-       |sig AS (SELECT doc_id, bh,
-       |  list_transform($permsLiteral,
-       |    p -> list_min(list_transform(bh, h -> (h * p[1] + p[2]) % $P))) AS sig
-       |  FROM $last),
-       |fold AS (SELECT doc_id, b AS band,
-       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |      list_transform(sig[b * 4 + 1 : b * 4 + 4], v -> CAST(v AS HUGEINT))),
-       |      (a, v) -> (a * 1099511628211 + v) % $M64) AS fh
-       |  FROM sig, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) t(b)),
-       |$fmixCtes,
-       |bb AS (SELECT doc_id, band, fh % 4294967296 AS bucket FROM $fmixLast),
-       |capped AS (SELECT band, bucket, doc_id FROM (
-       |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsize FROM bb)
-       |  WHERE bsize <= 200),
-       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM capped a JOIN capped b
-       |    ON a.band = b.band AND a.bucket = b.bucket
-       |   AND a.doc_id < b.doc_id AND b.doc_id >= $split),
-       |sets AS (SELECT doc_id, list_distinct(bh) AS s FROM $last),
-       |blk AS (SELECT p.id_b AS doc_id,
-       |    CAST(min(p.id_a) AS BIGINT) AS blocked_by
-       |  FROM pairs p
-       |  JOIN sets sa ON p.id_a = sa.doc_id
-       |  JOIN sets sb ON p.id_b = sb.doc_id
-       |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-       |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= $thresh
-       |  GROUP BY p.id_b)
+       |${lshCandidateCtes(last,
+          s"a.doc_id < b.doc_id AND b.doc_id >= $split")},
+       |${jaccardRerankCtes(last)},
+       |blk AS (SELECT id_b AS doc_id, CAST(min(id_a) AS BIGINT) AS blocked_by
+       |  FROM rr WHERE jaccard >= $thresh GROUP BY id_b)
        |SELECT d.doc_id, (b.blocked_by IS NULL) AS admitted, b.blocked_by
        |FROM documents d LEFT JOIN blk b USING (doc_id)
        |WHERE d.doc_id >= $split""".stripMargin
   }
+
 
   /** 31-bit Karp-Rabin polynomial over the chars of string expr `s` —
     * the winnowing hash (mod 2^31 == the JVM's `& 0x7fffffff` mask). */

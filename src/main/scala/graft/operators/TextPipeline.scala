@@ -64,7 +64,7 @@ object TextPipeline {
       .select(col("doc_id"),
         expr("words[i - 1]").as("w1"), expr("words[i]").as("w2"))
 
-  private[operators] def withNorm(df: DataFrame): DataFrame =
+  private[graft] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("norm", org.apache.spark.sql.GraftColumnBridge.column(
         graft.functions.NormalizeText(
           org.apache.spark.sql.GraftColumnBridge.expression(col("text")))))
@@ -429,53 +429,11 @@ object TextPipeline {
     GraftQuery("d_minhash_lsh_pairs", SketchOracleSql.minhashLshPairs(normSqlDuck)) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val docs = shingleHashed(withNorm(t(s, dir).documents))
-      val sigs = minhashSignatures(docs)
-      // Band buckets via the native MinHashBandBuckets expression —
-      // bit-identical to transform(sequence(0,7), b -> hash(slice(sig,
-      // b*4+1, 4))) (spec-asserted), minus the interpreted lambda and the
-      // per-band slice allocations. bandBuckets is the shared definition
-      // the streaming online-dedup twin consumes too.
-      val banded = bandBuckets(sigs)
-      // Degenerate-bucket cap via count-over-Window, then a bucket-key
-      // self-join. Measured against two alternatives at sf0.1 (aggregate +
-      // broadcast anti-join; collect_list + in-bucket pair expansion):
-      // this shape wins because the banded exchange is computed once and
-      // REUSED by both self-join sides (ReusedExchange), while the
-      // alternatives recompute the signature pipeline or fall into
-      // ObjectHashAggregate's sort-based fallback.
-      val capped = graft.util.Buckets.cap(banded, 200, col("band"), col("bucket"))
-      val pairs = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-        .join(capped.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
-          Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      // Rerank re-attaches shingle-hash sets in ONE pass over the shingle
-      // pipeline: melt each pair into its two member ids, join the (tiny,
-      // cap-bounded) role table against the map-only shingle pipeline, then
-      // fold the two roles back into (sh_a, sh_b) per pair. The previous
-      // two-join form ran the shingling map twice (one join per side);
-      // a checkpoint+semi-join variant was also measured and lost (1.9s vs
-      // 1.4s at sf0.1 — the eager barrier costs more than one extra map
-      // pass on this corpus). Jaccard is computed over distinct shingle
-      // HASHES (64→31-bit space) rather than shingle strings — identical
-      // up to hash collisions, and the arrays shipped to the rerank are a
-      // fraction of the string size.
-      val roles = pairs.select(col("id_a"), col("id_b"),
-        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      val sets = docs.select(col("doc_id"),
-        array_distinct(col("sh")).as("shingles"))
-      val paired = sets.join(roles, "doc_id")
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(max(when(col("doc_id") === col("id_a"), col("shingles"))).as("sh_a"),
-          max(when(col("doc_id") === col("id_b"), col("shingles"))).as("sh_b"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      paired
-        .select(col("id_a"), col("id_b"),
-          (inter.cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+      lshRerankedPairs(docs, col("id_a") < col("id_b"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(100)
     },
+
 
     // ------------------------------------------- fuzzy decontamination
     // Doc-level NEAR-duplicate decontamination — the d_decontaminate
@@ -496,33 +454,15 @@ object TextPipeline {
         SketchOracleSql.fuzzyDecontaminate(normSqlDuck, "0.5")) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val docs = shingleHashed(withNorm(t(s, dir).documents))
-      val banded = bandBuckets(minhashSignatures(docs))
-      val capped = graft.util.Buckets.cap(banded, 200, col("band"), col("bucket"))
-      val pairs = capped.filter(col("doc_id") % 10 =!= 0)
-          .select(col("band"), col("bucket"), col("doc_id").as("train_id"))
-        .join(capped.filter(col("doc_id") % 10 === 0)
-          .select(col("band"), col("bucket"), col("doc_id").as("eval_id")),
-          Seq("band", "bucket"))
-        .select(col("train_id"), col("eval_id")).distinct()
-      // rerank via the d_minhash_lsh_pairs melt: one pass over the
-      // map-only shingle pipeline feeds both pair roles
-      val roles = pairs.select(col("train_id"), col("eval_id"),
-        explode(array(col("train_id"), col("eval_id"))).as("doc_id"))
-      val sets = docs.select(col("doc_id"),
-        array_distinct(col("sh")).as("shingles"))
-      val paired = sets.join(roles, "doc_id")
-        .groupBy(col("train_id"), col("eval_id"))
-        .agg(max(when(col("doc_id") === col("train_id"), col("shingles"))).as("sh_a"),
-          max(when(col("doc_id") === col("eval_id"), col("shingles"))).as("sh_b"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      paired
-        .select(col("train_id"), col("eval_id"),
-          (inter.cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+      lshRerankedPairs(docs,
+          col("id_a") % 10 =!= 0 && col("id_b") % 10 === 0)
         .filter(col("jaccard") >= 0.5)
+        .select(col("id_a").as("train_id"), col("id_b").as("eval_id"),
+          col("jaccard"))
         .orderBy(col("train_id"), col("eval_id"))
         .limit(500)
     },
+
 
     // ------------------------------------------ incremental near-dedup
     // The fuzzy twin of d_incremental_dedup: admit a crawl-increment
@@ -542,25 +482,9 @@ object TextPipeline {
         SketchOracleSql.incrementalNearDup(normSqlDuck, 250L, "0.5")) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val docs = shingleHashed(withNorm(t(s, dir).documents))
-      val banded = bandBuckets(minhashSignatures(docs))
-      val capped = graft.util.Buckets.cap(banded, 200, col("band"), col("bucket"))
-      val pairs = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-        .join(capped.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
-          Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b") && col("id_b") >= 250)
-        .select(col("id_a"), col("id_b")).distinct()
-      val roles = pairs.select(col("id_a"), col("id_b"),
-        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      val sets = docs.select(col("doc_id"),
-        array_distinct(col("sh")).as("shingles"))
-      val paired = sets.join(roles, "doc_id")
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(max(when(col("doc_id") === col("id_a"), col("shingles"))).as("sh_a"),
-          max(when(col("doc_id") === col("id_b"), col("shingles"))).as("sh_b"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      val blk = paired
-        .filter((inter.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter)) >= 0.5)
+      val blk = lshRerankedPairs(docs,
+          col("id_a") < col("id_b") && col("id_b") >= 250)
+        .filter(col("jaccard") >= 0.5)
         .groupBy(col("id_b").as("doc_id"))
         .agg(min(col("id_a")).cast("bigint").as("blocked_by"))
       t(s, dir).documents.filter(col("doc_id") >= 250)
@@ -569,6 +493,7 @@ object TextPipeline {
         .select(col("doc_id"), col("blocked_by").isNull.as("admitted"),
           col("blocked_by"))
     },
+
 
     // ------------------------------------------------------------ SimHash
     // Near-dup pairs via 3 DISJOINT bands of the 32-bit simhash (see
@@ -761,6 +686,38 @@ object TextPipeline {
       posexplode(GraftColumnBridge.column(graft.functions.MinHashBandBuckets(
         GraftColumnBridge.expression(col("sig")), bands = 8, rowsPerBand = 4)))
         .as(Seq("band", "bucket")))
+  }
+
+  /** Candidate pairs from the banded MinHash LSH (cap 200) under
+    * `cond`, reranked with exact jaccard over distinct shingle-hash
+    * sets — the shared engine of the three near-dup pipelines
+    * (d_minhash_lsh_pairs, d_decontaminate_fuzzy,
+    * d_incremental_neardup). `cond` predicates referencing one side
+    * push below the join (Catalyst), so split filters cost the same as
+    * filtering the sides by hand. The rerank melts each pair into its
+    * two member roles so ONE pass over the map-only shingle pipeline
+    * feeds both sides. Returns (id_a, id_b, jaccard). */
+  private def lshRerankedPairs(docs: DataFrame,
+      cond: org.apache.spark.sql.Column): DataFrame = {
+    val banded = bandBuckets(minhashSignatures(docs))
+    val capped = graft.util.Buckets.cap(banded, 200, col("band"), col("bucket"))
+    val pairs = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(capped.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(cond)
+      .select(col("id_a"), col("id_b")).distinct()
+    val roles = pairs.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+    val sets = docs.select(col("doc_id"),
+      array_distinct(col("sh")).as("shingles"))
+    val paired = sets.join(roles, "doc_id")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(when(col("doc_id") === col("id_a"), col("shingles"))).as("sh_a"),
+        max(when(col("doc_id") === col("id_b"), col("shingles"))).as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    paired.select(col("id_a"), col("id_b"),
+      (inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
   }
 
   /** Hashed 3-word shingles per document via the fused native expression

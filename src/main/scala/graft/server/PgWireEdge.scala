@@ -1040,6 +1040,15 @@ object PgWireEdge {
   private[graft] def splitStatements(sql: String): Seq[String] = {
     val parts = Seq.newBuilder[String]
     val cur = new StringBuilder
+    // a fragment is a STATEMENT only if it has content outside comments
+    // and whitespace — "SELECT 1; -- done" has one statement, and an
+    // all-comment string is the empty query (pg's EmptyQueryResponse),
+    // not a parse error
+    var hasContent = false
+    def emit(): Unit = {
+      if (hasContent) parts += cur.toString
+      cur.clear(); hasContent = false
+    }
     val len = sql.length
     var i = 0
     var inStr = false
@@ -1064,10 +1073,9 @@ object PgWireEdge {
         cur.append(c); i += 1
       } else c match {
         case ';' =>
-          if (cur.toString.trim.nonEmpty) parts += cur.toString
-          cur.clear(); i += 1
-        case '\'' => inStr = true; cur.append(c); i += 1
-        case '"' => inIdent = true; cur.append(c); i += 1
+          emit(); i += 1
+        case '\'' => inStr = true; hasContent = true; cur.append(c); i += 1
+        case '"' => inIdent = true; hasContent = true; cur.append(c); i += 1
         case '-' if next == '-' => inLineComment = true; cur.append("--"); i += 2
         case '/' if next == '*' => blockDepth = 1; cur.append("/*"); i += 2
         case '$' =>
@@ -1079,12 +1087,15 @@ object PgWireEdge {
             val close = sql.indexOf(delim, j + 1)
             val stop = if (close < 0) len else close + delim.length
             cur.append(sql.substring(i, stop))
+            hasContent = true
             i = stop
-          } else { cur.append(c); i += 1 }
-        case _ => cur.append(c); i += 1
+          } else { hasContent = true; cur.append(c); i += 1 }
+        case _ =>
+          if (!c.isWhitespace) hasContent = true
+          cur.append(c); i += 1
       }
     }
-    if (cur.toString.trim.nonEmpty) parts += cur.toString
+    emit()
     parts.result()
   }
 

@@ -271,7 +271,10 @@ final class KafkaPartitionReader(range: KafkaRange)
           // (and with failOnDataLoss=false that skips just this fetch's
           // span boundary, not silently — dataLoss logs it).
           emptyFetches += 1
-          fetchBytes = math.min(fetchBytes * 2, 1 << 25) // stay under maxFrame
+          // grow toward the frame ceiling (maxFrame already covers
+          // maxBytesPerFetch + headroom), never below the configured size
+          fetchBytes = math.min(fetchBytes * 2L,
+            (range.opts.maxFrame - (1 << 16)).toLong).toInt
           if (emptyFetches >= 5)
             return dataLoss(
               s"5 empty fetches below the range end (hw ${res.highWatermark})")

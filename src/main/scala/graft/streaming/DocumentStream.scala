@@ -63,14 +63,15 @@ object DocumentStream {
     * uses the registered operators' normalization contract. The spec
     * pins stream == batch counter-for-counter and that heavy hitters
     * derived from the streamed sketch equal the batch query's. */
-  def cmsCounters(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(split(trim(regexp_replace(regexp_replace(
-        lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")), " ")).as("w"))
+  def cmsCounters(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    graft.operators.TextPipeline.withNorm(docs)
+      .select(explode(col("words")).as("w"))
       .filter(col("w") =!= "")
       .select(col("w"), explode(lit(Array(0, 1, 2, 3))).as("r"))
       .withColumn("slot",
         expr("graft_fmix63(graft_porthash63(w) ^ CAST(r AS BIGINT)) % 1024"))
       .groupBy(col("r"), col("slot"))
       .agg(count(lit(1)).cast("bigint").as("sc"))
+  }
 }

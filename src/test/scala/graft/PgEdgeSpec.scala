@@ -666,6 +666,17 @@ class PgEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       val ms4 = c.drain()
       assert(ms4.count(_.tpe == MsgCommandComplete) == 1, ms4.map(_.tpe.toChar))
       assert(!ms4.exists(_.tpe == MsgEmptyQueryResponse))
+      // a trailing comment is not a statement either (psql \\i scripts
+      // end in comments routinely), and an all-comment string is the
+      // EMPTY query, not a parse error
+      c.simpleQuery("SELECT 5 AS a; -- done\n")
+      val ms5 = c.drain()
+      assert(!ms5.exists(_.tpe == MsgErrorResponse), ms5.map(_.tpe.toChar))
+      assert(ms5.count(_.tpe == MsgCommandComplete) == 1, ms5.map(_.tpe.toChar))
+      c.simpleQuery("/* just a comment */")
+      val ms6 = c.drain()
+      assert(ms6.exists(_.tpe == MsgEmptyQueryResponse), ms6.map(_.tpe.toChar))
+      assert(!ms6.exists(_.tpe == MsgErrorResponse), ms6.map(_.tpe.toChar))
     }
   }
 
