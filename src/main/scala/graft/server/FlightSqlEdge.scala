@@ -48,56 +48,186 @@ final class FlightSqlEdge(
       .getOrElse(throw new GrpcStatusException(16, "invalid or missing bearer token"))
   }
 
-  private def queryOf(anyBytes: Array[Byte]): String = {
+  /** Parse an Any-wrapped Flight SQL command; returns (type suffix,
+    * message bytes). */
+  private def commandOf(anyBytes: Array[Byte]): (String, Array[Byte]) = {
     val any = PAny.parseFrom(anyBytes)
-    if (!any.getTypeUrl.endsWith("CommandStatementQuery"))
-      throw new GrpcStatusException(3, // INVALID_ARGUMENT
-        s"unsupported flight command: ${any.getTypeUrl}")
-    DynamicMessage.parseFrom(CommandStatementQueryD, any.getValue.toByteArray)
-      .getField(CommandStatementQueryD.findFieldByName("query"))
-      .asInstanceOf[String]
+    val name = any.getTypeUrl.substring(any.getTypeUrl.lastIndexOf('.') + 1)
+    (name, any.getValue.toByteArray)
   }
+
+  private def strField(d: org.sparkproject.spark_core.protobuf.Descriptors.Descriptor,
+      m: DynamicMessage, f: String): String =
+    m.getField(d.findFieldByName(f)).asInstanceOf[String]
+
+  /** SQL LIKE pattern match (% = any run, _ = one char); absent/empty
+    * pattern matches everything — the reference's matches_like_pattern
+    * (flight_sql.rs:638-653). */
+  private def likeMatch(value: String, pattern: String): Boolean =
+    pattern == null || pattern.isEmpty || pattern == "%" || {
+      val rx = "^" + java.util.regex.Pattern.quote(pattern)
+        .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$"
+      value.matches(rx)
+    }
+
+  private def flightInfo(schemaIpc: Array[Byte],
+      ticketBytes: Array[Byte]): Array[Byte] = {
+    val ticket = DynamicMessage.newBuilder(TicketD)
+      .setField(TicketD.findFieldByName("ticket"),
+        ByteString.copyFrom(ticketBytes)).build()
+    val ep = DynamicMessage.newBuilder(
+      msg("arrow.flight.protocol.FlightEndpoint"))
+    ep.setField(ep.getDescriptorForType.findFieldByName("ticket"), ticket)
+    DynamicMessage.newBuilder(FlightInfoD)
+      .setField(FlightInfoD.findFieldByName("schema"),
+        ByteString.copyFrom(schemaIpc))
+      .addRepeatedField(FlightInfoD.findFieldByName("endpoint"), ep.build())
+      .build().toByteArray
+  }
+
+  private def flightDataFrames(stream: Array[Byte]): Seq[Array[Byte]] =
+    FlightIpc.split(stream).map { case (meta, body) =>
+      DynamicMessage.newBuilder(FlightDataD)
+        .setField(FlightDataD.findFieldByName("data_header"),
+          ByteString.copyFrom(meta))
+        .setField(FlightDataD.findFieldByName("data_body"),
+          ByteString.copyFrom(body))
+        .build().toByteArray
+    }
 
   private def handle(path: String, headers: Map[String, String],
       payload: Array[Byte]): Seq[Array[Byte]] = path match {
     case "/arrow.flight.protocol.FlightService/GetFlightInfo" =>
       val user = authed(headers)
       val desc = DynamicMessage.parseFrom(FlightDescriptorD, payload)
-      val query = queryOf(desc
-        .getField(FlightDescriptorD.findFieldByName("cmd"))
-        .asInstanceOf[ByteString].toByteArray)
-      // plan only: analyzed schema via planQuery — policy rewrite, defensive
-      // limit, and cost gate apply, but nothing executes and nothing is
-      // cache-stored (a GetFlightInfo→DoGet pair must run the query ONCE;
-      // reference plans-without-executing here, flight_sql.rs:533-566)
-      val info = engine.planQuery(query, user)
-      val ticket = DynamicMessage.newBuilder(TicketD)
-        .setField(TicketD.findFieldByName("ticket"),
-          ByteString.copyFromUtf8(query)).build()
-      val ep = DynamicMessage.newBuilder(
-        msg("arrow.flight.protocol.FlightEndpoint"))
-      ep.setField(ep.getDescriptorForType.findFieldByName("ticket"), ticket)
-      Seq(DynamicMessage.newBuilder(FlightInfoD)
-        .setField(FlightInfoD.findFieldByName("schema"), ByteString.copyFrom(
-          ArrowResults.schemaIpcBytes(info.schema)))
-        .addRepeatedField(FlightInfoD.findFieldByName("endpoint"), ep.build())
-        .build().toByteArray)
+      val cmdBytes = desc.getField(FlightDescriptorD.findFieldByName("cmd"))
+        .asInstanceOf[ByteString].toByteArray
+      val (name, body) = commandOf(cmdBytes)
+      name match {
+        case "CommandStatementQuery" | "CommandPreparedStatementQuery" =>
+          val query =
+            if (name == "CommandStatementQuery")
+              strField(CommandStatementQueryD, DynamicMessage.parseFrom(
+                CommandStatementQueryD, body), "query")
+            else new String(DynamicMessage.parseFrom(
+              CommandPreparedStatementQueryD, body)
+              .getField(CommandPreparedStatementQueryD
+                .findFieldByName("prepared_statement_handle"))
+              .asInstanceOf[ByteString].toByteArray, "UTF-8")
+          // plan only: analyzed schema via planQuery — policy rewrite,
+          // defensive limit, and cost gate apply, but nothing executes and
+          // nothing is cache-stored (a GetFlightInfo→DoGet pair must run
+          // the query ONCE; the reference plans-without-executing here,
+          // flight_sql.rs:533-566; its prepared handle IS the SQL bytes —
+          // the same stateless stance as this edge's tickets)
+          val info = engine.planQuery(query, user)
+          Seq(flightInfo(ArrowResults.schemaIpcBytes(info.schema), cmdBytes))
+        case "CommandGetCatalogs" | "CommandGetDbSchemas" |
+            "CommandGetTables" | "CommandGetSqlInfo" =>
+          // catalog discovery: the result schema is fixed by the Flight
+          // SQL spec; the ticket echoes the command verbatim (reference
+          // get_flight_info_catalogs/schemas/tables, flight_sql.rs:338+)
+          Seq(flightInfo(FlightSqlCatalog.schemaIpcFor(name), cmdBytes))
+        case other =>
+          throw new GrpcStatusException(3, // INVALID_ARGUMENT
+            s"unsupported flight command: $other")
+      }
     case "/arrow.flight.protocol.FlightService/DoGet" =>
       val user = authed(headers)
-      val query = DynamicMessage.parseFrom(TicketD, payload)
+      val ticketBytes = DynamicMessage.parseFrom(TicketD, payload)
         .getField(TicketD.findFieldByName("ticket"))
-        .asInstanceOf[ByteString].toStringUtf8
-      if (query.isEmpty)
+        .asInstanceOf[ByteString].toByteArray
+      if (ticketBytes.isEmpty)
         throw new GrpcStatusException(3, "empty flight ticket")
-      val result = engine.executeQuery(query, user, Map.empty)
-      val stream = ArrowResults.toArrowStream(result.df, maxRows)
-      FlightIpc.split(stream).map { case (meta, body) =>
-        DynamicMessage.newBuilder(FlightDataD)
-          .setField(FlightDataD.findFieldByName("data_header"),
-            ByteString.copyFrom(meta))
-          .setField(FlightDataD.findFieldByName("data_body"),
-            ByteString.copyFrom(body))
-          .build().toByteArray
+      // a catalog/prepared ticket is the Any-wrapped command; a plain
+      // statement ticket is the SQL text (stateless, survives restarts)
+      val asCommand =
+        try {
+          val (name, body) = commandOf(ticketBytes)
+          if (name.startsWith("Command")) Some((name, body)) else None
+        } catch { case _: Exception => None }
+      asCommand match {
+        case Some(("CommandGetCatalogs", _)) =>
+          flightDataFrames(FlightSqlCatalog.catalogs(engine))
+        case Some(("CommandGetDbSchemas", body)) =>
+          val m = DynamicMessage.parseFrom(CommandGetDbSchemasD, body)
+          flightDataFrames(FlightSqlCatalog.dbSchemas(engine,
+            strField(CommandGetDbSchemasD, m, "catalog"),
+            strField(CommandGetDbSchemasD, m, "db_schema_filter_pattern"),
+            likeMatch))
+        case Some(("CommandGetTables", body)) =>
+          val m = DynamicMessage.parseFrom(CommandGetTablesD, body)
+          val types = m.getField(CommandGetTablesD
+            .findFieldByName("table_types")).asInstanceOf[java.util.List[_]]
+            .asScala.map(_.toString).toSeq
+          flightDataFrames(FlightSqlCatalog.tables(engine,
+            strField(CommandGetTablesD, m, "catalog"),
+            strField(CommandGetTablesD, m, "db_schema_filter_pattern"),
+            strField(CommandGetTablesD, m, "table_name_filter_pattern"),
+            types,
+            m.getField(CommandGetTablesD.findFieldByName("include_schema"))
+              .asInstanceOf[Boolean],
+            likeMatch))
+        case Some(("CommandGetSqlInfo", body)) =>
+          val m = DynamicMessage.parseFrom(CommandGetSqlInfoD, body)
+          val wanted = m.getField(CommandGetSqlInfoD.findFieldByName("info"))
+            .asInstanceOf[java.util.List[_]].asScala
+            .map(v => v.asInstanceOf[Int].toLong).toSeq
+          flightDataFrames(FlightSqlCatalog.sqlInfo(wanted))
+        case Some(("CommandPreparedStatementQuery", body)) =>
+          val sql = new String(DynamicMessage.parseFrom(
+            CommandPreparedStatementQueryD, body)
+            .getField(CommandPreparedStatementQueryD
+              .findFieldByName("prepared_statement_handle"))
+            .asInstanceOf[ByteString].toByteArray, "UTF-8")
+          val result = engine.executeQuery(sql, user, Map.empty)
+          flightDataFrames(ArrowResults.toArrowStream(result.df, maxRows))
+        case Some(("CommandStatementQuery", body)) =>
+          val sql = strField(CommandStatementQueryD,
+            DynamicMessage.parseFrom(CommandStatementQueryD, body), "query")
+          val result = engine.executeQuery(sql, user, Map.empty)
+          flightDataFrames(ArrowResults.toArrowStream(result.df, maxRows))
+        case _ =>
+          val query = new String(ticketBytes, "UTF-8")
+          val result = engine.executeQuery(query, user, Map.empty)
+          flightDataFrames(ArrowResults.toArrowStream(result.df, maxRows))
+      }
+    case "/arrow.flight.protocol.FlightService/DoAction" =>
+      val user = authed(headers)
+      val act = DynamicMessage.parseFrom(ActionD, payload)
+      val actionType = strField(ActionD, act, "type")
+      val body = act.getField(ActionD.findFieldByName("body"))
+        .asInstanceOf[ByteString].toByteArray
+      actionType match {
+        case "CreatePreparedStatement" =>
+          // stateless, like the reference: the handle IS the SQL bytes
+          // (flight_sql.rs:558-561), so creation = plan + echo; nothing
+          // to evict, handles survive restarts
+          val (_, reqBytes) = commandOf(body)
+          val sql = strField(ActionCreatePreparedStatementRequestD,
+            DynamicMessage.parseFrom(
+              ActionCreatePreparedStatementRequestD, reqBytes), "query")
+          val info = engine.planQuery(sql, user)
+          val res = DynamicMessage.newBuilder(
+              ActionCreatePreparedStatementResultD)
+            .setField(ActionCreatePreparedStatementResultD
+              .findFieldByName("prepared_statement_handle"),
+              ByteString.copyFromUtf8(sql))
+            .setField(ActionCreatePreparedStatementResultD
+              .findFieldByName("dataset_schema"),
+              ByteString.copyFrom(ArrowResults.schemaIpcBytes(info.schema)))
+            .build()
+          val any = PAny.newBuilder()
+            .setTypeUrl("type.googleapis.com/" +
+              "arrow.flight.protocol.sql.ActionCreatePreparedStatementResult")
+            .setValue(res.toByteString).build()
+          Seq(DynamicMessage.newBuilder(ResultD)
+            .setField(ResultD.findFieldByName("body"), any.toByteString)
+            .build().toByteArray)
+        case "ClosePreparedStatement" =>
+          Seq.empty // stateless handles: closing is a no-op, empty stream
+        case other =>
+          throw new GrpcStatusException(12, s"unimplemented action: $other")
       }
     case other =>
       throw new GrpcStatusException(12, s"unimplemented: $other") // UNIMPLEMENTED

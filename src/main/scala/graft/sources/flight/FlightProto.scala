@@ -69,6 +69,13 @@ object FlightProto {
       .addField(field("app_metadata", 3, Type.TYPE_BYTES))
       .addField(field("data_body", 1000, Type.TYPE_BYTES))
       .build()
+    val action = DescriptorProto.newBuilder().setName("Action")
+      .addField(field("type", 1, Type.TYPE_STRING))
+      .addField(field("body", 2, Type.TYPE_BYTES))
+      .build()
+    val result = DescriptorProto.newBuilder().setName("Result")
+      .addField(field("body", 1, Type.TYPE_BYTES))
+      .build()
     val service = ServiceDescriptorProto.newBuilder().setName("FlightService")
       .addMethod(MethodDescriptorProto.newBuilder().setName("GetFlightInfo")
         .setInputType(".arrow.flight.protocol.FlightDescriptor")
@@ -77,6 +84,10 @@ object FlightProto {
         .setInputType(".arrow.flight.protocol.Ticket")
         .setOutputType(".arrow.flight.protocol.FlightData")
         .setServerStreaming(true))
+      .addMethod(MethodDescriptorProto.newBuilder().setName("DoAction")
+        .setInputType(".arrow.flight.protocol.Action")
+        .setOutputType(".arrow.flight.protocol.Result")
+        .setServerStreaming(true))
       .build()
     val flightFile = FileDescriptorProto.newBuilder()
       .setName("Flight.proto").setPackage("arrow.flight.protocol")
@@ -84,18 +95,65 @@ object FlightProto {
       .addMessageType(flightDescriptor).addMessageType(ticket)
       .addMessageType(location).addMessageType(endpoint)
       .addMessageType(flightInfo).addMessageType(flightData)
+      .addMessageType(action).addMessageType(result)
       .addService(service)
       .build()
     // FlightSql.proto commands are Any-wrapped; the statement query is
-    // the one the read path issues (CommandStatementQuery.query = SQL)
+    // the one the read path issues (CommandStatementQuery.query = SQL);
+    // the catalog-discovery and prepared-statement commands mirror the
+    // published FlightSql.proto field numbers exactly.
     val cmdQuery = DescriptorProto.newBuilder()
       .setName("CommandStatementQuery")
       .addField(field("query", 1, Type.TYPE_STRING))
+      .build()
+    val cmdGetCatalogs = DescriptorProto.newBuilder()
+      .setName("CommandGetCatalogs")
+      .build()
+    val cmdGetDbSchemas = DescriptorProto.newBuilder()
+      .setName("CommandGetDbSchemas")
+      .addField(field("catalog", 1, Type.TYPE_STRING))
+      .addField(field("db_schema_filter_pattern", 2, Type.TYPE_STRING))
+      .build()
+    val cmdGetTables = DescriptorProto.newBuilder()
+      .setName("CommandGetTables")
+      .addField(field("catalog", 1, Type.TYPE_STRING))
+      .addField(field("db_schema_filter_pattern", 2, Type.TYPE_STRING))
+      .addField(field("table_name_filter_pattern", 3, Type.TYPE_STRING))
+      .addField(field("table_types", 4, Type.TYPE_STRING, Label.LABEL_REPEATED))
+      .addField(field("include_schema", 5, Type.TYPE_BOOL))
+      .build()
+    val cmdGetSqlInfo = DescriptorProto.newBuilder()
+      .setName("CommandGetSqlInfo")
+      .addField(field("info", 1, Type.TYPE_UINT32, Label.LABEL_REPEATED))
+      .build()
+    val cmdPreparedQuery = DescriptorProto.newBuilder()
+      .setName("CommandPreparedStatementQuery")
+      .addField(field("prepared_statement_handle", 1, Type.TYPE_BYTES))
+      .build()
+    val actCreatePrepared = DescriptorProto.newBuilder()
+      .setName("ActionCreatePreparedStatementRequest")
+      .addField(field("query", 1, Type.TYPE_STRING))
+      .build()
+    val actCreatePreparedResult = DescriptorProto.newBuilder()
+      .setName("ActionCreatePreparedStatementResult")
+      .addField(field("prepared_statement_handle", 1, Type.TYPE_BYTES))
+      .addField(field("dataset_schema", 2, Type.TYPE_BYTES))
+      .addField(field("parameter_schema", 3, Type.TYPE_BYTES))
+      .build()
+    val actClosePrepared = DescriptorProto.newBuilder()
+      .setName("ActionClosePreparedStatementRequest")
+      .addField(field("prepared_statement_handle", 1, Type.TYPE_BYTES))
       .build()
     val sqlFile = FileDescriptorProto.newBuilder()
       .setName("FlightSql.proto").setPackage("arrow.flight.protocol.sql")
       .setSyntax("proto3")
       .addMessageType(cmdQuery)
+      .addMessageType(cmdGetCatalogs).addMessageType(cmdGetDbSchemas)
+      .addMessageType(cmdGetTables).addMessageType(cmdGetSqlInfo)
+      .addMessageType(cmdPreparedQuery)
+      .addMessageType(actCreatePrepared)
+      .addMessageType(actCreatePreparedResult)
+      .addMessageType(actClosePrepared)
       .build()
     FileDescriptorSet.newBuilder().addFile(flightFile).addFile(sqlFile).build()
   }
@@ -122,4 +180,22 @@ object FlightProto {
     msg("arrow.flight.protocol.FlightData")
   val CommandStatementQueryD: Descriptors.Descriptor =
     msg("arrow.flight.protocol.sql.CommandStatementQuery")
+  val ActionD: Descriptors.Descriptor = msg("arrow.flight.protocol.Action")
+  val ResultD: Descriptors.Descriptor = msg("arrow.flight.protocol.Result")
+  val CommandGetCatalogsD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.sql.CommandGetCatalogs")
+  val CommandGetDbSchemasD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.sql.CommandGetDbSchemas")
+  val CommandGetTablesD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.sql.CommandGetTables")
+  val CommandGetSqlInfoD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.sql.CommandGetSqlInfo")
+  val CommandPreparedStatementQueryD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.sql.CommandPreparedStatementQuery")
+  val ActionCreatePreparedStatementRequestD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.sql.ActionCreatePreparedStatementRequest")
+  val ActionCreatePreparedStatementResultD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.sql.ActionCreatePreparedStatementResult")
+  val ActionClosePreparedStatementRequestD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.sql.ActionClosePreparedStatementRequest")
 }
