@@ -46,6 +46,7 @@ object FlightSqlCatalog {
     case "CommandGetCatalogs" => ArrowResults.schemaIpcBytes(CatalogsSchema)
     case "CommandGetDbSchemas" => ArrowResults.schemaIpcBytes(SchemasSchema)
     case "CommandGetTables" => ArrowResults.schemaIpcBytes(TablesSchema)
+    case "CommandGetXdbcTypeInfo" => ArrowResults.schemaIpcBytes(XdbcSchema)
     case "CommandGetSqlInfo" => schemaIpc(sqlInfoArrowSchema)
     case other => throw new IllegalArgumentException(s"no schema for $other")
   }
@@ -104,6 +105,24 @@ object FlightSqlCatalog {
           }
       }
     ArrowResults.toArrowStream(TablesSchema, rows)
+  }
+
+  private val XdbcSchema = StructType(Seq(
+    StructField("type_name", StringType, nullable = false),
+    StructField("data_type", IntegerType, nullable = false)))
+
+  /** GetXdbcTypeInfo: the SQL types this edge serves, as (name, JDBC
+    * java.sql.Types code) — the reference ships a 2-row static batch
+    * (flight_sql.rs:836-846); this one covers the full mapped surface.
+    * `dataType` (when set) filters to that code. */
+  def xdbcTypeInfo(dataType: Option[Int]): Array[Byte] = {
+    val all = Seq(
+      ("BOOLEAN", 16), ("SMALLINT", 5), ("INTEGER", 4), ("BIGINT", -5),
+      ("REAL", 7), ("DOUBLE", 8), ("DECIMAL", 3), ("VARCHAR", 12),
+      ("VARBINARY", -3), ("DATE", 91), ("TIMESTAMP", 93))
+    val rows = all.filter(t => dataType.forall(_ == t._2))
+      .map(t => Row(t._1, t._2): Row).toArray
+    ArrowResults.toArrowStream(XdbcSchema, rows)
   }
 
   // ------------------------------------------------------------ sql_info

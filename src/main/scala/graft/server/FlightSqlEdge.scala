@@ -123,7 +123,8 @@ final class FlightSqlEdge(
           val info = engine.planQuery(query, user)
           Seq(flightInfo(ArrowResults.schemaIpcBytes(info.schema), cmdBytes))
         case "CommandGetCatalogs" | "CommandGetDbSchemas" |
-            "CommandGetTables" | "CommandGetSqlInfo" =>
+            "CommandGetTables" | "CommandGetSqlInfo" |
+            "CommandGetXdbcTypeInfo" =>
           // catalog discovery: the result schema is fixed by the Flight
           // SQL spec; the ticket echoes the command verbatim (reference
           // get_flight_info_catalogs/schemas/tables, flight_sql.rs:338+)
@@ -168,6 +169,14 @@ final class FlightSqlEdge(
             m.getField(CommandGetTablesD.findFieldByName("include_schema"))
               .asInstanceOf[Boolean],
             likeMatch))
+        case Some(("CommandGetXdbcTypeInfo", body)) =>
+          val m = DynamicMessage.parseFrom(CommandGetXdbcTypeInfoD, body)
+          // proto3 scalar: absent serializes as 0 (not a served JDBC
+          // code) — treat it as "no filter"
+          val dt = m.getField(CommandGetXdbcTypeInfoD
+            .findFieldByName("data_type")).asInstanceOf[Int]
+          flightDataFrames(FlightSqlCatalog.xdbcTypeInfo(
+            if (dt == 0) None else Some(dt)))
         case Some(("CommandGetSqlInfo", body)) =>
           val m = DynamicMessage.parseFrom(CommandGetSqlInfoD, body)
           val wanted = m.getField(CommandGetSqlInfoD.findFieldByName("info"))
@@ -192,6 +201,31 @@ final class FlightSqlEdge(
           val result = engine.executeQuery(query, user, Map.empty)
           flightDataFrames(ArrowResults.toArrowStream(result.df, maxRows))
       }
+    case "/arrow.flight.protocol.FlightService/DoPut" =>
+      authed(headers)
+      // DBeaver and other executeUpdate() clients route even SELECTs
+      // here as CommandPreparedStatementUpdate. The engine is
+      // read-only; the reference acknowledges with record_count = -1
+      // ("unknown") instead of erroring so such clients keep working
+      // (flight_sql.rs:576-599). The first streamed FlightData carries
+      // the descriptor; anything else would be data for an update we
+      // don't apply.
+      val first = DynamicMessage.parseFrom(FlightDataD, payload)
+      val desc = first.getField(FlightDataD
+        .findFieldByName("flight_descriptor")).asInstanceOf[DynamicMessage]
+      val cmdBytes = desc.getField(FlightDescriptorD.findFieldByName("cmd"))
+        .asInstanceOf[ByteString].toByteArray
+      val (name, _) = commandOf(cmdBytes)
+      if (name != "CommandPreparedStatementUpdate" &&
+          name != "CommandStatementUpdate")
+        throw new GrpcStatusException(12, s"unimplemented DoPut command: $name")
+      val upd = DynamicMessage.newBuilder(DoPutUpdateResultD)
+        .setField(DoPutUpdateResultD.findFieldByName("record_count"), -1L)
+        .build()
+      Seq(DynamicMessage.newBuilder(PutResultD)
+        .setField(PutResultD.findFieldByName("app_metadata"),
+          upd.toByteString)
+        .build().toByteArray)
     case "/arrow.flight.protocol.FlightService/DoAction" =>
       val user = authed(headers)
       val act = DynamicMessage.parseFrom(ActionD, payload)

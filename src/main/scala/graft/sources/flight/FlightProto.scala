@@ -69,6 +69,9 @@ object FlightProto {
       .addField(field("app_metadata", 3, Type.TYPE_BYTES))
       .addField(field("data_body", 1000, Type.TYPE_BYTES))
       .build()
+    val putResult = DescriptorProto.newBuilder().setName("PutResult")
+      .addField(field("app_metadata", 1, Type.TYPE_BYTES))
+      .build()
     val action = DescriptorProto.newBuilder().setName("Action")
       .addField(field("type", 1, Type.TYPE_STRING))
       .addField(field("body", 2, Type.TYPE_BYTES))
@@ -88,6 +91,10 @@ object FlightProto {
         .setInputType(".arrow.flight.protocol.Action")
         .setOutputType(".arrow.flight.protocol.Result")
         .setServerStreaming(true))
+      .addMethod(MethodDescriptorProto.newBuilder().setName("DoPut")
+        .setInputType(".arrow.flight.protocol.FlightData")
+        .setOutputType(".arrow.flight.protocol.PutResult")
+        .setClientStreaming(true).setServerStreaming(true))
       .build()
     val flightFile = FileDescriptorProto.newBuilder()
       .setName("Flight.proto").setPackage("arrow.flight.protocol")
@@ -96,6 +103,7 @@ object FlightProto {
       .addMessageType(location).addMessageType(endpoint)
       .addMessageType(flightInfo).addMessageType(flightData)
       .addMessageType(action).addMessageType(result)
+      .addMessageType(putResult)
       .addService(service)
       .build()
     // FlightSql.proto commands are Any-wrapped; the statement query is
@@ -144,6 +152,18 @@ object FlightProto {
       .setName("ActionClosePreparedStatementRequest")
       .addField(field("prepared_statement_handle", 1, Type.TYPE_BYTES))
       .build()
+    val cmdPreparedUpdate = DescriptorProto.newBuilder()
+      .setName("CommandPreparedStatementUpdate")
+      .addField(field("prepared_statement_handle", 1, Type.TYPE_BYTES))
+      .build()
+    val doPutUpdateResult = DescriptorProto.newBuilder()
+      .setName("DoPutUpdateResult")
+      .addField(field("record_count", 1, Type.TYPE_INT64))
+      .build()
+    val cmdGetXdbc = DescriptorProto.newBuilder()
+      .setName("CommandGetXdbcTypeInfo")
+      .addField(field("data_type", 1, Type.TYPE_INT32))
+      .build()
     val sqlFile = FileDescriptorProto.newBuilder()
       .setName("FlightSql.proto").setPackage("arrow.flight.protocol.sql")
       .setSyntax("proto3")
@@ -154,6 +174,9 @@ object FlightProto {
       .addMessageType(actCreatePrepared)
       .addMessageType(actCreatePreparedResult)
       .addMessageType(actClosePrepared)
+      .addMessageType(cmdPreparedUpdate)
+      .addMessageType(doPutUpdateResult)
+      .addMessageType(cmdGetXdbc)
       .build()
     FileDescriptorSet.newBuilder().addFile(flightFile).addFile(sqlFile).build()
   }
@@ -198,4 +221,12 @@ object FlightProto {
     msg("arrow.flight.protocol.sql.ActionCreatePreparedStatementResult")
   val ActionClosePreparedStatementRequestD: Descriptors.Descriptor =
     msg("arrow.flight.protocol.sql.ActionClosePreparedStatementRequest")
+  val PutResultD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.PutResult")
+  val CommandPreparedStatementUpdateD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.sql.CommandPreparedStatementUpdate")
+  val DoPutUpdateResultD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.sql.DoPutUpdateResult")
+  val CommandGetXdbcTypeInfoD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.sql.CommandGetXdbcTypeInfo")
 }

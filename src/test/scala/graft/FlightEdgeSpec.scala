@@ -245,6 +245,63 @@ class FlightEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("GetXdbcTypeInfo lists the served SQL types; data_type filters") {
+    val (_, all) = callInfo("CommandGetXdbcTypeInfo",
+      DynamicMessage.newBuilder(CommandGetXdbcTypeInfoD).build())
+    withIpc(doGetIpc(all)) { root =>
+      val names = root.getVector("type_name")
+        .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+      val vals = (0 until root.getRowCount)
+        .map(i => new String(names.get(i), "UTF-8"))
+      assert(vals.contains("INTEGER") && vals.contains("VARCHAR") &&
+        vals.contains("TIMESTAMP"), vals)
+    }
+    val (_, one) = callInfo("CommandGetXdbcTypeInfo",
+      DynamicMessage.newBuilder(CommandGetXdbcTypeInfoD)
+        .setField(CommandGetXdbcTypeInfoD.findFieldByName("data_type"),
+          Integer.valueOf(12))
+        .build())
+    withIpc(doGetIpc(one)) { root =>
+      assert(root.getRowCount == 1)
+      val names = root.getVector("type_name")
+        .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+      assert(new String(names.get(0), "UTF-8") == "VARCHAR")
+    }
+  }
+
+  test("DoPut prepared-statement update acknowledges read-only with -1") {
+    // the DBeaver executeUpdate() shape: the engine is read-only, so
+    // the edge acknowledges with record_count = -1 instead of erroring
+    val upd = DynamicMessage.newBuilder(CommandPreparedStatementUpdateD)
+      .setField(CommandPreparedStatementUpdateD
+        .findFieldByName("prepared_statement_handle"),
+        ByteString.copyFromUtf8("SELECT 1"))
+      .build()
+    val any = PAny.newBuilder()
+      .setTypeUrl("type.googleapis.com/" +
+        "arrow.flight.protocol.sql.CommandPreparedStatementUpdate")
+      .setValue(upd.toByteString).build()
+    val desc = DynamicMessage.newBuilder(FlightDescriptorD)
+      .setField(FlightDescriptorD.findFieldByName("cmd"),
+        ByteString.copyFrom(any.toByteArray))
+      .build()
+    val fd = DynamicMessage.newBuilder(FlightDataD)
+      .setField(FlightDataD.findFieldByName("flight_descriptor"), desc)
+      .build()
+    val body = Http2Grpc.unaryCall(
+      s"$url/arrow.flight.protocol.FlightService/DoPut",
+      GrpcFraming.frame(fd.toByteArray), authHeaders)
+    val results = GrpcFraming.unframeAll(body)
+    assert(results.size == 1)
+    val pr = DynamicMessage.parseFrom(PutResultD, results.head)
+    val meta = pr.getField(PutResultD.findFieldByName("app_metadata"))
+      .asInstanceOf[ByteString].toByteArray
+    val rec = DynamicMessage.parseFrom(DoPutUpdateResultD, meta)
+      .getField(DoPutUpdateResultD.findFieldByName("record_count"))
+      .asInstanceOf[Long]
+    assert(rec == -1L, rec)
+  }
+
   test("prepared statements: stateless handle round-trip via DoAction") {
     val sql = "SELECT n_name FROM nation WHERE n_regionkey = 0 ORDER BY n_name"
     val req = DynamicMessage.newBuilder(ActionCreatePreparedStatementRequestD)
