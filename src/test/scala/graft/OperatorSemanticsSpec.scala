@@ -667,6 +667,49 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       s"admitted $id has a near-verbatim blocker $other")
   }
 
+  test("spm tokenizer: the engine's Viterbi equals an exact driver-side DP") {
+    import graft.operators.SpmTokenizer
+    val (sc2, npieces) = SpmTokenizer.modelForTest(spark, sf)
+    val scores = sc2.collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("sc")).toMap
+    val np = npieces.collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("np")).toMap
+    assert(scores.nonEmpty && np.nonEmpty)
+    // rebuild the word set independently and replicate the DP exactly:
+    // integer micro scores, argmax by (total, -j) — ties toward the
+    // smaller split point, i.e. the longer final piece
+    val words = Tables(spark, sf).documents
+      .selectExpr("explode(split(trim(regexp_replace(regexp_replace(" +
+        "lower(text), '[^a-z0-9 ]', ''), ' +', ' ')), ' ')) AS w")
+      .filter(col("w") =!= "" && length(col("w")) <= SpmTokenizer.WordCap)
+      .distinct().collect().map(_.getString(0))
+    assert(words.toSet == np.keySet, "model vocabulary mismatch")
+    words.foreach { w =>
+      val n = w.length
+      val best = Array.fill(n + 1)(Long.MinValue)
+      val pieces = Array.fill(n + 1)(0L)
+      best(0) = 0L; pieces(0) = 0L
+      for (k <- 1 to n) {
+        var chosenJ = -1
+        for (j <- math.max(0, k - SpmTokenizer.PieceMax) until k) {
+          val cand = best(j) + scores(w.substring(j, k))
+          // strictly-greater on ties keeps the SMALLEST j (they are
+          // visited in ascending order) — the engine's (total, -j) rule
+          if (cand > best(k)) { best(k) = cand; chosenJ = j }
+        }
+        pieces(k) = pieces(chosenJ) + 1
+      }
+      assert(np(w) == pieces(n),
+        s"word '$w': engine np=${np(w)}, reference DP=${pieces(n)}")
+    }
+    // and every encode row is consistent: n_spm_tokens <= characters
+    // (a piece has at least one char) and >= words
+    run("t_spm_encode").collect().foreach { r =>
+      val (nw, nt) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_spm_tokens"))
+      assert(nt >= nw, s"doc ${r.get(0)}: $nt tokens < $nw words")
+    }
+  }
+
   test("resize kernel emits fixed-size deterministic thumbnails") {
     val p = ("abcdefghij" * 10).getBytes("UTF-8")
     val k = graft.functions.ByteSample(

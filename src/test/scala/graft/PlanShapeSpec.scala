@@ -606,6 +606,21 @@ class PlanShapeSpec extends AnyFunSuite {
         s"raw text in a fuzzy-decontamination exchange: $e"))
   }
 
+  test("spm tokenizer: the model is checkpointed (no corpus re-scan), " +
+      "encode joins by word without a window") {
+    val pTrain = plan("t_spm_train")
+    // training ends at the checkpointed vocabulary-sized relations —
+    // serving the train output must not re-run the corpus pass
+    assert(pTrain.contains("ExistingRDD"), pTrain)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(pTrain).isEmpty,
+      s"train output re-reads the corpus:\n$pTrain")
+    val pEnc = plan("t_spm_encode")
+    assert(!pEnc.contains("windowspecdefinition"), pEnc)
+    // exactly one corpus scan: the doc-word explode joined to the
+    // checkpointed per-word counts
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(pEnc).size == 1, pEnc)
+  }
+
   test("incremental near-dedup: banded LSH shape — no text in exchanges") {
     val p = plan("d_incremental_neardup")
     val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
