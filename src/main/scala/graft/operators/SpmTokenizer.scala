@@ -188,23 +188,34 @@ object SpmTokenizer {
       .select(col("word"), explode(expr(piecesSql)).as("piece"))
       .localCheckpoint(false)
 
-  /** The trained model per (session, corpus dir): `sc2` (piece scores)
-    * and `npieces` (per-word final piece counts), both checkpointed —
-    * train and encode share one run (the BPE memo pattern; corpus dirs
-    * are immutable for a session's lifetime). */
-  private val models = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]())
+  /** The trained model (sc2 piece scores, npieces per-word counts),
+    * both checkpointed, shared between t_spm_train and t_spm_encode so
+    * one registry round trains once. SINGLE-slot cache, not a
+    * per-session map: the cached DataFrames strongly reference their
+    * SparkSession, so a WeakHashMap keyed by session could never
+    * collect its entries (value-reaches-key) and a long-lived server
+    * creating per-tenant sessions would pin every session's
+    * checkpointed RDD blocks forever. One slot bounds the pinning to
+    * one model; a different (session, dir) simply retrains — corpus
+    * dirs are immutable for a session's lifetime, so staleness cannot
+    * occur. */
+  @volatile private var cached: (SparkSession, String, (DataFrame, DataFrame)) =
+    null
 
   /** Spec access to the trained model (sc2, npieces). */
   private[graft] def modelForTest(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = model(s, dir)
 
-  private def model(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val per = models.computeIfAbsent(s,
-      _ => scala.collection.concurrent.TrieMap.empty)
-    per.getOrElseUpdate(dir, buildModel(s, dir))
-  }
+  private def model(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      val c = cached
+      if (c != null && (c._1 eq s) && c._2 == dir) c._3
+      else {
+        val m = buildModel(s, dir)
+        cached = (s, dir, m)
+        m
+      }
+    }
 
   private def buildModel(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {

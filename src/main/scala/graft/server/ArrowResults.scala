@@ -74,8 +74,13 @@ object ArrowResults {
     * (reference: flight_sql.rs:691-704, `SchemaAsIpc` → `IpcMessage`).
     * Any Arrow client decodes it with `read_schema` /
     * `MessageSerializer.deserializeSchema`. */
-  def schemaIpcBytes(sparkSchema: StructType): Array[Byte] = {
-    val schema = toArrowSchema(sparkSchema, forceNullable = false)
+  def schemaIpcBytes(sparkSchema: StructType): Array[Byte] =
+    schemaIpcBytes(toArrowSchema(sparkSchema, forceNullable = false))
+
+  /** Arrow-schema overload — the single definition of the encapsulated
+    * framing (FlightSqlCatalog's union/map schemas have no Spark
+    * representation). */
+  def schemaIpcBytes(schema: ArrowSchema): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(
       new org.apache.arrow.vector.ipc.WriteChannel(Channels.newChannel(out)),

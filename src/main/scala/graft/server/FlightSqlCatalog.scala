@@ -17,15 +17,23 @@ import org.apache.spark.sql.types._
 import graft.session.GraftSession
 
 /** Flight SQL catalog-discovery results — the CommandGetCatalogs /
-  * GetDbSchemas / GetTables / GetSqlInfo surface ADBC drivers call on
-  * connect, mirroring the reference's metadata handlers
-  * (crates/server/src/flight_sql.rs:98-125 result schemas,
-  * 321-434 catalog/schema/table streams, 729-790 sql_info batch).
+  * GetDbSchemas / GetTables / GetSqlInfo / GetXdbcTypeInfo surface ADBC
+  * drivers call on connect, mirroring the reference's metadata handlers
+  * (crates/server/src/flight_sql.rs:98-125, 321-434, 729-846).
   *
-  * All listings are driver-side metadata (Spark catalog API — no jobs);
-  * the result schemas are fixed by the published Flight SQL spec.
-  * GetSqlInfo's value column is the spec's dense union, built directly
-  * with Arrow Java vectors (Spark has no union type).
+  * All listings are driver-side metadata (Spark catalog API — no jobs).
+  * Result schemas follow the PUBLISHED Flight SQL spec (the Arrow
+  * project's FlightSql.proto schema comments), including the spots
+  * where the reference deviates from it: sql_info's value union uses
+  * the spec's type-id layout (3 = int32_bitmask, 5 =
+  * int32_to_int32_list_map — the reference invents an int32_value
+  * child), GetXdbcTypeInfo carries the spec's full column set (the
+  * reference ships 2 of ~19 columns), and GetTables drops the
+  * table_schema column when include_schema is false (the spec's
+  * no-schema variant) — compiled-in client validators
+  * (arrow-flight-sql JDBC's Schemas, ADBC readers) check these
+  * layouts. GetSqlInfo/XdbcTypeInfo batches build directly with Arrow
+  * Java vectors (Spark has no union type).
   */
 object FlightSqlCatalog {
 
@@ -34,20 +42,28 @@ object FlightSqlCatalog {
   private val SchemasSchema = StructType(Seq(
     StructField("catalog_name", StringType),
     StructField("db_schema_name", StringType, nullable = false)))
-  private val TablesSchema = StructType(Seq(
+  private val TablesSchemaNoIpc = StructType(Seq(
     StructField("catalog_name", StringType),
     StructField("db_schema_name", StringType),
     StructField("table_name", StringType, nullable = false),
-    StructField("table_type", StringType, nullable = false),
-    StructField("table_schema", BinaryType, nullable = false)))
+    StructField("table_type", StringType, nullable = false)))
+  private val TablesSchemaWithIpc =
+    TablesSchemaNoIpc.add(StructField("table_schema", BinaryType,
+      nullable = false))
 
-  /** The GetFlightInfo-advertised schema for each catalog command. */
-  def schemaIpcFor(command: String): Array[Byte] = command match {
+  /** The GetFlightInfo-advertised schema for each catalog command.
+    * GetTables has the spec's two variants, picked by include_schema. */
+  def schemaIpcFor(command: String,
+      includeSchema: Boolean = false): Array[Byte] = command match {
     case "CommandGetCatalogs" => ArrowResults.schemaIpcBytes(CatalogsSchema)
     case "CommandGetDbSchemas" => ArrowResults.schemaIpcBytes(SchemasSchema)
-    case "CommandGetTables" => ArrowResults.schemaIpcBytes(TablesSchema)
-    case "CommandGetXdbcTypeInfo" => ArrowResults.schemaIpcBytes(XdbcSchema)
-    case "CommandGetSqlInfo" => schemaIpc(sqlInfoArrowSchema)
+    case "CommandGetTables" =>
+      ArrowResults.schemaIpcBytes(
+        if (includeSchema) TablesSchemaWithIpc else TablesSchemaNoIpc)
+    case "CommandGetXdbcTypeInfo" =>
+      ArrowResults.schemaIpcBytes(xdbcArrowSchema)
+    case "CommandGetSqlInfo" =>
+      ArrowResults.schemaIpcBytes(sqlInfoArrowSchema)
     case other => throw new IllegalArgumentException(s"no schema for $other")
   }
 
@@ -69,21 +85,24 @@ object FlightSqlCatalog {
   }
 
   /** Tables + temp views (the registry serves sources as temp views, so
-    * discovery must list them — the agent path's schema search does
-    * too). Spark's TEMPORARY/VIEW types report as "VIEW", persisted
-    * tables as "TABLE"; `table_types` filters on those labels. */
+    * discovery must list them). Temp views have no database in Spark's
+    * catalog — they report under the session's CURRENT database so a
+    * client that browses schema-by-schema (GetDbSchemas → GetTables
+    * per schema) actually finds them. Spark's TEMPORARY/VIEW types
+    * report as "VIEW", persisted tables as "TABLE". */
   def tables(engine: GraftSession, catalog: String, dbPattern: String,
       tablePattern: String, tableTypes: Seq[String], includeSchema: Boolean,
       like: (String, String) => Boolean): Array[Byte] = {
     val spark = engine.spark
     val cat = spark.catalog.currentCatalog()
+    val curDb = spark.catalog.currentDatabase
     val rows =
       if (catalog != null && catalog.nonEmpty && catalog != cat) Array.empty[Row]
       else {
         val listed = spark.catalog.listTables().collect()
         listed
           .map { t =>
-            val db = Option(t.database).getOrElse("")
+            val db = Option(t.database).getOrElse(curDb)
             val tpe =
               if (t.tableType == null || t.isTemporary ||
                 t.tableType.toUpperCase.contains("VIEW")) "VIEW"
@@ -95,34 +114,99 @@ object FlightSqlCatalog {
               (tableTypes.isEmpty || tableTypes.contains(tpe))
           }
           .sortBy { case (db, name, _) => (db, name) }
-          .map { case (db, name, tpe) =>
-            val schemaBytes =
-              if (includeSchema)
-                try ArrowResults.schemaIpcBytes(spark.table(name).schema)
-                catch { case _: Exception => Array.emptyByteArray }
-              else Array.emptyByteArray
-            Row(cat, db, name, tpe, schemaBytes): Row
+          .flatMap { case (db, name, tpe) =>
+            if (!includeSchema) Some(Row(cat, db, name, tpe): Row)
+            else
+              // a row under include_schema=true must carry a VALID
+              // encapsulated IPC Schema — a view that no longer
+              // analyzes is omitted rather than shipped with bytes no
+              // client can deserialize
+              try Some(Row(cat, db, name, tpe,
+                ArrowResults.schemaIpcBytes(spark.table(name).schema)): Row)
+              catch { case _: Exception => None }
           }
       }
-    ArrowResults.toArrowStream(TablesSchema, rows)
+    ArrowResults.toArrowStream(
+      if (includeSchema) TablesSchemaWithIpc else TablesSchemaNoIpc, rows)
   }
 
-  private val XdbcSchema = StructType(Seq(
-    StructField("type_name", StringType, nullable = false),
-    StructField("data_type", IntegerType, nullable = false)))
+  // ------------------------------------------------------ xdbc type info
 
-  /** GetXdbcTypeInfo: the SQL types this edge serves, as (name, JDBC
-    * java.sql.Types code) — the reference ships a 2-row static batch
-    * (flight_sql.rs:836-846); this one covers the full mapped surface.
-    * `dataType` (when set) filters to that code. */
+  /** The spec's full GetXdbcTypeInfo column set. */
+  private def xdbcArrowSchema: ArrowSchema = {
+    def utf8(n: String, nn: Boolean = false) = new Field(n,
+      if (nn) FieldType.notNullable(ArrowType.Utf8.INSTANCE)
+      else FieldType.nullable(ArrowType.Utf8.INSTANCE), null)
+    def i32(n: String, nn: Boolean = false) = new Field(n,
+      if (nn) FieldType.notNullable(new ArrowType.Int(32, true))
+      else FieldType.nullable(new ArrowType.Int(32, true)), null)
+    def bool(n: String) = new Field(n,
+      FieldType.nullable(ArrowType.Bool.INSTANCE), null)
+    val createParams = new Field("create_params",
+      FieldType.nullable(ArrowType.List.INSTANCE),
+      Seq(new Field("item", FieldType.nullable(ArrowType.Utf8.INSTANCE),
+        null)).asJava)
+    new ArrowSchema(Seq(
+      utf8("type_name", nn = true), i32("data_type", nn = true),
+      i32("column_size"), utf8("literal_prefix"), utf8("literal_suffix"),
+      createParams, i32("nullable", nn = true), bool("case_sensitive"),
+      i32("searchable", nn = true), bool("unsigned_attribute"),
+      bool("fixed_prec_scale"), bool("auto_increment"),
+      utf8("local_type_name"), i32("minimum_scale"), i32("maximum_scale"),
+      i32("sql_data_type", nn = true), i32("datetime_subcode"),
+      i32("num_prec_radix"), i32("interval_precision")).asJava)
+  }
+
+  /** The served SQL types as (name, JDBC java.sql.Types code,
+    * column_size, num_prec_radix). */
+  private val XdbcTypes = Seq(
+    ("BOOLEAN", 16, 1, 2), ("SMALLINT", 5, 5, 10), ("INTEGER", 4, 10, 10),
+    ("BIGINT", -5, 19, 10), ("REAL", 7, 7, 10), ("DOUBLE", 8, 15, 10),
+    ("DECIMAL", 3, 38, 10), ("VARCHAR", 12, Int.MaxValue, 0),
+    ("VARBINARY", -3, Int.MaxValue, 0), ("DATE", 91, 10, 0),
+    ("TIMESTAMP", 93, 26, 0))
+
+  /** GetXdbcTypeInfo result, spec-shaped. `dataType` filters to one
+    * JDBC code. searchable = 3 (fully searchable), nullable = 1
+    * (nullable) — the honest answers for every served type. */
   def xdbcTypeInfo(dataType: Option[Int]): Array[Byte] = {
-    val all = Seq(
-      ("BOOLEAN", 16), ("SMALLINT", 5), ("INTEGER", 4), ("BIGINT", -5),
-      ("REAL", 7), ("DOUBLE", 8), ("DECIMAL", 3), ("VARCHAR", 12),
-      ("VARBINARY", -3), ("DATE", 91), ("TIMESTAMP", 93))
-    val rows = all.filter(t => dataType.forall(_ == t._2))
-      .map(t => Row(t._1, t._2): Row).toArray
-    ArrowResults.toArrowStream(XdbcSchema, rows)
+    val rows = XdbcTypes.filter(t => dataType.forall(_ == t._2))
+    val allocator = new RootAllocator(Long.MaxValue)
+    try {
+      val root = VectorSchemaRoot.create(xdbcArrowSchema, allocator)
+      try {
+        root.allocateNew()
+        def vc(n: String) = root.getVector(n).asInstanceOf[VarCharVector]
+        def iv(n: String) =
+          root.getVector(n).asInstanceOf[org.apache.arrow.vector.IntVector]
+        def bv(n: String) =
+          root.getVector(n).asInstanceOf[org.apache.arrow.vector.BitVector]
+        rows.zipWithIndex.foreach { case ((name, code, size, radix), i) =>
+          vc("type_name").setSafe(i, name.getBytes("UTF-8"))
+          iv("data_type").setSafe(i, code)
+          iv("column_size").setSafe(i, size)
+          vc("literal_prefix").setNull(i)
+          vc("literal_suffix").setNull(i)
+          root.getVector("create_params")
+            .asInstanceOf[org.apache.arrow.vector.complex.ListVector].setNull(i)
+          iv("nullable").setSafe(i, 1) // columnNullable
+          bv("case_sensitive").setSafe(i, if (code == 12) 1 else 0)
+          iv("searchable").setSafe(i, 3) // fully searchable
+          bv("unsigned_attribute").setSafe(i, 0)
+          bv("fixed_prec_scale").setSafe(i, if (code == 3) 1 else 0)
+          bv("auto_increment").setSafe(i, 0)
+          vc("local_type_name").setSafe(i, name.getBytes("UTF-8"))
+          iv("minimum_scale").setSafe(i, 0)
+          iv("maximum_scale").setSafe(i, if (code == 3) 38 else 0)
+          iv("sql_data_type").setSafe(i, code)
+          iv("datetime_subcode").setNull(i)
+          iv("num_prec_radix").setSafe(i, radix)
+          iv("interval_precision").setNull(i)
+        }
+        root.setRowCount(rows.length)
+        streamBytes(root)
+      } finally root.close()
+    } finally allocator.close()
   }
 
   // ------------------------------------------------------------ sql_info
@@ -134,7 +218,18 @@ object FlightSqlCatalog {
   private val InfoDriverVersion = 2L
   private val InfoServerReady = 3L
 
+  /** The spec's sql_info value union: [0 string, 1 bool, 2 bigint,
+    * 3 int32_bitmask, 4 string_list, 5 int32_to_int32_list_map]. */
   private def sqlInfoArrowSchema: ArrowSchema = {
+    val mapEntries = new Field("entries",
+      FieldType.notNullable(ArrowType.Struct.INSTANCE),
+      Seq(
+        new Field("key", FieldType.notNullable(new ArrowType.Int(32, true)),
+          null),
+        new Field("value", FieldType.nullable(ArrowType.List.INSTANCE),
+          Seq(new Field("item",
+            FieldType.nullable(new ArrowType.Int(32, true)), null)).asJava)
+      ).asJava)
     val unionChildren = Seq(
       new Field("string_value",
         FieldType.notNullable(ArrowType.Utf8.INSTANCE), null),
@@ -142,14 +237,15 @@ object FlightSqlCatalog {
         FieldType.notNullable(ArrowType.Bool.INSTANCE), null),
       new Field("bigint_value",
         FieldType.notNullable(new ArrowType.Int(64, true)), null),
-      new Field("int32_value",
+      new Field("int32_bitmask",
         FieldType.notNullable(new ArrowType.Int(32, true)), null),
       new Field("string_list",
         FieldType.notNullable(ArrowType.List.INSTANCE),
         Seq(new Field("item",
           FieldType.nullable(ArrowType.Utf8.INSTANCE), null)).asJava),
-      new Field("int32_bitmask",
-        FieldType.notNullable(new ArrowType.Int(32, true)), null))
+      new Field("int32_to_int32_list_map",
+        FieldType.notNullable(new ArrowType.Map(false)),
+        Seq(mapEntries).asJava))
     val union = new Field("value",
       FieldType.nullable(new ArrowType.Union(UnionMode.Dense,
         Array(0, 1, 2, 3, 4, 5))),
@@ -158,14 +254,6 @@ object FlightSqlCatalog {
       new Field("info_name",
         FieldType.notNullable(new ArrowType.Int(32, false)), null),
       union).asJava)
-  }
-
-  private def schemaIpc(schema: ArrowSchema): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(
-      new org.apache.arrow.vector.ipc.WriteChannel(Channels.newChannel(out)),
-      schema)
-    out.toByteArray
   }
 
   /** The GetSqlInfo result: (info_name, dense-union value). Server name
@@ -210,11 +298,15 @@ object FlightSqlCatalog {
         bools.setValueCount(bi)
         union.setValueCount(entries.length)
         root.setRowCount(entries.length)
-        val out = new ByteArrayOutputStream()
-        val writer = new ArrowStreamWriter(root, null, Channels.newChannel(out))
-        writer.start(); writer.writeBatch(); writer.end(); writer.close()
-        out.toByteArray
+        streamBytes(root)
       } finally root.close()
     } finally allocator.close()
+  }
+
+  private def streamBytes(root: VectorSchemaRoot): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+    writer.start(); writer.writeBatch(); writer.end(); writer.close()
+    out.toByteArray
   }
 }

@@ -127,8 +127,14 @@ final class FlightSqlEdge(
             "CommandGetXdbcTypeInfo" =>
           // catalog discovery: the result schema is fixed by the Flight
           // SQL spec; the ticket echoes the command verbatim (reference
-          // get_flight_info_catalogs/schemas/tables, flight_sql.rs:338+)
-          Seq(flightInfo(FlightSqlCatalog.schemaIpcFor(name), cmdBytes))
+          // get_flight_info_catalogs/schemas/tables, flight_sql.rs:338+).
+          // GetTables has two spec schemas — include_schema picks one.
+          val includeSchema = name == "CommandGetTables" &&
+            DynamicMessage.parseFrom(CommandGetTablesD, body)
+              .getField(CommandGetTablesD.findFieldByName("include_schema"))
+              .asInstanceOf[Boolean]
+          Seq(flightInfo(
+            FlightSqlCatalog.schemaIpcFor(name, includeSchema), cmdBytes))
         case other =>
           throw new GrpcStatusException(3, // INVALID_ARGUMENT
             s"unsupported flight command: $other")

@@ -106,6 +106,7 @@ class FlightEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
   import org.sparkproject.spark_core.protobuf.{Any => PAny, ByteString, DynamicMessage}
   import graft.sources.flight.FlightProto._
   import graft.sources.grpc.{GrpcFraming, Http2Grpc}
+  import scala.jdk.CollectionConverters._
 
   private def authHeaders = Seq("authorization" -> "Bearer admin-key")
 
@@ -214,6 +215,29 @@ class FlightEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
           java.nio.channels.Channels.newChannel(
             new java.io.ByteArrayInputStream(schemaV.get(0)))))
       assert(ipcSchema.getFields.size == 3, ipcSchema) // nation's 3 columns
+    }
+    // include_schema=false serves the spec's NO-schema variant: the
+    // table_schema column is absent, not present-but-empty
+    val cmdNoSchema = DynamicMessage.newBuilder(CommandGetTablesD)
+      .setField(CommandGetTablesD.findFieldByName("table_name_filter_pattern"),
+        "nat%")
+      .build()
+    val (advNo, tabNo) = callInfo("CommandGetTables", cmdNoSchema)
+    val advNoSchema = org.apache.arrow.vector.ipc.message.MessageSerializer
+      .deserializeSchema(new org.apache.arrow.vector.ipc.ReadChannel(
+        java.nio.channels.Channels.newChannel(
+          new java.io.ByteArrayInputStream(advNo))))
+    assert(!advNoSchema.getFields.asScala.exists(_.getName == "table_schema"),
+      advNoSchema)
+    withIpc(doGetIpc(tabNo)) { root =>
+      assert(root.getSchema.getFields.asScala.map(_.getName).toSeq ==
+        Seq("catalog_name", "db_schema_name", "table_name", "table_type"))
+      assert(root.getRowCount == 1)
+      // temp views live under the session's current database so a
+      // schema-by-schema browser finds them
+      val dbV = root.getVector("db_schema_name")
+        .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+      assert(new String(dbV.get(0), "UTF-8") == "default")
     }
   }
 
