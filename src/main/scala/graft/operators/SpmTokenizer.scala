@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *      corpus words, scored by corpus occurrence mass;
   *   2. Viterbi-segment every word under the seed scores;
   *   3. refit piece counts from the chosen segmentations (the hard-EM
-  *      M-step; add-one smoothing keeps every transition defined);
+  *      M-step; add-one smoothing keeps every surviving transition
+  *      defined) and PRUNE: a multi-char piece never chosen in round 1
+  *      leaves the model (single chars always stay, so every word
+  *      remains segmentable — the paper's keep-the-alphabet rule);
   *   4. re-segment under the refitted scores — the final model.
   *
   * Distributed shape (100 TB): ONE map-side-combined corpus pass
@@ -121,7 +124,8 @@ object SpmTokenizer {
        |tot2 AS (SELECT CAST(sum(cnt2) AS BIGINT) AS tot FROM base2),
        |sc2 AS MATERIALIZED (SELECT piece, cnt, rc, ${scoreSql("cnt2", "tot")} AS sc
        |        FROM base2 CROSS JOIN tot2),
-       |s2 AS MATERIALIZED (SELECT s.word, s.j, s.k, c.sc FROM sub s JOIN sc2 c USING (piece)),
+       |s2 AS MATERIALIZED (SELECT s.word, s.j, s.k, c.sc FROM sub s JOIN sc2 c USING (piece)
+       |        WHERE c.rc > 0 OR length(c.piece) = 1),
        |${viterbiCtesDuck(2)},
        |npieces AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS np
        |            FROM chosen2 GROUP BY word)""".stripMargin
@@ -255,7 +259,12 @@ object SpmTokenizer {
       .select(col("piece"), col("cnt"), col("rc"),
         expr(scoreSql("cnt2", "tot")).as("sc"))
       .localCheckpoint(false)
-    val s2 = sub.join(sc2.select(col("piece"), col("sc")), "piece")
+    // the prune step (SentencePiece drops the least-useful pieces
+    // between EM rounds): a multi-char piece never chosen in round 1
+    // leaves the final model; single-char pieces always stay so every
+    // word remains segmentable
+    val s2 = sub.join(sc2.select(col("piece"), col("rc"), col("sc")), "piece")
+      .filter(col("rc") > 0 || length(col("piece")) === 1)
       .select(col("word"), col("j"), col("k"), col("sc"))
     val chosen2 = viterbiRound(s2, wf)
     val npieces = chosen2.groupBy(col("word"))

@@ -670,7 +670,12 @@ class OperatorSemanticsSpec extends AnyFunSuite {
   test("spm tokenizer: the engine's Viterbi equals an exact driver-side DP") {
     import graft.operators.SpmTokenizer
     val (sc2, npieces) = SpmTokenizer.modelForTest(spark, sf)
+    // the final model prunes multi-char pieces never chosen in round 1
+    // (single chars always survive) — the reference DP must see the
+    // same transition set
     val scores = sc2.collect()
+      .filter(r => r.getAs[Long]("rc") > 0 ||
+        r.getAs[String]("piece").length == 1)
       .map(r => r.getAs[String]("piece") -> r.getAs[Long]("sc")).toMap
     val np = npieces.collect()
       .map(r => r.getAs[String]("word") -> r.getAs[Long]("np")).toMap
@@ -692,10 +697,13 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       for (k <- 1 to n) {
         var chosenJ = -1
         for (j <- math.max(0, k - SpmTokenizer.PieceMax) until k) {
-          val cand = best(j) + scores(w.substring(j, k))
-          // strictly-greater on ties keeps the SMALLEST j (they are
-          // visited in ascending order) — the engine's (total, -j) rule
-          if (cand > best(k)) { best(k) = cand; chosenJ = j }
+          // pruned pieces are not transitions (single chars always are)
+          scores.get(w.substring(j, k)).foreach { sc =>
+            val cand = best(j) + sc
+            // strictly-greater on ties keeps the SMALLEST j (they are
+            // visited in ascending order) — the engine's (total, -j) rule
+            if (cand > best(k)) { best(k) = cand; chosenJ = j }
+          }
         }
         pieces(k) = pieces(chosenJ) + 1
       }
