@@ -195,6 +195,41 @@ object Analytics {
     },
 
     // Event funnel: per-user ordered step detection via min-timestamp chain.
+    // --------------------------------------------- cohort retention
+    // The classic product-analytics retention matrix: users cohorted by
+    // their first-seen week, counted in every subsequent week they were
+    // active — (cohort_week, week_offset, n_users). Weeks are integer
+    // epoch-day buckets (day div 7), not date_trunc('week'): the
+    // integer form is engine-portable arithmetic with no ISO-week or
+    // locale semantics to disagree on. Scale shape: distinct
+    // (user, week) pairs by map-side-combined aggregate, per-user
+    // cohort as a second aggregate joined back BY KEY (users grow with
+    // the corpus — never broadcast), final count map-side-combined; no
+    // window anywhere.
+    GraftQuery("q_events_retention",
+      """WITH uw AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+        |  FROM events GROUP BY 1, 2),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+        |SELECT c.cohort_week, CAST(u.week - c.cohort_week AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM uw u JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val uw = t(s, dir).events
+        .select(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7 AS BIGINT)")
+            .as("week"))
+        .distinct()
+        .localCheckpoint(false) // feeds the cohort aggregate AND the join
+      val cohort = uw.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).cast("bigint").as("week_offset"))
+        .agg(count(lit(1)).cast("bigint").as("n_users"))
+    },
+
     GraftQuery("q_events_funnel",
       """WITH s AS (
         |  SELECT user_id,
