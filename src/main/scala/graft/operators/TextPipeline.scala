@@ -464,6 +464,39 @@ object TextPipeline {
     },
 
 
+    // ----------------------------------- within-doc duplicate windows
+    // The fineweb/Gopher "duplicated line fraction" signal adapted to
+    // line-less text: the fraction of a document's 3-word sliding
+    // windows that repeat WITHIN the document — template stutter and
+    // copy-paste loops that cross-document dedup never sees. Map-only:
+    // the fused positional gram-hash kernel emits every window's 63-bit
+    // hash and the metric is size vs distinct-size arithmetic on the
+    // row; the oracle re-derives with md5-string grams (equality
+    // structure crosses engines, not hash values).
+    GraftQuery("t_dup_windows",
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(string_split($normSqlDuck, ' ')) - 1),
+         |      i -> md5(array_to_string(string_split($normSqlDuck, ' ')[i : i + 2], ' '))) AS gs
+         |  FROM documents
+         |  WHERE len(string_split($normSqlDuck, ' ')) >= 3)
+         |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_windows,
+         |  CAST(len(gs) - len(list_distinct(gs)) AS BIGINT) AS n_dup_windows,
+         |  round(CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+         |    AS dup_frac
+         |FROM g""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      withNorm(t(s, dir).documents)
+        .filter(size(col("words")) >= 3)
+        .withColumn("gs", expr("graft_gram_pos_hashes(words, 3)"))
+        .select(col("doc_id"),
+          size(col("gs")).cast("bigint").as("n_windows"),
+          (size(col("gs")) - size(array_distinct(col("gs"))))
+            .cast("bigint").as("n_dup_windows"),
+          round((size(col("gs")) - size(array_distinct(col("gs"))))
+            .cast("double") / size(col("gs")), 6).as("dup_frac"))
+    },
+
     // ------------------------------------------ incremental near-dedup
     // The fuzzy twin of d_incremental_dedup: admit a crawl-increment
     // document (doc_id ≥ 250, the same split contract) only if it has
