@@ -194,7 +194,6 @@ object Analytics {
           count(lit(1)).as("n_events"))
     },
 
-    // Event funnel: per-user ordered step detection via min-timestamp chain.
     // --------------------------------------------- cohort retention
     // The classic product-analytics retention matrix: users cohorted by
     // their first-seen week, counted in every subsequent week they were
@@ -230,6 +229,7 @@ object Analytics {
         .agg(count(lit(1)).cast("bigint").as("n_users"))
     },
 
+    // Event funnel: per-user ordered step detection via min-timestamp chain.
     GraftQuery("q_events_funnel",
       """WITH s AS (
         |  SELECT user_id,

@@ -107,23 +107,32 @@ object FlightSqlCatalog {
               if (t.tableType == null || t.isTemporary ||
                 t.tableType.toUpperCase.contains("VIEW")) "VIEW"
               else "TABLE"
-            (db, t.name, tpe)
+            // temp views resolve unqualified; persisted entries resolve
+            // by their qualified name so a same-named temp view can't
+            // shadow them into the wrong embedded schema
+            val resolvable = if (t.isTemporary) t.name else s"$db.${t.name}"
+            (db, t.name, tpe, resolvable)
           }
-          .filter { case (db, name, tpe) =>
+          .filter { case (db, name, tpe, _) =>
             like(db, dbPattern) && like(name, tablePattern) &&
               (tableTypes.isEmpty || tableTypes.contains(tpe))
           }
-          .sortBy { case (db, name, _) => (db, name) }
-          .flatMap { case (db, name, tpe) =>
-            if (!includeSchema) Some(Row(cat, db, name, tpe): Row)
-            else
+          .sortBy { case (db, name, _, _) => (db, name) }
+          .map { case (db, name, tpe, resolvable) =>
+            if (!includeSchema) Row(cat, db, name, tpe): Row
+            else {
               // a row under include_schema=true must carry a VALID
-              // encapsulated IPC Schema — a view that no longer
-              // analyzes is omitted rather than shipped with bytes no
-              // client can deserialize
-              try Some(Row(cat, db, name, tpe,
-                ArrowResults.schemaIpcBytes(spark.table(name).schema)): Row)
-              catch { case _: Exception => None }
+              // encapsulated IPC Schema; an entry that no longer
+              // analyzes ships an EMPTY (zero-field) schema — still
+              // deserializable, and the catalog stays consistent with
+              // the include_schema=false listing
+              val bytes =
+                try ArrowResults.schemaIpcBytes(spark.table(resolvable).schema)
+                catch { case _: Exception =>
+                  ArrowResults.schemaIpcBytes(StructType(Nil))
+                }
+              Row(cat, db, name, tpe, bytes): Row
+            }
           }
       }
     ArrowResults.toArrowStream(
@@ -144,14 +153,18 @@ object FlightSqlCatalog {
       FieldType.nullable(ArrowType.Bool.INSTANCE), null)
     val createParams = new Field("create_params",
       FieldType.nullable(ArrowType.List.INSTANCE),
-      Seq(new Field("item", FieldType.nullable(ArrowType.Utf8.INSTANCE),
+      Seq(new Field("item", FieldType.notNullable(ArrowType.Utf8.INSTANCE),
         null)).asJava)
     new ArrowSchema(Seq(
       utf8("type_name", nn = true), i32("data_type", nn = true),
       i32("column_size"), utf8("literal_prefix"), utf8("literal_suffix"),
-      createParams, i32("nullable", nn = true), bool("case_sensitive"),
+      createParams, i32("nullable", nn = true),
+      new Field("case_sensitive",
+        FieldType.notNullable(ArrowType.Bool.INSTANCE), null),
       i32("searchable", nn = true), bool("unsigned_attribute"),
-      bool("fixed_prec_scale"), bool("auto_increment"),
+      new Field("fixed_prec_scale",
+        FieldType.notNullable(ArrowType.Bool.INSTANCE), null),
+      bool("auto_increment"),
       utf8("local_type_name"), i32("minimum_scale"), i32("maximum_scale"),
       i32("sql_data_type", nn = true), i32("datetime_subcode"),
       i32("num_prec_radix"), i32("interval_precision")).asJava)
