@@ -208,6 +208,45 @@ object Similarity {
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
     },
 
+    // --------------------------------------------------- k-NN self-join
+    // The kNN JOIN: every vector's top-3 nearest neighbors among all the
+    // others — the named operator behind embedding-space dedup sweeps,
+    // label propagation, and graph construction, where every row is both
+    // query and corpus. Exact kNN join is inherently all-pairs; the
+    // honest scale shape is the LSH-bucketed approximation: candidates
+    // share any of the 4 hyperplane band buckets (OR-amplification),
+    // degenerate buckets cap at 200 before the self-join (one
+    // boilerplate bucket must not go quadratic), the (band, bucket)
+    // self-join ships ids only, and the exact-cosine rerank + per-vector
+    // top-3 window runs over the cap-bounded candidate sets — never the
+    // corpus. FULL hash oracle: the plane literals + sequential sign
+    // folds re-derive the buckets, cap, candidates, and ranks exactly
+    // (the s_ann_lsh discipline, with every vector as a query).
+    GraftQuery("s_knn_join", knnJoinOracleSql) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val vecs = t(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val banded = vecs.select(col("vec_id"),
+        posexplode(bandSignatures(col("v"), bands = 4, planesPerBand = 3))
+          .as(Seq("band", "bucket")))
+      val capped = graft.util.Buckets.cap(banded, 200, col("band"), col("bucket"))
+      val cands = capped.select(col("band"), col("bucket"), col("vec_id").as("qid"))
+        .join(capped.select(col("band"), col("bucket"), col("vec_id")),
+          Seq("band", "bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id")).distinct()
+      val qSide = vecs.select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      vecs.join(cands, "vec_id")
+        .join(qSide, "qid")
+        .select(col("qid"), col("vec_id"),
+          cosine(expr(dot("qv", "v")), col("qn") * col("nrm")).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    },
+
     // IVF (inverted-file) ANN — the second scale path beside LSH.
     // Train: k-means centroids on a small deterministic sample, computed
     // driver-side (IVF training is sample-based by design: O(k·sample)
@@ -578,6 +617,48 @@ object Similarity {
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
        |  FROM scored)
        |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 10""".stripMargin
+  }
+
+  /** DuckDB oracle for the kNN self-join: the lshOracleSql machinery
+    * with EVERY vector as a query, the bucket cap re-derived via the
+    * same count-over-window, and top-3 ranks. */
+  private def knnJoinOracleSql: String = {
+    def signLit(b: Int, j: Int): String =
+      planes(b)(j).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+    def dotFold(b: Int, j: Int): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(list_zip(v, ${signLit(b, j)}), p -> p[1] * p[2])), " +
+        "(a, x) -> a + x)"
+    // 3 planes per band (vs the query-probe pipeline's 4): the kNN join
+    // needs recall for EVERY vector, so its buckets are wider
+    def bucket(b: Int): String =
+      (0 until 3).map(j =>
+        s"(CASE WHEN ${dotFold(b, j)} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+    val bandArms = (0 until 4).map(b =>
+      s"SELECT vec_id, $b AS band, ${bucket(b)} AS bucket FROM vecs")
+      .mkString("\n UNION ALL ")
+    s"""WITH vecs AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |norms AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM vecs),
+       |banded AS ($bandArms),
+       |capped AS (SELECT band, bucket, vec_id FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsize FROM banded)
+       |  WHERE bsize <= 200),
+       |cands AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id
+       |  FROM capped c JOIN capped q ON c.band = q.band AND c.bucket = q.bucket
+       |  WHERE q.vec_id <> c.vec_id),
+       |scored AS (SELECT cands.qid, cands.vec_id,
+       |    round(coalesce(list_sum(list_transform(list_zip(q.v, e.v), p -> p[1] * p[2]))
+       |          / nullif(q.nrm * e.nrm, 0), 0), 6) AS cos
+       |  FROM cands JOIN norms e ON cands.vec_id = e.vec_id
+       |  JOIN norms q ON cands.qid = q.vec_id),
+       |ranked AS (SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 3""".stripMargin
   }
 
   /** Array of per-band bucket keys. Band b's key packs `planesPerBand`

@@ -667,6 +667,39 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       s"admitted $id has a near-verbatim blocker $other")
   }
 
+  test("knn join: structure is sound and recall vs brute force is useful") {
+    val out = run("s_knn_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_._1)
+    // every vector appears as a query with at most 3 ranked neighbors,
+    // never itself
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 3 && rows.map(_._3).sorted.toSeq == (1 to rows.length))
+      assert(!rows.exists(_._2 == q), s"$q is its own neighbor")
+    }
+    // brute-force true top-3 per vector; the banded approximation must
+    // find a solid share (deterministic under the fixed planes)
+    val vecs = Tables(spark, sf).embeddings
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val hits = vecs.map { case (q, qv) =>
+      val truth = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+      val got = byQ.getOrElse(q, Array.empty).map(_._2).toSet
+      (truth & got).size
+    }
+    val recall = hits.sum.toDouble / (3 * vecs.length)
+    assert(recall >= 0.5, s"knn-join recall@3 too low: $recall")
+  }
+
   test("spm tokenizer: the engine's Viterbi equals an exact driver-side DP") {
     import graft.operators.SpmTokenizer
     val (sc2, npieces) = SpmTokenizer.modelForTest(spark, sf)

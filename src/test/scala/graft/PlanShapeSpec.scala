@@ -606,6 +606,16 @@ class PlanShapeSpec extends AnyFunSuite {
         s"raw text in a fuzzy-decontamination exchange: $e"))
   }
 
+  test("knn join: candidate exchanges ship ids and bucket keys, never vectors") {
+    val p = plan("s_knn_join")
+    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach(e =>
+      assert(!e.contains("v#") && !e.contains("embedding#") && !e.contains("qv#"),
+        s"vector column in a knn-join exchange key: $e"))
+  }
+
   test("spm tokenizer: the model is checkpointed (no corpus re-scan), " +
       "encode joins by word without a window") {
     val pTrain = plan("t_spm_train")
