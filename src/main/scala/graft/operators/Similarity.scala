@@ -219,7 +219,12 @@ object Similarity {
     // boilerplate bucket must not go quadratic), the (band, bucket)
     // self-join ships ids only, and the exact-cosine rerank + per-vector
     // top-3 window runs over the cap-bounded candidate sets — never the
-    // corpus. FULL hash oracle: the plane literals + sequential sign
+    // corpus. SIZING RULE: planes-per-band is the corpus-size dial —
+    // bucket count is 2^planes per band, so hold expected bucket size
+    // near the cap by using ~log2(N / 64) planes (3 here ≈ 64-vector
+    // buckets at this corpus; a fixed plane count at 1000× the vectors
+    // would either go quadratic uncapped or lose recall to the cap).
+    // FULL hash oracle: the plane literals + sequential sign
     // folds re-derive the buckets, cap, candidates, and ranks exactly
     // (the s_ann_lsh discipline, with every vector as a query).
     GraftQuery("s_knn_join", knnJoinOracleSql) { (s, dir) =>
