@@ -148,6 +148,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pg statement splitter recovers the statements through any " +
+      "quoting/comment noise") {
+    // each generated statement embeds semicolons inside every construct
+    // the scanner must pass through verbatim; joining with ';' and
+    // splitting must recover exactly the original statements
+    val stmt: Gen[String] = Gen.oneOf(
+      Gen.const("SELECT 1"),
+      Gen.alphaNumStr.map(s => s"SELECT '${s.take(6)};x' AS a"),
+      Gen.alphaNumStr.map(s => s"""SELECT 1 AS "c;${s.take(4)}""""),
+      Gen.alphaNumStr.map(s => s"SELECT 2 /* no;te ${s.take(5)} */"),
+      Gen.alphaNumStr.map(s =>
+        "SELECT " + "$$" + "x;y" + s.take(4) + "$$" + " AS d"),
+      Gen.const("SELECT 3 -- tail;comment")
+    )
+    val cases = samples(Gen.nonEmptyListOf(stmt).map(_.take(5)), 120)
+    cases.foreach { sts =>
+      // newline-joined: a line comment runs to end of line in pg too,
+      // so ";\n" is the separator that keeps every statement distinct
+      // (no trailing ';' — after a final line-comment statement it
+      // would be comment CONTENT, not a separator)
+      val joined = sts.mkString(";\n")
+      val got = graft.server.PgWireEdge.splitStatements(joined)
+      assert(got.size == sts.size,
+        s"split ${got.size} != ${sts.size} for: $joined\n got: $got")
+      got.zip(sts).foreach { case (g, s) =>
+        assert(g.trim == s.trim, s"fragment mismatch: '$g' vs '$s'")
+      }
+    }
+    // comment-only and whitespace-only inputs have no statements
+    Seq("", "   ", ";", " ; ; ", "-- just a comment", "/* only */",
+      "/* a */ ; -- b").foreach { s =>
+      assert(graft.server.PgWireEdge.splitStatements(s).isEmpty, s"'$s'")
+    }
+  }
+
   test("scrubber removes every embedded email") {
     val cases = samples(for {
       text <- asciiText
