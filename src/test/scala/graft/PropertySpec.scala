@@ -164,11 +164,11 @@ class PropertySpec extends AnyFunSuite {
     )
     val cases = samples(Gen.nonEmptyListOf(stmt).map(_.take(5)), 120)
     cases.foreach { sts =>
-      // newline-joined: a line comment runs to end of line in pg too,
-      // so ";\n" is the separator that keeps every statement distinct
-      // (no trailing ';' — after a final line-comment statement it
-      // would be comment CONTENT, not a separator)
-      val joined = sts.mkString(";\n")
+      // "\n;"-joined: a line comment runs to end of line in pg too, so
+      // the newline must terminate it BEFORE the separating semicolon —
+      // a ';' on the comment's own line is comment CONTENT, not a
+      // separator (true of this scanner and of real pg alike)
+      val joined = sts.mkString("\n;")
       val got = graft.server.PgWireEdge.splitStatements(joined)
       assert(got.size == sts.size,
         s"split ${got.size} != ${sts.size} for: $joined\n got: $got")
