@@ -252,6 +252,43 @@ object Similarity {
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
     },
 
+    // ------------------------------------ semantic decontamination
+    // The THIRD decontamination modality beside the exact gram join
+    // (d_decontaminate) and MinHash fuzzy matching (d_decontaminate_
+    // fuzzy): train items whose EMBEDDING sits within cosine 0.3 of a
+    // held-out eval item — paraphrased leakage neither lexical check
+    // can see. Same machinery as the kNN join (shared banded candidates,
+    // cap, ids-only exchanges) with eval vectors (vec_id % 10 = 0, the
+    // d_decontaminate split contract) as queries against the train
+    // side; exact-cosine rerank at the d_embed_neardup threshold.
+    // Emits the (train, eval, cos) report a pipeline anti-joins on.
+    // FULL hash oracle via the shared plane-literal folds.
+    GraftQuery("d_decontaminate_semantic", semanticDecontOracleSql) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val vecs = t(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val banded = vecs.select(col("vec_id"),
+        posexplode(bandSignatures(col("v"), bands = 4, planesPerBand = 3))
+          .as(Seq("band", "bucket")))
+      val capped = graft.util.Buckets.cap(banded, 200, col("band"), col("bucket"))
+      val cands = capped.filter(col("vec_id") % 10 === 0)
+          .select(col("band"), col("bucket"), col("vec_id").as("qid"))
+        .join(capped.filter(col("vec_id") % 10 =!= 0)
+          .select(col("band"), col("bucket"), col("vec_id")),
+          Seq("band", "bucket"))
+        .select(col("qid"), col("vec_id")).distinct()
+      val qSide = vecs.select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      vecs.join(cands, "vec_id")
+        .join(qSide, "qid")
+        .select(col("vec_id").as("train_id"), col("qid").as("eval_id"),
+          cosine(expr(dot("qv", "v")), col("qn") * col("nrm")).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy(col("train_id"), col("eval_id"))
+        .limit(500)
+    },
+
     // IVF (inverted-file) ANN — the second scale path beside LSH.
     // Train: k-means centroids on a small deterministic sample, computed
     // driver-side (IVF training is sample-based by design: O(k·sample)
@@ -624,10 +661,12 @@ object Similarity {
        |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 10""".stripMargin
   }
 
-  /** DuckDB oracle for the kNN self-join: the lshOracleSql machinery
-    * with EVERY vector as a query, the bucket cap re-derived via the
-    * same count-over-window, and top-3 ranks. */
-  private def knnJoinOracleSql: String = {
+  /** Shared hyperplane-banded candidate CTEs (vecs/norms/banded/capped
+    * + `cands(qid, vec_id)` under `pairCond`) — ONE definition for the
+    * kNN join and semantic-decontamination oracles, so the plane
+    * folds, bucket packing, and cap cannot drift between them. */
+  private def bandedCandidateCtes(planesPerBand: Int,
+      pairCond: String): String = {
     def signLit(b: Int, j: Int): String =
       planes(b)(j).map(x => if (x > 0) "1.0" else "-1.0")
         .mkString("[", ", ", "]")
@@ -635,16 +674,14 @@ object Similarity {
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"list_transform(list_zip(v, ${signLit(b, j)}), p -> p[1] * p[2])), " +
         "(a, x) -> a + x)"
-    // 3 planes per band (vs the query-probe pipeline's 4): the kNN join
-    // needs recall for EVERY vector, so its buckets are wider
     def bucket(b: Int): String =
-      (0 until 3).map(j =>
+      (0 until planesPerBand).map(j =>
         s"(CASE WHEN ${dotFold(b, j)} > 0 THEN ${1 << j} ELSE 0 END)")
         .mkString(" + ")
     val bandArms = (0 until 4).map(b =>
       s"SELECT vec_id, $b AS band, ${bucket(b)} AS bucket FROM vecs")
       .mkString("\n UNION ALL ")
-    s"""WITH vecs AS (SELECT vec_id,
+    s"""vecs AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |norms AS (SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM vecs),
@@ -654,17 +691,35 @@ object Similarity {
        |  WHERE bsize <= 200),
        |cands AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id
        |  FROM capped c JOIN capped q ON c.band = q.band AND c.bucket = q.bucket
-       |  WHERE q.vec_id <> c.vec_id),
+       |  WHERE $pairCond),
        |scored AS (SELECT cands.qid, cands.vec_id,
        |    round(coalesce(list_sum(list_transform(list_zip(q.v, e.v), p -> p[1] * p[2]))
        |          / nullif(q.nrm * e.nrm, 0), 0), 6) AS cos
        |  FROM cands JOIN norms e ON cands.vec_id = e.vec_id
-       |  JOIN norms q ON cands.qid = q.vec_id),
+       |  JOIN norms q ON cands.qid = q.vec_id)""".stripMargin
+  }
+
+  /** DuckDB oracle for the kNN self-join: the lshOracleSql machinery
+    * with EVERY vector as a query, the bucket cap re-derived via the
+    * same count-over-window, and top-3 ranks. */
+  private def knnJoinOracleSql: String =
+    // 3 planes per band (vs the query-probe pipeline's 4): the kNN join
+    // needs recall for EVERY vector, so its buckets are wider
+    s"""WITH ${bandedCandidateCtes(3, "q.vec_id <> c.vec_id")},
        |ranked AS (SELECT qid, vec_id, cos,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
        |  FROM scored)
        |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 3""".stripMargin
-  }
+
+  /** DuckDB oracle for semantic decontamination: the same banding with
+    * eval vectors (vec_id % 10 = 0) as queries against train vectors,
+    * thresholded. */
+  private def semanticDecontOracleSql: String =
+    s"""WITH ${bandedCandidateCtes(3,
+          "q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0")}
+       |SELECT vec_id AS train_id, qid AS eval_id, cos
+       |FROM scored WHERE cos >= 0.3
+       |ORDER BY train_id, eval_id LIMIT 500""".stripMargin
 
   /** Array of per-band bucket keys. Band b's key packs `planesPerBand`
     * sign bits, bit j = sign of dot(v, plane_{b,j}). */

@@ -700,6 +700,42 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"knn-join recall@3 too low: $recall")
   }
 
+  test("semantic decontamination: exact pairs, split discipline, useful recall") {
+    val rep = run("d_decontaminate_semantic").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rep.nonEmpty)
+    rep.foreach { case (tr, ev, c) =>
+      assert(tr % 10 != 0 && ev % 10 == 0, s"pair ($tr,$ev) ignores the split")
+      assert(c >= 0.3, s"($tr,$ev) below threshold: $c")
+    }
+    // brute-force cross-split pairs at the threshold: everything
+    // reported must be exactly right, and the banded candidates must
+    // recover a solid share (deterministic under the fixed planes)
+    val vecs = Tables(spark, sf).embeddings
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0
+      else math.rint(d / math.sqrt(na) / math.sqrt(nb) * 1e6) / 1e6
+    }
+    rep.foreach { case (tr, ev, c) =>
+      val bf = cos(vecs(tr), vecs(ev))
+      assert(math.abs(bf - c) < 2e-6, s"($tr,$ev): $c vs brute $bf")
+    }
+    val truth = for {
+      (tr, vt) <- vecs.toSeq if tr % 10 != 0
+      (ev, ve) <- vecs.toSeq if ev % 10 == 0
+      if cos(vt, ve) >= 0.3
+    } yield (tr, ev)
+    val found = rep.map(p => (p._1, p._2)).toSet
+    val recall = truth.count(found.contains).toDouble / math.max(1, truth.size)
+    assert(truth.nonEmpty && recall >= 0.5,
+      s"semantic-decon recall too low: $recall of ${truth.size}")
+  }
+
   test("spm tokenizer: the engine's Viterbi equals an exact driver-side DP") {
     import graft.operators.SpmTokenizer
     val (sc2, npieces) = SpmTokenizer.modelForTest(spark, sf)

@@ -606,14 +606,17 @@ class PlanShapeSpec extends AnyFunSuite {
         s"raw text in a fuzzy-decontamination exchange: $e"))
   }
 
-  test("knn join: candidate exchanges ship ids and bucket keys, never vectors") {
-    val p = plan("s_knn_join")
-    val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(exchanges.nonEmpty, p)
-    exchanges.foreach(e =>
-      assert(!e.contains("v#") && !e.contains("embedding#") && !e.contains("qv#"),
-        s"vector column in a knn-join exchange key: $e"))
+  test("knn join + semantic decon: candidate exchanges ship ids and " +
+      "bucket keys, never vectors") {
+    Seq("s_knn_join", "d_decontaminate_semantic").foreach { q =>
+      val p = plan(q)
+      val exchanges = "Arguments: hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(exchanges.nonEmpty, p)
+      exchanges.foreach(e =>
+        assert(!e.contains("v#") && !e.contains("embedding#") && !e.contains("qv#"),
+          s"vector column in a $q exchange key: $e"))
+    }
   }
 
   test("spm tokenizer: the model is checkpointed (no corpus re-scan), " +
