@@ -606,6 +606,15 @@ class PlanShapeSpec extends AnyFunSuite {
         s"raw text in a fuzzy-decontamination exchange: $e"))
   }
 
+  test("knn join: the banded exchange is computed once and reused by " +
+      "both self-join sides") {
+    val df = SparkEntry.queries("s_knn_join")(spark, sf)
+    df.collect() // AQE finalizes exchange reuse at runtime
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"banded self-join recomputes the signature pipeline per side:\n$p")
+  }
+
   test("knn join + semantic decon: candidate exchanges ship ids and " +
       "bucket keys, never vectors") {
     Seq("s_knn_join", "d_decontaminate_semantic").foreach { q =>
