@@ -119,6 +119,56 @@ object Multimodal {
           md5(expr("substring(payload, i*64 + 1, 32)")).as("frame_md5"))
     },
 
+    // Scene-change keyframe selection: per-frame perceptual hashes, and
+    // a frame is a KEYFRAME when its pHash sits ≥ 16 Hamming bits from
+    // the previous frame's (or it is the first) — the video-curation
+    // step that picks which frames of a clip feed a VLM training set,
+    // dropping near-static runs. Per-media work only: the lag window
+    // partitions by asset (≤ 8 frames per partition — bounded by the
+    // sampling grid, never corpus cardinality), and the 8-byte hashes
+    // are the only thing compared. Fully oracled: frame slicing via the
+    // ASCII byte==char identity, the per-frame pHash via the same
+    // re-derivation as m_phash, xor/bit_count for the distance.
+    GraftQuery("m_keyframes",
+      """WITH frames AS (
+        |  SELECT doc_id, i AS frame_idx, substring(text, i*64 + 1, 32) AS fr
+        |  FROM documents, UNNEST([0,1,2,3,4,5,6,7]) AS t(i)
+        |  WHERE i*64 + 32 <= length(text)),
+        |sm AS (SELECT doc_id, frame_idx,
+        |  list_transform(range(0, 63),
+        |    i -> ord(substr(fr, CAST(i * length(fr) // 63 AS INTEGER) + 1, 1))) AS sm
+        |  FROM frames),
+        |ph AS (SELECT doc_id, frame_idx,
+        |  CAST(list_sum(list_transform(range(0, 63),
+        |    i -> CASE WHEN sm[i + 1] * 63 > list_sum(sm)
+        |              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM sm),
+        |lagged AS (SELECT doc_id, frame_idx, h,
+        |    lag(h) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS hp
+        |  FROM ph)
+        |SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(CASE WHEN hp IS NULL THEN NULL
+        |       ELSE bit_count(xor(h, hp)) END AS INT) AS hamming_prev,
+        |  (hp IS NULL OR bit_count(xor(h, hp)) >= 16) AS keyframe
+        |FROM lagged""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+      assets(s, dir)
+        .select(col("asset_id"), col("payload"),
+          octet_length(col("payload")).as("n_bytes"))
+        .select(col("asset_id"), col("payload"),
+          explode(expr(
+            "filter(sequence(0, 7), i -> i*64 + 32 <= n_bytes)")).as("i"))
+        .select(col("asset_id"), col("i").cast("bigint").as("frame_idx"),
+          expr("graft_phash63(substring(payload, i*64 + 1, 32))").as("h"))
+        .withColumn("hp", lag(col("h"), 1).over(w))
+        .select(col("asset_id"), col("frame_idx"),
+          when(col("hp").isNull, lit(null).cast("int"))
+            .otherwise(expr("bit_count(h ^ hp)").cast("int")).as("hamming_prev"),
+          (col("hp").isNull || expr("bit_count(h ^ hp)") >= 16).as("keyframe"))
+    },
+
     // Audio-style windowed energy: slice the opaque payload into fixed
     // 64-byte "sample windows" and compute RMS energy per window — the
     // audio feature-extraction shape (chunk → per-window kernel) with the
