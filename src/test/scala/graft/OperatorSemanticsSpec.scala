@@ -315,6 +315,39 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got == 8, s"kernel count $got")
   }
 
+  test("wordpiece merge table is well-formed; counts bound the pair") {
+    val rows = run("t_wp_train").collect().sortBy(_.getInt(0))
+    assert(rows.length == graft.operators.WpTokenizer.WpSteps)
+    rows.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      // a pair can't occur more often than either constituent symbol
+      assert(r.getLong(4) > 0)
+      assert(r.getLong(4) <= math.min(r.getLong(5), r.getLong(6)),
+        s"pair_count ${r.getLong(4)} exceeds a symbol count")
+    }
+  }
+
+  test("wordpiece argmax is likelihood, not frequency: rare 'qu' beats common 'ab'") {
+    // Corpus where the most FREQUENT pair (a,b: 10 occurrences, score
+    // 10/(20*20)=0.025) loses to the highest-LIKELIHOOD pair (q,u: 3
+    // occurrences but q only ever precedes u, score 3/(3*3)=0.333).
+    // Frequency-scored BPE picks a 10-count pair first; WordPiece must
+    // pick (q,u).
+    import spark.implicits._
+    val words = Seq.fill(10)("ab") ++ Seq.fill(10)("ax") ++
+      Seq.fill(10)("by") ++ Seq.fill(3)("qu")
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w, "en", "t") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("wplik").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val first = SparkEntry.queries("t_wp_train")(spark, dir)
+      .collect().sortBy(_.getInt(0)).head
+    assert(first.getString(1) == "q" && first.getString(2) == "u",
+      s"expected (q,u) first, got (${first.getString(1)},${first.getString(2)})")
+  }
+
   test("an all-zero embedding doesn't crash ANSI division; its cosine is 0") {
     import spark.implicits._
     // vec_id 0 is a query vector with zero norm — under Spark 4's
