@@ -348,6 +348,42 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       s"expected (q,u) first, got (${first.getString(1)},${first.getString(2)})")
   }
 
+  test("z-order layout: manifest covers all rows; both dimensions prune") {
+    val manifest = run("d_zorder_layout").collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val li = Tables(spark, sf).lineitem
+      .select(col("l_partkey").cast("long"), col("l_suppkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(manifest.map(_._1).sum == li.length, "manifest drops rows")
+    val nFiles = manifest.length
+    // data-skipping effectiveness: a one-sixteenth range predicate on
+    // EITHER dimension must overlap well under half the z-ordered files.
+    // A single-column sort layout serves its own column but shreds the
+    // other — computed on the same data as the honest comparison.
+    val (smin, smax) = (li.map(_._2).min, li.map(_._2).max)
+    val (pmin, pmax) = (li.map(_._1).min, li.map(_._1).max)
+    val sHi = smin + math.max((smax - smin) / 16, 1)
+    val pHi = pmin + math.max((pmax - pmin) / 16, 1)
+    val zOverlapS = manifest.count(f => f._4 <= sHi && f._5 >= smin)
+    val zOverlapP = manifest.count(f => f._2 <= pHi && f._3 >= pmin)
+    assert(zOverlapS.toDouble / nFiles < 0.5,
+      s"suppkey range hits $zOverlapS/$nFiles z-files")
+    assert(zOverlapP.toDouble / nFiles < 0.5,
+      s"partkey range hits $zOverlapP/$nFiles z-files")
+    // partkey-sorted layout with the same file count: nearly every file
+    // spans the whole suppkey range, so the suppkey predicate prunes
+    // (almost) nothing
+    val chunk = math.max(li.length / nFiles, 1)
+    val sortedFiles = li.sortBy(_._1).grouped(chunk).toArray
+      .map(c => (c.map(_._2).min, c.map(_._2).max))
+    val sortedOverlapS = sortedFiles.count(f => f._1 <= sHi && f._2 >= smin)
+    assert(sortedOverlapS.toDouble / sortedFiles.length > 0.9,
+      s"expected the sorted layout NOT to prune suppkey: " +
+        s"$sortedOverlapS/${sortedFiles.length}")
+    assert(zOverlapS.toDouble / nFiles <
+      0.5 * sortedOverlapS.toDouble / sortedFiles.length)
+  }
+
   test("an all-zero embedding doesn't crash ANSI division; its cosine is 0") {
     import spark.implicits._
     // vec_id 0 is a query vector with zero norm — under Spark 4's
