@@ -292,6 +292,64 @@ object Extended {
         .filter(expr("graft_fmix63(l_orderkey * 8 + l_linenumber) % 16 = 0"))
         .agg(count(lit(1)).as("n_sampled"),
           graft.util.Exact.dsum(col("l_quantity"), 2).as("sum_qty"))
+    },
+
+    // Fuzzy entity-resolution join (record linkage, Fellegi & Sunter
+    // 1969): find customer records that are digit-typo variants of each
+    // other — blocked candidate generation, then exact edit-distance
+    // verification. Blocking is the banded pigeonhole discipline the
+    // near-dup family uses: the 9-digit id suffix splits into 3
+    // tercets; a pair within 2 substitutions agrees on >=1 tercet, so
+    // each tercet is one equi-join pass and the union has full recall
+    // for <=2-substitution typos. Per-key blocks above 256 rows are
+    // DROPPED (both engines replicate the cap exactly) — the skew guard
+    // that keeps every pass bounded at 100 TB; production sizing widens
+    // the band (more digits per key) as the corpus grows, the
+    // planes-per-band rule. Verification is levenshtein() — the same
+    // Wagner-Fischer distance in Spark and DuckDB — so the pair set
+    // hash-matches. Scale shape: candidate generation is 3 equi-joins
+    // on bounded keys with bounded block sizes; nothing all-pairs.
+    GraftQuery("q_fuzzy_join",
+      """WITH c AS (SELECT c_custkey, c_name, substr(c_name, 10, 9) AS d
+        |           FROM customer),
+        |k AS (SELECT c_custkey, c_name, b.i AS band,
+        |        substr(d, b.i * 3 + 1, 3) AS key
+        |      FROM c CROSS JOIN (VALUES (0), (1), (2)) b(i)),
+        |sz AS (SELECT band, key, count(*) AS n FROM k GROUP BY 1, 2),
+        |kk AS (SELECT k.* FROM k JOIN sz USING (band, key)
+        |       WHERE sz.n <= 256),
+        |cand AS (SELECT DISTINCT a.c_custkey AS a_key, b2.c_custkey AS b_key,
+        |           a.c_name AS a_name, b2.c_name AS b_name
+        |         FROM kk a JOIN kk b2 ON a.band = b2.band
+        |           AND a.key = b2.key AND a.c_custkey < b2.c_custkey)
+        |SELECT a_key, b_key, a_name, b_name,
+        |  CAST(levenshtein(a_name, b_name) AS BIGINT) AS lev
+        |FROM cand WHERE levenshtein(a_name, b_name) <= 2""".stripMargin) { (s, dir) =>
+      val c = t(s, dir).customer
+        .select(col("c_custkey"), col("c_name"),
+          expr("substring(c_name, 10, 9)").as("d"))
+      val k = c
+        .select(col("c_custkey"), col("c_name"),
+          explode(expr("array(0, 1, 2)")).as("band"), col("d"))
+        .select(col("c_custkey"), col("c_name"), col("band"),
+          expr("substring(d, band * 3 + 1, 3)").as("key"))
+      // block-size census: bounded key space (3 bands x 10^3 values) →
+      // broadcast the cap filter, never shuffle the row side for it
+      val sz = k.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("n")).filter(col("n") <= 256)
+        .select(col("band"), col("key"))
+      val kk = k.join(broadcast(sz), Seq("band", "key"))
+      val a = kk.select(col("band"), col("key"),
+        col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+      val b = kk.select(col("band"), col("key"),
+        col("c_custkey").as("b_key"), col("c_name").as("b_name"))
+      a.join(b, Seq("band", "key"))
+        .filter(col("a_key") < col("b_key"))
+        .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"))
+        .distinct()
+        .withColumn("lev",
+          levenshtein(col("a_name"), col("b_name")).cast("bigint"))
+        .filter(col("lev") <= 2)
     }
   )
 

@@ -384,6 +384,37 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       0.5 * sortedOverlapS.toDouble / sortedFiles.length)
   }
 
+  test("fuzzy ER join: full recall for <=2-substitution typos; cap drops skew") {
+    import spark.implicits._
+    // ids chosen so every tercet block stays under the 256 cap; typo
+    // pairs differ in 1 or 2 digit positions, the miss differs in 3
+    val names = Seq(
+      "Customer#123456789", "Customer#123456780", // lev 1 (pos 9)
+      "Customer#223456789",                       // lev 1 vs row0 (pos 1)
+      "Customer#123956719",                       // lev 2 vs row0 (pos 4, 8)
+      "Customer#999956789")                       // lev 3 vs row0 — excluded
+    val dir = java.nio.file.Files.createTempDirectory("fuzzyer").toString
+    names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val pairs = SparkEntry.queries("q_fuzzy_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // every <=2-substitution pair shares >=1 untouched tercet → found
+    assert(pairs.contains((0L, 1L, 1L)), pairs)
+    assert(pairs.contains((0L, 2L, 1L)), pairs)
+    assert(pairs.contains((0L, 3L, 2L)), pairs)
+    assert(!pairs.exists(p => p._1 == 0L && p._2 == 4L),
+      s"lev-3 pair must be filtered: $pairs")
+    // skew guard: a block bigger than the cap contributes no candidates —
+    // 300 identical-suffix records would otherwise be ~45k lev-0 pairs
+    val dir2 = java.nio.file.Files.createTempDirectory("fuzzyskew").toString
+    (0 until 300).map(i => (1000L + i, "Customer#000000000"))
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir2/customer.parquet")
+    val n = SparkEntry.queries("q_fuzzy_join")(spark, dir2).count()
+    assert(n == 0, s"oversized blocks must be dropped, got $n pairs")
+  }
+
   test("an all-zero embedding doesn't crash ANSI division; its cosine is 0") {
     import spark.implicits._
     // vec_id 0 is a query vector with zero norm — under Spark 4's
