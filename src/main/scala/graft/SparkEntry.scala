@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, CorpusOps, Curation, Extended, Layout, Multimodal, Relational, Retrieval, Similarity, SpmTokenizer, Temporal, TextPipeline, Tokenizer, WpTokenizer}
+import graft.operators.{Analytics, CorpusOps, Curation, Extended, Layout, Training, Multimodal, Relational, Retrieval, Similarity, SpmTokenizer, Temporal, TextPipeline, Tokenizer, WpTokenizer}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.defs ++ Analytics.defs ++ Extended.defs ++ Temporal.defs ++
       TextPipeline.defs ++ CorpusOps.defs ++ Curation.defs ++
       Retrieval.defs ++ Tokenizer.defs ++ SpmTokenizer.defs ++
-      WpTokenizer.defs ++ Layout.defs ++
+      WpTokenizer.defs ++ Layout.defs ++ Training.defs ++
       Similarity.defs ++ Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

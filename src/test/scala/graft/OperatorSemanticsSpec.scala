@@ -415,6 +415,29 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(n == 0, s"oversized blocks must be dropped, got $n pairs")
   }
 
+  test("perceptron training reaches zero error on a separable corpus") {
+    import spark.implicits._
+    // en docs are marker-dense, others marker-free and same length —
+    // linearly separable; batch training must reach zero training error
+    // within the step budget with a positive marker weight
+    val en = (0 until 20).map(i =>
+      (i.toLong, "the and of to is in that the and of", "en", "t"))
+    val xx = (0 until 20).map(i =>
+      (100L + i, "foo bar baz qux zap fizz buzz foo bar baz", "de", "t"))
+    val dir = java.nio.file.Files.createTempDirectory("perceptron").toString
+    (en ++ xx).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val steps = SparkEntry.queries("t_train_perceptron")(spark, dir)
+      .collect().sortBy(_.getInt(0))
+    assert(steps.length == graft.operators.Training.Steps)
+    val last = steps.last
+    assert(last.getLong(4) == 0,
+      s"training error ${last.getLong(4)} after ${steps.length} steps: " +
+        steps.map(r => r.getLong(4)).mkString(","))
+    assert(last.getLong(2) > 0, s"marker weight ${last.getLong(2)} not positive")
+  }
+
   test("an all-zero embedding doesn't crash ANSI division; its cosine is 0") {
     import spark.implicits._
     // vec_id 0 is a query vector with zero norm — under Spark 4's
