@@ -628,6 +628,37 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("wordpiece encode is a map-only corpus pass — no exchange, codegen'd") {
+    val p = plan("t_wp_encode")
+    assert(!p.contains("Exchange"), s"wp encode shuffles:\n$p")
+    assert(p.contains("[codegen id :"), s"wp kernel fell out of codegen:\n$p")
+  }
+
+  test("z-order layout: 1-row min/max broadcast, one manifest exchange") {
+    val p = plan("d_zorder_layout")
+    // the corpus side shuffles exactly once (the bounded file-id
+    // aggregate); the min/max side is its own 1-row aggregate broadcast
+    // through a nested-loop cross — the row side never sorts or
+    // repartitions for the interleave
+    // one hashpartitioning shuffle total (the manifest aggregate); the
+    // min/max side collapses to a SinglePartition 1-row aggregate
+    val shuffles = "Arguments: hashpartitioning\\(".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected only the manifest exchange, got $shuffles:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Sort "), s"layout op must not globally sort:\n$p")
+    // partial aggregation runs before the manifest exchange (map-side
+    // combine on the bounded file id)
+    assert("HashAggregate[\\s\\S]*Exchange \\(\\d+\\)[\\s\\S]*HashAggregate".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("fuzzy ER join: equi-joins only — blocking means no cartesian pass") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), s"fuzzy join went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join has a non-equi join:\n$p")
+  }
+
   test("spm tokenizer: the model is checkpointed (no corpus re-scan), " +
       "encode joins by word without a window") {
     val pTrain = plan("t_spm_train")
