@@ -216,6 +216,46 @@ final case class ByteEnergy(child: Expression, center: Double)
     copy(child = newChild)
 }
 
+/** Integer energy of a binary chunk: Σ (b_i - center)² as a BIGINT —
+  * the exact-arithmetic sibling of [[ByteEnergy]] for operators whose
+  * cross-engine contract THRESHOLDS the energy (`m_audio_vad`): a
+  * voiced/unvoiced decision on a double rms is one summation-order ULP
+  * away from flipping, on an integer sum it cannot. Empty chunk → 0. */
+final case class ByteSsq(child: Expression, center: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    var acc = 0L
+    var i = 0
+    while (i < b.length) {
+      val d = (b(i) & 0xff) - center
+      acc += d.toLong * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  long $d = ($b[$i] & 0xff) - $center;
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSsq =
+    copy(child = newChild)
+}
+
 /** `target` evenly spaced bytes of a binary payload: output[i] =
   * payload[⌊i·n/target⌋] — the resize-stub kernel of `m_resize`, fused
   * into one codegen'd loop so the whole pipeline stays inside whole-stage

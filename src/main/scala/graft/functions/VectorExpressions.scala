@@ -795,6 +795,8 @@ object VectorFunctions {
       es => WinnowFingerprint(es.head, k = 8, w = 16), "built-in")
     reg.createOrReplaceTempFunction("graft_byte_energy",
       es => ByteEnergy(es.head, center = 96.0), "built-in")
+    reg.createOrReplaceTempFunction("graft_byte_ssq",
+      es => ByteSsq(es.head, center = 96), "built-in")
     reg.createOrReplaceTempFunction("graft_byte_sample",
       es => ByteSample(es.head, target = 16), "built-in")
     reg.createOrReplaceTempFunction("graft_phash63",

@@ -438,6 +438,22 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(last.getLong(2) > 0, s"marker weight ${last.getLong(2)} not positive")
   }
 
+  test("audio VAD segments by hand: V V U V -> 2 segments, longest 2") {
+    import spark.implicits._
+    // '0' (48) deviates 48 from the center 96 → ssq 64·48² = 147456 >
+    // 57000 (voiced); 'z' (122) deviates 26 → 43264 (unvoiced)
+    val text = "0" * 128 + "z" * 64 + "0" * 64
+    val dir = java.nio.file.Files.createTempDirectory("vad").toString
+    Seq((1L, text, "en", "t")).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("m_audio_vad")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      == ((4L, 3L, 2L, 2L)), row.toSeq)
+  }
+
   test("an all-zero embedding doesn't crash ANSI division; its cosine is 0") {
     import spark.implicits._
     // vec_id 0 is a query vector with zero norm — under Spark 4's
