@@ -20,6 +20,36 @@ object Extended {
       names: String*) =
     graft.GraftQuery.sqlOn(s, names.map(n => n -> t(s, dir).load(n)).toMap, sql)
 
+  /** α_512·m²·2^55 as one exact integer: 1846528·2^73 (the reduced
+    * rational of 0.7213/(1+1.079/512), numerator side). */
+  private val HllNum = "17439963873760640474311294976"
+
+  /** DuckDB re-derivation of the q_hll_portable sketch: same fmix63
+    * basis (HUGEINT staging), same bucket/rho split, same integer-scaled
+    * estimate — every column hash-comparable. */
+  private def hllOracle: String = {
+    val (ctes, last) =
+      SketchOracleSql.fmixScalarCtes("f", "d", "l_returnflag", "k")
+    s"""WITH d AS (SELECT l_returnflag, CAST(l_partkey AS HUGEINT) AS k FROM lineitem),
+       |$ctes,
+       |b AS (SELECT l_returnflag, fh >> 54 AS bucket,
+       |  CASE WHEN (fh & ((CAST(1 AS BIGINT) << 54) - 1)) = 0 THEN 55
+       |       ELSE 55 - length(bin(fh & ((CAST(1 AS BIGINT) << 54) - 1))) END AS rho
+       |  FROM $last),
+       |r AS (SELECT l_returnflag, bucket, max(rho) AS reg FROM b GROUP BY 1, 2),
+       |g AS (SELECT l_returnflag, count(*) AS v_buckets,
+       |  sum(CAST(CAST(1 AS BIGINT) << (55 - reg) AS HUGEINT)) AS s_part,
+       |  CAST(sum((bucket + 1) * reg) AS BIGINT) AS reg_checksum FROM r GROUP BY 1),
+       |e AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+       |  FROM lineitem GROUP BY 1)
+       |SELECT g.l_returnflag, v_buckets,
+       |  CAST(CAST('$HllNum' AS HUGEINT) // (2565395 *
+       |    ((512 - v_buckets) * CAST(36028797018963968 AS HUGEINT) + s_part)) AS BIGINT)
+       |    AS hll_estimate,
+       |  reg_checksum, exact_parts
+       |FROM g JOIN e USING (l_returnflag)""".stripMargin
+  }
+
   val defs: Seq[GraftQuery] = Seq(
 
     // Multiset semantics (INTERSECT ALL / EXCEPT ALL) — beyond the
@@ -187,6 +217,66 @@ object Extended {
         .groupBy(col("l_returnflag")).agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           count(lit(1)).as("exact_parts"))
+    },
+
+    // Portable HyperLogLog (Flajolet-Fuchs-Gandouet-Meunier 2007) — the
+    // hash-ORACLED twin of q_approx_distinct. Spark's own HLL++ sketch is
+    // engine-internal; this one is built on the portable basis hash, so
+    // DuckDB re-derives the ENTIRE sketch — registers, checksum, and the
+    // estimate itself — bit-for-bit, turning the cardinality sketch from
+    // rows-only into driver-hash-verified.
+    //
+    // Construction (p=9, m=512 registers): bucket = top 9 bits of
+    // fmix63(key); rho = leading-zero rank of the remaining 54 bits + 1
+    // (computed as 55 - bitlength, exact in both engines via the binary
+    // string length — float log2 would misround near powers of two);
+    // register = max(rho) per bucket. `groupBy(bucket).max(rho)` IS the
+    // HLL merge operator expressed relationally — duplicate-insensitive,
+    // associative, map-side combined by Catalyst — so the same plan that
+    // computes the sketch on 32 partitions computes it on 32k, and
+    // partial sketches from different clusters union by the same max.
+    //
+    // The estimate stays in INTEGER arithmetic end to end: the harmonic
+    // denominator Σ 2^-reg is scaled by 2^55 so every term is an exact
+    // integer (empty buckets contribute 2^55 each; max Σ = 512·2^55 =
+    // 2^64, inside DECIMAL(38,0)/HUGEINT), and α_512·m² = 1846528/2565395
+    // ·2^18 rides as one exact rational: E = (1846528·2^73) div
+    // (2565395·S). No float ever forms, so the estimate hash-matches
+    // across engines — the usual reason sketch estimates can't be oracled.
+    // E overflows BIGINT only past ~4e18 true distincts (not reachable).
+    // Contract: E is the RAW estimator, accurate for n > 2.5m = 1280
+    // (true at the gate's sf0.01 and above); below that a consumer applies
+    // linear counting m·ln(m/(m-V)) from the V column — transcendental,
+    // so it stays client-side. exact_parts is the verification twin (a
+    // real distinct count; at 100 TB a user drops it and keeps the
+    // one-pass sketch). Scale shape: one map-side-combined shuffle of
+    // (flag, bucket) pairs — ≤ m groups per flag — then a 3-row join.
+    GraftQuery("q_hll_portable", hllOracle) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val li = t(s, dir).lineitem
+      val regs = li
+        .select(col("l_returnflag"), expr("graft_fmix63(l_partkey)").as("h"))
+        .select(col("l_returnflag"),
+          expr("shiftright(h, 54)").as("bucket"),
+          expr("h & ((CAST(1 AS BIGINT) << 54) - 1)").as("w"))
+        .select(col("l_returnflag"), col("bucket"),
+          expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(conv(w, 10, 2)) END")
+            .as("rho"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(max(col("rho")).as("reg"))
+      val sketch = regs.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("v_buckets"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 55 - reg) AS DECIMAL(38,0))"))
+          .as("s_part"),
+        sum(expr("(bucket + 1) * reg")).as("reg_checksum"))
+      val est = sketch.select(col("l_returnflag"), col("v_buckets"),
+        expr(s"CAST('$HllNum' AS DECIMAL(38,0)) div (2565395 * " +
+          "((512 - v_buckets) * CAST(36028797018963968 AS DECIMAL(38,0)) + s_part))")
+          .as("hll_estimate"),
+        col("reg_checksum"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      est.join(exact, "l_returnflag")
     },
 
     // TABLESAMPLE via hash-based deterministic sampling: keep rows whose

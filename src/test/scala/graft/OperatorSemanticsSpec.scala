@@ -962,4 +962,40 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     val b = graft.operators.Multimodal.decodeStub(1L, payload).getLong(3)
     (a, b)
   }
+
+  test("portable HLL estimate lands within theory bounds of the exact count") {
+    // raw-regime check at sf0.01: n = 2000 distinct parts per flag >
+    // 2.5m = 1280, where the raw estimator applies. 1σ = 1.04/sqrt(512)
+    // = 4.6%; assert 3σ.
+    val rows = SparkEntry.queries("q_hll_portable")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("hll_estimate").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(exact > 2.5 * 512, s"accuracy probe needs the raw regime, n=$exact")
+      assert(math.abs(est - exact) / exact < 0.14,
+        s"estimate $est vs exact $exact")
+    }
+  }
+
+  test("portable HLL registers merge: sharded max-union equals the one-pass sketch") {
+    // the 100 TB property: sketches built on disjoint shards combine by
+    // per-bucket max into exactly the single-pass sketch. Recompute
+    // driver-side from first principles on a small key set.
+    def reg(keys: Seq[Long]): Map[Long, Int] =
+      keys.foldLeft(Map.empty[Long, Int]) { (m, k) =>
+        val h = graft.functions.PortableHash.fmix64(k) >>> 1
+        val b = h >>> 54
+        val w = h & ((1L << 54) - 1)
+        val rho = if (w == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        m.updated(b, math.max(m.getOrElse(b, 0), rho))
+      }
+    val keys = (1L to 5000L)
+    val whole = reg(keys)
+    val (l, rgt) = keys.partition(_ % 2 == 0)
+    val merged = (reg(l).toSeq ++ reg(rgt).toSeq)
+      .groupBy(_._1).map { case (b, vs) => b -> vs.map(_._2).max }
+    assert(merged == whole)
+  }
 }
