@@ -61,15 +61,20 @@ object Layout {
   }
 
   private def manifestSelect(spark: Boolean): String = {
+    // stage the two cell normalizations in a derived relation so the 32
+    // interleave terms read plain columns — inlining the division into
+    // every term would re-evaluate it 16× per dimension per row in an
+    // engine without cross-term CSE, and balloon the SQL text to match
     val pc = cellExpr("l_partkey", "pmin", "pmax", spark)
     val sc = cellExpr("l_suppkey", "smin", "smax", spark)
-    val z = zExpr(pc, sc, spark)
+    val z = zExpr("pc", "sc", spark)
     val shr = if (spark) s"shiftright($z, 22)" else s"($z >> 22)"
     s"""SELECT $shr AS file_id,
        |  CAST(count(*) AS BIGINT) AS n_rows,
        |  min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey,
        |  min(l_suppkey) AS min_suppkey, max(l_suppkey) AS max_suppkey
-       |FROM li CROSS JOIN mm
+       |FROM (SELECT l_partkey, l_suppkey, $pc AS pc, $sc AS sc
+       |      FROM li CROSS JOIN mm) cells
        |GROUP BY 1""".stripMargin
   }
 

@@ -24,6 +24,31 @@ object Multimodal {
 
   /** Synthesize a binary payload column from the documents table (the
     * container ships no media files); downstream treats it as opaque. */
+  /** The VAD segment-merge contract — ONE definition interpolated into
+    * BOTH engines' SQL (src = the windowed-ssq relation: the oracle's
+    * `e` CTE / the Spark `{e}` view), so the voicing threshold and the
+    * run/segment logic cannot drift between the twins. */
+  private def vadSegmentSql(src: String): String =
+    s"""v AS (SELECT doc_id, win_idx, (ssq > 57000) AS voiced FROM $src),
+       |r AS (SELECT doc_id, win_idx, voiced,
+       |        CASE WHEN voiced AND NOT coalesce(lag(voiced) OVER
+       |            (PARTITION BY doc_id ORDER BY win_idx), FALSE)
+       |          THEN 1 ELSE 0 END AS seg_start FROM v),
+       |rr AS (SELECT doc_id, voiced,
+       |         sum(seg_start) OVER (PARTITION BY doc_id ORDER BY win_idx) AS run_id
+       |       FROM r),
+       |runs AS (SELECT doc_id, run_id, count(*) AS run_len FROM rr
+       |         WHERE voiced GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |          CAST(count(CASE WHEN voiced THEN 1 END) AS BIGINT) AS n_voiced
+       |        FROM v GROUP BY 1),
+       |seg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+       |          CAST(max(run_len) AS BIGINT) AS max_run FROM runs GROUP BY 1)
+       |SELECT agg.doc_id, n_windows, n_voiced,
+       |  coalesce(n_segments, CAST(0 AS BIGINT)) AS n_segments,
+       |  coalesce(max_run, CAST(0 AS BIGINT)) AS max_run
+       |FROM agg LEFT JOIN seg USING (doc_id)""".stripMargin
+
   private def assets(s: SparkSession, dir: String): DataFrame =
     t(s, dir).documents.select(
       col("doc_id").as("asset_id"),
@@ -208,35 +233,17 @@ object Multimodal {
     // from lag + running-sum windows PARTITIONED BY asset (≤16 rows per
     // partition by construction — bounded, the q_events_sessions shape).
     GraftQuery("m_audio_vad",
-      """WITH win AS (
-        |  SELECT doc_id, i AS win_idx,
-        |    substring(text, CAST(i*64 + 1 AS BIGINT), 64) AS chunk
-        |  FROM documents, UNNEST(range(0, 16)) AS t(i)
-        |  WHERE i*64 + 64 <= length(text)),
-        |pos AS (SELECT doc_id, win_idx, chunk, unnest(range(1, 65)) AS p FROM win),
-        |e AS (SELECT doc_id, win_idx,
-        |        CAST(sum((ord(substr(chunk, p, 1)) - 96)
-        |          * (ord(substr(chunk, p, 1)) - 96)) AS BIGINT) AS ssq
-        |      FROM pos GROUP BY 1, 2),
-        |v AS (SELECT doc_id, win_idx, (ssq > 57000) AS voiced FROM e),
-        |r AS (SELECT doc_id, win_idx, voiced,
-        |        CASE WHEN voiced AND NOT coalesce(lag(voiced) OVER
-        |            (PARTITION BY doc_id ORDER BY win_idx), FALSE)
-        |          THEN 1 ELSE 0 END AS seg_start FROM v),
-        |rr AS (SELECT doc_id, voiced,
-        |         sum(seg_start) OVER (PARTITION BY doc_id ORDER BY win_idx) AS run_id
-        |       FROM r),
-        |runs AS (SELECT doc_id, run_id, count(*) AS run_len FROM rr
-        |         WHERE voiced GROUP BY 1, 2),
-        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
-        |          CAST(count(CASE WHEN voiced THEN 1 END) AS BIGINT) AS n_voiced
-        |        FROM v GROUP BY 1),
-        |seg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
-        |          CAST(max(run_len) AS BIGINT) AS max_run FROM runs GROUP BY 1)
-        |SELECT agg.doc_id, n_windows, n_voiced,
-        |  coalesce(n_segments, CAST(0 AS BIGINT)) AS n_segments,
-        |  coalesce(max_run, CAST(0 AS BIGINT)) AS max_run
-        |FROM agg LEFT JOIN seg USING (doc_id)""".stripMargin) { (s, dir) =>
+      s"""WITH win AS (
+         |  SELECT doc_id, i AS win_idx,
+         |    substring(text, CAST(i*64 + 1 AS BIGINT), 64) AS chunk
+         |  FROM documents, UNNEST(range(0, 16)) AS t(i)
+         |  WHERE i*64 + 64 <= length(text)),
+         |pos AS (SELECT doc_id, win_idx, chunk, unnest(range(1, 65)) AS p FROM win),
+         |e AS (SELECT doc_id, win_idx,
+         |        CAST(sum((ord(substr(chunk, p, 1)) - 96)
+         |          * (ord(substr(chunk, p, 1)) - 96)) AS BIGINT) AS ssq
+         |      FROM pos GROUP BY 1, 2),
+         |${vadSegmentSql("e")}""".stripMargin) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val e = assets(s, dir)
         .select(col("asset_id").as("doc_id"), col("payload"),
@@ -248,25 +255,7 @@ object Multimodal {
           expr("graft_byte_ssq(substring(payload, win_idx*64 + 1, 64))")
             .as("ssq"))
       graft.GraftQuery.sqlOn(s, Map("e" -> e),
-        """WITH v AS (SELECT doc_id, win_idx, (ssq > 57000) AS voiced FROM {e}),
-          |r AS (SELECT doc_id, win_idx, voiced,
-          |        CASE WHEN voiced AND NOT coalesce(lag(voiced) OVER
-          |            (PARTITION BY doc_id ORDER BY win_idx), FALSE)
-          |          THEN 1 ELSE 0 END AS seg_start FROM v),
-          |rr AS (SELECT doc_id, voiced,
-          |         sum(seg_start) OVER (PARTITION BY doc_id ORDER BY win_idx) AS run_id
-          |       FROM r),
-          |runs AS (SELECT doc_id, run_id, count(*) AS run_len FROM rr
-          |         WHERE voiced GROUP BY 1, 2),
-          |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
-          |          CAST(count(CASE WHEN voiced THEN 1 END) AS BIGINT) AS n_voiced
-          |        FROM v GROUP BY 1),
-          |seg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
-          |          CAST(max(run_len) AS BIGINT) AS max_run FROM runs GROUP BY 1)
-          |SELECT agg.doc_id, n_windows, n_voiced,
-          |  coalesce(n_segments, CAST(0 AS BIGINT)) AS n_segments,
-          |  coalesce(max_run, CAST(0 AS BIGINT)) AS max_run
-          |FROM agg LEFT JOIN seg USING (doc_id)""".stripMargin)
+        "WITH " + vadSegmentSql("{e}"))
     },
 
     // Resize: downsample each payload to a fixed-size thumbnail by evenly

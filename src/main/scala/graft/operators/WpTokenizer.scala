@@ -46,55 +46,23 @@ object WpTokenizer {
   private val scoreSql =
     "CAST(c AS DOUBLE) / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))"
 
-  /** Greedy merge fold over a `seg` column with the chosen pair as
-    * columns (w1, w2) — identical to the BPE fold (one algorithm, two
-    * training objectives). */
-  private def mergeFoldSpark: String =
-    """CASE WHEN size(split(seg, ' ')) < 2 THEN seg ELSE
-      |  aggregate(slice(split(seg, ' '), 2, size(split(seg, ' ')) - 1),
-      |    element_at(split(seg, ' '), 1), (acc, x) ->
-      |    CASE WHEN x = w2 AND (acc = w1 OR right(acc, length(w1) + 1) = concat(' ', w1))
-      |         THEN concat(left(acc, length(acc) - length(w1)), w1, w2)
-      |         ELSE concat(acc, ' ', x) END) END""".stripMargin
-
   /** Shared CTE chain `w, wf0, (sym/sc/px/pc/best/wf)×steps` ending in
     * `wf$WpSteps(word, freq, seg)` — reused by the train and encode
-    * oracles. Differs from the BPE chain by the per-step symbol-count
-    * CTE and the likelihood-scored argmax. */
-  private def wpCtes: String = {
-    val norm = TextPipeline.normSqlDuck
-    val ctes = scala.collection.mutable.ArrayBuffer(
-      s"""w AS (SELECT unnest(string_split($norm, ' ')) AS word FROM documents),
-         |wf0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
-         |  array_to_string(string_split(word, ''), ' ') || ' _' AS seg
-         |  FROM w WHERE word <> '' GROUP BY word)""".stripMargin)
-    for (i <- 1 to WpSteps) {
-      val p = i - 1
-      ctes += s"""sym$i AS (SELECT freq, string_split(seg, ' ') AS sym FROM wf$p),
-         |sc$i AS (SELECT s AS w, CAST(sum(freq) AS BIGINT) AS c
-         |         FROM (SELECT freq, unnest(sym) AS s FROM sym$i) GROUP BY 1),
-         |px$i AS (SELECT freq, sym, unnest(range(1, len(sym))) AS j
-         |         FROM sym$i WHERE len(sym) >= 2),
-         |pc$i AS (SELECT sym[j] AS w1, sym[j + 1] AS w2,
-         |           CAST(sum(freq) AS BIGINT) AS c
-         |         FROM px$i GROUP BY 1, 2),
-         |best$i AS (SELECT * FROM (
-         |           SELECT p.w1 AS w1, p.w2 AS w2, p.c AS c,
-         |                  a.c AS c1, b.c AS c2
-         |           FROM pc$i p JOIN sc$i a ON a.w = p.w1
-         |                       JOIN sc$i b ON b.w = p.w2) s$i
-         |         ORDER BY $scoreSql DESC, w1, w2 LIMIT 1),
-         |wf$i AS (SELECT word, freq,
-         |  CASE WHEN b.w1 IS NULL OR len(string_split(seg, ' ')) < 2 THEN seg ELSE
-         |    list_reduce(string_split(seg, ' '), (acc, x) ->
-         |      CASE WHEN x = b.w2 AND (acc = b.w1 OR
-         |             right(acc, length(b.w1) + 1) = ' ' || b.w1)
-         |           THEN left(acc, length(acc) - length(b.w1)) || b.w1 || b.w2
-         |           ELSE acc || ' ' || x END) END AS seg
-         |  FROM wf$p LEFT JOIN best$i b ON TRUE)""".stripMargin
-    }
-    ctes.mkString(",\n")
-  }
+    * oracles. The chain's machinery (corpus pass, pair counts, greedy
+    * re-segmentation) lives in [[Subword]]; WordPiece contributes the
+    * per-step symbol-count CTE and the likelihood-scored argmax. */
+  private def wpCtes: String =
+    (Subword.wordFreqCte +: (1 to WpSteps).map { i =>
+      Subword.stepCtes(i,
+        s"""sc$i AS (SELECT s AS w, CAST(sum(freq) AS BIGINT) AS c
+           |         FROM (SELECT freq, unnest(sym) AS s FROM sym$i) GROUP BY 1),
+           |best$i AS (SELECT * FROM (
+           |           SELECT p.w1 AS w1, p.w2 AS w2, p.c AS c,
+           |                  a.c AS c1, b.c AS c2
+           |           FROM pc$i p JOIN sc$i a ON a.w = p.w1
+           |                       JOIN sc$i b ON b.w = p.w2) s$i
+           |         ORDER BY $scoreSql DESC, w1, w2 LIMIT 1)""".stripMargin)
+    }).mkString(",\n")
 
   private def wpTrainOracle: String = {
     val arms = (1 to WpSteps).map(i =>
@@ -105,27 +73,14 @@ object WpTokenizer {
   }
 
   private def wpEncodeOracle: String =
-    s"""WITH $wpCtes,
-       |docw AS (SELECT doc_id, unnest(string_split(${TextPipeline.normSqlDuck}, ' ')) AS word
-       |         FROM documents),
-       |dw AS (SELECT doc_id, word FROM docw WHERE word <> '')
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-       |  CAST(sum(len(string_split(f.seg, ' '))) AS BIGINT) AS n_wp_tokens
-       |FROM dw JOIN wf$WpSteps f USING (word)
-       |GROUP BY doc_id""".stripMargin
+    Subword.encodeOracle(wpCtes, WpSteps, "n_wp_tokens")
 
-  /** Per-(session, corpus-dir) training memo — the [[Tokenizer]]
-    * discipline: train and encode share one run; weak on the session. */
-  private val trained = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[
-      String, Seq[(Int, String, String, Long, Long, Long)]]]())
+  private val trained =
+    new Subword.TrainMemo[Seq[(Int, String, String, Long, Long, Long)]]
 
   private def trainWp(s: SparkSession,
-      dir: String): Seq[(Int, String, String, Long, Long, Long)] = {
-    val per = trained.computeIfAbsent(s,
-      _ => scala.collection.concurrent.TrieMap.empty)
-    per.getOrElseUpdate(dir, trainWpUncached(s, dir))
-  }
+      dir: String): Seq[(Int, String, String, Long, Long, Long)] =
+    trained.getOrElseUpdate(s, dir)(trainWpUncached(s, dir))
 
   /** Driver-side training loop over vocabulary-sized intermediates:
     * one corpus pass builds the word-frequency table; each of the
@@ -133,30 +88,16 @@ object WpTokenizer {
     * broadcast-joins them, and takes the likelihood-argmax pair. */
   private def trainWpUncached(s: SparkSession,
       dir: String): Seq[(Int, String, String, Long, Long, Long)] = {
-    var wf = TextPipeline.withNorm(t(s, dir).documents)
-      .select(explode(col("words")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).cast("bigint").as("freq"))
-      .withColumn("seg",
-        expr("concat(concat_ws(' ', split(word, '')), ' _')"))
-      .localCheckpoint(false)
+    var wf = Subword.wordFreqSeg(s, dir)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long, Long)]
     for (step <- 1 to WpSteps) {
-      val sym = wf.select(col("freq"), split(col("seg"), " ").as("sym"))
       // symbol counts with multiplicity — the unigram denominators
-      val sc = sym.select(col("freq"), explode(col("sym")).as("sw"))
+      val sc = wf.select(col("freq"), split(col("seg"), " ").as("sym"))
+        .select(col("freq"), explode(col("sym")).as("sw"))
         .groupBy(col("sw")).agg(sum(col("freq")).cast("bigint").as("scnt"))
-      val pairs = sym
-        .filter(size(col("sym")) >= 2)
-        .select(col("freq"),
-          col("sym"), explode(expr("sequence(1, size(sym) - 1)")).as("j"))
-        .select(col("freq"), expr("sym[j - 1]").as("w1"),
-          expr("sym[j]").as("w2"))
-        .groupBy(col("w1"), col("w2"))
-        .agg(sum(col("freq")).cast("bigint").as("c"))
       // symbol counts are vocabulary-sized → broadcast both joins
-      val scored = pairs
+      val scored = Subword.pairCounts(wf)
         .join(broadcast(sc), col("w1") === col("sw"))
         .drop("sw").withColumnRenamed("scnt", "c1")
         .join(broadcast(sc.withColumnRenamed("scnt", "scnt2")),
@@ -169,11 +110,7 @@ object WpTokenizer {
         val r = best(0)
         val (w1, w2) = (r.getString(0), r.getString(1))
         merges += ((step, w1, w2, r.getLong(2), r.getLong(3), r.getLong(4)))
-        wf = wf
-          .withColumn("w1", lit(w1)).withColumn("w2", lit(w2))
-          .withColumn("seg2", expr(mergeFoldSpark))
-          .select(col("word"), col("freq"), col("seg2").as("seg"))
-          .localCheckpoint(false)
+        wf = Subword.applyMerge(wf, w1, w2)
       }
     }
     merges.toSeq
