@@ -259,6 +259,58 @@ object Curation {
             col("src_avg_chars"))
     },
 
+    // ------------------------------------------- source frequency cap
+    // Per-source document cap (the RefinedWeb/C4 "domain frequency"
+    // guard: no single domain may dominate the corpus): keep the cap=10
+    // docs per source with the smallest md5 rank key — deterministic,
+    // order-free, reproducible by any engine. The rank is the
+    // d_token_budget_sample two-level prefix count, NEVER a row_number
+    // window over the bare source (a mega-domain would serialize one
+    // partition at 100 TB): bucket = first 2 hex chars of the rank key,
+    // per-(source, bucket) doc counts make a ≤ 256·n_sources relation
+    // whose tiny window yields bucket offsets, and the within-bucket
+    // running count (windows over ~1/256 of a source) completes the
+    // exact global rank because the bucket id is a PREFIX of the rank
+    // key. Selection `rank <= cap` is then the exact per-source top-N;
+    // the oracle re-derives it with DuckDB's naive single-window
+    // row_number. Output pins the SELECTED SET (id-sum + char-sum), not
+    // just its size.
+    GraftQuery("d_source_cap",
+      """WITH d AS (SELECT source, doc_id, n_chars,
+        |  md5(CAST(doc_id AS VARCHAR)) AS rk FROM documents),
+        |r AS (SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rnk
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS kept_ids_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM r WHERE rnk <= 10 GROUP BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cap = 10L
+      val d = t(s, dir).documents
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          md5(col("doc_id").cast("string")).as("rk"))
+        .withColumn("bucket", substring(col("rk"), 1, 2))
+      // tiny relation: (sources × 256) rows; its window is over ≤256 rows
+      val offsets = d.groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("offset",
+          coalesce(sum(col("bn")).over(Window.partitionBy(col("source"))
+            .orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("bn")
+      val withinW = Window.partitionBy(col("source"), col("bucket"))
+        .orderBy(col("rk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.join(broadcast(offsets), Seq("source", "bucket"))
+        .withColumn("rnk", col("offset") + count(lit(1)).over(withinW))
+        .filter(col("rnk") <= cap)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("bigint").as("kept_ids_sum"),
+          sum(col("n_chars")).cast("bigint").as("kept_chars"))
+    },
+
     // ------------------------------------------------ language balance
     // Downsample every language to the smallest language's size with
     // portable hash sampling: keep doc ⇔ fmix63(doc_id) mod 2^20 falls

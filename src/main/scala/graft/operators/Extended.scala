@@ -254,16 +254,8 @@ object Extended {
     GraftQuery("q_hll_portable", hllOracle) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val li = t(s, dir).lineitem
-      val regs = li
-        .select(col("l_returnflag"), expr("graft_fmix63(l_partkey)").as("h"))
-        .select(col("l_returnflag"),
-          expr("shiftright(h, 54)").as("bucket"),
-          expr("h & ((CAST(1 AS BIGINT) << 54) - 1)").as("w"))
-        .select(col("l_returnflag"), col("bucket"),
-          expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(conv(w, 10, 2)) END")
-            .as("rho"))
-        .groupBy(col("l_returnflag"), col("bucket"))
-        .agg(max(col("rho")).as("reg"))
+      val regs = graft.functions.HllSketch.registers(
+        li, "l_partkey", Seq("l_returnflag"))
       val sketch = regs.groupBy(col("l_returnflag")).agg(
         count(lit(1)).as("v_buckets"),
         sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 55 - reg) AS DECIMAL(38,0))"))

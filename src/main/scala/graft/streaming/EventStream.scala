@@ -86,6 +86,21 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Streaming portable-HLL registers: distinct users per event type as
+    * an INCREMENTAL cardinality sketch — the streaming twin of the batch
+    * `q_hll_portable` (one shared register definition,
+    * [[graft.functions.HllSketch]]). No watermark and none needed: this
+    * is the sketch's whole point — the running aggregation state is the
+    * ≤ 512 registers per event type, so distinct-counting state does NOT
+    * grow with distinct users (exact streaming distinct state grows
+    * forever or needs a horizon). max(rho) is associative and
+    * duplicate-insensitive, so micro-batch partials merge into exactly
+    * the batch sketch — spec-pinned register-for-register. */
+  def hllRegisters(events: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(events.sparkSession)
+    graft.functions.HllSketch.registers(events, "user_id", Seq("event_type"))
+  }
+
   /** Stream-static enrichment join: the static dimension is re-read per
     * micro-batch and broadcast — no streaming state at all. */
   def enriched(events: DataFrame, dim: DataFrame,

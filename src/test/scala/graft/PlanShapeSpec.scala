@@ -146,6 +146,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("source cap ranks inside (source, bucket) windows, never the bare source") {
+    val p = plan("d_source_cap")
+    // same discipline (and the same pin) as d_token_budget_sample: the
+    // per-document running count must partition by BOTH source and the
+    // hash-prefix bucket — a source-only window over documents is the
+    // one-task-per-mega-domain hot spot the operator exists to avoid
+    val specs =
+      "windowspecdefinition\\((\\w+)#\\d+(?:, (\\w+)#\\d+( ASC| DESC)?)?".r
+        .findAllMatchIn(p)
+        .map(m => (m.group(1), Option(m.group(2)), Option(m.group(3))))
+        .toSeq
+    assert(specs.nonEmpty, p)
+    assert(specs.contains(("source", Some("bucket"), None)),
+      s"missing (source,bucket) partition window: $specs\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("k-means step: seeds via distributed top-k; update shuffles scalars by (cid, dim)") {
     val p = plan("s_kmeans_step")
     // seed selection must plan TakeOrderedAndProject (distributed top-k

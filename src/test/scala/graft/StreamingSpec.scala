@@ -94,6 +94,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL registers equal the batch sketch, register for register") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    // two increments with overlapping users: the second micro-batch must
+    // MERGE into existing register state (max is associative and
+    // duplicate-insensitive), not recount
+    val batch1 = (1L to 400L).map(u => ("click", u)) ++
+      (1L to 150L).map(u => ("view", u * 3))
+    val batch2 = (200L to 700L).map(u => ("click", u)) ++
+      (1L to 150L).map(u => ("view", u * 3)) // exact duplicates: no-ops
+    in.addData(batch1: _*)
+    val regs = EventStream.hllRegisters(
+      in.toDF().toDF("event_type", "user_id"))
+    val q = regs.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-hll").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val batchTwin = graft.functions.HllSketch.registers(
+        (batch1 ++ batch2).toDF("event_type", "user_id"),
+        "user_id", Seq("event_type"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batchTwin,
+        s"streamed registers diverge: ${streamed.diff(batchTwin)} / ${batchTwin.diff(streamed)}")
+      // and the state is bounded by construction: ≤ m rows per type
+      val perType = spark.table("hll_out").groupBy("event_type").count()
+        .collect().map(_.getLong(1))
+      assert(perType.forall(_ <= graft.functions.HllSketch.M))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches without streaming state") {
     val events = EventStream.readEvents(spark, sf)
     val dim = Tables(spark, sf).customer.select(
