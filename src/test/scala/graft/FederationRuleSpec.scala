@@ -371,4 +371,63 @@ class FederationRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(df.collect()(0).getLong(0) == 25)
     } finally spark.conf.unset(FederationRule.EnabledKey)
   }
+
+  test("federation fuzz: 40 seeded random plans agree with local execution") {
+    // the rule's safety contract: whatever it decides (federate whole,
+    // federate parts, fall back), the ANSWER never changes. Generate
+    // seeded random plans over the federated views, run each against
+    // the local parquet twins, and diff row multisets; then assert the
+    // corpus actually exercised the rule (most cases shipped remotely).
+    val rnd = new scala.util.Random(20260814)
+    def nPred(a: String): String = rnd.nextInt(6) match {
+      case 0 => s"$a.n_regionkey = ${rnd.nextInt(5)}"
+      case 1 => s"$a.n_regionkey <> ${rnd.nextInt(5)}"
+      case 2 => s"$a.n_name LIKE '%${('A' + rnd.nextInt(5)).toChar}%'"
+      case 3 => s"$a.n_nationkey BETWEEN ${rnd.nextInt(8)} AND ${8 + rnd.nextInt(17)}"
+      case 4 => s"$a.n_regionkey IN (${rnd.nextInt(3)}, ${2 + rnd.nextInt(3)})"
+      case 5 => s"length($a.n_name) > ${4 + rnd.nextInt(6)}"
+    }
+    def shape(p: String): String = rnd.nextInt(6) match {
+      case 0 => // join + aggregate
+        s"""SELECT r.r_name, count(*) AS n, sum(n.n_nationkey) AS s
+           |FROM ${p}nation n JOIN ${p}region r ON n.n_regionkey = r.r_regionkey
+           |WHERE ${nPred("n")} GROUP BY r.r_name""".stripMargin
+      case 1 => // filtered join projection
+        s"""SELECT n.n_name, r.r_name FROM ${p}nation n
+           |JOIN ${p}region r ON n.n_regionkey = r.r_regionkey
+           |WHERE ${nPred("n")} AND ${nPred("n")}""".stripMargin
+      case 2 => // self join on an arithmetic key
+        s"""SELECT a.n_name, b.n_name FROM ${p}nation a
+           |JOIN ${p}nation b ON a.n_nationkey = b.n_regionkey + ${rnd.nextInt(3)}
+           |WHERE ${nPred("a")}""".stripMargin
+      case 3 => // single-table aggregate + HAVING
+        s"""SELECT n_regionkey, count(*) AS n FROM ${p}nation
+           |WHERE ${nPred(s"${p}nation")} GROUP BY n_regionkey
+           |HAVING count(*) >= ${1 + rnd.nextInt(3)}""".stripMargin
+      case 4 => // union of filtered scans
+        s"""SELECT n_name AS name FROM ${p}nation WHERE ${nPred(s"${p}nation")}
+           |UNION ALL SELECT r_name AS name FROM ${p}region""".stripMargin
+      case 5 => // deterministic remote top-k (unique order key)
+        s"""SELECT n_nationkey, n_name FROM ${p}nation
+           |WHERE ${nPred(s"${p}nation")}
+           |ORDER BY n_nationkey LIMIT ${3 + rnd.nextInt(10)}""".stripMargin
+    }
+    var federated = 0
+    for (i <- 0 until 40) {
+      // one generator draw per case, instantiated for both prefixes so
+      // the two texts differ ONLY in the table names
+      val template = shape("@")
+      val fedSql = template.replace("@", "fedpg_")
+      val localSql = template.replace("@", "")
+      val (fedRows, remote) = remoteQueriesDuring(spark.sql(fedSql).collect())
+      val localRows = spark.sql(localSql).collect()
+      val canon = (rs: Array[org.apache.spark.sql.Row]) =>
+        rs.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      withClue(s"fuzz case $i ($fedSql): ") {
+        assert(canon(fedRows) == canon(localRows))
+      }
+      if (remote.size == 1) federated += 1
+    }
+    assert(federated >= 25, s"only $federated/40 cases federated — the fuzz no longer exercises the rule")
+  }
 }
