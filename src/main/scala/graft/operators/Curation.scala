@@ -311,6 +311,64 @@ object Curation {
           sum(col("n_chars")).cast("bigint").as("kept_chars"))
     },
 
+    // -------------------------------------------- global training shuffle
+    // Deterministic corpus shuffle + shard assignment — the LAST stage of
+    // every training-data pipeline: training wants the corpus in a random
+    // order that is (a) uncorrelated with ingestion order, (b) exactly
+    // reproducible for resume/re-runs, and (c) splittable into shards a
+    // data loader streams independently. A seeded RNG shuffle fails (b)
+    // across engines and partition layouts; the portable-hash order
+    // fmix63(doc_id) is a fixed pseudorandom permutation any engine
+    // re-derives from the data alone. shard = h mod 8 (low bits);
+    // within-shard position = rank in (h, doc_id) order, computed with
+    // the d_token_budget_sample two-level prefix count over hash-prefix
+    // buckets (h's top 8 bits — a PREFIX of the ordering key, which is
+    // what makes offset + within-bucket rank a global rank), NEVER a
+    // row_number window over a bare shard (corpus/8 rows on one task).
+    // The manifest pins the ENTIRE permutation: order_checksum =
+    // Σ pos·doc_id differs if any two docs swap places.
+    GraftQuery("d_shuffle_shards", {
+      val (ctes, last) = graft.operators.SketchOracleSql
+        .fmixScalarCtes("f", "d0", "doc_id, n_chars", "k")
+      s"""WITH d0 AS (SELECT doc_id, n_chars,
+         |  CAST(doc_id AS HUGEINT) AS k FROM documents),
+         |$ctes,
+         |s AS (SELECT doc_id, n_chars, fh AS h,
+         |  CAST(fh % 8 AS INT) AS shard FROM $last),
+         |r AS (SELECT shard, n_chars, doc_id,
+         |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+         |  FROM s)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+         |  CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+         |FROM r GROUP BY shard""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          expr("graft_fmix63(doc_id)").as("h"))
+        .withColumn("shard", (col("h") % 8).cast("int"))
+        .withColumn("bucket", expr("shiftright(h, 55)"))
+      // tiny relation: (8 shards × 256 buckets) rows
+      val offsets = d.groupBy(col("shard"), col("bucket"))
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("offset",
+          coalesce(sum(col("bn")).over(Window.partitionBy(col("shard"))
+            .orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("bn")
+      val withinW = Window.partitionBy(col("shard"), col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.join(broadcast(offsets), Seq("shard", "bucket"))
+        .withColumn("pos", col("offset") + count(lit(1)).over(withinW))
+        .groupBy(col("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("chars_sum"),
+          sum(col("pos") * col("doc_id")).cast("bigint").as("order_checksum"))
+    },
+
     // ------------------------------------------------ language balance
     // Downsample every language to the smallest language's size with
     // portable hash sampling: keep doc ⇔ fmix63(doc_id) mod 2^20 falls

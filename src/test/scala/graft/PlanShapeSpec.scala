@@ -163,6 +163,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("shuffle shards rank inside (shard, bucket) windows, never the bare shard") {
+    val p = plan("d_shuffle_shards")
+    // corpus/8 rows per shard on one window task is the hot spot; the
+    // global rank must come from the two-level prefix count
+    val specs =
+      "windowspecdefinition\\((\\w+)#\\d+(?:, (\\w+)#\\d+( ASC| DESC)?)?".r
+        .findAllMatchIn(p)
+        .map(m => (m.group(1), Option(m.group(2)), Option(m.group(3))))
+        .toSeq
+    assert(specs.nonEmpty, p)
+    assert(specs.contains(("shard", Some("bucket"), None)),
+      s"missing (shard,bucket) partition window: $specs\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("k-means step: seeds via distributed top-k; update shuffles scalars by (cid, dim)") {
     val p = plan("s_kmeans_step")
     // seed selection must plan TakeOrderedAndProject (distributed top-k
