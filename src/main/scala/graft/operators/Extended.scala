@@ -318,6 +318,22 @@ object Extended {
         .json(tmp)
     },
 
+    // ORC round-trip: same contract as the csv/json rows above but through
+    // the columnar ORC reader/writer (predicate pushdown + column pruning
+    // work the same as parquet; Spark's native vectorized ORC scan). The
+    // reference's file source is parquet/csv/json-only (file.rs:26-364);
+    // ORC is an extension a Spark-resident engine gets for free and a
+    // warehouse migration actually needs.
+    GraftQuery("q_orc_roundtrip",
+      """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+        |FROM part""".stripMargin) { (s, dir) =>
+      val tmp = roundTripDir("orc")
+      val cols = Seq("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+      t(s, dir).part.select(cols.map(col): _*)
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+    },
+
     // Iceberg round-trip: WRITE the filtered table as two append-only
     // Iceberg snapshots (spec-shaped metadata JSON + Avro manifests,
     // sources/iceberg/IcebergLocal.scala), serve them over a live REST
