@@ -29,7 +29,8 @@ class MySqlDataSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = MySqlOptions(options.asCaseSensitiveMap().asScala.toMap)
-    val conn = MySqlWireConnection.connect(opts.connInfo, ssl = opts.sslContext)
+    val conn = MySqlWireConnection.connect(opts.connInfo, ssl = opts.sslContext,
+      verifyHostname = opts.sslVerifyHostname)
     val probe = s"SELECT * FROM ${opts.fromClause} LIMIT 0"
     try (if (opts.binaryProtocol) conn.queryPrepared(probe)
          else conn.query(probe)).sparkSchema
@@ -75,6 +76,12 @@ final case class MySqlOptions(conf: Map[String, String]) {
     * SSLContext does not. */
   def sslContext: Option[javax.net.ssl.SSLContext] =
     graft.sources.TrustOptions.sslContext(conf)
+  /** `sslVerifyHostname=true` adds RFC 2818 endpoint identification on
+    * top of the pinned trust (pg verify-full), same option name and
+    * default as the pg source. */
+  val sslVerifyHostname: Boolean =
+    conf.getOrElse("sslVerifyHostname",
+      conf.getOrElse("sslverifyhostname", "false")).toBoolean
 
   val partitionColumn: Option[String] =
     conf.get("partitionColumn").map(graft.util.Sanitize.validateIdentifier)
@@ -223,7 +230,8 @@ final class MySqlPartitionReader(schema: StructType, opts: MySqlOptions,
 
   override def next(): Boolean = {
     if (rows == null) {
-      conn = MySqlWireConnection.connect(opts.connInfo, ssl = opts.sslContext)
+      conn = MySqlWireConnection.connect(opts.connInfo, ssl = opts.sslContext,
+      verifyHostname = opts.sslVerifyHostname)
       val result =
         if (opts.binaryProtocol) conn.queryPrepared(sql) else conn.query(sql)
       val got = result.columns.map(_.name)

@@ -163,7 +163,8 @@ final class MySqlWireConnection private (socket: Socket,
 object MySqlWireConnection {
 
   def connect(info: MySqlConnInfo, timeoutMillis: Int = 15000,
-      ssl: Option[javax.net.ssl.SSLContext] = None): MySqlWireConnection = {
+      ssl: Option[javax.net.ssl.SSLContext] = None,
+      verifyHostname: Boolean = false): MySqlWireConnection = {
     var socket: Socket = new Socket()
     socket.connect(new InetSocketAddress(info.host, info.port), timeoutMillis)
     socket.setSoTimeout(timeoutMillis)
@@ -186,6 +187,15 @@ object MySqlWireConnection {
         val tls = ctx.getSocketFactory
           .createSocket(socket, info.host, info.port, true)
           .asInstanceOf[javax.net.ssl.SSLSocket]
+        // Same contract as the pg/h2 clients (PgWireClient.scala:149,
+        // Http2.scala:535): a pinned-cert truststore alone is verify-ca;
+        // verifyHostname adds RFC 2818 endpoint identification
+        // (verify-full) so any-CA-cert-for-any-host cannot pass.
+        if (verifyHostname) {
+          val params = tls.getSSLParameters
+          params.setEndpointIdentificationAlgorithm("HTTPS")
+          tls.setSSLParameters(params)
+        }
         tls.startHandshake()
         socket = tls
         in = new DataInputStream(new BufferedInputStream(tls.getInputStream))
@@ -264,7 +274,14 @@ object MySqlWireConnection {
         val r = new Reader(p.payload)
         r.u8()
         val plugin = r.nulString()
-        val newNonce = r.restOfPacket().takeWhile(_ != 0)
+        // The server sends the 20-byte nonce followed by exactly one trailing
+        // NUL. The nonce itself is random and may contain interior 0x00 bytes
+        // (~7.5% of 20-byte nonces do), so strip only the final terminator —
+        // truncating at the first zero corrupts the scramble.
+        val rawNonce = r.restOfPacket()
+        val newNonce =
+          if (rawNonce.nonEmpty && rawNonce.last == 0) rawNonce.dropRight(1)
+          else rawNonce
         writePacket(out, p.seq + 1, scrambleFor(plugin, info.password, newNonce))
         out.flush()
         finishAuth(info, in, out, newNonce, secure)
