@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   * The inverse pair [[escape]]/[[mainText]] is exact on any text without
   * control characters, which makes the extraction hash-oracle-able: render
   * a page around a document, extract, and the round trip must reproduce
-  * the document byte-for-byte (see `t_html_extract`).
+  * the document byte-for-byte (driver-verified end-to-end by
+  * `d_warc_extract`, which runs this extraction over a rendered WARC
+  * corpus and hash-matches the whitespace-normalized source text).
   */
 object HtmlText {
 

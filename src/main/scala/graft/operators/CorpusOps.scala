@@ -799,6 +799,45 @@ object CorpusOps {
           (size(col("words")) - size(col("kept"))).cast("bigint")
             .as("n_removed"),
           md5(concat_ws(" ", col("kept"))).as("cleaned_hash"))
+    },
+
+    // --------------------------------------------------- WARC ingestion
+    // The Common Crawl path end-to-end, driver-verified: render every
+    // document into a full HTML page (chrome in all boilerplate
+    // positions), pack the pages as a .warc.gz corpus (one gzip member
+    // per record, the Common Crawl layout), read the WARC back through
+    // the streaming record parser + HTTP envelope split, extract main
+    // text with the codegen'd HtmlText chain, and gate on extracted
+    // length. The result must hash-match DuckDB's whitespace-normalized
+    // view of the source text — any loss in the WARC framing, gzip
+    // member splitting, HTTP header recovery, or HTML extraction breaks
+    // the hash. Scale shape: write is one task per partition committed
+    // by rename; read is one task per WARC file streaming the gzip;
+    // extraction is map-only regexp chains inside whole-stage codegen.
+    GraftQuery("d_warc_extract",
+      """SELECT doc_id,
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted_text,
+        |  lang, source
+        |FROM documents
+        |WHERE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) >= 50"""
+        .stripMargin) { (s, dir) =>
+      import graft.functions.HtmlText
+      import graft.sources.warc.Warc
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc")
+      tmp.toFile.deleteOnExit()
+      val pages = t(s, dir).documents
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          HtmlText.renderPage(col("text"),
+            concat(lit("Document "), col("doc_id")), col("lang")).as("page"),
+          col("lang"), col("source"))
+      Warc.writeCorpus(pages, tmp.toString, bodyCol = "page",
+        contentType = "text/html; charset=utf-8")
+      Warc.readCorpus(s, tmp.toString)
+        .select(col("doc_id"),
+          HtmlText.mainText(col("text")).as("extracted_text"),
+          col("lang"), col("source"))
+        .filter(length(col("extracted_text")) >= 50)
     }
   )
 

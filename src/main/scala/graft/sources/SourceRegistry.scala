@@ -202,6 +202,18 @@ final class SourceRegistry(spark: SparkSession) {
           .option("table", t.name)
           .options(src.options)
           .load()
+      case "warc" =>
+        // WARC 1.0 containers (Common Crawl layout): the table path is a
+        // directory of *.warc(.gz). `mode=records` serves the raw WARC
+        // fields + payload bytes; `mode=corpus` (default) runs the full
+        // ingest — HTTP envelope split + X-Graft header recovery — to
+        // (doc_id, text, lang, source).
+        src.options.getOrElse("mode", "corpus").toLowerCase match {
+          case "records" => graft.sources.warc.Warc.records(spark, pathOf(src, t))
+          case "corpus" => graft.sources.warc.Warc.readCorpus(spark, pathOf(src, t))
+          case other => throw new IllegalArgumentException(
+            s"warc source ${src.name}: mode must be 'records' or 'corpus', got '$other'")
+        }
       case "flight" =>
         // Flight SQL over h2c: per-table `query` option, defaulting to a
         // whole-table SELECT on the (sanitized) table name — the same

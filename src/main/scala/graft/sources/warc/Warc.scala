@@ -74,7 +74,15 @@ object Warc {
 
   /** `response` records with the HTTP envelope split off: status line
     * parsed, headers exposed as a lowercased-key map, body as the raw
-    * bytes after the blank line. Header values keep their case. */
+    * bytes after the blank line. Header values keep their case.
+    *
+    * Real crawls carry malformed envelopes (no header/body boundary,
+    * garbage status lines); those records are QUARANTINED — dropped from
+    * the result, never aborting the file — because at Common Crawl scale
+    * one bad record per ~1 GB file would otherwise poison every task.
+    * WARC-level structural corruption (truncated payload, lying
+    * Content-Length) still fails loudly in [[records]]: that is file
+    * damage, not crawl noise. */
   def responses(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -86,16 +94,27 @@ object Warc {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(schema)
     records(spark, dir)
       .filter(col("warc_type") === "response")
-      .map { row =>
+      .flatMap { row =>
         val payload = row.getAs[Array[Byte]]("payload")
-        val (status, headers, body) = splitHttp(payload)
-        Row(row.getAs[String]("record_id"), row.getAs[String]("target_uri"),
-          row.getAs[String]("warc_date"), status, headers, body)
+        // quarantine: skip records whose HTTP envelope won't parse
+        scala.util.Try(splitHttp(payload)).toOption.map {
+          case (status, headers, body) =>
+            Row(row.getAs[String]("record_id"), row.getAs[String]("target_uri"),
+              row.getAs[String]("warc_date"), status, headers, body)
+        }
       }
   }
 
-  /** HTTP response payload → (status, lowercased header map, body). */
-  private[warc] def splitHttp(payload: Array[Byte])
+  /** HTTP response payload → (status, lowercased header map, body).
+    *
+    * Header semantics for crawl data: RFC 7230 obs-fold continuation
+    * lines (leading SP/HTAB) are unfolded onto the previous header;
+    * colon-less non-continuation lines are SKIPPED (crawl noise, not
+    * fatal); repeated field names COMMA-JOIN in arrival order per RFC
+    * 7230 §3.2.2 — so duplicate `Set-Cookie`s stay visible (as one
+    * comma-joined value; cookie-aware parsing is the caller's job).
+    * The head decodes as UTF-8, so non-ASCII values survive intact. */
+  private[graft] def splitHttp(payload: Array[Byte])
       : (Int, Map[String, String], Array[Byte]) = {
     // find the header/body boundary: first CRLFCRLF
     var i = 0
@@ -115,11 +134,22 @@ object Warc {
       case _ => throw new IOException(
         s"warc: malformed HTTP status line: ${lines.head.take(80)}")
     }
-    val headers = lines.tail.iterator.map { l =>
-      val c = l.indexOf(':')
-      if (c < 0) throw new IOException(s"warc: malformed HTTP header: ${l.take(80)}")
-      l.substring(0, c).toLowerCase -> l.substring(c + 1).trim
-    }.toMap
+    // unfold obs-fold continuations, then parse; skip colon-less noise
+    val unfolded = lines.tail.foldLeft(Vector.empty[String]) { (acc, l) =>
+      if (l.nonEmpty && (l.head == ' ' || l.head == '\t') && acc.nonEmpty)
+        acc.init :+ (acc.last + " " + l.trim)
+      else acc :+ l
+    }
+    val headers = unfolded.iterator
+      .filter(l => l.indexOf(':') > 0)
+      .map { l =>
+        val c = l.indexOf(':')
+        l.substring(0, c).toLowerCase -> l.substring(c + 1).trim
+      }
+      .foldLeft(scala.collection.immutable.ListMap.empty[String, String]) {
+        case (m, (k, v)) =>
+          m.updated(k, m.get(k).map(prev => s"$prev, $v").getOrElse(v))
+      }
     (status, headers, body)
   }
 
@@ -131,15 +161,18 @@ object Warc {
     private var done = false
 
     private def readLine(): String = {
-      val sb = new java.lang.StringBuilder(96)
+      // accumulate BYTES and decode the line as UTF-8 — a per-byte
+      // toChar would mojibake non-ASCII header values (a non-ASCII
+      // WARC-Target-URI is routine in real crawls)
+      val buf = new java.io.ByteArrayOutputStream(96)
       var b = in.read()
       if (b < 0) return null // clean EOF before a record
-      while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() }
+      while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
       if (b < 0) throw new IOException(s"warc: truncated line in $path")
-      val len = sb.length()
-      if (len == 0 || sb.charAt(len - 1) != '\r')
+      val bytes = buf.toByteArray
+      if (bytes.isEmpty || bytes.last != '\r')
         throw new IOException(s"warc: bare LF line in $path")
-      sb.substring(0, len - 1)
+      new String(bytes, 0, bytes.length - 1, UTF_8)
     }
 
     private def advance(): Unit = {
@@ -198,7 +231,7 @@ object Warc {
 
   /** Serialize one response record (HTTP envelope + body), one gzip
     * member when `gzip` is set — the Common Crawl layout. */
-  private[warc] def writeRecord(out: java.io.OutputStream, recordId: String,
+  private[graft] def writeRecord(out: java.io.OutputStream, recordId: String,
       targetUri: String, body: Array[Byte],
       httpHeaders: Seq[(String, String)]): Unit = {
     val http = new java.io.ByteArrayOutputStream()
@@ -227,19 +260,32 @@ object Warc {
   /** Write `df` (expects columns doc_id, text, lang, source) as
     * `part-<pid>.warc.gz` files under `outDir`, one gzip member per
     * record, bodies as UTF-8 HTML/text with the document fields carried
-    * in X-Graft-* HTTP headers. Distributed: each partition writes its
-    * own file (local-FS path in local mode; point `outDir` at a shared
-    * store for a cluster). */
+    * in X-Graft-* HTTP headers.
+    *
+    * Distributed-correct: every path goes through the Hadoop FileSystem
+    * resolved from `outDir`'s scheme, so a shared store (hdfs://,
+    * s3://, ...) works from every executor — not just the driver's
+    * local disk. Each task writes a task-attempt temp file and COMMITS
+    * by rename, so a failed or speculative attempt never leaves a
+    * half-written part visible; last successful attempt wins. */
   def writeCorpus(df: DataFrame, outDir: String,
       bodyCol: String = "text", contentType: String = "text/plain; charset=utf-8")
       : Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    import org.apache.hadoop.fs.Path
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = new Path(outDir)
+    out.getFileSystem(hconf.value).mkdirs(out)
     df.select(col("doc_id"), col(bodyCol).as("body"), col("lang"), col("source"))
       .foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val f = java.nio.file.Paths.get(outDir, f"part-$pid%05d.warc.gz")
-          val fs = new BufferedOutputStream(java.nio.file.Files.newOutputStream(f))
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val hfs = new Path(outDir).getFileSystem(hconf.value)
+          val tmp = new Path(outDir,
+            f".part-$pid%05d-attempt-${tc.taskAttemptId()}%d.warc.gz.tmp")
+          val dest = new Path(outDir, f"part-$pid%05d.warc.gz")
+          val fs = new BufferedOutputStream(hfs.create(tmp, true))
           // close() shield: each record is its own gzip member on the
           // SAME file stream; gz.close() must end its Deflater (native
           // memory) without closing the file
@@ -260,6 +306,12 @@ object Warc {
                 "X-Graft-Source" -> r.getString(3)))
             gz.close() // finish member + end Deflater; file stays open
           } finally fs.close()
+          // commit: replace any previous attempt's part atomically-enough
+          // (delete+rename; the attempt-unique temp name keeps concurrent
+          // attempts from interleaving into one file)
+          hfs.delete(dest, false)
+          if (!hfs.rename(tmp, dest))
+            throw new IOException(s"warc: failed to commit $tmp -> $dest")
         }
       }
   }
