@@ -27,17 +27,23 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
   * carries no schema (legacy callers), the previous commit's schema is
   * carried forward verbatim.
   *
-  * Writes are append-only commits: each [[IcebergLocal.append]] adds a
+  * Writes are append-style commits: each [[IcebergLocal.append]] adds a
   * manifest and a snapshot whose manifest list carries every prior
-  * manifest (the "fast append" commit shape). Deletes/rewrites are out
-  * of scope, matching the read side's append-only bound.
+  * manifest (the "fast append" commit shape). A commit of
+  * `content = 1` files is a POSITIONAL-DELETE commit (the v2
+  * merge-on-read shape: parquet files of (file_path, pos) rows in a
+  * content=1 delete manifest) — which the read side applies. Row
+  * rewrites/compaction are out of scope.
   */
 object IcebergLocal {
 
-  /** One data file of an append: an absolute path (any Hadoop-readable
-    * scheme), its row count, and its size in bytes. */
+  /** One file of an append: an absolute path (any Hadoop-readable
+    * scheme), its row count, and its size in bytes. `content` is the
+    * spec's data_file content id: 0 = data, 1 = position deletes (a
+    * parquet file of (file_path, pos) rows — the v2 merge-on-read
+    * delete shape). */
   final case class DataFileInfo(path: String, recordCount: Long,
-      sizeBytes: Long)
+      sizeBytes: Long, content: Int = 0)
 
   private val mapper = new ObjectMapper()
 
@@ -122,11 +128,19 @@ object IcebergLocal {
     val prior = currentMetadata(tableDir)
     val snapId = prior.map(_.snapshots.map(_.snapshotId).max + 1).getOrElse(1L)
 
+    // a manifest holds data files OR delete files, never both (spec:
+    // manifest content id describes every entry in it)
+    val manifestContent = files.map(_.content).distinct match {
+      case Seq() | Seq(0) => 0
+      case Seq(1) | Seq(2) => 1 // delete manifests carry either delete kind
+      case other => throw new IllegalArgumentException(
+        s"one commit cannot mix data and delete files (contents $other)")
+    }
     val manifestPath = metaDir.resolve(f"manifest-$snapId%05d.avro")
     writeAvro(manifestPath, manifestEntrySchema, files.map { f =>
       val df = new GenericData.Record(
         manifestEntrySchema.getField("data_file").schema())
-      df.put("content", 0)
+      df.put("content", f.content)
       df.put("file_path", f.path)
       df.put("file_format", "PARQUET")
       df.put("record_count", f.recordCount)
@@ -149,10 +163,15 @@ object IcebergLocal {
       IcebergAvro.read(m.snapshots.maxBy(_.snapshotId).manifestList,
         hadoopConf)
     }
+    // delete manifests are never compacted — their sequence numbers gate
+    // WHICH data files each delete applies to, and a merged manifest
+    // would flatten that lineage; only the data tail compacts
+    val (carriedData, carriedDeletes) = carried.partition(r =>
+      r.get("content").asInstanceOf[Number].intValue() == 0)
     val priorRecords =
-      if (carried.size < MergeManifestsAbove) carried
-      else {
-        val entries = carried.flatMap(r =>
+      if (carriedData.size < MergeManifestsAbove) carried
+      else carriedDeletes ++ {
+        val entries = carriedData.flatMap(r =>
           IcebergAvro.read(r.get("manifest_path").toString, hadoopConf))
         val mergedPath = metaDir.resolve(f"manifest-$snapId%05d-m.avro")
         writeAvro(mergedPath, manifestEntrySchema, entries.map { old =>
@@ -168,7 +187,7 @@ object IcebergLocal {
         })
         val rows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
           .get("record_count").asInstanceOf[Long]).sum
-        val minSeq = carried.map(_.get("min_sequence_number")
+        val minSeq = carriedData.map(_.get("min_sequence_number")
           .asInstanceOf[Long]).min
         val r = new GenericData.Record(manifestFileSchema)
         r.put("manifest_path", mergedPath.toUri.toString)
@@ -191,7 +210,7 @@ object IcebergLocal {
       r.put("manifest_path", manifestPath.toUri.toString)
       r.put("manifest_length", Files.size(manifestPath))
       r.put("partition_spec_id", 0)
-      r.put("content", 0)
+      r.put("content", manifestContent)
       // fast-append: the manifest's data sequence number IS the commit's
       r.put("sequence_number", snapId)
       r.put("min_sequence_number", snapId)

@@ -8,6 +8,7 @@ import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.mapred.FsInput
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
 
 import graft.sources.SnapshotLog
 import graft.sources.SnapshotLog.{ByTimestamp, ByVersion, VersionSpec}
@@ -35,9 +36,11 @@ import graft.sources.SnapshotLog.{ByTimestamp, ByVersion, VersionSpec}
   * Manifests are read through Hadoop `FsInput`, so manifest/data URIs
   * may use any registered filesystem scheme (file/http/s3a/...).
   *
-  * Deliberate bounds (explicit errors, not silent wrong answers):
-  * position/equality DELETES and merge-on-read tables are refused —
-  * append-only v1/v2 tables only.
+  * Merge-on-read: v2 POSITIONAL delete files are applied (broadcast
+  * anti-join on Spark's `_metadata.file_path`/`_metadata.row_index`,
+  * sequence-number gated), so Flink/Trino-written tables with row-level
+  * deletes read correctly. Deliberate bound (explicit error, not a
+  * silent wrong answer): EQUALITY delete files are refused.
   */
 final case class IcebergSnapshot(snapshotId: Long, timestampMs: Long,
     manifestList: String)
@@ -209,14 +212,32 @@ object IcebergMetadata {
   }
 }
 
+/** One snapshot's file inventory: live data files and the positional
+  * delete files that apply to them, each with its data sequence number
+  * (the v2 ordering that decides WHICH data files a delete can see). */
+final case class IcebergScanFiles(
+    dataFiles: Seq[(String, Long)],
+    positionDeletes: Seq[(String, Long)])
+
 object IcebergManifests {
-  /** Walk snapshot → manifest list → manifests → live data files. Avro
-    * field names are spec-normative: `manifest_path`/`content` in the
-    * manifest list, `status`/`data_file.{content,file_path}` in manifest
-    * entries. Entries with status 2 (DELETED) are dropped; delete
-    * manifests / delete files are refused. */
-  def dataFiles(spark: SparkSession, manifestList: String,
-      extraConf: Map[String, String] = Map.empty): Seq[String] = {
+  /** Walk snapshot → manifest list → manifests → live files. Avro field
+    * names are spec-normative: `manifest_path`/`content`/sequence fields
+    * in the manifest list, `status`/`data_file.{content,file_path}` in
+    * manifest entries. Entries with status 2 (DELETED) are dropped.
+    * Delete manifests (content=1) are walked like data manifests:
+    * positional delete files (data_file content=1) are returned for
+    * merge-on-read application; EQUALITY delete files (content=2) are
+    * still refused loudly — silently ignoring them would return deleted
+    * rows as live data.
+    *
+    * Sequence numbers: each file inherits its manifest's
+    * `min_sequence_number` (== `sequence_number` for every fast-append
+    * manifest; for a compacted carry-forward manifest this is the
+    * conservative lower bound, which can only over-apply a delete to a
+    * same-path file — impossible under Iceberg's unique data-file
+    * paths). */
+  def scanFiles(spark: SparkSession, manifestList: String,
+      extraConf: Map[String, String] = Map.empty): IcebergScanFiles = {
     // per-source Hadoop conf entries (fs.s3a credentials, fs.<scheme>.impl)
     // apply to the driver-side manifest walk exactly as they do to the
     // distributed scan — a private copy so they never leak session-wide
@@ -224,31 +245,53 @@ object IcebergManifests {
       spark.sparkContext.hadoopConfiguration)
     extraConf.foreach { case (k, v) => conf.set(k, v) }
     val manifests = readAvro(manifestList, conf).map { r =>
-      val content = intField(r, "content").getOrElse(0)
-      if (content != 0)
-        throw new IllegalArgumentException(
-          s"delete manifest in $manifestList: merge-on-read tables are " +
-            "not supported (append-only reads)")
-      r.get("manifest_path").toString
+      val seq = longField(r, "min_sequence_number")
+        .orElse(longField(r, "sequence_number")).getOrElse(0L)
+      (r.get("manifest_path").toString, seq,
+        intField(r, "content").getOrElse(0))
     }
-    manifests.flatMap { mf =>
-      readAvro(mf, conf).flatMap { entry =>
+    val data = Seq.newBuilder[(String, Long)]
+    val posDeletes = Seq.newBuilder[(String, Long)]
+    manifests.foreach { case (mf, seq, manifestContent) =>
+      readAvro(mf, conf).foreach { entry =>
         val status = intField(entry, "status").getOrElse(1)
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
-        val fileContent = intField(df, "content").getOrElse(0)
-        if (fileContent != 0)
-          throw new IllegalArgumentException(
-            s"delete file in manifest $mf: merge-on-read tables are not " +
-              "supported (append-only reads)")
-        if (status == 2) None // DELETED entry: file no longer in snapshot
-        else Some(df.get("file_path").toString)
+        // entry content wins when it says delete; a 0/absent entry in a
+        // DELETE manifest (content=1) is still a delete file — the
+        // manifest-list content id describes everything it carries
+        val fileContent = intField(df, "content").filter(_ > 0)
+          .getOrElse(math.max(manifestContent, 0))
+        if (status != 2) fileContent match { // 2 = DELETED: not in snapshot
+          case 0 => data += ((df.get("file_path").toString, seq))
+          case 1 => posDeletes += ((df.get("file_path").toString, seq))
+          case 2 => throw new IllegalArgumentException(
+            s"equality delete file in manifest $mf: not supported " +
+              "(positional merge-on-read and append-only reads only)")
+          case other => throw new IllegalArgumentException(
+            s"unknown data_file content id $other in manifest $mf")
+        }
       }
     }
+    IcebergScanFiles(data.result(), posDeletes.result())
+  }
+
+  /** Compatibility wrapper: live data-file paths of an append-only
+    * snapshot; refuses if the snapshot carries deletes. */
+  def dataFiles(spark: SparkSession, manifestList: String,
+      extraConf: Map[String, String] = Map.empty): Seq[String] = {
+    val s = scanFiles(spark, manifestList, extraConf)
+    require(s.positionDeletes.isEmpty,
+      s"snapshot carries positional deletes; use scanFiles for MoR reads")
+    s.dataFiles.map(_._1)
   }
 
   private def intField(r: GenericRecord, name: String): Option[Int] =
     if (r.getSchema.getField(name) == null) None
     else Option(r.get(name)).map(_.asInstanceOf[Number].intValue())
+
+  private def longField(r: GenericRecord, name: String): Option[Long] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name)).map(_.asInstanceOf[Number].longValue())
 
   private def readAvro(uri: String,
       conf: org.apache.hadoop.conf.Configuration): Seq[GenericRecord] =
@@ -257,9 +300,20 @@ object IcebergManifests {
 
 object IcebergRest {
   /** Read one table at an optional version: catalog → metadata →
-    * snapshot → data files → distributed parquet scan. `options` travel
-    * to both the manifest walk (Hadoop conf) and the parquet read, and a
-    * declared `schema` applies like any other registered source's. */
+    * snapshot → file inventory → distributed parquet scan, with
+    * positional merge-on-read deletes applied. `options` travel to both
+    * the manifest walk (Hadoop conf) and the parquet read, and a
+    * declared `schema` applies like any other registered source's.
+    *
+    * MoR shape at scale: the delete relation ((file_path, pos) pairs —
+    * two narrow columns, typically ≪ the data) is BROADCAST and the
+    * data side anti-joins against it on Spark's own parquet metadata
+    * columns (`_metadata.file_path`, `_metadata.row_index` — the exact
+    * spec semantics of a positional delete, no row-id bookkeeping of our
+    * own), so the data scan stays a map-only pass: no shuffle, pushdown
+    * and pruning untouched. The v2 sequence gate rides the join
+    * condition: a delete applies only to data files whose data sequence
+    * number is ≤ the delete file's. */
   def read(spark: SparkSession, catalog: IcebergRestCatalog,
       namespace: String, table: String,
       spec: Option[VersionSpec] = None,
@@ -268,11 +322,50 @@ object IcebergRest {
       : DataFrame = {
     val meta = catalog.loadTable(namespace, table)
     val snap = IcebergMetadata.select(meta, spec)
-    val files = IcebergManifests.dataFiles(spark, snap.manifestList, options)
-    if (files.isEmpty)
+    val scan = IcebergManifests.scanFiles(spark, snap.manifestList, options)
+    if (scan.dataFiles.isEmpty)
       throw new IllegalArgumentException(
         s"snapshot ${snap.snapshotId} of $namespace.$table lists no data files")
     val r = spark.read.options(options)
-    schema.fold(r)(r.schema).parquet(files: _*)
+    val base = schema.fold(r)(r.schema).parquet(scan.dataFiles.map(_._1): _*)
+    if (scan.positionDeletes.isEmpty) base
+    else applyPositionDeletes(spark, base, scan)
+  }
+
+  /** Manifest paths and Spark's `_metadata.file_path` can render the
+    * same local file as `file:/p` vs `file:///p`; canonicalize the
+    * authority-less file-scheme spelling so the (file, pos) join keys
+    * agree. Non-file schemes (s3a://bucket/...) pass through. */
+  private def normPath(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^file:/+", "file:/")
+
+  private def applyPositionDeletes(spark: SparkSession, base: DataFrame,
+      scan: IcebergScanFiles): DataFrame = {
+    import spark.implicits._
+    val dataCols = base.columns
+    // tiny metadata relations: (data file → its sequence number) and
+    // (delete file → its sequence number); both driver-known
+    val dataSeq = scan.dataFiles.toDF("d_file", "d_seq")
+      .withColumn("d_file", normPath(col("d_file")))
+    val delSeq = scan.positionDeletes.toDF("del_src", "del_seq")
+      .withColumn("del_src", normPath(col("del_src")))
+    // the delete rows themselves: spec columns (file_path, pos), tagged
+    // with their carrying file's sequence number
+    val delRows = spark.read.parquet(scan.positionDeletes.map(_._1): _*)
+      .select(normPath(col("file_path")).as("del_file"),
+        col("pos").cast("long").as("del_pos"),
+        normPath(col("_metadata.file_path")).as("del_src"))
+      .join(broadcast(delSeq), "del_src")
+      .select(col("del_file"), col("del_pos"), col("del_seq"))
+    val tagged = base
+      .withColumn("__graft_file", normPath(col("_metadata.file_path")))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+      .join(broadcast(dataSeq), col("__graft_file") === col("d_file"))
+    tagged.join(broadcast(delRows),
+        col("__graft_file") === col("del_file") &&
+          col("__graft_pos") === col("del_pos") &&
+          col("d_seq") <= col("del_seq"),
+        "left_anti")
+      .select(dataCols.map(col): _*)
   }
 }

@@ -120,45 +120,102 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally gated.stop()
   }
 
-  test("a delete manifest is refused, not silently misread") {
-    // hand-craft a snapshot whose manifest list marks content=1 (deletes):
-    // spec field "content" of manifest_file; the reader must refuse the
-    // whole read rather than return rows that ignore the deletes
-    val dir = warehouse.resolve("deletes")
+  test("positional merge-on-read deletes apply; time travel sees pre-delete rows") {
+    // snapshot 1: 25 nation rows as data; snapshot 2: a v2 positional
+    // delete file (parquet of (file_path, pos)) in a content=1 delete
+    // manifest removing positions 0, 3, 7 — the shape Flink/Trino
+    // row-level deletes produce. Current read must drop exactly those
+    // positions; snapshot-1 time travel must still see all 25.
+    val dir = warehouse.resolve("mor")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .orderBy("n_nationkey")
+    val dataInfos = partFiles(nation)
+    assert(dataInfos.size == 1) // coalesce(1): positions are file-global
+    IcebergLocal.append(dir, dataInfos, timestampMs = 1000L,
+      tag = Some("pre-delete"))
+    val delDir = Files.createTempDirectory("ice-del")
+    import spark.implicits._
+    Seq((dataInfos.head.path, 0L), (dataInfos.head.path, 3L),
+      (dataInfos.head.path, 7L))
+      .toDF("file_path", "pos").coalesce(1)
+      .write.mode("overwrite").parquet(delDir.toString)
+    val delFile = Files.list(delDir).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    IcebergLocal.append(dir, Seq(IcebergLocal.DataFileInfo(
+      delFile.toUri.toString, 3, Files.size(delFile), content = 1)),
+      timestampMs = 2000L)
+    try {
+      val current = IcebergRest.read(spark, catalog, "analytics", "mor")
+      assert(current.count() == 22)
+      // positions are the file's row order = n_nationkey order here
+      val gone = Set(0L, 3L, 7L)
+      val keys = current.select("n_nationkey").collect()
+        .map(_.getAs[Number](0).longValue()).toSet
+      assert(gone.forall(k => !keys.contains(k)), s"deleted keys leaked: $keys")
+      assert(keys.size == 22)
+      val before = IcebergRest.read(spark, catalog, "analytics", "mor",
+        Some(ByVersion("pre-delete")))
+      assert(before.count() == 25)
+      // schema is unchanged by the MoR anti-join: no helper columns leak
+      assert(current.columns.toSeq == before.columns.toSeq)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
+  test("a delete whose sequence number precedes the data does not apply") {
+    // v2 ordering: a positional delete applies only to data files whose
+    // data sequence number is <= the delete's. Commit the DELETE first
+    // (seq 1), then the data (seq 2): the delete must be a no-op.
+    val dir = warehouse.resolve("morseq")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val dataInfos = partFiles(nation)
+    val delDir = Files.createTempDirectory("ice-del-seq")
+    import spark.implicits._
+    Seq((dataInfos.head.path, 0L)).toDF("file_path", "pos").coalesce(1)
+      .write.mode("overwrite").parquet(delDir.toString)
+    val delFile = Files.list(delDir).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    IcebergLocal.append(dir, Seq(IcebergLocal.DataFileInfo(
+      delFile.toUri.toString, 1, Files.size(delFile), content = 1)),
+      timestampMs = 1000L)
+    IcebergLocal.append(dir, dataInfos, timestampMs = 2000L)
+    try {
+      assert(IcebergRest.read(spark, catalog, "analytics", "morseq")
+        .count() == 25)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
+  test("equality delete files are refused, not silently misread") {
+    // content=2 (equality deletes) cannot be applied by position; the
+    // reader must refuse the whole read rather than return rows that
+    // ignore the deletes
+    val dir = warehouse.resolve("eqdel")
     IcebergLocal.append(dir,
       partFiles(spark.read.parquet(s"$sf/nation.parquet").limit(3)),
       timestampMs = 1000L)
-    val metaDir = dir.resolve("metadata")
-    val list = Files.list(metaDir).iterator().asScala
-      .find(_.getFileName.toString.startsWith("snap-")).get
-    // rewrite the manifest list with content=1 via avro
-    val entries = {
-      val in = new org.apache.avro.mapred.FsInput(
-        new org.apache.hadoop.fs.Path(list.toUri.toString),
-        new org.apache.hadoop.conf.Configuration())
-      val r = org.apache.avro.file.DataFileReader.openReader(in,
-        new org.apache.avro.generic.GenericDatumReader[
-          org.apache.avro.generic.GenericRecord]())
-      try {
-        val b = Seq.newBuilder[org.apache.avro.generic.GenericRecord]
-        while (r.hasNext) b += r.next()
-        (r.getSchema, b.result())
-      } finally r.close()
+    val delDir = Files.createTempDirectory("ice-del-eq")
+    import spark.implicits._
+    Seq(("n_nationkey", 1L)).toDF("field", "value").coalesce(1)
+      .write.mode("overwrite").parquet(delDir.toString)
+    val delFile = Files.list(delDir).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    IcebergLocal.append(dir, Seq(IcebergLocal.DataFileInfo(
+      delFile.toUri.toString, 1, Files.size(delFile), content = 2)),
+      timestampMs = 2000L)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IcebergRest.read(spark, catalog, "analytics", "eqdel")
+      }
+      assert(e.getMessage.contains("equality delete"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
     }
-    val (schema, recs) = entries
-    recs.foreach(_.put("content", 1))
-    val w = new org.apache.avro.file.DataFileWriter(
-      new org.apache.avro.generic.GenericDatumWriter[
-        org.apache.avro.generic.GenericRecord](schema))
-    w.create(schema, list.toFile)
-    try recs.foreach(w.append) finally w.close()
-    val e = intercept[IllegalArgumentException] {
-      IcebergRest.read(spark, catalog, "analytics", "deletes")
-    }
-    assert(e.getMessage.contains("delete manifest"))
-    // clean up so table listing in other tests stays stable
-    import scala.reflect.io.Directory
-    new Directory(dir.toFile).deleteRecursively()
   }
 
   test("catalog server refuses path traversal in table names") {
