@@ -206,6 +206,15 @@ final case class FederationRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case "clickhouse" =>
           new graft.sources.clickhouse.ClickHouseTable(
             schema, graft.sources.clickhouse.ClickHouseOptions(conf))
+        // engine-to-engine: the collapsed subtree ships as Spark SQL to
+        // a remote graft peer over the Arrow-carrying transports — the
+        // reference's Flight-to-Flight subplan shipping
+        case "arrowhttp" =>
+          new graft.sources.arrowhttp.ArrowHttpTable(
+            schema, graft.sources.arrowhttp.ArrowHttpOptions(conf))
+        case "flight" =>
+          new graft.sources.flight.FlightTable(
+            schema, graft.sources.flight.FlightOptions(conf))
         case other =>
           throw new IllegalStateException(s"no federation executor for $other")
       }
@@ -231,6 +240,8 @@ object FederationRule {
       case _: graft.sources.pg.PgTable => Some("postgres")
       case _: graft.sources.mysql.MySqlTable => Some("mysql")
       case _: graft.sources.clickhouse.ClickHouseTable => Some("clickhouse")
+      case _: graft.sources.arrowhttp.ArrowHttpTable => Some("arrowhttp")
+      case _: graft.sources.flight.FlightTable => Some("flight")
       case _ => None
     }
 

@@ -222,9 +222,15 @@ final class SourceRegistry(spark: SparkSession) {
           .option("url", src.url.getOrElse(
             throw new IllegalArgumentException(
               s"flight source ${src.name} needs url")))
+          // backtick-quoted: the remote peer speaks Spark SQL, where
+          // double-quoted identifiers are string literals by default
           .option("query", src.options.getOrElse("query",
-            s"SELECT * FROM ${graft.util.Sanitize.quoteIdentifier(t.name)}"))
-          .options(src.options - "query")
+            s"SELECT * FROM `${graft.util.Sanitize.validateIdentifier(t.name)}`"))
+          // remote-addressable name: lets the federation rule collapse
+          // same-peer subtrees over this scan (a custom `query` has no
+          // addressable name, so only default whole-table scans carry it)
+          .options(if (src.options.contains("query")) src.options - "query"
+            else src.options + ("table" -> t.name))
           .load()
       case other =>
         throw new IllegalArgumentException(s"unsupported source type: $other")

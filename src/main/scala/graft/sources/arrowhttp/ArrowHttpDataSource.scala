@@ -65,14 +65,28 @@ final case class ArrowHttpOptions(conf: Map[String, String]) {
   private def req(k: String): String = conf.getOrElse(k,
     throw new IllegalArgumentException(s"graft-arrowhttp: missing option '$k'"))
   val url: String = req("url").stripSuffix("/")
-  val table: String = req("table")
+  /** Whole-statement mode (the federation rule's collapsed subtrees):
+    * the remote runs `query` verbatim as the relation; pushed filters/
+    * columns/limits wrap it as a derived table. */
+  val query: Option[String] = conf.get("query")
+  val table: Option[String] = conf.get("table")
+  require(query.isDefined || table.isDefined,
+    "graft-arrowhttp: need option 'table' or 'query'")
   val authToken: Option[String] = conf.get("authToken")
-  graft.util.Sanitize.validateIdentifier(table)
+  table.foreach(graft.util.Sanitize.validateIdentifier)
+
+  /** The remote FROM clause: bare table or the query as a derived table. */
+  def fromClause: String = table match {
+    case Some(t) if query.isEmpty => s"`$t`"
+    case _ => s"(${query.get}) AS graft_q"
+  }
+
+  def tableLabel: String = table.getOrElse("<query>")
 }
 
 final class ArrowHttpTable(schema: StructType, opts: ArrowHttpOptions)
     extends Table with SupportsRead {
-  override def name(): String = s"${opts.url}#${opts.table}"
+  override def name(): String = s"${opts.url}#${opts.tableLabel}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -159,7 +173,7 @@ final class ArrowHttpScan(schema: StructType, opts: ArrowHttpOptions,
     val where =
       if (wheres.isEmpty) "" else wheres.mkString(" WHERE ", " AND ", "")
     val fetch = limit.map(n => s" LIMIT $n").getOrElse("")
-    s"SELECT $cols FROM `${opts.table}`$where$fetch"
+    s"SELECT $cols FROM ${opts.fromClause}$where$fetch"
   }
 }
 
@@ -203,7 +217,10 @@ object ArrowHttpClient {
   /** Table schema from the discovery endpoint's embedded IPC Schema
     * bytes — metadata only, no data transfer. */
   def discoverSchema(opts: ArrowHttpOptions): StructType = {
-    val pattern = URLEncoder.encode(opts.table, StandardCharsets.UTF_8)
+    val table = opts.table.getOrElse(throw new IllegalArgumentException(
+      "graft-arrowhttp: schema inference needs option 'table' " +
+        "(query-mode scans carry their schema)"))
+    val pattern = URLEncoder.encode(table, StandardCharsets.UTF_8)
     val conn = connect(
       s"${opts.url}/api/v1/tables?table_name_filter_pattern=$pattern", opts)
     try {
@@ -217,16 +234,16 @@ object ArrowHttpClient {
         try {
           if (!reader.loadNextBatch())
             throw new IllegalArgumentException(
-              s"table '${opts.table}' not found at ${opts.url}")
+              s"table '$table' not found at ${opts.url}")
           val root = reader.getVectorSchemaRoot
           val names = root.getVector("table_name").asInstanceOf[VarCharVector]
           val schemas = root.getVector("table_schema").asInstanceOf[VarBinaryVector]
           val idx = (0 until root.getRowCount)
-            .find(i => new String(names.get(i), StandardCharsets.UTF_8) == opts.table)
+            .find(i => new String(names.get(i), StandardCharsets.UTF_8) == table)
             .getOrElse(throw new IllegalArgumentException(
-              s"table '${opts.table}' not found at ${opts.url}"))
+              s"table '$table' not found at ${opts.url}"))
           val ipc = schemas.get(idx)
-          require(ipc.nonEmpty, s"server sent no schema for '${opts.table}'")
+          require(ipc.nonEmpty, s"server sent no schema for '$table'")
           val arrowSchema = org.apache.arrow.vector.ipc.message.MessageSerializer
             .deserializeSchema(new org.apache.arrow.vector.ipc.ReadChannel(
               java.nio.channels.Channels.newChannel(new ByteArrayInputStream(ipc))))

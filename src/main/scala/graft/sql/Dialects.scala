@@ -355,6 +355,33 @@ object SnowflakeDialect extends SqlDialect {
   * (binary plans, not SQL text), and local-execution fallback for unknown
   * sources.
   */
+/** Spark SQL itself — the dialect a REMOTE graft/Spark engine speaks,
+  * used when federating whole subtrees to the Arrow-carrying engine-to-
+  * engine sources (`arrowhttp`, `flight`): backtick identifiers, native
+  * `<=>` null-safe equality, NULLS FIRST/LAST, LIMIT/OFFSET, VALUES,
+  * and Spark DDL type names for CAST targets. Function names pass
+  * through unmapped — the remote resolver IS Spark's. */
+object SparkDialect extends SqlDialect {
+  val name = "spark"
+  override def identQuote: Char = '`'
+  override def escapeStringContent(s: String): String =
+    super.escapeStringContent(s).replace("\\", "\\\\")
+  override def nullSafeEq(l: SqlExpr, r: SqlExpr): SqlExpr =
+    BinOp(l, "<=>", r)
+  override def typeName(dt: DataType): String = dt match {
+    case StringType => "STRING"
+    case LongType   => "BIGINT"
+    case IntegerType => "INT"
+    case ShortType  => "SMALLINT"
+    case ByteType   => "TINYINT"
+    case DoubleType => "DOUBLE"
+    case FloatType  => "FLOAT"
+    case BinaryType => "BINARY"
+    case d: DecimalType => s"DECIMAL(${d.precision}, ${d.scale})"
+    case other      => super.typeName(other)
+  }
+}
+
 object DialectRouter {
   sealed trait DialectPath
   final case class Sql(dialect: SqlDialect) extends DialectPath
@@ -371,6 +398,8 @@ object DialectRouter {
       case "snowflake"               => Sql(SnowflakeDialect)
       case "derby"                   => Sql(DerbyDialect)
       case "duckdb"                  => Sql(DuckDbDialect)
+      // engine-to-engine: the remote speaks Spark SQL (a graft peer)
+      case "spark" | "arrowhttp" | "flight" => Sql(SparkDialect)
       case "datafusion"              => Substrait
       case _                         => LocalExecution
     }

@@ -88,7 +88,10 @@ class ArrowHttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val df = spark.read.format("graft.sources.arrowhttp.ArrowHttpDataSource")
         .option("url", s"http://localhost:$sport")
         .option("table", "nation").option("authToken", "k").load()
-      val e = intercept[Exception] { df.count() }
+      // collect(), not count(): a count now FEDERATES (the aggregate
+      // runs remotely and returns one row, under any cap) — the
+      // truncation guard is about pulling capped raw rows
+      val e = intercept[Exception] { df.collect() }
       def messages(t: Throwable): Seq[String] =
         Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
       assert(messages(e).exists(_.contains("truncated")), messages(e).toString)

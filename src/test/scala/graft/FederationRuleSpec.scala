@@ -289,6 +289,78 @@ class FederationRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally stub.stop()
   }
 
+  test("the arrowhttp engine-to-engine source federates: ONE remote Spark SQL") {
+    // true engine-to-engine subplan shipping (the reference's
+    // Flight-to-Flight story): a remote graft peer serves the Arrow
+    // HTTP surface; a join+aggregate over two of its tables must arrive
+    // as ONE Spark-dialect SQL statement with the join inside
+    import graft.server.{ApiKeyAuthenticator, ApiServer}
+    val peer = new GraftSession(spark, GraftConfig(defensiveLimit = 100000))
+    val api = new ApiServer(peer,
+      new ApiKeyAuthenticator(Map("k" -> AuthenticatedUser("u",
+        permissions = Set("query:execute", "catalog:read")))).apply,
+      maxRows = 100000)
+    val aport = api.start()
+    try {
+      new SourceRegistry(spark).registerSource(
+        SourceDef("fedarrow", "arrowhttp",
+          url = Some(s"http://127.0.0.1:$aport"),
+          options = Map("authToken" -> "k"),
+          tables = Seq(TableDef("nation"), TableDef("region"))),
+        new WarningCollector)
+      val df = spark.sql(
+        """SELECT r.r_name, count(*) AS n
+          |FROM fedarrow_nation n
+          |JOIN fedarrow_region r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case j: Join => j }.isEmpty, df.queryExecution.optimizedPlan)
+      assert(leafCount(df) == 1, df.queryExecution.optimizedPlan)
+      val before = peer.queryLog.size
+      val rows = df.collect()
+      val remote = peer.queryLog.drop(before).map(_.scrubbedSql)
+      assert(remote.size == 1, s"expected ONE pushed query, got: $remote")
+      assert(remote.head.toUpperCase.contains("JOIN"), remote.head)
+      assert(remote.head.toUpperCase.contains("GROUP BY"), remote.head)
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet ==
+        spark.sql("""SELECT r_name, count(*) FROM nation n JOIN region r
+          ON n.n_regionkey = r.r_regionkey GROUP BY r_name""")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    } finally api.stop()
+  }
+
+  test("the flight source federates the same way (Flight-to-Flight shipping)") {
+    import graft.server.{ApiKeyAuthenticator, FlightSqlEdge}
+    val peer = new GraftSession(spark, GraftConfig(defensiveLimit = 100000))
+    val fedge = new FlightSqlEdge(peer,
+      new ApiKeyAuthenticator(Map("fk" -> AuthenticatedUser("u",
+        permissions = Set("admin")))).apply)
+    val fport = fedge.start()
+    try {
+      new SourceRegistry(spark).registerSource(
+        SourceDef("fedflight", "flight",
+          url = Some(s"http://127.0.0.1:$fport"),
+          options = Map("authToken" -> "fk"),
+          tables = Seq(TableDef("nation"), TableDef("region"))),
+        new WarningCollector)
+      val df = spark.sql(
+        """SELECT r.r_name, count(*) AS n
+          |FROM fedflight_nation n
+          |JOIN fedflight_region r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case j: Join => j }.isEmpty, df.queryExecution.optimizedPlan)
+      assert(leafCount(df) == 1, df.queryExecution.optimizedPlan)
+      val before = peer.queryLog.size
+      val rows = df.collect()
+      val remote = peer.queryLog.drop(before).map(_.scrubbedSql)
+        .filter(_.toUpperCase.contains("JOIN")) // GetFlightInfo may plan twice
+      assert(remote.nonEmpty, s"no JOIN-carrying remote query in ${peer.queryLog.drop(before)}")
+      assert(remote.forall(_.toUpperCase.contains("GROUP BY")), remote)
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet.size == 5)
+    } finally fedge.stop()
+  }
+
   test("v1 JDBC relations federate too: a Derby join collapses to one remote SQL") {
     graft.sources.DerbyFederationDialect.register()
     val dir = java.nio.file.Files.createTempDirectory("graft-fedrule").toString

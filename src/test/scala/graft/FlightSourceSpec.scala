@@ -155,8 +155,9 @@ class FlightSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       SourceDef(name = "remote", sourceType = "flight", url = Some(url),
         tables = Seq(TableDef(name = "users"))),
       new graft.session.WarningCollector)
-    // default query = whole-table SELECT on the sanitized table name
-    assert(lastQuery == "SELECT * FROM \"users\"")
+    // default query = whole-table SELECT on the sanitized table name,
+    // backtick-quoted (the remote peer speaks Spark SQL)
+    assert(lastQuery == "SELECT * FROM `users`")
     val rows = spark.table("remote_users").orderBy("id").collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
