@@ -101,13 +101,69 @@ private[operators] object Subword {
 
   /** Spark: re-segment every word under the chosen pair with the greedy
     * fold; the pair rides as columns so the fold text stays identical
-    * to the oracle's. Checkpointed — vocab-sized; truncates the fold
-    * lineage. */
-  def applyMerge(wf: DataFrame, w1: String, w2: String): DataFrame =
-    wf.withColumn("w1", lit(w1)).withColumn("w2", lit(w2))
+    * to the oracle's. Checkpointed by default — vocab-sized; truncates
+    * the fold lineage. Batched rounds pass `checkpoint = false` for the
+    * intermediate merges of a round (one materialization per ROUND, not
+    * per merge — the fold plans compose). */
+  def applyMerge(wf: DataFrame, w1: String, w2: String,
+      checkpoint: Boolean = true): DataFrame = {
+    val merged = wf.withColumn("w1", lit(w1)).withColumn("w2", lit(w2))
       .withColumn("seg2", expr(mergeFoldSpark))
       .select(col("word"), col("freq"), col("seg2").as("seg"))
-      .localCheckpoint(false)
+    if (checkpoint) merged.localCheckpoint(false) else merged
+  }
+
+  /** One driver round-trip selecting up to `k` frequency-argmax merges
+    * PROVEN equal to applying `k` sequential argmax steps — the batched
+    * trainer for count-objective (BPE) merge loops, so a 32k-vocab
+    * training run costs ~vocab/k sequential Spark jobs instead of one
+    * per merge.
+    *
+    * Soundness (why the batch equals the sequential sequence): take the
+    * pair list sorted by (count DESC, w1, w2) — the sequential argmax
+    * order. Accept a PREFIX of pairwise-disjoint pairs, stopping at the
+    * first pair sharing a symbol with an accepted one; let `stop` be
+    * that pair's count (or the last fetched count when the fetch
+    * truncates first). Merging disjoint pairs never changes each
+    * other's counts (no adjacency involving {a,b} is an adjacency of
+    * {c,d}), and every pair a merge CAN change — or create, like
+    * (x, ab) — has count bounded by an existing pair sharing a merged
+    * symbol, all of which sit at or after the stop position, i.e. count
+    * ≤ stop. So after dropping accepted pairs (beyond the first, which
+    * IS the argmax by construction) whose count ≤ stop, each remaining
+    * batch member strictly dominates everything a prior batch merge
+    * could have promoted — the sequential argmax would pick exactly
+    * this sequence. WordPiece's likelihood objective has NO such bound
+    * (a fresh merged symbol's small count is an unboundedly small
+    * denominator, so a new pair can out-score anything), which is why
+    * its loop stays sequential.
+    */
+  def batchedArgmax(wf: DataFrame, k: Int): Seq[(String, String, Long)] = {
+    val fetchN = math.max(32, 8 * k)
+    val top = pairCounts(wf)
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(fetchN).collect()
+    if (top.isEmpty) return Nil
+    val exhaustive = top.length < fetchN
+    var touched = Set.empty[String]
+    val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stop = if (exhaustive) -1L else top.last.getLong(2)
+    val it = top.iterator
+    var stopped = false
+    while (it.hasNext && !stopped) {
+      val r = it.next()
+      val (w1, w2, c) = (r.getString(0), r.getString(1), r.getLong(2))
+      if (touched(w1) || touched(w2)) { stop = c; stopped = true }
+      // a full batch keeps SCANNING: the strictness bound is against the
+      // first interacting pair anywhere in the order, found or not
+      else if (batch.size < k) {
+        batch += ((w1, w2, c)); touched ++= Set(w1, w2, w1 + w2)
+      }
+    }
+    // keep the head (it is the argmax regardless); later members must
+    // STRICTLY dominate anything a prior merge could promote
+    batch.head +: batch.tail.takeWhile(_._3 > stop).toSeq
+  }
 
   /** Per-(session, corpus-dir) training memo: train and encode share
     * one run instead of each paying the corpus pass and the per-step

@@ -58,29 +58,42 @@ object Tokenizer {
       dir: String): Seq[(Int, String, String, Long)] =
     trained.getOrElseUpdate(s, dir)(trainBpeUncached(s, dir))
 
+  /** Pairs merged per driver round-trip. 4 roughly quarters the
+    * sequential job count at equal output (equality PROVEN, not
+    * sampled — see [[Subword.batchedArgmax]]'s soundness argument);
+    * a real 32k-vocab run then costs ~8k jobs instead of 32k. */
+  private[graft] val BatchK = 4
+
   /** Run the driver-side training loop: word-frequency table (the one
-    * corpus pass), then `BpeSteps` argmax-pair + greedy-re-segment
-    * iterations over the vocabulary-sized relation. Returns the ordered
-    * merge table. */
-  private def trainBpeUncached(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    * corpus pass), then BATCHED argmax rounds — each round is ONE
+    * driver round-trip selecting up to [[BatchK]] merges guaranteed
+    * equal to that many sequential argmax steps, re-segmenting once per
+    * round. Returns the ordered merge table plus the number of rounds
+    * taken (the driver-job saving the spec pins). */
+  private[graft] def trainBpeRounds(s: SparkSession,
+      dir: String, k: Int): (Seq[(Int, String, String, Long)], Int) = {
     var wf = Subword.wordFreqSeg(s, dir)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
-    for (step <- 1 to BpeSteps) {
-      // the argmax pair: a 1-row TakeOrdered — the single sequential
-      // decision each BPE step makes
-      val best = Subword.pairCounts(wf)
-        .orderBy(col("c").desc, col("w1"), col("w2"))
-        .limit(1).collect()
-      if (best.nonEmpty) {
-        val (w1, w2, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((step, w1, w2, c))
-        wf = Subword.applyMerge(wf, w1, w2)
+    var rounds = 0
+    while (merges.size < BpeSteps) {
+      val want = math.min(k, BpeSteps - merges.size)
+      val batch = Subword.batchedArgmax(wf, want)
+      rounds += 1
+      if (batch.isEmpty) return (merges.toSeq, rounds)
+      batch.zipWithIndex.foreach { case ((w1, w2, c), i) =>
+        merges += ((merges.size + 1, w1, w2, c))
+        // one materialization per ROUND: only the last merge checkpoints
+        wf = Subword.applyMerge(wf, w1, w2,
+          checkpoint = i == batch.size - 1)
       }
     }
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
+
+  private def trainBpeUncached(s: SparkSession,
+      dir: String): Seq[(Int, String, String, Long)] =
+    trainBpeRounds(s, dir, BatchK)._1
 
   val defs: Seq[GraftQuery] = Seq(
 

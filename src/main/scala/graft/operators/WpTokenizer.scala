@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   * combinable aggregates over that vocabulary-sized relation joined by
   * broadcast, and the argmax is a 1-row TakeOrdered. The per-step
   * decision is inherently sequential, so the step loop runs on the
-  * driver over vocabulary-sized intermediates.
+  * driver over vocabulary-sized intermediates. Unlike BPE (whose loop
+  * runs BATCHED via [[Subword.batchedArgmax]] — frequency counts of
+  * disjoint pairs are merge-invariant and bounded, so k merges per
+  * round provably equal k sequential steps), the likelihood objective
+  * CANNOT batch safely: a freshly merged symbol's small count is an
+  * unboundedly small denominator, so a new pair can out-score any
+  * pending batch member — WordPiece stays one argmax per step.
   *
   * Cross-engine exactness: every OUTPUT column is integer or string.
   * The score only ORDERS the argmax; it is computed in both engines as

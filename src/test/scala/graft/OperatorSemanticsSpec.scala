@@ -315,6 +315,21 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got == 8, s"kernel count $got")
   }
 
+  test("batched bpe rounds equal sequential argmax steps, in fewer round-trips") {
+    // the proven-equal gate (Subword.batchedArgmax): merging k disjoint
+    // pairs per driver round must reproduce the EXACT sequential merge
+    // table — same pairs, same order, same counts — while taking fewer
+    // argmax round-trips than merges
+    import graft.operators.Tokenizer
+    val (sequential, seqRounds) = Tokenizer.trainBpeRounds(spark, sf, 1)
+    val (batched, batRounds) = Tokenizer.trainBpeRounds(spark, sf, 4)
+    assert(seqRounds == sequential.size)
+    assert(batched == sequential,
+      s"batched $batched differs from sequential $sequential")
+    assert(batRounds < seqRounds,
+      s"batching saved nothing: $batRounds rounds for ${batched.size} merges")
+  }
+
   test("wordpiece merge table is well-formed; counts bound the pair") {
     val rows = run("t_wp_train").collect().sortBy(_.getInt(0))
     assert(rows.length == graft.operators.WpTokenizer.WpSteps)
