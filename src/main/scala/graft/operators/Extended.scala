@@ -377,6 +377,70 @@ object Extended {
       } finally server.stop()
     },
 
+    // Iceberg MERGE-ON-READ round-trip: write customer as one sorted
+    // data snapshot, then BOTH v2 delete shapes — a positional delete
+    // file removing every 7th key by (file, pos), and an equality
+    // delete file removing one market segment by schema-resolved field
+    // id — and read the table back through the REST catalog. The result
+    // must hash-match the oracle's plain relational view of the same
+    // deletes, proving the delete application (broadcast anti-joins on
+    // Spark's parquet metadata columns + null-safe equality columns,
+    // sequence-gated) is exact, not just row-countable.
+    GraftQuery("q_iceberg_mor",
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 7 <> 0 AND c_mktsegment <> 'BUILDING'"""
+        .stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      import scala.jdk.CollectionConverters._
+      val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg_mor"))
+      val tableDir = warehouse.resolve("customer")
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      val data = t(s, dir).customer.select(cols.map(col): _*)
+        .orderBy("c_custkey")
+      def onePart(df: org.apache.spark.sql.DataFrame,
+          tag: String): java.nio.file.Path = {
+        val out = java.nio.file.Files.createTempDirectory(s"graft_mor_$tag")
+        out.toFile.deleteOnExit()
+        df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+        java.nio.file.Files.list(out).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+      }
+      val dataFile = onePart(data, "data")
+      val rows = data.count()
+      IcebergLocal.append(tableDir, Seq(IcebergLocal.DataFileInfo(
+        dataFile.toUri.toString, rows, java.nio.file.Files.size(dataFile))),
+        timestampMs = 1000L, schema = Some(data.schema))
+      // positional deletes: the file is custkey-sorted, so position =
+      // rank - 1; remove every custkey divisible by 7
+      val posDel = data
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("c_custkey")) - 1)
+        .filter(col("c_custkey") % 7 === 0)
+        .select(lit(dataFile.toUri.toString).as("file_path"),
+          col("pos").cast("long").as("pos"))
+      val posFile = onePart(posDel, "posdel")
+      IcebergLocal.append(tableDir, Seq(IcebergLocal.DataFileInfo(
+        posFile.toUri.toString, posDel.count(),
+        java.nio.file.Files.size(posFile), content = 1)),
+        timestampMs = 2000L)
+      // equality deletes: drop one market segment via field id 4
+      // (c_mktsegment is the 4th field of the committed schema)
+      val eqFile = onePart(
+        s.range(1).select(lit("BUILDING").as("c_mktsegment")), "eqdel")
+      IcebergLocal.append(tableDir, Seq(IcebergLocal.DataFileInfo(
+        eqFile.toUri.toString, 1, java.nio.file.Files.size(eqFile),
+        content = 2, equalityIds = Seq(4))),
+        timestampMs = 3000L)
+      val server = new IcebergLocal.CatalogServer(warehouse, "lake")
+      val port = server.start()
+      try {
+        val catalog = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+        IcebergRest.read(s, catalog, "lake", "customer")
+          .localCheckpoint(true)
+      } finally server.stop()
+    },
+
     GraftQuery("q_tablesample", {
       val (ctes, last) = SketchOracleSql.fmixScalarCtes("s", "k", "l_quantity", "h")
       s"""WITH k AS (SELECT l_quantity,

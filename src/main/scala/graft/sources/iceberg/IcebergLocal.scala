@@ -40,10 +40,11 @@ object IcebergLocal {
   /** One file of an append: an absolute path (any Hadoop-readable
     * scheme), its row count, and its size in bytes. `content` is the
     * spec's data_file content id: 0 = data, 1 = position deletes (a
-    * parquet file of (file_path, pos) rows — the v2 merge-on-read
-    * delete shape). */
+    * parquet file of (file_path, pos) rows), 2 = equality deletes (a
+    * parquet file of the equality columns; `equalityIds` lists their
+    * spec field ids) — the two v2 merge-on-read delete shapes. */
   final case class DataFileInfo(path: String, recordCount: Long,
-      sizeBytes: Long, content: Int = 0)
+      sizeBytes: Long, content: Int = 0, equalityIds: Seq[Int] = Nil)
 
   private val mapper = new ObjectMapper()
 
@@ -67,7 +68,9 @@ object IcebergLocal {
       |    {"name":"file_path","type":"string"},
       |    {"name":"file_format","type":"string"},
       |    {"name":"record_count","type":"long"},
-      |    {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      |    {"name":"file_size_in_bytes","type":"long"},
+      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+      |     "default":null}]}}]}""".stripMargin)
 
   private val manifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -120,7 +123,12 @@ object IcebergLocal {
   def append(tableDir: JPath, files: Seq[DataFileInfo],
       timestampMs: Long, tag: Option[String] = None,
       retainLast: Option[Int] = None,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      /** `replace = true` commits `files` as the table's ENTIRE new file
+        * set — no prior manifests carried — which is how compaction
+        * publishes a rewritten (deletes-materialized) layout while every
+        * earlier snapshot's manifest list stays intact for time travel. */
+      replace: Boolean = false): Long = {
     val metaDir = tableDir.resolve("metadata")
     Files.createDirectories(metaDir)
     val priorRaw = currentMetadataFile(tableDir)
@@ -145,6 +153,11 @@ object IcebergLocal {
       df.put("file_format", "PARQUET")
       df.put("record_count", f.recordCount)
       df.put("file_size_in_bytes", f.sizeBytes)
+      if (f.equalityIds.nonEmpty) {
+        val ids = new java.util.ArrayList[Integer](f.equalityIds.size)
+        f.equalityIds.foreach(i => ids.add(Integer.valueOf(i)))
+        df.put("equality_ids", ids)
+      }
       val e = new GenericData.Record(manifestEntrySchema)
       e.put("status", 1) // ADDED
       e.put("data_file", df)
@@ -159,10 +172,12 @@ object IcebergLocal {
     // manifest whose entries are re-recorded as EXISTING (status 0 — the
     // reader keeps 0/1, drops only DELETED), so the tail length resets.
     val hadoopConf = new org.apache.hadoop.conf.Configuration()
-    val carried = prior.toSeq.flatMap { m =>
-      IcebergAvro.read(m.snapshots.maxBy(_.snapshotId).manifestList,
-        hadoopConf)
-    }
+    val carried =
+      if (replace) Seq.empty
+      else prior.toSeq.flatMap { m =>
+        IcebergAvro.read(m.snapshots.maxBy(_.snapshotId).manifestList,
+          hadoopConf)
+      }
     // delete manifests are never compacted — their sequence numbers gate
     // WHICH data files each delete applies to, and a merged manifest
     // would flatten that lineage; only the data tail compacts

@@ -3,6 +3,7 @@ package graft.sources.iceberg
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import java.net.{HttpURLConnection, URI}
 import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
 
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
@@ -36,11 +37,13 @@ import graft.sources.SnapshotLog.{ByTimestamp, ByVersion, VersionSpec}
   * Manifests are read through Hadoop `FsInput`, so manifest/data URIs
   * may use any registered filesystem scheme (file/http/s3a/...).
   *
-  * Merge-on-read: v2 POSITIONAL delete files are applied (broadcast
-  * anti-join on Spark's `_metadata.file_path`/`_metadata.row_index`,
-  * sequence-number gated), so Flink/Trino-written tables with row-level
-  * deletes read correctly. Deliberate bound (explicit error, not a
-  * silent wrong answer): EQUALITY delete files are refused.
+  * Merge-on-read: BOTH v2 delete shapes are applied — positional
+  * delete files (broadcast anti-join on Spark's `_metadata.file_path`/
+  * `_metadata.row_index`, data sequence ≤ the delete's) and equality
+  * delete files (null-safe broadcast anti-join on the `equality_ids`
+  * columns resolved through the table schema, data sequence strictly
+  * below the delete's) — so Flink/Trino-written tables with row-level
+  * deletes read correctly.
   */
 final case class IcebergSnapshot(snapshotId: Long, timestampMs: Long,
     manifestList: String)
@@ -50,7 +53,10 @@ final case class IcebergTableMeta(
     currentSnapshotId: Option[Long],
     snapshots: Seq[IcebergSnapshot],
     /** ref name → (type: "tag" | "branch", snapshot id) */
-    refs: Map[String, (String, Long)])
+    refs: Map[String, (String, Long)],
+    /** current schema's top-level field id → column name (resolves an
+      * equality delete's `equality_ids` to join columns) */
+    fieldNames: Map[Int, String] = Map.empty)
 
 /** REST catalog over `baseUrl` (e.g. `http://host:8181`); `headers` is
   * re-evaluated per request so OAuth bearer refresh (graft's
@@ -162,12 +168,21 @@ object IcebergMetadata {
           e.getValue.get("snapshot-id").asLong())
       }.toMap
     }.getOrElse(Map.empty)
+    val currentSchemaId =
+      Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    val fieldNames = IcebergJson.arr(meta.get("schemas"))
+      .find(s => Option(s.get("schema-id")).forall(_.asInt() == currentSchemaId))
+      .toSeq.flatMap(s => IcebergJson.arr(s.get("fields")))
+      .flatMap(f => for (id <- Option(f.get("id")); n <- Option(f.get("name")))
+        yield id.asInt() -> n.asText())
+      .toMap
     IcebergTableMeta(
       location = Option(meta.get("location")).map(_.asText()).getOrElse(""),
       currentSnapshotId = Option(meta.get("current-snapshot-id"))
         .map(_.asLong()).filter(_ > 0),
       snapshots = snaps,
-      refs = refs)
+      refs = refs,
+      fieldNames = fieldNames)
   }
 
   /** Resolve a version spec to a snapshot — the same contract as
@@ -212,12 +227,19 @@ object IcebergMetadata {
   }
 }
 
-/** One snapshot's file inventory: live data files and the positional
-  * delete files that apply to them, each with its data sequence number
-  * (the v2 ordering that decides WHICH data files a delete can see). */
+/** One equality delete file: path, data sequence number, and the spec
+  * field ids of its equality columns (empty = every column in the
+  * delete file is an equality column, the common writer shape). */
+final case class EqualityDeleteFile(path: String, seq: Long,
+    equalityIds: Seq[Int])
+
+/** One snapshot's file inventory: live data files and the delete files
+  * that apply to them, each with its data sequence number (the v2
+  * ordering that decides WHICH data files a delete can see). */
 final case class IcebergScanFiles(
     dataFiles: Seq[(String, Long)],
-    positionDeletes: Seq[(String, Long)])
+    positionDeletes: Seq[(String, Long)],
+    equalityDeletes: Seq[EqualityDeleteFile] = Nil)
 
 object IcebergManifests {
   /** Walk snapshot → manifest list → manifests → live files. Avro field
@@ -252,6 +274,7 @@ object IcebergManifests {
     }
     val data = Seq.newBuilder[(String, Long)]
     val posDeletes = Seq.newBuilder[(String, Long)]
+    val eqDeletes = Seq.newBuilder[EqualityDeleteFile]
     manifests.foreach { case (mf, seq, manifestContent) =>
       readAvro(mf, conf).foreach { entry =>
         val status = intField(entry, "status").getOrElse(1)
@@ -264,15 +287,19 @@ object IcebergManifests {
         if (status != 2) fileContent match { // 2 = DELETED: not in snapshot
           case 0 => data += ((df.get("file_path").toString, seq))
           case 1 => posDeletes += ((df.get("file_path").toString, seq))
-          case 2 => throw new IllegalArgumentException(
-            s"equality delete file in manifest $mf: not supported " +
-              "(positional merge-on-read and append-only reads only)")
+          case 2 =>
+            val ids = Option(df.getSchema.getField("equality_ids"))
+              .flatMap(_ => Option(df.get("equality_ids"))).toSeq
+              .flatMap(_.asInstanceOf[java.util.List[_]].asScala
+                .map(_.asInstanceOf[Number].intValue()))
+            eqDeletes += EqualityDeleteFile(
+              df.get("file_path").toString, seq, ids)
           case other => throw new IllegalArgumentException(
             s"unknown data_file content id $other in manifest $mf")
         }
       }
     }
-    IcebergScanFiles(data.result(), posDeletes.result())
+    IcebergScanFiles(data.result(), posDeletes.result(), eqDeletes.result())
   }
 
   /** Compatibility wrapper: live data-file paths of an append-only
@@ -280,8 +307,8 @@ object IcebergManifests {
   def dataFiles(spark: SparkSession, manifestList: String,
       extraConf: Map[String, String] = Map.empty): Seq[String] = {
     val s = scanFiles(spark, manifestList, extraConf)
-    require(s.positionDeletes.isEmpty,
-      s"snapshot carries positional deletes; use scanFiles for MoR reads")
+    require(s.positionDeletes.isEmpty && s.equalityDeletes.isEmpty,
+      s"snapshot carries delete files; use scanFiles for MoR reads")
     s.dataFiles.map(_._1)
   }
 
@@ -321,15 +348,34 @@ object IcebergRest {
       schema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     val meta = catalog.loadTable(namespace, table)
+    readMeta(spark, meta, spec, options, schema, s"$namespace.$table")
+  }
+
+  /** Read a LOCALLY committed table (no catalog server) at an optional
+    * version — the maintenance-side read path (compaction, upsert
+    * verification), sharing the full merge-on-read delete application
+    * with the REST path. */
+  def readLocal(spark: SparkSession, tableDir: java.nio.file.Path,
+      spec: Option[VersionSpec] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val meta = IcebergLocal.currentMetadata(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    readMeta(spark, meta, spec, options, None, tableDir.toString)
+  }
+
+  private def readMeta(spark: SparkSession, meta: IcebergTableMeta,
+      spec: Option[VersionSpec], options: Map[String, String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      label: String): DataFrame = {
     val snap = IcebergMetadata.select(meta, spec)
     val scan = IcebergManifests.scanFiles(spark, snap.manifestList, options)
     if (scan.dataFiles.isEmpty)
       throw new IllegalArgumentException(
-        s"snapshot ${snap.snapshotId} of $namespace.$table lists no data files")
+        s"snapshot ${snap.snapshotId} of $label lists no data files")
     val r = spark.read.options(options)
     val base = schema.fold(r)(r.schema).parquet(scan.dataFiles.map(_._1): _*)
-    if (scan.positionDeletes.isEmpty) base
-    else applyPositionDeletes(spark, base, scan)
+    if (scan.positionDeletes.isEmpty && scan.equalityDeletes.isEmpty) base
+    else applyDeletes(spark, base, scan, meta.fieldNames)
   }
 
   /** Manifest paths and Spark's `_metadata.file_path` can render the
@@ -339,33 +385,66 @@ object IcebergRest {
   private def normPath(c: org.apache.spark.sql.Column) =
     regexp_replace(c, "^file:/+", "file:/")
 
-  private def applyPositionDeletes(spark: SparkSession, base: DataFrame,
-      scan: IcebergScanFiles): DataFrame = {
+  /** Apply the snapshot's merge-on-read deletes: tag each data row with
+    * its file and sequence number (Spark's own parquet metadata
+    * columns — no row-id bookkeeping), then one broadcast anti-join per
+    * delete relation. Positional deletes match (file, pos) for data
+    * sequence ≤ the delete's; equality deletes match the equality
+    * columns null-safely (`<=>` — the spec treats null as equal to
+    * null) for data sequence STRICTLY BELOW the delete's. All delete
+    * relations are dimension-sized and broadcast, so the data scan
+    * stays a map-only pass. */
+  private def applyDeletes(spark: SparkSession, base: DataFrame,
+      scan: IcebergScanFiles, fieldNames: Map[Int, String]): DataFrame = {
     import spark.implicits._
     val dataCols = base.columns
-    // tiny metadata relations: (data file → its sequence number) and
-    // (delete file → its sequence number); both driver-known
     val dataSeq = scan.dataFiles.toDF("d_file", "d_seq")
       .withColumn("d_file", normPath(col("d_file")))
-    val delSeq = scan.positionDeletes.toDF("del_src", "del_seq")
-      .withColumn("del_src", normPath(col("del_src")))
-    // the delete rows themselves: spec columns (file_path, pos), tagged
-    // with their carrying file's sequence number
-    val delRows = spark.read.parquet(scan.positionDeletes.map(_._1): _*)
-      .select(normPath(col("file_path")).as("del_file"),
-        col("pos").cast("long").as("del_pos"),
-        normPath(col("_metadata.file_path")).as("del_src"))
-      .join(broadcast(delSeq), "del_src")
-      .select(col("del_file"), col("del_pos"), col("del_seq"))
-    val tagged = base
+    var tagged = base
       .withColumn("__graft_file", normPath(col("_metadata.file_path")))
       .withColumn("__graft_pos", col("_metadata.row_index"))
       .join(broadcast(dataSeq), col("__graft_file") === col("d_file"))
-    tagged.join(broadcast(delRows),
+    if (scan.positionDeletes.nonEmpty) {
+      // the delete rows: spec columns (file_path, pos), tagged with
+      // their carrying file's sequence number
+      val delSeq = scan.positionDeletes.toDF("del_src", "del_seq")
+        .withColumn("del_src", normPath(col("del_src")))
+      val delRows = spark.read.parquet(scan.positionDeletes.map(_._1): _*)
+        .select(normPath(col("file_path")).as("del_file"),
+          col("pos").cast("long").as("del_pos"),
+          normPath(col("_metadata.file_path")).as("del_src"))
+        .join(broadcast(delSeq), "del_src")
+        .select(col("del_file"), col("del_pos"), col("del_seq"))
+      tagged = tagged.join(broadcast(delRows),
         col("__graft_file") === col("del_file") &&
           col("__graft_pos") === col("del_pos") &&
           col("d_seq") <= col("del_seq"),
         "left_anti")
-      .select(dataCols.map(col): _*)
+    }
+    // equality deletes group by their equality column set; each group is
+    // one broadcast anti-join on those columns
+    scan.equalityDeletes.groupBy(_.equalityIds).foreach { case (ids, files) =>
+      val eqCols: Seq[String] =
+        if (ids.nonEmpty) ids.map(id => fieldNames.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"equality delete references unknown field id $id " +
+              s"(schema has ${fieldNames.keys.toSeq.sorted.mkString(", ")})")))
+        else spark.read.parquet(files.map(_.path): _*).columns.toSeq
+      val missing = eqCols.filterNot(dataCols.contains)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"equality delete columns ${missing.mkString(", ")} absent from " +
+          "the data schema")
+      val delSeq = files.map(f => (f.path, f.seq)).toDF("del_src", "del_seq")
+        .withColumn("del_src", normPath(col("del_src")))
+      val del = spark.read.parquet(files.map(_.path): _*)
+        .select(eqCols.map(c => col(c).as(s"__eq_$c")) :+
+          normPath(col("_metadata.file_path")).as("del_src"): _*)
+        .join(broadcast(delSeq), "del_src")
+        .drop("del_src")
+      val cond = eqCols.map(c => col(c) <=> col(s"__eq_$c"))
+        .reduce(_ && _) && col("d_seq") < col("del_seq")
+      tagged = tagged.join(broadcast(del), cond, "left_anti")
+    }
+    tagged.select(dataCols.map(col): _*)
   }
 }

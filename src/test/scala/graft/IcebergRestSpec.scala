@@ -190,31 +190,78 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("equality delete files are refused, not silently misread") {
-    // content=2 (equality deletes) cannot be applied by position; the
-    // reader must refuse the whole read rather than return rows that
-    // ignore the deletes
+  test("equality deletes apply via schema-resolved equality_ids") {
+    // v2 equality delete: a parquet file of equality-column values, the
+    // columns named by spec field ids resolved through the table schema
+    // (n_nationkey is field id 1 of the committed schema). Rows with
+    // n_nationkey in {1, 5} must disappear; strict sequence semantics:
+    // the delete (seq 2) applies to data at seq 1 only.
     val dir = warehouse.resolve("eqdel")
-    IcebergLocal.append(dir,
-      partFiles(spark.read.parquet(s"$sf/nation.parquet").limit(3)),
-      timestampMs = 1000L)
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    IcebergLocal.append(dir, partFiles(nation), timestampMs = 1000L,
+      tag = Some("pre-delete"), schema = Some(nation.schema))
     val delDir = Files.createTempDirectory("ice-del-eq")
     import spark.implicits._
-    Seq(("n_nationkey", 1L)).toDF("field", "value").coalesce(1)
+    Seq(1, 5).toDF("n_nationkey").coalesce(1)
       .write.mode("overwrite").parquet(delDir.toString)
     val delFile = Files.list(delDir).iterator().asScala
       .find(_.toString.endsWith(".parquet")).get
     IcebergLocal.append(dir, Seq(IcebergLocal.DataFileInfo(
-      delFile.toUri.toString, 1, Files.size(delFile), content = 2)),
+      delFile.toUri.toString, 2, Files.size(delFile), content = 2,
+      equalityIds = Seq(1))),
       timestampMs = 2000L)
     try {
-      val e = intercept[IllegalArgumentException] {
-        IcebergRest.read(spark, catalog, "analytics", "eqdel")
-      }
-      assert(e.getMessage.contains("equality delete"))
+      val current = IcebergRest.read(spark, catalog, "analytics", "eqdel")
+      val keys = current.select("n_nationkey").collect()
+        .map(_.getAs[Number](0).longValue()).toSet
+      assert(current.count() == 23, keys)
+      assert(!keys.contains(1L) && !keys.contains(5L), keys)
+      assert(IcebergRest.read(spark, catalog, "analytics", "eqdel",
+        Some(ByVersion("pre-delete"))).count() == 25)
     } finally {
       import scala.reflect.io.Directory
       new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
+  test("equality deletes without ids use the delete file's own columns; strict seq gate") {
+    // absent equality_ids, every column of the delete parquet is an
+    // equality column (the common writer shape). Also pin the STRICT
+    // ordering: an equality delete at seq 1 does NOT touch data
+    // committed at seq 2 (positional would, at <=; equality is <).
+    val dir = warehouse.resolve("eqdel2")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val delDir = Files.createTempDirectory("ice-del-eq2")
+    import spark.implicits._
+    Seq(("NATION_0", 0)).toDF("n_name", "n_regionkey").coalesce(1)
+      .write.mode("overwrite").parquet(delDir.toString)
+    val delFile = Files.list(delDir).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    // delete first (seq 1), data second (seq 2): strict < -> no-op
+    IcebergLocal.append(dir, Seq(IcebergLocal.DataFileInfo(
+      delFile.toUri.toString, 1, Files.size(delFile), content = 2)),
+      timestampMs = 1000L)
+    IcebergLocal.append(dir, partFiles(nation), timestampMs = 2000L)
+    try {
+      assert(IcebergRest.read(spark, catalog, "analytics", "eqdel2")
+        .count() == 25)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+    // now the applying order: data (seq 1), delete (seq 2)
+    val dir2 = warehouse.resolve("eqdel3")
+    IcebergLocal.append(dir2, partFiles(nation), timestampMs = 1000L)
+    IcebergLocal.append(dir2, Seq(IcebergLocal.DataFileInfo(
+      delFile.toUri.toString, 1, Files.size(delFile), content = 2)),
+      timestampMs = 2000L)
+    try {
+      val rows = IcebergRest.read(spark, catalog, "analytics", "eqdel3")
+      assert(rows.count() == 24)
+      assert(rows.filter("n_name = 'NATION_0'").count() == 0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir2.toFile).deleteRecursively()
     }
   }
 

@@ -249,6 +249,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("streaming iceberg UPSERTS read as latest-per-key; compaction keeps them") {
+    // the CDC MERGE shape: each micro-batch commits an equality-delete
+    // snapshot on its keys (retiring prior versions) then a data
+    // snapshot; the table always reads as latest-per-key through the
+    // MoR path, history stays time-travelable, replays are no-ops, and
+    // a compaction rewrite preserves the current state with zero
+    // delete files left to join
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sources.iceberg._
+    import graft.sources.SnapshotLog.ByVersion
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val warehouse = java.nio.file.Files.createTempDirectory("ice-upsert-wh")
+    val tableDir = warehouse.resolve("state")
+    var now = 1000L
+    val clock = () => { now += 1000; now }
+    val committer = graft.streaming.IcebergSink.upsertCommitter(
+      tableDir, keyCols = Seq("k"), clock = clock)
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .foreachBatch(committer)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-ups").toString)
+      .start()
+    try {
+      in.addData(("a", 1L), ("b", 1L)); q.processAllAvailable()
+      in.addData(("b", 2L), ("c", 2L)); q.processAllAvailable() // b updated
+      in.addData(("a", 3L)); q.processAllAvailable()            // a updated
+    } finally q.stop()
+    def state(spec: Option[graft.sources.SnapshotLog.VersionSpec] = None) =
+      IcebergRest.readLocal(spark, tableDir, spec)
+        .select("k", "v").as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(state() == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+    // time travel: after batch 1's data commit, b was already updated
+    assert(state(Some(ByVersion("batch-1"))) ==
+      Seq(("a", 1L), ("b", 2L), ("c", 2L)))
+    // replayed batch: full no-op (tag present)
+    committer(Seq(("a", 3L)).toDF("k", "v"), 2L)
+    assert(state() == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+    // compaction materializes the deletes; current state unchanged,
+    // the compacted head carries no delete files
+    IcebergMaintenance.compact(spark, tableDir, clock)
+    assert(state() == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+    val meta = IcebergLocal.currentMetadata(tableDir).get
+    val scan = IcebergManifests.scanFiles(spark,
+      IcebergMetadata.select(meta, None).manifestList)
+    assert(scan.positionDeletes.isEmpty && scan.equalityDeletes.isEmpty,
+      "compacted head still lists delete files")
+    // pre-compaction history is still readable (MoR applied as before)
+    assert(state(Some(ByVersion("batch-1"))) ==
+      Seq(("a", 1L), ("b", 2L), ("c", 2L)))
+  }
+
   test("streaming near-dup candidates equal the batch LSH candidate set") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
