@@ -158,6 +158,14 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(before.count() == 25)
       // schema is unchanged by the MoR anti-join: no helper columns leak
       assert(current.columns.toSeq == before.columns.toSeq)
+      // plan shape: the delete application is broadcast joins over the
+      // data scan — a map-only pass; any hash-partitioned exchange or
+      // sort-merge join here would shuffle the whole table at 100 TB
+      val exec = current.queryExecution.executedPlan.toString
+      assert(exec.contains("BroadcastHashJoin") && exec.contains("LeftAnti"),
+        exec)
+      assert(!exec.contains("SortMergeJoin"), exec)
+      assert(!exec.contains("Exchange hashpartitioning"), exec)
     } finally {
       import scala.reflect.io.Directory
       new Directory(dir.toFile).deleteRecursively()

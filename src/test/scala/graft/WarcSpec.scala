@@ -157,6 +157,19 @@ class WarcSpec extends AnyFunSuite {
     assert(df.filter(col("back") =!= col("text")).count() == 0)
   }
 
+  test("the full ingest plan is map-only: no shuffle from WARC to extracted text") {
+    import spark.implicits._
+    val dir = tmpDir("planshape")
+    val docs = Seq((1L, "plan shape text", "en", "srcP"))
+      .toDF("doc_id", "text", "lang", "source")
+    Warc.writeCorpus(docs, dir.toString)
+    val extracted = Warc.readCorpus(spark, dir.toString)
+      .select(col("doc_id"), HtmlText.mainText(col("text")).as("t"))
+    val exec = extracted.queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange"),
+      s"WARC ingest should be map-only, found a shuffle:\n$exec")
+  }
+
   test("the registry serves warc as a source type (corpus and records modes)") {
     import graft.sources._
     import spark.implicits._
