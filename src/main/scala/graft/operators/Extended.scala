@@ -441,6 +441,36 @@ object Extended {
       } finally server.stop()
     },
 
+    // Iceberg CDC UPSERT round-trip: the streaming MERGE shape driven
+    // through the driver gate — commit customer as batch 0, upsert new
+    // account balances for every key ending in 3 as batch 1 (equality-
+    // delete commit on the keys, then the data commit), COMPACT the
+    // table (rewrite-data-files: deletes materialized, REPLACE
+    // snapshot), and read the result back. The latest-per-key state
+    // must hash-match the oracle's CASE view of the same update — so
+    // upsert semantics AND the compaction rewrite are both exact, not
+    // just spec-sampled.
+    GraftQuery("q_iceberg_upsert",
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100.0
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg_upsert"))
+      val tableDir = warehouse.resolve("customer")
+      val base = t(s, dir).customer
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      var now = 0L
+      val clock = () => { now += 1000L; now }
+      val committer = graft.streaming.IcebergSink.upsertCommitter(
+        tableDir, keyCols = Seq("c_custkey"), clock = clock)
+      committer(base, 0L)
+      committer(base.filter(col("c_custkey") % 10 === 3)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(100.0)), 1L)
+      IcebergMaintenance.compact(s, tableDir, clock)
+      IcebergRest.readLocal(s, tableDir).localCheckpoint(true)
+    },
+
     GraftQuery("q_tablesample", {
       val (ctes, last) = SketchOracleSql.fmixScalarCtes("s", "k", "l_quantity", "h")
       s"""WITH k AS (SELECT l_quantity,
