@@ -282,7 +282,12 @@ object IcebergLocal {
         root.set[com.fasterxml.jackson.databind.JsonNode]("schemas", schemasNode.deepCopy())
         ()
     }
-    root.put("current-schema-id", 0)
+    // schema-carrying commits write their schema as id 0; schema-less
+    // commits must carry the PRIOR pointer too — a rename bumps it, and
+    // resetting to 0 here would silently undo the evolution
+    root.put("current-schema-id",
+      if (schema.isDefined) 0
+      else priorRaw.map(_.path("current-schema-id").asInt(0)).getOrElse(0))
     val specs = root.putArray("partition-specs")
     val ps = specs.addObject()
     ps.put("spec-id", 0); ps.putArray("fields")
@@ -435,6 +440,72 @@ object IcebergLocal {
   def currentMetadata(tableDir: JPath): Option[IcebergTableMeta] =
     currentMetadataFile(tableDir)
       .map(p => IcebergMetadata.parse(mapper.readTree(Files.readString(p))))
+
+  /** Stamp Spark's parquet field-id metadata (`parquet.field.id`) onto
+    * every TOP-LEVEL column, numbered exactly as [[icebergStructNode]]
+    * numbers the committed schema (depth-first, a field's id precedes
+    * its nested ids) — so parquet files written from the returned frame
+    * carry the same ids the table metadata declares. This is what real
+    * Iceberg writers always do, and it is the prerequisite for
+    * rename-safe field-id reads (`fieldIdReads` option). Nested ids
+    * have no Spark metadata slot; evolution is top-level-column only. */
+  def withFieldIds(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    def skipNested(dt: DataType): Unit = dt match {
+      case s: StructType =>
+        s.fields.foreach { f => counter.incrementAndGet(); skipNested(f.dataType) }
+      case ArrayType(et, _) => counter.incrementAndGet(); skipNested(et)
+      case MapType(k, v, _) =>
+        counter.incrementAndGet(); skipNested(k)
+        counter.incrementAndGet(); skipNested(v)
+      case _ => ()
+    }
+    val cols = df.schema.fields.map { f =>
+      val id = counter.incrementAndGet()
+      skipNested(f.dataType) // keep numbering aligned with the metadata
+      col("`" + f.name + "`")
+        .as(f.name, new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", id.toLong).build())
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Metadata-only column rename — Iceberg schema evolution: a NEW
+    * schema (same field ids, next schema-id) becomes current, so files
+    * written under the old name keep resolving BY FIELD ID while reads
+    * surface the new name. Rewrites the current metadata file in place
+    * (this writer's metadata-version == snapshot-id naming); the rename
+    * survives schema-less commits (which carry schemas forward) — a
+    * subsequent schema-carrying append replaces the schema table. */
+  def renameColumn(tableDir: JPath, from: String, to: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = currentMetadataFile(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    val root = mapper.readTree(Files.readString(p)).asInstanceOf[ObjectNode]
+    val curId = root.path("current-schema-id").asInt(0)
+    val schemas = root.withArray[ArrayNode]("schemas")
+    val cur = schemas.elements().asScala
+      .find(_.path("schema-id").asInt(0) == curId).getOrElse(
+        throw new IllegalArgumentException(s"no current schema in $p"))
+    val next = cur.deepCopy[ObjectNode]()
+    val newId = schemas.elements().asScala
+      .map(_.path("schema-id").asInt(0)).max + 1
+    next.put("schema-id", newId)
+    var hit = false
+    next.withArray[ArrayNode]("fields").elements().asScala.foreach { f =>
+      if (f.path("name").asText() == from) {
+        f.asInstanceOf[ObjectNode].put("name", to); hit = true
+      }
+    }
+    require(hit, s"rename: table has no top-level column '$from'")
+    schemas.add(next)
+    root.put("current-schema-id", newId)
+    Files.writeString(p,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+  }
 
   /** REST catalog over a warehouse directory: every subdirectory of
     * `warehouse` with committed metadata is a table in `namespace`.

@@ -56,7 +56,12 @@ final case class IcebergTableMeta(
     refs: Map[String, (String, Long)],
     /** current schema's top-level field id → column name (resolves an
       * equality delete's `equality_ids` to join columns) */
-    fieldNames: Map[Int, String] = Map.empty)
+    fieldNames: Map[Int, String] = Map.empty,
+    /** current schema as a Spark StructType with `parquet.field.id`
+      * metadata on every top-level column — present when every column
+      * maps to a Spark type; the read schema for `fieldIdReads`
+      * (rename-safe schema evolution) */
+    sparkSchema: Option[org.apache.spark.sql.types.StructType] = None)
 
 /** REST catalog over `baseUrl` (e.g. `http://host:8181`); `headers` is
   * re-evaluated per request so OAuth bearer refresh (graft's
@@ -170,9 +175,10 @@ object IcebergMetadata {
     }.getOrElse(Map.empty)
     val currentSchemaId =
       Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
-    val fieldNames = IcebergJson.arr(meta.get("schemas"))
+    val curFields = IcebergJson.arr(meta.get("schemas"))
       .find(s => Option(s.get("schema-id")).forall(_.asInt() == currentSchemaId))
       .toSeq.flatMap(s => IcebergJson.arr(s.get("fields")))
+    val fieldNames = curFields
       .flatMap(f => for (id <- Option(f.get("id")); n <- Option(f.get("name")))
         yield id.asInt() -> n.asText())
       .toMap
@@ -182,7 +188,49 @@ object IcebergMetadata {
         .map(_.asLong()).filter(_ > 0),
       snapshots = snaps,
       refs = refs,
-      fieldNames = fieldNames)
+      fieldNames = fieldNames,
+      sparkSchema = sparkSchemaOf(curFields))
+  }
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
+  /** Iceberg primitive type string → Spark type; None for nested or
+    * unknown types (the caller then reads by name from the footers). */
+  private def sparkTypeOf(n: JsonNode): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    if (!n.isTextual) return None // nested struct/list/map: footer path
+    n.asText() match {
+      case "boolean" => Some(BooleanType)
+      case "int" => Some(IntegerType)
+      case "long" => Some(LongType)
+      case "float" => Some(FloatType)
+      case "double" => Some(DoubleType)
+      case "date" => Some(DateType)
+      case "timestamptz" => Some(TimestampType)
+      case "timestamp" => Some(TimestampNTZType)
+      case "string" | "uuid" => Some(StringType)
+      case "binary" => Some(BinaryType)
+      case DecimalRe(p, s) => Some(DecimalType(p.toInt, s.toInt))
+      case _ => None
+    }
+  }
+
+  private def sparkSchemaOf(fields: Seq[JsonNode])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    if (fields.isEmpty) return None
+    val mapped = fields.map { f =>
+      for {
+        id <- Option(f.get("id")).map(_.asInt())
+        name <- Option(f.get("name")).map(_.asText())
+        dt <- Option(f.get("type")).flatMap(sparkTypeOf)
+      } yield StructField(name, dt,
+        nullable = !f.path("required").asBoolean(false),
+        metadata = new MetadataBuilder()
+          .putLong("parquet.field.id", id.toLong).build())
+    }
+    if (mapped.forall(_.isDefined)) Some(StructType(mapped.flatten))
+    else None
   }
 
   /** Resolve a version spec to a snapshot — the same contract as
@@ -372,8 +420,28 @@ object IcebergRest {
     if (scan.dataFiles.isEmpty)
       throw new IllegalArgumentException(
         s"snapshot ${snap.snapshotId} of $label lists no data files")
-    val r = spark.read.options(options)
-    val base = schema.fold(r)(r.schema).parquet(scan.dataFiles.map(_._1): _*)
+    // `fieldIdReads=true`: schema-evolution mode — the read schema comes
+    // from the table metadata WITH its field ids, and Spark's parquet
+    // reader matches columns BY ID (how every real Iceberg reader
+    // works), so renamed columns resolve against files written under
+    // the old name. Requires data files stamped with field ids
+    // ([[IcebergLocal.withFieldIds]]; real Iceberg writers always
+    // stamp) — an id-less file fails loudly rather than reading nulls.
+    // The session conf must stay on through execution (Spark consults
+    // it at scan build, not plan time), and is inert for any schema
+    // without field-id metadata.
+    val evolve = options.get("fieldIdReads").exists(_.toBoolean)
+    val readSchema =
+      if (schema.isDefined) schema
+      else if (evolve) Some(meta.sparkSchema.getOrElse(
+        throw new IllegalArgumentException(
+          s"fieldIdReads: the schema of $label has non-primitive columns " +
+            "the field-id path cannot map; read without the option")))
+      else None
+    if (evolve)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val r = spark.read.options(options - "fieldIdReads")
+    val base = readSchema.fold(r)(r.schema).parquet(scan.dataFiles.map(_._1): _*)
     if (scan.positionDeletes.isEmpty && scan.equalityDeletes.isEmpty) base
     else applyDeletes(spark, base, scan, meta.fieldNames)
   }

@@ -55,7 +55,10 @@ object IcebergSink {
       .exists(_.refs.contains(tag))
     if (!committed) {
       val dataDir = tableDir.resolve("data").resolve(tag)
-      batch.write.mode("overwrite").parquet(dataDir.toString)
+      // stamp parquet field ids (what real Iceberg writers always do) so
+      // the table is rename-evolvable via field-id reads from birth
+      val stamped = IcebergLocal.withFieldIds(batch)
+      stamped.write.mode("overwrite").parquet(dataDir.toString)
       val conf = new Configuration()
       val files = listParquet(dataDir).map { p =>
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(
@@ -65,7 +68,7 @@ object IcebergSink {
       }
       if (files.exists(_.recordCount > 0))
         IcebergLocal.append(tableDir, files.filter(_.recordCount > 0),
-          clock(), Some(tag), retainLast, schema = Some(batch.schema))
+          clock(), Some(tag), retainLast, schema = Some(stamped.schema))
       else deleteRecursively(dataDir) // empty batch: nothing to commit
     }
   }
@@ -111,7 +114,9 @@ object IcebergSink {
       val delTag = s"$tag-del"
       val delDone = meta.exists(_.refs.contains(delTag))
       val dataDir = tableDir.resolve("data").resolve(tag)
-      batch.write.mode("overwrite").parquet(dataDir.toString)
+      // field ids stamped: the upsert table is rename-evolvable
+      val stamped = IcebergLocal.withFieldIds(batch)
+      stamped.write.mode("overwrite").parquet(dataDir.toString)
       val files = graft.sources.iceberg.IcebergMaintenance
         .parquetFileInfos(dataDir)
       if (files.exists(_.recordCount > 0)) {
@@ -129,7 +134,7 @@ object IcebergSink {
               retainLast)
         }
         IcebergLocal.append(tableDir, files.filter(_.recordCount > 0),
-          clock(), Some(tag), retainLast, schema = Some(batch.schema))
+          clock(), Some(tag), retainLast, schema = Some(stamped.schema))
       } else deleteRecursively(dataDir) // empty batch: nothing to commit
     }
   }

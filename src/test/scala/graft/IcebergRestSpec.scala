@@ -273,6 +273,79 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("schema evolution: a renamed column resolves by field id") {
+    // files written under the OLD name (stamped with parquet field ids,
+    // as every real Iceberg writer does) must resolve against the
+    // CURRENT schema's new name via field-id matching — the spec's
+    // rename semantics, not a name-based guess
+    val dir = warehouse.resolve("evolve")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name")
+    val stamped = IcebergLocal.withFieldIds(nation)
+    // stamped ids must match the committed schema's numbering
+    assert(stamped.schema.fields.map(
+      _.metadata.getLong("parquet.field.id")).toSeq == Seq(1L, 2L))
+    IcebergLocal.append(dir, partFiles(stamped), timestampMs = 1000L,
+      schema = Some(stamped.schema))
+    IcebergLocal.renameColumn(dir, "n_name", "nation_label")
+    try {
+      val df = IcebergRest.readLocal(spark, dir,
+        options = Map("fieldIdReads" -> "true"))
+      assert(df.columns.toSeq == Seq("n_nationkey", "nation_label"))
+      val got = df.collect().map(r =>
+        r.getAs[Number]("n_nationkey").longValue() ->
+          r.getAs[String]("nation_label")).toMap
+      val want = nation.collect().map(r =>
+        r.getAs[Number]("n_nationkey").longValue() ->
+          r.getAs[String]("n_name")).toMap
+      assert(got == want, "renamed column lost or scrambled values")
+      // equality deletes resolve through the RENAMED schema: field id 2
+      // now names nation_label, and deleting by it must hit rows
+      // written under the old name
+      val delDir = Files.createTempDirectory("ice-del-ev")
+      import spark.implicits._
+      Seq(want(0L)).toDF("nation_label").coalesce(1)
+        .write.mode("overwrite").parquet(delDir.toString)
+      val delFile = Files.list(delDir).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      IcebergLocal.append(dir, Seq(IcebergLocal.DataFileInfo(
+        delFile.toUri.toString, 1, Files.size(delFile), content = 2,
+        equalityIds = Seq(2))), timestampMs = 2000L)
+      val after = IcebergRest.readLocal(spark, dir,
+        options = Map("fieldIdReads" -> "true"))
+      assert(after.count() == 24)
+      assert(after.filter(s"nation_label = '${want(0L)}'").count() == 0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
+  test("field-id reads refuse an id-less data file instead of nulling it") {
+    // honesty pin: a file written WITHOUT parquet field ids cannot be
+    // resolved by id — the read must fail loudly (Spark's
+    // ignoreMissingIds=false), never silently return null columns
+    val dir = warehouse.resolve("evolve2")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name") // NOT stamped
+    IcebergLocal.append(dir, partFiles(nation), timestampMs = 1000L,
+      schema = Some(nation.schema))
+    try {
+      val e = intercept[Exception] {
+        IcebergRest.readLocal(spark, dir,
+          options = Map("fieldIdReads" -> "true")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(m => m.toLowerCase.contains("field id")),
+        messages(e).toString)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("catalog server refuses path traversal in table names") {
     // plant a metadata dir OUTSIDE the warehouse that traversal would hit
     val outside = warehouse.getParent.resolve("ice-outside")
