@@ -47,6 +47,63 @@ object IcebergMaintenance {
       schema = Some(df.schema), replace = true)
   }
 
+  /** Delete every file under the table's own `data/` and `metadata/`
+    * directories that no RETAINED snapshot references — the
+    * remove-orphan-files half of Iceberg maintenance, pairing with
+    * snapshot expiry (`retainLast`) and [[compact]]: expiry drops
+    * snapshots from the metadata, compaction rewrites the live file
+    * set, and vacuum reclaims the disk the expired history pinned.
+    * Walks current metadata → every retained snapshot's manifest list →
+    * manifests → data/delete file paths; anything else under the table
+    * directory with a `.parquet`/`.avro` suffix goes. Files OUTSIDE the
+    * table directory are never touched (externally-located data files
+    * are the caller's to manage). Returns the number of files deleted. */
+  def vacuum(tableDir: JPath): Int = {
+    val meta = IcebergLocal.currentMetadata(tableDir).getOrElse(return 0)
+    val conf = new Configuration()
+    def norm(s: String): JPath = {
+      val p = if (s.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(s.replaceFirst("^file:/+", "file:///")))
+      else java.nio.file.Paths.get(s)
+      p.toAbsolutePath.normalize
+    }
+    val referenced = scala.collection.mutable.Set.empty[JPath]
+    meta.snapshots.foreach { s =>
+      referenced += norm(s.manifestList)
+      IcebergAvro.read(s.manifestList, conf).foreach { mf =>
+        val mp = mf.get("manifest_path").toString
+        referenced += norm(mp)
+        IcebergAvro.read(mp, conf).foreach { e =>
+          val df = e.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          referenced += norm(df.get("file_path").toString)
+        }
+      }
+    }
+    // current + historical metadata JSONs stay (tiny, and the current
+    // one IS the table); only unreferenced avro/parquet artifacts go
+    var deleted = 0
+    val root = tableDir.toAbsolutePath.normalize
+    Seq(tableDir.resolve("data"), tableDir.resolve("metadata"))
+      .filter(Files.isDirectory(_)).foreach { base =>
+        val walk = Files.walk(base)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(p => Files.isRegularFile(p))
+            .filter { p =>
+              val n = p.getFileName.toString
+              n.endsWith(".parquet") || n.endsWith(".avro")
+            }
+            .filter(p => p.toAbsolutePath.normalize.startsWith(root))
+            .filterNot(p => referenced.contains(p.toAbsolutePath.normalize))
+            .toSeq // materialize before deleting under the walk
+            .foreach { p => Files.deleteIfExists(p); deleted += 1 }
+        } finally walk.close()
+      }
+    deleted
+  }
+
   /** DataFileInfo for every parquet part under `dir`, row counts from
     * the footers — zero Spark jobs. */
   def parquetFileInfos(dir: JPath, content: Int = 0,
@@ -61,7 +118,7 @@ object IcebergMaintenance {
     }
   }
 
-  private[iceberg] def listParquet(dir: JPath): Seq[JPath] = {
+  private[graft] def listParquet(dir: JPath): Seq[JPath] = {
     val s = Files.list(dir) // close releases the directory fd
     try {
       import scala.jdk.CollectionConverters._

@@ -346,6 +346,48 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vacuum reclaims files no retained snapshot references") {
+    // expiry (retainLast) drops snapshots, compaction rewrites the live
+    // set, vacuum reclaims the disk: after compact(retainLast=1) only
+    // the compacted snapshot survives, so the original batch parquet
+    // and its delete file — all table-owned — must be deletable, while
+    // the compacted files and the current read stay intact
+    val dir = warehouse.resolve("vac")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name")
+    val b0 = dir.resolve("data").resolve("b0")
+    Files.createDirectories(b0)
+    nation.coalesce(1).write.mode("overwrite").parquet(b0.toString)
+    IcebergLocal.append(dir, IcebergMaintenance.parquetFileInfos(b0),
+      timestampMs = 1000L, schema = Some(nation.schema))
+    // an equality delete landing inside the table dir too
+    val d0 = dir.resolve("data").resolve("d0")
+    Files.createDirectories(d0)
+    import spark.implicits._
+    Seq(0L).toDF("n_nationkey").coalesce(1)
+      .write.mode("overwrite").parquet(d0.toString)
+    IcebergLocal.append(dir,
+      IcebergMaintenance.parquetFileInfos(d0, content = 2,
+        equalityIds = Seq(1)), timestampMs = 2000L)
+    try {
+      assert(IcebergRest.readLocal(spark, dir).count() == 24)
+      IcebergMaintenance.compact(spark, dir,
+        clock = () => 3000L, retainLast = Some(1))
+      val deleted = IcebergMaintenance.vacuum(dir)
+      assert(deleted > 0, "vacuum found nothing to reclaim")
+      // the pre-compaction artifacts are gone...
+      assert(IcebergMaintenance.listParquet(b0).isEmpty)
+      assert(IcebergMaintenance.listParquet(d0).isEmpty)
+      // ...and the table still reads its compacted state
+      assert(IcebergRest.readLocal(spark, dir).count() == 24)
+      // a second vacuum is a no-op (idempotent)
+      assert(IcebergMaintenance.vacuum(dir) == 0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("catalog server refuses path traversal in table names") {
     // plant a metadata dir OUTSIDE the warehouse that traversal would hit
     val outside = warehouse.getParent.resolve("ice-outside")
