@@ -10,13 +10,17 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, and run decode / feature-extraction as
   * partition-local batch functions.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * container): `decodeStub` derives deterministic fake features from the
-  * bytes. Everything around it — the binary column schema, the
-  * mapPartitions batch shape, partitioning, and the metadata contract — is
-  * real and is what matters at 100 TB: payload bytes never shuffle except
-  * where the plan requires it, and feature extraction is embarrassingly
-  * parallel map-only work.
+  * Codecs: PNG and WAV run REAL decoders — the JDK's own `ImageIO` and
+  * `javax.sound.sampled` (`m_image_decode`, `m_wav_decode`: encode →
+  * decode → pixel/sample stats, hash-oracled against the generator
+  * arithmetic, which lossless codecs must reproduce exactly). Formats
+  * the JDK does not ship (video, lossy audio) stay STUBBED:
+  * `decodeStub` derives deterministic fake features from the bytes.
+  * Everything around the codec call — the binary column schema, the
+  * mapPartitions batch shape, partitioning, and the metadata contract —
+  * is identical in both modes and is what matters at 100 TB: payload
+  * bytes never shuffle except where the plan requires it, and feature
+  * extraction is embarrassingly parallel map-only work.
   */
 object Multimodal {
 
@@ -78,7 +82,145 @@ object Multimodal {
     Row(assetId, payload.length.toLong, if (payload.isEmpty) -1 else payload(0) & 0xff, sum)
   }
 
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  val wavFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("energy", LongType, nullable = false)))
+
   val defs: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------- REAL image codec
+    // PNG decode through the JDK's own ImageIO — an actual codec, not
+    // the stub: each asset renders a deterministic RGB image from its
+    // id, ENCODES it to real PNG bytes, DECODES those bytes back, and
+    // reports per-channel pixel sums from the DECODED pixels. PNG is
+    // lossless, so the round trip must reproduce the generator formula
+    // exactly — which is what DuckDB independently recomputes from the
+    // id arithmetic. Any codec misuse (channel order, premultiplication,
+    // row stride) breaks the hash. Shape at 100 TB: one codec instance
+    // per partition, map-only, pixels never in an exchange.
+    GraftQuery("m_image_decode",
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |              FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id AS asset_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((doc_id * 17 + x * 11 + y * 5) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((doc_id * 7 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h""".stripMargin) { (s, dir) =>
+      val df = t(s, dir).documents.select(col("doc_id"))
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(imageFeatureSchema)
+      df.mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val w = 8 + (d % 9).toInt
+          val h = 8 + (d % 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val pr = ((d * 31 + x * 7 + y * 13) % 256).toInt
+              val pg = ((d * 17 + x * 11 + y * 5) % 256).toInt
+              val pb = ((d * 7 + x * 3 + y * 19) % 256).toInt
+              img.setRGB(x, y, (pr << 16) | (pg << 8) | pb)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos) // REAL PNG encode
+          val back = javax.imageio.ImageIO.read(        // REAL PNG decode
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          y = 0
+          while (y < back.getHeight) {
+            var x = 0
+            while (x < back.getWidth) {
+              val rgb = back.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Row(d, back.getWidth, back.getHeight, sr, sg, sb)
+        }
+      }
+    },
+
+    // -------------------------------------------------- REAL audio codec
+    // WAV (RIFF PCM) decode through the JDK's javax.sound.sampled — a
+    // real container parse, not the stub: each asset synthesizes 16-bit
+    // mono PCM from its id, WRITES a real WAV file (AudioSystem), PARSES
+    // it back (header, format, frame payload), and reports sample count,
+    // the parsed sample rate, and integer energy from the DECODED
+    // samples. PCM WAV is lossless; DuckDB recomputes the generator
+    // formula. Byte order, header offsets, or frame-size errors all
+    // break the hash.
+    GraftQuery("m_wav_decode",
+      """WITH dims AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+        |smp AS (SELECT doc_id, n, ((doc_id * 37 + i * 97) % 4001) - 2000 AS s
+        |        FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims))
+        |SELECT doc_id AS asset_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(sum(s * s) AS BIGINT) AS energy
+        |FROM smp GROUP BY doc_id, n""".stripMargin) { (s, dir) =>
+      val df = t(s, dir).documents.select(col("doc_id"))
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(wavFeatureSchema)
+      df.mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val n = 64 + (d % 64).toInt
+          val pcm = new Array[Byte](n * 2) // 16-bit mono little-endian
+          var i = 0
+          while (i < n) {
+            val v = (((d * 37 + i.toLong * 97) % 4001) - 2000).toInt
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true, false) // signed, little-endian
+          val bos = new java.io.ByteArrayOutputStream()
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos) // REAL write
+          val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray)) // REAL parse
+          val bf = back.getFormat
+          val frames = back.readAllBytes()
+          val m = frames.length / bf.getFrameSize
+          var energy = 0L
+          i = 0
+          while (i < m) {
+            // decode per the PARSED format, not assumptions
+            val b0 = frames(i * bf.getFrameSize)
+            val b1 = frames(i * bf.getFrameSize + 1)
+            val v = if (bf.isBigEndian) (b0.toInt << 8) | (b1 & 0xff)
+                    else (b1.toInt << 8) | (b0 & 0xff)
+            energy += v.toLong * v.toLong
+            i += 1
+          }
+          Row(d, m.toLong, bf.getSampleRate.toInt, energy)
+        }
+      }
+    },
 
     // Binary metadata path — fully oracled: byte length + sha256 of the
     // payload computed by the engine's native binary functions.
