@@ -411,6 +411,71 @@ object Multimodal {
     // columns are not hashable by the oracle diff. Oracled: DuckDB
     // re-derives the 16 sampled byte positions with list_transform over
     // range().
+    // Real-pixel resize: the PNG round trip from m_image_decode, then a
+    // nearest-neighbor downsample to a fixed 4x4 thumbnail computed on
+    // the DECODED pixels (src index = floor(dst * src_dim / 4) — exact
+    // integer arithmetic, so DuckDB re-derives every output pixel from
+    // the generator formula; any off-by-one in the index map or a codec
+    // channel swap breaks the hash). The thumbnail ships as one packed
+    // BIGINT per output pixel's red channel sum — 16 integers per asset.
+    GraftQuery("m_image_resize",
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |              FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, 4)) AS dx FROM dims),
+        |px AS (SELECT doc_id, w, h, dx, unnest(range(0, 4)) AS dy FROM xs),
+        |src AS (SELECT doc_id, dx, dy,
+        |          (dx * w) // 4 AS sx, (dy * h) // 4 AS sy, w, h FROM px)
+        |SELECT doc_id AS asset_id,
+        |  CAST(sum((doc_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT) AS thumb_r,
+        |  CAST(sum((doc_id * 17 + sx * 11 + sy * 5) % 256) AS BIGINT) AS thumb_g,
+        |  CAST(sum((doc_id * 7 + sx * 3 + sy * 19) % 256) AS BIGINT) AS thumb_b
+        |FROM src GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val df = t(s, dir).documents.select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("asset_id", LongType, nullable = false),
+        StructField("thumb_r", LongType, nullable = false),
+        StructField("thumb_g", LongType, nullable = false),
+        StructField("thumb_b", LongType, nullable = false)))
+      implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+      df.mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val w = 8 + (d % 9).toInt
+          val h = 8 + (d % 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                ((((d * 31 + x * 7 + y * 13) % 256).toInt) << 16) |
+                ((((d * 17 + x * 11 + y * 5) % 256).toInt) << 8) |
+                (((d * 7 + x * 3 + y * 19) % 256).toInt))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          var (tr, tg, tb) = (0L, 0L, 0L)
+          var dy = 0
+          while (dy < 4) {
+            var dx = 0
+            while (dx < 4) {
+              val rgb = back.getRGB(dx * w / 4, dy * h / 4)
+              tr += (rgb >> 16) & 0xff; tg += (rgb >> 8) & 0xff; tb += rgb & 0xff
+              dx += 1
+            }
+            dy += 1
+          }
+          Row(d, tr, tg, tb)
+        }
+      }
+    },
+
     GraftQuery("m_resize",
       """SELECT doc_id AS asset_id,
         |  CASE WHEN length(text) = 0 THEN ''
