@@ -471,6 +471,34 @@ object Extended {
       IcebergRest.readLocal(s, tableDir).localCheckpoint(true)
     },
 
+    // Iceberg SCHEMA EVOLUTION round-trip: commit customer with parquet
+    // field ids stamped (what real Iceberg writers do), RENAME c_name
+    // to customer_name as a metadata-only schema commit, and read with
+    // field-id resolution — files written under the old column name
+    // must surface their values under the new one, hash-matched against
+    // the oracle's aliased view. Name-based reading cannot pass this;
+    // only the spec's by-id column resolution can.
+    GraftQuery("q_iceberg_evolution",
+      """SELECT c_custkey, c_name AS customer_name, c_mktsegment
+        |FROM customer""".stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      import scala.jdk.CollectionConverters._
+      val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg_evolve"))
+      val tableDir = warehouse.resolve("customer")
+      val stamped = IcebergLocal.withFieldIds(
+        t(s, dir).customer.select(col("c_custkey"), col("c_name"),
+          col("c_mktsegment")))
+      val out = java.nio.file.Files.createTempDirectory("graft_ev_data")
+      out.toFile.deleteOnExit()
+      stamped.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      IcebergLocal.append(tableDir,
+        IcebergMaintenance.parquetFileInfos(out),
+        timestampMs = 1000L, schema = Some(stamped.schema))
+      IcebergLocal.renameColumn(tableDir, "c_name", "customer_name")
+      IcebergRest.readLocal(s, tableDir,
+        options = Map("fieldIdReads" -> "true")).localCheckpoint(true)
+    },
+
     GraftQuery("q_tablesample", {
       val (ctes, last) = SketchOracleSql.fmixScalarCtes("s", "k", "l_quantity", "h")
       s"""WITH k AS (SELECT l_quantity,
