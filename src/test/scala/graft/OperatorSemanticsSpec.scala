@@ -978,6 +978,36 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     (a, b)
   }
 
+  test("JPEG (lossy) round-trips with exact dimensions and bounded pixel error") {
+    // the lossy-codec contract the PNG/WAV hash oracles can't cover:
+    // a real ImageIO JPEG encode/decode must preserve dimensions
+    // exactly and pixels approximately — a channel swap or stride bug
+    // produces errors far above any sane quantization noise, so the
+    // bound is a genuine detector even without bit-exactness
+    val w = 16; val h = 12
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      // smooth gradient: JPEG quantization error stays small on it
+      val v = (x * 255 / (w - 1) + y * 255 / (h - 1)) / 2
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(back.getWidth == w && back.getHeight == h)
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = img.getRGB(x, y); val b = back.getRGB(x, y)
+      Seq(16, 8, 0).foreach { sh =>
+        maxErr = math.max(maxErr,
+          math.abs(((a >> sh) & 0xff) - ((b >> sh) & 0xff)))
+      }
+    }
+    assert(maxErr <= 24, s"JPEG round-trip error $maxErr exceeds bound")
+  }
+
   test("portable HLL estimate lands within theory bounds of the exact count") {
     // raw-regime check at sf0.01: n = 2000 distinct parts per flag >
     // 2.5m = 1280, where the raw estimator applies. 1σ = 1.04/sqrt(512)
