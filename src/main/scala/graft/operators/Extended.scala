@@ -471,6 +471,38 @@ object Extended {
       IcebergRest.readLocal(s, tableDir).localCheckpoint(true)
     },
 
+    // Row-level DELETE round-trip: IcebergMaintenance.deleteWhere is
+    // the engine-side `DELETE FROM t WHERE ...` — it records matching
+    // rows' (file, position) pairs from Spark's parquet metadata
+    // columns as a positional-delete snapshot. Two successive deletes
+    // compose (each applies to all data at-or-before it), and the
+    // surviving rows must hash-match the oracle's negated predicate.
+    GraftQuery("q_iceberg_delete_where",
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 13 <> 0"""
+        .stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      import scala.jdk.CollectionConverters._
+      val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg_del"))
+      val tableDir = warehouse.resolve("customer")
+      val data = t(s, dir).customer
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val out = java.nio.file.Files.createTempDirectory("graft_del_data")
+      out.toFile.deleteOnExit()
+      data.write.mode("overwrite").parquet(out.toString)
+      IcebergLocal.append(tableDir,
+        IcebergMaintenance.parquetFileInfos(out),
+        timestampMs = 1000L, schema = Some(data.schema))
+      var now = 1000L
+      val clock = () => { now += 1000L; now }
+      IcebergMaintenance.deleteWhere(s, tableDir,
+        "c_mktsegment = 'MACHINERY'", clock)
+      IcebergMaintenance.deleteWhere(s, tableDir,
+        "c_custkey % 13 = 0", clock)
+      IcebergRest.readLocal(s, tableDir).localCheckpoint(true)
+    },
+
     // Iceberg SCHEMA EVOLUTION round-trip: commit customer with parquet
     // field ids stamped (what real Iceberg writers do), RENAME c_name
     // to customer_name as a metadata-only schema commit, and read with

@@ -47,6 +47,47 @@ object IcebergMaintenance {
       schema = Some(df.schema), replace = true)
   }
 
+  /** Row-level DELETE: commit a positional-delete snapshot for every
+    * current row matching `condition` (a Spark SQL boolean expression
+    * over the table's columns) — the engine-side implementation of
+    * `DELETE FROM t WHERE ...` in the merge-on-read shape. The matching
+    * rows' (file, position) pairs come from Spark's own parquet
+    * metadata columns; only those two narrow columns are written, so
+    * the delete file stays dimension-sized however big the table is.
+    * Returns the new snapshot id, or -1 when nothing matched (no empty
+    * snapshot committed). Deleting already-deleted rows is a no-op by
+    * construction — the MoR read the positions are computed from never
+    * surfaces them. */
+  def deleteWhere(spark: SparkSession, tableDir: JPath, condition: String,
+      clock: () => Long = () => System.currentTimeMillis(),
+      retainLast: Option[Int] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val meta = IcebergLocal.currentMetadata(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    val snap = IcebergMetadata.select(meta, None)
+    val scan = IcebergManifests.scanFiles(spark, snap.manifestList)
+    // positions come from the PHYSICAL rows (deletes not re-applied):
+    // re-recording a position an earlier delete already retired is a
+    // no-op under the MoR anti-join, and skipping the extra read keeps
+    // this one scan + one narrow write
+    val hits = spark.read.parquet(scan.dataFiles.map(_._1): _*)
+      .filter(condition)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").cast("long").as("pos"))
+    val next = meta.snapshots.map(_.snapshotId).max + 1
+    val outDir = tableDir.resolve("data").resolve(f"delete-$next%05d")
+    hits.write.mode("overwrite").parquet(outDir.toString)
+    val files = parquetFileInfos(outDir, content = 1)
+      .filter(_.recordCount > 0)
+    if (files.isEmpty) {
+      // nothing matched: remove the empty write, commit nothing
+      listParquet(outDir).foreach(Files.deleteIfExists(_))
+      -1L
+    } else
+      IcebergLocal.append(tableDir, files, clock(),
+        tag = Some(s"delete-$next"), retainLast = retainLast)
+  }
+
   /** Delete every file under the table's own `data/` and `metadata/`
     * directories that no RETAINED snapshot references — the
     * remove-orphan-files half of Iceberg maintenance, pairing with

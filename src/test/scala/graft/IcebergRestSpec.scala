@@ -346,6 +346,38 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("deleteWhere commits positional deletes; composes, no-ops on no match") {
+    val dir = warehouse.resolve("delwhere")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val b0 = dir.resolve("data").resolve("b0")
+    Files.createDirectories(b0)
+    nation.coalesce(1).write.mode("overwrite").parquet(b0.toString)
+    IcebergLocal.append(dir, IcebergMaintenance.parquetFileInfos(b0),
+      timestampMs = 1000L, tag = Some("all"), schema = Some(nation.schema))
+    try {
+      assert(IcebergMaintenance.deleteWhere(spark, dir,
+        "n_regionkey = 2", () => 2000L) > 0)
+      val after1 = IcebergRest.readLocal(spark, dir)
+      assert(after1.filter("n_regionkey = 2").count() == 0)
+      assert(after1.count() == 20)
+      // second delete composes with the first
+      assert(IcebergMaintenance.deleteWhere(spark, dir,
+        "n_nationkey = 0", () => 3000L) > 0)
+      assert(IcebergRest.readLocal(spark, dir).count() == 19)
+      // no match: nothing committed, snapshot count unchanged
+      val snaps = IcebergLocal.currentMetadata(dir).get.snapshots.size
+      assert(IcebergMaintenance.deleteWhere(spark, dir,
+        "n_nationkey = 999", () => 4000L) == -1L)
+      assert(IcebergLocal.currentMetadata(dir).get.snapshots.size == snaps)
+      // pre-delete history intact
+      assert(IcebergRest.readLocal(spark, dir,
+        Some(ByVersion("all"))).count() == 25)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("vacuum reclaims files no retained snapshot references") {
     // expiry (retainLast) drops snapshots, compaction rewrites the live
     // set, vacuum reclaims the disk: after compact(retainLast=1) only
