@@ -249,6 +249,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("upsert contract: duplicate keys within one batch BOTH survive") {
+    // the documented edge: the equality-delete commit retires only
+    // PRIOR versions (strict sequence gate), so two same-key rows in
+    // one batch both land — which is why callers must reduce to
+    // last-write-per-key upstream (the Kafka CDC spec does it by log
+    // offset). This pins the contract so a refactor that silently
+    // changes it fails here, not in production.
+    import spark.implicits._
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("ice-upsert-dup").resolve("t")
+    var now = 0L
+    val committer = graft.streaming.IcebergSink.upsertCommitter(
+      tableDir, keyCols = Seq("k"), clock = () => { now += 1000; now })
+    committer(Seq(("a", 1L)).toDF("k", "v"), 0L)
+    committer(Seq(("a", 2L), ("a", 3L)).toDF("k", "v"), 1L)
+    val rows = graft.sources.iceberg.IcebergRest.readLocal(spark, tableDir)
+      .as[(String, Long)].collect().sortBy(_._2).toSeq
+    // batch 0's ("a",1) retired; batch 1's two rows both survive
+    assert(rows == Seq(("a", 2L), ("a", 3L)), rows.toString)
+  }
+
   test("streaming iceberg UPSERTS read as latest-per-key; compaction keeps them") {
     // the CDC MERGE shape: each micro-batch commits an equality-delete
     // snapshot on its keys (retiring prior versions) then a data
