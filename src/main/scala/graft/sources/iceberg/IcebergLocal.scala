@@ -63,6 +63,7 @@ object IcebergLocal {
   private val manifestEntrySchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int"},
+      |  {"name":"sequence_number","type":["null","long"],"default":null},
       |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |    {"name":"content","type":"int"},
       |    {"name":"file_path","type":"string"},
@@ -137,10 +138,13 @@ object IcebergLocal {
     val snapId = prior.map(_.snapshots.map(_.snapshotId).max + 1).getOrElse(1L)
 
     // a manifest holds data files OR delete files, never both (spec:
-    // manifest content id describes every entry in it)
-    val manifestContent = files.map(_.content).distinct match {
+    // manifest content id describes every entry in it). Both delete
+    // kinds (positional=1, equality=2) legally share one content=1
+    // delete manifest — a MERGE-style committer produces both at once.
+    val contents = files.map(_.content).distinct.sorted
+    val manifestContent = contents match {
       case Seq() | Seq(0) => 0
-      case Seq(1) | Seq(2) => 1 // delete manifests carry either delete kind
+      case s if s.forall(c => c == 1 || c == 2) => 1
       case other => throw new IllegalArgumentException(
         s"one commit cannot mix data and delete files (contents $other)")
     }
@@ -186,24 +190,48 @@ object IcebergLocal {
     val priorRecords =
       if (carriedData.size < MergeManifestsAbove) carried
       else carriedDeletes ++ {
-        val entries = carriedData.flatMap(r =>
-          IcebergAvro.read(r.get("manifest_path").toString, hadoopConf))
+        // each entry's ORIGINAL data sequence number must survive the
+        // merge explicitly: equality deletes are value-keyed and gated
+        // solely by d_seq < del_seq, so inheriting the merged manifest's
+        // (necessarily minimal) sequence would re-expose every carried
+        // row to every carried delete — silently deleting the newest
+        // version of upserted keys. Spec inheritance: a null entry
+        // sequence means "the manifest's sequence_number" for ADDED
+        // entries; EXISTING entries must carry theirs explicitly.
+        val entries = carriedData.flatMap { r =>
+          val inheritSeq = r.get("sequence_number")
+            .asInstanceOf[Number].longValue()
+          val minSeq = r.get("min_sequence_number")
+            .asInstanceOf[Number].longValue()
+          IcebergAvro.read(r.get("manifest_path").toString, hadoopConf)
+            .map { e =>
+              val explicit =
+                if (e.getSchema.getField("sequence_number") == null) None
+                else Option(e.get("sequence_number"))
+                  .map(_.asInstanceOf[Number].longValue())
+              val st = Option(e.get("status"))
+                .map(_.asInstanceOf[Number].intValue()).getOrElse(1)
+              (e, explicit.getOrElse(if (st == 1) inheritSeq else minSeq))
+            }
+        }
         val mergedPath = metaDir.resolve(f"manifest-$snapId%05d-m.avro")
-        writeAvro(mergedPath, manifestEntrySchema, entries.map { old =>
-          val df = new GenericData.Record(
-            manifestEntrySchema.getField("data_file").schema())
-          val oldDf = old.get("data_file").asInstanceOf[GenericRecord]
-          df.getSchema.getFields.forEach(f =>
-            df.put(f.name(), oldDf.get(f.name())))
-          val e = new GenericData.Record(manifestEntrySchema)
-          e.put("status", 0) // EXISTING: carried data, not added here
-          e.put("data_file", df)
-          e
+        writeAvro(mergedPath, manifestEntrySchema, entries.map {
+          case (old, seq) =>
+            val df = new GenericData.Record(
+              manifestEntrySchema.getField("data_file").schema())
+            val oldDf = old.get("data_file").asInstanceOf[GenericRecord]
+            df.getSchema.getFields.forEach(f =>
+              df.put(f.name(), oldDf.get(f.name())))
+            val e = new GenericData.Record(manifestEntrySchema)
+            e.put("status", 0) // EXISTING: carried data, not added here
+            e.put("sequence_number", seq) // original lineage, explicit
+            e.put("data_file", df)
+            e
         })
-        val rows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+        val rows = entries.map(_._1.get("data_file")
+          .asInstanceOf[GenericRecord]
           .get("record_count").asInstanceOf[Long]).sum
-        val minSeq = carriedData.map(_.get("min_sequence_number")
-          .asInstanceOf[Long]).min
+        val minSeq = entries.map(_._2).min
         val r = new GenericData.Record(manifestFileSchema)
         r.put("manifest_path", mergedPath.toUri.toString)
         r.put("manifest_length", Files.size(mergedPath))
@@ -453,6 +481,24 @@ object IcebergLocal {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.col
+    val ids = topLevelFieldIds(df.schema)
+    val cols = df.schema.fields.map { f =>
+      col("`" + f.name + "`")
+        .as(f.name, new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", ids(f.name).toLong).build())
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Top-level column name → its spec field id under the SAME
+    * depth-first numbering [[icebergStructNode]] commits and
+    * [[withFieldIds]] stamps: a struct/array/map column consumes ids
+    * for its nested fields before the next top-level column, so "index
+    * + 1" is wrong the moment any nested column precedes a key column.
+    * This is the one id-assignment walk everything derives from. */
+  def topLevelFieldIds(schema: org.apache.spark.sql.types.StructType)
+      : Map[String, Int] = {
+    import org.apache.spark.sql.types._
     val counter = new java.util.concurrent.atomic.AtomicInteger()
     def skipNested(dt: DataType): Unit = dt match {
       case s: StructType =>
@@ -463,14 +509,11 @@ object IcebergLocal {
         counter.incrementAndGet(); skipNested(v)
       case _ => ()
     }
-    val cols = df.schema.fields.map { f =>
+    schema.fields.map { f =>
       val id = counter.incrementAndGet()
       skipNested(f.dataType) // keep numbering aligned with the metadata
-      col("`" + f.name + "`")
-        .as(f.name, new MetadataBuilder().withMetadata(f.metadata)
-          .putLong("parquet.field.id", id.toLong).build())
-    }
-    df.select(cols.toSeq: _*)
+      f.name -> id
+    }.toMap
   }
 
   /** Metadata-only column rename — Iceberg schema evolution: a NEW

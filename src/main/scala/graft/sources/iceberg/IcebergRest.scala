@@ -300,12 +300,14 @@ object IcebergManifests {
     * still refused loudly — silently ignoring them would return deleted
     * rows as live data.
     *
-    * Sequence numbers: each file inherits its manifest's
-    * `min_sequence_number` (== `sequence_number` for every fast-append
-    * manifest; for a compacted carry-forward manifest this is the
-    * conservative lower bound, which can only over-apply a delete to a
-    * same-path file — impossible under Iceberg's unique data-file
-    * paths). */
+    * Sequence numbers follow the spec's inheritance rules: an entry's
+    * own `sequence_number` wins when present (merged/compacted
+    * manifests re-record EXISTING entries with their ORIGINAL data
+    * sequence — the lineage equality deletes gate on); a null sequence
+    * on an ADDED entry inherits the manifest's `sequence_number`; a
+    * null on an EXISTING/DELETED entry (spec-illegal, but seen in the
+    * wild) falls back to the manifest's `min_sequence_number`, the
+    * conservative lower bound. */
   def scanFiles(spark: SparkSession, manifestList: String,
       extraConf: Map[String, String] = Map.empty): IcebergScanFiles = {
     // per-source Hadoop conf entries (fs.s3a credentials, fs.<scheme>.impl)
@@ -315,17 +317,19 @@ object IcebergManifests {
       spark.sparkContext.hadoopConfiguration)
     extraConf.foreach { case (k, v) => conf.set(k, v) }
     val manifests = readAvro(manifestList, conf).map { r =>
-      val seq = longField(r, "min_sequence_number")
-        .orElse(longField(r, "sequence_number")).getOrElse(0L)
-      (r.get("manifest_path").toString, seq,
+      val mseq = longField(r, "sequence_number").getOrElse(0L)
+      val minSeq = longField(r, "min_sequence_number").getOrElse(mseq)
+      (r.get("manifest_path").toString, mseq, minSeq,
         intField(r, "content").getOrElse(0))
     }
     val data = Seq.newBuilder[(String, Long)]
     val posDeletes = Seq.newBuilder[(String, Long)]
     val eqDeletes = Seq.newBuilder[EqualityDeleteFile]
-    manifests.foreach { case (mf, seq, manifestContent) =>
+    manifests.foreach { case (mf, mseq, minSeq, manifestContent) =>
       readAvro(mf, conf).foreach { entry =>
         val status = intField(entry, "status").getOrElse(1)
+        val seq = longField(entry, "sequence_number")
+          .getOrElse(if (status == 1) mseq else minSeq)
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         // entry content wins when it says delete; a 0/absent entry in a
         // DELETE manifest (content=1) is still a delete file — the
@@ -427,9 +431,13 @@ object IcebergRest {
     // the old name. Requires data files stamped with field ids
     // ([[IcebergLocal.withFieldIds]]; real Iceberg writers always
     // stamp) — an id-less file fails loudly rather than reading nulls.
-    // The session conf must stay on through execution (Spark consults
-    // it at scan build, not plan time), and is inert for any schema
-    // without field-id metadata.
+    // Spark consults the flag as a SESSION conf at scan build (i.e. at
+    // execution, not plan time), so it cannot be set-and-restored around
+    // this call; it is scoped to an ISOLATED session instead (same
+    // SparkContext and cached data, own SQLConf — the returned frame
+    // executes under its own session). The caller's session never sees
+    // the flag, so a later plain-parquet read of id-stamped files keeps
+    // resolving by name.
     val evolve = options.get("fieldIdReads").exists(_.toBoolean)
     val readSchema =
       if (schema.isDefined) schema
@@ -438,12 +446,15 @@ object IcebergRest {
           s"fieldIdReads: the schema of $label has non-primitive columns " +
             "the field-id path cannot map; read without the option")))
       else None
-    if (evolve)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val r = spark.read.options(options - "fieldIdReads")
+    val sess = if (evolve) {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      s
+    } else spark
+    val r = sess.read.options(options - "fieldIdReads")
     val base = readSchema.fold(r)(r.schema).parquet(scan.dataFiles.map(_._1): _*)
     if (scan.positionDeletes.isEmpty && scan.equalityDeletes.isEmpty) base
-    else applyDeletes(spark, base, scan, meta.fieldNames)
+    else applyDeletes(sess, base, scan, meta.fieldNames)
   }
 
   /** Manifest paths and Spark's `_metadata.file_path` can render the

@@ -294,24 +294,43 @@ object Warc {
               fs.write(b, off, len)
             override def close(): Unit = fs.flush()
           }
-          try rows.foreach { r =>
-            val id = r.getLong(0)
-            val body = r.getString(1).getBytes(UTF_8)
-            val gz = new GZIPOutputStream(shield)
-            writeRecord(gz, f"$id%08d-0000-0000-0000-000000000000",
-              s"https://corpus.example.org/doc/$id", body,
-              Seq("Content-Type" -> contentType,
-                "X-Graft-Doc-Id" -> id.toString,
-                "X-Graft-Lang" -> r.getString(2),
-                "X-Graft-Source" -> r.getString(3)))
-            gz.close() // finish member + end Deflater; file stays open
-          } finally fs.close()
-          // commit: replace any previous attempt's part atomically-enough
-          // (delete+rename; the attempt-unique temp name keeps concurrent
-          // attempts from interleaving into one file)
-          hfs.delete(dest, false)
-          if (!hfs.rename(tmp, dest))
-            throw new IOException(s"warc: failed to commit $tmp -> $dest")
+          var written = false
+          try {
+            try rows.foreach { r =>
+              val id = r.getLong(0)
+              val body = r.getString(1).getBytes(UTF_8)
+              val gz = new GZIPOutputStream(shield)
+              writeRecord(gz, f"$id%08d-0000-0000-0000-000000000000",
+                s"https://corpus.example.org/doc/$id", body,
+                Seq("Content-Type" -> contentType,
+                  "X-Graft-Doc-Id" -> id.toString,
+                  "X-Graft-Lang" -> r.getString(2),
+                  "X-Graft-Source" -> r.getString(3)))
+              gz.close() // finish member + end Deflater; file stays open
+            } finally fs.close()
+            written = true
+          } finally if (!written) hfs.delete(tmp, false) // no tmp litter
+          // commit: rename onto the destination. delete+rename is not
+          // atomic, so a concurrent speculative/retried attempt can land
+          // its part between our delete and rename (Hadoop rename
+          // returns false when dest exists) — retry, and if dest still
+          // holds ANOTHER attempt's part after the retries, accept it:
+          // every attempt of this partition writes the same rows, and
+          // failing a durably-committed partition would fail the job for
+          // a file that is already correct.
+          var committed = false
+          var tries = 0
+          while (!committed && tries < 5) {
+            tries += 1
+            hfs.delete(dest, false)
+            committed = hfs.rename(tmp, dest)
+          }
+          if (!committed) {
+            val othersWon = hfs.exists(dest)
+            hfs.delete(tmp, false)
+            if (!othersWon)
+              throw new IOException(s"warc: failed to commit $tmp -> $dest")
+          }
         }
       }
   }

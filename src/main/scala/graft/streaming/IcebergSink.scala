@@ -108,9 +108,15 @@ object IcebergSink {
     val tag = s"batch-$batchId"
     val meta = IcebergLocal.currentMetadata(tableDir)
     if (!meta.exists(_.refs.contains(tag))) {
-      // spec field ids are depth-first from 1 over the committed schema,
-      // so a top-level key column's id is its schema index + 1
-      val keyIds = keyCols.map(c => batch.schema.fieldIndex(c) + 1)
+      // spec field ids are depth-first from 1 over the committed schema
+      // (a nested column consumes ids before the next top-level one), so
+      // key ids must come from the SAME walk the schema writer uses —
+      // "index + 1" silently anti-joins on the wrong column once any
+      // struct/array/map column precedes a key column
+      val topIds = IcebergLocal.topLevelFieldIds(batch.schema)
+      val keyIds = keyCols.map(c => topIds.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"key column '$c' absent from batch schema ${batch.schema.simpleString}")))
       val delTag = s"$tag-del"
       val delDone = meta.exists(_.refs.contains(delTag))
       val dataDir = tableDir.resolve("data").resolve(tag)

@@ -560,6 +560,151 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta2.get("last-column-id").asInt == meta.get("last-column-id").asInt)
   }
 
+  test("manifest merge keeps per-entry sequence numbers: upserts survive old equality deletes") {
+    // the upsert workload: v1 of key 0 (seq 1), equality-delete key 0
+    // (seq 2), v2 of key 0 (seq 3) — then enough filler commits to
+    // cross MergeManifestsAbove. A merge that flattens sequence numbers
+    // to the manifest minimum re-exposes v2 to the seq-2 delete and
+    // silently loses the NEWEST version of the key; per-entry
+    // sequence_number stamping must keep it alive.
+    val root = Files.createTempDirectory("ice-seqmerge")
+    val dir = root.resolve("t")
+    import spark.implicits._
+    val vDir = root.resolve("files")
+    Seq((0L, "v1")).toDF("k", "v").coalesce(1).write
+      .parquet(vDir.resolve("v1").toString)
+    Seq((0L, "v2")).toDF("k", "v").coalesce(1).write
+      .parquet(vDir.resolve("v2").toString)
+    Seq(0L).toDF("k").coalesce(1).write
+      .parquet(vDir.resolve("del").toString)
+    def infos(sub: String, content: Int = 0, ids: Seq[Int] = Nil) =
+      IcebergMaintenance.parquetFileInfos(vDir.resolve(sub), content, ids)
+    IcebergLocal.append(dir, infos("v1"), 1000L,
+      schema = Some(Seq((0L, "x")).toDF("k", "v").schema))
+    IcebergLocal.append(dir, infos("del", content = 2, ids = Seq(1)), 2000L)
+    IcebergLocal.append(dir, infos("v2"), 3000L)
+    // filler: DISTINCT one-row data files (duplicate paths would break
+    // the MoR file-tagging join), one commit each, crossing the merge
+    val n = IcebergLocal.MergeManifestsAbove + 3
+    spark.range(1, n + 1L).toDF("k")
+      .withColumn("v", org.apache.spark.sql.functions.lit("f"))
+      .repartitionByRange(n, $"k") // one row per partition: n real files
+      .write.parquet(vDir.resolve("fill").toString)
+    val fillFiles = infos("fill").filter(_.recordCount > 0)
+    assert(fillFiles.size > IcebergLocal.MergeManifestsAbove,
+      s"filler too small to cross the merge threshold: ${fillFiles.size}")
+    fillFiles.zipWithIndex.foreach { case (f, i) =>
+      IcebergLocal.append(dir, Seq(f), 4000L + i)
+    }
+    try {
+      // the merge must have actually happened — otherwise this test is
+      // vacuously green: the head manifest list carries far fewer
+      // records than one per commit
+      val m = IcebergLocal.currentMetadata(dir).get
+      val listPath = java.nio.file.Paths.get(java.net.URI.create(
+        m.snapshots.maxBy(_.snapshotId).manifestList))
+      val reader = org.apache.avro.file.DataFileReader.openReader(
+        listPath.toFile,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val listRecords = try {
+        var c = 0
+        while (reader.hasNext) { reader.next(); c += 1 }
+        c
+      } finally reader.close()
+      assert(listRecords < fillFiles.size / 2,
+        s"data-manifest tail did not compact: $listRecords")
+      val df = IcebergRest.readLocal(spark, dir)
+      val k0 = df.filter("k = 0").select("v").collect()
+        .map(_.getString(0)).toSeq
+      assert(k0 == Seq("v2"), s"key 0 rows after manifest merge: $k0")
+      assert(df.count() == fillFiles.map(_.recordCount).sum + 1)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("upsert equality ids survive nested columns preceding the key") {
+    // depth-first spec ids for [s:struct{x,y}, a, k] are s=1 (x=2, y=3),
+    // a=4, k=5 — "fieldIndex + 1" would stamp 3 (the NESTED y) as the
+    // key id and the read would anti-join on the wrong column or refuse
+    val root = Files.createTempDirectory("ice-upsert-nested")
+    val dir = root.resolve("t")
+    var t = 0L
+    val commit = graft.streaming.IcebergSink.upsertCommitter(
+      dir, Seq("k"), clock = () => { t += 1000; t })
+    def batch(aVal: String, k: Int) = spark.sql(
+      s"SELECT named_struct('x', 1, 'y', 2) AS s, '$aVal' AS a, $k AS k")
+    try {
+      commit(batch("v1", 10), 0L)
+      commit(batch("v2", 10).union(batch("w1", 20)), 1L)
+      val df = IcebergRest.readLocal(spark, dir)
+      val rows = df.select("k", "a").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(rows == Map(10 -> "v2", 20 -> "w1"),
+        s"upsert resolved the wrong equality column: $rows")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("fieldIdReads does not leak the field-id conf into the caller's session") {
+    val root = Files.createTempDirectory("ice-conf")
+    val dir = root.resolve("t")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name")
+    val stamped = IcebergLocal.withFieldIds(nation)
+    IcebergLocal.append(dir, partFiles(stamped), timestampMs = 1000L,
+      schema = Some(stamped.schema))
+    IcebergLocal.renameColumn(dir, "n_name", "label")
+    try {
+      val df = IcebergRest.readLocal(spark, dir,
+        options = Map("fieldIdReads" -> "true"))
+      assert(df.columns.toSeq == Seq("n_nationkey", "label"))
+      assert(df.count() == 25) // the evolved read itself works...
+      // ...and the CALLER's session conf is untouched: a later plain
+      // parquet read of id-stamped files must keep resolving by name
+      assert(spark.conf.get(
+        "spark.sql.parquet.fieldId.read.enabled") == "false")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("one commit can mix positional and equality delete files") {
+    // a MERGE-style committer legally produces both delete kinds in one
+    // commit; they share a content=1 delete manifest
+    val root = Files.createTempDirectory("ice-mixdel")
+    val dir = root.resolve("t")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .orderBy("n_nationkey")
+    val dataInfos = partFiles(nation)
+    IcebergLocal.append(dir, dataInfos, timestampMs = 1000L,
+      schema = Some(nation.schema))
+    import spark.implicits._
+    val posDir = root.resolve("pos")
+    Seq((dataInfos.head.path, 0L)).toDF("file_path", "pos").coalesce(1)
+      .write.parquet(posDir.toString)
+    val eqDir = root.resolve("eq")
+    Seq(5).toDF("n_nationkey").coalesce(1).write.parquet(eqDir.toString)
+    val mixed =
+      IcebergMaintenance.parquetFileInfos(posDir, content = 1) ++
+      IcebergMaintenance.parquetFileInfos(eqDir, content = 2,
+        equalityIds = Seq(1))
+    IcebergLocal.append(dir, mixed, timestampMs = 2000L)
+    try {
+      val df = IcebergRest.readLocal(spark, dir)
+      assert(df.count() == 23)
+      assert(df.filter("n_nationkey IN (0, 5)").count() == 0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("the catalog server works from a relative warehouse path") {
     val rel = java.nio.file.Paths.get("").toAbsolutePath
       .relativize(warehouse)

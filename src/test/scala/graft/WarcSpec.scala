@@ -37,6 +37,21 @@ class WarcSpec extends AnyFunSuite {
     raw.toByteArray
   }
 
+  test("a failed write attempt deletes its task-attempt tmp file") {
+    import spark.implicits._
+    // a null body makes the record writer throw mid-partition; the
+    // attempt must clean its own tmp file up (no abort-path litter)
+    val docs = Seq((1L, null: String, "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = tmpDir("abort")
+    intercept[org.apache.spark.SparkException] {
+      Warc.writeCorpus(docs, dir.toString)
+    }
+    val leftovers = Files.list(dir).map[String](_.getFileName.toString)
+      .toArray.map(_.toString).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"tmp litter after failed attempt: $leftovers")
+  }
+
   test("writeCorpus/readCorpus round-trips documents through .warc.gz") {
     import spark.implicits._
     val docs = Seq(
