@@ -531,6 +531,40 @@ object Extended {
         options = Map("fieldIdReads" -> "true")).localCheckpoint(true)
     },
 
+    // Iceberg PARTITIONED-table round-trip: write orders partitioned by
+    // month(o_orderdate) — Hive layout with the source column kept in
+    // the files, per-file partition tuples + column min/max bounds in
+    // the manifests, the spec in the metadata JSON — then read through
+    // the REST catalog with a scan-time filter. Partition pruning plans
+    // the distributed read over ONLY the files whose tuple/bounds can
+    // match (IcebergPartitionSpec pins the scanned-file-count drop;
+    // here ~6 of ~80 month files); this query proves the PRUNED read is
+    // EXACT, hash-matched against the oracle's plain filtered scan.
+    GraftQuery("q_iceberg_partitioned",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        |  AND o_orderdate < TIMESTAMP '1995-09-01'""".stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg_part"))
+      val tableDir = warehouse.resolve("orders")
+      val orders = t(s, dir).orders.select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      IcebergPartitioned.append(orders, tableDir, "data/b0",
+        Seq(PartitionField("o_month", "o_orderdate", "month")),
+        timestampMs = 1000L)
+      val server = new IcebergLocal.CatalogServer(warehouse, "lake")
+      val port = server.start()
+      try {
+        val catalog = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+        IcebergRest.read(s, catalog, "lake", "orders",
+          options = Map("filter" ->
+            ("o_orderdate >= timestamp '1995-03-01' AND " +
+              "o_orderdate < timestamp '1995-09-01'")))
+          .localCheckpoint(true)
+      } finally server.stop()
+    },
+
     GraftQuery("q_tablesample", {
       val (ctes, last) = SketchOracleSql.fmixScalarCtes("s", "k", "l_quantity", "h")
       s"""WITH k AS (SELECT l_quantity,

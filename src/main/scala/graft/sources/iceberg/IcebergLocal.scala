@@ -42,9 +42,16 @@ object IcebergLocal {
     * spec's data_file content id: 0 = data, 1 = position deletes (a
     * parquet file of (file_path, pos) rows), 2 = equality deletes (a
     * parquet file of the equality columns; `equalityIds` lists their
-    * spec field ids) — the two v2 merge-on-read delete shapes. */
+    * spec field ids) — the two v2 merge-on-read delete shapes.
+    * `partition` is the file's partition tuple (partition field name →
+    * value, aligned with the commit's partition spec; dates as
+    * epoch-day Int); the bound maps are spec field id → single-value
+    * binary min/max — all three feed scan pruning. */
   final case class DataFileInfo(path: String, recordCount: Long,
-      sizeBytes: Long, content: Int = 0, equalityIds: Seq[Int] = Nil)
+      sizeBytes: Long, content: Int = 0, equalityIds: Seq[Int] = Nil,
+      partition: Seq[(String, Any)] = Nil,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -60,18 +67,67 @@ object IcebergLocal {
     } finally s.close()
   }
 
-  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |  {"name":"status","type":"int"},
-      |  {"name":"sequence_number","type":["null","long"],"default":null},
-      |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
-      |    {"name":"content","type":"int"},
-      |    {"name":"file_path","type":"string"},
-      |    {"name":"file_format","type":"string"},
-      |    {"name":"record_count","type":"long"},
-      |    {"name":"file_size_in_bytes","type":"long"},
-      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
-      |     "default":null}]}}]}""".stripMargin)
+  /** Manifest entry schema, parameterized on the table's partition
+    * record (spec: `data_file.partition` is a struct typed by the
+    * partition spec; empty struct for unpartitioned tables). Bound maps
+    * use the spec's array-of-key_value shape. */
+  private[iceberg] def entrySchemaFor(partition: Schema): Schema =
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |  {"name":"status","type":"int"},
+         |  {"name":"sequence_number","type":["null","long"],"default":null},
+         |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |    {"name":"content","type":"int"},
+         |    {"name":"file_path","type":"string"},
+         |    {"name":"file_format","type":"string"},
+         |    {"name":"partition","type":["null",${partition.toString}],
+         |     "default":null},
+         |    {"name":"record_count","type":"long"},
+         |    {"name":"file_size_in_bytes","type":"long"},
+         |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+         |     "default":null},
+         |    {"name":"lower_bounds","type":["null",{"type":"array","items":
+         |      {"type":"record","name":"kv_bound","fields":[
+         |        {"name":"key","type":"int"},
+         |        {"name":"value","type":"bytes"}]}}],"default":null},
+         |    {"name":"upper_bounds","type":["null",
+         |      {"type":"array","items":"kv_bound"}],"default":null}
+         |  ]}}]}""".stripMargin)
+
+  private[iceberg] val emptyPartitionSchema: Schema =
+    new Schema.Parser().parse(
+      """{"type":"record","name":"r102","fields":[]}""")
+
+  private val manifestEntrySchema: Schema =
+    entrySchemaFor(emptyPartitionSchema)
+
+  private[iceberg] def nonNullBranch(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION) {
+      import scala.jdk.CollectionConverters._
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    } else s
+
+  /** The partition struct's Avro schema under `spec`: one nullable
+    * field per partition field, typed by the transform's result over
+    * the source column (dates stored as epoch-day ints). */
+  private def partitionAvroSchema(spec: Seq[PartitionField],
+      st: org.apache.spark.sql.types.StructType): Schema = {
+    import org.apache.spark.sql.types._
+    val fields = spec.map { f =>
+      val rt = IcebergPartitions.resultType(f.transform,
+        st(f.sourceColumn).dataType)
+      val avro = rt match {
+        case IntegerType | DateType => "\"int\""
+        case LongType => "\"long\""
+        case StringType => "\"string\""
+        case other => throw new IllegalArgumentException(
+          s"partition result type $other of ${f.name} not supported")
+      }
+      s"""{"name":"${f.name}","type":["null",$avro],"default":null}"""
+    }
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"r102","fields":[${fields.mkString(",")}]}""")
+  }
 
   private val manifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -129,13 +185,26 @@ object IcebergLocal {
         * set — no prior manifests carried — which is how compaction
         * publishes a rewritten (deletes-materialized) layout while every
         * earlier snapshot's manifest list stays intact for time travel. */
-      replace: Boolean = false): Long = {
+      replace: Boolean = false,
+      /** the table's partition spec (recorded in the metadata JSON and
+        * shaping the manifest entries' `partition` struct); requires
+        * `schema` for source-id resolution. [[IcebergPartitioned]] is
+        * the writer that computes the matching per-file tuples. */
+      partitionSpec: Option[Seq[PartitionField]] = None): Long = {
     val metaDir = tableDir.resolve("metadata")
     Files.createDirectories(metaDir)
     val priorRaw = currentMetadataFile(tableDir)
       .map(p => mapper.readTree(Files.readString(p)))
     val prior = currentMetadata(tableDir)
     val snapId = prior.map(_.snapshots.map(_.snapshotId).max + 1).getOrElse(1L)
+    val partAvro = partitionSpec match {
+      case Some(spec) => partitionAvroSchema(spec, schema.getOrElse(
+        throw new IllegalArgumentException(
+          "partitionSpec requires schema (source-id resolution)")))
+      case None => emptyPartitionSchema
+    }
+    val entrySchema = entrySchemaFor(partAvro)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
 
     // a manifest holds data files OR delete files, never both (spec:
     // manifest content id describes every entry in it). Both delete
@@ -149,20 +218,38 @@ object IcebergLocal {
         s"one commit cannot mix data and delete files (contents $other)")
     }
     val manifestPath = metaDir.resolve(f"manifest-$snapId%05d.avro")
-    writeAvro(manifestPath, manifestEntrySchema, files.map { f =>
-      val df = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
+    val boundItemSchema = nonNullBranch(
+      dataFileSchema.getField("lower_bounds").schema()).getElementType
+    def kvArray(m: Map[Int, Array[Byte]]): java.util.List[GenericRecord] = {
+      val out = new java.util.ArrayList[GenericRecord](m.size)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val r = new GenericData.Record(boundItemSchema)
+        r.put("key", k)
+        r.put("value", java.nio.ByteBuffer.wrap(v))
+        out.add(r)
+      }
+      out
+    }
+    writeAvro(manifestPath, entrySchema, files.map { f =>
+      val df = new GenericData.Record(dataFileSchema)
       df.put("content", f.content)
       df.put("file_path", f.path)
       df.put("file_format", "PARQUET")
       df.put("record_count", f.recordCount)
       df.put("file_size_in_bytes", f.sizeBytes)
+      if (f.partition.nonEmpty) {
+        val pr = new GenericData.Record(partAvro)
+        f.partition.foreach { case (n, v) => pr.put(n, v) }
+        df.put("partition", pr)
+      }
+      if (f.lowerBounds.nonEmpty) df.put("lower_bounds", kvArray(f.lowerBounds))
+      if (f.upperBounds.nonEmpty) df.put("upper_bounds", kvArray(f.upperBounds))
       if (f.equalityIds.nonEmpty) {
         val ids = new java.util.ArrayList[Integer](f.equalityIds.size)
         f.equalityIds.foreach(i => ids.add(Integer.valueOf(i)))
         df.put("equality_ids", ids)
       }
-      val e = new GenericData.Record(manifestEntrySchema)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("data_file", df)
       e
@@ -215,14 +302,26 @@ object IcebergLocal {
             }
         }
         val mergedPath = metaDir.resolve(f"manifest-$snapId%05d-m.avro")
-        writeAvro(mergedPath, manifestEntrySchema, entries.map {
+        // the merged manifest's partition struct: when every carried
+        // entry shares one partition schema, keep it (pruning info
+        // survives the merge); on a mix, fall back to the empty struct
+        // — the affected files just lose partition pruning, which is
+        // conservative (never wrong)
+        val oldPartSchemas = entries.map(_._1.get("data_file")
+            .asInstanceOf[GenericRecord].getSchema)
+          .flatMap(s => Option(s.getField("partition"))
+            .map(f => nonNullBranch(f.schema()))).distinct
+        val mergedEntrySchema =
+          if (oldPartSchemas.size == 1) entrySchemaFor(oldPartSchemas.head)
+          else manifestEntrySchema
+        writeAvro(mergedPath, mergedEntrySchema, entries.map {
           case (old, seq) =>
             val df = new GenericData.Record(
-              manifestEntrySchema.getField("data_file").schema())
+              mergedEntrySchema.getField("data_file").schema())
             val oldDf = old.get("data_file").asInstanceOf[GenericRecord]
             df.getSchema.getFields.forEach(f =>
               df.put(f.name(), oldDf.get(f.name())))
-            val e = new GenericData.Record(manifestEntrySchema)
+            val e = new GenericData.Record(mergedEntrySchema)
             e.put("status", 0) // EXISTING: carried data, not added here
             e.put("sequence_number", seq) // original lineage, explicit
             e.put("data_file", df)
@@ -316,11 +415,45 @@ object IcebergLocal {
     root.put("current-schema-id",
       if (schema.isDefined) 0
       else priorRaw.map(_.path("current-schema-id").asInt(0)).getOrElse(0))
-    val specs = root.putArray("partition-specs")
-    val ps = specs.addObject()
-    ps.put("spec-id", 0); ps.putArray("fields")
-    root.put("default-spec-id", 0)
-    root.put("last-partition-id", 999) // partition field ids start at 1000
+    partitionSpec match {
+      case Some(spec) =>
+        // the committed spec, source ids resolved depth-first through
+        // the schema; partition field ids start at 1000 (spec rule)
+        val ids = topLevelFieldIds(schema.get)
+        val specs = root.putArray("partition-specs")
+        val ps = specs.addObject()
+        ps.put("spec-id", 0)
+        val fs = ps.putArray("fields")
+        spec.zipWithIndex.foreach { case (f, i) =>
+          val fn = fs.addObject()
+          fn.put("name", f.name)
+          fn.put("transform", f.transform)
+          fn.put("source-id", ids.getOrElse(f.sourceColumn,
+            throw new IllegalArgumentException(
+              s"partition source column '${f.sourceColumn}' absent from schema")))
+          fn.put("field-id", 1000 + i)
+        }
+        root.put("default-spec-id", 0)
+        root.put("last-partition-id", 999 + spec.size)
+      case None => priorRaw match {
+        case Some(pr) if pr.has("partition-specs") =>
+          // spec-less commits carry the table's partition spec forward
+          // (like schemas) — a streaming append must not strip the
+          // pruning metadata a partitioned table was created with
+          root.set[com.fasterxml.jackson.databind.JsonNode](
+            "partition-specs", pr.get("partition-specs").deepCopy())
+          root.put("default-spec-id", pr.path("default-spec-id").asInt(0))
+          root.put("last-partition-id",
+            pr.path("last-partition-id").asInt(999))
+          ()
+        case _ =>
+          val specs = root.putArray("partition-specs")
+          val ps = specs.addObject()
+          ps.put("spec-id", 0); ps.putArray("fields")
+          root.put("default-spec-id", 0)
+          root.put("last-partition-id", 999) // partition ids start at 1000
+      }
+    }
     val orders = root.putArray("sort-orders")
     val so = orders.addObject()
     so.put("order-id", 0); so.putArray("fields")

@@ -61,7 +61,11 @@ final case class IcebergTableMeta(
       * metadata on every top-level column — present when every column
       * maps to a Spark type; the read schema for `fieldIdReads`
       * (rename-safe schema evolution) */
-    sparkSchema: Option[org.apache.spark.sql.types.StructType] = None)
+    sparkSchema: Option[org.apache.spark.sql.types.StructType] = None,
+    /** spec-id → partition fields (source ids resolved to column
+      * names); feeds [[IcebergPrune]] */
+    partitionSpecs: Map[Int, Seq[PartitionField]] = Map.empty,
+    defaultSpecId: Int = 0)
 
 /** REST catalog over `baseUrl` (e.g. `http://host:8181`); `headers` is
   * re-evaluated per request so OAuth bearer refresh (graft's
@@ -182,6 +186,22 @@ object IcebergMetadata {
       .flatMap(f => for (id <- Option(f.get("id")); n <- Option(f.get("name")))
         yield id.asInt() -> n.asText())
       .toMap
+    // partition-specs: transforms keyed by spec-id, source-ids resolved
+    // to column names through the current schema. A field whose source
+    // id the schema doesn't know is DROPPED (not failed): the pruner
+    // simply gains no information from it.
+    val specs = IcebergJson.arr(meta.get("partition-specs")).flatMap { sp =>
+      Option(sp.get("spec-id")).map(_.asInt()).map { id =>
+        id -> IcebergJson.arr(sp.get("fields")).flatMap { f =>
+          for {
+            name <- Option(f.get("name")).map(_.asText())
+            transform <- Option(f.get("transform")).map(_.asText())
+            srcId <- Option(f.get("source-id")).map(_.asInt())
+            srcName <- fieldNames.get(srcId)
+          } yield PartitionField(name, srcName, transform)
+        }
+      }
+    }.toMap
     IcebergTableMeta(
       location = Option(meta.get("location")).map(_.asText()).getOrElse(""),
       currentSnapshotId = Option(meta.get("current-snapshot-id"))
@@ -189,7 +209,10 @@ object IcebergMetadata {
       snapshots = snaps,
       refs = refs,
       fieldNames = fieldNames,
-      sparkSchema = sparkSchemaOf(curFields))
+      sparkSchema = sparkSchemaOf(curFields),
+      partitionSpecs = specs,
+      defaultSpecId = Option(meta.get("default-spec-id"))
+        .map(_.asInt()).getOrElse(0))
   }
 
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
@@ -281,13 +304,24 @@ object IcebergMetadata {
 final case class EqualityDeleteFile(path: String, seq: Long,
     equalityIds: Seq[Int])
 
+/** One live data file with the metadata that prunes it: its partition
+  * tuple (partition field name → value, dates as epoch-day Int) and
+  * per-field-id min/max bounds (spec single-value binary). */
+final case class IcebergDataFile(path: String, seq: Long, specId: Int,
+    partition: Map[String, Any] = Map.empty,
+    lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+    upperBounds: Map[Int, Array[Byte]] = Map.empty)
+
 /** One snapshot's file inventory: live data files and the delete files
   * that apply to them, each with its data sequence number (the v2
-  * ordering that decides WHICH data files a delete can see). */
+  * ordering that decides WHICH data files a delete can see).
+  * `dataEntries` carries the same data files WITH their pruning
+  * metadata; `dataFiles` stays the (path, seq) view the MoR join uses. */
 final case class IcebergScanFiles(
     dataFiles: Seq[(String, Long)],
     positionDeletes: Seq[(String, Long)],
-    equalityDeletes: Seq[EqualityDeleteFile] = Nil)
+    equalityDeletes: Seq[EqualityDeleteFile] = Nil,
+    dataEntries: Seq[IcebergDataFile] = Nil)
 
 object IcebergManifests {
   /** Walk snapshot → manifest list → manifests → live files. Avro field
@@ -320,12 +354,14 @@ object IcebergManifests {
       val mseq = longField(r, "sequence_number").getOrElse(0L)
       val minSeq = longField(r, "min_sequence_number").getOrElse(mseq)
       (r.get("manifest_path").toString, mseq, minSeq,
-        intField(r, "content").getOrElse(0))
+        intField(r, "content").getOrElse(0),
+        intField(r, "partition_spec_id").getOrElse(0))
     }
     val data = Seq.newBuilder[(String, Long)]
+    val entries = Seq.newBuilder[IcebergDataFile]
     val posDeletes = Seq.newBuilder[(String, Long)]
     val eqDeletes = Seq.newBuilder[EqualityDeleteFile]
-    manifests.foreach { case (mf, mseq, minSeq, manifestContent) =>
+    manifests.foreach { case (mf, mseq, minSeq, manifestContent, specId) =>
       readAvro(mf, conf).foreach { entry =>
         val status = intField(entry, "status").getOrElse(1)
         val seq = longField(entry, "sequence_number")
@@ -337,7 +373,12 @@ object IcebergManifests {
         val fileContent = intField(df, "content").filter(_ > 0)
           .getOrElse(math.max(manifestContent, 0))
         if (status != 2) fileContent match { // 2 = DELETED: not in snapshot
-          case 0 => data += ((df.get("file_path").toString, seq))
+          case 0 =>
+            val path = df.get("file_path").toString
+            data += ((path, seq))
+            entries += IcebergDataFile(path, seq, specId,
+              partitionOf(df), boundsOf(df, "lower_bounds"),
+              boundsOf(df, "upper_bounds"))
           case 1 => posDeletes += ((df.get("file_path").toString, seq))
           case 2 =>
             val ids = Option(df.getSchema.getField("equality_ids"))
@@ -351,7 +392,50 @@ object IcebergManifests {
         }
       }
     }
-    IcebergScanFiles(data.result(), posDeletes.result(), eqDeletes.result())
+    IcebergScanFiles(data.result(), posDeletes.result(), eqDeletes.result(),
+      entries.result())
+  }
+
+  /** Entry's partition tuple (record field name → value; Avro Utf8
+    * normalized to String). Absent/null partition → empty (no pruning
+    * information — never an error). */
+  private def partitionOf(df: GenericRecord): Map[String, Any] =
+    if (df.getSchema.getField("partition") == null) Map.empty
+    else Option(df.get("partition")).collect { case r: GenericRecord =>
+      r.getSchema.getFields.asScala.map { f =>
+        f.name() -> (r.get(f.name()) match {
+          case u: org.apache.avro.util.Utf8 => u.toString
+          case other => other
+        })
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Entry's bound map (`lower_bounds`/`upper_bounds`): field id →
+    * bytes. Accepts both Avro map shape and the spec's array-of-
+    * key_value-records shape (what real writers produce). */
+  private def boundsOf(df: GenericRecord, field: String)
+      : Map[Int, Array[Byte]] = {
+    def bytes(v: Any): Array[Byte] = v match {
+      case b: java.nio.ByteBuffer =>
+        val d = b.duplicate()
+        val out = new Array[Byte](d.remaining())
+        d.get(out); out
+      case a: Array[Byte] => a
+      case other => other.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    if (df.getSchema.getField(field) == null) Map.empty
+    else Option(df.get(field)).map {
+      case l: java.util.List[_] =>
+        l.asScala.collect { case r: GenericRecord =>
+          r.get("key").asInstanceOf[Number].intValue() -> bytes(r.get("value"))
+        }.toMap
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, v) =>
+          k.toString.toInt -> bytes(v)
+        }.toMap
+      case _ => Map.empty[Int, Array[Byte]]
+    }.getOrElse(Map.empty)
   }
 
   /** Compatibility wrapper: live data-file paths of an append-only
@@ -420,10 +504,28 @@ object IcebergRest {
       schema: Option[org.apache.spark.sql.types.StructType],
       label: String): DataFrame = {
     val snap = IcebergMetadata.select(meta, spec)
-    val scan = IcebergManifests.scanFiles(spark, snap.manifestList, options)
-    if (scan.dataFiles.isEmpty)
+    val fullScan = IcebergManifests.scanFiles(spark, snap.manifestList,
+      options - "filter" - "fieldIdReads")
+    if (fullScan.dataFiles.isEmpty)
       throw new IllegalArgumentException(
         s"snapshot ${snap.snapshotId} of $label lists no data files")
+    // `filter=<sql>`: scan-time predicate — the reference provider's
+    // shape, where pushed filters arrive WITH the scan request
+    // (`provider.rs:39-120`). Files whose partition tuple or column
+    // bounds provably exclude the predicate are dropped BEFORE the
+    // distributed read is planned (manifest metadata only, no data
+    // I/O); the surviving rows still get the full predicate applied, so
+    // pruning precision never changes results. At 100 TB this is the
+    // difference between opening every footer of a date-partitioned
+    // table and opening one day's worth.
+    val filterSql = options.get("filter")
+    val scan = filterSql match {
+      case Some(f) =>
+        val pruneSchema = schema.orElse(meta.sparkSchema).getOrElse(
+          spark.read.parquet(fullScan.dataFiles.head._1).schema)
+        IcebergPrune.prune(spark, fullScan, meta, pruneSchema, f)
+      case None => fullScan
+    }
     // `fieldIdReads=true`: schema-evolution mode — the read schema comes
     // from the table metadata WITH its field ids, and Spark's parquet
     // reader matches columns BY ID (how every real Iceberg reader
@@ -451,10 +553,23 @@ object IcebergRest {
       s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
       s
     } else spark
-    val r = sess.read.options(options - "fieldIdReads")
-    val base = readSchema.fold(r)(r.schema).parquet(scan.dataFiles.map(_._1): _*)
-    if (scan.positionDeletes.isEmpty && scan.equalityDeletes.isEmpty) base
-    else applyDeletes(sess, base, scan, meta.fieldNames)
+    val r = sess.read.options(options - "fieldIdReads" - "filter")
+    val result =
+      if (scan.dataFiles.isEmpty) {
+        // every file pruned away: an empty frame with the table schema
+        val st = readSchema.orElse(meta.sparkSchema).getOrElse(
+          sess.read.parquet(fullScan.dataFiles.head._1).schema)
+        sess.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+      } else {
+        val base = readSchema.fold(r)(r.schema)
+          .parquet(scan.dataFiles.map(_._1): _*)
+        if (scan.positionDeletes.isEmpty && scan.equalityDeletes.isEmpty) base
+        else applyDeletes(sess, base, scan, meta.fieldNames)
+      }
+    // pruning keeps only files that MIGHT match; the predicate itself
+    // still applies row-wise (and commutes with the MoR anti-joins)
+    filterSql.fold(result)(result.where)
   }
 
   /** Manifest paths and Spark's `_metadata.file_path` can render the

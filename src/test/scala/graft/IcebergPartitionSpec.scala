@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.file.{Files, Path => JPath}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.iceberg._
+
+/** Partition specs + scan pruning: the spec's bucket hash pinned to its
+  * published test vectors, transform semantics, partitioned writes
+  * (Hive layout, tuples + bounds in manifests, spec in metadata), and
+  * the pruner's one contract — identical results to the unpruned read,
+  * with provably fewer files opened. */
+class IcebergPartitionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def freshDir(tag: String): JPath = {
+    val p = Files.createTempDirectory(s"ice_part_$tag")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("bucket hash matches the spec's published test vectors") {
+    // Iceberg spec Appendix B lists murmur3_x86_32 results: int/long 34
+    // hash as the 8-byte little-endian long → 2017239379; UTF-8
+    // "iceberg" → 1210000089. A clean-room bucket that disagrees here
+    // would bucket-join differently from every other Iceberg engine.
+    import IcebergPartitions._
+    def leLong(v: Long) = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    assert(murmur3(leLong(34L)) == 2017239379)
+    assert(murmur3("iceberg".getBytes("UTF-8")) == 1210000089)
+    // int and long of equal value land in the same bucket (spec rule)
+    assert(bucketOf(34, 16) == bucketOf(34L, 16))
+    assert(bucketOf(34, 16).get == 2017239379 % 16)
+  }
+
+  test("transforms: year/month/day on dates, truncate, literal side = column side") {
+    import IcebergPartitions._
+    import org.apache.spark.sql.types._
+    val d = java.time.LocalDate.of(1995, 3, 17).toEpochDay.toInt
+    assert(applyTransform("year", d, DateType).contains(25))
+    assert(applyTransform("month", d, DateType).contains(25 * 12 + 2))
+    assert(applyTransform("day", d, DateType).contains(d))
+    assert(applyTransform("truncate[10]", 37, IntegerType).contains(30))
+    assert(applyTransform("truncate[10]", -7, IntegerType).contains(-10))
+    assert(applyTransform("truncate[3]", "iceberg", StringType).contains("ice"))
+    // the WRITER's Column evaluation agrees with the PRUNER's literal one
+    import spark.implicits._
+    val df = Seq(java.sql.Date.valueOf("1995-03-17")).toDF("d")
+    val got = df.select(
+      transformColumn(org.apache.spark.sql.functions.col("d"), "month",
+        DateType).as("m")).head().getInt(0)
+    assert(got == 25 * 12 + 2)
+  }
+
+  test("partitioned write: Hive layout, tuples + bounds in manifests, spec in metadata") {
+    val wh = freshDir("write")
+    val dir = wh.resolve("orders")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val spec = Seq(PartitionField("o_month", "o_orderdate", "month"))
+    IcebergPartitioned.append(orders, dir, "data/b0", spec, 1000L)
+    val meta = IcebergLocal.currentMetadata(dir).get
+    // the spec round-trips through the metadata JSON (source id resolved)
+    assert(meta.partitionSpecs(0) == spec)
+    val snap = meta.snapshots.maxBy(_.snapshotId)
+    val scan = IcebergManifests.scanFiles(spark, snap.manifestList)
+    assert(scan.dataEntries.nonEmpty)
+    // one file per distinct month, each stamped with its tuple
+    val months = orders.selectExpr(
+      "(year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1")
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(scan.dataEntries.map(_.partition("o_month")).toSet == months)
+    // bounds present for the numeric key column
+    val ids = IcebergLocal.topLevelFieldIds(orders.schema)
+    assert(scan.dataEntries.forall(e =>
+      e.lowerBounds.contains(ids("o_orderkey")) &&
+        e.upperBounds.contains(ids("o_orderkey"))))
+    // and the unpruned read still returns every row, source columns intact
+    val all = IcebergRest.readLocal(spark, dir)
+    assert(all.count() == orders.count())
+    assert(all.columns.sorted.toSeq == orders.columns.sorted.toSeq)
+  }
+
+  test("partition pruning: selective date filter reads fewer files, same rows") {
+    val wh = freshDir("prune")
+    val dir = wh.resolve("orders")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val spec = Seq(PartitionField("o_month", "o_orderdate", "month"))
+    IcebergPartitioned.append(orders, dir, "data/b0", spec, 1000L)
+    val filter =
+      "o_orderdate >= date '1995-03-01' AND o_orderdate < date '1995-06-01'"
+    val pruned = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> filter))
+    val full = IcebergRest.readLocal(spark, dir).where(filter)
+    // THE pruning contract: identical results...
+    assert(pruned.count() == full.count() && full.count() > 0)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // ...from strictly fewer files actually scanned (3 months of ~90)
+    val totalFiles = full.inputFiles.length
+    val prunedFiles = pruned.inputFiles.length
+    assert(prunedFiles < totalFiles,
+      s"no pruning: $prunedFiles of $totalFiles files")
+    assert(prunedFiles <= 4, // 3 months + boundary laxity
+      s"month partition should keep ~3 files, kept $prunedFiles")
+  }
+
+  test("min/max bounds prune unpartitioned range-laid files") {
+    val wh = freshDir("bounds")
+    val dir = wh.resolve("nation")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val out = freshDir("bounds_files")
+    // 5 range-partitioned files: disjoint n_nationkey intervals
+    nation.repartitionByRange(5, org.apache.spark.sql.functions
+      .col("n_nationkey")).write.mode("overwrite").parquet(out.toString)
+    val files = IcebergPartitioned.listParquetDeep(out)
+    assert(files.size == 5)
+    val infos = files.map(p =>
+      IcebergPartitioned.fileInfo(p, nation.schema, Nil))
+    IcebergLocal.append(dir, infos, 1000L, schema = Some(nation.schema))
+    val pruned = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "n_nationkey = 13"))
+    assert(pruned.count() == 1)
+    assert(pruned.inputFiles.length == 1,
+      s"bounds should keep exactly 1 of 5 files, kept ${pruned.inputFiles.length}")
+    // IN lists prune too; and a range crossing two files keeps two
+    val in2 = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "n_nationkey IN (2, 22)"))
+    assert(in2.count() == 2 && in2.inputFiles.length == 2)
+  }
+
+  test("unresolvable predicates prune nothing and change nothing") {
+    val wh = freshDir("opaque")
+    val dir = wh.resolve("nation")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val out = freshDir("opaque_files")
+    nation.repartitionByRange(3, org.apache.spark.sql.functions
+      .col("n_nationkey")).write.mode("overwrite").parquet(out.toString)
+    val infos = IcebergPartitioned.listParquetDeep(out)
+      .map(p => IcebergPartitioned.fileInfo(p, nation.schema, Nil))
+    IcebergLocal.append(dir, infos, 1000L, schema = Some(nation.schema))
+    // a function of the column: no necessary condition derivable — the
+    // pruner must keep every file, the filter still applies row-wise
+    val df = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "n_nationkey % 5 = 0"))
+    assert(df.inputFiles.length == 3)
+    assert(df.count() == nation.where("n_nationkey % 5 = 0").count())
+    // pruning everything is also legal: an impossible bound reads empty
+    val none = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "n_nationkey > 9999"))
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == nation.columns.toSeq)
+  }
+
+  test("pruning composes with merge-on-read deletes") {
+    val wh = freshDir("mor")
+    val dir = wh.resolve("orders")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val spec = Seq(PartitionField("o_month", "o_orderdate", "month"))
+    IcebergPartitioned.append(orders, dir, "data/b0", spec, 1000L)
+    IcebergMaintenance.deleteWhere(spark, dir,
+      "o_orderkey % 3 = 0", () => 2000L)
+    val filter = "o_orderdate >= date '1995-03-01' AND o_orderdate < date '1995-06-01'"
+    val got = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> filter))
+    val want = orders.where(filter).where("o_orderkey % 3 <> 0")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.inputFiles.length < orders
+      .selectExpr("month(o_orderdate)").distinct().count())
+  }
+
+  test("a spec-less append carries the partition spec forward") {
+    val wh = freshDir("carry")
+    val dir = wh.resolve("orders")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderdate")
+    val spec = Seq(PartitionField("o_month", "o_orderdate", "month"))
+    IcebergPartitioned.append(orders, dir, "data/b0", spec, 1000L)
+    // a plain (streaming-style) append without the spec
+    val out = freshDir("carry_files")
+    orders.limit(10).coalesce(1).write.mode("overwrite").parquet(out.toString)
+    val infos = IcebergPartitioned.listParquetDeep(out)
+      .map(p => IcebergPartitioned.fileInfo(p, orders.schema, Nil))
+    IcebergLocal.append(dir, infos, 2000L)
+    val meta = IcebergLocal.currentMetadata(dir).get
+    assert(meta.partitionSpecs(0) == spec,
+      "spec-less commit dropped the table's partition spec")
+    // partitioned files still prune; the unpartitioned file is kept
+    val pruned = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "o_orderdate >= date '1998-01-01'"))
+    val want = IcebergRest.readLocal(spark, dir)
+      .where("o_orderdate >= date '1998-01-01'")
+    assert(pruned.count() == want.count())
+  }
+}
