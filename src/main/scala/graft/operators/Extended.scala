@@ -412,7 +412,14 @@ object Extended {
         dataFile.toUri.toString, rows, java.nio.file.Files.size(dataFile))),
         timestampMs = 1000L, schema = Some(data.schema))
       // positional deletes: the file is custkey-sorted, so position =
-      // rank - 1; remove every custkey divisible by 7
+      // rank - 1; remove every custkey divisible by 7.
+      // FIXTURE-ONLY: the unpartitioned Window below funnels the frame
+      // through ONE partition — legal here because the input is a single
+      // coalesced bounded file whose physical row order IS the sort
+      // order, and the block only CONSTRUCTS the delete fixture. Never
+      // copy this shape into an operator path (PlanShapeSpec pins the
+      // ban); the engine-side equivalent is deleteWhere, which derives
+      // positions from parquet metadata columns with no global window.
       val posDel = data
         .withColumn("pos", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("c_custkey")) - 1)

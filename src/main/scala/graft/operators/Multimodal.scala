@@ -96,6 +96,59 @@ object Multimodal {
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("energy", LongType, nullable = false)))
 
+  /** Render the deterministic per-asset RGB image straight into the
+    * TYPE_INT_RGB backing array — one store per pixel. `setRGB` runs a
+    * color-model conversion per CALL (the classic ImageIO slow path);
+    * on the bulk raster the same fill is ~an order of magnitude
+    * cheaper, with identical pixels and therefore identical PNG bytes. */
+  private def renderRgb(d: Long, w: Int, h: Int)
+      : java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pr = ((d * 31 + x * 7 + y * 13) % 256).toInt
+        val pg = ((d * 17 + x * 11 + y * 5) % 256).toInt
+        val pb = ((d * 7 + x * 3 + y * 19) % 256).toInt
+        data(i) = (pr << 16) | (pg << 8) | pb
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Decoded pixels as packed RGB ints, row-major — BULK extraction:
+    * the 3-byte BGR backing array when the decoder produced one (what
+    * ImageIO's PNG reader yields for 8-bit RGB), else ONE bulk getRGB
+    * call. Never per-pixel getRGB. */
+  private def rgbOf(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    img.getRaster.getDataBuffer match {
+      case b: java.awt.image.DataBufferByte
+          if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
+        val src = b.getData
+        val out = new Array[Int](w * h)
+        var i = 0
+        var o = 0
+        while (o < out.length) {
+          out(o) = ((src(i + 2) & 0xff) << 16) |
+            ((src(i + 1) & 0xff) << 8) | (src(i) & 0xff)
+          i += 3
+          o += 1
+        }
+        out
+      case _ => img.getRGB(0, 0, w, h, null, 0, w)
+    }
+  }
+
   val defs: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------- REAL image codec
@@ -127,34 +180,18 @@ object Multimodal {
           val d = r.getLong(0)
           val w = 8 + (d % 9).toInt
           val h = 8 + (d % 7).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val pr = ((d * 31 + x * 7 + y * 13) % 256).toInt
-              val pg = ((d * 17 + x * 11 + y * 5) % 256).toInt
-              val pb = ((d * 7 + x * 3 + y * 19) % 256).toInt
-              img.setRGB(x, y, (pr << 16) | (pg << 8) | pb)
-              x += 1
-            }
-            y += 1
-          }
+          val img = renderRgb(d, w, h)
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos) // REAL PNG encode
           val back = javax.imageio.ImageIO.read(        // REAL PNG decode
             new java.io.ByteArrayInputStream(bos.toByteArray))
+          val px = rgbOf(back) // bulk raster read, no per-pixel getRGB
           var (sr, sg, sb) = (0L, 0L, 0L)
-          y = 0
-          while (y < back.getHeight) {
-            var x = 0
-            while (x < back.getWidth) {
-              val rgb = back.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            i += 1
           }
           Row(d, back.getWidth, back.getHeight, sr, sg, sb)
         }
@@ -442,30 +479,19 @@ object Multimodal {
           val d = r.getLong(0)
           val w = 8 + (d % 9).toInt
           val h = 8 + (d % 7).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              img.setRGB(x, y,
-                ((((d * 31 + x * 7 + y * 13) % 256).toInt) << 16) |
-                ((((d * 17 + x * 11 + y * 5) % 256).toInt) << 8) |
-                (((d * 7 + x * 3 + y * 19) % 256).toInt))
-              x += 1
-            }
-            y += 1
-          }
+          val img = renderRgb(d, w, h)
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
           val back = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bos.toByteArray))
+          val px = rgbOf(back) // bulk raster read, no per-pixel getRGB
+          val bw = back.getWidth
           var (tr, tg, tb) = (0L, 0L, 0L)
           var dy = 0
           while (dy < 4) {
             var dx = 0
             while (dx < 4) {
-              val rgb = back.getRGB(dx * w / 4, dy * h / 4)
+              val rgb = px((dy * h / 4) * bw + (dx * w / 4))
               tr += (rgb >> 16) & 0xff; tg += (rgb >> 8) & 0xff; tb += rgb & 0xff
               dx += 1
             }

@@ -270,6 +270,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq(("a", 2L), ("a", 3L)), rows.toString)
   }
 
+  test("upsert replay after a crash between delete and data commits is exactly-once") {
+    // the one replay window the full-batch no-op test can't reach: the
+    // batch's equality-delete snapshot committed (tag batch-<id>-del),
+    // then the process died before the data commit. The replay must
+    // skip straight to the data commit — re-committing the delete would
+    // not be idempotent (a second delete snapshot at a higher sequence
+    // could retire the replayed batch's own rows after compaction
+    // reorders file sequences).
+    import spark.implicits._
+    import graft.sources.iceberg._
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("ice-upsert-crash").resolve("t")
+    var now = 0L
+    val clock = () => { now += 1000; now }
+    val committer = graft.streaming.IcebergSink.upsertCommitter(
+      tableDir, keyCols = Seq("k"), clock = clock)
+    committer(Seq(("a", 1L), ("b", 1L)).toDF("k", "v"), 0L)
+    // simulate the crash window: batch 1's DELETE commit landed, the
+    // data commit did not (the exact artifacts upsertCommitter writes)
+    val delDir = tableDir.resolve("data").resolve("batch-1-del")
+    Seq("a").toDF("k").coalesce(1).write.mode("overwrite")
+      .parquet(delDir.toString)
+    IcebergLocal.append(tableDir,
+      IcebergMaintenance.parquetFileInfos(delDir, content = 2,
+        equalityIds = Seq(1)), clock(), Some("batch-1-del"))
+    val snapsBefore = IcebergLocal.currentMetadata(tableDir).get.snapshots.size
+    // replay of batch 1: exactly ONE new snapshot (the data commit)
+    committer(Seq(("a", 2L)).toDF("k", "v"), 1L)
+    val meta = IcebergLocal.currentMetadata(tableDir).get
+    assert(meta.snapshots.size == snapsBefore + 1,
+      "replay re-committed the delete snapshot")
+    val rows = IcebergRest.readLocal(spark, tableDir)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(("a", 2L), ("b", 1L)), rows.toString)
+    // a SECOND full replay of the batch is a complete no-op
+    committer(Seq(("a", 2L)).toDF("k", "v"), 1L)
+    assert(IcebergLocal.currentMetadata(tableDir).get.snapshots.size ==
+      snapsBefore + 1)
+    assert(IcebergRest.readLocal(spark, tableDir)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq == rows)
+  }
+
   test("streaming iceberg UPSERTS read as latest-per-key; compaction keeps them") {
     // the CDC MERGE shape: each micro-batch commits an equality-delete
     // snapshot on its keys (retiring prior versions) then a data
