@@ -297,12 +297,14 @@ object Similarity {
     // one inverted list. Search: probe the nprobe lists nearest the query;
     // candidates = corpus ∩ probed lists (equi-join on list_id, shuffles
     // ids + list keys, never vectors); exact cosine rerank of the small
-    // candidate set. Deterministic end-to-end; rows-only verification is
-    // PRINCIPLED, not a gap: centroids come from a runtime sample no other
-    // engine can re-derive. Its EXACT TWIN is s_ann_bruteforce (same
-    // cosine/rerank kernels, hash-oracled), and OperatorSemanticsSpec asserts
-    // recall@10 against that exact answer.
-    GraftQuery.unverified("s_ann_ivf") { (s, dir) =>
+    // candidate set. Deterministic end-to-end AND hash-verified: the
+    // training sample is re-derivable (vec_id-filtered, ordered,
+    // limited), and AnnOracleSql.ivfSql re-runs the 5 Lloyd iterations
+    // in DuckDB with sequential-order float math + explicit tie-breaks,
+    // re-deriving the centroids (hence lists, probes, and rerank)
+    // bit-for-bit. OperatorSemanticsSpec additionally asserts recall@10
+    // against the exact twin s_ann_bruteforce.
+    GraftQuery("s_ann_ivf", AnnOracleSql.ivfSql) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val k = 8; val nprobe = 4
       val vecs = t(s, dir).embeddings
@@ -343,9 +345,11 @@ object Similarity {
     // the same plan shape. Candidate generation is the s_ann_ivf
     // equi-join on list_id (ids + codes in the exchange, never vectors);
     // scoring is the s_ann_pq ADC kernel; the per-query ranking windows
-    // over the BOUNDED probed-list candidate set. Rows-only by the same
-    // sample-training argument; recall spec-pinned against the exact twin.
-    GraftQuery.unverified("s_ann_ivfpq") { (s, dir) =>
+    // over the BOUNDED probed-list candidate set. Hash-verified: the
+    // coarse trainer AND the 16 sub-codebooks are re-derived in DuckDB
+    // (AnnOracleSql.ivfPqSql); recall additionally spec-pinned against
+    // the exact twin.
+    GraftQuery("s_ann_ivfpq", AnnOracleSql.ivfPqSql) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val Kc = 8; val nprobe = 4
       val M = 16; val Ksub = 16; val SubDim = 4
@@ -399,9 +403,12 @@ object Similarity {
     // approximates descending cosine — the exact twin s_ann_bruteforce
     // measures recall (spec-pinned). Top-k is a TWO-STAGE ranking: first
     // within (qid, shard) partitions, then over the ≤ shards·k survivors —
-    // never a corpus-cardinality window partition. Rows-only verification
-    // is principled (sample-trained codebooks, the s_ann_ivf precedent).
-    GraftQuery.unverified("s_ann_pq") { (s, dir) =>
+    // never a corpus-cardinality window partition (the DuckDB oracle's
+    // single window is result-equivalent: any global top-10 row is
+    // top-10 within its shard). Hash-verified: AnnOracleSql.pqSql
+    // re-runs the 10 per-subspace L2 Lloyd iterations in DuckDB and
+    // re-derives codes, LUTs, and ADC sums bit-for-bit.
+    GraftQuery("s_ann_pq", AnnOracleSql.pqSql) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       // 16 subspaces × 4 dims × 16 centroids: 4 bits of codebook per 4
       // dims is the accuracy/size point that keeps recall useful on
