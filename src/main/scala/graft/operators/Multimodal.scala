@@ -124,6 +124,50 @@ object Multimodal {
     img
   }
 
+  /** JPEG quantization bound for the double-generation thumbnail
+    * contract: smooth gradients keep DCT error small (single-generation
+    * contract pin is ≤ 24, `OperatorSemanticsSpec`); two generations
+    * plus 4:2:0 chroma subsampling on the 4×4 thumb stay well under 64,
+    * while a channel-order or stride bug produces near-full-scale
+    * (≥ 128) error on the channel-distinct ramps — spec-proven. */
+  private[graft] val JpegErrorBound = 64
+
+  /** Smooth channel-distinct RGB ramps (R = x, G = y, B = diagonal),
+    * rendered into the backing raster. Smoothness keeps JPEG DCT error
+    * inside [[JpegErrorBound]]; channel-distinctness makes a swap loud. */
+  private[graft] def renderSmooth(w: Int, h: Int)
+      : java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pr = x * 255 / (w - 1)
+        val pg = y * 255 / (h - 1)
+        val pb = (x + y) * 255 / (w + h - 2)
+        data(i) = (pr << 16) | (pg << 8) | pb
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** One REAL JPEG encode→decode generation through ImageIO. */
+  private[graft] def jpegRoundTrip(img: java.awt.image.BufferedImage)
+      : java.awt.image.BufferedImage = {
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "jpg", bos))
+      throw new IllegalStateException("no JPEG writer on this JVM")
+    javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+  }
+
   /** Decoded pixels as packed RGB ints, row-major — BULK extraction:
     * the 3-byte BGR backing array when the decoder produced one (what
     * ImageIO's PNG reader yields for 8-bit RGB), else ONE bulk getRGB
@@ -455,6 +499,81 @@ object Multimodal {
     // the generator formula; any off-by-one in the index map or a codec
     // channel swap breaks the hash). The thumbnail ships as one packed
     // BIGINT per output pixel's red channel sum — 16 integers per asset.
+    // ------------------------------------------- REAL lossy (JPEG) codec
+    // The standard multimodal-curation thumbnail step, driven
+    // DISTRIBUTED through the REAL JDK JPEG codec: render a smooth RGB
+    // gradient (channel-distinct: R = x-ramp, G = y-ramp, B = diagonal
+    // — a channel swap shows up as ~full-scale error), encode JPEG,
+    // decode, nearest-neighbor 4×4 thumbnail from the DECODED pixels,
+    // re-encode the thumbnail as JPEG, decode again. JPEG is lossy, so
+    // the pixel values can't hash-match an oracle — but the CONTRACT
+    // can: dimensions survive both generations exactly, and the
+    // double-generation pixel error stays within the quantization
+    // bound. Both ride the hash gate as boolean columns the oracle
+    // asserts true (a codec misuse — stride, channel order, subsampling
+    // bug — flips them and fails the driver compare).
+    // OperatorSemanticsSpec additionally proves the bound DETECTS: a
+    // deliberate R/B swap blows max_err past it.
+    GraftQuery("m_jpeg_thumbs",
+      """SELECT doc_id AS asset_id,
+        |  CAST(16 + doc_id % 17 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 13 AS INTEGER) AS height,
+        |  CAST(4 AS INTEGER) AS thumb_w, CAST(4 AS INTEGER) AS thumb_h,
+        |  true AS jpeg_ok, true AS within_bound
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val df = t(s, dir).documents.select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("asset_id", LongType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("thumb_w", IntegerType, nullable = false),
+        StructField("thumb_h", IntegerType, nullable = false),
+        StructField("jpeg_ok", BooleanType, nullable = false),
+        StructField("within_bound", BooleanType, nullable = false)))
+      implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+      df.mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val w = 16 + (d % 17).toInt
+          val h = 16 + (d % 13).toInt
+          val img = renderSmooth(w, h)
+          val full = jpegRoundTrip(img)
+          val jpegOk = full.getWidth == w && full.getHeight == h
+          // nearest-neighbor 4x4 on DECODED pixels (bulk raster)
+          val px = rgbOf(full)
+          val thumb = new java.awt.image.BufferedImage(
+            4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val tdata = thumb.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferInt].getData
+          var dy = 0
+          while (dy < 4) {
+            var dx = 0
+            while (dx < 4) {
+              tdata(dy * 4 + dx) = px((dy * h / 4) * full.getWidth + dx * w / 4)
+              dx += 1
+            }
+            dy += 1
+          }
+          val thumbBack = jpegRoundTrip(thumb)
+          val tpx = rgbOf(thumbBack)
+          var maxErr = 0
+          var i = 0
+          while (i < 16) {
+            val a = tdata(i); val b = tpx(i)
+            var sh = 0
+            while (sh <= 16) {
+              maxErr = math.max(maxErr,
+                math.abs(((a >> sh) & 0xff) - ((b >> sh) & 0xff)))
+              sh += 8
+            }
+            i += 1
+          }
+          Row(d, w, h, thumbBack.getWidth, thumbBack.getHeight,
+            jpegOk, maxErr <= JpegErrorBound)
+        }
+      }
+    },
+
     GraftQuery("m_image_resize",
       """WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
         |              FROM documents),

@@ -1008,6 +1008,36 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(maxErr <= 24, s"JPEG round-trip error $maxErr exceeds bound")
   }
 
+  test("m_jpeg_thumbs contract holds corpus-wide; the bound detects channel swaps") {
+    // the boolean-contract columns ride the hash gate; here: (a) they
+    // actually hold on the corpus, (b) the bound is a real DETECTOR —
+    // an R/B swap on the channel-distinct ramps blows far past it, so
+    // a silently-miswired codec cannot stay within_bound
+    val rows = SparkEntry.queries("m_jpeg_thumbs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("jpeg_ok"), s"dims lost: $r")
+      assert(r.getAs[Boolean]("within_bound"), s"error bound exceeded: $r")
+    }
+    val img = graft.operators.Multimodal.renderSmooth(20, 20)
+    val swapped = new java.awt.image.BufferedImage(
+      20, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 20) {
+      val p = img.getRGB(x, y)
+      swapped.setRGB(x, y,
+        ((p & 0xff) << 16) | (p & 0xff00) | ((p >> 16) & 0xff))
+    }
+    val back = graft.operators.Multimodal.jpegRoundTrip(swapped)
+    var maxErr = 0
+    for (y <- 0 until 20; x <- 0 until 20) {
+      val a = img.getRGB(x, y); val b = back.getRGB(x, y)
+      Seq(16, 8, 0).foreach(sh => maxErr = math.max(maxErr,
+        math.abs(((a >> sh) & 0xff) - ((b >> sh) & 0xff))))
+    }
+    assert(maxErr > graft.operators.Multimodal.JpegErrorBound,
+      s"channel swap not detected: max_err $maxErr within bound")
+  }
+
   test("portable HLL estimate lands within theory bounds of the exact count") {
     // raw-regime check at sf0.01: n = 2000 distinct parts per flag >
     // 2.5m = 1280, where the raw estimator applies. 1σ = 1.04/sqrt(512)
