@@ -17,6 +17,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // user policies installed by GraftSession.executeQuery
     e.injectResolutionRule(s =>
       RowPolicyRule(s.sessionState.sqlParser, () => RowPolicyRule.active()))
+    // lazy Iceberg scan resolution: the query's own pushed-down filter
+    // prunes the file inventory before the distributed scan is planned
+    // (the reference provider's scan-time filter shape). Injected BEFORE
+    // federation so its leaves are plain relations by the time the
+    // federation walk runs.
+    e.injectPreCBORule(s => graft.plans.IcebergPruneRule(s))
     // same-source subplan federation: after operator optimization
     // (filters/projects already placed), before V2 scan planning — the
     // reference's FederationOptimizerRule slot (federation.rs:226-240)

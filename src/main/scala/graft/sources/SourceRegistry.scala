@@ -162,10 +162,20 @@ final class SourceRegistry(spark: SparkSession) {
             .orElse(src.options.get("timestamp_ms")
               .map(ms => SnapshotLog.ByTimestamp(ms.toLong)))
         // per-source options (fs.* credentials etc.) and declared schema
-        // apply to iceberg reads exactly as to file sources
-        graft.sources.iceberg.IcebergRest.read(
+        // apply to iceberg reads exactly as to file sources. LAZY by
+        // default when the session has graft extensions: the registered
+        // table is an [[graft.plans.IcebergScanPlan]] leaf, so each
+        // query's OWN pushed-down predicate prunes the file inventory
+        // at plan time (partition tuples + column bounds) — the
+        // reference provider's scan-time-filter shape. Falls back to
+        // the eager read (extension-less session, explicit `filter`
+        // option, fieldIdReads, empty snapshot).
+        graft.sources.iceberg.IcebergRest.readLazy(
           spark, catalog, namespace, t.name, spec,
           options = src.options, schema = t.declaredSchema)
+          .getOrElse(graft.sources.iceberg.IcebergRest.read(
+            spark, catalog, namespace, t.name, spec,
+            options = src.options, schema = t.declaredSchema))
       case "rest" =>
         val r = spark.read.format("graft.sources.rest.RestDataSource")
           .option("baseUrl", src.url.getOrElse(

@@ -464,11 +464,18 @@ object IcebergPrune {
     val cond = plan.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
+    cond.toSeq.flatMap(predsOfExpr)
+  }
+
+  /** Conjunct extraction from an already-RESOLVED condition — the
+    * auto-prune rule's entry, where the predicate comes straight from
+    * the optimized plan instead of an SQL string. */
+  private def predsOfExpr(cond: Expression): Seq[Pred] = {
     def split(e: Expression): Seq[Expression] = e match {
       case And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
-    cond.toSeq.flatMap(split).flatMap(toPred)
+    split(cond).flatMap(toPred)
   }
 
   /** Unwrap a numeric-widening cast on the attribute side: comparisons
@@ -575,8 +582,18 @@ object IcebergPrune {
     * pruned files anti-join nothing). */
   def prune(spark: org.apache.spark.sql.SparkSession,
       scan: IcebergScanFiles, meta: IcebergTableMeta,
-      schema: StructType, filterSql: String): IcebergScanFiles = {
-    val ps = preds(spark, schema, filterSql)
+      schema: StructType, filterSql: String): IcebergScanFiles =
+    pruneWith(scan, meta, schema, preds(spark, schema, filterSql))
+
+  /** Prune under a resolved predicate expression (the auto-prune
+    * rule's path — no SQL re-parse, no dummy frame). */
+  private[graft] def pruneExpr(scan: IcebergScanFiles,
+      meta: IcebergTableMeta, schema: StructType,
+      cond: Expression): IcebergScanFiles =
+    pruneWith(scan, meta, schema, predsOfExpr(cond))
+
+  private def pruneWith(scan: IcebergScanFiles, meta: IcebergTableMeta,
+      schema: StructType, ps: Seq[Pred]): IcebergScanFiles = {
     if (ps.isEmpty || scan.dataEntries.isEmpty) return scan
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
     val idsByName = IcebergLocal.topLevelFieldIds(schema)

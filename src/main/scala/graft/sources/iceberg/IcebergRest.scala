@@ -305,12 +305,14 @@ final case class EqualityDeleteFile(path: String, seq: Long,
     equalityIds: Seq[Int])
 
 /** One live data file with the metadata that prunes it: its partition
-  * tuple (partition field name → value, dates as epoch-day Int) and
-  * per-field-id min/max bounds (spec single-value binary). */
+  * tuple (partition field name → value, dates as epoch-day Int),
+  * per-field-id min/max bounds (spec single-value binary), and size
+  * (drives plan statistics for the lazy scan leaf). */
 final case class IcebergDataFile(path: String, seq: Long, specId: Int,
     partition: Map[String, Any] = Map.empty,
     lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-    upperBounds: Map[Int, Array[Byte]] = Map.empty)
+    upperBounds: Map[Int, Array[Byte]] = Map.empty,
+    sizeBytes: Long = 0L)
 
 /** One snapshot's file inventory: live data files and the delete files
   * that apply to them, each with its data sequence number (the v2
@@ -378,7 +380,8 @@ object IcebergManifests {
             data += ((path, seq))
             entries += IcebergDataFile(path, seq, specId,
               partitionOf(df), boundsOf(df, "lower_bounds"),
-              boundsOf(df, "upper_bounds"))
+              boundsOf(df, "upper_bounds"),
+              longField(df, "file_size_in_bytes").getOrElse(0L))
           case 1 => posDeletes += ((df.get("file_path").toString, seq))
           case 2 =>
             val ids = Option(df.getSchema.getField("equality_ids"))
@@ -526,26 +529,48 @@ object IcebergRest {
         IcebergPrune.prune(spark, fullScan, meta, pruneSchema, f)
       case None => fullScan
     }
-    // `fieldIdReads=true`: schema-evolution mode — the read schema comes
-    // from the table metadata WITH its field ids, and Spark's parquet
-    // reader matches columns BY ID (how every real Iceberg reader
-    // works), so renamed columns resolve against files written under
-    // the old name. Requires data files stamped with field ids
-    // ([[IcebergLocal.withFieldIds]]; real Iceberg writers always
-    // stamp) — an id-less file fails loudly rather than reading nulls.
-    // Spark consults the flag as a SESSION conf at scan build (i.e. at
-    // execution, not plan time), so it cannot be set-and-restored around
-    // this call; it is scoped to an ISOLATED session instead (same
-    // SparkContext and cached data, own SQLConf — the returned frame
-    // executes under its own session). The caller's session never sees
-    // the flag, so a later plain-parquet read of id-stamped files keeps
-    // resolving by name.
+    val result =
+      if (scan.dataFiles.isEmpty) {
+        // every file pruned away: an empty frame with the table schema
+        val st = schema.orElse(meta.sparkSchema).getOrElse(
+          spark.read.parquet(fullScan.dataFiles.head._1).schema)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+      } else readScan(spark, scan, meta, options, schema)
+    // pruning keeps only files that MIGHT match; the predicate itself
+    // still applies row-wise (and commutes with the MoR anti-joins)
+    filterSql.fold(result)(result.where)
+  }
+
+  /** Distributed read of an (optionally pruned) file inventory —
+    * schema-evolution handling, the parquet scan, MoR delete
+    * application. Shared by the eager path ([[readMeta]]) and the lazy
+    * auto-prune leaf ([[graft.plans.IcebergPruneRule]]), so both read
+    * identically.
+    *
+    * `fieldIdReads=true`: schema-evolution mode — the read schema comes
+    * from the table metadata WITH its field ids, and Spark's parquet
+    * reader matches columns BY ID (how every real Iceberg reader
+    * works), so renamed columns resolve against files written under
+    * the old name. Requires data files stamped with field ids
+    * ([[IcebergLocal.withFieldIds]]; real Iceberg writers always
+    * stamp) — an id-less file fails loudly rather than reading nulls.
+    * Spark consults the flag as a SESSION conf at scan build (i.e. at
+    * execution, not plan time), so it cannot be set-and-restored around
+    * this call; it is scoped to an ISOLATED session instead (same
+    * SparkContext and cached data, own SQLConf — the returned frame
+    * executes under its own session). The caller's session never sees
+    * the flag, so a later plain-parquet read of id-stamped files keeps
+    * resolving by name. */
+  private[graft] def readScan(spark: SparkSession, scan: IcebergScanFiles,
+      meta: IcebergTableMeta, options: Map[String, String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val evolve = options.get("fieldIdReads").exists(_.toBoolean)
     val readSchema =
       if (schema.isDefined) schema
       else if (evolve) Some(meta.sparkSchema.getOrElse(
         throw new IllegalArgumentException(
-          s"fieldIdReads: the schema of $label has non-primitive columns " +
+          "fieldIdReads: the table schema has non-primitive columns " +
             "the field-id path cannot map; read without the option")))
       else None
     val sess = if (evolve) {
@@ -554,22 +579,52 @@ object IcebergRest {
       s
     } else spark
     val r = sess.read.options(options - "fieldIdReads" - "filter")
-    val result =
-      if (scan.dataFiles.isEmpty) {
-        // every file pruned away: an empty frame with the table schema
-        val st = readSchema.orElse(meta.sparkSchema).getOrElse(
-          sess.read.parquet(fullScan.dataFiles.head._1).schema)
-        sess.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), st)
-      } else {
-        val base = readSchema.fold(r)(r.schema)
-          .parquet(scan.dataFiles.map(_._1): _*)
-        if (scan.positionDeletes.isEmpty && scan.equalityDeletes.isEmpty) base
-        else applyDeletes(sess, base, scan, meta.fieldNames)
-      }
-    // pruning keeps only files that MIGHT match; the predicate itself
-    // still applies row-wise (and commutes with the MoR anti-joins)
-    filterSql.fold(result)(result.where)
+    val base = readSchema.fold(r)(r.schema)
+      .parquet(scan.dataFiles.map(_._1): _*)
+    if (scan.positionDeletes.isEmpty && scan.equalityDeletes.isEmpty) base
+    else applyDeletes(sess, base, scan, meta.fieldNames)
+  }
+
+  /** LAZY registry read: wrap the file inventory in a
+    * [[graft.plans.IcebergScanPlan]] leaf that
+    * [[graft.plans.IcebergPruneRule]] resolves at optimization time —
+    * so a `spark.table("lake_t").where(...)` prunes files from the
+    * query's OWN predicate, with no explicit `filter` option. Returns
+    * None (→ caller falls back to the eager read) when the session has
+    * no graft extensions installed (nothing would resolve the leaf),
+    * when an explicit `filter`/`fieldIdReads` option asks for the eager
+    * semantics, or when the snapshot lists no data files (the eager
+    * path owns that error message). */
+  def readLazy(spark: SparkSession, catalog: IcebergRestCatalog,
+      namespace: String, table: String,
+      spec: Option[VersionSpec] = None,
+      options: Map[String, String] = Map.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] = {
+    if (options.contains("filter") ||
+        options.get("fieldIdReads").exists(_.toBoolean)) return None
+    val hasRule = spark.sessionState.analyzer.extendedResolutionRules
+      .exists(_.isInstanceOf[graft.plans.RowPolicyRule])
+    if (!hasRule) return None
+    val meta = catalog.loadTable(namespace, table)
+    val snap = IcebergMetadata.select(meta, spec)
+    val scan = IcebergManifests.scanFiles(spark, snap.manifestList, options)
+    if (scan.dataFiles.isEmpty) return None
+    // the metadata schema carries parquet.field.id markers (for the
+    // evolve path); a by-NAME read schema must not — Spark refuses
+    // id-expecting schemas over id-less files
+    val st = org.apache.spark.sql.types.StructType(
+      schema.orElse(meta.sparkSchema).getOrElse(
+        spark.read.options(options).parquet(scan.dataFiles.head._1).schema)
+      .fields.map(f => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove("parquet.field.id").build())))
+    val output = st.fields.toSeq.map(f =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        f.name, f.dataType, f.nullable, f.metadata)())
+    Some(org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      graft.plans.IcebergScanPlan(s"$namespace.$table", meta, scan,
+        options, tableSchema = st, output = output)))
   }
 
   /** Manifest paths and Spark's `_metadata.file_path` can render the

@@ -173,6 +173,50 @@ class IcebergPartitionSpec extends AnyFunSuite {
       .selectExpr("month(o_orderdate)").distinct().count())
   }
 
+  test("auto-prune: a registered lake table prunes from the query's own predicate") {
+    // the lazy path: the registry registers an IcebergScanPlan leaf and
+    // IcebergPruneRule resolves it at optimization time with the
+    // query's own pushed-down filter — no explicit `filter` option
+    // anywhere, exactly the reference provider's scan-time shape
+    val wh = freshDir("auto")
+    val dir = wh.resolve("orders")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    IcebergPartitioned.append(orders, dir, "data/b0",
+      Seq(PartitionField("o_month", "o_orderdate", "month")), 1000L)
+    val server = new IcebergLocal.CatalogServer(wh, "lake")
+    val port = server.start()
+    try {
+      import graft.sources.{SourceDef, SourceRegistry, SourcesConfig, TableDef}
+      new SourceRegistry(spark).registerAll(SourcesConfig(Seq(
+        SourceDef(name = "lakep", sourceType = "iceberg_rest",
+          url = Some(s"http://127.0.0.1:$port"),
+          options = Map("namespace" -> "lake"),
+          tables = Seq(TableDef(name = "orders"))))))
+      val filter =
+        "o_orderdate >= date '1995-03-01' AND o_orderdate < date '1995-06-01'"
+      val q = spark.table("lakep_orders").where(filter)
+      val want = orders.where(filter)
+      assert(q.count() == want.count() && want.count() > 0)
+      assert(q.exceptAll(want).isEmpty && want.exceptAll(q).isEmpty)
+      val months = orders.selectExpr("month(o_orderdate)").distinct().count()
+      assert(q.inputFiles.length < months,
+        s"auto-prune did not drop files: ${q.inputFiles.length} of ~$months")
+      assert(q.inputFiles.length <= 4,
+        s"month partitions should keep ~3 files, kept ${q.inputFiles.length}")
+      // the SQL surface prunes identically
+      val agg = spark.sql(
+        s"SELECT count(*) AS n FROM lakep_orders WHERE $filter")
+      assert(agg.head().getLong(0) == want.count())
+      // an UNFILTERED read still returns everything
+      assert(spark.table("lakep_orders").count() == orders.count())
+      // self-join: MultiInstanceRelation gives each side fresh ids
+      val a = spark.table("lakep_orders").select("o_orderkey", "o_custkey")
+      val b = spark.table("lakep_orders").select("o_orderkey", "o_totalprice")
+      assert(a.join(b, "o_orderkey").count() == orders.count())
+    } finally server.stop()
+  }
+
   test("a spec-less append carries the partition spec forward") {
     val wh = freshDir("carry")
     val dir = wh.resolve("orders")
