@@ -295,23 +295,30 @@ object IcebergPartitioned {
       spec: Seq[PartitionField], timestampMs: Long,
       tag: Option[String] = None, retainLast: Option[Int] = None): Long = {
     require(spec.nonEmpty, "use IcebergLocal.append for unpartitioned commits")
+    IcebergLocal.append(tableDir,
+      writeFiles(df, tableDir.resolve(dataSubdir), spec),
+      timestampMs, tag, retainLast,
+      schema = Some(df.schema), partitionSpec = Some(spec))
+  }
+
+  /** The distributed half of [[append]]: the Hive-layout partitioned
+    * parquet write plus per-file tuple/bound extraction — WITHOUT the
+    * commit, so committers with their own commit discipline (the
+    * streaming sink's tag-idempotence) can compose. */
+  def writeFiles(df: DataFrame, outDir: JPath,
+      spec: Seq[PartitionField]): Seq[IcebergLocal.DataFileInfo] = {
     val schema = df.schema
     val partCols = spec.map { f =>
       transformColumn(F.col(f.sourceColumn), f.transform,
         schema(f.sourceColumn).dataType).as(partColName(f))
     }
-    val outDir = tableDir.resolve(dataSubdir)
     df.select(df.columns.map(F.col) ++ partCols: _*)
       .write.mode("overwrite")
       .partitionBy(spec.map(partColName): _*)
       .parquet(outDir.toString)
-    val files = listParquetDeep(outDir)
-    val infos = files.map { p =>
-      val partVals = parsePartitionDirs(outDir, p, spec, schema)
-      fileInfo(p, schema, partVals)
+    listParquetDeep(outDir).map { p =>
+      fileInfo(p, schema, parsePartitionDirs(outDir, p, spec, schema))
     }
-    IcebergLocal.append(tableDir, infos, timestampMs, tag, retainLast,
-      schema = Some(schema), partitionSpec = Some(spec))
   }
 
   /** DataFileInfo for one parquet file: row count + per-column min/max
@@ -450,32 +457,19 @@ object IcebergPrune {
   /** One necessary condition: `col op value` (or `col IN values`). */
   private final case class Pred(col: String, op: Op, values: Seq[Any])
 
-  /** Resolve `filterSql` against `schema` and split it into top-level
-    * conjuncts of simple comparisons; anything else contributes no
-    * pruning (but still filters rows downstream). */
-  private def preds(spark: org.apache.spark.sql.SparkSession,
-      schema: StructType, filterSql: String): Seq[Pred] = {
-    // analyze (not optimize: the optimizer folds a Filter over an empty
-    // relation AWAY) against a zero-row frame with the table schema —
-    // resolved attribute types + folded literals, no execution
+  /** Resolve `filterSql` against `schema` to a typed condition the
+    * tri-state evaluator prunes with. Analyze, don't optimize: the
+    * optimizer folds a Filter over an empty relation AWAY; analysis
+    * alone gives resolved attribute types and folded typed literals
+    * with no execution. */
+  private def condOf(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, filterSql: String): Option[Expression] = {
     val dummy = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val plan = dummy.filter(filterSql).queryExecution.analyzed
-    val cond = plan.collectFirst {
+    plan.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
-    cond.toSeq.flatMap(predsOfExpr)
-  }
-
-  /** Conjunct extraction from an already-RESOLVED condition — the
-    * auto-prune rule's entry, where the predicate comes straight from
-    * the optimized plan instead of an SQL string. */
-  private def predsOfExpr(cond: Expression): Seq[Pred] = {
-    def split(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => split(l) ++ split(r)
-      case other => Seq(other)
-    }
-    split(cond).flatMap(toPred)
   }
 
   /** Unwrap a numeric-widening cast on the attribute side: comparisons
@@ -577,29 +571,58 @@ object IcebergPrune {
     case Le => pred.values.exists(v => lo.flatMap(cmp(_, v)).forall(_ <= 0))
   }
 
+  /** Tri-state truth value of a predicate over one file's metadata:
+    * False = PROVABLY no row in the file satisfies it (safe to skip);
+    * Unknown = might. (A True state — provably all rows match — is not
+    * derived: the residual row-wise filter makes it unnecessary.) */
+  private sealed trait Tri
+  private case object TriFalse extends Tri
+  private case object TriUnknown extends Tri
+
+  /** Full-condition evaluation with three-valued logic, so DISJUNCTIONS
+    * prune too: `d IN week1 OR d IN week5` skips every file outside
+    * both ranges — the reference provider evaluates whole filter trees
+    * the same way. AND is false if either side is; OR only if both;
+    * NOT of anything provable-here stays Unknown (we never derive
+    * True); an unconvertible leaf is Unknown. */
+  private def eval(e: Expression, keeps: Pred => Boolean): Tri = e match {
+    case And(l, r) =>
+      if (eval(l, keeps) == TriFalse || eval(r, keeps) == TriFalse) TriFalse
+      else TriUnknown
+    case Or(l, r) =>
+      if (eval(l, keeps) == TriFalse && eval(r, keeps) == TriFalse) TriFalse
+      else TriUnknown
+    case Not(_) => TriUnknown // would need a True state to refute
+    case other => toPred(other) match {
+      case Some(p) => if (keeps(p)) TriUnknown else TriFalse
+      case None => TriUnknown
+    }
+  }
+
   /** Prune `scan`'s data files under `filterSql`. Returns the kept
     * subset (positions/equality deletes untouched — deletes against
     * pruned files anti-join nothing). */
   def prune(spark: org.apache.spark.sql.SparkSession,
       scan: IcebergScanFiles, meta: IcebergTableMeta,
       schema: StructType, filterSql: String): IcebergScanFiles =
-    pruneWith(scan, meta, schema, preds(spark, schema, filterSql))
+    condOf(spark, schema, filterSql)
+      .map(pruneWith(scan, meta, schema, _)).getOrElse(scan)
 
   /** Prune under a resolved predicate expression (the auto-prune
     * rule's path — no SQL re-parse, no dummy frame). */
   private[graft] def pruneExpr(scan: IcebergScanFiles,
       meta: IcebergTableMeta, schema: StructType,
       cond: Expression): IcebergScanFiles =
-    pruneWith(scan, meta, schema, predsOfExpr(cond))
+    pruneWith(scan, meta, schema, cond)
 
   private def pruneWith(scan: IcebergScanFiles, meta: IcebergTableMeta,
-      schema: StructType, ps: Seq[Pred]): IcebergScanFiles = {
-    if (ps.isEmpty || scan.dataEntries.isEmpty) return scan
+      schema: StructType, cond: Expression): IcebergScanFiles = {
+    if (scan.dataEntries.isEmpty) return scan
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
     val idsByName = IcebergLocal.topLevelFieldIds(schema)
     val kept = scan.dataEntries.filter { e =>
       val spec = meta.partitionSpecs.getOrElse(e.specId, Nil)
-      ps.forall { pred =>
+      def keeps(pred: Pred): Boolean = {
         val srcType = byName.get(pred.col)
         val partOk = spec.find(_.sourceColumn == pred.col) match {
           case Some(pf) if srcType.isDefined =>
@@ -619,6 +642,7 @@ object IcebergPrune {
         }
         partOk && bOk
       }
+      eval(cond, keeps) != TriFalse
     }
     val keptPaths = kept.map(_.path).toSet
     scan.copy(

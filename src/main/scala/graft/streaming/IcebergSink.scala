@@ -48,7 +48,12 @@ object IcebergSink {
     * safe from duplicates in practice. */
   def committer(tableDir: JPath,
       clock: () => Long = () => System.currentTimeMillis(),
-      retainLast: Option[Int] = None)
+      retainLast: Option[Int] = None,
+      /** partition every batch under this spec
+        * ([[graft.sources.iceberg.IcebergPartitioned]] layout: tuples +
+        * column bounds in the manifests, the spec in the metadata) —
+        * the streamed table then prunes like a batch-written one. */
+      partitionSpec: Option[Seq[graft.sources.iceberg.PartitionField]] = None)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val tag = s"batch-$batchId"
     val committed = IcebergLocal.currentMetadata(tableDir)
@@ -58,17 +63,24 @@ object IcebergSink {
       // stamp parquet field ids (what real Iceberg writers always do) so
       // the table is rename-evolvable via field-id reads from birth
       val stamped = IcebergLocal.withFieldIds(batch)
-      stamped.write.mode("overwrite").parquet(dataDir.toString)
-      val conf = new Configuration()
-      val files = listParquet(dataDir).map { p =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.toUri), conf))
-        val n = try r.getRecordCount finally r.close()
-        IcebergLocal.DataFileInfo(p.toUri.toString, n, Files.size(p))
+      val files = partitionSpec match {
+        case Some(spec) =>
+          graft.sources.iceberg.IcebergPartitioned
+            .writeFiles(stamped, dataDir, spec)
+        case None =>
+          stamped.write.mode("overwrite").parquet(dataDir.toString)
+          val conf = new Configuration()
+          listParquet(dataDir).map { p =>
+            val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p.toUri), conf))
+            val n = try r.getRecordCount finally r.close()
+            IcebergLocal.DataFileInfo(p.toUri.toString, n, Files.size(p))
+          }
       }
       if (files.exists(_.recordCount > 0))
         IcebergLocal.append(tableDir, files.filter(_.recordCount > 0),
-          clock(), Some(tag), retainLast, schema = Some(stamped.schema))
+          clock(), Some(tag), retainLast, schema = Some(stamped.schema),
+          partitionSpec = partitionSpec)
       else deleteRecursively(dataDir) // empty batch: nothing to commit
     }
   }

@@ -173,6 +173,67 @@ class IcebergPartitionSpec extends AnyFunSuite {
       .selectExpr("month(o_orderdate)").distinct().count())
   }
 
+  test("disjunctions prune: OR of two date ranges keeps only those ranges' files") {
+    // conjunct-only pruners keep EVERYTHING under an OR; the tri-state
+    // evaluator drops a file only when every branch is provably false
+    // on it — two one-month ranges keep ~2 of ~80 files
+    val wh = freshDir("or")
+    val dir = wh.resolve("orders")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderdate")
+    IcebergPartitioned.append(orders, dir, "data/b0",
+      Seq(PartitionField("o_month", "o_orderdate", "month")), 1000L)
+    val filter =
+      """(o_orderdate >= date '1995-03-01' AND o_orderdate < date '1995-04-01')
+        | OR (o_orderdate >= date '1997-06-01' AND o_orderdate < date '1997-07-01')"""
+        .stripMargin.replace("\n", "")
+    val pruned = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> filter))
+    val want = orders.where(filter)
+    assert(pruned.count() == want.count() && want.count() > 0)
+    assert(pruned.exceptAll(want).isEmpty && want.exceptAll(pruned).isEmpty)
+    assert(pruned.inputFiles.length <= 3,
+      s"OR ranges should keep ~2 files, kept ${pruned.inputFiles.length}")
+    // NOT stays conservative (no True state to refute with): all files
+    // kept, results exact through the residual filter
+    val notted = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "NOT (o_orderdate >= date '1995-03-01')"))
+    assert(notted.count() ==
+      orders.where("NOT (o_orderdate >= date '1995-03-01')").count())
+  }
+
+  test("bucket partitions: spec-hash tuples end to end; equality prunes to one bucket") {
+    // write → manifest tuples → prune, all through the murmur3 bucket
+    // pinned to the spec vectors: every row must land in the bucket the
+    // PRUNER computes for it, or an equality filter would silently
+    // scan the wrong (or every) bucket
+    val wh = freshDir("bucket")
+    val dir = wh.resolve("nation")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val spec = Seq(PartitionField("kb", "n_nationkey", "bucket[4]"))
+    IcebergPartitioned.append(nation, dir, "data/b0", spec, 1000L)
+    val meta = IcebergLocal.currentMetadata(dir).get
+    val scan = IcebergManifests.scanFiles(spark,
+      meta.snapshots.maxBy(_.snapshotId).manifestList)
+    // the written tuples are exactly the spec-hash buckets
+    val wantBuckets = (0L until 25L)
+      .flatMap(k => IcebergPartitions.bucketOf(k, 4)).toSet
+    assert(scan.dataEntries.map(_.partition("kb")).toSet == wantBuckets)
+    // equality keeps only the key's bucket; results exact
+    val pruned = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "n_nationkey = 7"))
+    assert(pruned.count() == 1)
+    assert(pruned.inputFiles.length < scan.dataFiles.size)
+    val keptTuple = IcebergPrune.prune(spark, scan, meta, nation.schema,
+      "n_nationkey = 7").dataEntries.map(_.partition("kb")).distinct
+    assert(keptTuple == Seq(IcebergPartitions.bucketOf(7L, 4).get))
+    // a RANGE filter cannot use buckets (no order): everything kept,
+    // results still exact through the residual filter
+    val range = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "n_nationkey >= 20"))
+    assert(range.count() == nation.where("n_nationkey >= 20").count())
+  }
+
   test("auto-prune: a registered lake table prunes from the query's own predicate") {
     // the lazy path: the registry registers an IcebergScanPlan leaf and
     // IcebergPruneRule resolves it at optimization time with the

@@ -249,6 +249,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("partitioned streaming commits prune like batch-written tables") {
+    // the committer's partitionSpec lands every micro-batch in the
+    // IcebergPartitioned layout (tuples + bounds in manifests, spec in
+    // metadata), so the STREAMED table serves selective queries by
+    // opening only the matching partitions' files — across batches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sources.iceberg._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("ice-part-stream").resolve("t")
+    var now = 0L
+    val committer = graft.streaming.IcebergSink.committer(
+      tableDir, clock = () => { now += 1000; now },
+      partitionSpec = Some(Seq(PartitionField("cat", "cat", "identity"))))
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("cat", "v").writeStream
+      .foreachBatch(committer)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-part").toString)
+      .start()
+    try {
+      in.addData(("a", 1L), ("b", 2L)); q.processAllAvailable()
+      in.addData(("a", 3L), ("c", 4L)); q.processAllAvailable()
+    } finally q.stop()
+    // the table carries the spec; a category filter prunes to that
+    // category's files (one per batch it appeared in)
+    assert(IcebergLocal.currentMetadata(tableDir).get.partitionSpecs(0)
+      .head.transform == "identity")
+    val a = IcebergRest.readLocal(spark, tableDir,
+      options = Map("filter" -> "cat = 'a'"))
+    assert(a.select("v").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val all = IcebergRest.readLocal(spark, tableDir)
+    assert(a.inputFiles.length < all.inputFiles.length,
+      s"partitioned stream did not prune: ${a.inputFiles.length} of ${all.inputFiles.length}")
+    // replayed batch stays a no-op under the partitioned path too
+    committer(Seq(("a", 3L), ("c", 4L)).toDF("cat", "v"), 1L)
+    assert(IcebergRest.readLocal(spark, tableDir).count() == 4)
+  }
+
   test("upsert contract: duplicate keys within one batch BOTH survive") {
     // the documented edge: the equality-delete commit retires only
     // PRIOR versions (strict sequence gate), so two same-key rows in
