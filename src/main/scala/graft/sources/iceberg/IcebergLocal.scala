@@ -51,7 +51,11 @@ object IcebergLocal {
       sizeBytes: Long, content: Int = 0, equalityIds: Seq[Int] = Nil,
       partition: Seq[(String, Any)] = Nil,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      /** spec value_counts / null_value_counts (field id → count):
+        * IS [NOT] NULL pruning evidence */
+      valueCounts: Map[Int, Long] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -86,6 +90,12 @@ object IcebergLocal {
          |    {"name":"file_size_in_bytes","type":"long"},
          |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
          |     "default":null},
+         |    {"name":"value_counts","type":["null",{"type":"array","items":
+         |      {"type":"record","name":"kv_count","fields":[
+         |        {"name":"key","type":"int"},
+         |        {"name":"value","type":"long"}]}}],"default":null},
+         |    {"name":"null_value_counts","type":["null",
+         |      {"type":"array","items":"kv_count"}],"default":null},
          |    {"name":"lower_bounds","type":["null",{"type":"array","items":
          |      {"type":"record","name":"kv_bound","fields":[
          |        {"name":"key","type":"int"},
@@ -220,12 +230,24 @@ object IcebergLocal {
     val manifestPath = metaDir.resolve(f"manifest-$snapId%05d.avro")
     val boundItemSchema = nonNullBranch(
       dataFileSchema.getField("lower_bounds").schema()).getElementType
+    val countItemSchema = nonNullBranch(
+      dataFileSchema.getField("value_counts").schema()).getElementType
     def kvArray(m: Map[Int, Array[Byte]]): java.util.List[GenericRecord] = {
       val out = new java.util.ArrayList[GenericRecord](m.size)
       m.toSeq.sortBy(_._1).foreach { case (k, v) =>
         val r = new GenericData.Record(boundItemSchema)
         r.put("key", k)
         r.put("value", java.nio.ByteBuffer.wrap(v))
+        out.add(r)
+      }
+      out
+    }
+    def kvCounts(m: Map[Int, Long]): java.util.List[GenericRecord] = {
+      val out = new java.util.ArrayList[GenericRecord](m.size)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val r = new GenericData.Record(countItemSchema)
+        r.put("key", k)
+        r.put("value", v)
         out.add(r)
       }
       out
@@ -244,6 +266,9 @@ object IcebergLocal {
       }
       if (f.lowerBounds.nonEmpty) df.put("lower_bounds", kvArray(f.lowerBounds))
       if (f.upperBounds.nonEmpty) df.put("upper_bounds", kvArray(f.upperBounds))
+      if (f.valueCounts.nonEmpty) df.put("value_counts", kvCounts(f.valueCounts))
+      if (f.nullCounts.nonEmpty)
+        df.put("null_value_counts", kvCounts(f.nullCounts))
       if (f.equalityIds.nonEmpty) {
         val ids = new java.util.ArrayList[Integer](f.equalityIds.size)
         f.equalityIds.foreach(i => ids.add(Integer.valueOf(i)))

@@ -331,16 +331,27 @@ object IcebergPartitioned {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri),
       new org.apache.hadoop.conf.Configuration()))
-    val (count, lower, upper) = try {
+    val (count, lower, upper, valueCounts, nullCounts) = try {
       import scala.jdk.CollectionConverters._
       val blocks = r.getFooter.getBlocks.asScala.toSeq
       // a column's bound is recorded only when EVERY row group has
-      // non-null-capable stats for it; anything else stays unbounded
+      // non-null-capable stats for it; anything else stays unbounded.
+      // Null counts are independent: a column can be all-null (no
+      // bounds) and still carry an exact null count — the IS NULL
+      // pruning evidence.
       val mins = scala.collection.mutable.Map.empty[String, Any]
       val maxs = scala.collection.mutable.Map.empty[String, Any]
       val dead = scala.collection.mutable.Set.empty[String]
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
+      val nullsDead = scala.collection.mutable.Set.empty[String]
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
+        if (byName.contains(name) && !nullsDead(name)) {
+          val st = c.getStatistics
+          if (st == null || !st.isNumNullsSet) {
+            nullsDead += name; nulls.remove(name)
+          } else nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+        }
         if (byName.contains(name) && !dead(name)) {
           val st = c.getStatistics
           if (st == null || st.isEmpty || !st.hasNonNullValue) {
@@ -371,10 +382,18 @@ object IcebergPartitioned {
             b <- serializeBound(v, byName(name))
           } yield id -> b
         }.toMap
-      (r.getRecordCount, ser(mins), ser(maxs))
+      val rows = r.getRecordCount
+      val nc = nulls.flatMap { case (name, n) =>
+        ids.get(name).map(_ -> n)
+      }.toMap
+      // top-level columns: total value count == row count (spec
+      // value_counts includes nulls)
+      val vc = nc.keys.map(_ -> rows).toMap
+      (rows, ser(mins), ser(maxs), vc, nc)
     } finally r.close()
     IcebergLocal.DataFileInfo(p.toUri.toString, count, Files.size(p),
-      partition = partition, lowerBounds = lower, upperBounds = upper)
+      partition = partition, lowerBounds = lower, upperBounds = upper,
+      valueCounts = valueCounts, nullCounts = nullCounts)
   }
 
   /** Parquet statistics value → the comparison/serialization domain. */
@@ -453,8 +472,11 @@ object IcebergPrune {
   private case object Le extends Op
   private case object Gt extends Op
   private case object Ge extends Op
+  private case object IsNullOp extends Op
+  private case object NotNullOp extends Op
 
-  /** One necessary condition: `col op value` (or `col IN values`). */
+  /** One necessary condition: `col op value` (or `col IN values`;
+    * the null ops carry no values). */
   private final case class Pred(col: String, op: Op, values: Seq[Any])
 
   /** Resolve `filterSql` against `schema` to a typed condition the
@@ -532,6 +554,11 @@ object IcebergPrune {
       if (vs.nonEmpty && vs.forall(_.isDefined))
         attrOf(a).map(c => Pred(c, Eq, vs.flatten))
       else None
+    // plain attributes only: a CAST can MANUFACTURE nulls (bad string →
+    // null int), so cast-unwrapping here would over-prune
+    case IsNull(a: AttributeReference) => Some(Pred(a.name, IsNullOp, Nil))
+    case IsNotNull(a: AttributeReference) =>
+      Some(Pred(a.name, NotNullOp, Nil))
     case _ => None
   }
 
@@ -540,21 +567,31 @@ object IcebergPrune {
     * `attr >= v ⇒ t(attr) >= t(v)` (and duals); for bucket, equality
     * only. True = cannot exclude. */
   private def partitionKeeps(pred: Pred, p: Any, pf: PartitionField,
-      sourceType: DataType): Boolean = {
-    if (p == null) return true // null partition value: no information
-    def tv(v: Any): Option[Any] =
-      applyTransform(pf.transform, v, sourceType)
-    if (isMonotone(pf.transform)) pred.op match {
-      case Eq => pred.values.exists(v =>
-        tv(v).flatMap(cmp(p, _)).forall(_ == 0))
-      case Gt | Ge => pred.values.exists(v =>
-        tv(v).flatMap(cmp(p, _)).forall(_ >= 0))
-      case Lt | Le => pred.values.exists(v =>
-        tv(v).flatMap(cmp(p, _)).forall(_ <= 0))
-    } else pred.op match {
-      case Eq => pred.values.exists(v => tv(v).forall(_ == p))
-      case _ => true // bucket/void carry no order
-    }
+      sourceType: DataType): Boolean = pred.op match {
+    case IsNullOp =>
+      // every supported transform is null-preserving (t(x) null iff x
+      // null) except void, which erases all information: a NON-null
+      // partition value proves every row's source is non-null
+      pf.transform == "void" || p == null
+    case NotNullOp =>
+      // a null tuple on a null-preserving transform proves all-null
+      pf.transform == "void" || p != null
+    case _ if p == null => true // null partition value: no order info
+    case _ =>
+      def tv(v: Any): Option[Any] =
+        applyTransform(pf.transform, v, sourceType)
+      if (isMonotone(pf.transform)) pred.op match {
+        case Eq => pred.values.exists(v =>
+          tv(v).flatMap(cmp(p, _)).forall(_ == 0))
+        case Gt | Ge => pred.values.exists(v =>
+          tv(v).flatMap(cmp(p, _)).forall(_ >= 0))
+        case Lt | Le => pred.values.exists(v =>
+          tv(v).flatMap(cmp(p, _)).forall(_ <= 0))
+        case _ => true
+      } else pred.op match {
+        case Eq => pred.values.exists(v => tv(v).forall(_ == p))
+        case _ => true // bucket/void carry no order
+      }
   }
 
   /** Column-bounds necessary condition: the predicate's satisfying set
@@ -569,6 +606,7 @@ object IcebergPrune {
     case Ge => pred.values.exists(v => hi.flatMap(cmp(_, v)).forall(_ >= 0))
     case Lt => pred.values.exists(v => lo.flatMap(cmp(_, v)).forall(_ < 0))
     case Le => pred.values.exists(v => lo.flatMap(cmp(_, v)).forall(_ <= 0))
+    case IsNullOp | NotNullOp => true // decided on null counts, not bounds
   }
 
   /** Tri-state truth value of a predicate over one file's metadata:
@@ -640,7 +678,22 @@ object IcebergPrune {
             else boundsKeep(pred, lo, hi)
           case _ => true
         }
-        partOk && bOk
+        // null-count evidence (spec null_value_counts): IS NULL is
+        // provably false on a zero-null file; IS NOT NULL on an
+        // all-null one. Missing counts keep the file.
+        val nOk = pred.op match {
+          case IsNullOp =>
+            !idsByName.get(pred.col).flatMap(e.nullCounts.get).contains(0L)
+          case NotNullOp =>
+            val allNull = for {
+              id <- idsByName.get(pred.col)
+              n <- e.nullCounts.get(id)
+              v <- e.valueCounts.get(id)
+            } yield n == v && v > 0L
+            !allNull.contains(true)
+          case _ => true
+        }
+        partOk && bOk && nOk
       }
       eval(cond, keeps) != TriFalse
     }

@@ -312,7 +312,10 @@ final case class IcebergDataFile(path: String, seq: Long, specId: Int,
     partition: Map[String, Any] = Map.empty,
     lowerBounds: Map[Int, Array[Byte]] = Map.empty,
     upperBounds: Map[Int, Array[Byte]] = Map.empty,
-    sizeBytes: Long = 0L)
+    sizeBytes: Long = 0L,
+    /** spec value_counts / null_value_counts: IS [NOT] NULL evidence */
+    valueCounts: Map[Int, Long] = Map.empty,
+    nullCounts: Map[Int, Long] = Map.empty)
 
 /** One snapshot's file inventory: live data files and the delete files
   * that apply to them, each with its data sequence number (the v2
@@ -381,7 +384,9 @@ object IcebergManifests {
             entries += IcebergDataFile(path, seq, specId,
               partitionOf(df), boundsOf(df, "lower_bounds"),
               boundsOf(df, "upper_bounds"),
-              longField(df, "file_size_in_bytes").getOrElse(0L))
+              longField(df, "file_size_in_bytes").getOrElse(0L),
+              countsOf(df, "value_counts"),
+              countsOf(df, "null_value_counts"))
           case 1 => posDeletes += ((df.get("file_path").toString, seq))
           case 2 =>
             val ids = Option(df.getSchema.getField("equality_ids"))
@@ -440,6 +445,23 @@ object IcebergManifests {
       case _ => Map.empty[Int, Array[Byte]]
     }.getOrElse(Map.empty)
   }
+
+  /** Entry's count map (`value_counts`/`null_value_counts`): field id →
+    * count; both the array-of-key_value and Avro-map shapes. */
+  private def countsOf(df: GenericRecord, field: String): Map[Int, Long] =
+    if (df.getSchema.getField(field) == null) Map.empty
+    else Option(df.get(field)).map {
+      case l: java.util.List[_] =>
+        l.asScala.collect { case r: GenericRecord =>
+          r.get("key").asInstanceOf[Number].intValue() ->
+            r.get("value").asInstanceOf[Number].longValue()
+        }.toMap
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, v) =>
+          k.toString.toInt -> v.asInstanceOf[Number].longValue()
+        }.toMap
+      case _ => Map.empty[Int, Long]
+    }.getOrElse(Map.empty)
 
   /** Compatibility wrapper: live data-file paths of an append-only
     * snapshot; refuses if the snapshot carries deletes. */

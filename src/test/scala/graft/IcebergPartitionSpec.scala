@@ -234,6 +234,52 @@ class IcebergPartitionSpec extends AnyFunSuite {
     assert(range.count() == nation.where("n_nationkey >= 20").count())
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL; null partitions prune too") {
+    val wh = freshDir("nulls")
+    val dir = wh.resolve("t")
+    import spark.implicits._
+    val out = freshDir("nulls_files")
+    def one(rows: Seq[(Long, Option[String])], sub: String): Unit =
+      rows.toDF("id", "c").coalesce(1).write.mode("overwrite")
+        .parquet(out.resolve(sub).toString)
+    one(Seq((1L, None), (2L, None)), "allnull")
+    one(Seq((3L, Some("x")), (4L, None)), "mixed")
+    one(Seq((5L, Some("y")), (6L, Some("z"))), "nonull")
+    val schema = Seq((1L, Option("x"))).toDF("id", "c").schema
+    val infos = Seq("allnull", "mixed", "nonull").flatMap(s =>
+      IcebergPartitioned.listParquetDeep(out.resolve(s))
+        .map(p => IcebergPartitioned.fileInfo(p, schema, Nil)))
+    IcebergLocal.append(dir, infos, 1000L, schema = Some(schema))
+    val isNull = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "c IS NULL"))
+    assert(isNull.count() == 3)
+    assert(isNull.inputFiles.length == 2, "zero-null file must be pruned")
+    val notNull = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "c IS NOT NULL"))
+    assert(notNull.count() == 3)
+    assert(notNull.inputFiles.length == 2, "all-null file must be pruned")
+    // identity partitions: the null tuple proves all-null, a non-null
+    // tuple proves non-null — IS [NOT] NULL prunes whole partitions
+    val pdir = wh.resolve("p")
+    val rows = Seq((1L, Option("a")), (2L, Option("a")),
+      (3L, None: Option[String]), (4L, Option("b"))).toDF("id", "c")
+    IcebergPartitioned.append(rows, pdir, "data/b0",
+      Seq(PartitionField("c", "c", "identity")), 1000L)
+    val allFiles = IcebergRest.readLocal(spark, pdir).inputFiles
+    val nullDirFiles = allFiles.count(_.contains("__HIVE_DEFAULT_PARTITION__"))
+    assert(nullDirFiles > 0 && nullDirFiles < allFiles.length)
+    val pn = IcebergRest.readLocal(spark, pdir,
+      options = Map("filter" -> "c IS NULL"))
+    assert(pn.count() == 1)
+    assert(pn.inputFiles.forall(_.contains("__HIVE_DEFAULT_PARTITION__")),
+      s"non-null partitions leaked into an IS NULL scan: ${pn.inputFiles.toSeq}")
+    val pnn = IcebergRest.readLocal(spark, pdir,
+      options = Map("filter" -> "c IS NOT NULL"))
+    assert(pnn.count() == 3)
+    assert(pnn.inputFiles.length == allFiles.length - nullDirFiles,
+      s"null partition not pruned: ${pnn.inputFiles.toSeq}")
+  }
+
   test("auto-prune: a registered lake table prunes from the query's own predicate") {
     // the lazy path: the registry registers an IcebergScanPlan leaf and
     // IcebergPruneRule resolves it at optimization time with the
