@@ -555,8 +555,15 @@ object Extended {
       import graft.sources.iceberg._
       val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg_part"))
       val tableDir = warehouse.resolve("orders")
+      // fixture scope: one year of months (12 partitions) is enough to
+      // prove pruned-read exactness — the oracle's WHERE lies inside
+      // 1995, so rows outside it can't affect the hash, and writing 80
+      // month partitions per run was pure fixture cost (the ~80-file
+      // pruning ratios are pinned by IcebergPartitionSpec instead)
       val orders = t(s, dir).orders.select(col("o_orderkey"),
         col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+        .where("o_orderdate >= timestamp '1995-01-01' AND " +
+          "o_orderdate < timestamp '1996-01-01'")
       IcebergPartitioned.append(orders, tableDir, "data/b0",
         Seq(PartitionField("o_month", "o_orderdate", "month")),
         timestampMs = 1000L)

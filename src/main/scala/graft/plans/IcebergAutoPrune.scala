@@ -75,8 +75,14 @@ final case class IcebergPruneRule(spark: SparkSession)
       case f @ Filter(cond, rel: IcebergScanPlan) =>
         f.copy(child = resolveLeaf(rel, Some(cond)))
       // column pruning may slot a Project between the filter and the
-      // leaf; the predicate still only references leaf attributes
-      case f @ Filter(cond, p @ Project(_, rel: IcebergScanPlan)) =>
+      // leaf. Only the attribute-only shape qualifies: an ALIAS in the
+      // projection could shadow a real column's name (e.g. a
+      // non-deterministic expression the optimizer refused to push
+      // through, renamed to `o_orderdate`), and name-based pruning
+      // would then prune on the wrong values
+      case f @ Filter(cond, p @ Project(projList, rel: IcebergScanPlan))
+          if projList.forall(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
         f.copy(child = p.copy(child = resolveLeaf(rel, Some(cond))))
       case rel: IcebergScanPlan => resolveLeaf(rel, None)
       case other => other.mapChildren(rewrite)
