@@ -321,7 +321,61 @@ class IcebergPartitionSpec extends AnyFunSuite {
       val a = spark.table("lakep_orders").select("o_orderkey", "o_custkey")
       val b = spark.table("lakep_orders").select("o_orderkey", "o_totalprice")
       assert(a.join(b, "o_orderkey").count() == orders.count())
+      // the three pruning layers COMPOSE: file-level pruning (above),
+      // parquet row-group pushdown, and column pruning — the physical
+      // plan must show pushed filters and a pruned read schema, or the
+      // surviving files are still read too eagerly at 100 TB
+      val phys = q.queryExecution.executedPlan.toString
+      assert(phys.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+        s"parquet pushdown lost under the auto-prune rule:\n$phys")
+      val slim = spark.table("lakep_orders").where(filter)
+        .select("o_orderkey")
+      val slimPhys = slim.queryExecution.executedPlan.toString
+      assert(slimPhys.contains("ReadSchema: struct<o_orderkey:"),
+        s"column pruning lost under the auto-prune rule:\n$slimPhys")
+      assert(!slimPhys.contains("o_custkey"),
+        "pruned projection still reads unused columns")
     } finally server.stop()
+  }
+
+  test("partition tuples and pruning survive the manifest-tail merge") {
+    // a per-batch partitioned stream crosses MergeManifestsAbove; the
+    // merged manifest must adopt the shared partition record schema and
+    // re-record every tuple — or a long-lived streaming table silently
+    // loses partition pruning after ~100 commits
+    val wh = freshDir("mergepart")
+    val dir = wh.resolve("t")
+    import spark.implicits._
+    val out = freshDir("mergepart_files")
+    val n = IcebergLocal.MergeManifestsAbove + 3
+    spark.range(0, n.toLong).toDF("k")
+      .withColumn("m", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("k"), org.apache.spark.sql.functions.lit(4)).cast("int"))
+      .repartitionByRange(n, $"k")
+      .write.mode("overwrite").parquet(out.toString)
+    val schema = spark.read.parquet(out.toString).schema
+    val spec = Seq(PartitionField("m", "m", "identity"))
+    val files = IcebergPartitioned.listParquetDeep(out)
+    // one commit per file, partition tuple from the file's own m value
+    files.zipWithIndex.foreach { case (p, i) =>
+      val m = spark.read.parquet(p.toString).head().getAs[Int]("m")
+      val info = IcebergPartitioned.fileInfo(p, schema, Seq("m" -> m))
+      IcebergLocal.append(dir, Seq(info), 1000L + i,
+        schema = Some(schema), partitionSpec = Some(spec))
+    }
+    val meta = IcebergLocal.currentMetadata(dir).get
+    val scan = IcebergManifests.scanFiles(spark,
+      meta.snapshots.maxBy(_.snapshotId).manifestList)
+    // the merge actually happened AND every tuple survived it
+    assert(scan.dataEntries.size == files.size)
+    assert(scan.dataEntries.forall(_.partition.get("m").exists(_ != null)),
+      "merged manifest lost partition tuples")
+    val pruned = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "m = 2"))
+    assert(pruned.count() ==
+      spark.read.parquet(out.toString).where("m = 2").count())
+    assert(pruned.inputFiles.length < files.size / 2,
+      s"pruning lost after merge: ${pruned.inputFiles.length} of ${files.size}")
   }
 
   test("a spec-less append carries the partition spec forward") {
