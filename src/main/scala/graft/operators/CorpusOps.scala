@@ -159,16 +159,6 @@ object CorpusOps {
        |       AS BIGINT) AS n_seqs
        |FROM c""".stripMargin
 
-  // PII patterns shared verbatim by both engines (RE2 and java.util.regex
-  // agree on this subset: char classes, bounded repetition, no
-  // backreferences). Spark's SQL string literals process backslash
-  // escapes (DuckDB's and the Scala function API don't), so patterns
-  // embedded in expr() text double theirs — '\.' would otherwise
-  // silently become '.' and match every character.
-  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhonePat = "\\+[0-9][0-9() -]{7,}[0-9]"
-  private def sqlPat(p: String): String = p.replace("\\", "\\\\")
-
   val defs: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------ context-window chunking
@@ -199,26 +189,67 @@ object CorpusOps {
     },
 
     // ---------------------------------------------------------- PII redaction
-    // Email/phone scrubbing over the corpus: match counts plus the hash
-    // of the redacted text (both engines compute the identical
-    // replacement, so the hash proves the rewritten BYTES agree, not just
-    // the counts). Map-only; patterns restricted to the regex subset
-    // RE2 and java.util.regex interpret identically.
-    GraftQuery("t_pii_redact",
-      s"""SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT) AS n_phones,
-         |  md5(regexp_replace(regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
-         |      '$PhonePat', '<PHONE>', 'g')) AS redacted_hash
-         |FROM documents""".stripMargin) { (s, dir) =>
-      t(s, dir).documents.select(
-        col("doc_id"),
-        size(expr(s"regexp_extract_all(text, '${sqlPat(EmailPat)}', 0)"))
+    // The pre-training scrub every production pipeline runs (CCNet/
+    // Dolma shape): emails, IPv4s, phone numbers, and SSN-shaped ids
+    // counted and replaced with typed placeholder tokens. The synthetic
+    // corpus carries no PII, so each document PLANTS a deterministic
+    // set from its id (identical arithmetic in both engines — known
+    // positives the non-vacuity spec checks) while the real text rides
+    // along as the negative corpus. Patterns live in the RE2 ∩
+    // java.util.regex common dialect (no lookaround, no
+    // overlapping-prefix alternations whose leftmost-first vs
+    // leftmost-longest semantics diverge), so both engines match and
+    // replace identical spans — the FULL redacted text is
+    // hash-compared, not just the counts. Map-only, codegen'd
+    // regexp_replace chain: embarrassingly parallel at 100 TB.
+    GraftQuery("t_pii_redact", {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+      val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+         |      || '.example.com ip 10.0.' || (doc_id % 256) || '.'
+         |      || ((doc_id * 7) % 256)
+         |      || ' call +1-555-' || (1000 + doc_id % 9000)
+         |      || ' ssn ' || (100 + doc_id % 900) || '-'
+         |      || (10 + doc_id % 90) || '-' || (1000 + doc_id % 9000) AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$ip')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(raw, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(raw, '$ssn')) AS BIGINT) AS n_ssns,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    raw, '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g'), '$ssn', '<SSN>', 'g') AS redacted
+         |FROM planted""".stripMargin
+    }) { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+      val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+      val d = col("doc_id")
+      val planted = t(s, dir).documents.select(d, concat(
+        col("text"),
+        lit(" contact user"), d, lit("@mail"), d % 7,
+        lit(".example.com ip 10.0."), d % 256, lit("."), (d * 7) % 256,
+        lit(" call +1-555-"), (d % 9000) + 1000,
+        lit(" ssn "), (d % 900) + 100, lit("-"), (d % 90) + 10,
+        lit("-"), (d % 9000) + 1000).as("raw"))
+      planted.select(d,
+        size(regexp_extract_all(col("raw"), lit(email), lit(0)))
           .cast("bigint").as("n_emails"),
-        size(expr(s"regexp_extract_all(text, '${sqlPat(PhonePat)}', 0)"))
+        size(regexp_extract_all(col("raw"), lit(ip), lit(0)))
+          .cast("bigint").as("n_ips"),
+        size(regexp_extract_all(col("raw"), lit(phone), lit(0)))
           .cast("bigint").as("n_phones"),
-        md5(regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
-          PhonePat, "<PHONE>")).as("redacted_hash"))
+        size(regexp_extract_all(col("raw"), lit(ssn), lit(0)))
+          .cast("bigint").as("n_ssns"),
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col("raw"), email, "<EMAIL>"), ip, "<IP>"),
+          phone, "<PHONE>"), ssn, "<SSN>").as("redacted"))
     },
 
     // ------------------------------------------------- repetition filters

@@ -1038,6 +1038,25 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       s"channel swap not detected: max_err $maxErr within bound")
   }
 
+  test("t_pii_redact finds every planted span and strips them all") {
+    // the hash gate proves Spark == DuckDB; this proves neither is
+    // VACUOUSLY matching (a broken pattern would count 0 in BOTH
+    // engines symmetrically): every document's planted email/IP/phone/
+    // SSN is found exactly once and no planted span survives redaction
+    val rows = SparkEntry.queries("t_pii_redact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1 && r.getAs[Long]("n_ips") == 1 &&
+        r.getAs[Long]("n_phones") == 1 && r.getAs[Long]("n_ssns") == 1,
+        s"planted PII missed: $r")
+      val red = r.getAs[String]("redacted")
+      assert(red.contains("<EMAIL>") && red.contains("<IP>") &&
+        red.contains("<PHONE>") && red.contains("<SSN>"), red)
+      assert(!red.contains("@mail") && !red.contains("+1-555-") &&
+        !red.contains("ip 10.0."), s"PII span survived redaction: $red")
+    }
+  }
+
   test("portable HLL estimate lands within theory bounds of the exact count") {
     // raw-regime check at sf0.01: n = 2000 distinct parts per flag >
     // 2.5m = 1280, where the raw estimator applies. 1σ = 1.04/sqrt(512)
