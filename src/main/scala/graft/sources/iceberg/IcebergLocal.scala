@@ -207,6 +207,31 @@ object IcebergLocal {
       .map(p => mapper.readTree(Files.readString(p)))
     val prior = currentMetadata(tableDir)
     val snapId = prior.map(_.snapshots.map(_.snapshotId).max + 1).getOrElse(1L)
+    val listPath = writeSnapshotFiles(tableDir, prior, files, snapId,
+      replace, partitionSpec, schema)
+    writeMetadata(tableDir, priorRaw, prior, files, snapId, listPath,
+      timestampMs, tag, retainLast, schema, partitionSpec)
+  }
+
+  /** Write this commit's manifest + manifest list under
+    * `tableDir/metadata` for snapshot `snapId`, carrying (and, past
+    * [[MergeManifestsAbove]], compacting) the prior snapshot's
+    * manifests. Pure FILE work — the metadata JSON is untouched, so the
+    * local commit ([[append]] → [[writeMetadata]]) and the REST commit
+    * path ([[IcebergRestCommit]], where the CATALOG owns the metadata
+    * swap) share one definition. `uniq` disambiguates file names when
+    * several writers prepare the same snapshot id concurrently (the
+    * optimistic-concurrency race; the loser's files become orphans that
+    * [[IcebergMaintenance.vacuum]] reclaims). Returns the
+    * manifest-list path. */
+  private[iceberg] def writeSnapshotFiles(tableDir: JPath,
+      prior: Option[IcebergTableMeta], files: Seq[DataFileInfo],
+      snapId: Long, replace: Boolean,
+      partitionSpec: Option[Seq[PartitionField]],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      uniq: String = ""): JPath = {
+    val metaDir = tableDir.resolve("metadata")
+    Files.createDirectories(metaDir)
     val partAvro = partitionSpec match {
       case Some(spec) => partitionAvroSchema(spec, schema.getOrElse(
         throw new IllegalArgumentException(
@@ -227,7 +252,7 @@ object IcebergLocal {
       case other => throw new IllegalArgumentException(
         s"one commit cannot mix data and delete files (contents $other)")
     }
-    val manifestPath = metaDir.resolve(f"manifest-$snapId%05d.avro")
+    val manifestPath = metaDir.resolve(f"manifest-$snapId%05d$uniq.avro")
     val boundItemSchema = nonNullBranch(
       dataFileSchema.getField("lower_bounds").schema()).getElementType
     val countItemSchema = nonNullBranch(
@@ -326,7 +351,7 @@ object IcebergLocal {
               (e, explicit.getOrElse(if (st == 1) inheritSeq else minSeq))
             }
         }
-        val mergedPath = metaDir.resolve(f"manifest-$snapId%05d-m.avro")
+        val mergedPath = metaDir.resolve(f"manifest-$snapId%05d$uniq-m.avro")
         // the merged manifest's partition struct: when every carried
         // entry shares one partition schema, keep it (pruning info
         // survives the merge); on a mix, fall back to the empty struct
@@ -390,7 +415,7 @@ object IcebergLocal {
       r.put("deleted_rows_count", 0L)
       r
     }
-    val listPath = metaDir.resolve(f"snap-$snapId%05d.avro")
+    val listPath = metaDir.resolve(f"snap-$snapId%05d$uniq.avro")
     writeAvro(listPath, manifestFileSchema, priorRecords.map { old =>
       // re-record under the current schema, copying every field the old
       // record carries (records written by this writer always carry all)
@@ -399,7 +424,21 @@ object IcebergLocal {
         r.put(f.name(), old.get(f.name())))
       r
     } :+ newRecord)
+    listPath
+  }
 
+  /** Build + write the new `vN.metadata.json` for snapshot `snapId`
+    * whose manifest list is `listPath` — the LOCAL metadata swap (the
+    * REST path's equivalent lives in the catalog server's commit
+    * endpoint). Returns `snapId`. */
+  private def writeMetadata(tableDir: JPath,
+      priorRaw: Option[com.fasterxml.jackson.databind.JsonNode],
+      prior: Option[IcebergTableMeta], files: Seq[DataFileInfo],
+      snapId: Long, listPath: JPath, timestampMs: Long,
+      tag: Option[String], retainLast: Option[Int],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      partitionSpec: Option[Seq[PartitionField]]): Long = {
+    val metaDir = tableDir.resolve("metadata")
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
@@ -738,6 +777,98 @@ object IcebergLocal {
         .filter(d => Files.isDirectory(d.resolve("metadata")))
         .map(_.getFileName.toString).sorted
 
+    /** One lock for every table commit: the requirement check and the
+      * metadata write must be one atomic step or two racing writers
+      * both pass the check (lost update). Per-table locking would work
+      * too; commits are metadata-sized, so one lock is not a throughput
+      * concern. */
+    private val commitLock = new Object
+
+    /** Validate a CommitTableRequest's requirements against the CURRENT
+      * metadata and apply its updates as a new `vN.metadata.json`.
+      * Supported requirements: `assert-ref-snapshot-id` (the CAS every
+      * append needs), `assert-table-uuid`. Supported updates:
+      * `add-snapshot`, `set-snapshot-ref` — the fast-append commit
+      * shape; schema/spec changes stay catalog-side state this endpoint
+      * carries forward untouched. */
+    private def applyCommit(dir: JPath,
+        body: String): Either[(Int, String), JPath] = {
+      val req =
+        try mapper.readTree(body)
+        catch { case e: Exception =>
+          return Left(400 -> s"malformed commit body: ${e.getMessage}")
+        }
+      val mf = currentMetadataFile(dir).getOrElse(
+        return Left(404 -> "no committed table"))
+      val root = mapper.readTree(Files.readString(mf))
+        .asInstanceOf[ObjectNode]
+      for (r <- IcebergJson.arr(req.get("requirements"))) {
+        r.path("type").asText() match {
+          case "assert-ref-snapshot-id" =>
+            val ref = r.path("ref").asText("main")
+            val want = Option(r.get("snapshot-id")).filterNot(_.isNull)
+              .map(_.asLong())
+            val have = Option(root.path("refs").get(ref))
+              .map(_.get("snapshot-id").asLong())
+            if (want != have)
+              return Left(409 -> (s"requirement failed: ref '$ref' is at " +
+                s"${have.getOrElse("absent")}, commit expected " +
+                s"${want.getOrElse("absent")}"))
+          case "assert-table-uuid" =>
+            if (r.path("uuid").asText() != root.path("table-uuid").asText())
+              return Left(409 -> "requirement failed: table-uuid mismatch")
+          case other =>
+            return Left(400 -> s"unsupported requirement '$other'")
+        }
+      }
+      var newSnapId = -1L
+      for (u <- IcebergJson.arr(req.get("updates"))) {
+        u.path("action").asText() match {
+          case "add-snapshot" =>
+            val sn = u.get("snapshot")
+            if (sn == null || !sn.has("snapshot-id") ||
+                !sn.has("manifest-list"))
+              return Left(400 -> "add-snapshot needs snapshot-id + manifest-list")
+            newSnapId = sn.get("snapshot-id").asLong()
+            if (IcebergJson.arr(root.get("snapshots"))
+                .exists(_.path("snapshot-id").asLong() == newSnapId))
+              return Left(409 -> s"snapshot $newSnapId already exists")
+            root.withArray[ArrayNode]("snapshots").add(
+              sn.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+            root.put("last-sequence-number",
+              math.max(root.path("last-sequence-number").asLong(0),
+                sn.path("sequence-number").asLong(0)))
+            root.put("last-updated-ms", sn.path("timestamp-ms").asLong(0))
+            val ln = root.withArray[ArrayNode]("snapshot-log").addObject()
+            ln.put("timestamp-ms", sn.path("timestamp-ms").asLong(0))
+            ln.put("snapshot-id", newSnapId)
+            ()
+          case "set-snapshot-ref" =>
+            val name = u.path("ref-name").asText()
+            if (name.isEmpty)
+              return Left(400 -> "set-snapshot-ref needs ref-name")
+            val refs = Option(root.get("refs"))
+              .collect { case o: ObjectNode => o }
+              .getOrElse(root.putObject("refs"))
+            val rn = refs.putObject(name)
+            rn.put("snapshot-id", u.path("snapshot-id").asLong())
+            rn.put("type", u.path("type").asText("branch"))
+            if (name == "main")
+              root.put("current-snapshot-id", u.path("snapshot-id").asLong())
+            ()
+          case other =>
+            return Left(400 -> s"unsupported update '$other'")
+        }
+      }
+      if (newSnapId <= 0)
+        return Left(400 -> "commit carries no add-snapshot")
+      val out = dir.resolve("metadata")
+        .resolve(f"v$newSnapId%05d.metadata.json")
+      Files.writeString(out,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+      Right(out)
+    }
+
     private def handle(ex: HttpExchange): Unit = {
       def send(code: Int, body: String): Unit = {
         val b = body.getBytes(StandardCharsets.UTF_8)
@@ -770,6 +901,22 @@ object IcebergLocal {
           val legalName = !t.contains("/") && !t.contains("..") &&
             dir.getParent == warehouse
           (if (legalName) currentMetadataFile(dir) else None) match {
+            case Some(mf) if ex.getRequestMethod == "POST" =>
+              // spec CommitTableRequest: requirement validation and the
+              // metadata swap are ATOMIC under the server's commit lock
+              // — the linearization point 1000 optimistic writers
+              // coordinate through
+              val body = new String(ex.getRequestBody.readAllBytes(),
+                StandardCharsets.UTF_8)
+              commitLock.synchronized {
+                applyCommit(dir, body) match {
+                  case Right(newMf) =>
+                    send(200, s"""{"metadata-location":"${newMf.toUri}",
+                      |"metadata":${Files.readString(newMf)}}""".stripMargin)
+                  case Left((code, msg)) =>
+                    send(code, s"""{"error":${mapper.writeValueAsString(msg)}}""")
+                }
+              }
             case Some(mf) =>
               send(200, s"""{"metadata-location":"${mf.toUri}",
                 |"metadata":${Files.readString(mf)}}""".stripMargin)

@@ -67,6 +67,12 @@ final case class IcebergTableMeta(
     partitionSpecs: Map[Int, Seq[PartitionField]] = Map.empty,
     defaultSpecId: Int = 0)
 
+/** A commit requirement failed server-side (HTTP 409): another writer
+  * moved the ref between this writer's load and its commit. Re-load,
+  * re-prepare, retry. */
+final class IcebergCommitConflict(msg: String)
+    extends RuntimeException(msg)
+
 /** REST catalog over `baseUrl` (e.g. `http://host:8181`); `headers` is
   * re-evaluated per request so OAuth bearer refresh (graft's
   * [[graft.sources.rest.RestAuth]]) plugs in directly. */
@@ -124,6 +130,39 @@ final class IcebergRestCatalog(baseUrl: String,
       throw new IllegalArgumentException(
         s"LoadTableResult for $namespace.$table has no inline metadata"))
     IcebergMetadata.parse(meta)
+  }
+
+  /** `POST /v1/namespaces/{ns}/tables/{t}` — the spec's
+    * CommitTableRequest: requirements validated atomically against the
+    * CURRENT table state, updates applied on success. A 409 (another
+    * writer won the race) raises [[IcebergCommitConflict]] so callers
+    * can re-prepare and retry — the optimistic-concurrency loop. */
+  def commitTable(namespace: String, table: String,
+      body: String): JsonNode = {
+    val c = new URI(base +
+      s"/v1/namespaces/${enc(namespace)}/tables/${enc(table)}").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod("POST")
+    c.setDoOutput(true)
+    c.setConnectTimeout(15000)
+    c.setReadTimeout(60000)
+    c.setRequestProperty("Content-Type", "application/json")
+    headers().foreach { case (k, v) => c.setRequestProperty(k, v) }
+    try {
+      val out = c.getOutputStream
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+      out.close()
+      val code = c.getResponseCode
+      def errBody = Option(c.getErrorStream)
+        .map(s => new String(s.readAllBytes(), StandardCharsets.UTF_8))
+        .getOrElse("")
+      if (code == 409) throw new IcebergCommitConflict(errBody)
+      if (code >= 400)
+        throw new java.io.IOException(
+          s"POST commit $namespace.$table: HTTP $code $errBody")
+      mapper.readTree(new String(c.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8))
+    } finally c.disconnect()
   }
 
   private def jsArr(n: JsonNode): Seq[JsonNode] = IcebergJson.arr(n)

@@ -1,0 +1,82 @@
+package graft.sources.iceberg
+
+import java.nio.file.{Path => JPath}
+
+/** Optimistic-concurrency appends THROUGH the REST catalog — the
+  * multi-writer coordination every real lake deployment needs: 1000
+  * executors' committers can't all rewrite `vN.metadata.json`; they
+  * race a compare-and-swap at the catalog and the losers retry. The
+  * spec's shape (REST OpenAPI CommitTableRequest):
+  *
+  *   1. `loadTable` — the base state this commit builds on;
+  *   2. prepare the snapshot FILES (manifest + manifest list, shared
+  *      storage) via [[IcebergLocal.writeSnapshotFiles]] — file names
+  *      carry a per-attempt uniquifier so racing writers preparing the
+  *      same snapshot id never clobber each other;
+  *   3. `POST` add-snapshot + set-snapshot-ref gated by
+  *      `assert-ref-snapshot-id(main == base)`; the server validates
+  *      and swaps atomically;
+  *   4. on 409 ([[IcebergCommitConflict]]): another writer won — reload,
+  *      re-prepare (the carried-manifest list depends on the new head),
+  *      retry. The loser's orphaned prepare files are reclaimed by
+  *      [[IcebergMaintenance.vacuum]].
+  *
+  * The reference's catalog usage is read-only (iceberg.rs delegates
+  * writes to engines); this is the write-side extension the streaming
+  * sinks get their multi-writer story from.
+  */
+object IcebergRestCommit {
+
+  /** Append `files` as one snapshot of `namespace.table`, committed
+    * through `catalog`'s commit endpoint with the CAS-retry loop. The
+    * table must already exist (schema/partition specs are catalog
+    * state this path carries forward, not updates it ships). Returns
+    * the committed snapshot id. */
+  def append(catalog: IcebergRestCatalog, namespace: String, table: String,
+      tableDir: JPath, files: Seq[IcebergLocal.DataFileInfo],
+      timestampMs: Long, tag: Option[String] = None,
+      partitionSpec: Option[Seq[PartitionField]] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxRetries: Int = 10): Long = {
+    var attempt = 0
+    while (true) {
+      val prior = catalog.loadTable(namespace, table)
+      require(prior.snapshots.nonEmpty,
+        s"$namespace.$table has no snapshots yet; create it with a " +
+          "local commit first (REST commits are append-only)")
+      val parent = prior.snapshots.map(_.snapshotId).max
+      val snapId = parent + 1
+      val uniq = "-" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(8)
+      val listPath = IcebergLocal.writeSnapshotFiles(tableDir, Some(prior),
+        files, snapId, replace = false, partitionSpec, schema, uniq)
+      val tagUpd = tag.map(t =>
+        s""",{"action":"set-snapshot-ref","ref-name":"$t","type":"tag",""" +
+          s""""snapshot-id":$snapId}""").getOrElse("")
+      val body =
+        s"""{"requirements":[
+           |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$parent}],
+           | "updates":[
+           |  {"action":"add-snapshot","snapshot":{
+           |    "snapshot-id":$snapId,"sequence-number":$snapId,
+           |    "timestamp-ms":$timestampMs,
+           |    "manifest-list":"${listPath.toUri}",
+           |    "schema-id":0,"summary":{"operation":"append"}}},
+           |  {"action":"set-snapshot-ref","ref-name":"main","type":"branch",
+           |   "snapshot-id":$snapId}$tagUpd]}""".stripMargin
+      try {
+        catalog.commitTable(namespace, table, body)
+        return snapId
+      } catch {
+        case _: IcebergCommitConflict =>
+          attempt += 1
+          if (attempt > maxRetries) throw new IllegalStateException(
+            s"commit of $namespace.$table lost the CAS race $maxRetries " +
+              "times; raise maxRetries or reduce writer contention")
+        // the orphaned attempt files stay until vacuum — never partially
+        // visible, because only a WON commit references them
+      }
+    }
+    -1L // unreachable
+  }
+}

@@ -705,6 +705,100 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("REST commit: append-through-catalog with CAS; stale writers get 409") {
+    val root = Files.createTempDirectory("ice-restcommit")
+    val dir = root.resolve("t")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    // base state: a local first commit (schema lives catalog-side)
+    IcebergLocal.append(dir, partFiles(nation.filter("n_regionkey = 0")),
+      timestampMs = 1000L, schema = Some(nation.schema))
+    val server = new IcebergLocal.CatalogServer(root, "lake")
+    val port = server.start()
+    try {
+      val cat = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+      // append THROUGH the commit endpoint
+      val snap2 = IcebergRestCommit.append(cat, "lake", "t", dir,
+        partFiles(nation.filter("n_regionkey = 1")), 2000L,
+        tag = Some("rest-1"))
+      assert(snap2 == 2L)
+      val after = IcebergRest.read(spark, cat, "lake", "t")
+      assert(after.count() == nation.filter("n_regionkey <= 1").count())
+      // the tag update landed; time travel through it works
+      assert(IcebergRest.read(spark, cat, "lake", "t",
+        Some(graft.sources.SnapshotLog.ByVersion("rest-1"))).count() ==
+        after.count())
+      // a STALE commit (built on snapshot 1 after the head moved to 2)
+      // must 409 and leave the metadata untouched
+      val stale =
+        """{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+          |"updates":[{"action":"add-snapshot","snapshot":{"snapshot-id":9,
+          |"sequence-number":9,"timestamp-ms":9000,"manifest-list":"file:///nope",
+          |"schema-id":0,"summary":{"operation":"append"}}},
+          |{"action":"set-snapshot-ref","ref-name":"main","type":"branch","snapshot-id":9}]}"""
+          .stripMargin
+      val e = intercept[IcebergCommitConflict] {
+        cat.commitTable("lake", "t", stale)
+      }
+      assert(e.getMessage.contains("requirement failed"), e.getMessage)
+      assert(cat.loadTable("lake", "t").currentSnapshotId.contains(2L))
+      // an unsupported requirement is a 400, not a silent apply
+      val bad = intercept[java.io.IOException] {
+        cat.commitTable("lake", "t",
+          """{"requirements":[{"type":"assert-nonsense"}],"updates":[]}""")
+      }
+      assert(bad.getMessage.contains("400"), bad.getMessage)
+    } finally {
+      server.stop()
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("REST commit: racing writers both land via CAS retry, no lost update") {
+    val root = Files.createTempDirectory("ice-race")
+    val dir = root.resolve("t")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    IcebergLocal.append(dir, partFiles(nation.filter("n_nationkey = 0")),
+      timestampMs = 1000L, schema = Some(nation.schema))
+    val server = new IcebergLocal.CatalogServer(root, "lake")
+    val port = server.start()
+    try {
+      val cat = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+      // pre-write both writers' data files, then race the COMMITS
+      val aFiles = partFiles(nation.filter("n_nationkey = 1"))
+      val bFiles = partFiles(nation.filter("n_nationkey = 2"))
+      import java.util.concurrent.{CountDownLatch, Executors}
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      def racer(files: Seq[IcebergLocal.DataFileInfo]) =
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            gate.await()
+            IcebergRestCommit.append(cat, "lake", "t", dir, files, 2000L)
+          }
+        })
+      val fa = racer(aFiles)
+      val fb = racer(bFiles)
+      gate.countDown()
+      val (sa, sb) = (fa.get(), fb.get())
+      pool.shutdown()
+      // both landed, on DIFFERENT snapshots (one retried past the 409)
+      assert(Set(sa, sb) == Set(2L, 3L), s"snapshots: $sa, $sb")
+      val after = IcebergRest.read(spark, cat, "lake", "t")
+      assert(after.count() == 3, "a racing writer's rows were lost")
+      assert(after.select("n_nationkey").collect()
+        .map(_.getAs[Number](0).longValue()).toSet == Set(0L, 1L, 2L))
+      // linear history: 3 snapshots, main at the last
+      val meta = cat.loadTable("lake", "t")
+      assert(meta.snapshots.map(_.snapshotId).sorted == Seq(1L, 2L, 3L))
+      assert(meta.currentSnapshotId.contains(3L))
+    } finally {
+      server.stop()
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("the catalog server works from a relative warehouse path") {
     val rel = java.nio.file.Paths.get("").toAbsolutePath
       .relativize(warehouse)
