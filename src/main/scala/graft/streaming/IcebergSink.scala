@@ -85,6 +85,67 @@ object IcebergSink {
     }
   }
 
+  /** A `foreachBatch` function committing every micro-batch THROUGH the
+    * REST catalog's commit endpoint
+    * ([[graft.sources.iceberg.IcebergRestCommit]]) — so SEVERAL
+    * independent streaming jobs can append to ONE table concurrently:
+    * each batch commit is an optimistic compare-and-swap at the
+    * catalog, losers retry on the new head, and no writer ever
+    * overwrites another's snapshot. The plain [[committer]] cannot make
+    * that promise (it rewrites `vN.metadata.json` directly, a
+    * last-writer-wins race).
+    *
+    * Bootstrap: the table's FIRST commit goes through the local path
+    * (it creates the table + schema the catalog then owns); every
+    * subsequent batch rides the REST CAS. Exactly-once per batch via
+    * the same `batch-<id>` tag check, read from the CATALOG (so a
+    * replay is a no-op even when a different job's commits moved the
+    * head in between). Retention is maintenance-side for this
+    * committer ([[graft.sources.iceberg.IcebergMaintenance]]):
+    * retainLast's in-commit expiry is a local-path rewrite. */
+  def restCommitter(catalog: graft.sources.iceberg.IcebergRestCatalog,
+      namespace: String, table: String, tableDir: JPath,
+      clock: () => Long = () => System.currentTimeMillis(),
+      partitionSpec: Option[Seq[graft.sources.iceberg.PartitionField]] = None,
+      /** distinguishes CONCURRENT writers' idempotence tags: batch ids
+        * are per-query, so two jobs sharing a table would otherwise
+        * collide on `batch-0` and silently skip each other's batches */
+      streamId: String = "stream")
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val tag = s"$streamId-batch-$batchId"
+    val existing =
+      try Some(catalog.loadTable(namespace, table))
+      catch {
+        // ONLY a 404 means "not created yet" — a transient server error
+        // must propagate (Structured Streaming retries the batch), not
+        // trigger a second creating commit racing the first
+        case e: java.io.IOException
+            if Option(e.getMessage).exists(_.contains("HTTP 404")) => None
+      }
+    if (!existing.exists(_.refs.contains(tag))) {
+      val dataDir = tableDir.resolve("data").resolve(tag)
+      val stamped = IcebergLocal.withFieldIds(batch)
+      val files = (partitionSpec match {
+        case Some(spec) => graft.sources.iceberg.IcebergPartitioned
+          .writeFiles(stamped, dataDir, spec)
+        case None =>
+          stamped.write.mode("overwrite").parquet(dataDir.toString)
+          graft.sources.iceberg.IcebergMaintenance.parquetFileInfos(dataDir)
+      }).filter(_.recordCount > 0)
+      if (files.nonEmpty) existing match {
+        case Some(_) =>
+          graft.sources.iceberg.IcebergRestCommit.append(catalog,
+            namespace, table, tableDir, files, clock(), Some(tag),
+            partitionSpec, Some(stamped.schema))
+          ()
+        case None => // bootstrap: the creating commit is local
+          IcebergLocal.append(tableDir, files, clock(), Some(tag),
+            schema = Some(stamped.schema), partitionSpec = partitionSpec)
+          ()
+      } else deleteRecursively(dataDir)
+    }
+  }
+
   /** A `foreachBatch` function committing every micro-batch as a CDC
     * UPSERT on `keyCols` — the streaming MERGE shape: each batch lands
     * as TWO snapshots, first an equality-delete commit on the batch's

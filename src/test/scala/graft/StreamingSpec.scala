@@ -249,6 +249,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("two streaming jobs share one table through REST CAS commits") {
+    // the multi-writer streaming story: two INDEPENDENT foreachBatch
+    // committers append to the same table through the catalog's
+    // compare-and-swap endpoint — interleaved commits all land, replays
+    // stay no-ops per stream, and nothing ever overwrites the other
+    // job's snapshot (the direct-metadata committer can't promise that)
+    import spark.implicits._
+    import graft.sources.iceberg._
+    val root = java.nio.file.Files.createTempDirectory("ice-two-streams")
+    val dir = root.resolve("t")
+    val server = new IcebergLocal.CatalogServer(root, "lake")
+    val port = server.start()
+    try {
+      val cat = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+      var now = 0L
+      val clock = () => { now += 1000; now }
+      val jobA = graft.streaming.IcebergSink.restCommitter(
+        cat, "lake", "t", dir, clock, streamId = "jobA")
+      val jobB = graft.streaming.IcebergSink.restCommitter(
+        cat, "lake", "t", dir, clock, streamId = "jobB")
+      jobA(Seq(("a", 1L)).toDF("src", "v"), 0L) // bootstrap (local)
+      jobB(Seq(("b", 1L)).toDF("src", "v"), 0L) // first REST commit
+      jobA(Seq(("a", 2L)).toDF("src", "v"), 1L)
+      jobB(Seq(("b", 2L)).toDF("src", "v"), 1L)
+      def state() = IcebergRest.read(spark, cat, "lake", "t")
+        .as[(String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(state() == Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)))
+      // replays from EITHER job are no-ops, even though the other job's
+      // commits moved the head in between
+      jobA(Seq(("a", 1L)).toDF("src", "v"), 0L)
+      jobB(Seq(("b", 2L)).toDF("src", "v"), 1L)
+      assert(state() == Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)))
+      val meta = cat.loadTable("lake", "t")
+      assert(meta.snapshots.size == 4, "replay duplicated a snapshot")
+      assert(meta.refs.keySet.filter(_.contains("batch")) ==
+        Set("jobA-batch-0", "jobA-batch-1", "jobB-batch-0", "jobB-batch-1"))
+    } finally {
+      server.stop()
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("partitioned streaming commits prune like batch-written tables") {
     // the committer's partitionSpec lands every micro-batch in the
     // IcebergPartitioned layout (tuples + bounds in manifests, spec in
