@@ -206,7 +206,9 @@ object IcebergLocal {
     val priorRaw = currentMetadataFile(tableDir)
       .map(p => mapper.readTree(Files.readString(p)))
     val prior = currentMetadata(tableDir)
-    val snapId = prior.map(_.snapshots.map(_.snapshotId).max + 1).getOrElse(1L)
+    // maxOption: a REST-created table exists with ZERO snapshots
+    val snapId = prior.flatMap(_.snapshots.map(_.snapshotId).maxOption)
+      .getOrElse(0L) + 1
     val listPath = writeSnapshotFiles(tableDir, prior, files, snapId,
       replace, partitionSpec, schema)
     writeMetadata(tableDir, priorRaw, prior, files, snapId, listPath,
@@ -315,7 +317,7 @@ object IcebergLocal {
     val hadoopConf = new org.apache.hadoop.conf.Configuration()
     val carried =
       if (replace) Seq.empty
-      else prior.toSeq.flatMap { m =>
+      else prior.filter(_.snapshots.nonEmpty).toSeq.flatMap { m =>
         IcebergAvro.read(m.snapshots.maxBy(_.snapshotId).manifestList,
           hadoopConf)
       }
@@ -784,6 +786,88 @@ object IcebergLocal {
       * concern. */
     private val commitLock = new Object
 
+    /** Create an EMPTY table (v00000.metadata.json, zero snapshots)
+      * from a CreateTableRequest: name + schema taken verbatim,
+      * partition-spec honored when present. 409 on an existing table —
+      * two racing creators resolve exactly like racing committers (the
+      * loser loads and proceeds). */
+    private def applyCreate(body: String): Either[(Int, String), JPath] = {
+      val req =
+        try mapper.readTree(body)
+        catch { case e: Exception =>
+          return Left(400 -> s"malformed create body: ${e.getMessage}")
+        }
+      val name = req.path("name").asText("")
+      if (name.isEmpty || name.contains("/") || name.contains(".."))
+        return Left(400 -> "create needs a legal table name")
+      val schema = Option(req.get("schema")).getOrElse(
+        return Left(400 -> "create needs a schema"))
+      val dir = warehouse.resolve(name).normalize()
+      if (dir.getParent != warehouse)
+        return Left(400 -> "create needs a legal table name")
+      if (currentMetadataFile(dir).isDefined)
+        return Left(409 -> s"table $name already exists")
+      val root = mapper.createObjectNode()
+      root.put("format-version", 2)
+      root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
+        dir.toString.getBytes(StandardCharsets.UTF_8)).toString)
+      root.put("location", dir.toUri.toString)
+      root.put("last-updated-ms", System.currentTimeMillis())
+      root.put("last-sequence-number", 0L)
+      val sc = schema.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+      sc match {
+        case o: ObjectNode => o.put("schema-id", 0); ()
+        case _ => return Left(400 -> "schema must be a struct object")
+      }
+      // last-column-id: the max field id anywhere in the schema tree
+      var lastCol = 0
+      def walkIds(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+        Seq("id", "element-id", "key-id", "value-id").foreach(k =>
+          if (n.has(k) && n.get(k).isInt)
+            lastCol = math.max(lastCol, n.get(k).asInt()))
+        n.elements().forEachRemaining(walkIds)
+      }
+      walkIds(sc)
+      root.put("last-column-id", lastCol)
+      root.putArray("schemas").add(sc)
+      root.put("current-schema-id", 0)
+      val specs = root.putArray("partition-specs")
+      Option(req.get("partition-spec")) match {
+        case Some(ps) =>
+          val node = ps.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+          node match {
+            case o: ObjectNode => if (!o.has("spec-id")) { o.put("spec-id", 0); () }
+            case _ => ()
+          }
+          specs.add(node)
+          val maxField = IcebergJson.arr(ps.get("fields"))
+            .flatMap(f => Option(f.get("field-id")).map(_.asInt()))
+            .maxOption.getOrElse(999)
+          root.put("last-partition-id", maxField)
+          ()
+        case None =>
+          val p0 = specs.addObject()
+          p0.put("spec-id", 0); p0.putArray("fields")
+          root.put("last-partition-id", 999)
+          ()
+      }
+      root.put("default-spec-id", 0)
+      val orders = root.putArray("sort-orders")
+      val so = orders.addObject()
+      so.put("order-id", 0); so.putArray("fields")
+      root.put("default-sort-order-id", 0)
+      root.put("current-snapshot-id", -1L)
+      root.putArray("snapshots")
+      root.putObject("refs")
+      root.putArray("snapshot-log")
+      val metaDir = dir.resolve("metadata")
+      Files.createDirectories(metaDir)
+      val out = metaDir.resolve("v00000.metadata.json")
+      Files.writeString(out,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+      Right(out)
+    }
+
     /** Validate a CommitTableRequest's requirements against the CURRENT
       * metadata and apply its updates as a new `vN.metadata.json`.
       * Supported requirements: `assert-ref-snapshot-id` (the CAS every
@@ -888,6 +972,21 @@ object IcebergLocal {
           send(200, """{"defaults":{},"overrides":{}}""")
         case "/v1/namespaces" =>
           send(200, s"""{"namespaces":[["$namespace"]]}""")
+        case `tablePrefix` if ex.getRequestMethod == "POST" =>
+          // spec CreateTableRequest: name + schema (+ partition-spec) →
+          // an EMPTY table (zero snapshots) whose first data commit
+          // rides the same CAS as every other (main asserted absent)
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          commitLock.synchronized {
+            applyCreate(body) match {
+              case Right(mf) =>
+                send(200, s"""{"metadata-location":"${mf.toUri}",
+                  |"metadata":${Files.readString(mf)}}""".stripMargin)
+              case Left((code, msg)) =>
+                send(code, s"""{"error":${mapper.writeValueAsString(msg)}}""")
+            }
+          }
         case `tablePrefix` =>
           val ids = tables.map(t =>
             s"""{"namespace":["$namespace"],"name":"$t"}""")

@@ -138,9 +138,36 @@ final class IcebergRestCatalog(baseUrl: String,
     * writer won the race) raises [[IcebergCommitConflict]] so callers
     * can re-prepare and retry — the optimistic-concurrency loop. */
   def commitTable(namespace: String, table: String,
-      body: String): JsonNode = {
-    val c = new URI(base +
-      s"/v1/namespaces/${enc(namespace)}/tables/${enc(table)}").toURL
+      body: String): JsonNode =
+    post(s"/v1/namespaces/${enc(namespace)}/tables/${enc(table)}", body,
+      s"commit $namespace.$table")
+
+  /** `POST /v1/namespaces/{ns}/tables` — the spec's CreateTableRequest:
+    * an EMPTY table (zero snapshots) from a Spark schema, typed as the
+    * iceberg struct with depth-first field ids, plus an optional
+    * partition spec. A racing creator gets [[IcebergCommitConflict]]
+    * (409) and should load-and-proceed — creation resolves exactly
+    * like a commit race. */
+  def createTable(namespace: String, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionSpec: Option[Seq[PartitionField]] = None): JsonNode = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val sc = IcebergLocal.icebergStructNode(schema, counter)
+    val ids = IcebergLocal.topLevelFieldIds(schema)
+    val specJson = partitionSpec.map { spec =>
+      val fields = spec.zipWithIndex.map { case (f, i) =>
+        s"""{"name":"${f.name}","transform":"${f.transform}",""" +
+          s""""source-id":${ids(f.sourceColumn)},"field-id":${1000 + i}}"""
+      }.mkString("[", ",", "]")
+      s""","partition-spec":{"spec-id":0,"fields":$fields}"""
+    }.getOrElse("")
+    post(s"/v1/namespaces/${enc(namespace)}/tables",
+      s"""{"name":"$table","schema":$sc$specJson}""",
+      s"create $namespace.$table")
+  }
+
+  private def post(path: String, body: String, label: String): JsonNode = {
+    val c = new URI(base + path).toURL
       .openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod("POST")
     c.setDoOutput(true)
@@ -158,8 +185,7 @@ final class IcebergRestCatalog(baseUrl: String,
         .getOrElse("")
       if (code == 409) throw new IcebergCommitConflict(errBody)
       if (code >= 400)
-        throw new java.io.IOException(
-          s"POST commit $namespace.$table: HTTP $code $errBody")
+        throw new java.io.IOException(s"POST $label: HTTP $code $errBody")
       mapper.readTree(new String(c.getInputStream.readAllBytes(),
         StandardCharsets.UTF_8))
     } finally c.disconnect()

@@ -29,9 +29,10 @@ object IcebergRestCommit {
 
   /** Append `files` as one snapshot of `namespace.table`, committed
     * through `catalog`'s commit endpoint with the CAS-retry loop. The
-    * table must already exist (schema/partition specs are catalog
-    * state this path carries forward, not updates it ships). Returns
-    * the committed snapshot id. */
+    * table must exist — created by a local commit or the catalog's
+    * create endpoint ([[IcebergRestCatalog.createTable]]); an empty
+    * table's first snapshot commits under the same CAS with `main`
+    * asserted absent. Returns the committed snapshot id. */
   def append(catalog: IcebergRestCatalog, namespace: String, table: String,
       tableDir: JPath, files: Seq[IcebergLocal.DataFileInfo],
       timestampMs: Long, tag: Option[String] = None,
@@ -41,11 +42,10 @@ object IcebergRestCommit {
     var attempt = 0
     while (true) {
       val prior = catalog.loadTable(namespace, table)
-      require(prior.snapshots.nonEmpty,
-        s"$namespace.$table has no snapshots yet; create it with a " +
-          "local commit first (REST commits are append-only)")
-      val parent = prior.snapshots.map(_.snapshotId).max
-      val snapId = parent + 1
+      // an empty (REST-created) table commits its FIRST snapshot under
+      // the same CAS — main asserted ABSENT instead of at a parent id
+      val parentOpt = prior.snapshots.map(_.snapshotId).maxOption
+      val snapId = parentOpt.getOrElse(0L) + 1
       val uniq = "-" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(8)
       val listPath = IcebergLocal.writeSnapshotFiles(tableDir, Some(prior),
@@ -53,9 +53,10 @@ object IcebergRestCommit {
       val tagUpd = tag.map(t =>
         s""",{"action":"set-snapshot-ref","ref-name":"$t","type":"tag",""" +
           s""""snapshot-id":$snapId}""").getOrElse("")
+      val parentJson = parentOpt.map(_.toString).getOrElse("null")
       val body =
         s"""{"requirements":[
-           |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$parent}],
+           |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$parentJson}],
            | "updates":[
            |  {"action":"add-snapshot","snapshot":{
            |    "snapshot-id":$snapId,"sequence-number":$snapId,

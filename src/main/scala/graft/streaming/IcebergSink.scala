@@ -95,9 +95,10 @@ object IcebergSink {
     * that promise (it rewrites `vN.metadata.json` directly, a
     * last-writer-wins race).
     *
-    * Bootstrap: the table's FIRST commit goes through the local path
-    * (it creates the table + schema the catalog then owns); every
-    * subsequent batch rides the REST CAS. Exactly-once per batch via
+    * Fully catalog-routed: an absent table is CREATED through the
+    * catalog's create endpoint (a racing job's create winning resolves
+    * like any CAS loss), and every batch — including the first —
+    * commits through the CAS. Exactly-once per batch via
     * the same `batch-<id>` tag check, read from the CATALOG (so a
     * replay is a no-op even when a different job's commits moved the
     * head in between). Retention is maintenance-side for this
@@ -132,16 +133,20 @@ object IcebergSink {
           stamped.write.mode("overwrite").parquet(dataDir.toString)
           graft.sources.iceberg.IcebergMaintenance.parquetFileInfos(dataDir)
       }).filter(_.recordCount > 0)
-      if (files.nonEmpty) existing match {
-        case Some(_) =>
-          graft.sources.iceberg.IcebergRestCommit.append(catalog,
-            namespace, table, tableDir, files, clock(), Some(tag),
-            partitionSpec, Some(stamped.schema))
-          ()
-        case None => // bootstrap: the creating commit is local
-          IcebergLocal.append(tableDir, files, clock(), Some(tag),
-            schema = Some(stamped.schema), partitionSpec = partitionSpec)
-          ()
+      if (files.nonEmpty) {
+        if (existing.isEmpty) {
+          // create THROUGH the catalog; a racing job's create winning
+          // is fine — creation resolves like any other CAS loss
+          try catalog.createTable(namespace, table, stamped.schema,
+            partitionSpec)
+          catch {
+            case _: graft.sources.iceberg.IcebergCommitConflict => ()
+          }
+        }
+        graft.sources.iceberg.IcebergRestCommit.append(catalog,
+          namespace, table, tableDir, files, clock(), Some(tag),
+          partitionSpec, Some(stamped.schema))
+        ()
       } else deleteRecursively(dataDir)
     }
   }

@@ -754,6 +754,35 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("REST create: an empty table commits its first snapshot under the CAS") {
+    val root = Files.createTempDirectory("ice-create")
+    val server = new IcebergLocal.CatalogServer(root, "lake")
+    val port = server.start()
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    try {
+      val cat = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+      cat.createTable("lake", "fresh", nation.schema)
+      assert(cat.listTables("lake").contains("fresh"))
+      val meta = cat.loadTable("lake", "fresh")
+      assert(meta.snapshots.isEmpty && meta.currentSnapshotId.isEmpty)
+      // the created schema is live catalog state: field ids resolve
+      assert(meta.fieldNames(1) == "n_nationkey")
+      // a racing (duplicate) create resolves like a lost CAS
+      intercept[IcebergCommitConflict] {
+        cat.createTable("lake", "fresh", nation.schema)
+      }
+      // first data commit rides the SAME CAS, main asserted absent
+      val s1 = IcebergRestCommit.append(cat, "lake", "fresh",
+        root.resolve("fresh"), partFiles(nation), 1000L)
+      assert(s1 == 1L)
+      assert(IcebergRest.read(spark, cat, "lake", "fresh").count() == 25)
+    } finally {
+      server.stop()
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("REST commit: racing writers both land via CAS retry, no lost update") {
     val root = Files.createTempDirectory("ice-race")
     val dir = root.resolve("t")
