@@ -538,6 +538,42 @@ object Extended {
         options = Map("fieldIdReads" -> "true")).localCheckpoint(true)
     },
 
+    // Iceberg REST COMMIT round-trip: the full catalog WRITE protocol
+    // driven through the hash gate — create the table via the spec's
+    // CreateTableRequest (typed schema, zero snapshots), then land TWO
+    // data commits through the CommitTableRequest CAS endpoint (the
+    // first with `main` asserted ABSENT, the second asserted at
+    // snapshot 1), and read the result back through the same catalog.
+    // The union of both commits must hash-match the oracle's plain
+    // scan — so the created schema, both CAS commits, and the
+    // REST-served metadata are all exact, not just spec-sampled.
+    GraftQuery("q_iceberg_rest_commit",
+      """SELECT c_custkey, c_name, c_nationkey FROM customer""") { (s, dir) =>
+      import graft.sources.iceberg._
+      import scala.jdk.CollectionConverters._
+      val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg_restc"))
+      val tableDir = warehouse.resolve("customer")
+      val data = t(s, dir).customer
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      def files(df: org.apache.spark.sql.DataFrame, sub: String) = {
+        val out = tableDir.resolve("data").resolve(sub)
+        df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+        IcebergMaintenance.parquetFileInfos(out)
+      }
+      val server = new IcebergLocal.CatalogServer(warehouse, "lake")
+      val port = server.start()
+      try {
+        val catalog = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+        catalog.createTable("lake", "customer", data.schema)
+        IcebergRestCommit.append(catalog, "lake", "customer", tableDir,
+          files(data.filter(col("c_nationkey") < 13), "b0"), 1000L)
+        IcebergRestCommit.append(catalog, "lake", "customer", tableDir,
+          files(data.filter(col("c_nationkey") >= 13), "b1"), 2000L)
+        IcebergRest.read(s, catalog, "lake", "customer")
+          .localCheckpoint(true)
+      } finally server.stop()
+    },
+
     // Iceberg PARTITIONED-table round-trip: write orders partitioned by
     // month(o_orderdate) — Hive layout with the source column kept in
     // the files, per-file partition tuples + column min/max bounds in
