@@ -391,7 +391,12 @@ object IcebergPartitioned {
       val vc = nc.keys.map(_ -> rows).toMap
       (rows, ser(mins), ser(maxs), vc, nc)
     } finally r.close()
-    IcebergLocal.DataFileInfo(p.toUri.toString, count, Files.size(p),
+    // RAW-character path, not JPath.toUri: Hive-escaped partition dirs
+    // contain literal '%' (':' → %3A), which toUri would re-encode to
+    // %253A — a name that matches nothing on disk when Spark treats
+    // the string's characters literally (Hadoop Path semantics)
+    IcebergLocal.DataFileInfo("file:" + p.toAbsolutePath.toString,
+      count, Files.size(p),
       partition = partition, lowerBounds = lower, upperBounds = upper,
       valueCounts = valueCounts, nullCounts = nullCounts)
   }
@@ -474,6 +479,9 @@ object IcebergPrune {
   private case object Ge extends Op
   private case object IsNullOp extends Op
   private case object NotNullOp extends Op
+  private case object PrefixOp extends Op
+
+  private val TruncPat = """truncate\[(\d+)\]""".r
 
   /** One necessary condition: `col op value` (or `col IN values`;
     * the null ops carry no values). */
@@ -559,7 +567,36 @@ object IcebergPrune {
     case IsNull(a: AttributeReference) => Some(Pred(a.name, IsNullOp, Nil))
     case IsNotNull(a: AttributeReference) =>
       Some(Pred(a.name, NotNullOp, Nil))
+    // prefix filters — the string predicate corpus pipelines actually
+    // run (url LIKE 'https://en.wikipedia.org/%'). The optimizer
+    // rewrites pure-prefix LIKEs to StartsWith; the filter-option path
+    // sees the analyzed Like, so both shapes convert. A LIKE whose
+    // pattern carries any other wildcard (including '_') is NOT a pure
+    // prefix and stays unconverted (conservative).
+    case StartsWith(a: AttributeReference, l) =>
+      constOf(l).flatMap(litValue).collect {
+        case s: String => Pred(a.name, PrefixOp, Seq(s))
+      }
+    case Like(a: AttributeReference, Literal(pat, StringType), _)
+        if pat != null => {
+      val p = pat.toString
+      val prefix = p.dropRight(1)
+      if (p.endsWith("%") && !prefix.exists(c => c == '%' || c == '_' ||
+          c == '\\'))
+        Some(Pred(a.name, PrefixOp, Seq(prefix)))
+      else None
+    }
     case _ => None
+  }
+
+  /** The least string ABOVE every string with this prefix (increment
+    * the rightmost non-max char, drop the rest); None when the prefix
+    * is all ￿ — then there is no upper bound. */
+  private def nextPrefix(prefix: String): Option[String] = {
+    var i = prefix.length - 1
+    while (i >= 0 && prefix.charAt(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
   }
 
   /** Partition-tuple necessary condition for one predicate against one
@@ -576,6 +613,22 @@ object IcebergPrune {
     case NotNullOp =>
       // a null tuple on a null-preserving transform proves all-null
       pf.transform == "void" || p != null
+    case PrefixOp =>
+      val prefix = pred.values.head.asInstanceOf[String]
+      pf.transform match {
+        // null tuple under a null-preserving transform = all rows null
+        // = LIKE never true; identity tuples ARE the column values;
+        // truncate tuples are the first w chars, so the prefix must
+        // agree with them on the overlap
+        case "identity" => p != null && p.toString.startsWith(prefix)
+        case TruncPat(w) =>
+          p != null && {
+            val pv = p.toString
+            if (prefix.length >= w.toInt) pv == prefix.take(w.toInt)
+            else pv.startsWith(prefix)
+          }
+        case _ => true
+      }
     case _ if p == null => true // null partition value: no order info
     case _ =>
       def tv(v: Any): Option[Any] =
@@ -607,6 +660,12 @@ object IcebergPrune {
     case Lt => pred.values.exists(v => lo.flatMap(cmp(_, v)).forall(_ < 0))
     case Le => pred.values.exists(v => lo.flatMap(cmp(_, v)).forall(_ <= 0))
     case IsNullOp | NotNullOp => true // decided on null counts, not bounds
+    case PrefixOp =>
+      // strings with prefix p live in [p, nextPrefix(p)): the file can
+      // hold one iff that interval intersects [lo, hi]
+      val prefix = pred.values.head.asInstanceOf[String]
+      hi.flatMap(cmp(_, prefix)).forall(_ >= 0) &&
+        nextPrefix(prefix).forall(u => lo.flatMap(cmp(_, u)).forall(_ < 0))
   }
 
   /** Tri-state truth value of a predicate over one file's metadata:

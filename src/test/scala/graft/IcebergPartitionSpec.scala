@@ -280,6 +280,64 @@ class IcebergPartitionSpec extends AnyFunSuite {
       s"null partition not pruned: ${pnn.inputFiles.toSeq}")
   }
 
+  test("prefix filters prune string bounds and identity/truncate partitions") {
+    // the corpus-pipeline string predicate (url LIKE 'https://host/%'):
+    // bounds-pruning on range-laid files, partition-pruning on
+    // identity and truncate tuples — and '_' stays a WILDCARD (a LIKE
+    // carrying one is not a pure prefix and must not prune)
+    val wh = freshDir("prefix")
+    val dir = wh.resolve("nation")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val out = freshDir("prefix_files")
+    nation.repartitionByRange(5, org.apache.spark.sql.functions
+      .col("n_name")).write.mode("overwrite").parquet(out.toString)
+    val infos = IcebergPartitioned.listParquetDeep(out)
+      .map(p => IcebergPartitioned.fileInfo(p, nation.schema, Nil))
+    IcebergLocal.append(dir, infos, 1000L, schema = Some(nation.schema))
+    val pruned = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "startswith(n_name, 'NATION_2')"))
+    assert(pruned.count() ==
+      nation.where("startswith(n_name, 'NATION_2')").count())
+    assert(pruned.count() == 6) // NATION_2, NATION_20..24
+    assert(pruned.inputFiles.length < 5,
+      s"prefix bounds did not prune: ${pruned.inputFiles.length} of 5")
+    // LIKE with the pure-prefix shape prunes identically...
+    val like = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "n_name LIKE 'NATION_2%'"))
+    // ...but NOTE: '_' is a single-char wildcard, so this pattern is
+    // NOT a pure prefix — it must keep all files and still be exact
+    assert(like.inputFiles.length == 5)
+    assert(like.count() == nation.where("n_name LIKE 'NATION_2%'").count())
+    // identity partitions: whole non-matching partitions drop
+    val pdir = wh.resolve("p")
+    import spark.implicits._
+    val docs = Seq(("https://en.wikipedia.org/A", 1L),
+      ("https://en.wikipedia.org/B", 2L),
+      ("https://github.com/x", 3L), ("ftp://old/y", 4L))
+      .toDF("url", "v")
+      .withColumn("host", org.apache.spark.sql.functions
+        .regexp_extract($"url", "^[a-z]+://[^/]+", 0))
+    IcebergPartitioned.append(docs, pdir, "data/b0",
+      Seq(PartitionField("host", "host", "identity")), 1000L)
+    val wiki = IcebergRest.readLocal(spark, pdir,
+      options = Map("filter" -> "startswith(host, 'https://en.')"))
+    assert(wiki.count() == 2)
+    assert(wiki.inputFiles.length <
+      IcebergRest.readLocal(spark, pdir).inputFiles.length)
+    // truncate partitions: the prefix/tuple overlap decides
+    val tdir = wh.resolve("t")
+    IcebergPartitioned.append(docs, tdir, "data/b0",
+      Seq(PartitionField("h4", "url", "truncate[4]")), 1000L)
+    val https = IcebergRest.readLocal(spark, tdir,
+      options = Map("filter" -> "startswith(url, 'https://')"))
+    assert(https.count() == 3)
+    val ftp = IcebergRest.readLocal(spark, tdir,
+      options = Map("filter" -> "startswith(url, 'ftp://')"))
+    assert(ftp.count() == 1)
+    assert(ftp.inputFiles.length <
+      IcebergRest.readLocal(spark, tdir).inputFiles.length)
+  }
+
   test("auto-prune: a registered lake table prunes from the query's own predicate") {
     // the lazy path: the registry registers an IcebergScanPlan leaf and
     // IcebergPruneRule resolves it at optimization time with the
