@@ -76,9 +76,11 @@ object Bench {
           // a single-shot tail row that reads slow gets re-measured:
           // one-shot timings on this host have produced phantom 5-8×
           // "regressions" on sub-second queries (r10's vector cluster —
-          // judged noise on re-run). Median-of-3 for any >1 s row keeps
-          // the audit trail honest without tripling the whole run.
-          if (chaos == 0.0 && n == 1 && first.nonEmpty && first.head > 1.0)
+          // judged noise on re-run; r11's d_decontaminate_semantic /
+          // s_knn_join watch rows sat just over the old 1 s line).
+          // Median-of-3 for any ≥0.5 s row keeps the audit trail honest
+          // without tripling the whole run.
+          if (chaos == 0.0 && n == 1 && first.nonEmpty && first.head >= 0.5)
             (first ++ Seq(once(q.run), once(q.run))).sorted
           else first
         }

@@ -140,15 +140,37 @@ object IcebergPartitions {
       case "void" => F.lit(null).cast("int")
       case BucketRe(n) =>
         val buckets = n.toInt
+        val longBucket = F.udf((l: java.lang.Long) =>
+          if (l == null) null
+          else bucketOf(l.longValue(), buckets).map(Integer.valueOf).orNull)
         dt match {
           case StringType =>
             F.udf((s: String) =>
               bucketOf(s, buckets).map(Integer.valueOf).orNull).apply(c)
-          case _ =>
-            F.udf((l: java.lang.Long) =>
-              if (l == null) null
-              else bucketOf(l.longValue(), buckets)
-                .map(Integer.valueOf).orNull).apply(c.cast("long"))
+          case ByteType | ShortType | IntegerType | LongType =>
+            longBucket.apply(c.cast("long"))
+          // the spec hashes DATE as its epoch-day int widened to long
+          case DateType =>
+            longBucket.apply(F.datediff(c, F.lit("1970-01-01")).cast("long"))
+          // the spec hashes TIMESTAMP as epoch MICROS — which is also
+          // what applyTransform's literal side hashes (Catalyst's
+          // internal representation). cast("long") (epoch SECONDS)
+          // would stamp tuples the pruner disagrees with: matching
+          // files silently pruned, and spec-noncompliant layouts for
+          // external readers.
+          case TimestampType =>
+            longBucket.apply(F.unix_micros(c))
+          case TimestampNTZType =>
+            F.udf((t: java.time.LocalDateTime) =>
+              if (t == null) null
+              else bucketOf(t.toEpochSecond(java.time.ZoneOffset.UTC) *
+                  1000000L + t.getNano / 1000L, buckets)
+                .map(Integer.valueOf).orNull).apply(c)
+          // anything else (float/decimal/binary): refuse LOUDLY — a
+          // silent cast("long") fallthrough writes tuples no
+          // spec-compliant reader can reproduce
+          case other => throw new IllegalArgumentException(
+            s"bucket[$buckets] unsupported over $other source type")
         }
       case TruncRe(w) =>
         val width = w.toInt
@@ -248,7 +270,12 @@ object IcebergPartitions {
         Some(le.getLong)
       case FloatType if bytes.length == 4 => Some(le.getFloat)
       case DoubleType if bytes.length == 8 => Some(le.getDouble)
-      case StringType => Some(new String(bytes, UTF_8))
+      // strings stay RAW UTF-8 bytes: decoding to java.lang.String and
+      // back is lossy on truncated multi-byte sequences, and
+      // String.compareTo (UTF-16 code units) disagrees with the
+      // unsigned-UTF-8 order parquet computed the stat in for
+      // supplementary characters — cmp compares byte-space instead
+      case StringType => Some(bytes)
       case BooleanType if bytes.length == 1 => Some(bytes(0) != 0)
       case _ => None
     }
@@ -256,11 +283,19 @@ object IcebergPartitions {
 
   /** Total order where defined: numerics via BigDecimal (exact — a
     * float/double rounding slip here could wrongly EXCLUDE a file),
-    * strings lexicographic (parquet UTF-8 stats and Java compareTo
-    * agree on the BMP; the pruner only ever uses this as a necessary
-    * condition). None = incomparable → keep. */
+    * strings in UNSIGNED UTF-8 byte order — the order parquet computes
+    * string min/max in AND the order Spark's UTF8String (row-level
+    * string comparison) uses. String.compareTo would disagree on
+    * supplementary characters vs U+E000–U+FFFF (emoji are common in
+    * web corpora) and wrongly exclude files. None = incomparable →
+    * keep. */
   def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(java.util.Arrays.compareUnsigned(
+      x.getBytes(UTF_8), y.getBytes(UTF_8)))
+    case (x: String, y: Array[Byte]) => // literal vs raw stat bytes
+      Some(java.util.Arrays.compareUnsigned(x.getBytes(UTF_8), y))
+    case (x: Array[Byte], y: String) =>
+      Some(java.util.Arrays.compareUnsigned(x, y.getBytes(UTF_8)))
     case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
     case (x: Array[Byte], y: Array[Byte]) => // parquet binary stat order
       Some(java.util.Arrays.compareUnsigned(x, y))
@@ -577,7 +612,11 @@ object IcebergPrune {
       constOf(l).flatMap(litValue).collect {
         case s: String => Pred(a.name, PrefixOp, Seq(s))
       }
-    case Like(a: AttributeReference, Literal(pat, StringType), _)
+    // default escape char ONLY: under `LIKE 'abc#%' ESCAPE '#'` the
+    // pattern means the literal string 'abc%' — deriving prefix 'abc#'
+    // from it would prune files whose rows ARE 'abc%...'. (The '\\'
+    // exclusion below already keeps default-escaped patterns out.)
+    case Like(a: AttributeReference, Literal(pat, StringType), '\\')
         if pat != null => {
       val p = pat.toString
       val prefix = p.dropRight(1)
@@ -589,14 +628,23 @@ object IcebergPrune {
     case _ => None
   }
 
-  /** The least string ABOVE every string with this prefix (increment
-    * the rightmost non-max char, drop the rest); None when the prefix
-    * is all ￿ — then there is no upper bound. */
-  private def nextPrefix(prefix: String): Option[String] = {
+  /** The least byte string ABOVE every string with this prefix, in the
+    * unsigned UTF-8 byte order [[cmp]] compares strings in (increment
+    * the rightmost non-0xFF byte, drop the rest); None when the prefix
+    * is all 0xFF — then there is no upper bound. Byte-space, not
+    * char-space: incrementing a UTF-16 char can manufacture an unpaired
+    * surrogate whose UTF-8 encoding (U+FFFD) byte-compares BELOW
+    * supplementary characters — an upper bound that excludes strings
+    * it must cover. */
+  private def nextPrefix(prefix: Array[Byte]): Option[Array[Byte]] = {
     var i = prefix.length - 1
-    while (i >= 0 && prefix.charAt(i) == Char.MaxValue) i -= 1
+    while (i >= 0 && prefix(i) == 0xFF.toByte) i -= 1
     if (i < 0) None
-    else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
+    else {
+      val out = java.util.Arrays.copyOf(prefix, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
   }
 
   /** Partition-tuple necessary condition for one predicate against one
@@ -661,9 +709,10 @@ object IcebergPrune {
     case Le => pred.values.exists(v => lo.flatMap(cmp(_, v)).forall(_ <= 0))
     case IsNullOp | NotNullOp => true // decided on null counts, not bounds
     case PrefixOp =>
-      // strings with prefix p live in [p, nextPrefix(p)): the file can
-      // hold one iff that interval intersects [lo, hi]
-      val prefix = pred.values.head.asInstanceOf[String]
+      // strings with prefix p live in [p, nextPrefix(p)) in UTF-8 byte
+      // order: the file can hold one iff that interval intersects
+      // [lo, hi]
+      val prefix = pred.values.head.asInstanceOf[String].getBytes(UTF_8)
       hi.flatMap(cmp(_, prefix)).forall(_ >= 0) &&
         nextPrefix(prefix).forall(u => lo.flatMap(cmp(_, u)).forall(_ < 0))
   }

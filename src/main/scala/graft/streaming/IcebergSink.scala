@@ -110,8 +110,12 @@ object IcebergSink {
       partitionSpec: Option[Seq[graft.sources.iceberg.PartitionField]] = None,
       /** distinguishes CONCURRENT writers' idempotence tags: batch ids
         * are per-query, so two jobs sharing a table would otherwise
-        * collide on `batch-0` and silently skip each other's batches */
-      streamId: String = "stream")
+        * collide on `batch-0` and silently skip each other's batches.
+        * REQUIRED (no default): the advertised use case is several
+        * independent jobs on one table, and a shared default would make
+        * them drop each other's batches with no error. Use a stable
+        * per-query id (e.g. derived from the checkpoint location). */
+      streamId: String)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val tag = s"$streamId-batch-$batchId"
     val existing =

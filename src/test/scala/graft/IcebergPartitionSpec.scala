@@ -459,4 +459,114 @@ class IcebergPartitionSpec extends AnyFunSuite {
       .where("o_orderdate >= date '1998-01-01'")
     assert(pruned.count() == want.count())
   }
+
+  test("bucket[N] on a timestamp column hashes epoch-micros; writer = pruner") {
+    // ADVICE r11 (high): the writer used to hash cast("long") = epoch
+    // SECONDS while the pruner hashes the literal's epoch MICROS (the
+    // Iceberg-spec value) — equality filters then pruned files that
+    // CONTAIN matching rows, silently.
+    val wh = freshDir("tsbucket")
+    val dir = wh.resolve("events")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "ts", "event_type")
+    val spec = Seq(PartitionField("tsb", "ts", "bucket[8]"))
+    IcebergPartitioned.append(events, dir, "data/b0", spec, 1000L)
+    val meta = IcebergLocal.currentMetadata(dir).get
+    val scan = IcebergManifests.scanFiles(spark,
+      meta.snapshots.maxBy(_.snapshotId).manifestList)
+    // driver-side epoch-micros, independent of the column's tz flavor
+    def micros(v: Any): Long = v match {
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case l: java.time.LocalDateTime =>
+        l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          l.getNano / 1000L
+    }
+    val vals = events.select("ts").na.drop().collect().map(r => micros(r.get(0)))
+    val want = vals.flatMap(IcebergPartitions.bucketOf(_, 8)).toSet
+    assert(scan.dataEntries.map(_.partition("tsb")).toSet == want,
+      "written tuples are not the spec's epoch-micros hash")
+    // equality on a timestamp literal keeps its bucket and its rows
+    val one = events.select("ts").na.drop().head().get(0)
+    val lit = (one match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case l: java.time.LocalDateTime => l
+    }).format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val tsType = events.schema("ts").dataType
+    val litSql =
+      if (tsType == org.apache.spark.sql.types.TimestampNTZType)
+        s"TIMESTAMP_NTZ '$lit'"
+      else s"timestamp '$lit'"
+    val pruned = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> s"ts = $litSql"))
+    val full = IcebergRest.readLocal(spark, dir).where(s"ts = $litSql")
+    assert(full.count() > 0, "test literal matched nothing")
+    assert(pruned.count() == full.count(),
+      "epoch-seconds/micros hash mismatch pruned matching rows")
+    assert(pruned.inputFiles.length < scan.dataFiles.size,
+      "equality on the bucket source column should prune to ~1 bucket")
+    // unsupported bucket source types must refuse loudly, not stamp
+    // tuples no spec-compliant reader can reproduce
+    intercept[IllegalArgumentException] {
+      IcebergPartitions.transformColumn(
+        org.apache.spark.sql.functions.col("x"), "bucket[4]",
+        org.apache.spark.sql.types.DoubleType)
+    }
+  }
+
+  test("LIKE with a non-default escape char never becomes a prefix prune") {
+    // ADVICE r11 (medium): `s LIKE 'abc#%' ESCAPE '#'` means the
+    // LITERAL string 'abc%' — deriving prefix 'abc#' from it prunes
+    // the interval ['abc#','abc$'), which EXCLUDES the matching rows.
+    val wh = freshDir("likeesc")
+    val dir = wh.resolve("t")
+    import spark.implicits._
+    val out = freshDir("likeesc_files")
+    Seq("abc%", "abc%tail").toDF("s").coalesce(1).write.mode("overwrite")
+      .parquet(out.resolve("match").toString)
+    Seq("zzz1", "zzz2").toDF("s").coalesce(1).write.mode("overwrite")
+      .parquet(out.resolve("other").toString)
+    val schema = Seq("x").toDF("s").schema
+    val infos = Seq("match", "other").flatMap(d =>
+      IcebergPartitioned.listParquetDeep(out.resolve(d))
+        .map(p => IcebergPartitioned.fileInfo(p, schema, Nil)))
+    IcebergLocal.append(dir, infos, 1000L, schema = Some(schema))
+    val got = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "s LIKE 'abc#%' ESCAPE '#'"))
+    assert(got.collect().map(_.getString(0)).toSeq == Seq("abc%"),
+      "non-default-escape LIKE wrongly pruned its matching file")
+    // the default-escape pure prefix still prunes (one file, not two)
+    val pre = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "s LIKE 'abc%'"))
+    assert(pre.count() == 2 && pre.inputFiles.length == 1)
+  }
+
+  test("string bounds compare in UTF-8 byte order, not UTF-16") {
+    // ADVICE r11 (low): parquet stat order is unsigned UTF-8 bytes;
+    // String.compareTo (UTF-16 units) says emoji (surrogates
+    // 0xD800–0xDFFF) sort BELOW U+E000–U+FFFF, so a `>=` against a
+    // private-use-area literal used to prune the emoji file that
+    // matches it.
+    val wh = freshDir("utf8ord")
+    val dir = wh.resolve("t")
+    import spark.implicits._
+    val out = freshDir("utf8ord_files")
+    val emoji = "🙂" // U+1F642, UTF-8 f0 9f 99 82
+    Seq(s"${emoji}a", s"${emoji}b").toDF("s").coalesce(1)
+      .write.mode("overwrite").parquet(out.toString)
+    val schema = Seq("x").toDF("s").schema
+    val infos = IcebergPartitioned.listParquetDeep(out)
+      .map(p => IcebergPartitioned.fileInfo(p, schema, Nil))
+    IcebergLocal.append(dir, infos, 1000L, schema = Some(schema))
+    val got = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "s >= ''"))
+    assert(got.count() == 2,
+      "UTF-16 comparison pruned a file whose rows all match")
+    assert(got.inputFiles.length == 1)
+    // and the dual stays selective: s < U+E000 proves empty via bounds
+    val none = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> "s < ''"))
+    assert(none.count() == 0 && none.inputFiles.length == 0)
+  }
 }
