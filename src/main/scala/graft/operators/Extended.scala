@@ -615,6 +615,48 @@ object Extended {
       } finally server.stop()
     },
 
+    // Iceberg partition-spec EVOLUTION round-trip: commit half of a
+    // year of orders under spec A = month(o_orderdate), then evolve the
+    // table to spec B = month + bucket[4](o_custkey) and commit the
+    // other half — the table now holds MIXED-SPEC manifests (spec ids 0
+    // and 1, both recorded in the metadata, default moved to 1). The
+    // pruned read must stay EXACT across both generations: each
+    // manifest prunes under the spec it was written with (per-entry
+    // spec-id resolution), and the shared o_month field prunes both.
+    // Hash-matched against the oracle's plain filtered scan.
+    GraftQuery("q_iceberg_spec_evolution",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        |  AND o_orderdate < TIMESTAMP '1995-09-01'""".stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg_specev"))
+      val tableDir = warehouse.resolve("orders")
+      val orders = t(s, dir).orders.select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+        .where("o_orderdate >= timestamp '1995-01-01' AND " +
+          "o_orderdate < timestamp '1996-01-01'")
+      IcebergPartitioned.append(orders.where("o_orderkey % 2 = 0"),
+        tableDir, "data/b0",
+        Seq(PartitionField("o_month", "o_orderdate", "month")),
+        timestampMs = 1000L)
+      IcebergPartitioned.append(orders.where("o_orderkey % 2 = 1"),
+        tableDir, "data/b1",
+        Seq(PartitionField("o_month", "o_orderdate", "month"),
+          PartitionField("o_ckb", "o_custkey", "bucket[4]")),
+        timestampMs = 2000L)
+      val server = new IcebergLocal.CatalogServer(warehouse, "lake")
+      val port = server.start()
+      try {
+        val catalog = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+        IcebergRest.read(s, catalog, "lake", "orders",
+          options = Map("filter" ->
+            ("o_orderdate >= timestamp '1995-03-01' AND " +
+              "o_orderdate < timestamp '1995-09-01'")))
+          .localCheckpoint(true)
+      } finally server.stop()
+    },
+
     GraftQuery("q_tablesample", {
       val (ctes, last) = SketchOracleSql.fmixScalarCtes("s", "k", "l_quantity", "h")
       s"""WITH k AS (SELECT l_quantity,

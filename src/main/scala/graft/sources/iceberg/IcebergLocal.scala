@@ -209,11 +209,29 @@ object IcebergLocal {
     // maxOption: a REST-created table exists with ZERO snapshots
     val snapId = prior.flatMap(_.snapshots.map(_.snapshotId).maxOption)
       .getOrElse(0L) + 1
+    val specId = partitionSpec.map(resolveSpecId(prior, _)).getOrElse(0)
     val listPath = writeSnapshotFiles(tableDir, prior, files, snapId,
-      replace, partitionSpec, schema)
+      replace, partitionSpec, schema, specId = specId)
     writeMetadata(tableDir, priorRaw, prior, files, snapId, listPath,
-      timestampMs, tag, retainLast, schema, partitionSpec)
+      timestampMs, tag, retainLast, schema, partitionSpec, specId)
   }
+
+  /** The spec id this commit's partition spec gets: a prior spec with
+    * identical fields is REUSED; anything else becomes a NEW spec at
+    * max-prior-id + 1 — partition spec EVOLUTION. Old manifests keep
+    * pruning under the spec they were written with (the reader resolves
+    * per-manifest `partition_spec_id`); new manifests are stamped with
+    * this id and the metadata's `default-spec-id` moves to it. */
+  private[iceberg] def resolveSpecId(prior: Option[IcebergTableMeta],
+      spec: Seq[PartitionField]): Int =
+    prior match {
+      case None => 0
+      case Some(m) =>
+        m.partitionSpecs.collectFirst {
+          case (id, fields) if fields == spec => id
+        }.getOrElse(
+          if (m.partitionSpecs.isEmpty) 0 else m.partitionSpecs.keys.max + 1)
+    }
 
   /** Write this commit's manifest + manifest list under
     * `tableDir/metadata` for snapshot `snapId`, carrying (and, past
@@ -231,7 +249,10 @@ object IcebergLocal {
       snapId: Long, replace: Boolean,
       partitionSpec: Option[Seq[PartitionField]],
       schema: Option[org.apache.spark.sql.types.StructType],
-      uniq: String = ""): JPath = {
+      uniq: String = "",
+      /** the spec id stamped on this commit's NEW manifest (resolved by
+        * [[resolveSpecId]]; carried prior manifests keep their own). */
+      specId: Int = 0): JPath = {
     val metaDir = tableDir.resolve("metadata")
     Files.createDirectories(metaDir)
     val partAvro = partitionSpec match {
@@ -355,16 +376,23 @@ object IcebergLocal {
         }
         val mergedPath = metaDir.resolve(f"manifest-$snapId%05d$uniq-m.avro")
         // the merged manifest's partition struct: when every carried
-        // entry shares one partition schema, keep it (pruning info
-        // survives the merge); on a mix, fall back to the empty struct
-        // — the affected files just lose partition pruning, which is
-        // conservative (never wrong)
+        // manifest shares ONE spec id and one partition schema, keep
+        // both (pruning info survives the merge, stamped with that
+        // spec); on a mix, fall back to the empty struct — a single
+        // manifest can only declare one spec_id, and labeling spec-A
+        // tuples with spec B would misread same-named fields whose
+        // transform changed. The affected files just lose partition
+        // pruning, which is conservative (never wrong).
+        val oldSpecIds = carriedData.map(_.get("partition_spec_id")
+          .asInstanceOf[Number].intValue()).distinct
         val oldPartSchemas = entries.map(_._1.get("data_file")
             .asInstanceOf[GenericRecord].getSchema)
           .flatMap(s => Option(s.getField("partition"))
             .map(f => nonNullBranch(f.schema()))).distinct
+        val keepPartitions =
+          oldSpecIds.size == 1 && oldPartSchemas.size == 1
         val mergedEntrySchema =
-          if (oldPartSchemas.size == 1) entrySchemaFor(oldPartSchemas.head)
+          if (keepPartitions) entrySchemaFor(oldPartSchemas.head)
           else manifestEntrySchema
         writeAvro(mergedPath, mergedEntrySchema, entries.map {
           case (old, seq) =>
@@ -386,7 +414,8 @@ object IcebergLocal {
         val r = new GenericData.Record(manifestFileSchema)
         r.put("manifest_path", mergedPath.toUri.toString)
         r.put("manifest_length", Files.size(mergedPath))
-        r.put("partition_spec_id", 0)
+        r.put("partition_spec_id",
+          if (keepPartitions) oldSpecIds.head else 0)
         r.put("content", 0)
         r.put("sequence_number", snapId)
         r.put("min_sequence_number", minSeq)
@@ -403,7 +432,7 @@ object IcebergLocal {
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", manifestPath.toUri.toString)
       r.put("manifest_length", Files.size(manifestPath))
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", specId)
       r.put("content", manifestContent)
       // fast-append: the manifest's data sequence number IS the commit's
       r.put("sequence_number", snapId)
@@ -439,7 +468,8 @@ object IcebergLocal {
       snapId: Long, listPath: JPath, timestampMs: Long,
       tag: Option[String], retainLast: Option[Int],
       schema: Option[org.apache.spark.sql.types.StructType],
-      partitionSpec: Option[Seq[PartitionField]]): Long = {
+      partitionSpec: Option[Seq[PartitionField]],
+      specId: Int = 0): Long = {
     val metaDir = tableDir.resolve("metadata")
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -484,23 +514,54 @@ object IcebergLocal {
     partitionSpec match {
       case Some(spec) =>
         // the committed spec, source ids resolved depth-first through
-        // the schema; partition field ids start at 1000 (spec rule)
+        // the schema; partition field ids start at 1000 (spec rule).
+        // EVOLUTION: every prior spec is carried verbatim (old
+        // manifests keep pruning under the spec id they were written
+        // with); this commit's spec either matches one of them
+        // (resolveSpecId reused its id — nothing to add) or is a NEW
+        // spec appended under `specId`, with default-spec-id moved.
         val ids = topLevelFieldIds(schema.get)
         val specs = root.putArray("partition-specs")
-        val ps = specs.addObject()
-        ps.put("spec-id", 0)
-        val fs = ps.putArray("fields")
-        spec.zipWithIndex.foreach { case (f, i) =>
-          val fn = fs.addObject()
-          fn.put("name", f.name)
-          fn.put("transform", f.transform)
-          fn.put("source-id", ids.getOrElse(f.sourceColumn,
-            throw new IllegalArgumentException(
-              s"partition source column '${f.sourceColumn}' absent from schema")))
-          fn.put("field-id", 1000 + i)
+        val priorSpecs = priorRaw.flatMap(pr =>
+          Option(pr.get("partition-specs"))).toSeq
+          .flatMap(n => (0 until n.size()).map(n.get))
+        priorSpecs.foreach(n =>
+          specs.add(n.deepCopy[com.fasterxml.jackson.databind.JsonNode]()))
+        val priorIds = priorSpecs
+          .flatMap(n => Option(n.get("spec-id")).map(_.asInt())).toSet
+        var lastPid = priorRaw
+          .map(_.path("last-partition-id").asInt(999)).getOrElse(999)
+        if (!priorIds.contains(specId)) {
+          // the spec rule: an EQUIVALENT field (same source + same
+          // transform) in any earlier spec keeps its partition field
+          // id; genuinely new fields get fresh ids past the table max
+          val reuse: Map[(Int, String), Int] = priorSpecs.flatMap(n =>
+            Option(n.get("fields")).toSeq.flatMap(fs =>
+              (0 until fs.size()).map(fs.get).flatMap { f =>
+                for {
+                  sid <- Option(f.get("source-id")).map(_.asInt())
+                  tr <- Option(f.get("transform")).map(_.asText())
+                  fid <- Option(f.get("field-id")).map(_.asInt())
+                } yield (sid, tr) -> fid
+              })).toMap
+          val ps = specs.addObject()
+          ps.put("spec-id", specId)
+          val fs = ps.putArray("fields")
+          spec.foreach { f =>
+            val sid = ids.getOrElse(f.sourceColumn,
+              throw new IllegalArgumentException(
+                s"partition source column '${f.sourceColumn}' absent from schema"))
+            val fid = reuse.getOrElse((sid, f.transform),
+              { lastPid += 1; lastPid })
+            val fn = fs.addObject()
+            fn.put("name", f.name)
+            fn.put("transform", f.transform)
+            fn.put("source-id", sid)
+            fn.put("field-id", fid)
+          }
         }
-        root.put("default-spec-id", 0)
-        root.put("last-partition-id", 999 + spec.size)
+        root.put("default-spec-id", specId)
+        root.put("last-partition-id", lastPid)
       case None => priorRaw match {
         case Some(pr) if pr.has("partition-specs") =>
           // spec-less commits carry the table's partition spec forward

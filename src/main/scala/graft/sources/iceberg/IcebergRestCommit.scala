@@ -48,8 +48,14 @@ object IcebergRestCommit {
       val snapId = parentOpt.getOrElse(0L) + 1
       val uniq = "-" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(8)
+      // the catalog's current metadata decides the manifest's spec id
+      // (same evolution rule as the local path: identical spec reuses
+      // its id; the catalog-side metadata carries the spec from create)
+      val specId = partitionSpec
+        .map(IcebergLocal.resolveSpecId(Some(prior), _)).getOrElse(0)
       val listPath = IcebergLocal.writeSnapshotFiles(tableDir, Some(prior),
-        files, snapId, replace = false, partitionSpec, schema, uniq)
+        files, snapId, replace = false, partitionSpec, schema, uniq,
+        specId = specId)
       val tagUpd = tag.map(t =>
         s""",{"action":"set-snapshot-ref","ref-name":"$t","type":"tag",""" +
           s""""snapshot-id":$snapId}""").getOrElse("")

@@ -460,6 +460,86 @@ class IcebergPartitionSpec extends AnyFunSuite {
     assert(pruned.count() == want.count())
   }
 
+  test("partition spec evolution: mixed-spec manifests prune under their own spec") {
+    val wh = freshDir("evolve")
+    val dir = wh.resolve("orders")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val specA = Seq(PartitionField("o_month", "o_orderdate", "month"))
+    val specB = Seq(PartitionField("o_month", "o_orderdate", "month"),
+      PartitionField("ckb", "o_custkey", "bucket[4]"))
+    IcebergPartitioned.append(orders.where("o_orderkey % 2 = 0"),
+      dir, "data/b0", specA, 1000L)
+    IcebergPartitioned.append(orders.where("o_orderkey % 2 = 1"),
+      dir, "data/b1", specB, 2000L)
+    // an identical-spec commit REUSES its id instead of minting spec 2
+    IcebergPartitioned.append(orders.where("o_orderkey % 100 = 50"),
+      dir, "data/b2", specB, 3000L)
+    val meta = IcebergLocal.currentMetadata(dir).get
+    assert(meta.partitionSpecs(0) == specA, "spec A lost by evolution")
+    assert(meta.partitionSpecs(1) == specB, "spec B not recorded")
+    assert(meta.partitionSpecs.keySet == Set(0, 1),
+      "identical re-commit minted a new spec id")
+    assert(meta.defaultSpecId == 1)
+    // the spec rule: the shared o_month field keeps its partition field
+    // id across specs; the new bucket field gets a fresh one
+    val metaFiles = {
+      val s = java.nio.file.Files.list(dir.resolve("metadata"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".metadata.json"))
+      } finally s.close()
+    }
+    val raw = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(metaFiles.maxBy(p =>
+        p.getFileName.toString.stripPrefix("v")
+          .stripSuffix(".metadata.json").toIntOption.getOrElse(0))))
+    val specNodes = (0 until raw.get("partition-specs").size())
+      .map(raw.get("partition-specs").get)
+    def fieldId(specId: Int, name: String): Int = {
+      val sp = specNodes.find(_.get("spec-id").asInt() == specId).get
+      (0 until sp.get("fields").size()).map(sp.get("fields").get)
+        .find(_.get("name").asText() == name).get.get("field-id").asInt()
+    }
+    assert(fieldId(0, "o_month") == fieldId(1, "o_month"),
+      "equivalent field must reuse its partition field id")
+    assert(fieldId(1, "ckb") > fieldId(1, "o_month"))
+    // manifests are stamped with the spec they were written under
+    val scan = IcebergManifests.scanFiles(spark,
+      meta.snapshots.maxBy(_.snapshotId).manifestList)
+    assert(scan.dataEntries.map(_.specId).toSet == Set(0, 1))
+    // a date filter prunes BOTH generations (o_month lives in each spec)
+    val f1 = "o_orderdate >= date '1995-03-01' AND " +
+      "o_orderdate < date '1995-06-01'"
+    val pruned = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> f1))
+    val full = IcebergRest.readLocal(spark, dir).where(f1)
+    assert(pruned.count() == full.count() && full.count() > 0)
+    val keptDate = IcebergPrune.prune(spark, scan, meta, orders.schema, f1)
+    def bySpec(s: IcebergScanFiles) =
+      s.dataEntries.groupBy(_.specId).view.mapValues(_.size).toMap
+    assert(bySpec(keptDate)(0) < bySpec(scan)(0), "spec-A files not pruned")
+    assert(bySpec(keptDate)(1) < bySpec(scan)(1), "spec-B files not pruned")
+    // a custkey equality prunes ONLY spec-B files (spec A carries no
+    // bucket info — all its files must survive), results stay exact
+    val ck = orders.select("o_custkey").head().getLong(0)
+    val f2 = s"o_custkey = $ck"
+    val prunedCk = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> f2))
+    val fullCk = IcebergRest.readLocal(spark, dir).where(f2)
+    assert(prunedCk.count() == fullCk.count() && fullCk.count() > 0)
+    val keptCk = IcebergPrune.prune(spark, scan, meta, orders.schema, f2)
+    // spec-A files carry NO bucket tuple, so only their o_custkey
+    // column bounds may prune them (a handful of narrow-range files);
+    // a bucket[4] misapplied across specs would kill ~3/4 of them
+    assert(bySpec(keptCk)(0) > bySpec(scan)(0) * 3 / 4,
+      s"spec-A files wrongly pruned by a bucket only spec B has: " +
+        s"${bySpec(keptCk)(0)} of ${bySpec(scan)(0)} kept")
+    assert(bySpec(keptCk)(1) < bySpec(scan)(1),
+      "spec-B bucket partition did not prune")
+  }
+
   test("bucket[N] on a timestamp column hashes epoch-micros; writer = pruner") {
     // ADVICE r11 (high): the writer used to hash cast("long") = epoch
     // SECONDS while the pruner hashes the literal's epoch MICROS (the
