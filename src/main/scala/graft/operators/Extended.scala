@@ -657,6 +657,56 @@ object Extended {
       } finally server.stop()
     },
 
+    // Prune × MoR × TIME-TRAVEL, composed: a partitioned table accretes
+    // a positional-delete commit (DELETE WHERE), an equality-delete
+    // upsert (two snapshots: eq-delete then data), and a LATER data
+    // commit — then reads AS-OF the upsert's timestamp WITH a pruning
+    // predicate. The pruned as-of read must (a) resolve the snapshot
+    // from the travel timestamp, (b) prune data files under the
+    // partition spec while KEEPING every delete file that applies to a
+    // surviving data file, (c) apply both delete kinds with their
+    // sequence-number gates, and (d) leave the post-travel commit
+    // invisible. Hash-matched against the oracle's replayed state.
+    GraftQuery("q_iceberg_travel_prune",
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 7 AND o_orderkey % 3 <> 0
+        |       THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        |  AND o_orderdate < TIMESTAMP '1995-09-01'
+        |  AND o_orderkey % 3 <> 0""".stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg_travel"))
+      val tableDir = warehouse.resolve("orders")
+      val orders = t(s, dir).orders.select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      val y95 = orders.where("o_orderdate >= timestamp '1995-01-01' AND " +
+        "o_orderdate < timestamp '1996-01-01'")
+      IcebergPartitioned.append(y95, tableDir, "data/b0",
+        Seq(PartitionField("o_month", "o_orderdate", "month")), 1000L)
+      var now = 1000L
+      val clock = () => { now += 1000L; now }
+      IcebergMaintenance.deleteWhere(s, tableDir, "o_orderkey % 3 = 0", clock)
+      val committer = graft.streaming.IcebergSink.upsertCommitter(
+        tableDir, keyCols = Seq("o_orderkey"), clock = clock)
+      committer(y95.where("o_orderkey % 10 = 7 AND o_orderkey % 3 <> 0")
+        .withColumn("o_totalprice", col("o_totalprice") + lit(50.0)), 1L)
+      val travelAt = now
+      // a post-travel commit: 1996 rows must stay invisible as-of travelAt
+      IcebergPartitioned.append(
+        orders.where("o_orderdate >= timestamp '1996-01-01' AND " +
+          "o_orderdate < timestamp '1997-01-01'"),
+        tableDir, "data/b1",
+        Seq(PartitionField("o_month", "o_orderdate", "month")), clock())
+      IcebergRest.readLocal(s, tableDir,
+        spec = Some(graft.sources.SnapshotLog.ByTimestamp(travelAt)),
+        options = Map("filter" ->
+          ("o_orderdate >= timestamp '1995-03-01' AND " +
+            "o_orderdate < timestamp '1995-09-01'")))
+        .localCheckpoint(true)
+    },
+
     GraftQuery("q_tablesample", {
       val (ctes, last) = SketchOracleSql.fmixScalarCtes("s", "k", "l_quantity", "h")
       s"""WITH k AS (SELECT l_quantity,

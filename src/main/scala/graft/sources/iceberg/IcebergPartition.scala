@@ -544,8 +544,23 @@ object IcebergPrune {
     case a: AttributeReference => Some(a.name)
     case Cast(a: AttributeReference, dt, _, _)
         if numericish(a.dataType) && numericish(dt) => Some(a.name)
+    // `ntz_col >= timestamp '...'`: coercion casts the COLUMN to
+    // TimestampType, hiding the attribute. At a UTC cast zone the cast
+    // is the IDENTITY on epoch-micros (both flavors store micros, and
+    // UTC wall time = instant), so unwrapping is exact — under any
+    // other zone the cast shifts instants and the case must not match.
+    case Cast(a: AttributeReference, TimestampType, tz, _)
+        if a.dataType == TimestampNTZType && tz.exists(utcZone) =>
+      Some(a.name)
+    case Cast(a: AttributeReference, TimestampNTZType, tz, _)
+        if a.dataType == TimestampType && tz.exists(utcZone) =>
+      Some(a.name)
     case _ => None
   }
+
+  private def utcZone(tz: String): Boolean =
+    try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+    catch { case _: Exception => false }
 
   private def numericish(dt: DataType): Boolean = dt match {
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType |

@@ -460,6 +460,50 @@ class IcebergPartitionSpec extends AnyFunSuite {
     assert(pruned.count() == want.count())
   }
 
+  test("prune × MoR × time travel: the pruned as-of read keeps its delete files") {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val wh = freshDir("travel")
+    val dir = wh.resolve("orders")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    IcebergPartitioned.append(orders, dir, "data/b0",
+      Seq(PartitionField("o_month", "o_orderdate", "month")), 1000L)
+    var now = 1000L
+    val clock = () => { now += 1000L; now }
+    // s2: positional deletes; s3+s4: equality-delete upsert (price bump)
+    IcebergMaintenance.deleteWhere(spark, dir, "o_orderkey % 3 = 0", clock)
+    val committer = graft.streaming.IcebergSink.upsertCommitter(
+      dir, keyCols = Seq("o_orderkey"), clock = clock)
+    committer(orders.where("o_orderkey % 10 = 7 AND o_orderkey % 3 <> 0")
+      .withColumn("o_totalprice", col("o_totalprice") + lit(50.0)), 1L)
+    val travelAt = now
+    // s5 AFTER the travel point: must not apply to the as-of read
+    IcebergMaintenance.deleteWhere(spark, dir, "o_orderkey % 10 = 1", clock)
+    // timestamp literal on the NTZ column: the UTC cast unwrap must
+    // still derive the pruning predicate through the coercion cast
+    val filter = "o_orderdate >= timestamp '1995-03-01' AND " +
+      "o_orderdate < timestamp '1995-06-01'"
+    val got = IcebergRest.readLocal(spark, dir,
+      spec = Some(graft.sources.SnapshotLog.ByTimestamp(travelAt)),
+      options = Map("filter" -> filter))
+    val expect = orders.where(filter).where("o_orderkey % 3 <> 0")
+      .withColumn("o_totalprice",
+        when(expr("o_orderkey % 10 = 7"), col("o_totalprice") + 50.0)
+          .otherwise(col("o_totalprice")))
+    assert(got.count() == expect.count() && expect.count() > 0)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // pruning was ACTIVE on the as-of read: of ~80 month files, only
+    // the window's survive — while BOTH delete files still applied
+    assert(got.inputFiles.count(_.contains("/data/b0/")) <= 4,
+      s"as-of read did not prune: ${got.inputFiles.count(_.contains("/data/b0/"))} base files")
+    // rows the post-travel delete targets are still visible as-of then
+    assert(got.where("o_orderkey % 10 = 1").count() > 0)
+    val cur = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> filter))
+    assert(cur.where("o_orderkey % 10 = 1").count() == 0,
+      "current read must apply the newest delete")
+  }
+
   test("partition spec evolution: mixed-spec manifests prune under their own spec") {
     val wh = freshDir("evolve")
     val dir = wh.resolve("orders")
