@@ -193,6 +193,120 @@ object Multimodal {
     }
   }
 
+  /** 256-gray palette: GIF is 8-bit indexed, and a gray palette whose
+    * entry i is (i,i,i) makes the encode LOSSLESS — the decoded red
+    * channel IS the original pixel byte, so container bugs (not codec
+    * quantization) are the only thing that can break the hash. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** ENCODE a real multi-frame ANIMATED GIF through ImageIO's sequence
+    * writer: `nf` full-size indexed frames, frame f's pixel (x,y) =
+    * (d*31 + f*101 + x*7 + y*13) % 256 — the formula the DuckDB oracle
+    * recomputes arithmetically. */
+  private[graft] def encodeGif(d: Long, w: Int, h: Int, nf: Int)
+      : Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          data(i) = ((d * 31 + f * 101 + x * 7 + y * 13) % 256).toByte
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** DEMUX a real GIF container: frame count read from the stream,
+    * each frame decoded independently, pixels back as the raw byte
+    * plane (gray palette: red channel == index == original byte). */
+  private[graft] def demuxGif(bytes: Array[Byte])
+      : Seq[(Int, Int, Array[Byte])] = {
+    val reader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    reader.setInput(iis, false, true)
+    try {
+      val n = reader.getNumImages(true)
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        val px = rgbOf(img)
+        val out = new Array[Byte](px.length)
+        var j = 0
+        while (j < out.length) {
+          out(j) = ((px(j) >> 16) & 0xff).toByte
+          j += 1
+        }
+        (img.getWidth, img.getHeight, out)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  val frameSampleSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false)))
+
+  val frameBytesSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("fr", org.apache.spark.sql.types.BinaryType,
+      nullable = false)))
+
+  /** Per-asset GIF encode → container demux, shared by the frame
+    * queries: one codec instance per partition, map-only, frames never
+    * wider than the 8-frame grid. */
+  private def demuxedFrames(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir).documents.select(col("doc_id"))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(frameBytesSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(0)
+        val w = 8 + (d % 5).toInt
+        val h = 8 + (d % 3).toInt
+        val nf = 2 + (d % 7).toInt
+        val gif = encodeGif(d, w, h, nf) // REAL animated-GIF encode
+        val frames = demuxGif(gif)       // REAL container demux
+        require(frames.size == nf,
+          s"demux found ${frames.size} frames, wrote $nf")
+        frames.zipWithIndex.map { case ((fw, fh, bytes), i) =>
+          require(fw == w && fh == h, s"frame $i decoded ${fw}x$fh, wrote ${w}x$h")
+          Row(d, i.toLong, bytes)
+        }
+      }
+    }
+  }
+
   val defs: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------- REAL image codec
@@ -345,47 +459,71 @@ object Multimodal {
         }
     },
 
-    // Frame sampling: slice the opaque payload at a fixed stride into
-    // bounded "frames" (the video-sampling shape: per-asset explode, frame
-    // count capped, bytes never shuffled beyond the exploded frames). Fully
-    // declarative — sequence/filter/explode/substring are codegen'd — and
-    // DuckDB-oracled: this corpus is pure ASCII, so byte slicing of the
-    // binary payload equals character slicing of the text (asserted by the
-    // n_bytes = length(text) check the oracle WHERE clause relies on).
+    // Frame sampling through a REAL container: each asset encodes a
+    // multi-frame ANIMATED GIF (ImageIO sequence writer, lossless gray
+    // palette), then DEMUXES it back — frame count read from the
+    // stream, every frame decoded by the JDK's GIF codec — and reports
+    // per-frame dimensions + pixel sums from the DECODED planes. The
+    // oracle recomputes the generator arithmetic: a frame-count,
+    // disposal, palette, or stride bug in the demux breaks the hash.
+    // Shape at 100 TB: per-asset encode+demux is map-only inside one
+    // partition; frames (≤8, ~150 bytes) are the only exploded rows.
     GraftQuery("m_frame_sample",
-      """SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_idx,
-        |  md5(substring(text, CAST(i*64 + 1 AS BIGINT), 32)) AS frame_md5
-        |FROM documents, UNNEST([0,1,2,3,4,5,6,7]) AS t(i)
-        |WHERE i*64 + 32 <= length(text)""".stripMargin) { (s, dir) =>
-      assets(s, dir)
-        .select(col("asset_id"), col("payload"),
-          octet_length(col("payload")).as("n_bytes"))
-        .select(col("asset_id"), col("payload"),
-          explode(expr(
-            "filter(sequence(0, 7), i -> i*64 + 32 <= n_bytes)")).as("i"))
-        .select(col("asset_id"), col("i").cast("bigint").as("frame_idx"),
-          md5(expr("substring(payload, i*64 + 1, 32)")).as("frame_md5"))
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+        |                     2 + doc_id % 7 AS nf FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM dims),
+        |xs AS (SELECT doc_id, w, h, f, unnest(range(0, w)) AS x FROM fr),
+        |px AS (SELECT doc_id, w, h, f, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(sum((doc_id*31 + f*101 + x*7 + y*13) % 256) AS BIGINT) AS pix_sum
+        |FROM px GROUP BY doc_id, f, w, h""".stripMargin) { (s, dir) =>
+      val df = t(s, dir).documents.select(col("doc_id"))
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(frameSampleSchema)
+      df.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val d = r.getLong(0)
+          val w = 8 + (d % 5).toInt
+          val h = 8 + (d % 3).toInt
+          val nf = 2 + (d % 7).toInt
+          val frames = demuxGif(encodeGif(d, w, h, nf))
+          require(frames.size == nf,
+            s"demux found ${frames.size} frames, wrote $nf")
+          frames.zipWithIndex.map { case ((fw, fh, bytes), i) =>
+            var sum = 0L
+            var j = 0
+            while (j < bytes.length) { sum += bytes(j) & 0xff; j += 1 }
+            Row(d, i.toLong, fw, fh, sum)
+          }
+        }
+      }
     },
 
-    // Scene-change keyframe selection: per-frame perceptual hashes, and
-    // a frame is a KEYFRAME when its pHash sits ≥ 16 Hamming bits from
-    // the previous frame's (or it is the first) — the video-curation
-    // step that picks which frames of a clip feed a VLM training set,
-    // dropping near-static runs. Per-media work only: the lag window
-    // partitions by asset (≤ 8 frames per partition — bounded by the
-    // sampling grid, never corpus cardinality), and the 8-byte hashes
-    // are the only thing compared. Fully oracled: frame slicing via the
-    // ASCII byte==char identity, the per-frame pHash via the same
-    // re-derivation as m_phash, xor/bit_count for the distance.
+    // Scene-change keyframe selection over REAL demuxed frames: the
+    // per-asset animated GIF is decoded back frame by frame (same
+    // container path as m_frame_sample), each DECODED pixel plane gets
+    // a perceptual hash, and a frame is a KEYFRAME when its pHash sits
+    // ≥ 16 Hamming bits from the previous frame's (or it is the first)
+    // — the video-curation step that picks which frames of a clip feed
+    // a VLM training set, dropping near-static runs. Per-media work
+    // only: the lag window partitions by asset (≤ 8 frames per
+    // partition — bounded by the frame grid, never corpus cardinality),
+    // and the 8-byte hashes are the only thing compared. Fully oracled:
+    // the oracle regenerates the pixel planes arithmetically and
+    // re-derives the same pHash (as m_phash), xor/bit_count distance.
     GraftQuery("m_keyframes",
-      """WITH frames AS (
-        |  SELECT doc_id, i AS frame_idx, substring(text, i*64 + 1, 32) AS fr
-        |  FROM documents, UNNEST([0,1,2,3,4,5,6,7]) AS t(i)
-        |  WHERE i*64 + 32 <= length(text)),
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+        |                     2 + doc_id % 7 AS nf FROM documents),
+        |fs AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS frame_idx FROM dims),
+        |pix AS (SELECT doc_id, frame_idx, w * h AS len,
+        |  list_transform(range(0, w * h),
+        |    p -> (doc_id*31 + frame_idx*101 + (p % w)*7 + (p // w)*13) % 256) AS bytes
+        |  FROM fs),
         |sm AS (SELECT doc_id, frame_idx,
         |  list_transform(range(0, 63),
-        |    i -> ord(substr(fr, CAST(i * length(fr) // 63 AS INTEGER) + 1, 1))) AS sm
-        |  FROM frames),
+        |    i -> bytes[CAST(i * len // 63 AS INTEGER) + 1]) AS sm
+        |  FROM pix),
         |ph AS (SELECT doc_id, frame_idx,
         |  CAST(list_sum(list_transform(range(0, 63),
         |    i -> CASE WHEN sm[i + 1] * 63 > list_sum(sm)
@@ -402,14 +540,9 @@ object Multimodal {
       graft.functions.VectorFunctions.register(s)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("asset_id")).orderBy(col("frame_idx"))
-      assets(s, dir)
-        .select(col("asset_id"), col("payload"),
-          octet_length(col("payload")).as("n_bytes"))
-        .select(col("asset_id"), col("payload"),
-          explode(expr(
-            "filter(sequence(0, 7), i -> i*64 + 32 <= n_bytes)")).as("i"))
-        .select(col("asset_id"), col("i").cast("bigint").as("frame_idx"),
-          expr("graft_phash63(substring(payload, i*64 + 1, 32))").as("h"))
+      demuxedFrames(s, dir)
+        .select(col("asset_id"), col("frame_idx"),
+          expr("graft_phash63(fr)").as("h"))
         .withColumn("hp", lag(col("h"), 1).over(w))
         .select(col("asset_id"), col("frame_idx"),
           when(col("hp").isNull, lit(null).cast("int"))

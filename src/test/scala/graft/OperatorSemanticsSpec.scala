@@ -953,18 +953,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(k.compute(Array.empty).isEmpty)
   }
 
-  test("frame sampling emits one frame per full stride window, capped at 8") {
+  test("frame sampling demuxes one row per real GIF frame") {
     val frames = run("m_frame_sample")
       .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"))
     val expected = Tables(spark, sf).documents.select(
       col("doc_id").as("asset_id"),
-      when(length(col("text")) < 32, 0L)
-        .otherwise(least(lit(8L), floor((length(col("text")) - 32) / 64) + 1))
-        .as("expected"))
-      .filter(col("expected") > 0)
+      (lit(2L) + col("doc_id") % 7).as("expected"))
     val joined = expected.join(frames, Seq("asset_id"), "left")
     assert(joined.filter(col("n_frames").isNull ||
       col("n_frames") =!= col("expected")).count() == 0)
+  }
+
+  test("animated-GIF encode → demux is lossless on the gray palette") {
+    // the container contract behind m_frame_sample/m_keyframes: the
+    // GIF sequence writer + reader must round-trip every frame's pixel
+    // plane EXACTLY (gray palette: index == color == original byte)
+    val frames = graft.operators.Multimodal.demuxGif(
+      graft.operators.Multimodal.encodeGif(42L, 9, 8, 5))
+    assert(frames.size == 5, "demux must find every written frame")
+    frames.zipWithIndex.foreach { case ((w, h, bytes), f) =>
+      assert(w == 9 && h == 8 && bytes.length == 72)
+      for (y <- 0 until 8; x <- 0 until 9)
+        assert((bytes(y * 9 + x) & 0xff) ==
+          ((42L * 31 + f * 101 + x * 7 + y * 13) % 256).toInt,
+          s"frame $f pixel ($x,$y) corrupted by the container round-trip")
+    }
   }
 
   test("decode stub produces deterministic byte features") {
