@@ -202,13 +202,22 @@ object Extended {
     },
 
     // HLL sketch (extension beyond the reference — SURVEY.md §2.2 notes
-    // none exist there). Sketch values are engine-specific → rows-only
-    // check here — PRINCIPLED, not a gap: an estimate has no cross-engine
-    // hash. Its EXACT TWIN travels in the same result (`exact_parts`,
-    // the true distinct count the estimate is judged against), the spec
-    // asserts <5% relative error, and the exact-distinct pathway itself
-    // is hash-oracled by q_agg_distinct.
-    GraftQuery.unverified("q_approx_distinct") { (s, dir) =>
+    // none exist there). Spark's HLL++ estimate is engine-specific, so
+    // the raw value has no cross-engine hash — instead the estimate is
+    // judged IN-QUERY against its exact twin and the result carries
+    // (exact, error-within-spec boolean), which DOES hash: the oracle
+    // recomputes the exact count and pins the boolean TRUE, so a
+    // drifting sketch (bucket hash, bias correction, merge bug) flips
+    // the bit and fails the driver gate. The sketch itself is
+    // deterministic per dataset and partition-count-independent (the
+    // HLL merge is an exact max-per-register), so the boolean is
+    // stable. The fully hash-oracled sketch — registers, checksum, and
+    // estimate recomputed bit-for-bit by DuckDB — is q_hll_portable.
+    GraftQuery("q_approx_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
       // HLL is duplicate-insensitive, so both the sketch and the exact
       // count read the deduplicated (flag, partkey) relation — one
       // map-side-combinable shuffle instead of Expand + distinct handling.
@@ -217,6 +226,9 @@ object Extended {
         .groupBy(col("l_returnflag")).agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           count(lit(1)).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("within_bound"))
     },
 
     // Portable HyperLogLog (Flajolet-Fuchs-Gandouet-Meunier 2007) — the

