@@ -828,6 +828,85 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("REST commit stress: 8 writers × 4 commits, no lost snapshot, linear history") {
+    // the two-thread race scaled up: 8 concurrent writers each land 4
+    // tagged commits with jittered pacing, every one riding the CAS
+    // retry loop. Linearizability contract: snapshot ids are exactly
+    // the contiguous range (no gap, no duplicate, no overwrite), every
+    // writer's own commits land in its session order, all 32 tags
+    // resolve to 32 DISTINCT snapshots, and the final read is the
+    // union of every commit's rows.
+    import spark.implicits._
+    val root = Files.createTempDirectory("ice-stress")
+    val dir = root.resolve("t")
+    IcebergLocal.append(dir, partFiles(Seq((-1, -1)).toDF("w", "c")),
+      timestampMs = 1000L, schema = Some(Seq((-1, -1)).toDF("w", "c").schema))
+    val server = new IcebergLocal.CatalogServer(root, "lake")
+    val port = server.start()
+    val writers = 8
+    val commitsEach = 4
+    try {
+      val cat = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+      // pre-write every commit's data file (Spark jobs stay out of the
+      // racing threads; manifest prep still re-runs per CAS attempt
+      // inside append, which is the contended path under test)
+      val files = (0 until writers).map(i => (0 until commitsEach).map(j =>
+        partFiles(Seq((i, j)).toDF("w", "c"))))
+      import java.util.concurrent.{CountDownLatch, Executors}
+      val pool = Executors.newFixedThreadPool(writers)
+      val gate = new CountDownLatch(1)
+      val landed =
+        new java.util.concurrent.ConcurrentHashMap[(Int, Int), Long]()
+      val tasks = (0 until writers).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            gate.await()
+            val jitter = new scala.util.Random(i * 7919)
+            (0 until commitsEach).foreach { j =>
+              Thread.sleep(jitter.nextInt(7).toLong)
+              val s = IcebergRestCommit.append(cat, "lake", "t", dir,
+                files(i)(j), 2000L + i * 10 + j, tag = Some(s"w$i-c$j"),
+                maxRetries = 200)
+              landed.put((i, j), s)
+            }
+          }
+        })
+      }
+      gate.countDown()
+      tasks.foreach(_.get())
+      pool.shutdown()
+      val total = writers * commitsEach
+      assert(landed.size == total, "a writer died mid-stress")
+      import scala.jdk.CollectionConverters._
+      val snaps = landed.asScala.toMap
+      // no lost snapshot, no duplicate, contiguous range = linear history
+      assert(snaps.values.toSet == (2L to (total + 1).toLong).toSet,
+        s"snapshot ids not the contiguous range: ${snaps.values.toSeq.sorted}")
+      // each writer's commits land in ITS order
+      for (i <- 0 until writers; j <- 0 until commitsEach - 1)
+        assert(snaps((i, j)) < snaps((i, j + 1)),
+          s"writer $i commit $j landed after commit ${j + 1}")
+      val meta = cat.loadTable("lake", "t")
+      assert(meta.snapshots.map(_.snapshotId).sorted ==
+        (1L to (total + 1).toLong))
+      assert(meta.currentSnapshotId.contains((total + 1).toLong))
+      // all 32 tags present, on the snapshots their writers reported
+      for (i <- 0 until writers; j <- 0 until commitsEach)
+        assert(meta.refs.get(s"w$i-c$j").map(_._2).contains(snaps((i, j))),
+          s"tag w$i-c$j lost or moved")
+      // the union read: one row per commit plus the base row
+      val after = IcebergRest.read(spark, cat, "lake", "t")
+      assert(after.count() == total + 1, "a racing writer's rows were lost")
+      assert(after.as[(Int, Int)].collect().toSet ==
+        ((-1, -1) +: (for (i <- 0 until writers; j <- 0 until commitsEach)
+          yield (i, j))).toSet)
+    } finally {
+      server.stop()
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("the catalog server works from a relative warehouse path") {
     val rel = java.nio.file.Paths.get("").toAbsolutePath
       .relativize(warehouse)
