@@ -207,11 +207,21 @@ object Multimodal {
     * (d*31 + f*101 + x*7 + y*13) % 256 — the formula the DuckDB oracle
     * recomputes arithmetically. */
   private[graft] def encodeGif(d: Long, w: Int, h: Int, nf: Int)
-      : Array[Byte] = {
-    val writer = javax.imageio.ImageIO
-      .getImageWritersByFormatName("gif").next()
+      : Array[Byte] =
+    encodeGifWith(javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next(), d, w, h, nf)
+
+  /** [[encodeGif]] with a CALLER-OWNED writer — the per-partition reuse
+    * path: ImageIO's registry lookup + writer construction per asset is
+    * pure overhead when a partition encodes thousands of assets. */
+  private[graft] def encodeGifWith(writer: javax.imageio.ImageWriter,
+      d: Long, w: Int, h: Int, nf: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // MEMORY-cache stream, explicitly: ImageIO.createImageOutputStream
+    // defaults to a disk-backed FileCache stream — a temp FILE created
+    // and deleted per asset, which dominates the cost at thousands of
+    // tiny assets per task
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     var f = 0
@@ -236,7 +246,6 @@ object Multimodal {
     }
     writer.endWriteSequence()
     ios.close()
-    writer.dispose()
     bos.toByteArray
   }
 
@@ -244,10 +253,15 @@ object Multimodal {
     * each frame decoded independently, pixels back as the raw byte
     * plane (gray palette: red channel == index == original byte). */
   private[graft] def demuxGif(bytes: Array[Byte])
-      : Seq[(Int, Int, Array[Byte])] = {
-    val reader = javax.imageio.ImageIO
-      .getImageReadersByFormatName("gif").next()
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+      : Seq[(Int, Int, Array[Byte])] =
+    demuxGifWith(javax.imageio.ImageIO
+      .getImageReadersByFormatName("gif").next(), bytes)
+
+  /** [[demuxGif]] with a CALLER-OWNED reader (per-partition reuse). */
+  private[graft] def demuxGifWith(reader: javax.imageio.ImageReader,
+      bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+    // memory-cache stream for the same reason as the encode side
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     reader.setInput(iis, false, true)
     try {
@@ -263,10 +277,7 @@ object Multimodal {
         }
         (img.getWidth, img.getHeight, out)
       }
-    } finally {
-      reader.dispose()
-      iis.close()
-    }
+    } finally iis.close()
   }
 
   val frameSampleSchema: StructType = StructType(Seq(
@@ -290,13 +301,19 @@ object Multimodal {
     implicit val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(frameBytesSchema)
     df.mapPartitions { rows =>
+      // ONE codec pair per partition — registry lookup + construction
+      // per asset is pure overhead at thousands of assets per task
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
       rows.flatMap { r =>
         val d = r.getLong(0)
         val w = 8 + (d % 5).toInt
         val h = 8 + (d % 3).toInt
         val nf = 2 + (d % 7).toInt
-        val gif = encodeGif(d, w, h, nf) // REAL animated-GIF encode
-        val frames = demuxGif(gif)       // REAL container demux
+        val gif = encodeGifWith(writer, d, w, h, nf) // REAL GIF encode
+        val frames = demuxGifWith(reader, gif)       // REAL demux
         require(frames.size == nf,
           s"demux found ${frames.size} frames, wrote $nf")
         frames.zipWithIndex.map { case ((fw, fh, bytes), i) =>
@@ -482,12 +499,16 @@ object Multimodal {
       implicit val enc: ExpressionEncoder[Row] =
         ExpressionEncoder(frameSampleSchema)
       df.mapPartitions { rows =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
         rows.flatMap { r =>
           val d = r.getLong(0)
           val w = 8 + (d % 5).toInt
           val h = 8 + (d % 3).toInt
           val nf = 2 + (d % 7).toInt
-          val frames = demuxGif(encodeGif(d, w, h, nf))
+          val frames = demuxGifWith(reader, encodeGifWith(writer, d, w, h, nf))
           require(frames.size == nf,
             s"demux found ${frames.size} frames, wrote $nf")
           frames.zipWithIndex.map { case ((fw, fh, bytes), i) =>
