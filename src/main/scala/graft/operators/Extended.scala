@@ -652,10 +652,13 @@ object Extended {
         tableDir, "data/b0",
         Seq(PartitionField("o_month", "o_orderdate", "month")),
         timestampMs = 1000L)
+      // bucket[2] keeps the fixture at 12 + 24 files — the SPEC test
+      // exercises bucket[4] pruning; here the mixed-spec read is the
+      // contract and file count is pure fixture cost
       IcebergPartitioned.append(orders.where("o_orderkey % 2 = 1"),
         tableDir, "data/b1",
         Seq(PartitionField("o_month", "o_orderdate", "month"),
-          PartitionField("o_ckb", "o_custkey", "bucket[4]")),
+          PartitionField("o_ckb", "o_custkey", "bucket[2]")),
         timestampMs = 2000L)
       val server = new IcebergLocal.CatalogServer(warehouse, "lake")
       val port = server.start()
@@ -705,10 +708,11 @@ object Extended {
       committer(y95.where("o_orderkey % 10 = 7 AND o_orderkey % 3 <> 0")
         .withColumn("o_totalprice", col("o_totalprice") + lit(50.0)), 1L)
       val travelAt = now
-      // a post-travel commit: 1996 rows must stay invisible as-of travelAt
+      // a post-travel commit: 1996-Q1 rows must stay invisible as-of
+      // travelAt (one quarter suffices — 3 partitions, not 12)
       IcebergPartitioned.append(
         orders.where("o_orderdate >= timestamp '1996-01-01' AND " +
-          "o_orderdate < timestamp '1997-01-01'"),
+          "o_orderdate < timestamp '1996-04-01'"),
         tableDir, "data/b1",
         Seq(PartitionField("o_month", "o_orderdate", "month")), clock())
       IcebergRest.readLocal(s, tableDir,
