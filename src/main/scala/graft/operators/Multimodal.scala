@@ -96,6 +96,16 @@ object Multimodal {
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("energy", LongType, nullable = false)))
 
+  val ulawSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("halved_bytes", org.apache.spark.sql.types.BooleanType,
+      nullable = false),
+    StructField("codebook_bounded", org.apache.spark.sql.types.BooleanType,
+      nullable = false),
+    StructField("error_bounded", org.apache.spark.sql.types.BooleanType,
+      nullable = false)))
+
   /** Render the deterministic per-asset RGB image straight into the
     * TYPE_INT_RGB backing array — one store per pixel. `setRGB` runs a
     * color-model conversion per CALL (the classic ImageIO slow path);
@@ -430,6 +440,78 @@ object Multimodal {
             i += 1
           }
           Row(d, m.toLong, bf.getSampleRate.toInt, energy)
+        }
+      }
+    },
+
+    // ------------------------------------------------ REAL LOSSY codec
+    // G.711 μ-law through javax.sound.sampled — an actual LOSSY audio
+    // codec (logarithmic companding, 16 → 8 bits/sample), not a stub:
+    // each asset synthesizes full-range 16-bit PCM, ENCODES it to μ-law
+    // via the JDK's format-conversion provider, DECODES back to PCM,
+    // and reports the lossy-codec signature as hashable booleans the
+    // oracle pins TRUE: (a) the encoded stream is exactly half the PCM
+    // bytes (real compression), (b) the decoded signal collapses to
+    // ≤ 256 distinct values (the 8-bit codebook — PROOF of lossiness,
+    // since the input carries far more), (c) every sample's quantization
+    // error stays inside the G.711 segment bound (a channel/endianness/
+    // bias bug produces near-full-scale error). Same 100 TB shape as
+    // every codec here: map-only, one converter chain per row batch,
+    // samples never shuffle.
+    GraftQuery("m_ulaw_roundtrip",
+      """WITH dims AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents)
+        |SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_samples,
+        |  TRUE AS halved_bytes, TRUE AS codebook_bounded,
+        |  TRUE AS error_bounded
+        |FROM dims""".stripMargin) { (s, dir) =>
+      val df = t(s, dir).documents.select(col("doc_id"))
+      implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(ulawSchema)
+      df.mapPartitions { rows =>
+        import javax.sound.sampled._
+        val pcmFmt = new AudioFormat(8000f, 16, 1, true, false)
+        rows.map { r =>
+          val d = r.getLong(0)
+          val n = 64 + (d % 64).toInt
+          val orig = new Array[Int](n)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            // full-range signal so every μ-law segment is exercised
+            val v = (((d * 37 + i.toLong * 97) % 60001) - 30000).toInt
+            orig(i) = v
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val src = new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), pcmFmt, n.toLong)
+          val ulaw = AudioSystem.getAudioInputStream(
+            AudioFormat.Encoding.ULAW, src) // REAL lossy encode
+          val encBytes = ulaw.readAllBytes()
+          val ulawFmt = ulaw.getFormat
+          val back = AudioSystem.getAudioInputStream(pcmFmt,
+            new AudioInputStream(new java.io.ByteArrayInputStream(encBytes),
+              ulawFmt, encBytes.length / ulawFmt.getFrameSize)) // REAL decode
+          val dec = back.readAllBytes()
+          val m = dec.length / 2
+          val seen = new java.util.HashSet[Integer]()
+          var maxErr = 0
+          i = 0
+          while (i < m) {
+            val v = ((dec(2 * i + 1).toInt << 8) | (dec(2 * i) & 0xff))
+            seen.add(Integer.valueOf(v))
+            if (i < n) {
+              val e = math.abs(v - orig(i))
+              if (e > maxErr) maxErr = e
+            }
+            i += 1
+          }
+          // G.711's widest segment step is 256 in the 14-bit domain =
+          // 1024 at 16 bits → worst quantization error ≤ 512 + bias
+          // rounding; 1024 is a loose-but-meaningful bound (a byte-order
+          // or sign bug lands in the tens of thousands)
+          Row(d, m.toLong, encBytes.length == n, seen.size() <= 256,
+            m == n && maxErr <= 1024)
         }
       }
     },
