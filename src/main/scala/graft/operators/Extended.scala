@@ -723,6 +723,37 @@ object Extended {
         .localCheckpoint(true)
     },
 
+    // Z-ORDER clustering round-trip: commit orders in a deliberately
+    // unclustered layout (hash-shuffled files — every file spans the
+    // whole value space, so nothing prunes), rewrite with
+    // compactZOrder(o_custkey, o_totalprice), and read back through a
+    // TWO-dimensional predicate. The pruned post-zorder read must be
+    // EXACT (hash vs the oracle's plain filtered scan); the file-count
+    // drop on both dimensions is pinned by IcebergPartitionSpec.
+    GraftQuery("q_iceberg_zorder",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey <= 150 AND o_totalprice <= 50000.0""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.iceberg._
+      val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg_zorder"))
+      val tableDir = warehouse.resolve("orders")
+      val orders = t(s, dir).orders.select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+      val out = java.nio.file.Files.createTempDirectory("graft_z_data")
+      out.toFile.deleteOnExit()
+      orders.repartition(8, col("o_orderkey")) // unclustered on purpose
+        .write.mode("overwrite").parquet(out.toString)
+      IcebergLocal.append(tableDir, IcebergMaintenance.parquetFileInfos(out),
+        timestampMs = 1000L, schema = Some(orders.schema))
+      IcebergMaintenance.compactZOrder(s, tableDir,
+        Seq("o_custkey", "o_totalprice"), files = 8, () => 2000L)
+      IcebergRest.readLocal(s, tableDir,
+        options = Map("filter" ->
+          "o_custkey <= 150 AND o_totalprice <= 50000.0"))
+        .localCheckpoint(true)
+    },
+
     GraftQuery("q_tablesample", {
       val (ctes, last) = SketchOracleSql.fmixScalarCtes("s", "k", "l_quantity", "h")
       s"""WITH k AS (SELECT l_quantity,

@@ -47,6 +47,63 @@ object IcebergMaintenance {
       schema = Some(df.schema), replace = true)
   }
 
+  /** Z-ORDER clustering compaction — Iceberg's `rewrite_data_files
+    * (strategy => 'sort', sort_order => 'zorder(a, b)')`: rewrite the
+    * live data ordered by the Morton (Z) curve over `cols`, so each
+    * output file covers a small HYPER-RECTANGLE of the value space and
+    * its per-column min/max bounds become selective on EVERY clustered
+    * dimension at once. At 100 TB this is the file-skipping lever for
+    * workloads that filter on several columns: a plain sort helps only
+    * its leading column; the Z curve bounds all of them.
+    *
+    * Mechanics: each column is linearly scaled into 16 bits over its
+    * observed [min, max] (one tiny aggregate, driver-side), the scaled
+    * values are bit-INTERLEAVED into one long (all codegen'd bitwise
+    * expressions — no UDF), and the rewrite is
+    * `repartitionByRange(files, z).sortWithinPartitions(z)`: contiguous
+    * Z ranges per file, one distributed read→write. Bounds come from
+    * the parquet footers ([[IcebergPartitioned.fileInfo]]) so the
+    * pruner sees them; the commit is a REPLACE snapshot like
+    * [[compact]] (deletes materialized, history intact). */
+  def compactZOrder(spark: SparkSession, tableDir: JPath,
+      cols: Seq[String], files: Int,
+      clock: () => Long = () => System.currentTimeMillis(),
+      retainLast: Option[Int] = None): Long = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && cols.size <= 4, "zorder takes 1..4 columns")
+    require(files > 0, "files must be positive")
+    val df = IcebergRest.readLocal(spark, tableDir)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+      val span = if (hi > lo) hi - lo else 1d
+      // nulls cluster at 0 — they stay prunable via null counts
+      least(lit(65535L), greatest(lit(0L),
+        ((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) / lit(span) *
+          lit(65535d)).cast("long")))
+    }
+    val k = scaled.size
+    val z = (0 until 16).flatMap(j => scaled.zipWithIndex.map {
+      case (c, ci) =>
+        shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * k + ci)
+    }).reduce(_.bitwiseOR(_))
+    val next = IcebergLocal.currentMetadata(tableDir)
+      .map(_.snapshots.map(_.snapshotId).max + 1).getOrElse(1L)
+    val outDir = tableDir.resolve("data").resolve(f"zorder-$next%05d")
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(files, org.apache.spark.sql.functions.col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(outDir.toString)
+    val infos = IcebergPartitioned.listParquetDeep(outDir)
+      .map(p => IcebergPartitioned.fileInfo(p, df.schema, Nil))
+    IcebergLocal.append(tableDir, infos, clock(),
+      tag = Some(s"zordered-$next"), retainLast = retainLast,
+      schema = Some(df.schema), replace = true)
+  }
+
   /** Row-level DELETE: commit a positional-delete snapshot for every
     * current row matching `condition` (a Spark SQL boolean expression
     * over the table's columns) — the engine-side implementation of

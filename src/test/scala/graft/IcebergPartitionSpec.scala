@@ -460,6 +460,52 @@ class IcebergPartitionSpec extends AnyFunSuite {
     assert(pruned.count() == want.count())
   }
 
+  test("z-order compaction tightens bounds on BOTH clustered dimensions") {
+    val wh = freshDir("zorder")
+    val dir = wh.resolve("orders")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val out = freshDir("zorder_files")
+    orders.repartition(8, org.apache.spark.sql.functions.col("o_orderkey"))
+      .write.mode("overwrite").parquet(out.toString)
+    IcebergLocal.append(dir, IcebergMaintenance.parquetFileInfos(out),
+      1000L, schema = Some(orders.schema))
+    // unclustered baseline: hash layout spreads every value range over
+    // every file, so these predicates keep (nearly) all 8 files.
+    // Thresholds are the ~25th percentile of THIS sf's ranges (custkey
+    // 0..149, totalprice 1.3k..500k at sf0.001) — selective enough for
+    // bounds to bite once the layout clusters.
+    val fCust = "o_custkey <= 37"
+    val fPrice = "o_totalprice <= 80000.0"
+    val both = s"$fCust AND $fPrice"
+    def filesFor(f: String) = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> f)).inputFiles.length
+    val beforeCust = filesFor(fCust)
+    val beforePrice = filesFor(fPrice)
+    val beforeBoth = filesFor(both)
+    assert(beforeBoth >= 7, s"hash layout should not prune: $beforeBoth")
+    val wantBoth = IcebergRest.readLocal(spark, dir).where(both)
+      .collect().map(_.toString).sorted
+    IcebergMaintenance.compactZOrder(spark, dir,
+      Seq("o_custkey", "o_totalprice"), files = 8, () => 2000L)
+    // the pruned post-zorder read stays EXACT...
+    val after = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> both))
+    assert(after.collect().map(_.toString).sorted.sameElements(wantBoth))
+    // ...and BOTH single-dimension predicates now skip files (a plain
+    // sort would help only its leading column), the 2-D one most
+    assert(filesFor(fCust) < beforeCust,
+      s"custkey pruning: ${filesFor(fCust)} of $beforeCust")
+    assert(filesFor(fPrice) < beforePrice,
+      s"totalprice pruning: ${filesFor(fPrice)} of $beforePrice")
+    assert(filesFor(both) <= 4,
+      s"2-D predicate should skip half the z-ordered files: ${filesFor(both)}")
+    // time travel to the pre-zorder snapshot still reads the old layout
+    val pre = IcebergRest.readLocal(spark, dir,
+      spec = Some(graft.sources.SnapshotLog.ByVersion("1")))
+    assert(pre.count() == orders.count())
+  }
+
   test("prune × MoR × time travel: the pruned as-of read keeps its delete files") {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val wh = freshDir("travel")
