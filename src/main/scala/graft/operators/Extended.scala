@@ -754,6 +754,37 @@ object Extended {
         .localCheckpoint(true)
     },
 
+    // Parquet BLOOM-FILTER file skipping: orders land hash-partitioned
+    // on o_orderkey (every file spans ~the full key range — min/max
+    // bounds keep all of them) with blooms enabled on the key; an
+    // equality IN-lookup then prunes at PLAN time to just the files
+    // whose blooms might hold the keys (footer reads only). The pruned
+    // read hash-matches the oracle's plain lookup; the file-count
+    // mechanics (present/absent/no-bloom cases) are pinned by
+    // IcebergPartitionSpec.
+    GraftQuery("q_iceberg_bloom",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey IN (1, 5, 7)""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.iceberg._
+      val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg_bloom"))
+      val tableDir = warehouse.resolve("orders")
+      val orders = t(s, dir).orders.select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+      val out = java.nio.file.Files.createTempDirectory("graft_bloom_data")
+      out.toFile.deleteOnExit()
+      orders.repartition(8, col("o_orderkey")).write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .parquet(out.toString)
+      IcebergLocal.append(tableDir,
+        IcebergPartitioned.listParquetDeep(out)
+          .map(p => IcebergPartitioned.fileInfo(p, orders.schema, Nil)),
+        timestampMs = 1000L, schema = Some(orders.schema))
+      IcebergRest.readLocal(s, tableDir,
+        options = Map("filter" -> "o_orderkey IN (1, 5, 7)"))
+        .localCheckpoint(true)
+    },
+
     GraftQuery("q_tablesample", {
       val (ctes, last) = SketchOracleSql.fmixScalarCtes("s", "k", "l_quantity", "h")
       s"""WITH k AS (SELECT l_quantity,

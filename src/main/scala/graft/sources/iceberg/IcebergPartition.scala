@@ -776,6 +776,78 @@ object IcebergPrune {
       cond: Expression): IcebergScanFiles =
     pruneWith(scan, meta, schema, cond)
 
+  /** Candidate-file cap for the bloom pass: the bloom test is one
+    * driver-side FOOTER read per file, so it only runs once partition/
+    * bounds/null pruning has cut the candidate set to something a
+    * driver can touch — at 100 TB the metadata prunes do the bulk work
+    * and this pass polishes off equality lookups on high-cardinality
+    * columns (where min/max bounds are useless on hash-laid data). */
+  val BloomPruneMaxFiles = 512
+
+  /** Parquet BLOOM-FILTER file skipping for Eq/IN predicates: a file is
+    * dropped only when EVERY row group carries a bloom for the column
+    * and EVERY predicate value tests definitely-absent in EVERY row
+    * group. Missing blooms, unsupported types, or any read error keep
+    * the file (conservative). Reads footers only — no data pages. */
+  private def bloomPrune(scan: IcebergScanFiles, schema: StructType,
+      cond: Expression): IcebergScanFiles = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    if (scan.dataEntries.isEmpty ||
+      scan.dataEntries.size > BloomPruneMaxFiles) return scan
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def mightContain(path: String, col: String, vals: Seq[Any]): Boolean =
+      try {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(java.net.URI.create(
+            path.replaceFirst("^file:/+", "file:///"))), conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          val mt = r.getFooter.getFileMetaData.getSchema
+          if (!mt.containsField(col)) return true
+          val fieldType = mt.getType(Seq(col): _*)
+          if (!fieldType.isPrimitive) return true
+          val prim = fieldType.asPrimitiveType().getPrimitiveTypeName
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          // proven absent ⟺ every row group has a bloom AND every
+          // predicate value hashes to definitely-absent in it
+          val provenAbsent = r.getFooter.getBlocks.asScala.forall { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == col) match {
+              case None => false // no chunk meta: cannot prove
+              case Some(cc) =>
+                val bf = r.getBloomFilterDataReader(b).readBloomFilter(cc)
+                bf != null && vals.forall { v =>
+                  val h: Option[Long] = (prim, v) match {
+                    case (INT64, l: Long) => Some(bf.hash(l))
+                    case (INT64, i: Int) => Some(bf.hash(i.toLong))
+                    case (INT32, i: Int) => Some(bf.hash(i))
+                    case (DOUBLE, d: Double) => Some(bf.hash(d))
+                    case (FLOAT, f: Float) => Some(bf.hash(f))
+                    case (BINARY, s: String) => Some(bf.hash(
+                      org.apache.parquet.io.api.Binary.fromString(s)))
+                    case _ => None // unsupported literal/type pairing
+                  }
+                  h.exists(hh => !bf.findHash(hh))
+                }
+            }
+          }
+          !provenAbsent
+        } finally r.close()
+      } catch { case _: Exception => true } // unreadable footer: keep
+    val kept = scan.dataEntries.filter { e =>
+      def fileKeeps(pred: Pred): Boolean = pred.op match {
+        case Eq if pred.values.nonEmpty =>
+          mightContain(e.path, pred.col, pred.values)
+        case _ => true
+      }
+      eval(cond, fileKeeps) != TriFalse
+    }
+    val keptPaths = kept.map(_.path).toSet
+    scan.copy(
+      dataFiles = scan.dataFiles.filter(f => keptPaths.contains(f._1)),
+      dataEntries = kept)
+  }
+
   private def pruneWith(scan: IcebergScanFiles, meta: IcebergTableMeta,
       schema: StructType, cond: Expression): IcebergScanFiles = {
     if (scan.dataEntries.isEmpty) return scan
@@ -821,8 +893,8 @@ object IcebergPrune {
       eval(cond, keeps) != TriFalse
     }
     val keptPaths = kept.map(_.path).toSet
-    scan.copy(
+    bloomPrune(scan.copy(
       dataFiles = scan.dataFiles.filter(f => keptPaths.contains(f._1)),
-      dataEntries = kept)
+      dataEntries = kept), schema, cond)
   }
 }

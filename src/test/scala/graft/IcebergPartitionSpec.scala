@@ -506,6 +506,48 @@ class IcebergPartitionSpec extends AnyFunSuite {
     assert(pre.count() == orders.count())
   }
 
+  test("bloom filters skip files that bounds cannot (hash-laid equality lookups)") {
+    import org.apache.spark.sql.functions.col
+    val wh = freshDir("bloom")
+    // EVEN keys only: every odd key is absent yet inside every file's
+    // [min, max], so bounds keep everything and only the bloom can
+    // prove absence. Hash layout ⇒ bounds are useless for equality.
+    val df = spark.range(0, 4000)
+      .select((col("id") * 2).as("k"), (col("id") % 100).as("v"))
+    def commit(sub: String, bloom: Boolean): JPath = {
+      val dir = wh.resolve(sub)
+      val out = freshDir(s"bloom_files_$sub")
+      val w = df.repartition(8, col("k")).write.mode("overwrite")
+      (if (bloom) w.option("parquet.bloom.filter.enabled#k", "true") else w)
+        .parquet(out.toString)
+      val infos = IcebergPartitioned.listParquetDeep(out)
+        .map(p => IcebergPartitioned.fileInfo(p, df.schema, Nil))
+      IcebergLocal.append(dir, infos, 1000L, schema = Some(df.schema))
+      dir
+    }
+    val dir = commit("with_bloom", bloom = true)
+    def read(f: String, d: JPath = dir) = IcebergRest.readLocal(spark, d,
+      options = Map("filter" -> f))
+    // present key: only its hash bucket's file survives (+FP slack)
+    val one = read("k = 4000")
+    assert(one.count() == 1)
+    assert(one.inputFiles.length <= 2,
+      s"bloom kept ${one.inputFiles.length} of 8 files for one present key")
+    // absent in-range key: bounds keep all 8, blooms prove 0
+    val none = read("k = 4001")
+    assert(none.count() == 0 && none.inputFiles.length == 0,
+      s"absent key kept ${none.inputFiles.length} files")
+    // IN mixes present + absent: only the present keys' files survive
+    val in2 = read("k IN (10, 4001, 6000)")
+    assert(in2.count() == 2 && in2.inputFiles.length <= 3)
+    // files written WITHOUT blooms stay (no evidence = conservative)
+    val plain = commit("no_bloom", bloom = false)
+    val noneNb = read("k = 4001", plain)
+    assert(noneNb.count() == 0)
+    assert(noneNb.inputFiles.length == 8,
+      "bloom-less files must be kept, not guessed absent")
+  }
+
   test("prune × MoR × time travel: the pruned as-of read keeps its delete files") {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val wh = freshDir("travel")
