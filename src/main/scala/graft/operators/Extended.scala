@@ -550,6 +550,33 @@ object Extended {
         options = Map("fieldIdReads" -> "true")).localCheckpoint(true)
     },
 
+    // Iceberg ADD/DROP COLUMN round-trip: both are metadata-only schema
+    // commits — ADD surfaces NULL from files written before the column
+    // existed (fresh field id, no rewrite), DROP removes the column
+    // from the current schema while the bytes stay in the files (and
+    // remain time-travelable). The field-id-resolved read of the final
+    // schema must hash-match the oracle's projection with a NULL tier.
+    GraftQuery("q_iceberg_add_drop",
+      """SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_tier
+        |FROM customer""".stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg_addcol"))
+      val tableDir = warehouse.resolve("customer")
+      val stamped = IcebergLocal.withFieldIds(
+        t(s, dir).customer.select(col("c_custkey"), col("c_name"),
+          col("c_acctbal")))
+      val out = java.nio.file.Files.createTempDirectory("graft_ad_data")
+      out.toFile.deleteOnExit()
+      stamped.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      IcebergLocal.append(tableDir,
+        IcebergMaintenance.parquetFileInfos(out),
+        timestampMs = 1000L, schema = Some(stamped.schema))
+      IcebergLocal.addColumn(tableDir, "c_tier", "string")
+      IcebergLocal.dropColumn(tableDir, "c_acctbal")
+      IcebergRest.readLocal(s, tableDir,
+        options = Map("fieldIdReads" -> "true")).localCheckpoint(true)
+    },
+
     // Iceberg REST COMMIT round-trip: the full catalog WRITE protocol
     // driven through the hash gate — create the table via the spec's
     // CreateTableRequest (typed schema, zero snapshots), then land TWO

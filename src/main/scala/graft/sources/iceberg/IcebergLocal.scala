@@ -810,6 +810,73 @@ object IcebergLocal {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
   }
 
+  /** ADD a nullable top-level column as a metadata-only schema commit
+    * (the spec's ADD COLUMN): a NEW schema id with the field appended
+    * under a fresh field id past `last-column-id` (ids are never
+    * reused). Files written before the add lack the column and surface
+    * NULL — no data rewrite, which is the point at 100 TB. Only
+    * nullable adds are legal: existing files cannot supply a required
+    * value. `icebergType` is a spec primitive ("string", "long", ...). */
+  def addColumn(tableDir: JPath, name: String, icebergType: String): Unit =
+    evolveSchema(tableDir, s"add '$name'") { (next, root) =>
+      import scala.jdk.CollectionConverters._
+      require(!next.withArray[ArrayNode]("fields").elements().asScala
+        .exists(_.path("name").asText() == name),
+        s"add: column '$name' already exists")
+      val fid = root.path("last-column-id").asInt(0) + 1
+      val f = next.withArray[ArrayNode]("fields").addObject()
+      f.put("id", fid)
+      f.put("name", name)
+      f.put("required", false)
+      f.put("type", icebergType)
+      root.put("last-column-id", fid)
+      ()
+    }
+
+  /** DROP a top-level column as a metadata-only schema commit: the
+    * field leaves the current schema (data files keep their bytes;
+    * readers of the new schema no longer see them, and time travel to
+    * pre-drop snapshots still does). The field id is retired, never
+    * reused — `last-column-id` only grows. */
+  def dropColumn(tableDir: JPath, name: String): Unit =
+    evolveSchema(tableDir, s"drop '$name'") { (next, _) =>
+      import scala.jdk.CollectionConverters._
+      val fields = next.withArray[ArrayNode]("fields")
+      val keep = fields.elements().asScala
+        .filter(_.path("name").asText() != name).toSeq
+      require(keep.size < fields.size(),
+        s"drop: table has no top-level column '$name'")
+      require(keep.nonEmpty, "drop: cannot remove the last column")
+      fields.removeAll()
+      keep.foreach(fields.add)
+    }
+
+  /** Shared metadata-only schema-commit shape (rename/add/drop): copy
+    * the current schema, let `mutate` edit the copy (and the root, for
+    * last-column-id), register it under a fresh schema id, move
+    * `current-schema-id`. */
+  private def evolveSchema(tableDir: JPath, what: String)(
+      mutate: (ObjectNode, ObjectNode) => Unit): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = currentMetadataFile(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    val root = mapper.readTree(Files.readString(p)).asInstanceOf[ObjectNode]
+    val curId = root.path("current-schema-id").asInt(0)
+    val schemas = root.withArray[ArrayNode]("schemas")
+    val cur = schemas.elements().asScala
+      .find(_.path("schema-id").asInt(0) == curId).getOrElse(
+        throw new IllegalArgumentException(s"no current schema in $p"))
+    val next = cur.deepCopy[ObjectNode]()
+    val newId = schemas.elements().asScala
+      .map(_.path("schema-id").asInt(0)).max + 1
+    next.put("schema-id", newId)
+    mutate(next, root)
+    schemas.add(next)
+    root.put("current-schema-id", newId)
+    Files.writeString(p,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+  }
+
   /** REST catalog over a warehouse directory: every subdirectory of
     * `warehouse` with committed metadata is a table in `namespace`.
     * Serves the four read endpoints [[IcebergRestCatalog]] speaks; an

@@ -321,6 +321,70 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("schema evolution: add and drop columns are metadata-only commits") {
+    val dir = warehouse.resolve("addcol")
+    val base = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val stamped = IcebergLocal.withFieldIds(base)
+    IcebergLocal.append(dir, partFiles(stamped), timestampMs = 1000L,
+      schema = Some(stamped.schema))
+    try {
+      // ADD: pre-add files surface NULL for the new column — no rewrite
+      IcebergLocal.addColumn(dir, "n_tier", "string")
+      val added = IcebergRest.readLocal(spark, dir,
+        options = Map("fieldIdReads" -> "true"))
+      assert(added.columns.toSeq ==
+        Seq("n_nationkey", "n_name", "n_regionkey", "n_tier"))
+      assert(added.count() == 25)
+      assert(added.filter("n_tier IS NOT NULL").count() == 0)
+      // DROP: the column leaves the current schema; other values still
+      // resolve by field id
+      IcebergLocal.dropColumn(dir, "n_regionkey")
+      val dropped = IcebergRest.readLocal(spark, dir,
+        options = Map("fieldIdReads" -> "true"))
+      assert(dropped.columns.toSeq == Seq("n_nationkey", "n_name", "n_tier"))
+      assert(dropped.filter("n_name IS NULL").count() == 0)
+      // a later ADD must NOT reuse the dropped column's field id —
+      // reuse would resurrect n_regionkey's bytes under the new name
+      IcebergLocal.addColumn(dir, "n_note", "string")
+      val raw = mapperFor(dir)
+      val curId = raw.path("current-schema-id").asInt(0)
+      val fields = (0 until raw.get("schemas").size())
+        .map(raw.get("schemas").get)
+        .find(_.path("schema-id").asInt(0) == curId).get.get("fields")
+      val byName = (0 until fields.size()).map(fields.get)
+        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+      assert(byName("n_tier") == 4 && byName("n_note") == 5,
+        s"field ids not monotone: $byName")
+      val note = IcebergRest.readLocal(spark, dir,
+        options = Map("fieldIdReads" -> "true"))
+      assert(note.filter("n_note IS NOT NULL").count() == 0,
+        "a fresh column resurrected old bytes — field id was reused")
+      // misuse fails loudly
+      intercept[IllegalArgumentException](
+        IcebergLocal.addColumn(dir, "n_name", "string"))
+      intercept[IllegalArgumentException](
+        IcebergLocal.dropColumn(dir, "nope"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
+  private def mapperFor(dir: java.nio.file.Path)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val metaFiles = {
+      val s = Files.list(dir.resolve("metadata"))
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".metadata.json"))
+      finally s.close()
+    }
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(metaFiles.maxBy(p => p.getFileName.toString
+        .stripPrefix("v").stripSuffix(".metadata.json")
+        .toIntOption.getOrElse(0))))
+  }
+
   test("field-id reads refuse an id-less data file instead of nulling it") {
     // honesty pin: a file written WITHOUT parquet field ids cannot be
     // resolved by id — the read must fail loudly (Spark's
