@@ -184,7 +184,15 @@ object IcebergSink {
     * counts come from footers, zero extra Spark jobs. */
   def upsertCommitter(tableDir: JPath, keyCols: Seq[String],
       clock: () => Long = () => System.currentTimeMillis(),
-      retainLast: Option[Int] = None)
+      retainLast: Option[Int] = None,
+      /** when set, every batch's DATA commit lands Hive-partitioned
+        * under this spec (tuples + bounds in the manifests, so pruned
+        * reads skip partitions the stream never touched); the
+        * equality-delete commits stay GLOBAL (spec-legal: an
+        * unpartitioned delete file applies to all partitions), which
+        * keeps the delete relation one narrow file per batch instead
+        * of one per partition. */
+      partitionSpec: Option[Seq[graft.sources.iceberg.PartitionField]] = None)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     require(keyCols.nonEmpty, "upsertCommitter needs at least one key column")
     val tag = s"batch-$batchId"
@@ -204,9 +212,13 @@ object IcebergSink {
       val dataDir = tableDir.resolve("data").resolve(tag)
       // field ids stamped: the upsert table is rename-evolvable
       val stamped = IcebergLocal.withFieldIds(batch)
-      stamped.write.mode("overwrite").parquet(dataDir.toString)
-      val files = graft.sources.iceberg.IcebergMaintenance
-        .parquetFileInfos(dataDir)
+      val files = partitionSpec match {
+        case Some(spec) => graft.sources.iceberg.IcebergPartitioned
+          .writeFiles(stamped, dataDir, spec)
+        case None =>
+          stamped.write.mode("overwrite").parquet(dataDir.toString)
+          graft.sources.iceberg.IcebergMaintenance.parquetFileInfos(dataDir)
+      }
       if (files.exists(_.recordCount > 0)) {
         // delete-before-data, skipped for the table's first commit
         // (nothing to retire) or when a replay already committed it
@@ -222,7 +234,8 @@ object IcebergSink {
               retainLast)
         }
         IcebergLocal.append(tableDir, files.filter(_.recordCount > 0),
-          clock(), Some(tag), retainLast, schema = Some(stamped.schema))
+          clock(), Some(tag), retainLast, schema = Some(stamped.schema),
+          partitionSpec = partitionSpec)
       } else deleteRecursively(dataDir) // empty batch: nothing to commit
     }
   }

@@ -448,6 +448,48 @@ class StreamingSpec extends AnyFunSuite {
       Seq(("a", 1L), ("b", 2L), ("c", 2L)))
   }
 
+  test("streaming upserts into a PARTITIONED table: tuples stamped, pruning works") {
+    import spark.implicits._
+    import graft.sources.iceberg._
+    val warehouse = java.nio.file.Files.createTempDirectory("ice-upsert-pt")
+    val tableDir = warehouse.resolve("state")
+    var now = 1000L
+    val clock = () => { now += 1000; now }
+    val spec = Seq(PartitionField("dm", "d", "month"))
+    val committer = graft.streaming.IcebergSink.upsertCommitter(
+      tableDir, keyCols = Seq("k"), clock = clock,
+      partitionSpec = Some(spec))
+    def df(rows: (String, String, Long)*) = rows.toDF("k", "ds", "v")
+      .select(col("k"), col("ds").cast("date").as("d"), col("v"))
+    committer(df(("a", "1995-01-15", 1L), ("b", "1995-02-15", 1L),
+      ("c", "1995-03-15", 1L)), 0L)
+    committer(df(("b", "1995-02-20", 2L)), 1L) // b updated, same month
+    def readAll = IcebergRest.readLocal(spark, tableDir)
+    assert(readAll.select("k", "v").as[(String, Long)].collect()
+      .sortBy(_._1).toSeq == Seq(("a", 1L), ("b", 2L), ("c", 1L)))
+    // data manifests carry partition tuples under the spec...
+    val meta = IcebergLocal.currentMetadata(tableDir).get
+    assert(meta.partitionSpecs(meta.defaultSpecId) == spec)
+    val scan = IcebergManifests.scanFiles(spark,
+      IcebergMetadata.select(meta, None).manifestList)
+    assert(scan.dataEntries.forall(_.partition.contains("dm")),
+      "a streaming data commit lost its partition tuples")
+    // ...the GLOBAL equality deletes still retire the old b...
+    assert(scan.equalityDeletes.nonEmpty)
+    // ...and a one-month pruned read skips the other months' files
+    val feb = IcebergRest.readLocal(spark, tableDir, options = Map(
+      "filter" -> "d >= date '1995-02-01' AND d < date '1995-03-01'"))
+    assert(feb.select("k", "v").as[(String, Long)].collect().toSeq ==
+      Seq(("b", 2L)))
+    assert(feb.inputFiles.count(!_.contains("-del")) <
+      scan.dataFiles.size,
+      s"pruning inert: ${feb.inputFiles.length} of ${scan.dataFiles.size}")
+    // replay stays a no-op with the partitioned writer too
+    committer(df(("b", "1995-02-20", 2L)), 1L)
+    assert(IcebergLocal.currentMetadata(tableDir).get.snapshots.size ==
+      meta.snapshots.size)
+  }
+
   test("streaming near-dup candidates equal the batch LSH candidate set") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
