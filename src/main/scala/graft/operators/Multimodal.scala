@@ -24,6 +24,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's convenience read/write paths wrap streams in DISK-backed
+  // FileCache caches by default — a temp file created and deleted per
+  // image, which dominates per-asset codec cost at thousands of tiny
+  // assets per task (measured 2× on the GIF queries). All images here
+  // are KB-sized; cache in memory. JVM-global, runs once per executor
+  // when this object loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
   /** Synthesize a binary payload column from the documents table (the

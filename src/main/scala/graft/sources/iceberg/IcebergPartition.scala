@@ -795,6 +795,15 @@ object IcebergPrune {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     if (scan.dataEntries.isEmpty ||
       scan.dataEntries.size > BloomPruneMaxFiles) return scan
+    // only equality evidence exists in a bloom — skip the whole pass
+    // (and its footer I/O) when the condition carries no Eq/IN leaf
+    def hasEq(e: Expression): Boolean = e match {
+      case And(l, r) => hasEq(l) || hasEq(r)
+      case Or(l, r) => hasEq(l) || hasEq(r)
+      case Not(_) => false
+      case other => toPred(other).exists(p => p.op == Eq && p.values.nonEmpty)
+    }
+    if (!hasEq(cond)) return scan
     val conf = new org.apache.hadoop.conf.Configuration()
     def mightContain(path: String, col: String, vals: Seq[Any]): Boolean =
       try {
@@ -834,14 +843,29 @@ object IcebergPrune {
           !provenAbsent
         } finally r.close()
       } catch { case _: Exception => true } // unreadable footer: keep
-    val kept = scan.dataEntries.filter { e =>
-      def fileKeeps(pred: Pred): Boolean = pred.op match {
-        case Eq if pred.values.nonEmpty =>
-          mightContain(e.path, pred.col, pred.values)
-        case _ => true
+    // footer reads are independent, high-latency I/O on object stores:
+    // test candidates on a bounded pool instead of one driver thread
+    // (512 sequential S3 HEAD+GET round-trips would be seconds of
+    // plan-time stall; 16-way brings it to tens of millis per wave)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, scan.dataEntries.size)))
+    val kept = try {
+      import scala.jdk.CollectionConverters._
+      val tasks = scan.dataEntries.map { e =>
+        new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = {
+            def fileKeeps(pred: Pred): Boolean = pred.op match {
+              case Eq if pred.values.nonEmpty =>
+                mightContain(e.path, pred.col, pred.values)
+              case _ => true
+            }
+            eval(cond, fileKeeps) != TriFalse
+          }
+        }
       }
-      eval(cond, fileKeeps) != TriFalse
-    }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+        .zip(scan.dataEntries).collect { case (true, e) => e }
+    } finally pool.shutdown()
     val keptPaths = kept.map(_.path).toSet
     scan.copy(
       dataFiles = scan.dataFiles.filter(f => keptPaths.contains(f._1)),
