@@ -1000,9 +1000,10 @@ object IcebergLocal {
       * metadata and apply its updates as a new `vN.metadata.json`.
       * Supported requirements: `assert-ref-snapshot-id` (the CAS every
       * append needs), `assert-table-uuid`. Supported updates:
-      * `add-snapshot`, `set-snapshot-ref` — the fast-append commit
-      * shape; schema/spec changes stay catalog-side state this endpoint
-      * carries forward untouched. */
+      * `add-snapshot`, `set-snapshot-ref` (the fast-append commit
+      * shape), and `add-spec`/`set-default-spec` (partition-spec
+      * evolution through the protocol); schema changes stay
+      * catalog-side state this endpoint carries forward untouched. */
     private def applyCommit(dir: JPath,
         body: String): Either[(Int, String), JPath] = {
       val req =
@@ -1034,8 +1035,61 @@ object IcebergLocal {
         }
       }
       var newSnapId = -1L
+      var lastAddedSpec = -1
       for (u <- IcebergJson.arr(req.get("updates"))) {
         u.path("action").asText() match {
+          // partition-spec EVOLUTION through the protocol: the client
+          // asserts the spec id its prepared manifests are stamped with
+          // (it must be the NEXT id — a racing writer who added a spec
+          // first turns this into a 409, and the client re-resolves on
+          // retry like any CAS loss); the SERVER assigns field ids,
+          // reusing equivalent (source-id, transform) fields' ids per
+          // the spec rule, exactly as the local metadata writer does
+          case "add-spec" =>
+            val sp = u.get("spec")
+            if (sp == null || !sp.has("spec-id") || !sp.has("fields"))
+              return Left(400 -> "add-spec needs spec-id + fields")
+            val specs = root.withArray[ArrayNode]("partition-specs")
+            val existing = (0 until specs.size())
+              .map(specs.get(_).path("spec-id").asInt(0))
+            val sid = sp.get("spec-id").asInt()
+            if (existing.contains(sid))
+              return Left(409 -> (s"requirement failed: spec-id $sid " +
+                "already exists — reload and re-resolve"))
+            if (existing.nonEmpty && sid != existing.max + 1)
+              return Left(409 -> (s"requirement failed: spec-id $sid is " +
+                s"not the next id (${existing.max + 1})"))
+            var lastPid = root.path("last-partition-id").asInt(999)
+            val reuse = (for {
+              i <- 0 until specs.size()
+              f <- IcebergJson.arr(specs.get(i).get("fields"))
+            } yield (f.path("source-id").asInt(),
+              f.path("transform").asText()) -> f.path("field-id").asInt())
+              .toMap
+            val ps = specs.addObject()
+            ps.put("spec-id", sid)
+            val fs = ps.putArray("fields")
+            for (f <- IcebergJson.arr(sp.get("fields"))) {
+              val fid = reuse.getOrElse(
+                (f.path("source-id").asInt(), f.path("transform").asText()),
+                { lastPid += 1; lastPid })
+              val fn = fs.addObject()
+              fn.put("name", f.path("name").asText())
+              fn.put("transform", f.path("transform").asText())
+              fn.put("source-id", f.path("source-id").asInt())
+              fn.put("field-id", fid)
+            }
+            root.put("last-partition-id", lastPid)
+            lastAddedSpec = sid
+            ()
+          case "set-default-spec" =>
+            val sid = u.path("spec-id").asInt()
+            // -1 = "the spec added in this commit" (REST spec shorthand)
+            if (sid == -1 && lastAddedSpec == -1)
+              return Left(400 -> "set-default-spec -1 without add-spec")
+            root.put("default-spec-id",
+              if (sid == -1) lastAddedSpec else sid)
+            ()
           case "add-snapshot" =>
             val sn = u.get("snapshot")
             if (sn == null || !sn.has("snapshot-id") ||

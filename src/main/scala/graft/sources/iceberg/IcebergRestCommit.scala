@@ -59,11 +59,32 @@ object IcebergRestCommit {
       val tagUpd = tag.map(t =>
         s""",{"action":"set-snapshot-ref","ref-name":"$t","type":"tag",""" +
           s""""snapshot-id":$snapId}""").getOrElse("")
+      // spec EVOLUTION through the protocol: when this commit's spec is
+      // new to the table, the manifests above were stamped with the
+      // next spec id — tell the catalog via add-spec/set-default-spec.
+      // A racing writer who evolved first turns add-spec into a 409,
+      // and the retry re-resolves against the new head.
+      val specUpd = partitionSpec match {
+        case Some(spec) if !prior.partitionSpecs.values.exists(_ == spec) =>
+          val nameToId = prior.fieldNames.map(_.swap)
+          val fields = spec.map { f =>
+            val srcId = nameToId.getOrElse(f.sourceColumn,
+              throw new IllegalArgumentException(
+                s"partition source column '${f.sourceColumn}' absent " +
+                  "from the catalog schema"))
+            s"""{"name":"${f.name}","transform":"${f.transform}",""" +
+              s""""source-id":$srcId}"""
+          }.mkString(",")
+          s"""{"action":"add-spec","spec":{"spec-id":$specId,
+             |  "fields":[$fields]}},
+             | {"action":"set-default-spec","spec-id":-1},""".stripMargin
+        case _ => ""
+      }
       val parentJson = parentOpt.map(_.toString).getOrElse("null")
       val body =
         s"""{"requirements":[
            |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$parentJson}],
-           | "updates":[
+           | "updates":[$specUpd
            |  {"action":"add-snapshot","snapshot":{
            |    "snapshot-id":$snapId,"sequence-number":$snapId,
            |    "timestamp-ms":$timestampMs,

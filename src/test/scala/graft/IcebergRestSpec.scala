@@ -971,6 +971,71 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partition spec evolution rides the REST commit protocol") {
+    val root = Files.createTempDirectory("ice-specrest")
+    val dir = root.resolve("t")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val specA = Seq(PartitionField("om", "o_orderdate", "month"))
+    val specB = specA :+ PartitionField("ckb", "o_custkey", "bucket[4]")
+    val server = new IcebergLocal.CatalogServer(root, "lake")
+    val port = server.start()
+    try {
+      val cat = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+      cat.createTable("lake", "t", orders.schema, Some(specA))
+      IcebergRestCommit.append(cat, "lake", "t", dir,
+        IcebergPartitioned.writeFiles(orders.where("o_orderkey % 2 = 0"),
+          dir.resolve("data").resolve("b0"), specA),
+        1000L, partitionSpec = Some(specA), schema = Some(orders.schema))
+      // the evolved commit: add-spec + set-default-spec ride the same
+      // CommitTableRequest as the snapshot
+      IcebergRestCommit.append(cat, "lake", "t", dir,
+        IcebergPartitioned.writeFiles(orders.where("o_orderkey % 2 = 1"),
+          dir.resolve("data").resolve("b1"), specB),
+        2000L, partitionSpec = Some(specB), schema = Some(orders.schema))
+      val meta = cat.loadTable("lake", "t")
+      assert(meta.partitionSpecs(0) == specA, "spec A lost")
+      assert(meta.partitionSpecs(1) == specB, "add-spec not applied")
+      assert(meta.defaultSpecId == 1, "set-default-spec not applied")
+      // mixed-spec pruned read THROUGH the catalog stays exact
+      val f = "o_orderdate >= date '1995-03-01' AND " +
+        "o_orderdate < date '1995-06-01'"
+      val pruned = IcebergRest.read(spark, cat, "lake", "t",
+        options = Map("filter" -> f))
+      val full = IcebergRest.read(spark, cat, "lake", "t").where(f)
+      assert(pruned.count() == full.count() && full.count() > 0)
+      assert(pruned.inputFiles.length <
+        IcebergRest.read(spark, cat, "lake", "t").inputFiles.length,
+        "catalog-side spec evolution did not prune")
+      // a RE-USED spec id is a 409 (the racing-evolution shape), and
+      // the metadata stays untouched
+      val head = meta.currentSnapshotId.get
+      val stale =
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$head}],
+           |"updates":[{"action":"add-spec","spec":{"spec-id":1,"fields":[]}},
+           |{"action":"add-snapshot","snapshot":{"snapshot-id":99,
+           |"sequence-number":99,"timestamp-ms":9000,
+           |"manifest-list":"file:///nope","schema-id":0,
+           |"summary":{"operation":"append"}}},
+           |{"action":"set-snapshot-ref","ref-name":"main","type":"branch",
+           |"snapshot-id":99}]}""".stripMargin
+      intercept[IcebergCommitConflict] {
+        cat.commitTable("lake", "t", stale)
+      }
+      assert(cat.loadTable("lake", "t").currentSnapshotId.contains(head))
+      // an identical-spec re-commit reuses the id: no spec 2 minted
+      IcebergRestCommit.append(cat, "lake", "t", dir,
+        IcebergPartitioned.writeFiles(orders.where("o_orderkey % 100 = 50"),
+          dir.resolve("data").resolve("b2"), specB),
+        3000L, partitionSpec = Some(specB), schema = Some(orders.schema))
+      assert(cat.loadTable("lake", "t").partitionSpecs.keySet == Set(0, 1))
+    } finally {
+      server.stop()
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("the catalog server works from a relative warehouse path") {
     val rel = java.nio.file.Paths.get("").toAbsolutePath
       .relativize(warehouse)
