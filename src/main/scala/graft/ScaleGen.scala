@@ -18,8 +18,6 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleGen <srcSfDir> <dstDir> <factor>")
-    val (src, dst, factor) = (args(0), args(1), args(2).toInt)
-    require(factor >= 1, "factor must be >= 1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +27,13 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args(1), args(2).toInt)
+    spark.stop()
+  }
 
+  /** The generator itself, on a caller-owned session. */
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    require(factor >= 1, "factor must be >= 1")
     val orders = spark.read.parquet(s"$src/orders.parquet")
     val off = orders.agg(max("o_orderkey")).head().getLong(0) + 1L
 
@@ -50,6 +54,5 @@ object ScaleGen {
     }
     val n = spark.read.parquet(s"$dst/lineitem.parquet").count()
     println(s"""{"scalegen":"$dst","factor":$factor,"lineitem_rows":$n}""")
-    spark.stop()
   }
 }

@@ -507,7 +507,7 @@ class IcebergPartitionSpec extends AnyFunSuite {
   }
 
   test("bloom filters skip files that bounds cannot (hash-laid equality lookups)") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, concat, lit}
     val wh = freshDir("bloom")
     // EVEN keys only: every odd key is absent yet inside every file's
     // [min, max], so bounds keep everything and only the bloom can
@@ -546,6 +546,23 @@ class IcebergPartitionSpec extends AnyFunSuite {
     assert(noneNb.count() == 0)
     assert(noneNb.inputFiles.length == 8,
       "bloom-less files must be kept, not guessed absent")
+    // STRING keys hash through parquet's BINARY bloom path too (the
+    // URL/doc-id lookup shape of a corpus pipeline)
+    val sdir = wh.resolve("strings")
+    val sdf = spark.range(0, 4000)
+      .select(concat(lit("url-"), (col("id") * 2)).as("u"), col("id").as("v"))
+    val sout = freshDir("bloom_files_str")
+    sdf.repartition(8, col("u")).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#u", "true")
+      .parquet(sout.toString)
+    IcebergLocal.append(sdir, IcebergPartitioned.listParquetDeep(sout)
+      .map(p => IcebergPartitioned.fileInfo(p, sdf.schema, Nil)),
+      1000L, schema = Some(sdf.schema))
+    val sHit = read("u = 'url-4000'", sdir)
+    assert(sHit.count() == 1 && sHit.inputFiles.length <= 2)
+    val sMiss = read("u = 'url-4001'", sdir)
+    assert(sMiss.count() == 0 && sMiss.inputFiles.length == 0,
+      s"absent string key kept ${sMiss.inputFiles.length} files")
   }
 
   test("prune × MoR × time travel: the pruned as-of read keeps its delete files") {
