@@ -812,6 +812,34 @@ object Extended {
         .localCheckpoint(true)
     },
 
+    // Iceberg METADATA TABLE round-trip: the `partitions` inspection
+    // table (per partition tuple: file/row totals — what real lakes
+    // answer "what would this query scan" with) must agree EXACTLY
+    // with the data: the oracle recomputes every month's row count and
+    // the single-file-per-partition layout from the rows themselves.
+    // Driver-side manifest walk only — zero data I/O.
+    GraftQuery("q_iceberg_meta_partitions",
+      """SELECT '{"o_month":' ||
+        |    CAST((year(o_orderdate)-1970)*12 + month(o_orderdate)-1 AS VARCHAR)
+        |    || '}' AS "partition",
+        |  CAST(1 AS BIGINT) AS file_count, count(*) AS record_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      val warehouse = java.nio.file.Paths.get(roundTripDir("iceberg_metap"))
+      val tableDir = warehouse.resolve("orders")
+      val orders = t(s, dir).orders.select(col("o_orderkey"),
+        col("o_orderdate"))
+        .where("o_orderdate >= timestamp '1995-01-01' AND " +
+          "o_orderdate < timestamp '1996-01-01'")
+        .repartition(1) // one writer task → one file per month partition
+      IcebergPartitioned.append(orders, tableDir, "data/b0",
+        Seq(PartitionField("o_month", "o_orderdate", "month")), 1000L)
+      IcebergRest.metaTable(s, tableDir, "partitions").localCheckpoint(true)
+    },
+
     GraftQuery("q_tablesample", {
       val (ctes, last) = SketchOracleSql.fmixScalarCtes("s", "k", "l_quantity", "h")
       s"""WITH k AS (SELECT l_quantity,

@@ -380,7 +380,8 @@ final case class IcebergDataFile(path: String, seq: Long, specId: Int,
     sizeBytes: Long = 0L,
     /** spec value_counts / null_value_counts: IS [NOT] NULL evidence */
     valueCounts: Map[Int, Long] = Map.empty,
-    nullCounts: Map[Int, Long] = Map.empty)
+    nullCounts: Map[Int, Long] = Map.empty,
+    recordCount: Long = 0L)
 
 /** One snapshot's file inventory: live data files and the delete files
   * that apply to them, each with its data sequence number (the v2
@@ -451,7 +452,8 @@ object IcebergManifests {
               boundsOf(df, "upper_bounds"),
               longField(df, "file_size_in_bytes").getOrElse(0L),
               countsOf(df, "value_counts"),
-              countsOf(df, "null_value_counts"))
+              countsOf(df, "null_value_counts"),
+              longField(df, "record_count").getOrElse(0L))
           case 1 => posDeletes += ((df.get("file_path").toString, seq))
           case 2 =>
             val ids = Option(df.getSchema.getField("equality_ids"))
@@ -587,6 +589,55 @@ object IcebergRest {
     val meta = IcebergLocal.currentMetadata(tableDir).getOrElse(
       throw new IllegalArgumentException(s"no committed table at $tableDir"))
     readMeta(spark, meta, spec, options, None, tableDir.toString)
+  }
+
+  /** Iceberg METADATA TABLES — the inspection surface real lakes query
+    * (`SELECT * FROM t.snapshots`): `snapshots` (id, committed-at,
+    * manifest list), `history` (snapshot-log with is-current),
+    * `files` (per live data file: path, rows, bytes, spec id,
+    * JSON-rendered partition tuple), `partitions` (per partition
+    * tuple: file/row totals). All DRIVER-side metadata walks — the
+    * manifest read the data path already does, zero data I/O — then a
+    * tiny local DataFrame; at 100 TB these answer "what would this
+    * query scan" without scanning it. */
+  def metaTable(spark: SparkSession, tableDir: java.nio.file.Path,
+      kind: String, spec: Option[VersionSpec] = None): DataFrame = {
+    import spark.implicits._
+    val meta = IcebergLocal.currentMetadata(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    kind match {
+      case "snapshots" =>
+        meta.snapshots.sortBy(_.snapshotId)
+          .map(s => (s.timestampMs, s.snapshotId, s.manifestList))
+          .toDF("committed_at_ms", "snapshot_id", "manifest_list")
+      case "history" =>
+        val cur = meta.currentSnapshotId
+        meta.snapshots.sortBy(_.snapshotId)
+          .map(s => (s.timestampMs, s.snapshotId, cur.contains(s.snapshotId)))
+          .toDF("made_current_at_ms", "snapshot_id", "is_current")
+      case "files" | "partitions" =>
+        val snap = IcebergMetadata.select(meta, spec)
+        val scan = IcebergManifests.scanFiles(spark, snap.manifestList)
+        def tupleJson(p: Map[String, Any]): String =
+          p.toSeq.sortBy(_._1).map { case (k, v) =>
+            s""""$k":${Option(v).map(_.toString).getOrElse("null")}"""
+          }.mkString("{", ",", "}")
+        if (kind == "files")
+          scan.dataEntries.sortBy(_.path)
+            .map(e => (e.path, e.recordCount, e.sizeBytes, e.specId,
+              tupleJson(e.partition)))
+            .toDF("file_path", "record_count", "file_size_in_bytes",
+              "spec_id", "partition")
+        else
+          scan.dataEntries.groupBy(e => tupleJson(e.partition)).toSeq
+            .map { case (t, es) =>
+              (t, es.size.toLong, es.map(_.recordCount).sum)
+            }.sortBy(_._1)
+            .toDF("partition", "file_count", "record_count")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' " +
+          "(snapshots | history | files | partitions)")
+    }
   }
 
   private def readMeta(spark: SparkSession, meta: IcebergTableMeta,

@@ -565,6 +565,37 @@ class IcebergPartitionSpec extends AnyFunSuite {
       s"absent string key kept ${sMiss.inputFiles.length} files")
   }
 
+  test("metadata tables: snapshots, history, files, partitions") {
+    val wh = freshDir("metatbl")
+    val dir = wh.resolve("orders")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderdate")
+      .where("o_orderdate >= date '1995-01-01' AND " +
+        "o_orderdate < date '1995-04-01'").repartition(1)
+    val spec = Seq(PartitionField("o_month", "o_orderdate", "month"))
+    IcebergPartitioned.append(orders.where("o_orderkey % 2 = 0"),
+      dir, "data/b0", spec, 1000L)
+    IcebergPartitioned.append(orders.where("o_orderkey % 2 = 1"),
+      dir, "data/b1", spec, 2000L)
+    val snaps = IcebergRest.metaTable(spark, dir, "snapshots").collect()
+    assert(snaps.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1000L, 1L), (2000L, 2L)))
+    val hist = IcebergRest.metaTable(spark, dir, "history").collect()
+    assert(hist.map(r => (r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((1L, false), (2L, true)))
+    val files = IcebergRest.metaTable(spark, dir, "files")
+    // 3 months × 2 commits = 6 files; rows sum to the table's rows
+    assert(files.count() == 6)
+    assert(files.agg(org.apache.spark.sql.functions.sum("record_count"))
+      .head().getLong(0) == orders.count())
+    assert(files.select("spec_id").distinct().head().getInt(0) == 0)
+    val parts = IcebergRest.metaTable(spark, dir, "partitions").collect()
+    assert(parts.length == 3, s"expected 3 month partitions: ${parts.toSeq}")
+    assert(parts.forall(_.getLong(1) == 2L), "2 files per month partition")
+    intercept[IllegalArgumentException](
+      IcebergRest.metaTable(spark, dir, "nope"))
+  }
+
   test("prune × MoR × time travel: the pruned as-of read keeps its delete files") {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val wh = freshDir("travel")
