@@ -592,6 +592,17 @@ class IcebergPartitionSpec extends AnyFunSuite {
     val parts = IcebergRest.metaTable(spark, dir, "partitions").collect()
     assert(parts.length == 3, s"expected 3 month partitions: ${parts.toSeq}")
     assert(parts.forall(_.getLong(1) == 2L), "2 files per month partition")
+    // files/partitions honor TIME TRAVEL: as-of snapshot 1 only the
+    // first commit's files exist (1 per month, half the rows)
+    val files1 = IcebergRest.metaTable(spark, dir, "files",
+      Some(graft.sources.SnapshotLog.ByVersion("1")))
+    assert(files1.count() == 3)
+    assert(files1.agg(org.apache.spark.sql.functions.sum("record_count"))
+      .head().getLong(0) ==
+      orders.where("o_orderkey % 2 = 0").count())
+    val parts1 = IcebergRest.metaTable(spark, dir, "partitions",
+      Some(graft.sources.SnapshotLog.ByVersion("1"))).collect()
+    assert(parts1.length == 3 && parts1.forall(_.getLong(1) == 1L))
     intercept[IllegalArgumentException](
       IcebergRest.metaTable(spark, dir, "nope"))
   }
