@@ -620,7 +620,13 @@ object IcebergRest {
         val scan = IcebergManifests.scanFiles(spark, snap.manifestList)
         def tupleJson(p: Map[String, Any]): String =
           p.toSeq.sortBy(_._1).map { case (k, v) =>
-            s""""$k":${Option(v).map(_.toString).getOrElse("null")}"""
+            val rendered = v match {
+              case null => "null"
+              case s: String => // valid JSON for identity-on-string specs
+                "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+              case other => other.toString
+            }
+            s""""$k":$rendered"""
           }.mkString("{", ",", "}")
         if (kind == "files")
           scan.dataEntries.sortBy(_.path)
