@@ -62,9 +62,12 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val selected = only.fold(SparkEntry.registry)(
       names => SparkEntry.registry.filter(q => names(q.name)))
-    val results = selected.map { q =>
+    val measured = selected.map { q =>
       val n = if (Headline(q.name)) iters else 1
-      val times =
+      // raw = ARRIVAL order (not sorted): the per-iteration trail is
+      // emitted below so a one-off slow iteration is distinguishable
+      // from a real regression without a re-run
+      val raw =
         try {
           val first = (1 to n).flatMap { _ =>
             if (chaos > 0.0 && rng.nextDouble() < chaos) {
@@ -72,7 +75,7 @@ object Bench {
               errors(q.name) = errors.getOrElse(q.name, 0) + 1
               None
             } else Some(once(q.run))
-          }.sorted
+          }
           // a single-shot tail row that reads slow gets re-measured:
           // one-shot timings on this host have produced phantom 5-8×
           // "regressions" on sub-second queries (r10's vector cluster —
@@ -81,12 +84,14 @@ object Bench {
           // Median-of-3 for any ≥0.5 s row keeps the audit trail honest
           // without tripling the whole run.
           if (chaos == 0.0 && n == 1 && first.nonEmpty && first.head >= 0.5)
-            (first ++ Seq(once(q.run), once(q.run))).sorted
+            first ++ Seq(once(q.run), once(q.run))
           else first
         }
         catch { case _: Throwable => Seq(-1.0) }
-      q.name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
+      val sorted = raw.sorted
+      (q.name, if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2), raw)
     }
+    val results = measured.map { case (name, med, _) => name -> med }
     // The driver stores only the TAIL of stdout, so a long line loses
     // its FRONT — which in round 9 cut the q1..q10 entries out of the
     // registry-ordered map. Two defenses: headline entries go LAST in
@@ -103,6 +108,15 @@ object Bench {
       if (errors.nonEmpty)
         s""","chaos":$chaos,"errors":${errors.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}"""
       else ""
+    // per-iteration trail for every re-measured row (first line: a
+    // long-line truncation by the driver's tail window loses this
+    // first, never the median lines below)
+    val iterRows = measured.filter(_._3.size > 1).map { case (k, _, raw) =>
+      "\"" + k + "\":" + raw.map(fmt).mkString("[", ",", "]")
+    }
+    if (iterRows.nonEmpty)
+      println(s"""{"metric":"iters","queries":${
+        iterRows.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     val headlineQs = results.filter { case (k, _) => Headline(k) }
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"headline","value":${fmt(

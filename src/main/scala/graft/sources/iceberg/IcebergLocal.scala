@@ -209,7 +209,13 @@ object IcebergLocal {
     // maxOption: a REST-created table exists with ZERO snapshots
     val snapId = prior.flatMap(_.snapshots.map(_.snapshotId).maxOption)
       .getOrElse(0L) + 1
-    val specId = partitionSpec.map(resolveSpecId(prior, _)).getOrElse(0)
+    // spec-less commits resolve the UNPARTITIONED spec through the same
+    // evolution rule as partitioned ones: on a table whose spec 0 has
+    // fields, stamping the new manifest `spec 0 + empty tuple` would
+    // hand external readers a manifest whose declared spec doesn't
+    // match its partition struct — the empty shape gets (or reuses) a
+    // real spec id instead, registered in the metadata below
+    val specId = resolveSpecId(prior, partitionSpec.getOrElse(Nil))
     val listPath = writeSnapshotFiles(tableDir, prior, files, snapId,
       replace, partitionSpec, schema, specId = specId)
     writeMetadata(tableDir, priorRaw, prior, files, snapId, listPath,
@@ -566,9 +572,26 @@ object IcebergLocal {
         case Some(pr) if pr.has("partition-specs") =>
           // spec-less commits carry the table's partition spec forward
           // (like schemas) — a streaming append must not strip the
-          // pruning metadata a partitioned table was created with
+          // pruning metadata a partitioned table was created with.
+          // This commit's manifests are stamped `specId` (the resolved
+          // UNPARTITIONED shape, empty tuple); when the table never had
+          // an empty spec, register one under that id so every
+          // manifest's declared spec matches its partition struct for
+          // external readers. default-spec-id stays where it was — a
+          // data append is not spec evolution.
+          val specsNode = pr.get("partition-specs").deepCopy[
+            com.fasterxml.jackson.databind.JsonNode]()
           root.set[com.fasterxml.jackson.databind.JsonNode](
-            "partition-specs", pr.get("partition-specs").deepCopy())
+            "partition-specs", specsNode)
+          specsNode match {
+            case arr: ArrayNode
+                if !(0 until arr.size()).exists(
+                  i => arr.get(i).path("spec-id").asInt(-1) == specId) =>
+              val ps = arr.addObject()
+              ps.put("spec-id", specId); ps.putArray("fields")
+              ()
+            case _ => ()
+          }
           root.put("default-spec-id", pr.path("default-spec-id").asInt(0))
           root.put("last-partition-id",
             pr.path("last-partition-id").asInt(999))
@@ -615,7 +638,12 @@ object IcebergLocal {
     val ln = log.addObject()
     ln.put("timestamp-ms", timestampMs); ln.put("snapshot-id", snapId)
 
-    Files.writeString(metaDir.resolve(f"v$snapId%05d.metadata.json"),
+    // version = snapId in the common case, but a metadata-only schema
+    // commit (rename/add/drop) may have taken versions past the
+    // snapshot numbering — never reuse one (metadata files are
+    // immutable in the format)
+    writeMetadataFile(metaDir,
+      math.max(snapId, maxMetadataVersion(metaDir) + 1),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
 
     // GC for expired snapshots: their manifest-list files and their
@@ -647,6 +675,21 @@ object IcebergLocal {
     r.put("snapshot-id", id); r.put("type", tpe)
   }
 
+  /** Max field id anywhere in a schema tree (`id`/`element-id`/
+    * `key-id`/`value-id`) — the `last-column-id` a schema implies. */
+  private def maxFieldIdIn(
+      sc: com.fasterxml.jackson.databind.JsonNode): Int = {
+    var lastCol = 0
+    def walkIds(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      Seq("id", "element-id", "key-id", "value-id").foreach(k =>
+        if (n.has(k) && n.get(k).isInt)
+          lastCol = math.max(lastCol, n.get(k).asInt()))
+      n.elements().forEachRemaining(walkIds)
+    }
+    walkIds(sc)
+    lastCol
+  }
+
   private val MetadataName = """v(\d+)\.metadata\.json""".r
 
   /** Latest committed `vN.metadata.json` of the table at `tableDir`.
@@ -665,6 +708,43 @@ object IcebergLocal {
         }
       }
       .sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** Highest committed metadata version number in `metaDir` (0 when
+    * none). Snapshot commits normally number their metadata by snapshot
+    * id, but metadata-only schema commits take versions of their own —
+    * "next version" must come from the directory, not the snapshot
+    * list. */
+  private[iceberg] def maxMetadataVersion(metaDir: JPath): Long = {
+    if (!Files.isDirectory(metaDir)) return 0L
+    listDir(metaDir).flatMap { p =>
+      p.getFileName.toString match {
+        case MetadataName(v) => Some(v.toLong)
+        case _ => None
+      }
+    }.maxOption.getOrElse(0L)
+  }
+
+  /** Write `json` as `v{version}.metadata.json` ATOMICALLY (temp file in
+    * the same directory + atomic move): metadata files are immutable in
+    * the table format — a concurrent reader (or a crash mid-write) must
+    * see either the previous current file or the complete new one, never
+    * a torn JSON. The temp name doesn't match [[MetadataName]], so a
+    * crashed leftover is invisible to [[currentMetadataFile]]. */
+  private[iceberg] def writeMetadataFile(metaDir: JPath, version: Long,
+      json: String): JPath = {
+    val target = metaDir.resolve(f"v$version%05d.metadata.json")
+    val tmp = Files.createTempFile(metaDir, ".metadata-", ".json.tmp")
+    Files.writeString(tmp, json)
+    try
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    target
   }
 
   /** Latest committed metadata of the table at `tableDir`, if any. */
@@ -779,36 +859,21 @@ object IcebergLocal {
   /** Metadata-only column rename — Iceberg schema evolution: a NEW
     * schema (same field ids, next schema-id) becomes current, so files
     * written under the old name keep resolving BY FIELD ID while reads
-    * surface the new name. Rewrites the current metadata file in place
-    * (this writer's metadata-version == snapshot-id naming); the rename
-    * survives schema-less commits (which carry schemas forward) — a
-    * subsequent schema-carrying append replaces the schema table. */
-  def renameColumn(tableDir: JPath, from: String, to: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val p = currentMetadataFile(tableDir).getOrElse(
-      throw new IllegalArgumentException(s"no committed table at $tableDir"))
-    val root = mapper.readTree(Files.readString(p)).asInstanceOf[ObjectNode]
-    val curId = root.path("current-schema-id").asInt(0)
-    val schemas = root.withArray[ArrayNode]("schemas")
-    val cur = schemas.elements().asScala
-      .find(_.path("schema-id").asInt(0) == curId).getOrElse(
-        throw new IllegalArgumentException(s"no current schema in $p"))
-    val next = cur.deepCopy[ObjectNode]()
-    val newId = schemas.elements().asScala
-      .map(_.path("schema-id").asInt(0)).max + 1
-    next.put("schema-id", newId)
-    var hit = false
-    next.withArray[ArrayNode]("fields").elements().asScala.foreach { f =>
-      if (f.path("name").asText() == from) {
-        f.asInstanceOf[ObjectNode].put("name", to); hit = true
+    * surface the new name. Committed as a new metadata VERSION (see
+    * [[evolveSchema]]); the rename survives schema-less commits (which
+    * carry schemas forward) — a subsequent schema-carrying append
+    * replaces the schema table. */
+  def renameColumn(tableDir: JPath, from: String, to: String): Unit =
+    evolveSchema(tableDir, s"rename '$from'") { (next, _) =>
+      import scala.jdk.CollectionConverters._
+      var hit = false
+      next.withArray[ArrayNode]("fields").elements().asScala.foreach { f =>
+        if (f.path("name").asText() == from) {
+          f.asInstanceOf[ObjectNode].put("name", to); hit = true
+        }
       }
+      require(hit, s"rename: table has no top-level column '$from'")
     }
-    require(hit, s"rename: table has no top-level column '$from'")
-    schemas.add(next)
-    root.put("current-schema-id", newId)
-    Files.writeString(p,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-  }
 
   /** ADD a nullable top-level column as a metadata-only schema commit
     * (the spec's ADD COLUMN): a NEW schema id with the field appended
@@ -854,7 +919,13 @@ object IcebergLocal {
   /** Shared metadata-only schema-commit shape (rename/add/drop): copy
     * the current schema, let `mutate` edit the copy (and the root, for
     * last-column-id), register it under a fresh schema id, move
-    * `current-schema-id`. */
+    * `current-schema-id`, and commit the result as a NEW metadata
+    * version file (`v(maxVersion+1).metadata.json`, atomic move) — the
+    * format treats metadata files as immutable, so a crash mid-write
+    * must not tear the table's newest metadata, and the prior version
+    * stays intact as the rollback point. Snapshot commits number past
+    * evolution versions (see [[writeMetadata]]), so versions never
+    * collide. */
   private def evolveSchema(tableDir: JPath, what: String)(
       mutate: (ObjectNode, ObjectNode) => Unit): Unit = {
     import scala.jdk.CollectionConverters._
@@ -873,8 +944,10 @@ object IcebergLocal {
     mutate(next, root)
     schemas.add(next)
     root.put("current-schema-id", newId)
-    Files.writeString(p,
+    val metaDir = tableDir.resolve("metadata")
+    writeMetadataFile(metaDir, maxMetadataVersion(metaDir) + 1,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    ()
   }
 
   /** REST catalog over a warehouse directory: every subdirectory of
@@ -948,15 +1021,7 @@ object IcebergLocal {
         case _ => return Left(400 -> "schema must be a struct object")
       }
       // last-column-id: the max field id anywhere in the schema tree
-      var lastCol = 0
-      def walkIds(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
-        Seq("id", "element-id", "key-id", "value-id").foreach(k =>
-          if (n.has(k) && n.get(k).isInt)
-            lastCol = math.max(lastCol, n.get(k).asInt()))
-        n.elements().forEachRemaining(walkIds)
-      }
-      walkIds(sc)
-      root.put("last-column-id", lastCol)
+      root.put("last-column-id", maxFieldIdIn(sc))
       root.putArray("schemas").add(sc)
       root.put("current-schema-id", 0)
       val specs = root.putArray("partition-specs")
@@ -990,8 +1055,7 @@ object IcebergLocal {
       root.putArray("snapshot-log")
       val metaDir = dir.resolve("metadata")
       Files.createDirectories(metaDir)
-      val out = metaDir.resolve("v00000.metadata.json")
-      Files.writeString(out,
+      val out = writeMetadataFile(metaDir, 0,
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
       Right(out)
     }
@@ -1030,14 +1094,67 @@ object IcebergLocal {
           case "assert-table-uuid" =>
             if (r.path("uuid").asText() != root.path("table-uuid").asText())
               return Left(409 -> "requirement failed: table-uuid mismatch")
+          case "assert-current-schema-id" =>
+            // the CAS a schema-evolution commit rides: the client built
+            // its next schema from this id — a racing schema change
+            // moved it, and applying anyway would silently drop one of
+            // the two evolutions
+            val want = r.path("current-schema-id").asInt(-1)
+            val have = root.path("current-schema-id").asInt(0)
+            if (want != have)
+              return Left(409 -> ("requirement failed: current-schema-id " +
+                s"is $have, commit expected $want"))
           case other =>
             return Left(400 -> s"unsupported requirement '$other'")
         }
       }
       var newSnapId = -1L
       var lastAddedSpec = -1
+      var lastAddedSchema = -1
+      var schemaChanged = false
       for (u <- IcebergJson.arr(req.get("updates"))) {
         u.path("action").asText() match {
+          // schema EVOLUTION through the protocol: the client prepares
+          // the next schema (copy-and-mutate of the current one, field
+          // ids preserved) and its id must be the NEXT one — a racing
+          // schema change turns this into a 409 and the client
+          // re-resolves against the new head, the same CAS shape as
+          // add-spec
+          case "add-schema" =>
+            val sc = u.get("schema")
+            if (sc == null || !sc.has("schema-id") || !sc.has("fields"))
+              return Left(400 -> "add-schema needs schema-id + fields")
+            val schemas = root.withArray[ArrayNode]("schemas")
+            val existing = (0 until schemas.size())
+              .map(schemas.get(_).path("schema-id").asInt(0))
+            val sid = sc.get("schema-id").asInt()
+            if (existing.contains(sid))
+              return Left(409 -> (s"requirement failed: schema-id $sid " +
+                "already exists — reload and re-resolve"))
+            if (existing.nonEmpty && sid != existing.max + 1)
+              return Left(409 -> (s"requirement failed: schema-id $sid " +
+                s"is not the next id (${existing.max + 1})"))
+            schemas.add(
+              sc.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+            // field ids are never reused: last-column-id only grows
+            root.put("last-column-id",
+              math.max(root.path("last-column-id").asInt(0),
+                maxFieldIdIn(sc)))
+            lastAddedSchema = sid
+            ()
+          case "set-current-schema" =>
+            val sid = u.path("schema-id").asInt()
+            // -1 = "the schema added in this commit" (REST spec shorthand)
+            if (sid == -1 && lastAddedSchema == -1)
+              return Left(400 -> "set-current-schema -1 without add-schema")
+            val target = if (sid == -1) lastAddedSchema else sid
+            val schemas = root.withArray[ArrayNode]("schemas")
+            if (!(0 until schemas.size())
+                .exists(schemas.get(_).path("schema-id").asInt(0) == target))
+              return Left(400 -> s"set-current-schema: no schema $target")
+            root.put("current-schema-id", target)
+            schemaChanged = true
+            ()
           // partition-spec EVOLUTION through the protocol: the client
           // asserts the spec id its prepared manifests are stamped with
           // (it must be the NEXT id — a racing writer who added a spec
@@ -1126,11 +1243,16 @@ object IcebergLocal {
             return Left(400 -> s"unsupported update '$other'")
         }
       }
-      if (newSnapId <= 0)
-        return Left(400 -> "commit carries no add-snapshot")
-      val out = dir.resolve("metadata")
-        .resolve(f"v$newSnapId%05d.metadata.json")
-      Files.writeString(out,
+      if (newSnapId <= 0 && !schemaChanged)
+        return Left(400 -> "commit carries no add-snapshot or schema change")
+      // schema-only commits take a version of their own; snapshot
+      // commits keep version == snapshot-id unless evolution versions
+      // already passed it. Atomic move — same torn-write guarantee as
+      // the local path.
+      val metaDir = dir.resolve("metadata")
+      val version =
+        math.max(newSnapId, maxMetadataVersion(metaDir) + 1)
+      val out = writeMetadataFile(metaDir, version,
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
       Right(out)
     }

@@ -37,8 +37,9 @@ object IcebergMaintenance {
       clock: () => Long = () => System.currentTimeMillis(),
       retainLast: Option[Int] = None): Long = {
     val df = IcebergRest.readLocal(spark, tableDir)
+    // maxOption: a REST-created table exists with ZERO snapshots
     val next = IcebergLocal.currentMetadata(tableDir)
-      .map(_.snapshots.map(_.snapshotId).max + 1).getOrElse(1L)
+      .flatMap(_.snapshots.map(_.snapshotId).maxOption).getOrElse(0L) + 1
     val outDir = tableDir.resolve("data").resolve(f"compact-$next%05d")
     df.write.mode("overwrite").parquet(outDir.toString)
     val files = parquetFileInfos(outDir)
@@ -56,8 +57,9 @@ object IcebergMaintenance {
     * workloads that filter on several columns: a plain sort helps only
     * its leading column; the Z curve bounds all of them.
     *
-    * Mechanics: each column is linearly scaled into 16 bits over its
-    * observed [min, max] (one tiny aggregate, driver-side), the scaled
+    * Mechanics: each column is linearly scaled into min(16, 63/k) bits
+    * over its observed [min, max] (one tiny aggregate, driver-side —
+    * the cap keeps the interleaved long non-negative), the scaled
     * values are bit-INTERLEAVED into one long (all codegen'd bitwise
     * expressions — no UDF), and the rewrite is
     * `repartitionByRange(files, z).sortWithinPartitions(z)`: contiguous
@@ -76,21 +78,40 @@ object IcebergMaintenance {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    val scaled = cols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
-      val span = if (hi > lo) hi - lo else 1d
-      // nulls cluster at 0 — they stay prunable via null counts
-      least(lit(65535L), greatest(lit(0L),
-        ((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) / lit(span) *
-          lit(65535d)).cast("long")))
+    val scaled = cols.zipWithIndex.flatMap { case (c, i) =>
+      // an empty table or an all-null column has no min/max: the
+      // column carries no clustering information — skip it rather than
+      // NPE on getDouble (the rewrite still runs; with zero usable
+      // columns it degenerates to a plain compaction)
+      if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) None
+      else {
+        val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+        val span = if (hi > lo) hi - lo else 1d
+        // nulls cluster at 0 — they stay prunable via null counts
+        Some(((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) /
+          lit(span), c))
+      }
     }
-    val k = scaled.size
-    val z = (0 until 16).flatMap(j => scaled.zipWithIndex.map {
-      case (c, ci) =>
-        shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * k + ci)
-    }).reduce(_.bitwiseOR(_))
+    val k = math.max(scaled.size, 1)
+    // bits per dimension capped so k*bits ≤ 63: the interleaved value
+    // must stay NON-NEGATIVE — with the top bit at position 63, signed
+    // repartitionByRange would order files with the last dimension's
+    // high bit set before everything else (results stay exact, but
+    // clustering locality degrades)
+    val bits = math.min(16, 63 / k)
+    val hi = (1L << bits) - 1
+    val quantized = scaled.map { case (frac, _) =>
+      least(lit(hi), greatest(lit(0L), (frac * lit(hi.toDouble)).cast("long")))
+    }
+    val z =
+      if (quantized.isEmpty) lit(0L)
+      else (0 until bits).flatMap(j => quantized.zipWithIndex.map {
+        case (c, ci) =>
+          shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * k + ci)
+      }).reduce(_.bitwiseOR(_))
+    // maxOption: a REST-created table exists with ZERO snapshots
     val next = IcebergLocal.currentMetadata(tableDir)
-      .map(_.snapshots.map(_.snapshotId).max + 1).getOrElse(1L)
+      .flatMap(_.snapshots.map(_.snapshotId).maxOption).getOrElse(0L) + 1
     val outDir = tableDir.resolve("data").resolve(f"zorder-$next%05d")
     df.withColumn("__graft_z", z)
       .repartitionByRange(files, org.apache.spark.sql.functions.col("__graft_z"))

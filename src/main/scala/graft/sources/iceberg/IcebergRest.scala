@@ -122,6 +122,17 @@ final class IcebergRestCatalog(baseUrl: String,
     jsArr(n.get("identifiers")).map(_.get("name").asText())
   }
 
+  /** `GET /v1/namespaces/{ns}/tables/{t}` — the RAW inline metadata
+    * document, for callers that need fields [[IcebergTableMeta]]
+    * doesn't model (e.g. the current schema JSON a schema-evolution
+    * commit copies-and-mutates). */
+  def loadTableJson(namespace: String, table: String): JsonNode = {
+    val n = get(s"/v1/namespaces/${enc(namespace)}/tables/${enc(table)}")
+    Option(n.get("metadata")).getOrElse(
+      throw new IllegalArgumentException(
+        s"LoadTableResult for $namespace.$table has no inline metadata"))
+  }
+
   /** `GET /v1/namespaces/{ns}/tables/{t}` — LoadTableResult's inline
     * `metadata` document. */
   def loadTable(namespace: String, table: String): IcebergTableMeta = {

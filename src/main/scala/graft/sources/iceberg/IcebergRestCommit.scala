@@ -107,4 +107,104 @@ object IcebergRestCommit {
     }
     -1L // unreachable
   }
+
+  /** Metadata-only schema evolution THROUGH the catalog's commit
+    * protocol — the multi-writer-safe route for schema changes when a
+    * catalog serves the table (the local `renameColumn`/`addColumn`/
+    * `dropColumn` writers assume a single writer): copy the current
+    * schema, let `mutate` edit the copy (and read the root for fresh
+    * field ids), POST `add-schema` + `set-current-schema` gated by
+    * `assert-current-schema-id`; a racing schema change 409s and the
+    * loop re-resolves against the new head — the same CAS shape as the
+    * snapshot path above. Returns the committed schema id. */
+  def evolveSchema(catalog: IcebergRestCatalog, namespace: String,
+      table: String, maxRetries: Int = 10)(
+      mutate: (com.fasterxml.jackson.databind.node.ObjectNode,
+        com.fasterxml.jackson.databind.JsonNode) => Unit): Int = {
+    var attempt = 0
+    while (true) {
+      val meta = catalog.loadTableJson(namespace, table)
+      val curId = meta.path("current-schema-id").asInt(0)
+      val schemas = IcebergJson.arr(meta.get("schemas"))
+      val cur = schemas.find(_.path("schema-id").asInt(0) == curId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no current schema for $namespace.$table"))
+      val next = cur.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val newId = schemas.map(_.path("schema-id").asInt(0)).max + 1
+      next.put("schema-id", newId)
+      mutate(next, meta)
+      val body =
+        s"""{"requirements":[
+           |  {"type":"assert-current-schema-id","current-schema-id":$curId}],
+           | "updates":[
+           |  {"action":"add-schema","schema":${next.toString}},
+           |  {"action":"set-current-schema","schema-id":-1}]}""".stripMargin
+      try {
+        catalog.commitTable(namespace, table, body)
+        return newId
+      } catch {
+        case _: IcebergCommitConflict =>
+          attempt += 1
+          if (attempt > maxRetries) throw new IllegalStateException(
+            s"schema commit of $namespace.$table lost the CAS race " +
+              s"$maxRetries times; raise maxRetries or serialize " +
+              "schema changes")
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** ADD COLUMN through the catalog — the REST twin of
+    * [[IcebergLocal.addColumn]] (nullable only; fresh field id past
+    * `last-column-id`, re-resolved on every CAS retry). */
+  def addColumn(catalog: IcebergRestCatalog, namespace: String,
+      table: String, name: String, icebergType: String): Int =
+    evolveSchema(catalog, namespace, table) { (next, root) =>
+      val fields = next.withArray[
+        com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+      require(!IcebergJson.arr(fields)
+        .exists(_.path("name").asText() == name),
+        s"add: column '$name' already exists")
+      val f = fields.addObject()
+      f.put("id", root.path("last-column-id").asInt(0) + 1)
+      f.put("name", name)
+      f.put("required", false)
+      f.put("type", icebergType)
+      ()
+    }
+
+  /** DROP COLUMN through the catalog — the REST twin of
+    * [[IcebergLocal.dropColumn]]. */
+  def dropColumn(catalog: IcebergRestCatalog, namespace: String,
+      table: String, name: String): Int =
+    evolveSchema(catalog, namespace, table) { (next, _) =>
+      val fields = next.withArray[
+        com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+      val keep = IcebergJson.arr(fields)
+        .filter(_.path("name").asText() != name)
+      require(keep.size < fields.size(),
+        s"drop: table has no top-level column '$name'")
+      require(keep.nonEmpty, "drop: cannot remove the last column")
+      fields.removeAll()
+      keep.foreach(fields.add)
+      ()
+    }
+
+  /** RENAME COLUMN through the catalog — the REST twin of
+    * [[IcebergLocal.renameColumn]] (field id preserved, so files
+    * written under the old name keep resolving). */
+  def renameColumn(catalog: IcebergRestCatalog, namespace: String,
+      table: String, from: String, to: String): Int =
+    evolveSchema(catalog, namespace, table) { (next, _) =>
+      var hit = false
+      next.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "fields").forEach { f =>
+        if (f.path("name").asText() == from) {
+          f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("name", to); hit = true
+        }
+      }
+      require(hit, s"rename: table has no top-level column '$from'")
+    }
 }

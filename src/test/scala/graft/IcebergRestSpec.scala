@@ -1064,4 +1064,167 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(s"$sf/nation.parquet")
         .filter("n_regionkey < 2").count())
   }
+
+  private def metadataVersions(dir: JPath): Seq[Long] = {
+    val s = Files.list(dir.resolve("metadata"))
+    try s.iterator().asScala.toSeq
+      .flatMap(p => "v(\\d+)\\.metadata\\.json".r
+        .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
+      .sorted
+    finally s.close()
+  }
+
+  test("schema evolution commits a NEW immutable metadata version") {
+    // the format treats metadata files as immutable: a rename/add/drop
+    // must land as v(N+1).metadata.json (atomic move), never an
+    // in-place rewrite — a crash mid-write must not tear the newest
+    // metadata, and the prior version stays as the rollback point
+    val dir = warehouse.resolve("evver")
+    val base = IcebergLocal.withFieldIds(
+      spark.read.parquet(s"$sf/nation.parquet")
+        .select("n_nationkey", "n_name"))
+    IcebergLocal.append(dir, partFiles(base), timestampMs = 1000L,
+      schema = Some(base.schema))
+    try {
+      val before = metadataVersions(dir)
+      val priorFile = IcebergLocal.currentMetadataFile(dir).get
+      val priorBytes = Files.readAllBytes(priorFile)
+      IcebergLocal.addColumn(dir, "note", "string")
+      val after = metadataVersions(dir)
+      assert(after.size == before.size + 1 && after.max == before.max + 1,
+        s"evolution did not add exactly one version: $before -> $after")
+      assert(java.util.Arrays.equals(priorBytes,
+        Files.readAllBytes(priorFile)),
+        "evolution rewrote the prior metadata version in place")
+      // no torn temp leftovers visible to the version scan
+      assert(IcebergLocal.currentMetadataFile(dir).get !=
+        priorFile)
+      // a SNAPSHOT commit after the evolution must not collide with
+      // (and silently supersede) the evolution's version file — and
+      // must carry the evolved schema forward
+      IcebergLocal.append(dir, partFiles(base), timestampMs = 2000L)
+      val end = metadataVersions(dir)
+      assert(end.size == after.size + 1 && end.max == after.max + 1,
+        s"snapshot commit collided with an evolution version: $end")
+      val df = IcebergRest.readLocal(spark, dir,
+        options = Map("fieldIdReads" -> "true"))
+      assert(df.columns.toSeq == Seq("n_nationkey", "n_name", "note"))
+      assert(df.count() == 50)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
+  test("schema evolution through the REST commit protocol is CAS-gated") {
+    val dir = warehouse.resolve("restev")
+    val base = IcebergLocal.withFieldIds(
+      spark.read.parquet(s"$sf/nation.parquet")
+        .select("n_nationkey", "n_name"))
+    IcebergLocal.append(dir, partFiles(base), timestampMs = 1000L,
+      schema = Some(base.schema))
+    try {
+      // add + rename through the catalog's commit endpoint
+      val sid1 = IcebergRestCommit.addColumn(catalog, "analytics",
+        "restev", "tier", "string")
+      assert(sid1 == 1)
+      val sid2 = IcebergRestCommit.renameColumn(catalog, "analytics",
+        "restev", "n_name", "label")
+      assert(sid2 == 2)
+      val df = IcebergRest.read(spark, catalog, "analytics", "restev",
+        options = Map("fieldIdReads" -> "true"))
+      assert(df.columns.toSeq == Seq("n_nationkey", "label", "tier"))
+      assert(df.filter("label IS NULL").count() == 0)
+      // each evolution is its own metadata version, priors intact
+      assert(metadataVersions(dir).size == 3)
+      // the CAS: a commit asserting a STALE current-schema-id must 409
+      // (racing schema writers can't silently drop each other's change)
+      val stale =
+        """{"requirements":[
+          |  {"type":"assert-current-schema-id","current-schema-id":0}],
+          | "updates":[
+          |  {"action":"add-schema","schema":{"type":"struct","schema-id":3,
+          |    "fields":[{"id":1,"name":"n_nationkey","required":false,
+          |      "type":"long"}]}},
+          |  {"action":"set-current-schema","schema-id":-1}]}""".stripMargin
+      intercept[IcebergCommitConflict](
+        catalog.commitTable("analytics", "restev", stale))
+      // a non-next schema-id is refused even with a fresh CAS
+      val skipId =
+        """{"requirements":[
+          |  {"type":"assert-current-schema-id","current-schema-id":2}],
+          | "updates":[
+          |  {"action":"add-schema","schema":{"type":"struct","schema-id":9,
+          |    "fields":[{"id":1,"name":"n_nationkey","required":false,
+          |      "type":"long"}]}},
+          |  {"action":"set-current-schema","schema-id":-1}]}""".stripMargin
+      intercept[IcebergCommitConflict](
+        catalog.commitTable("analytics", "restev", skipId))
+      // drop through the protocol; reads reflect it
+      IcebergRestCommit.dropColumn(catalog, "analytics", "restev", "tier")
+      val dropped = IcebergRest.read(spark, catalog, "analytics", "restev",
+        options = Map("fieldIdReads" -> "true"))
+      assert(dropped.columns.toSeq == Seq("n_nationkey", "label"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
+  test("spec-less commits on a partitioned table declare a real empty spec") {
+    // a data append without a partition spec must not stamp its
+    // manifest `spec 0 + empty tuple` when spec 0 HAS fields — the
+    // unpartitioned shape gets its own registered spec id, so external
+    // readers resolving each manifest's declared spec see a matching
+    // partition struct
+    val dir = warehouse.resolve("specless")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .where("o_orderdate >= timestamp '1995-01-01' AND " +
+        "o_orderdate < timestamp '1995-04-01'")
+    IcebergPartitioned.append(orders, dir, "data/b0",
+      Seq(PartitionField("o_month", "o_orderdate", "month")),
+      timestampMs = 1000L)
+    try {
+      IcebergLocal.append(dir, partFiles(orders.limit(5)),
+        timestampMs = 2000L)
+      val raw = mapperFor(dir)
+      val specs = (0 until raw.get("partition-specs").size())
+        .map(raw.get("partition-specs").get)
+      val byId = specs.map(s =>
+        s.path("spec-id").asInt() -> s.get("fields").size()).toMap
+      assert(byId(0) == 1, "spec 0 lost its month field")
+      assert(byId.exists { case (id, n) => id > 0 && n == 0 },
+        s"no registered empty spec for the spec-less commit: $byId")
+      assert(raw.path("default-spec-id").asInt() == 0,
+        "a data append moved default-spec-id")
+      val emptyId = byId.collectFirst {
+        case (id, 0) => id }.get
+      // the NEW manifest is stamped with the empty spec's id; carried
+      // manifests keep spec 0
+      val meta = IcebergLocal.currentMetadata(dir).get
+      val head = meta.snapshots.maxBy(_.snapshotId)
+      val listFile = java.nio.file.Paths.get(
+        java.net.URI.create(head.manifestList))
+      val reader = org.apache.avro.file.DataFileReader.openReader(
+        listFile.toFile,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val specIds =
+        try Iterator.continually(reader).takeWhile(_.hasNext)
+          .map(_.next().get("partition_spec_id").asInstanceOf[Int])
+          .toSet
+        finally reader.close()
+      assert(specIds == Set(0, emptyId),
+        s"manifest spec ids $specIds != Set(0, $emptyId)")
+      // and the read still returns everything, pruning intact
+      val all = IcebergRest.readLocal(spark, dir,
+        options = Map("filter" ->
+          "o_orderdate >= timestamp '1995-01-01'"))
+      assert(all.count() == orders.count() + 5)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
 }

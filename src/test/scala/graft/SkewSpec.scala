@@ -142,11 +142,13 @@ class SkewSpec extends AnyFunSuite {
       s"naive max task read $naiveMax < hot group $hot — fixture broken")
     assert(saltedMax < hot / 2,
       s"salt did not spread the hot group: max task read $saltedMax of $hot")
-    // (3) the payoff: the salted plan is faster than the straggler-bound
-    // naive one (min-of-1 after warmup on an idle 4-thread session; the
-    // 8-way spread leaves a comfortable margin over run-to-run noise)
-    assert(saltedSec < naiveSec,
-      f"salted $saltedSec%.2fs did not beat naive $naiveSec%.2fs")
+    // (3) the payoff, as a LOGGED metric only: wall-clock comparisons
+    // flake on a loaded CI host independent of any code regression —
+    // the max-shuffle-task-records pin above IS the hard assertion for
+    // the mechanism (the straggler task is gone), and the timing line
+    // below keeps the speedup observable without gating the build on it
+    info(f"salted $saltedSec%.2fs vs naive $naiveSec%.2fs " +
+      f"(speedup ${naiveSec / math.max(saltedSec, 1e-9)}%.2fx)")
     // (1) and row-identical at this scale too
     assert(naive.exceptAll(salted).isEmpty && salted.exceptAll(naive).isEmpty)
     li.unpersist(); dimBig.unpersist()
