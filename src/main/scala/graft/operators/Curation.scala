@@ -110,11 +110,12 @@ object Curation {
       .localCheckpoint(false)
     val cf = tf.groupBy(col("w")).agg(sum(col("tf")).as("cf"))
     // norm is trimmed, so split() only yields an empty token when the
-    // whole norm is empty — counting is a codegen'd size(), no lambda
-    val tot = TextPipeline.withNorm(t(s, dir).documents)
-      .select(when(col("norm") === "", lit(0))
-        .otherwise(size(col("words"))).as("n"))
-      .agg(sum(col("n")).as("tot"))
+    // whole norm is empty — which contributes 0 tokens either way, so
+    // the corpus total IS sum(tf) over the checkpointed tf relation:
+    // one aggregate over rows already materialized, not a SECOND
+    // tokenization pass over every document (this was the single
+    // biggest cost on the surprisal path)
+    val tot = tf.agg(sum(col("tf")).as("tot"))
     val terms = tf.join(cf, "w")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("tf"),
