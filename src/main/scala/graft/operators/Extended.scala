@@ -847,7 +847,11 @@ object Extended {
       """SELECT '{"o_month":' ||
         |    CAST((year(o_orderdate)-1970)*12 + month(o_orderdate)-1 AS VARCHAR)
         |    || '}' AS "partition",
-        |  CAST(1 AS BIGINT) AS file_count, count(*) AS record_count
+        |  CAST(1 AS BIGINT) AS file_count, count(*) AS record_count,
+        |  CAST(0 AS BIGINT) AS position_delete_file_count,
+        |  CAST(0 AS BIGINT) AS position_delete_record_count,
+        |  CAST(0 AS BIGINT) AS equality_delete_file_count,
+        |  CAST(0 AS BIGINT) AS equality_delete_record_count
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
         |  AND o_orderdate < TIMESTAMP '1996-01-01'

@@ -392,7 +392,12 @@ final case class IcebergDataFile(path: String, seq: Long, specId: Int,
     /** spec value_counts / null_value_counts: IS [NOT] NULL evidence */
     valueCounts: Map[Int, Long] = Map.empty,
     nullCounts: Map[Int, Long] = Map.empty,
-    recordCount: Long = 0L)
+    recordCount: Long = 0L,
+    /** spec data_file content id: 0 = data, 1 = position deletes,
+      * 2 = equality deletes (delete entries surface through the
+      * `files`/`partitions` inspection tables — the MoR-debt signal
+      * an operator reads to decide when to compact) */
+    content: Int = 0)
 
 /** One snapshot's file inventory: live data files and the delete files
   * that apply to them, each with its data sequence number (the v2
@@ -403,7 +408,11 @@ final case class IcebergScanFiles(
     dataFiles: Seq[(String, Long)],
     positionDeletes: Seq[(String, Long)],
     equalityDeletes: Seq[EqualityDeleteFile] = Nil,
-    dataEntries: Seq[IcebergDataFile] = Nil)
+    dataEntries: Seq[IcebergDataFile] = Nil,
+    /** delete files WITH their inspection metadata (content 1/2) — the
+      * `files`/`partitions` metadata tables' delete accounting; the MoR
+      * read path keeps using the two narrow views above */
+    deleteEntries: Seq[IcebergDataFile] = Nil)
 
 object IcebergManifests {
   /** Walk snapshot → manifest list → manifests → live files. Avro field
@@ -443,6 +452,7 @@ object IcebergManifests {
     val entries = Seq.newBuilder[IcebergDataFile]
     val posDeletes = Seq.newBuilder[(String, Long)]
     val eqDeletes = Seq.newBuilder[EqualityDeleteFile]
+    val delEntries = Seq.newBuilder[IcebergDataFile]
     manifests.foreach { case (mf, mseq, minSeq, manifestContent, specId) =>
       readAvro(mf, conf).foreach { entry =>
         val status = intField(entry, "status").getOrElse(1)
@@ -465,21 +475,33 @@ object IcebergManifests {
               countsOf(df, "value_counts"),
               countsOf(df, "null_value_counts"),
               longField(df, "record_count").getOrElse(0L))
-          case 1 => posDeletes += ((df.get("file_path").toString, seq))
+          case 1 =>
+            val path = df.get("file_path").toString
+            posDeletes += ((path, seq))
+            delEntries += IcebergDataFile(path, seq, specId,
+              partitionOf(df), sizeBytes =
+                longField(df, "file_size_in_bytes").getOrElse(0L),
+              recordCount = longField(df, "record_count").getOrElse(0L),
+              content = 1)
           case 2 =>
             val ids = Option(df.getSchema.getField("equality_ids"))
               .flatMap(_ => Option(df.get("equality_ids"))).toSeq
               .flatMap(_.asInstanceOf[java.util.List[_]].asScala
                 .map(_.asInstanceOf[Number].intValue()))
-            eqDeletes += EqualityDeleteFile(
-              df.get("file_path").toString, seq, ids)
+            val path = df.get("file_path").toString
+            eqDeletes += EqualityDeleteFile(path, seq, ids)
+            delEntries += IcebergDataFile(path, seq, specId,
+              partitionOf(df), sizeBytes =
+                longField(df, "file_size_in_bytes").getOrElse(0L),
+              recordCount = longField(df, "record_count").getOrElse(0L),
+              content = 2)
           case other => throw new IllegalArgumentException(
             s"unknown data_file content id $other in manifest $mf")
         }
       }
     }
     IcebergScanFiles(data.result(), posDeletes.result(), eqDeletes.result(),
-      entries.result())
+      entries.result(), delEntries.result())
   }
 
   /** Entry's partition tuple (record field name → value; Avro Utf8
@@ -605,9 +627,12 @@ object IcebergRest {
   /** Iceberg METADATA TABLES — the inspection surface real lakes query
     * (`SELECT * FROM t.snapshots`): `snapshots` (id, committed-at,
     * manifest list), `history` (snapshot-log with is-current),
-    * `files` (per live data file: path, rows, bytes, spec id,
-    * JSON-rendered partition tuple), `partitions` (per partition
-    * tuple: file/row totals). All DRIVER-side metadata walks — the
+    * `files` (per live file — data AND delete, with the spec's content
+    * id: path, rows, bytes, spec id, JSON-rendered partition tuple),
+    * `partitions` (per partition tuple: data file/row totals plus
+    * position/equality delete file and record counts — the number an
+    * operator reads to decide when to compact MoR debt). All
+    * DRIVER-side metadata walks — the
     * manifest read the data path already does, zero data I/O — then a
     * tiny local DataFrame; at 100 TB these answer "what would this
     * query scan" without scanning it. */
@@ -640,17 +665,30 @@ object IcebergRest {
             s""""$k":$rendered"""
           }.mkString("{", ",", "}")
         if (kind == "files")
-          scan.dataEntries.sortBy(_.path)
-            .map(e => (e.path, e.recordCount, e.sizeBytes, e.specId,
-              tupleJson(e.partition)))
-            .toDF("file_path", "record_count", "file_size_in_bytes",
-              "spec_id", "partition")
-        else
-          scan.dataEntries.groupBy(e => tupleJson(e.partition)).toSeq
-            .map { case (t, es) =>
-              (t, es.size.toLong, es.map(_.recordCount).sum)
-            }.sortBy(_._1)
-            .toDF("partition", "file_count", "record_count")
+          // data AND delete files (content 0/1/2) — the delete entries
+          // are the MoR debt a maintenance operator reads to decide
+          // when to compact (rewrite_position_deletes / compact)
+          (scan.dataEntries ++ scan.deleteEntries)
+            .sortBy(e => (e.content, e.path))
+            .map(e => (e.path, e.content, e.recordCount, e.sizeBytes,
+              e.specId, tupleJson(e.partition)))
+            .toDF("file_path", "content", "record_count",
+              "file_size_in_bytes", "spec_id", "partition")
+        else {
+          val dataG = scan.dataEntries.groupBy(e => tupleJson(e.partition))
+          val delG = scan.deleteEntries.groupBy(e => tupleJson(e.partition))
+          (dataG.keySet ++ delG.keySet).toSeq.sorted.map { t =>
+            val ds = dataG.getOrElse(t, Nil)
+            val dels = delG.getOrElse(t, Nil)
+            val pos = dels.filter(_.content == 1)
+            val eqs = dels.filter(_.content == 2)
+            (t, ds.size.toLong, ds.map(_.recordCount).sum,
+              pos.size.toLong, pos.map(_.recordCount).sum,
+              eqs.size.toLong, eqs.map(_.recordCount).sum)
+          }.toDF("partition", "file_count", "record_count",
+            "position_delete_file_count", "position_delete_record_count",
+            "equality_delete_file_count", "equality_delete_record_count")
+        }
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' " +
           "(snapshots | history | files | partitions)")

@@ -640,6 +640,67 @@ class IcebergPartitionSpec extends AnyFunSuite {
       IcebergRest.metaTable(spark, dir, "nope"))
   }
 
+  test("metadata tables expose delete files and per-partition MoR debt") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val wh = freshDir("metadel")
+    val dir = wh.resolve("orders")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderdate")
+      .where("o_orderdate >= date '1995-01-01' AND " +
+        "o_orderdate < date '1995-04-01'").repartition(1)
+    IcebergPartitioned.append(orders, dir, "data/b0",
+      Seq(PartitionField("o_month", "o_orderdate", "month")), 1000L)
+    // position deletes via the engine's DELETE WHERE...
+    val nDel = IcebergRest.readLocal(spark, dir)
+      .where("o_orderkey % 5 = 0").count()
+    IcebergMaintenance.deleteWhere(spark, dir, "o_orderkey % 5 = 0",
+      () => 2000L)
+    // ...and one equality-delete file (the upsert shape) on a key that
+    // EXISTS and survives the position delete
+    val eqKey = orders.where("o_orderkey % 5 <> 0")
+      .agg(org.apache.spark.sql.functions.min("o_orderkey"))
+      .head().getAs[Number](0).longValue()
+    val eqDir = freshDir("metadel_eq")
+    orders.limit(0).select(col("o_orderkey"))
+      .union(spark.range(1).select(lit(eqKey).as("o_orderkey")))
+      .coalesce(1).write.mode("overwrite").parquet(eqDir.toString)
+    IcebergLocal.append(dir,
+      IcebergMaintenance.parquetFileInfos(eqDir, content = 2,
+        equalityIds = Seq(1)), 3000L)
+    val files = IcebergRest.metaTable(spark, dir, "files")
+    val byContent = files.groupBy("content").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byContent(0) == 3, s"3 month data files: $byContent")
+    assert(byContent.getOrElse(1, 0L) >= 1, s"position deletes: $byContent")
+    assert(byContent.getOrElse(2, 0L) == 1, s"equality deletes: $byContent")
+    assert(files.where("content = 1")
+      .agg(org.apache.spark.sql.functions.sum("record_count"))
+      .head().getLong(0) == nDel,
+      "position-delete record count != deleted rows")
+    val parts = IcebergRest.metaTable(spark, dir, "partitions")
+    // delete files commit unpartitioned -> their debt lands under the
+    // empty tuple, with zero data files
+    val debt = parts.where("partition = '{}'").collect()
+    assert(debt.length == 1, s"no empty-tuple debt row: ${parts.collect().toSeq}")
+    val d = debt.head
+    assert(d.getAs[Long]("file_count") == 0 &&
+      d.getAs[Long]("record_count") == 0)
+    assert(d.getAs[Long]("position_delete_record_count") == nDel)
+    assert(d.getAs[Long]("equality_delete_file_count") == 1 &&
+      d.getAs[Long]("equality_delete_record_count") == 1)
+    // data partitions carry zero delete debt of their own
+    assert(parts.where("partition <> '{}'")
+      .where("position_delete_file_count <> 0 OR " +
+        "equality_delete_file_count <> 0").count() == 0)
+    // time travel to the pre-delete snapshot shows NO delete entries
+    val files1 = IcebergRest.metaTable(spark, dir, "files",
+      Some(graft.sources.SnapshotLog.ByVersion("1")))
+    assert(files1.where("content <> 0").count() == 0)
+    // and the read path still applies both delete kinds exactly
+    val live = IcebergRest.readLocal(spark, dir)
+    assert(live.count() == orders.count() - nDel - 1)
+  }
+
   test("prune × MoR × time travel: the pruned as-of read keeps its delete files") {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val wh = freshDir("travel")
