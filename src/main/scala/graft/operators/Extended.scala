@@ -530,6 +530,42 @@ object Extended {
         .localCheckpoint(true)
     },
 
+    // rewrite_position_deletes round-trip: two OVERLAPPING row-level
+    // deletes accrete duplicate (file, pos) entries (positions are
+    // recorded from physical rows), then the position-delete compaction
+    // merges them into ONE deduped delete file — data files and the
+    // equality lineage untouched, the read anti-join now replays a
+    // single delete file. The post-rewrite read must hash-match the
+    // oracle's negated predicates exactly; file-count mechanics are
+    // pinned by IcebergPartitionSpec.
+    GraftQuery("q_iceberg_posdel_rewrite",
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_mktsegment <> 'HOUSEHOLD' AND c_custkey % 7 <> 0"""
+        .stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      val (warehouse, _) = cachedFixture("posdelrw", dir) { wh =>
+        val tableDir = wh.resolve("customer")
+        val data = t(s, dir).customer
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        val out = java.nio.file.Files.createTempDirectory("graft_pdr_data")
+        out.toFile.deleteOnExit()
+        data.write.mode("overwrite").parquet(out.toString)
+        IcebergLocal.append(tableDir,
+          IcebergMaintenance.parquetFileInfos(out),
+          timestampMs = 1000L, schema = Some(data.schema))
+        var now = 1000L
+        val clock = () => { now += 1000L; now }
+        IcebergMaintenance.deleteWhere(s, tableDir,
+          "c_mktsegment = 'HOUSEHOLD'", clock)
+        IcebergMaintenance.deleteWhere(s, tableDir,
+          "c_custkey % 7 = 0", clock)
+        IcebergMaintenance.rewritePositionDeletes(s, tableDir, clock)
+      }
+      IcebergRest.readLocal(s, warehouse.resolve("customer"))
+        .localCheckpoint(true)
+    },
+
     // Iceberg SCHEMA EVOLUTION round-trip: commit customer with parquet
     // field ids stamped (what real Iceberg writers do), RENAME c_name
     // to customer_name as a metadata-only schema commit, and read with

@@ -200,7 +200,11 @@ object IcebergLocal {
         * shaping the manifest entries' `partition` struct); requires
         * `schema` for source-id resolution. [[IcebergPartitioned]] is
         * the writer that computes the matching per-file tuples. */
-      partitionSpec: Option[Seq[PartitionField]] = None): Long = {
+      partitionSpec: Option[Seq[PartitionField]] = None,
+      /** rewrite-position-deletes commit: drop carried position-delete
+        * files (this commit's `files` replace them); data and equality
+        * lineage carried untouched. */
+      dropPositionDeletes: Boolean = false): Long = {
     val metaDir = tableDir.resolve("metadata")
     Files.createDirectories(metaDir)
     val priorRaw = currentMetadataFile(tableDir)
@@ -217,7 +221,8 @@ object IcebergLocal {
     // real spec id instead, registered in the metadata below
     val specId = resolveSpecId(prior, partitionSpec.getOrElse(Nil))
     val listPath = writeSnapshotFiles(tableDir, prior, files, snapId,
-      replace, partitionSpec, schema, specId = specId)
+      replace, partitionSpec, schema, specId = specId,
+      dropPositionDeletes = dropPositionDeletes)
     writeMetadata(tableDir, priorRaw, prior, files, snapId, listPath,
       timestampMs, tag, retainLast, schema, partitionSpec, specId)
   }
@@ -258,7 +263,14 @@ object IcebergLocal {
       uniq: String = "",
       /** the spec id stamped on this commit's NEW manifest (resolved by
         * [[resolveSpecId]]; carried prior manifests keep their own). */
-      specId: Int = 0): JPath = {
+      specId: Int = 0,
+      /** rewrite-position-deletes commit shape: carry data and
+        * EQUALITY-delete lineage forward but drop every carried
+        * POSITION-delete file (the commit's own `files` are their
+        * merged/deduped replacement). A delete manifest holding both
+        * kinds is rewritten to keep only its equality entries with
+        * their original sequence numbers. */
+      dropPositionDeletes: Boolean = false): JPath = {
     val metaDir = tableDir.resolve("metadata")
     Files.createDirectories(metaDir)
     val partAvro = partitionSpec match {
@@ -342,11 +354,65 @@ object IcebergLocal {
     // manifest whose entries are re-recorded as EXISTING (status 0 — the
     // reader keeps 0/1, drops only DELETED), so the tail length resets.
     val hadoopConf = new org.apache.hadoop.conf.Configuration()
-    val carried =
+    val carriedRaw =
       if (replace) Seq.empty
       else prior.filter(_.snapshots.nonEmpty).toSeq.flatMap { m =>
         IcebergAvro.read(m.snapshots.maxBy(_.snapshotId).manifestList,
           hadoopConf)
+      }
+    val carried =
+      if (!dropPositionDeletes) carriedRaw
+      else carriedRaw.flatMap { r =>
+        if (r.get("content").asInstanceOf[Number].intValue() == 0) Some(r)
+        else {
+          // a content=1 manifest may hold position files (content 1),
+          // equality files (content 2), or both; position entries are
+          // superseded by this commit's merged replacement
+          val entries = IcebergAvro.read(
+            r.get("manifest_path").toString, hadoopConf)
+          def fileContent(e: GenericRecord): Int =
+            Option(e.get("data_file").asInstanceOf[GenericRecord]
+              .get("content")).map(_.asInstanceOf[Number].intValue())
+              .getOrElse(1)
+          val (eqs, poss) = entries.partition(fileContent(_) == 2)
+          if (poss.isEmpty) Some(r) // pure equality: carry verbatim
+          else if (eqs.isEmpty) None // pure position: dropped
+          else {
+            // mixed: rewrite keeping only equality entries, each with
+            // its ORIGINAL sequence number made explicit (EXISTING)
+            val inheritSeq = r.get("sequence_number")
+              .asInstanceOf[Number].longValue()
+            val minSeqM = r.get("min_sequence_number")
+              .asInstanceOf[Number].longValue()
+            val keptPath = metaDir.resolve(
+              f"manifest-$snapId%05d$uniq-eq${carriedRaw.indexOf(r)}.avro")
+            val keptSchema = entries.head.getSchema
+            val kept = eqs.map { e =>
+              val st = Option(e.get("status"))
+                .map(_.asInstanceOf[Number].intValue()).getOrElse(1)
+              val explicit =
+                if (keptSchema.getField("sequence_number") == null) None
+                else Option(e.get("sequence_number"))
+                  .map(_.asInstanceOf[Number].longValue())
+              val seq = explicit.getOrElse(
+                if (st == 1) inheritSeq else minSeqM)
+              val n = new GenericData.Record(keptSchema)
+              keptSchema.getFields.forEach(f =>
+                n.put(f.name(), e.get(f.name())))
+              n.put("status", 0)
+              if (keptSchema.getField("sequence_number") != null)
+                n.put("sequence_number", seq)
+              n
+            }
+            writeAvro(keptPath, keptSchema, kept)
+            val nr = new GenericData.Record(r.getSchema)
+            r.getSchema.getFields.forEach(f =>
+              nr.put(f.name(), r.get(f.name())))
+            nr.put("manifest_path", keptPath.toUri.toString)
+            nr.put("manifest_length", Files.size(keptPath))
+            Some(nr)
+          }
+        }
       }
     // delete manifests are never compacted — their sequence numbers gate
     // WHICH data files each delete applies to, and a merged manifest

@@ -125,6 +125,71 @@ object IcebergMaintenance {
       schema = Some(df.schema), replace = true)
   }
 
+  /** POSITION-DELETE compaction — Iceberg's `rewrite_position_deletes`,
+    * the cheaper maintenance op real lakes run between full
+    * compactions: every DELETE WHERE adds another small position-delete
+    * file whose broadcast anti-join each read replays, so delete-side
+    * read cost grows with delete history even when the data layout is
+    * fine. This rewrites ONLY the delete side — data files untouched:
+    *
+    *   1. read every current position-delete file (a narrow two-column
+    *      scan, delete-history-sized, not table-sized);
+    *   2. drop superseded positions — rows naming a data file no longer
+    *      live in the current snapshot (left-semi against the
+    *      metadata-sized file inventory, broadcast);
+    *   3. dedupe (file_path, pos) — re-deleting an already-deleted row
+    *      re-records its position, and history accumulates duplicates;
+    *   4. write the survivors as `targetFiles` merged delete files and
+    *      commit them with [[IcebergLocal.append]]'s
+    *      rewrite-position-deletes shape: carried data and EQUALITY
+    *      delete lineage untouched (equality deletes keep their
+    *      original sequence gates), carried position-delete files
+    *      dropped. The merged file's higher sequence number is sound:
+    *      position deletes target explicit (file, pos) pairs, so a
+    *      larger sequence can never delete a row the originals
+    *      couldn't.
+    *
+    * Earlier snapshots' manifest lists stay intact — time travel to
+    * pre-rewrite history replays the original delete files. Returns the
+    * new snapshot id, or -1 when the table has no position deletes. */
+  def rewritePositionDeletes(spark: SparkSession, tableDir: JPath,
+      clock: () => Long = () => System.currentTimeMillis(),
+      targetFiles: Int = 1,
+      retainLast: Option[Int] = None): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val meta = IcebergLocal.currentMetadata(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    val snap = IcebergMetadata.select(meta, None)
+    val scan = IcebergManifests.scanFiles(spark, snap.manifestList)
+    if (scan.positionDeletes.isEmpty) return -1L
+    // path forms differ by writer: Spark's _metadata.file_path (what
+    // deleteWhere records) renders file URIs as `file:/x`, manifests
+    // carry `file:///x` — join on a NORMALIZED key, keep the original
+    // file_path values (the MoR read matches them against _metadata)
+    val live = {
+      import spark.implicits._
+      scan.dataFiles.map(_._1.replaceFirst("^file:/+", "/"))
+        .distinct.toDF("fp_norm")
+    }
+    val merged = spark.read
+      .parquet(scan.positionDeletes.map(_._1): _*)
+      .select(col("file_path"), col("pos"))
+      .withColumn("fp_norm", org.apache.spark.sql.functions
+        .regexp_replace(col("file_path"), "^file:/+", "/"))
+      .join(broadcast(live), Seq("fp_norm"), "left_semi")
+      .drop("fp_norm")
+      .distinct()
+    val next = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val outDir = tableDir.resolve("data").resolve(f"posdel-rw-$next%05d")
+    merged.coalesce(targetFiles).write.mode("overwrite")
+      .parquet(outDir.toString)
+    val files = parquetFileInfos(outDir, content = 1)
+      .filter(_.recordCount > 0)
+    IcebergLocal.append(tableDir, files, clock(),
+      tag = Some(s"posdel-rewritten-$next"), retainLast = retainLast,
+      dropPositionDeletes = true)
+  }
+
   /** Row-level DELETE: commit a positional-delete snapshot for every
     * current row matching `condition` (a Spark SQL boolean expression
     * over the table's columns) — the engine-side implementation of

@@ -701,6 +701,86 @@ class IcebergPartitionSpec extends AnyFunSuite {
     assert(live.count() == orders.count() - nDel - 1)
   }
 
+  test("rewrite_position_deletes merges delete files, data untouched") {
+    import org.apache.spark.sql.functions.{col, lit, sum => fsum}
+    val wh = freshDir("posdelrw")
+    val dir = wh.resolve("orders")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderdate")
+      .where("o_orderdate >= date '1995-01-01' AND " +
+        "o_orderdate < date '1995-04-01'").repartition(1)
+    IcebergPartitioned.append(orders, dir, "data/b0",
+      Seq(PartitionField("o_month", "o_orderdate", "month")), 1000L)
+    var now = 1000L
+    val clock = () => { now += 1000L; now }
+    // two OVERLAPPING deletes: the second re-records every %35 key's
+    // position (positions come from physical rows), so the delete
+    // history carries duplicates the rewrite must collapse
+    IcebergMaintenance.deleteWhere(spark, dir, "o_orderkey % 5 = 0", clock)
+    IcebergMaintenance.deleteWhere(spark, dir, "o_orderkey % 7 = 0", clock)
+    // plus one equality delete whose lineage must survive untouched
+    val eqKey = orders.where("o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0")
+      .agg(org.apache.spark.sql.functions.min("o_orderkey"))
+      .head().getAs[Number](0).longValue()
+    val eqDir = freshDir("posdelrw_eq")
+    orders.limit(0).select(col("o_orderkey"))
+      .union(spark.range(1).select(lit(eqKey).as("o_orderkey")))
+      .coalesce(1).write.mode("overwrite").parquet(eqDir.toString)
+    IcebergLocal.append(dir,
+      IcebergMaintenance.parquetFileInfos(eqDir, content = 2,
+        equalityIds = Seq(1)), clock())
+    val preSnap = IcebergLocal.currentMetadata(dir).get
+      .snapshots.map(_.snapshotId).max
+    def delStats() = {
+      val f = IcebergRest.metaTable(spark, dir, "files")
+        .where("content = 1")
+      (f.count(), f.agg(fsum("record_count")).head().getLong(0))
+    }
+    val want = IcebergRest.readLocal(spark, dir)
+      .collect().map(_.toString).sorted
+    val (filesBefore, recsBefore) = delStats()
+    assert(filesBefore >= 2, s"need >1 delete file, got $filesBefore")
+    val nDistinct = orders
+      .where("o_orderkey % 5 = 0 OR o_orderkey % 7 = 0").count()
+    assert(recsBefore > nDistinct, "fixture lost its duplicate positions")
+    val dataBefore = IcebergRest.metaTable(spark, dir, "files")
+      .where("content = 0").select("file_path")
+      .collect().map(_.getString(0)).sorted.toSeq
+    IcebergMaintenance.rewritePositionDeletes(spark, dir, clock)
+    // FEWER delete files, duplicates gone, data files byte-identical
+    val (filesAfter, recsAfter) = delStats()
+    assert(filesAfter == 1, s"expected 1 merged delete file: $filesAfter")
+    assert(recsAfter == nDistinct,
+      s"merged positions $recsAfter != distinct deleted rows $nDistinct")
+    val dataAfter = IcebergRest.metaTable(spark, dir, "files")
+      .where("content = 0").select("file_path")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(dataAfter == dataBefore, "rewrite touched data files")
+    // equality delete survived with its gate intact
+    assert(IcebergRest.metaTable(spark, dir, "files")
+      .where("content = 2").count() == 1)
+    // read hashes unchanged
+    val after = IcebergRest.readLocal(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(want), "rewrite changed the live rows")
+    assert(!after.exists(_.contains(s"[$eqKey,")),
+      "equality-deleted key resurfaced")
+    // time travel intact: pre-rewrite snapshot replays the original
+    // delete files; pre-delete snapshot shows everything
+    val pre = IcebergRest.readLocal(spark, dir,
+      spec = Some(graft.sources.SnapshotLog.ByVersion(preSnap.toString)))
+      .collect().map(_.toString).sorted
+    assert(pre.sameElements(want))
+    assert(IcebergRest.readLocal(spark, dir,
+      spec = Some(graft.sources.SnapshotLog.ByVersion("1"))).count()
+      == orders.count())
+    // idempotent-ish: a second rewrite has nothing to merge beyond the
+    // single file it rewrites to a single file; zero deletes -> -1
+    val again = IcebergMaintenance.rewritePositionDeletes(spark, dir, clock)
+    assert(again > 0)
+    assert(delStats() == (1L, nDistinct))
+  }
+
   test("prune × MoR × time travel: the pruned as-of read keeps its delete files") {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val wh = freshDir("travel")
