@@ -825,15 +825,58 @@ object IcebergPrune {
               case None => false // no chunk meta: cannot prove
               case Some(cc) =>
                 val bf = r.getBloomFilterDataReader(b).readBloomFilter(cc)
+                // DECIMAL literals (java BigDecimal) hash as the
+                // file's physical representation: the unscaled value
+                // at the column's DECLARED scale (the logical-type
+                // annotation), as INT32/INT64 or the fixed-width
+                // big-endian two's-complement bytes. A literal that
+                // cannot be represented at that scale exactly can
+                // never equal a stored value — but None (keep) stays
+                // the conservative answer for every unsupported shape.
+                lazy val decScale: Option[Int] =
+                  fieldType.asPrimitiveType().getLogicalTypeAnnotation match {
+                    case d: org.apache.parquet.schema.LogicalTypeAnnotation
+                        .DecimalLogicalTypeAnnotation => Some(d.getScale)
+                    case _ => None
+                  }
+                def unscaled(bd: java.math.BigDecimal)
+                    : Option[java.math.BigInteger] =
+                  decScale.flatMap(sc =>
+                    try Some(bd.setScale(sc).unscaledValue())
+                    catch { case _: ArithmeticException => None })
                 bf != null && vals.forall { v =>
                   val h: Option[Long] = (prim, v) match {
                     case (INT64, l: Long) => Some(bf.hash(l))
                     case (INT64, i: Int) => Some(bf.hash(i.toLong))
+                    // covers plain ints AND dates (epoch-day INT32)
                     case (INT32, i: Int) => Some(bf.hash(i))
                     case (DOUBLE, d: Double) => Some(bf.hash(d))
                     case (FLOAT, f: Float) => Some(bf.hash(f))
                     case (BINARY, s: String) => Some(bf.hash(
                       org.apache.parquet.io.api.Binary.fromString(s)))
+                    case (INT32, bd: java.math.BigDecimal) =>
+                      unscaled(bd).flatMap(u =>
+                        try Some(bf.hash(u.intValueExact()))
+                        catch { case _: ArithmeticException => None })
+                    case (INT64, bd: java.math.BigDecimal) =>
+                      unscaled(bd).flatMap(u =>
+                        try Some(bf.hash(u.longValueExact()))
+                        catch { case _: ArithmeticException => None })
+                    case (FIXED_LEN_BYTE_ARRAY, bd: java.math.BigDecimal) =>
+                      unscaled(bd).flatMap { u =>
+                        val len = fieldType.asPrimitiveType().getTypeLength
+                        val raw = u.toByteArray
+                        if (raw.length > len) None // overflows the width
+                        else {
+                          // sign-extend to the declared fixed width
+                          val out = Array.fill[Byte](len)(
+                            if (u.signum() < 0) -1 else 0)
+                          System.arraycopy(raw, 0, out,
+                            len - raw.length, raw.length)
+                          Some(bf.hash(org.apache.parquet.io.api.Binary
+                            .fromConstantByteArray(out)))
+                        }
+                      }
                     case _ => None // unsupported literal/type pairing
                   }
                   h.exists(hh => !bf.findHash(hh))

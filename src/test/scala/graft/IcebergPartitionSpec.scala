@@ -598,6 +598,59 @@ class IcebergPartitionSpec extends AnyFunSuite {
       s"absent string key kept ${sMiss.inputFiles.length} files")
   }
 
+  test("bloom skipping: DATE and DECIMAL equality keys") {
+    import org.apache.spark.sql.functions.{col, date_add, lit}
+    val wh = freshDir("bloom_typed")
+    def commit(sub: String, df: org.apache.spark.sql.DataFrame,
+        keyCol: String): JPath = {
+      val dir = wh.resolve(sub)
+      val out = freshDir(s"bloomt_files_$sub")
+      df.repartition(8, col(keyCol)).write.mode("overwrite")
+        .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+        .parquet(out.toString)
+      IcebergLocal.append(dir, IcebergPartitioned.listParquetDeep(out)
+        .map(p => IcebergPartitioned.fileInfo(p, df.schema, Nil)),
+        1000L, schema = Some(df.schema))
+      dir
+    }
+    def read(dir: JPath, f: String) = IcebergRest.readLocal(spark, dir,
+      options = Map("filter" -> f))
+    // DATE keys (epoch-day INT32): every other day present
+    val ddir = commit("dates", spark.range(0, 4000)
+      .select(date_add(lit(java.sql.Date.valueOf("2000-01-01")),
+        (col("id") * 2).cast("int")).as("d"), col("id").as("v")), "d")
+    val dHit = read(ddir, "d = date '2000-01-05'") // offset 4: present
+    assert(dHit.count() == 1 && dHit.inputFiles.length <= 2,
+      s"present date kept ${dHit.inputFiles.length} files")
+    val dMiss = read(ddir, "d = date '2000-01-06'") // odd offset: absent
+    assert(dMiss.count() == 0 && dMiss.inputFiles.length == 0,
+      s"absent date kept ${dMiss.inputFiles.length} files")
+    // DECIMAL(15,2) -> INT64 physical: values k*2 + 0.25
+    val d15 = commit("dec15", spark.range(0, 4000)
+      .select(((col("id") * 200 + 25).cast("decimal(15,2)") / 100)
+        .cast("decimal(15,2)").as("p"), col("id").as("v")), "p")
+    val pHit = read(d15, "p = 4.25")
+    assert(pHit.count() == 1 && pHit.inputFiles.length <= 2,
+      s"present decimal kept ${pHit.inputFiles.length} files")
+    val pMiss = read(d15, "p = 5.25")
+    assert(pMiss.count() == 0 && pMiss.inputFiles.length == 0,
+      s"absent decimal kept ${pMiss.inputFiles.length} files")
+    // a literal finer than the declared scale can't equal any stored
+    // value; the pass must stay conservative (keep), never misprune
+    val pFine = read(d15, "p = 4.255")
+    assert(pFine.count() == 0)
+    // DECIMAL(25,2) -> FIXED_LEN_BYTE_ARRAY physical
+    val d25 = commit("dec25", spark.range(0, 4000)
+      .select(((col("id") * 200 + 25).cast("decimal(25,2)") / 100)
+        .cast("decimal(25,2)").as("p"), col("id").as("v")), "p")
+    val fHit = read(d25, "p = 4.25")
+    assert(fHit.count() == 1 && fHit.inputFiles.length <= 2,
+      s"present fixed decimal kept ${fHit.inputFiles.length} files")
+    val fMiss = read(d25, "p = 5.25")
+    assert(fMiss.count() == 0 && fMiss.inputFiles.length == 0,
+      s"absent fixed decimal kept ${fMiss.inputFiles.length} files")
+  }
+
   test("metadata tables: snapshots, history, files, partitions") {
     val wh = freshDir("metatbl")
     val dir = wh.resolve("orders")
