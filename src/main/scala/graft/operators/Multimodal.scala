@@ -114,6 +114,15 @@ object Multimodal {
     StructField("error_bounded", org.apache.spark.sql.types.BooleanType,
       nullable = false)))
 
+  val resampleSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_in", LongType, nullable = false),
+    StructField("rate_out", IntegerType, nullable = false),
+    StructField("length_doubled", org.apache.spark.sql.types.BooleanType,
+      nullable = false),
+    StructField("energy_preserved", org.apache.spark.sql.types.BooleanType,
+      nullable = false)))
+
   /** Render the deterministic per-asset RGB image straight into the
     * TYPE_INT_RGB backing array — one store per pixel. `setRGB` runs a
     * color-model conversion per CALL (the classic ImageIO slow path);
@@ -520,6 +529,71 @@ object Multimodal {
           // or sign bug lands in the tens of thousands)
           Row(d, m.toLong, encBytes.length == n, seen.size() <= 256,
             m == n && maxErr <= 1024)
+        }
+      }
+    },
+
+    // -------------------------------------------- SAMPLE-RATE conversion
+    // Real 8 kHz → 16 kHz resampling through the JDK's format-conversion
+    // provider (javax.sound.sampled rate conversion) — the whisper-style
+    // preprocessing step every audio curation pipeline runs before a
+    // 16 kHz model. Each asset synthesizes a deterministic full-scale
+    // tone, converts through AudioSystem's REAL resampler, and reports
+    // the resampling contract as hashable values the oracle pins: the
+    // parsed output format's rate (exactly 16000), the length ratio
+    // (2× within the converter's edge padding), and energy preservation
+    // (RMS within 10% — an interpolation/byte-order bug lands far
+    // outside). Map-only; one converter chain per row, samples never
+    // shuffle — at 100 TB this is embarrassingly parallel decode work.
+    GraftQuery("m_resample",
+      """WITH dims AS (SELECT doc_id, 400 + doc_id % 256 AS n FROM documents)
+        |SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_in,
+        |  16000 AS rate_out,
+        |  TRUE AS length_doubled, TRUE AS energy_preserved
+        |FROM dims""".stripMargin) { (s, dir) =>
+      val df = t(s, dir).documents.select(col("doc_id"))
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(resampleSchema)
+      df.mapPartitions { rows =>
+        import javax.sound.sampled._
+        val srcFmt = new AudioFormat(8000f, 16, 1, true, false)
+        val dstFmt = new AudioFormat(16000f, 16, 1, true, false)
+        rows.map { r =>
+          val d = r.getLong(0)
+          val n = 400 + (d % 256).toInt
+          // deterministic tone, frequency varying per asset but kept
+          // WELL under the source Nyquist (4 kHz): an interpolating
+          // resampler attenuates near-Nyquist content (≈3% at 950 Hz,
+          // ≈27% at 3.3 kHz), so the band is capped where the energy
+          // contract is physical, not converter-specific
+          val freq = 200.0 + (d % 16) * 50.0
+          val pcm = new Array[Byte](n * 2)
+          var e1 = 0.0
+          var i = 0
+          while (i < n) {
+            val v = (math.sin(2 * math.Pi * freq * i / 8000.0) * 20000).toInt
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            e1 += v.toDouble * v
+            i += 1
+          }
+          val out = AudioSystem.getAudioInputStream(dstFmt,
+            new AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), srcFmt, n.toLong))
+          val res = out.readAllBytes()
+          val m = res.length / 2
+          var e2 = 0.0
+          i = 0
+          while (i < m) {
+            val v = (res(2 * i + 1).toInt << 8) | (res(2 * i) & 0xff)
+            e2 += v.toDouble * v
+            i += 1
+          }
+          val rmsIn = math.sqrt(e1 / n)
+          val rmsOut = math.sqrt(e2 / math.max(m, 1))
+          Row(d, n.toLong, out.getFormat.getSampleRate.toInt,
+            math.abs(m - 2 * n) <= 8,
+            rmsOut >= rmsIn * 0.9 && rmsOut <= rmsIn * 1.1)
         }
       }
     },
