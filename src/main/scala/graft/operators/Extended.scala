@@ -566,6 +566,42 @@ object Extended {
         .localCheckpoint(true)
     },
 
+    // INCREMENTAL (changelog) read round-trip: three quarterly append
+    // commits, then "what landed since snapshot 1" — the checkpoint-
+    // consumer pattern. The scan is a manifest file-set diff (driver
+    // metadata only) over exactly the window's files, so a consumer's
+    // cost tracks its lag, not the table size. Hash-matched against the
+    // oracle's Q2+Q3 date-range view; rewrite/delete refusals are
+    // pinned by IcebergRestSpec.
+    GraftQuery("q_iceberg_incremental",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-04-01'
+        |  AND o_orderdate < TIMESTAMP '1995-10-01'""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.iceberg._
+      val (warehouse, _) = cachedFixture("incr", dir) { wh =>
+        val tableDir = wh.resolve("orders")
+        val orders = t(s, dir).orders.select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+        def quarter(from: String, to: String, ts: Long): Unit = {
+          val q = orders.where(
+            s"o_orderdate >= timestamp '$from' AND o_orderdate < timestamp '$to'")
+          val out = java.nio.file.Files.createTempDirectory("graft_incr")
+          out.toFile.deleteOnExit()
+          q.coalesce(1).write.mode("overwrite").parquet(out.toString)
+          IcebergLocal.append(tableDir,
+            IcebergMaintenance.parquetFileInfos(out), ts,
+            schema = Some(q.schema))
+        }
+        quarter("1995-01-01", "1995-04-01", 1000L)
+        quarter("1995-04-01", "1995-07-01", 2000L)
+        quarter("1995-07-01", "1995-10-01", 3000L)
+      }
+      IcebergRest.readIncremental(s, warehouse.resolve("orders"),
+        fromSnapshotId = 1L).localCheckpoint(true)
+    },
+
     // Iceberg SCHEMA EVOLUTION round-trip: commit customer with parquet
     // field ids stamped (what real Iceberg writers do), RENAME c_name
     // to customer_name as a metadata-only schema commit, and read with

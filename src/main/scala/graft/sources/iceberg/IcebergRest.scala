@@ -624,9 +624,74 @@ object IcebergRest {
     readMeta(spark, meta, spec, options, None, tableDir.toString)
   }
 
+  /** INCREMENTAL append scan — Iceberg's incremental read
+    * (`start-snapshot-id`/`end-snapshot-id`): the rows ADDED strictly
+    * after snapshot `fromSnapshotId` (0 = since the beginning), up to
+    * and including `toSnapshotId` (default: the current head). The
+    * consumer pattern every downstream pipeline runs — "give me what
+    * landed since my last checkpoint" — without rereading the table.
+    *
+    * Computed as a FILE-SET DIFF between the two snapshots' manifests
+    * (driver-side metadata only): added files are scanned, nothing
+    * else. Correctness guards, both loud:
+    *   - a file REMOVED in the window (compaction/replace rewrote the
+    *     table) makes "appended rows" undefined — refused;
+    *   - a DELETE file added in the window (row-level delete/upsert)
+    *     likewise — refused; the CDC upsert path is the right read for
+    *     merge histories. Delete files from BEFORE the window are fine:
+    *     their sequence gates can never reach the window's data files.
+    *
+    * At 100 TB the scheduled scan is exactly the new files — an
+    * incremental consumer's cost tracks its lag, not the table size. */
+  def readIncremental(spark: SparkSession, tableDir: java.nio.file.Path,
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val meta = IcebergLocal.currentMetadata(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    def snapOf(id: Long): IcebergSnapshot =
+      meta.snapshots.find(_.snapshotId == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $id not in table history (have ${
+            meta.snapshots.map(_.snapshotId).sorted.mkString(", ")})"))
+    val to = toSnapshotId.map(snapOf).getOrElse(
+      meta.snapshots.maxBy(_.snapshotId))
+    val toScan = IcebergManifests.scanFiles(spark, to.manifestList)
+    val fromScan =
+      if (fromSnapshotId == 0L) IcebergScanFiles(Nil, Nil)
+      else IcebergManifests.scanFiles(
+        spark, snapOf(fromSnapshotId).manifestList)
+    val fromPaths = fromScan.dataFiles.map(_._1).toSet
+    val toPaths = toScan.dataFiles.map(_._1).toSet
+    val removed = fromPaths -- toPaths
+    if (removed.nonEmpty) throw new IllegalArgumentException(
+      s"incremental read ($fromSnapshotId, ${to.snapshotId}]: the window " +
+        s"rewrites ${removed.size} file(s) (compaction/replace) — " +
+        "appended rows are undefined across a rewrite; read the head")
+    val newDeletes =
+      (toScan.positionDeletes.map(_._1).toSet --
+        fromScan.positionDeletes.map(_._1).toSet) ++
+        (toScan.equalityDeletes.map(_.path).toSet --
+          fromScan.equalityDeletes.map(_.path).toSet)
+    if (newDeletes.nonEmpty) throw new IllegalArgumentException(
+      s"incremental read ($fromSnapshotId, ${to.snapshotId}]: the window " +
+        s"commits ${newDeletes.size} delete file(s) — appended rows are " +
+        "ill-defined under row-level deletes; use the upsert/CDC read")
+    val added = toScan.dataFiles.map(_._1).filterNot(fromPaths)
+    if (added.isEmpty) {
+      val st = meta.sparkSchema.getOrElse(
+        spark.read.parquet(toScan.dataFiles.head._1).schema)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+    } else {
+      val df = spark.read.parquet(added: _*)
+      options.get("filter").fold(df)(df.where)
+    }
+  }
+
   /** Iceberg METADATA TABLES — the inspection surface real lakes query
     * (`SELECT * FROM t.snapshots`): `snapshots` (id, committed-at,
-    * manifest list), `history` (snapshot-log with is-current),
+    * manifest list), `history` (snapshot-log with is-current), `refs`
+    * (branches + tags with their pinned snapshot),
     * `files` (per live file — data AND delete, with the spec's content
     * id: path, rows, bytes, spec id, JSON-rendered partition tuple),
     * `partitions` (per partition tuple: data file/row totals plus
@@ -638,9 +703,28 @@ object IcebergRest {
     * query scan" without scanning it. */
   def metaTable(spark: SparkSession, tableDir: java.nio.file.Path,
       kind: String, spec: Option[VersionSpec] = None): DataFrame = {
-    import spark.implicits._
     val meta = IcebergLocal.currentMetadata(tableDir).getOrElse(
       throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    metaTableOf(spark, meta, kind, spec)
+  }
+
+  /** Metadata tables THROUGH the REST catalog — the same inspection
+    * surface on a catalog-served table (`snapshots`/`history`/`refs`
+    * need only the loaded metadata document; `files`/`partitions` walk
+    * the snapshot's manifests from shared storage exactly as the read
+    * path does). */
+  def metaTable(spark: SparkSession, catalog: IcebergRestCatalog,
+      namespace: String, table: String, kind: String,
+      spec: Option[VersionSpec]): DataFrame =
+    metaTableOf(spark, catalog.loadTable(namespace, table), kind, spec)
+
+  def metaTable(spark: SparkSession, catalog: IcebergRestCatalog,
+      namespace: String, table: String, kind: String): DataFrame =
+    metaTable(spark, catalog, namespace, table, kind, None)
+
+  private def metaTableOf(spark: SparkSession, meta: IcebergTableMeta,
+      kind: String, spec: Option[VersionSpec]): DataFrame = {
+    import spark.implicits._
     kind match {
       case "snapshots" =>
         meta.snapshots.sortBy(_.snapshotId)
@@ -651,6 +735,12 @@ object IcebergRest {
         meta.snapshots.sortBy(_.snapshotId)
           .map(s => (s.timestampMs, s.snapshotId, cur.contains(s.snapshotId)))
           .toDF("made_current_at_ms", "snapshot_id", "is_current")
+      case "refs" =>
+        // every named ref (branches + tags) with its pinned snapshot —
+        // what `SELECT * FROM t.refs` answers on a real lake
+        meta.refs.toSeq.sortBy(_._1)
+          .map { case (name, (tpe, id)) => (name, tpe, id) }
+          .toDF("name", "type", "snapshot_id")
       case "files" | "partitions" =>
         val snap = IcebergMetadata.select(meta, spec)
         val scan = IcebergManifests.scanFiles(spark, snap.manifestList)
@@ -691,7 +781,7 @@ object IcebergRest {
         }
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' " +
-          "(snapshots | history | files | partitions)")
+          "(snapshots | history | refs | files | partitions)")
     }
   }
 

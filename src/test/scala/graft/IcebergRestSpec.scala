@@ -1171,6 +1171,72 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental read: appended rows only, loud refusals elsewhere") {
+    val dir = warehouse.resolve("incr")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    def commit(pred: String, ts: Long): Long =
+      IcebergLocal.append(dir, partFiles(nation.filter(pred)), ts,
+        schema = Some(nation.schema))
+    val s1 = commit("n_regionkey = 0", 1000L)
+    val s2 = commit("n_regionkey = 1", 2000L)
+    val s3 = commit("n_regionkey = 2", 3000L)
+    try {
+      // (s1, head]: regions 1 and 2 only
+      val inc = IcebergRest.readIncremental(spark, dir, s1)
+      assert(inc.count() == nation.filter("n_regionkey IN (1,2)").count())
+      assert(inc.filter("n_regionkey = 0").count() == 0)
+      // bounded window (s1, s2]
+      val win = IcebergRest.readIncremental(spark, dir, s1, Some(s2))
+      assert(win.count() == nation.filter("n_regionkey = 1").count())
+      // from 0 = everything; empty window = empty frame WITH schema
+      assert(IcebergRest.readIncremental(spark, dir, 0L).count() ==
+        nation.filter("n_regionkey <= 2").count())
+      val empty = IcebergRest.readIncremental(spark, dir, s3)
+      assert(empty.count() == 0 &&
+        empty.columns.toSeq == nation.columns.toSeq)
+      // unknown snapshot: loud
+      intercept[IllegalArgumentException](
+        IcebergRest.readIncremental(spark, dir, 99L))
+      // a delete in the window: loud refusal
+      IcebergMaintenance.deleteWhere(spark, dir, "n_regionkey = 1",
+        () => 4000L)
+      val e1 = intercept[IllegalArgumentException](
+        IcebergRest.readIncremental(spark, dir, s3))
+      assert(e1.getMessage.contains("delete"))
+      // ...but a window strictly BEFORE the delete still reads
+      assert(IcebergRest.readIncremental(spark, dir, s1, Some(s3))
+        .count() == nation.filter("n_regionkey IN (1,2)").count())
+      // a rewrite in the window: loud refusal
+      IcebergMaintenance.compact(spark, dir, () => 5000L)
+      val e2 = intercept[IllegalArgumentException](
+        IcebergRest.readIncremental(spark, dir, s3))
+      assert(e2.getMessage.contains("rewrite"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
+  test("metadata tables serve through the REST catalog, refs included") {
+    // the shared `nation` table (beforeAll): snapshots/history/refs via
+    // the catalog client, no tableDir in sight
+    val snaps = IcebergRest.metaTable(spark, catalog, "analytics",
+      "nation", "snapshots").collect()
+    assert(snaps.map(_.getLong(1)).toSeq == Seq(snap1, snap2))
+    val refs = IcebergRest.metaTable(spark, catalog, "analytics",
+      "nation", "refs").collect()
+    val byName = refs.map(r =>
+      r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byName("main") == ("branch", snap2))
+    assert(byName("initial") == ("tag", snap1))
+    // files honors time travel through the catalog too
+    val files1 = IcebergRest.metaTable(spark, catalog, "analytics",
+      "nation", "files", Some(ByVersion("initial")))
+    assert(files1.count() == 1)
+    intercept[IllegalArgumentException](
+      IcebergRest.metaTable(spark, catalog, "analytics", "nation", "nope"))
+  }
+
   test("spec-less commits on a partitioned table declare a real empty spec") {
     // a data append without a partition spec must not stamp its
     // manifest `spec 0 + empty tuple` when spec 0 HAS fields — the
