@@ -123,6 +123,13 @@ object Multimodal {
     StructField("energy_preserved", org.apache.spark.sql.types.BooleanType,
       nullable = false)))
 
+  val spectralSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("dominant_bin", IntegerType, nullable = false),
+    StructField("peak_isolated", org.apache.spark.sql.types.BooleanType,
+      nullable = false)))
+
   /** Render the deterministic per-asset RGB image straight into the
     * TYPE_INT_RGB backing array — one store per pixel. `setRGB` runs a
     * color-model conversion per CALL (the classic ImageIO slow path);
@@ -594,6 +601,63 @@ object Multimodal {
           Row(d, n.toLong, out.getFormat.getSampleRate.toInt,
             math.abs(m - 2 * n) <= 8,
             rmsOut >= rmsIn * 0.9 && rmsOut <= rmsIn * 1.1)
+        }
+      }
+    },
+
+    // ---------------------------------------------- SPECTRAL features
+    // Real frequency-domain analysis (Goertzel DFT, the tone-detection
+    // kernel telephony DSPs run) — the audio-curation feature that
+    // tells music from speech from noise by band energies: each asset
+    // synthesizes a tone whose frequency is PLANTED as doc_id % 8 of
+    // an 8-bin bank (250..2000 Hz, every bin an exact multiple of the
+    // 10 Hz resolution so rectangular-window leakage is zero), runs
+    // the actual Goertzel recurrence over all 8 bins, and reports the
+    // argmax bin — which must equal the planted bin EXACTLY (an integer
+    // the oracle recomputes from doc_id), plus an isolation boolean
+    // (peak ≥ 4× runner-up; a recurrence/phase bug spreads energy and
+    // breaks it). Map-only, samples never leave the partition.
+    GraftQuery("m_spectral",
+      """SELECT doc_id AS asset_id, CAST(800 AS BIGINT) AS n_samples,
+        |  CAST(doc_id % 8 AS INTEGER) AS dominant_bin,
+        |  TRUE AS peak_isolated
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val df = t(s, dir).documents.select(col("doc_id"))
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(spectralSchema)
+      df.mapPartitions { rows =>
+        val n = 800 // 0.1 s at 8 kHz -> 10 Hz bin resolution
+        val bins = Array.tabulate(8)(k => 250.0 * (k + 1))
+        rows.map { r =>
+          val d = r.getLong(0)
+          val f = bins((d % 8).toInt)
+          val x = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            x(i) = math.sin(2 * math.Pi * f * i / 8000.0) * 20000
+            i += 1
+          }
+          val power = bins.map { fb =>
+            // Goertzel: s[i] = x[i] + 2cos(w)s[i-1] - s[i-2]
+            val w = 2 * math.Pi * fb / 8000.0
+            val coeff = 2 * math.cos(w)
+            var s1 = 0.0; var s2 = 0.0
+            var j = 0
+            while (j < n) {
+              val s0 = x(j) + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              j += 1
+            }
+            s1 * s1 + s2 * s2 - coeff * s1 * s2
+          }
+          var best = 0; var second = 0.0
+          var k = 1
+          while (k < 8) {
+            if (power(k) > power(best)) { second = power(best); best = k }
+            else if (power(k) > second) second = power(k)
+            k += 1
+          }
+          Row(d, n.toLong, best, power(best) >= 4 * math.max(second, 1e-9))
         }
       }
     },
