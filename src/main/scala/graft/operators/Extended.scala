@@ -566,6 +566,39 @@ object Extended {
         .localCheckpoint(true)
     },
 
+    // WRITE-AUDIT-PUBLISH round-trip: stage half the table on an
+    // `audit` branch (main readers see nothing), then fast-forward main
+    // to the audited head — the staging workflow real lakes gate risky
+    // writes with. The post-publish read must hash-match the oracle's
+    // full scan, proving the branch commit carried its fork lineage and
+    // the publish moved main exactly; invisibility-before-publish and
+    // divergence refusal are pinned by IcebergRestSpec.
+    GraftQuery("q_iceberg_wap",
+      """SELECT c_custkey, c_name, c_nationkey FROM customer""") {
+      (s, dir) =>
+      import graft.sources.iceberg._
+      val (warehouse, _) = cachedFixture("wap", dir) { wh =>
+        val tableDir = wh.resolve("customer")
+        val data = t(s, dir).customer
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        def files(df: org.apache.spark.sql.DataFrame, tag: String) = {
+          val out = java.nio.file.Files.createTempDirectory(s"graft_wap_$tag")
+          out.toFile.deleteOnExit()
+          df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+          IcebergMaintenance.parquetFileInfos(out)
+        }
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("c_nationkey") < 13), "m"), 1000L,
+          schema = Some(data.schema))
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("c_nationkey") >= 13), "a"), 2000L,
+          schema = Some(data.schema), branch = Some("audit"))
+        IcebergLocal.fastForward(tableDir, "audit")
+      }
+      IcebergRest.readLocal(s, warehouse.resolve("customer"))
+        .localCheckpoint(true)
+    },
+
     // INCREMENTAL (changelog) read round-trip: three quarterly append
     // commits, then "what landed since snapshot 1" — the checkpoint-
     // consumer pattern. The scan is a manifest file-set diff (driver

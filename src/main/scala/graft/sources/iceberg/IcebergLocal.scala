@@ -204,7 +204,14 @@ object IcebergLocal {
       /** rewrite-position-deletes commit: drop carried position-delete
         * files (this commit's `files` replace them); data and equality
         * lineage carried untouched. */
-      dropPositionDeletes: Boolean = false): Long = {
+      dropPositionDeletes: Boolean = false,
+      /** write-audit-publish: commit to this BRANCH ref instead of
+        * `main` — the new snapshot carries the branch head's manifests
+        * (falling back to main's for a new branch), moves only the
+        * branch ref, and leaves main + current-snapshot-id untouched,
+        * so readers of the table see nothing until
+        * [[fastForward]] publishes the branch. */
+      branch: Option[String] = None): Long = {
     val metaDir = tableDir.resolve("metadata")
     Files.createDirectories(metaDir)
     val priorRaw = currentMetadataFile(tableDir)
@@ -213,6 +220,14 @@ object IcebergLocal {
     // maxOption: a REST-created table exists with ZERO snapshots
     val snapId = prior.flatMap(_.snapshots.map(_.snapshotId).maxOption)
       .getOrElse(0L) + 1
+    // the PARENT this commit builds on: the target branch's head when
+    // it exists, else main's head (a new branch forks from main), else
+    // the newest snapshot (pre-branching metadata without refs)
+    val priorRefs = prior.map(_.refs).getOrElse(Map.empty)
+    val parentId: Option[Long] = branch.flatMap(b =>
+        priorRefs.get(b).map(_._2))
+      .orElse(priorRefs.get("main").map(_._2))
+      .orElse(prior.flatMap(_.snapshots.map(_.snapshotId).maxOption))
     // spec-less commits resolve the UNPARTITIONED spec through the same
     // evolution rule as partitioned ones: on a table whose spec 0 has
     // fields, stamping the new manifest `spec 0 + empty tuple` would
@@ -222,9 +237,56 @@ object IcebergLocal {
     val specId = resolveSpecId(prior, partitionSpec.getOrElse(Nil))
     val listPath = writeSnapshotFiles(tableDir, prior, files, snapId,
       replace, partitionSpec, schema, specId = specId,
-      dropPositionDeletes = dropPositionDeletes)
+      dropPositionDeletes = dropPositionDeletes, parentId = parentId)
     writeMetadata(tableDir, priorRaw, prior, files, snapId, listPath,
-      timestampMs, tag, retainLast, schema, partitionSpec, specId)
+      timestampMs, tag, retainLast, schema, partitionSpec, specId,
+      branch = branch, parentId = parentId)
+  }
+
+  /** PUBLISH a branch — the fast-forward half of write-audit-publish:
+    * move `main` (and current-snapshot-id) to `fromRef`'s head, as a
+    * new metadata version. Requires main's current head to be an
+    * ANCESTOR of the branch head (walking `parent-snapshot-id`): a
+    * diverged main (commits landed on main after the branch forked)
+    * is refused loudly — fast-forwarding it would silently unpublish
+    * those commits. Time travel to pre-publish snapshots is untouched. */
+  def fastForward(tableDir: JPath, fromRef: String): Long = {
+    val p = currentMetadataFile(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    val meta = currentMetadata(tableDir).get
+    val target = meta.refs.get(fromRef).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ref '$fromRef' on the table (have ${
+          meta.refs.keys.toSeq.sorted.mkString(", ")})"))
+    val mainHead = meta.refs.get("main").map(_._2)
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    // ancestry walk: main's head must appear on the branch head's
+    // parent chain (or main must be absent — publishing the first ref)
+    val isFf = mainHead.forall { mh =>
+      var cur: Option[Long] = Some(target)
+      var found = false
+      while (cur.isDefined && !found) {
+        if (cur.contains(mh)) found = true
+        else cur = cur.flatMap(byId.get).flatMap(_.parentId)
+      }
+      found
+    }
+    if (!isFf) throw new IllegalArgumentException(
+      s"not a fast-forward: main (${mainHead.getOrElse(-1L)}) is not an " +
+        s"ancestor of '$fromRef' ($target) — main has diverged; merge or " +
+        "rebase the branch instead")
+    val root = mapper.readTree(Files.readString(p)).asInstanceOf[ObjectNode]
+    root.put("current-snapshot-id", target)
+    val refs = root.withObject("/refs")
+    refNode(refs, "main", "branch", target)
+    val ln = root.withArray[ArrayNode]("snapshot-log").addObject()
+    ln.put("timestamp-ms",
+      byId.get(target).map(_.timestampMs).getOrElse(0L))
+    ln.put("snapshot-id", target)
+    val metaDir = tableDir.resolve("metadata")
+    writeMetadataFile(metaDir, maxMetadataVersion(metaDir) + 1,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    target
   }
 
   /** The spec id this commit's partition spec gets: a prior spec with
@@ -270,7 +332,12 @@ object IcebergLocal {
         * merged/deduped replacement). A delete manifest holding both
         * kinds is rewritten to keep only its equality entries with
         * their original sequence numbers. */
-      dropPositionDeletes: Boolean = false): JPath = {
+      dropPositionDeletes: Boolean = false,
+      /** the PARENT snapshot whose manifests this commit carries —
+        * branch-aware: a branch commit carries its branch head, a main
+        * commit main's head (NOT the newest snapshot, which may be an
+        * unpublished branch head). None = newest snapshot (legacy). */
+      parentId: Option[Long] = None): JPath = {
     val metaDir = tableDir.resolve("metadata")
     Files.createDirectories(metaDir)
     val partAvro = partitionSpec match {
@@ -357,8 +424,10 @@ object IcebergLocal {
     val carriedRaw =
       if (replace) Seq.empty
       else prior.filter(_.snapshots.nonEmpty).toSeq.flatMap { m =>
-        IcebergAvro.read(m.snapshots.maxBy(_.snapshotId).manifestList,
-          hadoopConf)
+        val parent = parentId.flatMap(id =>
+            m.snapshots.find(_.snapshotId == id))
+          .getOrElse(m.snapshots.maxBy(_.snapshotId))
+        IcebergAvro.read(parent.manifestList, hadoopConf)
       }
     val carried =
       if (!dropPositionDeletes) carriedRaw
@@ -541,7 +610,9 @@ object IcebergLocal {
       tag: Option[String], retainLast: Option[Int],
       schema: Option[org.apache.spark.sql.types.StructType],
       partitionSpec: Option[Seq[PartitionField]],
-      specId: Int = 0): Long = {
+      specId: Int = 0,
+      branch: Option[String] = None,
+      parentId: Option[Long] = None): Long = {
     val metaDir = tableDir.resolve("metadata")
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -674,7 +745,13 @@ object IcebergLocal {
     val so = orders.addObject()
     so.put("order-id", 0); so.putArray("fields")
     root.put("default-sort-order-id", 0)
-    root.put("current-snapshot-id", snapId)
+    val priorRefs = prior.map(_.refs).getOrElse(Map.empty)
+    // a BRANCH commit leaves the published head where it was: readers
+    // of the table (current-snapshot-id / main) see nothing until
+    // fastForward publishes the branch
+    val priorMain = priorRefs.get("main").map(_._2)
+    root.put("current-snapshot-id",
+      if (branch.isEmpty) snapId else priorMain.getOrElse(-1L))
     val priorSnaps = prior.toSeq.flatMap(_.snapshots).sortBy(_.snapshotId)
     val keptPrior = retainLast match {
       case Some(n) => priorSnaps.takeRight(math.max(n - 1, 0))
@@ -684,25 +761,32 @@ object IcebergLocal {
     val snaps = root.putArray("snapshots")
     keptPrior.foreach(s =>
       snapNode(snaps.addObject(), s.snapshotId, s.timestampMs,
-        s.manifestList))
+        s.manifestList, s.parentId.filter(keptIds.contains)))
     snapNode(snaps.addObject(), snapId, timestampMs,
-      listPath.toUri.toString)
+      listPath.toUri.toString, parentId.filter(keptIds.contains))
     val refs = root.putObject("refs")
-    refNode(refs, "main", "branch", snapId)
-    val priorRefs = prior.map(_.refs).getOrElse(Map.empty)
-    (priorRefs - "main").foreach { case (name, (tpe, id)) =>
+    branch match {
+      case None => refNode(refs, "main", "branch", snapId)
+      case Some(_) => priorMain.foreach(refNode(refs, "main", "branch", _))
+    }
+    val movedRefs = Set("main") ++ branch
+    (priorRefs -- movedRefs).foreach { case (name, (tpe, id)) =>
       // a tag on an expired snapshot dies with it — a surviving ref to a
       // snapshot absent from `snapshots` would be a dangling pointer
       if (keptIds.contains(id)) refNode(refs, name, tpe, id)
     }
+    branch.foreach(b => refNode(refs, b, "branch", snapId))
     tag.foreach(tg => refNode(refs, tg, "tag", snapId))
     val log = root.putArray("snapshot-log")
     keptPrior.foreach { s =>
       val n = log.addObject()
       n.put("timestamp-ms", s.timestampMs); n.put("snapshot-id", s.snapshotId)
     }
-    val ln = log.addObject()
-    ln.put("timestamp-ms", timestampMs); ln.put("snapshot-id", snapId)
+    // the log tracks the PUBLISHED lineage: branch commits don't append
+    if (branch.isEmpty) {
+      val ln = log.addObject()
+      ln.put("timestamp-ms", timestampMs); ln.put("snapshot-id", snapId)
+    }
 
     // version = snapId in the common case, but a metadata-only schema
     // commit (rename/add/drop) may have taken versions past the
@@ -725,13 +809,14 @@ object IcebergLocal {
   }
 
   private def snapNode(n: ObjectNode, id: Long, ts: Long,
-      list: String): Unit = {
+      list: String, parentId: Option[Long] = None): Unit = {
     n.put("snapshot-id", id)
     // this writer's commits are strictly serial: sequence number == id
     n.put("sequence-number", id)
     n.put("timestamp-ms", ts)
     n.put("manifest-list", list)
     n.put("schema-id", 0)
+    parentId.foreach(n.put("parent-snapshot-id", _))
     n.putObject("summary").put("operation", "append")
   }
 

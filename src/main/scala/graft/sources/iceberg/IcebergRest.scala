@@ -46,7 +46,11 @@ import graft.sources.SnapshotLog.{ByTimestamp, ByVersion, VersionSpec}
   * deletes read correctly.
   */
 final case class IcebergSnapshot(snapshotId: Long, timestampMs: Long,
-    manifestList: String)
+    manifestList: String,
+    /** v2 `parent-snapshot-id` — the lineage edge branch fast-forward
+      * checks ancestry along; None for root snapshots (or metadata
+      * written before parent tracking). */
+    parentId: Option[Long] = None)
 
 final case class IcebergTableMeta(
     location: String,
@@ -244,7 +248,9 @@ object IcebergMetadata {
       IcebergSnapshot(
         snapshotId = s.get("snapshot-id").asLong(),
         timestampMs = s.get("timestamp-ms").asLong(),
-        manifestList = s.get("manifest-list").asText())
+        manifestList = s.get("manifest-list").asText(),
+        parentId = Option(s.get("parent-snapshot-id"))
+          .filterNot(_.isNull).map(_.asLong()))
     }
     val refs = Option(meta.get("refs")).map { r =>
       val it = r.properties().iterator()

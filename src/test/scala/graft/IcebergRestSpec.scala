@@ -1237,6 +1237,62 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
       IcebergRest.metaTable(spark, catalog, "analytics", "nation", "nope"))
   }
 
+  test("write-audit-publish: branch commits stay invisible until fast-forward") {
+    val dir = warehouse.resolve("wap")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    def commit(pred: String, ts: Long, branch: Option[String] = None): Long =
+      IcebergLocal.append(dir, partFiles(nation.filter(pred)), ts,
+        schema = Some(nation.schema), branch = branch)
+    try {
+      val s1 = commit("n_regionkey = 0", 1000L)
+      // two AUDIT commits on a branch: main must not see them
+      val s2 = commit("n_regionkey = 1", 2000L, Some("audit"))
+      val s3 = commit("n_regionkey = 2", 3000L, Some("audit"))
+      val r0 = nation.filter("n_regionkey = 0").count()
+      val r01 = nation.filter("n_regionkey <= 1").count()
+      val r012 = nation.filter("n_regionkey <= 2").count()
+      assert(IcebergRest.readLocal(spark, dir).count() == r0,
+        "branch commit leaked into the published head")
+      // the branch reads its own lineage (fork + both commits)
+      assert(IcebergRest.readLocal(spark, dir,
+        Some(ByVersion("audit"))).count() == r012)
+      // second branch commit carried the BRANCH head, not max-snapshot
+      assert(IcebergRest.readLocal(spark, dir,
+        Some(ByVersion(s2.toString))).count() == r01)
+      // refs metadata table shows the unpublished branch
+      val refs = IcebergRest.metaTable(spark, dir, "refs").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(refs("main") == s1 && refs("audit") == s3)
+      // PUBLISH: fast-forward main to the audited branch
+      val published = IcebergLocal.fastForward(dir, "audit")
+      assert(published == s3)
+      assert(IcebergRest.readLocal(spark, dir).count() == r012)
+      // time travel to the pre-publish main still answers
+      assert(IcebergRest.readLocal(spark, dir,
+        Some(ByVersion(s1.toString))).count() == r0)
+      // a MAIN commit after publish carries the published lineage
+      val s5 = commit("n_regionkey = 3", 5000L)
+      assert(IcebergRest.readLocal(spark, dir).count() ==
+        nation.filter("n_regionkey <= 3").count())
+      // DIVERGENCE refusal: branch forks, then main moves — the branch
+      // head no longer descends from main, fast-forward must refuse
+      commit("n_regionkey = 4", 6000L, Some("audit2"))
+      commit("n_regionkey = 0", 7000L) // main moves past the fork
+      val e = intercept[IllegalArgumentException](
+        IcebergLocal.fastForward(dir, "audit2"))
+      assert(e.getMessage.contains("not a fast-forward"))
+      // unknown ref: loud
+      intercept[IllegalArgumentException](
+        IcebergLocal.fastForward(dir, "nope"))
+      // and the diverged MAIN commit did not absorb the branch rows
+      assert(IcebergRest.readLocal(spark, dir).count() ==
+        nation.filter("n_regionkey <= 3").count() + r0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("spec-less commits on a partitioned table declare a real empty spec") {
     // a data append without a partition spec must not stamp its
     // manifest `spec 0 + empty tuple` when spec 0 HAS fields — the
