@@ -599,6 +599,125 @@ object Extended {
         .localCheckpoint(true)
     },
 
+    // ROLLBACK round-trip: two append commits, then rollback_to_snapshot
+    // back to the first — the "bad data landed, un-publish it" op every
+    // lake runs. The CURRENT read must surface only the first commit's
+    // rows (hash-matched against the oracle's predicate view), while the
+    // rolled-past snapshot stays retained for forensics (travel pinned in
+    // IcebergRestSpec). Metadata-only: no data file moves at any scale.
+    GraftQuery("q_iceberg_rollback",
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_regionkey < 2""".stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      val (warehouse, _) = cachedFixture("rollback", dir) { wh =>
+        val tableDir = wh.resolve("nation")
+        val data = t(s, dir).nation
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        def files(df: org.apache.spark.sql.DataFrame, tag: String) = {
+          val out = java.nio.file.Files.createTempDirectory(s"graft_rb_$tag")
+          out.toFile.deleteOnExit()
+          df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+          IcebergMaintenance.parquetFileInfos(out)
+        }
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("n_regionkey") < 2), "a"), 1000L,
+          schema = Some(data.schema))
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("n_regionkey") >= 2), "b"), 2000L,
+          schema = Some(data.schema))
+        IcebergLocal.rollbackTo(tableDir, 1L)
+      }
+      IcebergRest.readLocal(s, warehouse.resolve("nation"))
+        .localCheckpoint(true)
+    },
+
+    // CHERRY-PICK round-trip: the diverged-main half of write-audit-
+    // publish (q_iceberg_wap covers the fast-forward half). Main commits
+    // A, the audit branch stages B off A, main diverges with C — then
+    // cherryPick replays exactly B's added manifests onto main as a new
+    // snapshot (pure metadata: the manifest files are REUSED, re-stamped
+    // with the new sequence number so main's sequence-gated deletes
+    // can't reach the re-applied rows). The read must surface A∪C∪B,
+    // hash-matched against the oracle's full-table view; refusal on
+    // non-append snapshots is pinned in IcebergRestSpec.
+    GraftQuery("q_iceberg_cherry_pick",
+      """SELECT c_custkey, c_name, c_nationkey FROM customer""") {
+      (s, dir) =>
+      import graft.sources.iceberg._
+      val (warehouse, _) = cachedFixture("cherry", dir) { wh =>
+        val tableDir = wh.resolve("customer")
+        val data = t(s, dir).customer
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        def files(df: org.apache.spark.sql.DataFrame, tag: String) = {
+          val out = java.nio.file.Files.createTempDirectory(s"graft_cp_$tag")
+          out.toFile.deleteOnExit()
+          df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+          IcebergMaintenance.parquetFileInfos(out)
+        }
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("c_nationkey") < 8), "a"), 1000L,
+          schema = Some(data.schema))
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("c_nationkey") >= 8 &&
+            col("c_nationkey") < 16), "b"), 2000L,
+          schema = Some(data.schema), branch = Some("audit"))
+        // main diverges AFTER the branch forked: fastForward would
+        // refuse this table (pinned in spec); cherry-pick is the out
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("c_nationkey") >= 16), "c"), 3000L,
+          schema = Some(data.schema))
+        IcebergLocal.cherryPick(tableDir, "audit", timestampMs = 4000L)
+      }
+      IcebergRest.readLocal(s, warehouse.resolve("customer"))
+        .localCheckpoint(true)
+    },
+
+    // EXPIRE + VACUUM round-trip: three append commits, the third with
+    // retainLast=2 (snapshot expiry as it commits), then remove-orphan-
+    // files over the table directory — with a PLANTED orphan parquet
+    // that vacuum must reclaim. The read after both maintenance ops must
+    // still hash-match the oracle's full-table view: expiry may only
+    // drop history (the expired snapshot's manifest LIST), never a file
+    // a retained snapshot still references, and vacuum may only delete
+    // the unreferenced. At 100 TB this is the disk-reclaim pair every
+    // streaming table runs on a schedule; both ops are metadata-walk +
+    // file deletes, no data rewrite.
+    GraftQuery("q_iceberg_expire_vacuum",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""") {
+      (s, dir) =>
+      import graft.sources.iceberg._
+      val (warehouse, _) = cachedFixture("expirevac", dir) { wh =>
+        val tableDir = wh.resolve("nation")
+        val data = t(s, dir).nation
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        def files(df: org.apache.spark.sql.DataFrame, tag: String) = {
+          val out = java.nio.file.Files.createTempDirectory(s"graft_ev_$tag")
+          out.toFile.deleteOnExit()
+          df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+          IcebergMaintenance.parquetFileInfos(out)
+        }
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("n_regionkey") < 2), "a"), 1000L,
+          schema = Some(data.schema))
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("n_regionkey") === 2), "b"), 2000L,
+          schema = Some(data.schema))
+        // plant an orphan in the table's own data dir (a failed writer's
+        // leftover — exactly what vacuum exists to reclaim)
+        val orphanDir = tableDir.resolve("data").resolve("orphan")
+        data.limit(3).coalesce(1).write.mode("overwrite")
+          .parquet(orphanDir.toString)
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("n_regionkey") > 2), "c"), 3000L,
+          schema = Some(data.schema), retainLast = Some(2))
+        val reclaimed = IcebergMaintenance.vacuum(tableDir)
+        require(reclaimed >= 1,
+          s"vacuum reclaimed $reclaimed files — the planted orphan survived")
+      }
+      IcebergRest.readLocal(s, warehouse.resolve("nation"))
+        .localCheckpoint(true)
+    },
+
     // INCREMENTAL (changelog) read round-trip: three quarterly append
     // commits, then "what landed since snapshot 1" — the checkpoint-
     // consumer pattern. The scan is a manifest file-set diff (driver

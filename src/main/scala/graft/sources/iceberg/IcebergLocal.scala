@@ -289,6 +289,129 @@ object IcebergLocal {
     target
   }
 
+  /** ROLLBACK the table to an earlier RETAINED snapshot (Iceberg's
+    * `rollback_to_snapshot` procedure): move `main` and
+    * current-snapshot-id back to `snapshotId`, as a NEW metadata
+    * version. The rolled-past snapshots stay in the metadata — time
+    * travel to them (and rolling forward again) keeps working until
+    * expiry drops them; only the published view moves. A subsequent
+    * [[append]] builds on the rollback target (its parent is `main`'s
+    * head), so the undone commits fall off the new lineage exactly like
+    * a git reset + new commit. Refuses an id the table doesn't retain.
+    * Reference surface: iceberg.rs snapshot procedures (the reference
+    * delegates to the catalog's rollback endpoint). */
+  def rollbackTo(tableDir: JPath, snapshotId: Long): Long = {
+    val p = currentMetadataFile(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    val meta = currentMetadata(tableDir).get
+    val snap = meta.snapshots.find(_.snapshotId == snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot $snapshotId on the table (have ${
+          meta.snapshots.map(_.snapshotId).sorted.mkString(", ")})"))
+    val root = mapper.readTree(Files.readString(p)).asInstanceOf[ObjectNode]
+    root.put("current-snapshot-id", snapshotId)
+    refNode(root.withObject("/refs"), "main", "branch", snapshotId)
+    // the snapshot-log records the PUBLISHED lineage: rollback appends
+    // an entry pointing back at the old snapshot (spec behavior — the
+    // log is a history of current-pointer moves, not of commits)
+    val ln = root.withArray[ArrayNode]("snapshot-log").addObject()
+    ln.put("timestamp-ms", snap.timestampMs)
+    ln.put("snapshot-id", snapshotId)
+    val metaDir = tableDir.resolve("metadata")
+    writeMetadataFile(metaDir, maxMetadataVersion(metaDir) + 1,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    snapshotId
+  }
+
+  /** CHERRY-PICK a branch head onto a DIVERGED main — the half of
+    * write-audit-publish [[fastForward]] refuses: commit a NEW snapshot
+    * on `main` that re-applies exactly the manifests the branch head
+    * ADDED, carrying main's current manifests verbatim. The added
+    * manifest FILES are reused (no data movement — this is pure
+    * metadata work); their manifest-list entries are re-stamped with
+    * the new snapshot's sequence number so main's existing deletes
+    * (sequence-gated) never apply to the re-applied rows. Only a PURE
+    * fast-append branch snapshot qualifies: a snapshot that rewrote or
+    * dropped manifests (compaction/replace/position-delete rewrite) or
+    * whose commit merged its carried tail cannot be replayed onto a
+    * different base without re-deriving the rewrite, so it is refused
+    * loudly. The branch ref itself is left untouched. */
+  def cherryPick(tableDir: JPath, fromRef: String,
+      timestampMs: Long): Long = {
+    val p = currentMetadataFile(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    val meta = currentMetadata(tableDir).get
+    val target = meta.refs.get(fromRef).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ref '$fromRef' on the table (have ${
+          meta.refs.keys.toSeq.sorted.mkString(", ")})"))
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val snap = byId(target)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val headEntries = IcebergAvro.read(snap.manifestList, conf)
+    val parentEntries = snap.parentId.flatMap(byId.get).toSeq
+      .flatMap(ps => IcebergAvro.read(ps.manifestList, conf))
+    def path(r: GenericRecord): String = r.get("manifest_path").toString
+    def num(r: GenericRecord, f: String): Long =
+      r.get(f).asInstanceOf[Number].longValue()
+    val added = headEntries.filter(r =>
+      num(r, "added_snapshot_id") == target)
+    // pure fast-append check, both directions: the head added only
+    // brand-new manifests (a merged carry re-records EXISTING entries
+    // under the head's id — existing_files_count > 0 exposes it), and
+    // dropped nothing its parent carried (replace / posdel-rewrite)
+    val pureAppend = added.forall(r =>
+      num(r, "existing_files_count") == 0 &&
+        num(r, "deleted_files_count") == 0) &&
+      headEntries.map(path).toSet ==
+        parentEntries.map(path).toSet ++ added.map(path)
+    if (!pureAppend) throw new IllegalArgumentException(
+      s"cannot cherry-pick '$fromRef' ($target): not a pure fast-append " +
+        "snapshot — it rewrote, merged, or dropped carried manifests; " +
+        "replay the rewrite against main instead")
+    val mainHead = meta.refs.get("main").map(_._2)
+      .orElse(meta.currentSnapshotId)
+    val mainEntries = mainHead.flatMap(byId.get).toSeq
+      .flatMap(ms => IcebergAvro.read(ms.manifestList, conf))
+    val newId = meta.snapshots.map(_.snapshotId).max + 1
+    val metaDir = tableDir.resolve("metadata")
+    val listPath = metaDir.resolve(f"snap-$newId%05d.avro")
+    writeAvro(listPath, manifestFileSchema,
+      mainEntries.map { old =>
+        val r = new GenericData.Record(manifestFileSchema)
+        manifestFileSchema.getFields.forEach(f =>
+          r.put(f.name(), old.get(f.name())))
+        r
+      } ++ added.map { old =>
+        val r = new GenericData.Record(manifestFileSchema)
+        manifestFileSchema.getFields.forEach(f =>
+          r.put(f.name(), old.get(f.name())))
+        // re-applied HERE: the manifest's ADDED entries (null sequence)
+        // inherit the list entry's sequence, so re-stamping the entry —
+        // not the manifest file — moves the rows' data sequence to this
+        // commit, ordering them after every delete main already holds
+        r.put("sequence_number", newId)
+        r.put("min_sequence_number", newId)
+        r.put("added_snapshot_id", newId)
+        r
+      })
+    val root = mapper.readTree(Files.readString(p)).asInstanceOf[ObjectNode]
+    root.put("current-snapshot-id", newId)
+    root.put("last-sequence-number",
+      math.max(root.path("last-sequence-number").asLong(0L), newId))
+    root.put("last-updated-ms", timestampMs)
+    snapNode(root.withArray[ArrayNode]("snapshots").addObject(),
+      newId, timestampMs, listPath.toUri.toString, parentId = mainHead)
+    refNode(root.withObject("/refs"), "main", "branch", newId)
+    val ln = root.withArray[ArrayNode]("snapshot-log").addObject()
+    ln.put("timestamp-ms", timestampMs)
+    ln.put("snapshot-id", newId)
+    writeMetadataFile(metaDir,
+      math.max(newId, maxMetadataVersion(metaDir) + 1),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    newId
+  }
+
   /** The spec id this commit's partition spec gets: a prior spec with
     * identical fields is REUSED; anything else becomes a NEW spec at
     * max-prior-id + 1 — partition spec EVOLUTION. Old manifests keep

@@ -1293,6 +1293,89 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rollback_to_snapshot: un-publish, keep history, re-commit lineage") {
+    val dir = warehouse.resolve("rollback-spec")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    def commit(pred: String, ts: Long): Long =
+      IcebergLocal.append(dir, partFiles(nation.filter(pred)), ts,
+        schema = Some(nation.schema))
+    try {
+      val s1 = commit("n_regionkey = 0", 1000L)
+      val s2 = commit("n_regionkey = 1", 2000L)
+      val r0 = nation.filter("n_regionkey = 0").count()
+      val r01 = nation.filter("n_regionkey <= 1").count()
+      assert(IcebergRest.readLocal(spark, dir).count() == r01)
+      // un-publish the second commit
+      assert(IcebergLocal.rollbackTo(dir, s1) == s1)
+      assert(IcebergRest.readLocal(spark, dir).count() == r0,
+        "rollback did not move the published view")
+      // the rolled-past snapshot stays retained: travel forward works
+      assert(IcebergRest.readLocal(spark, dir,
+        Some(ByVersion(s2.toString))).count() == r01)
+      // unknown snapshot: loud
+      val e = intercept[IllegalArgumentException](
+        IcebergLocal.rollbackTo(dir, 99L))
+      assert(e.getMessage.contains("no snapshot 99"))
+      // a commit AFTER rollback builds on the rollback target — the
+      // undone rows must NOT resurface through the carried manifests
+      commit("n_regionkey = 2", 3000L)
+      assert(IcebergRest.readLocal(spark, dir).count() ==
+        r0 + nation.filter("n_regionkey = 2").count(),
+        "post-rollback commit resurrected the rolled-back rows")
+      // metadata files are immutable: rollback wrote a NEW version
+      val metas = Files.list(dir.resolve("metadata")).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".metadata.json"))
+      assert(metas >= 4, s"expected rollback to add a metadata version, $metas")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
+  test("cherry-pick replays a diverged branch's append onto main") {
+    val dir = warehouse.resolve("cherry-spec")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    def commit(pred: String, ts: Long, branch: Option[String] = None): Long =
+      IcebergLocal.append(dir, partFiles(nation.filter(pred)), ts,
+        schema = Some(nation.schema), branch = branch)
+    try {
+      commit("n_regionkey = 0", 1000L)
+      val s2 = commit("n_regionkey = 1", 2000L, Some("audit"))
+      val s3 = commit("n_regionkey = 2", 3000L) // main diverges
+      // fast-forward refuses the diverged table; cherry-pick is the out
+      intercept[IllegalArgumentException](IcebergLocal.fastForward(dir, "audit"))
+      val picked = IcebergLocal.cherryPick(dir, "audit", timestampMs = 4000L)
+      assert(IcebergRest.readLocal(spark, dir).count() ==
+        nation.filter("n_regionkey <= 2").count(),
+        "cherry-pick did not surface the branch rows on main")
+      val meta = IcebergLocal.currentMetadata(dir).get
+      // lineage: the new snapshot's parent is the OLD main head, the
+      // branch ref is untouched, and main moved to the pick
+      assert(meta.snapshots.find(_.snapshotId == picked)
+        .flatMap(_.parentId).contains(s3))
+      assert(meta.refs("audit")._2 == s2)
+      assert(meta.refs("main")._2 == picked)
+      // pre-pick main still answers by travel
+      assert(IcebergRest.readLocal(spark, dir,
+        Some(ByVersion(s3.toString))).count() ==
+        nation.filter("n_regionkey IN (0, 2)").count())
+      // non-append refusal: a compaction REPLACE snapshot (tagged by
+      // the maintenance op) cannot be replayed onto a different base
+      val compacted = IcebergMaintenance.compact(spark, dir)
+      val tagName = IcebergLocal.currentMetadata(dir).get.refs
+        .collectFirst { case (n, ("tag", id)) if id == compacted => n }.get
+      val e = intercept[IllegalArgumentException](
+        IcebergLocal.cherryPick(dir, tagName, timestampMs = 5000L))
+      assert(e.getMessage.contains("not a pure fast-append"))
+      // unknown ref: loud
+      intercept[IllegalArgumentException](
+        IcebergLocal.cherryPick(dir, "nope", timestampMs = 6000L))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("spec-less commits on a partitioned table declare a real empty spec") {
     // a data append without a partition spec must not stamp its
     // manifest `spec 0 + empty tuple` when spec 0 HAS fields — the
