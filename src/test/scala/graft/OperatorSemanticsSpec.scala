@@ -1052,6 +1052,42 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       s"channel swap not detected: max_err $maxErr within bound")
   }
 
+  test("IMA ADPCM: contract corpus-wide, lockstep state, real detector") {
+    import graft.operators.Multimodal.{imaEncode, imaDecode}
+    // (a) the boolean contract actually holds on the corpus
+    val rows = run("m_adpcm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("quarter_bytes"), s"not 4:1: $r")
+      assert(r.getAs[Boolean]("snr_bounded"), s"SNR under 12 dB: $r")
+      assert(r.getAs[Boolean]("truly_lossy"), s"suspiciously exact: $r")
+    }
+    // (b) decoder-mirrored reconstruction keeps state in lockstep: a
+    // slow ramp the step table can follow decodes within one max step
+    val ramp = Array.tabulate(512)(i => i * 8 - 2048)
+    val dec = imaDecode(imaEncode(ramp), ramp.length)
+    val tail = (64 until ramp.length).map(i => math.abs(dec(i) - ramp(i)))
+    assert(tail.max <= 64,
+      s"ramp tracking error ${tail.max} — encoder/decoder state diverged")
+    // (c) the SNR bound is a DETECTOR: flipping the sign nibble (the
+    // classic packing bug — high nibble first) wrecks reconstruction
+    val x = Array.tabulate(512)(i =>
+      (math.sin(2 * math.Pi * 440 * i / 8000.0) * 20000).toInt)
+    val good = imaDecode(imaEncode(x), x.length)
+    val swapped = imaEncode(x).map(b =>
+      (((b & 0x0f) << 4) | ((b >> 4) & 0x0f)).toByte)
+    val bad = imaDecode(swapped, x.length)
+    def snr(y: Array[Int]) = {
+      val e = x.indices.map(i => math.pow(y(i) - x(i).toDouble, 2)).sum
+      val s = x.map(v => v.toDouble * v).sum
+      s / math.max(e, 1e-9)
+    }
+    assert(snr(good) > 16, s"codec under 12 dB on a tone: ${snr(good)}")
+    assert(snr(bad) < 16, s"nibble-order bug not detected: ${snr(bad)}")
+    // (d) odd length packs the final nibble alone
+    assert(imaEncode(Array(1, 2, 3)).length == 2)
+  }
+
   test("t_pii_redact finds every planted span and strips them all") {
     // the hash gate proves Spark == DuckDB; this proves neither is
     // VACUOUSLY matching (a broken pattern would count 0 in BOTH
