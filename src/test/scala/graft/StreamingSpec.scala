@@ -603,4 +603,85 @@ class StreamingSpec extends AnyFunSuite {
         s"stream-derived heavy hitters diverge: $heavyFromStream vs $heavyBatch")
     } finally q.stop()
   }
+
+  test("iceberg changelog stream: exactly-once tail, WAP-invisible, restart-safe") {
+    import graft.sources.iceberg._
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("ice-stream").resolve("nation")
+    val ckpt = Files.createTempDirectory("ice-stream-ckpt").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    def partFiles(df: org.apache.spark.sql.DataFrame) = {
+      val out = Files.createTempDirectory("ice-stream-data")
+      val n = df.count()
+      df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      Files.list(out).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+        .map(p => IcebergLocal.DataFileInfo(p.toUri.toString, n,
+          Files.size(p)))
+    }
+    def commit(pred: String, ts: Long,
+        branch: Option[String] = None): Long =
+      IcebergLocal.append(dir, partFiles(nation.filter(pred)), ts,
+        schema = Some(nation.schema), branch = branch)
+    def n(pred: String) = nation.filter(pred).count()
+    commit("n_regionkey = 0", 1000L)
+    commit("n_regionkey = 1", 2000L)
+    // the FILE sink (exactly-once via its own metadata log) rather
+    // than the memory sink, which refuses checkpoint recovery — the
+    // restart leg below is the point of this test
+    val outDir = Files.createTempDirectory("ice-stream-out").toString
+    def startStream() =
+      spark.readStream.format("graft-iceberg-stream")
+        .option("path", dir.toString).load()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+    def sunk() = spark.read.parquet(outDir).count()
+    val q = startStream()
+    try {
+      // initial catch-up: everything on main, exactly once
+      q.processAllAvailable()
+      assert(sunk() == n("n_regionkey <= 1"))
+      // a new append is admitted incrementally (only the new rows land)
+      commit("n_regionkey = 2", 3000L)
+      q.processAllAvailable()
+      assert(sunk() == n("n_regionkey <= 2"))
+      // write-audit-publish: an unpublished BRANCH commit is invisible...
+      commit("n_regionkey = 3", 4000L, branch = Some("audit"))
+      q.processAllAvailable()
+      assert(sunk() == n("n_regionkey <= 2"),
+        "unpublished branch commit leaked into the stream")
+      // ...until fast-forward publishes it — then admitted exactly once
+      IcebergLocal.fastForward(dir, "audit")
+      q.processAllAvailable()
+      assert(sunk() == n("n_regionkey <= 3"))
+    } finally q.stop()
+    // RESTART from the checkpoint: a commit that landed while the
+    // stream was down is admitted exactly once — total = all published
+    // rows, nothing re-emitted, nothing missed
+    commit("n_regionkey = 4", 5000L)
+    val q2 = startStream()
+    try {
+      q2.processAllAvailable()
+      assert(sunk() == n("n_regionkey <= 4"),
+        "restart re-emitted already-committed rows (or missed the gap)")
+      // a DELETE commit in the window fails loudly (changelog rows are
+      // ill-defined under row-level deletes) instead of emitting junk
+      val eqOut = Files.createTempDirectory("ice-stream-del")
+      nation.limit(1).select(col("n_name"))
+        .coalesce(1).write.mode("overwrite").parquet(eqOut.toString)
+      val del = Files.list(eqOut).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      IcebergLocal.append(dir, Seq(IcebergLocal.DataFileInfo(
+        del.toUri.toString, 1, Files.size(del), content = 2,
+        equalityIds = Seq(2))), 6000L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("delete file") ||
+        Option(e.getCause).exists(_.getMessage.contains("delete file")),
+        s"expected the loud delete refusal, got: ${e.getMessage}")
+    } finally q2.stop()
+  }
 }
