@@ -1386,6 +1386,7 @@ object IcebergLocal {
       var lastAddedSpec = -1
       var lastAddedSchema = -1
       var schemaChanged = false
+      var refMoved = false
       for (u <- IcebergJson.arr(req.get("updates"))) {
         u.path("action").asText() match {
           // schema EVOLUTION through the protocol: the client prepares
@@ -1504,21 +1505,43 @@ object IcebergLocal {
             val name = u.path("ref-name").asText()
             if (name.isEmpty)
               return Left(400 -> "set-snapshot-ref needs ref-name")
+            val sid = u.path("snapshot-id").asLong()
+            // the ref must point at a snapshot the table actually has
+            // (an add-snapshot earlier in this body already landed it);
+            // a dangling ref would break every reader that resolves it
+            val snapTs = IcebergJson.arr(root.get("snapshots"))
+              .find(_.path("snapshot-id").asLong() == sid)
+              .map(_.path("timestamp-ms").asLong(0))
+            if (snapTs.isEmpty)
+              return Left(400 -> s"set-snapshot-ref: no snapshot $sid")
             val refs = Option(root.get("refs"))
               .collect { case o: ObjectNode => o }
               .getOrElse(root.putObject("refs"))
             val rn = refs.putObject(name)
-            rn.put("snapshot-id", u.path("snapshot-id").asLong())
+            rn.put("snapshot-id", sid)
             rn.put("type", u.path("type").asText("branch"))
-            if (name == "main")
-              root.put("current-snapshot-id", u.path("snapshot-id").asLong())
+            if (name == "main") {
+              root.put("current-snapshot-id", sid)
+              if (newSnapId <= 0) {
+                // ref-ONLY move of main (rollback_to_snapshot through
+                // the protocol): the snapshot-log records the published-
+                // pointer move per the spec — the log is a history of
+                // current-pointer moves, not of commits
+                refMoved = true
+                val ln = root.withArray[ArrayNode]("snapshot-log")
+                  .addObject()
+                ln.put("timestamp-ms", snapTs.get)
+                ln.put("snapshot-id", sid)
+              }
+            }
             ()
           case other =>
             return Left(400 -> s"unsupported update '$other'")
         }
       }
-      if (newSnapId <= 0 && !schemaChanged)
-        return Left(400 -> "commit carries no add-snapshot or schema change")
+      if (newSnapId <= 0 && !schemaChanged && !refMoved)
+        return Left(400 -> ("commit carries no add-snapshot, schema " +
+          "change, or ref move"))
       // schema-only commits take a version of their own; snapshot
       // commits keep version == snapshot-id unless evolution versions
       // already passed it. Atomic move — same torn-write guarantee as

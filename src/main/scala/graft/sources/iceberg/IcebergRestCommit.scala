@@ -42,10 +42,16 @@ object IcebergRestCommit {
     var attempt = 0
     while (true) {
       val prior = catalog.loadTable(namespace, table)
-      // an empty (REST-created) table commits its FIRST snapshot under
+      // the commit builds on MAIN's head — not the newest snapshot,
+      // which may be an unpublished branch head or (after a rollback)
+      // a rolled-past snapshot whose manifests must not be carried; an
+      // empty (REST-created) table commits its FIRST snapshot under
       // the same CAS — main asserted ABSENT instead of at a parent id
-      val parentOpt = prior.snapshots.map(_.snapshotId).maxOption
-      val snapId = parentOpt.getOrElse(0L) + 1
+      val parentOpt = prior.refs.get("main").map(_._2)
+        .orElse(prior.snapshots.map(_.snapshotId).maxOption)
+      // snapshot ids still number past EVERY snapshot (ids are global)
+      val snapId =
+        prior.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
       val uniq = "-" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(8)
       // the catalog's current metadata decides the manifest's spec id
@@ -55,7 +61,7 @@ object IcebergRestCommit {
         .map(IcebergLocal.resolveSpecId(Some(prior), _)).getOrElse(0)
       val listPath = IcebergLocal.writeSnapshotFiles(tableDir, Some(prior),
         files, snapId, replace = false, partitionSpec, schema, uniq,
-        specId = specId)
+        specId = specId, parentId = parentOpt)
       val tagUpd = tag.map(t =>
         s""",{"action":"set-snapshot-ref","ref-name":"$t","type":"tag",""" +
           s""""snapshot-id":$snapId}""").getOrElse("")
@@ -81,13 +87,17 @@ object IcebergRestCommit {
         case _ => ""
       }
       val parentJson = parentOpt.map(_.toString).getOrElse("null")
+      // parent-snapshot-id records the lineage edge WAP's ancestry
+      // checks (fastForward/cherryPick) walk — v2 spec field
+      val parentField = parentOpt
+        .map(p => s""""parent-snapshot-id":$p,""").getOrElse("")
       val body =
         s"""{"requirements":[
            |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$parentJson}],
            | "updates":[$specUpd
            |  {"action":"add-snapshot","snapshot":{
            |    "snapshot-id":$snapId,"sequence-number":$snapId,
-           |    "timestamp-ms":$timestampMs,
+           |    $parentField"timestamp-ms":$timestampMs,
            |    "manifest-list":"${listPath.toUri}",
            |    "schema-id":0,"summary":{"operation":"append"}}},
            |  {"action":"set-snapshot-ref","ref-name":"main","type":"branch",
@@ -207,4 +217,31 @@ object IcebergRestCommit {
       }
       require(hit, s"rename: table has no top-level column '$from'")
     }
+
+  /** ROLLBACK through the catalog — `rollback_to_snapshot` as a
+    * ref-only CommitTableRequest: `set-snapshot-ref(main → snapshotId)`
+    * gated by `assert-ref-snapshot-id(main == the head this decision
+    * was made against)`. Deliberately NOT retried on conflict: losing
+    * the CAS means the table moved under the rollback decision, and
+    * auto-retrying would silently unpublish a commit the operator never
+    * saw — reload, re-decide, call again. The local twin is
+    * [[IcebergLocal.rollbackTo]]; when a catalog serves the table this
+    * is the multi-writer-safe route. */
+  def rollbackTo(catalog: IcebergRestCatalog, namespace: String,
+      table: String, snapshotId: Long): Long = {
+    val prior = catalog.loadTable(namespace, table)
+    require(prior.snapshots.exists(_.snapshotId == snapshotId),
+      s"no snapshot $snapshotId on $namespace.$table (have ${
+        prior.snapshots.map(_.snapshotId).sorted.mkString(", ")})")
+    val headJson = prior.refs.get("main").map(_._2.toString)
+      .getOrElse("null")
+    val body =
+      s"""{"requirements":[
+         |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$headJson}],
+         | "updates":[
+         |  {"action":"set-snapshot-ref","ref-name":"main","type":"branch",
+         |   "snapshot-id":$snapshotId}]}""".stripMargin
+    catalog.commitTable(namespace, table, body)
+    snapshotId
+  }
 }

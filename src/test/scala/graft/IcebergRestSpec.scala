@@ -1293,6 +1293,62 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("REST rollback: ref-only commit moves main back under CAS") {
+    val root = Files.createTempDirectory("ice-restrollback")
+    val dir = root.resolve("t")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    IcebergLocal.append(dir, partFiles(nation.filter("n_regionkey = 0")),
+      timestampMs = 1000L, schema = Some(nation.schema))
+    val server = new IcebergLocal.CatalogServer(root, "lake")
+    val port = server.start()
+    try {
+      val cat = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+      val s2 = IcebergRestCommit.append(cat, "lake", "t", dir,
+        partFiles(nation.filter("n_regionkey = 1")), 2000L)
+      // un-publish snapshot 2 through the catalog
+      assert(IcebergRestCommit.rollbackTo(cat, "lake", "t", 1L) == 1L)
+      assert(IcebergRest.read(spark, cat, "lake", "t").count() ==
+        nation.filter("n_regionkey = 0").count(),
+        "REST rollback did not move the published view")
+      // history survives: forward travel to the rolled-past snapshot
+      assert(IcebergRest.read(spark, cat, "lake", "t",
+        Some(graft.sources.SnapshotLog.ByVersion(s2.toString))).count() ==
+        nation.filter("n_regionkey <= 1").count())
+      // a STALE rollback decision (built against head=2, but main is
+      // now at 1) must 409 loudly, never auto-retry
+      val staleBody =
+        s"""{"requirements":[
+           |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$s2}],
+           | "updates":[
+           |  {"action":"set-snapshot-ref","ref-name":"main","type":"branch",
+           |   "snapshot-id":1}]}""".stripMargin
+      intercept[IcebergCommitConflict](
+        cat.commitTable("lake", "t", staleBody))
+      // a ref to a snapshot the table doesn't have: 400, not a dangling
+      // pointer
+      val dangling =
+        """{"requirements":[],
+          |"updates":[{"action":"set-snapshot-ref","ref-name":"main",
+          |"type":"branch","snapshot-id":77}]}""".stripMargin
+      val e = intercept[Exception](cat.commitTable("lake", "t", dangling))
+      assert(e.getMessage.contains("no snapshot 77"))
+      // unknown snapshot refused client-side too
+      intercept[IllegalArgumentException](
+        IcebergRestCommit.rollbackTo(cat, "lake", "t", 99L))
+      // and a post-rollback append through the catalog builds on the
+      // rollback target: the undone rows stay unpublished
+      IcebergRestCommit.append(cat, "lake", "t", dir,
+        partFiles(nation.filter("n_regionkey = 2")), 3000L)
+      assert(IcebergRest.read(spark, cat, "lake", "t").count() ==
+        nation.filter("n_regionkey IN (0, 2)").count(),
+        "post-rollback REST append resurrected the rolled-back rows")
+    } finally {
+      server.stop()
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("rollback_to_snapshot: un-publish, keep history, re-commit lineage") {
     val dir = warehouse.resolve("rollback-spec")
     val nation = spark.read.parquet(s"$sf/nation.parquet")
