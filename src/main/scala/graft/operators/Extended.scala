@@ -896,6 +896,44 @@ object Extended {
       } finally server.stop()
     },
 
+    // SORTED WRITE round-trip (Iceberg write.sort-order): orders
+    // partitioned by year and RANGE-SORTED on o_custkey into 8 files —
+    // each file's footer then carries a tight, near-disjoint o_custkey
+    // range, so the custkey predicate below prunes most files on BOUNDS
+    // alone (partition tuples can't help: every year holds every
+    // custkey). One extra exchange at write time buys index-like
+    // skipping on every subsequent read — the standard clustering
+    // trade at 100 TB. The sort order is declared in the metadata
+    // (sort-orders + default-sort-order-id, order 0 kept per the spec);
+    // the pruned read hash-matches the oracle's plain filtered scan,
+    // and IcebergPartitionSpec pins the file-count drop vs an unsorted
+    // twin plus the metadata declaration.
+    GraftQuery("q_iceberg_sorted",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_custkey >= 200 AND o_custkey < 400""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.iceberg._
+      val (warehouse, _) = cachedFixture("sorted", dir) { wh =>
+        val tableDir = wh.resolve("orders")
+        val orders = t(s, dir).orders.select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+        IcebergPartitioned.append(orders, tableDir, "data/b0",
+          Seq(PartitionField("o_year", "o_orderdate", "year")),
+          timestampMs = 1000L, sortBy = Seq("o_custkey"),
+          targetFileCount = 28) // ~4 custkey ranges per year partition
+      }
+      val server = new IcebergLocal.CatalogServer(warehouse, "lake")
+      val port = server.start()
+      try {
+        val catalog = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+        IcebergRest.read(s, catalog, "lake", "orders",
+          options = Map("filter" ->
+            "o_custkey >= 200 AND o_custkey < 400"))
+          .localCheckpoint(true)
+      } finally server.stop()
+    },
+
     // Iceberg partition-spec EVOLUTION round-trip: commit half of a
     // year of orders under spec A = month(o_orderdate), then evolve the
     // table to spec B = month + bucket[4](o_custkey) and commit the

@@ -211,7 +211,14 @@ object IcebergLocal {
         * branch ref, and leaves main + current-snapshot-id untouched,
         * so readers of the table see nothing until
         * [[fastForward]] publishes the branch. */
-      branch: Option[String] = None): Long = {
+      branch: Option[String] = None,
+      /** the WRITE-time sort order of this commit's files (identity
+        * transforms, ascending, nulls first): registered in the
+        * metadata's `sort-orders` (order 0 = unsorted always kept, per
+        * the spec) and `default-sort-order-id` moved to it — the layout
+        * declaration query engines read to skip sorts and that makes
+        * file bounds tight for range pruning. Requires `schema`. */
+      sortOrder: Option[Seq[String]] = None): Long = {
     val metaDir = tableDir.resolve("metadata")
     Files.createDirectories(metaDir)
     val priorRaw = currentMetadataFile(tableDir)
@@ -240,7 +247,7 @@ object IcebergLocal {
       dropPositionDeletes = dropPositionDeletes, parentId = parentId)
     writeMetadata(tableDir, priorRaw, prior, files, snapId, listPath,
       timestampMs, tag, retainLast, schema, partitionSpec, specId,
-      branch = branch, parentId = parentId)
+      branch = branch, parentId = parentId, sortOrder = sortOrder)
   }
 
   /** PUBLISH a branch — the fast-forward half of write-audit-publish:
@@ -735,7 +742,8 @@ object IcebergLocal {
       partitionSpec: Option[Seq[PartitionField]],
       specId: Int = 0,
       branch: Option[String] = None,
-      parentId: Option[Long] = None): Long = {
+      parentId: Option[Long] = None,
+      sortOrder: Option[Seq[String]] = None): Long = {
     val metaDir = tableDir.resolve("metadata")
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -864,10 +872,62 @@ object IcebergLocal {
           root.put("last-partition-id", 999) // partition ids start at 1000
       }
     }
+    // sort orders: order 0 (unsorted) always exists per the spec; a
+    // SORTED commit registers its write order (identity/asc/nulls-first
+    // fields) — reusing an identical prior order's id — and moves
+    // default-sort-order-id; an unsorted commit CARRIES the prior
+    // orders and default untouched (a later spec-less append must not
+    // silently reset a sorted table's declared layout)
+    val priorOrders = priorRaw.flatMap(pr =>
+      Option(pr.get("sort-orders"))).toSeq
+      .flatMap(n => (0 until n.size()).map(n.get))
     val orders = root.putArray("sort-orders")
-    val so = orders.addObject()
-    so.put("order-id", 0); so.putArray("fields")
-    root.put("default-sort-order-id", 0)
+    if (priorOrders.isEmpty) {
+      val so = orders.addObject()
+      so.put("order-id", 0); so.putArray("fields")
+    } else priorOrders.foreach(n =>
+      orders.add(n.deepCopy[com.fasterxml.jackson.databind.JsonNode]()))
+    sortOrder match {
+      case Some(cols) =>
+        val ids = topLevelFieldIds(schema.getOrElse(
+          throw new IllegalArgumentException(
+            "sortOrder requires schema (source-id resolution)")))
+        val srcIds = cols.map(c => ids.getOrElse(c,
+          throw new IllegalArgumentException(
+            s"sort column '$c' absent from schema")))
+        def fieldsOf(n: com.fasterxml.jackson.databind.JsonNode) =
+          (0 until n.path("fields").size()).map { i =>
+            val f = n.path("fields").get(i)
+            (f.path("source-id").asInt(), f.path("transform").asText(),
+              f.path("direction").asText(), f.path("null-order").asText())
+          }
+        val want = srcIds.map(id =>
+          (id, "identity", "asc", "nulls-first"))
+        val existing = (0 until orders.size()).map(orders.get)
+          .find(n => fieldsOf(n) == want)
+          .map(_.path("order-id").asInt())
+        val oid = existing.getOrElse {
+          val next = (0 until orders.size())
+            .map(orders.get(_).path("order-id").asInt()).max + 1
+          val so = orders.addObject()
+          so.put("order-id", next)
+          val fs = so.putArray("fields")
+          srcIds.foreach { id =>
+            val fn = fs.addObject()
+            fn.put("transform", "identity")
+            fn.put("source-id", id)
+            fn.put("direction", "asc")
+            fn.put("null-order", "nulls-first")
+          }
+          next
+        }
+        root.put("default-sort-order-id", oid)
+        ()
+      case None =>
+        root.put("default-sort-order-id", priorRaw
+          .map(_.path("default-sort-order-id").asInt(0)).getOrElse(0))
+        ()
+    }
     val priorRefs = prior.map(_.refs).getOrElse(Map.empty)
     // a BRANCH commit leaves the published head where it was: readers
     // of the table (current-snapshot-id / main) see nothing until

@@ -328,12 +328,23 @@ object IcebergPartitioned {
     * and the MoR path read the files unchanged. Returns the snapshot id. */
   def append(df: DataFrame, tableDir: JPath, dataSubdir: String,
       spec: Seq[PartitionField], timestampMs: Long,
-      tag: Option[String] = None, retainLast: Option[Int] = None): Long = {
+      tag: Option[String] = None, retainLast: Option[Int] = None,
+      /** WRITE-time sort columns: data is range-distributed and sorted
+        * on (partition tuple, sortBy) before the write, so each file's
+        * sortBy bounds are TIGHT and near-disjoint — range predicates
+        * on the sort key prune most files; the order is declared in the
+        * table metadata (`sort-orders` + default-sort-order-id). */
+      sortBy: Seq[String] = Nil,
+      /** file-count target for the sorted layout (range partitions
+        * before the Hive-dir split); required > 0 when sortBy is set. */
+      targetFileCount: Int = 0): Long = {
     require(spec.nonEmpty, "use IcebergLocal.append for unpartitioned commits")
     IcebergLocal.append(tableDir,
-      writeFiles(df, tableDir.resolve(dataSubdir), spec),
+      writeFiles(df, tableDir.resolve(dataSubdir), spec, sortBy,
+        targetFileCount),
       timestampMs, tag, retainLast,
-      schema = Some(df.schema), partitionSpec = Some(spec))
+      schema = Some(df.schema), partitionSpec = Some(spec),
+      sortOrder = if (sortBy.nonEmpty) Some(sortBy) else None)
   }
 
   /** The distributed half of [[append]]: the Hive-layout partitioned
@@ -341,14 +352,30 @@ object IcebergPartitioned {
     * commit, so committers with their own commit discipline (the
     * streaming sink's tag-idempotence) can compose. */
   def writeFiles(df: DataFrame, outDir: JPath,
-      spec: Seq[PartitionField]): Seq[IcebergLocal.DataFileInfo] = {
+      spec: Seq[PartitionField], sortBy: Seq[String] = Nil,
+      targetFileCount: Int = 0): Seq[IcebergLocal.DataFileInfo] = {
     val schema = df.schema
     val partCols = spec.map { f =>
       transformColumn(F.col(f.sourceColumn), f.transform,
         schema(f.sourceColumn).dataType).as(partColName(f))
     }
-    df.select(df.columns.map(F.col) ++ partCols: _*)
-      .write.mode("overwrite")
+    val withCols = df.select(df.columns.map(F.col) ++ partCols: _*)
+    // sorted layout: range-distribute on (partition tuple, sort key) —
+    // one exchange — then sort within tasks, so each written file holds
+    // a contiguous near-disjoint sort-key range and its footer bounds
+    // prune like an index; the same shape Iceberg's write.sort-order
+    // produces. Unsorted writes keep the caller's partitioning.
+    val arranged =
+      if (sortBy.isEmpty) withCols
+      else {
+        require(targetFileCount > 0,
+          "sorted writes need targetFileCount > 0 (range distribution)")
+        val keys = spec.map(f => F.col(partColName(f))) ++
+          sortBy.map(F.col)
+        withCols.repartitionByRange(targetFileCount, keys: _*)
+          .sortWithinPartitions(keys: _*)
+      }
+    arranged.write.mode("overwrite")
       .partitionBy(spec.map(partColName): _*)
       .parquet(outDir.toString)
     listParquetDeep(outDir).map { p =>

@@ -107,6 +107,90 @@ class IcebergPartitionSpec extends AnyFunSuite {
       s"month partition should keep ~3 files, kept $prunedFiles")
   }
 
+  test("sorted writes: declared in metadata, bounds prune like an index") {
+    val wh = freshDir("sorted")
+    val sortedDir = wh.resolve("sorted")
+    val plainDir = wh.resolve("plain")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val spec = Seq(PartitionField("o_year", "o_orderdate", "year"))
+    // 4 ranges per year partition (7 years) — each written file then
+    // holds a ~quarter of the custkey space within its year; a single
+    // range per partition would leave every file spanning all custkeys
+    IcebergPartitioned.append(orders, sortedDir, "data/b0", spec, 1000L,
+      sortBy = Seq("o_custkey"), targetFileCount = 28)
+    IcebergPartitioned.append(
+      // unsorted twin, hash-spread so every file spans most custkeys
+      orders.repartition(8, org.apache.spark.sql.functions.col("o_orderkey")),
+      plainDir, "data/b0", spec, 1000L)
+    // sf0.001 custkeys span ~1..150; take a ~20% slice of that range
+    val filter = "o_custkey >= 30 AND o_custkey < 60"
+    val sorted = IcebergRest.readLocal(spark, sortedDir,
+      options = Map("filter" -> filter))
+    val plain = IcebergRest.readLocal(spark, plainDir,
+      options = Map("filter" -> filter))
+    // identical rows from both layouts (pruning never changes results)
+    assert(sorted.count() == plain.count() && sorted.count() > 0)
+    assert(sorted.exceptAll(plain).isEmpty && plain.exceptAll(sorted).isEmpty)
+    // the point of the sort: the custkey predicate prunes MOST sorted
+    // files on bounds (partition tuples can't help — every year holds
+    // every custkey), while the hash-spread twin keeps ~all of its
+    val sortedTotal = IcebergRest.readLocal(spark, sortedDir)
+      .inputFiles.length
+    val plainKept = plain.inputFiles.length
+    val plainTotal = IcebergRest.readLocal(spark, plainDir)
+      .inputFiles.length
+    assert(sorted.inputFiles.length * 2 <= sortedTotal,
+      s"sorted layout kept ${sorted.inputFiles.length} of $sortedTotal — " +
+        "bounds are not tight")
+    assert(plainKept == plainTotal,
+      s"hash-spread twin unexpectedly pruned ($plainKept of $plainTotal) — " +
+        "the comparison is meaningless")
+    // the metadata DECLARES the order: sort-orders carries the custkey
+    // identity/asc/nulls-first field, default-sort-order-id points at it,
+    // order 0 (unsorted) survives per the spec
+    val metaJson = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().readTree(Files.readString(
+        IcebergLocal.currentMetadataFile(sortedDir).get))
+    val so = metaJson.get("sort-orders")
+    assert((0 until so.size()).exists(i =>
+      so.get(i).path("order-id").asInt() == 0 &&
+        so.get(i).path("fields").size() == 0), "order 0 missing")
+    val declared = metaJson.path("default-sort-order-id").asInt()
+    assert(declared > 0, "default-sort-order-id not moved")
+    val fields = (0 until so.size()).map(so.get)
+      .find(_.path("order-id").asInt() == declared).get.path("fields")
+    assert(fields.size() == 1 &&
+      fields.get(0).path("transform").asText() == "identity" &&
+      fields.get(0).path("direction").asText() == "asc" &&
+      fields.get(0).path("null-order").asText() == "nulls-first")
+    // an UNSORTED later commit carries the declared order untouched
+    val extra = orders.limit(5)
+    IcebergLocal.append(sortedDir,
+      IcebergPartitioned.writeFiles(extra, sortedDir.resolve("data/b1"),
+        spec),
+      2000L, schema = Some(extra.schema), partitionSpec = Some(spec))
+    val meta2 = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().readTree(Files.readString(
+        IcebergLocal.currentMetadataFile(sortedDir).get))
+    assert(meta2.path("default-sort-order-id").asInt() == declared,
+      "a spec-less append reset the table's declared sort order")
+    // a SECOND sorted commit with the same columns reuses the order id
+    IcebergPartitioned.append(orders.limit(7), sortedDir, "data/b2", spec,
+      3000L, sortBy = Seq("o_custkey"), targetFileCount = 2)
+    val meta3 = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().readTree(Files.readString(
+        IcebergLocal.currentMetadataFile(sortedDir).get))
+    assert(meta3.path("default-sort-order-id").asInt() == declared)
+    assert(meta3.get("sort-orders").size() == meta2.get("sort-orders").size(),
+      "identical sort order was re-registered instead of reused")
+    // unknown sort column refuses loudly (the writer's column
+    // resolution throws before the metadata check can)
+    intercept[Exception](
+      IcebergPartitioned.append(orders.limit(3), sortedDir, "data/b3",
+        spec, 4000L, sortBy = Seq("nope"), targetFileCount = 1))
+  }
+
   test("min/max bounds prune unpartitioned range-laid files") {
     val wh = freshDir("bounds")
     val dir = wh.resolve("nation")
