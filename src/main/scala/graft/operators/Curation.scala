@@ -174,6 +174,91 @@ object Curation {
 
   val defs: Seq[GraftQuery] = Seq(
 
+    // -------------------------------------------- URL canonicalization
+    // The web-corpus URL dedup stage (Dolma/CCNet run it before any
+    // content pass — two crawls of the same page differ only in
+    // tracking params and case): canonicalize each document's URL —
+    // strip the fragment, lowercase scheme+host (path case is
+    // SIGNIFICANT and kept), drop default ports :80/:443, remove every
+    // utm_* tracking param while keeping real ones, tidy dangling
+    // ?/& and trailing slashes — then group by the canonical form:
+    // dup count + keep-first(min doc_id). URLs are synthesized
+    // deterministically from doc_id (the corpus carries no URL column;
+    // same pattern as the codec fixtures), messy on purpose: mixed
+    // case, optional default port, optional trailing slash, utm params
+    // in every position, fragments. The canonicalization chain is the
+    // SAME regex sequence in Spark and DuckDB (common Java/RE2 subset,
+    // no backrefs), so the hash gate proves the two engines' regex
+    // engines agree byte-for-byte. Scale shape: map-only derivation,
+    // one groupBy on the canonical key, join back BY KEY (never a
+    // window over the key — dup groups are unbounded on a real crawl).
+    GraftQuery("d_url_canonical",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'HTTPS://WWW.Example.COM'
+        |                     WHEN 1 THEN 'https://News.site.ORG'
+        |                     ELSE 'http://Blog.example.Com' END)
+        |    || (CASE doc_id % 4 WHEN 0 THEN (CASE WHEN doc_id % 3 = 2 THEN ':80' ELSE ':443' END) ELSE '' END)
+        |    || '/Articles/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE doc_id % 2 WHEN 0 THEN '/' ELSE '' END)
+        |    || (CASE doc_id % 5 WHEN 0 THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+        |                        WHEN 1 THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+        |                        WHEN 2 THEN '?utm_medium=rss'
+        |                        ELSE '' END)
+        |    || (CASE doc_id % 6 WHEN 0 THEN '#Section2' ELSE '' END) AS raw_url
+        |  FROM documents),
+        |c AS (SELECT doc_id, regexp_replace(raw_url, '#.*$', '') AS nofrag FROM u),
+        |s AS (SELECT doc_id,
+        |    lower(regexp_extract(nofrag, '^([^:]+://[^/?#]+)', 1)) AS head,
+        |    substr(nofrag, length(regexp_extract(nofrag, '^([^:]+://[^/?#]+)', 1)) + 1) AS tail
+        |  FROM c),
+        |n AS (SELECT doc_id,
+        |    regexp_replace(head, ':(443|80)$', '')
+        |    || regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(tail, 'utm_[a-z]+=[^&#]*&?', '', 'g'),
+        |         '[?&]$', ''), '/\?', '?'), '/$', '') AS canonical_url
+        |  FROM s),
+        |g AS (SELECT canonical_url, count(*) AS url_dups,
+        |             min(doc_id) AS first_doc FROM n GROUP BY canonical_url)
+        |SELECT n.doc_id, n.canonical_url, g.url_dups,
+        |       n.doc_id = g.first_doc AS keep
+        |FROM n JOIN g ON n.canonical_url = g.canonical_url""".stripMargin) {
+      (s, dir) =>
+      val synth =
+        """(CASE doc_id % 3 WHEN 0 THEN 'HTTPS://WWW.Example.COM'
+          |                 WHEN 1 THEN 'https://News.site.ORG'
+          |                 ELSE 'http://Blog.example.Com' END)
+          ||| (CASE doc_id % 4 WHEN 0 THEN (CASE WHEN doc_id % 3 = 2 THEN ':80' ELSE ':443' END) ELSE '' END)
+          ||| '/Articles/' || CAST(doc_id % 50 AS STRING)
+          ||| (CASE doc_id % 2 WHEN 0 THEN '/' ELSE '' END)
+          ||| (CASE doc_id % 5 WHEN 0 THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS STRING)
+          |                    WHEN 1 THEN '?ref=' || CAST(doc_id % 7 AS STRING) || '&utm_campaign=x'
+          |                    WHEN 2 THEN '?utm_medium=rss'
+          |                    ELSE '' END)
+          ||| (CASE doc_id % 6 WHEN 0 THEN '#Section2' ELSE '' END)""".stripMargin
+      val canon = t(s, dir).documents.select(col("doc_id"))
+        .selectExpr("doc_id", s"$synth AS raw_url")
+        .selectExpr("doc_id",
+          "regexp_replace(raw_url, '#.*$', '') AS nofrag")
+        .selectExpr("doc_id",
+          "lower(regexp_extract(nofrag, '^([^:]+://[^/?#]+)', 1)) AS head",
+          "substring(nofrag, length(regexp_extract(nofrag, " +
+            "'^([^:]+://[^/?#]+)', 1)) + 1) AS tail")
+        .selectExpr("doc_id",
+          "concat(regexp_replace(head, ':(443|80)$', ''), " +
+            "regexp_replace(regexp_replace(regexp_replace(" +
+            "regexp_replace(tail, 'utm_[a-z]+=[^&#]*&?', ''), " +
+            "'[?&]$', ''), '/\\\\?', '?'), '/$', '')) AS canonical_url")
+      // dup accounting by KEY (aggregate + equi-join), never a window
+      // over canonical_url: a hot URL is a hot key, and the per-key
+      // aggregate combines map-side while a window would serialize it
+      val groups = canon.groupBy(col("canonical_url")).agg(
+        count(lit(1)).as("url_dups"), min(col("doc_id")).as("first_doc"))
+      canon.join(groups, "canonical_url")
+        .select(col("doc_id"), col("canonical_url"), col("url_dups"),
+          (col("doc_id") === col("first_doc")).as("keep"))
+    },
+
     // ------------------------------------------------- semantic dedup
     // SemDeDup (Abbas et al. 2023): cluster, then near-dup only within a
     // cluster. Buckets come from one 8-plane LSH band (deterministic, so

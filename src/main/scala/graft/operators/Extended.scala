@@ -911,7 +911,7 @@ object Extended {
     GraftQuery("q_iceberg_sorted",
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders
-        |WHERE o_custkey >= 200 AND o_custkey < 400""".stripMargin) {
+        |WHERE o_custkey >= 30 AND o_custkey < 60""".stripMargin) {
       (s, dir) =>
       import graft.sources.iceberg._
       val (warehouse, _) = cachedFixture("sorted", dir) { wh =>
@@ -929,7 +929,7 @@ object Extended {
         val catalog = new IcebergRestCatalog(s"http://127.0.0.1:$port")
         IcebergRest.read(s, catalog, "lake", "orders",
           options = Map("filter" ->
-            "o_custkey >= 200 AND o_custkey < 400"))
+            "o_custkey >= 30 AND o_custkey < 60"))
           .localCheckpoint(true)
       } finally server.stop()
     },

@@ -350,6 +350,26 @@ object Relational {
         .filter(col("n") >= 3)
     },
 
+    // ANSI FILTER clause on aggregates — per-aggregate predicates in
+    // one pass over the fact table (the alternative is N filtered
+    // scans or CASE-wrapped inputs; FILTER is the standard spelling
+    // both engines parse natively). One map-side-combinable hash
+    // aggregate, decimal partials for the sums (the dsum discipline).
+    GraftQuery("q_agg_filter",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_hi_disc,
+        |  count(*) FILTER (WHERE l_tax = 0) AS n_tax_free,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) FILTER (WHERE l_shipdate >= TIMESTAMP '1995-01-01') AS DOUBLE) AS rev_since_95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir).lineitem.groupBy(col("l_returnflag")).agg(
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) " +
+          "FILTER (WHERE l_discount > 0.05) AS DOUBLE)").as("qty_hi_disc"),
+        expr("count(*) FILTER (WHERE l_tax = 0)").as("n_tax_free"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) FILTER " +
+          "(WHERE l_shipdate >= TIMESTAMP '1995-01-01') AS DOUBLE)")
+          .as("rev_since_95"))
+    },
+
     GraftQuery("q_agg_rollup",
       s"""SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
          |       count(*) AS n

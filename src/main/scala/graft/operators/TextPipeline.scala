@@ -87,6 +87,44 @@ object TextPipeline {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     },
 
+    // --------------------------------------------- sentence statistics
+    // Sentence segmentation + per-doc sentence stats — the curation
+    // signals sentence-level filters key on (C4 drops docs whose
+    // sentences are too long/short; sentence-level dedup needs the
+    // boundaries). The corpus carries no punctuation, so boundaries
+    // are SYNTHESIZED deterministically first (every 'table' token
+    // ends a sentence — the codec-fixture pattern), then the actual
+    // splitter runs: regex split on '. ', empties filtered, per-doc
+    // count / longest sentence / over-120-chars count. The split+lambda
+    // chain is the same in both engines (Spark split/filter/transform
+    // vs DuckDB string_split_regex/list_filter/list_transform), so the
+    // hash gate pins their segmentation semantics against each other.
+    // Map-only: sentences never leave their document's row.
+    GraftQuery("t_sentence_stats",
+      """WITH p AS (
+        |  SELECT doc_id, regexp_replace(text, 'table', 'table.', 'g') AS sent_text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(sent_text, '\. '),
+        |                x -> length(trim(x)) > 0) AS sents
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(sents) AS BIGINT) AS n_sentences,
+        |  CAST(list_aggregate(list_transform(sents, x -> length(trim(x))), 'max') AS BIGINT) AS max_sent_chars,
+        |  CAST(len(list_filter(sents, x -> length(trim(x)) > 120)) AS BIGINT) AS long_sentences
+        |FROM s""".stripMargin) { (s, dir) =>
+      t(s, dir).documents
+        .selectExpr("doc_id",
+          "regexp_replace(text, 'table', 'table.') AS sent_text")
+        .selectExpr("doc_id",
+          "filter(split(sent_text, '\\\\. '), x -> length(trim(x)) > 0) AS sents")
+        .selectExpr("doc_id",
+          "CAST(size(sents) AS BIGINT) AS n_sentences",
+          "CAST(array_max(transform(sents, x -> length(trim(x)))) AS BIGINT) AS max_sent_chars",
+          "CAST(size(filter(sents, x -> length(trim(x)) > 120)) AS BIGINT) AS long_sentences")
+    },
+
     // Normalized dedup: case/punctuation-insensitive content identity.
     GraftQuery("d_dedup_norm",
       s"""SELECT md5($normSqlDuck) AS norm_hash, min(doc_id) AS keep_id,

@@ -1557,9 +1557,11 @@ object IcebergLocal {
               math.max(root.path("last-sequence-number").asLong(0),
                 sn.path("sequence-number").asLong(0)))
             root.put("last-updated-ms", sn.path("timestamp-ms").asLong(0))
-            val ln = root.withArray[ArrayNode]("snapshot-log").addObject()
-            ln.put("timestamp-ms", sn.path("timestamp-ms").asLong(0))
-            ln.put("snapshot-id", newSnapId)
+            // NOT logged here: the snapshot-log records the PUBLISHED
+            // lineage (current-pointer moves), so the entry lands when
+            // set-snapshot-ref moves `main` — a branch (WAP) commit
+            // adds its snapshot without touching the log, same as the
+            // local writer
             ()
           case "set-snapshot-ref" =>
             val name = u.path("ref-name").asText()
@@ -1582,17 +1584,15 @@ object IcebergLocal {
             rn.put("type", u.path("type").asText("branch"))
             if (name == "main") {
               root.put("current-snapshot-id", sid)
-              if (newSnapId <= 0) {
-                // ref-ONLY move of main (rollback_to_snapshot through
-                // the protocol): the snapshot-log records the published-
-                // pointer move per the spec — the log is a history of
-                // current-pointer moves, not of commits
-                refMoved = true
-                val ln = root.withArray[ArrayNode]("snapshot-log")
-                  .addObject()
-                ln.put("timestamp-ms", snapTs.get)
-                ln.put("snapshot-id", sid)
-              }
+              // every move of `main` — with a fresh snapshot (append),
+              // to an existing one (rollback/fast-forward) — lands in
+              // the snapshot-log: the log is the history of published-
+              // pointer moves, not of snapshot creation
+              refMoved = true
+              val ln = root.withArray[ArrayNode]("snapshot-log")
+                .addObject()
+              ln.put("timestamp-ms", snapTs.get)
+              ln.put("snapshot-id", sid)
             }
             ()
           case other =>

@@ -38,17 +38,31 @@ object IcebergRestCommit {
       timestampMs: Long, tag: Option[String] = None,
       partitionSpec: Option[Seq[PartitionField]] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 10,
+      /** write-audit-publish THROUGH the catalog: commit to this
+        * BRANCH ref — the snapshot carries the branch head's manifests
+        * (forking from main for a new branch), only the branch ref
+        * moves, main and the snapshot-log stay untouched, so catalog
+        * readers see nothing until [[fastForward]] publishes it. The
+        * CAS asserts the BRANCH ref (or, for a fresh branch, that main
+        * is still at the observed fork point — a stale fork would
+        * silently miss rows). */
+      branch: Option[String] = None): Long = {
     var attempt = 0
     while (true) {
       val prior = catalog.loadTable(namespace, table)
-      // the commit builds on MAIN's head — not the newest snapshot,
-      // which may be an unpublished branch head or (after a rollback)
-      // a rolled-past snapshot whose manifests must not be carried; an
-      // empty (REST-created) table commits its FIRST snapshot under
-      // the same CAS — main asserted ABSENT instead of at a parent id
-      val parentOpt = prior.refs.get("main").map(_._2)
+      // the commit builds on its TARGET REF's head — the branch when
+      // committing to one (falling back to main for a fresh branch),
+      // else MAIN — never the newest snapshot, which may be an
+      // unpublished branch head or (after a rollback) a rolled-past
+      // snapshot whose manifests must not be carried; an empty
+      // (REST-created) table commits its FIRST snapshot under the same
+      // CAS — the ref asserted ABSENT instead of at a parent id
+      val mainHead = prior.refs.get("main").map(_._2)
         .orElse(prior.snapshots.map(_.snapshotId).maxOption)
+      val branchHead = branch.flatMap(b => prior.refs.get(b).map(_._2))
+      val parentOpt =
+        if (branch.isDefined) branchHead.orElse(mainHead) else mainHead
       // snapshot ids still number past EVERY snapshot (ids are global)
       val snapId =
         prior.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
@@ -86,21 +100,36 @@ object IcebergRestCommit {
              | {"action":"set-default-spec","spec-id":-1},""".stripMargin
         case _ => ""
       }
-      val parentJson = parentOpt.map(_.toString).getOrElse("null")
       // parent-snapshot-id records the lineage edge WAP's ancestry
       // checks (fastForward/cherryPick) walk — v2 spec field
       val parentField = parentOpt
         .map(p => s""""parent-snapshot-id":$p,""").getOrElse("")
+      // the CAS: a main commit asserts main; a branch commit asserts
+      // its branch (absent for a fresh branch, PLUS main still at the
+      // observed fork point — forking off a head that moved would
+      // silently drop the rows the move published)
+      val requirement = branch match {
+        case None =>
+          val j = mainHead.map(_.toString).getOrElse("null")
+          s"""{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$j}"""
+        case Some(b) if branchHead.isDefined =>
+          s"""{"type":"assert-ref-snapshot-id","ref":"$b","snapshot-id":${branchHead.get}}"""
+        case Some(b) =>
+          val j = mainHead.map(_.toString).getOrElse("null")
+          s"""{"type":"assert-ref-snapshot-id","ref":"$b","snapshot-id":null},
+             |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$j}""".stripMargin
+      }
+      val targetRef = branch.getOrElse("main")
       val body =
         s"""{"requirements":[
-           |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$parentJson}],
+           |  $requirement],
            | "updates":[$specUpd
            |  {"action":"add-snapshot","snapshot":{
            |    "snapshot-id":$snapId,"sequence-number":$snapId,
            |    $parentField"timestamp-ms":$timestampMs,
            |    "manifest-list":"${listPath.toUri}",
            |    "schema-id":0,"summary":{"operation":"append"}}},
-           |  {"action":"set-snapshot-ref","ref-name":"main","type":"branch",
+           |  {"action":"set-snapshot-ref","ref-name":"$targetRef","type":"branch",
            |   "snapshot-id":$snapId}$tagUpd]}""".stripMargin
       try {
         catalog.commitTable(namespace, table, body)
@@ -243,5 +272,48 @@ object IcebergRestCommit {
          |   "snapshot-id":$snapshotId}]}""".stripMargin
     catalog.commitTable(namespace, table, body)
     snapshotId
+  }
+
+  /** PUBLISH a branch through the catalog — write-audit-publish's
+    * fast-forward as a ref-only CommitTableRequest: the same ancestry
+    * check as [[IcebergLocal.fastForward]] (main's head must sit on the
+    * branch head's parent chain — a diverged main is refused loudly,
+    * publishing it would silently unpublish its commits), then
+    * `set-snapshot-ref(main → branch head)` gated by
+    * `assert-ref-snapshot-id(main == the head the ancestry was checked
+    * against)` — a commit racing between check and publish turns the
+    * stale publish into a 409 instead of unpublishing it. Not retried,
+    * same reasoning as [[rollbackTo]]. Returns the published id. */
+  def fastForward(catalog: IcebergRestCatalog, namespace: String,
+      table: String, fromRef: String): Long = {
+    val prior = catalog.loadTable(namespace, table)
+    val target = prior.refs.get(fromRef).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ref '$fromRef' on $namespace.$table (have ${
+          prior.refs.keys.toSeq.sorted.mkString(", ")})"))
+    val mainHead = prior.refs.get("main").map(_._2)
+    val byId = prior.snapshots.map(s => s.snapshotId -> s).toMap
+    val isFf = mainHead.forall { mh =>
+      var cur: Option[Long] = Some(target)
+      var found = false
+      while (cur.isDefined && !found) {
+        if (cur.contains(mh)) found = true
+        else cur = cur.flatMap(byId.get).flatMap(_.parentId)
+      }
+      found
+    }
+    if (!isFf) throw new IllegalArgumentException(
+      s"not a fast-forward: main (${mainHead.getOrElse(-1L)}) is not an " +
+        s"ancestor of '$fromRef' ($target) — main has diverged; " +
+        "cherry-pick or rebase the branch instead")
+    val headJson = mainHead.map(_.toString).getOrElse("null")
+    val body =
+      s"""{"requirements":[
+         |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$headJson}],
+         | "updates":[
+         |  {"action":"set-snapshot-ref","ref-name":"main","type":"branch",
+         |   "snapshot-id":$target}]}""".stripMargin
+    catalog.commitTable(namespace, table, body)
+    target
   }
 }

@@ -1349,6 +1349,78 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("write-audit-publish through the REST commit protocol") {
+    val root = Files.createTempDirectory("ice-restwap")
+    val dir = root.resolve("t")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    IcebergLocal.append(dir, partFiles(nation.filter("n_regionkey = 0")),
+      timestampMs = 1000L, schema = Some(nation.schema))
+    val server = new IcebergLocal.CatalogServer(root, "lake")
+    val port = server.start()
+    try {
+      val cat = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+      def readMain() = IcebergRest.read(spark, cat, "lake", "t")
+      // two AUDIT commits through the catalog: main must see nothing
+      val s2 = IcebergRestCommit.append(cat, "lake", "t", dir,
+        partFiles(nation.filter("n_regionkey = 1")), 2000L,
+        branch = Some("audit"))
+      val s3 = IcebergRestCommit.append(cat, "lake", "t", dir,
+        partFiles(nation.filter("n_regionkey = 2")), 3000L,
+        branch = Some("audit"))
+      val r0 = nation.filter("n_regionkey = 0").count()
+      assert(readMain().count() == r0,
+        "REST branch commit leaked into the published head")
+      // the branch carries its own lineage (second commit parented on
+      // the FIRST branch commit, not max-snapshot or main)
+      assert(IcebergRest.read(spark, cat, "lake", "t",
+        Some(graft.sources.SnapshotLog.ByVersion("audit"))).count() ==
+        nation.filter("n_regionkey <= 2").count())
+      val meta = cat.loadTable("lake", "t")
+      assert(meta.snapshots.find(_.snapshotId == s3)
+        .flatMap(_.parentId).contains(s2))
+      assert(meta.refs("main")._2 == 1L && meta.refs("audit")._2 == s3)
+      // PUBLISH through the protocol
+      assert(IcebergRestCommit.fastForward(cat, "lake", "t", "audit") == s3)
+      assert(readMain().count() == nation.filter("n_regionkey <= 2").count())
+      // divergence refusal: a second branch forks, then main moves
+      IcebergRestCommit.append(cat, "lake", "t", dir,
+        partFiles(nation.filter("n_regionkey = 3")), 4000L,
+        branch = Some("audit2"))
+      IcebergRestCommit.append(cat, "lake", "t", dir,
+        partFiles(nation.filter("n_regionkey = 4")), 5000L)
+      val e = intercept[IllegalArgumentException](
+        IcebergRestCommit.fastForward(cat, "lake", "t", "audit2"))
+      assert(e.getMessage.contains("not a fast-forward"))
+      // a FRESH-branch commit whose fork point went stale must 409:
+      // the requirement pins main at the observed fork
+      val staleFork =
+        """{"requirements":[
+          |  {"type":"assert-ref-snapshot-id","ref":"fresh","snapshot-id":null},
+          |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+          | "updates":[
+          |  {"action":"add-snapshot","snapshot":{"snapshot-id":99,
+          |   "sequence-number":99,"timestamp-ms":9000,
+          |   "manifest-list":"file:///nope","schema-id":0,
+          |   "summary":{"operation":"append"}}},
+          |  {"action":"set-snapshot-ref","ref-name":"fresh","type":"branch",
+          |   "snapshot-id":99}]}""".stripMargin
+      intercept[IcebergCommitConflict](
+        cat.commitTable("lake", "t", staleFork))
+      // the published history logs only MAIN moves: initial commit,
+      // fast-forward, the post-publish main append — branch commits
+      // never enter the snapshot-log
+      val hist = IcebergRest.metaTable(spark, dir, "history")
+        .collect().map(_.getLong(1)).toSeq
+      assert(!hist.contains(s2) && hist.contains(s3) &&
+        hist.count(_ == s3) == 1,
+        s"snapshot-log carries branch commits: $hist")
+    } finally {
+      server.stop()
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("rollback_to_snapshot: un-publish, keep history, re-commit lineage") {
     val dir = warehouse.resolve("rollback-spec")
     val nation = spark.read.parquet(s"$sf/nation.parquet")
