@@ -631,6 +631,55 @@ object Extended {
         .localCheckpoint(true)
     },
 
+    // HISTORY metadata table across a WAP publish + rollback — the
+    // lineage question the table exists to answer, oracle-pinned row by
+    // row: the snapshot-log records PUBLISHED-pointer moves only, so a
+    // branch (audit) commit never appears, a fast-forward publish is
+    // stamped at publication time (not the audit commit's creation
+    // time), a rollback re-publication makes the same snapshot appear
+    // TWICE, and is_current marks only the final entry. Sequence:
+    // main append s1 @1000 → audit appends s2 @2000, s3 @3000 (never
+    // logged) → fastForward(audit) @4000 publishes s3 → main append s4
+    // @5000 → rollbackTo(s3) @6000. Driver-side metadata walk only —
+    // zero data I/O at any scale.
+    GraftQuery("q_iceberg_history",
+      """SELECT * FROM (VALUES
+        |  (CAST(1000 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  (CAST(4000 AS BIGINT), CAST(3 AS BIGINT), false),
+        |  (CAST(5000 AS BIGINT), CAST(4 AS BIGINT), false),
+        |  (CAST(6000 AS BIGINT), CAST(3 AS BIGINT), true)
+        |) AS h(made_current_at_ms, snapshot_id, is_current)""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.iceberg._
+      val (warehouse, _) = cachedFixture("history", dir) { wh =>
+        val tableDir = wh.resolve("nation")
+        val data = t(s, dir).nation
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        def files(df: org.apache.spark.sql.DataFrame, tag: String) = {
+          val out = java.nio.file.Files.createTempDirectory(s"graft_hi_$tag")
+          out.toFile.deleteOnExit()
+          df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+          IcebergMaintenance.parquetFileInfos(out)
+        }
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("n_regionkey") === 0), "a"), 1000L,
+          schema = Some(data.schema))
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("n_regionkey") === 1), "b"), 2000L,
+          schema = Some(data.schema), branch = Some("audit"))
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("n_regionkey") === 2), "c"), 3000L,
+          schema = Some(data.schema), branch = Some("audit"))
+        IcebergLocal.fastForward(tableDir, "audit", timestampMs = 4000L)
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("n_regionkey") === 3), "d"), 5000L,
+          schema = Some(data.schema))
+        IcebergLocal.rollbackTo(tableDir, 3L, timestampMs = 6000L)
+      }
+      IcebergRest.metaTable(s, warehouse.resolve("nation"), "history")
+        .localCheckpoint(true)
+    },
+
     // CHERRY-PICK round-trip: the diverged-main half of write-audit-
     // publish (q_iceberg_wap covers the fast-forward half). Main commits
     // A, the audit branch stages B off A, main diverges with C — then

@@ -257,7 +257,8 @@ object IcebergLocal {
     * diverged main (commits landed on main after the branch forked)
     * is refused loudly — fast-forwarding it would silently unpublish
     * those commits. Time travel to pre-publish snapshots is untouched. */
-  def fastForward(tableDir: JPath, fromRef: String): Long = {
+  def fastForward(tableDir: JPath, fromRef: String,
+      timestampMs: Long = System.currentTimeMillis()): Long = {
     val p = currentMetadataFile(tableDir).getOrElse(
       throw new IllegalArgumentException(s"no committed table at $tableDir"))
     val meta = currentMetadata(tableDir).get
@@ -284,11 +285,14 @@ object IcebergLocal {
         "rebase the branch instead")
     val root = mapper.readTree(Files.readString(p)).asInstanceOf[ObjectNode]
     root.put("current-snapshot-id", target)
+    root.put("last-updated-ms", timestampMs)
     val refs = root.withObject("/refs")
     refNode(refs, "main", "branch", target)
+    // the publish is logged at OPERATION time, not at the branch head's
+    // creation time: the audit commit may be arbitrarily older than its
+    // publication, and a regressed snapshot-log breaks external readers
     val ln = root.withArray[ArrayNode]("snapshot-log").addObject()
-    ln.put("timestamp-ms",
-      byId.get(target).map(_.timestampMs).getOrElse(0L))
+    ln.put("timestamp-ms", timestampMs)
     ln.put("snapshot-id", target)
     val metaDir = tableDir.resolve("metadata")
     writeMetadataFile(metaDir, maxMetadataVersion(metaDir) + 1,
@@ -300,29 +304,58 @@ object IcebergLocal {
     * `rollback_to_snapshot` procedure): move `main` and
     * current-snapshot-id back to `snapshotId`, as a NEW metadata
     * version. The rolled-past snapshots stay in the metadata — time
-    * travel to them (and rolling forward again) keeps working until
+    * travel to them keeps working until
     * expiry drops them; only the published view moves. A subsequent
     * [[append]] builds on the rollback target (its parent is `main`'s
     * head), so the undone commits fall off the new lineage exactly like
-    * a git reset + new commit. Refuses an id the table doesn't retain.
+    * a git reset + new commit. Refuses an id the table doesn't retain,
+    * and refuses a target that is NOT an ancestor of the current main
+    * head (real `rollback_to_snapshot` semantics): an unpublished WAP
+    * branch head is retained but was never current, and "rolling back"
+    * to it would publish unaudited data — that move is [[fastForward]]
+    * or [[cherryPick]], never rollback. `timestampMs` is the OPERATION
+    * time: the new snapshot-log entry and `last-updated-ms` are stamped
+    * with it (real Iceberg's metadata parser rejects snapshot logs
+    * whose timestamps regress), never with the rollback target's
+    * original creation time.
     * Reference surface: iceberg.rs snapshot procedures (the reference
     * delegates to the catalog's rollback endpoint). */
-  def rollbackTo(tableDir: JPath, snapshotId: Long): Long = {
+  def rollbackTo(tableDir: JPath, snapshotId: Long,
+      timestampMs: Long = System.currentTimeMillis()): Long = {
     val p = currentMetadataFile(tableDir).getOrElse(
       throw new IllegalArgumentException(s"no committed table at $tableDir"))
     val meta = currentMetadata(tableDir).get
-    val snap = meta.snapshots.find(_.snapshotId == snapshotId).getOrElse(
+    meta.snapshots.find(_.snapshotId == snapshotId).getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot $snapshotId on the table (have ${
           meta.snapshots.map(_.snapshotId).sorted.mkString(", ")})"))
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val mainHead = meta.refs.get("main").map(_._2)
+      .orElse(meta.currentSnapshotId)
+    val isAncestor = mainHead.exists { mh =>
+      var cur: Option[Long] = Some(mh)
+      var found = false
+      while (cur.isDefined && !found) {
+        if (cur.contains(snapshotId)) found = true
+        else cur = cur.flatMap(byId.get).flatMap(_.parentId)
+      }
+      found
+    }
+    if (!isAncestor) throw new IllegalArgumentException(
+      s"cannot roll back to $snapshotId: not an ancestor of the current " +
+        s"main head (${mainHead.getOrElse(-1L)}) — rolling back to an " +
+        "unpublished branch snapshot would publish unaudited data; " +
+        "fast-forward or cherry-pick the branch instead")
     val root = mapper.readTree(Files.readString(p)).asInstanceOf[ObjectNode]
     root.put("current-snapshot-id", snapshotId)
+    root.put("last-updated-ms", timestampMs)
     refNode(root.withObject("/refs"), "main", "branch", snapshotId)
     // the snapshot-log records the PUBLISHED lineage: rollback appends
     // an entry pointing back at the old snapshot (spec behavior — the
-    // log is a history of current-pointer moves, not of commits)
+    // log is a history of current-pointer moves, not of commits),
+    // stamped at OPERATION time so the log stays monotonic
     val ln = root.withArray[ArrayNode]("snapshot-log").addObject()
-    ln.put("timestamp-ms", snap.timestampMs)
+    ln.put("timestamp-ms", timestampMs)
     ln.put("snapshot-id", snapshotId)
     val metaDir = tableDir.resolve("metadata")
     writeMetadataFile(metaDir, maxMetadataVersion(metaDir) + 1,
@@ -378,8 +411,32 @@ object IcebergLocal {
         "replay the rewrite against main instead")
     val mainHead = meta.refs.get("main").map(_._2)
       .orElse(meta.currentSnapshotId)
+    // ALREADY-APPLIED guard (real cherrypick dedupes via WAP-id /
+    // ancestry): a branch head that is already on main's lineage —
+    // after fastForward, or a second cherryPick of the same branch —
+    // would pass the pure-fast-append check and silently re-append its
+    // manifests on top of main's carried copies, duplicating every row
+    val alreadyAncestor = mainHead.exists { mh =>
+      var cur: Option[Long] = Some(mh)
+      var found = false
+      while (cur.isDefined && !found) {
+        if (cur.contains(target)) found = true
+        else cur = cur.flatMap(byId.get).flatMap(_.parentId)
+      }
+      found
+    }
+    if (alreadyAncestor) throw new IllegalArgumentException(
+      s"cannot cherry-pick '$fromRef' ($target): already an ancestor of " +
+        s"main's head (${mainHead.getOrElse(-1L)}) — applying it again " +
+        "would duplicate its rows")
     val mainEntries = mainHead.flatMap(byId.get).toSeq
       .flatMap(ms => IcebergAvro.read(ms.manifestList, conf))
+    val mainPaths = mainEntries.map(path).toSet
+    val dupPaths = added.map(path).filter(mainPaths.contains)
+    if (dupPaths.nonEmpty) throw new IllegalArgumentException(
+      s"cannot cherry-pick '$fromRef' ($target): ${dupPaths.size} of its " +
+        s"added manifests already live in main's head (e.g. ${
+          dupPaths.head}) — applying it again would duplicate rows")
     val newId = meta.snapshots.map(_.snapshotId).max + 1
     val metaDir = tableDir.resolve("metadata")
     val listPath = metaDir.resolve(f"snap-$newId%05d.avro")
@@ -417,6 +474,74 @@ object IcebergLocal {
       math.max(newId, maxMetadataVersion(metaDir) + 1),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     newId
+  }
+
+  /** AGE- and REF-aware snapshot expiry (Iceberg's `expire_snapshots`
+    * with `older_than` / `retain_last` semantics + the spec's ref
+    * retention): drop snapshots whose commit timestamp is strictly
+    * before `olderThanMs`, EXCEPT
+    *   - any snapshot a named ref points at (a pinned tag or a branch
+    *     head survives any age-based sweep — the spec's contract that
+    *     retention never breaks a published pointer), and
+    *   - the newest `minSnapshotsToKeep` ancestors of EVERY branch head
+    *     (main included), regardless of age — `min-snapshots-to-keep`.
+    * Writes one new metadata version: surviving snapshots (parent edges
+    * to expired snapshots cut), refs unchanged, the snapshot-log
+    * filtered to survivors; then reclaims the expired snapshots'
+    * manifest-list files and superseded metadata JSONs. Manifests and
+    * data files stay — surviving lists may still reference them;
+    * [[IcebergMaintenance.removeOrphanFiles]] is the disk-level sweep.
+    * Complements `append(retainLast = n)` (count-based expiry at commit
+    * time); this is the standalone scheduled-maintenance shape. Returns
+    * the expired snapshot ids. */
+  def expireSnapshots(tableDir: JPath, olderThanMs: Long,
+      minSnapshotsToKeep: Int = 1,
+      timestampMs: Long = System.currentTimeMillis()): Seq[Long] = {
+    val p = currentMetadataFile(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    val meta = currentMetadata(tableDir).get
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val refHeads = meta.refs.values.map(_._2).toSet ++
+      meta.currentSnapshotId
+    // newest minSnapshotsToKeep ancestors per branch head (tags pin
+    // only their own snapshot — spec behavior)
+    val branchKeep = meta.refs.values.collect {
+      case ("branch", head) => head
+    }.flatMap { head =>
+      Iterator.iterate(Option(head))(
+          _.flatMap(byId.get).flatMap(_.parentId))
+        .takeWhile(_.isDefined).flatten
+        .take(math.max(minSnapshotsToKeep, 1)).toSeq
+    }.toSet
+    val keptIds = meta.snapshots.filter(s =>
+      s.timestampMs >= olderThanMs ||
+        refHeads.contains(s.snapshotId) ||
+        branchKeep.contains(s.snapshotId))
+      .map(_.snapshotId).toSet
+    val expired = meta.snapshots.filterNot(s => keptIds(s.snapshotId))
+    if (expired.isEmpty) return Nil
+    val root = mapper.readTree(Files.readString(p)).asInstanceOf[ObjectNode]
+    root.put("last-updated-ms", timestampMs)
+    val snaps = root.putArray("snapshots")
+    meta.snapshots.filter(s => keptIds(s.snapshotId)).foreach(s =>
+      snapNode(snaps.addObject(), s.snapshotId, s.timestampMs,
+        s.manifestList, s.parentId.filter(keptIds.contains)))
+    val log = root.putArray("snapshot-log")
+    meta.snapshotLog.filter { case (_, id) => keptIds(id) }
+      .foreach { case (ts, id) =>
+        val n = log.addObject()
+        n.put("timestamp-ms", ts); n.put("snapshot-id", id)
+      }
+    val metaDir = tableDir.resolve("metadata")
+    writeMetadataFile(metaDir, maxMetadataVersion(metaDir) + 1,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    expired.foreach { s =>
+      Files.deleteIfExists(java.nio.file.Paths.get(
+        java.net.URI.create(s.manifestList)))
+      Files.deleteIfExists(
+        metaDir.resolve(f"v${s.snapshotId}%05d.metadata.json"))
+    }
+    expired.map(_.snapshotId)
   }
 
   /** The spec id this commit's partition spec gets: a prior spec with
@@ -960,11 +1085,20 @@ object IcebergLocal {
     }
     branch.foreach(b => refNode(refs, b, "branch", snapId))
     tag.foreach(tg => refNode(refs, tg, "tag", snapId))
+    // the snapshot-log is CARRIED from the prior metadata (filtered to
+    // surviving ids), never rebuilt from the snapshots list: the log
+    // records published-pointer moves — branch (WAP) commits were never
+    // in it, a rollback/fast-forward entry's timestamp is the operation
+    // time not the snapshot's creation time, and a re-published
+    // snapshot legitimately appears once per move. Rebuilding from
+    // `snapshots` would resurrect branch commits and erase all of that.
     val log = root.putArray("snapshot-log")
-    keptPrior.foreach { s =>
-      val n = log.addObject()
-      n.put("timestamp-ms", s.timestampMs); n.put("snapshot-id", s.snapshotId)
-    }
+    prior.map(_.snapshotLog).getOrElse(Nil)
+      .filter { case (_, id) => keptIds.contains(id) }
+      .foreach { case (ts, id) =>
+        val n = log.addObject()
+        n.put("timestamp-ms", ts); n.put("snapshot-id", id)
+      }
     // the log tracks the PUBLISHED lineage: branch commits don't append
     if (branch.isEmpty) {
       val ln = log.addObject()
@@ -1582,17 +1716,41 @@ object IcebergLocal {
             val rn = refs.putObject(name)
             rn.put("snapshot-id", sid)
             rn.put("type", u.path("type").asText("branch"))
+            // ANY ref update makes the commit valid — a ref-only
+            // CommitTableRequest that creates/moves a tag or audit
+            // branch (e.g. tagging an old snapshot for retention) is
+            // legal under the REST spec, not just moves of `main`
+            refMoved = true
             if (name == "main") {
               root.put("current-snapshot-id", sid)
               // every move of `main` — with a fresh snapshot (append),
               // to an existing one (rollback/fast-forward) — lands in
               // the snapshot-log: the log is the history of published-
-              // pointer moves, not of snapshot creation
-              refMoved = true
+              // pointer moves, not of snapshot creation. A move to a
+              // snapshot ADDED IN THIS COMMIT is stamped with that
+              // snapshot's timestamp (that IS the commit time); a move
+              // to a pre-existing snapshot (rollback / fast-forward
+              // publish) is stamped at COMMIT time, clamped monotonic —
+              // the target's creation time may be arbitrarily old and a
+              // regressed log breaks external metadata parsers
               val ln = root.withArray[ArrayNode]("snapshot-log")
-                .addObject()
-              ln.put("timestamp-ms", snapTs.get)
-              ln.put("snapshot-id", sid)
+              val lastTs = if (ln.size() == 0) 0L
+                else ln.get(ln.size() - 1).path("timestamp-ms").asLong(0L)
+              // an update MAY carry its own operation timestamp (the
+              // graft client sends one for deterministic histories;
+              // spec-standard clients omit it and get server wall
+              // clock) — unknown fields are ignored by other catalogs
+              val explicitTs = Option(u.get("timestamp-ms"))
+                .filterNot(_.isNull).map(_.asLong())
+              val logTs =
+                if (sid == newSnapId) snapTs.get
+                else explicitTs.getOrElse(
+                  math.max(System.currentTimeMillis(), lastTs))
+              root.put("last-updated-ms",
+                math.max(root.path("last-updated-ms").asLong(0L), logTs))
+              val le = ln.addObject()
+              le.put("timestamp-ms", logTs)
+              le.put("snapshot-id", sid)
             }
             ()
           case other =>

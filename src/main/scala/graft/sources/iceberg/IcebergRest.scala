@@ -58,6 +58,13 @@ final case class IcebergTableMeta(
     snapshots: Seq[IcebergSnapshot],
     /** ref name → (type: "tag" | "branch", snapshot id) */
     refs: Map[String, (String, Long)],
+    /** the metadata's `snapshot-log` — the PUBLISHED lineage, one
+      * (timestamp-ms, snapshot-id) entry per move of the main pointer
+      * (initial commits, fast-forward publishes, rollbacks). Branch
+      * (WAP audit) commits never appear here; a re-published snapshot
+      * appears once per pointer move. The `history` metadata table is
+      * served from this, not from `snapshots`. */
+    snapshotLog: Seq[(Long, Long)] = Nil,
     /** current schema's top-level field id → column name (resolves an
       * equality delete's `equality_ids` to join columns) */
     fieldNames: Map[Int, String] = Map.empty,
@@ -290,6 +297,11 @@ object IcebergMetadata {
         .map(_.asLong()).filter(_ > 0),
       snapshots = snaps,
       refs = refs,
+      snapshotLog = IcebergJson.arr(meta.get("snapshot-log")).flatMap { e =>
+        for (t <- Option(e.get("timestamp-ms"));
+             s <- Option(e.get("snapshot-id")))
+          yield (t.asLong(), s.asLong())
+      },
       fieldNames = fieldNames,
       sparkSchema = sparkSchemaOf(curFields),
       partitionSpecs = specs,
@@ -654,6 +666,24 @@ object IcebergRest {
       options: Map[String, String] = Map.empty): DataFrame = {
     val meta = IcebergLocal.currentMetadata(tableDir).getOrElse(
       throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    readIncrementalMeta(spark, meta, fromSnapshotId, toSnapshotId, options)
+  }
+
+  /** Incremental append scan THROUGH the REST catalog — the same
+    * file-set-diff planning on a catalog-served table (one metadata
+    * load, then the manifest walk from shared storage). The streaming
+    * changelog source tails catalog tables with this. */
+  def readIncremental(spark: SparkSession, catalog: IcebergRestCatalog,
+      namespace: String, table: String, fromSnapshotId: Long,
+      toSnapshotId: Option[Long],
+      options: Map[String, String]): DataFrame =
+    readIncrementalMeta(spark, catalog.loadTable(namespace, table),
+      fromSnapshotId, toSnapshotId, options)
+
+  private def readIncrementalMeta(spark: SparkSession,
+      meta: IcebergTableMeta, fromSnapshotId: Long,
+      toSnapshotId: Option[Long],
+      options: Map[String, String]): DataFrame = {
     def snapOf(id: Long): IcebergSnapshot =
       meta.snapshots.find(_.snapshotId == id).getOrElse(
         throw new IllegalArgumentException(
@@ -737,10 +767,22 @@ object IcebergRest {
           .map(s => (s.timestampMs, s.snapshotId, s.manifestList))
           .toDF("committed_at_ms", "snapshot_id", "manifest_list")
       case "history" =>
-        val cur = meta.currentSnapshotId
-        meta.snapshots.sortBy(_.snapshotId)
-          .map(s => (s.timestampMs, s.snapshotId, cur.contains(s.snapshotId)))
-          .toDF("made_current_at_ms", "snapshot_id", "is_current")
+        // Served from the snapshot-log (the published main lineage),
+        // NOT from `snapshots`: WAP branch commits are retained
+        // snapshots but were never current, and a rollback/fast-forward
+        // re-publication appears once per pointer move. `is_current` is
+        // true only for the final log entry (the live head). Metadata
+        // written without a snapshot-log (external minimal fixtures)
+        // falls back to the snapshots list in commit order.
+        val rows =
+          if (meta.snapshotLog.nonEmpty)
+            meta.snapshotLog.zipWithIndex.map { case ((ts, id), i) =>
+              (ts, id, i == meta.snapshotLog.size - 1)
+            }
+          else meta.snapshots.sortBy(_.snapshotId).map(s =>
+            (s.timestampMs, s.snapshotId,
+              meta.currentSnapshotId.contains(s.snapshotId)))
+        rows.toDF("made_current_at_ms", "snapshot_id", "is_current")
       case "refs" =>
         // every named ref (branches + tags) with its pinned snapshot —
         // what `SELECT * FROM t.refs` answers on a real lake

@@ -257,19 +257,24 @@ object IcebergRestCommit {
     * [[IcebergLocal.rollbackTo]]; when a catalog serves the table this
     * is the multi-writer-safe route. */
   def rollbackTo(catalog: IcebergRestCatalog, namespace: String,
-      table: String, snapshotId: Long): Long = {
+      table: String, snapshotId: Long,
+      timestampMs: Option[Long] = None): Long = {
     val prior = catalog.loadTable(namespace, table)
     require(prior.snapshots.exists(_.snapshotId == snapshotId),
       s"no snapshot $snapshotId on $namespace.$table (have ${
         prior.snapshots.map(_.snapshotId).sorted.mkString(", ")})")
     val headJson = prior.refs.get("main").map(_._2.toString)
       .getOrElse("null")
+    // the optional operation timestamp rides the update (the server
+    // stamps the snapshot-log pointer move with it; absent → server
+    // wall clock) — unknown fields are ignored by other catalogs
+    val tsField = timestampMs.map(t => s""","timestamp-ms":$t""").getOrElse("")
     val body =
       s"""{"requirements":[
          |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$headJson}],
          | "updates":[
          |  {"action":"set-snapshot-ref","ref-name":"main","type":"branch",
-         |   "snapshot-id":$snapshotId}]}""".stripMargin
+         |   "snapshot-id":$snapshotId$tsField}]}""".stripMargin
     catalog.commitTable(namespace, table, body)
     snapshotId
   }
@@ -285,7 +290,8 @@ object IcebergRestCommit {
     * stale publish into a 409 instead of unpublishing it. Not retried,
     * same reasoning as [[rollbackTo]]. Returns the published id. */
   def fastForward(catalog: IcebergRestCatalog, namespace: String,
-      table: String, fromRef: String): Long = {
+      table: String, fromRef: String,
+      timestampMs: Option[Long] = None): Long = {
     val prior = catalog.loadTable(namespace, table)
     val target = prior.refs.get(fromRef).map(_._2).getOrElse(
       throw new IllegalArgumentException(
@@ -307,12 +313,13 @@ object IcebergRestCommit {
         s"ancestor of '$fromRef' ($target) — main has diverged; " +
         "cherry-pick or rebase the branch instead")
     val headJson = mainHead.map(_.toString).getOrElse("null")
+    val tsField = timestampMs.map(t => s""","timestamp-ms":$t""").getOrElse("")
     val body =
       s"""{"requirements":[
          |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$headJson}],
          | "updates":[
          |  {"action":"set-snapshot-ref","ref-name":"main","type":"branch",
-         |   "snapshot-id":$target}]}""".stripMargin
+         |   "snapshot-id":$target$tsField}]}""".stripMargin
     catalog.commitTable(namespace, table, body)
     target
   }

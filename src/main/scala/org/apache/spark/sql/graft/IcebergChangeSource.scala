@@ -11,10 +11,14 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
-import graft.sources.iceberg.{IcebergLocal, IcebergRest}
+import graft.sources.iceberg.{IcebergLocal, IcebergRest, IcebergRestCatalog,
+  IcebergTableMeta}
 
-/** Streaming CHANGELOG source for a local Iceberg table — `readStream
-  * .format("graft-iceberg-stream").option("path", tableDir)`: each
+/** Streaming CHANGELOG source for an Iceberg table — `readStream
+  * .format("graft-iceberg-stream")` with either `option("path",
+  * tableDir)` (a locally committed table) or `option("catalog-url",
+  * …).option("namespace", …).option("table", …)` (a REST-catalog-served
+  * table, the same catalog the batch reads speak): each
   * trigger admits the rows APPENDED to the table's published (`main`)
   * lineage since the last committed snapshot, by the same manifest
   * file-set diff as the batch [[graft.sources.iceberg.IcebergRest
@@ -27,7 +31,9 @@ import graft.sources.iceberg.{IcebergLocal, IcebergRest}
   * stream re-plans exactly the (committed, head] window. The plan per
   * trigger reads only the window's added files — a consumer's cost
   * tracks its lag, not the table size, which is the whole point at
-  * 100 TB.
+  * 100 TB. On a catalog-served table each trigger costs ONE metadata
+  * load (`loadTable`) for the offset check; the manifest walk and data
+  * scan go straight to shared storage, exactly like batch.
   *
   * Honest refusals, inherited from the batch diff: a window that
   * REWRITES files (compaction/replace — including a rollback followed
@@ -43,28 +49,42 @@ import graft.sources.iceberg.{IcebergLocal, IcebergRest}
   * (and the same package trick Delta Lake's DeltaSource uses for the
   * same API).
   */
-final class IcebergChangeSource(spark: SparkSession, tableDir: JPath,
+final class IcebergChangeSource(spark: SparkSession,
+    target: IcebergChangeSource.Target,
     override val schema: StructType) extends Source {
 
   /** The published head: `main`'s snapshot, never an unpublished
     * branch head (branch ids can exceed main's — max-snapshot would
     * leak audit commits into the stream). */
   private def mainHead: Option[Long] =
-    IcebergLocal.currentMetadata(tableDir).flatMap(m =>
+    target.meta().flatMap(m =>
       m.refs.get("main").map(_._2)
         .orElse(m.currentSnapshotId.filter(_ >= 0)))
 
   override def getOffset: Option[Offset] = mainHead.map(LongOffset(_))
 
   /** LongOffset's json is the plain number; checkpoint replay hands
-    * back a SerializedOffset wrapping the same text. */
-  private def idOf(o: Offset): Long =
-    o.json().replaceAll("[^0-9]", "").toLong
+    * back a SerializedOffset wrapping the same text. STRICT parse: a
+    * malformed or negative checkpointed offset must fail loudly — a
+    * lenient strip-non-digits would silently turn "-1" into 1 and
+    * re-plan the wrong window. */
+  private def idOf(o: Offset): Long = {
+    val txt = o.json().trim
+    val id = try txt.toLong catch {
+      case _: NumberFormatException => throw new IllegalStateException(
+        s"corrupt Iceberg stream offset '$txt': expected a plain " +
+          "non-negative snapshot id — clear the checkpoint or fix it " +
+          "by hand, guessing a window here would replay the wrong data")
+    }
+    if (id < 0) throw new IllegalStateException(
+      s"corrupt Iceberg stream offset '$txt': snapshot ids are " +
+        "non-negative")
+    id
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(idOf).getOrElse(0L)
-    val df = IcebergRest.readIncremental(spark, tableDir, from,
-      toSnapshotId = Some(idOf(end)))
+    val df = target.incremental(spark, from, idOf(end))
     // V1 source contract: the returned frame must carry a STREAMING
     // leaf; the batch parquet scan (or the empty-window LocalRelation)
     // is re-marked, nothing else about the plan changes
@@ -77,46 +97,107 @@ final class IcebergChangeSource(spark: SparkSession, tableDir: JPath,
 
   override def stop(): Unit = ()
 
-  override def toString: String = s"IcebergChangeSource[$tableDir]"
+  override def toString: String = s"IcebergChangeSource[$target]"
 }
 
 object IcebergChangeSource {
+
+  /** Where the stream's table lives — a local directory or a REST
+    * catalog. Both answer the two questions the source asks per
+    * trigger: "where is `main` now" (one metadata load) and "plan the
+    * (from, to] append window" (the shared manifest file-set diff). */
+  sealed trait Target {
+    def meta(): Option[IcebergTableMeta]
+    def incremental(spark: SparkSession, from: Long, to: Long): DataFrame
+  }
+
+  final case class LocalDir(tableDir: JPath) extends Target {
+    override def meta(): Option[IcebergTableMeta] =
+      IcebergLocal.currentMetadata(tableDir)
+    override def incremental(spark: SparkSession, from: Long,
+        to: Long): DataFrame =
+      IcebergRest.readIncremental(spark, tableDir, from, Some(to))
+    override def toString: String = tableDir.toString
+  }
+
+  final case class CatalogTable(catalog: IcebergRestCatalog,
+      namespace: String, table: String) extends Target {
+    override def meta(): Option[IcebergTableMeta] =
+      Some(catalog.loadTable(namespace, table))
+    override def incremental(spark: SparkSession, from: Long,
+        to: Long): DataFrame =
+      IcebergRest.readIncremental(spark, catalog, namespace, table, from,
+        Some(to), Map.empty)
+    override def toString: String = s"$namespace.$table"
+  }
+
   /** The stream's schema without scanning data: the table metadata's
     * field-id-annotated Spark schema when every column maps, else the
     * head read's schema (one footer). Loud when the table doesn't
     * exist yet — a streaming source can't invent columns. */
-  def tableSchema(spark: SparkSession, tableDir: JPath): StructType = {
-    val meta = IcebergLocal.currentMetadata(tableDir).getOrElse(
+  def tableSchema(spark: SparkSession, target: Target): StructType = {
+    val meta = target.meta().getOrElse(
       throw new IllegalArgumentException(
-        s"no committed Iceberg table at $tableDir"))
-    meta.sparkSchema.getOrElse(
-      IcebergRest.readLocal(spark, tableDir).schema)
+        s"no committed Iceberg table at $target"))
+    meta.sparkSchema.getOrElse {
+      // fall back to one data-file footer from the head snapshot
+      val head = meta.snapshots.maxBy(_.snapshotId)
+      val files = graft.sources.iceberg.IcebergManifests
+        .scanFiles(spark, head.manifestList).dataFiles.map(_._1)
+      require(files.nonEmpty, s"table $target has no data files yet " +
+        "and its metadata schema does not map to Spark types")
+      spark.read.parquet(files.head).schema
+    }
   }
+
+  def tableSchema(spark: SparkSession, tableDir: JPath): StructType =
+    tableSchema(spark, LocalDir(tableDir))
 }
 
-/** `readStream.format("graft-iceberg-stream")` registration. */
+/** `readStream.format("graft-iceberg-stream")` registration. Options:
+  * `path` (local table directory), or `catalog-url` + `namespace` +
+  * `table` (+ optional `auth-header`/`auth-value` forwarded on every
+  * catalog request) for a REST-catalog-served table. */
 final class IcebergStreamProvider
     extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-iceberg-stream"
 
-  private def dirOf(parameters: Map[String, String]): JPath =
-    Paths.get(parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "option 'path' (the Iceberg table directory) is required")))
+  private def targetOf(parameters: Map[String, String])
+      : IcebergChangeSource.Target =
+    (parameters.get("path"), parameters.get("catalog-url")) match {
+      case (Some(p), None) =>
+        IcebergChangeSource.LocalDir(Paths.get(p))
+      case (None, Some(url)) =>
+        val ns = parameters.getOrElse("namespace",
+          throw new IllegalArgumentException(
+            "option 'namespace' is required with 'catalog-url'"))
+        val tbl = parameters.getOrElse("table",
+          throw new IllegalArgumentException(
+            "option 'table' is required with 'catalog-url'"))
+        val hdr = for (k <- parameters.get("auth-header");
+                       v <- parameters.get("auth-value")) yield k -> v
+        IcebergChangeSource.CatalogTable(
+          new IcebergRestCatalog(url, () => hdr.toMap), ns, tbl)
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "options 'path' and 'catalog-url' are mutually exclusive")
+      case (None, None) => throw new IllegalArgumentException(
+        "option 'path' (local table directory) or 'catalog-url' + " +
+          "'namespace' + 'table' (catalog-served table) is required")
+    }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse(IcebergChangeSource.tableSchema(
-      sqlContext.sparkSession, dirOf(parameters))))
+      sqlContext.sparkSession, targetOf(parameters))))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val dir = dirOf(parameters)
-    new IcebergChangeSource(sqlContext.sparkSession, dir,
+    val target = targetOf(parameters)
+    new IcebergChangeSource(sqlContext.sparkSession, target,
       schema.getOrElse(
-        IcebergChangeSource.tableSchema(sqlContext.sparkSession, dir)))
+        IcebergChangeSource.tableSchema(sqlContext.sparkSession, target)))
   }
 }

@@ -537,6 +537,97 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(countVia(dir) == 5)
   }
 
+  test("age-based expire: pinned tags and branch heads survive the sweep") {
+    val dir = Files.createTempDirectory("ice-expire-age").resolve("t")
+    def commit(i: Int, tag: Option[String] = None): Long =
+      IcebergLocal.append(dir, partFiles(spark.range(1).toDF("v")),
+        timestampMs = i * 1000L, tag = tag)
+    commit(1)                      // s1 @1000 — unreferenced, old
+    commit(2, Some("pinned"))      // s2 @2000 — tag-protected
+    commit(3)                      // s3 @3000 — old, not a ref head
+    commit(4)                      // s4 @4000 — main head
+    val before = countVia(dir)
+    // cutoff 3500: s1..s3 are candidates; the tag shields s2
+    val expired = IcebergLocal.expireSnapshots(dir, olderThanMs = 3500L,
+      minSnapshotsToKeep = 1, timestampMs = 9000L)
+    assert(expired == Seq(1L, 3L), s"expired $expired")
+    val m = IcebergLocal.currentMetadata(dir).get
+    assert(m.snapshots.map(_.snapshotId).sorted == Seq(2L, 4L))
+    // refs untouched: the pinned tag still resolves, main still reads
+    assert(m.refs("pinned")._2 == 2L && m.refs("main")._2 == 4L)
+    assert(countVia(dir) == before, "expire changed the table's rows")
+    // travel to the tag-protected snapshot still works
+    assert(IcebergRest.readLocal(spark, dir,
+      Some(graft.sources.SnapshotLog.ByVersion("pinned"))).count() == 2)
+    // the snapshot-log dropped the expired ids, kept the survivors
+    assert(m.snapshotLog.map(_._2) == Seq(2L, 4L), m.snapshotLog)
+    // expired manifest lists are reclaimed from disk
+    val names = Files.list(dir.resolve("metadata")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(names.count(_.startsWith("snap-")) == 2, names)
+    // min-snapshots-to-keep overrides age: asking to keep the newest 3
+    // of main's lineage retains s2 (ancestor) even past the cutoff
+    val dir2 = Files.createTempDirectory("ice-expire-min").resolve("t")
+    def commit2(i: Int): Long =
+      IcebergLocal.append(dir2, partFiles(spark.range(1).toDF("v")),
+        timestampMs = i * 1000L)
+    (1 to 4).foreach(commit2)
+    val expired2 = IcebergLocal.expireSnapshots(dir2, olderThanMs = 9999L,
+      minSnapshotsToKeep = 3, timestampMs = 9000L)
+    assert(expired2 == Seq(1L), s"expired $expired2")
+    assert(IcebergLocal.currentMetadata(dir2).get.snapshots
+      .map(_.snapshotId).sorted == Seq(2L, 3L, 4L))
+    // nothing left to expire → no-op, no new metadata version
+    assert(IcebergLocal.expireSnapshots(dir2, 9999L, 3, 9001L).isEmpty)
+  }
+
+  test("snapshot-log is carried across appends, not rebuilt: WAP + rollback lineage") {
+    val dir = Files.createTempDirectory("ice-logcarry").resolve("t")
+    def commit(i: Int, branch: Option[String] = None): Long =
+      IcebergLocal.append(dir, partFiles(spark.range(1).toDF("v")),
+        timestampMs = i * 1000L, branch = branch)
+    commit(1)                          // s1 published @1000
+    commit(2, Some("audit"))           // s2 staged — never logged
+    commit(3, Some("audit"))           // s3 staged — never logged
+    IcebergLocal.fastForward(dir, "audit", timestampMs = 4000L) // s3 @4000
+    commit(5)                          // s4 @5000 (id 4)
+    IcebergLocal.rollbackTo(dir, 3L, timestampMs = 6000L)
+    commit(7)                          // s5 @7000 (id 5) — the append
+                                       // that used to REBUILD the log
+    val hist = IcebergRest.metaTable(spark, dir, "history")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(hist.toSeq == Seq(
+      (1000L, 1L, false),   // initial publish
+      (4000L, 3L, false),   // fast-forward, stamped at publish time
+      (5000L, 4L, false),   // post-publish append
+      (6000L, 3L, false),   // rollback re-publication — s3 twice
+      (7000L, 5L, true)),   // head
+      s"history $hist")
+    assert(!hist.exists(_._2 == 2L), "branch commit leaked into history")
+  }
+
+  test("rollback refuses an unpublished branch head; cherry-pick refuses a re-pick") {
+    val dir = Files.createTempDirectory("ice-guards").resolve("t")
+    def commit(i: Int, branch: Option[String] = None): Long =
+      IcebergLocal.append(dir, partFiles(spark.range(1).toDF("v")),
+        timestampMs = i * 1000L, branch = branch)
+    commit(1)
+    val staged = commit(2, Some("audit"))
+    // "rolling back" to the unaudited branch head would publish it
+    val e = intercept[IllegalArgumentException](
+      IcebergLocal.rollbackTo(dir, staged, timestampMs = 3000L))
+    assert(e.getMessage.contains("not an ancestor"))
+    // main diverges, the branch is cherry-picked once — fine
+    commit(3)
+    IcebergLocal.cherryPick(dir, "audit", timestampMs = 4000L)
+    val rows = countVia(dir)
+    // a second pick of the same branch must refuse, not duplicate rows
+    val e2 = intercept[IllegalArgumentException](
+      IcebergLocal.cherryPick(dir, "audit", timestampMs = 5000L))
+    assert(e2.getMessage.contains("duplicate"))
+    assert(countVia(dir) == rows)
+  }
+
   test("manifest tail compacts into one EXISTING-entry manifest") {
     val dir = Files.createTempDirectory("ice-merge").resolve("t")
     val one = partFiles(spark.range(1).toDF("v"))
@@ -1305,8 +1396,11 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
       val cat = new IcebergRestCatalog(s"http://127.0.0.1:$port")
       val s2 = IcebergRestCommit.append(cat, "lake", "t", dir,
         partFiles(nation.filter("n_regionkey = 1")), 2000L)
-      // un-publish snapshot 2 through the catalog
-      assert(IcebergRestCommit.rollbackTo(cat, "lake", "t", 1L) == 1L)
+      // un-publish snapshot 2 through the catalog, with the operation
+      // time carried on the update (keeps this table's synthetic clock
+      // monotonic; omitting it uses server wall clock)
+      assert(IcebergRestCommit.rollbackTo(cat, "lake", "t", 1L,
+        timestampMs = Some(2500L)) == 1L)
       assert(IcebergRest.read(spark, cat, "lake", "t").count() ==
         nation.filter("n_regionkey = 0").count(),
         "REST rollback did not move the published view")
@@ -1342,6 +1436,28 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(IcebergRest.read(spark, cat, "lake", "t").count() ==
         nation.filter("n_regionkey IN (0, 2)").count(),
         "post-rollback REST append resurrected the rolled-back rows")
+      // REF-ONLY commit on a NON-main ref is legal under the REST spec:
+      // tagging an old snapshot for retention carries no add-snapshot,
+      // no schema change, and never moves main — it must land, not 400
+      val tagBody =
+        s"""{"requirements":[],
+           |"updates":[{"action":"set-snapshot-ref","ref-name":"keep",
+           |"type":"tag","snapshot-id":$s2}]}""".stripMargin
+      cat.commitTable("lake", "t", tagBody)
+      val refs = cat.loadTable("lake", "t").refs
+      assert(refs("keep") == ("tag", s2), refs)
+      // the tag-only commit moved neither main nor the published view
+      assert(refs("main")._2 == 3L)
+      // the published history logs main moves only, each at its
+      // OPERATION time: both appends' publishes, then the rollback
+      // @2500 (the explicit op timestamp — NOT snapshot 1's creation
+      // time, which would regress the log), then the post-rollback
+      // append @3000; the tag-only commit added no entry
+      val log = cat.loadTable("lake", "t").snapshotLog
+      assert(log ==
+        Seq((1000L, 1L), (2000L, 2L), (2500L, 1L), (3000L, 3L)), log)
+      assert(log.zip(log.tail).forall { case ((a, _), (b, _)) => a <= b },
+        s"snapshot-log regressed: $log")
     } finally {
       server.stop()
       import scala.reflect.io.Directory

@@ -684,4 +684,71 @@ class StreamingSpec extends AnyFunSuite {
         s"expected the loud delete refusal, got: ${e.getMessage}")
     } finally q2.stop()
   }
+
+  test("iceberg changelog stream tails a CATALOG-served table exactly once") {
+    import graft.sources.iceberg._
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("ice-catstream")
+    val dir = root.resolve("t")
+    val ckpt = Files.createTempDirectory("ice-catstream-ckpt").toString
+    val outDir = Files.createTempDirectory("ice-catstream-out").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    def partFiles(df: org.apache.spark.sql.DataFrame) = {
+      val out = Files.createTempDirectory("ice-catstream-data")
+      val n = df.count()
+      df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      Files.list(out).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+        .map(p => IcebergLocal.DataFileInfo(p.toUri.toString, n,
+          Files.size(p)))
+    }
+    def n(pred: String) = nation.filter(pred).count()
+    // seed the table locally, then ALL traffic goes through the catalog
+    IcebergLocal.append(dir, partFiles(nation.filter("n_regionkey = 0")),
+      1000L, schema = Some(nation.schema))
+    val server = new IcebergLocal.CatalogServer(root, "lake")
+    val port = server.start()
+    try {
+      val cat = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+      def startStream() =
+        spark.readStream.format("graft-iceberg-stream")
+          .option("catalog-url", s"http://127.0.0.1:$port")
+          .option("namespace", "lake").option("table", "t").load()
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).start()
+      def sunk() = spark.read.parquet(outDir).count()
+      val q = startStream()
+      try {
+        q.processAllAvailable()
+        assert(sunk() == n("n_regionkey = 0"))
+        // a catalog commit is admitted incrementally
+        IcebergRestCommit.append(cat, "lake", "t", dir,
+          partFiles(nation.filter("n_regionkey = 1")), 2000L)
+        q.processAllAvailable()
+        assert(sunk() == n("n_regionkey <= 1"))
+        // WAP through the protocol: the audit commit stays invisible...
+        IcebergRestCommit.append(cat, "lake", "t", dir,
+          partFiles(nation.filter("n_regionkey = 2")), 3000L,
+          branch = Some("audit"))
+        q.processAllAvailable()
+        assert(sunk() == n("n_regionkey <= 1"),
+          "unpublished REST branch commit leaked into the stream")
+        // ...until the fast-forward publish — then admitted exactly once
+        IcebergRestCommit.fastForward(cat, "lake", "t", "audit")
+        q.processAllAvailable()
+        assert(sunk() == n("n_regionkey <= 2"))
+      } finally q.stop()
+      // restart from the checkpoint: the gap commit arrives exactly once
+      IcebergRestCommit.append(cat, "lake", "t", dir,
+        partFiles(nation.filter("n_regionkey = 3")), 4000L)
+      val q2 = startStream()
+      try {
+        q2.processAllAvailable()
+        assert(sunk() == n("n_regionkey <= 3"),
+          "restart re-emitted or missed the catalog commit")
+      } finally q2.stop()
+    } finally server.stop()
+  }
 }
