@@ -680,6 +680,42 @@ object Extended {
         .localCheckpoint(true)
     },
 
+    // AGE-BASED EXPIRE with ref retention, pinned through the refs
+    // metadata table: four commits, a tag on the second, then
+    // expire_snapshots(older_than) — the pinned tag must survive a
+    // sweep that reclaims the unreferenced old history (s1, s3), and
+    // main must still serve. The oracle is the exact refs table the
+    // spec requires afterwards. Metadata-only at any scale: expiry
+    // moves no data files.
+    GraftQuery("q_iceberg_expire_age",
+      """SELECT * FROM (VALUES
+        |  ('main', 'branch', CAST(4 AS BIGINT)),
+        |  ('pinned', 'tag', CAST(2 AS BIGINT))
+        |) AS r(name, type, snapshot_id)""".stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      val (warehouse, _) = cachedFixture("expire_age", dir) { wh =>
+        val tableDir = wh.resolve("nation")
+        val data = t(s, dir).nation
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        def files(df: org.apache.spark.sql.DataFrame, tag: String) = {
+          val out = java.nio.file.Files.createTempDirectory(s"graft_ea_$tag")
+          out.toFile.deleteOnExit()
+          df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+          IcebergMaintenance.parquetFileInfos(out)
+        }
+        (0 to 3).foreach { i =>
+          IcebergLocal.append(tableDir,
+            files(data.filter(col("n_regionkey") === i), s"c$i"),
+            (i + 1) * 1000L, schema = Some(data.schema),
+            tag = if (i == 1) Some("pinned") else None)
+        }
+        IcebergLocal.expireSnapshots(tableDir, olderThanMs = 3500L,
+          minSnapshotsToKeep = 1, timestampMs = 9000L)
+      }
+      IcebergRest.metaTable(s, warehouse.resolve("nation"), "refs")
+        .localCheckpoint(true)
+    },
+
     // CHERRY-PICK round-trip: the diverged-main half of write-audit-
     // publish (q_iceberg_wap covers the fast-forward half). Main commits
     // A, the audit branch stages B off A, main diverges with C — then

@@ -500,32 +500,18 @@ object IcebergLocal {
     val p = currentMetadataFile(tableDir).getOrElse(
       throw new IllegalArgumentException(s"no committed table at $tableDir"))
     val meta = currentMetadata(tableDir).get
-    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-    val refHeads = meta.refs.values.map(_._2).toSet ++
-      meta.currentSnapshotId
-    // newest minSnapshotsToKeep ancestors per branch head (tags pin
-    // only their own snapshot — spec behavior)
-    val branchKeep = meta.refs.values.collect {
-      case ("branch", head) => head
-    }.flatMap { head =>
-      Iterator.iterate(Option(head))(
-          _.flatMap(byId.get).flatMap(_.parentId))
-        .takeWhile(_.isDefined).flatten
-        .take(math.max(minSnapshotsToKeep, 1)).toSeq
-    }.toSet
-    val keptIds = meta.snapshots.filter(s =>
-      s.timestampMs >= olderThanMs ||
-        refHeads.contains(s.snapshotId) ||
-        branchKeep.contains(s.snapshotId))
-      .map(_.snapshotId).toSet
-    val expired = meta.snapshots.filterNot(s => keptIds(s.snapshotId))
-    if (expired.isEmpty) return Nil
+    val (droppedRefs, expiredIds) =
+      expirePlan(meta, olderThanMs, minSnapshotsToKeep, timestampMs)
+    if (droppedRefs.isEmpty && expiredIds.isEmpty) return Nil
+    val expiredSet = expiredIds.toSet
+    val keptIds = meta.snapshots.map(_.snapshotId).toSet -- expiredSet
     val root = mapper.readTree(Files.readString(p)).asInstanceOf[ObjectNode]
     root.put("last-updated-ms", timestampMs)
     val snaps = root.putArray("snapshots")
     meta.snapshots.filter(s => keptIds(s.snapshotId)).foreach(s =>
       snapNode(snaps.addObject(), s.snapshotId, s.timestampMs,
         s.manifestList, s.parentId.filter(keptIds.contains)))
+    droppedRefs.foreach(root.withObject("/refs").remove)
     val log = root.putArray("snapshot-log")
     meta.snapshotLog.filter { case (_, id) => keptIds(id) }
       .foreach { case (ts, id) =>
@@ -535,13 +521,86 @@ object IcebergLocal {
     val metaDir = tableDir.resolve("metadata")
     writeMetadataFile(metaDir, maxMetadataVersion(metaDir) + 1,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-    expired.foreach { s =>
+    meta.snapshots.filter(s => expiredSet(s.snapshotId)).foreach { s =>
       Files.deleteIfExists(java.nio.file.Paths.get(
         java.net.URI.create(s.manifestList)))
       Files.deleteIfExists(
         metaDir.resolve(f"v${s.snapshotId}%05d.metadata.json"))
     }
-    expired.map(_.snapshotId)
+    expiredIds
+  }
+
+  /** PURE expiry planning, shared by [[expireSnapshots]] and the REST
+    * client's catalog-routed expire: given the loaded metadata,
+    * compute (refs to drop, snapshot ids to expire) honoring the
+    * spec's PER-REF retention overrides ([[RefRetention]]):
+    *   - a non-main ref whose pinned snapshot is older than the ref's
+    *     `max-ref-age-ms` expires the REF itself (its snapshot then
+    *     survives only if something else retains it);
+    *   - each branch keeps its newest `min-snapshots-to-keep`
+    *     ancestors (override, else the call's table default) plus
+    *     every ancestor younger than the branch's `max-snapshot-age-ms`
+    *     cutoff (override, else the call's `olderThanMs`);
+    *   - any snapshot younger than `olderThanMs` survives regardless
+    *     (overrides EXTEND retention; the table cutoff is the floor).
+    * Ref heads still in the refs map are always kept. */
+  def expirePlan(meta: IcebergTableMeta, olderThanMs: Long,
+      minSnapshotsToKeep: Int,
+      timestampMs: Long): (Set[String], Seq[Long]) = {
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val droppedRefs = meta.refs.collect {
+      case (name, (_, id)) if name != "main" &&
+          meta.refRetention.get(name).flatMap(_.maxRefAgeMs).exists(age =>
+            byId.get(id).exists(s => timestampMs - s.timestampMs > age)) =>
+        name
+    }.toSet
+    val liveRefs = meta.refs -- droppedRefs
+    val refHeads = liveRefs.values.map(_._2).toSet ++
+      meta.currentSnapshotId
+    val branchKeep = liveRefs.collect {
+      case (name, ("branch", head)) =>
+        val ret = meta.refRetention.getOrElse(name, RefRetention())
+        val keepN = math.max(
+          ret.minSnapshotsToKeep.getOrElse(minSnapshotsToKeep), 1)
+        val cutoff = ret.maxSnapshotAgeMs.map(timestampMs - _)
+          .getOrElse(olderThanMs)
+        val chain = Iterator.iterate(Option(head))(
+            _.flatMap(byId.get).flatMap(_.parentId))
+          .takeWhile(_.isDefined).flatten.toSeq
+        chain.take(keepN) ++ chain.filter(id =>
+          byId.get(id).exists(_.timestampMs >= cutoff))
+    }.flatten.toSet
+    val keptIds = meta.snapshots.filter(s =>
+      s.timestampMs >= olderThanMs ||
+        refHeads.contains(s.snapshotId) ||
+        branchKeep.contains(s.snapshotId))
+      .map(_.snapshotId).toSet
+    (droppedRefs,
+      meta.snapshots.filterNot(s => keptIds(s.snapshotId))
+        .map(_.snapshotId))
+  }
+
+  /** Declare per-ref retention (the v2 spec's snapshot-ref fields) on
+    * an existing ref, as a metadata-only commit. `None` leaves a field
+    * absent (table defaults apply at expire time). */
+  def setRefRetention(tableDir: JPath, refName: String,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): Unit = {
+    val p = currentMetadataFile(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    val meta = currentMetadata(tableDir).get
+    require(meta.refs.contains(refName),
+      s"no ref '$refName' on the table (have ${
+        meta.refs.keys.toSeq.sorted.mkString(", ")})")
+    val root = mapper.readTree(Files.readString(p)).asInstanceOf[ObjectNode]
+    val rn = root.withObject("/refs").withObject(s"/$refName")
+    minSnapshotsToKeep.foreach(rn.put("min-snapshots-to-keep", _))
+    maxSnapshotAgeMs.foreach(rn.put("max-snapshot-age-ms", _))
+    maxRefAgeMs.foreach(rn.put("max-ref-age-ms", _))
+    val metaDir = tableDir.resolve("metadata")
+    writeMetadataFile(metaDir, maxMetadataVersion(metaDir) + 1,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
   }
 
   /** The spec id this commit's partition spec gets: a prior spec with
@@ -1085,6 +1144,7 @@ object IcebergLocal {
     }
     branch.foreach(b => refNode(refs, b, "branch", snapId))
     tag.foreach(tg => refNode(refs, tg, "tag", snapId))
+    carryRefRetention(refs, prior)
     // the snapshot-log is CARRIED from the prior metadata (filtered to
     // surviving ids), never rebuilt from the snapshots list: the log
     // records published-pointer moves — branch (WAP) commits were never
@@ -1139,9 +1199,27 @@ object IcebergLocal {
 
   private def refNode(refs: ObjectNode, name: String, tpe: String,
       id: Long): Unit = {
-    val r = refs.putObject(name)
+    // MERGE into an existing node (withObject, not putObject): a ref
+    // may carry the spec's retention fields (min-snapshots-to-keep /
+    // max-snapshot-age-ms / max-ref-age-ms) — moving its pointer must
+    // not strip them
+    val r = refs.withObject(s"/$name")
     r.put("snapshot-id", id); r.put("type", tpe)
   }
+
+  /** Re-stamp carried per-ref retention fields onto a freshly rebuilt
+    * refs object (writeMetadata rebuilds refs from the parsed prior,
+    * which strips unmodeled fields). */
+  private def carryRefRetention(refs: ObjectNode,
+      prior: Option[IcebergTableMeta]): Unit =
+    prior.toSeq.flatMap(_.refRetention).foreach { case (name, ret) =>
+      if (refs.has(name)) {
+        val rn = refs.withObject(s"/$name")
+        ret.minSnapshotsToKeep.foreach(rn.put("min-snapshots-to-keep", _))
+        ret.maxSnapshotAgeMs.foreach(rn.put("max-snapshot-age-ms", _))
+        ret.maxRefAgeMs.foreach(rn.put("max-ref-age-ms", _))
+      }
+    }
 
   /** Max field id anywhere in a schema tree (`id`/`element-id`/
     * `key-id`/`value-id`) — the `last-column-id` a schema implies. */
@@ -1581,6 +1659,7 @@ object IcebergLocal {
       var lastAddedSchema = -1
       var schemaChanged = false
       var refMoved = false
+      var snapshotsRemoved: Seq[Long] = Nil
       for (u <- IcebergJson.arr(req.get("updates"))) {
         u.path("action").asText() match {
           // schema EVOLUTION through the protocol: the client prepares
@@ -1753,13 +1832,77 @@ object IcebergLocal {
               le.put("snapshot-id", sid)
             }
             ()
+          case "remove-snapshot-ref" =>
+            // spec action: drop a named ref (expired tag/branch). main
+            // is never removable — it IS the published table
+            val name = u.path("ref-name").asText()
+            if (name.isEmpty)
+              return Left(400 -> "remove-snapshot-ref needs ref-name")
+            if (name == "main")
+              return Left(400 -> "cannot remove ref 'main'")
+            Option(root.get("refs"))
+              .collect { case o: ObjectNode => o }
+              .foreach(_.remove(name))
+            refMoved = true
+            ()
+          case "remove-snapshots" =>
+            // spec action: snapshot EXPIRY through the protocol. A
+            // still-referenced snapshot must not drop — removing it
+            // would dangle every reader that resolves the ref
+            val ids = IcebergJson.arr(u.get("snapshot-ids"))
+              .map(_.asLong()).toSet
+            if (ids.isEmpty)
+              return Left(400 -> "remove-snapshots needs snapshot-ids")
+            val refHeads = Option(root.get("refs")).toSeq.flatMap { r =>
+              val it = r.properties().iterator()
+              Iterator.continually(it).takeWhile(_.hasNext)
+                .map(_.next().getValue.path("snapshot-id").asLong()).toSeq
+            }.toSet + root.path("current-snapshot-id").asLong(-1L)
+            val pinned = ids.intersect(refHeads)
+            if (pinned.nonEmpty)
+              return Left(400 -> (s"remove-snapshots: ${
+                pinned.toSeq.sorted.mkString(", ")} still referenced " +
+                "by a ref or the current pointer"))
+            val snapsArr = root.withArray[ArrayNode]("snapshots")
+            val kept = IcebergJson.arr(snapsArr)
+              .filterNot(s => ids.contains(s.path("snapshot-id").asLong()))
+            // capture the dropped snapshots' manifest lists for GC
+            snapshotsRemoved = snapshotsRemoved ++ ids.toSeq.sorted
+            val removedLists = IcebergJson.arr(snapsArr)
+              .filter(s => ids.contains(s.path("snapshot-id").asLong()))
+              .map(_.path("manifest-list").asText())
+            snapsArr.removeAll()
+            kept.foreach(s => snapsArr.add(
+              s.deepCopy[com.fasterxml.jackson.databind.JsonNode]()))
+            // parent edges to removed snapshots are cut (spec: expiry
+            // truncates lineage, readers must not chase a dangling id)
+            val keptIds = kept.map(_.path("snapshot-id").asLong()).toSet
+            IcebergJson.arr(snapsArr).foreach { s =>
+              val so = s.asInstanceOf[ObjectNode]
+              if (so.has("parent-snapshot-id") &&
+                  !keptIds.contains(so.path("parent-snapshot-id").asLong()))
+                so.remove("parent-snapshot-id")
+            }
+            val logArr = root.withArray[ArrayNode]("snapshot-log")
+            val keptLog = IcebergJson.arr(logArr)
+              .filterNot(e => ids.contains(e.path("snapshot-id").asLong()))
+            logArr.removeAll()
+            keptLog.foreach(e => logArr.add(
+              e.deepCopy[com.fasterxml.jackson.databind.JsonNode]()))
+            removedLists.filter(_.nonEmpty).foreach { l =>
+              try Files.deleteIfExists(java.nio.file.Paths.get(
+                java.net.URI.create(l)))
+              catch { case _: IllegalArgumentException => () }
+            }
+            ()
           case other =>
             return Left(400 -> s"unsupported update '$other'")
         }
       }
-      if (newSnapId <= 0 && !schemaChanged && !refMoved)
+      if (newSnapId <= 0 && !schemaChanged && !refMoved &&
+          snapshotsRemoved.isEmpty)
         return Left(400 -> ("commit carries no add-snapshot, schema " +
-          "change, or ref move"))
+          "change, ref move, or snapshot removal"))
       // schema-only commits take a version of their own; snapshot
       // commits keep version == snapshot-id unless evolution versions
       // already passed it. Atomic move — same torn-write guarantee as

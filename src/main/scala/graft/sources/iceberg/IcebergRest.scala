@@ -58,6 +58,10 @@ final case class IcebergTableMeta(
     snapshots: Seq[IcebergSnapshot],
     /** ref name → (type: "tag" | "branch", snapshot id) */
     refs: Map[String, (String, Long)],
+    /** per-ref retention overrides (v2 spec ref fields:
+      * `min-snapshots-to-keep` / `max-snapshot-age-ms` on branches,
+      * `max-ref-age-ms` on any non-main ref) — absent = table default */
+    refRetention: Map[String, RefRetention] = Map.empty,
     /** the metadata's `snapshot-log` — the PUBLISHED lineage, one
       * (timestamp-ms, snapshot-id) entry per move of the main pointer
       * (initial commits, fast-forward publishes, rollbacks). Branch
@@ -77,6 +81,16 @@ final case class IcebergTableMeta(
       * names); feeds [[IcebergPrune]] */
     partitionSpecs: Map[Int, Seq[PartitionField]] = Map.empty,
     defaultSpecId: Int = 0)
+
+/** The v2 spec's per-ref retention fields (snapshot-ref JSON):
+  * `min-snapshots-to-keep` and `max-snapshot-age-ms` bound how much of
+  * a BRANCH's lineage expiry may drop; `max-ref-age-ms` expires the
+  * REF itself (never `main`). All optional — absent fields fall back
+  * to the expire call's table-level arguments. */
+final case class RefRetention(
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None,
+    maxRefAgeMs: Option[Long] = None)
 
 /** A commit requirement failed server-side (HTTP 409): another writer
   * moved the ref between this writer's load and its commit. Re-load,
@@ -259,13 +273,22 @@ object IcebergMetadata {
         parentId = Option(s.get("parent-snapshot-id"))
           .filterNot(_.isNull).map(_.asLong()))
     }
-    val refs = Option(meta.get("refs")).map { r =>
+    val refEntries = Option(meta.get("refs")).map { r =>
       val it = r.properties().iterator()
-      Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).map { e =>
-        e.getKey -> (e.getValue.get("type").asText(),
-          e.getValue.get("snapshot-id").asLong())
-      }.toMap
-    }.getOrElse(Map.empty)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
+    }.getOrElse(Nil)
+    val refs = refEntries.map { e =>
+      e.getKey -> (e.getValue.get("type").asText(),
+        e.getValue.get("snapshot-id").asLong())
+    }.toMap
+    val refRetention = refEntries.flatMap { e =>
+      val v = e.getValue
+      val r = RefRetention(
+        Option(v.get("min-snapshots-to-keep")).map(_.asInt()),
+        Option(v.get("max-snapshot-age-ms")).map(_.asLong()),
+        Option(v.get("max-ref-age-ms")).map(_.asLong()))
+      if (r == RefRetention()) None else Some(e.getKey -> r)
+    }.toMap
     val currentSchemaId =
       Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
     val curFields = IcebergJson.arr(meta.get("schemas"))
@@ -297,6 +320,7 @@ object IcebergMetadata {
         .map(_.asLong()).filter(_ > 0),
       snapshots = snaps,
       refs = refs,
+      refRetention = refRetention,
       snapshotLog = IcebergJson.arr(meta.get("snapshot-log")).flatMap { e =>
         for (t <- Option(e.get("timestamp-ms"));
              s <- Option(e.get("snapshot-id")))

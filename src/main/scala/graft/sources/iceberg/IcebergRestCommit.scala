@@ -323,4 +323,42 @@ object IcebergRestCommit {
     catalog.commitTable(namespace, table, body)
     target
   }
+
+  /** Snapshot EXPIRY through the catalog — age/ref-aware retention as
+    * one CommitTableRequest: the client plans the sweep from the
+    * loaded metadata ([[IcebergLocal.expirePlan]] — per-ref
+    * `max-ref-age-ms`/`min-snapshots-to-keep`/`max-snapshot-age-ms`
+    * overrides honored), then POSTs `remove-snapshot-ref` updates for
+    * expired refs and ONE `remove-snapshots` update for the expired
+    * ids, gated by `assert-ref-snapshot-id(main == the head the plan
+    * was made against)`. The server refuses removal of any
+    * still-referenced snapshot and reclaims the dropped manifest
+    * lists. NOT retried on conflict — a moved main means the plan is
+    * stale (a new commit may chain on a snapshot the plan would drop);
+    * reload, re-plan, call again. Returns the expired ids. */
+  def expireSnapshots(catalog: IcebergRestCatalog, namespace: String,
+      table: String, olderThanMs: Long, minSnapshotsToKeep: Int = 1,
+      timestampMs: Long = System.currentTimeMillis()): Seq[Long] = {
+    val prior = catalog.loadTable(namespace, table)
+    val (droppedRefs, expiredIds) = IcebergLocal.expirePlan(
+      prior, olderThanMs, minSnapshotsToKeep, timestampMs)
+    if (droppedRefs.isEmpty && expiredIds.isEmpty) return Nil
+    val headJson = prior.refs.get("main").map(_._2.toString)
+      .getOrElse("null")
+    val refUpdates = droppedRefs.toSeq.sorted.map(n =>
+      s"""{"action":"remove-snapshot-ref","ref-name":${
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .writeValueAsString(n)}}""")
+    val snapUpdate =
+      if (expiredIds.isEmpty) Nil
+      else Seq(s"""{"action":"remove-snapshots","snapshot-ids":[${
+        expiredIds.mkString(",")}]}""")
+    val body =
+      s"""{"requirements":[
+         |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$headJson}],
+         | "updates":[${(refUpdates ++ snapUpdate).mkString(",\n  ")}]}"""
+        .stripMargin
+    catalog.commitTable(namespace, table, body)
+    expiredIds
+  }
 }

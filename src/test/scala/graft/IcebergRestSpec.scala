@@ -581,6 +581,85 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergLocal.expireSnapshots(dir2, 9999L, 3, 9001L).isEmpty)
   }
 
+  test("per-ref retention overrides: min-keep beats age, max-ref-age expires the ref") {
+    val dir = Files.createTempDirectory("ice-refret").resolve("t")
+    def commit(i: Int, tag: Option[String] = None): Long =
+      IcebergLocal.append(dir, partFiles(spark.range(1).toDF("v")),
+        timestampMs = i * 1000L, tag = tag)
+    commit(1, Some("old-tag"))
+    (2 to 5).foreach(i => commit(i))
+    // declare: the old tag itself expires after 1 s of age; main keeps
+    // its newest 3 regardless of the sweep's age cutoff
+    IcebergLocal.setRefRetention(dir, "old-tag", maxRefAgeMs = Some(1000L))
+    IcebergLocal.setRefRetention(dir, "main",
+      minSnapshotsToKeep = Some(3))
+    // retention fields survive ordinary commits (refs are re-stamped)
+    commit(6)
+    val ret = IcebergLocal.currentMetadata(dir).get.refRetention
+    assert(ret("main").minSnapshotsToKeep.contains(3) &&
+      ret("old-tag").maxRefAgeMs.contains(1000L), ret)
+    // sweep at t=9000 with an expire-everything cutoff: the tag is
+    // 8 s old → the REF drops and s1 loses its pin; main's override
+    // keeps the newest 3 (s4,s5,s6) past the age cutoff
+    val before = countVia(dir)
+    val expired = IcebergLocal.expireSnapshots(dir, olderThanMs = 99999L,
+      minSnapshotsToKeep = 1, timestampMs = 9000L)
+    assert(expired == Seq(1L, 2L, 3L), s"expired $expired")
+    val m = IcebergLocal.currentMetadata(dir).get
+    assert(m.snapshots.map(_.snapshotId).sorted == Seq(4L, 5L, 6L))
+    assert(m.refs.keySet == Set("main"), m.refs)
+    assert(countVia(dir) == before, "ref-aware expire changed the rows")
+  }
+
+  test("snapshot expiry through the REST commit protocol") {
+    val root = Files.createTempDirectory("ice-restexpire")
+    val dir = root.resolve("t")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    IcebergLocal.append(dir, partFiles(nation.filter("n_regionkey = 0")),
+      timestampMs = 1000L, schema = Some(nation.schema))
+    val server = new IcebergLocal.CatalogServer(root, "lake")
+    val port = server.start()
+    try {
+      val cat = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+      IcebergRestCommit.append(cat, "lake", "t", dir,
+        partFiles(nation.filter("n_regionkey = 1")), 2000L)
+      IcebergRestCommit.append(cat, "lake", "t", dir,
+        partFiles(nation.filter("n_regionkey = 2")), 3000L)
+      // tag snapshot 2 for retention through a ref-only commit
+      cat.commitTable("lake", "t",
+        """{"requirements":[],"updates":[{"action":"set-snapshot-ref",
+          |"ref-name":"keep","type":"tag","snapshot-id":2}]}""".stripMargin)
+      // a remove-snapshots naming a still-referenced snapshot: 400
+      val e = intercept[Exception](cat.commitTable("lake", "t",
+        """{"requirements":[],"updates":[
+          |{"action":"remove-snapshots","snapshot-ids":[2]}]}""".stripMargin))
+      assert(e.getMessage.contains("still referenced"), e.getMessage)
+      // the planned sweep: cutoff expires s1 (s2 is tag-pinned, s3 is
+      // the main head) — one CAS-gated commit, server GCs the list
+      val expired = IcebergRestCommit.expireSnapshots(cat, "lake", "t",
+        olderThanMs = 2500L, minSnapshotsToKeep = 1, timestampMs = 9000L)
+      assert(expired == Seq(1L), s"expired $expired")
+      val m = cat.loadTable("lake", "t")
+      assert(m.snapshots.map(_.snapshotId).sorted == Seq(2L, 3L))
+      assert(m.refs("keep")._2 == 2L && m.refs("main")._2 == 3L)
+      assert(IcebergRest.read(spark, cat, "lake", "t").count() ==
+        nation.filter("n_regionkey <= 2").count(),
+        "REST expire changed the published read")
+      // nothing left to expire → no commit, empty result
+      assert(IcebergRestCommit.expireSnapshots(cat, "lake", "t",
+        2500L, 1, 9001L).isEmpty)
+      // main can never be removed through the protocol
+      val e2 = intercept[Exception](cat.commitTable("lake", "t",
+        """{"requirements":[],"updates":[
+          |{"action":"remove-snapshot-ref","ref-name":"main"}]}""".stripMargin))
+      assert(e2.getMessage.contains("cannot remove ref 'main'"))
+    } finally {
+      server.stop()
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("snapshot-log is carried across appends, not rebuilt: WAP + rollback lineage") {
     val dir = Files.createTempDirectory("ice-logcarry").resolve("t")
     def commit(i: Int, branch: Option[String] = None): Long =
