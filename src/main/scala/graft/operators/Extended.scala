@@ -680,6 +680,45 @@ object Extended {
         .localCheckpoint(true)
     },
 
+    // CDC CHANGELOG read (create_changelog_view): append s1, append s2,
+    // then DELETE WHERE — the (s1, head] window must emit s2's rows as
+    // inserts and the deleted rows (with their ORIGINAL values) as
+    // deletes, matching the oracle's union of the two predicates. The
+    // plan scans only the window's added files plus the delete files'
+    // named targets — changelog cost tracks churn, not table size.
+    GraftQuery("q_iceberg_changes",
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |       'insert' AS _change_type
+        |FROM nation WHERE n_regionkey = 2
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'delete'
+        |FROM nation WHERE n_regionkey <= 2 AND n_nationkey % 2 = 1"""
+        .stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      val (warehouse, s1) = cachedFixture("changes", dir) { wh =>
+        val tableDir = wh.resolve("nation")
+        val data = t(s, dir).nation
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        def files(df: org.apache.spark.sql.DataFrame, tag: String) = {
+          val out = java.nio.file.Files.createTempDirectory(s"graft_ch_$tag")
+          out.toFile.deleteOnExit()
+          df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+          IcebergMaintenance.parquetFileInfos(out)
+        }
+        val first = IcebergLocal.append(tableDir,
+          files(data.filter(col("n_regionkey") <= 1), "a"), 1000L,
+          schema = Some(data.schema))
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("n_regionkey") === 2), "b"), 2000L,
+          schema = Some(data.schema))
+        IcebergMaintenance.deleteWhere(s, tableDir,
+          "n_nationkey % 2 = 1", () => 3000L)
+        first
+      }
+      IcebergRest.readChanges(s, warehouse.resolve("nation"), s1)
+        .localCheckpoint(true)
+    },
+
     // AGE-BASED EXPIRE with ref retention, pinned through the refs
     // metadata table: four commits, a tag on the second, then
     // expire_snapshots(older_than) — the pinned tag must survive a

@@ -9,7 +9,7 @@ import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.mapred.FsInput
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
 
 import graft.sources.SnapshotLog
 import graft.sources.SnapshotLog.{ByTimestamp, ByVersion, VersionSpec}
@@ -735,7 +735,8 @@ object IcebergRest {
     if (newDeletes.nonEmpty) throw new IllegalArgumentException(
       s"incremental read ($fromSnapshotId, ${to.snapshotId}]: the window " +
         s"commits ${newDeletes.size} delete file(s) — appended rows are " +
-        "ill-defined under row-level deletes; use the upsert/CDC read")
+        "ill-defined under row-level deletes; use readChanges (the CDC " +
+        "changelog read, which emits the deletions as first-class rows)")
     val added = toScan.dataFiles.map(_._1).filterNot(fromPaths)
     if (added.isEmpty) {
       val st = meta.sparkSchema.getOrElse(
@@ -746,6 +747,156 @@ object IcebergRest {
       val df = spark.read.parquet(added: _*)
       options.get("filter").fold(df)(df.where)
     }
+  }
+
+  /** CDC CHANGELOG read — Iceberg's create_changelog_view shape: every
+    * row-level change committed in the (from, to] snapshot window,
+    * tagged `_change_type` = 'insert' | 'delete' (an update arrives as
+    * its delete+insert pair, exactly how v2 upserts commit). This is
+    * the read the incremental scan hands delete-carrying windows to:
+    * [[readIncremental]] refuses them because "appended rows" is the
+    * wrong question there; here deletions are first-class output.
+    * Non-net semantics (a row inserted and deleted inside the window
+    * appears twice, once per change) — the spec procedure's default.
+    *
+    * Plan shape at scale: inserts are a scan of exactly the window's
+    * ADDED data files; deletions materialize only the rows the
+    * window's added DELETE files name — position deletes name their
+    * target files outright (so only those files are scanned, gated on
+    * the v2 sequence rule data_seq ≤ delete_seq), equality deletes
+    * scan the files their sequence can see (data_seq < delete_seq)
+    * with a broadcast semi-join on the key columns. Cost tracks the
+    * window's churn, never the table size. Windows that REWRITE files
+    * (compaction/replace) are refused loudly — a rewrite is not a
+    * logical change, and attributing its file shuffle to inserts or
+    * deletes would fabricate changes; run changelog reads against
+    * non-rewritten history, as the spec procedure requires. */
+  def readChanges(spark: SparkSession, tableDir: java.nio.file.Path,
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val meta = IcebergLocal.currentMetadata(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    readChangesMeta(spark, meta, fromSnapshotId, toSnapshotId, options)
+  }
+
+  /** Changelog read THROUGH the REST catalog. */
+  def readChanges(spark: SparkSession, catalog: IcebergRestCatalog,
+      namespace: String, table: String, fromSnapshotId: Long,
+      toSnapshotId: Option[Long],
+      options: Map[String, String]): DataFrame =
+    readChangesMeta(spark, catalog.loadTable(namespace, table),
+      fromSnapshotId, toSnapshotId, options)
+
+  private def readChangesMeta(spark: SparkSession, meta: IcebergTableMeta,
+      fromSnapshotId: Long, toSnapshotId: Option[Long],
+      options: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    def snapOf(id: Long): IcebergSnapshot =
+      meta.snapshots.find(_.snapshotId == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $id not in table history (have ${
+            meta.snapshots.map(_.snapshotId).sorted.mkString(", ")})"))
+    val to = toSnapshotId.map(snapOf).getOrElse(
+      meta.snapshots.maxBy(_.snapshotId))
+    val toScan = IcebergManifests.scanFiles(spark, to.manifestList)
+    val fromScan =
+      if (fromSnapshotId == 0L) IcebergScanFiles(Nil, Nil)
+      else IcebergManifests.scanFiles(
+        spark, snapOf(fromSnapshotId).manifestList)
+    val fromPaths = fromScan.dataFiles.map(_._1).toSet
+    val removed = fromPaths -- toScan.dataFiles.map(_._1).toSet
+    if (removed.nonEmpty) throw new IllegalArgumentException(
+      s"changelog read ($fromSnapshotId, ${to.snapshotId}]: the window " +
+        s"rewrites ${removed.size} file(s) (compaction/replace) — a " +
+        "rewrite is not a logical change; read a window that does not " +
+        "cross the rewrite")
+    val dataCols = meta.sparkSchema.map(_.fieldNames.toSeq).getOrElse(
+      spark.read.parquet(toScan.dataFiles.head._1).schema.fieldNames.toSeq)
+    val emptyChanges = {
+      val st = meta.sparkSchema.getOrElse(
+        spark.read.parquet(toScan.dataFiles.head._1).schema)
+        .add("_change_type", org.apache.spark.sql.types.StringType,
+          nullable = false)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+    }
+    // INSERTS: the window's added data files
+    val addedData = toScan.dataFiles.map(_._1).filterNot(fromPaths)
+    val inserts =
+      if (addedData.isEmpty) None
+      else Some(spark.read.parquet(addedData: _*)
+        .select(dataCols.map(col) :+ lit("insert").as("_change_type"): _*))
+    // DELETES: rows named by the window's added delete files, read
+    // back from their (still-live) target data files
+    val dataSeq = toScan.dataFiles.toDF("d_file", "d_seq")
+      .withColumn("d_file", normPath(col("d_file")))
+    val newPosDel = toScan.positionDeletes.filterNot(
+      fromScan.positionDeletes.toSet)
+    val posDeleted =
+      if (newPosDel.isEmpty) None
+      else {
+        val delSeq = newPosDel.toDF("del_src", "del_seq")
+          .withColumn("del_src", normPath(col("del_src")))
+        val delRows = spark.read.parquet(newPosDel.map(_._1): _*)
+          .select(normPath(col("file_path")).as("del_file"),
+            col("pos").cast("long").as("del_pos"),
+            normPath(col("_metadata.file_path")).as("del_src"))
+          .join(broadcast(delSeq), "del_src")
+          .select(col("del_file"), col("del_pos"), col("del_seq"))
+        // the delete files NAME their targets — scan only those files.
+        // Driver-side distinct of file paths: bounded by the table's
+        // FILE count (the same cardinality the manifest walk already
+        // materializes on the driver), never by row count.
+        val targets = delRows.select("del_file").distinct()
+          .as[String].collect().toSet
+        val targetFiles = toScan.dataFiles.filter(f =>
+          targets.contains(normPathStr(f._1)))
+        if (targetFiles.isEmpty) None
+        else Some(spark.read.parquet(targetFiles.map(_._1): _*)
+          .withColumn("__graft_file", normPath(col("_metadata.file_path")))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+          .join(broadcast(dataSeq), col("__graft_file") === col("d_file"))
+          .join(broadcast(delRows),
+            col("__graft_file") === col("del_file") &&
+              col("__graft_pos") === col("del_pos") &&
+              col("d_seq") <= col("del_seq"), "left_semi")
+          .select(dataCols.map(col) :+
+            lit("delete").as("_change_type"): _*))
+      }
+    val fromEqPaths = fromScan.equalityDeletes.map(_.path).toSet
+    val newEqDel = toScan.equalityDeletes.filterNot(f =>
+      fromEqPaths(f.path))
+    val eqDeleted = newEqDel.groupBy(_.equalityIds).toSeq.flatMap {
+      case (ids, files) =>
+        val eqCols: Seq[String] = ids.map(id =>
+          meta.fieldNames.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"equality delete references unknown field id $id")))
+        val maxSeq = files.map(_.seq).max
+        // only files the deletes' sequence can see (strict <)
+        val candidates = toScan.dataFiles.filter(_._2 < maxSeq)
+        if (candidates.isEmpty) None
+        else {
+          val delSeq = files.map(f => (f.path, f.seq))
+            .toDF("del_src", "del_seq")
+            .withColumn("del_src", normPath(col("del_src")))
+          val del = spark.read.parquet(files.map(_.path): _*)
+            .select(eqCols.map(c => col(c).as(s"__eq_$c")) :+
+              normPath(col("_metadata.file_path")).as("del_src"): _*)
+            .join(broadcast(delSeq), "del_src")
+            .drop("del_src")
+          val cond = eqCols.map(c => col(c) <=> col(s"__eq_$c"))
+            .reduce(_ && _) && col("d_seq") < col("del_seq")
+          Some(spark.read.parquet(candidates.map(_._1): _*)
+            .withColumn("__graft_file", normPath(col("_metadata.file_path")))
+            .join(broadcast(dataSeq), col("__graft_file") === col("d_file"))
+            .join(broadcast(del), cond, "left_semi")
+            .select(dataCols.map(col) :+
+              lit("delete").as("_change_type"): _*))
+        }
+    }
+    (inserts.toSeq ++ posDeleted.toSeq ++ eqDeleted)
+      .reduceOption(_ union _).getOrElse(emptyChanges)
   }
 
   /** Iceberg METADATA TABLES — the inspection surface real lakes query
@@ -988,6 +1139,11 @@ object IcebergRest {
     * agree. Non-file schemes (s3a://bucket/...) pass through. */
   private def normPath(c: org.apache.spark.sql.Column) =
     regexp_replace(c, "^file:/+", "file:/")
+
+  /** Driver-side twin of [[normPath]] for comparing manifest paths
+    * against column-normalized ones. */
+  private def normPathStr(p: String): String =
+    p.replaceFirst("^file:/+", "file:/")
 
   /** Apply the snapshot's merge-on-read deletes: tag each data row with
     * its file and sequence number (Spark's own parquet metadata

@@ -581,6 +581,68 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergLocal.expireSnapshots(dir2, 9999L, 3, 9001L).isEmpty)
   }
 
+  test("changelog read: inserts and deletes as first-class rows, rewrite refused") {
+    val dir = Files.createTempDirectory("ice-changes").resolve("t")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    def commit(pred: String, ts: Long): Long =
+      IcebergLocal.append(dir, partFiles(nation.filter(pred)), ts,
+        schema = Some(nation.schema))
+    val s1 = commit("n_regionkey <= 1", 1000L)
+    val s2 = commit("n_regionkey = 2", 2000L)
+    IcebergMaintenance.deleteWhere(spark, dir,
+      "n_nationkey % 2 = 1", () => 3000L)
+    def changes(from: Long) =
+      IcebergRest.readChanges(spark, dir, from)
+        .groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val live = nation.filter("n_regionkey <= 2")
+    val odd = live.filter("n_nationkey % 2 = 1").count()
+    // full-history window: every committed row as insert, plus the
+    // delete commit's rows as deletes (non-net — both sides appear)
+    assert(changes(0L) ==
+      Map("insert" -> live.count(), "delete" -> odd), changes(0L))
+    // (s1, head]: only the second append's inserts; deletes unchanged
+    // (the position-delete files land in the window)
+    assert(changes(s1) == Map(
+      "insert" -> nation.filter("n_regionkey = 2").count(),
+      "delete" -> odd), changes(s1))
+    // (s2, head]: a delete-only window — no inserts fabricated
+    assert(changes(s2) == Map("delete" -> odd), changes(s2))
+    // the deleted rows carry their ORIGINAL column values
+    val deleted = IcebergRest.readChanges(spark, dir, s2)
+      .filter("_change_type = 'delete'")
+    assert(deleted.select("n_nationkey").collect()
+        .map(_.getAs[Number](0).longValue()).toSet
+      == live.filter("n_nationkey % 2 = 1").select("n_nationkey")
+        .collect().map(_.getAs[Number](0).longValue()).toSet)
+    // an EQUALITY delete in a window emits the keyed rows as deletes
+    val eqOut = Files.createTempDirectory("ice-changes-eq")
+    nation.filter("n_nationkey = 0").select("n_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(eqOut.toString)
+    val eqFile = Files.list(eqOut).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val s3 = IcebergLocal.currentMetadata(dir).get
+      .snapshots.map(_.snapshotId).max
+    IcebergLocal.append(dir, Seq(IcebergLocal.DataFileInfo(
+      eqFile.toUri.toString, 1, Files.size(eqFile), content = 2,
+      equalityIds = Seq(1))), 4000L)
+    val eqChanges = IcebergRest.readChanges(spark, dir, s3)
+      .filter("_change_type = 'delete'")
+      .select("n_nationkey").collect()
+      .map(_.getAs[Number](0).longValue()).toSeq
+    assert(eqChanges == Seq(0L), s"equality changelog rows: $eqChanges")
+    // a compaction in the window: loud refusal (a rewrite is no change)
+    IcebergMaintenance.compact(spark, dir, () => 5000L)
+    val e = intercept[IllegalArgumentException](
+      IcebergRest.readChanges(spark, dir, s1))
+    assert(e.getMessage.contains("rewrite"))
+    // the incremental read's delete refusal points here now
+    val e2 = intercept[IllegalArgumentException](
+      IcebergRest.readIncremental(spark, dir, s2, Some(s3)))
+    assert(e2.getMessage.contains("readChanges"))
+  }
+
   test("per-ref retention overrides: min-keep beats age, max-ref-age expires the ref") {
     val dir = Files.createTempDirectory("ice-refret").resolve("t")
     def commit(i: Int, tag: Option[String] = None): Long =
