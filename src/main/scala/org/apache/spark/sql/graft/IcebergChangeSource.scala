@@ -51,7 +51,21 @@ import graft.sources.iceberg.{IcebergLocal, IcebergRest, IcebergRestCatalog,
   */
 final class IcebergChangeSource(spark: SparkSession,
     target: IcebergChangeSource.Target,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    /** `max-snapshots-per-trigger`: cap each micro-batch at N commits
+      * of the published lineage. A stream catching up on a long outage
+      * (or starting against a year of history) planner-bounds its
+      * batches instead of planning one giant scan — the same knob as
+      * Kafka's maxOffsetsPerTrigger. None = admit to the head. */
+    maxSnapshotsPerTrigger: Option[Int] = None) extends Source {
+
+  /** End of the last batch this source PLANNED (getBatch) — the point
+    * the next capped window extends from. On restart Spark replays the
+    * last checkpointed batch through getBatch BEFORE calling getOffset
+    * (the V1 contract Kafka relies on for the same bookkeeping), so
+    * this is always restored; when it is None the stream is genuinely
+    * fresh and the cap counts from the beginning of the lineage. */
+  @volatile private var lastPlannedEnd: Option[Long] = None
 
   /** The published head: `main`'s snapshot, never an unpublished
     * branch head (branch ids can exceed main's — max-snapshot would
@@ -61,7 +75,34 @@ final class IcebergChangeSource(spark: SparkSession,
       m.refs.get("main").map(_._2)
         .orElse(m.currentSnapshotId.filter(_ >= 0)))
 
-  override def getOffset: Option[Offset] = mainHead.map(LongOffset(_))
+  override def getOffset: Option[Offset] = maxSnapshotsPerTrigger match {
+    case None => mainHead.map(LongOffset(_))
+    case Some(n) =>
+      target.meta().flatMap { m =>
+        val head = m.refs.get("main").map(_._2)
+          .orElse(m.currentSnapshotId.filter(_ >= 0))
+        head.map { h =>
+          // walk the PUBLISHED lineage head→past and stop the window n
+          // commits above the last planned end — the capped offset is
+          // always a real main-lineage snapshot, so the manifest diff
+          // plans exactly those commits' files
+          val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+          val chain = Iterator.iterate(Option(h))(
+              _.flatMap(byId.get).flatMap(_.parentId))
+            .takeWhile(_.isDefined).flatten.toSeq
+          val pending = lastPlannedEnd match {
+            case Some(last) =>
+              val i = chain.indexOf(last)
+              if (i >= 0) chain.take(i) else chain
+            case None => chain
+          }
+          val capped =
+            if (pending.size <= n) h
+            else pending(pending.size - n)
+          LongOffset(capped)
+        }
+      }
+  }
 
   /** LongOffset's json is the plain number; checkpoint replay hands
     * back a SerializedOffset wrapping the same text. STRICT parse: a
@@ -84,6 +125,7 @@ final class IcebergChangeSource(spark: SparkSession,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(idOf).getOrElse(0L)
+    lastPlannedEnd = Some(idOf(end))
     val df = target.incremental(spark, from, idOf(end))
     // V1 source contract: the returned frame must carry a STREAMING
     // leaf; the batch parquet scan (or the empty-window LocalRelation)
@@ -157,7 +199,9 @@ object IcebergChangeSource {
 /** `readStream.format("graft-iceberg-stream")` registration. Options:
   * `path` (local table directory), or `catalog-url` + `namespace` +
   * `table` (+ optional `auth-header`/`auth-value` forwarded on every
-  * catalog request) for a REST-catalog-served table. */
+  * catalog request) for a REST-catalog-served table;
+  * `max-snapshots-per-trigger` caps each micro-batch at N published
+  * commits (bounded catch-up after an outage or on first start). */
 final class IcebergStreamProvider
     extends StreamSourceProvider with DataSourceRegister {
 
@@ -186,11 +230,24 @@ final class IcebergStreamProvider
           "'namespace' + 'table' (catalog-served table) is required")
     }
 
+  private def capOf(parameters: Map[String, String]): Option[Int] =
+    parameters.get("max-snapshots-per-trigger").map { v =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"max-snapshots-per-trigger must be a positive integer, got '$v'")
+      }
+      require(n > 0,
+        s"max-snapshots-per-trigger must be a positive integer, got $n")
+      n
+    }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
+      parameters: Map[String, String]): (String, StructType) = {
+    capOf(parameters) // validate at load(), not first trigger
     (shortName(), schema.getOrElse(IcebergChangeSource.tableSchema(
       sqlContext.sparkSession, targetOf(parameters))))
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -198,6 +255,7 @@ final class IcebergStreamProvider
     val target = targetOf(parameters)
     new IcebergChangeSource(sqlContext.sparkSession, target,
       schema.getOrElse(
-        IcebergChangeSource.tableSchema(sqlContext.sparkSession, target)))
+        IcebergChangeSource.tableSchema(sqlContext.sparkSession, target)),
+      capOf(parameters))
   }
 }

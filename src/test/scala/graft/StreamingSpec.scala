@@ -751,4 +751,50 @@ class StreamingSpec extends AnyFunSuite {
       } finally q2.stop()
     } finally server.stop()
   }
+
+  test("iceberg changelog stream: max-snapshots-per-trigger bounds catch-up batches") {
+    import graft.sources.iceberg._
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("ice-cap").resolve("nation")
+    val ckpt = Files.createTempDirectory("ice-cap-ckpt").toString
+    val outDir = Files.createTempDirectory("ice-cap-out").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    def partFiles(df: org.apache.spark.sql.DataFrame) = {
+      val out = Files.createTempDirectory("ice-cap-data")
+      val n = df.count()
+      df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      Files.list(out).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+        .map(p => IcebergLocal.DataFileInfo(p.toUri.toString, n,
+          Files.size(p)))
+    }
+    // FOUR published commits before the stream ever starts — the
+    // "stream starts against existing history" catch-up case
+    (0 to 3).foreach(i => IcebergLocal.append(dir,
+      partFiles(nation.filter(s"n_regionkey = $i")), (i + 1) * 1000L,
+      schema = Some(nation.schema)))
+    val q = spark.readStream.format("graft-iceberg-stream")
+      .option("path", dir.toString)
+      .option("max-snapshots-per-trigger", "1").load()
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // everything arrives (the cap bounds batches, never drops data)...
+      assert(spark.read.parquet(outDir).count() ==
+        nation.filter("n_regionkey <= 3").count())
+      // ...across at least 4 batches: one commit per trigger, so the
+      // catch-up was bounded, not one giant scan
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 4,
+        s"cap ignored: 4 commits admitted in $batches batch(es)")
+    } finally q.stop()
+    // a capless bad value refuses loudly
+    val e = intercept[Exception](spark.readStream
+      .format("graft-iceberg-stream").option("path", dir.toString)
+      .option("max-snapshots-per-trigger", "0").load())
+    assert(e.getMessage.contains("positive"))
+  }
 }
