@@ -57,7 +57,13 @@ final class IcebergChangeSource(spark: SparkSession,
       * (or starting against a year of history) planner-bounds its
       * batches instead of planning one giant scan — the same knob as
       * Kafka's maxOffsetsPerTrigger. None = admit to the head. */
-    maxSnapshotsPerTrigger: Option[Int] = None) extends Source {
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    /** `mode=changelog`: each trigger emits CDC rows (the table's
+      * columns + `_change_type` insert|delete) via the window
+      * changelog read — so row-level DELETE/upsert commits stream as
+      * first-class changes instead of failing the append-only tail.
+      * The default append mode refuses delete windows loudly. */
+    changelog: Boolean = false) extends Source {
 
   /** End of the last batch this source PLANNED (getBatch) — the point
     * the next capped window extends from. On restart Spark replays the
@@ -126,15 +132,26 @@ final class IcebergChangeSource(spark: SparkSession,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(idOf).getOrElse(0L)
     lastPlannedEnd = Some(idOf(end))
-    val df = target.incremental(spark, from, idOf(end))
-    // V1 source contract: the returned frame must carry a STREAMING
-    // leaf; the batch parquet scan (or the empty-window LocalRelation)
-    // is re-marked, nothing else about the plan changes
-    val plan = df.queryExecution.analyzed.transformUp {
-      case lr: LogicalRelation => lr.copy(isStreaming = true)
-      case loc: LocalRelation => loc.copy(isStreaming = true)
+    if (changelog) {
+      // the CDC window plan contains stream-side JOINS (deleted rows ⋈
+      // their delete files); re-marking every leaf streaming would turn
+      // those into stateful stream-stream joins. Instead the bounded
+      // window is materialized once and handed to the runner as ONE
+      // streaming leaf — the KafkaSource internalCreateDataFrame shape.
+      val mat = target.changes(spark, from, idOf(end)).localCheckpoint(true)
+      spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+        mat.queryExecution.toRdd, mat.schema, isStreaming = true)
+    } else {
+      val df = target.incremental(spark, from, idOf(end))
+      // V1 source contract: the returned frame must carry a STREAMING
+      // leaf; the batch parquet scan (or the empty-window LocalRelation)
+      // is re-marked, nothing else about the plan changes
+      val plan = df.queryExecution.analyzed.transformUp {
+        case lr: LogicalRelation => lr.copy(isStreaming = true)
+        case loc: LocalRelation => loc.copy(isStreaming = true)
+      }
+      classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
     }
-    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
   }
 
   override def stop(): Unit = ()
@@ -151,6 +168,8 @@ object IcebergChangeSource {
   sealed trait Target {
     def meta(): Option[IcebergTableMeta]
     def incremental(spark: SparkSession, from: Long, to: Long): DataFrame
+    /** CDC window: [[IcebergRest.readChanges]] over (from, to]. */
+    def changes(spark: SparkSession, from: Long, to: Long): DataFrame
   }
 
   final case class LocalDir(tableDir: JPath) extends Target {
@@ -159,6 +178,9 @@ object IcebergChangeSource {
     override def incremental(spark: SparkSession, from: Long,
         to: Long): DataFrame =
       IcebergRest.readIncremental(spark, tableDir, from, Some(to))
+    override def changes(spark: SparkSession, from: Long,
+        to: Long): DataFrame =
+      IcebergRest.readChanges(spark, tableDir, from, Some(to))
     override def toString: String = tableDir.toString
   }
 
@@ -169,6 +191,10 @@ object IcebergChangeSource {
     override def incremental(spark: SparkSession, from: Long,
         to: Long): DataFrame =
       IcebergRest.readIncremental(spark, catalog, namespace, table, from,
+        Some(to), Map.empty)
+    override def changes(spark: SparkSession, from: Long,
+        to: Long): DataFrame =
+      IcebergRest.readChanges(spark, catalog, namespace, table, from,
         Some(to), Map.empty)
     override def toString: String = s"$namespace.$table"
   }
@@ -194,6 +220,16 @@ object IcebergChangeSource {
 
   def tableSchema(spark: SparkSession, tableDir: JPath): StructType =
     tableSchema(spark, LocalDir(tableDir))
+
+  /** The stream's schema for a mode: changelog appends `_change_type`. */
+  def streamSchema(spark: SparkSession, target: Target,
+      changelog: Boolean): StructType = {
+    val base = tableSchema(spark, target)
+    if (changelog)
+      base.add("_change_type", org.apache.spark.sql.types.StringType,
+        nullable = false)
+    else base
+  }
 }
 
 /** `readStream.format("graft-iceberg-stream")` registration. Options:
@@ -201,7 +237,9 @@ object IcebergChangeSource {
   * `table` (+ optional `auth-header`/`auth-value` forwarded on every
   * catalog request) for a REST-catalog-served table;
   * `max-snapshots-per-trigger` caps each micro-batch at N published
-  * commits (bounded catch-up after an outage or on first start). */
+  * commits (bounded catch-up after an outage or on first start);
+  * `mode=changelog` streams CDC rows (+`_change_type`) so row-level
+  * delete/upsert commits are admitted instead of refused. */
 final class IcebergStreamProvider
     extends StreamSourceProvider with DataSourceRegister {
 
@@ -241,21 +279,30 @@ final class IcebergStreamProvider
       n
     }
 
+  private def modeOf(parameters: Map[String, String]): Boolean =
+    parameters.getOrElse("mode", "append") match {
+      case "append" => false
+      case "changelog" => true
+      case other => throw new IllegalArgumentException(
+        s"mode must be 'append' or 'changelog', got '$other'")
+    }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     capOf(parameters) // validate at load(), not first trigger
-    (shortName(), schema.getOrElse(IcebergChangeSource.tableSchema(
-      sqlContext.sparkSession, targetOf(parameters))))
+    (shortName(), schema.getOrElse(IcebergChangeSource.streamSchema(
+      sqlContext.sparkSession, targetOf(parameters), modeOf(parameters))))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val target = targetOf(parameters)
+    val changelog = modeOf(parameters)
     new IcebergChangeSource(sqlContext.sparkSession, target,
-      schema.getOrElse(
-        IcebergChangeSource.tableSchema(sqlContext.sparkSession, target)),
-      capOf(parameters))
+      schema.getOrElse(IcebergChangeSource.streamSchema(
+        sqlContext.sparkSession, target, changelog)),
+      capOf(parameters), changelog)
   }
 }

@@ -752,6 +752,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("iceberg CDC stream (mode=changelog): delete commits arrive as delete rows") {
+    import graft.sources.iceberg._
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("ice-cdc").resolve("nation")
+    val ckpt = Files.createTempDirectory("ice-cdc-ckpt").toString
+    val outDir = Files.createTempDirectory("ice-cdc-out").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    def partFiles(df: org.apache.spark.sql.DataFrame) = {
+      val out = Files.createTempDirectory("ice-cdc-data")
+      val n = df.count()
+      df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      Files.list(out).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+        .map(p => IcebergLocal.DataFileInfo(p.toUri.toString, n,
+          Files.size(p)))
+    }
+    IcebergLocal.append(dir, partFiles(nation.filter("n_regionkey <= 1")),
+      1000L, schema = Some(nation.schema))
+    val q = spark.readStream.format("graft-iceberg-stream")
+      .option("path", dir.toString).option("mode", "changelog").load()
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    def counts() = spark.read.parquet(outDir)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      q.processAllAvailable()
+      val live = nation.filter("n_regionkey <= 1")
+      assert(counts() == Map("insert" -> live.count()), counts())
+      // a row-level DELETE commit streams as delete rows — the exact
+      // window the append-only mode refuses
+      IcebergMaintenance.deleteWhere(spark, dir,
+        "n_nationkey % 2 = 1", () => 2000L)
+      q.processAllAvailable()
+      val odd = live.filter("n_nationkey % 2 = 1").count()
+      assert(counts() == Map("insert" -> live.count(), "delete" -> odd),
+        counts())
+      // a plain append still streams as inserts
+      IcebergLocal.append(dir, partFiles(nation.filter("n_regionkey = 2")),
+        3000L, schema = Some(nation.schema))
+      q.processAllAvailable()
+      assert(counts() == Map(
+        "insert" -> nation.filter("n_regionkey <= 2").count(),
+        "delete" -> odd), counts())
+    } finally q.stop()
+    // unknown mode refuses at load
+    val e = intercept[Exception](spark.readStream
+      .format("graft-iceberg-stream").option("path", dir.toString)
+      .option("mode", "net").load())
+    assert(e.getMessage.contains("'append' or 'changelog'"))
+  }
+
   test("iceberg changelog stream: max-snapshots-per-trigger bounds catch-up batches") {
     import graft.sources.iceberg._
     import java.nio.file.Files
