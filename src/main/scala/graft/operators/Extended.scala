@@ -688,10 +688,13 @@ object Extended {
     // named targets — changelog cost tracks churn, not table size.
     GraftQuery("q_iceberg_changes",
       """SELECT n_nationkey, n_name, n_regionkey,
-        |       'insert' AS _change_type
+        |       'insert' AS _change_type,
+        |       CAST(0 AS INTEGER) AS _change_ordinal,
+        |       CAST(2 AS BIGINT) AS _commit_snapshot_id
         |FROM nation WHERE n_regionkey = 2
         |UNION ALL
-        |SELECT n_nationkey, n_name, n_regionkey, 'delete'
+        |SELECT n_nationkey, n_name, n_regionkey, 'delete',
+        |       CAST(1 AS INTEGER), CAST(3 AS BIGINT)
         |FROM nation WHERE n_regionkey <= 2 AND n_nationkey % 2 = 1"""
         .stripMargin) { (s, dir) =>
       import graft.sources.iceberg._

@@ -798,40 +798,96 @@ object IcebergRest {
             meta.snapshots.map(_.snapshotId).sorted.mkString(", ")})"))
     val to = toSnapshotId.map(snapOf).getOrElse(
       meta.snapshots.maxBy(_.snapshotId))
-    val toScan = IcebergManifests.scanFiles(spark, to.manifestList)
-    val fromScan =
-      if (fromSnapshotId == 0L) IcebergScanFiles(Nil, Nil)
-      else IcebergManifests.scanFiles(
-        spark, snapOf(fromSnapshotId).manifestList)
-    val fromPaths = fromScan.dataFiles.map(_._1).toSet
-    val removed = fromPaths -- toScan.dataFiles.map(_._1).toSet
-    if (removed.nonEmpty) throw new IllegalArgumentException(
-      s"changelog read ($fromSnapshotId, ${to.snapshotId}]: the window " +
-        s"rewrites ${removed.size} file(s) (compaction/replace) — a " +
-        "rewrite is not a logical change; read a window that does not " +
-        "cross the rewrite")
-    val dataCols = meta.sparkSchema.map(_.fieldNames.toSeq).getOrElse(
-      spark.read.parquet(toScan.dataFiles.head._1).schema.fieldNames.toSeq)
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    // the window is DECOMPOSED PER SNAPSHOT along the lineage (walking
+    // parent-snapshot-id from `to` back to `from`), so every change row
+    // is attributed to the exact commit that made it: _change_ordinal
+    // is the commit's position in the window (0-based, oldest first),
+    // _commit_snapshot_id the snapshot — the spec changelog's columns.
+    // Per-segment planning costs one driver-side manifest walk per
+    // commit; the DATA scanned is still only each commit's added files
+    // and its deletes' named targets.
+    val lineage = Iterator.iterate(Option(to))(
+        _.flatMap(s => s.parentId.flatMap(byId.get)))
+      .takeWhile(_.isDefined).flatten
+      .takeWhile(s => s.snapshotId != fromSnapshotId).toSeq.reverse
+    if (fromSnapshotId != 0L && lineage.nonEmpty) {
+      snapOf(fromSnapshotId) // known id, loud otherwise
+      val reached = lineage.headOption.flatMap(_.parentId)
+        .contains(fromSnapshotId)
+      if (!reached) throw new IllegalArgumentException(
+        s"changelog read ($fromSnapshotId, ${to.snapshotId}]: " +
+          s"$fromSnapshotId is not on the published lineage of " +
+          s"${to.snapshotId} — the table was rolled back or the branch " +
+          "rewritten; reset the consumer to a lineage snapshot")
+    }
+    val dataColsSrc = meta.sparkSchema.map(_.fieldNames.toSeq)
+      .orElse(IcebergManifests.scanFiles(spark, to.manifestList)
+        .dataFiles.headOption.map(f =>
+          spark.read.parquet(f._1).schema.fieldNames.toSeq))
+      .getOrElse(throw new IllegalArgumentException(
+        "changelog read: table has no schema and no data files"))
     val emptyChanges = {
-      val st = meta.sparkSchema.getOrElse(
-        spark.read.parquet(toScan.dataFiles.head._1).schema)
-        .add("_change_type", org.apache.spark.sql.types.StringType,
-          nullable = false)
+      val st = changesSchema(meta.sparkSchema.getOrElse(
+        spark.read.parquet(IcebergManifests
+          .scanFiles(spark, to.manifestList).dataFiles.head._1).schema))
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), st)
     }
-    // INSERTS: the window's added data files
-    val addedData = toScan.dataFiles.map(_._1).filterNot(fromPaths)
+    var prevScan =
+      if (fromSnapshotId == 0L) IcebergScanFiles(Nil, Nil)
+      else IcebergManifests.scanFiles(
+        spark, snapOf(fromSnapshotId).manifestList)
+    val segments = lineage.zipWithIndex.flatMap { case (snap, ordinal) =>
+      val curScan = IcebergManifests.scanFiles(spark, snap.manifestList)
+      val out = segmentChanges(spark, meta, prevScan, curScan,
+        dataColsSrc, ordinal, snap.snapshotId, fromSnapshotId)
+      prevScan = curScan
+      out
+    }
+    segments.reduceOption(_ union _).getOrElse(emptyChanges)
+  }
+
+  /** The changelog output schema: the table's columns + the spec
+    * changelog metadata columns. */
+  def changesSchema(
+      base: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    base.add("_change_type", StringType, nullable = false)
+      .add("_change_ordinal", IntegerType, nullable = false)
+      .add("_commit_snapshot_id", LongType, nullable = false)
+  }
+
+  /** One commit's changes: inserts from its added data files, deletes
+    * from the rows its added delete files name. */
+  private def segmentChanges(spark: SparkSession, meta: IcebergTableMeta,
+      prevScan: IcebergScanFiles, curScan: IcebergScanFiles,
+      dataCols: Seq[String], ordinal: Int, snapshotId: Long,
+      fromSnapshotId: Long): Seq[DataFrame] = {
+    import spark.implicits._
+    def tagCols(changeType: String) =
+      dataCols.map(col) ++ Seq(
+        lit(changeType).as("_change_type"),
+        lit(ordinal).as("_change_ordinal"),
+        lit(snapshotId).as("_commit_snapshot_id"))
+    val prevPaths = prevScan.dataFiles.map(_._1).toSet
+    val removed = prevPaths -- curScan.dataFiles.map(_._1).toSet
+    if (removed.nonEmpty) throw new IllegalArgumentException(
+      s"changelog read: snapshot $snapshotId rewrites ${removed.size} " +
+        "file(s) (compaction/replace) — a rewrite is not a logical " +
+        "change; read a window that does not cross the rewrite")
+    // INSERTS: this commit's added data files
+    val addedData = curScan.dataFiles.map(_._1).filterNot(prevPaths)
     val inserts =
       if (addedData.isEmpty) None
-      else Some(spark.read.parquet(addedData: _*)
-        .select(dataCols.map(col) :+ lit("insert").as("_change_type"): _*))
-    // DELETES: rows named by the window's added delete files, read
+      else Some(spark.read.parquet(addedData: _*).select(tagCols("insert"): _*))
+    // DELETES: rows named by this commit's added delete files, read
     // back from their (still-live) target data files
-    val dataSeq = toScan.dataFiles.toDF("d_file", "d_seq")
+    val dataSeq = curScan.dataFiles.toDF("d_file", "d_seq")
       .withColumn("d_file", normPath(col("d_file")))
-    val newPosDel = toScan.positionDeletes.filterNot(
-      fromScan.positionDeletes.toSet)
+    val newPosDel = curScan.positionDeletes.filterNot(
+      prevScan.positionDeletes.toSet)
     val posDeleted =
       if (newPosDel.isEmpty) None
       else {
@@ -849,7 +905,7 @@ object IcebergRest {
         // materializes on the driver), never by row count.
         val targets = delRows.select("del_file").distinct()
           .as[String].collect().toSet
-        val targetFiles = toScan.dataFiles.filter(f =>
+        val targetFiles = curScan.dataFiles.filter(f =>
           targets.contains(normPathStr(f._1)))
         if (targetFiles.isEmpty) None
         else Some(spark.read.parquet(targetFiles.map(_._1): _*)
@@ -860,12 +916,11 @@ object IcebergRest {
             col("__graft_file") === col("del_file") &&
               col("__graft_pos") === col("del_pos") &&
               col("d_seq") <= col("del_seq"), "left_semi")
-          .select(dataCols.map(col) :+
-            lit("delete").as("_change_type"): _*))
+          .select(tagCols("delete"): _*))
       }
-    val fromEqPaths = fromScan.equalityDeletes.map(_.path).toSet
-    val newEqDel = toScan.equalityDeletes.filterNot(f =>
-      fromEqPaths(f.path))
+    val prevEqPaths = prevScan.equalityDeletes.map(_.path).toSet
+    val newEqDel = curScan.equalityDeletes.filterNot(f =>
+      prevEqPaths(f.path))
     val eqDeleted = newEqDel.groupBy(_.equalityIds).toSeq.flatMap {
       case (ids, files) =>
         val eqCols: Seq[String] = ids.map(id =>
@@ -874,7 +929,7 @@ object IcebergRest {
               s"equality delete references unknown field id $id")))
         val maxSeq = files.map(_.seq).max
         // only files the deletes' sequence can see (strict <)
-        val candidates = toScan.dataFiles.filter(_._2 < maxSeq)
+        val candidates = curScan.dataFiles.filter(_._2 < maxSeq)
         if (candidates.isEmpty) None
         else {
           val delSeq = files.map(f => (f.path, f.seq))
@@ -891,12 +946,10 @@ object IcebergRest {
             .withColumn("__graft_file", normPath(col("_metadata.file_path")))
             .join(broadcast(dataSeq), col("__graft_file") === col("d_file"))
             .join(broadcast(del), cond, "left_semi")
-            .select(dataCols.map(col) :+
-              lit("delete").as("_change_type"): _*))
+            .select(tagCols("delete"): _*))
         }
     }
-    (inserts.toSeq ++ posDeleted.toSeq ++ eqDeleted)
-      .reduceOption(_ union _).getOrElse(emptyChanges)
+    inserts.toSeq ++ posDeleted.toSeq ++ eqDeleted
   }
 
   /** Iceberg METADATA TABLES — the inspection surface real lakes query

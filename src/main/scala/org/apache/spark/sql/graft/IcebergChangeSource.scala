@@ -221,14 +221,12 @@ object IcebergChangeSource {
   def tableSchema(spark: SparkSession, tableDir: JPath): StructType =
     tableSchema(spark, LocalDir(tableDir))
 
-  /** The stream's schema for a mode: changelog appends `_change_type`. */
+  /** The stream's schema for a mode: changelog appends the spec CDC
+    * columns (`_change_type`, `_change_ordinal`, `_commit_snapshot_id`). */
   def streamSchema(spark: SparkSession, target: Target,
       changelog: Boolean): StructType = {
     val base = tableSchema(spark, target)
-    if (changelog)
-      base.add("_change_type", org.apache.spark.sql.types.StringType,
-        nullable = false)
-    else base
+    if (changelog) IcebergRest.changesSchema(base) else base
   }
 }
 

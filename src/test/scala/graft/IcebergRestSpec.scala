@@ -609,6 +609,14 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
       "delete" -> odd), changes(s1))
     // (s2, head]: a delete-only window — no inserts fabricated
     assert(changes(s2) == Map("delete" -> odd), changes(s2))
+    // every change row is attributed to its exact commit: the second
+    // append is ordinal 0 / snapshot 2 in the (s1, head] window, the
+    // delete commit ordinal 1 / snapshot 3 — the spec changelog columns
+    val attrib = IcebergRest.readChanges(spark, dir, s1)
+      .select("_change_type", "_change_ordinal", "_commit_snapshot_id")
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(attrib == Set(("insert", 0, 2L), ("delete", 1, 3L)), attrib)
     // the deleted rows carry their ORIGINAL column values
     val deleted = IcebergRest.readChanges(spark, dir, s2)
       .filter("_change_type = 'delete'")
