@@ -845,7 +845,38 @@ object IcebergRest {
       prevScan = curScan
       out
     }
-    segments.reduceOption(_ union _).getOrElse(emptyChanges)
+    val all = segments.reduceOption(_ union _).getOrElse(emptyChanges)
+    if (options.get("net").exists(_.toBoolean)) netChanges(all, dataColsSrc)
+    else all
+  }
+
+  /** `net=true` (the spec procedure's net_changes): collapse the
+    * window's churn to its NET effect per row content — a row inserted
+    * and deleted inside the window disappears, k extra copies of a
+    * duplicate row emit k net inserts. One hash aggregation keyed on
+    * the row content (the only shuffle in the changelog path, and only
+    * in net mode); the surviving rows carry the LAST contributing
+    * change's ordinal/snapshot so a consumer still knows when the net
+    * state was reached. */
+  private def netChanges(changes: DataFrame,
+      dataCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{abs => sqlAbs, explode, lit,
+      max_by, sequence, struct, sum, when}
+    changes
+      .groupBy(dataCols.map(col): _*)
+      .agg(
+        sum(when(col("_change_type") === "insert", 1).otherwise(-1))
+          .as("__net"),
+        max_by(struct(col("_change_ordinal"), col("_commit_snapshot_id")),
+          col("_change_ordinal")).as("__last"))
+      .where(col("__net") =!= 0)
+      .withColumn("__copy",
+        explode(sequence(lit(1), sqlAbs(col("__net")).cast("int"))))
+      .select(dataCols.map(col) ++ Seq(
+        when(col("__net") > 0, "insert").otherwise("delete")
+          .as("_change_type"),
+        col("__last._change_ordinal").as("_change_ordinal"),
+        col("__last._commit_snapshot_id").as("_commit_snapshot_id")): _*)
   }
 
   /** The changelog output schema: the table's columns + the spec

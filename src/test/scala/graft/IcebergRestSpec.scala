@@ -651,6 +651,43 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("readChanges"))
   }
 
+  test("net changelog: intra-window churn cancels, pre-window deletes survive") {
+    val dir = Files.createTempDirectory("ice-netch").resolve("t")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    def commit(pred: String, ts: Long): Long =
+      IcebergLocal.append(dir, partFiles(nation.filter(pred)), ts,
+        schema = Some(nation.schema))
+    val s1 = commit("n_regionkey = 0", 1000L) // A: pre-window
+    commit("n_regionkey = 1", 2000L)          // B: inserted in window
+    IcebergMaintenance.deleteWhere(spark, dir,
+      "n_nationkey % 2 = 1", () => 3000L)     // odds of A AND B deleted
+    val net = IcebergRest.readChanges(spark, dir, s1,
+      toSnapshotId = None, options = Map("net" -> "true"))
+    val counts = net.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bEven = nation
+      .filter("n_regionkey = 1 AND n_nationkey % 2 = 0").count()
+    val aOdd = nation
+      .filter("n_regionkey = 0 AND n_nationkey % 2 = 1").count()
+    // B's odd rows were inserted AND deleted inside the window — they
+    // cancel; B's evens net-insert; A's odds (pre-window) net-delete
+    assert(counts == Map("insert" -> bEven, "delete" -> aOdd), counts)
+    // net rows keep the LAST contributing change's attribution
+    val attrib = net.select("_change_type", "_change_ordinal",
+      "_commit_snapshot_id").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(attrib == Set(("insert", 0, 2L), ("delete", 1, 3L)), attrib)
+    // non-net on the same window shows both sides of the churn
+    val raw = IcebergRest.readChanges(spark, dir, s1)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bAll = nation.filter("n_regionkey = 1").count()
+    val oddAll = nation
+      .filter("n_regionkey <= 1 AND n_nationkey % 2 = 1").count()
+    assert(raw == Map("insert" -> bAll, "delete" -> oddAll), raw)
+  }
+
   test("per-ref retention overrides: min-keep beats age, max-ref-age expires the ref") {
     val dir = Files.createTempDirectory("ice-refret").resolve("t")
     def commit(i: Int, tag: Option[String] = None): Long =
