@@ -722,6 +722,51 @@ object Extended {
         .localCheckpoint(true)
     },
 
+    // NET changelog over the same window (the procedure's net_changes):
+    // rows both inserted AND deleted inside the window cancel — here
+    // the second append's odd rows — leaving its evens as net inserts
+    // and the FIRST commit's odds (pre-window content) as net deletes,
+    // each attributed to the last contributing change. One content-
+    // keyed hash aggregation on top of the churn-bounded changelog.
+    GraftQuery("q_iceberg_changes_net",
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |       'insert' AS _change_type,
+        |       CAST(0 AS INTEGER) AS _change_ordinal,
+        |       CAST(2 AS BIGINT) AS _commit_snapshot_id
+        |FROM nation WHERE n_regionkey = 2 AND n_nationkey % 2 = 0
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'delete',
+        |       CAST(1 AS INTEGER), CAST(3 AS BIGINT)
+        |FROM nation WHERE n_regionkey <= 1 AND n_nationkey % 2 = 1"""
+        .stripMargin) { (s, dir) =>
+      import graft.sources.iceberg._
+      // same cache key as q_iceberg_changes: whichever runs first
+      // builds, the other reuses (identical builder on purpose)
+      val (warehouse, s1) = cachedFixture("changes", dir) { wh =>
+        val tableDir = wh.resolve("nation")
+        val data = t(s, dir).nation
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        def files(df: org.apache.spark.sql.DataFrame, tag: String) = {
+          val out = java.nio.file.Files.createTempDirectory(s"graft_ch_$tag")
+          out.toFile.deleteOnExit()
+          df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+          IcebergMaintenance.parquetFileInfos(out)
+        }
+        val first = IcebergLocal.append(tableDir,
+          files(data.filter(col("n_regionkey") <= 1), "a"), 1000L,
+          schema = Some(data.schema))
+        IcebergLocal.append(tableDir,
+          files(data.filter(col("n_regionkey") === 2), "b"), 2000L,
+          schema = Some(data.schema))
+        IcebergMaintenance.deleteWhere(s, tableDir,
+          "n_nationkey % 2 = 1", () => 3000L)
+        first
+      }
+      IcebergRest.readChanges(s, warehouse.resolve("nation"), s1,
+        toSnapshotId = None, options = Map("net" -> "true"))
+        .localCheckpoint(true)
+    },
+
     // AGE-BASED EXPIRE with ref retention, pinned through the refs
     // metadata table: four commits, a tag on the second, then
     // expire_snapshots(older_than) — the pinned tag must survive a
