@@ -63,52 +63,66 @@ final class IcebergChangeSource(spark: SparkSession,
       * changelog read — so row-level DELETE/upsert commits stream as
       * first-class changes instead of failing the append-only tail.
       * The default append mode refuses delete windows loudly. */
-    changelog: Boolean = false) extends Source {
+    changelog: Boolean = false,
+    /** `branch`: the ref whose lineage this stream tails (default
+      * `main` — the published table). A write-audit-publish consumer
+      * can tail the audit branch itself: its commits stream as they
+      * land, while a `main` tail admits them only at publication. A
+      * ref that doesn't exist yet simply yields no offset (the stream
+      * idles until the first branch commit creates it). */
+    refName: String = "main",
+    /** `starting-snapshot-id` / `starting-timestamp`: the EXCLUSIVE
+      * floor a FRESH stream starts after — history at or before the
+      * floor is never admitted (Kafka's startingOffsets shape). Only
+      * consulted when no checkpoint exists; a restarted stream always
+      * resumes from its committed offset. */
+    startingSnapshotId: Option[Long] = None) extends Source {
 
   /** End of the last batch this source PLANNED (getBatch) — the point
     * the next capped window extends from. On restart Spark replays the
     * last checkpointed batch through getBatch BEFORE calling getOffset
     * (the V1 contract Kafka relies on for the same bookkeeping), so
     * this is always restored; when it is None the stream is genuinely
-    * fresh and the cap counts from the beginning of the lineage. */
+    * fresh and the floor/cap count from `startingSnapshotId` (or the
+    * beginning of the lineage). */
   @volatile private var lastPlannedEnd: Option[Long] = None
 
-  /** The published head: `main`'s snapshot, never an unpublished
-    * branch head (branch ids can exceed main's — max-snapshot would
-    * leak audit commits into the stream). */
-  private def mainHead: Option[Long] =
-    target.meta().flatMap(m =>
-      m.refs.get("main").map(_._2)
-        .orElse(m.currentSnapshotId.filter(_ >= 0)))
+  /** The tailed ref's head: `main` falls back to current-snapshot-id;
+    * a named branch that doesn't exist yet has no head (stream idles).
+    * Never a raw max-snapshot-id — unpublished OTHER-branch commits
+    * can exceed this ref's head and must not leak into the stream. */
+  private def refHead(m: IcebergTableMeta): Option[Long] =
+    m.refs.get(refName).map(_._2).orElse(
+      if (refName == "main") m.currentSnapshotId.filter(_ >= 0) else None)
 
-  override def getOffset: Option[Offset] = maxSnapshotsPerTrigger match {
-    case None => mainHead.map(LongOffset(_))
-    case Some(n) =>
-      target.meta().flatMap { m =>
-        val head = m.refs.get("main").map(_._2)
-          .orElse(m.currentSnapshotId.filter(_ >= 0))
-        head.map { h =>
-          // walk the PUBLISHED lineage head→past and stop the window n
-          // commits above the last planned end — the capped offset is
-          // always a real main-lineage snapshot, so the manifest diff
-          // plans exactly those commits' files
-          val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
-          val chain = Iterator.iterate(Option(h))(
-              _.flatMap(byId.get).flatMap(_.parentId))
-            .takeWhile(_.isDefined).flatten.toSeq
-          val pending = lastPlannedEnd match {
-            case Some(last) =>
-              val i = chain.indexOf(last)
-              if (i >= 0) chain.take(i) else chain
-            case None => chain
-          }
-          val capped =
-            if (pending.size <= n) h
-            else pending(pending.size - n)
-          LongOffset(capped)
+  override def getOffset: Option[Offset] =
+    target.meta().flatMap { m =>
+      refHead(m).map { h =>
+        val floor = lastPlannedEnd.orElse(startingSnapshotId)
+        maxSnapshotsPerTrigger match {
+          case None => LongOffset(h)
+          case Some(n) =>
+            // walk the ref's lineage head→past and stop the window n
+            // commits above the floor — the capped offset is always a
+            // real lineage snapshot, so the manifest diff plans
+            // exactly those commits' files
+            val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+            val chain = Iterator.iterate(Option(h))(
+                _.flatMap(byId.get).flatMap(_.parentId))
+              .takeWhile(_.isDefined).flatten.toSeq
+            val pending = floor match {
+              case Some(last) =>
+                val i = chain.indexOf(last)
+                if (i >= 0) chain.take(i) else chain
+              case None => chain
+            }
+            val capped =
+              if (pending.size <= n) h
+              else pending(pending.size - n)
+            LongOffset(capped)
         }
       }
-  }
+    }
 
   /** LongOffset's json is the plain number; checkpoint replay hands
     * back a SerializedOffset wrapping the same text. STRICT parse: a
@@ -130,7 +144,9 @@ final class IcebergChangeSource(spark: SparkSession,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(idOf).getOrElse(0L)
+    // a fresh stream (no checkpointed start) begins after the declared
+    // floor; a restarted one always resumes from its committed offset
+    val from = start.map(idOf).orElse(startingSnapshotId).getOrElse(0L)
     lastPlannedEnd = Some(idOf(end))
     if (changelog) {
       // the CDC window plan contains stream-side JOINS (deleted rows ⋈
@@ -237,7 +253,11 @@ object IcebergChangeSource {
   * `max-snapshots-per-trigger` caps each micro-batch at N published
   * commits (bounded catch-up after an outage or on first start);
   * `mode=changelog` streams CDC rows (+`_change_type`) so row-level
-  * delete/upsert commits are admitted instead of refused. */
+  * delete/upsert commits are admitted instead of refused;
+  * `branch` tails a named ref's lineage instead of `main` (a WAP
+  * auditor's view); `starting-snapshot-id` / `starting-timestamp`
+  * give a fresh stream an exclusive floor so it skips history
+  * (Kafka's startingOffsets shape — ignored once a checkpoint exists). */
 final class IcebergStreamProvider
     extends StreamSourceProvider with DataSourceRegister {
 
@@ -289,18 +309,49 @@ final class IcebergStreamProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     capOf(parameters) // validate at load(), not first trigger
+    if (parameters.contains("starting-snapshot-id") &&
+        parameters.contains("starting-timestamp"))
+      throw new IllegalArgumentException(
+        "options 'starting-snapshot-id' and 'starting-timestamp' are " +
+          "mutually exclusive")
     (shortName(), schema.getOrElse(IcebergChangeSource.streamSchema(
       sqlContext.sparkSession, targetOf(parameters), modeOf(parameters))))
   }
+
+  private def floorOf(target: IcebergChangeSource.Target,
+      refName: String, parameters: Map[String, String]): Option[Long] =
+    (parameters.get("starting-snapshot-id"),
+        parameters.get("starting-timestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "options 'starting-snapshot-id' and 'starting-timestamp' are " +
+          "mutually exclusive")
+      case (Some(id), None) => Some(id.trim.toLong)
+      case (None, Some(ts)) =>
+        // resolve ONCE at start: the newest lineage snapshot committed
+        // BEFORE the timestamp is the exclusive floor — the stream
+        // admits everything committed at or after it
+        val t = ts.trim.toLong
+        target.meta().flatMap { m =>
+          val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+          val head = m.refs.get(refName).map(_._2).orElse(
+            if (refName == "main") m.currentSnapshotId.filter(_ >= 0)
+            else None)
+          Iterator.iterate(head)(_.flatMap(byId.get).flatMap(_.parentId))
+            .takeWhile(_.isDefined).flatten
+            .find(id => byId.get(id).exists(_.timestampMs < t))
+        }
+      case _ => None
+    }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val target = targetOf(parameters)
     val changelog = modeOf(parameters)
+    val ref = parameters.getOrElse("branch", "main")
     new IcebergChangeSource(sqlContext.sparkSession, target,
       schema.getOrElse(IcebergChangeSource.streamSchema(
         sqlContext.sparkSession, target, changelog)),
-      capOf(parameters), changelog)
+      capOf(parameters), changelog, ref, floorOf(target, ref, parameters))
   }
 }

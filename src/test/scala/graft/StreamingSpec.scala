@@ -807,6 +807,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("'append' or 'changelog'"))
   }
 
+  test("iceberg stream: branch tail and starting floors") {
+    import graft.sources.iceberg._
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("ice-branchtail").resolve("nation")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    def partFiles(df: org.apache.spark.sql.DataFrame) = {
+      val out = Files.createTempDirectory("ice-bt-data")
+      val n = df.count()
+      df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      Files.list(out).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+        .map(p => IcebergLocal.DataFileInfo(p.toUri.toString, n,
+          Files.size(p)))
+    }
+    def commit(pred: String, ts: Long, branch: Option[String] = None): Long =
+      IcebergLocal.append(dir, partFiles(nation.filter(pred)), ts,
+        schema = Some(nation.schema), branch = branch)
+    def n(pred: String) = nation.filter(pred).count()
+    commit("n_regionkey = 0", 1000L)                    // main
+    commit("n_regionkey = 1", 2000L, Some("audit"))     // branch
+    commit("n_regionkey = 2", 3000L, Some("audit"))     // branch
+    // BRANCH tail: the audit consumer sees the staged commits main
+    // doesn't — branch lineage includes its fork point (main's s1)
+    val outB = Files.createTempDirectory("ice-bt-outb").toString
+    val qB = spark.readStream.format("graft-iceberg-stream")
+      .option("path", dir.toString).option("branch", "audit").load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outB)
+      .option("checkpointLocation",
+        Files.createTempDirectory("ice-bt-ckptb").toString).start()
+    try {
+      qB.processAllAvailable()
+      assert(spark.read.parquet(outB).count() == n("n_regionkey <= 2"),
+        "branch tail missed staged commits")
+    } finally qB.stop()
+    // meanwhile a MAIN tail still sees only the published commit
+    val outM = Files.createTempDirectory("ice-bt-outm").toString
+    val qM = spark.readStream.format("graft-iceberg-stream")
+      .option("path", dir.toString).load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outM)
+      .option("checkpointLocation",
+        Files.createTempDirectory("ice-bt-ckptm").toString).start()
+    try {
+      qM.processAllAvailable()
+      assert(spark.read.parquet(outM).count() == n("n_regionkey = 0"),
+        "main tail leaked branch commits")
+    } finally qM.stop()
+    // STARTING FLOOR: a fresh main stream commits more history first
+    commit("n_regionkey = 3", 4000L)
+    commit("n_regionkey = 4", 5000L)
+    // starting-snapshot-id=4: only the 5000 ms commit is admitted
+    val outF = Files.createTempDirectory("ice-bt-outf").toString
+    val qF = spark.readStream.format("graft-iceberg-stream")
+      .option("path", dir.toString)
+      .option("starting-snapshot-id", "4").load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outF)
+      .option("checkpointLocation",
+        Files.createTempDirectory("ice-bt-ckptf").toString).start()
+    try {
+      qF.processAllAvailable()
+      assert(spark.read.parquet(outF).count() == n("n_regionkey = 4"),
+        "starting-snapshot-id floor ignored")
+    } finally qF.stop()
+    // starting-timestamp resolves the same floor from a commit time
+    val outT = Files.createTempDirectory("ice-bt-outt").toString
+    val qT = spark.readStream.format("graft-iceberg-stream")
+      .option("path", dir.toString)
+      .option("starting-timestamp", "4500").load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outT)
+      .option("checkpointLocation",
+        Files.createTempDirectory("ice-bt-ckptt").toString).start()
+    try {
+      qT.processAllAvailable()
+      assert(spark.read.parquet(outT).count() == n("n_regionkey = 4"),
+        "starting-timestamp floor ignored")
+    } finally qT.stop()
+    // the two floor options are mutually exclusive — loud at load
+    val e = intercept[Exception](spark.readStream
+      .format("graft-iceberg-stream").option("path", dir.toString)
+      .option("starting-snapshot-id", "4")
+      .option("starting-timestamp", "4500").load())
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("iceberg changelog stream: max-snapshots-per-trigger bounds catch-up batches") {
     import graft.sources.iceberg._
     import java.nio.file.Files
