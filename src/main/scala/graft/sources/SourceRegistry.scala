@@ -161,21 +161,41 @@ final class SourceRegistry(spark: SparkSession) {
           src.options.get("version").map(SnapshotLog.ByVersion)
             .orElse(src.options.get("timestamp_ms")
               .map(ms => SnapshotLog.ByTimestamp(ms.toLong)))
-        // per-source options (fs.* credentials etc.) and declared schema
-        // apply to iceberg reads exactly as to file sources. LAZY by
-        // default when the session has graft extensions: the registered
-        // table is an [[graft.plans.IcebergScanPlan]] leaf, so each
-        // query's OWN pushed-down predicate prunes the file inventory
-        // at plan time (partition tuples + column bounds) — the
-        // reference provider's scan-time-filter shape. Falls back to
-        // the eager read (extension-less session, explicit `filter`
-        // option, fieldIdReads, empty snapshot).
-        graft.sources.iceberg.IcebergRest.readLazy(
-          spark, catalog, namespace, t.name, spec,
-          options = src.options, schema = t.declaredSchema)
-          .getOrElse(graft.sources.iceberg.IcebergRest.read(
-            spark, catalog, namespace, t.name, spec,
-            options = src.options, schema = t.declaredSchema))
+        // Iceberg's `$`-suffixed INSPECTION tables register like any
+        // other table: `path: orders$history` (or $snapshots/$refs/
+        // $files/$partitions) serves the metadata table under the
+        // config's clean view name, so `SELECT * FROM lake_history`
+        // answers lineage questions with zero data I/O. The remote
+        // table name defaults to the view name when no path is given.
+        val remote = t.path.getOrElse(t.name)
+        val metaSplit = remote.lastIndexOf('$')
+        if (metaSplit > 0) {
+          val (tbl, kind) =
+            (remote.substring(0, metaSplit), remote.substring(metaSplit + 1))
+          val known = Set("snapshots", "history", "refs", "files",
+            "partitions")
+          if (!known(kind)) throw new IllegalArgumentException(
+            s"unknown Iceberg inspection table '$$$kind' on $remote " +
+              s"(have ${known.toSeq.sorted.mkString(", ")})")
+          graft.sources.iceberg.IcebergRest.metaTable(
+            spark, catalog, namespace, tbl, kind, spec)
+        } else {
+          // per-source options (fs.* credentials etc.) and declared schema
+          // apply to iceberg reads exactly as to file sources. LAZY by
+          // default when the session has graft extensions: the registered
+          // table is an [[graft.plans.IcebergScanPlan]] leaf, so each
+          // query's OWN pushed-down predicate prunes the file inventory
+          // at plan time (partition tuples + column bounds) — the
+          // reference provider's scan-time-filter shape. Falls back to
+          // the eager read (extension-less session, explicit `filter`
+          // option, fieldIdReads, empty snapshot).
+          graft.sources.iceberg.IcebergRest.readLazy(
+            spark, catalog, namespace, remote, spec,
+            options = src.options, schema = t.declaredSchema)
+            .getOrElse(graft.sources.iceberg.IcebergRest.read(
+              spark, catalog, namespace, remote, spec,
+              options = src.options, schema = t.declaredSchema))
+        }
       case "rest" =>
         val r = spark.read.format("graft.sources.rest.RestDataSource")
           .option("baseUrl", src.url.getOrElse(

@@ -1340,6 +1340,30 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() ==
       spark.read.parquet(s"$sf/nation.parquet")
         .filter("n_regionkey < 2").count())
+    // `$`-suffixed inspection tables register like data tables: the
+    // clean view name serves the metadata table (`path` carries the
+    // Iceberg `table$kind` spelling), zero data I/O behind it
+    new SourceRegistry(spark).registerAll(SourcesConfig(Seq(
+      SourceDef(name = "lake", sourceType = "iceberg_rest",
+        url = Some(s"http://127.0.0.1:$port"),
+        options = Map("namespace" -> "analytics"),
+        tables = Seq(
+          TableDef(name = "nation_history", path = Some("nation$history")),
+          TableDef(name = "nation_refs", path = Some("nation$refs")))))))
+    val hist = spark.sql(
+      "SELECT snapshot_id FROM lake_nation_history WHERE is_current")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hist.size == 1, s"history is_current rows: $hist")
+    assert(spark.table("lake_nation_refs")
+      .filter("name = 'main'").count() == 1)
+    // unknown inspection suffix: loud at registration
+    val e = intercept[IllegalArgumentException](
+      new SourceRegistry(spark).registerAll(SourcesConfig(Seq(
+        SourceDef(name = "lake", sourceType = "iceberg_rest",
+          url = Some(s"http://127.0.0.1:$port"),
+          options = Map("namespace" -> "analytics"),
+          tables = Seq(TableDef(name = "bad", path = Some("nation$nope"))))))))
+    assert(e.getMessage.contains("unknown Iceberg inspection table"))
   }
 
   private def metadataVersions(dir: JPath): Seq[Long] = {
