@@ -1364,6 +1364,12 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
           options = Map("namespace" -> "analytics"),
           tables = Seq(TableDef(name = "bad", path = Some("nation$nope"))))))))
     assert(e.getMessage.contains("unknown Iceberg inspection table"))
+    // the session is SHARED across suites: drop this test's views so
+    // later catalog-discovery assertions (Flight/HTTP edges listing
+    // `nation%`) see only the tpch tables
+    Seq("nation_history", "nation_refs", "lake_nation_history",
+      "lake_nation_refs").foreach(v =>
+      spark.catalog.dropTempView(v))
   }
 
   private def metadataVersions(dir: JPath): Seq[Long] = {
