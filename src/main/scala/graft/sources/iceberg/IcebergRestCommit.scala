@@ -47,7 +47,26 @@ object IcebergRestCommit {
         * CAS asserts the BRANCH ref (or, for a fresh branch, that main
         * is still at the observed fork point — a stale fork would
         * silently miss rows). */
-      branch: Option[String] = None): Long = {
+      branch: Option[String] = None,
+      /** REPLACE commit (compaction): the new manifest list carries
+        * ONLY `files` — prior manifests are not carried forward and
+        * the summary operation is `replace`. Callers that rewrite live
+        * state MUST pass maxRetries = 0: a CAS loss means the table
+        * moved under the rewrite, and re-preparing the same stale
+        * files would silently drop the racer's rows. */
+      replace: Boolean = false,
+      /** When set, the CAS asserts main at THIS id instead of the head
+        * loaded at commit time — for commits whose FILES were computed
+        * against an earlier observation (compaction: the rewrite read
+        * head H; a commit landing between the rewrite and this call
+        * must 409, not be silently overwritten by stale files). */
+      assertMainAt: Option[Long] = None): Long = {
+    require(!(replace && branch.isDefined),
+      "replace commits target main; audit a compaction by running it " +
+        "after publish, not on a branch")
+    require(!replace || maxRetries == 0,
+      "a replace (compaction) commit must not CAS-retry: the rewritten " +
+        "files are stale once the table moves — pass maxRetries = 0")
     var attempt = 0
     while (true) {
       val prior = catalog.loadTable(namespace, table)
@@ -74,7 +93,7 @@ object IcebergRestCommit {
       val specId = partitionSpec
         .map(IcebergLocal.resolveSpecId(Some(prior), _)).getOrElse(0)
       val listPath = IcebergLocal.writeSnapshotFiles(tableDir, Some(prior),
-        files, snapId, replace = false, partitionSpec, schema, uniq,
+        files, snapId, replace = replace, partitionSpec, schema, uniq,
         specId = specId, parentId = parentOpt)
       val tagUpd = tag.map(t =>
         s""",{"action":"set-snapshot-ref","ref-name":"$t","type":"tag",""" +
@@ -110,7 +129,8 @@ object IcebergRestCommit {
       // silently drop the rows the move published)
       val requirement = branch match {
         case None =>
-          val j = mainHead.map(_.toString).getOrElse("null")
+          val j = assertMainAt.orElse(mainHead)
+            .map(_.toString).getOrElse("null")
           s"""{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$j}"""
         case Some(b) if branchHead.isDefined =>
           s"""{"type":"assert-ref-snapshot-id","ref":"$b","snapshot-id":${branchHead.get}}"""
@@ -128,14 +148,19 @@ object IcebergRestCommit {
            |    "snapshot-id":$snapId,"sequence-number":$snapId,
            |    $parentField"timestamp-ms":$timestampMs,
            |    "manifest-list":"${listPath.toUri}",
-           |    "schema-id":0,"summary":{"operation":"append"}}},
+           |    "schema-id":0,"summary":{"operation":"${if (replace) "replace" else "append"}"}}},
            |  {"action":"set-snapshot-ref","ref-name":"$targetRef","type":"branch",
            |   "snapshot-id":$snapId}$tagUpd]}""".stripMargin
       try {
         catalog.commitTable(namespace, table, body)
         return snapId
       } catch {
-        case _: IcebergCommitConflict =>
+        case e: IcebergCommitConflict =>
+          // maxRetries = 0 marks a DELIBERATE no-retry commit (replace/
+          // compaction — the prepared files are stale once the table
+          // moved): surface the conflict itself for the caller to
+          // re-decide, never a "raise maxRetries" hint
+          if (maxRetries == 0) throw e
           attempt += 1
           if (attempt > maxRetries) throw new IllegalStateException(
             s"commit of $namespace.$table lost the CAS race $maxRetries " +
@@ -322,6 +347,41 @@ object IcebergRestCommit {
          |   "snapshot-id":$target$tsField}]}""".stripMargin
     catalog.commitTable(namespace, table, body)
     target
+  }
+
+  /** COMPACTION through the catalog — rewrite_data_files on a
+    * catalog-served table: read the current state through the catalog
+    * (merge-on-read deletes applied), rewrite it as fresh parquet under
+    * the table's shared storage, and commit a REPLACE snapshot through
+    * the commit protocol, gated by `assert-ref-snapshot-id(main == the
+    * head that was rewritten)`. Deliberately NOT CAS-retried: a racing
+    * commit means the rewrite is stale — re-publishing it would
+    * silently drop the racer's rows; the conflict propagates for the
+    * operator to re-run. History stays travelable; the new head reads
+    * with zero delete joins. Returns the REPLACE snapshot id. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      catalog: IcebergRestCatalog, namespace: String, table: String,
+      tableDir: JPath,
+      timestampMs: Long = System.currentTimeMillis()): Long = {
+    val prior = catalog.loadTable(namespace, table)
+    val head = prior.refs.get("main").map(_._2)
+      .orElse(prior.currentSnapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"$namespace.$table has no published snapshot to compact"))
+    // the rewrite reads AT the observed head (pinned snapshot), and the
+    // commit below CAS-asserts main is still there — one consistent cut
+    val df = IcebergRest.read(spark, catalog, namespace, table,
+      Some(graft.sources.SnapshotLog.ByVersion(head.toString)))
+    val next = prior.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val outDir = tableDir.resolve("data").resolve(f"rest-compact-$next%05d")
+    df.write.mode("overwrite").parquet(outDir.toString)
+    val files = IcebergMaintenance.parquetFileInfos(outDir)
+    // the CAS pins main at the head the REWRITE read (not the head at
+    // commit time): a commit landing during the rewrite 409s instead
+    // of being silently overwritten by the stale files
+    append(catalog, namespace, table, tableDir, files, timestampMs,
+      tag = Some(s"compacted-$next"), schema = Some(df.schema),
+      maxRetries = 0, replace = true, assertMainAt = Some(head))
   }
 
   /** Snapshot EXPIRY through the catalog — age/ref-aware retention as

@@ -718,6 +718,61 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(countVia(dir) == before, "ref-aware expire changed the rows")
   }
 
+  test("compaction through the REST commit protocol; stale rewrite 409s") {
+    val root = Files.createTempDirectory("ice-restcompact")
+    val dir = root.resolve("t")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    IcebergLocal.append(dir, partFiles(nation.filter("n_regionkey <= 1")),
+      timestampMs = 1000L, schema = Some(nation.schema))
+    val server = new IcebergLocal.CatalogServer(root, "lake")
+    val port = server.start()
+    try {
+      val cat = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+      // MoR debt to compact away: a row-level delete
+      IcebergMaintenance.deleteWhere(spark, dir,
+        "n_nationkey % 2 = 1", () => 2000L)
+      val live = nation
+        .filter("n_regionkey <= 1 AND n_nationkey % 2 = 0").count()
+      val compacted = IcebergRestCommit.compact(spark, cat, "lake", "t",
+        dir, timestampMs = 3000L)
+      val m = cat.loadTable("lake", "t")
+      assert(m.refs("main")._2 == compacted)
+      assert(m.refs.exists(r => r._2 == ("tag", compacted)), m.refs)
+      // reads unchanged, and the new head carries ZERO delete files
+      assert(IcebergRest.read(spark, cat, "lake", "t").count() == live)
+      val headScan = IcebergManifests.scanFiles(spark,
+        m.snapshots.find(_.snapshotId == compacted).get.manifestList)
+      assert(headScan.positionDeletes.isEmpty &&
+        headScan.equalityDeletes.isEmpty,
+        "REPLACE head still carries delete files")
+      // pre-compaction history stays travelable (deletes applied)
+      assert(IcebergRest.read(spark, cat, "lake", "t",
+        Some(graft.sources.SnapshotLog.ByVersion("2"))).count() == live)
+      // a STALE compaction (computed against head H, another commit
+      // landed) must 409, never silently drop the racer's rows: replay
+      // the same replace body against the moved table
+      IcebergRestCommit.append(cat, "lake", "t", dir,
+        partFiles(nation.filter("n_regionkey = 2")), 4000L)
+      val staleReplace =
+        s"""{"requirements":[
+           |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$compacted}],
+           | "updates":[
+           |  {"action":"add-snapshot","snapshot":{"snapshot-id":99,
+           |   "sequence-number":99,"timestamp-ms":5000,
+           |   "manifest-list":"file:///stale","schema-id":0,
+           |   "summary":{"operation":"replace"}}},
+           |  {"action":"set-snapshot-ref","ref-name":"main","type":"branch",
+           |   "snapshot-id":99}]}""".stripMargin
+      intercept[IcebergCommitConflict](
+        cat.commitTable("lake", "t", staleReplace))
+    } finally {
+      server.stop()
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("snapshot expiry through the REST commit protocol") {
     val root = Files.createTempDirectory("ice-restexpire")
     val dir = root.resolve("t")
