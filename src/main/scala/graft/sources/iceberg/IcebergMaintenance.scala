@@ -71,10 +71,27 @@ object IcebergMaintenance {
       cols: Seq[String], files: Int,
       clock: () => Long = () => System.currentTimeMillis(),
       retainLast: Option[Int] = None): Long = {
+    val df = IcebergRest.readLocal(spark, tableDir)
+    // maxOption: a REST-created table exists with ZERO snapshots
+    val next = IcebergLocal.currentMetadata(tableDir)
+      .flatMap(_.snapshots.map(_.snapshotId).maxOption).getOrElse(0L) + 1
+    val outDir = tableDir.resolve("data").resolve(f"zorder-$next%05d")
+    val infos = zOrderRewrite(df, cols, files, outDir)
+    IcebergLocal.append(tableDir, infos, clock(),
+      tag = Some(s"zordered-$next"), retainLast = retainLast,
+      schema = Some(df.schema), replace = true)
+  }
+
+  /** The Z-ORDER rewrite core, shared by the local and the
+    * catalog-routed compaction: write `df` z-clustered on `cols` into
+    * `files` files under `outDir`, return their footer-derived infos
+    * (bounds included, so the pruner sees the clustering). */
+  private[iceberg] def zOrderRewrite(
+      df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      files: Int, outDir: JPath): Seq[IcebergLocal.DataFileInfo] = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty && cols.size <= 4, "zorder takes 1..4 columns")
     require(files > 0, "files must be positive")
-    val df = IcebergRest.readLocal(spark, tableDir)
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
@@ -109,20 +126,13 @@ object IcebergMaintenance {
         case (c, ci) =>
           shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * k + ci)
       }).reduce(_.bitwiseOR(_))
-    // maxOption: a REST-created table exists with ZERO snapshots
-    val next = IcebergLocal.currentMetadata(tableDir)
-      .flatMap(_.snapshots.map(_.snapshotId).maxOption).getOrElse(0L) + 1
-    val outDir = tableDir.resolve("data").resolve(f"zorder-$next%05d")
     df.withColumn("__graft_z", z)
       .repartitionByRange(files, org.apache.spark.sql.functions.col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
       .write.mode("overwrite").parquet(outDir.toString)
-    val infos = IcebergPartitioned.listParquetDeep(outDir)
+    IcebergPartitioned.listParquetDeep(outDir)
       .map(p => IcebergPartitioned.fileInfo(p, df.schema, Nil))
-    IcebergLocal.append(tableDir, infos, clock(),
-      tag = Some(s"zordered-$next"), retainLast = retainLast,
-      schema = Some(df.schema), replace = true)
   }
 
   /** POSITION-DELETE compaction — Iceberg's `rewrite_position_deletes`,

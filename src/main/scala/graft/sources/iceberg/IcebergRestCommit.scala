@@ -384,6 +384,30 @@ object IcebergRestCommit {
       maxRetries = 0, replace = true, assertMainAt = Some(head))
   }
 
+  /** Z-ORDER compaction through the catalog — rewrite_data_files
+    * (strategy => 'sort', sort_order => 'zorder(...)') on a
+    * catalog-served table: the same pinned-head read, Morton-curve
+    * rewrite ([[IcebergMaintenance.zOrderRewrite]]), and no-retry
+    * REPLACE commit as [[compact]]. Returns the snapshot id. */
+  def compactZOrder(spark: org.apache.spark.sql.SparkSession,
+      catalog: IcebergRestCatalog, namespace: String, table: String,
+      tableDir: JPath, cols: Seq[String], files: Int,
+      timestampMs: Long = System.currentTimeMillis()): Long = {
+    val prior = catalog.loadTable(namespace, table)
+    val head = prior.refs.get("main").map(_._2)
+      .orElse(prior.currentSnapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"$namespace.$table has no published snapshot to compact"))
+    val df = IcebergRest.read(spark, catalog, namespace, table,
+      Some(graft.sources.SnapshotLog.ByVersion(head.toString)))
+    val next = prior.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val outDir = tableDir.resolve("data").resolve(f"rest-zorder-$next%05d")
+    val infos = IcebergMaintenance.zOrderRewrite(df, cols, files, outDir)
+    append(catalog, namespace, table, tableDir, infos, timestampMs,
+      tag = Some(s"zordered-$next"), schema = Some(df.schema),
+      maxRetries = 0, replace = true, assertMainAt = Some(head))
+  }
+
   /** Snapshot EXPIRY through the catalog — age/ref-aware retention as
     * one CommitTableRequest: the client plans the sweep from the
     * loaded metadata ([[IcebergLocal.expirePlan]] — per-ref

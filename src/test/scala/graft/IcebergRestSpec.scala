@@ -749,6 +749,17 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
       // pre-compaction history stays travelable (deletes applied)
       assert(IcebergRest.read(spark, cat, "lake", "t",
         Some(graft.sources.SnapshotLog.ByVersion("2"))).count() == live)
+      // Z-ORDER compaction rides the same route: clustered rewrite,
+      // REPLACE commit, reads unchanged, bounded file count
+      val zed = IcebergRestCommit.compactZOrder(spark, cat, "lake", "t",
+        dir, cols = Seq("n_nationkey", "n_regionkey"), files = 2,
+        timestampMs = 3500L)
+      assert(cat.loadTable("lake", "t").refs("main")._2 == zed)
+      assert(IcebergRest.read(spark, cat, "lake", "t").count() == live)
+      val zScan = IcebergManifests.scanFiles(spark,
+        cat.loadTable("lake", "t").snapshots
+          .find(_.snapshotId == zed).get.manifestList)
+      assert(zScan.dataFiles.size <= 2, s"${zScan.dataFiles.size} files")
       // a STALE compaction (computed against head H, another commit
       // landed) must 409, never silently drop the racer's rows: replay
       // the same replace body against the moved table
