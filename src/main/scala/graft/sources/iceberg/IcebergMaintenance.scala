@@ -166,12 +166,29 @@ object IcebergMaintenance {
       clock: () => Long = () => System.currentTimeMillis(),
       targetFiles: Int = 1,
       retainLast: Option[Int] = None): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     val meta = IcebergLocal.currentMetadata(tableDir).getOrElse(
       throw new IllegalArgumentException(s"no committed table at $tableDir"))
+    val next = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val outDir = tableDir.resolve("data").resolve(f"posdel-rw-$next%05d")
+    val files = posDelRewriteFiles(spark, meta, outDir, targetFiles)
+    if (files.isEmpty) return -1L
+    IcebergLocal.append(tableDir, files, clock(),
+      tag = Some(s"posdel-rewritten-$next"), retainLast = retainLast,
+      dropPositionDeletes = true)
+  }
+
+  /** The position-delete MERGE core, shared by the local and the
+    * catalog-routed rewrite: dedupe every live position-delete row
+    * (dropping rows whose target file no longer exists) into
+    * `targetFiles` files under `outDir`; empty when the head carries
+    * no position deletes (caller no-ops). */
+  private[iceberg] def posDelRewriteFiles(spark: SparkSession,
+      meta: IcebergTableMeta, outDir: JPath,
+      targetFiles: Int): Seq[IcebergLocal.DataFileInfo] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val snap = IcebergMetadata.select(meta, None)
     val scan = IcebergManifests.scanFiles(spark, snap.manifestList)
-    if (scan.positionDeletes.isEmpty) return -1L
+    if (scan.positionDeletes.isEmpty) return Nil
     // path forms differ by writer: Spark's _metadata.file_path (what
     // deleteWhere records) renders file URIs as `file:/x`, manifests
     // carry `file:///x` — join on a NORMALIZED key, keep the original
@@ -189,15 +206,9 @@ object IcebergMaintenance {
       .join(broadcast(live), Seq("fp_norm"), "left_semi")
       .drop("fp_norm")
       .distinct()
-    val next = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val outDir = tableDir.resolve("data").resolve(f"posdel-rw-$next%05d")
     merged.coalesce(targetFiles).write.mode("overwrite")
       .parquet(outDir.toString)
-    val files = parquetFileInfos(outDir, content = 1)
-      .filter(_.recordCount > 0)
-    IcebergLocal.append(tableDir, files, clock(),
-      tag = Some(s"posdel-rewritten-$next"), retainLast = retainLast,
-      dropPositionDeletes = true)
+    parquetFileInfos(outDir, content = 1).filter(_.recordCount > 0)
   }
 
   /** Row-level DELETE: commit a positional-delete snapshot for every

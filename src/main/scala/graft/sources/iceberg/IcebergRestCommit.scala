@@ -60,13 +60,22 @@ object IcebergRestCommit {
         * against an earlier observation (compaction: the rewrite read
         * head H; a commit landing between the rewrite and this call
         * must 409, not be silently overwritten by stale files). */
-      assertMainAt: Option[Long] = None): Long = {
+      assertMainAt: Option[Long] = None,
+      /** rewrite-position-deletes commit shape (see
+        * [[IcebergLocal.writeSnapshotFiles]]): data + equality-delete
+        * lineage carried, carried position-delete files dropped,
+        * `files` are their merged replacement. A delete-side rewrite —
+        * same no-retry rule as `replace`. */
+      dropPositionDeletes: Boolean = false): Long = {
     require(!(replace && branch.isDefined),
       "replace commits target main; audit a compaction by running it " +
         "after publish, not on a branch")
-    require(!replace || maxRetries == 0,
-      "a replace (compaction) commit must not CAS-retry: the rewritten " +
-        "files are stale once the table moves — pass maxRetries = 0")
+    require(!((replace || dropPositionDeletes) && maxRetries != 0),
+      "a rewrite commit (replace / position-delete rewrite) must not " +
+        "CAS-retry: the rewritten files are stale once the table moves " +
+        "— pass maxRetries = 0")
+    require(!(dropPositionDeletes && branch.isDefined),
+      "position-delete rewrites target main")
     var attempt = 0
     while (true) {
       val prior = catalog.loadTable(namespace, table)
@@ -94,7 +103,8 @@ object IcebergRestCommit {
         .map(IcebergLocal.resolveSpecId(Some(prior), _)).getOrElse(0)
       val listPath = IcebergLocal.writeSnapshotFiles(tableDir, Some(prior),
         files, snapId, replace = replace, partitionSpec, schema, uniq,
-        specId = specId, parentId = parentOpt)
+        specId = specId, dropPositionDeletes = dropPositionDeletes,
+        parentId = parentOpt)
       val tagUpd = tag.map(t =>
         s""",{"action":"set-snapshot-ref","ref-name":"$t","type":"tag",""" +
           s""""snapshot-id":$snapId}""").getOrElse("")
@@ -148,7 +158,7 @@ object IcebergRestCommit {
            |    "snapshot-id":$snapId,"sequence-number":$snapId,
            |    $parentField"timestamp-ms":$timestampMs,
            |    "manifest-list":"${listPath.toUri}",
-           |    "schema-id":0,"summary":{"operation":"${if (replace) "replace" else "append"}"}}},
+           |    "schema-id":0,"summary":{"operation":"${if (replace || dropPositionDeletes) "replace" else "append"}"}}},
            |  {"action":"set-snapshot-ref","ref-name":"$targetRef","type":"branch",
            |   "snapshot-id":$snapId}$tagUpd]}""".stripMargin
       try {
@@ -382,6 +392,33 @@ object IcebergRestCommit {
     append(catalog, namespace, table, tableDir, files, timestampMs,
       tag = Some(s"compacted-$next"), schema = Some(df.schema),
       maxRetries = 0, replace = true, assertMainAt = Some(head))
+  }
+
+  /** POSITION-DELETE rewrite through the catalog —
+    * rewrite_position_deletes on a catalog-served table: merge/dedupe
+    * every live position-delete row (dropping rows whose target file is
+    * gone) into few files and commit the delete-side-only REPLACE
+    * shape (data + equality-delete lineage carried verbatim — zero
+    * data movement), gated by the same pinned-head CAS as [[compact]]
+    * and never retried. Returns the snapshot id, or -1 when the head
+    * carries no position deletes (no-op, no commit). */
+  def rewritePositionDeletes(spark: org.apache.spark.sql.SparkSession,
+      catalog: IcebergRestCatalog, namespace: String, table: String,
+      tableDir: JPath, targetFiles: Int = 1,
+      timestampMs: Long = System.currentTimeMillis()): Long = {
+    val prior = catalog.loadTable(namespace, table)
+    val head = prior.refs.get("main").map(_._2)
+      .orElse(prior.currentSnapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"$namespace.$table has no published snapshot"))
+    val next = prior.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val outDir = tableDir.resolve("data").resolve(f"rest-posdel-$next%05d")
+    val files = IcebergMaintenance.posDelRewriteFiles(
+      spark, prior, outDir, targetFiles)
+    if (files.isEmpty) return -1L
+    append(catalog, namespace, table, tableDir, files, timestampMs,
+      tag = Some(s"posdel-rewritten-$next"), maxRetries = 0,
+      assertMainAt = Some(head), dropPositionDeletes = true)
   }
 
   /** Z-ORDER compaction through the catalog — rewrite_data_files
