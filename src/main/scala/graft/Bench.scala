@@ -62,8 +62,37 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val selected = only.fold(SparkEntry.registry)(
       names => SparkEntry.registry.filter(q => names(q.name)))
+    // Contention immunization + adjudication telemetry (round-14
+    // verdict): localCheckpoint blocks accumulate across the 190+ row
+    // registry and the resulting executor-memory pressure elevated
+    // mid-registry corpus-scan rows 2-5× in two driver runs. Each row
+    // now (a) drops every persistent RDD it left behind before the
+    // next row starts, and (b) records its wall-clock start, run
+    // order, GC time/count delta, and post-row heap so a future slow
+    // row is adjudicable from the committed artifact alone.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcNow(): (Long, Long) = {
+      var cnt = 0L; var ms = 0L
+      gcBeans.forEach { b =>
+        cnt += math.max(0L, b.getCollectionCount)
+        ms += math.max(0L, b.getCollectionTime)
+      }
+      (cnt, ms)
+    }
+    def heapMb(): Long = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    def dropResidue(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    val telemetry =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val benchT0 = System.currentTimeMillis()
+    var runOrder = 0
     val measured = selected.map { q =>
       val n = if (Headline(q.name)) iters else 1
+      val startMs = System.currentTimeMillis() - benchT0
+      val (gcN0, gcMs0) = gcNow()
       // raw = ARRIVAL order (not sorted): the per-iteration trail is
       // emitted below so a one-off slow iteration is distinguishable
       // from a real regression without a re-run
@@ -88,6 +117,12 @@ object Bench {
           else first
         }
         catch { case _: Throwable => Seq(-1.0) }
+      dropResidue() // this row's checkpoints must not tax the next row
+      val (gcN1, gcMs1) = gcNow()
+      telemetry(q.name) =
+        s"""{"order":$runOrder,"start_ms":$startMs,"gc_ms":${
+          gcMs1 - gcMs0},"gc_n":${gcN1 - gcN0},"heap_mb":${heapMb()}}"""
+      runOrder += 1
       val sorted = raw.sorted
       (q.name, if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2), raw)
     }
@@ -137,6 +172,8 @@ object Bench {
     }.mkString("{\n", ",\n", "\n}")
     val medJson = results.map { case (k, v) => "  \"" + k + "\": " + fmt(v) }
       .mkString("{\n", ",\n", "\n}")
+    val telJson = telemetry.map { case (k, v) => "  \"" + k + "\": " + v }
+      .mkString("{\n", ",\n", "\n}")
     val full =
       s"""{
          |"sf": "$sfDir",
@@ -144,7 +181,8 @@ object Bench {
              results.filter(r => Headline(r._1)).map(_._2).filter(_ >= 0).sum)},
          |"total_sec": $totalR,
          |"medians": $medJson,
-         |"iters": $iterJson$chaosPart
+         |"iters": $iterJson,
+         |"telemetry": $telJson$chaosPart
          |}""".stripMargin
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -167,7 +167,12 @@ final class SourceRegistry(spark: SparkSession) {
         // config's clean view name, so `SELECT * FROM lake_history`
         // answers lineage questions with zero data I/O. The remote
         // table name defaults to the view name when no path is given.
-        val remote = t.path.getOrElse(t.name)
+        // `path` is honored ONLY when it names an inspection table
+        // (contains '$'): plain paths were historically IGNORED for
+        // iceberg sources, and a leftover `path` copy-pasted from a
+        // file-source stanza must not silently redirect the read to a
+        // different remote table.
+        val remote = t.path.filter(_.contains('$')).getOrElse(t.name)
         val metaSplit = remote.lastIndexOf('$')
         if (metaSplit > 0) {
           val (tbl, kind) =

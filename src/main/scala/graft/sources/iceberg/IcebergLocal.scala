@@ -1660,6 +1660,13 @@ object IcebergLocal {
       var schemaChanged = false
       var refMoved = false
       var snapshotsRemoved: Seq[Long] = Nil
+      // Manifest-list files of expired snapshots are reclaimed ONLY
+      // after the new metadata version lands: a later update in the
+      // same request can still reject the whole commit, and deleting
+      // inside the loop would leave the still-current metadata
+      // pointing at vanished files (IcebergLocal.expireSnapshots
+      // order: metadata first, then reclaim).
+      var pendingListDeletes: Seq[String] = Nil
       for (u <- IcebergJson.arr(req.get("updates"))) {
         u.path("action").asText() match {
           // schema EVOLUTION through the protocol: the client prepares
@@ -1889,11 +1896,8 @@ object IcebergLocal {
             logArr.removeAll()
             keptLog.foreach(e => logArr.add(
               e.deepCopy[com.fasterxml.jackson.databind.JsonNode]()))
-            removedLists.filter(_.nonEmpty).foreach { l =>
-              try Files.deleteIfExists(java.nio.file.Paths.get(
-                java.net.URI.create(l)))
-              catch { case _: IllegalArgumentException => () }
-            }
+            pendingListDeletes =
+              pendingListDeletes ++ removedLists.filter(_.nonEmpty)
             ()
           case other =>
             return Left(400 -> s"unsupported update '$other'")
@@ -1912,6 +1916,11 @@ object IcebergLocal {
         math.max(newSnapId, maxMetadataVersion(metaDir) + 1)
       val out = writeMetadataFile(metaDir, version,
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+      pendingListDeletes.foreach { l =>
+        try Files.deleteIfExists(java.nio.file.Paths.get(
+          java.net.URI.create(l)))
+        catch { case _: IllegalArgumentException => () }
+      }
       Right(out)
     }
 

@@ -704,6 +704,18 @@ object IcebergRest {
     readIncrementalMeta(spark, catalog.loadTable(namespace, table),
       fromSnapshotId, toSnapshotId, options)
 
+  /** Default window end for incremental/changelog reads: the MAIN ref
+    * head (falling back to the current pointer), never the raw max
+    * snapshot id — an unpublished WAP branch can own the highest id,
+    * and walking its lineage would leak audit commits as changes while
+    * silently dropping main commits after the fork point. Same rule
+    * IcebergChangeSource pins for the streaming path. */
+  private def mainHeadId(meta: IcebergTableMeta): Long =
+    meta.refs.get("main").map(_._2)
+      .orElse(meta.currentSnapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        "incremental read: table has no main ref or current snapshot"))
+
   private def readIncrementalMeta(spark: SparkSession,
       meta: IcebergTableMeta, fromSnapshotId: Long,
       toSnapshotId: Option[Long],
@@ -713,8 +725,7 @@ object IcebergRest {
         throw new IllegalArgumentException(
           s"snapshot $id not in table history (have ${
             meta.snapshots.map(_.snapshotId).sorted.mkString(", ")})"))
-    val to = toSnapshotId.map(snapOf).getOrElse(
-      meta.snapshots.maxBy(_.snapshotId))
+    val to = snapOf(toSnapshotId.getOrElse(mainHeadId(meta)))
     val toScan = IcebergManifests.scanFiles(spark, to.manifestList)
     val fromScan =
       if (fromSnapshotId == 0L) IcebergScanFiles(Nil, Nil)
@@ -796,8 +807,7 @@ object IcebergRest {
         throw new IllegalArgumentException(
           s"snapshot $id not in table history (have ${
             meta.snapshots.map(_.snapshotId).sorted.mkString(", ")})"))
-    val to = toSnapshotId.map(snapOf).getOrElse(
-      meta.snapshots.maxBy(_.snapshotId))
+    val to = snapOf(toSnapshotId.getOrElse(mainHeadId(meta)))
     val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
     // the window is DECOMPOSED PER SNAPSHOT along the lineage (walking
     // parent-snapshot-id from `to` back to `from`), so every change row

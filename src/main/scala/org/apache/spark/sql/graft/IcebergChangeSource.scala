@@ -113,7 +113,27 @@ final class IcebergChangeSource(spark: SparkSession,
             val pending = floor match {
               case Some(last) =>
                 val i = chain.indexOf(last)
-                if (i >= 0) chain.take(i) else chain
+                if (i >= 0) chain.take(i)
+                else if (chain.exists(_ <= last))
+                  // the floor is gone from the walkable lineage AND a
+                  // walkable commit sits at or below it: ids are
+                  // monotonic under this writer, so the ref was
+                  // REWRITTEN past the committed offset (rollback).
+                  // Falling back to the whole chain here would emit a
+                  // capped offset BELOW the committed one and replay
+                  // already-delivered rows — fail loudly instead, the
+                  // same refusal the batch lineage check makes.
+                  throw new IllegalStateException(
+                    s"$refName was rewritten below the stream's " +
+                      s"committed position $last (head $h): the " +
+                      "lineage no longer contains the committed " +
+                      "snapshot — reset the consumer to a lineage " +
+                      "snapshot")
+                else
+                  // floor EXPIRED (older than the oldest retained
+                  // snapshot — every retained commit is above it):
+                  // the whole walkable chain is genuinely pending
+                  chain
               case None => chain
             }
             val capped =
@@ -297,6 +317,17 @@ final class IcebergStreamProvider
       n
     }
 
+  /** Strict numeric parse for the starting-* options, with the option
+    * name in the error — same contract as max-snapshots-per-trigger. */
+  private def parseStartOption(name: String, v: String): Long = {
+    val n = try v.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$name must be a non-negative integer, got '$v'")
+    }
+    require(n >= 0, s"$name must be a non-negative integer, got $n")
+    n
+  }
+
   private def modeOf(parameters: Map[String, String]): Boolean =
     parameters.getOrElse("mode", "append") match {
       case "append" => false
@@ -314,6 +345,10 @@ final class IcebergStreamProvider
       throw new IllegalArgumentException(
         "options 'starting-snapshot-id' and 'starting-timestamp' are " +
           "mutually exclusive")
+    parameters.get("starting-snapshot-id")
+      .foreach(parseStartOption("starting-snapshot-id", _))
+    parameters.get("starting-timestamp")
+      .foreach(parseStartOption("starting-timestamp", _))
     (shortName(), schema.getOrElse(IcebergChangeSource.streamSchema(
       sqlContext.sparkSession, targetOf(parameters), modeOf(parameters))))
   }
@@ -325,12 +360,13 @@ final class IcebergStreamProvider
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
         "options 'starting-snapshot-id' and 'starting-timestamp' are " +
           "mutually exclusive")
-      case (Some(id), None) => Some(id.trim.toLong)
+      case (Some(id), None) =>
+        Some(parseStartOption("starting-snapshot-id", id))
       case (None, Some(ts)) =>
         // resolve ONCE at start: the newest lineage snapshot committed
         // BEFORE the timestamp is the exclusive floor — the stream
         // admits everything committed at or after it
-        val t = ts.trim.toLong
+        val t = parseStartOption("starting-timestamp", ts)
         target.meta().flatMap { m =>
           val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
           val head = m.refs.get(refName).map(_._2).orElse(
