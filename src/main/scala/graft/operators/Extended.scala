@@ -346,6 +346,61 @@ object Extended {
       s.read.orc(tmp)
     },
 
+    // SQLite round-trips: the engine WRITES a real .sqlite database
+    // file (sources/sqlite/SqliteWriter.scala — header, schema page,
+    // b-tree built bottom-up) and READS it back through the clean-room
+    // DSv2 format reader (SqliteFile/SqliteDataSource — b-tree walk,
+    // serial types, overflow chains, rowid-alias). Any byte-level slip
+    // in either direction breaks the hash vs the oracle on the
+    // original parquet; the asymmetric differential (fixtures built by
+    // a REAL SQLite, and written files opened by one) lives in
+    // SqliteSourceSpec. Reference connector: sql/sqlite.rs:30-195.
+    // The fixture build streams toLocalIterator (never .collect) —
+    // a .sqlite file is a single-stream artifact by design; this path
+    // is the format bridge, not a data-path operator.
+    GraftQuery("q_sqlite_scan",
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation""".stripMargin) { (s, dir) =>
+      import graft.sources.sqlite._
+      val db = java.nio.file.Paths.get(roundTripDir("sqlite"), "db.sqlite")
+      val rows = t(s, dir).nation
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .orderBy("n_nationkey").toLocalIterator()
+      SqliteWriter.write(db, "nation",
+        Seq("n_nationkey" -> "INTEGER PRIMARY KEY", "n_name" -> "TEXT",
+          "n_regionkey" -> "INTEGER"),
+        scala.jdk.CollectionConverters.IteratorHasAsScala(rows).asScala
+          .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getLong(2))))
+      s.read.format(classOf[SqliteDataSource].getName)
+        .option("path", db.toString).option("table", "nation").load()
+    },
+
+    // rowid-range pushdown through the correctness gate: the filter on
+    // the INTEGER PRIMARY KEY prunes the b-tree descent (pages read ∝
+    // selected range), and the surviving rows must still hash-match
+    // the oracle's BETWEEN on the original parquet.
+    GraftQuery("q_sqlite_pushdown",
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey BETWEEN 200 AND 900""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.sqlite._
+      val db = java.nio.file.Paths.get(roundTripDir("sqlite"), "cust.sqlite")
+      val rows = t(s, dir).customer
+        .select(col("c_custkey").cast("long"), col("c_name"),
+          col("c_acctbal").cast("double"), col("c_mktsegment"))
+        .orderBy("c_custkey").toLocalIterator()
+      SqliteWriter.write(db, "customer",
+        Seq("c_custkey" -> "INTEGER PRIMARY KEY", "c_name" -> "TEXT",
+          "c_acctbal" -> "REAL", "c_mktsegment" -> "TEXT"),
+        scala.jdk.CollectionConverters.IteratorHasAsScala(rows).asScala
+          .map(r => Seq[Any](r.getLong(0), r.getString(1),
+            r.getDouble(2), r.getString(3))))
+      s.read.format(classOf[SqliteDataSource].getName)
+        .option("path", db.toString).option("table", "customer").load()
+        .filter(col("c_custkey").between(200, 900))
+    },
+
     // Iceberg round-trip: WRITE the filtered table as two append-only
     // Iceberg snapshots (spec-shaped metadata JSON + Avro manifests,
     // sources/iceberg/IcebergLocal.scala), serve them over a live REST

@@ -201,6 +201,25 @@ final class SourceRegistry(spark: SparkSession) {
               spark, catalog, namespace, remote, spec,
               options = src.options, schema = t.declaredSchema))
         }
+      case "sqlite" =>
+        // first-class `.sqlite` FILE source — the clean-room format
+        // reader (sources/sqlite), no driver jar needed (reference
+        // sqlite.rs:30-195 registers the same tables via a driver
+        // pool). `url` is the database file (a `jdbc:sqlite:` prefix
+        // is tolerated so existing jdbc-style configs keep working);
+        // each table def reads the remote table of the same name.
+        val dbFile = src.url.map(_.stripPrefix("jdbc:sqlite:")).getOrElse(
+          throw new IllegalArgumentException(
+            s"sqlite source ${src.name} needs url (database file)"))
+        val r0 = spark.read
+          .format("graft.sources.sqlite.SqliteDataSource")
+          .option("path", dbFile)
+          .option("table", t.name)
+          .options(src.options)
+        (t.declaredSchema match {
+          case Some(sc) => r0.schema(sc)
+          case None => r0
+        }).load()
       case "rest" =>
         val r = spark.read.format("graft.sources.rest.RestDataSource")
           .option("baseUrl", src.url.getOrElse(

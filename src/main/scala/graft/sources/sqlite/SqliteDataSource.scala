@@ -1,0 +1,300 @@
+package graft.sources.sqlite
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 reader over a SQLite database FILE — `type: sqlite` in
+  * sources.yaml becomes first-class here instead of the jar-blocked
+  * generic-jdbc path (reference
+  * crates/connectors/src/sources/sql/sqlite.rs:30-195 registers the
+  * file's tables through a driver pool; this is the same user surface
+  * re-expressed as a clean-room format reader, see [[SqliteFile]]).
+  *
+  * Options:
+  *   path    the .sqlite/.db file (local or shared filesystem)
+  *   table   table name inside the database
+  *
+  * Pushdown:
+  *   - columns: only requested columns are DECODED from each record —
+  *     the serial-type header lets unreferenced values be skipped by
+  *     width without materializing.
+  *   - filters on the INTEGER PRIMARY KEY (rowid alias): =, <, <=, >,
+  *     >= prune the b-tree descent by interior keys — EXACT pushdown,
+  *     page reads proportional to the selected range.
+  *
+  * Scale: partitions = the root page's child subtrees (disjoint rowid
+  * ranges), so a large file scans in parallel; with a pushed rowid
+  * range, subtrees outside it are planned away entirely.
+  */
+class SqliteDataSource extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = SqliteOptions(options.asCaseSensitiveMap().asScala.toMap)
+    val db = new SqliteFile.Db(opts.path)
+    try SqliteDataSource.sparkSchema(SqliteFile.table(db, opts.table))
+    finally db.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SqliteTable(schema, SqliteOptions(properties.asScala.toMap))
+}
+
+object SqliteDataSource {
+  /** Affinity → Spark type. NUMERIC maps to DOUBLE (SQLite's flexible
+    * typing can store either ints or reals there; DOUBLE holds both —
+    * declare the column INTEGER/BIGINT when exact 64-bit range
+    * matters). */
+  def sparkType(affinity: String): DataType = affinity match {
+    case "INTEGER" => LongType
+    case "TEXT" => StringType
+    case "REAL" | "NUMERIC" => DoubleType
+    case _ => BinaryType
+  }
+
+  def sparkSchema(t: SqliteFile.TableDef): StructType = {
+    require(!t.withoutRowid,
+      s"table ${t.name} is WITHOUT ROWID (index b-tree layout) — " +
+        "not supported by this reader")
+    StructType(t.columns.map(c =>
+      StructField(c.name, sparkType(c.affinity),
+        nullable = !c.rowidAlias)))
+  }
+}
+
+final case class SqliteOptions(path: String, table: String)
+
+object SqliteOptions {
+  def apply(m: Map[String, String]): SqliteOptions = {
+    def req(k: String): String =
+      m.getOrElse(k, m.getOrElse(k.toLowerCase,
+        throw new IllegalArgumentException(s"sqlite source needs '$k'")))
+    SqliteOptions(req("path"), req("table"))
+  }
+}
+
+final class SqliteTable(schema: StructType, opts: SqliteOptions)
+    extends Table with SupportsRead {
+  override def name(): String = s"${opts.path}#${opts.table}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SqliteScanBuilder(schema, opts)
+}
+
+final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  // resolved once at planning: which column (if any) aliases the rowid
+  private lazy val tableDef: SqliteFile.TableDef = {
+    val db = new SqliteFile.Db(opts.path)
+    try SqliteFile.table(db, opts.table) finally db.close()
+  }
+  private def rowidCol: Option[String] =
+    tableDef.columns.find(_.rowidAlias).map(_.name)
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+  private var lo: Long = Long.MinValue
+  private var hi: Long = Long.MaxValue
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val rid = rowidCol
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    val (accepted, residual) = filters.partition {
+      case EqualTo(c, v) if rid.contains(c) && asLong(v).isDefined =>
+        val x = asLong(v).get; lo = math.max(lo, x); hi = math.min(hi, x)
+        true
+      case GreaterThan(c, v) if rid.contains(c) && asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get + 1); true
+      case GreaterThanOrEqual(c, v)
+          if rid.contains(c) && asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get); true
+      case LessThan(c, v) if rid.contains(c) && asLong(v).isDefined =>
+        hi = math.min(hi, asLong(v).get - 1); true
+      case LessThanOrEqual(c, v) if rid.contains(c) && asLong(v).isDefined =>
+        hi = math.min(hi, asLong(v).get); true
+      case IsNotNull(c) if rid.contains(c) => true // rowid is never null
+      case _ => false
+    }
+    pushed = accepted
+    // rowid-range pushdown is EXACT (the b-tree walk admits exactly
+    // [lo, hi]), so accepted filters need no re-evaluation in Spark
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SqliteScan(required, opts, tableDef, lo, hi)
+}
+
+final class SqliteScan(schema: StructType, opts: SqliteOptions,
+    t: SqliteFile.TableDef, lo: Long, hi: Long) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (lo > hi) return Array.empty
+    val db = new SqliteFile.Db(opts.path)
+    try {
+      if (SqliteFile.isLeaf(db, t.rootPage))
+        Array(SqlitePartition(opts, t.rootPage, lo, hi))
+      else {
+        // one partition per root subtree — disjoint rowid ranges, so
+        // no row is read twice; subtrees outside [lo, hi] are planned
+        // away here, before any executor touches a page
+        var lower = Long.MinValue
+        SqliteFile.interiorChildren(db, t.rootPage).flatMap {
+          case (child, maxKey) =>
+            val pLo = math.max(lo, lower)
+            val pHi = math.min(hi, maxKey)
+            lower = maxKey + 1
+            if (pLo <= pHi) Some(SqlitePartition(opts, child, pLo, pHi))
+            else None
+        }.toArray
+      }
+    } finally db.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SqliteReaderFactory(schema, t)
+
+  override def description(): String =
+    s"SqliteScan(${opts.path}#${t.name}, rowid=[${
+      if (lo == Long.MinValue) "-inf" else lo}, ${
+      if (hi == Long.MaxValue) "+inf" else hi}])"
+}
+
+final case class SqlitePartition(opts: SqliteOptions, page: Int,
+    lo: Long, hi: Long) extends InputPartition
+
+final class SqliteReaderFactory(schema: StructType, t: SqliteFile.TableDef)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SqlitePartitionReader(schema, t,
+      p.asInstanceOf[SqlitePartition])
+}
+
+final class SqlitePartitionReader(schema: StructType,
+    t: SqliteFile.TableDef, part: SqlitePartition)
+    extends PartitionReader[InternalRow] {
+
+  private val db = new SqliteFile.Db(part.opts.path)
+  // record column index → output slot (-1 = skip without decoding);
+  // the rowid alias column never decodes from the record (its slot is
+  // NULL on disk) — it fills from the b-tree rowid
+  private val want: Array[Int] = {
+    val slotOf = schema.fieldNames.zipWithIndex.toMap
+    t.columns.map { c =>
+      if (c.rowidAlias) -1 else slotOf.getOrElse(c.name, -1)
+    }.toArray
+  }
+  private val rowidSlot: Int = t.columns.find(_.rowidAlias)
+    .flatMap(c => schema.fieldNames.zipWithIndex.toMap.get(c.name))
+    .getOrElse(-1)
+  private val targets: Array[DataType] = schema.fields.map(_.dataType)
+
+  // The b-tree walk is callback-driven; a small queue decouples it
+  // from the pull-based PartitionReader. Pages are visited lazily via
+  // an explicit stack so memory stays O(tree depth + one page).
+  private val pending =
+    new scala.collection.mutable.ArrayDeque[InternalRow]()
+  private val stack = scala.collection.mutable.Stack[Int](part.page)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (pending.isEmpty && stack.nonEmpty) {
+      val pageNo = stack.pop()
+      if (SqliteFile.isLeaf(db, pageNo)) {
+        SqliteFile.walk(db, pageNo, part.lo, part.hi) { (rowid, payload) =>
+          pending.append(toRow(rowid, payload))
+        }
+      } else {
+        // push children in REVERSE so rowid order is preserved
+        var lower = Long.MinValue
+        val kids = SqliteFile.interiorChildren(db, pageNo).flatMap {
+          case (child, maxKey) =>
+            val keep = lower <= part.hi && maxKey >= part.lo
+            lower = maxKey + 1
+            if (keep) Some(child) else None
+        }
+        kids.reverseIterator.foreach(stack.push)
+      }
+    }
+    if (pending.isEmpty) { false }
+    else { current = pending.removeHead(); true }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = db.close()
+
+  private def toRow(rowid: Long, payload: Array[Byte]): InternalRow = {
+    val vals = new Array[Any](schema.length)
+    val decoded = new Array[SqliteFile.Value](schema.length)
+    SqliteFile.decodeRecord(payload, want, decoded)
+    var i = 0
+    while (i < schema.length) {
+      vals(i) = coerce(decoded(i), targets(i))
+      i += 1
+    }
+    if (rowidSlot >= 0) vals(rowidSlot) = rowid
+    new GenericInternalRow(vals)
+  }
+
+  /** SQLite's flexible typing can put any storage class in any column;
+    * coerce losslessly to the column's Spark type, loud otherwise. */
+  private def coerce(v: SqliteFile.Value, to: DataType): Any = v match {
+    case null => null
+    case l: Long => to match {
+      case LongType => l
+      case DoubleType => l.toDouble
+      case StringType => UTF8String.fromString(l.toString)
+      case _ => fail(v, to)
+    }
+    case d: Double => to match {
+      case DoubleType => d
+      case LongType if d == d.toLong.toDouble => d.toLong
+      case StringType => UTF8String.fromString(d.toString)
+      case _ => fail(v, to)
+    }
+    case s: String => to match {
+      case StringType => UTF8String.fromString(s)
+      case BinaryType => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case _ => fail(v, to)
+    }
+    case b: Array[Byte] => to match {
+      case BinaryType => b
+      case _ => fail(v, to)
+    }
+    case other => fail(other, to)
+  }
+
+  private def fail(v: Any, to: DataType): Nothing =
+    throw new IllegalStateException(
+      s"cannot coerce stored ${v.getClass.getSimpleName} to $to in " +
+        s"${t.name} — the column's declared affinity does not match " +
+        "the stored value")
+}

@@ -1,0 +1,447 @@
+package graft.sources.sqlite
+
+import java.io.RandomAccessFile
+import java.nio.charset.StandardCharsets
+
+/** Clean-room reader for the SQLite 3 on-disk file format — the last
+  * named reference connector (reference
+  * crates/connectors/src/sources/sql/sqlite.rs:30-195 registers `.sqlite`
+  * files as queryable tables through a driver pool) that was unreachable
+  * here without a driver jar. The format is public and famously stable
+  * (sqlite.org/fileformat2): a paged b-tree file — this module decodes
+  * the header, walks table b-trees (interior 0x05 / leaf 0x0D pages),
+  * parses record serial types, and follows overflow-page chains. No
+  * SQLite code is linked or consulted; everything derives from the
+  * published format document.
+  *
+  * Scale stance: one `.sqlite` file is a single-node artifact, but the
+  * b-tree root's children give natural SPLIT POINTS — the DSv2 scan
+  * (see [[SqliteDataSource]]) plans one partition per root subtree so a
+  * multi-gigabyte file reads in parallel from shared storage, and
+  * rowid-range pushdown prunes whole subtrees by the interior keys
+  * before a page is touched.
+  */
+object SqliteFile {
+
+  final case class Header(
+      pageSize: Int,
+      reservedBytes: Int,
+      pageCount: Int,
+      textEncoding: Int)
+
+  /** One column as declared by the table's CREATE TABLE statement.
+    * `affinity` follows the published affinity rules: INTEGER, TEXT,
+    * BLOB, REAL, NUMERIC. `rowidAlias` marks the INTEGER PRIMARY KEY
+    * column — its record slot is NULL on disk and its value is the
+    * b-tree rowid. */
+  final case class ColumnDef(name: String, declaredType: String,
+      affinity: String, rowidAlias: Boolean)
+
+  final case class TableDef(name: String, rootPage: Int, sql: String,
+      columns: Seq[ColumnDef], withoutRowid: Boolean)
+
+  /** A decoded value: null, Long, Double, String, or Array[Byte] —
+    * the four SQLite storage classes besides NULL. */
+  type Value = Any
+
+  // ---------------------------------------------------------------
+  // file access
+
+  final class Db(path: String) extends AutoCloseable {
+    private val raf = new RandomAccessFile(path, "r")
+    val header: Header = readHeader()
+
+    private def readHeader(): Header = {
+      val h = new Array[Byte](100)
+      raf.seek(0)
+      raf.readFully(h)
+      val magic = new String(h, 0, 15, StandardCharsets.ISO_8859_1)
+      require(magic == "SQLite format 3" && h(15) == 0,
+        s"$path is not a SQLite 3 database (bad magic)")
+      val rawPs = ((h(16) & 0xff) << 8) | (h(17) & 0xff)
+      val pageSize = if (rawPs == 1) 65536 else rawPs
+      require(pageSize >= 512 && (pageSize & (pageSize - 1)) == 0,
+        s"illegal page size $rawPs")
+      val reserved = h(20) & 0xff
+      val pageCount = be32(h, 28)
+      val enc = be32(h, 56)
+      require(enc == 1,
+        s"only UTF-8 databases are supported (text encoding $enc)")
+      Header(pageSize, reserved, pageCount, enc)
+    }
+
+    /** usable bytes per page (page size minus the reserved region). */
+    def usable: Int = header.pageSize - header.reservedBytes
+
+    def page(no: Int): Array[Byte] = {
+      require(no >= 1, s"page numbers are 1-based, got $no")
+      val buf = new Array[Byte](header.pageSize)
+      raf.seek((no.toLong - 1) * header.pageSize)
+      raf.readFully(buf)
+      buf
+    }
+
+    override def close(): Unit = raf.close()
+  }
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Big-endian base-128 varint (1-9 bytes; byte 9 contributes all 8
+    * bits). Returns (value, bytesConsumed). */
+  def varint(b: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val x = b(off + i)
+      v = (v << 7) | (x & 0x7f)
+      if ((x & 0x80) == 0) return (v, i + 1)
+      i += 1
+    }
+    ((v << 8) | (b(off + 8) & 0xff), 9)
+  }
+
+  // ---------------------------------------------------------------
+  // b-tree pages
+
+  private final case class PageHeader(pageType: Int, cellCount: Int,
+      rightMost: Int, headerOff: Int)
+
+  private def pageHeader(pg: Array[Byte], pageNo: Int): PageHeader = {
+    // page 1 carries the 100-byte file header before the b-tree header
+    val off = if (pageNo == 1) 100 else 0
+    val t = pg(off) & 0xff
+    val cells = be16(pg, off + 3)
+    val right = if (t == 0x05 || t == 0x02) be32(pg, off + 8) else 0
+    PageHeader(t, cells, right, off)
+  }
+
+  private def cellPointer(pg: Array[Byte], ph: PageHeader, i: Int): Int = {
+    val arrayStart =
+      ph.headerOff + (if (ph.pageType == 0x05 || ph.pageType == 0x02) 12
+                      else 8)
+    be16(pg, arrayStart + 2 * i)
+  }
+
+  /** The children of a table-interior page, in key order, each with
+    * the MAX rowid its subtree can contain (Long.MaxValue for the
+    * rightmost pointer) — the split points the partitioned scan and
+    * the rowid-range pruning both use. */
+  def interiorChildren(db: Db, pageNo: Int): Seq[(Int, Long)] = {
+    val pg = db.page(pageNo)
+    val ph = pageHeader(pg, pageNo)
+    require(ph.pageType == 0x05,
+      s"page $pageNo is not a table interior page (type ${ph.pageType})")
+    val kids = (0 until ph.cellCount).map { i =>
+      val off = cellPointer(pg, ph, i)
+      val child = be32(pg, off)
+      val (key, _) = varint(pg, off + 4)
+      (child, key)
+    }
+    kids :+ (ph.rightMost, Long.MaxValue)
+  }
+
+  def isLeaf(db: Db, pageNo: Int): Boolean = {
+    val pg = db.page(pageNo)
+    pageHeader(pg, pageNo).pageType match {
+      case 0x0d => true
+      case 0x05 => false
+      case t => throw new IllegalStateException(
+        s"page $pageNo is not a table b-tree page (type $t) — " +
+          "WITHOUT ROWID tables (index layout) are not supported")
+    }
+  }
+
+  /** Walk one table b-tree subtree, invoking `f(rowid, payload)` per
+    * row in rowid order. `minRowid`/`maxRowid` prune interior descent:
+    * a subtree whose key range falls outside [min, max] is never read
+    * — the pushed-down rowid filter costs page reads proportional to
+    * the SELECTED range, not the table. */
+  def walk(db: Db, pageNo: Int, minRowid: Long, maxRowid: Long)(
+      f: (Long, Array[Byte]) => Unit): Unit = {
+    val pg = db.page(pageNo)
+    val ph = pageHeader(pg, pageNo)
+    ph.pageType match {
+      case 0x0d => // table leaf
+        var i = 0
+        while (i < ph.cellCount) {
+          val off = cellPointer(pg, ph, i)
+          val (payloadLen, n1) = varint(pg, off)
+          val (rowid, n2) = varint(pg, off + n1)
+          if (rowid >= minRowid && rowid <= maxRowid)
+            f(rowid, readPayload(db, pg, off + n1 + n2, payloadLen))
+          i += 1
+        }
+      case 0x05 => // table interior: all rowids in child(i) are <= key(i)
+        var lowerBound = Long.MinValue
+        var i = 0
+        while (i < ph.cellCount) {
+          val off = cellPointer(pg, ph, i)
+          val child = be32(pg, off)
+          val (key, _) = varint(pg, off + 4)
+          if (key >= minRowid && lowerBound <= maxRowid)
+            walk(db, child, minRowid, maxRowid)(f)
+          lowerBound = key + 1
+          i += 1
+        }
+        if (lowerBound <= maxRowid)
+          walk(db, ph.rightMost, minRowid, maxRowid)(f)
+      case t => throw new IllegalStateException(
+        s"page $pageNo is not a table b-tree page (type $t) — " +
+          "WITHOUT ROWID tables (index layout) are not supported")
+    }
+  }
+
+  /** Assemble a cell's payload, following the overflow chain when the
+    * record spills. The local/spill split is the published formula for
+    * table leaves: U = usable size, X = U-35, M = ((U-12)*32/255)-23,
+    * K = M+((P-M) mod (U-4)); local = P if P<=X else (K if K<=X else M). */
+  private def readPayload(db: Db, pg: Array[Byte], payloadOff: Int,
+      payloadLen: Long): Array[Byte] = {
+    val u = db.usable
+    val x = u - 35
+    val p = payloadLen.toInt
+    require(payloadLen <= Int.MaxValue, s"payload too large: $payloadLen")
+    val local =
+      if (p <= x) p
+      else {
+        val m = (u - 12) * 32 / 255 - 23
+        val k = m + (p - m) % (u - 4)
+        if (k <= x) k else m
+      }
+    val out = new Array[Byte](p)
+    System.arraycopy(pg, payloadOff, out, 0, local)
+    if (local < p) {
+      var next = be32(pg, payloadOff + local)
+      var written = local
+      while (next != 0 && written < p) {
+        val opg = db.page(next)
+        next = be32(opg, 0)
+        val take = math.min(u - 4, p - written)
+        System.arraycopy(opg, 4, out, written, take)
+        written += take
+      }
+      require(written == p,
+        s"overflow chain ended early: $written of $p bytes")
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------
+  // record format
+
+  /** Decode the i-th..(n-1)-th values of a record payload into `out`
+    * at positions given by `want` (column index → output slot; -1 =
+    * skip without materializing). Serial types: 0 NULL; 1-6 big-endian
+    * two's-complement ints of 1,2,3,4,6,8 bytes; 7 float64; 8/9 the
+    * constants 0/1; N>=12 even BLOB of (N-12)/2; N>=13 odd TEXT of
+    * (N-13)/2. */
+  def decodeRecord(payload: Array[Byte], want: Array[Int],
+      out: Array[Value]): Unit = {
+    val (headerLen, n0) = varint(payload, 0)
+    var hoff = n0
+    var body = headerLen.toInt
+    var col = 0
+    while (hoff < headerLen && col < want.length) {
+      val (st, n) = varint(payload, hoff)
+      hoff += n
+      val slot = want(col)
+      val size = serialSize(st)
+      if (slot >= 0)
+        out(slot) = decodeValue(payload, body, st)
+      body += size
+      col += 1
+    }
+    // columns added by ALTER TABLE after this row was written are
+    // absent from the record: they read as NULL (slots pre-cleared by
+    // the caller) — the same semantics SQLite applies.
+  }
+
+  private def serialSize(st: Long): Int = st match {
+    case 0 | 8 | 9 => 0
+    case 1 => 1
+    case 2 => 2
+    case 3 => 3
+    case 4 => 4
+    case 5 => 6
+    case 6 | 7 => 8
+    case n if n >= 12 => ((n - 12) / 2).toInt
+    case n => throw new IllegalStateException(s"reserved serial type $n")
+  }
+
+  private def decodeValue(b: Array[Byte], off: Int, st: Long): Value =
+    st match {
+      case 0 => null
+      case 1 => b(off).toLong
+      case 2 => ((b(off) << 8) | (b(off + 1) & 0xff)).toLong
+      case 3 => ((b(off) << 16) | ((b(off + 1) & 0xff) << 8) |
+        (b(off + 2) & 0xff)).toLong
+      case 4 => be32(b, off).toLong
+      case 5 =>
+        (be32(b, off).toLong << 16) | (be16(b, off + 4) & 0xffffL)
+      case 6 | 7 =>
+        var v = 0L
+        var i = 0
+        while (i < 8) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+        if (st == 6) v else java.lang.Double.longBitsToDouble(v)
+      case 8 => 0L
+      case 9 => 1L
+      case n if n >= 13 && n % 2 == 1 =>
+        new String(b, off, ((n - 13) / 2).toInt, StandardCharsets.UTF_8)
+      case n if n >= 12 =>
+        val len = ((n - 12) / 2).toInt
+        val out = new Array[Byte](len)
+        System.arraycopy(b, off, out, 0, len)
+        out
+      case n => throw new IllegalStateException(s"reserved serial type $n")
+    }
+
+  // ---------------------------------------------------------------
+  // schema
+
+  /** Read sqlite_schema (root = page 1): rows are (type, name,
+    * tbl_name, rootpage, sql). Only `type='table'` entries with a
+    * rootpage are returned — views have rootpage 0, indexes are index
+    * b-trees. */
+  def tables(db: Db): Seq[TableDef] = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[TableDef]
+    val want = Array(0, 1, 2, 3, 4)
+    walk(db, 1, Long.MinValue, Long.MaxValue) { (_, payload) =>
+      val out = new Array[Value](5)
+      decodeRecord(payload, want, out)
+      (out(0), out(1), out(3), out(4)) match {
+        case ("table", name: String, root: Long, sql: String)
+            if root > 0 =>
+          val (cols, noRowid) = parseCreateTable(sql)
+          rows += TableDef(name, root.toInt, sql, cols, noRowid)
+        case _ => ()
+      }
+    }
+    rows.toSeq
+  }
+
+  def table(db: Db, name: String): TableDef = {
+    val all = tables(db)
+    all.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no table '$name' in database (have ${
+          all.map(_.name).sorted.mkString(", ")})"))
+  }
+
+  /** Column affinity per the published rules, applied in order:
+    * INT→INTEGER; CHAR/CLOB/TEXT→TEXT; BLOB or empty→BLOB;
+    * REAL/FLOA/DOUB→REAL; else NUMERIC. */
+  def affinityOf(declared: String): String = {
+    val t = declared.toUpperCase
+    if (t.contains("INT")) "INTEGER"
+    else if (t.contains("CHAR") || t.contains("CLOB") || t.contains("TEXT"))
+      "TEXT"
+    else if (t.isEmpty || t.contains("BLOB")) "BLOB"
+    else if (t.contains("REAL") || t.contains("FLOA") || t.contains("DOUB"))
+      "REAL"
+    else "NUMERIC"
+  }
+
+  /** Pragmatic CREATE TABLE parser: enough of the published grammar to
+    * recover column names, declared types, the INTEGER PRIMARY KEY
+    * rowid alias, and the WITHOUT ROWID marker. Quoted identifiers
+    * ("x", [x], `x`, 'x') and multi-word type names are handled;
+    * table-level constraints (PRIMARY KEY(…), UNIQUE(…), CHECK(…),
+    * FOREIGN KEY(…)) are skipped. */
+  def parseCreateTable(sql: String): (Seq[ColumnDef], Boolean) = {
+    val open = sql.indexOf('(')
+    require(open > 0, s"malformed CREATE TABLE: $sql")
+    // find the matching close paren of the column list
+    var depth = 0
+    var i = open
+    var close = -1
+    var inQ: Char = 0
+    while (i < sql.length && close < 0) {
+      val c = sql.charAt(i)
+      if (inQ != 0) {
+        if (c == inQ) inQ = 0
+      } else c match {
+        case '\'' | '"' | '`' => inQ = c
+        case '[' => inQ = ']'
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ => ()
+      }
+      i += 1
+    }
+    require(close > open, s"malformed CREATE TABLE: $sql")
+    val body = sql.substring(open + 1, close)
+    val tail = sql.substring(close + 1).toUpperCase
+    val withoutRowid = tail.contains("WITHOUT") && tail.contains("ROWID")
+    // split top-level commas
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    depth = 0; inQ = 0
+    body.foreach { c =>
+      if (inQ != 0) {
+        if (c == inQ) inQ = 0
+        cur += c
+      } else c match {
+        case '\'' | '"' | '`' => inQ = c; cur += c
+        case '[' => inQ = ']'; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    val constraintHeads =
+      Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+    val cols = parts.map(_.trim).filter(_.nonEmpty).flatMap { p =>
+      val (name, rest) = takeIdentifier(p)
+      if (constraintHeads(name.toUpperCase) && !p.startsWith("\"") &&
+          !p.startsWith("[") && !p.startsWith("`"))
+        None
+      else {
+        // declared type = identifier tokens up to the first constraint
+        // keyword (PRIMARY/NOT/UNIQUE/DEFAULT/CHECK/REFERENCES/
+        // COLLATE/GENERATED/AS)
+        val stop = Set("PRIMARY", "NOT", "NULL", "UNIQUE", "DEFAULT",
+          "CHECK", "REFERENCES", "COLLATE", "GENERATED", "AS")
+        val toks = tokenize(rest)
+        val tyToks = toks.takeWhile(t => !stop(t.toUpperCase))
+        val declared = tyToks.mkString(" ")
+        val upper = rest.toUpperCase
+        val isPk = upper.contains("PRIMARY KEY")
+        val aff = affinityOf(declared)
+        Some(ColumnDef(name, declared, aff,
+          rowidAlias = isPk && aff == "INTEGER" && !withoutRowid))
+      }
+    }.toSeq
+    // a composite table-level PRIMARY KEY never aliases the rowid; the
+    // alias is only legal when exactly one column claims it
+    val aliases = cols.count(_.rowidAlias)
+    val fixed =
+      if (aliases == 1) cols else cols.map(_.copy(rowidAlias = false))
+    (fixed, withoutRowid)
+  }
+
+  private def takeIdentifier(s: String): (String, String) = {
+    val t = s.trim
+    if (t.isEmpty) return ("", "")
+    t.charAt(0) match {
+      case '"' | '`' | '\'' =>
+        val q = t.charAt(0)
+        val end = t.indexOf(q, 1)
+        (t.substring(1, end), t.substring(end + 1))
+      case '[' =>
+        val end = t.indexOf(']', 1)
+        (t.substring(1, end), t.substring(end + 1))
+      case _ =>
+        val end = t.indexWhere(c => c.isWhitespace || c == '(')
+        if (end < 0) (t, "") else (t.substring(0, end), t.substring(end))
+    }
+  }
+
+  private def tokenize(s: String): Seq[String] =
+    s.split("""[\s(),]+""").toSeq.filter(_.nonEmpty)
+}

@@ -1,0 +1,324 @@
+package graft.sources.sqlite
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+/** Minimal SQLite 3 database file WRITER — enough of the published
+  * format (sqlite.org/fileformat2) to materialize one rowid table:
+  * header, sqlite_schema on page 1, and a table b-tree built bottom-up
+  * (leaf pages packed in rowid order, interior levels added until one
+  * root remains). Written files open in any stock `sqlite3` — the spec
+  * round-trips one through Python's stdlib driver to prove it — and in
+  * [[SqliteDataSource]], giving the engine a self-contained fixture
+  * path and a genuine `.sqlite` export.
+  *
+  * Deliberate limits, enforced loudly: single table per file, UTF-8,
+  * no indexes/views, and no overflow chains on WRITE (a record must
+  * fit one leaf page locally; the READER follows overflow chains fine
+  * — spill support here would only serve rows >~4 KB, which a fixture
+  * writer does not need).
+  */
+object SqliteWriter {
+
+  val PageSize = 4096
+  private val UsableX = PageSize - 35 // max local payload, table leaf
+
+  /** Write `rows` (values: null | Long | Double | String | Array[Byte])
+    * as table `name` with the given column names/declared types.
+    *
+    * A column declared `INTEGER PRIMARY KEY` gets genuine rowid-alias
+    * semantics: its value BECOMES the b-tree rowid and the record slot
+    * is written NULL (what real SQLite stores) — rows must then arrive
+    * in strictly increasing key order, loud otherwise. Without an
+    * alias, rowids are 1..n in input order. */
+  def write(path: Path, name: String, columns: Seq[(String, String)],
+      rows: Iterator[Seq[Any]]): Unit = {
+    require(columns.nonEmpty, "need at least one column")
+    val createSql = s"CREATE TABLE $name (${
+      columns.map { case (n, t) => s"$n $t" }.mkString(", ")})"
+    val aliasIdx = columns.indexWhere { case (_, t) =>
+      val u = t.toUpperCase
+      u.contains("INT") && u.contains("PRIMARY KEY")
+    }
+
+    // 1. encode every row as a record payload
+    var lastRowid = Long.MinValue
+    val records = rows.zipWithIndex.map { case (vs, i) =>
+      require(vs.length == columns.length,
+        s"row ${i + 1} has ${vs.length} values, expected ${columns.length}")
+      val rowid =
+        if (aliasIdx < 0) i + 1L
+        else vs(aliasIdx) match {
+          case l: Long => l
+          case n: Int => n.toLong
+          case other => throw new IllegalArgumentException(
+            s"INTEGER PRIMARY KEY value must be an integer, got $other")
+        }
+      require(rowid > lastRowid,
+        s"rows must arrive in strictly increasing key order " +
+          s"($rowid after $lastRowid)")
+      lastRowid = rowid
+      val stored =
+        if (aliasIdx < 0) vs else vs.updated(aliasIdx, null)
+      (rowid, record(stored))
+    }
+
+    // 2. pack leaves, then interior levels bottom-up
+    val leaves = packLeaves(records)
+    require(leaves.nonEmpty, "empty tables still need one leaf")
+    // page numbering: 1 = schema, 2.. = table pages. The table ROOT
+    // must be known before schema is written, so number the tree
+    // top-down after building it.
+    val tree = buildTree(leaves)
+    val pageCount = 1 + tree.size
+    val rootIdx = tree.size - 1 // root is last in build order
+    // assign page numbers: root gets page 2 (sqlite expects any page;
+    // we put root at 2 for a stable layout), the rest follow
+    val order = (tree.indices.filter(_ == rootIdx) ++
+      tree.indices.filterNot(_ == rootIdx)).toArray
+    val pageNoOf = new Array[Int](tree.size)
+    order.zipWithIndex.foreach { case (treeIdx, slot) =>
+      pageNoOf(treeIdx) = 2 + slot
+    }
+
+    val out = new Array[Byte](pageCount * PageSize)
+    // 3. serialize tree pages with resolved child pointers
+    tree.zipWithIndex.foreach { case (node, idx) =>
+      val pg = node match {
+        case Leaf(cells) => leafPage(cells, headerOff = 0)
+        case Interior(kids) =>
+          interiorPage(kids.map { case (childIdx, key) =>
+            (pageNoOf(childIdx), key) }, headerOff = 0)
+      }
+      System.arraycopy(pg, 0, out, (pageNoOf(idx) - 1) * PageSize, PageSize)
+    }
+
+    // 4. page 1: header + sqlite_schema leaf with one row
+    val schemaRecord = record(Seq(
+      "table", name, name, pageNoOf(rootIdx).toLong, createSql))
+    val p1 = leafPage(Seq((1L, schemaRecord)), headerOff = 100)
+    header(p1, pageCount)
+    System.arraycopy(p1, 0, out, 0, PageSize)
+
+    Files.write(path, out)
+  }
+
+  // ---------------------------------------------------------------
+
+  private sealed trait Node
+  private final case class Leaf(cells: Seq[(Long, Array[Byte])]) extends Node
+  /** children as (tree index, max rowid key); the LAST child is the
+    * rightmost pointer. */
+  private final case class Interior(kids: Seq[(Int, Long)]) extends Node
+
+  /** Pack records into leaves: cell = varint(payload len) +
+    * varint(rowid) + payload; page budget = PageSize - 8 (header) -
+    * 2/cell (pointer array). */
+  private def packLeaves(records: Iterator[(Long, Array[Byte])])
+      : Vector[Leaf] = {
+    val leaves = Vector.newBuilder[Leaf]
+    var cur = Vector.newBuilder[(Long, Array[Byte])]
+    var used = 0
+    var n = 0
+    records.foreach { case (rowid, payload) =>
+      require(payload.length <= UsableX,
+        s"row $rowid payload ${payload.length} B exceeds the no-overflow " +
+          s"write limit ($UsableX B) — this writer does not spill")
+      val cell = varint(payload.length) ++ varint(rowid) ++ payload
+      if (n > 0 && used + cell.length + 2 > PageSize - 8) {
+        leaves += Leaf(cur.result()); cur = Vector.newBuilder; used = 0; n = 0
+      }
+      cur += ((rowid, payload)); used += cell.length + 2; n += 1
+    }
+    val last = cur.result()
+    if (last.nonEmpty || n == 0) leaves += Leaf(last)
+    val all = leaves.result()
+    if (all.isEmpty) Vector(Leaf(Nil)) else all
+  }
+
+  /** Bottom-up: returns all nodes, children before parents, root last.
+    * Interior fan-out is bounded by cell size (~13 B) — one level
+    * handles thousands of leaves, but the loop recurses until a single
+    * root remains so arbitrarily large fixtures stay correct. */
+  private def buildTree(leaves: Vector[Leaf]): Vector[Node] = {
+    val nodes = Vector.newBuilder[Node]
+    nodes ++= leaves
+    var level: Vector[(Int, Long)] = leaves.zipWithIndex.map {
+      case (l, i) => (i, l.cells.lastOption.map(_._1).getOrElse(0L))
+    }
+    var nextIdx = leaves.size
+    while (level.size > 1) {
+      // interior page budget: 12-byte header + per cell (2 ptr + 4
+      // child + ≤9 key) ⇒ ~270 kids/page; group accordingly
+      val maxKids = (PageSize - 12) / 15
+      val parents = level.grouped(maxKids).toVector
+      level = parents.map { kids =>
+        nodes += Interior(kids)
+        val idx = nextIdx
+        nextIdx += 1
+        (idx, kids.last._2)
+      }
+    }
+    nodes.result()
+  }
+
+  private def leafPage(cells: Seq[(Long, Array[Byte])],
+      headerOff: Int): Array[Byte] = {
+    val pg = new Array[Byte](PageSize)
+    pg(headerOff) = 0x0d
+    putBe16(pg, headerOff + 3, cells.size)
+    var content = PageSize
+    val ptrs = cells.map { case (rowid, payload) =>
+      val cell = varint(payload.length) ++ varint(rowid) ++ payload
+      content -= cell.length
+      System.arraycopy(cell, 0, pg, content, cell.length)
+      content
+    }
+    putBe16(pg, headerOff + 5, if (content == 65536) 0 else content)
+    var p = headerOff + 8
+    ptrs.foreach { off => putBe16(pg, p, off); p += 2 }
+    require(p <= content, "leaf page overflow — packLeaves budget bug")
+    pg
+  }
+
+  private def interiorPage(kids: Seq[(Int, Long)],
+      headerOff: Int): Array[Byte] = {
+    val pg = new Array[Byte](PageSize)
+    pg(headerOff) = 0x05
+    val cells = kids.dropRight(1)
+    putBe16(pg, headerOff + 3, cells.size)
+    putBe32(pg, headerOff + 8, kids.last._1)
+    var content = PageSize
+    val ptrs = cells.map { case (child, key) =>
+      val cell = beInt(child) ++ varint(key)
+      content -= cell.length
+      System.arraycopy(cell, 0, pg, content, cell.length)
+      content
+    }
+    putBe16(pg, headerOff + 5, if (content == 65536) 0 else content)
+    var p = headerOff + 12
+    ptrs.foreach { off => putBe16(pg, p, off); p += 2 }
+    require(p <= content, "interior page overflow — buildTree budget bug")
+    pg
+  }
+
+  private def header(p1: Array[Byte], pageCount: Int): Unit = {
+    val magic = "SQLite format 3".getBytes(StandardCharsets.ISO_8859_1)
+    System.arraycopy(magic, 0, p1, 0, magic.length)
+    p1(15) = 0
+    putBe16(p1, 16, PageSize)
+    p1(18) = 1; p1(19) = 1 // legacy journal read/write versions
+    p1(20) = 0 // reserved bytes
+    p1(21) = 64; p1(22) = 32; p1(23) = 32 // payload fractions (fixed)
+    putBe32(p1, 24, 1) // file change counter
+    putBe32(p1, 28, pageCount)
+    putBe32(p1, 40, 1) // schema cookie
+    putBe32(p1, 44, 4) // schema format
+    putBe32(p1, 48, 0) // default cache size
+    putBe32(p1, 56, 1) // UTF-8
+    putBe32(p1, 92, 1) // version-valid-for = change counter
+    putBe32(p1, 96, 3049000) // a plausible library version number
+  }
+
+  /** Record format: header of serial-type varints, then values.
+    * Integers use the smallest serial type that holds them (incl. the
+    * 0/1 constants); REAL is type 7; TEXT/BLOB length-coded. */
+  def record(values: Seq[Any]): Array[Byte] = {
+    val bodies = values.map {
+      case null => (0L, Array.empty[Byte])
+      case l: Long => intBody(l)
+      case i: Int => intBody(i.toLong)
+      case s: Short => intBody(s.toLong)
+      case b: Byte => intBody(b.toLong)
+      case b: Boolean => intBody(if (b) 1L else 0L)
+      case d: Double =>
+        val bits = java.lang.Double.doubleToLongBits(d)
+        (7L, (0 until 8).map(i => ((bits >>> (56 - 8 * i)) & 0xff).toByte)
+          .toArray)
+      case f: Float =>
+        val bits = java.lang.Double.doubleToLongBits(f.toDouble)
+        (7L, (0 until 8).map(i => ((bits >>> (56 - 8 * i)) & 0xff).toByte)
+          .toArray)
+      case s: String =>
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        (13L + 2 * b.length, b)
+      case b: Array[Byte] => (12L + 2 * b.length, b)
+      case other => throw new IllegalArgumentException(
+        s"unsupported value type ${other.getClass.getName}")
+    }
+    val typesPart = bodies.flatMap(b => varint(b._1)).toArray
+    // header length includes its own varint: find the fixed point
+    // hlen = len(varint(hlen)) + len(types) — converges in ≤2 steps
+    var hlen = typesPart.length + 1
+    while (varint(hlen).length + typesPart.length != hlen)
+      hlen = varint(hlen).length + typesPart.length
+    val out = new ByteArrayOutputStream()
+    out.write(varint(hlen))
+    out.write(typesPart)
+    bodies.foreach(b => out.write(b._2))
+    out.toByteArray
+  }
+
+  private def intBody(v: Long): (Long, Array[Byte]) = v match {
+    case 0L => (8L, Array.empty[Byte])
+    case 1L => (9L, Array.empty[Byte])
+    case _ =>
+      val width =
+        if (v >= Byte.MinValue && v <= Byte.MaxValue) 1
+        else if (v >= Short.MinValue && v <= Short.MaxValue) 2
+        else if (v >= -(1L << 23) && v < (1L << 23)) 3
+        else if (v >= Int.MinValue && v <= Int.MaxValue) 4
+        else if (v >= -(1L << 47) && v < (1L << 47)) 6
+        else 8
+      val st = width match {
+        case 1 => 1L; case 2 => 2L; case 3 => 3L
+        case 4 => 4L; case 6 => 5L; case _ => 6L
+      }
+      (st, (0 until width).map(i =>
+        ((v >>> (8 * (width - 1 - i))) & 0xff).toByte).toArray)
+  }
+
+  /** SQLite varint encode (big-endian base-128, ≤9 bytes). */
+  def varint(v: Long): Array[Byte] = {
+    if (v >= 0 && v < 128) return Array(v.toByte)
+    // values with any of the top 8 bits set need the full 9-byte form
+    // (byte 9 carries all 8 low bits)
+    if ((v & 0xff00000000000000L) != 0) {
+      val out = new Array[Byte](9)
+      var x = v >>> 8
+      var i = 7
+      out(8) = (v & 0xff).toByte
+      while (i >= 0) { out(i) = ((x & 0x7f) | 0x80).toByte; x >>>= 7; i -= 1 }
+      return out
+    }
+    val buf = new Array[Byte](9)
+    var n = 0
+    var x = v
+    while (x != 0 || n == 0) {
+      buf(n) = (x & 0x7f).toByte
+      x >>>= 7
+      n += 1
+    }
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (buf(n - 1 - i) | (if (i < n - 1) 0x80 else 0)).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def beInt(v: Int): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def putBe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >>> 8) & 0xff).toByte; b(off + 1) = (v & 0xff).toByte
+  }
+  private def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >>> 24) & 0xff).toByte
+    b(off + 1) = ((v >>> 16) & 0xff).toByte
+    b(off + 2) = ((v >>> 8) & 0xff).toByte
+    b(off + 3) = (v & 0xff).toByte
+  }
+}
