@@ -154,8 +154,22 @@ final class SourceRegistry(spark: SparkSession) {
             s"iceberg source ${src.name} needs url (catalog uri)"))
         val ro = graft.sources.rest.RestOptions(
           src.options + ("baseurl" -> baseUrl))
+        // `auth: sigv4` signs every catalog request (AWS-IRSA-shaped
+        // deployments — API-Gateway/Glue-fronted catalogs; reference
+        // iceberg.rs:43-100): access_key + secret_key + region
+        // (+ service, default execute-api) in the source options
+        val signer = src.options.get("auth")
+          .filter(_.equalsIgnoreCase("sigv4")).map { _ =>
+            def need(k: String) = src.options.getOrElse(k,
+              throw new IllegalArgumentException(
+                s"iceberg source ${src.name}: auth sigv4 needs '$k'"))
+            val host = new java.net.URI(baseUrl).getAuthority
+            new graft.sources.iceberg.IcebergRestCatalog.SigV4Signer(
+              host, need("access_key"), need("secret_key"),
+              need("region"), src.options.getOrElse("service", "execute-api"))
+          }
         val catalog = new graft.sources.iceberg.IcebergRestCatalog(
-          baseUrl, () => ro.authHeaders ++ ro.extraHeaders)
+          baseUrl, () => ro.authHeaders ++ ro.extraHeaders, signer)
         val namespace = src.options.getOrElse("namespace", "default")
         val spec: Option[SnapshotLog.VersionSpec] =
           src.options.get("version").map(SnapshotLog.ByVersion)

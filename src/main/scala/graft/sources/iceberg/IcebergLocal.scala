@@ -1502,7 +1502,14 @@ object IcebergLocal {
     * optional `requiredHeader` (name → value) turns on auth (401
     * otherwise), mirroring the reference catalog's token gate. */
   final class CatalogServer(warehouseDir: JPath, namespace: String,
-      requiredHeader: Option[(String, String)] = None) {
+      requiredHeader: Option[(String, String)] = None,
+      /** (accessKey, secretKey, region, service): require every request
+        * to carry a valid AWS SigV4 signature — the server RECOMPUTES
+        * the signature from the received method/path/headers and the
+        * actual payload hash, exactly like the S3 test store, and a
+        * mismatch answers 403. The catalog twin of the reference's
+        * AWS-IRSA auth mode (iceberg.rs:43-100). */
+      sigv4: Option[(String, String, String, String)] = None) {
     // normalize ONCE: a relative warehouse path would otherwise fail the
     // per-request containment check (absolute vs relative parent) and
     // 404 every table
@@ -1924,6 +1931,55 @@ object IcebergLocal {
       Right(out)
     }
 
+    /** Full SigV4 re-verification: parse the Authorization header,
+      * check the credential scope (key id, region, service), check the
+      * x-amz-content-sha256 header against the ACTUAL payload, rebuild
+      * the canonical request from the signed headers as received, and
+      * constant-time-compare the recomputed signature. */
+    private def verifySigV4(ex: HttpExchange, body: Array[Byte],
+        ak: String, sk: String, region: String, service: String): Boolean = {
+      import graft.sources.s3.SigV4
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .getOrElse(return false)
+      val re = ("AWS4-HMAC-SHA256 Credential=([^/]+)/(\\d{8})/([^/]+)/" +
+        java.util.regex.Pattern.quote(service) +
+        "/aws4_request, SignedHeaders=([^,]+), Signature=([0-9a-f]+)").r
+      auth match {
+        case re(cak, dateStamp, creg, signedHeaders, sig) =>
+          if (cak != ak || creg != region) return false
+          val amzDate = Option(ex.getRequestHeaders.getFirst("x-amz-date"))
+            .getOrElse(return false)
+          val payloadHash = Option(
+            ex.getRequestHeaders.getFirst("x-amz-content-sha256"))
+            .getOrElse(return false)
+          if (payloadHash != SigV4.sha256Hex(body)) return false
+          val headers = signedHeaders.split(';').toSeq.map { h =>
+            val v = if (h == "host")
+              Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("")
+            else Option(ex.getRequestHeaders.getFirst(h)).getOrElse("")
+            h -> v
+          }
+          val query = Option(ex.getRequestURI.getRawQuery).toSeq
+            .flatMap(_.split('&').toSeq).filter(_.nonEmpty).map { kv =>
+              val i = kv.indexOf('=')
+              def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+              if (i < 0) (dec(kv), "")
+              else (dec(kv.take(i)), dec(kv.drop(i + 1)))
+            }
+          val cr = SigV4.canonicalRequest(ex.getRequestMethod,
+            ex.getRequestURI.getRawPath, query, headers, payloadHash)
+          val sts = s"${SigV4.Algorithm}\n$amzDate\n" +
+            s"$dateStamp/$creg/$service/aws4_request\n${SigV4.sha256Hex(cr)}"
+          val expected = SigV4.hmac(
+            SigV4.signingKey(sk, dateStamp, creg, service), sts)
+            .map(x => f"${x & 0xff}%02x").mkString
+          java.security.MessageDigest.isEqual(
+            expected.getBytes(StandardCharsets.US_ASCII),
+            sig.getBytes(StandardCharsets.US_ASCII))
+        case _ => false
+      }
+    }
+
     private def handle(ex: HttpExchange): Unit = {
       def send(code: Int, body: String): Unit = {
         val b = body.getBytes(StandardCharsets.UTF_8)
@@ -1936,6 +1992,15 @@ object IcebergLocal {
         Option(ex.getRequestHeaders.getFirst(k)).contains(v)
       }
       if (!authorized) { send(401, """{"error":"unauthorized"}"""); return }
+      // body is consumed ONCE up front: SigV4 verification needs the
+      // true payload hash, and the POST branches reuse the same bytes
+      val bodyBytes =
+        if (ex.getRequestMethod == "POST") ex.getRequestBody.readAllBytes()
+        else Array.emptyByteArray
+      if (!sigv4.forall { case (ak, sk, rg, svc) =>
+            verifySigV4(ex, bodyBytes, ak, sk, rg, svc) }) {
+        send(403, """{"error":"signature does not match"}"""); return
+      }
       val path = ex.getRequestURI.getPath
       val tablePrefix = s"/v1/namespaces/$namespace/tables"
       path match {
@@ -1947,8 +2012,7 @@ object IcebergLocal {
           // spec CreateTableRequest: name + schema (+ partition-spec) →
           // an EMPTY table (zero snapshots) whose first data commit
           // rides the same CAS as every other (main asserted absent)
-          val body = new String(ex.getRequestBody.readAllBytes(),
-            StandardCharsets.UTF_8)
+          val body = new String(bodyBytes, StandardCharsets.UTF_8)
           commitLock.synchronized {
             applyCreate(body) match {
               case Right(mf) =>
@@ -1976,8 +2040,7 @@ object IcebergLocal {
               // metadata swap are ATOMIC under the server's commit lock
               // — the linearization point 1000 optimistic writers
               // coordinate through
-              val body = new String(ex.getRequestBody.readAllBytes(),
-                StandardCharsets.UTF_8)
+              val body = new String(bodyBytes, StandardCharsets.UTF_8)
               commitLock.synchronized {
                 applyCommit(dir, body) match {
                   case Right(newMf) =>

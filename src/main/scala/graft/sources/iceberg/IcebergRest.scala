@@ -101,8 +101,44 @@ final class IcebergCommitConflict(msg: String)
 /** REST catalog over `baseUrl` (e.g. `http://host:8181`); `headers` is
   * re-evaluated per request so OAuth bearer refresh (graft's
   * [[graft.sources.rest.RestAuth]]) plugs in directly. */
+object IcebergRestCatalog {
+  /** Per-request signing hook: returns the headers to attach for
+    * (method, raw path, payload). Static-token and OAuth auth ride the
+    * plain `headers` thunk; this exists for schemes that sign the
+    * request itself. */
+  trait RequestSigner {
+    def sign(method: String, path: String,
+        payload: Array[Byte]): Map[String, String]
+  }
+
+  /** AWS SigV4 request signing for the catalog — the reference's
+    * AWS-IRSA-shaped auth mode (iceberg.rs:43-100 supports
+    * OAuth2/static/AWS-IRSA); reuses the S3 signer
+    * ([[graft.sources.s3.SigV4]]) with service `execute-api`, the
+    * service name an API-Gateway-fronted catalog verifies against.
+    * Signed headers: host, x-amz-content-sha256, x-amz-date. */
+  final class SigV4Signer(host: String, accessKey: String,
+      secretKey: String, region: String,
+      service: String = "execute-api") extends RequestSigner {
+    import graft.sources.s3.SigV4
+    override def sign(method: String, path: String,
+        payload: Array[Byte]): Map[String, String] = {
+      val amzDate = SigV4.amzDateNow()
+      val payloadHash = SigV4.sha256Hex(payload)
+      val signed = Seq("host" -> host,
+        "x-amz-content-sha256" -> payloadHash, "x-amz-date" -> amzDate)
+      val auth = SigV4.authorization(method, path, Nil, signed,
+        payloadHash, accessKey, secretKey, region, amzDate, service)
+      Map("x-amz-date" -> amzDate,
+        "x-amz-content-sha256" -> payloadHash,
+        "Authorization" -> auth)
+    }
+  }
+}
+
 final class IcebergRestCatalog(baseUrl: String,
-    headers: () => Map[String, String] = () => Map.empty) {
+    headers: () => Map[String, String] = () => Map.empty,
+    signer: Option[IcebergRestCatalog.RequestSigner] = None) {
   private val mapper = new ObjectMapper()
   private val base = baseUrl.stripSuffix("/")
 
@@ -113,6 +149,8 @@ final class IcebergRestCatalog(baseUrl: String,
     c.setConnectTimeout(15000)
     c.setReadTimeout(60000)
     headers().foreach { case (k, v) => c.setRequestProperty(k, v) }
+    signer.foreach(_.sign("GET", path, Array.emptyByteArray)
+      .foreach { case (k, v) => c.setRequestProperty(k, v) })
     try {
       val code = c.getResponseCode
       if (code >= 400)
@@ -211,9 +249,12 @@ final class IcebergRestCatalog(baseUrl: String,
     c.setReadTimeout(60000)
     c.setRequestProperty("Content-Type", "application/json")
     headers().foreach { case (k, v) => c.setRequestProperty(k, v) }
+    val payload = body.getBytes(StandardCharsets.UTF_8)
+    signer.foreach(_.sign("POST", path, payload)
+      .foreach { case (k, v) => c.setRequestProperty(k, v) })
     try {
       val out = c.getOutputStream
-      out.write(body.getBytes(StandardCharsets.UTF_8))
+      out.write(payload)
       out.close()
       val code = c.getResponseCode
       def errBody = Option(c.getErrorStream)

@@ -120,6 +120,52 @@ class IcebergRestSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally gated.stop()
   }
 
+  test("auth: SigV4-signed catalog requests verify server-side, wrong key 403") {
+    // the server RE-VERIFIES the signature (canonical request rebuilt
+    // from the received headers, payload hash checked against the
+    // actual body) — the same stance as the S3 test store, with the
+    // catalog's execute-api service name in the credential scope
+    val gated = new IcebergLocal.CatalogServer(warehouse, "analytics",
+      sigv4 = Some(("AKIDCATALOG", "catalog-secret", "eu-west-1",
+        "execute-api")))
+    val gport = gated.start()
+    try {
+      val host = s"127.0.0.1:$gport"
+      def cat(secret: String) = new IcebergRestCatalog(
+        s"http://$host",
+        signer = Some(new IcebergRestCatalog.SigV4Signer(
+          host, "AKIDCATALOG", secret, "eu-west-1")))
+      // unsigned → 403
+      val anon = new IcebergRestCatalog(s"http://$host")
+      val e0 = intercept[java.io.IOException] { anon.listNamespaces() }
+      assert(e0.getMessage.contains("403"))
+      // wrong secret → 403 (signature recomputation catches it)
+      val bad = cat("wrong-secret")
+      val e1 = intercept[java.io.IOException] { bad.listNamespaces() }
+      assert(e1.getMessage.contains("403"))
+      // right key: GETs (list, load) and a signed POST body both pass
+      val good = cat("catalog-secret")
+      assert(good.listNamespaces() == Seq("analytics"))
+      assert(good.listTables("analytics").contains("nation"))
+      val meta = good.loadTable("analytics", "nation")
+      assert(meta.snapshots.nonEmpty)
+      // POST with a tampered-at-rest payload hash refuses: sign a body
+      // then send a different one via a raw connection
+      val signer = new IcebergRestCatalog.SigV4Signer(
+        host, "AKIDCATALOG", "catalog-secret", "eu-west-1")
+      val hdrs = signer.sign("POST",
+        "/v1/namespaces/analytics/tables/nation", "{}".getBytes("UTF-8"))
+      val c = new java.net.URI(
+        s"http://$host/v1/namespaces/analytics/tables/nation").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestMethod("POST"); c.setDoOutput(true)
+      hdrs.foreach { case (k, v) => c.setRequestProperty(k, v) }
+      c.getOutputStream.write("""{"tampered":true}""".getBytes("UTF-8"))
+      assert(c.getResponseCode == 403)
+      c.disconnect()
+    } finally gated.stop()
+  }
+
   test("positional merge-on-read deletes apply; time travel sees pre-delete rows") {
     // snapshot 1: 25 nation rows as data; snapshot 2: a v2 positional
     // delete file (parquet of (file_path, pos)) in a content=1 delete
