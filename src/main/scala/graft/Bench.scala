@@ -58,8 +58,17 @@ object Bench {
     // optional comma-separated allowlist for iterating on single queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_FAIL=<name> force-throws in that query's row — the
+    // test hook proving a failed row lands in the artifact's
+    // `failures` map with its exception, not as a bare -1.0
+    val failInject = sys.env.get("SPARK_GRAFT_FAIL")
     val rng = new scala.util.Random(42)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // a row that THROWS records its exception (class + first message
+    // line) in the artifact — a bare -1.0 median cost round 15 a full
+    // judging session of diagnostics before the breakage was even
+    // attributable to a query-vs-harness interaction
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val selected = only.fold(SparkEntry.registry)(
       names => SparkEntry.registry.filter(q => names(q.name)))
     // Contention immunization + adjudication telemetry (round-14
@@ -98,6 +107,8 @@ object Bench {
       // from a real regression without a re-run
       val raw =
         try {
+          if (failInject.contains(q.name))
+            throw new RuntimeException(s"injected failure for ${q.name}")
           val first = (1 to n).flatMap { _ =>
             if (chaos > 0.0 && rng.nextDouble() < chaos) {
               Thread.sleep(500)
@@ -116,7 +127,12 @@ object Bench {
             first ++ Seq(once(q.run), once(q.run))
           else first
         }
-        catch { case _: Throwable => Seq(-1.0) }
+        catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("")
+            .linesIterator.take(1).mkString.take(300)
+          failures(q.name) = e.getClass.getName + ": " + msg
+          Seq(-1.0)
+        }
       dropResidue() // this row's checkpoints must not tax the next row
       val (gcN1, gcMs1) = gcNow()
       telemetry(q.name) =
@@ -143,6 +159,18 @@ object Bench {
       if (errors.nonEmpty)
         s""","chaos":$chaos,"errors":${errors.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}"""
       else ""
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    val failPart =
+      if (failures.nonEmpty)
+        s""","failures":${failures.map { case (k, v) =>
+          "\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")}"""
+      else ""
     // per-iteration trail for every re-measured row (first line: a
     // long-line truncation by the driver's tail window loses this
     // first, never the median lines below)
@@ -156,7 +184,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"headline","value":${fmt(
       results.filter(r => Headline(r._1)).map(_._2).filter(_ >= 0).sum)},"unit":"sec","queries":$headlineQs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"sf":"$sfDir"$chaosPart}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"sf":"$sfDir"$chaosPart$failPart}""")
     // The driver's BENCH_rN.json keeps only a ~2,000-char tail of
     // stdout, which truncates the per-iteration trail out of the
     // committed record (it did in r13 — the evidence the iters line
@@ -182,7 +210,7 @@ object Bench {
          |"total_sec": $totalR,
          |"medians": $medJson,
          |"iters": $iterJson,
-         |"telemetry": $telJson$chaosPart
+         |"telemetry": $telJson$chaosPart$failPart
          |}""".stripMargin
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -382,7 +382,7 @@ object Extended {
     // the oracle's BETWEEN on the original parquet.
     GraftQuery("q_sqlite_pushdown",
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
-        |FROM customer WHERE c_custkey BETWEEN 200 AND 900""".stripMargin) {
+        |FROM customer WHERE c_custkey BETWEEN 20 AND 90""".stripMargin) {
       (s, dir) =>
       import graft.sources.sqlite._
       val db = java.nio.file.Paths.get(roundTripDir("sqlite"), "cust.sqlite")
@@ -398,7 +398,7 @@ object Extended {
             r.getDouble(2), r.getString(3))))
       s.read.format(classOf[SqliteDataSource].getName)
         .option("path", db.toString).option("table", "customer").load()
-        .filter(col("c_custkey").between(200, 900))
+        .filter(col("c_custkey").between(20, 90))
     },
 
     // Iceberg round-trip: WRITE the filtered table as two append-only

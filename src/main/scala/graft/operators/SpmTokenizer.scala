@@ -210,12 +210,31 @@ object SpmTokenizer {
   private[graft] def modelForTest(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = model(s, dir)
 
+  /** True while every checkpoint RDD backing `df` still holds its
+    * blocks. A localCheckpointed RDD has TRUNCATED lineage — if its
+    * blocks are unpersisted (a bench harness or memory-pressure sweep
+    * calling `getPersistentRDDs.values.foreach(_.unpersist)`), the next
+    * action on it THROWS instead of recomputing. The backing RDDs sit
+    * in the plan's LogicalRDD leaves; unpersist resets their storage
+    * level to NONE, which is the eviction signal. */
+  private def alive(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ => true
+    }
+
   private def model(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     synchronized {
       val c = cached
-      if (c != null && (c._1 eq s) && c._2 == dir) c._3
+      if (c != null && (c._1 eq s) && c._2 == dir &&
+          alive(c._3._1) && alive(c._3._2)) c._3
       else {
         val m = buildModel(s, dir)
+        // materialize the lazy checkpoints NOW: once they hold blocks
+        // the model no longer depends on the intermediate checkpoints,
+        // and `alive` sees the real (post-build) storage levels
+        m._1.count(); m._2.count()
         cached = (s, dir, m)
         m
       }

@@ -225,11 +225,14 @@ final class SourceRegistry(spark: SparkSession) {
         val dbFile = src.url.map(_.stripPrefix("jdbc:sqlite:")).getOrElse(
           throw new IllegalArgumentException(
             s"sqlite source ${src.name} needs url (database file)"))
+        // src.options FIRST, url-derived path/table LAST: a stray
+        // `path` or `table` key in a copy-pasted source stanza must not
+        // silently override the database file or redirect every table
         val r0 = spark.read
           .format("graft.sources.sqlite.SqliteDataSource")
+          .options(src.options)
           .option("path", dbFile)
           .option("table", t.name)
-          .options(src.options)
         (t.declaredSchema match {
           case Some(sc) => r0.schema(sc)
           case None => r0

@@ -125,12 +125,18 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
       case EqualTo(c, v) if rid.contains(c) && asLong(v).isDefined =>
         val x = asLong(v).get; lo = math.max(lo, x); hi = math.min(hi, x)
         true
-      case GreaterThan(c, v) if rid.contains(c) && asLong(v).isDefined =>
+      case GreaterThan(c, v) if rid.contains(c) && asLong(v).isDefined &&
+          asLong(v).get != Long.MaxValue =>
+        // `> MaxValue` stays residual: `+ 1` would wrap to MinValue and
+        // an accepted (exact, not re-evaluated) pushdown would then
+        // return EVERY row instead of none
         lo = math.max(lo, asLong(v).get + 1); true
       case GreaterThanOrEqual(c, v)
           if rid.contains(c) && asLong(v).isDefined =>
         lo = math.max(lo, asLong(v).get); true
-      case LessThan(c, v) if rid.contains(c) && asLong(v).isDefined =>
+      case LessThan(c, v) if rid.contains(c) && asLong(v).isDefined &&
+          asLong(v).get != Long.MinValue =>
+        // mirror: `< MinValue` would wrap `- 1` to MaxValue
         hi = math.min(hi, asLong(v).get - 1); true
       case LessThanOrEqual(c, v) if rid.contains(c) && asLong(v).isDefined =>
         hi = math.min(hi, asLong(v).get); true

@@ -62,6 +62,28 @@ object SqliteFile {
       val pageSize = if (rawPs == 1) 65536 else rawPs
       require(pageSize >= 512 && (pageSize & (pageSize - 1)) == 0,
         s"illegal page size $rawPs")
+      // file format versions (header bytes 18/19): 2 = WAL journal
+      // mode, where committed transactions live in the -wal file until
+      // checkpoint — reading only the main file would silently return
+      // stale or missing rows, so refuse loudly (like the non-UTF-8
+      // and WITHOUT ROWID refusals) instead of returning a torn view
+      require(h(18) == 1 && h(19) == 1,
+        s"$path uses file format version ${h(18) & 0xff}/${h(19) & 0xff}" +
+          " (WAL journal mode?); only rollback-journal databases are" +
+          " supported — run `PRAGMA journal_mode=DELETE; PRAGMA" +
+          " wal_checkpoint(TRUNCATE)` first")
+      // a sibling -wal or a non-empty -journal means an uncheckpointed
+      // or interrupted transaction; the main file alone is not the
+      // committed database state
+      val walSide = java.nio.file.Paths.get(path + "-wal")
+      require(!java.nio.file.Files.exists(walSide) ||
+          java.nio.file.Files.size(walSide) == 0,
+        s"$path has a non-empty -wal sibling; checkpoint it first")
+      val journalSide = java.nio.file.Paths.get(path + "-journal")
+      require(!java.nio.file.Files.exists(journalSide) ||
+          java.nio.file.Files.size(journalSide) == 0,
+        s"$path has a hot -journal sibling (interrupted transaction);" +
+          " recover it with sqlite3 first")
       val reserved = h(20) & 0xff
       val pageCount = be32(h, 28)
       val enc = be32(h, 56)
@@ -396,12 +418,34 @@ object SqliteFile {
     if (cur.nonEmpty) parts += cur.toString
     val constraintHeads =
       Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+    // a table-level `PRIMARY KEY(x)` over a single column participates
+    // in the rowid-alias rule (including the documented DESC quirk:
+    // table-level `PRIMARY KEY(x DESC)` DOES alias; column-level
+    // `INTEGER PRIMARY KEY DESC` does NOT)
+    var tablePkCol: Option[String] = None
+    var tablePkComposite = false
     val cols = parts.map(_.trim).filter(_.nonEmpty).flatMap { p =>
       val (name, rest) = takeIdentifier(p)
       if (constraintHeads(name.toUpperCase) && !p.startsWith("\"") &&
-          !p.startsWith("[") && !p.startsWith("`"))
+          !p.startsWith("[") && !p.startsWith("`")) {
+        val u = p.toUpperCase
+        val isPkConstraint =
+          if (name.equalsIgnoreCase("CONSTRAINT")) {
+            val (_, afterName) = takeIdentifier(rest)
+            afterName.trim.toUpperCase.startsWith("PRIMARY")
+          } else u.startsWith("PRIMARY")
+        if (isPkConstraint) {
+          val lp = p.indexOf('(')
+          val rp = p.lastIndexOf(')')
+          if (lp > 0 && rp > lp) {
+            val keyCols = p.substring(lp + 1, rp).split(',').toSeq
+              .map(c => takeIdentifier(c.trim)._1).filter(_.nonEmpty)
+            if (keyCols.size == 1) tablePkCol = Some(keyCols.head)
+            else tablePkComposite = true
+          }
+        }
         None
-      else {
+      } else {
         // declared type = identifier tokens up to the first constraint
         // keyword (PRIMARY/NOT/UNIQUE/DEFAULT/CHECK/REFERENCES/
         // COLLATE/GENERATED/AS)
@@ -411,17 +455,42 @@ object SqliteFile {
         val tyToks = toks.takeWhile(t => !stop(t.toUpperCase))
         val declared = tyToks.mkString(" ")
         val upper = rest.toUpperCase
-        val isPk = upper.contains("PRIMARY KEY")
+        // the rowid alias requires the declared type to be EXACTLY
+        // 'INTEGER' (one token, any case) — mere INTEGER affinity
+        // ('INT', 'BIGINT', …) stores real values in the record while
+        // rowids are auto-assigned, so treating those as aliases
+        // silently substitutes rowids for the stored column
+        val exactInteger =
+          tyToks.size == 1 && tyToks.head.equalsIgnoreCase("INTEGER")
+        val colPk = upper.contains("PRIMARY KEY")
+        // historical quirk: column-level `INTEGER PRIMARY KEY DESC`
+        // does NOT alias the rowid
+        val colPkDesc = colPk &&
+          tokenize(upper).containsSlice(Seq("PRIMARY", "KEY", "DESC"))
         val aff = affinityOf(declared)
         Some(ColumnDef(name, declared, aff,
-          rowidAlias = isPk && aff == "INTEGER" && !withoutRowid))
+          rowidAlias =
+            exactInteger && colPk && !colPkDesc && !withoutRowid))
       }
     }.toSeq
-    // a composite table-level PRIMARY KEY never aliases the rowid; the
-    // alias is only legal when exactly one column claims it
-    val aliases = cols.count(_.rowidAlias)
+    // resolve a table-level single-column PK: aliases iff the named
+    // column's declared type is exactly INTEGER
+    val withTablePk = tablePkCol match {
+      case Some(pk) if !withoutRowid && !tablePkComposite =>
+        cols.map { c =>
+          if (c.name == pk &&
+              c.declaredType.equalsIgnoreCase("INTEGER") &&
+              !c.declaredType.contains(" "))
+            c.copy(rowidAlias = true)
+          else c
+        }
+      case _ => cols
+    }
+    // the alias is only legal when exactly one column claims it
+    val aliases = withTablePk.count(_.rowidAlias)
     val fixed =
-      if (aliases == 1) cols else cols.map(_.copy(rowidAlias = false))
+      if (aliases == 1) withTablePk
+      else withTablePk.map(_.copy(rowidAlias = false))
     (fixed, withoutRowid)
   }
 

@@ -37,9 +37,15 @@ object SqliteWriter {
     require(columns.nonEmpty, "need at least one column")
     val createSql = s"CREATE TABLE $name (${
       columns.map { case (n, t) => s"$n $t" }.mkString(", ")})"
+    // the rowid alias requires the declared type to be EXACTLY
+    // 'INTEGER' and no DESC on the column-level PK — `BIGINT PRIMARY
+    // KEY` is an ordinary column in real SQLite, so writing NULL in its
+    // record slot would make stock sqlite3 read it as all NULLs
     val aliasIdx = columns.indexWhere { case (_, t) =>
-      val u = t.toUpperCase
-      u.contains("INT") && u.contains("PRIMARY KEY")
+      val toks = t.trim.toUpperCase.split("""\s+""").toSeq
+      toks.headOption.contains("INTEGER") &&
+        toks.containsSlice(Seq("PRIMARY", "KEY")) &&
+        !toks.containsSlice(Seq("PRIMARY", "KEY", "DESC"))
     }
 
     // 1. encode every row as a record payload

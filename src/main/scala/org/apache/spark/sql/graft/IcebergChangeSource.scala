@@ -114,26 +114,47 @@ final class IcebergChangeSource(spark: SparkSession,
               case Some(last) =>
                 val i = chain.indexOf(last)
                 if (i >= 0) chain.take(i)
-                else if (chain.exists(_ <= last))
-                  // the floor is gone from the walkable lineage AND a
-                  // walkable commit sits at or below it: ids are
-                  // monotonic under this writer, so the ref was
-                  // REWRITTEN past the committed offset (rollback).
-                  // Falling back to the whole chain here would emit a
-                  // capped offset BELOW the committed one and replay
-                  // already-delivered rows — fail loudly instead, the
-                  // same refusal the batch lineage check makes.
-                  throw new IllegalStateException(
-                    s"$refName was rewritten below the stream's " +
-                      s"committed position $last (head $h): the " +
-                      "lineage no longer contains the committed " +
-                      "snapshot — reset the consumer to a lineage " +
-                      "snapshot")
-                else
-                  // floor EXPIRED (older than the oldest retained
-                  // snapshot — every retained commit is above it):
-                  // the whole walkable chain is genuinely pending
-                  chain
+                else {
+                  // The committed floor is gone from the walkable
+                  // lineage. Distinguish ROLLBACK (ref rewritten past
+                  // the committed offset — emitting a capped offset
+                  // below it would REPLAY delivered rows; fail loudly,
+                  // the same refusal the batch lineage check makes)
+                  // from routine snapshot EXPIRY (the whole retained
+                  // chain is genuinely pending) with WRITER-INDEPENDENT
+                  // signals — real catalogs assign random 64-bit
+                  // snapshot ids, so id ordering proves nothing:
+                  // 1. the snapshot still EXISTS in table metadata but
+                  //    is off this ref's lineage → the ref was moved
+                  //    (rollback keeps orphaned snapshots until
+                  //    expiry); 2. the snapshot-log still records the
+                  //    floor's commit timestamp — if it is >= the
+                  //    oldest retained lineage snapshot's, expiry
+                  //    (which only removes snapshots OLDER than every
+                  //    retained one) cannot explain the disappearance.
+                  val stillExists = byId.contains(last)
+                  val loggedTs = m.snapshotLog.collectFirst {
+                    case (ts, id) if id == last => ts }
+                  val oldestRetainedTs = chain.flatMap(byId.get)
+                    .map(_.timestampMs).minOption
+                  val timestampEvidence = (loggedTs, oldestRetainedTs) match {
+                    case (Some(ts), Some(oldest)) => ts >= oldest
+                    case _ => false // no counter-evidence → expiry
+                  }
+                  val rewritten = stillExists || timestampEvidence
+                  if (rewritten)
+                    throw new IllegalStateException(
+                      s"$refName was rewritten below the stream's " +
+                        s"committed position $last (head $h): the " +
+                        "lineage no longer contains the committed " +
+                        "snapshot — reset the consumer to a lineage " +
+                        "snapshot")
+                  else
+                    // floor EXPIRED (gone from metadata entirely, and
+                    // no timestamp evidence of a rewrite): the whole
+                    // walkable chain is genuinely pending
+                    chain
+                }
               case None => chain
             }
             val capped =

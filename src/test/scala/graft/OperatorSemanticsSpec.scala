@@ -942,6 +942,26 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("spm model cache survives a full unpersist sweep (bench dropResidue)") {
+    import graft.operators.SpmTokenizer
+    // prime the cache and remember an answer
+    val before = run("t_spm_encode").orderBy("doc_id").limit(5).collect()
+      .map(r => (r.get(0), r.getAs[Long]("n_spm_tokens"))).toSeq
+    // the bench harness unpersists EVERY persistent RDD between rows;
+    // a localCheckpoint-backed cache has truncated lineage and cannot
+    // recompute — model() must detect the eviction and rebuild instead
+    // of throwing (round-15 t_spm_encode = -1.0)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val after = run("t_spm_encode").orderBy("doc_id").limit(5).collect()
+      .map(r => (r.get(0), r.getAs[Long]("n_spm_tokens"))).toSeq
+    assert(after == before,
+      s"post-eviction encode diverged: $after vs $before")
+    // and the rebuilt model is a usable cache again
+    val (sc2, _) = SpmTokenizer.modelForTest(spark, sf)
+    assert(sc2.limit(1).count() == 1)
+  }
+
   test("resize kernel emits fixed-size deterministic thumbnails") {
     val p = ("abcdefghij" * 10).getBytes("UTF-8")
     val k = graft.functions.ByteSample(

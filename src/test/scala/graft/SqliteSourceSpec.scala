@@ -276,5 +276,142 @@ class SqliteSourceSpec extends AnyFunSuite {
       out(6) == 0L && out(7) == 1L)
   }
 
+  // ---------------------------------------------------------------
+  // the rowid-alias rule, differentially against real SQLite: only a
+  // declared type of EXACTLY 'INTEGER' aliases the rowid. `INT PRIMARY
+  // KEY` / `BIGINT PRIMARY KEY` store real values in the record while
+  // rowids auto-assign — a reader that treats them as aliases silently
+  // substitutes rowids for the stored column.
+
+  test("reader: INT PRIMARY KEY is NOT a rowid alias (stored values win)") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("intpk") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE t (id INT PRIMARY KEY, v TEXT)")
+         |# out-of-order keys: rowids become 1,2,3 while id keeps 50,30,90
+         |c.execute("INSERT INTO t VALUES (50, 'a')")
+         |c.execute("INSERT INTO t VALUES (30, 'b')")
+         |c.execute("INSERT INTO t VALUES (90, 'c')")
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "t").load()
+    val got = df.orderBy("v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((50L, "a"), (30L, "b"), (90L, "c")),
+      s"INT PRIMARY KEY values must come from the record, got ${got.toSeq}")
+    // and the filter is NOT routed through rowid pruning: id=30 is
+    // rowid 2, so a rowid-pruned read would return the wrong row
+    assert(df.filter(col("id") === 30).select("v").head.getString(0) == "b")
+    Files.delete(db)
+  }
+
+  test("reader: INTEGER PRIMARY KEY DESC (column-level quirk) is NOT an alias") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("descpk") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE t (id INTEGER PRIMARY KEY DESC, v TEXT)")
+         |c.execute("INSERT INTO t VALUES (70, 'x')")
+         |c.execute("INSERT INTO t VALUES (10, 'y')")
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "t").load()
+    val got = df.orderBy("v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((70L, "x"), (10L, "y")),
+      s"column-level DESC quirk: values must come from the record, got ${got.toSeq}")
+    Files.delete(db)
+  }
+
+  test("reader: table-level PRIMARY KEY(id) with exact INTEGER IS an alias") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("tblpk") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE t (id INTEGER, v TEXT, PRIMARY KEY(id))")
+         |c.executemany("INSERT INTO t VALUES (?,?)",
+         |              [(i * 10, 'v%d' % i) for i in range(1, 201)])
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "t").load()
+      .filter(col("id") >= 100 && col("id") <= 200)
+    assert(df.count() == 11)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rowid=[100, 200]"),
+      s"table-level INTEGER PK must route through rowid pruning:\n$plan")
+    Files.delete(db)
+  }
+
+  test("writer: BIGINT PRIMARY KEY stores real values (no alias NULLs)") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = Files.createTempFile("graft-bigintpk", ".sqlite")
+    SqliteWriter.write(db, "t",
+      Seq("id" -> "BIGINT PRIMARY KEY", "v" -> "TEXT"),
+      Iterator(Seq[Any](7L, "a"), Seq[Any](11L, "b")))
+    val outTsv = Files.createTempFile("graft-bigintpk", ".tsv")
+    py(s"""import sqlite3
+          |c = sqlite3.connect(${q(db)})
+          |r = c.execute("SELECT id, v FROM t ORDER BY v").fetchall()
+          |assert r == [(7, 'a'), (11, 'b')], r
+          |with open(${q(outTsv)}, 'w') as fh: fh.write(repr(r))
+          |c.close()
+          |""".stripMargin)
+    assert(new String(Files.readAllBytes(outTsv), "UTF-8")
+      .contains("(7, 'a')"))
+    Files.delete(db); Files.delete(outTsv)
+  }
+
+  test("reader: WAL-mode databases are refused loudly") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("wal") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("PRAGMA journal_mode=WAL")
+         |c.execute("CREATE TABLE t (a INTEGER)")
+         |c.execute("INSERT INTO t VALUES (1)")
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    val e = intercept[Exception] {
+      spark.read.format(classOf[SqliteDataSource].getName)
+        .option("path", db.toString).option("table", "t").load().count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("WAL")),
+      s"expected a WAL refusal, got: ${msgs(e).mkString(" | ")}")
+    Files.delete(db)
+    val wal = java.nio.file.Paths.get(db.toString + "-wal")
+    if (Files.exists(wal)) Files.delete(wal)
+    val shm = java.nio.file.Paths.get(db.toString + "-shm")
+    if (Files.exists(shm)) Files.delete(shm)
+  }
+
+  test("reader: boundary-value range filters do not wrap (Long.MaxValue)") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("bounds") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+         |c.executemany("INSERT INTO t VALUES (?,?)",
+         |              [(i, 'v%d' % i) for i in range(1, 11)])
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    val base = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "t").load()
+    assert(base.filter(col("id") > Long.MaxValue).count() == 0,
+      "id > Long.MaxValue must select nothing (no wraparound)")
+    assert(base.filter(col("id") < Long.MinValue).count() == 0,
+      "id < Long.MinValue must select nothing (no wraparound)")
+    Files.delete(db)
+  }
+
   private def q(p: Path): String = "r'" + p.toString + "'"
 }
