@@ -33,7 +33,7 @@ import urllib.parse as _urlparse
 import urllib.request as _urlrequest
 
 __all__ = [
-    "connect", "GraftConnection",
+    "connect", "GraftConnection", "FlightConnection",
     "GraftError", "ConnectionError", "QueryError", "AuthError",
 ]
 
@@ -77,11 +77,20 @@ def connect(url=None, api_key=None, timeout=60.0, trace_dir=None,
     :param data_dir: parquet table directory registered at boot
         (embedded mode).
     :param boot_timeout: seconds to wait for the child JVM to serve.
+
+    ``mode="flight"`` (or a ``grpc://`` url) connects over Arrow Flight
+    SQL instead of HTTP — the reference's remote mode
+    (``python/src/backend/remote.rs``): GetFlightInfo plans the
+    statement, DoGet streams record batches, and results land as
+    zero-copy ``pyarrow.Table``s.
     """
-    if mode == "embedded" or url is None:
+    if mode == "embedded" or (url is None and mode != "flight"):
         return EmbeddedConnection(config=config, data_dir=data_dir,
                                   timeout=timeout, trace_dir=trace_dir,
                                   boot_timeout=boot_timeout)
+    if mode == "flight" or (url or "").startswith(("grpc://", "grpc+tcp://")):
+        return FlightConnection(url, api_key=api_key, timeout=timeout,
+                                trace_dir=trace_dir)
     return GraftConnection(url, api_key=api_key, timeout=timeout,
                            trace_dir=trace_dir)
 
@@ -321,6 +330,185 @@ class GraftConnection:
     def _get_json(self, path):
         raw, _ = self._request_raw("GET", path, None)
         return _json.loads(raw.decode("utf-8"))
+
+
+# ---------------------------------------------------------------- flight mode
+
+def _pb_varint(n):
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _pb_field(field, payload):
+    """A length-delimited protobuf field (wire type 2)."""
+    return _pb_varint((field << 3) | 2) + _pb_varint(len(payload)) + payload
+
+
+def _flight_sql_any(type_suffix, message_bytes):
+    """``google.protobuf.Any``-wrap a Flight SQL command message — the
+    envelope every FlightDescriptor.cmd carries (Any{type_url=1,
+    value=2})."""
+    url = "type.googleapis.com/arrow.flight.sql." + type_suffix
+    return (_pb_field(1, url.encode("utf-8"))
+            + _pb_field(2, message_bytes))
+
+
+class FlightConnection:
+    """A connection over Arrow Flight SQL — the zero-copy remote path.
+
+    The analog of the reference's remote backend
+    (``python/src/backend/remote.rs``): statements resolve to a ticket
+    with GetFlightInfo (plan only — schema without execution) and
+    execute with DoGet, whose record batches arrive as one
+    ``pyarrow.Table`` without any row-level re-encoding. Catalog
+    discovery (``tables()``) speaks ``CommandGetTables``. The command
+    protos are hand-encoded (two length-delimited fields); only
+    ``pyarrow`` is required.
+    """
+
+    def __init__(self, url, api_key=None, timeout=60.0, trace_dir=None):
+        import pyarrow.flight as _fl
+        self._fl = _fl
+        loc = (url or "").rstrip("/")
+        for scheme in ("http://", "grpc://"):
+            if loc.startswith(scheme):
+                loc = "grpc+tcp://" + loc[len(scheme):]
+        if not loc.startswith(("grpc+tcp://", "grpc+tls://")):
+            raise ValueError("flight mode needs a grpc:// or http:// url")
+        self._base = loc
+        self._timeout = timeout
+        headers = []
+        if api_key:
+            headers.append((b"authorization",
+                            ("Bearer " + api_key).encode("utf-8")))
+        self._opts = _fl.FlightCallOptions(timeout=timeout, headers=headers)
+        try:
+            self._client = _fl.connect(loc)
+        except Exception as e:  # pragma: no cover - pyarrow raises lazily
+            raise ConnectionError(str(e)) from None
+        self.last_warnings = []
+        self._closed = False
+        self._session = None
+        if trace_dir is not None:
+            from . import tracing
+            self._session = tracing.AgentSession(
+                tracing.get_emitter(trace_dir),
+                metadata={"kind": "client-flight", "endpoint": self._base})
+            self._session.__enter__()
+
+    # mirrors GraftConnection._trace_query for the flight path
+    def _trace_query(self, path, sql, start, status, rows):
+        if self._session is not None:
+            import hashlib
+            self._session.record_event("query", {
+                "path": path,
+                "sql_sha256": hashlib.sha256(sql.encode("utf-8")).hexdigest(),
+                "status": status,
+                "rows": rows,
+                "duration_ms": round(
+                    (__import__("time").monotonic() - start) * 1000, 2),
+            })
+
+    def _translate(self, e, query=None):
+        fl = self._fl
+        if isinstance(e, fl.FlightUnauthenticatedError):
+            return AuthError(str(e))
+        if isinstance(e, (fl.FlightUnavailableError, fl.FlightTimedOutError)):
+            return ConnectionError(str(e))
+        if isinstance(e, fl.FlightError):
+            return QueryError(str(e))
+        return e
+
+    def _statement_info(self, query):
+        """GetFlightInfo for a statement — plans without executing."""
+        fl = self._fl
+        cmd = _flight_sql_any(
+            "CommandStatementQuery", _pb_field(1, query.encode("utf-8")))
+        desc = fl.FlightDescriptor.for_command(cmd)
+        try:
+            return self._client.get_flight_info(desc, self._opts)
+        except Exception as e:
+            raise self._translate(e) from None
+
+    def sql(self, query, params=None):
+        """Execute SQL, return a zero-copy ``pyarrow.Table``."""
+        if params:
+            raise QueryError(
+                "flight mode does not bind named parameters; "
+                "use the HTTP client for :param queries")
+        import time as _t
+        start = _t.monotonic()
+        try:
+            info = self._statement_info(query)
+            reader = self._client.do_get(
+                info.endpoints[0].ticket, self._opts)
+            table = reader.read_all()
+        except GraftError:
+            self._trace_query("flight", query, start, "error", None)
+            raise
+        except Exception as e:
+            self._trace_query("flight", query, start, "error", None)
+            raise self._translate(e) from None
+        self._trace_query("flight", query, start, "ok", table.num_rows)
+        return table
+
+    def sql_rows(self, query, params=None):
+        """``(columns, rows, warnings)`` twin over the Flight path."""
+        t = self.sql(query, params=params)
+        cols = [c.to_pylist() for c in t.columns]
+        return t.column_names, [list(r) for r in zip(*cols)], []
+
+    def schema(self, query):
+        """Result schema without executing (GetFlightInfo only)."""
+        info = self._statement_info(query)
+        return [{"name": f.name, "type": str(f.type),
+                 "nullable": f.nullable} for f in info.schema]
+
+    def tables(self, catalog=None, db_schema_filter_pattern=None,
+               table_name_filter_pattern=None, table_types=(),
+               include_schema=True):
+        """Flight SQL ``CommandGetTables`` discovery as a
+        ``pyarrow.Table`` (``table_schema`` carries IPC schema bytes when
+        ``include_schema``)."""
+        body = bytearray()
+        if catalog:
+            body += _pb_field(1, catalog.encode("utf-8"))
+        if db_schema_filter_pattern:
+            body += _pb_field(2, db_schema_filter_pattern.encode("utf-8"))
+        if table_name_filter_pattern:
+            body += _pb_field(3, table_name_filter_pattern.encode("utf-8"))
+        for t in table_types:
+            body += _pb_field(4, t.encode("utf-8"))
+        if include_schema:
+            body += _pb_varint((5 << 3) | 0) + _pb_varint(1)
+        cmd = _flight_sql_any("CommandGetTables", bytes(body))
+        try:
+            # catalog tickets ARE the command — no GetFlightInfo needed
+            reader = self._client.do_get(
+                self._fl.Ticket(cmd), self._opts)
+            return reader.read_all()
+        except Exception as e:
+            raise self._translate(e) from None
+
+    def close(self):
+        if not self._closed:
+            self._closed = True
+            try:
+                self._client.close()
+            finally:
+                if self._session is not None:
+                    self._session.__exit__(None, None, None)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_value, traceback):
+        self.close()
 
 
 # -------------------------------------------------------------- embedded mode

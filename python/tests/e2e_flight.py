@@ -1,0 +1,74 @@
+"""End-to-end exercise of the Python client's FLIGHT mode against a live
+FlightSqlEdge — the reference's remote backend contract
+(python/src/backend/remote.rs: statement -> FlightInfo -> DoGet ->
+zero-copy pyarrow.Table), driven over graft's hand-built h2c gRPC edge.
+
+Run by PythonClientSpec. Exits non-zero on failure; prints FLIGHT OK.
+
+Usage: python3 e2e_flight.py <host:port> <api_key>
+"""
+
+import sys
+
+import graft
+
+
+def main():
+    hostport, key = sys.argv[1], sys.argv[2]
+
+    with graft.connect("grpc://" + hostport, api_key=key,
+                       mode="flight") as conn:
+        assert isinstance(conn, graft.FlightConnection), type(conn)
+
+        # zero-copy Arrow delivery: typed pyarrow.Table straight off DoGet
+        t = conn.sql(
+            "SELECT n_name, n_regionkey FROM nation ORDER BY n_name LIMIT 3")
+        import pyarrow as pa
+        import pyarrow.types as _pt
+        assert isinstance(t, pa.Table), type(t)
+        assert t.num_rows == 3, t
+        assert t.column_names == ["n_name", "n_regionkey"], t.column_names
+        assert _pt.is_integer(t.column("n_regionkey").type), \
+            t.column("n_regionkey").type
+        assert t.column("n_name")[0].as_py() == "NATION_0", t
+
+        total = conn.sql("SELECT count(*) AS n FROM nation")
+        assert total.column("n")[0].as_py() == 25, total
+
+        # rows twin agrees
+        cols, rows, _ = conn.sql_rows("SELECT count(*) AS n FROM nation")
+        assert cols == ["n"] and rows[0][0] == 25, (cols, rows)
+
+        # GetFlightInfo plans WITHOUT executing: schema for a statement
+        sch = conn.schema("SELECT n_name, n_nationkey FROM nation")
+        assert [c["name"] for c in sch] == ["n_name", "n_nationkey"], sch
+
+        # CommandGetTables discovery with embedded IPC schemas
+        import pyarrow.ipc as ipc
+        tt = conn.tables(table_name_filter_pattern="nat%")
+        assert tt.num_rows == 1, tt.to_pydict()
+        assert tt.column("table_name")[0].as_py() == "nation", tt
+        embedded = ipc.read_schema(
+            pa.BufferReader(tt.column("table_schema")[0].as_py()))
+        assert "n_name" in embedded.names, embedded
+
+        # server-side failures map to QueryError
+        try:
+            conn.sql("SELECT * FROM no_such_table")
+            raise AssertionError("expected QueryError")
+        except graft.QueryError:
+            pass
+
+    # bad credentials -> AuthError (gRPC UNAUTHENTICATED)
+    try:
+        graft.connect("grpc://" + hostport, api_key="wrong-key",
+                      mode="flight").sql("SELECT 1 AS x")
+        raise AssertionError("expected AuthError")
+    except graft.AuthError:
+        pass
+
+    print("FLIGHT OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,20 +53,98 @@ final case class FederationRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf.get(EnabledKey, "true").toBoolean) return plan
-    val hasWire = (plan +: plan.subqueriesAll).exists(_.exists {
-      case p => leafInfo(p).isDefined
+    val wantSubstrait = substraitEngine.isDefined
+    val hasWork = (plan +: plan.subqueriesAll).exists(_.exists {
+      case p => leafInfo(p).isDefined ||
+        (wantSubstrait && parquetLeaf(p).isDefined)
     })
-    if (!hasWire) plan else rewrite(plan)
+    if (!hasWork) plan else rewrite(plan)
   }
 
   /** Top-down walk: collapse the first (= maximal) qualifying subtree,
     * otherwise recurse into children and subquery plans. */
   private def rewrite(plan: LogicalPlan): LogicalPlan =
-    tryFederate(plan).getOrElse {
+    tryFederate(plan).orElse(trySubstrait(plan)).getOrElse {
       plan.mapChildren(rewrite).transformExpressions {
         case s: SubqueryExpression => s.withNewPlan(rewrite(s.plan))
       }
     }
+
+  /** The opt-in engine for the Substrait tier ("acero" or "duckdb"),
+    * absent by default — local parquet subtrees stay on Spark unless the
+    * user explicitly routes them, because at scale Spark IS the right
+    * engine for its own parquet; the tier exists for parity with the
+    * reference's embedded-DuckDB federation (duckdb_federation.rs
+    * executes produced Substrait via `from_substrait`). */
+  private def substraitEngine: Option[String] =
+    Option(spark.conf.get(SubstraitEngineKey, ""))
+      .map(_.trim.toLowerCase).filter(_.nonEmpty)
+
+  /** Substrait tier: a join/aggregate subtree whose leaves are all LOCAL
+    * parquet scans ships as produced Substrait bytes to the configured
+    * engine ([[graft.sql.substrait.SubstraitEngines]]), exactly like the
+    * wire tier ships unparsed SQL — same gates (never a bare scan, must
+    * be a multi-scan subtree or a grouped aggregate, transferable output
+    * types), same dimension-sized-result contract, same fallback: any
+    * unsupported shape leaves the subtree on Spark untouched. */
+  private def trySubstrait(plan: LogicalPlan): Option[LogicalPlan] = {
+    val engine = substraitEngine.getOrElse(return None)
+    if (engine == "duckdb") {
+      graft.sql.substrait.SubstraitEngines.duckdbStatus match {
+        case Left(reason) =>
+          logWarning(s"substrait tier configured for duckdb but $reason — " +
+            "running locally")
+          return None
+        case Right(()) => ()
+      }
+    }
+    // a bare scan (optionally aliased) stays local — same stance as the
+    // wire tier: collapsing it forfeits column pruning + parallel reads
+    if (parquetLeaf(stripAliases(plan)).isDefined) return None
+    // the producer has no subquery-expression surface
+    if (plan.subqueriesAll.nonEmpty) return None
+    val leaves = plan.collectLeaves()
+    if (leaves.isEmpty || !leaves.forall(l => parquetLeaf(l).isDefined))
+      return None
+    val worthIt = leaves.size >= 2 ||
+      plan.exists { case _: Aggregate => true; case _ => false }
+    if (!worthIt) return None
+    if (!plan.output.forall(a => transferable(a.dataType))) return None
+    // name each leaf t0..tN for the producer's named-table read-rels and
+    // map those names to the parquet paths the engine bridge will open
+    var idx = -1
+    val tables = scala.collection.mutable.Map.empty[String, String]
+    val named = plan.transformUp {
+      case l if parquetLeaf(l).isDefined =>
+        idx += 1
+        val n = s"t$idx"
+        tables(n) = parquetLeaf(l).get
+        SubqueryAlias(n, l)
+    }
+    // positional aliases c0..cN: duplicate output names (self-joins)
+    // would collide in the Arrow result's name-keyed decode
+    val aliased = Project(named.output.zipWithIndex.map {
+      case (a, i) => Alias(a, s"c$i")()
+    }, named)
+    val bytes =
+      try graft.sql.substrait.SubstraitProducer.produce(aliased)
+      catch {
+        case _: graft.sql.substrait.SubstraitProducer.SubstraitUnsupported =>
+          return None
+      }
+    val schema = StructType(plan.output.zipWithIndex.map { case (a, i) =>
+      StructField(s"c$i", a.dataType, a.nullable)
+    })
+    val table = new graft.sql.substrait.SubstraitEngineTable(
+      schema, engine, bytes, tables.toMap)
+    val rel = DataSourceV2Relation.create(table, None, None,
+      CaseInsensitiveStringMap.empty())
+    logInfo(s"substrait tier: ${leaves.size}-scan subtree ships to $engine " +
+      s"(${tables.keys.toSeq.sorted.mkString(",")})")
+    Some(Project(plan.output.zip(rel.output).map { case (old, fresh) =>
+      Alias(fresh, old.name)(exprId = old.exprId, qualifier = old.qualifier)
+    }, rel))
+  }
 
   private def tryFederate(plan: LogicalPlan): Option[LogicalPlan] = {
     // a bare scan (optionally view-aliased) stays local: per-scan
@@ -226,6 +304,30 @@ final case class FederationRule(spark: SparkSession) extends Rule[LogicalPlan] {
 object FederationRule {
 
   val EnabledKey = "spark.graft.federation.enabled"
+
+  /** Engine for the Substrait tier ("acero" | "duckdb"); unset = off. */
+  val SubstraitEngineKey = "spark.graft.federation.substrait.engine"
+
+  /** The LOCAL-filesystem path of a v1 parquet scan with a single root —
+    * the only leaves the Substrait engine bridges can open (both engines
+    * run on this host; a directory dataset is handled bridge-side). */
+  private def parquetLeaf(p: LogicalPlan): Option[String] = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+          if h.fileFormat.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+        h.location.rootPaths.toSeq match {
+          case Seq(one) =>
+            val uri = one.toUri
+            if (uri.getScheme == null || uri.getScheme == "file")
+              Some(uri.getPath)
+            else None
+          case _ => None
+        }
+      case _ => None
+    }
+    case _ => None
+  }
 
   /** One remote scan: dialect kind, instance identity (url — the
     * reference's compute context, postgres_federation.rs:46-49), the

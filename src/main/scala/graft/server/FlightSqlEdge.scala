@@ -78,9 +78,19 @@ final class FlightSqlEdge(
     val ep = DynamicMessage.newBuilder(
       msg("arrow.flight.protocol.FlightEndpoint"))
     ep.setField(ep.getDescriptorForType.findFieldByName("ticket"), ticket)
+    // echo the request descriptor (spec field; strict clients — pyarrow —
+    // reject a FlightInfo whose descriptor parses as type UNKNOWN)
+    val echo = DynamicMessage.newBuilder(FlightDescriptorD)
+      .setField(FlightDescriptorD.findFieldByName("type"),
+        FlightDescriptorD.findEnumTypeByName("DescriptorType")
+          .findValueByNumber(2)) // CMD
+      .setField(FlightDescriptorD.findFieldByName("cmd"),
+        ByteString.copyFrom(ticketBytes))
+      .build()
     DynamicMessage.newBuilder(FlightInfoD)
       .setField(FlightInfoD.findFieldByName("schema"),
         ByteString.copyFrom(schemaIpc))
+      .setField(FlightInfoD.findFieldByName("flight_descriptor"), echo)
       .addRepeatedField(FlightInfoD.findFieldByName("endpoint"), ep.build())
       .build().toByteArray
   }

@@ -78,6 +78,9 @@ object SubstraitEngines {
       |    con.execute("INSTALL substrait")
       |    con.execute("LOAD substrait")
       |for name, path in json.load(open(os.path.join(d, "tables.json"))).items():
+      |    # a Spark-written dataset is a DIRECTORY of part files
+      |    if os.path.isdir(path):
+      |        path = os.path.join(path, "*.parquet")
       |    con.execute("CREATE VIEW %s AS SELECT * FROM read_parquet(?)" % name,
       |                [path])
       |plan = open(os.path.join(d, "plan.bin"), "rb").read()
@@ -142,22 +145,29 @@ object SubstraitEngines {
     }
   }
 
+  /** The Spark schema an Arrow IPC stream declares for itself — engine
+    * results come back with the ENGINE's types (DuckDB widens integer
+    * sums), so consumers decode with this and cast to what they need. */
+  def ipcSchema(ipc: Array[Byte]): StructType = {
+    import graft.sources.arrowhttp.ArrowHttpClient
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      val r = new ArrowStreamReader(new ByteArrayInputStream(ipc), alloc)
+      try StructType(r.getVectorSchemaRoot.getSchema.getFields.toArray.map {
+        case f: org.apache.arrow.vector.types.pojo.Field =>
+          StructField(f.getName, ArrowHttpClient.sparkType(f.getType),
+            f.isNullable)
+      })
+      finally r.close()
+    } finally alloc.close()
+  }
+
   /** Decode an Arrow IPC stream (schema taken from the stream itself)
     * into a local DataFrame — the same decoder the ArrowHttp/Flight
     * sources use, so engine results and wire results share one codec. */
   def toDataFrame(spark: SparkSession, ipc: Array[Byte]): DataFrame = {
     import graft.sources.arrowhttp.ArrowHttpClient
-    val alloc = new RootAllocator(Long.MaxValue)
-    val schema =
-      try {
-        val r = new ArrowStreamReader(new ByteArrayInputStream(ipc), alloc)
-        try StructType(r.getVectorSchemaRoot.getSchema.getFields.toArray.map {
-          case f: org.apache.arrow.vector.types.pojo.Field =>
-            StructField(f.getName, ArrowHttpClient.sparkType(f.getType),
-              f.isNullable)
-        })
-        finally r.close()
-      } finally alloc.close()
+    val schema = ipcSchema(ipc)
     val internal = ArrowHttpClient.decodeStream(ipc, schema)
     val rows = internal.map { ir =>
       Row.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>

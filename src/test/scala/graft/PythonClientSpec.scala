@@ -63,6 +63,29 @@ class PythonClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains("ALL OK"), out)
   }
 
+  test("flight mode: the client speaks Flight SQL to FlightSqlEdge with " +
+      "zero-copy Arrow results") {
+    val engine = new GraftSession(spark, GraftConfig(defensiveLimit = 100000))
+    val auth = new ApiKeyAuthenticator(Map(
+      "flight-key" -> AuthenticatedUser("pyflight", permissions = Set("admin"))))
+    val edge = new graft.server.FlightSqlEdge(engine, auth.apply)
+    val fport = edge.start()
+    try {
+      val repo = new java.io.File(".").getCanonicalFile
+      val script = new java.io.File(repo, "python/tests/e2e_flight.py")
+      assert(script.isFile, s"missing $script")
+      val pb = new ProcessBuilder(
+        "python3", script.getAbsolutePath, s"localhost:$fport", "flight-key")
+      pb.environment().put("PYTHONPATH",
+        new java.io.File(repo, "python").getAbsolutePath)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = drainWithTimeout(proc, 120)
+      assert(proc.exitValue == 0, s"flight client failed:\n$out")
+      assert(out.contains("FLIGHT OK"), out)
+    } finally edge.stop()
+  }
+
   test("embedded mode boots the engine as a child JVM — no pre-started server") {
     val repo = new java.io.File(".").getCanonicalFile
     val dir = java.nio.file.Files.createTempDirectory("graft-embedded-test")
