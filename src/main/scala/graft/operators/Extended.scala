@@ -401,6 +401,37 @@ object Extended {
         .filter(col("c_custkey").between(20, 90))
     },
 
+    // Substrait tier through the correctness gate: the join+aggregate is
+    // collapsed by the federation router's Substrait tier
+    // (plans/FederationRule.substraitRewrite) into produced plan BYTES
+    // executed on Acero — a second engine with its own independent
+    // Substrait decoder — and the rows it streams back must still
+    // hash-match DuckDB's answer on the original parquet. This is the
+    // execution twin of the reference's embedded-DuckDB federation
+    // (reference crates/connectors/src/sources/sql/duckdb_federation.rs,
+    // crates/sql/src/substrait_producer.rs:529-536). Routed explicitly —
+    // not via session conf — so a shared session never races.
+    GraftQuery("q_substrait_acero",
+      """SELECT n_name, count(*) AS cnt,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 0
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      // integer aggregates only: a float sum's addition ORDER differs
+      // between engines, and this row must hash-match DuckDB exactly
+      val local = t(s, dir).customer.filter(col("c_acctbal") > 0)
+        .join(t(s, dir).nation,
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_custkey")).as("key_sum"))
+      val collapsed = graft.plans.FederationRule.substraitRewrite(
+        s, local.queryExecution.optimizedPlan, "acero").getOrElse(
+          throw new IllegalStateException(
+            "substrait tier did not collapse the join+aggregate"))
+      org.apache.spark.sql.GraftPlanBridge.ofRows(s, collapsed)
+    },
+
     // Iceberg round-trip: WRITE the filtered table as two append-only
     // Iceberg snapshots (spec-shaped metadata JSON + Avro manifests,
     // sources/iceberg/IcebergLocal.scala), serve them over a live REST

@@ -87,8 +87,11 @@ final case class FederationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * be a multi-scan subtree or a grouped aggregate, transferable output
     * types), same dimension-sized-result contract, same fallback: any
     * unsupported shape leaves the subtree on Spark untouched. */
-  private def trySubstrait(plan: LogicalPlan): Option[LogicalPlan] = {
-    val engine = substraitEngine.getOrElse(return None)
+  private def trySubstrait(plan: LogicalPlan): Option[LogicalPlan] =
+    substraitEngine.flatMap(substraitCollapse(plan, _))
+
+  private[graft] def substraitCollapse(plan: LogicalPlan,
+      engine: String): Option[LogicalPlan] = {
     if (engine == "duckdb") {
       graft.sql.substrait.SubstraitEngines.duckdbStatus match {
         case Left(reason) =>
@@ -307,6 +310,14 @@ object FederationRule {
 
   /** Engine for the Substrait tier ("acero" | "duckdb"); unset = off. */
   val SubstraitEngineKey = "spark.graft.federation.substrait.engine"
+
+  /** Conf-free entry to the Substrait tier for callers that route ONE
+    * plan explicitly (the q_substrait_acero gate query): collapse the
+    * given OPTIMIZED plan for `engine`, or None when it doesn't qualify.
+    * Session-conf routing stays untouched — no shared-session races. */
+  def substraitRewrite(spark: SparkSession, plan: LogicalPlan,
+      engine: String): Option[LogicalPlan] =
+    FederationRule(spark).substraitCollapse(plan, engine)
 
   /** The LOCAL-filesystem path of a v1 parquet scan with a single root —
     * the only leaves the Substrait engine bridges can open (both engines
