@@ -79,6 +79,7 @@ object SubstraitProducer {
   private val Boolean_ = UriBase + "functions_boolean.yaml"
   private val Arithmetic = UriBase + "functions_arithmetic.yaml"
   private val AggregateGeneric = UriBase + "functions_aggregate_generic.yaml"
+  private val FString = UriBase + "functions_string.yaml"
 
   /** Deterministic anchor assignment, in first-use order. */
   private final class FnRegistry {
@@ -196,20 +197,23 @@ object SubstraitProducer {
         val (lb, lout) = emitRel(left, fns)
         val (rb, rout) = emitRel(right, fns)
         import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
-        val jt = joinType match {
-          case Inner => 1
-          case FullOuter => 2
-          case LeftOuter => 3
-          case RightOuter => 4
+        // semi/anti stay unsupported: Acero's consumer binds the join
+        // condition against the LEFT-ONLY output schema for those types,
+        // so right-side key references cannot resolve — a produced plan
+        // would be unexecutable on the differential engine
+        val (jt, out) = joinType match {
+          case Inner => (1, lout ++ rout)
+          case FullOuter => (2, lout ++ rout)
+          case LeftOuter => (3, lout ++ rout)
+          case RightOuter => (4, lout ++ rout)
           case other => throw SubstraitUnsupported(s"join type $other")
         }
-        val out = lout ++ rout
         val w = new ProtoWriter
         w.msg(6) { j => // Rel.join = 6 {left=2, right=3, expression=4, type=6}
           j.bytesField(2, lb)
           j.bytesField(3, rb)
           j.bytesField(4, exprBytes(
-            cond.getOrElse(Literal(true, BooleanType)), out, fns))
+            cond.getOrElse(Literal(true, BooleanType)), lout ++ rout, fns))
           j.int(6, jt.toLong)
         }
         (w.bytes, out)
@@ -315,8 +319,9 @@ object SubstraitProducer {
           sel.msg(1)(_.msg(2)(sf => if (idx != 0) sf.int(1, idx.toLong)))
           sel.msg(4)(_ => ()) // root_reference = 4 (empty RootReference)
         }
-      case Literal(null, _) =>
-        throw SubstraitUnsupported("null literal")
+      case Literal(null, dt) =>
+        // typed null (Literal.null = 29 carries the Type message)
+        w.msg(1)(_.bytesField(29, typeBytes(dt, nullable = true)))
       case Literal(v, dt) =>
         w.msg(1) { lit => // Expression.literal = 1
           dt match {
@@ -350,6 +355,44 @@ object SubstraitProducer {
       case s: Subtract => scalarFn(w, Arithmetic, "subtract", s.dataType, Seq(s.left, s.right), input, fns)
       case m: Multiply => scalarFn(w, Arithmetic, "multiply", m.dataType, Seq(m.left, m.right), input, fns)
       case d: Divide => scalarFn(w, Arithmetic, "divide", d.dataType, Seq(d.left, d.right), input, fns)
+      case If(p, t, f) =>
+        w.msg(6) { it => // Expression.if_then = 6 {ifs=1 {if=1, then=2}, else=2}
+          it.msg(1) { c =>
+            c.bytesField(1, exprBytes(p, input, fns))
+            c.bytesField(2, exprBytes(t, input, fns))
+          }
+          it.bytesField(2, exprBytes(f, input, fns))
+        }
+      case cw: CaseWhen =>
+        // CASE without ELSE falls to a typed null, same as Spark's
+        val els = cw.elseValue.getOrElse(Literal(null, cw.dataType))
+        w.msg(6) { it =>
+          cw.branches.foreach { case (p, v) =>
+            it.msg(1) { c =>
+              c.bytesField(1, exprBytes(p, input, fns))
+              c.bytesField(2, exprBytes(v, input, fns))
+            }
+          }
+          it.bytesField(2, exprBytes(els, input, fns))
+        }
+      case In(v, list) if list.forall(_.isInstanceOf[Literal]) =>
+        w.msg(8) { sl => // Expression.singular_or_list = 8 {value=1, options=2}
+          sl.bytesField(1, exprBytes(v, input, fns))
+          list.foreach(o => sl.bytesField(2, exprBytes(o, input, fns)))
+        }
+      case InSet(v, hset) =>
+        // the optimizer's large-IN form; re-literalize in sorted order so
+        // produced bytes are deterministic for the fuzz corpora
+        val lits = hset.toSeq.map(x => Literal.create(x, v.dataType))
+          .sortBy(_.toString)
+        w.msg(8) { sl =>
+          sl.bytesField(1, exprBytes(v, input, fns))
+          lits.foreach(o => sl.bytesField(2, exprBytes(o, input, fns)))
+        }
+      // only `concat` from functions_string.yaml: Acero 16 (the
+      // differential engine) has no conversion for upper/lower — an
+      // unexecutable mapping would ship unverified bytes
+      case c: Concat => scalarFn(w, FString, "concat", c.dataType, c.children, input, fns)
       case other => throw SubstraitUnsupported(s"expression ${other.prettyName}")
     }
     w.bytes

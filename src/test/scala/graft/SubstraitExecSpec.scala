@@ -209,13 +209,50 @@ class SubstraitExecSpec extends AnyFunSuite {
 
   test("substrait: unsupported shapes fail loudly, not silently") {
     intercept[SubstraitProducer.SubstraitUnsupported] {
-      SubstraitProducer.produce(nation.join(customer,
-        col("n_nationkey") === col("c_nationkey"), "left_semi"))
+      SubstraitProducer.produce(customer.select(col("c_custkey"),
+        rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c_acctbal"))).as("r")))
     }
     intercept[SubstraitProducer.SubstraitUnsupported] {
       SubstraitProducer.produce(
         customer.groupBy(col("c_custkey") % 3).agg(count(lit(1))))
     }
+  }
+
+  test("substrait: semi/anti joins refuse loudly (Acero binds their " +
+      "condition left-only — a produced plan could not execute)") {
+    intercept[SubstraitProducer.SubstraitUnsupported] {
+      SubstraitProducer.produce(nation.join(customer,
+        col("n_nationkey") === col("c_nationkey"), "left_semi"))
+    }
+    intercept[SubstraitProducer.SubstraitUnsupported] {
+      SubstraitProducer.produce(nation.join(customer,
+        col("n_nationkey") === col("c_nationkey"), "left_anti"))
+    }
+  }
+
+  test("substrait: CASE WHEN, IF, and the typed-null implicit ELSE") {
+    checkAll(Seq(
+      (customer.select(col("c_custkey"),
+        when(col("c_acctbal") > 50.0, "hi")
+          .when(col("c_acctbal") > 0.0, "mid")
+          .otherwise("neg").as("band")), false),
+      // no otherwise: the implicit ELSE is a TYPED null literal
+      (customer.select(col("c_custkey"),
+        when(col("c_acctbal") > 50.0, col("c_acctbal")).as("maybe")), false),
+      (customer.select(col("c_custkey"),
+        expr("if(c_nationkey < 5, 1, 0)").as("flag")), false)),
+      i => s"case/if case $i:")
+  }
+
+  test("substrait: IN list lowers to singular_or_list") {
+    check(customer.filter(col("c_nationkey").isin(1, 3, 5))
+      .select(col("c_custkey"), col("c_nationkey")))
+  }
+
+  test("substrait: string concat") {
+    check(customer.select(col("c_custkey"),
+      concat(col("c_name"), lit("-"), col("c_mktsegment")).as("j")))
   }
 
   test("substrait: randomized differential fuzz — 30 produced plans match") {
