@@ -65,12 +65,28 @@ object SqliteDataSource {
   }
 
   def sparkSchema(t: SqliteFile.TableDef): StructType = {
-    require(!t.withoutRowid,
-      s"table ${t.name} is WITHOUT ROWID (index b-tree layout) — " +
-        "not supported by this reader")
+    if (t.withoutRowid) require(t.pkCols.nonEmpty,
+      s"table ${t.name} is WITHOUT ROWID but its PRIMARY KEY could " +
+        "not be recovered from the CREATE TABLE — refusing rather " +
+        "than guessing the on-disk column order")
+    val pk = t.pkCols.map(_.toLowerCase).toSet
     StructType(t.columns.map(c =>
       StructField(c.name, sparkType(c.affinity),
-        nullable = !c.rowidAlias)))
+        // the rowid alias and WITHOUT ROWID key columns are NOT NULL
+        nullable = !c.rowidAlias &&
+          !(t.withoutRowid && pk(c.name.toLowerCase)))))
+  }
+
+  /** Record position → declared column, for a WITHOUT ROWID table:
+    * on disk the PRIMARY KEY columns come FIRST (in key order), then
+    * the remaining columns in declared order. */
+  def indexRecordOrder(t: SqliteFile.TableDef): Seq[SqliteFile.ColumnDef] = {
+    val byName = t.columns.map(c => c.name.toLowerCase -> c).toMap
+    val pk = t.pkCols.map(n => byName.getOrElse(n.toLowerCase,
+      throw new IllegalStateException(
+        s"PRIMARY KEY column $n not among ${t.name}'s columns")))
+    val pkSet = t.pkCols.map(_.toLowerCase).toSet
+    pk ++ t.columns.filterNot(c => pkSet(c.name.toLowerCase))
   }
 }
 
@@ -166,7 +182,17 @@ final class SqliteScan(schema: StructType, opts: SqliteOptions,
     if (lo > hi) return Array.empty
     val db = new SqliteFile.Db(opts.path)
     try {
-      if (SqliteFile.isLeaf(db, t.rootPage))
+      if (t.withoutRowid) {
+        // index b-tree: one partition per root slice (child subtree +
+        // the root cell's own entry), same parallel-read shape as the
+        // rowid subtrees
+        SqliteFile.indexRootFanout(db, t.rootPage) match {
+          case None => Array(SqliteIndexPartition(opts, t.rootPage, -1))
+          case Some(cells) => (0 to cells).map(i =>
+            SqliteIndexPartition(opts, t.rootPage, i): InputPartition)
+            .toArray
+        }
+      } else if (SqliteFile.isLeaf(db, t.rootPage))
         Array(SqlitePartition(opts, t.rootPage, lo, hi))
       else {
         // one partition per root subtree — disjoint rowid ranges, so
@@ -189,7 +215,8 @@ final class SqliteScan(schema: StructType, opts: SqliteOptions,
     new SqliteReaderFactory(schema, t)
 
   override def description(): String =
-    s"SqliteScan(${opts.path}#${t.name}, rowid=[${
+    if (t.withoutRowid) s"SqliteScan(${opts.path}#${t.name}, WITHOUT ROWID)"
+    else s"SqliteScan(${opts.path}#${t.name}, rowid=[${
       if (lo == Long.MinValue) "-inf" else lo}, ${
       if (hi == Long.MaxValue) "+inf" else hi}])"
 }
@@ -197,11 +224,111 @@ final class SqliteScan(schema: StructType, opts: SqliteOptions,
 final case class SqlitePartition(opts: SqliteOptions, page: Int,
     lo: Long, hi: Long) extends InputPartition
 
+/** One root slice of a WITHOUT ROWID table's index b-tree; slice = -1
+  * when the root is itself a leaf (whole-tree single partition). */
+final case class SqliteIndexPartition(opts: SqliteOptions, rootPage: Int,
+    slice: Int) extends InputPartition
+
 final class SqliteReaderFactory(schema: StructType, t: SqliteFile.TableDef)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new SqlitePartitionReader(schema, t,
-      p.asInstanceOf[SqlitePartition])
+    p match {
+      case rp: SqlitePartition => new SqlitePartitionReader(schema, t, rp)
+      case ip: SqliteIndexPartition =>
+        new SqliteIndexPartitionReader(schema, t, ip)
+    }
+}
+
+/** Reader for a WITHOUT ROWID slice: a page stack over the index
+  * b-tree, decoding each entry record with the PK-first column
+  * permutation ([[SqliteDataSource.indexRecordOrder]]). Memory stays
+  * O(tree depth + one page), like the rowid reader. */
+final class SqliteIndexPartitionReader(schema: StructType,
+    t: SqliteFile.TableDef, part: SqliteIndexPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val db = new SqliteFile.Db(part.opts.path)
+  // record position (PK cols first, then the rest) → output slot
+  private val want: Array[Int] = {
+    val slotOf = schema.fieldNames.zipWithIndex.toMap
+    SqliteDataSource.indexRecordOrder(t)
+      .map(c => slotOf.getOrElse(c.name, -1)).toArray
+  }
+  private val targets: Array[DataType] = schema.fields.map(_.dataType)
+
+  private val pending =
+    new scala.collection.mutable.ArrayDeque[InternalRow]()
+  private val stack = scala.collection.mutable.Stack[Int]()
+  locally {
+    if (part.slice < 0) stack.push(part.rootPage)
+    else {
+      val (entries, kids) =
+        SqliteFile.indexSliceSeed(db, part.rootPage, part.slice)
+      entries.foreach(e => pending.append(toRow(e)))
+      kids.foreach(stack.push)
+    }
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (pending.isEmpty && stack.nonEmpty) {
+      val (entries, kids) = SqliteFile.indexPageStep(db, stack.pop())
+      entries.foreach(e => pending.append(toRow(e)))
+      kids.foreach(stack.push)
+    }
+    if (pending.isEmpty) false
+    else { current = pending.removeHead(); true }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = db.close()
+
+  private def toRow(payload: Array[Byte]): InternalRow = {
+    val decoded = new Array[SqliteFile.Value](schema.length)
+    SqliteFile.decodeRecord(payload, want, decoded)
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      vals(i) = SqliteCoerce(decoded(i), targets(i), t.name)
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+}
+
+/** Shared storage-class → Spark-type coercion for both readers. */
+private[sqlite] object SqliteCoerce {
+  def apply(v: SqliteFile.Value, to: DataType, table: String): Any = v match {
+    case null => null
+    case l: Long => to match {
+      case LongType => l
+      case DoubleType => l.toDouble
+      case StringType => UTF8String.fromString(l.toString)
+      case _ => fail(v, to, table)
+    }
+    case d: Double => to match {
+      case DoubleType => d
+      case LongType if d == d.toLong.toDouble => d.toLong
+      case StringType => UTF8String.fromString(d.toString)
+      case _ => fail(v, to, table)
+    }
+    case s: String => to match {
+      case StringType => UTF8String.fromString(s)
+      case BinaryType => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case _ => fail(v, to, table)
+    }
+    case b: Array[Byte] => to match {
+      case BinaryType => b
+      case _ => fail(v, to, table)
+    }
+    case other => fail(other, to, table)
+  }
+
+  private def fail(v: Any, to: DataType, table: String): Nothing =
+    throw new IllegalStateException(
+      s"cannot coerce stored ${v.getClass.getSimpleName} to $to in " +
+        s"$table — the column's declared affinity does not match " +
+        "the stored value")
 }
 
 final class SqlitePartitionReader(schema: StructType,
@@ -263,44 +390,10 @@ final class SqlitePartitionReader(schema: StructType,
     SqliteFile.decodeRecord(payload, want, decoded)
     var i = 0
     while (i < schema.length) {
-      vals(i) = coerce(decoded(i), targets(i))
+      vals(i) = SqliteCoerce(decoded(i), targets(i), t.name)
       i += 1
     }
     if (rowidSlot >= 0) vals(rowidSlot) = rowid
     new GenericInternalRow(vals)
   }
-
-  /** SQLite's flexible typing can put any storage class in any column;
-    * coerce losslessly to the column's Spark type, loud otherwise. */
-  private def coerce(v: SqliteFile.Value, to: DataType): Any = v match {
-    case null => null
-    case l: Long => to match {
-      case LongType => l
-      case DoubleType => l.toDouble
-      case StringType => UTF8String.fromString(l.toString)
-      case _ => fail(v, to)
-    }
-    case d: Double => to match {
-      case DoubleType => d
-      case LongType if d == d.toLong.toDouble => d.toLong
-      case StringType => UTF8String.fromString(d.toString)
-      case _ => fail(v, to)
-    }
-    case s: String => to match {
-      case StringType => UTF8String.fromString(s)
-      case BinaryType => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      case _ => fail(v, to)
-    }
-    case b: Array[Byte] => to match {
-      case BinaryType => b
-      case _ => fail(v, to)
-    }
-    case other => fail(other, to)
-  }
-
-  private def fail(v: Any, to: DataType): Nothing =
-    throw new IllegalStateException(
-      s"cannot coerce stored ${v.getClass.getSimpleName} to $to in " +
-        s"${t.name} — the column's declared affinity does not match " +
-        "the stored value")
 }

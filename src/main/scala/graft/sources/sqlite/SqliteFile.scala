@@ -37,8 +37,13 @@ object SqliteFile {
   final case class ColumnDef(name: String, declaredType: String,
       affinity: String, rowidAlias: Boolean)
 
+  /** `pkCols` is the PRIMARY KEY columns in KEY order (declaration
+    * order of the PK clause, not the table) — for a WITHOUT ROWID
+    * table this is the index b-tree's key prefix and decides the
+    * on-disk record column order. */
   final case class TableDef(name: String, rootPage: Int, sql: String,
-      columns: Seq[ColumnDef], withoutRowid: Boolean)
+      columns: Seq[ColumnDef], withoutRowid: Boolean,
+      pkCols: Seq[String])
 
   /** A decoded value: null, Long, Double, String, or Array[Byte] —
     * the four SQLite storage classes besides NULL. */
@@ -66,7 +71,7 @@ object SqliteFile {
       // mode, where committed transactions live in the -wal file until
       // checkpoint — reading only the main file would silently return
       // stale or missing rows, so refuse loudly (like the non-UTF-8
-      // and WITHOUT ROWID refusals) instead of returning a torn view
+      // refusal) instead of returning a torn view
       require(h(18) == 1 && h(19) == 1,
         s"$path uses file format version ${h(18) & 0xff}/${h(19) & 0xff}" +
           " (WAL journal mode?); only rollback-journal databases are" +
@@ -173,7 +178,7 @@ object SqliteFile {
       case 0x05 => false
       case t => throw new IllegalStateException(
         s"page $pageNo is not a table b-tree page (type $t) — " +
-          "WITHOUT ROWID tables (index layout) are not supported")
+          "index b-trees (WITHOUT ROWID layout) go through indexPageStep")
     }
   }
 
@@ -213,18 +218,19 @@ object SqliteFile {
           walk(db, ph.rightMost, minRowid, maxRowid)(f)
       case t => throw new IllegalStateException(
         s"page $pageNo is not a table b-tree page (type $t) — " +
-          "WITHOUT ROWID tables (index layout) are not supported")
+          "index b-trees (WITHOUT ROWID layout) go through indexPageStep")
     }
   }
 
   /** Assemble a cell's payload, following the overflow chain when the
-    * record spills. The local/spill split is the published formula for
-    * table leaves: U = usable size, X = U-35, M = ((U-12)*32/255)-23,
+    * record spills. The local/spill split is the published formula:
+    * U = usable size, X = U-35 for table leaves or ((U-12)*64/255)-23
+    * for index pages, M = ((U-12)*32/255)-23,
     * K = M+((P-M) mod (U-4)); local = P if P<=X else (K if K<=X else M). */
   private def readPayload(db: Db, pg: Array[Byte], payloadOff: Int,
-      payloadLen: Long): Array[Byte] = {
+      payloadLen: Long, indexPage: Boolean = false): Array[Byte] = {
     val u = db.usable
-    val x = u - 35
+    val x = if (indexPage) (u - 12) * 64 / 255 - 23 else u - 35
     val p = payloadLen.toInt
     require(payloadLen <= Int.MaxValue, s"payload too large: $payloadLen")
     val local =
@@ -250,6 +256,76 @@ object SqliteFile {
         s"overflow chain ended early: $written of $p bytes")
     }
     out
+  }
+
+  // ---------------------------------------------------------------
+  // index b-trees (WITHOUT ROWID tables)
+
+  /** Root fanout of an index b-tree: None when the root is a leaf
+    * (single-partition scan), Some(cellCount) when interior — slices
+    * 0..cellCount (inclusive; the last is the rightmost subtree) are
+    * the disjoint, key-ordered partition units. */
+  def indexRootFanout(db: Db, pageNo: Int): Option[Int] = {
+    val pg = db.page(pageNo)
+    val ph = pageHeader(pg, pageNo)
+    ph.pageType match {
+      case 0x0a => None
+      case 0x02 => Some(ph.cellCount)
+      case t => throw new IllegalStateException(
+        s"page $pageNo is not an index b-tree page (type $t)")
+    }
+  }
+
+  /** The seed of one root SLICE — the disjoint partition unit of an
+    * index-rooted scan. Slice i < cellCount yields cell i's own entry
+    * (index b-trees are b-trees, not b+-trees: interior cells ARE
+    * rows) plus its left-child subtree; slice i == cellCount is the
+    * rightmost subtree. Together the slices visit every entry exactly
+    * once. */
+  def indexSliceSeed(db: Db, rootPage: Int,
+      slice: Int): (Seq[Array[Byte]], Seq[Int]) = {
+    val pg = db.page(rootPage)
+    val ph = pageHeader(pg, rootPage)
+    require(ph.pageType == 0x02,
+      s"page $rootPage is not an index interior page (type ${ph.pageType})")
+    require(slice >= 0 && slice <= ph.cellCount,
+      s"slice $slice out of range 0..${ph.cellCount}")
+    if (slice == ph.cellCount) (Seq.empty, Seq(ph.rightMost))
+    else {
+      val off = cellPointer(pg, ph, slice)
+      val (payloadLen, n1) = varint(pg, off + 4)
+      (Seq(readPayload(db, pg, off + 4 + n1, payloadLen, indexPage = true)),
+        Seq(be32(pg, off)))
+    }
+  }
+
+  /** Decode ONE index b-tree page: its entry records plus its child
+    * page numbers (empty for a leaf). Pull-driven scans keep a page
+    * stack and call this per pop — memory stays O(tree depth + one
+    * page), same stance as the rowid reader. Row ORDER is not
+    * preserved across interior entries (Spark scans are unordered). */
+  def indexPageStep(db: Db, pageNo: Int): (Seq[Array[Byte]], Seq[Int]) = {
+    val pg = db.page(pageNo)
+    val ph = pageHeader(pg, pageNo)
+    ph.pageType match {
+      case 0x0a => // index leaf: varint payloadLen, payload [, overflow]
+        val entries = (0 until ph.cellCount).map { i =>
+          val off = cellPointer(pg, ph, i)
+          val (payloadLen, n1) = varint(pg, off)
+          readPayload(db, pg, off + n1, payloadLen, indexPage = true)
+        }
+        (entries, Seq.empty)
+      case 0x02 => // index interior: child, varint payloadLen, payload
+        val cells = (0 until ph.cellCount).map { i =>
+          val off = cellPointer(pg, ph, i)
+          val (payloadLen, n1) = varint(pg, off + 4)
+          (readPayload(db, pg, off + 4 + n1, payloadLen, indexPage = true),
+            be32(pg, off))
+        }
+        (cells.map(_._1), cells.map(_._2) :+ ph.rightMost)
+      case t => throw new IllegalStateException(
+        s"page $pageNo is not an index b-tree page (type $t)")
+    }
   }
 
   // ---------------------------------------------------------------
@@ -337,8 +413,8 @@ object SqliteFile {
       (out(0), out(1), out(3), out(4)) match {
         case ("table", name: String, root: Long, sql: String)
             if root > 0 =>
-          val (cols, noRowid) = parseCreateTable(sql)
-          rows += TableDef(name, root.toInt, sql, cols, noRowid)
+          val (cols, noRowid, pk) = parseCreateTable(sql)
+          rows += TableDef(name, root.toInt, sql, cols, noRowid, pk)
         case _ => ()
       }
     }
@@ -373,7 +449,7 @@ object SqliteFile {
     * ("x", [x], `x`, 'x') and multi-word type names are handled;
     * table-level constraints (PRIMARY KEY(…), UNIQUE(…), CHECK(…),
     * FOREIGN KEY(…)) are skipped. */
-  def parseCreateTable(sql: String): (Seq[ColumnDef], Boolean) = {
+  def parseCreateTable(sql: String): (Seq[ColumnDef], Boolean, Seq[String]) = {
     val open = sql.indexOf('(')
     require(open > 0, s"malformed CREATE TABLE: $sql")
     // find the matching close paren of the column list
@@ -422,8 +498,8 @@ object SqliteFile {
     // in the rowid-alias rule (including the documented DESC quirk:
     // table-level `PRIMARY KEY(x DESC)` DOES alias; column-level
     // `INTEGER PRIMARY KEY DESC` does NOT)
-    var tablePkCol: Option[String] = None
-    var tablePkComposite = false
+    var tablePkCols: Seq[String] = Seq.empty
+    var colPkName: Option[String] = None
     val cols = parts.map(_.trim).filter(_.nonEmpty).flatMap { p =>
       val (name, rest) = takeIdentifier(p)
       if (constraintHeads(name.toUpperCase) && !p.startsWith("\"") &&
@@ -438,10 +514,9 @@ object SqliteFile {
           val lp = p.indexOf('(')
           val rp = p.lastIndexOf(')')
           if (lp > 0 && rp > lp) {
-            val keyCols = p.substring(lp + 1, rp).split(',').toSeq
+            // key ORDER matters: PRIMARY KEY(b, a) stores b first
+            tablePkCols = p.substring(lp + 1, rp).split(',').toSeq
               .map(c => takeIdentifier(c.trim)._1).filter(_.nonEmpty)
-            if (keyCols.size == 1) tablePkCol = Some(keyCols.head)
-            else tablePkComposite = true
           }
         }
         None
@@ -468,6 +543,7 @@ object SqliteFile {
         val colPkDesc = colPk &&
           tokenize(upper).containsSlice(Seq("PRIMARY", "KEY", "DESC"))
         val aff = affinityOf(declared)
+        if (colPk && colPkName.isEmpty) colPkName = Some(name)
         Some(ColumnDef(name, declared, aff,
           rowidAlias =
             exactInteger && colPk && !colPkDesc && !withoutRowid))
@@ -475,8 +551,8 @@ object SqliteFile {
     }.toSeq
     // resolve a table-level single-column PK: aliases iff the named
     // column's declared type is exactly INTEGER
-    val withTablePk = tablePkCol match {
-      case Some(pk) if !withoutRowid && !tablePkComposite =>
+    val withTablePk = tablePkCols match {
+      case Seq(pk) if !withoutRowid =>
         cols.map { c =>
           if (c.name == pk &&
               c.declaredType.equalsIgnoreCase("INTEGER") &&
@@ -491,7 +567,9 @@ object SqliteFile {
     val fixed =
       if (aliases == 1) withTablePk
       else withTablePk.map(_.copy(rowidAlias = false))
-    (fixed, withoutRowid)
+    val pkCols =
+      if (tablePkCols.nonEmpty) tablePkCols else colPkName.toSeq
+    (fixed, withoutRowid, pkCols)
   }
 
   private def takeIdentifier(s: String): (String, String) = {

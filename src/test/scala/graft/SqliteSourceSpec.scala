@@ -16,7 +16,8 @@ import graft.sources.{SourceDef, SourceRegistry, SourcesConfig, TableDef}
   * ints, overflow-page chains (multi-KB text), multi-level b-trees
   * (interior pages), freeblocks left by DELETE, ALTER TABLE ADD COLUMN
   * short records, the INTEGER PRIMARY KEY rowid alias, rowid-range
-  * pushdown pruning, column pruning, WITHOUT ROWID refusal, and the
+  * pushdown pruning, column pruning, WITHOUT ROWID tables (index b-tree
+  * layout, PK-first record permutation, root-slice partitions), and the
   * `type: sqlite` registry path.
   */
 class SqliteSourceSpec extends AnyFunSuite {
@@ -176,21 +177,68 @@ class SqliteSourceSpec extends AnyFunSuite {
     Files.delete(db)
   }
 
-  test("reader: WITHOUT ROWID tables are refused loudly") {
+  test("reader: WITHOUT ROWID single-column TEXT key") {
     assume(pyAvailable, "python3/sqlite3 not available")
     val db = fixture("worid") { p =>
       s"""import sqlite3
          |c = sqlite3.connect(${q(p)})
-         |c.execute("CREATE TABLE kv (k TEXT PRIMARY KEY, v TEXT) WITHOUT ROWID")
-         |c.execute("INSERT INTO kv VALUES ('a', '1')")
+         |c.execute("CREATE TABLE kv (k TEXT PRIMARY KEY, v TEXT, n INTEGER) WITHOUT ROWID")
+         |c.executemany("INSERT INTO kv VALUES (?,?,?)",
+         |  [("key-%04d" % i, None if i % 5 == 0 else "val-%d" % i, i)
+         |   for i in range(400)])
          |c.commit(); c.close()
          |""".stripMargin
     }
-    val e = intercept[Exception] {
-      spark.read.format(classOf[SqliteDataSource].getName)
-        .option("path", db.toString).option("table", "kv").load()
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "kv").load()
+    assert(df.schema.map(f => (f.name, f.dataType.typeName, f.nullable)) ==
+      Seq(("k", "string", false), ("v", "string", true),
+        ("n", "long", true)))
+    val rows = df.orderBy("k").collect()
+    assert(rows.length == 400)
+    assert(rows(7).getString(0) == "key-0007" &&
+      rows(7).getString(1) == "val-7" && rows(7).getLong(2) == 7L)
+    assert(rows(0).isNullAt(1), "i % 5 == 0 stores NULL")
+    assert(df.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+      == (0 until 400).sum.toLong)
+    Files.delete(db)
+  }
+
+  test("reader: WITHOUT ROWID composite key in NON-declared order, " +
+      "multi-level index b-tree, overflow payloads") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("worid2") { p =>
+      // PRIMARY KEY(b, a): on disk the record stores b FIRST, then a,
+      // then the payload columns — the permutation the reader must undo.
+      // 3000 rows with a 600-char text forces interior index pages AND
+      // overflow chains (index-page local formula, not the table one).
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE m (a INTEGER, big TEXT, b TEXT, x REAL, PRIMARY KEY (b, a)) WITHOUT ROWID")
+         |c.executemany("INSERT INTO m VALUES (?,?,?,?)",
+         |  [(i, ("t%d-" % i) * (200 if i % 11 == 0 else 3),
+         |    "g%02d" % (i % 40), i / 4.0) for i in range(3000)])
+         |c.commit(); c.close()
+         |""".stripMargin
     }
-    assert(e.getMessage.contains("WITHOUT ROWID"))
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "m").load()
+    // declared order, key columns non-nullable
+    assert(df.schema.map(f => (f.name, f.nullable)) ==
+      Seq(("a", false), ("big", true), ("b", false), ("x", true)))
+    assert(df.count() == 3000)
+    val r = df.filter(org.apache.spark.sql.functions.col("a") === 1234)
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 1234 && r(0).getString(2) == "g34" &&
+      r(0).getDouble(3) == 308.5 && r(0).getString(1) == "t1234-" * 3)
+    // the overflow row survives reassembly intact
+    val big = df.filter(org.apache.spark.sql.functions.col("a") === 2200)
+      .head.getString(1)
+    assert(big == "t2200-" * 200, s"overflow text len ${big.length}")
+    // multiple root slices = parallel partitions (interior root)
+    assert(df.rdd.getNumPartitions > 1,
+      "a 3000-row index tree should plan multiple root-slice partitions")
     Files.delete(db)
   }
 
