@@ -9,9 +9,11 @@ import java.nio.charset.StandardCharsets
   * files as queryable tables through a driver pool) that was unreachable
   * here without a driver jar. The format is public and famously stable
   * (sqlite.org/fileformat2): a paged b-tree file — this module decodes
-  * the header, walks table b-trees (interior 0x05 / leaf 0x0D pages),
-  * parses record serial types, and follows overflow-page chains. No
-  * SQLite code is linked or consulted; everything derives from the
+  * the header, walks table b-trees (interior 0x05 / leaf 0x0D pages)
+  * and index b-trees (0x02 / 0x0A — WITHOUT ROWID tables), parses
+  * record serial types, follows overflow-page chains, and overlays the
+  * last committed WAL snapshot for WAL-mode databases ([[SqliteWal]]).
+  * No SQLite code is linked or consulted; everything derives from the
   * published format document.
   *
   * Scale stance: one `.sqlite` file is a single-node artifact, but the
@@ -55,6 +57,18 @@ object SqliteFile {
   final class Db(path: String) extends AutoCloseable {
     private val raf = new RandomAccessFile(path, "r")
     val header: Header = readHeader()
+    /** Committed WAL snapshot overlay (page → offset in the -wal
+      * file), present only for a WAL-mode database with committed,
+      * uncheckpointed frames — see [[SqliteWal]]. */
+    private val wal: Option[(RandomAccessFile, SqliteWal.Overlay)] = {
+      val walPath = path + "-wal"
+      val hasWal = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(walPath)) &&
+        java.nio.file.Files.size(java.nio.file.Paths.get(walPath)) > 0
+      if (!hasWal) None
+      else SqliteWal.overlay(walPath, header.pageSize)
+        .map(o => (new RandomAccessFile(walPath, "r"), o))
+    }
 
     private def readHeader(): Header = {
       val h = new Array[Byte](100)
@@ -67,23 +81,19 @@ object SqliteFile {
       val pageSize = if (rawPs == 1) 65536 else rawPs
       require(pageSize >= 512 && (pageSize & (pageSize - 1)) == 0,
         s"illegal page size $rawPs")
-      // file format versions (header bytes 18/19): 2 = WAL journal
-      // mode, where committed transactions live in the -wal file until
-      // checkpoint — reading only the main file would silently return
-      // stale or missing rows, so refuse loudly (like the non-UTF-8
-      // refusal) instead of returning a torn view
-      require(h(18) == 1 && h(19) == 1,
+      // file format versions (header bytes 18/19): 1 = rollback
+      // journal, 2 = WAL. WAL-mode databases are read CONSISTENTLY by
+      // overlaying the last committed -wal snapshot ([[SqliteWal]]);
+      // a rollback-mode file with a stray non-empty -wal sibling is a
+      // state real SQLite never produces — refuse rather than guess
+      require((h(18) == 1 && h(19) == 1) || (h(18) == 2 && h(19) == 2),
         s"$path uses file format version ${h(18) & 0xff}/${h(19) & 0xff}" +
-          " (WAL journal mode?); only rollback-journal databases are" +
-          " supported — run `PRAGMA journal_mode=DELETE; PRAGMA" +
-          " wal_checkpoint(TRUNCATE)` first")
-      // a sibling -wal or a non-empty -journal means an uncheckpointed
-      // or interrupted transaction; the main file alone is not the
-      // committed database state
+          " — only rollback (1) and WAL (2) formats exist")
       val walSide = java.nio.file.Paths.get(path + "-wal")
-      require(!java.nio.file.Files.exists(walSide) ||
+      require(h(18) == 2 || !java.nio.file.Files.exists(walSide) ||
           java.nio.file.Files.size(walSide) == 0,
-        s"$path has a non-empty -wal sibling; checkpoint it first")
+        s"$path is a rollback-journal database with a non-empty -wal" +
+          " sibling; recover it with sqlite3 first")
       val journalSide = java.nio.file.Paths.get(path + "-journal")
       require(!java.nio.file.Files.exists(journalSide) ||
           java.nio.file.Files.size(journalSide) == 0,
@@ -103,12 +113,21 @@ object SqliteFile {
     def page(no: Int): Array[Byte] = {
       require(no >= 1, s"page numbers are 1-based, got $no")
       val buf = new Array[Byte](header.pageSize)
-      raf.seek((no.toLong - 1) * header.pageSize)
-      raf.readFully(buf)
+      wal.flatMap { case (wraf, o) => o.frames.get(no).map((wraf, _)) } match {
+        case Some((wraf, off)) => // newest committed WAL image wins
+          wraf.seek(off)
+          wraf.readFully(buf)
+        case None =>
+          raf.seek((no.toLong - 1) * header.pageSize)
+          raf.readFully(buf)
+      }
       buf
     }
 
-    override def close(): Unit = raf.close()
+    override def close(): Unit = {
+      wal.foreach(_._1.close())
+      raf.close()
+    }
   }
 
   private def be16(b: Array[Byte], off: Int): Int =

@@ -414,17 +414,72 @@ class SqliteSourceSpec extends AnyFunSuite {
     Files.delete(db); Files.delete(outTsv)
   }
 
-  test("reader: WAL-mode databases are refused loudly") {
+  test("reader: WAL-mode database reads the last COMMITTED snapshot " +
+      "(hot -wal overlay, updates win over main-file pages)") {
     assume(pyAvailable, "python3/sqlite3 not available")
-    val db = fixture("wal") { p =>
-      s"""import sqlite3
+    // build a db whose -wal holds committed, UNCHECKPOINTED frames:
+    // copy db + wal while the writing connection is still open (closing
+    // it would auto-checkpoint and hide the interesting state)
+    val dst = Files.createTempFile("graft-walread", ".sqlite")
+    Files.delete(dst)
+    val src = fixture("walsrc") { p =>
+      s"""import sqlite3, shutil
          |c = sqlite3.connect(${q(p)})
          |c.execute("PRAGMA journal_mode=WAL")
+         |c.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+         |c.executemany("INSERT INTO t VALUES (?,?)",
+         |              [(i, 'v%d' % i) for i in range(1, 401)])
+         |c.commit()
+         |c.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+         |# frames from here live ONLY in the -wal
+         |c.execute("UPDATE t SET v = 'updated-' || id WHERE id <= 50")
+         |c.commit()
+         |c.executemany("INSERT INTO t VALUES (?,?)",
+         |              [(i, 'v%d' % i) for i in range(401, 601)])
+         |c.commit()
+         |shutil.copy(${q(p)}, ${q(dst)})
+         |shutil.copy(${q(p)} + "-wal", ${q(dst)} + "-wal")
+         |c.close()
+         |""".stripMargin
+    }
+    def read() = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", dst.toString).option("table", "t").load()
+    val df = read()
+    assert(df.count() == 600, "rows committed only to the WAL must appear")
+    assert(df.filter(col("id") === 10).head.getString(1) == "updated-10",
+      "a WAL frame must override the checkpointed main-file page")
+    assert(df.filter(col("id") === 550).head.getString(1) == "v550")
+    // torn tail: truncating the WAL mid-frame invalidates the final
+    // commit's checksum chain — the reader falls back to the previous
+    // committed snapshot (updates visible, the 200 inserts gone)
+    val walPath = java.nio.file.Paths.get(dst.toString + "-wal")
+    val walLen = Files.size(walPath)
+    val ch = java.nio.channels.FileChannel.open(walPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(walLen - 100) finally ch.close()
+    val torn = read()
+    assert(torn.count() == 400,
+      "a torn WAL tail must cut back to the last whole commit")
+    assert(torn.filter(col("id") === 10).head.getString(1) == "updated-10")
+    Files.delete(dst); Files.delete(walPath); Files.delete(src)
+    Seq(src.toString + "-wal", src.toString + "-shm").foreach { s =>
+      val p = java.nio.file.Paths.get(s)
+      if (Files.exists(p)) Files.delete(p)
+    }
+  }
+
+  test("reader: a rollback-journal database with a stray -wal refuses") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("stray") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
          |c.execute("CREATE TABLE t (a INTEGER)")
          |c.execute("INSERT INTO t VALUES (1)")
          |c.commit(); c.close()
          |""".stripMargin
     }
+    Files.write(java.nio.file.Paths.get(db.toString + "-wal"),
+      "garbage".getBytes("UTF-8"))
     val e = intercept[Exception] {
       spark.read.format(classOf[SqliteDataSource].getName)
         .option("path", db.toString).option("table", "t").load().count()
@@ -432,13 +487,10 @@ class SqliteSourceSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("WAL")),
-      s"expected a WAL refusal, got: ${msgs(e).mkString(" | ")}")
+    assert(msgs(e).exists(_.contains("-wal")),
+      s"expected the stray-wal refusal, got: ${msgs(e).mkString(" | ")}")
     Files.delete(db)
-    val wal = java.nio.file.Paths.get(db.toString + "-wal")
-    if (Files.exists(wal)) Files.delete(wal)
-    val shm = java.nio.file.Paths.get(db.toString + "-shm")
-    if (Files.exists(shm)) Files.delete(shm)
+    Files.delete(java.nio.file.Paths.get(db.toString + "-wal"))
   }
 
   test("reader: boundary-value range filters do not wrap (Long.MaxValue)") {
