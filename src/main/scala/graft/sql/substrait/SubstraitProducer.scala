@@ -241,21 +241,40 @@ object SubstraitProducer {
 
   private def emitAggregate(groupExprs: Seq[Expression], aggList: Seq[NamedExpression],
       child: LogicalPlan, fns: FnRegistry): (Array[Byte], Seq[Attribute]) = {
-    val (cb, cout) = emitRel(child, fns)
-    // Acero: grouping expressions must be direct references
-    val groupAttrs = groupExprs.map {
-      case a: AttributeReference => a
-      case other => throw SubstraitUnsupported(s"non-column grouping ${other.sql}")
-    }
+    val (cb0, cout0) = emitRel(child, fns)
+    // Acero wants grouping DIRECT REFERENCES; a grouping EXPRESSION
+    // (c + 1, a CASE band, …) is computed by an interposed project rel
+    // that keeps the child columns and APPENDS the computed groupings,
+    // which the aggregate then references by ordinal
+    val needProject = groupExprs.exists(!_.isInstanceOf[AttributeReference])
+    val (cb, cout, groupAttrs) =
+      if (!needProject)
+        (cb0, cout0, groupExprs.map(_.asInstanceOf[AttributeReference]))
+      else {
+        val synth = groupExprs.map(e =>
+          AttributeReference("g", e.dataType, nullable = true)())
+        val w0 = new ProtoWriter
+        w0.msg(7) { p => // Rel.project = 7, emitting input ++ computed
+          p.msg(1)(_.msg(2) { e =>
+            (0 until (cout0.size + groupExprs.size))
+              .foreach(i => e.int(1, i.toLong))
+          })
+          p.bytesField(2, cb0)
+          groupExprs.foreach(g =>
+            p.bytesField(3, exprBytes(stripAlias(g), cout0, fns)))
+        }
+        (w0.bytes, cout0 ++ synth, synth)
+      }
     // measures in output order; every output item must be a grouping
-    // column or exactly an aliased aggregate call (no post-arithmetic)
+    // column/expression or exactly an aliased aggregate call
     val measures = scala.collection.mutable.ArrayBuffer[AggregateExpression]()
     val mapping = aggList.map { item =>
       stripAlias(item) match {
-        case a: AttributeReference =>
-          val i = groupAttrs.indexWhere(_.exprId == a.exprId)
-          if (i < 0) throw SubstraitUnsupported(s"output column ${a.name} is neither grouping nor aggregate")
-          i
+        case a: AttributeReference
+            if groupAttrs.exists(_.exprId == a.exprId) =>
+          groupAttrs.indexWhere(_.exprId == a.exprId)
+        case e if groupExprs.exists(_.semanticEquals(e)) =>
+          groupExprs.indexWhere(_.semanticEquals(e))
         case ae: AggregateExpression =>
           measures += ae
           groupAttrs.size + (measures.size - 1)

@@ -245,6 +245,16 @@ class SubstraitExecSpec extends AnyFunSuite {
       i => s"case/if case $i:")
   }
 
+  test("substrait: grouping by EXPRESSIONS through an interposed project") {
+    checkAll(Seq(
+      (customer.groupBy((col("c_nationkey") + 1).as("nk1"))
+        .agg(count(lit(1)).as("n"), sum(col("c_acctbal")).as("s")), false),
+      (customer.groupBy(
+        when(col("c_acctbal") > 50.0, "hi").otherwise("lo").as("band"))
+        .agg(count(lit(1)).as("n")), false)),
+      i => s"expr-group case $i:")
+  }
+
   test("substrait: IN list lowers to singular_or_list") {
     check(customer.filter(col("c_nationkey").isin(1, 3, 5))
       .select(col("c_custkey"), col("c_nationkey")))
