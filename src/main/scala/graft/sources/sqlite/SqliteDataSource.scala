@@ -31,10 +31,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - filters on the INTEGER PRIMARY KEY (rowid alias): =, <, <=, >,
   *     >= prune the b-tree descent by interior keys — EXACT pushdown,
   *     page reads proportional to the selected range.
+  *   - WITHOUT ROWID tables: the same range filters on the LEADING
+  *     integer-affine PRIMARY KEY column prune the index descent by
+  *     the interior entries' leading key — INEXACT pushdown (flexible
+  *     typing; Spark re-evaluates), same page-read proportionality.
   *
   * Scale: partitions = the root page's child subtrees (disjoint rowid
-  * ranges), so a large file scans in parallel; with a pushed rowid
-  * range, subtrees outside it are planned away entirely.
+  * ranges) or index root slices, so a large file scans in parallel;
+  * with a pushed range, subtrees outside it are planned away entirely.
   */
 class SqliteDataSource extends TableProvider {
 
@@ -123,6 +127,16 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
   private def rowidCol: Option[String] =
     tableDef.columns.find(_.rowidAlias).map(_.name)
 
+  /** WITHOUT ROWID: the LEADING PRIMARY KEY column, when
+    * integer-affine — range filters on it prune the index descent
+    * (INEXACTLY: flexible typing could store non-integers, so Spark
+    * re-evaluates; the pruning is still page-read-proportional). */
+  private def pkPrefixCol: Option[String] =
+    if (!tableDef.withoutRowid) None
+    else tableDef.pkCols.headOption.flatMap(n =>
+      tableDef.columns.find(_.name.equalsIgnoreCase(n))
+        .filter(_.affinity == "INTEGER").map(_.name))
+
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var lo: Long = Long.MinValue
@@ -130,6 +144,7 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val rid = rowidCol
+    val prefix = pkPrefixCol
     def asLong(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
@@ -137,32 +152,42 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
       case b: Byte => Some(b.toLong)
       case _ => None
     }
-    val (accepted, residual) = filters.partition {
-      case EqualTo(c, v) if rid.contains(c) && asLong(v).isDefined =>
+    def collectRange(key: Option[String]): Array[Filter] = filters.filter {
+      case EqualTo(c, v) if key.contains(c) && asLong(v).isDefined =>
         val x = asLong(v).get; lo = math.max(lo, x); hi = math.min(hi, x)
         true
-      case GreaterThan(c, v) if rid.contains(c) && asLong(v).isDefined &&
+      case GreaterThan(c, v) if key.contains(c) && asLong(v).isDefined &&
           asLong(v).get != Long.MaxValue =>
-        // `> MaxValue` stays residual: `+ 1` would wrap to MinValue and
-        // an accepted (exact, not re-evaluated) pushdown would then
-        // return EVERY row instead of none
+        // `> MaxValue` is not collected: `+ 1` would wrap to MinValue
+        // and the pruning bound would then admit EVERY row (exact
+        // path) or prune NONE correctly but report a wrong bound
         lo = math.max(lo, asLong(v).get + 1); true
       case GreaterThanOrEqual(c, v)
-          if rid.contains(c) && asLong(v).isDefined =>
+          if key.contains(c) && asLong(v).isDefined =>
         lo = math.max(lo, asLong(v).get); true
-      case LessThan(c, v) if rid.contains(c) && asLong(v).isDefined &&
+      case LessThan(c, v) if key.contains(c) && asLong(v).isDefined &&
           asLong(v).get != Long.MinValue =>
         // mirror: `< MinValue` would wrap `- 1` to MaxValue
         hi = math.min(hi, asLong(v).get - 1); true
-      case LessThanOrEqual(c, v) if rid.contains(c) && asLong(v).isDefined =>
+      case LessThanOrEqual(c, v) if key.contains(c) && asLong(v).isDefined =>
         hi = math.min(hi, asLong(v).get); true
-      case IsNotNull(c) if rid.contains(c) => true // rowid is never null
+      case IsNotNull(c) if key.contains(c) => true // keys are never null
       case _ => false
     }
-    pushed = accepted
-    // rowid-range pushdown is EXACT (the b-tree walk admits exactly
-    // [lo, hi]), so accepted filters need no re-evaluation in Spark
-    residual
+    if (rid.isDefined) {
+      val accepted = collectRange(rid)
+      pushed = accepted
+      // rowid-range pushdown is EXACT (the b-tree walk admits exactly
+      // [lo, hi]), so accepted filters need no re-evaluation in Spark
+      filters.filterNot(accepted.contains)
+    } else if (prefix.isDefined) {
+      // PK-prefix pruning is INEXACT (SQLite's flexible typing can
+      // store non-integers in an integer-affine key): report the range
+      // as pushed so the plan shows the pruning, but leave EVERY
+      // filter residual for Spark to re-evaluate
+      pushed = collectRange(prefix)
+      filters
+    } else filters
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -185,12 +210,21 @@ final class SqliteScan(schema: StructType, opts: SqliteOptions,
       if (t.withoutRowid) {
         // index b-tree: one partition per root slice (child subtree +
         // the root cell's own entry), same parallel-read shape as the
-        // rowid subtrees
+        // rowid subtrees; slices whose leading-key band misses the
+        // pushed PK range are planned away here
         SqliteFile.indexRootFanout(db, t.rootPage) match {
-          case None => Array(SqliteIndexPartition(opts, t.rootPage, -1))
-          case Some(cells) => (0 to cells).map(i =>
-            SqliteIndexPartition(opts, t.rootPage, i): InputPartition)
-            .toArray
+          case None =>
+            Array(SqliteIndexPartition(opts, t.rootPage, -1, lo, hi))
+          case Some(cells) =>
+            val firsts = SqliteFile.indexRootCells(db, t.rootPage)
+            (0 to cells).flatMap { i =>
+              val prev = if (i == 0) None else Some(firsts(i - 1))
+              val cur = if (i < cells) Some(firsts(i)) else None
+              if (SqliteFile.bandMayOverlap(prev, cur, lo, hi))
+                Some(SqliteIndexPartition(opts, t.rootPage, i, lo, hi):
+                  InputPartition)
+              else None
+            }.toArray
         }
       } else if (SqliteFile.isLeaf(db, t.rootPage))
         Array(SqlitePartition(opts, t.rootPage, lo, hi))
@@ -214,20 +248,24 @@ final class SqliteScan(schema: StructType, opts: SqliteOptions,
   override def createReaderFactory(): PartitionReaderFactory =
     new SqliteReaderFactory(schema, t)
 
+  private def range: String = s"[${
+    if (lo == Long.MinValue) "-inf" else lo}, ${
+    if (hi == Long.MaxValue) "+inf" else hi}]"
+
   override def description(): String =
-    if (t.withoutRowid) s"SqliteScan(${opts.path}#${t.name}, WITHOUT ROWID)"
-    else s"SqliteScan(${opts.path}#${t.name}, rowid=[${
-      if (lo == Long.MinValue) "-inf" else lo}, ${
-      if (hi == Long.MaxValue) "+inf" else hi}])"
+    if (t.withoutRowid)
+      s"SqliteScan(${opts.path}#${t.name}, WITHOUT ROWID, pk=$range)"
+    else s"SqliteScan(${opts.path}#${t.name}, rowid=$range)"
 }
 
 final case class SqlitePartition(opts: SqliteOptions, page: Int,
     lo: Long, hi: Long) extends InputPartition
 
 /** One root slice of a WITHOUT ROWID table's index b-tree; slice = -1
-  * when the root is itself a leaf (whole-tree single partition). */
+  * when the root is itself a leaf (whole-tree single partition).
+  * [lo, hi] is the pushed leading-PK prune range. */
 final case class SqliteIndexPartition(opts: SqliteOptions, rootPage: Int,
-    slice: Int) extends InputPartition
+    slice: Int, lo: Long, hi: Long) extends InputPartition
 
 final class SqliteReaderFactory(schema: StructType, t: SqliteFile.TableDef)
     extends PartitionReaderFactory {
@@ -264,7 +302,9 @@ final class SqliteIndexPartitionReader(schema: StructType,
     else {
       val (entries, kids) =
         SqliteFile.indexSliceSeed(db, part.rootPage, part.slice)
-      entries.foreach(e => pending.append(toRow(e)))
+      entries.filter(e =>
+          SqliteFile.keyInRange(SqliteFile.firstValue(e), part.lo, part.hi))
+        .foreach(e => pending.append(toRow(e)))
       kids.foreach(stack.push)
     }
   }
@@ -272,7 +312,8 @@ final class SqliteIndexPartitionReader(schema: StructType,
 
   override def next(): Boolean = {
     while (pending.isEmpty && stack.nonEmpty) {
-      val (entries, kids) = SqliteFile.indexPageStep(db, stack.pop())
+      val (entries, kids) =
+        SqliteFile.indexPageStep(db, stack.pop(), part.lo, part.hi)
       entries.foreach(e => pending.append(toRow(e)))
       kids.foreach(stack.push)
     }

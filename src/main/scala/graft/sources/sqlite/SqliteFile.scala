@@ -295,6 +295,41 @@ object SqliteFile {
     }
   }
 
+  /** The FIRST column of a record — for index b-trees this is the
+    * leading PRIMARY KEY value, the prune key of PK-prefix pushdown. */
+  def firstValue(payload: Array[Byte]): Value = {
+    val (headerLen, n0) = varint(payload, 0)
+    val (st, _) = varint(payload, n0)
+    decodeValue(payload, headerLen.toInt, st)
+  }
+
+  /** Whether a leading-key value can lie in [lo, hi]. Numeric storage
+    * classes compare numerically; anything else answers TRUE — the
+    * pushdown is INEXACT by contract (Spark re-evaluates the filter),
+    * so "don't know" must keep the row/subtree, never drop it. */
+  def keyInRange(v: Value, lo: Long, hi: Long): Boolean = v match {
+    case l: Long => l >= lo && l <= hi
+    case d: Double => d >= lo && d <= hi
+    case _ => true
+  }
+
+  /** The root cells of an index interior page: (slice index, leading
+    * key value of the cell's entry). Slice i's subtree holds keys
+    * between cell i-1's and cell i's — the planner prunes slices whose
+    * implied leading-key band misses the pushed range. */
+  def indexRootCells(db: Db, rootPage: Int): Seq[Value] = {
+    val pg = db.page(rootPage)
+    val ph = pageHeader(pg, rootPage)
+    require(ph.pageType == 0x02,
+      s"page $rootPage is not an index interior page (type ${ph.pageType})")
+    (0 until ph.cellCount).map { i =>
+      val off = cellPointer(pg, ph, i)
+      val (payloadLen, n1) = varint(pg, off + 4)
+      firstValue(readPayload(db, pg, off + 4 + n1, payloadLen,
+        indexPage = true))
+    }
+  }
+
   /** The seed of one root SLICE — the disjoint partition unit of an
     * index-rooted scan. Slice i < cellCount yields cell i's own entry
     * (index b-trees are b-trees, not b+-trees: interior cells ARE
@@ -322,8 +357,15 @@ object SqliteFile {
     * page numbers (empty for a leaf). Pull-driven scans keep a page
     * stack and call this per pop — memory stays O(tree depth + one
     * page), same stance as the rowid reader. Row ORDER is not
-    * preserved across interior entries (Spark scans are unordered). */
-  def indexPageStep(db: Db, pageNo: Int): (Seq[Array[Byte]], Seq[Int]) = {
+    * preserved across interior entries (Spark scans are unordered).
+    *
+    * [lo, hi] is the pushed leading-PK range: entries outside it are
+    * dropped and child subtrees whose implied leading-key band misses
+    * it are never pushed — page reads proportional to the selected
+    * range, like the rowid pruning. Non-numeric keys stay (INEXACT
+    * pushdown; Spark re-evaluates). */
+  def indexPageStep(db: Db, pageNo: Int, lo: Long = Long.MinValue,
+      hi: Long = Long.MaxValue): (Seq[Array[Byte]], Seq[Int]) = {
     val pg = db.page(pageNo)
     val ph = pageHeader(pg, pageNo)
     ph.pageType match {
@@ -332,7 +374,7 @@ object SqliteFile {
           val off = cellPointer(pg, ph, i)
           val (payloadLen, n1) = varint(pg, off)
           readPayload(db, pg, off + n1, payloadLen, indexPage = true)
-        }
+        }.filter(e => keyInRange(firstValue(e), lo, hi))
         (entries, Seq.empty)
       case 0x02 => // index interior: child, varint payloadLen, payload
         val cells = (0 until ph.cellCount).map { i =>
@@ -341,10 +383,38 @@ object SqliteFile {
           (readPayload(db, pg, off + 4 + n1, payloadLen, indexPage = true),
             be32(pg, off))
         }
-        (cells.map(_._1), cells.map(_._2) :+ ph.rightMost)
+        // child_i holds keys BETWEEN entry_{i-1} and entry_i in full-key
+        // order, so its leading keys lie in [first(e_{i-1}), first(e_i)]
+        var prev: Option[Value] = None
+        val kids = scala.collection.mutable.ArrayBuffer.empty[Int]
+        cells.foreach { case (entry, child) =>
+          val cur = firstValue(entry)
+          if (bandMayOverlap(prev, Some(cur), lo, hi)) kids += child
+          prev = Some(cur)
+        }
+        if (bandMayOverlap(prev, None, lo, hi)) kids += ph.rightMost
+        (cells.map(_._1).filter(e => keyInRange(firstValue(e), lo, hi)),
+          kids.toSeq)
       case t => throw new IllegalStateException(
         s"page $pageNo is not an index b-tree page (type $t)")
     }
+  }
+
+  /** Can a subtree whose leading keys lie in [prev, cur] (either side
+    * open when None/non-numeric) intersect [lo, hi]? Unknown → true. */
+  def bandMayOverlap(prev: Option[Value], cur: Option[Value],
+      lo: Long, hi: Long): Boolean = {
+    val belowLo = cur.exists {
+      case l: Long => l < lo
+      case d: Double => d < lo
+      case _ => false
+    }
+    val aboveHi = prev.exists {
+      case l: Long => l > hi
+      case d: Double => d > hi
+      case _ => false
+    }
+    !belowLo && !aboveHi
   }
 
   // ---------------------------------------------------------------

@@ -414,6 +414,39 @@ class SqliteSourceSpec extends AnyFunSuite {
     Files.delete(db); Files.delete(outTsv)
   }
 
+  test("reader: WITHOUT ROWID leading-PK range prunes the index descent") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("woridpk") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE ev (ts INTEGER, src TEXT, v REAL, PRIMARY KEY (ts, src)) WITHOUT ROWID")
+         |c.executemany("INSERT INTO ev VALUES (?,?,?)",
+         |  [(i, 's%d' % (i % 3), i * 0.5) for i in range(1, 5001)])
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "ev").load()
+      .filter(col("ts") > 4900 && col("ts") <= 4950)
+    assert(df.count() == 50)
+    assert(df.agg(min("ts"), max("ts")).head() ==
+      org.apache.spark.sql.Row(4901L, 4950L))
+    // the prune range must reach the scan; INEXACT, so the filter must
+    // ALSO survive as a Spark-side Filter above it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pk=[4901, 4950]"),
+      s"leading-PK range not pushed into the scan:\n$plan")
+    assert(plan.contains("Filter"),
+      "inexact pushdown must keep the Spark-side filter")
+    // composite residual: second key column filters stay Spark-side
+    val both = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "ev").load()
+      .filter(col("ts") === 123 && col("src") === "s0")
+    assert(both.count() == 1)
+    assert(both.head.getDouble(2) == 61.5)
+    Files.delete(db)
+  }
+
   test("reader: WAL-mode database reads the last COMMITTED snapshot " +
       "(hot -wal overlay, updates win over main-file pages)") {
     assume(pyAvailable, "python3/sqlite3 not available")
