@@ -132,7 +132,11 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
     * (INEXACTLY: flexible typing could store non-integers, so Spark
     * re-evaluates; the pruning is still page-read-proportional). */
   private def pkPrefixCol: Option[String] =
-    if (!tableDef.withoutRowid) None
+    if (!tableDef.withoutRowid ||
+        tableDef.pkDesc.headOption.contains(true)) None
+    // a DESC leading key stores the index in REVERSE order — the
+    // ascending band pruning would drop the WRONG subtrees, so the
+    // pushdown stays off (set semantics remain correct: no pruning)
     else tableDef.pkCols.headOption.flatMap(n =>
       tableDef.columns.find(_.name.equalsIgnoreCase(n))
         .filter(_.affinity == "INTEGER").map(_.name))

@@ -42,10 +42,12 @@ object SqliteFile {
   /** `pkCols` is the PRIMARY KEY columns in KEY order (declaration
     * order of the PK clause, not the table) — for a WITHOUT ROWID
     * table this is the index b-tree's key prefix and decides the
-    * on-disk record column order. */
+    * on-disk record column order. `pkDesc` is each key part's sort
+    * direction: a DESC leading key stores the index in REVERSE order,
+    * which disables ascending-band prefix pruning. */
   final case class TableDef(name: String, rootPage: Int, sql: String,
       columns: Seq[ColumnDef], withoutRowid: Boolean,
-      pkCols: Seq[String])
+      pkCols: Seq[String], pkDesc: Seq[Boolean])
 
   /** A decoded value: null, Long, Double, String, or Array[Byte] —
     * the four SQLite storage classes besides NULL. */
@@ -503,7 +505,8 @@ object SqliteFile {
         case ("table", name: String, root: Long, sql: String)
             if root > 0 =>
           val (cols, noRowid, pk) = parseCreateTable(sql)
-          rows += TableDef(name, root.toInt, sql, cols, noRowid, pk)
+          rows += TableDef(name, root.toInt, sql, cols, noRowid,
+            pk.map(_._1), pk.map(_._2))
         case _ => ()
       }
     }
@@ -538,7 +541,8 @@ object SqliteFile {
     * ("x", [x], `x`, 'x') and multi-word type names are handled;
     * table-level constraints (PRIMARY KEY(…), UNIQUE(…), CHECK(…),
     * FOREIGN KEY(…)) are skipped. */
-  def parseCreateTable(sql: String): (Seq[ColumnDef], Boolean, Seq[String]) = {
+  def parseCreateTable(
+      sql: String): (Seq[ColumnDef], Boolean, Seq[(String, Boolean)]) = {
     val open = sql.indexOf('(')
     require(open > 0, s"malformed CREATE TABLE: $sql")
     // find the matching close paren of the column list
@@ -587,8 +591,8 @@ object SqliteFile {
     // in the rowid-alias rule (including the documented DESC quirk:
     // table-level `PRIMARY KEY(x DESC)` DOES alias; column-level
     // `INTEGER PRIMARY KEY DESC` does NOT)
-    var tablePkCols: Seq[String] = Seq.empty
-    var colPkName: Option[String] = None
+    var tablePkCols: Seq[(String, Boolean)] = Seq.empty
+    var colPkName: Option[(String, Boolean)] = None
     val cols = parts.map(_.trim).filter(_.nonEmpty).flatMap { p =>
       val (name, rest) = takeIdentifier(p)
       if (constraintHeads(name.toUpperCase) && !p.startsWith("\"") &&
@@ -603,9 +607,13 @@ object SqliteFile {
           val lp = p.indexOf('(')
           val rp = p.lastIndexOf(')')
           if (lp > 0 && rp > lp) {
-            // key ORDER matters: PRIMARY KEY(b, a) stores b first
+            // key ORDER matters: PRIMARY KEY(b, a) stores b first;
+            // a per-part DESC reverses that part's index ordering
             tablePkCols = p.substring(lp + 1, rp).split(',').toSeq
-              .map(c => takeIdentifier(c.trim)._1).filter(_.nonEmpty)
+              .map { c =>
+                val (n, rest) = takeIdentifier(c.trim)
+                (n, rest.toUpperCase.split("""\s+""").contains("DESC"))
+              }.filter(_._1.nonEmpty)
           }
         }
         None
@@ -632,7 +640,7 @@ object SqliteFile {
         val colPkDesc = colPk &&
           tokenize(upper).containsSlice(Seq("PRIMARY", "KEY", "DESC"))
         val aff = affinityOf(declared)
-        if (colPk && colPkName.isEmpty) colPkName = Some(name)
+        if (colPk && colPkName.isEmpty) colPkName = Some((name, colPkDesc))
         Some(ColumnDef(name, declared, aff,
           rowidAlias =
             exactInteger && colPk && !colPkDesc && !withoutRowid))
@@ -641,7 +649,7 @@ object SqliteFile {
     // resolve a table-level single-column PK: aliases iff the named
     // column's declared type is exactly INTEGER
     val withTablePk = tablePkCols match {
-      case Seq(pk) if !withoutRowid =>
+      case Seq((pk, _)) if !withoutRowid =>
         cols.map { c =>
           if (c.name == pk &&
               c.declaredType.equalsIgnoreCase("INTEGER") &&
@@ -656,9 +664,8 @@ object SqliteFile {
     val fixed =
       if (aliases == 1) withTablePk
       else withTablePk.map(_.copy(rowidAlias = false))
-    val pkCols =
-      if (tablePkCols.nonEmpty) tablePkCols else colPkName.toSeq
-    (fixed, withoutRowid, pkCols)
+    val pk = if (tablePkCols.nonEmpty) tablePkCols else colPkName.toSeq
+    (fixed, withoutRowid, pk)
   }
 
   private def takeIdentifier(s: String): (String, String) = {

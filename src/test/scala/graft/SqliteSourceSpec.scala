@@ -447,6 +447,30 @@ class SqliteSourceSpec extends AnyFunSuite {
     Files.delete(db)
   }
 
+  test("reader: WITHOUT ROWID with a DESC leading key disables the " +
+      "(ascending) prune but stays correct") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("woriddesc") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE d (ts INTEGER, v TEXT, PRIMARY KEY (ts DESC)) WITHOUT ROWID")
+         |c.executemany("INSERT INTO d VALUES (?,?)",
+         |  [(i, 'v%d' % i) for i in range(1, 3001)])
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "d").load()
+      .filter(col("ts") > 2900 && col("ts") <= 2950)
+    assert(df.count() == 50, "a reverse-ordered index must not lose rows")
+    assert(df.agg(min("ts"), max("ts")).head() ==
+      org.apache.spark.sql.Row(2901L, 2950L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("pk=[2901"),
+      s"DESC leading key must not claim an ascending prune range:\n$plan")
+    Files.delete(db)
+  }
+
   test("reader: WAL-mode database reads the last COMMITTED snapshot " +
       "(hot -wal overlay, updates win over main-file pages)") {
     assume(pyAvailable, "python3/sqlite3 not available")
