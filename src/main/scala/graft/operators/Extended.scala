@@ -401,6 +401,32 @@ object Extended {
         .filter(col("c_custkey").between(20, 90))
     },
 
+    // WITHOUT ROWID through the correctness gate: the table is written
+    // as a real index b-tree (PK-first records, promoted separators —
+    // SqliteWriter.writeWithoutRowid), read back through the index
+    // reader with the leading-PK range pruning the descent, and the
+    // surviving rows must hash-match the oracle's BETWEEN on the
+    // original parquet.
+    GraftQuery("q_sqlite_worowid",
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_custkey BETWEEN 30 AND 80""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.sqlite._
+      val db = java.nio.file.Paths.get(roundTripDir("sqlite"), "cust_wr.sqlite")
+      val rows = t(s, dir).customer
+        .select(col("c_custkey").cast("long"), col("c_name"),
+          col("c_acctbal").cast("double"))
+        .orderBy("c_custkey").toLocalIterator()
+      SqliteWriter.writeWithoutRowid(db, "customer",
+        Seq("c_custkey" -> "INTEGER", "c_name" -> "TEXT",
+          "c_acctbal" -> "REAL"), Seq("c_custkey"),
+        scala.jdk.CollectionConverters.IteratorHasAsScala(rows).asScala
+          .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getDouble(2))))
+      s.read.format(classOf[SqliteDataSource].getName)
+        .option("path", db.toString).option("table", "customer").load()
+        .filter(col("c_custkey").between(30, 80))
+    },
+
     // Substrait tier through the correctness gate: the join+aggregate is
     // collapsed by the federation router's Substrait tier
     // (plans/FederationRule.substraitRewrite) into produced plan BYTES

@@ -111,6 +111,234 @@ object SqliteWriter {
   }
 
   // ---------------------------------------------------------------
+  // WITHOUT ROWID tables (index b-tree layout)
+
+  /** Max local payload on an index page (no-overflow write limit). */
+  private val IndexX = (PageSize - 12) * 64 / 255 - 23
+
+  /** Write `rows` as a WITHOUT ROWID table: entries live in an index
+    * b-tree whose key is the record itself with the PRIMARY KEY
+    * columns FIRST (key order), then the rest in declared order. Rows
+    * must arrive in strictly increasing PK order (binary collation:
+    * numerics numerically, text bytewise, cross-class by storage
+    * class) — loud otherwise. Index b-trees are b-trees, not
+    * b+-trees: the bulk load PROMOTES one separator entry between
+    * adjacent children into the parent, recursively. */
+  def writeWithoutRowid(path: Path, name: String,
+      columns: Seq[(String, String)], pkCols: Seq[String],
+      rows: Iterator[Seq[Any]]): Unit = {
+    require(columns.nonEmpty, "need at least one column")
+    require(pkCols.nonEmpty, "WITHOUT ROWID requires a PRIMARY KEY")
+    val names = columns.map(_._1)
+    val pkIdx = pkCols.map { n =>
+      val i = names.indexWhere(_.equalsIgnoreCase(n))
+      require(i >= 0, s"PRIMARY KEY column $n not among $names")
+      i
+    }
+    val restIdx = names.indices.filterNot(pkIdx.contains)
+    val createSql = s"CREATE TABLE $name (${
+      columns.map { case (n, t) => s"$n $t" }.mkString(", ")}, PRIMARY KEY (${
+      pkCols.mkString(", ")})) WITHOUT ROWID"
+
+    var lastKey: Seq[Any] = null
+    val entries = rows.zipWithIndex.map { case (vs, i) =>
+      require(vs.length == columns.length,
+        s"row ${i + 1} has ${vs.length} values, expected ${columns.length}")
+      val key = pkIdx.map(vs)
+      require(key.forall(_ != null),
+        s"row ${i + 1}: PRIMARY KEY values must not be NULL")
+      require(lastKey == null || compareKeys(lastKey, key) < 0,
+        s"rows must arrive in strictly increasing PRIMARY KEY order " +
+          s"(row ${i + 1})")
+      lastKey = key
+      val payload = record(key ++ restIdx.map(vs))
+      require(payload.length <= IndexX,
+        s"row ${i + 1} payload ${payload.length} B exceeds the " +
+          s"no-overflow index write limit ($IndexX B)")
+      payload
+    }
+
+    // bulk-load level 0: pack leaves; after each full leaf the NEXT
+    // entry is promoted as the separator to the level above
+    val nodes = Vector.newBuilder[IndexNode]
+    var nodeCount = 0
+    var children = Vector.newBuilder[Int]
+    var seps = Vector.newBuilder[Array[Byte]] // sep i sits between child i and i+1
+    var cur = Vector.newBuilder[Array[Byte]]
+    var used = 0
+    var curN = 0
+    entries.foreach { payload =>
+      val cellLen = varint(payload.length).length + payload.length
+      if (curN > 0 && used + cellLen + 2 > PageSize - 8) {
+        // close the leaf; THIS entry is promoted as the separator
+        // between it and the next leaf (it lives in the parent only)
+        nodes += IndexLeaf(cur.result())
+        children += nodeCount
+        nodeCount += 1
+        cur = Vector.newBuilder; used = 0; curN = 0
+        seps += payload
+      } else {
+        cur += payload; used += cellLen + 2; curN += 1
+      }
+    }
+    nodes += IndexLeaf(cur.result()) // possibly empty (empty table)
+    children += nodeCount
+    nodeCount += 1
+
+    // build interior levels: group children, promoting the separator
+    // BETWEEN groups upward, until one root remains
+    var levelKids = children.result()
+    var levelSeps = seps.result()
+    while (levelKids.size > 1) {
+      val nextKids = Vector.newBuilder[Int]
+      val nextSeps = Vector.newBuilder[Array[Byte]]
+      var i = 0
+      while (i < levelKids.size) {
+        // take up to maxCells children for one page, bounded by bytes
+        var cells = Vector.empty[(Int, Array[Byte])]
+        var bytes = 0
+        var last = levelKids(i)
+        i += 1
+        var full = false
+        while (i < levelKids.size && !full) {
+          val sep = levelSeps(i - 1)
+          val cellLen = 4 + varint(sep.length).length + sep.length + 2
+          if (bytes + cellLen > PageSize - 12 - 64) full = true
+          else {
+            cells :+= ((last, sep))
+            bytes += cellLen
+            last = levelKids(i)
+            i += 1
+          }
+        }
+        nodes += IndexInterior(cells, last)
+        nextKids += nodeCount
+        nodeCount += 1
+        if (i < levelKids.size) {
+          // separator between this page and the next goes up a level
+          nextSeps += levelSeps(i - 1)
+          // the child after that separator starts the next page
+        }
+      }
+      // one subtlety: when a page closed exactly at a group boundary,
+      // the separator consumed above (levelSeps(i-1)) belongs to the
+      // parent level — handled by nextSeps aligning with nextKids
+      levelKids = nextKids.result()
+      levelSeps = nextSeps.result()
+    }
+
+    writeFile(path, name, createSql, nodes.result(), levelKids.head)
+  }
+
+  /** Binary-collation key compare: storage-class order (numeric <
+    * text < blob), numerics numerically, text/blob bytewise. */
+  private def compareKeys(a: Seq[Any], b: Seq[Any]): Int = {
+    def cls(v: Any): Int = v match {
+      case _: Long | _: Int | _: Double | _: Float => 0
+      case _: String => 1
+      case _: Array[Byte] => 2
+      case other => throw new IllegalArgumentException(
+        s"unsupported key type ${other.getClass.getName}")
+    }
+    def num(v: Any): Double = v match {
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case d: Double => d
+      case f: Float => f.toDouble
+      case _ => 0.0
+    }
+    def bytes(v: Any): Array[Byte] = v match {
+      case s: String => s.getBytes(StandardCharsets.UTF_8)
+      case b: Array[Byte] => b
+      case _ => Array.empty
+    }
+    a.zip(b).foreach { case (x, y) =>
+      val c = Integer.compare(cls(x), cls(y))
+      if (c != 0) return c
+      val v = cls(x) match {
+        case 0 => java.lang.Double.compare(num(x), num(y))
+        case _ => java.util.Arrays.compareUnsigned(bytes(x), bytes(y))
+      }
+      if (v != 0) return v
+    }
+    Integer.compare(a.length, b.length)
+  }
+
+  private sealed trait IndexNode
+  private final case class IndexLeaf(cells: Seq[Array[Byte]]) extends IndexNode
+  /** cells = (child tree-index, separator record); `rightMost` is the
+    * final child tree-index. */
+  private final case class IndexInterior(cells: Seq[(Int, Array[Byte])],
+      rightMost: Int) extends IndexNode
+
+  /** Serialize an index-node tree (children before parents, root =
+    * `rootIdx`) plus the one-table schema page, then write the file. */
+  private def writeFile(path: Path, name: String, createSql: String,
+      tree: Vector[IndexNode], rootIdx: Int): Unit = {
+    val pageCount = 1 + tree.size
+    val order = (tree.indices.filter(_ == rootIdx) ++
+      tree.indices.filterNot(_ == rootIdx)).toArray
+    val pageNoOf = new Array[Int](tree.size)
+    order.zipWithIndex.foreach { case (treeIdx, slot) =>
+      pageNoOf(treeIdx) = 2 + slot
+    }
+    val out = new Array[Byte](pageCount * PageSize)
+    tree.zipWithIndex.foreach { case (node, idx) =>
+      val pg = node match {
+        case IndexLeaf(cells) => indexLeafPage(cells)
+        case IndexInterior(cells, right) =>
+          indexInteriorPage(cells.map { case (c, sep) =>
+            (pageNoOf(c), sep) }, pageNoOf(right))
+      }
+      System.arraycopy(pg, 0, out, (pageNoOf(idx) - 1) * PageSize, PageSize)
+    }
+    val schemaRecord = record(Seq(
+      "table", name, name, pageNoOf(rootIdx).toLong, createSql))
+    val p1 = leafPage(Seq((1L, schemaRecord)), headerOff = 100)
+    header(p1, pageCount)
+    System.arraycopy(p1, 0, out, 0, PageSize)
+    Files.write(path, out)
+  }
+
+  private def indexLeafPage(cells: Seq[Array[Byte]]): Array[Byte] = {
+    val pg = new Array[Byte](PageSize)
+    pg(0) = 0x0a
+    putBe16(pg, 3, cells.size)
+    var content = PageSize
+    val ptrs = cells.map { payload =>
+      val cell = varint(payload.length) ++ payload
+      content -= cell.length
+      System.arraycopy(cell, 0, pg, content, cell.length)
+      content
+    }
+    putBe16(pg, 5, if (content == 65536) 0 else content)
+    var p = 8
+    ptrs.foreach { off => putBe16(pg, p, off); p += 2 }
+    require(p <= content, "index leaf overflow — packing budget bug")
+    pg
+  }
+
+  private def indexInteriorPage(cells: Seq[(Int, Array[Byte])],
+      rightMost: Int): Array[Byte] = {
+    val pg = new Array[Byte](PageSize)
+    pg(0) = 0x02
+    putBe16(pg, 3, cells.size)
+    putBe32(pg, 8, rightMost)
+    var content = PageSize
+    val ptrs = cells.map { case (child, payload) =>
+      val cell = beInt(child) ++ varint(payload.length) ++ payload
+      content -= cell.length
+      System.arraycopy(cell, 0, pg, content, cell.length)
+      content
+    }
+    putBe16(pg, 5, if (content == 65536) 0 else content)
+    var p = 12
+    ptrs.foreach { off => putBe16(pg, p, off); p += 2 }
+    require(p <= content, "index interior overflow — grouping budget bug")
+    pg
+  }
+
+  // ---------------------------------------------------------------
 
   private sealed trait Node
   private final case class Leaf(cells: Seq[(Long, Array[Byte])]) extends Node

@@ -278,6 +278,51 @@ class SqliteSourceSpec extends AnyFunSuite {
     Files.delete(db); Files.delete(outTsv)
   }
 
+  test("writer: WITHOUT ROWID files open in a real SQLite (promoted " +
+      "separators, multi-level index)") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = Files.createTempFile("graft-worid-out", ".sqlite")
+    // 4000 rows: multiple index leaves AND an interior level, so the
+    // separator-promotion path is on the line; composite key (grp, id)
+    // exercises the PK-first record order on WRITE
+    val rows = (1 to 4000).iterator.map { i =>
+      val grp = s"g${(i - 1) / 400}"
+      Seq[Any](i.toLong, grp, s"name-$i", i * 1.25)
+    }
+    // key order = (grp, id): g0 < g1 < ... bytewise and ids ascend
+    // inside each group, so input arrives pre-sorted by the PK
+    SqliteWriter.writeWithoutRowid(db, "people",
+      Seq("id" -> "INTEGER", "grp" -> "TEXT", "name" -> "TEXT",
+        "score" -> "REAL"), Seq("grp", "id"), rows)
+    val outTsv = Files.createTempFile("graft-worid-out", ".tsv")
+    py(s"""import sqlite3
+          |c = sqlite3.connect(${q(db)})
+          |ok, = c.execute("PRAGMA integrity_check").fetchone()
+          |assert ok == 'ok', ok
+          |n, = c.execute("SELECT count(*) FROM people").fetchone()
+          |assert n == 4000, n
+          |r = c.execute("SELECT id, grp, name, score FROM people WHERE id IN (1, 777, 4000)").fetchall()
+          |s, = c.execute("SELECT sum(id) FROM people WHERE grp = 'g3'").fetchone()
+          |with open(${q(outTsv)}, 'w') as fh:
+          |    for row in r:
+          |        fh.write(repr(row) + '\\n')
+          |    fh.write('sum=%d\\n' % s)
+          |c.close()
+          |""".stripMargin)
+    val dump = new String(Files.readAllBytes(outTsv), "UTF-8")
+    assert(dump.contains("(1, 'g0', 'name-1', 1.25)"), dump)
+    assert(dump.contains("(777, 'g1', 'name-777', 971.25)"), dump)
+    assert(dump.contains("(4000, 'g9', 'name-4000', 5000.0)"), dump)
+    assert(dump.contains(s"sum=${(1201 to 1600).sum}"), dump)
+    // and our own index reader agrees with what we wrote
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "people").load()
+    assert(df.count() == 4000)
+    assert(df.filter(col("id") === 1400).select("score")
+      .head.getDouble(0) == 1750.0)
+    Files.delete(db); Files.delete(outTsv)
+  }
+
   test("registry: type sqlite registers tables through the format reader") {
     assume(pyAvailable, "python3/sqlite3 not available")
     val db = fixture("reg") { p =>
