@@ -88,7 +88,8 @@ def connect(url=None, api_key=None, timeout=60.0, trace_dir=None,
         return EmbeddedConnection(config=config, data_dir=data_dir,
                                   timeout=timeout, trace_dir=trace_dir,
                                   boot_timeout=boot_timeout)
-    if mode == "flight" or (url or "").startswith(("grpc://", "grpc+tcp://")):
+    if mode == "flight" or (url or "").startswith(
+            ("grpc://", "grpc+tcp://", "grpc+tls://")):
         return FlightConnection(url, api_key=api_key, timeout=timeout,
                                 trace_dir=trace_dir)
     return GraftConnection(url, api_key=api_key, timeout=timeout,

@@ -156,30 +156,36 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
       case b: Byte => Some(b.toLong)
       case _ => None
     }
-    def collectRange(key: Option[String]): Array[Filter] = filters.filter {
-      case EqualTo(c, v) if key.contains(c) && asLong(v).isDefined =>
-        val x = asLong(v).get; lo = math.max(lo, x); hi = math.min(hi, x)
-        true
-      case GreaterThan(c, v) if key.contains(c) && asLong(v).isDefined &&
-          asLong(v).get != Long.MaxValue =>
-        // `> MaxValue` is not collected: `+ 1` would wrap to MinValue
-        // and the pruning bound would then admit EVERY row (exact
-        // path) or prune NONE correctly but report a wrong bound
-        lo = math.max(lo, asLong(v).get + 1); true
-      case GreaterThanOrEqual(c, v)
-          if key.contains(c) && asLong(v).isDefined =>
-        lo = math.max(lo, asLong(v).get); true
-      case LessThan(c, v) if key.contains(c) && asLong(v).isDefined &&
-          asLong(v).get != Long.MinValue =>
-        // mirror: `< MinValue` would wrap `- 1` to MaxValue
-        hi = math.min(hi, asLong(v).get - 1); true
-      case LessThanOrEqual(c, v) if key.contains(c) && asLong(v).isDefined =>
-        hi = math.min(hi, asLong(v).get); true
-      case IsNotNull(c) if key.contains(c) => true // keys are never null
-      case _ => false
-    }
+    // `strict`: adjust > / < bounds by ±1 — valid ONLY on the exact
+    // all-integer rowid path. The WITHOUT ROWID prefix path keeps the
+    // raw bound INCLUSIVE: flexible typing can store 9.5 in an
+    // integer-affine key, and `pk < 10` → hi = 9 would prune it away
+    // before Spark's residual filter ever sees it; hi = 10 keeps the
+    // boundary band and the residual filter discards 10 itself.
+    def collectRange(key: Option[String], strict: Boolean): Array[Filter] =
+      filters.filter {
+        case EqualTo(c, v) if key.contains(c) && asLong(v).isDefined =>
+          val x = asLong(v).get; lo = math.max(lo, x); hi = math.min(hi, x)
+          true
+        case GreaterThan(c, v) if key.contains(c) && asLong(v).isDefined &&
+            (!strict || asLong(v).get != Long.MaxValue) =>
+          // strict `> MaxValue` is not collected: `+ 1` would wrap to
+          // MinValue and the exact pushdown would admit EVERY row
+          lo = math.max(lo, asLong(v).get + (if (strict) 1 else 0)); true
+        case GreaterThanOrEqual(c, v)
+            if key.contains(c) && asLong(v).isDefined =>
+          lo = math.max(lo, asLong(v).get); true
+        case LessThan(c, v) if key.contains(c) && asLong(v).isDefined &&
+            (!strict || asLong(v).get != Long.MinValue) =>
+          // mirror: strict `< MinValue` would wrap `- 1` to MaxValue
+          hi = math.min(hi, asLong(v).get - (if (strict) 1 else 0)); true
+        case LessThanOrEqual(c, v) if key.contains(c) && asLong(v).isDefined =>
+          hi = math.min(hi, asLong(v).get); true
+        case IsNotNull(c) if key.contains(c) => true // keys are never null
+        case _ => false
+      }
     if (rid.isDefined) {
-      val accepted = collectRange(rid)
+      val accepted = collectRange(rid, strict = true)
       pushed = accepted
       // rowid-range pushdown is EXACT (the b-tree walk admits exactly
       // [lo, hi]), so accepted filters need no re-evaluation in Spark
@@ -189,7 +195,7 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
       // store non-integers in an integer-affine key): report the range
       // as pushed so the plan shows the pruning, but leave EVERY
       // filter residual for Spark to re-evaluate
-      pushed = collectRange(prefix)
+      pushed = collectRange(prefix, strict = false)
       filters
     } else filters
   }
@@ -216,11 +222,11 @@ final class SqliteScan(schema: StructType, opts: SqliteOptions,
         // the root cell's own entry), same parallel-read shape as the
         // rowid subtrees; slices whose leading-key band misses the
         // pushed PK range are planned away here
-        SqliteFile.indexRootFanout(db, t.rootPage) match {
+        SqliteFile.indexRoot(db, t.rootPage) match {
           case None =>
             Array(SqliteIndexPartition(opts, t.rootPage, -1, lo, hi))
-          case Some(cells) =>
-            val firsts = SqliteFile.indexRootCells(db, t.rootPage)
+          case Some(firsts) =>
+            val cells = firsts.size
             (0 to cells).flatMap { i =>
               val prev = if (i == 0) None else Some(firsts(i - 1))
               val cur = if (i < cells) Some(firsts(i)) else None

@@ -96,10 +96,23 @@ object SqliteFile {
           java.nio.file.Files.size(walSide) == 0,
         s"$path is a rollback-journal database with a non-empty -wal" +
           " sibling; recover it with sqlite3 first")
+      // a -journal is HOT only with a well-formed journal-header magic
+      // (interrupted transaction needing rollback); journal_mode=PERSIST
+      // leaves a non-empty journal with a ZEROED header after a clean
+      // commit — that database is consistent and must read fine
       val journalSide = java.nio.file.Paths.get(path + "-journal")
-      require(!java.nio.file.Files.exists(journalSide) ||
-          java.nio.file.Files.size(journalSide) == 0,
-        s"$path has a hot -journal sibling (interrupted transaction);" +
+      val journalHot =
+        java.nio.file.Files.exists(journalSide) &&
+          java.nio.file.Files.size(journalSide) >= 8 && {
+            val magic = Array[Byte](0xd9.toByte, 0xd5.toByte, 0x05, 0xf9.toByte,
+              0x20, 0xa1.toByte, 0x63, 0xd7.toByte)
+            val head = new Array[Byte](8)
+            val in = java.nio.file.Files.newInputStream(journalSide)
+            try { in.readNBytes(head, 0, 8); java.util.Arrays.equals(head, magic) }
+            finally in.close()
+          }
+      require(!journalHot,
+        s"$path has a HOT -journal sibling (interrupted transaction);" +
           " recover it with sqlite3 first")
       val reserved = h(20) & 0xff
       val pageCount = be32(h, 28)
@@ -282,16 +295,22 @@ object SqliteFile {
   // ---------------------------------------------------------------
   // index b-trees (WITHOUT ROWID tables)
 
-  /** Root fanout of an index b-tree: None when the root is a leaf
-    * (single-partition scan), Some(cellCount) when interior — slices
-    * 0..cellCount (inclusive; the last is the rightmost subtree) are
-    * the disjoint, key-ordered partition units. */
-  def indexRootFanout(db: Db, pageNo: Int): Option[Int] = {
+  /** ONE parse of an index b-tree root: None when the root is a leaf
+    * (single-partition scan), Some(leading key values of the root
+    * cells) when interior — slices 0..size (inclusive; the last is the
+    * rightmost subtree) are the disjoint partition units, and the
+    * leading keys are the planner's slice-prune bands. */
+  def indexRoot(db: Db, pageNo: Int): Option[Seq[Value]] = {
     val pg = db.page(pageNo)
     val ph = pageHeader(pg, pageNo)
     ph.pageType match {
       case 0x0a => None
-      case 0x02 => Some(ph.cellCount)
+      case 0x02 => Some((0 until ph.cellCount).map { i =>
+        val off = cellPointer(pg, ph, i)
+        val (payloadLen, n1) = varint(pg, off + 4)
+        firstValue(readPayload(db, pg, off + 4 + n1, payloadLen,
+          indexPage = true))
+      })
       case t => throw new IllegalStateException(
         s"page $pageNo is not an index b-tree page (type $t)")
     }
@@ -313,23 +332,6 @@ object SqliteFile {
     case l: Long => l >= lo && l <= hi
     case d: Double => d >= lo && d <= hi
     case _ => true
-  }
-
-  /** The root cells of an index interior page: (slice index, leading
-    * key value of the cell's entry). Slice i's subtree holds keys
-    * between cell i-1's and cell i's — the planner prunes slices whose
-    * implied leading-key band misses the pushed range. */
-  def indexRootCells(db: Db, rootPage: Int): Seq[Value] = {
-    val pg = db.page(rootPage)
-    val ph = pageHeader(pg, rootPage)
-    require(ph.pageType == 0x02,
-      s"page $rootPage is not an index interior page (type ${ph.pageType})")
-    (0 until ph.cellCount).map { i =>
-      val off = cellPointer(pg, ph, i)
-      val (payloadLen, n1) = varint(pg, off + 4)
-      firstValue(readPayload(db, pg, off + 4 + n1, payloadLen,
-        indexPage = true))
-    }
   }
 
   /** The seed of one root SLICE — the disjoint partition unit of an
@@ -386,17 +388,20 @@ object SqliteFile {
             be32(pg, off))
         }
         // child_i holds keys BETWEEN entry_{i-1} and entry_i in full-key
-        // order, so its leading keys lie in [first(e_{i-1}), first(e_i)]
+        // order, so its leading keys lie in [first(e_{i-1}), first(e_i)];
+        // each entry's leading key is decoded ONCE (an overflow-chained
+        // separator would otherwise re-read its spill pages)
         var prev: Option[Value] = None
         val kids = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val entries = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
         cells.foreach { case (entry, child) =>
           val cur = firstValue(entry)
           if (bandMayOverlap(prev, Some(cur), lo, hi)) kids += child
+          if (keyInRange(cur, lo, hi)) entries += entry
           prev = Some(cur)
         }
         if (bandMayOverlap(prev, None, lo, hi)) kids += ph.rightMost
-        (cells.map(_._1).filter(e => keyInRange(firstValue(e), lo, hi)),
-          kids.toSeq)
+        (entries.toSeq, kids.toSeq)
       case t => throw new IllegalStateException(
         s"page $pageNo is not an index b-tree page (type $t)")
     }
@@ -651,9 +656,9 @@ object SqliteFile {
     val withTablePk = tablePkCols match {
       case Seq((pk, _)) if !withoutRowid =>
         cols.map { c =>
-          if (c.name == pk &&
-              c.declaredType.equalsIgnoreCase("INTEGER") &&
-              !c.declaredType.contains(" "))
+          // identifiers are case-insensitive: PRIMARY KEY(ID) aliases id
+          if (c.name.equalsIgnoreCase(pk) &&
+              c.declaredType.equalsIgnoreCase("INTEGER"))
             c.copy(rowidAlias = true)
           else c
         }

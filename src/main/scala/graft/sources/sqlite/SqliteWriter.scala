@@ -240,6 +240,11 @@ object SqliteWriter {
       case other => throw new IllegalArgumentException(
         s"unsupported key type ${other.getClass.getName}")
     }
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
     def num(v: Any): Double = v match {
       case l: Long => l.toDouble
       case i: Int => i.toDouble
@@ -256,7 +261,12 @@ object SqliteWriter {
       val c = Integer.compare(cls(x), cls(y))
       if (c != 0) return c
       val v = cls(x) match {
-        case 0 => java.lang.Double.compare(num(x), num(y))
+        case 0 => (asLong(x), asLong(y)) match {
+          // pure-integer pairs compare exactly: 2^53 and 2^53 + 1 are
+          // the same Double but different keys
+          case (Some(a), Some(b)) => java.lang.Long.compare(a, b)
+          case _ => java.lang.Double.compare(num(x), num(y))
+        }
         case _ => java.util.Arrays.compareUnsigned(bytes(x), bytes(y))
       }
       if (v != 0) return v

@@ -478,8 +478,11 @@ class SqliteSourceSpec extends AnyFunSuite {
       org.apache.spark.sql.Row(4901L, 4950L))
     // the prune range must reach the scan; INEXACT, so the filter must
     // ALSO survive as a Spark-side Filter above it
+    // the strict bound stays INCLUSIVE on this path (4900, not 4901):
+    // a fractional 4900.5 key must survive pruning for the residual
+    // filter to judge
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("pk=[4901, 4950]"),
+    assert(plan.contains("pk=[4900, 4950]"),
       s"leading-PK range not pushed into the scan:\n$plan")
     assert(plan.contains("Filter"),
       "inexact pushdown must keep the Spark-side filter")
@@ -513,6 +516,92 @@ class SqliteSourceSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("pk=[2901"),
       s"DESC leading key must not claim an ascending prune range:\n$plan")
+    Files.delete(db)
+  }
+
+  test("reader: journal_mode=PERSIST's leftover -journal (zeroed " +
+      "header) is not hot — the database reads fine") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("persist") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("PRAGMA journal_mode=PERSIST")
+         |c.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+         |c.executemany("INSERT INTO t VALUES (?,?)",
+         |              [(i, 'v%d' % i) for i in range(1, 101)])
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    val journal = java.nio.file.Paths.get(db.toString + "-journal")
+    assume(Files.exists(journal) && Files.size(journal) > 0,
+      "PERSIST should leave a non-empty journal on this platform")
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "t").load()
+    assert(df.count() == 100)
+    Files.delete(db); Files.delete(journal)
+  }
+
+  test("reader: PK-prefix pruning never hides a fractional key — a " +
+      "REAL stored in an integer-affine key fails LOUDLY either way") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("fractional") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE f (ts INTEGER, v TEXT, PRIMARY KEY (ts)) WITHOUT ROWID")
+         |c.executemany("INSERT INTO f VALUES (?,?)",
+         |  [(i, 'v%d' % i) for i in range(1, 9)] + [(9.5, 'frac')])
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    def scan() = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "f").load()
+    // count() decodes no columns, so even the fractional-key row counts
+    assert(scan().count() == 9, "pruning must not change the row count")
+    // both the unfiltered scan and the pruned one must agree: the
+    // affinity-mismatched key is a LOUD coercion error, never a
+    // silently missing row (the pruning bound stays inclusive)
+    val full = intercept[Exception](scan().select("ts", "v").collect())
+    val pruned = intercept[Exception](
+      scan().filter(col("ts") < 10).select("ts", "v").collect())
+    def root(t: Throwable): String = {
+      var x = t; while (x.getCause != null) x = x.getCause
+      Option(x.getMessage).getOrElse("")
+    }
+    assert(root(full).contains("cannot coerce"), root(full))
+    assert(root(pruned).contains("cannot coerce"),
+      s"pruning must not hide the fractional key: ${root(pruned)}")
+    Files.delete(db)
+  }
+
+  test("reader: table-level PRIMARY KEY(ID) aliases id case-insensitively") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("pkcase") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE t (id INTEGER, v TEXT, PRIMARY KEY(ID))")
+         |c.executemany("INSERT INTO t VALUES (?,?)",
+         |              [(i, 'v%d' % i) for i in range(1, 21)])
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "t").load()
+    // real SQLite stores NULL in the aliased slot; a case-sensitive
+    // match would decode those NULLs instead of the rowids
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == (1 to 20).sum.toLong)
+    Files.delete(db)
+  }
+
+  test("writer: WITHOUT ROWID keys above 2^53 compare exactly") {
+    val db = Files.createTempFile("graft-bigkey", ".sqlite")
+    val base = 1L << 53
+    SqliteWriter.writeWithoutRowid(db, "t",
+      Seq("id" -> "INTEGER", "v" -> "TEXT"), Seq("id"),
+      Iterator(Seq[Any](base, "a"), Seq[Any](base + 1, "b")))
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "t").load()
+    assert(df.count() == 2, "2^53 and 2^53+1 are DISTINCT keys")
     Files.delete(db)
   }
 
