@@ -91,6 +91,23 @@ object Bench {
     }
     def heapMb(): Long = java.lang.management.ManagementFactory
       .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    // Host-load signal (round-16 verdict #2): two judge rounds in a row
+    // burned re-measurement time adjudicating driver-run contention
+    // because the artifact had gc/heap but no way to tell "this row is
+    // slow" from "the host was busy". One /proc/loadavg sample per row
+    // start closes that — a row recorded with load1 >> this JVM's own
+    // core usage is adjudicable as contention from the artifact alone.
+    def load1(): Double =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")),
+          java.nio.charset.StandardCharsets.US_ASCII)
+        s.split("\\s+")(0).toDouble
+      } catch { case _: Throwable =>
+        // non-Linux fallback; -1.0 if the bean has no figure either
+        java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+      }
     def dropResidue(): Unit =
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
@@ -101,6 +118,7 @@ object Bench {
     val measured = selected.map { q =>
       val n = if (Headline(q.name)) iters else 1
       val startMs = System.currentTimeMillis() - benchT0
+      val loadAtStart = load1()
       val (gcN0, gcMs0) = gcNow()
       // raw = ARRIVAL order (not sorted): the per-iteration trail is
       // emitted below so a one-off slow iteration is distinguishable
@@ -136,7 +154,9 @@ object Bench {
       dropResidue() // this row's checkpoints must not tax the next row
       val (gcN1, gcMs1) = gcNow()
       telemetry(q.name) =
-        s"""{"order":$runOrder,"start_ms":$startMs,"gc_ms":${
+        s"""{"order":$runOrder,"start_ms":$startMs,"load1":${
+          BigDecimal(loadAtStart).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP)},"gc_ms":${
           gcMs1 - gcMs0},"gc_n":${gcN1 - gcN0},"heap_mb":${heapMb()}}"""
       runOrder += 1
       val sorted = raw.sorted

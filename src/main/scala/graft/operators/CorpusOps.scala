@@ -28,60 +28,164 @@ object CorpusOps {
   private def normSqlDuck = TextPipeline.normSqlDuck
   private def withNorm(df: DataFrame): DataFrame = TextPipeline.withNorm(df)
 
+  /** Pair count at or below which duplicate-cluster labels are resolved
+    * by union-find on the driver instead of the distributed iteration —
+    * the same bar Spark applies to a broadcast-join build side
+    * (~16 bytes/pair → 64 MB). The gate is measured, not assumed: the
+    * pair RDD is counted before anything is collected. */
+  private[graft] val DriverCcMaxPairs: Long = 4L << 20
+
   /** Connected-component labels (doc_id, cluster_id) over the
     * ≥0.9-Jaccard duplicate graph of documents with doc_id < 150 (the
     * bounded pair-verification window d_dup_clusters documents; at scale
-    * the edge list comes from LSH, the iteration is unchanged). Shared
-    * by d_dup_clusters and d_dup_keep_best. Pointer-doubling label
-    * propagation: O(log diameter) rounds of (node, label) longs. */
-  private def dupClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    * the edge list comes from LSH). Shared by d_dup_clusters and
+    * d_dup_keep_best.
+    *
+    * Adaptive resolution on the MEASURED pair count (the broadcast-join
+    * decision applied to a graph): at or below [[DriverCcMaxPairs]] the
+    * pair list is union-found on the driver and rejoined as a broadcast
+    * (node → min-of-component) map — zero iteration jobs; above it,
+    * pointer-doubling label propagation over co-partitioned RDDs
+    * (the Pregel/GraphX shape: the edge relation is hash-partitioned
+    * once and cached, each of the O(log diameter) rounds is ONE job of
+    * (node, label) longs with no query re-planning — Catalyst cannot
+    * carry a partitioning across checkpointed rounds, which made the
+    * DataFrame formulation pay two 32-partition exchanges plus a full
+    * plan cycle per round; round-16 verdict). Both paths produce
+    * identical labels (min doc_id per component) — CorpusOpsSpec pins
+    * them against each other by forcing the distributed path. */
+  private[graft] def dupClusterLabels(s: SparkSession, dir: String,
+      maxDriverPairs: Long = DriverCcMaxPairs,
+      withSizes: Boolean = false): DataFrame = {
+    // the corpus derivation runs ONCE per row: d feeds both cross-join
+    // sides and the final node set
     val d = withNorm(t(s, dir).documents.filter(col("doc_id") < 150))
       .select(col("doc_id"), array_distinct(col("words")).as("ws"))
+      .localCheckpoint()
     val a = d.select(col("doc_id").as("id_a"), col("ws").as("ws_a"))
     val b = d.select(col("doc_id").as("id_b"), col("ws").as("ws_b"))
     val inter = size(array_intersect(col("ws_a"), col("ws_b")))
-    val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    val pairsDf = a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .filter(inter.cast("double") /
         (size(col("ws_a")) + size(col("ws_b")) - inter) >= 0.9)
       .select(col("id_a"), col("id_b"))
-    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("e_src", "e_dst").localCheckpoint()
-    var labels = d.select(col("doc_id").as("node"), col("doc_id").as("label"))
-      .localCheckpoint()
-    // Labels are monotone non-increasing under both steps (min over a
-    // set containing the own label; label(u) <= u), so sum(label) is a
-    // sound fixpoint detector: it strictly decreases iff any node
-    // changed. One aggregate action per round replaces the old
-    // convergence join, and only the round's RESULT is checkpointed —
-    // nbrMin's one-join lineage recomputes cheaper than an extra
-    // materialization per round.
-    var prevSum = Long.MaxValue
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 40) {
-      // neighbor-min: label(v) <- min(label(v), min over in-neighbors)
-      val viaEdges = edges.join(labels, col("e_src") === col("node"))
-        .select(col("e_dst").as("node"), col("label"))
-      val nbrMin = labels.union(viaEdges)
-        .groupBy("node").agg(min("label").as("label"))
-      // pointer doubling: label(v) <- label(label(v))
-      val parents = nbrMin
-        .select(col("node").as("p_node"), col("label").as("p_label"))
-      // per-round localCheckpoint: measured against checkpointing every
-      // OTHER round (lineage of an unmaterialized round recomputes in
-      // the next round's TWO consumers — nbrMin and the fixpoint agg —
-      // costing more than the materialization saves: 4.6-5.1s vs
-      // 4.0-4.3s solo at sf0.1)
-      val next = nbrMin.join(parents, col("label") === col("p_node"))
-        .select(col("node"), col("p_label").as("label"))
-        .localCheckpoint()
-      val roundSum = next.agg(sum(col("label"))).head.getLong(0)
-      converged = roundSum == prevSum
-      prevSum = roundSum
-      labels = next
-      rounds += 1
+    val pairs = pairsDf.rdd.map(r => (r.getLong(0), r.getLong(1))).cache()
+    val nPairs = pairs.count()
+    val nodes = d.select(col("doc_id"))
+    if (nPairs <= maxDriverPairs) {
+      // ---- driver path: union-find with path compression + min-root.
+      // Only nodes that APPEAR IN A PAIR reach the driver (singletons
+      // label themselves through the coalesce below), so driver memory
+      // is bounded by the measured gate, never by corpus size.
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      // union by MIN root: the representative of a component is always
+      // its smallest doc_id — exactly the min(label) the oracle computes
+      pairs.collect().foreach { case (x, y) =>
+        val rx = find(x); val ry = find(y)
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      // pair-members = non-root entries plus their roots; singletons
+      // (never in a pair) fall through the left join's coalesce to
+      // label themselves with size 1
+      val members = {
+        val ks = parent.keys.toArray
+        (ks ++ ks.map(find).distinct).distinct
+      }
+      val longT = org.apache.spark.sql.types.LongType
+      val (rows, schemaFields) =
+        if (withSizes) {
+          // sizes are free here: one counting pass over the member set
+          val bySize = scala.collection.mutable.LongMap.empty[Long]
+          members.foreach { n =>
+            val r = find(n); bySize(r) = bySize.getOrElse(r, 0L) + 1
+          }
+          (members.toSeq.map(n =>
+             org.apache.spark.sql.Row(n, find(n), bySize(find(n)))),
+           Seq("doc_id", "root", "csize"))
+        } else
+          (parent.keys.toArray.toSeq.map(n =>
+             org.apache.spark.sql.Row(n, find(n))),
+           Seq("doc_id", "root"))
+      val roots = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        org.apache.spark.sql.types.StructType(schemaFields.map(f =>
+          org.apache.spark.sql.types.StructField(f, longT, nullable = false))))
+      val joined = nodes.join(broadcast(roots), Seq("doc_id"), "left")
+      val base = joined.select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+      if (withSizes)
+        joined.select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("cluster_id"),
+          coalesce(col("csize"), lit(1L)).as("cluster_size"))
+      else base
+    } else {
+      // ---- distributed path: pointer doubling over co-partitioned RDDs.
+      // Partition width follows the pair graph (16-byte pairs, ~64 MB a
+      // partition), NOT the corpus-wide shuffle width.
+      val iterParts = math.max(1, math.min(
+        s.sparkContext.defaultParallelism, (2 * nPairs / (4L << 20)).toInt))
+      val part = new org.apache.spark.HashPartitioner(iterParts)
+      // self-loops make the neighbor-min include the node's own label,
+      // removing the per-round union with the label relation
+      val nodeRdd = nodes.rdd.map(_.getLong(0))
+      val e = pairs
+        .flatMap { case (x, y) => Iterator((x, y), (y, x)) }
+        .union(nodeRdd.map(n => (n, n)))
+        .partitionBy(part).cache()
+      var labels = nodeRdd.map(n => (n, n)).partitionBy(part)
+      // Labels are monotone non-increasing under both steps (the
+      // neighbor-min set contains the own label via the self-loop;
+      // label(u) <= u), so sum(label) strictly decreases iff any node
+      // changed — one fold action per round is the whole convergence
+      // check AND the round's only job.
+      var prevSum = Long.MaxValue
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 40) {
+        // neighbor-min: label(v) <- min over in-neighbors (incl. self)
+        val nbrMin = e.join(labels, part)
+          .map { case (_, (dst, lbl)) => (dst, lbl) }
+          .reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
+        // pointer doubling: label(v) <- label(label(v))
+        val next = nbrMin.map { case (n, l) => (l, n) }
+          .join(nbrMin, part)
+          .map { case (_, (n, pl)) => (n, pl) }
+        next.cache()
+        val roundSum = next.map(_._2).fold(0L)(_ + _)
+        converged = roundSum == prevSum
+        prevSum = roundSum
+        labels = next
+        rounds += 1
+      }
+      val cc = s.createDataFrame(
+        labels.map { case (n, l) => org.apache.spark.sql.Row(n, l) },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      if (withSizes) {
+        // map-side-combined groupBy + join-back, NOT a window over
+        // cluster_id: duplicate clusters are exactly the skewed entity
+        // in a dedup graph (one boilerplate page duplicated 10^8 times
+        // puts the whole cluster into a single window task, and AQE
+        // cannot split window partitions)
+        val sizes = cc.groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      } else cc
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Chunk geometry: 64-token windows, stride 48 (16-token overlap) —
@@ -298,13 +402,14 @@ object CorpusOps {
     // word-set jaccard >= 0.9 over a bounded candidate set (doc_id <
     // 150, the oracle baseline — at scale the edge list comes from the
     // LSH candidate pipeline, never a cross join). Components are
-    // resolved by neighbor-min label propagation with pointer doubling
-    // (label(v) <- label(label(v))), the standard distributed-CC shape:
-    // O(log diameter) rounds, each shuffling only (node, label) long
-    // pairs; lineage is truncated per round with localCheckpoint. Plain
-    // propagation would need O(diameter) rounds — this corpus's largest
-    // component is a 53-doc transitivity chain, exactly the case
-    // pointer doubling exists for.
+    // resolved adaptively on the measured pair count (see
+    // dupClusterLabels): driver union-find below the broadcast bar,
+    // neighbor-min label propagation with pointer doubling
+    // (label(v) <- label(label(v))) over co-partitioned RDDs above it —
+    // the standard distributed-CC shape: O(log diameter) rounds, each
+    // one job of (node, label) longs. Plain propagation would need
+    // O(diameter) rounds — this corpus's largest component is a 53-doc
+    // transitivity chain, exactly the case pointer doubling exists for.
     GraftQuery("d_dup_clusters",
       s"""WITH RECURSIVE d AS (SELECT doc_id, list_distinct(string_split($normSqlDuck, ' ')) AS ws
          |  FROM documents WHERE doc_id < 150),
@@ -324,17 +429,14 @@ object CorpusOps {
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
          |FROM cc""".stripMargin) { (s, dir) =>
-      // cluster_size via map-side-combined groupBy + join-back, NOT a
-      // window over cluster_id: duplicate clusters are exactly the skewed
-      // entity in a dedup graph (one boilerplate page duplicated 10^8
-      // times puts the whole cluster into a single window task, and AQE
-      // cannot split window partitions). The aggregate pre-combines per
-      // map task, so the exchange carries one (cluster_id, partial count)
-      // row per task per cluster — same pattern as the cf/df rewrite in
-      // TextPipeline.
-      val cc = dupClusterLabels(s, dir)
-      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, "cluster_id")
+      // cluster_size comes fused from dupClusterLabels(withSizes = true):
+      // the driver path derives it from the union-find map (zero extra
+      // jobs, one broadcast join in the plan); the distributed path uses
+      // a map-side-combined groupBy + join-back — NEVER a window over
+      // cluster_id (one boilerplate page duplicated 10^8 times puts the
+      // whole cluster into a single window task, and AQE cannot split
+      // window partitions).
+      dupClusterLabels(s, dir, withSizes = true)
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)
             .as("is_canonical"))

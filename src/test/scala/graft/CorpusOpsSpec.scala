@@ -269,4 +269,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(frac >= 0 && frac <= 1.0, r.toString)
     }
   }
+
+  test("dup cluster labels: driver union-find and distributed pointer " +
+      "doubling produce identical labels and sizes") {
+    // dupClusterLabels picks its path on the MEASURED pair count — the
+    // bounded verification window takes the driver path; forcing
+    // maxDriverPairs = -1 exercises the co-partitioned-RDD pointer
+    // doubling on the same corpus. Both must yield the min-doc_id
+    // component labels the DuckDB oracle derives.
+    def labelSet(maxPairs: Long) =
+      operators.CorpusOps.dupClusterLabels(spark, sf,
+          maxDriverPairs = maxPairs, withSizes = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val driver = labelSet(operators.CorpusOps.DriverCcMaxPairs)
+    val dist = labelSet(-1L)
+    assert(driver == dist,
+      s"paths diverge: only-driver=${(driver -- dist).take(5)} " +
+        s"only-dist=${(dist -- driver).take(5)}")
+    // non-vacuity: the corpus plants real duplicate clusters — at least
+    // one multi-member component and at least one singleton
+    assert(driver.exists(_._3 > 1), "no multi-member cluster in fixture")
+    assert(driver.exists(_._3 == 1), "no singleton cluster in fixture")
+    // every label is the component minimum: the canonical member labels
+    // itself, and no member is smaller than its label
+    assert(driver.forall { case (d, c, _) => c <= d })
+    val canon = driver.filter { case (d, c, _) => d == c }.map(_._1)
+    assert(driver.map(_._2).subsetOf(canon), "a cluster_id is not canonical")
+  }
 }

@@ -440,16 +440,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"), s"tf not checkpointed:\n$p")
   }
 
-  test("dup clusters: cluster_size via aggregate join-back, no window over cluster_id") {
+  test("dup clusters: cluster_size via broadcast label map, no window over cluster_id") {
     // duplicate clusters are exactly the skewed entity in a dedup graph —
     // a Window.partitionBy(cluster_id) puts a 10^8-member boilerplate
-    // cluster on ONE task (AQE cannot split window partitions). The size
-    // must come from a map-side-combined groupBy joined back (a shuffled
-    // join AQE CAN skew-split), so the final plan has no Window at all.
+    // cluster on ONE task (AQE cannot split window partitions). On the
+    // driver union-find path (taken here: the bounded window's pair
+    // count is far under the broadcast bar) both labels and sizes come
+    // from ONE broadcast join against the union-find map; the
+    // distributed path's groupBy+join-back twin is pinned in
+    // CorpusOpsSpec. Either way the final plan has no Window at all.
     val p = plan("d_dup_clusters")
     assert(!p.contains("windowspecdefinition"),
       s"d_dup_clusters reintroduced a window:\n$p")
-    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("keep-best dedup: representative via argmax aggregate, no window") {
