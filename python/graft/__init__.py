@@ -359,6 +359,38 @@ def _flight_sql_any(type_suffix, message_bytes):
             + _pb_field(2, message_bytes))
 
 
+def _pb_scan(buf):
+    """Parse a flat protobuf message into {field_number: value} —
+    length-delimited fields as ``bytes``, varints as ``int`` (the only
+    wire types the Flight SQL replies used here carry)."""
+    out = {}
+    i = 0
+
+    def varint():
+        nonlocal i
+        v = shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            v |= (b & 0x7F) << shift
+            shift += 7
+            if not (b & 0x80):
+                return v
+
+    while i < len(buf):
+        tag = varint()
+        field, wt = tag >> 3, tag & 7
+        if wt == 2:
+            ln = varint()
+            out[field] = bytes(buf[i:i + ln])
+            i += ln
+        elif wt == 0:
+            out[field] = varint()
+        else:
+            raise QueryError("unsupported protobuf wire type %d" % wt)
+    return out
+
+
 class FlightConnection:
     """A connection over Arrow Flight SQL — the zero-copy remote path.
 
@@ -380,7 +412,11 @@ class FlightConnection:
             if loc.startswith(scheme):
                 loc = "grpc+tcp://" + loc[len(scheme):]
         if not loc.startswith(("grpc+tcp://", "grpc+tls://")):
-            raise ValueError("flight mode needs a grpc:// or http:// url")
+            # graft's ConnectionError, not a bare ValueError: callers are
+            # told to catch the GraftError hierarchy for every mode
+            raise ConnectionError(
+                "flight mode needs a grpc:// or http:// url "
+                "(got %r)" % (url,))
         self._base = loc
         self._timeout = timeout
         headers = []
@@ -436,16 +472,54 @@ class FlightConnection:
         except Exception as e:
             raise self._translate(e) from None
 
+    def _bind_params(self, query, params):
+        """Prepared-statement parameter binding over Flight SQL's
+        stateless-server contract: CreatePreparedStatement mints a
+        handle, DoPut streams ONE single-row record batch whose column
+        names are the parameter names, and the server answers with a
+        REPLACEMENT handle (DoPutPreparedStatementResult) carrying the
+        bound values — the shape the reference's prepared path binds
+        through (flight_sql.rs:533-566). Returns the bound handle."""
+        fl = self._fl
+        import pyarrow as pa
+        req = _flight_sql_any("ActionCreatePreparedStatementRequest",
+                              _pb_field(1, query.encode("utf-8")))
+        try:
+            results = list(self._client.do_action(
+                fl.Action("CreatePreparedStatement", req), self._opts))
+            any_msg = _pb_scan(results[0].body.to_pybytes())
+            handle = _pb_scan(any_msg[2])[1]
+            rb = pa.record_batch([pa.array([v]) for v in params.values()],
+                                 names=list(params.keys()))
+            cmd = _flight_sql_any("CommandPreparedStatementQuery",
+                                  _pb_field(1, handle))
+            writer, reader = self._client.do_put(
+                fl.FlightDescriptor.for_command(cmd), rb.schema, self._opts)
+            writer.write_batch(rb)
+            writer.done_writing()
+            bound = _pb_scan(reader.read().to_pybytes())[1]
+            writer.close()
+            return bound
+        except GraftError:
+            raise
+        except Exception as e:
+            raise self._translate(e) from None
+
     def sql(self, query, params=None):
-        """Execute SQL, return a zero-copy ``pyarrow.Table``."""
-        if params:
-            raise QueryError(
-                "flight mode does not bind named parameters; "
-                "use the HTTP client for :param queries")
+        """Execute SQL, return a zero-copy ``pyarrow.Table``. Named
+        ``:param`` placeholders bind through the prepared-statement
+        DoPut path (see ``_bind_params``)."""
         import time as _t
         start = _t.monotonic()
         try:
-            info = self._statement_info(query)
+            if params:
+                cmd = _flight_sql_any(
+                    "CommandPreparedStatementQuery",
+                    _pb_field(1, self._bind_params(query, params)))
+                info = self._client.get_flight_info(
+                    self._fl.FlightDescriptor.for_command(cmd), self._opts)
+            else:
+                info = self._statement_info(query)
             reader = self._client.do_get(
                 info.endpoints[0].ticket, self._opts)
             table = reader.read_all()

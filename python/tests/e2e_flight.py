@@ -52,9 +52,36 @@ def main():
             pa.BufferReader(tt.column("table_schema")[0].as_py()))
         assert "n_name" in embedded.names, embedded
 
+        # named parameters bind over the prepared-statement DoPut path:
+        # CreatePreparedStatement -> DoPut(single-row batch) -> bound
+        # handle -> GetFlightInfo/DoGet (reference flight_sql.rs
+        # prepared path). Mixed types: int, string.
+        p = conn.sql(
+            "SELECT n_name, n_regionkey FROM nation "
+            "WHERE n_regionkey = :rk AND n_name <> :skip "
+            "ORDER BY n_name",
+            params={"rk": 2, "skip": "NATION_2"})
+        assert p.num_rows > 0, p
+        assert all(v == 2 for v in p.column("n_regionkey").to_pylist()), p
+        assert "NATION_2" not in p.column("n_name").to_pylist(), p
+        # sql_rows twin binds too
+        _, prows, _ = conn.sql_rows(
+            "SELECT count(*) AS n FROM nation WHERE n_regionkey = :rk",
+            params={"rk": 2})
+        assert prows[0][0] == len(p) + 1, (prows, len(p))
+
         # server-side failures map to QueryError
         try:
             conn.sql("SELECT * FROM no_such_table")
+            raise AssertionError("expected QueryError")
+        except graft.QueryError:
+            pass
+
+        # a parameterized statement against a missing table still fails
+        # loudly at CreatePreparedStatement time
+        try:
+            conn.sql("SELECT * FROM no_such_table WHERE x = :v",
+                     params={"v": 1})
             raise AssertionError("expected QueryError")
         except graft.QueryError:
             pass
@@ -66,6 +93,15 @@ def main():
         raise AssertionError("expected AuthError")
     except graft.AuthError:
         pass
+
+    # a missing/invalid flight url raises graft's ConnectionError, not a
+    # bare ValueError — one catchable hierarchy across modes
+    for bad in (None, "ftp://nope"):
+        try:
+            graft.connect(bad, mode="flight")
+            raise AssertionError("expected ConnectionError for %r" % bad)
+        except graft.ConnectionError:
+            pass
 
     print("FLIGHT OK")
 

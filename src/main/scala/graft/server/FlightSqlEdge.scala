@@ -106,7 +106,10 @@ final class FlightSqlEdge(
     }
 
   private def handle(path: String, headers: Map[String, String],
-      payload: Array[Byte]): Seq[Array[Byte]] = path match {
+      payloads: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+    def payload: Array[Byte] = payloads.headOption.getOrElse(
+      throw new GrpcStatusException(3, "missing request message"))
+    path match {
     case "/arrow.flight.protocol.FlightService/GetFlightInfo" =>
       val user = authed(headers)
       val desc = DynamicMessage.parseFrom(FlightDescriptorD, payload)
@@ -115,22 +118,24 @@ final class FlightSqlEdge(
       val (name, body) = commandOf(cmdBytes)
       name match {
         case "CommandStatementQuery" | "CommandPreparedStatementQuery" =>
-          val query =
+          val (query, params) =
             if (name == "CommandStatementQuery")
-              strField(CommandStatementQueryD, DynamicMessage.parseFrom(
-                CommandStatementQueryD, body), "query")
-            else new String(DynamicMessage.parseFrom(
+              (strField(CommandStatementQueryD, DynamicMessage.parseFrom(
+                CommandStatementQueryD, body), "query"),
+                Map.empty[String, Any])
+            else FlightSqlEdge.decodeHandle(DynamicMessage.parseFrom(
               CommandPreparedStatementQueryD, body)
               .getField(CommandPreparedStatementQueryD
                 .findFieldByName("prepared_statement_handle"))
-              .asInstanceOf[ByteString].toByteArray, "UTF-8")
+              .asInstanceOf[ByteString].toByteArray)
           // plan only: analyzed schema via planQuery — policy rewrite,
           // defensive limit, and cost gate apply, but nothing executes and
           // nothing is cache-stored (a GetFlightInfo→DoGet pair must run
           // the query ONCE; the reference plans-without-executing here,
           // flight_sql.rs:533-566; its prepared handle IS the SQL bytes —
-          // the same stateless stance as this edge's tickets)
-          val info = engine.planQuery(query, user)
+          // the same stateless stance as this edge's tickets, with bound
+          // parameters carried INSIDE the replacement handle DoPut mints)
+          val info = engine.planQuery(query, user, params)
           Seq(flightInfo(ArrowResults.schemaIpcBytes(info.schema), cmdBytes))
         case "CommandGetCatalogs" | "CommandGetDbSchemas" |
             "CommandGetTables" | "CommandGetSqlInfo" |
@@ -200,12 +205,12 @@ final class FlightSqlEdge(
             .map(v => v.asInstanceOf[Int].toLong).toSeq
           flightDataFrames(FlightSqlCatalog.sqlInfo(wanted))
         case Some(("CommandPreparedStatementQuery", body)) =>
-          val sql = new String(DynamicMessage.parseFrom(
-            CommandPreparedStatementQueryD, body)
-            .getField(CommandPreparedStatementQueryD
-              .findFieldByName("prepared_statement_handle"))
-            .asInstanceOf[ByteString].toByteArray, "UTF-8")
-          val result = engine.executeQuery(sql, user, Map.empty)
+          val (sql, params) = FlightSqlEdge.decodeHandle(
+            DynamicMessage.parseFrom(CommandPreparedStatementQueryD, body)
+              .getField(CommandPreparedStatementQueryD
+                .findFieldByName("prepared_statement_handle"))
+              .asInstanceOf[ByteString].toByteArray)
+          val result = engine.executeQuery(sql, user, params)
           flightDataFrames(ArrowResults.toArrowStream(result.df, maxRows))
         case Some(("CommandStatementQuery", body)) =>
           val sql = strField(CommandStatementQueryD,
@@ -219,29 +224,61 @@ final class FlightSqlEdge(
       }
     case "/arrow.flight.protocol.FlightService/DoPut" =>
       authed(headers)
-      // DBeaver and other executeUpdate() clients route even SELECTs
-      // here as CommandPreparedStatementUpdate. The engine is
-      // read-only; the reference acknowledges with record_count = -1
-      // ("unknown") instead of erroring so such clients keep working
-      // (flight_sql.rs:576-599). The first streamed FlightData carries
-      // the descriptor; anything else would be data for an update we
-      // don't apply.
-      val first = DynamicMessage.parseFrom(FlightDataD, payload)
+      // Two DoPut shapes. (a) CommandPreparedStatementQuery: the
+      // client streams ONE Arrow record batch of named parameter
+      // values; the edge binds them by minting a REPLACEMENT handle
+      // that carries (sql, params) — the stateless-server parameter
+      // contract Flight SQL defines via DoPutPreparedStatementResult
+      // (the reference binds on its prepared path,
+      // flight_sql.rs:533-566). (b) DBeaver and other executeUpdate()
+      // clients route even SELECTs here as
+      // CommandPreparedStatementUpdate; the engine is read-only, so
+      // the reference-compatible ack is record_count = -1 ("unknown")
+      // instead of an error (flight_sql.rs:576-599).
+      val frames = payloads.map(DynamicMessage.parseFrom(FlightDataD, _))
+      val first = frames.headOption.getOrElse(
+        throw new GrpcStatusException(3, "empty DoPut stream"))
       val desc = first.getField(FlightDataD
         .findFieldByName("flight_descriptor")).asInstanceOf[DynamicMessage]
       val cmdBytes = desc.getField(FlightDescriptorD.findFieldByName("cmd"))
         .asInstanceOf[ByteString].toByteArray
-      val (name, _) = commandOf(cmdBytes)
-      if (name != "CommandPreparedStatementUpdate" &&
-          name != "CommandStatementUpdate")
-        throw new GrpcStatusException(12, s"unimplemented DoPut command: $name")
-      val upd = DynamicMessage.newBuilder(DoPutUpdateResultD)
-        .setField(DoPutUpdateResultD.findFieldByName("record_count"), -1L)
-        .build()
-      Seq(DynamicMessage.newBuilder(PutResultD)
-        .setField(PutResultD.findFieldByName("app_metadata"),
-          upd.toByteString)
-        .build().toByteArray)
+      val (name, body) = commandOf(cmdBytes)
+      name match {
+        case "CommandPreparedStatementQuery" =>
+          val (sql, _) = FlightSqlEdge.decodeHandle(
+            DynamicMessage.parseFrom(CommandPreparedStatementQueryD, body)
+              .getField(CommandPreparedStatementQueryD
+                .findFieldByName("prepared_statement_handle"))
+              .asInstanceOf[ByteString].toByteArray)
+          val ipcParts = frames.flatMap { f =>
+            val meta = f.getField(FlightDataD.findFieldByName("data_header"))
+              .asInstanceOf[ByteString].toByteArray
+            val dataBody = f.getField(FlightDataD.findFieldByName("data_body"))
+              .asInstanceOf[ByteString].toByteArray
+            if (meta.isEmpty) None else Some((meta, dataBody))
+          }
+          val params = FlightSqlEdge.decodeParamBatch(FlightIpc.join(ipcParts))
+          val res = DynamicMessage.newBuilder(DoPutPreparedStatementResultD)
+            .setField(DoPutPreparedStatementResultD
+              .findFieldByName("prepared_statement_handle"),
+              ByteString.copyFrom(FlightSqlEdge.encodeHandle(sql, params)))
+            .build()
+          Seq(DynamicMessage.newBuilder(PutResultD)
+            .setField(PutResultD.findFieldByName("app_metadata"),
+              res.toByteString)
+            .build().toByteArray)
+        case "CommandPreparedStatementUpdate" | "CommandStatementUpdate" =>
+          val upd = DynamicMessage.newBuilder(DoPutUpdateResultD)
+            .setField(DoPutUpdateResultD.findFieldByName("record_count"), -1L)
+            .build()
+          Seq(DynamicMessage.newBuilder(PutResultD)
+            .setField(PutResultD.findFieldByName("app_metadata"),
+              upd.toByteString)
+            .build().toByteArray)
+        case other =>
+          throw new GrpcStatusException(12,
+            s"unimplemented DoPut command: $other")
+      }
     case "/arrow.flight.protocol.FlightService/DoAction" =>
       val user = authed(headers)
       val act = DynamicMessage.parseFrom(ActionD, payload)
@@ -257,16 +294,26 @@ final class FlightSqlEdge(
           val sql = strField(ActionCreatePreparedStatementRequestD,
             DynamicMessage.parseFrom(
               ActionCreatePreparedStatementRequestD, reqBytes), "query")
-          val info = engine.planQuery(sql, user)
-          val res = DynamicMessage.newBuilder(
+          // a statement with :named placeholders cannot be analyzed
+          // until DoPut binds values — Flight SQL makes dataset_schema
+          // optional for exactly this, so only that error is tolerated
+          // (a bad table name still fails loudly at creation)
+          val info =
+            try Some(engine.planQuery(sql, user))
+            catch {
+              case e: Exception if String.valueOf(e.getMessage)
+                .contains("UNBOUND_SQL_PARAMETER") => None
+            }
+          val resB = DynamicMessage.newBuilder(
               ActionCreatePreparedStatementResultD)
             .setField(ActionCreatePreparedStatementResultD
               .findFieldByName("prepared_statement_handle"),
               ByteString.copyFromUtf8(sql))
-            .setField(ActionCreatePreparedStatementResultD
+          info.foreach(i => resB.setField(
+            ActionCreatePreparedStatementResultD
               .findFieldByName("dataset_schema"),
-              ByteString.copyFrom(ArrowResults.schemaIpcBytes(info.schema)))
-            .build()
+            ByteString.copyFrom(ArrowResults.schemaIpcBytes(i.schema))))
+          val res = resB.build()
           val any = PAny.newBuilder()
             .setTypeUrl("type.googleapis.com/" +
               "arrow.flight.protocol.sql.ActionCreatePreparedStatementResult")
@@ -281,6 +328,117 @@ final class FlightSqlEdge(
       }
     case other =>
       throw new GrpcStatusException(12, s"unimplemented: $other") // UNIMPLEMENTED
+  } }
+}
+
+object FlightSqlEdge {
+  /** Magic prefix of a parameter-carrying prepared-statement handle.
+    * Contains a NUL, so no legacy plain-SQL handle can collide. */
+  private val HandleMagic: Array[Byte] =
+    "GRAFT-PS1 ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Encode (sql, bound params) into a stateless handle. With no
+    * params the handle IS the SQL bytes — the legacy form every
+    * existing client already round-trips. */
+  private[server] def encodeHandle(sql: String,
+      params: Map[String, Any]): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    if (params.isEmpty) return sql.getBytes(utf8)
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.write(HandleMagic)
+    val sb = sql.getBytes(utf8)
+    d.writeInt(sb.length); d.write(sb)
+    d.writeInt(params.size)
+    params.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val kb = k.getBytes(utf8)
+      d.writeInt(kb.length); d.write(kb)
+      v match {
+        case null => d.writeByte('N')
+        case b: Boolean => d.writeByte('B'); d.writeBoolean(b)
+        case i: Int => d.writeByte('L'); d.writeLong(i.toLong)
+        case l: Long => d.writeByte('L'); d.writeLong(l)
+        case f: Float => d.writeByte('D'); d.writeDouble(f.toDouble)
+        case x: Double => d.writeByte('D'); d.writeDouble(x)
+        case s: String =>
+          val b = s.getBytes(utf8)
+          d.writeByte('S'); d.writeInt(b.length); d.write(b)
+        case other => throw new GrpcStatusException(3,
+          s"unsupported parameter type ${other.getClass.getName} for $k")
+      }
+    }
+    d.flush()
+    bos.toByteArray
+  }
+
+  /** Inverse of [[encodeHandle]]; bytes without the magic are the
+    * legacy plain-SQL handle. */
+  private[server] def decodeHandle(bytes: Array[Byte]): (String, Map[String, Any]) = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    if (bytes.length < HandleMagic.length ||
+        !java.util.Arrays.equals(bytes, 0, HandleMagic.length,
+          HandleMagic, 0, HandleMagic.length))
+      return (new String(bytes, utf8), Map.empty)
+    val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(
+      bytes, HandleMagic.length, bytes.length - HandleMagic.length))
+    def str(): String = {
+      val n = d.readInt()
+      require(n >= 0 && n <= bytes.length, s"corrupt handle length $n")
+      val b = new Array[Byte](n); d.readFully(b); new String(b, utf8)
+    }
+    val sql = str()
+    val n = d.readInt()
+    require(n >= 0 && n <= 10000, s"corrupt handle param count $n")
+    val params = (0 until n).map { _ =>
+      val k = str()
+      val v: Any = d.readByte().toChar match {
+        case 'N' => null
+        case 'B' => d.readBoolean()
+        case 'L' => d.readLong()
+        case 'D' => d.readDouble()
+        case 'S' => str()
+        case t => throw new GrpcStatusException(3,
+          s"corrupt handle parameter tag '$t'")
+      }
+      k -> v
+    }.toMap
+    (sql, params)
+  }
+
+  /** Decode the DoPut parameter stream: ONE record batch, ONE row;
+    * column names are the parameter names. */
+  private[server] def decodeParamBatch(ipc: Array[Byte]): Map[String, Any] = {
+    import scala.jdk.CollectionConverters._
+    val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+    try {
+      val r = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(ipc), alloc)
+      try {
+        if (!r.loadNextBatch()) return Map.empty
+        val root = r.getVectorSchemaRoot
+        if (root.getRowCount != 1) throw new GrpcStatusException(3,
+          s"parameter batch must carry exactly one row, got ${root.getRowCount}")
+        val out = root.getFieldVectors.asScala.map { v =>
+          val value: Any = v.getObject(0) match {
+            case null => null
+            case t: org.apache.arrow.vector.util.Text => t.toString
+            case b: java.lang.Boolean => b.booleanValue()
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long => l.longValue()
+            case s: java.lang.Short => s.intValue()
+            case f: java.lang.Float => f.doubleValue()
+            case x: java.lang.Double => x.doubleValue()
+            case other => throw new GrpcStatusException(3,
+              s"unsupported parameter type ${other.getClass.getSimpleName}" +
+                s" for ${v.getName}")
+          }
+          v.getName -> value
+        }.toMap
+        if (r.loadNextBatch()) throw new GrpcStatusException(3,
+          "parameter stream must carry exactly one record batch")
+        out
+      } finally r.close()
+    } finally alloc.close()
   }
 }
 
@@ -289,6 +447,28 @@ final class FlightSqlEdge(
   * of FlightData frames. Shared by the Flight edge (serving) and its
   * spec (verifying the split against the client's reassembly). */
 object FlightIpc {
+  /** Inverse of [[split]]: reassemble (metadata, body) Flight messages
+    * into an encapsulated IPC stream — continuation marker, metadata
+    * length padded so each body starts 8-byte aligned, end-of-stream
+    * marker. Used by the DoPut parameter path, whose FlightData frames
+    * arrive from an arbitrary client (pyarrow pads bodies, not
+    * headers). */
+  def join(frames: Seq[(Array[Byte], Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit = {
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(v); bos.write(b.array())
+    }
+    frames.foreach { case (meta, body) =>
+      val pad = (8 - ((meta.length + 8) % 8)) % 8
+      i32(-1); i32(meta.length + pad)
+      bos.write(meta); (0 until pad).foreach(_ => bos.write(0))
+      bos.write(body)
+    }
+    i32(-1); i32(0)
+    bos.toByteArray
+  }
+
   def split(stream: Array[Byte]): Seq[(Array[Byte], Array[Byte])] = {
     val bb = ByteBuffer.wrap(stream).order(ByteOrder.LITTLE_ENDIAN)
     val out = Seq.newBuilder[(Array[Byte], Array[Byte])]

@@ -160,6 +160,14 @@ object FlightProto {
       .setName("DoPutUpdateResult")
       .addField(field("record_count", 1, Type.TYPE_INT64))
       .build()
+    // DoPut on a prepared statement answers with a REPLACEMENT handle
+    // that captures the bound parameters — the stateless-server shape
+    // Flight SQL added for exactly this (arrow Flight SQL spec,
+    // FlightSql.proto DoPutPreparedStatementResult)
+    val doPutPreparedResult = DescriptorProto.newBuilder()
+      .setName("DoPutPreparedStatementResult")
+      .addField(field("prepared_statement_handle", 1, Type.TYPE_BYTES))
+      .build()
     val cmdGetXdbc = DescriptorProto.newBuilder()
       .setName("CommandGetXdbcTypeInfo")
       .addField(field("data_type", 1, Type.TYPE_INT32))
@@ -176,6 +184,7 @@ object FlightProto {
       .addMessageType(actClosePrepared)
       .addMessageType(cmdPreparedUpdate)
       .addMessageType(doPutUpdateResult)
+      .addMessageType(doPutPreparedResult)
       .addMessageType(cmdGetXdbc)
       .build()
     FileDescriptorSet.newBuilder().addFile(flightFile).addFile(sqlFile).build()
@@ -227,6 +236,8 @@ object FlightProto {
     msg("arrow.flight.protocol.sql.CommandPreparedStatementUpdate")
   val DoPutUpdateResultD: Descriptors.Descriptor =
     msg("arrow.flight.protocol.sql.DoPutUpdateResult")
+  val DoPutPreparedStatementResultD: Descriptors.Descriptor =
+    msg("arrow.flight.protocol.sql.DoPutPreparedStatementResult")
   val CommandGetXdbcTypeInfoD: Descriptors.Descriptor =
     msg("arrow.flight.protocol.sql.CommandGetXdbcTypeInfo")
 }

@@ -10,8 +10,10 @@ import scala.collection.mutable
   * Huffman strings — see [[Hpack]]), per-stream request assembly, and
   * grpc-status trailers. Response headers are Huffman-encoded, like
   * real gRPC servers, so every in-repo client call exercises the
-  * decode path. Unary and server-streaming methods: the
-  * handler returns one payload per response message.
+  * decode path. Unary, server-streaming, AND client-streaming methods:
+  * the handler receives every request message of the stream (one
+  * element for unary calls, the full FlightData sequence for DoPut)
+  * and returns one payload per response message.
   *
   * Loopback-only, like the embedded API server — a local serving edge,
   * not a hardened network listener. Errors map to gRPC status codes:
@@ -19,7 +21,7 @@ import scala.collection.mutable
   * for auth failures); anything else surfaces as 13 INTERNAL with the
   * exception message in grpc-message. */
 final class Http2Server(
-    handler: (String, Map[String, String], Array[Byte]) => Seq[Array[Byte]],
+    handler: (String, Map[String, String], Seq[Array[Byte]]) => Seq[Array[Byte]],
     ssl: Option[javax.net.ssl.SSLContext] = None) {
 
   // With a certificate, the carrier serves h2-over-TLS with ALPN (the
@@ -146,8 +148,8 @@ final class Http2Server(
     import Http2Frames._
     try {
       val payload =
-        if (body.isEmpty) Array.emptyByteArray
-        else GrpcFraming.unframe(new ByteArrayInputStream(body))
+        if (body.isEmpty) Seq.empty[Array[Byte]]
+        else GrpcFraming.unframeAll(body)
       val responses = handler(hs.getOrElse(":path",
         throw new IOException("no :path")), hs, payload)
       val framed = responses.map(GrpcFraming.frame)

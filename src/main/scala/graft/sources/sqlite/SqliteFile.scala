@@ -408,7 +408,18 @@ object SqliteFile {
   }
 
   /** Can a subtree whose leading keys lie in [prev, cur] (either side
-    * open when None/non-numeric) intersect [lo, hi]? Unknown → true. */
+    * open when None/non-numeric) intersect [lo, hi]? Unknown → true.
+    *
+    * Below-lo pruning is class-safe on its own: numeric is the LOWEST
+    * storage class, so every key under a numeric upper bound is itself
+    * numeric. Above-hi pruning is not — a band like (5, 'zzz') starts
+    * above a numeric hi yet can hold TEXT/BLOB keys (they sort above
+    * every numeric), keys the unpruned scan fails loudly on with
+    * "cannot coerce". So the band is pruned above ONLY when both
+    * endpoints are numeric (then every key between them is numeric
+    * too), keeping the loud-failure affinity contract; the rightmost
+    * child (cur = None) is never pruned above, costing one extra
+    * right-spine path of O(tree depth) pages per scan. */
   def bandMayOverlap(prev: Option[Value], cur: Option[Value],
       lo: Long, hi: Long): Boolean = {
     val belowLo = cur.exists {
@@ -416,7 +427,11 @@ object SqliteFile {
       case d: Double => d < lo
       case _ => false
     }
-    val aboveHi = prev.exists {
+    val numericCur = cur.exists {
+      case _: Long | _: Double => true
+      case _ => false
+    }
+    val aboveHi = numericCur && prev.exists {
       case l: Long => l > hi
       case d: Double => d > hi
       case _ => false

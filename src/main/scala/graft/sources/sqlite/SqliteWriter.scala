@@ -167,16 +167,34 @@ object SqliteWriter {
     var cur = Vector.newBuilder[Array[Byte]]
     var used = 0
     var curN = 0
-    entries.foreach { payload =>
+    while (entries.hasNext) {
+      val payload = entries.next()
       val cellLen = varint(payload.length).length + payload.length
       if (curN > 0 && used + cellLen + 2 > PageSize - 8) {
-        // close the leaf; THIS entry is promoted as the separator
-        // between it and the next leaf (it lives in the parent only)
-        nodes += IndexLeaf(cur.result())
-        children += nodeCount
-        nodeCount += 1
-        cur = Vector.newBuilder; used = 0; curN = 0
-        seps += payload
+        if (entries.hasNext) {
+          // close the leaf; THIS entry is promoted as the separator
+          // between it and the next leaf (it lives in the parent only)
+          nodes += IndexLeaf(cur.result())
+          children += nodeCount
+          nodeCount += 1
+          cur = Vector.newBuilder; used = 0; curN = 0
+          seps += payload
+        } else {
+          // the closing entry is the FINAL one: promoting it would
+          // leave an empty trailing leaf — a page shape real SQLite
+          // never writes (integrity_check flags it). Promote the
+          // leaf's last in-page entry instead and start the new leaf
+          // with this one; order is preserved (last < payload). The
+          // leaf always holds >= 2 entries here: the no-overflow
+          // write limit keeps every cell under ~1/4 page.
+          val cells = cur.result()
+          nodes += IndexLeaf(cells.init)
+          children += nodeCount
+          nodeCount += 1
+          seps += cells.last
+          cur = Vector.newBuilder; cur += payload
+          used = cellLen + 2; curN = 1
+        }
       } else {
         cur += payload; used += cellLen + 2; curN += 1
       }
@@ -211,13 +229,34 @@ object SqliteWriter {
             i += 1
           }
         }
-        nodes += IndexInterior(cells, last)
-        nextKids += nodeCount
-        nodeCount += 1
-        if (i < levelKids.size) {
-          // separator between this page and the next goes up a level
-          nextSeps += levelSeps(i - 1)
-          // the child after that separator starts the next page
+        if (full && i == levelKids.size - 1) {
+          // exactly one child remains: emitting it alone would make a
+          // zero-cell interior page (right-pointer only) — a shape
+          // real SQLite never writes. Donate this page's last cell to
+          // the trailing page instead: P' keeps cells.init with the
+          // donated child as its right pointer, the donated separator
+          // moves up, and the trailing page gets (last, sep, lastKid).
+          // A byte-full page always holds >= 3 cells (each is under
+          // ~1/4 page), so cells.init is never empty.
+          val (donChild, donSep) = cells.last
+          nodes += IndexInterior(cells.init, donChild)
+          nextKids += nodeCount
+          nodeCount += 1
+          nextSeps += donSep
+          nodes += IndexInterior(Vector((last, levelSeps(i - 1))),
+            levelKids(i))
+          i += 1
+          nextKids += nodeCount
+          nodeCount += 1
+        } else {
+          nodes += IndexInterior(cells, last)
+          nextKids += nodeCount
+          nodeCount += 1
+          if (i < levelKids.size) {
+            // separator between this page and the next goes up a level
+            nextSeps += levelSeps(i - 1)
+            // the child after that separator starts the next page
+          }
         }
       }
       // one subtlety: when a page closed exactly at a group boundary,

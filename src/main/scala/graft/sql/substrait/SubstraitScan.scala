@@ -74,10 +74,15 @@ final class SubstraitPartitionReader(expected: StructType, engine: String,
           s"expected ${expected.length}")
       val decoded =
         graft.sources.arrowhttp.ArrowHttpClient.decodeStream(ipc, actual)
+      // ANSI cast, explicitly: the engine may widen (DuckDB sums int32
+      // into hugeint) and the default non-ANSI Cast would turn an
+      // overflowing value into NULL — a silent wrong answer, contrary
+      // to this tier's fail-loudly stance. ANSI makes it throw.
       val cast = UnsafeProjection.create(
         expected.fields.zipWithIndex.map { case (f, i) =>
           Cast(BoundReference(i, actual(i).dataType, nullable = true),
-            f.dataType, Some("UTC"))
+            f.dataType, Some("UTC"),
+            org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
         }.toSeq)
       rows = decoded.iterator.map(cast)
     }

@@ -163,7 +163,7 @@ class Http2FlowControlSpec extends AnyFunSuite {
 
   test("in-repo client/server round-trip a >64 KiB gRPC response intact") {
     val big = Array.tabulate(300 * 1024)(i => (i * 13 + 11).toByte)
-    val server = new Http2Server((_, _, payload) => Seq(payload ++ big))
+    val server = new Http2Server((_, _, payload) => Seq(payload.head ++ big))
     val port = server.start()
     try {
       val echoIn = Array.tabulate(70 * 1024)(i => (i * 7 + 1).toByte)

@@ -10,7 +10,7 @@ import graft.sources.grpc.Http2Server
   * DoGet shape). */
 final class Http2TestServer(handler: (String, Array[Byte]) => Seq[Array[Byte]]) {
   private val server = new Http2Server((path, _, payload) =>
-    handler(path, payload))
+    handler(path, payload.headOption.getOrElse(Array.emptyByteArray)))
   def start(): Int = server.start()
   def stop(): Unit = server.stop()
 }

@@ -46,7 +46,7 @@ class Http2TlsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("a gRPC unary call round-trips over h2-TLS with ALPN h2") {
-    val server = new Http2Server((_, _, payload) => Seq(payload),
+    val server = new Http2Server((_, _, payload) => Seq(payload.head),
       ssl = Some(serverCtx))
     val port = server.start()
     try {
@@ -77,7 +77,7 @@ class Http2TlsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("an untrusting client fails the TLS handshake") {
-    val server = new Http2Server((_, _, payload) => Seq(payload),
+    val server = new Http2Server((_, _, payload) => Seq(payload.head),
       ssl = Some(serverCtx))
     val port = server.start()
     try {

@@ -573,6 +573,40 @@ class SqliteSourceSpec extends AnyFunSuite {
     Files.delete(db)
   }
 
+  test("reader: band pruning never hides a TEXT key stored in an " +
+      "integer-affine PK — loud coerce failure even under a range " +
+      "filter below it (round-16 advice)") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    // text sorts above every numeric, so 'zzz' lands in the index's
+    // right spine; a filter ts < 50 used to prune that spine on
+    // prev > hi alone, silently skipping the key the unpruned scan
+    // fails loudly on. Enough rows to force interior pages, so the
+    // BAND pruning path (not the leaf filter) is what's on the line.
+    val db = fixture("textkey") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE f (ts INTEGER, v TEXT, PRIMARY KEY (ts)) WITHOUT ROWID")
+         |c.executemany("INSERT INTO f VALUES (?,?)",
+         |  [(i, 'pad-' * 40 + str(i)) for i in range(1, 2001)])
+         |c.execute("INSERT INTO f VALUES ('zzz', 'textkey')")
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    def scan() = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "f").load()
+    def root(t: Throwable): String = {
+      var x = t; while (x.getCause != null) x = x.getCause
+      Option(x.getMessage).getOrElse("")
+    }
+    val full = intercept[Exception](scan().select("ts").collect())
+    assert(root(full).contains("cannot coerce"), root(full))
+    val pruned = intercept[Exception](
+      scan().filter(col("ts") < 50).select("ts").collect())
+    assert(root(pruned).contains("cannot coerce"),
+      s"band pruning must not hide the text key: ${root(pruned)}")
+    Files.delete(db)
+  }
+
   test("reader: table-level PRIMARY KEY(ID) aliases id case-insensitively") {
     assume(pyAvailable, "python3/sqlite3 not available")
     val db = fixture("pkcase") { p =>
@@ -591,6 +625,59 @@ class SqliteSourceSpec extends AnyFunSuite {
     assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
       == (1 to 20).sum.toLong)
     Files.delete(db)
+  }
+
+  test("writer: WITHOUT ROWID boundary sweep — no empty leaves or " +
+      "zero-cell interior pages at any fill level") {
+    // Round-16 advice: when the entry that triggers leaf closure is the
+    // FINAL entry it used to be promoted anyway, leaving an empty
+    // trailing index leaf; and a lone trailing child used to get a
+    // zero-cell interior page. Sweeping consecutive row counts at a
+    // fixed payload width provably crosses every leaf/interior
+    // boundary, including closure-at-last-entry. Two sweeps: ~200 B
+    // payloads cross leaf boundaries, ~990 B payloads (3-4 cells a
+    // page) cross interior-page boundaries cheaply. Each file is
+    // page-shape checked in-JVM, then ALL go through a real SQLite
+    // integrity_check + count in one python pass.
+    val dir = Files.createTempDirectory("graft-worid-sweep")
+    val cases = ((1 to 45).map(n => (n, 200)) ++
+      (40 to 100).map(n => (n, 990))).zipWithIndex
+    cases.foreach { case ((n, width), i) =>
+      val db = dir.resolve(s"s$i.sqlite")
+      SqliteWriter.writeWithoutRowid(db, "t",
+        Seq("id" -> "INTEGER", "v" -> "TEXT"), Seq("id"),
+        (1 to n).iterator.map(k => Seq[Any](k.toLong, "x" * width)))
+      // in-JVM page-shape audit: every index page must carry >= 1 cell
+      val bytes = Files.readAllBytes(db)
+      val pageSize = ((bytes(16) & 0xff) << 8) | (bytes(17) & 0xff)
+      var p = 1
+      while ((p + 1) * pageSize <= bytes.length) {
+        val off = p * pageSize
+        val tpe = bytes(off) & 0xff
+        if (tpe == 0x0a || tpe == 0x02) {
+          val cells = ((bytes(off + 3) & 0xff) << 8) | (bytes(off + 4) & 0xff)
+          assert(cells >= 1,
+            s"n=$n width=$width: page ${p + 1} type=$tpe has zero cells")
+        }
+        p += 1
+      }
+    }
+    if (pyAvailable) py(
+      s"""import sqlite3, os
+         |cases = ${cases.map { case ((n, _), i) => s"($i,$n)" }
+             .mkString("[", ",", "]")}
+         |for i, n in cases:
+         |    c = sqlite3.connect(os.path.join(${q(dir)}, 's%d.sqlite' % i))
+         |    ok, = c.execute("PRAGMA integrity_check").fetchone()
+         |    assert ok == 'ok', 'case %d: %s' % (i, ok)
+         |    cnt, = c.execute("SELECT count(*) FROM t").fetchone()
+         |    assert cnt == n, 'case %d: %d != %d' % (i, cnt, n)
+         |    mn, mx = c.execute("SELECT min(id), max(id) FROM t").fetchone()
+         |    assert (mn, mx) == (1, n), 'case %d: %s' % (i, (mn, mx))
+         |    c.close()
+         |""".stripMargin)
+    cases.foreach { case (_, i) => Files.delete(dir.resolve(s"s$i.sqlite")) }
+    Files.delete(dir)
   }
 
   test("writer: WITHOUT ROWID keys above 2^53 compare exactly") {
