@@ -427,6 +427,39 @@ object Extended {
         .filter(col("c_custkey").between(30, 80))
     },
 
+    // Secondary CREATE INDEX scan through the correctness gate: the
+    // writer adds a real index b-tree (entries = (c_nationkey, rowid),
+    // binary collation, rowid tiebreak) and the reader's planner picks
+    // it for the non-PK range filter — index descent pruned by the
+    // leading entry value, then a rowid LOOKBACK into the table b-tree
+    // for the non-covered columns (pages read ∝ selected range, not
+    // the table; a caching Db reads shared interior pages once). The
+    // surviving rows must hash-match the oracle's BETWEEN on the
+    // original parquet. Reference gets this via the driver for free
+    // (sql/sqlite.rs:30-195); here it is the clean-room file-format
+    // twin. nationkey ∈ [5, 15] sits inside the 0-24 nation key space
+    // at EVERY scale, so the row returns rows at sf0.001 too.
+    GraftQuery("q_sqlite_index",
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer WHERE c_nationkey BETWEEN 5 AND 15""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.sqlite._
+      val db = java.nio.file.Paths.get(roundTripDir("sqlite"), "cust_ix.sqlite")
+      val rows = t(s, dir).customer
+        .select(col("c_custkey").cast("long"), col("c_name"),
+          col("c_nationkey").cast("long"))
+        .orderBy("c_custkey").toLocalIterator()
+      SqliteWriter.write(db, "customer",
+        Seq("c_custkey" -> "INTEGER PRIMARY KEY", "c_name" -> "TEXT",
+          "c_nationkey" -> "INTEGER"),
+        scala.jdk.CollectionConverters.IteratorHasAsScala(rows).asScala
+          .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getLong(2))),
+        indexes = Seq(("idx_cust_nation", Seq("c_nationkey"))))
+      s.read.format(classOf[SqliteDataSource].getName)
+        .option("path", db.toString).option("table", "customer").load()
+        .filter(col("c_nationkey").between(5, 15))
+    },
+
     // Substrait tier through the correctness gate: the join+aggregate is
     // collapsed by the federation router's Substrait tier
     // (plans/FederationRule.substraitRewrite) into produced plan BYTES

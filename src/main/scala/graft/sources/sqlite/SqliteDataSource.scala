@@ -119,10 +119,20 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
-  // resolved once at planning: which column (if any) aliases the rowid
-  private lazy val tableDef: SqliteFile.TableDef = {
+  // resolved once at planning: which column (if any) aliases the rowid,
+  // plus the table's usable CREATE INDEX b-trees (rowid tables only —
+  // a WITHOUT ROWID secondary index keys back by PRIMARY KEY, a
+  // lookback shape this reader does not implement)
+  private lazy val (tableDef: SqliteFile.TableDef,
+      tableIndexes: Seq[SqliteFile.IndexDef]) = {
     val db = new SqliteFile.Db(opts.path)
-    try SqliteFile.table(db, opts.table) finally db.close()
+    try {
+      val t = SqliteFile.table(db, opts.table)
+      val idx =
+        if (t.withoutRowid) Seq.empty[SqliteFile.IndexDef]
+        else SqliteFile.indexes(db, opts.table)
+      (t, idx)
+    } finally db.close()
   }
   private def rowidCol: Option[String] =
     tableDef.columns.find(_.rowidAlias).map(_.name)
@@ -145,6 +155,7 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
   private var required: StructType = fullSchema
   private var lo: Long = Long.MinValue
   private var hi: Long = Long.MaxValue
+  private var chosenIndex: Option[SqliteFile.IndexDef] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val rid = rowidCol
@@ -186,18 +197,54 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
       }
     if (rid.isDefined) {
       val accepted = collectRange(rid, strict = true)
-      pushed = accepted
-      // rowid-range pushdown is EXACT (the b-tree walk admits exactly
-      // [lo, hi]), so accepted filters need no re-evaluation in Spark
-      filters.filterNot(accepted.contains)
-    } else if (prefix.isDefined) {
+      if (accepted.nonEmpty || prefix.isDefined || tableIndexes.isEmpty) {
+        pushed = accepted
+        // rowid-range pushdown is EXACT (the b-tree walk admits exactly
+        // [lo, hi]), so accepted filters need no re-evaluation in Spark
+        return filters.filterNot(accepted.contains)
+      }
+      // no rowid filter matched — fall through to the secondary-index
+      // path below (lo/hi untouched when nothing was collected)
+    }
+    if (prefix.isDefined) {
       // PK-prefix pruning is INEXACT (SQLite's flexible typing can
       // store non-integers in an integer-affine key): report the range
       // as pushed so the plan shows the pruning, but leave EVERY
       // filter residual for Spark to re-evaluate
       pushed = collectRange(prefix, strict = false)
-      filters
-    } else filters
+      return filters
+    }
+    // secondary CREATE INDEX scan (rowid tables): pick the first
+    // declared usable index — ascending, non-partial, non-expression,
+    // integer-affine leading column — that a pushed range/equality
+    // references. Same INEXACT stance as the PK-prefix path: the range
+    // prunes the index descent (bands of the leading entry value), and
+    // every filter stays residual for Spark.
+    val affinityOf = tableDef.columns.map(c =>
+      c.name.toLowerCase -> c.affinity).toMap
+    val usable = tableIndexes.filter { ix =>
+      !ix.partial && !ix.expression && ix.columns.nonEmpty &&
+        !ix.columns.head._2 && // DESC leading key stores in reverse
+        affinityOf.get(ix.columns.head._1.toLowerCase).contains("INTEGER")
+    }
+    val referenced = filters.flatMap {
+      case EqualTo(c, _) => Some(c)
+      case GreaterThan(c, _) => Some(c)
+      case GreaterThanOrEqual(c, _) => Some(c)
+      case LessThan(c, _) => Some(c)
+      case LessThanOrEqual(c, _) => Some(c)
+      case _ => None
+    }.toSet
+    usable.find(ix => referenced.exists(
+        _.equalsIgnoreCase(ix.columns.head._1))) match {
+      case Some(ix) =>
+        val leading = tableDef.columns
+          .find(_.name.equalsIgnoreCase(ix.columns.head._1)).map(_.name)
+        pushed = collectRange(leading, strict = false)
+        chosenIndex = Some(ix)
+        filters
+      case None => filters
+    }
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -205,18 +252,49 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
     required = requiredSchema
 
   override def build(): Scan =
-    new SqliteScan(required, opts, tableDef, lo, hi)
+    new SqliteScan(required, opts, tableDef, lo, hi, chosenIndex)
 }
 
 final class SqliteScan(schema: StructType, opts: SqliteOptions,
-    t: SqliteFile.TableDef, lo: Long, hi: Long) extends Scan with Batch {
+    t: SqliteFile.TableDef, lo: Long, hi: Long,
+    secIndex: Option[SqliteFile.IndexDef] = None) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Covering when every required column is an indexed column or the
+    * rowid alias (which rides in every index entry's last slot) — then
+    * the table b-tree is never touched. */
+  private def covering(ix: SqliteFile.IndexDef): Boolean = {
+    val inEntry = ix.columns.map(_._1.toLowerCase).toSet ++
+      t.columns.find(_.rowidAlias).map(_.name.toLowerCase)
+    schema.fieldNames.forall(f => inEntry(f.toLowerCase))
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (lo > hi) return Array.empty
     val db = new SqliteFile.Db(opts.path)
     try {
+      secIndex match {
+        case Some(ix) =>
+          // secondary-index descent: partitions are the index root's
+          // slices, pruned by the leading entry-value bands — the same
+          // parallel shape as the WITHOUT ROWID path
+          return (SqliteFile.indexRoot(db, ix.rootPage) match {
+            case None =>
+              Array(SqliteSecIndexPartition(opts, ix.rootPage, -1, lo, hi))
+            case Some(firsts) =>
+              val cells = firsts.size
+              (0 to cells).flatMap { i =>
+                val prev = if (i == 0) None else Some(firsts(i - 1))
+                val cur = if (i < cells) Some(firsts(i)) else None
+                if (SqliteFile.bandMayOverlap(prev, cur, lo, hi))
+                  Some(SqliteSecIndexPartition(opts, ix.rootPage, i,
+                    lo, hi): InputPartition)
+                else None
+              }.toArray
+          })
+        case None => ()
+      }
       if (t.withoutRowid) {
         // index b-tree: one partition per root slice (child subtree +
         // the root cell's own entry), same parallel-read shape as the
@@ -256,16 +334,20 @@ final class SqliteScan(schema: StructType, opts: SqliteOptions,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SqliteReaderFactory(schema, t)
+    new SqliteReaderFactory(schema, t, secIndex)
 
   private def range: String = s"[${
     if (lo == Long.MinValue) "-inf" else lo}, ${
     if (hi == Long.MaxValue) "+inf" else hi}]"
 
-  override def description(): String =
-    if (t.withoutRowid)
+  override def description(): String = secIndex match {
+    case Some(ix) =>
+      s"SqliteScan(${opts.path}#${t.name}, index=${ix.name}, " +
+        s"key=$range, covering=${covering(ix)})"
+    case None if t.withoutRowid =>
       s"SqliteScan(${opts.path}#${t.name}, WITHOUT ROWID, pk=$range)"
-    else s"SqliteScan(${opts.path}#${t.name}, rowid=$range)"
+    case None => s"SqliteScan(${opts.path}#${t.name}, rowid=$range)"
+  }
 }
 
 final case class SqlitePartition(opts: SqliteOptions, page: Int,
@@ -277,13 +359,127 @@ final case class SqlitePartition(opts: SqliteOptions, page: Int,
 final case class SqliteIndexPartition(opts: SqliteOptions, rootPage: Int,
     slice: Int, lo: Long, hi: Long) extends InputPartition
 
-final class SqliteReaderFactory(schema: StructType, t: SqliteFile.TableDef)
+/** One root slice of a secondary CREATE INDEX b-tree (rowid table);
+  * [lo, hi] is the pushed leading-entry-value prune range. */
+final case class SqliteSecIndexPartition(opts: SqliteOptions, rootPage: Int,
+    slice: Int, lo: Long, hi: Long) extends InputPartition
+
+final class SqliteReaderFactory(schema: StructType, t: SqliteFile.TableDef,
+    secIndex: Option[SqliteFile.IndexDef] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case rp: SqlitePartition => new SqlitePartitionReader(schema, t, rp)
       case ip: SqliteIndexPartition =>
         new SqliteIndexPartitionReader(schema, t, ip)
+      case sp: SqliteSecIndexPartition =>
+        new SqliteSecIndexReader(schema, t, secIndex.getOrElse(
+          throw new IllegalStateException(
+            "secondary-index partition without an index choice")), sp)
+    }
+}
+
+/** Reader for a secondary-index slice. Entry records are (indexed
+  * columns..., rowid). Covering projections decode straight from the
+  * entries; otherwise each surviving entry's rowid keys a point lookup
+  * in the table b-tree ([[SqliteFile.lookupRowid]]) through a caching
+  * [[SqliteFile.Db]], so shared interior pages read once per slice,
+  * not once per row. */
+final class SqliteSecIndexReader(schema: StructType,
+    t: SqliteFile.TableDef, ix: SqliteFile.IndexDef,
+    part: SqliteSecIndexPartition) extends PartitionReader[InternalRow] {
+
+  private val db = new SqliteFile.Db(part.opts.path, cachePages = 256)
+  private val slotOf = schema.fieldNames.zipWithIndex.toMap
+  private val rowidAlias = t.columns.find(_.rowidAlias).map(_.name)
+  private val covering: Boolean = {
+    val inEntry = ix.columns.map(_._1.toLowerCase).toSet ++
+      rowidAlias.map(_.toLowerCase)
+    schema.fieldNames.forall(f => inEntry(f.toLowerCase))
+  }
+  private val nIdxCols = ix.columns.size
+  // entry record position -> output slot (covering path); the rowid
+  // (last position) fills the alias column when required
+  private val entryWant: Array[Int] = {
+    val byName = slotOf.map { case (k, v) => k.toLowerCase -> v }
+    ix.columns.map(c =>
+      byName.getOrElse(c._1.toLowerCase, -1)).toArray :+
+      rowidAlias.flatMap(n => byName.get(n.toLowerCase)).getOrElse(-1)
+  }
+  // entry position of the rowid alone (lookback path)
+  private val rowidOnlyWant: Array[Int] =
+    Array.fill(nIdxCols)(-1) :+ 0
+  // table record column -> output slot (lookback path)
+  private val tableWant: Array[Int] = t.columns.map { c =>
+    if (c.rowidAlias) -1 else slotOf.getOrElse(c.name, -1)
+  }.toArray
+  private val rowidSlot: Int =
+    rowidAlias.flatMap(slotOf.get).getOrElse(-1)
+  private val targets: Array[DataType] = schema.fields.map(_.dataType)
+
+  private val pending =
+    new scala.collection.mutable.ArrayDeque[InternalRow]()
+  private val stack = scala.collection.mutable.Stack[Int]()
+  locally {
+    if (part.slice < 0) stack.push(part.rootPage)
+    else {
+      val (entries, kids) =
+        SqliteFile.indexSliceSeed(db, part.rootPage, part.slice)
+      entries.filter(e =>
+          SqliteFile.keyInRange(SqliteFile.firstValue(e), part.lo, part.hi))
+        .foreach(emit)
+      kids.foreach(stack.push)
+    }
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (pending.isEmpty && stack.nonEmpty) {
+      val (entries, kids) =
+        SqliteFile.indexPageStep(db, stack.pop(), part.lo, part.hi)
+      entries.foreach(emit)
+      kids.foreach(stack.push)
+    }
+    if (pending.isEmpty) false
+    else { current = pending.removeHead(); true }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = db.close()
+
+  private def emit(entry: Array[Byte]): Unit =
+    if (covering) {
+      val decoded = new Array[SqliteFile.Value](schema.length)
+      SqliteFile.decodeRecord(entry, entryWant, decoded)
+      val vals = new Array[Any](schema.length)
+      var i = 0
+      while (i < schema.length) {
+        vals(i) = SqliteCoerce(decoded(i), targets(i), t.name)
+        i += 1
+      }
+      pending.append(new GenericInternalRow(vals))
+    } else {
+      val ridOut = new Array[SqliteFile.Value](1)
+      SqliteFile.decodeRecord(entry, rowidOnlyWant, ridOut)
+      val rowid = ridOut(0) match {
+        case l: Long => l
+        case other => throw new IllegalStateException(
+          s"index ${ix.name} entry carries a non-integer rowid: $other")
+      }
+      val payload = SqliteFile.lookupRowid(db, t.rootPage, rowid)
+        .getOrElse(throw new IllegalStateException(
+          s"index ${ix.name} references missing rowid $rowid — " +
+            "corrupt database"))
+      val decoded = new Array[SqliteFile.Value](schema.length)
+      SqliteFile.decodeRecord(payload, tableWant, decoded)
+      val vals = new Array[Any](schema.length)
+      var i = 0
+      while (i < schema.length) {
+        vals(i) = SqliteCoerce(decoded(i), targets(i), t.name)
+        i += 1
+      }
+      if (rowidSlot >= 0) vals(rowidSlot) = rowid
+      pending.append(new GenericInternalRow(vals))
     }
 }
 

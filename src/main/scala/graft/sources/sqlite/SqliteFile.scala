@@ -56,8 +56,21 @@ object SqliteFile {
   // ---------------------------------------------------------------
   // file access
 
-  final class Db(path: String) extends AutoCloseable {
+  /** `cachePages` > 0 keeps an LRU of decoded pages — the secondary-
+    * index lookback path re-reads the table b-tree's interior pages
+    * once per matched row without it (a point lookup per index entry).
+    * `pagesRead` counts PHYSICAL page reads (cache hits excluded), the
+    * observable the pruning specs pin. */
+  final class Db(path: String, cachePages: Int = 0) extends AutoCloseable {
     private val raf = new RandomAccessFile(path, "r")
+    var pagesRead: Long = 0L
+    private val cache =
+      if (cachePages <= 0) null
+      else new java.util.LinkedHashMap[Integer, Array[Byte]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Integer, Array[Byte]]): Boolean =
+          size() > cachePages
+      }
     val header: Header = readHeader()
     /** Committed WAL snapshot overlay (page → offset in the -wal
       * file), present only for a WAL-mode database with committed,
@@ -127,6 +140,11 @@ object SqliteFile {
 
     def page(no: Int): Array[Byte] = {
       require(no >= 1, s"page numbers are 1-based, got $no")
+      if (cache != null) {
+        val hit = cache.get(Integer.valueOf(no))
+        if (hit != null) return hit
+      }
+      pagesRead += 1
       val buf = new Array[Byte](header.pageSize)
       wal.flatMap { case (wraf, o) => o.frames.get(no).map((wraf, _)) } match {
         case Some((wraf, off)) => // newest committed WAL image wins
@@ -136,6 +154,7 @@ object SqliteFile {
           raf.seek((no.toLong - 1) * header.pageSize)
           raf.readFully(buf)
       }
+      if (cache != null) cache.put(Integer.valueOf(no), buf)
       buf
     }
 
@@ -539,6 +558,144 @@ object SqliteFile {
       throw new IllegalArgumentException(
         s"no table '$name' in database (have ${
           all.map(_.name).sorted.mkString(", ")})"))
+  }
+
+  /** A `CREATE INDEX` b-tree: entry records are (indexed columns in
+    * index order..., rowid). `partial` (WHERE clause) and `expression`
+    * (non-bare-column entries) indexes are parsed but NEVER used for
+    * scans — they don't cover every row / can't map to a column. */
+  final case class IndexDef(name: String, table: String, rootPage: Int,
+      sql: String, columns: Seq[(String, Boolean)], // (name, DESC?)
+      unique: Boolean, partial: Boolean, expression: Boolean)
+
+  /** The usable `CREATE INDEX` rows of sqlite_schema for `tableName`.
+    * Auto-indexes (`sqlite_autoindex_*`, NULL sql) are skipped: their
+    * key columns come from a constraint this reader does not parse. */
+  def indexes(db: Db, tableName: String): Seq[IndexDef] = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[IndexDef]
+    val want = Array(0, 1, 2, 3, 4)
+    walk(db, 1, Long.MinValue, Long.MaxValue) { (_, payload) =>
+      val out = new Array[Value](5)
+      decodeRecord(payload, want, out)
+      (out(0), out(1), out(2), out(3), out(4)) match {
+        case ("index", name: String, tbl: String, root: Long, sql: String)
+            if root > 0 && tbl.equalsIgnoreCase(tableName) =>
+          val (cols, unique, partial, expr) = parseCreateIndex(sql)
+          rows += IndexDef(name, tbl, root.toInt, sql, cols,
+            unique, partial, expr)
+        case _ => ()
+      }
+    }
+    rows.toSeq
+  }
+
+  /** Pragmatic CREATE INDEX parser:
+    * `CREATE [UNIQUE] INDEX [IF NOT EXISTS] [schema.]name ON table
+    * (col [COLLATE c] [ASC|DESC], ...) [WHERE expr]`.
+    * Returns (columns with DESC flags, unique, partial, expression);
+    * an entry that is not a bare (possibly quoted) identifier marks
+    * the whole index `expression = true`. */
+  def parseCreateIndex(sql: String)
+      : (Seq[(String, Boolean)], Boolean, Boolean, Boolean) = {
+    val upper = sql.toUpperCase
+    val unique = tokenize(upper.take(upper.indexOf("INDEX").max(0)))
+      .contains("UNIQUE")
+    // the column list is the LAST top-level (...) before any WHERE:
+    // scan for the first '(' at depth 0 after the ON clause — index
+    // names can be quoted but cannot themselves contain '(' outside
+    // quotes handled below
+    var i = 0
+    var open = -1
+    var inQ: Char = 0
+    while (i < sql.length && open < 0) {
+      val c = sql.charAt(i)
+      if (inQ != 0) { if (c == inQ) inQ = 0 }
+      else c match {
+        case '\'' | '"' | '`' => inQ = c
+        case '[' => inQ = ']'
+        case '(' => open = i
+        case _ => ()
+      }
+      i += 1
+    }
+    require(open > 0, s"malformed CREATE INDEX: $sql")
+    var depth = 0
+    var close = -1
+    i = open; inQ = 0
+    while (i < sql.length && close < 0) {
+      val c = sql.charAt(i)
+      if (inQ != 0) { if (c == inQ) inQ = 0 }
+      else c match {
+        case '\'' | '"' | '`' => inQ = c
+        case '[' => inQ = ']'
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ => ()
+      }
+      i += 1
+    }
+    require(close > open, s"malformed CREATE INDEX: $sql")
+    val partial = {
+      val tail = sql.substring(close + 1).toUpperCase
+      tokenize(tail).headOption.contains("WHERE")
+    }
+    var expression = false
+    val cols = sql.substring(open + 1, close).split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty).map { part =>
+      val (name, rest) = takeIdentifier(part)
+      val restToks = tokenize(rest.toUpperCase)
+      // bare column: nothing after the identifier except
+      // COLLATE <x> / ASC / DESC
+      val allowed = restToks.isEmpty || {
+        val afterCollate =
+          if (restToks.headOption.contains("COLLATE")) restToks.drop(2)
+          else restToks
+        afterCollate.forall(t => t == "ASC" || t == "DESC")
+      }
+      if (name.isEmpty || !allowed ||
+          part.contains("(")) expression = true
+      (name, restToks.contains("DESC"))
+    }
+    (cols, unique, partial, expression)
+  }
+
+  /** Point lookup in a table b-tree: descend interiors to the leaf
+    * owning `rowid`, return its record payload (None when absent).
+    * O(depth) page reads — pair with a caching [[Db]] when called per
+    * index entry, so shared interior pages read once. */
+  def lookupRowid(db: Db, rootPage: Int, rowid: Long): Option[Array[Byte]] = {
+    var pageNo = rootPage
+    while (true) {
+      val pg = db.page(pageNo)
+      val ph = pageHeader(pg, pageNo)
+      ph.pageType match {
+        case 0x05 =>
+          var i = 0
+          var next = ph.rightMost
+          var found = false
+          while (i < ph.cellCount && !found) {
+            val off = cellPointer(pg, ph, i)
+            val (key, _) = varint(pg, off + 4)
+            if (rowid <= key) { next = be32(pg, off); found = true }
+            i += 1
+          }
+          pageNo = next
+        case 0x0d =>
+          var i = 0
+          while (i < ph.cellCount) {
+            val off = cellPointer(pg, ph, i)
+            val (payloadLen, n1) = varint(pg, off)
+            val (rid, n2) = varint(pg, off + n1)
+            if (rid == rowid)
+              return Some(readPayload(db, pg, off + n1 + n2, payloadLen))
+            i += 1
+          }
+          return None
+        case t => throw new IllegalStateException(
+          s"page $pageNo is not a table b-tree page (type $t)")
+      }
+    }
+    None // unreachable
   }
 
   /** Column affinity per the published rules, applied in order:

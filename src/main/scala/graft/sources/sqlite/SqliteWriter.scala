@@ -31,9 +31,18 @@ object SqliteWriter {
     * semantics: its value BECOMES the b-tree rowid and the record slot
     * is written NULL (what real SQLite stores) — rows must then arrive
     * in strictly increasing key order, loud otherwise. Without an
-    * alias, rowids are 1..n in input order. */
+    * alias, rowids are 1..n in input order.
+    *
+    * `indexes` adds secondary CREATE INDEX b-trees — (index name,
+    * column names). Each entry record is (indexed values..., rowid)
+    * sorted by binary collation with rowid as the tiebreak, exactly
+    * what stock SQLite stores, so the written file's indexes are
+    * usable by real sqlite3 AND by [[SqliteDataSource]]'s
+    * secondary-index scan. Indexed values buffer in memory (fixture
+    * writer; the table itself still streams). */
   def write(path: Path, name: String, columns: Seq[(String, String)],
-      rows: Iterator[Seq[Any]]): Unit = {
+      rows: Iterator[Seq[Any]],
+      indexes: Seq[(String, Seq[String])] = Seq.empty): Unit = {
     require(columns.nonEmpty, "need at least one column")
     val createSql = s"CREATE TABLE $name (${
       columns.map { case (n, t) => s"$n $t" }.mkString(", ")})"
@@ -47,6 +56,19 @@ object SqliteWriter {
         toks.containsSlice(Seq("PRIMARY", "KEY")) &&
         !toks.containsSlice(Seq("PRIMARY", "KEY", "DESC"))
     }
+
+    // secondary indexes: resolve columns once, buffer (values, rowid)
+    // per index while the table records stream past
+    val idxColIdxs: Seq[Seq[Int]] = indexes.map { case (iname, icols) =>
+      require(icols.nonEmpty, s"index $iname needs at least one column")
+      icols.map { cn =>
+        val i = columns.indexWhere(_._1.equalsIgnoreCase(cn))
+        require(i >= 0, s"index $iname references unknown column $cn")
+        i
+      }
+    }
+    val idxBufs = indexes.map(_ =>
+      Vector.newBuilder[(Seq[Any], Long)])
 
     // 1. encode every row as a record payload
     var lastRowid = Long.MinValue
@@ -65,6 +87,9 @@ object SqliteWriter {
         s"rows must arrive in strictly increasing key order " +
           s"($rowid after $lastRowid)")
       lastRowid = rowid
+      idxBufs.indices.foreach { k =>
+        idxBufs(k) += ((idxColIdxs(k).map(vs), rowid))
+      }
       val stored =
         if (aliasIdx < 0) vs else vs.updated(aliasIdx, null)
       (rowid, record(stored))
@@ -73,23 +98,47 @@ object SqliteWriter {
     // 2. pack leaves, then interior levels bottom-up
     val leaves = packLeaves(records)
     require(leaves.nonEmpty, "empty tables still need one leaf")
-    // page numbering: 1 = schema, 2.. = table pages. The table ROOT
-    // must be known before schema is written, so number the tree
-    // top-down after building it.
     val tree = buildTree(leaves)
-    val pageCount = 1 + tree.size
     val rootIdx = tree.size - 1 // root is last in build order
-    // assign page numbers: root gets page 2 (sqlite expects any page;
-    // we put root at 2 for a stable layout), the rest follow
+
+    // 2b. each index: sort entries by (values..., rowid) under binary
+    // collation and bulk-load an index b-tree
+    val idxTrees: Seq[(Vector[IndexNode], Int)] = indexes.indices.map { k =>
+      val iname = indexes(k)._1
+      val entries = idxBufs(k).result()
+        .sortWith { case ((va, ra), (vb, rb)) =>
+          compareKeys(va :+ ra, vb :+ rb) < 0 }
+        .map { case (vals, rowid) =>
+          val payload = record(vals :+ rowid)
+          require(payload.length <= IndexX,
+            s"index $iname entry ${payload.length} B exceeds the " +
+              s"no-overflow index write limit ($IndexX B)")
+          payload
+        }
+      buildIndexTree(entries.iterator)
+    }
+
+    // 3. page numbering: 1 = schema; table tree (root first, at page 2
+    // for a stable layout); each index tree follows, root first
+    val pageNoOf = new Array[Int](tree.size)
     val order = (tree.indices.filter(_ == rootIdx) ++
       tree.indices.filterNot(_ == rootIdx)).toArray
-    val pageNoOf = new Array[Int](tree.size)
     order.zipWithIndex.foreach { case (treeIdx, slot) =>
       pageNoOf(treeIdx) = 2 + slot
     }
+    var nextPage = 2 + tree.size
+    val idxPageOf: Seq[Array[Int]] = idxTrees.map { case (nodes, root) =>
+      val arr = new Array[Int](nodes.size)
+      arr(root) = nextPage
+      var p = nextPage + 1
+      nodes.indices.filterNot(_ == root).foreach { i => arr(i) = p; p += 1 }
+      nextPage = p
+      arr
+    }
+    val pageCount = nextPage - 1
 
     val out = new Array[Byte](pageCount * PageSize)
-    // 3. serialize tree pages with resolved child pointers
+    // 4. serialize tree pages with resolved child pointers
     tree.zipWithIndex.foreach { case (node, idx) =>
       val pg = node match {
         case Leaf(cells) => leafPage(cells, headerOff = 0)
@@ -99,11 +148,28 @@ object SqliteWriter {
       }
       System.arraycopy(pg, 0, out, (pageNoOf(idx) - 1) * PageSize, PageSize)
     }
+    idxTrees.zip(idxPageOf).foreach { case ((nodes, _), pageOf) =>
+      nodes.zipWithIndex.foreach { case (node, idx) =>
+        val pg = node match {
+          case IndexLeaf(cells) => indexLeafPage(cells)
+          case IndexInterior(cells, right) =>
+            indexInteriorPage(cells.map { case (c, sep) =>
+              (pageOf(c), sep) }, pageOf(right))
+        }
+        System.arraycopy(pg, 0, out, (pageOf(idx) - 1) * PageSize, PageSize)
+      }
+    }
 
-    // 4. page 1: header + sqlite_schema leaf with one row
-    val schemaRecord = record(Seq(
-      "table", name, name, pageNoOf(rootIdx).toLong, createSql))
-    val p1 = leafPage(Seq((1L, schemaRecord)), headerOff = 100)
+    // 5. page 1: header + sqlite_schema leaf — the table row plus one
+    // row per index (rootpage + canonical CREATE INDEX text)
+    val schemaRows = (1L, record(Seq(
+      "table", name, name, pageNoOf(rootIdx).toLong, createSql))) +:
+      indexes.zipWithIndex.map { case ((iname, icols), k) =>
+        val sql = s"CREATE INDEX $iname ON $name (${icols.mkString(", ")})"
+        (k + 2L, record(Seq("index", iname, name,
+          idxPageOf(k)(idxTrees(k)._2).toLong, sql)))
+      }
+    val p1 = leafPage(schemaRows, headerOff = 100)
     header(p1, pageCount)
     System.arraycopy(p1, 0, out, 0, PageSize)
 
@@ -158,6 +224,17 @@ object SqliteWriter {
       payload
     }
 
+    val (tree, rootIdx) = buildIndexTree(entries)
+    writeFile(path, name, createSql, tree, rootIdx)
+  }
+
+  /** Bulk-load an index b-tree from ORDERED entry payloads: leaves
+    * packed with separator promotion (index b-trees are b-trees, not
+    * b+-trees), interior levels grouped until one root remains.
+    * Returns (nodes, root index within the vector). Shared by the
+    * WITHOUT ROWID table writer and the CREATE INDEX writer. */
+  private def buildIndexTree(
+      entries: Iterator[Array[Byte]]): (Vector[IndexNode], Int) = {
     // bulk-load level 0: pack leaves; after each full leaf the NEXT
     // entry is promoted as the separator to the level above
     val nodes = Vector.newBuilder[IndexNode]
@@ -266,13 +343,14 @@ object SqliteWriter {
       levelSeps = nextSeps.result()
     }
 
-    writeFile(path, name, createSql, nodes.result(), levelKids.head)
+    (nodes.result(), levelKids.head)
   }
 
   /** Binary-collation key compare: storage-class order (numeric <
     * text < blob), numerics numerically, text/blob bytewise. */
   private def compareKeys(a: Seq[Any], b: Seq[Any]): Int = {
     def cls(v: Any): Int = v match {
+      case null => -1 // NULL sorts before every storage class
       case _: Long | _: Int | _: Double | _: Float => 0
       case _: String => 1
       case _: Array[Byte] => 2

@@ -627,6 +627,146 @@ class SqliteSourceSpec extends AnyFunSuite {
     Files.delete(db)
   }
 
+  test("reader: secondary CREATE INDEX scan — lookback correctness, " +
+      "covering detection, and a pages-read drop vs full scan") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    // price is NOT monotone in rowid, so index order differs from table
+    // order — a scan that secretly walked the table would still pass a
+    // sorted-fixture test; this one it cannot
+    val db = fixture("secidx") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, price INTEGER, name TEXT)")
+         |c.executemany("INSERT INTO t VALUES (?,?,?)",
+         |  [(i, (i * 37) % 5000, 'n%d-' % i + 'x' * 200) for i in range(1, 5001)])
+         |c.execute("CREATE INDEX idx_price ON t (price)")
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    def scan() = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "t").load()
+    // non-covering: name comes from the rowid lookback
+    val df = scan().filter(col("price").between(100, 149))
+      .select("id", "price", "name")
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expect = (1 to 5000)
+      .map(i => (i.toLong, ((i * 37) % 5000).toLong, s"n$i-" + "x" * 200))
+      .filter(t => t._2 >= 100 && t._2 <= 149).toSet
+    assert(got == expect, s"got ${got.size}, expected ${expect.size}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("index=idx_price") &&
+      plan.contains("covering=false"),
+      s"secondary index not chosen:\n$plan")
+    assert(plan.contains("key=[100, 149]"), plan)
+    assert(plan.contains("Filter"),
+      "inexact pushdown must keep the Spark-side filter")
+    // covering: id (rowid, rides in every entry) + price — no lookback
+    val cov = scan().filter(col("price") === 250).select("price", "id")
+    assert(cov.queryExecution.executedPlan.toString
+      .contains("covering=true"), cov.queryExecution.executedPlan)
+    assert(cov.collect().map(_.getLong(1)).toSet ==
+      (1 to 5000).filter(i => (i * 37) % 5000 == 250).map(_.toLong).toSet)
+    // pages-read drop: the same work driven at the SqliteFile level
+    // with physical-read counters — the observable the pushdown buys
+    val d1 = new SqliteFile.Db(db.toString)
+    val tdef = SqliteFile.table(d1, "t")
+    SqliteFile.walk(d1, tdef.rootPage, Long.MinValue, Long.MaxValue)(
+      (_, _) => ())
+    val fullPages = d1.pagesRead
+    d1.close()
+    val d2 = new SqliteFile.Db(db.toString, cachePages = 256)
+    val ix = SqliteFile.indexes(d2, "t").find(_.name == "idx_price").get
+    val stack = scala.collection.mutable.Stack[Int](ix.rootPage)
+    var matched = 0
+    while (stack.nonEmpty) {
+      val (entries, kids) =
+        SqliteFile.indexPageStep(d2, stack.pop(), 100, 149)
+      entries.foreach { e =>
+        val out = new Array[SqliteFile.Value](1)
+        SqliteFile.decodeRecord(e, Array(-1, 0), out)
+        val rowid = out(0).asInstanceOf[Long]
+        assert(SqliteFile.lookupRowid(d2, tdef.rootPage, rowid).isDefined)
+        matched += 1
+      }
+      kids.foreach(stack.push)
+    }
+    val indexPages = d2.pagesRead
+    d2.close()
+    assert(matched == expect.size, s"$matched of ${expect.size}")
+    assert(indexPages * 3 < fullPages,
+      s"index path read $indexPages pages vs $fullPages full — no drop")
+    Files.delete(db)
+  }
+
+  test("reader: DESC / partial / expression indexes are never chosen") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("badidx") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, a INTEGER, b INTEGER, cx INTEGER)")
+         |c.executemany("INSERT INTO t VALUES (?,?,?,?)",
+         |  [(i, i % 100, i % 50, i % 25) for i in range(1, 1001)])
+         |c.execute("CREATE INDEX idx_desc ON t (a DESC)")
+         |c.execute("CREATE INDEX idx_part ON t (b) WHERE b > 10")
+         |c.execute("CREATE INDEX idx_expr ON t (abs(cx))")
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    def scan() = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "t").load()
+    for (c <- Seq("a", "b", "cx")) {
+      val df = scan().filter(col(c) === 7)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("index="),
+        s"unusable index chosen for $c:\n$plan")
+      val expectN = (1 to 1000).count(i => (c match {
+        case "a" => i % 100; case "b" => i % 50; case _ => i % 25
+      }) == 7)
+      assert(df.count() == expectN, s"$c: wrong rows")
+    }
+    Files.delete(db)
+  }
+
+  test("writer: a written secondary index is used by REAL SQLite " +
+      "and by the format reader") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = Files.createTempFile("graft-idx-out", ".sqlite")
+    // rowids ascend but the indexed value does not: the index tree's
+    // sort (value, rowid) is what real SQLite must accept
+    SqliteWriter.write(db, "m",
+      Seq("id" -> "INTEGER PRIMARY KEY", "grp" -> "INTEGER", "v" -> "TEXT"),
+      (1 to 3000).iterator.map(i =>
+        Seq[Any](i.toLong, ((i * 13) % 300).toLong, s"v$i")),
+      indexes = Seq(("idx_grp", Seq("grp"))))
+    val outTsv = Files.createTempFile("graft-idx-out", ".tsv")
+    py(s"""import sqlite3
+          |c = sqlite3.connect(${q(db)})
+          |ok, = c.execute("PRAGMA integrity_check").fetchone()
+          |assert ok == 'ok', ok
+          |plan = c.execute(
+          |    "EXPLAIN QUERY PLAN SELECT id FROM m WHERE grp = 42").fetchall()
+          |assert any('idx_grp' in str(r) for r in plan), plan
+          |rows = c.execute(
+          |    "SELECT id FROM m WHERE grp = 42 ORDER BY id").fetchall()
+          |with open(${q(outTsv)}, 'w') as fh:
+          |    fh.write(repr([r[0] for r in rows]))
+          |c.close()
+          |""".stripMargin)
+    val expect = (1 to 3000).filter(i => (i * 13) % 300 == 42)
+    assert(new String(Files.readAllBytes(outTsv), "UTF-8") ==
+      expect.mkString("[", ", ", "]"),
+      "real SQLite disagrees via the index")
+    // and the format reader picks the same index up
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "m").load()
+      .filter(col("grp") === 42)
+    assert(df.queryExecution.executedPlan.toString.contains("index=idx_grp"))
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      expect.map(_.toLong))
+    Files.delete(db); Files.delete(outTsv)
+  }
+
   test("writer: WITHOUT ROWID boundary sweep — no empty leaves or " +
       "zero-cell interior pages at any fill level") {
     // Round-16 advice: when the entry that triggers leaf closure is the
