@@ -491,6 +491,38 @@ object Extended {
       org.apache.spark.sql.GraftPlanBridge.ofRows(s, collapsed)
     },
 
+    // Substrait ORDER BY ... LIMIT through the gate: the whole
+    // join+aggregate+sort+fetch subtree ships as one produced plan
+    // (SortRel with uniform nulls-last placement — Acero rejects mixed
+    // placement, which the producer now refuses loudly — then
+    // FetchRel), executed on Acero, and the top-k rows must hash-match
+    // DuckDB. The tiebreak key (n_name, unique per group) makes the
+    // top-5 SET deterministic, so the unordered row-set compare is
+    // exact. Integer aggregates only, as in q_substrait_acero.
+    GraftQuery("q_substrait_topk",
+      """SELECT n_name, count(*) AS cnt,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 0
+        |GROUP BY n_name
+        |ORDER BY key_sum DESC, n_name
+        |LIMIT 5""".stripMargin) { (s, dir) =>
+      val local = t(s, dir).customer.filter(col("c_acctbal") > 0)
+        .join(t(s, dir).nation,
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_custkey")).as("key_sum"))
+        .orderBy(col("key_sum").desc_nulls_last,
+          col("n_name").asc_nulls_last)
+        .limit(5)
+      val collapsed = graft.plans.FederationRule.substraitRewrite(
+        s, local.queryExecution.optimizedPlan, "acero").getOrElse(
+          throw new IllegalStateException(
+            "substrait tier did not collapse the sort+fetch subtree"))
+      org.apache.spark.sql.GraftPlanBridge.ofRows(s, collapsed)
+    },
+
     // Iceberg round-trip: WRITE the filtered table as two append-only
     // Iceberg snapshots (spec-shaped metadata JSON + Avro manifests,
     // sources/iceberg/IcebergLocal.scala), serve them over a live REST

@@ -177,6 +177,13 @@ object SubstraitProducer {
         (w.bytes, cout)
 
       case Sort(order, true, child, _) =>
+        // Acero 16 raises ArrowNotImplementedError on MIXED null
+        // placement across sort keys — refuse at produce time so the
+        // router falls back instead of shipping unverifiable bytes
+        // (the same discipline as semi/anti joins)
+        if (order.map(_.nullOrdering).distinct.size > 1)
+          throw SubstraitUnsupported(
+            "mixed null placement across sort keys")
         val (cb, cout) = emitRel(child, fns)
         val w = new ProtoWriter
         w.msg(5) { s => // Rel.sort = 5 {input=2, sorts=3}

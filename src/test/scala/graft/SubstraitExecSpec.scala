@@ -219,6 +219,22 @@ class SubstraitExecSpec extends AnyFunSuite {
     }
   }
 
+  test("substrait: mixed null placement across sort keys refuses " +
+      "loudly (Acero raises ArrowNotImplementedError on it)") {
+    intercept[SubstraitProducer.SubstraitUnsupported] {
+      SubstraitProducer.produce(customer
+        .orderBy(col("c_acctbal").desc_nulls_last,
+          col("c_custkey").asc_nulls_first)
+        .limit(5).select(col("c_custkey")))
+    }
+    // uniform placement still produces (and executes — the sort+fetch
+    // test above drives the same shape through Acero)
+    SubstraitProducer.produce(customer
+      .orderBy(col("c_acctbal").desc_nulls_last,
+        col("c_custkey").asc_nulls_last)
+      .limit(5).select(col("c_custkey")))
+  }
+
   test("substrait: semi/anti joins refuse loudly (Acero binds their " +
       "condition left-only — a produced plan could not execute)") {
     intercept[SubstraitProducer.SubstraitUnsupported] {
