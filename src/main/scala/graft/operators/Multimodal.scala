@@ -278,14 +278,44 @@ object Multimodal {
     img
   }
 
+  /** Per-thread pooled JPEG codec: `ImageIO.write/read` convenience
+    * calls do a registry scan + writer/reader construction + dispose
+    * per ASSET, and each allocates fresh memory-cache buffers — at 20×
+    * corpus scale that churn put m_jpeg_thumbs ~15% over its linear
+    * floor on fixed-host heap pressure (round-16 verdict #5). The
+    * writer/reader pair and the encode buffer live per thread
+    * (ImageIO codecs are not thread-safe) and are reused per call. */
+  private val jpegCodec = new ThreadLocal[(javax.imageio.ImageWriter,
+      javax.imageio.ImageReader, java.io.ByteArrayOutputStream)] {
+    override def initialValue()
+        : (javax.imageio.ImageWriter, javax.imageio.ImageReader,
+           java.io.ByteArrayOutputStream) = {
+      val ws = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+      if (!ws.hasNext)
+        throw new IllegalStateException("no JPEG writer on this JVM")
+      val rs = javax.imageio.ImageIO.getImageReadersByFormatName("jpg")
+      if (!rs.hasNext)
+        throw new IllegalStateException("no JPEG reader on this JVM")
+      (ws.next(), rs.next(), new java.io.ByteArrayOutputStream(16 << 10))
+    }
+  }
+
   /** One REAL JPEG encode→decode generation through ImageIO. */
   private[graft] def jpegRoundTrip(img: java.awt.image.BufferedImage)
       : java.awt.image.BufferedImage = {
-    val bos = new java.io.ByteArrayOutputStream()
-    if (!javax.imageio.ImageIO.write(img, "jpg", bos))
-      throw new IllegalStateException("no JPEG writer on this JVM")
-    javax.imageio.ImageIO.read(
+    val (writer, reader, bos) = jpegCodec.get()
+    bos.reset()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally { writer.setOutput(null); ios.close() }
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bos.toByteArray))
+    try {
+      reader.setInput(iis)
+      reader.read(0)
+    } finally { reader.setInput(null); iis.close() }
   }
 
   /** Decoded pixels as packed RGB ints, row-major — BULK extraction:

@@ -64,7 +64,15 @@ object Warc {
         val raw = new BufferedInputStream(pds.open())
         val in =
           if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw
-        new RecordIterator(new DataInputStream(in), path)
+        new WarcStream[WarcRecord](new DataInputStream(in), path,
+          (meta, len, din, p) => {
+            val payload = new Array[Byte](len.toInt)
+            try din.readFully(payload)
+            catch { case _: EOFException =>
+              throw new IOException(s"warc: truncated payload in $p") }
+            Some(WarcRecord(meta.warcType, meta.recordId, meta.targetUri,
+              meta.warcDate, meta.contentType, payload))
+          })
       }
     spark.createDataFrame(
       rdd.map(r => Row(r.warcType, r.recordId, r.targetUri, r.warcDate,
@@ -90,19 +98,85 @@ object Warc {
       StructField("warc_date", StringType), StructField("http_status", IntegerType),
       StructField("http_headers", MapType(StringType, StringType)),
       StructField("body", BinaryType)))
-    implicit val enc: org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Row] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(schema)
-    records(spark, dir)
-      .filter(col("warc_type") === "response")
-      .flatMap { row =>
-        val payload = row.getAs[Array[Byte]]("payload")
-        // quarantine: skip records whose HTTP envelope won't parse
-        scala.util.Try(splitHttp(payload)).toOption.map {
-          case (status, headers, body) =>
-            Row(row.getAs[String]("record_id"), row.getAs[String]("target_uri"),
-              row.getAs[String]("warc_date"), status, headers, body)
-        }
+    // Fused in-stream envelope split (round-16 verdict #5): the old
+    // path materialized every record's payload, then copied its tail
+    // into `body` — ~2x the corpus through the allocator per task. The
+    // sink now reads the HTTP head bytes directly off the record
+    // stream (bounded by Content-Length) and allocates the body ONCE;
+    // non-response records and quarantined envelopes skip their bytes
+    // without any allocation at all.
+    val rdd = spark.sparkContext
+      .binaryFiles(s"$dir/*.warc*")
+      .flatMap { case (path, pds) =>
+        val raw = new BufferedInputStream(pds.open())
+        val in =
+          if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw
+        new WarcStream[Row](new DataInputStream(in), path,
+          (meta, len, din, p) => {
+            if (meta.warcType != "response") { skipFully(din, len, p); None }
+            else readHttpHead(din, len, p) match {
+              case None => None // quarantined: bytes already consumed
+              case Some((status, headers, consumed)) =>
+                val body = new Array[Byte]((len - consumed).toInt)
+                try din.readFully(body)
+                catch { case _: EOFException =>
+                  throw new IOException(s"warc: truncated payload in $p") }
+                Some(Row(meta.recordId, meta.targetUri, meta.warcDate,
+                  status, headers, body))
+            }
+          })
       }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Read and parse the HTTP head (status + headers) straight off the
+    * record stream: consumes up to the CRLFCRLF boundary and returns
+    * the bytes consumed, or consumes the WHOLE remaining record and
+    * returns None when the envelope is malformed (the quarantine
+    * contract of [[responses]]). */
+  private def readHttpHead(in: DataInputStream, len: Long, path: String)
+      : Option[(Int, Map[String, String], Long)] = {
+    val buf = new java.io.ByteArrayOutputStream(512)
+    var consumed = 0L
+    var boundary = false
+    var run = 0 // matched chars of \r\n\r\n
+    while (!boundary && consumed < len) {
+      val b = in.read()
+      if (b < 0) throw new IOException(s"warc: truncated payload in $path")
+      consumed += 1
+      buf.write(b)
+      run = (b, run) match {
+        case ('\r', 0) | ('\r', 2) => run + 1
+        case ('\n', 1) | ('\n', 3) => run + 1
+        case ('\r', _) => 1
+        case _ => 0
+      }
+      if (run == 4) boundary = true
+    }
+    if (!boundary) { // no header/body boundary: quarantine
+      skipFully(in, len - consumed, path)
+      return None
+    }
+    val headBytes = buf.toByteArray
+    val head = new String(headBytes, 0, headBytes.length - 4, UTF_8)
+    parseHttpHead(head) match {
+      case Some((status, headers)) => Some((status, headers, consumed))
+      case None =>
+        skipFully(in, len - consumed, path)
+        None
+    }
+  }
+
+  private def skipFully(in: DataInputStream, n: Long, path: String): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s <= 0) {
+        if (in.read() < 0)
+          throw new IOException(s"warc: truncated payload in $path")
+        left -= 1
+      } else left -= s
+    }
   }
 
   /** HTTP response payload → (status, lowercased header map, body).
@@ -128,11 +202,23 @@ object Warc {
       throw new IOException("warc: HTTP payload has no header/body boundary")
     val head = new String(payload, 0, boundary, UTF_8)
     val body = java.util.Arrays.copyOfRange(payload, boundary + 4, payload.length)
+    parseHttpHead(head) match {
+      case Some((status, headers)) => (status, headers, body)
+      case None => throw new IOException(
+        s"warc: malformed HTTP status line: ${head.take(80)}")
+    }
+  }
+
+  /** Parse an HTTP head (status line + header lines, no trailing
+    * CRLFCRLF) — None on a malformed status line. Shared by the array
+    * path ([[splitHttp]]) and the streaming path ([[readHttpHead]]). */
+  private def parseHttpHead(head: String)
+      : Option[(Int, Map[String, String])] = {
     val lines = head.split("\r\n")
     val status = lines.head.split(" ", 3) match {
-      case Array(v, code, _*) if v.startsWith("HTTP/") => code.toInt
-      case _ => throw new IOException(
-        s"warc: malformed HTTP status line: ${lines.head.take(80)}")
+      case Array(v, code, _*) if v.startsWith("HTTP/") =>
+        try code.toInt catch { case _: NumberFormatException => return None }
+      case _ => return None
     }
     // unfold obs-fold continuations, then parse; skip colon-less noise
     val unfolded = lines.tail.foldLeft(Vector.empty[String]) { (acc, l) =>
@@ -150,80 +236,87 @@ object Warc {
         case (m, (k, v)) =>
           m.updated(k, m.get(k).map(prev => s"$prev, $v").getOrElse(v))
       }
-    (status, headers, body)
+    Some((status, headers))
   }
 
-  /** Streaming record parser: pulls one WARC record per `next()`, throws
+  private final case class WarcMeta(warcType: String, recordId: String,
+      targetUri: String, warcDate: String, contentType: String)
+
+  /** Streaming record walker: parses each record's WARC headers, then
+    * hands (meta, payload length, stream, path) to `sink`, which MUST
+    * consume exactly the payload bytes and may yield a row or skip
+    * (None). One shared line buffer per file — no per-line allocation —
+    * and a sink that skips never allocates the payload at all. Throws
     * clean IOExceptions (with the file path) on structural corruption. */
-  private final class RecordIterator(in: DataInputStream, path: String)
-      extends Iterator[WarcRecord] {
-    private var nextRec: WarcRecord = _
+  private final class WarcStream[T](in: DataInputStream, path: String,
+      sink: (WarcMeta, Long, DataInputStream, String) => Option[T])
+      extends Iterator[T] {
+    private var nextRec: Option[T] = None
     private var done = false
+    private val lineBuf = new java.io.ByteArrayOutputStream(96)
 
     private def readLine(): String = {
       // accumulate BYTES and decode the line as UTF-8 — a per-byte
       // toChar would mojibake non-ASCII header values (a non-ASCII
       // WARC-Target-URI is routine in real crawls)
-      val buf = new java.io.ByteArrayOutputStream(96)
+      lineBuf.reset()
       var b = in.read()
       if (b < 0) return null // clean EOF before a record
-      while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+      while (b >= 0 && b != '\n') { lineBuf.write(b); b = in.read() }
       if (b < 0) throw new IOException(s"warc: truncated line in $path")
-      val bytes = buf.toByteArray
+      val bytes = lineBuf.toByteArray
       if (bytes.isEmpty || bytes.last != '\r')
         throw new IOException(s"warc: bare LF line in $path")
       new String(bytes, 0, bytes.length - 1, UTF_8)
     }
 
     private def advance(): Unit = {
-      // skip inter-record blank lines (the CRLF CRLF record separator)
-      var line = readLine()
-      while (line != null && line.isEmpty) line = readLine()
-      if (line == null) { done = true; return }
-      if (!line.startsWith("WARC/"))
-        throw new IOException(s"warc: expected version line, got '${line.take(40)}' in $path")
-      var warcType, recordId, targetUri, warcDate, contentType = ""
-      var contentLength = -1L
-      var h = readLine()
-      while (h != null && h.nonEmpty) {
-        val c = h.indexOf(':')
-        if (c < 0) throw new IOException(s"warc: malformed header '${h.take(60)}' in $path")
-        val k = h.substring(0, c).toLowerCase
-        val v = h.substring(c + 1).trim
-        k match {
-          case "warc-type" => warcType = v
-          case "warc-record-id" => recordId = v
-          case "warc-target-uri" => targetUri = v
-          case "warc-date" => warcDate = v
-          case "content-type" => contentType = v
-          case "content-length" => contentLength =
-            try v.toLong catch { case _: NumberFormatException =>
-              throw new IOException(s"warc: bad Content-Length '$v' in $path") }
-          case _ => // other headers pass through unread
+      while (nextRec.isEmpty && !done) {
+        // skip inter-record blank lines (the CRLF CRLF record separator)
+        var line = readLine()
+        while (line != null && line.isEmpty) line = readLine()
+        if (line == null) { done = true; return }
+        if (!line.startsWith("WARC/"))
+          throw new IOException(s"warc: expected version line, got '${line.take(40)}' in $path")
+        var warcType, recordId, targetUri, warcDate, contentType = ""
+        var contentLength = -1L
+        var h = readLine()
+        while (h != null && h.nonEmpty) {
+          val c = h.indexOf(':')
+          if (c < 0) throw new IOException(s"warc: malformed header '${h.take(60)}' in $path")
+          val k = h.substring(0, c).toLowerCase
+          val v = h.substring(c + 1).trim
+          k match {
+            case "warc-type" => warcType = v
+            case "warc-record-id" => recordId = v
+            case "warc-target-uri" => targetUri = v
+            case "warc-date" => warcDate = v
+            case "content-type" => contentType = v
+            case "content-length" => contentLength =
+              try v.toLong catch { case _: NumberFormatException =>
+                throw new IOException(s"warc: bad Content-Length '$v' in $path") }
+            case _ => // other headers pass through unread
+          }
+          h = readLine()
         }
-        h = readLine()
+        if (h == null) throw new IOException(s"warc: truncated headers in $path")
+        if (contentLength < 0)
+          throw new IOException(s"warc: record without Content-Length in $path")
+        if (contentLength > MaxRecordBytes)
+          throw new IOException(
+            s"warc: record of $contentLength bytes exceeds cap $MaxRecordBytes in $path")
+        nextRec = sink(WarcMeta(warcType, recordId, targetUri, warcDate,
+          contentType), contentLength, in, path)
       }
-      if (h == null) throw new IOException(s"warc: truncated headers in $path")
-      if (contentLength < 0)
-        throw new IOException(s"warc: record without Content-Length in $path")
-      if (contentLength > MaxRecordBytes)
-        throw new IOException(
-          s"warc: record of $contentLength bytes exceeds cap $MaxRecordBytes in $path")
-      val payload = new Array[Byte](contentLength.toInt)
-      try in.readFully(payload)
-      catch { case _: EOFException =>
-        throw new IOException(s"warc: truncated payload in $path") }
-      nextRec = WarcRecord(warcType, recordId, targetUri, warcDate,
-        contentType, payload)
     }
 
     override def hasNext: Boolean = {
-      if (!done && nextRec == null) advance()
-      !done && nextRec != null
+      if (!done && nextRec.isEmpty) advance()
+      nextRec.nonEmpty
     }
-    override def next(): WarcRecord = {
+    override def next(): T = {
       if (!hasNext) throw new NoSuchElementException
-      val r = nextRec; nextRec = null; r
+      val r = nextRec.get; nextRec = None; r
     }
   }
 
@@ -234,14 +327,18 @@ object Warc {
   private[graft] def writeRecord(out: java.io.OutputStream, recordId: String,
       targetUri: String, body: Array[Byte],
       httpHeaders: Seq[(String, String)]): Unit = {
-    val http = new java.io.ByteArrayOutputStream()
-    http.write("HTTP/1.1 200 OK\r\n".getBytes(UTF_8))
+    // the record's Content-Length is computed arithmetically, so the
+    // HTTP envelope streams straight to `out` — the old path buffered
+    // envelope + body in a ByteArrayOutputStream and copied it out
+    // again, putting every body through the allocator twice per record
+    val httpHead = new StringBuilder()
+      .append("HTTP/1.1 200 OK\r\n")
     (httpHeaders :+ ("Content-Length" -> body.length.toString)).foreach {
-      case (k, v) => http.write(s"$k: $v\r\n".getBytes(UTF_8))
+      case (k, v) => httpHead.append(k).append(": ").append(v).append("\r\n")
     }
-    http.write("\r\n".getBytes(UTF_8))
-    http.write(body)
-    val payload = http.toByteArray
+    httpHead.append("\r\n")
+    val httpHeadBytes = httpHead.toString.getBytes(UTF_8)
+    val payloadLen = httpHeadBytes.length + body.length
     val head = new StringBuilder()
       .append("WARC/1.0\r\n")
       .append("WARC-Type: response\r\n")
@@ -251,9 +348,10 @@ object Warc {
       .append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
       .append(s"WARC-Target-URI: $targetUri\r\n")
       .append("Content-Type: application/http; msgtype=response\r\n")
-      .append(s"Content-Length: ${payload.length}\r\n\r\n")
+      .append(s"Content-Length: $payloadLen\r\n\r\n")
     out.write(head.toString.getBytes(UTF_8))
-    out.write(payload)
+    out.write(httpHeadBytes)
+    out.write(body)
     out.write("\r\n\r\n".getBytes(UTF_8))
   }
 
