@@ -23,7 +23,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default shuffle width = cores (the sf0.1 contract); scale
+      // probes override it — at 50x data the 32-wide shuffle puts
+      // q10's reduce tasks at the spill edge, and the production rule
+      // is to size width to data volume, not core count
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
