@@ -35,6 +35,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     integer-affine PRIMARY KEY column prune the index descent by
   *     the interior entries' leading key — INEXACT pushdown (flexible
   *     typing; Spark re-evaluates), same page-read proportionality.
+  *   - secondary CREATE INDEX b-trees (rowid tables): range/equality
+  *     on an integer-affine leading column, or range/equality/PREFIX
+  *     on a BINARY-collated text-affine one, plan an index-descent
+  *     scan — covering projections decode from the entries, others
+  *     point-look the rowid back into the table b-tree. INEXACT, with
+  *     class-safe band pruning (see [[SqliteFile.KeyRange]]).
   *
   * Scale: partitions = the root page's child subtrees (disjoint rowid
   * ranges) or index root slices, so a large file scans in parallel;
@@ -156,8 +162,10 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
   private var lo: Long = Long.MinValue
   private var hi: Long = Long.MaxValue
   private var chosenIndex: Option[SqliteFile.IndexDef] = None
+  private var chosenTextRange: Option[SqliteFile.TextRange] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushedCandidates = filters
     val rid = rowidCol
     val prefix = pkPrefixCol
     def asLong(v: Any): Option[Long] = v match {
@@ -216,48 +224,122 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
     }
     // secondary CREATE INDEX scan (rowid tables): pick the first
     // declared usable index — ascending, non-partial, non-expression,
-    // integer-affine leading column — that a pushed range/equality
-    // references. Same INEXACT stance as the PK-prefix path: the range
-    // prunes the index descent (bands of the leading entry value), and
-    // every filter stays residual for Spark.
-    val affinityOf = tableDef.columns.map(c =>
-      c.name.toLowerCase -> c.affinity).toMap
+    // leading column either integer-affine or BINARY-collated
+    // text-affine — that a pushed range/equality/prefix actually
+    // BOUNDS (an index with no usable bound would scan every entry
+    // and pay a lookback per row — worse than the table scan). Same
+    // INEXACT stance as the PK-prefix path: the range prunes the
+    // index descent (bands of the leading entry value), and every
+    // filter stays residual for Spark.
+    val byName = tableDef.columns.map(c => c.name.toLowerCase -> c).toMap
     val usable = tableIndexes.filter { ix =>
       !ix.partial && !ix.expression && ix.columns.nonEmpty &&
-        !ix.columns.head._2 && // DESC leading key stores in reverse
-        affinityOf.get(ix.columns.head._1.toLowerCase).contains("INTEGER")
+        !ix.columns.head._2 // DESC leading key stores in reverse
     }
-    val referenced = filters.flatMap {
-      case EqualTo(c, _) => Some(c)
-      case GreaterThan(c, _) => Some(c)
-      case GreaterThanOrEqual(c, _) => Some(c)
-      case LessThan(c, _) => Some(c)
-      case LessThanOrEqual(c, _) => Some(c)
-      case _ => None
-    }.toSet
-    usable.find(ix => referenced.exists(
-        _.equalsIgnoreCase(ix.columns.head._1))) match {
-      case Some(ix) =>
-        val leading = tableDef.columns
-          .find(_.name.equalsIgnoreCase(ix.columns.head._1)).map(_.name)
-        pushed = collectRange(leading, strict = false)
-        chosenIndex = Some(ix)
-        filters
-      case None => filters
+    val it = usable.iterator
+    while (chosenIndex.isEmpty && it.hasNext) {
+      val ix = it.next()
+      byName.get(ix.columns.head._1.toLowerCase).foreach { cd =>
+        if (cd.affinity == "INTEGER") {
+          val accepted = collectRange(Some(cd.name), strict = false)
+          if (lo != Long.MinValue || hi != Long.MaxValue) {
+            pushed = accepted
+            chosenIndex = Some(ix)
+          }
+        } else if (cd.affinity == "TEXT" && !cd.collated &&
+            !ix.leadingCollated) {
+          // byte-order pruning is only sound under BINARY collation —
+          // a NOCASE/RTRIM column's index order diverges from it
+          collectTextRange(cd.name) match {
+            case Some((accepted, range)) =>
+              pushed = accepted
+              chosenTextRange = Some(range)
+              chosenIndex = Some(ix)
+            case None => ()
+          }
+        }
+      }
     }
+    filters
   }
+
+  /** Intersect the string filters on `key` into a BINARY-collation
+    * [lo, hi] byte range (prefix → [p, nextPrefix(p))); None when no
+    * filter actually bounds the key. Strict < / > bounds stay
+    * INCLUSIVE — consistent with Spark's own binary UTF8String
+    * ordering, the residual filter discards the boundary. */
+  private def collectTextRange(key: String)
+      : Option[(Array[Filter], SqliteFile.TextRange)] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    var tLo: Option[Array[Byte]] = None
+    var tHi: Option[Array[Byte]] = None
+    var hiEx = false
+    def cmp(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
+    def raiseLo(b: Array[Byte]): Unit =
+      if (tLo.forall(l => cmp(b, l) > 0)) tLo = Some(b)
+    def lowerHi(b: Array[Byte], ex: Boolean): Unit = tHi match {
+      case None => tHi = Some(b); hiEx = ex
+      case Some(h) =>
+        val c = cmp(b, h)
+        if (c < 0) { tHi = Some(b); hiEx = ex }
+        else if (c == 0 && ex) hiEx = true
+    }
+    // smallest byte string strictly above every string with prefix p:
+    // rightmost non-0xFF byte incremented, tail dropped; None when all
+    // 0xFF (no upper bound — the prefix keeps only the lower one)
+    def nextPrefix(p: Array[Byte]): Option[Array[Byte]] = {
+      var i = p.length - 1
+      while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+      if (i < 0) None
+      else {
+        val out = java.util.Arrays.copyOf(p, i + 1)
+        out(i) = (out(i) + 1).toByte
+        Some(out)
+      }
+    }
+    val accepted = pushedCandidates.filter {
+      case EqualTo(c, v: String) if c.equalsIgnoreCase(key) =>
+        raiseLo(v.getBytes(utf8)); lowerHi(v.getBytes(utf8), ex = false); true
+      case GreaterThan(c, v: String) if c.equalsIgnoreCase(key) =>
+        raiseLo(v.getBytes(utf8)); true
+      case GreaterThanOrEqual(c, v: String) if c.equalsIgnoreCase(key) =>
+        raiseLo(v.getBytes(utf8)); true
+      case LessThan(c, v: String) if c.equalsIgnoreCase(key) =>
+        lowerHi(v.getBytes(utf8), ex = false); true
+      case LessThanOrEqual(c, v: String) if c.equalsIgnoreCase(key) =>
+        lowerHi(v.getBytes(utf8), ex = false); true
+      case org.apache.spark.sql.sources.StringStartsWith(c, p)
+          if c.equalsIgnoreCase(key) =>
+        raiseLo(p.getBytes(utf8))
+        nextPrefix(p.getBytes(utf8)).foreach(lowerHi(_, ex = true))
+        true
+      case IsNotNull(c) if c.equalsIgnoreCase(key) => true
+      case _ => false
+    }
+    if (tLo.isEmpty && tHi.isEmpty) None
+    else Some((accepted, SqliteFile.TextRange(tLo, tHi, hiEx)))
+  }
+
+  // the filter array of the in-flight pushFilters call, for
+  // collectTextRange (set before the secondary-index selection runs)
+  private var pushedCandidates: Array[Filter] = Array.empty
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SqliteScan(required, opts, tableDef, lo, hi, chosenIndex)
+  override def build(): Scan = {
+    val secRange: Option[SqliteFile.KeyRange] = chosenIndex.map(_ =>
+      chosenTextRange.getOrElse(SqliteFile.NumRange(lo, hi)))
+    new SqliteScan(required, opts, tableDef, lo, hi, chosenIndex, secRange)
+  }
 }
 
 final class SqliteScan(schema: StructType, opts: SqliteOptions,
     t: SqliteFile.TableDef, lo: Long, hi: Long,
-    secIndex: Option[SqliteFile.IndexDef] = None) extends Scan with Batch {
+    secIndex: Option[SqliteFile.IndexDef] = None,
+    secRange: Option[SqliteFile.KeyRange] = None) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
@@ -279,17 +361,20 @@ final class SqliteScan(schema: StructType, opts: SqliteOptions,
           // secondary-index descent: partitions are the index root's
           // slices, pruned by the leading entry-value bands — the same
           // parallel shape as the WITHOUT ROWID path
+          val range = secRange.getOrElse(
+            SqliteFile.NumRange(Long.MinValue, Long.MaxValue))
+          if (range.isEmpty) return Array.empty
           return (SqliteFile.indexRoot(db, ix.rootPage) match {
             case None =>
-              Array(SqliteSecIndexPartition(opts, ix.rootPage, -1, lo, hi))
+              Array(SqliteSecIndexPartition(opts, ix.rootPage, -1, range))
             case Some(firsts) =>
               val cells = firsts.size
               (0 to cells).flatMap { i =>
                 val prev = if (i == 0) None else Some(firsts(i - 1))
                 val cur = if (i < cells) Some(firsts(i)) else None
-                if (SqliteFile.bandMayOverlap(prev, cur, lo, hi))
+                if (range.mayOverlap(prev, cur))
                   Some(SqliteSecIndexPartition(opts, ix.rootPage, i,
-                    lo, hi): InputPartition)
+                    range): InputPartition)
                 else None
               }.toArray
           })
@@ -343,7 +428,8 @@ final class SqliteScan(schema: StructType, opts: SqliteOptions,
   override def description(): String = secIndex match {
     case Some(ix) =>
       s"SqliteScan(${opts.path}#${t.name}, index=${ix.name}, " +
-        s"key=$range, covering=${covering(ix)})"
+        s"key=${secRange.map(_.describe).getOrElse(range)}, " +
+        s"covering=${covering(ix)})"
     case None if t.withoutRowid =>
       s"SqliteScan(${opts.path}#${t.name}, WITHOUT ROWID, pk=$range)"
     case None => s"SqliteScan(${opts.path}#${t.name}, rowid=$range)"
@@ -360,9 +446,10 @@ final case class SqliteIndexPartition(opts: SqliteOptions, rootPage: Int,
     slice: Int, lo: Long, hi: Long) extends InputPartition
 
 /** One root slice of a secondary CREATE INDEX b-tree (rowid table);
-  * [lo, hi] is the pushed leading-entry-value prune range. */
+  * `range` is the pushed leading-entry-value prune range (numeric or
+  * BINARY-collation text). */
 final case class SqliteSecIndexPartition(opts: SqliteOptions, rootPage: Int,
-    slice: Int, lo: Long, hi: Long) extends InputPartition
+    slice: Int, range: SqliteFile.KeyRange) extends InputPartition
 
 final class SqliteReaderFactory(schema: StructType, t: SqliteFile.TableDef,
     secIndex: Option[SqliteFile.IndexDef] = None)
@@ -425,8 +512,7 @@ final class SqliteSecIndexReader(schema: StructType,
     else {
       val (entries, kids) =
         SqliteFile.indexSliceSeed(db, part.rootPage, part.slice)
-      entries.filter(e =>
-          SqliteFile.keyInRange(SqliteFile.firstValue(e), part.lo, part.hi))
+      entries.filter(e => part.range.contains(SqliteFile.firstValue(e)))
         .foreach(emit)
       kids.foreach(stack.push)
     }
@@ -436,7 +522,7 @@ final class SqliteSecIndexReader(schema: StructType,
   override def next(): Boolean = {
     while (pending.isEmpty && stack.nonEmpty) {
       val (entries, kids) =
-        SqliteFile.indexPageStep(db, stack.pop(), part.lo, part.hi)
+        SqliteFile.indexPageStep(db, stack.pop(), part.range)
       entries.foreach(emit)
       kids.foreach(stack.push)
     }

@@ -36,8 +36,13 @@ object SqliteFile {
     * BLOB, REAL, NUMERIC. `rowidAlias` marks the INTEGER PRIMARY KEY
     * column — its record slot is NULL on disk and its value is the
     * b-tree rowid. */
+  /** `collated` = the declaration carries a COLLATE other than BINARY
+    * (NOCASE/RTRIM/custom): text comparisons — and therefore text
+    * index ORDER — then differ from byte order, so byte-compare band
+    * pruning must stay off for that column (numeric pruning is
+    * unaffected; collation only applies to text). */
   final case class ColumnDef(name: String, declaredType: String,
-      affinity: String, rowidAlias: Boolean)
+      affinity: String, rowidAlias: Boolean, collated: Boolean = false)
 
   /** `pkCols` is the PRIMARY KEY columns in KEY order (declaration
     * order of the PK clause, not the table) — for a WITHOUT ROWID
@@ -353,6 +358,80 @@ object SqliteFile {
     case _ => true
   }
 
+  /** A pushed leading-key prune range, generic over the key's storage
+    * class. `contains` filters entries (INEXACT: unknown → true);
+    * `mayOverlap` prunes child subtrees whose implied band misses the
+    * range. Every prune decision is CLASS-SAFE: a band is only dropped
+    * when its endpoints prove no key of another storage class — which
+    * coerces differently or fails loudly — can hide inside it. */
+  sealed trait KeyRange extends Serializable {
+    def contains(v: Value): Boolean
+    def mayOverlap(prev: Option[Value], cur: Option[Value]): Boolean
+    def describe: String
+    /** Provably empty (contradictory bounds): the scan plans no
+      * partitions at all. */
+    def isEmpty: Boolean
+  }
+
+  /** Numeric [lo, hi] (both inclusive). Below-lo pruning is class-safe
+    * with a numeric upper endpoint alone (numeric is the lowest
+    * storage class after NULL, and NULL never matches a range);
+    * above-hi needs BOTH endpoints numeric — text/blob sort above
+    * every numeric and must stay visible to fail loudly. */
+  final case class NumRange(lo: Long, hi: Long) extends KeyRange {
+    def contains(v: Value): Boolean = keyInRange(v, lo, hi)
+    def mayOverlap(prev: Option[Value], cur: Option[Value]): Boolean =
+      bandMayOverlap(prev, cur, lo, hi)
+    def describe: String = s"[${
+      if (lo == Long.MinValue) "-inf" else lo}, ${
+      if (hi == Long.MaxValue) "+inf" else hi}]"
+    def isEmpty: Boolean = lo > hi
+  }
+
+  /** Text range under BINARY collation (UTF-8 byte order; the planner
+    * only builds one for non-collated columns). `hiExclusive` serves
+    * prefix pushdown ([p, nextPrefix(p))). Pruning requires BOTH band
+    * endpoints to be text: below a lone text endpoint there can be
+    * NUMERIC keys (which coerce to strings that compare differently
+    * than their index position), above one there can be BLOBs (which
+    * fail loudly on coerce) — both must survive the prune for the
+    * residual filter / loud-failure contract to see them. */
+  final case class TextRange(lo: Option[Array[Byte]],
+      hi: Option[Array[Byte]], hiExclusive: Boolean) extends KeyRange {
+    private def cmp(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
+    def contains(v: Value): Boolean = v match {
+      case s: String =>
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        lo.forall(l => cmp(b, l) >= 0) &&
+          hi.forall(h => if (hiExclusive) cmp(b, h) < 0 else cmp(b, h) <= 0)
+      case _ => true // unknown class: keep (numerics coerce, blobs fail loudly)
+    }
+    def mayOverlap(prev: Option[Value], cur: Option[Value]): Boolean = {
+      val p = prev.collect { case s: String => s.getBytes(StandardCharsets.UTF_8) }
+      val c = cur.collect { case s: String => s.getBytes(StandardCharsets.UTF_8) }
+      (p, c) match {
+        case (Some(pb), Some(cb)) =>
+          val belowLo = lo.exists(l => cmp(cb, l) < 0)
+          val aboveHi = hi.exists(h =>
+            if (hiExclusive) cmp(pb, h) >= 0 else cmp(pb, h) > 0)
+          !belowLo && !aboveHi
+        case _ => true
+      }
+    }
+    def describe: String = {
+      def str(b: Array[Byte]) = new String(b, StandardCharsets.UTF_8)
+      s"[${lo.map(str).getOrElse("-inf")}, ${
+        hi.map(str).getOrElse("+inf")}${if (hiExclusive) ")" else "]"}"
+    }
+    def isEmpty: Boolean = (lo, hi) match {
+      case (Some(l), Some(h)) =>
+        val c = cmp(l, h)
+        c > 0 || (c == 0 && hiExclusive)
+      case _ => false
+    }
+  }
+
   /** The seed of one root SLICE — the disjoint partition unit of an
     * index-rooted scan. Slice i < cellCount yields cell i's own entry
     * (index b-trees are b-trees, not b+-trees: interior cells ARE
@@ -387,8 +466,12 @@ object SqliteFile {
     * it are never pushed — page reads proportional to the selected
     * range, like the rowid pruning. Non-numeric keys stay (INEXACT
     * pushdown; Spark re-evaluates). */
-  def indexPageStep(db: Db, pageNo: Int, lo: Long = Long.MinValue,
-      hi: Long = Long.MaxValue): (Seq[Array[Byte]], Seq[Int]) = {
+  def indexPageStep(db: Db, pageNo: Int, lo: Long,
+      hi: Long): (Seq[Array[Byte]], Seq[Int]) =
+    indexPageStep(db, pageNo, NumRange(lo, hi))
+
+  def indexPageStep(db: Db, pageNo: Int,
+      range: KeyRange): (Seq[Array[Byte]], Seq[Int]) = {
     val pg = db.page(pageNo)
     val ph = pageHeader(pg, pageNo)
     ph.pageType match {
@@ -397,7 +480,7 @@ object SqliteFile {
           val off = cellPointer(pg, ph, i)
           val (payloadLen, n1) = varint(pg, off)
           readPayload(db, pg, off + n1, payloadLen, indexPage = true)
-        }.filter(e => keyInRange(firstValue(e), lo, hi))
+        }.filter(e => range.contains(firstValue(e)))
         (entries, Seq.empty)
       case 0x02 => // index interior: child, varint payloadLen, payload
         val cells = (0 until ph.cellCount).map { i =>
@@ -415,11 +498,11 @@ object SqliteFile {
         val entries = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
         cells.foreach { case (entry, child) =>
           val cur = firstValue(entry)
-          if (bandMayOverlap(prev, Some(cur), lo, hi)) kids += child
-          if (keyInRange(cur, lo, hi)) entries += entry
+          if (range.mayOverlap(prev, Some(cur))) kids += child
+          if (range.contains(cur)) entries += entry
           prev = Some(cur)
         }
-        if (bandMayOverlap(prev, None, lo, hi)) kids += ph.rightMost
+        if (range.mayOverlap(prev, None)) kids += ph.rightMost
         (entries.toSeq, kids.toSeq)
       case t => throw new IllegalStateException(
         s"page $pageNo is not an index b-tree page (type $t)")
@@ -564,9 +647,14 @@ object SqliteFile {
     * index order..., rowid). `partial` (WHERE clause) and `expression`
     * (non-bare-column entries) indexes are parsed but NEVER used for
     * scans — they don't cover every row / can't map to a column. */
+  /** `leadingCollated` = the leading indexed column carries a
+    * non-BINARY COLLATE in the CREATE INDEX itself; combined with the
+    * table column's own `collated` flag it gates TEXT band pruning
+    * (byte order must equal index order). */
   final case class IndexDef(name: String, table: String, rootPage: Int,
       sql: String, columns: Seq[(String, Boolean)], // (name, DESC?)
-      unique: Boolean, partial: Boolean, expression: Boolean)
+      unique: Boolean, partial: Boolean, expression: Boolean,
+      leadingCollated: Boolean = false)
 
   /** The usable `CREATE INDEX` rows of sqlite_schema for `tableName`.
     * Auto-indexes (`sqlite_autoindex_*`, NULL sql) are skipped: their
@@ -580,9 +668,9 @@ object SqliteFile {
       (out(0), out(1), out(2), out(3), out(4)) match {
         case ("index", name: String, tbl: String, root: Long, sql: String)
             if root > 0 && tbl.equalsIgnoreCase(tableName) =>
-          val (cols, unique, partial, expr) = parseCreateIndex(sql)
+          val (cols, unique, partial, expr, leadColl) = parseCreateIndex(sql)
           rows += IndexDef(name, tbl, root.toInt, sql, cols,
-            unique, partial, expr)
+            unique, partial, expr, leadColl)
         case _ => ()
       }
     }
@@ -592,11 +680,12 @@ object SqliteFile {
   /** Pragmatic CREATE INDEX parser:
     * `CREATE [UNIQUE] INDEX [IF NOT EXISTS] [schema.]name ON table
     * (col [COLLATE c] [ASC|DESC], ...) [WHERE expr]`.
-    * Returns (columns with DESC flags, unique, partial, expression);
-    * an entry that is not a bare (possibly quoted) identifier marks
-    * the whole index `expression = true`. */
+    * Returns (columns with DESC flags, unique, partial, expression,
+    * leading column non-BINARY COLLATE); an entry that is not a bare
+    * (possibly quoted) identifier marks the whole index
+    * `expression = true`. */
   def parseCreateIndex(sql: String)
-      : (Seq[(String, Boolean)], Boolean, Boolean, Boolean) = {
+      : (Seq[(String, Boolean)], Boolean, Boolean, Boolean, Boolean) = {
     val upper = sql.toUpperCase
     val unique = tokenize(upper.take(upper.indexOf("INDEX").max(0)))
       .contains("UNIQUE")
@@ -640,8 +729,10 @@ object SqliteFile {
       tokenize(tail).headOption.contains("WHERE")
     }
     var expression = false
-    val cols = sql.substring(open + 1, close).split(',').toSeq
-      .map(_.trim).filter(_.nonEmpty).map { part =>
+    var leadingCollated = false
+    val parts = sql.substring(open + 1, close).split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    val cols = parts.zipWithIndex.map { case (part, i) =>
       val (name, rest) = takeIdentifier(part)
       val restToks = tokenize(rest.toUpperCase)
       // bare column: nothing after the identifier except
@@ -654,9 +745,11 @@ object SqliteFile {
       }
       if (name.isEmpty || !allowed ||
           part.contains("(")) expression = true
+      if (i == 0 && restToks.headOption.contains("COLLATE") &&
+          !restToks.lift(1).contains("BINARY")) leadingCollated = true
       (name, restToks.contains("DESC"))
     }
-    (cols, unique, partial, expression)
+    (cols, unique, partial, expression, leadingCollated)
   }
 
   /** Point lookup in a table b-tree: descend interiors to the leaf
@@ -818,9 +911,15 @@ object SqliteFile {
           tokenize(upper).containsSlice(Seq("PRIMARY", "KEY", "DESC"))
         val aff = affinityOf(declared)
         if (colPk && colPkName.isEmpty) colPkName = Some((name, colPkDesc))
+        val collated = {
+          val ts = tokenize(upper)
+          val ci = ts.indexOf("COLLATE")
+          ci >= 0 && !ts.lift(ci + 1).contains("BINARY")
+        }
         Some(ColumnDef(name, declared, aff,
           rowidAlias =
-            exactInteger && colPk && !colPkDesc && !withoutRowid))
+            exactInteger && colPk && !colPkDesc && !withoutRowid,
+          collated = collated))
       }
     }.toSeq
     // resolve a table-level single-column PK: aliases iff the named

@@ -699,6 +699,60 @@ class SqliteSourceSpec extends AnyFunSuite {
     Files.delete(db)
   }
 
+  test("reader: TEXT secondary index — equality, range, and prefix " +
+      "prune under BINARY collation; NOCASE is never chosen; a numeric " +
+      "stored in the text column survives pruning") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("textidx") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, dom TEXT, nc TEXT COLLATE NOCASE, v TEXT)")
+         |rows = [(i, 'host-%04d.example' % ((i * 37) % 2000), 'x%d' % i,
+         |         'pad-' * 30 + str(i)) for i in range(1, 4001)]
+         |c.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+         |# flexible typing: a NUMERIC key inside the TEXT-affine column
+         |c.execute("INSERT INTO t (id, dom, nc, v) VALUES (4001, 5, 'y', 'num')")
+         |c.execute("CREATE INDEX idx_dom ON t (dom)")
+         |c.execute("CREATE INDEX idx_nc ON t (nc)")
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    def scan() = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "t").load()
+    def dom(i: Int) = f"host-${(i * 37) % 2000}%04d.example"
+    // equality
+    val eq = scan().filter(col("dom") === "host-0037.example").select("id")
+    assert(eq.queryExecution.executedPlan.toString.contains("index=idx_dom"),
+      eq.queryExecution.executedPlan)
+    assert(eq.collect().map(_.getLong(0)).toSet ==
+      (1 to 4000).filter(i => dom(i) == "host-0037.example").map(_.toLong).toSet)
+    // range (strict bound stays residual-correct)
+    val rg = scan().filter(col("dom") > "host-1990" && col("dom") < "host-1995")
+    val plan = rg.queryExecution.executedPlan.toString
+    assert(plan.contains("index=idx_dom") &&
+      plan.contains("key=[host-1990, host-1995]"), plan)
+    assert(rg.count() ==
+      (1 to 4000).count(i => dom(i) > "host-1990" && dom(i) < "host-1995"))
+    // prefix -> [p, nextPrefix(p)) exclusive-hi range
+    val pf = scan().filter(col("dom").startsWith("host-003"))
+    val pplan = pf.queryExecution.executedPlan.toString
+    assert(pplan.contains("index=idx_dom") &&
+      pplan.contains("key=[host-003, host-004)"), pplan)
+    assert(pf.count() == (1 to 4000).count(i => dom(i).startsWith("host-003")))
+    // the numeric key sorts below all text: a text range must never
+    // prune it silently — it reaches the residual filter coerced ("5")
+    val num = scan().filter(col("dom") >= "4" && col("dom") <= "6")
+    assert(num.queryExecution.executedPlan.toString.contains("index=idx_dom"))
+    assert(num.select("dom").collect().map(_.getString(0)).toSet == Set("5"),
+      "coerced numeric key must survive text-band pruning")
+    // NOCASE column: byte-order pruning unsound, index never chosen
+    val nc = scan().filter(col("nc") === "x5")
+    assert(!nc.queryExecution.executedPlan.toString.contains("index="),
+      nc.queryExecution.executedPlan)
+    assert(nc.count() == 1, "NOCASE semantics stay with Spark")
+    Files.delete(db)
+  }
+
   test("reader: DESC / partial / expression indexes are never chosen") {
     assume(pyAvailable, "python3/sqlite3 not available")
     val db = fixture("badidx") { p =>
