@@ -143,19 +143,21 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
   private def rowidCol: Option[String] =
     tableDef.columns.find(_.rowidAlias).map(_.name)
 
-  /** WITHOUT ROWID: the LEADING PRIMARY KEY column, when
-    * integer-affine — range filters on it prune the index descent
-    * (INEXACTLY: flexible typing could store non-integers, so Spark
-    * re-evaluates; the pruning is still page-read-proportional). */
-  private def pkPrefixCol: Option[String] =
+  /** WITHOUT ROWID: the LEADING PRIMARY KEY column, when integer-
+    * affine or BINARY-collated text-affine — range (and, for text,
+    * prefix) filters on it prune the index descent (INEXACTLY:
+    * flexible typing could store other classes, so Spark re-evaluates;
+    * the pruning is still page-read-proportional). */
+  private def pkPrefixCol: Option[SqliteFile.ColumnDef] =
     if (!tableDef.withoutRowid ||
         tableDef.pkDesc.headOption.contains(true)) None
     // a DESC leading key stores the index in REVERSE order — the
     // ascending band pruning would drop the WRONG subtrees, so the
     // pushdown stays off (set semantics remain correct: no pruning)
     else tableDef.pkCols.headOption.flatMap(n =>
-      tableDef.columns.find(_.name.equalsIgnoreCase(n))
-        .filter(_.affinity == "INTEGER").map(_.name))
+      tableDef.columns.find(_.name.equalsIgnoreCase(n)))
+      .filter(c => c.affinity == "INTEGER" ||
+        (c.affinity == "TEXT" && !c.collated))
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
@@ -205,7 +207,7 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
       }
     if (rid.isDefined) {
       val accepted = collectRange(rid, strict = true)
-      if (accepted.nonEmpty || prefix.isDefined || tableIndexes.isEmpty) {
+      if (accepted.nonEmpty || tableIndexes.isEmpty) {
         pushed = accepted
         // rowid-range pushdown is EXACT (the b-tree walk admits exactly
         // [lo, hi]), so accepted filters need no re-evaluation in Spark
@@ -214,13 +216,22 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
       // no rowid filter matched — fall through to the secondary-index
       // path below (lo/hi untouched when nothing was collected)
     }
-    if (prefix.isDefined) {
-      // PK-prefix pruning is INEXACT (SQLite's flexible typing can
-      // store non-integers in an integer-affine key): report the range
-      // as pushed so the plan shows the pruning, but leave EVERY
-      // filter residual for Spark to re-evaluate
-      pushed = collectRange(prefix, strict = false)
-      return filters
+    prefix match {
+      case Some(cd) =>
+        // PK-prefix pruning is INEXACT (SQLite's flexible typing can
+        // store other classes in the key): report the range as pushed
+        // so the plan shows the pruning, but leave EVERY filter
+        // residual for Spark to re-evaluate
+        if (cd.affinity == "INTEGER")
+          pushed = collectRange(Some(cd.name), strict = false)
+        else collectTextRange(cd.name) match {
+          case Some((accepted, r)) =>
+            pushed = accepted
+            chosenTextRange = Some(r)
+          case None => ()
+        }
+        return filters
+      case None => ()
     }
     // secondary CREATE INDEX scan (rowid tables): pick the first
     // declared usable index — ascending, non-partial, non-expression,
@@ -330,16 +341,24 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
     required = requiredSchema
 
   override def build(): Scan = {
-    val secRange: Option[SqliteFile.KeyRange] = chosenIndex.map(_ =>
-      chosenTextRange.getOrElse(SqliteFile.NumRange(lo, hi)))
-    new SqliteScan(required, opts, tableDef, lo, hi, chosenIndex, secRange)
+    // the one pushed index-descent range — the WITHOUT ROWID PK-prefix
+    // path and the secondary-index path are mutually exclusive
+    val pushedRange: Option[SqliteFile.KeyRange] =
+      chosenTextRange.orElse(
+        if (chosenIndex.isDefined || pkPrefixCol.isDefined)
+          Some(SqliteFile.NumRange(lo, hi))
+        else None)
+    new SqliteScan(required, opts, tableDef, lo, hi, chosenIndex, pushedRange)
   }
 }
 
 final class SqliteScan(schema: StructType, opts: SqliteOptions,
     t: SqliteFile.TableDef, lo: Long, hi: Long,
     secIndex: Option[SqliteFile.IndexDef] = None,
-    secRange: Option[SqliteFile.KeyRange] = None) extends Scan with Batch {
+    pushedRange: Option[SqliteFile.KeyRange] = None) extends Scan with Batch {
+
+  private def indexRange: SqliteFile.KeyRange =
+    pushedRange.getOrElse(SqliteFile.NumRange(lo, hi))
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
@@ -361,8 +380,7 @@ final class SqliteScan(schema: StructType, opts: SqliteOptions,
           // secondary-index descent: partitions are the index root's
           // slices, pruned by the leading entry-value bands — the same
           // parallel shape as the WITHOUT ROWID path
-          val range = secRange.getOrElse(
-            SqliteFile.NumRange(Long.MinValue, Long.MaxValue))
+          val range = indexRange
           if (range.isEmpty) return Array.empty
           return (SqliteFile.indexRoot(db, ix.rootPage) match {
             case None =>
@@ -385,16 +403,18 @@ final class SqliteScan(schema: StructType, opts: SqliteOptions,
         // the root cell's own entry), same parallel-read shape as the
         // rowid subtrees; slices whose leading-key band misses the
         // pushed PK range are planned away here
+        val range = indexRange
+        if (range.isEmpty) return Array.empty
         SqliteFile.indexRoot(db, t.rootPage) match {
           case None =>
-            Array(SqliteIndexPartition(opts, t.rootPage, -1, lo, hi))
+            Array(SqliteIndexPartition(opts, t.rootPage, -1, range))
           case Some(firsts) =>
             val cells = firsts.size
             (0 to cells).flatMap { i =>
               val prev = if (i == 0) None else Some(firsts(i - 1))
               val cur = if (i < cells) Some(firsts(i)) else None
-              if (SqliteFile.bandMayOverlap(prev, cur, lo, hi))
-                Some(SqliteIndexPartition(opts, t.rootPage, i, lo, hi):
+              if (range.mayOverlap(prev, cur))
+                Some(SqliteIndexPartition(opts, t.rootPage, i, range):
                   InputPartition)
               else None
             }.toArray
@@ -428,10 +448,11 @@ final class SqliteScan(schema: StructType, opts: SqliteOptions,
   override def description(): String = secIndex match {
     case Some(ix) =>
       s"SqliteScan(${opts.path}#${t.name}, index=${ix.name}, " +
-        s"key=${secRange.map(_.describe).getOrElse(range)}, " +
+        s"key=${indexRange.describe}, " +
         s"covering=${covering(ix)})"
     case None if t.withoutRowid =>
-      s"SqliteScan(${opts.path}#${t.name}, WITHOUT ROWID, pk=$range)"
+      s"SqliteScan(${opts.path}#${t.name}, WITHOUT ROWID, pk=${
+        indexRange.describe})"
     case None => s"SqliteScan(${opts.path}#${t.name}, rowid=$range)"
   }
 }
@@ -443,7 +464,7 @@ final case class SqlitePartition(opts: SqliteOptions, page: Int,
   * when the root is itself a leaf (whole-tree single partition).
   * [lo, hi] is the pushed leading-PK prune range. */
 final case class SqliteIndexPartition(opts: SqliteOptions, rootPage: Int,
-    slice: Int, lo: Long, hi: Long) extends InputPartition
+    slice: Int, range: SqliteFile.KeyRange) extends InputPartition
 
 /** One root slice of a secondary CREATE INDEX b-tree (rowid table);
   * `range` is the pushed leading-entry-value prune range (numeric or
@@ -594,8 +615,7 @@ final class SqliteIndexPartitionReader(schema: StructType,
     else {
       val (entries, kids) =
         SqliteFile.indexSliceSeed(db, part.rootPage, part.slice)
-      entries.filter(e =>
-          SqliteFile.keyInRange(SqliteFile.firstValue(e), part.lo, part.hi))
+      entries.filter(e => part.range.contains(SqliteFile.firstValue(e)))
         .foreach(e => pending.append(toRow(e)))
       kids.foreach(stack.push)
     }
@@ -605,7 +625,7 @@ final class SqliteIndexPartitionReader(schema: StructType,
   override def next(): Boolean = {
     while (pending.isEmpty && stack.nonEmpty) {
       val (entries, kids) =
-        SqliteFile.indexPageStep(db, stack.pop(), part.lo, part.hi)
+        SqliteFile.indexPageStep(db, stack.pop(), part.range)
       entries.foreach(e => pending.append(toRow(e)))
       kids.foreach(stack.push)
     }

@@ -204,6 +204,60 @@ class SqliteSourceSpec extends AnyFunSuite {
     Files.delete(db)
   }
 
+  test("reader: WITHOUT ROWID TEXT leading key — range and prefix " +
+      "prune the index descent under BINARY collation") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("woridtext") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE kv (k TEXT, v TEXT, PRIMARY KEY (k)) WITHOUT ROWID")
+         |c.executemany("INSERT INTO kv VALUES (?,?)",
+         |  [("key-%04d" % i, 'pad-' * 40 + str(i)) for i in range(3000)])
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    def scan() = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "kv").load()
+    val rg = scan().filter(col("k") >= "key-2900" && col("k") < "key-2950")
+    val plan = rg.queryExecution.executedPlan.toString
+    assert(plan.contains("pk=[key-2900, key-2950]"),
+      s"text PK range not pushed:\n$plan")
+    assert(plan.contains("Filter"), "inexact pushdown keeps the filter")
+    assert(rg.count() == 50)
+    val pf = scan().filter(col("k").startsWith("key-01"))
+    assert(pf.queryExecution.executedPlan.toString
+      .contains("pk=[key-01, key-02)"), pf.queryExecution.executedPlan)
+    assert(pf.count() == 100)
+    // pages-read drop at the SqliteFile level: narrow text range vs
+    // full index walk
+    val d1 = new SqliteFile.Db(db.toString)
+    val tdef = SqliteFile.table(d1, "kv")
+    val all = SqliteFile.NumRange(Long.MinValue, Long.MaxValue)
+    def walkPages(db: SqliteFile.Db, range: SqliteFile.KeyRange): Int = {
+      val stack = scala.collection.mutable.Stack[Int](tdef.rootPage)
+      var n = 0
+      while (stack.nonEmpty) {
+        val (entries, kids) = SqliteFile.indexPageStep(db, stack.pop(), range)
+        n += entries.size
+        kids.foreach(stack.push)
+      }
+      n
+    }
+    assert(walkPages(d1, all) == 3000)
+    val fullPages = d1.pagesRead
+    d1.close()
+    val d2 = new SqliteFile.Db(db.toString)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val narrow = SqliteFile.TextRange(Some("key-2900".getBytes(utf8)),
+      Some("key-2950".getBytes(utf8)), hiExclusive = true)
+    assert(walkPages(d2, narrow) == 50)
+    val prunedPages = d2.pagesRead
+    d2.close()
+    assert(prunedPages * 3 < fullPages,
+      s"text pruning read $prunedPages of $fullPages pages — no drop")
+    Files.delete(db)
+  }
+
   test("reader: WITHOUT ROWID composite key in NON-declared order, " +
       "multi-level index b-tree, overflow payloads") {
     assume(pyAvailable, "python3/sqlite3 not available")
