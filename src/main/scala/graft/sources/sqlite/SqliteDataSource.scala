@@ -87,6 +87,15 @@ object SqliteDataSource {
           !(t.withoutRowid && pk(c.name.toLowerCase)))))
   }
 
+  /** Entry-record column order of a secondary index on a WITHOUT
+    * ROWID table: the indexed columns (index order), then the PRIMARY
+    * KEY columns (key order) that are not already indexed — the
+    * published index-entry layout. */
+  def worowidEntryCols(t: SqliteFile.TableDef,
+      ix: SqliteFile.IndexDef): Seq[String] =
+    ix.columns.map(_._1) ++ t.pkCols.filterNot(pk =>
+      ix.columns.exists(_._1.equalsIgnoreCase(pk)))
+
   /** Record position → declared column, for a WITHOUT ROWID table:
     * on disk the PRIMARY KEY columns come FIRST (in key order), then
     * the remaining columns in declared order. */
@@ -126,18 +135,16 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
     with SupportsPushDownRequiredColumns {
 
   // resolved once at planning: which column (if any) aliases the rowid,
-  // plus the table's usable CREATE INDEX b-trees (rowid tables only —
-  // a WITHOUT ROWID secondary index keys back by PRIMARY KEY, a
-  // lookback shape this reader does not implement)
+  // plus the table's usable CREATE INDEX b-trees. On a rowid table the
+  // index entry's trailing rowid keys a lookback; on a WITHOUT ROWID
+  // table the entry carries indexed + PRIMARY KEY columns, so only
+  // COVERING projections use it (PK-tuple lookback not implemented)
   private lazy val (tableDef: SqliteFile.TableDef,
       tableIndexes: Seq[SqliteFile.IndexDef]) = {
     val db = new SqliteFile.Db(opts.path)
     try {
       val t = SqliteFile.table(db, opts.table)
-      val idx =
-        if (t.withoutRowid) Seq.empty[SqliteFile.IndexDef]
-        else SqliteFile.indexes(db, opts.table)
-      (t, idx)
+      (t, SqliteFile.indexes(db, opts.table))
     } finally db.close()
   }
   private def rowidCol: Option[String] =
@@ -221,25 +228,33 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
         // PK-prefix pruning is INEXACT (SQLite's flexible typing can
         // store other classes in the key): report the range as pushed
         // so the plan shows the pruning, but leave EVERY filter
-        // residual for Spark to re-evaluate
-        if (cd.affinity == "INTEGER")
-          pushed = collectRange(Some(cd.name), strict = false)
-        else collectTextRange(cd.name) match {
+        // residual for Spark to re-evaluate. When no filter bounds the
+        // leading PK, fall through — a covering secondary index may
+        // still serve the query.
+        if (cd.affinity == "INTEGER") {
+          val accepted = collectRange(Some(cd.name), strict = false)
+          if (lo != Long.MinValue || hi != Long.MaxValue) {
+            pushed = accepted
+            return filters
+          }
+        } else collectTextRange(cd.name) match {
           case Some((accepted, r)) =>
             pushed = accepted
             chosenTextRange = Some(r)
+            return filters
           case None => ()
         }
-        return filters
       case None => ()
     }
-    // secondary CREATE INDEX scan (rowid tables): pick the first
-    // declared usable index — ascending, non-partial, non-expression,
-    // leading column either integer-affine or BINARY-collated
-    // text-affine — that a pushed range/equality/prefix actually
-    // BOUNDS (an index with no usable bound would scan every entry
-    // and pay a lookback per row — worse than the table scan). Same
-    // INEXACT stance as the PK-prefix path: the range prunes the
+    // secondary CREATE INDEX scan: pick the first declared usable
+    // index — ascending, non-partial, non-expression, leading column
+    // either integer-affine or BINARY-collated text-affine — that a
+    // pushed range/equality/prefix actually BOUNDS (an index with no
+    // usable bound would scan every entry and pay a lookback per row —
+    // worse than the table scan). On a WITHOUT ROWID table the
+    // candidate survives only if build() finds the projection COVERED
+    // by (indexed + PK) columns — there is no rowid to look back with.
+    // Same INEXACT stance as the PK-prefix path: the range prunes the
     // index descent (bands of the leading entry value), and every
     // filter stays residual for Spark.
     val byName = tableDef.columns.map(c => c.name.toLowerCase -> c).toMap
@@ -341,14 +356,25 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
     required = requiredSchema
 
   override def build(): Scan = {
-    // the one pushed index-descent range — the WITHOUT ROWID PK-prefix
-    // path and the secondary-index path are mutually exclusive
+    // a WITHOUT ROWID candidate survives only when the projection is
+    // covered by its entry columns (indexed + PK); a dropped candidate
+    // takes its collected range with it — that range bounds the INDEX
+    // column, not the PK, and must never leak into the PK-prefix scan
+    val keepIndex = chosenIndex.filter { ix =>
+      !tableDef.withoutRowid || {
+        val cols = SqliteDataSource.worowidEntryCols(tableDef, ix)
+          .map(_.toLowerCase).toSet
+        required.fieldNames.forall(f => cols(f.toLowerCase))
+      }
+    }
     val pushedRange: Option[SqliteFile.KeyRange] =
-      chosenTextRange.orElse(
-        if (chosenIndex.isDefined || pkPrefixCol.isDefined)
-          Some(SqliteFile.NumRange(lo, hi))
-        else None)
-    new SqliteScan(required, opts, tableDef, lo, hi, chosenIndex, pushedRange)
+      if (keepIndex.isDefined)
+        Some(chosenTextRange.getOrElse(SqliteFile.NumRange(lo, hi)))
+      else if (chosenIndex.isDefined) None
+      else if (pkPrefixCol.isDefined)
+        Some(chosenTextRange.getOrElse(SqliteFile.NumRange(lo, hi)))
+      else None
+    new SqliteScan(required, opts, tableDef, lo, hi, keepIndex, pushedRange)
   }
 }
 
@@ -358,16 +384,21 @@ final class SqliteScan(schema: StructType, opts: SqliteOptions,
     pushedRange: Option[SqliteFile.KeyRange] = None) extends Scan with Batch {
 
   private def indexRange: SqliteFile.KeyRange =
-    pushedRange.getOrElse(SqliteFile.NumRange(lo, hi))
+    pushedRange.getOrElse(
+      SqliteFile.NumRange(Long.MinValue, Long.MaxValue))
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
-  /** Covering when every required column is an indexed column or the
-    * rowid alias (which rides in every index entry's last slot) — then
-    * the table b-tree is never touched. */
+  /** Covering when every required column rides in the index entry:
+    * indexed columns plus, on a rowid table, the rowid alias (the
+    * entry's last slot) or, on a WITHOUT ROWID table, the PRIMARY KEY
+    * columns — then the table/PK b-tree is never touched. */
   private def covering(ix: SqliteFile.IndexDef): Boolean = {
-    val inEntry = ix.columns.map(_._1.toLowerCase).toSet ++
-      t.columns.find(_.rowidAlias).map(_.name.toLowerCase)
+    val inEntry =
+      if (t.withoutRowid)
+        SqliteDataSource.worowidEntryCols(t, ix).map(_.toLowerCase).toSet
+      else ix.columns.map(_._1.toLowerCase).toSet ++
+        t.columns.find(_.rowidAlias).map(_.name.toLowerCase)
     schema.fieldNames.forall(f => inEntry(f.toLowerCase))
   }
 
@@ -500,21 +531,32 @@ final class SqliteSecIndexReader(schema: StructType,
   private val db = new SqliteFile.Db(part.opts.path, cachePages = 256)
   private val slotOf = schema.fieldNames.zipWithIndex.toMap
   private val rowidAlias = t.columns.find(_.rowidAlias).map(_.name)
+  // entry layout: rowid table = (indexed..., rowid); WITHOUT ROWID =
+  // (indexed..., missing PK cols) — no rowid, so covering is REQUIRED
+  // there (the planner guarantees it)
+  private val entryCols: Seq[String] =
+    if (t.withoutRowid) SqliteDataSource.worowidEntryCols(t, ix)
+    else ix.columns.map(_._1)
   private val covering: Boolean = {
-    val inEntry = ix.columns.map(_._1.toLowerCase).toSet ++
-      rowidAlias.map(_.toLowerCase)
+    val inEntry = entryCols.map(_.toLowerCase).toSet ++
+      (if (t.withoutRowid) Set.empty else rowidAlias.map(_.toLowerCase))
     schema.fieldNames.forall(f => inEntry(f.toLowerCase))
   }
+  require(covering || !t.withoutRowid,
+    s"WITHOUT ROWID secondary index ${ix.name} planned for a " +
+      "non-covered projection — planner bug")
   private val nIdxCols = ix.columns.size
-  // entry record position -> output slot (covering path); the rowid
-  // (last position) fills the alias column when required
+  // entry record position -> output slot (covering path); on a rowid
+  // table the rowid (last position) fills the alias column if required
   private val entryWant: Array[Int] = {
     val byName = slotOf.map { case (k, v) => k.toLowerCase -> v }
-    ix.columns.map(c =>
-      byName.getOrElse(c._1.toLowerCase, -1)).toArray :+
+    val cols = entryCols.map(c =>
+      byName.getOrElse(c.toLowerCase, -1)).toArray
+    if (t.withoutRowid) cols
+    else cols :+
       rowidAlias.flatMap(n => byName.get(n.toLowerCase)).getOrElse(-1)
   }
-  // entry position of the rowid alone (lookback path)
+  // entry position of the rowid alone (lookback path, rowid tables)
   private val rowidOnlyWant: Array[Int] =
     Array.fill(nIdxCols)(-1) :+ 0
   // table record column -> output slot (lookback path)

@@ -807,6 +807,40 @@ class SqliteSourceSpec extends AnyFunSuite {
     Files.delete(db)
   }
 
+  test("reader: WITHOUT ROWID secondary index — covering projections " +
+      "scan it (entries carry indexed + PK columns), non-covered fall " +
+      "back to the table") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("woridsec") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE ev (k TEXT, grp INTEGER, payload TEXT, PRIMARY KEY (k)) WITHOUT ROWID")
+         |c.executemany("INSERT INTO ev VALUES (?,?,?)",
+         |  [("key-%04d" % i, (i * 13) % 200, 'pad-' * 30 + str(i))
+         |   for i in range(3000)])
+         |c.execute("CREATE INDEX idx_grp ON ev (grp)")
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    def scan() = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "ev").load()
+    val expect = (0 until 3000).filter(i => (i * 13) % 200 == 42)
+      .map(i => f"key-$i%04d").toSet
+    // covering: (grp, k) both ride in the index entry — no table pages
+    val cov = scan().filter(col("grp") === 42).select("k", "grp")
+    val plan = cov.queryExecution.executedPlan.toString
+    assert(plan.contains("index=idx_grp") && plan.contains("covering=true"),
+      s"covering worowid index not chosen:\n$plan")
+    assert(cov.collect().map(_.getString(0)).toSet == expect)
+    // non-covered: payload is not in the entry and there is no rowid
+    // to look back with — the index candidate must be dropped
+    val full = scan().filter(col("grp") === 42).select("k", "payload")
+    assert(!full.queryExecution.executedPlan.toString.contains("index="),
+      full.queryExecution.executedPlan)
+    assert(full.collect().map(_.getString(0)).toSet == expect)
+    Files.delete(db)
+  }
+
   test("reader: DESC / partial / expression indexes are never chosen") {
     assume(pyAvailable, "python3/sqlite3 not available")
     val db = fixture("badidx") { p =>
