@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -209,6 +209,12 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
           hi = math.min(hi, asLong(v).get - (if (strict) 1 else 0)); true
         case LessThanOrEqual(c, v) if key.contains(c) && asLong(v).isDefined =>
           hi = math.min(hi, asLong(v).get); true
+        // IN-list: the covering [min, max] range — INEXACT paths only
+        // (the exact rowid walk would over-admit the gaps)
+        case In(c, vs) if !strict && key.contains(c) && vs.nonEmpty &&
+            vs.forall(v => asLong(v).isDefined) =>
+          val ls = vs.map(v => asLong(v).get)
+          lo = math.max(lo, ls.min); hi = math.min(hi, ls.max); true
         case IsNotNull(c) if key.contains(c) => true // keys are never null
         case _ => false
       }
@@ -339,6 +345,16 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
           if c.equalsIgnoreCase(key) =>
         raiseLo(p.getBytes(utf8))
         nextPrefix(p.getBytes(utf8)).foreach(lowerHi(_, ex = true))
+        true
+      case In(c, vs) if c.equalsIgnoreCase(key) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) =>
+        val bs = vs.map(_.asInstanceOf[String].getBytes(utf8))
+        raiseLo(bs.minBy(identity)(
+          (a: Array[Byte], b: Array[Byte]) =>
+            java.util.Arrays.compareUnsigned(a, b)))
+        lowerHi(bs.maxBy(identity)(
+          (a: Array[Byte], b: Array[Byte]) =>
+            java.util.Arrays.compareUnsigned(a, b)), ex = false)
         true
       case IsNotNull(c) if c.equalsIgnoreCase(key) => true
       case _ => false

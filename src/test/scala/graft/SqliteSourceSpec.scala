@@ -715,6 +715,14 @@ class SqliteSourceSpec extends AnyFunSuite {
     assert(plan.contains("key=[100, 149]"), plan)
     assert(plan.contains("Filter"),
       "inexact pushdown must keep the Spark-side filter")
+    // IN-list pushes its covering [min, max] range
+    val inl = scan().filter(col("price").isin(120, 110, 115)).select("id")
+    val iplan = inl.queryExecution.executedPlan.toString
+    assert(iplan.contains("index=idx_price") &&
+      iplan.contains("key=[110, 120]"), iplan)
+    assert(inl.collect().map(_.getLong(0)).toSet ==
+      (1 to 5000).filter(i => Set(110, 115, 120)((i * 37) % 5000))
+        .map(_.toLong).toSet)
     // covering: id (rowid, rides in every entry) + price — no lookback
     val cov = scan().filter(col("price") === 250).select("price", "id")
     assert(cov.queryExecution.executedPlan.toString
