@@ -113,6 +113,22 @@ object Bench {
         java.lang.management.ManagementFactory
           .getOperatingSystemMXBean.getSystemLoadAverage
       }
+    // Hypervisor steal is the contention loadavg CANNOT see: on a
+    // shared VM a co-tenant inflates every row ~uniformly while load1
+    // stays flat (measured here: 19.5% steal under full load with an
+    // idle-looking loadavg). Per row, the aggregate /proc/stat cpu
+    // line is sampled at start and end; steal_pct is the stolen share
+    // of ALL cpu ticks during the row — the one number that
+    // adjudicates "slow row" vs "starved host" from the artifact.
+    def cpuTicks(): Option[(Long, Long)] =
+      try {
+        val line = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu "))
+        line.map { l =>
+          val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+          (f.sum, if (f.length > 7) f(7) else 0L)
+        }
+      } catch { case _: Throwable => None }
     def dropResidue(): Unit =
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
@@ -124,6 +140,7 @@ object Bench {
       val n = if (Headline(q.name)) iters else 1
       val startMs = System.currentTimeMillis() - benchT0
       val loadAtStart = load1()
+      val ticks0 = cpuTicks()
       val (gcN0, gcMs0) = gcNow()
       // raw = ARRIVAL order (not sorted): the per-iteration trail is
       // emitted below so a one-off slow iteration is distinguishable
@@ -158,10 +175,16 @@ object Bench {
         }
       dropResidue() // this row's checkpoints must not tax the next row
       val (gcN1, gcMs1) = gcNow()
+      val stealPct = (ticks0, cpuTicks()) match {
+        case (Some((t0, s0)), Some((t1, s1))) if t1 > t0 =>
+          BigDecimal(100.0 * (s1 - s0) / (t1 - t0))
+            .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+        case _ => "-1.0"
+      }
       telemetry(q.name) =
         s"""{"order":$runOrder,"start_ms":$startMs,"load1":${
           BigDecimal(loadAtStart).setScale(2,
-            BigDecimal.RoundingMode.HALF_UP)},"gc_ms":${
+            BigDecimal.RoundingMode.HALF_UP)},"steal_pct":$stealPct,"gc_ms":${
           gcMs1 - gcMs0},"gc_n":${gcN1 - gcN0},"heap_mb":${heapMb()}}"""
       runOrder += 1
       val sorted = raw.sorted
