@@ -69,6 +69,14 @@ def main():
             "SELECT count(*) AS n FROM nation WHERE n_regionkey = :rk",
             params={"rk": 2})
         assert prows[0][0] == len(p) + 1, (prows, len(p))
+        # float and bool parameter classes round-trip through the
+        # single-row Arrow batch and Spark's parameterized SQL
+        fb = conn.sql(
+            "SELECT :f * 2 AS d, NOT :b AS nb, :f > 1.0 AS gt",
+            params={"f": 1.25, "b": True})
+        assert fb.column("d")[0].as_py() == 2.5, fb
+        assert fb.column("nb")[0].as_py() is False, fb
+        assert fb.column("gt")[0].as_py() is True, fb
 
         # server-side failures map to QueryError
         try:
