@@ -89,7 +89,12 @@ object CorpusOps {
       }
       // union by MIN root: the representative of a component is always
       // its smallest doc_id — exactly the min(label) the oracle computes
-      pairs.collect().foreach { case (x, y) =>
+      val collected = pairs.collect()
+      // the RDD's only consumers (count + collect) have run — release
+      // the executor storage now; GraftSession callers have no
+      // Bench-style dropResidue to do it for them
+      pairs.unpersist(blocking = false)
+      collected.foreach { case (x, y) =>
         val rx = find(x); val ry = find(y)
         if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
       }
@@ -162,11 +167,20 @@ object CorpusOps {
           .map { case (_, (n, pl)) => (n, pl) }
         next.cache()
         val roundSum = next.map(_._2).fold(0L)(_ + _)
+        // `next` is materialized by the fold — the previous round's
+        // cached labels are dead weight from here; release them so a
+        // long-lived session doesn't accumulate O(rounds) storage
+        if (rounds > 0) labels.unpersist(blocking = false)
         converged = roundSum == prevSum
         prevSum = roundSum
         labels = next
         rounds += 1
       }
+      // pairs and e have no consumer past this point (the final labels
+      // stay cached — they back the returned DataFrame; the
+      // ContextCleaner reclaims them once the result is unreachable)
+      pairs.unpersist(blocking = false)
+      e.unpersist(blocking = false)
       val cc = s.createDataFrame(
         labels.map { case (n, l) => org.apache.spark.sql.Row(n, l) },
         org.apache.spark.sql.types.StructType(Seq(

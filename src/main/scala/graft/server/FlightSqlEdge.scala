@@ -335,7 +335,7 @@ object FlightSqlEdge {
   /** Magic prefix of a parameter-carrying prepared-statement handle.
     * Contains a NUL, so no legacy plain-SQL handle can collide. */
   private val HandleMagic: Array[Byte] =
-    "GRAFT-PS1 ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    "GRAFT-PS1\u0000".getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   /** Encode (sql, bound params) into a stateless handle. With no
     * params the handle IS the SQL bytes — the legacy form every
@@ -426,7 +426,10 @@ object FlightSqlEdge {
             case i: java.lang.Integer => i.intValue()
             case l: java.lang.Long => l.longValue()
             case s: java.lang.Short => s.intValue()
-            case f: java.lang.Float => f.doubleValue()
+            // round-trip through the decimal string: widening binary32
+            // 0.1f via doubleValue() yields 0.10000000149…, silently
+            // missing equality predicates on the intended decimal value
+            case f: java.lang.Float => f.toString.toDouble
             case x: java.lang.Double => x.doubleValue()
             case other => throw new GrpcStatusException(3,
               s"unsupported parameter type ${other.getClass.getSimpleName}" +

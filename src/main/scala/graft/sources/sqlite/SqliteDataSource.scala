@@ -164,7 +164,12 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
     else tableDef.pkCols.headOption.flatMap(n =>
       tableDef.columns.find(_.name.equalsIgnoreCase(n)))
       .filter(c => c.affinity == "INTEGER" ||
-        (c.affinity == "TEXT" && !c.collated))
+        // the key's EFFECTIVE collation: the column definition's
+        // COLLATE or a table-level `PRIMARY KEY (k COLLATE …)` — a
+        // NOCASE-ordered PK index diverges from byte order, so text
+        // band pruning would silently drop matching rows
+        (c.affinity == "TEXT" && !c.collated &&
+          !tableDef.pkCollated.headOption.contains(true)))
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema

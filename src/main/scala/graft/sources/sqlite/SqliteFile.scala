@@ -49,10 +49,15 @@ object SqliteFile {
     * table this is the index b-tree's key prefix and decides the
     * on-disk record column order. `pkDesc` is each key part's sort
     * direction: a DESC leading key stores the index in REVERSE order,
-    * which disables ascending-band prefix pruning. */
+    * which disables ascending-band prefix pruning. `pkCollated` is each
+    * key part's effective collation: a table-level
+    * `PRIMARY KEY (k COLLATE NOCASE)` orders the PK index by NOCASE even
+    * when the column DEFINITION carries no COLLATE, so text band pruning
+    * must consult this flag alongside the column's own `collated`. */
   final case class TableDef(name: String, rootPage: Int, sql: String,
       columns: Seq[ColumnDef], withoutRowid: Boolean,
-      pkCols: Seq[String], pkDesc: Seq[Boolean])
+      pkCols: Seq[String], pkDesc: Seq[Boolean],
+      pkCollated: Seq[Boolean] = Seq.empty)
 
   /** A decoded value: null, Long, Double, String, or Array[Byte] —
     * the four SQLite storage classes besides NULL. */
@@ -628,7 +633,7 @@ object SqliteFile {
             if root > 0 =>
           val (cols, noRowid, pk) = parseCreateTable(sql)
           rows += TableDef(name, root.toInt, sql, cols, noRowid,
-            pk.map(_._1), pk.map(_._2))
+            pk.map(_._1), pk.map(_._2), pk.map(_._3))
         case _ => ()
       }
     }
@@ -811,8 +816,8 @@ object SqliteFile {
     * ("x", [x], `x`, 'x') and multi-word type names are handled;
     * table-level constraints (PRIMARY KEY(…), UNIQUE(…), CHECK(…),
     * FOREIGN KEY(…)) are skipped. */
-  def parseCreateTable(
-      sql: String): (Seq[ColumnDef], Boolean, Seq[(String, Boolean)]) = {
+  def parseCreateTable(sql: String)
+      : (Seq[ColumnDef], Boolean, Seq[(String, Boolean, Boolean)]) = {
     val open = sql.indexOf('(')
     require(open > 0, s"malformed CREATE TABLE: $sql")
     // find the matching close paren of the column list
@@ -861,8 +866,8 @@ object SqliteFile {
     // in the rowid-alias rule (including the documented DESC quirk:
     // table-level `PRIMARY KEY(x DESC)` DOES alias; column-level
     // `INTEGER PRIMARY KEY DESC` does NOT)
-    var tablePkCols: Seq[(String, Boolean)] = Seq.empty
-    var colPkName: Option[(String, Boolean)] = None
+    var tablePkCols: Seq[(String, Boolean, Boolean)] = Seq.empty
+    var colPkName: Option[(String, Boolean, Boolean)] = None
     val cols = parts.map(_.trim).filter(_.nonEmpty).flatMap { p =>
       val (name, rest) = takeIdentifier(p)
       if (constraintHeads(name.toUpperCase) && !p.startsWith("\"") &&
@@ -878,11 +883,16 @@ object SqliteFile {
           val rp = p.lastIndexOf(')')
           if (lp > 0 && rp > lp) {
             // key ORDER matters: PRIMARY KEY(b, a) stores b first;
-            // a per-part DESC reverses that part's index ordering
+            // a per-part DESC reverses that part's index ordering, and
+            // a per-part COLLATE (legal here: `PRIMARY KEY (k COLLATE
+            // NOCASE)`) reorders the PK index away from byte order
             tablePkCols = p.substring(lp + 1, rp).split(',').toSeq
               .map { c =>
                 val (n, rest) = takeIdentifier(c.trim)
-                (n, rest.toUpperCase.split("""\s+""").contains("DESC"))
+                val ts = tokenize(rest.toUpperCase)
+                val ci = ts.indexOf("COLLATE")
+                (n, ts.contains("DESC"),
+                  ci >= 0 && !ts.lift(ci + 1).contains("BINARY"))
               }.filter(_._1.nonEmpty)
           }
         }
@@ -910,12 +920,13 @@ object SqliteFile {
         val colPkDesc = colPk &&
           tokenize(upper).containsSlice(Seq("PRIMARY", "KEY", "DESC"))
         val aff = affinityOf(declared)
-        if (colPk && colPkName.isEmpty) colPkName = Some((name, colPkDesc))
         val collated = {
           val ts = tokenize(upper)
           val ci = ts.indexOf("COLLATE")
           ci >= 0 && !ts.lift(ci + 1).contains("BINARY")
         }
+        if (colPk && colPkName.isEmpty)
+          colPkName = Some((name, colPkDesc, collated))
         Some(ColumnDef(name, declared, aff,
           rowidAlias =
             exactInteger && colPk && !colPkDesc && !withoutRowid,
@@ -925,7 +936,7 @@ object SqliteFile {
     // resolve a table-level single-column PK: aliases iff the named
     // column's declared type is exactly INTEGER
     val withTablePk = tablePkCols match {
-      case Seq((pk, _)) if !withoutRowid =>
+      case Seq((pk, _, _)) if !withoutRowid =>
         cols.map { c =>
           // identifiers are case-insensitive: PRIMARY KEY(ID) aliases id
           if (c.name.equalsIgnoreCase(pk) &&

@@ -258,6 +258,41 @@ class SqliteSourceSpec extends AnyFunSuite {
     Files.delete(db)
   }
 
+  test("reader: table-level PRIMARY KEY (k COLLATE NOCASE) disables " +
+      "byte-order band pruning — no silently dropped rows") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    // NOCASE interleaves 'a…' and 'B…' keys by digits while byte order
+    // puts every 'B'(0x42) before every 'a'(0x61): BINARY band pruning
+    // on this NOCASE-ordered tree would cut subtrees holding matching
+    // 'a…' rows (the r17-advice scenario). The COLLATE lives in the
+    // TABLE-LEVEL PK clause, which the column-def parser never sees.
+    val db = fixture("nocasepk") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE kv (k TEXT, v TEXT, PRIMARY KEY (k COLLATE NOCASE)) WITHOUT ROWID")
+         |c.executemany("INSERT INTO kv VALUES (?,?)",
+         |  [(('a%06d' if i % 2 == 0 else 'B%06d') % i,
+         |    'pad-' * 40 + str(i)) for i in range(3000)])
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    val d1 = new SqliteFile.Db(db.toString)
+    val tdef = SqliteFile.table(d1, "kv")
+    d1.close()
+    assert(tdef.pkCollated == Seq(true),
+      s"table-level PK COLLATE NOCASE not parsed: ${tdef.pkCollated}")
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "kv").load()
+      .filter(col("k") >= "a")
+    // pruning must stay OFF: the descent keeps the unbounded range…
+    assert(df.queryExecution.executedPlan.toString
+      .contains("pk=[-inf, +inf]"), df.queryExecution.executedPlan)
+    // …and every byte-order match survives (all 1500 'a…' keys; every
+    // 'B…' key is < 'a' in Spark's binary comparison)
+    assert(df.count() == 1500)
+    Files.delete(db)
+  }
+
   test("reader: WITHOUT ROWID composite key in NON-declared order, " +
       "multi-level index b-tree, overflow payloads") {
     assume(pyAvailable, "python3/sqlite3 not available")
