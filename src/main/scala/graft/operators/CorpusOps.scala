@@ -202,6 +202,97 @@ object CorpusOps {
     }
   }
 
+  /** Five damped (0.85) PageRank power iterations in exact integer
+    * micro-units over the undirected pair graph — pr0 = 1000000 per
+    * node, update = 150000 + (85·Σ pr(src) div deg(src)) div 100, all
+    * BIGINT so every engine derives identical values.
+    *
+    * Adaptive on the MEASURED pair count, the same broadcast-build bar
+    * as [[dupClusterLabels]]: at or below [[DriverCcMaxPairs]] the pair
+    * list is collected and the five iterations run as array arithmetic
+    * on the driver — zero iteration jobs, zero extra plan cycles (the
+    * r17 profile showed the five chained join+agg stages paying ~1 s of
+    * per-stage AQE replanning on a KB-sized edge list). Above the bar,
+    * the distributed formulation: one lazy plan of five equi-join +
+    * map-side-combinable sum stages over a once-checkpointed edge
+    * relation — the canonical distributed PageRank step, width following
+    * the edge count. Both paths produce identical BIGINTs (integer
+    * division is order-free) — CorpusOpsSpec pins them against each
+    * other by forcing the distributed path. */
+  private[graft] def pageRankMicro(s: SparkSession, pairsDf: DataFrame,
+      maxDriverPairs: Long = DriverCcMaxPairs): DataFrame = {
+    // ONE gating action: take bar+1 rows. Fewer than that = the exact
+    // pair list is already on the driver (no separate count job, no RDD
+    // cache); more = fall to the distributed plan, which re-derives the
+    // pair join lazily (the rare giant-graph case pays one recompute
+    // rather than every call paying an extra job).
+    val take = pairsDf.head(
+      math.min(maxDriverPairs, Int.MaxValue - 1L).toInt + 1)
+    val longT = org.apache.spark.sql.types.LongType
+    if (maxDriverPairs >= 0 && take.length <= maxDriverPairs) {
+      // ---- driver path: only the measured-bounded pair list reaches
+      // the driver; 5 iterations of long arithmetic over flat maps
+      val edges = take.map(r => (r.getLong(0), r.getLong(1)))
+      val deg = scala.collection.mutable.LongMap.empty[Long]
+      edges.foreach { case (u, v) =>
+        deg(u) = deg.getOrElse(u, 0L) + 1
+        deg(v) = deg.getOrElse(v, 0L) + 1
+      }
+      var pr = scala.collection.mutable.LongMap.empty[Long]
+      deg.foreachKey(n => pr(n) = 1000000L)
+      for (_ <- 1 to 5) {
+        val sums = scala.collection.mutable.LongMap.empty[Long]
+        // contribution flows BOTH ways across an undirected pair —
+        // exactly the oracle's symmetric `edges` relation
+        edges.foreach { case (u, v) =>
+          sums(v) = sums.getOrElse(v, 0L) + pr(u) / deg(u)
+          sums(u) = sums.getOrElse(u, 0L) + pr(v) / deg(v)
+        }
+        val next = scala.collection.mutable.LongMap.empty[Long]
+        sums.foreach { case (n, sm) => next(n) = 150000L + 85L * sm / 100L }
+        pr = next
+      }
+      val rows = pr.toSeq.map { case (n, p) =>
+        org.apache.spark.sql.Row(n, deg(n), p) }
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        org.apache.spark.sql.types.StructType(Seq("doc_id", "deg", "pr")
+          .map(f => org.apache.spark.sql.types.StructField(f, longT,
+            nullable = false))))
+        // the final division + round runs IN Spark so float semantics
+        // stay identical to the distributed path
+        .select(col("doc_id"), col("deg"),
+          round(col("pr").cast("double") / 1000000, 6).as("pagerank"))
+    } else {
+      // ---- distributed path: the pair relation checkpoints ONCE (it
+      // feeds deg and both edge directions), the five iterations nest
+      // into one lazy plan — no per-round action, no re-planning
+      val pairsCk = pairsDf.toDF("u", "v").localCheckpoint(false)
+      val deg = pairsCk.select(col("u").as("node"))
+        .union(pairsCk.select(col("v")))
+        .groupBy(col("node")).agg(count(lit(1)).cast("bigint").as("deg"))
+        .localCheckpoint(false)
+      val edges = pairsCk.join(deg, pairsCk("u") === deg("node"))
+        .select(col("u").as("src"), col("v").as("dst"), col("deg"))
+        .union(pairsCk.join(deg, pairsCk("v") === deg("node"))
+          .select(col("v"), col("u"), col("deg")))
+        .localCheckpoint(false) // 5 iterations reuse the edge relation
+      var pr = deg.select(col("node"), lit(1000000L).as("pr"))
+      for (_ <- 1 to 5) {
+        pr = edges.join(pr, edges("src") === pr("node"))
+          .select(col("dst"), expr("pr div deg").as("contrib"))
+          .groupBy(col("dst")).agg(
+            (lit(150000L) + expr("85 * sum(contrib) div 100"))
+              .cast("bigint").as("pr"))
+          .select(col("dst").as("node"), col("pr"))
+      }
+      pr.join(deg, "node")
+        .select(col("node").as("doc_id"), col("deg"),
+          round(col("pr").cast("double") / 1000000, 6).as("pagerank"))
+    }
+  }
+
   /** Chunk geometry: 64-token windows, stride 48 (16-token overlap) —
     * the sliding-context shape every LM data pipeline cuts. */
   private val ChunkLen = 64
@@ -702,41 +793,29 @@ object CorpusOps {
       graft.functions.VectorFunctions.register(s)
       // Spark ships 8-byte fused gram hashes where the oracle uses
       // md5-string grams — only the equality structure crosses engines
-      // (the d_repeated_ngrams contract)
-      val grams = withNorm(t(s, dir).documents)
+      // (the d_repeated_ngrams contract). The pair graph is derived in
+      // ONE linear pipeline (the LSH bucket-cap shape): group docs per
+      // gram, keep grams with 2–64 docs, and explode each gram's ≤2016
+      // ordered doc pairs in place — no join-back of the df filter, no
+      // gram self-join, no checkpoint (single consumer chain), and only
+      // two bounded shuffles (by gram hash, then by pair).
+      val pairs = withNorm(t(s, dir).documents)
         .filter(size(col("words")) >= 5)
-        .select(col("doc_id"), explode(expr("graft_gram_hashes(words, 5)")).as("g"))
-        .localCheckpoint(false)
-      val dfg = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 64)
-      val gf = grams.join(dfg, "g").select(col("doc_id"), col("g"))
-      val a = gf.select(col("g"), col("doc_id").as("u"))
-      val b = gf.select(col("g"), col("doc_id").as("v"))
-      val pairs = a.join(b, Seq("g")).filter(col("u") < col("v"))
+        .select(col("doc_id"),
+          explode(expr("graft_gram_hashes(words, 5)")).as("g"))
+        .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")).between(2, 64))
+        .select(sort_array(col("ds")).as("ds"))
+        .select(explode(expr(
+          // ordered pairs (u < v) of the sorted per-gram doc list —
+          // identical multiset to the oracle's gf-self-join
+          """flatten(transform(ds, (u, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |    v -> struct(u AS u, v AS v))))""".stripMargin)).as("p"))
+        .select(col("p.u"), col("p.v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 3).select(col("u"), col("v"))
-        .localCheckpoint(false) // feeds deg AND both edge directions
-      val deg = pairs.select(col("u").as("node"))
-        .union(pairs.select(col("v")))
-        .groupBy(col("node")).agg(count(lit(1)).cast("bigint").as("deg"))
-        .localCheckpoint(false)
-      val edges = pairs.join(deg, pairs("u") === deg("node"))
-        .select(col("u").as("src"), col("v").as("dst"), col("deg"))
-        .union(pairs.join(deg, pairs("v") === deg("node"))
-          .select(col("v"), col("u"), col("deg")))
-        .localCheckpoint(false) // 5 iterations reuse the edge relation
-      var pr = deg.select(col("node"), lit(1000000L).as("pr"))
-      for (_ <- 1 to 5) {
-        pr = edges.join(pr, edges("src") === pr("node"))
-          .select(col("dst"), expr("pr div deg").as("contrib"))
-          .groupBy(col("dst")).agg(
-            (lit(150000L) + expr("85 * sum(contrib) div 100"))
-              .cast("bigint").as("pr"))
-          .select(col("dst").as("node"), col("pr"))
-      }
-      pr.join(deg, "node")
-        .select(col("node").as("doc_id"), col("deg"),
-          round(col("pr").cast("double") / 1000000, 6).as("pagerank"))
+      pageRankMicro(s, pairs)
     },
 
     // -------------------------------------- cross-document repetition mass
