@@ -459,6 +459,11 @@ class FlightConnection:
             return ConnectionError(str(e))
         if isinstance(e, fl.FlightError):
             return QueryError(str(e))
+        import pyarrow as pa
+        # DoPut surfaces server-side INVALID_ARGUMENT through the batch
+        # writer as ArrowInvalid, not as a FlightError subclass
+        if isinstance(e, pa.lib.ArrowInvalid):
+            return QueryError(str(e))
         return e
 
     def _statement_info(self, query):
@@ -497,7 +502,15 @@ class FlightConnection:
                 fl.FlightDescriptor.for_command(cmd), rb.schema, self._opts)
             writer.write_batch(rb)
             writer.done_writing()
-            bound = _pb_scan(reader.read().to_pybytes())[1]
+            msg = reader.read()
+            if msg is None:
+                # the server refused the bind: close() surfaces the
+                # underlying Flight error (e.g. INVALID_ARGUMENT for an
+                # unsupported parameter class) instead of a bare
+                # AttributeError off the empty result stream
+                writer.close()
+                raise QueryError("prepared-statement bind returned no result")
+            bound = _pb_scan(msg.to_pybytes())[1]
             writer.close()
             return bound
         except GraftError:

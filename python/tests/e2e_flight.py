@@ -78,6 +78,60 @@ def main():
         assert fb.column("nb")[0].as_py() is False, fb
         assert fb.column("gt")[0].as_py() is True, fb
 
+        # float32 binds by decimal value, not by widened binary32 bits:
+        # 0.1f widened bitwise is 0.10000000149…, which would miss the
+        # equality below
+        import numpy as np
+        f32 = conn.sql("SELECT :f = 0.1 AS eq, :f AS v",
+                       params={"f": np.float32(0.1)})
+        assert f32.column("eq")[0].as_py() is True, f32.to_pydict()
+        assert f32.column("v")[0].as_py() == 0.1, f32.to_pydict()
+
+        # DECIMAL: scale survives the bind (decimal128(4,3) -> DECIMAL(4,3))
+        from decimal import Decimal
+        dec = conn.sql(
+            "SELECT :d AS v, :d = CAST(1.250 AS DECIMAL(4,3)) AS eq, "
+            ":d + 1 AS plus",
+            params={"d": Decimal("1.250")})
+        assert dec.column("v")[0].as_py() == Decimal("1.250"), dec.to_pydict()
+        assert dec.column("eq")[0].as_py() is True, dec.to_pydict()
+        assert dec.column("plus")[0].as_py() == Decimal("2.250"), dec.to_pydict()
+
+        # DATE: date32 days — decoded as anything but days this is
+        # 1970-01-20 (days-as-millis) or garbage; leap day pins it
+        import datetime as dt
+        day = conn.sql(
+            "SELECT :dt AS d, year(:dt) AS y, datediff(:dt, DATE'2024-02-28') AS dd",
+            params={"dt": dt.date(2024, 2, 29)})
+        assert day.column("d")[0].as_py() == dt.date(2024, 2, 29), day.to_pydict()
+        assert day.column("y")[0].as_py() == 2024, day.to_pydict()
+        assert day.column("dd")[0].as_py() == 1, day.to_pydict()
+
+        # TIMESTAMP (naive -> TIMESTAMP_NTZ): microsecond precision —
+        # a micros-vs-millis unit slip shifts this by 1000x and drops
+        # the 789123 tail
+        naive = dt.datetime(2024, 3, 1, 12, 34, 56, 789123)
+        ts = conn.sql(
+            "SELECT :ts AS t, date_part('SECOND', :ts) AS sec",
+            params={"ts": naive})
+        assert ts.column("t")[0].as_py() == naive, ts.to_pydict()
+        assert float(ts.column("sec")[0].as_py()) == 56.789123, ts.to_pydict()
+
+        # TIMESTAMP (tz-aware -> TIMESTAMP WITH TZ): instant preserved
+        aware = dt.datetime(2024, 3, 1, 12, 34, 56, 789123,
+                            tzinfo=dt.timezone.utc)
+        tz = conn.sql("SELECT :ts AS t", params={"ts": aware})
+        got = tz.column("t")[0].as_py()
+        assert got == aware, (got, aware)
+
+        # an unsupported parameter class fails LOUDLY at bind time
+        # (INVALID_ARGUMENT naming the parameter), never a silent coercion
+        try:
+            conn.sql("SELECT :v AS v", params={"v": [1, 2]})
+            raise AssertionError("expected QueryError for list param")
+        except graft.QueryError as e:
+            assert "unsupported parameter type" in str(e), e
+
         # server-side failures map to QueryError
         try:
             conn.sql("SELECT * FROM no_such_table")

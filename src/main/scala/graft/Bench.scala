@@ -23,12 +23,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      // default shuffle width = cores (the sf0.1 contract); scale
-      // probes override it — at 50x data the 32-wide shuffle puts
-      // q10's reduce tasks at the spill edge, and the production rule
-      // is to size width to data volume, not core count
+      // shuffle width follows DATA VOLUME, not core count (the r17 50×
+      // probe: a 32-wide shuffle put q10's reduce tasks at the spill
+      // edge, trail 19–95 s; 128-wide ran flat). ShuffleWidth sizes it
+      // from the measured on-disk bytes with the core count as floor —
+      // at sf0.1 that lands exactly on the recorded 32-wide contract.
+      // SPARK_GRAFT_SHUFFLE remains an explicit override for probes.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          graft.session.ShuffleWidth.forBytes(
+            graft.session.ShuffleWidth.dirBytes(sfDir), cpus.toInt).toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -98,6 +98,9 @@ object ArrowResults {
     case BinaryType => ArrowType.Binary.INSTANCE
     case DateType => new ArrowType.Date(DateUnit.DAY)
     case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+    // no-timezone twin: tz-less Arrow timestamp (a bound :param of a
+    // naive datetime comes back typed, not stringly)
+    case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
     case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
     case other =>
       // nested/exotic types serve as their JSON/string rendering — same
@@ -140,6 +143,14 @@ object ArrowResults {
           case ts: java.time.Instant =>
             x.setSafe(i, ts.getEpochSecond * 1000000L + ts.getNano / 1000L)
           case other => throw new IllegalStateException(s"unhandled timestamp $other")
+        }
+        case (x: TimeStampMicroVector, _) => r.get(c) match {
+          // TIMESTAMP_NTZ's external type is LocalDateTime under either
+          // java8API setting
+          case ts: java.time.LocalDateTime =>
+            x.setSafe(i, ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              ts.getNano / 1000L)
+          case other => throw new IllegalStateException(s"unhandled ntz $other")
         }
         case (x: DecimalVector, _) =>
           x.setSafe(i, r.getDecimal(c).setScale(x.getScale))

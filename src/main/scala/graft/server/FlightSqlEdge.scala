@@ -363,6 +363,20 @@ object FlightSqlEdge {
         case s: String =>
           val b = s.getBytes(utf8)
           d.writeByte('S'); d.writeInt(b.length); d.write(b)
+        // the decimal travels as its plain string — scale survives
+        case bd: java.math.BigDecimal =>
+          val b = bd.toPlainString.getBytes(utf8)
+          d.writeByte('C'); d.writeInt(b.length); d.write(b)
+        case ld: java.time.LocalDate =>
+          d.writeByte('A'); d.writeLong(ld.toEpochDay)
+        // second + nano pairs: exact for any timestamp either class holds
+        case ts: java.time.Instant =>
+          d.writeByte('T'); d.writeLong(ts.getEpochSecond)
+          d.writeInt(ts.getNano)
+        case ldt: java.time.LocalDateTime =>
+          d.writeByte('M')
+          d.writeLong(ldt.toEpochSecond(java.time.ZoneOffset.UTC))
+          d.writeInt(ldt.getNano)
         case other => throw new GrpcStatusException(3,
           s"unsupported parameter type ${other.getClass.getName} for $k")
       }
@@ -397,6 +411,14 @@ object FlightSqlEdge {
         case 'L' => d.readLong()
         case 'D' => d.readDouble()
         case 'S' => str()
+        case 'C' => new java.math.BigDecimal(str())
+        case 'A' => java.time.LocalDate.ofEpochDay(d.readLong())
+        case 'T' =>
+          val sec = d.readLong(); java.time.Instant.ofEpochSecond(sec, d.readInt())
+        case 'M' =>
+          val sec = d.readLong()
+          java.time.LocalDateTime.ofEpochSecond(sec, d.readInt(),
+            java.time.ZoneOffset.UTC)
         case t => throw new GrpcStatusException(3,
           s"corrupt handle parameter tag '$t'")
       }
@@ -419,21 +441,63 @@ object FlightSqlEdge {
         if (root.getRowCount != 1) throw new GrpcStatusException(3,
           s"parameter batch must carry exactly one row, got ${root.getRowCount}")
         val out = root.getFieldVectors.asScala.map { v =>
-          val value: Any = v.getObject(0) match {
-            case null => null
-            case t: org.apache.arrow.vector.util.Text => t.toString
-            case b: java.lang.Boolean => b.booleanValue()
-            case i: java.lang.Integer => i.intValue()
-            case l: java.lang.Long => l.longValue()
-            case s: java.lang.Short => s.intValue()
-            // round-trip through the decimal string: widening binary32
-            // 0.1f via doubleValue() yields 0.10000000149…, silently
-            // missing equality predicates on the intended decimal value
-            case f: java.lang.Float => f.toString.toDouble
-            case x: java.lang.Double => x.doubleValue()
-            case other => throw new GrpcStatusException(3,
-              s"unsupported parameter type ${other.getClass.getSimpleName}" +
-                s" for ${v.getName}")
+          import org.apache.arrow.vector._
+          // Temporal and TZ vectors are matched by CLASS, never by
+          // getObject's box: DateDayVector boxes the same Integer an
+          // IntVector does (a date silently becomes the int 19782) and
+          // every TimeStamp*TZVector boxes a bare Long whose UNIT only
+          // the class knows — micros read as millis shift a timestamp
+          // by 1000×.
+          val value: Any = v match {
+            case dv: DateDayVector =>
+              if (dv.isNull(0)) null
+              else java.time.LocalDate.ofEpochDay(dv.get(0).toLong)
+            case dv: DateMilliVector =>
+              Option(dv.getObject(0)).map(_.toLocalDate).orNull
+            case tz: TimeStampSecTZVector =>
+              if (tz.isNull(0)) null
+              else java.time.Instant.ofEpochSecond(tz.get(0))
+            case tz: TimeStampMilliTZVector =>
+              if (tz.isNull(0)) null
+              else java.time.Instant.ofEpochMilli(tz.get(0))
+            case tz: TimeStampMicroTZVector =>
+              if (tz.isNull(0)) null
+              else {
+                val m = tz.get(0)
+                java.time.Instant.ofEpochSecond(
+                  java.lang.Math.floorDiv(m, 1000000L),
+                  java.lang.Math.floorMod(m, 1000000L) * 1000L)
+              }
+            case tz: TimeStampNanoTZVector =>
+              if (tz.isNull(0)) null
+              else {
+                val n = tz.get(0)
+                java.time.Instant.ofEpochSecond(
+                  java.lang.Math.floorDiv(n, 1000000000L),
+                  java.lang.Math.floorMod(n, 1000000000L))
+              }
+            case _ => v.getObject(0) match {
+              case null => null
+              case t: org.apache.arrow.vector.util.Text => t.toString
+              case b: java.lang.Boolean => b.booleanValue()
+              case i: java.lang.Integer => i.intValue()
+              case l: java.lang.Long => l.longValue()
+              case s: java.lang.Short => s.intValue()
+              // round-trip through the decimal string: widening binary32
+              // 0.1f via doubleValue() yields 0.10000000149…, silently
+              // missing equality predicates on the intended decimal value
+              case f: java.lang.Float => f.toString.toDouble
+              case x: java.lang.Double => x.doubleValue()
+              // decimal128 keeps its scale; Spark's parameterized SQL
+              // plants it as DECIMAL(p, s)
+              case bd: java.math.BigDecimal => bd
+              // naive timestamps (no TZ): Arrow's own unit-correct
+              // LocalDateTime box → Spark TIMESTAMP_NTZ
+              case ldt: java.time.LocalDateTime => ldt
+              case other => throw new GrpcStatusException(3,
+                s"unsupported parameter type ${other.getClass.getSimpleName}" +
+                  s" for ${v.getName}")
+            }
           }
           v.getName -> value
         }.toMap

@@ -27,7 +27,13 @@ object ServerMain {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    a.get("--data").foreach(dir => graft.Tables(spark, dir).registerAll())
+    a.get("--data").foreach { dir =>
+      graft.Tables(spark, dir).registerAll()
+      // width follows the registered data's volume (AQE coalesces down
+      // per stage); an explicit SPARK_GRAFT_SHUFFLE pins it instead
+      if (!sys.env.contains("SPARK_GRAFT_SHUFFLE"))
+        graft.session.ShuffleWidth.configure(spark, dir)
+    }
     a.get("--config").foreach { yml =>
       new graft.sources.SourceRegistry(spark)
         .registerAll(graft.sources.SourcesConfig.fromYamlFile(yml))

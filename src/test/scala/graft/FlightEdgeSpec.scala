@@ -382,4 +382,5 @@ class FlightEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       GrpcFraming.frame(close.toByteArray), authHeaders)
     assert(GrpcFraming.unframeAll(closeBody).isEmpty)
   }
+
 }

@@ -720,4 +720,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition") ||
       p.contains("band"), p) // the only window is the bucket-size cap
   }
+
+  test("shuffle width follows data volume, not core count (the r17 50x " +
+      "spill-edge rule, automatic)") {
+    import graft.session.ShuffleWidth
+    // floor: a corpus smaller than cores x target keeps every core busy
+    // and nothing more — sf0.1's 17.5 MB at 32 cores stays the recorded
+    // 32-wide contract
+    assert(ShuffleWidth.forBytes(17L << 20, 32) == 32)
+    // volume: the r17 50x probe's 236 MB lands at the empirically-flat
+    // ~128-wide shape (118 = ceil(236 MB / 2 MB))
+    assert(ShuffleWidth.forBytes(236L << 20, 32) == 118)
+    // ceiling guards scheduling overhead
+    assert(ShuffleWidth.forBytes(1L << 50, 32) == ShuffleWidth.MaxWidth)
+    // end-to-end at two synthetic on-disk volumes (sparse files: size
+    // metadata is what the estimator reads)
+    def dirOf(bytes: Long): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-width")
+      val raf = new java.io.RandomAccessFile(
+        d.resolve("t.parquet").toFile, "rw")
+      raf.setLength(bytes); raf.close()
+      d.toString
+    }
+    val cores = spark.sparkContext.defaultParallelism
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val small = ShuffleWidth.configure(spark, dirOf(1L << 20))
+      assert(small == cores, s"small volume must floor at cores, got $small")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == cores.toString)
+      val big = ShuffleWidth.configure(spark, dirOf(512L << 20))
+      assert(big == 256, s"512 MB / 2 MB target = 256-wide, got $big")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "256")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
