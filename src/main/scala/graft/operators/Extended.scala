@@ -460,6 +460,40 @@ object Extended {
         .filter(col("c_nationkey").between(5, 15))
     },
 
+    // WITHOUT ROWID secondary index with a NON-COVERING projection
+    // through the correctness gate: the entry carries only
+    // (c_nationkey, c_custkey[PK]), so c_name/c_acctbal force the
+    // PK-TUPLE LOOKBACK — each surviving entry's trailing PK tuple
+    // keys a point descent of the table's PK index
+    // (SqliteFile.lookupPkTuple, the rowid lookback's twin; pages read
+    // ∝ selected range + one O(depth) path per match through the
+    // caching Db). Rows must hash-match the oracle's BETWEEN on the
+    // original parquet. nationkey ∈ [5, 15] sits inside the 0-24
+    // nation key space at every scale.
+    GraftQuery("q_sqlite_lookback",
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_nationkey BETWEEN 5 AND 15""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.sqlite._
+      val db = java.nio.file.Paths.get(roundTripDir("sqlite"), "cust_lb.sqlite")
+      val rows = t(s, dir).customer
+        .select(col("c_custkey").cast("long"), col("c_name"),
+          col("c_acctbal").cast("double"), col("c_nationkey").cast("long"))
+        .orderBy("c_custkey").toLocalIterator()
+      SqliteWriter.writeWithoutRowid(db, "customer",
+        Seq("c_custkey" -> "INTEGER", "c_name" -> "TEXT",
+          "c_acctbal" -> "REAL", "c_nationkey" -> "INTEGER"),
+        Seq("c_custkey"),
+        scala.jdk.CollectionConverters.IteratorHasAsScala(rows).asScala
+          .map(r => Seq[Any](r.getLong(0), r.getString(1),
+            r.getDouble(2), r.getLong(3))),
+        indexes = Seq(("idx_cust_lb_nation", Seq("c_nationkey"))))
+      s.read.format(classOf[SqliteDataSource].getName)
+        .option("path", db.toString).option("table", "customer").load()
+        .filter(col("c_nationkey").between(5, 15))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    },
+
     // Substrait tier through the correctness gate: the join+aggregate is
     // collapsed by the federation router's Substrait tier
     // (plans/FederationRule.substraitRewrite) into produced plan BYTES

@@ -96,6 +96,21 @@ object SqliteDataSource {
     ix.columns.map(_._1) ++ t.pkCols.filterNot(pk =>
       ix.columns.exists(_._1.equalsIgnoreCase(pk)))
 
+  /** WITHOUT ROWID PK-tuple lookback soundness: every PK part must
+    * order by [[SqliteFile.compareValues]]'s BINARY comparison, so any
+    * part whose effective collation is non-BINARY (declared on the
+    * column OR inside the table-level PK clause) disables the lookback
+    * — its stored order diverges from the comparator and the descent
+    * would miss rows. Applied to every part regardless of affinity:
+    * flexible typing lets any column store TEXT, and stored TEXT
+    * orders by the collation. */
+  def worowidLookbackCapable(t: SqliteFile.TableDef): Boolean =
+    t.withoutRowid && t.pkCols.nonEmpty &&
+      t.pkCols.zipWithIndex.forall { case (n, i) =>
+        t.columns.find(_.name.equalsIgnoreCase(n)).exists(c =>
+          !c.collated && !t.pkCollated.lift(i).contains(true))
+      }
+
   /** Record position → declared column, for a WITHOUT ROWID table:
     * on disk the PRIMARY KEY columns come FIRST (in key order), then
     * the remaining columns in declared order. */
@@ -137,8 +152,10 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
   // resolved once at planning: which column (if any) aliases the rowid,
   // plus the table's usable CREATE INDEX b-trees. On a rowid table the
   // index entry's trailing rowid keys a lookback; on a WITHOUT ROWID
-  // table the entry carries indexed + PRIMARY KEY columns, so only
-  // COVERING projections use it (PK-tuple lookback not implemented)
+  // table the entry carries indexed + PRIMARY KEY columns — covering
+  // projections decode in place, anything else drives a PK-tuple
+  // descent of the table's index b-tree (requires BINARY-ordered PK
+  // parts; see SqliteDataSource.worowidLookbackCapable)
   private lazy val (tableDef: SqliteFile.TableDef,
       tableIndexes: Seq[SqliteFile.IndexDef]) = {
     val db = new SqliteFile.Db(opts.path)
@@ -263,11 +280,12 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
     // pushed range/equality/prefix actually BOUNDS (an index with no
     // usable bound would scan every entry and pay a lookback per row —
     // worse than the table scan). On a WITHOUT ROWID table the
-    // candidate survives only if build() finds the projection COVERED
-    // by (indexed + PK) columns — there is no rowid to look back with.
-    // Same INEXACT stance as the PK-prefix path: the range prunes the
-    // index descent (bands of the leading entry value), and every
-    // filter stays residual for Spark.
+    // candidate survives if build() finds the projection COVERED by
+    // (indexed + PK) columns, or the PK tuple is BINARY-ordered so the
+    // entry's trailing tuple can key a PK-index descent (the rowid
+    // lookback's twin). Same INEXACT stance as the PK-prefix path:
+    // the range prunes the index descent (bands of the leading entry
+    // value), and every filter stays residual for Spark.
     val byName = tableDef.columns.map(c => c.name.toLowerCase -> c).toMap
     val usable = tableIndexes.filter { ix =>
       !ix.partial && !ix.expression && ix.columns.nonEmpty &&
@@ -377,16 +395,19 @@ final class SqliteScanBuilder(fullSchema: StructType, opts: SqliteOptions)
     required = requiredSchema
 
   override def build(): Scan = {
-    // a WITHOUT ROWID candidate survives only when the projection is
-    // covered by its entry columns (indexed + PK); a dropped candidate
-    // takes its collected range with it — that range bounds the INDEX
-    // column, not the PK, and must never leak into the PK-prefix scan
+    // a WITHOUT ROWID candidate survives when the projection is covered
+    // by its entry columns (indexed + PK) OR the entry's trailing PK
+    // tuple can key a point descent of the table's PK index (the
+    // rowid-lookback twin — requires BINARY-ordered PK parts); a
+    // dropped candidate takes its collected range with it — that range
+    // bounds the INDEX column, not the PK, and must never leak into
+    // the PK-prefix scan
     val keepIndex = chosenIndex.filter { ix =>
       !tableDef.withoutRowid || {
         val cols = SqliteDataSource.worowidEntryCols(tableDef, ix)
           .map(_.toLowerCase).toSet
         required.fieldNames.forall(f => cols(f.toLowerCase))
-      }
+      } || SqliteDataSource.worowidLookbackCapable(tableDef)
     }
     val pushedRange: Option[SqliteFile.KeyRange] =
       if (keepIndex.isDefined)
@@ -563,9 +584,10 @@ final class SqliteSecIndexReader(schema: StructType,
       (if (t.withoutRowid) Set.empty else rowidAlias.map(_.toLowerCase))
     schema.fieldNames.forall(f => inEntry(f.toLowerCase))
   }
-  require(covering || !t.withoutRowid,
+  require(covering || !t.withoutRowid ||
+      SqliteDataSource.worowidLookbackCapable(t),
     s"WITHOUT ROWID secondary index ${ix.name} planned for a " +
-      "non-covered projection — planner bug")
+      "non-covered projection without a BINARY-ordered PK — planner bug")
   private val nIdxCols = ix.columns.size
   // entry record position -> output slot (covering path); on a rowid
   // table the rowid (last position) fills the alias column if required
@@ -584,6 +606,25 @@ final class SqliteSecIndexReader(schema: StructType,
   private val tableWant: Array[Int] = t.columns.map { c =>
     if (c.rowidAlias) -1 else slotOf.getOrElse(c.name, -1)
   }.toArray
+  // WITHOUT ROWID lookback plumbing: entry position of each PK part
+  // (KEY order) to decode the tuple, each part's stored direction, and
+  // the PK-first record permutation of the table b-tree's rows.
+  // Lazy: on a rowid table the PK columns need not ride in the entry
+  private lazy val pkEntryWant: Array[Int] = {
+    val pos = entryCols.zipWithIndex
+      .map { case (n, i) => n.toLowerCase -> i }.toMap
+    val w = Array.fill(entryCols.size)(-1)
+    t.pkCols.zipWithIndex.foreach { case (n, slot) =>
+      w(pos(n.toLowerCase)) = slot }
+    w
+  }
+  private val pkDescArr: Array[Boolean] =
+    t.pkCols.indices.map(i => t.pkDesc.lift(i).getOrElse(false)).toArray
+  private val pkTableWant: Array[Int] = {
+    val byName = slotOf.map { case (k, v) => k.toLowerCase -> v }
+    SqliteDataSource.indexRecordOrder(t)
+      .map(c => byName.getOrElse(c.name.toLowerCase, -1)).toArray
+  }
   private val rowidSlot: Int =
     rowidAlias.flatMap(slotOf.get).getOrElse(-1)
   private val targets: Array[DataType] = schema.fields.map(_.dataType)
@@ -621,6 +662,25 @@ final class SqliteSecIndexReader(schema: StructType,
     if (covering) {
       val decoded = new Array[SqliteFile.Value](schema.length)
       SqliteFile.decodeRecord(entry, entryWant, decoded)
+      val vals = new Array[Any](schema.length)
+      var i = 0
+      while (i < schema.length) {
+        vals(i) = SqliteCoerce(decoded(i), targets(i), t.name)
+        i += 1
+      }
+      pending.append(new GenericInternalRow(vals))
+    } else if (t.withoutRowid) {
+      // PK-tuple lookback: the entry's trailing PK tuple keys a point
+      // descent of the table's PK index — the rowid lookback's twin,
+      // one O(depth) path per matched entry through the caching Db
+      val tuple = new Array[SqliteFile.Value](t.pkCols.size)
+      SqliteFile.decodeRecord(entry, pkEntryWant, tuple)
+      val payload = SqliteFile.lookupPkTuple(db, t.rootPage, tuple,
+        pkDescArr).getOrElse(throw new IllegalStateException(
+          s"index ${ix.name} references a missing PK tuple ${
+            tuple.mkString("(", ",", ")")} — corrupt database"))
+      val decoded = new Array[SqliteFile.Value](schema.length)
+      SqliteFile.decodeRecord(payload, pkTableWant, decoded)
       val vals = new Array[Any](schema.length)
       var i = 0
       while (i < schema.length) {

@@ -796,6 +796,104 @@ object SqliteFile {
     None // unreachable
   }
 
+  /** One stored value vs another in SQLite's cross-class sort order
+    * (fileformat2: NULL < numeric < TEXT < BLOB; numerics compare by
+    * value across INTEGER/REAL, TEXT by BINARY collation = unsigned
+    * UTF-8 bytes, BLOB by unsigned bytes). Callers must not use this
+    * for TEXT keys under a non-BINARY collation — their stored order
+    * diverges. */
+  def compareValues(a: Value, b: Value): Int = {
+    def rank(v: Value): Int = v match {
+      case null => 0
+      case _: Long | _: Double => 1
+      case _: String => 2
+      case _: Array[Byte] => 3
+      case other => throw new IllegalStateException(
+        s"unorderable sqlite value $other")
+    }
+    val (ra, rb) = (rank(a), rank(b))
+    if (ra != rb) return Integer.compare(ra, rb)
+    (a, b) match {
+      case (null, null) => 0
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      // mixed int/real compares EXACTLY (a 2^60 long vs its double
+      // neighbour must not tie): decimal arithmetic, no widening
+      case (x: Long, y: Double) =>
+        java.math.BigDecimal.valueOf(x)
+          .compareTo(new java.math.BigDecimal(y))
+      case (x: Double, y: Long) =>
+        new java.math.BigDecimal(x)
+          .compareTo(java.math.BigDecimal.valueOf(y))
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: String, y: String) =>
+        java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case (x: Array[Byte], y: Array[Byte]) =>
+        java.util.Arrays.compareUnsigned(x, y)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+  }
+
+  /** Point lookup of one PRIMARY KEY tuple in a WITHOUT ROWID table's
+    * index b-tree — the PK-tuple twin of [[lookupRowid]], keying the
+    * lookback a non-covering secondary-index scan pays per matched
+    * entry. `key` is the tuple in KEY order; `desc` flips each part's
+    * comparison to match the stored order. Interior entries ARE rows
+    * (index b-trees, not b+-trees), so equality can return at any
+    * level; a PK is unique, so the first match is THE row. */
+  def lookupPkTuple(db: Db, rootPage: Int, key: Array[Value],
+      desc: Array[Boolean]): Option[Array[Byte]] = {
+    val want = Array.tabulate(key.length)(identity)
+    def cmpEntry(entry: Array[Byte]): Int = {
+      val pref = new Array[Value](key.length)
+      decodeRecord(entry, want, pref)
+      var i = 0
+      while (i < key.length) {
+        val c = compareValues(key(i), pref(i))
+        if (c != 0) return if (desc.lift(i).contains(true)) -c else c
+        i += 1
+      }
+      0
+    }
+    var pageNo = rootPage
+    while (true) {
+      val pg = db.page(pageNo)
+      val ph = pageHeader(pg, pageNo)
+      ph.pageType match {
+        case 0x0a => // index leaf
+          var i = 0
+          while (i < ph.cellCount) {
+            val off = cellPointer(pg, ph, i)
+            val (payloadLen, n1) = varint(pg, off)
+            val entry = readPayload(db, pg, off + n1, payloadLen,
+              indexPage = true)
+            if (cmpEntry(entry) == 0) return Some(entry)
+            i += 1
+          }
+          return None
+        case 0x02 => // index interior: first cell with key <= entry wins
+          var i = 0
+          var next = ph.rightMost
+          var done = false
+          while (i < ph.cellCount && !done) {
+            val off = cellPointer(pg, ph, i)
+            val (payloadLen, n1) = varint(pg, off + 4)
+            val entry = readPayload(db, pg, off + 4 + n1, payloadLen,
+              indexPage = true)
+            val c = cmpEntry(entry)
+            if (c == 0) return Some(entry)
+            if (c < 0) { next = be32(pg, off); done = true }
+            i += 1
+          }
+          pageNo = next
+        case t => throw new IllegalStateException(
+          s"page $pageNo is not an index b-tree page (type $t)")
+      }
+    }
+    None // unreachable
+  }
+
   /** Column affinity per the published rules, applied in order:
     * INT→INTEGER; CHAR/CLOB/TEXT→TEXT; BLOB or empty→BLOB;
     * REAL/FLOA/DOUB→REAL; else NUMERIC. */

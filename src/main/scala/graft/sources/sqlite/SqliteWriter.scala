@@ -192,7 +192,8 @@ object SqliteWriter {
     * adjacent children into the parent, recursively. */
   def writeWithoutRowid(path: Path, name: String,
       columns: Seq[(String, String)], pkCols: Seq[String],
-      rows: Iterator[Seq[Any]]): Unit = {
+      rows: Iterator[Seq[Any]],
+      indexes: Seq[(String, Seq[String])] = Seq.empty): Unit = {
     require(columns.nonEmpty, "need at least one column")
     require(pkCols.nonEmpty, "WITHOUT ROWID requires a PRIMARY KEY")
     val names = columns.map(_._1)
@@ -206,6 +207,20 @@ object SqliteWriter {
       columns.map { case (n, t) => s"$n $t" }.mkString(", ")}, PRIMARY KEY (${
       pkCols.mkString(", ")})) WITHOUT ROWID"
 
+    // secondary indexes on a WITHOUT ROWID table: entry = indexed
+    // columns then the PK columns not already indexed (the published
+    // layout this reader's worowidEntryCols mirrors); entries sort by
+    // the full entry tuple under binary collation
+    val idxEntryIdxs: Seq[Seq[Int]] = indexes.map { case (iname, icols) =>
+      val colIdx = icols.map { cn =>
+        val i = names.indexWhere(_.equalsIgnoreCase(cn))
+        require(i >= 0, s"index $iname references unknown column $cn")
+        i
+      }
+      colIdx ++ pkIdx.filterNot(colIdx.contains)
+    }
+    val idxBufs = indexes.map(_ => Vector.newBuilder[Seq[Any]])
+
     var lastKey: Seq[Any] = null
     val entries = rows.zipWithIndex.map { case (vs, i) =>
       require(vs.length == columns.length,
@@ -217,6 +232,7 @@ object SqliteWriter {
         s"rows must arrive in strictly increasing PRIMARY KEY order " +
           s"(row ${i + 1})")
       lastKey = key
+      idxBufs.indices.foreach(k => idxBufs(k) += idxEntryIdxs(k).map(vs))
       val payload = record(key ++ restIdx.map(vs))
       require(payload.length <= IndexX,
         s"row ${i + 1} payload ${payload.length} B exceeds the " +
@@ -225,7 +241,23 @@ object SqliteWriter {
     }
 
     val (tree, rootIdx) = buildIndexTree(entries)
-    writeFile(path, name, createSql, tree, rootIdx)
+    val idxTrees = indexes.indices.map { k =>
+      val iname = indexes(k)._1
+      val es = idxBufs(k).result()
+        .sortWith((a, b) => compareKeys(a, b) < 0)
+        .map { vals =>
+          val payload = record(vals)
+          require(payload.length <= IndexX,
+            s"index $iname entry ${payload.length} B exceeds the " +
+              s"no-overflow index write limit ($IndexX B)")
+          payload
+        }
+      buildIndexTree(es.iterator)
+    }
+    val idxMeta = indexes.zip(idxTrees).map { case ((iname, icols), (n, r)) =>
+      (iname, s"CREATE INDEX $iname ON $name (${icols.mkString(", ")})", n, r)
+    }
+    writeFile(path, name, createSql, tree, rootIdx, idxMeta)
   }
 
   /** Bulk-load an index b-tree from ORDERED entry payloads: leaves
@@ -401,27 +433,47 @@ object SqliteWriter {
   /** Serialize an index-node tree (children before parents, root =
     * `rootIdx`) plus the one-table schema page, then write the file. */
   private def writeFile(path: Path, name: String, createSql: String,
-      tree: Vector[IndexNode], rootIdx: Int): Unit = {
-    val pageCount = 1 + tree.size
+      tree: Vector[IndexNode], rootIdx: Int,
+      idx: Seq[(String, String, Vector[IndexNode], Int)] = Seq.empty)
+      : Unit = {
     val order = (tree.indices.filter(_ == rootIdx) ++
       tree.indices.filterNot(_ == rootIdx)).toArray
     val pageNoOf = new Array[Int](tree.size)
     order.zipWithIndex.foreach { case (treeIdx, slot) =>
       pageNoOf(treeIdx) = 2 + slot
     }
-    val out = new Array[Byte](pageCount * PageSize)
-    tree.zipWithIndex.foreach { case (node, idx) =>
-      val pg = node match {
-        case IndexLeaf(cells) => indexLeafPage(cells)
-        case IndexInterior(cells, right) =>
-          indexInteriorPage(cells.map { case (c, sep) =>
-            (pageNoOf(c), sep) }, pageNoOf(right))
-      }
-      System.arraycopy(pg, 0, out, (pageNoOf(idx) - 1) * PageSize, PageSize)
+    // each secondary index tree follows the table tree, root first
+    var nextPage = 2 + tree.size
+    val idxPageOf: Seq[Array[Int]] = idx.map { case (_, _, nodes, root) =>
+      val arr = new Array[Int](nodes.size)
+      arr(root) = nextPage
+      var p = nextPage + 1
+      nodes.indices.filterNot(_ == root).foreach { i => arr(i) = p; p += 1 }
+      nextPage = p
+      arr
     }
-    val schemaRecord = record(Seq(
-      "table", name, name, pageNoOf(rootIdx).toLong, createSql))
-    val p1 = leafPage(Seq((1L, schemaRecord)), headerOff = 100)
+    val pageCount = nextPage - 1
+    val out = new Array[Byte](pageCount * PageSize)
+    def blit(nodes: Vector[IndexNode], pageOf: Array[Int]): Unit =
+      nodes.zipWithIndex.foreach { case (node, i) =>
+        val pg = node match {
+          case IndexLeaf(cells) => indexLeafPage(cells)
+          case IndexInterior(cells, right) =>
+            indexInteriorPage(cells.map { case (c, sep) =>
+              (pageOf(c), sep) }, pageOf(right))
+        }
+        System.arraycopy(pg, 0, out, (pageOf(i) - 1) * PageSize, PageSize)
+      }
+    blit(tree, pageNoOf)
+    idx.zip(idxPageOf).foreach { case ((_, _, nodes, _), pageOf) =>
+      blit(nodes, pageOf) }
+    val schemaRows = (1L, record(Seq(
+      "table", name, name, pageNoOf(rootIdx).toLong, createSql))) +:
+      idx.zipWithIndex.map { case ((iname, isql, _, root), k) =>
+        (k + 2L, record(Seq("index", iname, name,
+          idxPageOf(k)(root).toLong, isql)))
+      }
+    val p1 = leafPage(schemaRows, headerOff = 100)
     header(p1, pageCount)
     System.arraycopy(p1, 0, out, 0, PageSize)
     Files.write(path, out)

@@ -293,6 +293,98 @@ class SqliteSourceSpec extends AnyFunSuite {
     Files.delete(db)
   }
 
+  test("reader: WITHOUT ROWID secondary index, NON-covering projection " +
+      "— PK-tuple lookback, pages-read drop, real-SQLite fixture") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("worlb") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE kv (k INTEGER, v TEXT, n INTEGER, PRIMARY KEY (k)) WITHOUT ROWID")
+         |c.executemany("INSERT INTO kv VALUES (?,?,?)",
+         |  [(i, 'pad-' * 40 + str(i), i % 500) for i in range(6000)])
+         |c.execute("CREATE INDEX kv_n ON kv (n)")
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "kv").load()
+      .filter(col("n").between(100, 103)) // 12 matches per n value
+      .select(col("k"), col("v"), col("n"))
+    // the planner must pick the index WITHOUT coverage (v rides only in
+    // the table b-tree) — the entry's trailing PK tuple keys the lookback
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("index=kv_n") && plan.contains("covering=false"),
+      s"lookback scan not planned:\n$plan")
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.size == 48, rows.size)
+    assert(rows.forall { case (k, v, n) =>
+      n == k % 500 && n >= 100 && n <= 103 && v == "pad-" * 40 + k })
+    // pages-read drop at the SqliteFile level: index descent + per-match
+    // PK lookback vs the full table walk
+    val dFull = new SqliteFile.Db(db.toString)
+    val tdef = SqliteFile.table(dFull, "kv")
+    def walkAll(d: SqliteFile.Db, root: Int): Int = {
+      val stack = scala.collection.mutable.Stack[Int](root)
+      var rows = 0
+      while (stack.nonEmpty) {
+        val (es, ks) = SqliteFile.indexPageStep(d, stack.pop(),
+          SqliteFile.NumRange(Long.MinValue, Long.MaxValue))
+        rows += es.size; ks.foreach(stack.push)
+      }
+      rows
+    }
+    assert(walkAll(dFull, tdef.rootPage) == 6000)
+    val fullPages = dFull.pagesRead
+    dFull.close()
+    val dIdx = new SqliteFile.Db(db.toString, cachePages = 256)
+    val ix = SqliteFile.indexes(dIdx, "kv").find(_.name == "kv_n").get
+    val range = SqliteFile.NumRange(100, 103)
+    val stack = scala.collection.mutable.Stack[Int](ix.rootPage)
+    var looked = 0
+    while (stack.nonEmpty) {
+      val (es, ks) = SqliteFile.indexPageStep(dIdx, stack.pop(), range)
+      es.foreach { e =>
+        val tuple = new Array[SqliteFile.Value](1)
+        SqliteFile.decodeRecord(e, Array(-1, 0), tuple) // entry = (n, k)
+        assert(SqliteFile.lookupPkTuple(dIdx, tdef.rootPage, tuple,
+          Array(false)).isDefined, s"PK tuple ${tuple.toSeq} not found")
+        looked += 1
+      }
+      ks.foreach(stack.push)
+    }
+    assert(looked == 48, looked)
+    val prunedPages = dIdx.pagesRead
+    dIdx.close()
+    assert(prunedPages * 3 < fullPages,
+      s"lookback read $prunedPages of $fullPages pages — no drop")
+    Files.delete(db)
+  }
+
+  test("reader: WITHOUT ROWID NOCASE PK never plans the lookback " +
+      "(descent order would diverge) — falls back, stays correct") {
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("worlbnc") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE kv (k TEXT COLLATE NOCASE PRIMARY KEY, v TEXT, n INTEGER) WITHOUT ROWID")
+         |c.executemany("INSERT INTO kv VALUES (?,?,?)",
+         |  [(('a%04d' if i % 2 == 0 else 'B%04d') % i, 'v' + str(i), i % 50)
+         |   for i in range(2000)])
+         |c.execute("CREATE INDEX kvnc_n ON kv (n)")
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "kv").load()
+      .filter(col("n") === 7).select(col("k"), col("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("index=kvnc_n"),
+      s"NOCASE-keyed lookback must not be planned:\n$plan")
+    assert(df.count() == 40)
+    Files.delete(db)
+  }
+
   test("reader: WITHOUT ROWID composite key in NON-declared order, " +
       "multi-level index b-tree, overflow payloads") {
     assume(pyAvailable, "python3/sqlite3 not available")
@@ -851,8 +943,8 @@ class SqliteSourceSpec extends AnyFunSuite {
   }
 
   test("reader: WITHOUT ROWID secondary index — covering projections " +
-      "scan it (entries carry indexed + PK columns), non-covered fall " +
-      "back to the table") {
+      "scan it (entries carry indexed + PK columns), non-covered " +
+      "drive the PK-tuple lookback") {
     assume(pyAvailable, "python3/sqlite3 not available")
     val db = fixture("woridsec") { p =>
       s"""import sqlite3
@@ -875,12 +967,18 @@ class SqliteSourceSpec extends AnyFunSuite {
     assert(plan.contains("index=idx_grp") && plan.contains("covering=true"),
       s"covering worowid index not chosen:\n$plan")
     assert(cov.collect().map(_.getString(0)).toSet == expect)
-    // non-covered: payload is not in the entry and there is no rowid
-    // to look back with — the index candidate must be dropped
+    // non-covered: payload is not in the entry — the entry's trailing
+    // PK tuple (k, TEXT under BINARY collation) keys a point descent of
+    // the table's PK index per match (r17-verdict #3: the lookback twin)
     val full = scan().filter(col("grp") === 42).select("k", "payload")
-    assert(!full.queryExecution.executedPlan.toString.contains("index="),
-      full.queryExecution.executedPlan)
-    assert(full.collect().map(_.getString(0)).toSet == expect)
+    val fplan = full.queryExecution.executedPlan.toString
+    assert(fplan.contains("index=idx_grp") &&
+      fplan.contains("covering=false"), fplan)
+    val got = full.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.map(_._1) == expect)
+    // payloads must be the TABLE row's, not entry residue
+    assert(got.forall { case (k, p) =>
+      p == "pad-" * 30 + k.stripPrefix("key-").toInt.toString })
     Files.delete(db)
   }
 
