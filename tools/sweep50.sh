@@ -1,0 +1,22 @@
+#!/bin/bash
+# 50x family sweep (round-18 verdict #5): every d_/t_ registry row at
+# sf5.0, three full passes (median per row taken across pass artifacts),
+# steal-stamped by Bench itself. Run SOLO in a measured quiet window.
+# Usage: tools/sweep50.sh <sfdir> <outprefix> [passes]
+set -euo pipefail
+SFDIR=${1:?sfdir}; OUT=${2:?outprefix}; PASSES=${3:-3}
+ROWS=$(grep -rhoE 'GraftQuery\("(d|t)_[a-z0-9_]+"' \
+  /root/repo/src/main/scala/graft/operators/ | \
+  sed 's/GraftQuery("//;s/"//' | sort -u | paste -sd,)
+echo "rows: $(echo "$ROWS" | tr ',' '\n' | wc -l)"
+for p in $(seq 1 "$PASSES"); do
+  d=$(mktemp -d)
+  (cd "$d" && SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_ONLY="$ROWS" \
+    java -Xmx32g \
+    -cp "/root/repo/target/scala-2.13/strakespark_2.13-0.1.0.jar:/opt/spark/jars/*" \
+    graft.Bench >"$OUT.pass$p.json" 2>/dev/null)
+  cp "$d/bench_results.json" "$OUT.pass$p.full.json"
+  rm -rf "$d"
+  echo "pass $p done: $(tail -c 120 "$OUT.pass$p.json")"
+done
