@@ -35,6 +35,12 @@ object CorpusOps {
     * pair RDD is counted before anything is collected. */
   private[graft] val DriverCcMaxPairs: Long = 4L << 20
 
+  /** Probe bound for [[pageRankMicro]]'s driver gate: smaller than the
+    * union-find bar because above it the probe's partial collect is
+    * pure waste — 1M 16-byte pairs keeps the waste under ~16 MB while
+    * every bench/interactive-scale graph still takes the driver path. */
+  private[graft] val DriverPrProbeMax: Long = 1L << 20
+
   /** Connected-component labels (doc_id, cluster_id) over the
     * ≥0.9-Jaccard duplicate graph of documents with doc_id < 150 (the
     * bounded pair-verification window d_dup_clusters documents; at scale
@@ -207,31 +213,38 @@ object CorpusOps {
     * node, update = 150000 + (85·Σ pr(src) div deg(src)) div 100, all
     * BIGINT so every engine derives identical values.
     *
-    * Adaptive on the MEASURED pair count, the same broadcast-build bar
-    * as [[dupClusterLabels]]: at or below [[DriverCcMaxPairs]] the pair
-    * list is collected and the five iterations run as array arithmetic
-    * on the driver — zero iteration jobs, zero extra plan cycles (the
-    * r17 profile showed the five chained join+agg stages paying ~1 s of
-    * per-stage AQE replanning on a KB-sized edge list). Above the bar,
-    * the distributed formulation: one lazy plan of five equi-join +
-    * map-side-combinable sum stages over a once-checkpointed edge
-    * relation — the canonical distributed PageRank step, width following
-    * the edge count. Both paths produce identical BIGINTs (integer
-    * division is order-free) — CorpusOpsSpec pins them against each
-    * other by forcing the distributed path. */
+    * Adaptive on a MEASURED bound: the pair relation is persisted (ONE
+    * fixed plan, so every later job shares its map stages and cached
+    * partitions — nothing is ever re-derived) and probed with
+    * `head(bar+1)`, bar = min(maxDriverPairs, [[DriverPrProbeMax]]).
+    * At or below the bar the probe IS the exact pair list and the five
+    * iterations run as array arithmetic on the driver — one bounded
+    * action total, zero iteration jobs, zero extra plan cycles (the
+    * r17 profile showed the five chained join+agg stages paying ~1 s
+    * of per-stage AQE replanning on a KB-sized edge list). Above the
+    * bar, the distributed formulation: one lazy plan of five equi-join
+    * + map-side-combinable sum stages over an edge relation eagerly
+    * checkpointed from the SAME cache — the canonical distributed
+    * PageRank step; the probe's waste is capped at one bar-sized
+    * partial collect. (The round-18 50× sweep caught the naive
+    * un-cached head(4M+1) variant paying a single-threaded 4M-row
+    * CollectLimit plus a full pair re-derivation — 56–267 s at sf5.0.)
+    * Both paths produce identical BIGINTs (integer division is
+    * order-free) — CorpusOpsSpec pins them against each other by
+    * forcing the distributed path. */
   private[graft] def pageRankMicro(s: SparkSession, pairsDf: DataFrame,
       maxDriverPairs: Long = DriverCcMaxPairs): DataFrame = {
-    // ONE gating action: take bar+1 rows. Fewer than that = the exact
-    // pair list is already on the driver (no separate count job, no RDD
-    // cache); more = fall to the distributed plan, which re-derives the
-    // pair join lazily (the rare giant-graph case pays one recompute
-    // rather than every call paying an extra job).
-    val take = pairsDf.head(
-      math.min(maxDriverPairs, Int.MaxValue - 1L).toInt + 1)
+    val cached = pairsDf.toDF("u", "v").persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bar = math.min(maxDriverPairs, DriverPrProbeMax)
+    val take =
+      if (bar < 0) Array.empty[org.apache.spark.sql.Row]
+      else cached.head(bar.toInt + 1)
     val longT = org.apache.spark.sql.types.LongType
-    if (maxDriverPairs >= 0 && take.length <= maxDriverPairs) {
-      // ---- driver path: only the measured-bounded pair list reaches
+    if (bar >= 0 && take.length <= bar) {
+      // ---- driver path: only the probe-bounded pair list reaches
       // the driver; 5 iterations of long arithmetic over flat maps
+      cached.unpersist(blocking = false)
       val edges = take.map(r => (r.getLong(0), r.getLong(1)))
       val deg = scala.collection.mutable.LongMap.empty[Long]
       edges.foreach { case (u, v) =>
@@ -265,19 +278,23 @@ object CorpusOps {
         .select(col("doc_id"), col("deg"),
           round(col("pr").cast("double") / 1000000, 6).as("pagerank"))
     } else {
-      // ---- distributed path: the pair relation checkpoints ONCE (it
-      // feeds deg and both edge directions), the five iterations nest
-      // into one lazy plan — no per-round action, no re-planning
-      val pairsCk = pairsDf.toDF("u", "v").localCheckpoint(false)
-      val deg = pairsCk.select(col("u").as("node"))
-        .union(pairsCk.select(col("v")))
+      // ---- distributed path: deg and edges derive from the SAME
+      // cached relation the probe touched (shared map stages + cached
+      // partitions — the pair join runs once), the five iterations
+      // nest into one lazy plan — no per-round action, no re-planning
+      // EAGER checkpoints: deg and edges materialize while the pair
+      // relation is still cached, so it can be released before returning
+      val deg = cached.select(col("u").as("node"))
+        .union(cached.select(col("v")))
         .groupBy(col("node")).agg(count(lit(1)).cast("bigint").as("deg"))
-        .localCheckpoint(false)
-      val edges = pairsCk.join(deg, pairsCk("u") === deg("node"))
+        .localCheckpoint()
+      val edges = cached.join(deg, cached("u") === deg("node"))
         .select(col("u").as("src"), col("v").as("dst"), col("deg"))
-        .union(pairsCk.join(deg, pairsCk("v") === deg("node"))
+        .union(cached.join(deg, cached("v") === deg("node"))
           .select(col("v"), col("u"), col("deg")))
-        .localCheckpoint(false) // 5 iterations reuse the edge relation
+        .localCheckpoint() // 5 iterations reuse the edge relation
+      // deg/edges are materialized — the cached pair relation is dead weight
+      cached.unpersist(blocking = false)
       var pr = deg.select(col("node"), lit(1000000L).as("pr"))
       for (_ <- 1 to 5) {
         pr = edges.join(pr, edges("src") === pr("node"))
