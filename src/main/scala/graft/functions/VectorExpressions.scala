@@ -696,6 +696,55 @@ final case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_ordered_pairs(array<long>)` → `array<struct<u,v>>`: every
+  * ordered pair (u < v in value order) of the input's elements — the
+  * per-gram candidate-pair expansion of the near-dup graph derivation
+  * (d_dup_pagerank). One tight sorted double loop per row, embedded in
+  * whole-stage codegen; the nested higher-order
+  * `flatten(transform(…, transform(slice(…))))` formulation it replaces
+  * is CodegenFallback with per-element lambda dispatch and nested array
+  * allocation — ~2× slower at the 50× probe scale. Callers cap input
+  * sizes upstream (df ≤ 64 ⇒ ≤ 2016 pairs). */
+final case class OrderedPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("u", LongType, nullable = false),
+    StructField("v", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: Any): ArrayData = {
+    val ds = input.asInstanceOf[ArrayData]
+    val n = ds.numElements()
+    val vals = new Array[Long](n)
+    var i = 0
+    while (i < n) { vals(i) = ds.getLong(i); i += 1 }
+    java.util.Arrays.sort(vals)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(vals(i), vals(j))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("orderedPairs", this,
+        classOf[OrderedPairs].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedPairs =
+    copy(child = newChild)
+}
+
 /** `graft_gram_pos_hashes(array<string>, n)` → `array<long>`: the 63-bit
   * portable hash of the n-gram starting at EVERY position, index i = the
   * gram over words i..i+n-1 (0-based, NOT deduplicated — the positional
@@ -815,6 +864,8 @@ object VectorFunctions {
       es => GramHashes(es.head, gramSizeLiteral(es(1))), "built-in")
     reg.createOrReplaceTempFunction("graft_gram_pos_hashes",
       es => GramPosHashes(es.head, gramSizeLiteral(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_ordered_pairs",
+      es => OrderedPairs(es.head), "built-in")
   }
 
   /** The gram size must be a foldable integral literal — a column (or a
