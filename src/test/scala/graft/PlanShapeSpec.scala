@@ -548,16 +548,29 @@ class PlanShapeSpec extends AnyFunSuite {
         s"raw vectors in an ivfpq exchange: $e"))
   }
 
-  test("pagerank: iterations reuse checkpointed edges; no window anywhere") {
+  test("pagerank: small graphs resolve on the driver; the distributed " +
+      "path reuses checkpointed edges; no window anywhere") {
+    // at spec scale the measured pair count sits under the probe bar,
+    // so the registry row's plan IS the driver result — no iteration
+    // jobs at all
     val p = plan("d_dup_pagerank")
-    // each power iteration is join + map-side-combinable sum over the
-    // checkpointed edge relation — never a window (a window by node would
-    // hot-spot the highest-degree boilerplate neighborhood)
-    assert(!p.contains("windowspecdefinition"),
-      s"pagerank reintroduced a window:\n$p")
-    assert(p.contains("ExistingRDD"), s"edges not checkpointed:\n$p")
-    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
-      s"an iteration re-reads documents:\n$p")
+    assert(p.contains("LocalTableScan"), s"driver path not taken:\n$p")
+    assert(!p.contains("windowspecdefinition"), p)
+    // forcing the distributed path pins the scale shape: each power
+    // iteration is join + map-side-combinable sum over the checkpointed
+    // edge relation — never a window (a window by node would hot-spot
+    // the highest-degree boilerplate neighborhood)
+    graft.functions.VectorFunctions.register(spark)
+    val pairs = spark.createDataFrame(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L))).toDF("u", "v")
+    val dist = operators.CorpusOps.pageRankMicro(spark, pairs, -1L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!dist.contains("windowspecdefinition"),
+      s"pagerank reintroduced a window:\n$dist")
+    assert(dist.contains("ExistingRDD"), s"edges not checkpointed:\n$dist")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(dist).isEmpty,
+      s"an iteration re-reads documents:\n$dist")
   }
 
   test("curation pipeline: one checkpointed corpus scan feeds all stages") {

@@ -11,9 +11,17 @@ ROWS=$(grep -rhoE 'GraftQuery\("(d|t)_[a-z0-9_]+"' \
 echo "rows: $(echo "$ROWS" | tr ',' '\n' | wc -l)"
 for p in $(seq 1 "$PASSES"); do
   d=$(mktemp -d)
+  # the same JDK17 add-opens sbt injects — Arrow-backed rows (substrait,
+  # flight) throw spurious "Memory was leaked by query" without them
+  AO=""
+  for m in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+      java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+      sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+    AO="$AO --add-opens java.base/$m=ALL-UNNAMED"
+  done
   (cd "$d" && SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_ONLY="$ROWS" \
-    java -Xmx32g \
+    java $AO -Xmx32g \
     -cp "/root/repo/target/scala-2.13/strakespark_2.13-0.1.0.jar:/opt/spark/jars/*" \
     graft.Bench >"$OUT.pass$p.json" 2>/dev/null)
   cp "$d/bench_results.json" "$OUT.pass$p.full.json"
