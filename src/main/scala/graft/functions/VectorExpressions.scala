@@ -697,7 +697,9 @@ final case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** `graft_ordered_pairs(array<long>)` → `array<struct<u,v>>`: every
-  * ordered pair (u < v in value order) of the input's elements — the
+  * ordered pair (u < v in value order) of the input's DISTINCT elements
+  * (repeated values are compacted after the sort, so the strict u < v
+  * contract holds on any input — no self-loops, no duplicate pairs) — the
   * per-gram candidate-pair expansion of the near-dup graph derivation
   * (d_dup_pagerank). One tight sorted double loop per row, embedded in
   * whole-stage codegen; the nested higher-order
@@ -718,12 +720,21 @@ final case class OrderedPairs(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) { vals(i) = ds.getLong(i); i += 1 }
     java.util.Arrays.sort(vals)
-    val out = new Array[Any](n * (n - 1) / 2)
-    var k = 0
+    // compact duplicates in place so the double loop honors the STRICT
+    // u < v contract even on non-deduped input (repeated values would
+    // otherwise emit (x, x) self-loops and duplicate pairs)
+    var m = 0
     i = 0
     while (i < n) {
+      if (m == 0 || vals(i) != vals(m - 1)) { vals(m) = vals(i); m += 1 }
+      i += 1
+    }
+    val out = new Array[Any](m * (m - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < m) {
       var j = i + 1
-      while (j < n) {
+      while (j < m) {
         out(k) = org.apache.spark.sql.catalyst.InternalRow(vals(i), vals(j))
         k += 1; j += 1
       }
@@ -742,6 +753,86 @@ final case class OrderedPairs(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): OrderedPairs =
+    copy(child = newChild)
+}
+
+/** `graft_collect_capped(bigint, cap)` → `array<long>`: `collect_list`
+  * with a hard per-group element cap enforced INSIDE the aggregation
+  * buffer — update stops appending once the buffer holds `cap` elements
+  * and merge tops out at `cap`, so a partial buffer is never larger than
+  * `cap` longs (~8·cap bytes) no matter how hot the group is.
+  *
+  * Exactness contract: the result is `min(count, cap)` elements, so a
+  * caller filtering `size(xs) BETWEEN lo AND hi` with `hi < cap` gets
+  * EXACTLY the uncapped semantics — groups with `count ≤ hi` were never
+  * capped (their full list survives), and groups with `count > hi`
+  * saturate at `cap > hi` and are dropped by the same predicate. This is
+  * the skew-proof form of the d_dup_pagerank gram filter: a boilerplate
+  * gram shared by millions of documents costs 65 longs per partial
+  * buffer instead of one multi-GB list in a single final-aggregation
+  * task. Element order is partition-dependent, exactly like
+  * `collect_list` — downstream [[OrderedPairs]] sorts and dedupes.
+  *
+  * NOT distinct-capped: duplicates count toward the cap. Callers whose
+  * input can repeat a value per group (the gram relation cannot —
+  * [[GramHashes]] dedupes per document) must dedupe upstream. */
+final case class CollectCappedLongs(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(cap >= 1, "cap must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Long] =
+    scala.collection.mutable.ArrayBuffer.empty[Long]
+
+  override def update(
+      buf: scala.collection.mutable.ArrayBuffer[Long],
+      input: InternalRow): scala.collection.mutable.ArrayBuffer[Long] = {
+    if (buf.length < cap) {
+      val v = child.eval(input)
+      if (v != null) buf += v.asInstanceOf[Long]
+    }
+    buf
+  }
+
+  override def merge(
+      buf: scala.collection.mutable.ArrayBuffer[Long],
+      other: scala.collection.mutable.ArrayBuffer[Long]): scala.collection.mutable.ArrayBuffer[Long] = {
+    var i = 0
+    while (buf.length < cap && i < other.length) { buf += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[Long]): Any =
+    new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n)
+    var i = 0
+    while (i < n) { out += bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectCappedLongs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectCappedLongs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CollectCappedLongs =
     copy(child = newChild)
 }
 
@@ -866,12 +957,20 @@ object VectorFunctions {
       es => GramPosHashes(es.head, gramSizeLiteral(es(1))), "built-in")
     reg.createOrReplaceTempFunction("graft_ordered_pairs",
       es => OrderedPairs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_collect_capped",
+      es => CollectCappedLongs(es.head,
+        intLiteral(es(1), "graft_collect_capped: cap")), "built-in")
   }
 
   /** The gram size must be a foldable integral literal — a column (or a
     * null) here would otherwise surface as an opaque NPE/ClassCast from
     * eval at registration time. */
-  private def gramSizeLiteral(e: Expression): Int = {
+  private def gramSizeLiteral(e: Expression): Int =
+    intLiteral(e, "graft_gram_hashes: gram size")
+
+  /** A foldable integral literal argument, with the failing parameter
+    * named in the error. */
+  private def intLiteral(e: Expression, what: String): Int = {
     val ok = e.foldable && (e.dataType match {
       case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
       case _ => false
@@ -879,10 +978,10 @@ object VectorFunctions {
     def fail(msg: String): Nothing =
       throw new org.apache.spark.sql.AnalysisException(
         "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
-    if (!ok) fail("graft_gram_hashes: gram size must be an integer literal")
+    if (!ok) fail(s"$what must be an integer literal")
     e.eval(null) match {
       case n: Number => n.intValue
-      case _ => fail("graft_gram_hashes: gram size must be a non-null integer literal")
+      case _ => fail(s"$what must be a non-null integer literal")
     }
   }
 }

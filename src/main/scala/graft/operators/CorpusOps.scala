@@ -215,20 +215,24 @@ object CorpusOps {
     *
     * Adaptive on a MEASURED bound: the pair relation is persisted (ONE
     * fixed plan, so every later job shares its map stages and cached
-    * partitions — nothing is ever re-derived) and probed with
-    * `head(bar+1)`, bar = min(maxDriverPairs, [[DriverPrProbeMax]]).
-    * At or below the bar the probe IS the exact pair list and the five
-    * iterations run as array arithmetic on the driver — one bounded
-    * action total, zero iteration jobs, zero extra plan cycles (the
-    * r17 profile showed the five chained join+agg stages paying ~1 s
-    * of per-stage AQE replanning on a KB-sized edge list). Above the
-    * bar, the distributed formulation: one lazy plan of five equi-join
-    * + map-side-combinable sum stages over an edge relation eagerly
-    * checkpointed from the SAME cache — the canonical distributed
-    * PageRank step; the probe's waste is capped at one bar-sized
-    * partial collect. (The round-18 50× sweep caught the naive
-    * un-cached head(4M+1) variant paying a single-threaded 4M-row
-    * CollectLimit plus a full pair re-derivation — 56–267 s at sf5.0.)
+    * partitions — nothing is ever re-derived) and probed with a
+    * `count()`, bar = min(maxDriverPairs, [[DriverPrProbeMax]]). The
+    * count is one distributed job over the now-cached partitions that
+    * moves a single long to the driver — no Row materialization, and
+    * on the distributed path nothing is wasted. At or below the bar a
+    * second `collect()` on the cache fetches the exact pair list and
+    * the five iterations run as array arithmetic on the driver — two
+    * bounded actions total, zero iteration jobs, zero extra plan
+    * cycles (the r17 profile showed the five chained join+agg stages
+    * paying ~1 s of per-stage AQE replanning on a KB-sized edge
+    * list). Above the bar, the distributed formulation: one lazy plan
+    * of five equi-join + map-side-combinable sum stages over an edge
+    * relation eagerly checkpointed from the SAME cache — the
+    * canonical distributed PageRank step. (The round-18 50× sweep
+    * caught the naive un-cached head(4M+1) variant paying a
+    * single-threaded 4M-row CollectLimit plus a full pair
+    * re-derivation — 56–267 s at sf5.0; round 19 replaced the
+    * remaining bar-sized head probe with the count.)
     * Both paths produce identical BIGINTs (integer division is
     * order-free) — CorpusOpsSpec pins them against each other by
     * forcing the distributed path. */
@@ -237,13 +241,18 @@ object CorpusOps {
     val cached = pairsDf.toDF("u", "v").persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bar = math.min(maxDriverPairs, DriverPrProbeMax)
-    val take =
-      if (bar < 0) Array.empty[org.apache.spark.sql.Row]
-      else cached.head(bar.toInt + 1)
+    // probe by COUNT on the cached relation — one distributed job that
+    // materializes the cache and moves a single long to the driver. The
+    // earlier head(bar+1) probe collected up to ~1M Row objects
+    // single-threaded (an order of magnitude more transient driver heap
+    // than the payload bytes suggest) and was pure discarded work on the
+    // distributed path; the count is cheap on both.
+    val nPairs = if (bar < 0) Long.MaxValue else cached.count()
     val longT = org.apache.spark.sql.types.LongType
-    if (bar >= 0 && take.length <= bar) {
-      // ---- driver path: only the probe-bounded pair list reaches
+    if (bar >= 0 && nPairs <= bar) {
+      // ---- driver path: only the count-bounded pair list reaches
       // the driver; 5 iterations of long arithmetic over flat maps
+      val take = cached.collect()
       cached.unpersist(blocking = false)
       val edges = take.map(r => (r.getLong(0), r.getLong(1)))
       val deg = scala.collection.mutable.LongMap.empty[Long]
@@ -815,12 +824,18 @@ object CorpusOps {
       // gram, keep grams with 2–64 docs, and explode each gram's ≤2016
       // ordered doc pairs in place — no join-back of the df filter, no
       // gram self-join, no checkpoint (single consumer chain), and only
-      // two bounded shuffles (by gram hash, then by pair).
+      // two bounded shuffles (by gram hash, then by pair). The doc list
+      // is collected through graft_collect_capped(·, 65), which caps the
+      // aggregation BUFFER at 65 longs — a boilerplate gram shared by
+      // millions of documents saturates at 65 elements (then fails the
+      // ≤64 filter exactly like its uncapped count would) instead of
+      // materializing one multi-GB collect_list value in a single task.
       val pairs = withNorm(t(s, dir).documents)
         .filter(size(col("words")) >= 5)
         .select(col("doc_id"),
           explode(expr("graft_gram_hashes(words, 5)")).as("g"))
-        .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ds"))
+        .groupBy(col("g"))
+        .agg(expr("graft_collect_capped(doc_id, 65)").as("ds"))
         .filter(size(col("ds")).between(2, 64))
         // ordered pairs (u < v) of the per-gram doc list — identical
         // multiset to the oracle's gf-self-join; the fused native

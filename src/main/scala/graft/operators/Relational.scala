@@ -685,13 +685,20 @@ object Relational {
 
     // Scalar subquery + IN-subquery (decorrelated by Catalyst natively;
     // reference: DataFusion decorrelates, translator/mod.rs:120-141)
+    // Threshold avg*1.5, NOT avg*2: with o_totalprice uniform-ish on
+    // (0, 2·avg), avg*2 sits at the distribution's edge and returns
+    // ZERO rows at sf≥0.01 — the oracle hash then only proves both
+    // engines agree on emptiness (the r18 verdict's vacuity note).
+    // avg*1.5 keeps ~25% of orders at every scale (380 rows at
+    // sf0.001, 3717 at sf0.01, 37430 at sf0.1), so the hash pins the
+    // actual decorrelated-scalar-subquery semantics.
     GraftQuery("q_subquery_scalar",
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)""".stripMargin) { (s, dir) =>
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)""".stripMargin) { (s, dir) =>
       val tt = t(s, dir)
       GraftQuery.sqlOn(s, Map("orders" -> tt.orders),
         """SELECT o_orderkey, o_totalprice FROM {orders}
-          |WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM {orders})""".stripMargin)
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM {orders})""".stripMargin)
     },
 
     GraftQuery("q_subquery_in",

@@ -73,14 +73,34 @@ object Tokenizer {
   private[graft] def trainBpeRounds(s: SparkSession,
       dir: String, k: Int): (Seq[(Int, String, String, Long)], Int) = {
     var wf = Subword.wordFreqSeg(s, dir)
+    // the checkpoint each round's argmax action just materialized;
+    // superseded (and unpersisted) when the NEXT round's action
+    // materializes its successor — the result of training is a
+    // driver-side merge table, so any checkpoint left persisted at
+    // return would be pure storage residue taxing the session until
+    // the ContextCleaner happens to collect it (StorageResidueSpec)
+    var live: Option[org.apache.spark.sql.DataFrame] = None
+    def unpersistCkpt(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var rounds = 0
+    def finish(): (Seq[(Int, String, String, Long)], Int) = {
+      live.foreach(unpersistCkpt)
+      unpersistCkpt(wf)
+      (merges.toSeq, rounds)
+    }
     while (merges.size < BpeSteps) {
       val want = math.min(k, BpeSteps - merges.size)
       val batch = Subword.batchedArgmax(wf, want)
+      // wf's pending checkpoint is now materialized: the previous
+      // round's (whose data fed this plan) is dead weight
+      live.foreach(unpersistCkpt)
+      live = Some(wf)
       rounds += 1
-      if (batch.isEmpty) return (merges.toSeq, rounds)
+      if (batch.isEmpty) return finish()
       batch.zipWithIndex.foreach { case ((w1, w2, c), i) =>
         merges += ((merges.size + 1, w1, w2, c))
         // one materialization per ROUND: only the last merge checkpoints
@@ -88,7 +108,7 @@ object Tokenizer {
           checkpoint = i == batch.size - 1)
       }
     }
-    (merges.toSeq, rounds)
+    finish()
   }
 
   private def trainBpeUncached(s: SparkSession,

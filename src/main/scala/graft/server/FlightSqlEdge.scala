@@ -358,7 +358,12 @@ object FlightSqlEdge {
         case b: Boolean => d.writeByte('B'); d.writeBoolean(b)
         case i: Int => d.writeByte('L'); d.writeLong(i.toLong)
         case l: Long => d.writeByte('L'); d.writeLong(l)
-        case f: Float => d.writeByte('D'); d.writeDouble(f.toDouble)
+        // a raw Float normalizes through its DECIMAL string, exactly
+        // like decodeParamBatch does — `f.toDouble` would widen the
+        // binary32 representation error (3.14f → 3.140000104904175)
+        // and silently revive the bug the decode side fixed
+        case f: Float =>
+          d.writeByte('D'); d.writeDouble(f.toString.toDouble)
         case x: Double => d.writeByte('D'); d.writeDouble(x)
         case s: String =>
           val b = s.getBytes(utf8)

@@ -817,7 +817,20 @@ object SqliteFile {
       case (null, null) => 0
       case (x: Long, y: Long) => java.lang.Long.compare(x, y)
       // mixed int/real compares EXACTLY (a 2^60 long vs its double
-      // neighbour must not tie): decimal arithmetic, no widening
+      // neighbour must not tie): decimal arithmetic, no widening.
+      // Non-finite REALs short-circuit first — SQLite legally stores
+      // ±Infinity (e.g. a literal 9e999) and new BigDecimal(inf)
+      // throws; an infinite double orders against every long by sign.
+      // NaN cannot be stored (it becomes NULL on write), so reaching
+      // the comparator with one is a decode bug worth failing loudly.
+      case (_: Long, y: Double) if !java.lang.Double.isFinite(y) =>
+        if (y.isNaN) throw new IllegalStateException(
+          "NaN REAL in sqlite key (cannot be stored; decode bug)")
+        else if (y > 0) -1 else 1
+      case (x: Double, _: Long) if !java.lang.Double.isFinite(x) =>
+        if (x.isNaN) throw new IllegalStateException(
+          "NaN REAL in sqlite key (cannot be stored; decode bug)")
+        else if (x > 0) 1 else -1
       case (x: Long, y: Double) =>
         java.math.BigDecimal.valueOf(x)
           .compareTo(new java.math.BigDecimal(y))
@@ -861,14 +874,20 @@ object SqliteFile {
       val pg = db.page(pageNo)
       val ph = pageHeader(pg, pageNo)
       ph.pageType match {
-        case 0x0a => // index leaf
+        case 0x0a => // index leaf: entries are in stored order, so the
+          // scan ends the moment the key sorts BEFORE the current entry
+          // (cmpEntry < 0) — the same ordering assumption the interior
+          // descent makes; without it a miss (or a key near the leaf
+          // end) pays a full-leaf decode per lookback
           var i = 0
           while (i < ph.cellCount) {
             val off = cellPointer(pg, ph, i)
             val (payloadLen, n1) = varint(pg, off)
             val entry = readPayload(db, pg, off + n1, payloadLen,
               indexPage = true)
-            if (cmpEntry(entry) == 0) return Some(entry)
+            val c = cmpEntry(entry)
+            if (c == 0) return Some(entry)
+            if (c < 0) return None
             i += 1
           }
           return None

@@ -327,4 +327,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byId(10L) == byId(11L))
     assert(byId(3L) > byId(4L))
   }
+
+  test("graft_ordered_pairs honors strict u < v on NON-deduped input " +
+      "(repeated values compact — no self-loops, no duplicate pairs)") {
+    functions.VectorFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_ordered_pairs(array(3L, 1L, 3L, 2L, 1L)) AS ps")
+      .selectExpr("explode(ps) AS p").selectExpr("p.u", "p.v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)), out)
+    // all-equal input → zero pairs, not a self-loop
+    assert(spark.sql(
+      "SELECT size(graft_ordered_pairs(array(7L, 7L, 7L))) AS n")
+      .head().getInt(0) == 0)
+  }
+
+  test("graft_collect_capped saturates at the cap per group (partial " +
+      "buffers bounded) and is exact below it") {
+    functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    // group 1: 200 elements over many partitions (merge path exercised);
+    // group 2: 3 elements — must come back complete and uncapped
+    val rows = (1 to 200).map(i => (1L, i.toLong)) ++
+      Seq((2L, 10L), (2L, 20L), (2L, 30L))
+    val got = rows.toDF("g", "v").repartition(16)
+      .groupBy("g").agg(expr("graft_collect_capped(v, 65)").as("vs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L).length == 65, s"cap not enforced: ${got(1L).length}")
+    assert(got(1L).toSet.subsetOf((1L to 200L).toSet))
+    assert(got(2L).sorted == Seq(10L, 20L, 30L))
+    // the d_dup_pagerank filter shape: a >64-hot group saturates at 65
+    // and fails BETWEEN 2 AND 64 exactly like its uncapped count would
+    val kept = rows.toDF("g", "v").repartition(16)
+      .groupBy("g").agg(expr("graft_collect_capped(v, 65)").as("vs"))
+      .filter(org.apache.spark.sql.functions.size(col("vs")).between(2, 64))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), kept)
+  }
 }

@@ -361,6 +361,45 @@ class SqliteSourceSpec extends AnyFunSuite {
     Files.delete(db)
   }
 
+  test("reader: ±Infinity REAL PK parts survive the PK-tuple lookback " +
+      "(compareValues orders non-finite doubles instead of throwing)") {
+    // SQLite legally stores ±Infinity REALs (a 9e999 literal); the
+    // BigDecimal mixed int/real path throws on them, so the comparator
+    // short-circuits non-finite doubles by sign
+    import SqliteFile.compareValues
+    assert(compareValues(Long.MaxValue, Double.PositiveInfinity) < 0)
+    assert(compareValues(Long.MinValue, Double.NegativeInfinity) > 0)
+    assert(compareValues(Double.PositiveInfinity, 5L) > 0)
+    assert(compareValues(Double.NegativeInfinity, 5L) < 0)
+    assert(compareValues(Double.PositiveInfinity, Double.PositiveInfinity) == 0)
+    assume(pyAvailable, "python3/sqlite3 not available")
+    val db = fixture("worinf") { p =>
+      s"""import sqlite3
+         |c = sqlite3.connect(${q(p)})
+         |c.execute("CREATE TABLE kv (k REAL, v TEXT, n INTEGER, PRIMARY KEY (k)) WITHOUT ROWID")
+         |c.executemany("INSERT INTO kv VALUES (?,?,?)",
+         |  [(float(i), 'pad-' * 40 + str(i), i % 50) for i in range(2000)])
+         |c.execute("INSERT INTO kv VALUES (9e999, 'top', 7)")
+         |c.execute("INSERT INTO kv VALUES (-9e999, 'bottom', 7)")
+         |c.execute("CREATE INDEX kv_n ON kv (n)")
+         |c.commit(); c.close()
+         |""".stripMargin
+    }
+    val df = spark.read.format(classOf[SqliteDataSource].getName)
+      .option("path", db.toString).option("table", "kv").load()
+      .filter(col("n") === 7)
+      .select(col("k"), col("v"), col("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("index=kv_n") && plan.contains("covering=false"),
+      s"lookback scan not planned:\n$plan")
+    val rows = df.collect().map(r =>
+      (r.getDouble(0), r.getString(1))).toSet
+    assert(rows.contains((Double.PositiveInfinity, "top")) &&
+      rows.contains((Double.NegativeInfinity, "bottom")), rows.take(5))
+    assert(rows.size == 42, rows.size) // 40 finite (n == 7) + the 2 infinities
+    Files.delete(db)
+  }
+
   test("reader: WITHOUT ROWID NOCASE PK never plans the lookback " +
       "(descent order would diverge) — falls back, stays correct") {
     assume(pyAvailable, "python3/sqlite3 not available")

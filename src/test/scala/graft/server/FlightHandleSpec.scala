@@ -44,4 +44,18 @@ class FlightHandleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported parameter type") &&
       e.getMessage.contains("bad"), e.getMessage)
   }
+
+  test("a RAW Float normalizes through its decimal string at the " +
+      "ENCODER — no binary32 widening error") {
+    // decodeParamBatch normalizes Float → Double via toString, so in
+    // the normal DoPut path no Float reaches encodeHandle; this pins
+    // the encoder's own guard so a future caller binding a raw Float
+    // cannot revive 3.14f → 3.140000104904175 through the handle.
+    val (_, back) = FlightSqlEdge.decodeHandle(
+      FlightSqlEdge.encodeHandle("SELECT :f", Map("f" -> 3.14f)))
+    assert(back("f") == 3.14d, back("f"))
+    val (_, b2) = FlightSqlEdge.decodeHandle(
+      FlightSqlEdge.encodeHandle("SELECT :f", Map("f" -> -0.001f)))
+    assert(b2("f") == -0.001d, b2("f"))
+  }
 }
