@@ -29,14 +29,21 @@ object ServerMain {
     spark.sparkContext.setLogLevel("WARN")
     a.get("--data").foreach { dir =>
       graft.Tables(spark, dir).registerAll()
-      // width follows the registered data's volume (AQE coalesces down
-      // per stage); an explicit SPARK_GRAFT_SHUFFLE pins it instead
-      if (!sys.env.contains("SPARK_GRAFT_SHUFFLE"))
-        graft.session.ShuffleWidth.configure(spark, dir)
     }
     a.get("--config").foreach { yml =>
       new graft.sources.SourceRegistry(spark)
         .registerAll(graft.sources.SourcesConfig.fromYamlFile(yml))
+    }
+    // width follows the registered data's volume — the data dir's
+    // on-disk bytes PLUS the catalog statistics source registration
+    // recorded (Iceberg snapshot totals, declared federated sizes), so
+    // an all-federated session with no local dir still gets
+    // volume-derived width (AQE coalesces down per stage); an explicit
+    // SPARK_GRAFT_SHUFFLE pins it instead. Runs AFTER both
+    // registrations so every stat is on the books.
+    if (!sys.env.contains("SPARK_GRAFT_SHUFFLE")) a.get("--data") match {
+      case Some(dir) => graft.session.ShuffleWidth.configure(spark, dir)
+      case None => graft.session.ShuffleWidth.configureFromStats(spark)
     }
     // engine settings from graft.yaml beside the sources config (the
     // reference's embedded backend reads strake.yaml the same way;

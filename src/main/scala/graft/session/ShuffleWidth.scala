@@ -22,8 +22,11 @@ import org.apache.spark.sql.SparkSession
   * working set in the tens of MB. AQE then coalesces DOWN at runtime
   * when a stage's actual exchange is small — over-provisioning width
   * is self-correcting, under-provisioning is a spill (asymmetry that
-  * justifies rounding up). At cluster scale the same rule holds with
-  * the catalog's size statistics in place of a directory walk.
+  * justifies rounding up). Tables with no local directory to walk —
+  * federated JDBC/REST and Iceberg registrations — contribute through
+  * recorded catalog statistics instead ([[StatsKeyPrefix]]): Iceberg
+  * snapshot `total-files-size`, declared row-count estimates, remote
+  * file sizes. Both signals add; either alone carries a session.
   */
 object ShuffleWidth {
 
@@ -58,12 +61,49 @@ object ShuffleWidth {
     finally it.close()
   }
 
+  /** Session-conf prefix under which [[graft.sources.SourceRegistry]]
+    * records per-registered-table input-byte estimates (Iceberg
+    * snapshot `total-files-size`, federated row-count × row-width,
+    * file sizes of paths outside the session data dir). The catalog
+    * side of the width rule: a session whose tables arrive through a
+    * sources config — no local data directory at all — still gets
+    * volume-derived width instead of the core floor. */
+  val StatsKeyPrefix = "graft.stats.bytes."
+
+  /** Record one table's estimated input bytes (idempotent per view
+    * name; non-positive estimates are "unknown" and never recorded). */
+  def record(spark: SparkSession, view: String, bytes: Long): Unit =
+    if (bytes > 0L)
+      spark.conf.set(StatsKeyPrefix + view.toLowerCase, bytes.toString)
+
+  /** Sum of every recorded per-table estimate in this session. */
+  def statsBytes(spark: SparkSession): Long =
+    spark.conf.getAll.collect {
+      case (k, v) if k.startsWith(StatsKeyPrefix) =>
+        v.toLongOption.getOrElse(0L)
+    }.sum
+
+  /** Drop every recorded estimate (re-registration against a different
+    * config, and test isolation in shared sessions). */
+  def clearStats(spark: SparkSession): Unit =
+    spark.conf.getAll.keys.filter(_.startsWith(StatsKeyPrefix))
+      .foreach(spark.conf.unset)
+
   /** Set `spark.sql.shuffle.partitions` for the session from the data
-    * directory's measured volume; returns the chosen width. AQE's
+    * directory's measured volume PLUS any catalog statistics recorded
+    * by source registration; returns the chosen width. AQE's
     * coalescing (enabled by every graft session builder) trims unused
     * width per stage at runtime. */
-  def configure(spark: SparkSession, dir: String): Int = {
-    val width = forBytes(dirBytes(dir), spark.sparkContext.defaultParallelism)
+  def configure(spark: SparkSession, dir: String): Int =
+    configureTotal(spark, dirBytes(dir) + statsBytes(spark))
+
+  /** Width purely from registered catalog statistics — the no-data-dir
+    * session shape (everything federated/REST). */
+  def configureFromStats(spark: SparkSession): Int =
+    configureTotal(spark, statsBytes(spark))
+
+  private def configureTotal(spark: SparkSession, bytes: Long): Int = {
+    val width = forBytes(bytes, spark.sparkContext.defaultParallelism)
     spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     width
   }

@@ -40,6 +40,13 @@ final class SourceRegistry(spark: SparkSession) {
         case None => df
       }
       reconciled.createOrReplaceTempView(s"${src.name}_${t.name}")
+      // catalog-statistics contribution to shuffle-width planning:
+      // every registered table records an input-byte estimate so a
+      // session with NO local data directory still derives width from
+      // volume (ShuffleWidth.statsBytes). Iceberg tables recorded
+      // their snapshot total inside load(); an explicit stats_bytes
+      // option overrides any derived estimate.
+      recordStats(src, t)
       // the bare name belongs to the FIRST source claiming it — only that
       // owner may mark/unmark its cache exemption, or a cache:false source
       // sharing a table name would poison an unrelated source's bare view
@@ -199,6 +206,14 @@ final class SourceRegistry(spark: SparkSession) {
           graft.sources.iceberg.IcebergRest.metaTable(
             spark, catalog, namespace, tbl, kind, spec)
         } else {
+          // snapshot-summary size statistic → width planning (the
+          // catalog metadata is already fetched; total-files-size is
+          // free, and a stats-less writer costs one manifest walk)
+          graft.session.ShuffleWidth.record(spark,
+            s"${src.name}_${t.name}",
+            graft.sources.iceberg.IcebergRest.tableSizeBytes(
+              spark, catalog, namespace, remote, spec, src.options)
+              .getOrElse(0L))
           // per-source options (fs.* credentials etc.) and declared schema
           // apply to iceberg reads exactly as to file sources. LAZY by
           // default when the session has graft extensions: the registered
@@ -308,6 +323,37 @@ final class SourceRegistry(spark: SparkSession) {
     }
   }
 
+  /** Record the table's input-byte estimate for width planning.
+    * Precedence: `stats_bytes.<table>` / `stats_bytes` source options
+    * (the operator's declared size — the only signal for opaque
+    * backends) → measured local file/dir size for file-backed types →
+    * `stats_rows[.<table>]` × `stats_row_bytes` (default 128 — a
+    * conservative compressed-row width) for federated SQL/REST
+    * sources. Unknown stays unrecorded: width then falls back to the
+    * core floor exactly as before. Iceberg snapshot totals are
+    * recorded inside [[load]] where the catalog client is in scope;
+    * an explicit option recorded here overwrites that (same key). */
+  private def recordStats(src: SourceDef, t: TableDef): Unit = {
+    def opt(key: String): Option[Long] =
+      src.options.get(s"$key.${t.name}").orElse(src.options.get(key))
+        .flatMap(_.toLongOption)
+    val est: Long = opt("stats_bytes").getOrElse {
+      src.sourceType.toLowerCase match {
+        case "parquet" | "csv" | "json" | "orc" | "warc" =>
+          SourceRegistry.localBytes(pathOf(src, t))
+        case "sqlite" =>
+          src.url.map(u => SourceRegistry.localBytes(
+            u.stripPrefix("jdbc:sqlite:"))).getOrElse(0L)
+        case "jdbc" | "postgres" | "postgresql" | "mysql" |
+             "clickhouse" | "rest" | "flight" | "arrowhttp" =>
+          opt("stats_rows").map(_ *
+            opt("stats_row_bytes").getOrElse(128L)).getOrElse(0L)
+        case _ => 0L // iceberg recorded in load(); kafka/grpc unknown
+      }
+    }
+    graft.session.ShuffleWidth.record(spark, s"${src.name}_${t.name}", est)
+  }
+
   private def pathOf(src: SourceDef, t: TableDef): String =
     SourceRegistry.normalizeScheme(
       t.path.orElse(src.url.map(u => s"$u/${t.name}")).getOrElse(
@@ -315,6 +361,22 @@ final class SourceRegistry(spark: SparkSession) {
 }
 
 object SourceRegistry {
+  /** Local file-or-directory byte size; 0 for absent paths or remote
+    * schemes (those declare size via `stats_bytes` options instead —
+    * a driver-side walk of an object store at registration would be
+    * I/O the operator didn't ask for). */
+  private[sources] def localBytes(path: String): Long =
+    try {
+      val p = java.nio.file.Paths.get(
+        if (path.startsWith("file:")) java.net.URI.create(path).getPath
+        else path)
+      if (java.nio.file.Files.isDirectory(p))
+        graft.session.ShuffleWidth.dirBytes(p.toString)
+      else if (java.nio.file.Files.isRegularFile(p))
+        java.nio.file.Files.size(p)
+      else 0L
+    } catch { case _: Exception => 0L }
+
   /** Object-store path support, mirroring the reference's scheme'd file
     * URIs (s3/gcs/az/http via OpenDAL, file.rs:124-207). Spark's file
     * sources already resolve any scheme through Hadoop's FileSystem

@@ -510,7 +510,7 @@ object IcebergLocal {
     val snaps = root.putArray("snapshots")
     meta.snapshots.filter(s => keptIds(s.snapshotId)).foreach(s =>
       snapNode(snaps.addObject(), s.snapshotId, s.timestampMs,
-        s.manifestList, s.parentId.filter(keptIds.contains)))
+        s.manifestList, s.parentId.filter(keptIds.contains), s.summary))
     droppedRefs.foreach(root.withObject("/refs").remove)
     val log = root.putArray("snapshot-log")
     meta.snapshotLog.filter { case (_, id) => keptIds(id) }
@@ -1128,9 +1128,27 @@ object IcebergLocal {
     val snaps = root.putArray("snapshots")
     keptPrior.foreach(s =>
       snapNode(snaps.addObject(), s.snapshotId, s.timestampMs,
-        s.manifestList, s.parentId.filter(keptIds.contains)))
+        s.manifestList, s.parentId.filter(keptIds.contains), s.summary))
+    // incremental stats: this commit's added files on top of the
+    // parent's totals (the spec's summary accounting — a compaction
+    // that rewrites files through another path may overestimate, which
+    // only over-provisions width; AQE coalesces down). A parent with no
+    // recorded totals restarts the total at this commit's adds.
+    val parentTotals = parentId
+      .orElse(prior.flatMap(_.refs.get("main").map(_._2)))
+      .flatMap(pid => prior.flatMap(_.snapshots.find(_.snapshotId == pid)))
+      .map(_.summary).getOrElse(Map.empty)
+    def pt(k: String): Long =
+      parentTotals.get(k).flatMap(_.toLongOption).getOrElse(0L)
+    val addedSize = files.map(_.sizeBytes).sum
+    val addedRecords = files.filter(_.content == 0).map(_.recordCount).sum
     snapNode(snaps.addObject(), snapId, timestampMs,
-      listPath.toUri.toString, parentId.filter(keptIds.contains))
+      listPath.toUri.toString, parentId.filter(keptIds.contains),
+      summary = Map(
+        "added-files-size" -> addedSize.toString,
+        "added-records" -> addedRecords.toString,
+        "total-files-size" -> (pt("total-files-size") + addedSize).toString,
+        "total-records" -> (pt("total-records") + addedRecords).toString))
     val refs = root.putObject("refs")
     branch match {
       case None => refNode(refs, "main", "branch", snapId)
@@ -1186,7 +1204,8 @@ object IcebergLocal {
   }
 
   private def snapNode(n: ObjectNode, id: Long, ts: Long,
-      list: String, parentId: Option[Long] = None): Unit = {
+      list: String, parentId: Option[Long] = None,
+      summary: Map[String, String] = Map.empty): Unit = {
     n.put("snapshot-id", id)
     // this writer's commits are strictly serial: sequence number == id
     n.put("sequence-number", id)
@@ -1194,7 +1213,14 @@ object IcebergLocal {
     n.put("manifest-list", list)
     n.put("schema-id", 0)
     parentId.foreach(n.put("parent-snapshot-id", _))
-    n.putObject("summary").put("operation", "append")
+    // the summary carries the spec's stats keys verbatim when the
+    // caller has them (re-serialization must not strip another
+    // commit's statistics; fresh commits write incremental totals —
+    // `total-files-size` is what ShuffleWidth plans reduce width from)
+    val sm = n.putObject("summary")
+    sm.put("operation", summary.getOrElse("operation", "append"))
+    (summary - "operation").toSeq.sortBy(_._1)
+      .foreach { case (k, v) => sm.put(k, v) }
   }
 
   private def refNode(refs: ObjectNode, name: String, tpe: String,

@@ -50,7 +50,14 @@ final case class IcebergSnapshot(snapshotId: Long, timestampMs: Long,
     /** v2 `parent-snapshot-id` — the lineage edge branch fast-forward
       * checks ancestry along; None for root snapshots (or metadata
       * written before parent tracking). */
-    parentId: Option[Long] = None)
+    parentId: Option[Long] = None,
+    /** the spec's snapshot `summary` map (`operation` plus the
+      * writer's statistics — `total-files-size`, `total-records`,
+      * `added-files-size`, …). Carried verbatim: re-serializing
+      * metadata must not strip another writer's stats, and
+      * `total-files-size` feeds shuffle-width planning without a
+      * manifest walk ([[graft.session.ShuffleWidth]]). */
+    summary: Map[String, String] = Map.empty)
 
 final case class IcebergTableMeta(
     location: String,
@@ -312,7 +319,12 @@ object IcebergMetadata {
         timestampMs = s.get("timestamp-ms").asLong(),
         manifestList = s.get("manifest-list").asText(),
         parentId = Option(s.get("parent-snapshot-id"))
-          .filterNot(_.isNull).map(_.asLong()))
+          .filterNot(_.isNull).map(_.asLong()),
+        summary = Option(s.get("summary")).map { sm =>
+          val it = sm.properties().iterator()
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        }.getOrElse(Map.empty))
     }
     val refEntries = Option(meta.get("refs")).map { r =>
       val it = r.properties().iterator()
@@ -694,6 +706,29 @@ object IcebergRest {
     val meta = catalog.loadTable(namespace, table)
     readMeta(spark, meta, spec, options, schema, s"$namespace.$table")
   }
+
+  /** Live-data byte volume of a table at a version — the catalog-side
+    * input-size statistic [[graft.session.ShuffleWidth]] plans reduce
+    * width from when a table has no local data directory to walk
+    * (federated/REST-registered sessions). Snapshot-summary-first: the
+    * spec's `total-files-size` answers with zero I/O beyond the
+    * metadata the registration already fetched; absent that (another
+    * writer that skips stats), one metadata-only manifest walk sums
+    * `file_size_in_bytes` over the snapshot's live data files. An
+    * empty table (no current snapshot) is None, never an error —
+    * width planning treats unknown as "no contribution". */
+  def tableSizeBytes(spark: SparkSession, catalog: IcebergRestCatalog,
+      namespace: String, table: String,
+      spec: Option[VersionSpec] = None,
+      options: Map[String, String] = Map.empty): Option[Long] =
+    scala.util.Try {
+      val meta = catalog.loadTable(namespace, table)
+      val snap = IcebergMetadata.select(meta, spec)
+      snap.summary.get("total-files-size").flatMap(_.toLongOption)
+        .getOrElse(IcebergManifests
+          .scanFiles(spark, snap.manifestList, options)
+          .dataEntries.map(_.sizeBytes).sum)
+    }.toOption.filter(_ > 0L)
 
   /** Read a LOCALLY committed table (no catalog server) at an optional
     * version — the maintenance-side read path (compaction, upsert

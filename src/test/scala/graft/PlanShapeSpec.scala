@@ -757,6 +757,9 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     val cores = spark.sparkContext.defaultParallelism
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // configure() adds any catalog stats recorded in the shared
+    // session (another suite's SourceRegistry run) — isolate
+    ShuffleWidth.clearStats(spark)
     try {
       val small = ShuffleWidth.configure(spark, dirOf(1L << 20))
       assert(small == cores, s"small volume must floor at cores, got $small")
@@ -765,5 +768,65 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(big == 256, s"512 MB / 2 MB target = 256-wide, got $big")
       assert(spark.conf.get("spark.sql.shuffle.partitions") == "256")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("shuffle width from CATALOG statistics: an Iceberg-registered " +
+      "session with no data dir derives volume, not the core floor") {
+    import graft.session.ShuffleWidth
+    import graft.sources.iceberg.{IcebergLocal, IcebergRest, IcebergRestCatalog}
+    import graft.sources.{SourceDef, SourceRegistry, SourcesConfig, TableDef}
+    import scala.jdk.CollectionConverters._
+    val wh = java.nio.file.Files.createTempDirectory("ice-stats-wh")
+    val dataDir = java.nio.file.Files.createTempDirectory("ice-stats-data")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    nation.coalesce(1).write.mode("overwrite").parquet(dataDir.toString)
+    val parts = java.nio.file.Files.list(dataDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+      .map(p => IcebergLocal.DataFileInfo(p.toUri.toString, 25,
+        java.nio.file.Files.size(p)))
+    val realBytes = parts.map(_.sizeBytes).sum
+    IcebergLocal.append(wh.resolve("t"), parts, timestampMs = 1000L)
+    val server = new IcebergLocal.CatalogServer(wh, "stats")
+    val port = server.start()
+    ShuffleWidth.clearStats(spark)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // 1) the local writer records the spec's summary totals
+      val cat = new IcebergRestCatalog(s"http://127.0.0.1:$port")
+      val snap = cat.loadTable("stats", "t").snapshots.head
+      assert(snap.summary.get("total-files-size")
+        .contains(realBytes.toString), snap.summary)
+      assert(snap.summary.get("total-records").contains("25"), snap.summary)
+      // 2) tableSizeBytes answers from the summary
+      assert(IcebergRest.tableSizeBytes(spark, cat, "stats", "t")
+        .contains(realBytes))
+      // 3) registration records the estimate in session conf — NO
+      // local data dir anywhere in this source def
+      new SourceRegistry(spark).registerAll(SourcesConfig(Seq(
+        SourceDef(name = "icestats", sourceType = "iceberg_rest",
+          url = Some(s"http://127.0.0.1:$port"),
+          options = Map("namespace" -> "stats"),
+          tables = Seq(TableDef(name = "t"))))))
+      assert(spark.conf.get(
+        ShuffleWidth.StatsKeyPrefix + "icestats_t") == realBytes.toString)
+      // 4) width follows the RECORDED volume: overlay a synthetic
+      // 1 GB estimate (as a big remote table would record) and the
+      // stats-only configure chooses 512-wide — volume-derived, far
+      // above the core floor, with not one local byte on disk
+      ShuffleWidth.record(spark, "icestats_big", 1L << 30)
+      val width = ShuffleWidth.configureFromStats(spark)
+      val expected = (((1L << 30) + realBytes +
+        ShuffleWidth.TargetBytesPerPartition - 1) /
+        ShuffleWidth.TargetBytesPerPartition).toInt
+      assert(width == expected, s"stats-derived width $width != $expected")
+      assert(width > spark.sparkContext.defaultParallelism)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == width.toString)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      ShuffleWidth.clearStats(spark)
+      spark.catalog.dropTempView("icestats_t")
+      spark.catalog.dropTempView("t")
+      server.stop()
+    }
   }
 }

@@ -1,11 +1,15 @@
 #!/bin/bash
-# 50x family sweep (round-18 verdict #5): every d_/t_ registry row at
-# sf5.0, three full passes (median per row taken across pass artifacts),
-# steal-stamped by Bench itself. Run SOLO in a measured quiet window.
-# Usage: tools/sweep50.sh <sfdir> <outprefix> [passes]
+# 50x family sweep (round-18 verdict #5, extended to s_/m_ in round 19):
+# every registry row of the given families at sf5.0, N full passes
+# (min-of-passes estimator across pass artifacts — contention only ever
+# inflates), steal-stamped by Bench itself. Run SOLO in a measured quiet
+# window.
+# Usage: tools/sweep50.sh <sfdir> <outprefix> [passes] [families]
+#   families: an egrep alternation of family prefixes, default 'd|t'
+#   (round-18 d_/t_ sweep); 's|m' runs the similarity + multimodal rows.
 set -euo pipefail
-SFDIR=${1:?sfdir}; OUT=${2:?outprefix}; PASSES=${3:-3}
-ROWS=$(grep -rhoE 'GraftQuery\("(d|t)_[a-z0-9_]+"' \
+SFDIR=${1:?sfdir}; OUT=${2:?outprefix}; PASSES=${3:-3}; FAM=${4:-d|t}
+ROWS=$(grep -rhoE "GraftQuery\(\"($FAM)_[a-z0-9_]+\"" \
   /root/repo/src/main/scala/graft/operators/ | \
   sed 's/GraftQuery("//;s/"//' | sort -u | paste -sd,)
 echo "rows: $(echo "$ROWS" | tr ',' '\n' | wc -l)"
