@@ -34,6 +34,28 @@ object Multimodal {
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
+  /** Decouple a CPU-bound codec kernel's parallelism from the scan's
+    * byte-based file splits. The id-driven rows below synthesize and
+    * decode a per-asset media container from `doc_id` alone, so their
+    * cost per ROW (GIF/WAV codec work, ~ms) is invisible to the
+    * scanner's bytes-per-core split logic — and split COUNT is no
+    * signal either: splits align to parquet row groups, so a
+    * one-row-group file (any single-writer output, e.g. the 50×
+    * ScaleGen dir) lands every row in ONE task no matter how many
+    * empty byte-range splits surround it. Measured at sf5.0: 250k
+    * assets demuxed on 1 of 32 cores, 491 s and climbing, before this
+    * spread; 6.5 s after (with the throughput collector — see
+    * tools/sweep50.sh on the G1 pathology). The repartition moves ONLY the 8-byte ids
+    * (payloads are synthesized on the receiving side — never shuffled,
+    * same contract the m_phash_pairs plan pin enforces), and its width
+    * follows `spark.sql.shuffle.partitions`, i.e. the ShuffleWidth
+    * volume rule. Rows whose input carries a REAL payload column
+    * (m_decode_features) deliberately do NOT spread: shuffling payload
+    * bytes to chase parallelism is the wrong trade at 100 TB, where
+    * multi-file layout already provisions the scan. */
+  private def spreadIds(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Synthesize a binary payload column from the documents table (the
     * container ships no media files); downstream treats it as opaque. */
   /** The VAD segment-merge contract — ONE definition interpolated into
@@ -447,7 +469,7 @@ object Multimodal {
     * queries: one codec instance per partition, map-only, frames never
     * wider than the 8-frame grid. */
   private def demuxedFrames(s: SparkSession, dir: String): DataFrame = {
-    val df = t(s, dir).documents.select(col("doc_id"))
+    val df = spreadIds(t(s, dir).documents.select(col("doc_id")))
     implicit val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(frameBytesSchema)
     df.mapPartitions { rows =>
@@ -497,7 +519,7 @@ object Multimodal {
         |  CAST(sum((doc_id * 17 + x * 11 + y * 5) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((doc_id * 7 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, w, h""".stripMargin) { (s, dir) =>
-      val df = t(s, dir).documents.select(col("doc_id"))
+      val df = spreadIds(t(s, dir).documents.select(col("doc_id")))
       implicit val enc: ExpressionEncoder[Row] =
         ExpressionEncoder(imageFeatureSchema)
       df.mapPartitions { rows =>
@@ -541,7 +563,7 @@ object Multimodal {
         |  CAST(8000 AS INTEGER) AS sample_rate,
         |  CAST(sum(s * s) AS BIGINT) AS energy
         |FROM smp GROUP BY doc_id, n""".stripMargin) { (s, dir) =>
-      val df = t(s, dir).documents.select(col("doc_id"))
+      val df = spreadIds(t(s, dir).documents.select(col("doc_id")))
       implicit val enc: ExpressionEncoder[Row] =
         ExpressionEncoder(wavFeatureSchema)
       df.mapPartitions { rows =>
@@ -604,7 +626,7 @@ object Multimodal {
         |  TRUE AS halved_bytes, TRUE AS codebook_bounded,
         |  TRUE AS error_bounded
         |FROM dims""".stripMargin) { (s, dir) =>
-      val df = t(s, dir).documents.select(col("doc_id"))
+      val df = spreadIds(t(s, dir).documents.select(col("doc_id")))
       implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(ulawSchema)
       df.mapPartitions { rows =>
         import javax.sound.sampled._
@@ -674,7 +696,7 @@ object Multimodal {
         |  16000 AS rate_out,
         |  TRUE AS length_doubled, TRUE AS energy_preserved
         |FROM dims""".stripMargin) { (s, dir) =>
-      val df = t(s, dir).documents.select(col("doc_id"))
+      val df = spreadIds(t(s, dir).documents.select(col("doc_id")))
       implicit val enc: ExpressionEncoder[Row] =
         ExpressionEncoder(resampleSchema)
       df.mapPartitions { rows =>
@@ -742,7 +764,7 @@ object Multimodal {
         |SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_samples,
         |  TRUE AS quarter_bytes, TRUE AS snr_bounded, TRUE AS truly_lossy
         |FROM dims""".stripMargin) { (s, dir) =>
-      val df = t(s, dir).documents.select(col("doc_id"))
+      val df = spreadIds(t(s, dir).documents.select(col("doc_id")))
       implicit val enc: ExpressionEncoder[Row] =
         ExpressionEncoder(adpcmSchema)
       df.mapPartitions { rows =>
@@ -792,7 +814,7 @@ object Multimodal {
         |  CAST(doc_id % 8 AS INTEGER) AS dominant_bin,
         |  TRUE AS peak_isolated
         |FROM documents""".stripMargin) { (s, dir) =>
-      val df = t(s, dir).documents.select(col("doc_id"))
+      val df = spreadIds(t(s, dir).documents.select(col("doc_id")))
       implicit val enc: ExpressionEncoder[Row] =
         ExpressionEncoder(spectralSchema)
       df.mapPartitions { rows =>
@@ -893,7 +915,7 @@ object Multimodal {
         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |  CAST(sum((doc_id*31 + f*101 + x*7 + y*13) % 256) AS BIGINT) AS pix_sum
         |FROM px GROUP BY doc_id, f, w, h""".stripMargin) { (s, dir) =>
-      val df = t(s, dir).documents.select(col("doc_id"))
+      val df = spreadIds(t(s, dir).documents.select(col("doc_id")))
       implicit val enc: ExpressionEncoder[Row] =
         ExpressionEncoder(frameSampleSchema)
       df.mapPartitions { rows =>
@@ -1073,7 +1095,7 @@ object Multimodal {
         |  CAST(4 AS INTEGER) AS thumb_w, CAST(4 AS INTEGER) AS thumb_h,
         |  true AS jpeg_ok, true AS within_bound
         |FROM documents""".stripMargin) { (s, dir) =>
-      val df = t(s, dir).documents.select(col("doc_id"))
+      val df = spreadIds(t(s, dir).documents.select(col("doc_id")))
       val schema = StructType(Seq(
         StructField("asset_id", LongType, nullable = false),
         StructField("width", IntegerType, nullable = false),
@@ -1138,7 +1160,7 @@ object Multimodal {
         |  CAST(sum((doc_id * 17 + sx * 11 + sy * 5) % 256) AS BIGINT) AS thumb_g,
         |  CAST(sum((doc_id * 7 + sx * 3 + sy * 19) % 256) AS BIGINT) AS thumb_b
         |FROM src GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      val df = t(s, dir).documents.select(col("doc_id"))
+      val df = spreadIds(t(s, dir).documents.select(col("doc_id")))
       val schema = StructType(Seq(
         StructField("asset_id", LongType, nullable = false),
         StructField("thumb_r", LongType, nullable = false),

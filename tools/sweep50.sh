@@ -23,9 +23,15 @@ for p in $(seq 1 "$PASSES"); do
       sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
     AO="$AO --add-opens java.base/$m=ALL-UNNAMED"
   done
+  # Throughput collector, NOT the JDK-default G1: measured on the m_
+  # family at sf5.0, G1's young evacuation degrades 13-30x under the
+  # multi-threaded allocation burst of per-asset codec kernels (pauses
+  # up to 3.8 s on a <4 GB live set; 9.3 ms/doc at 4 threads vs 0.53
+  # ms/doc under ParallelGC, same code). Batch analytics wants the
+  # throughput collector anyway - a real cluster would set the same.
   (cd "$d" && SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_ONLY="$ROWS" \
-    java $AO -Xmx32g \
+    java $AO -XX:+UseParallelGC -Xmx32g \
     -cp "/root/repo/target/scala-2.13/strakespark_2.13-0.1.0.jar:/opt/spark/jars/*" \
     graft.Bench >"$OUT.pass$p.json" 2>/dev/null)
   cp "$d/bench_results.json" "$OUT.pass$p.full.json"
