@@ -27,6 +27,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput GC for the batch JVMs (bench/verify/tests): JDK-17-default
+  // G1 optimizes pause time, which this workload never needs, and its
+  // concurrent cycles degrade the multi-threaded codec/codegen allocation
+  // bursts badly — measured at sf5.0 in round 18 (9.3 ms/doc under G1 vs
+  // 0.53 ms/doc under ParallelGC, same code; tools/sweep50.sh) and again
+  // at sf0.1 in round 19 (top-15 bench rows, min-of-passes over 2×2 runs:
+  // ParallelGC wins 12/15 rows by 10-25%, per-row gc_ms total 0.45 s vs
+  // 1.1-1.5 s — OPTIMIZATION_r19.md). Stop-the-world throughput GC is the
+  // standard choice for batch analytics executors.
+  "-XX:+UseParallelGC",
 )
 
 // HiveThriftServer2 can only be started once per JVM, so the CUSTOM-auth

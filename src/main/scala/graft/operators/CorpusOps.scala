@@ -1081,8 +1081,23 @@ object CorpusOps {
       import graft.sources.warc.Warc
       val tmp = java.nio.file.Files.createTempDirectory("graft_warc")
       tmp.toFile.deleteOnExit()
+      // Spread BEFORE rendering (guide §2.5 input skew / §6 file sizing):
+      // writeCorpus emits one .warc.gz per partition and gzip members are
+      // only file-splittable at member boundaries the reader discovers
+      // sequentially, so the corpus inherits the INPUT's parallelism for
+      // both the write and the read-back. A one-row-group parquet fixture
+      // put the whole render+gzip (one task) AND the gunzip+parse+extract
+      // (one task over one file) on 1 of 32 cores — measured 0.9 s + 2.4 s
+      // single-task stages at sf0.1. Hash-partitioning the 8-byte ids +
+      // raw text to the session's volume-derived shuffle width spreads
+      // render/deflate/parse across the session's cores and sizes output
+      // files by corpus volume (the ShuffleWidth rule), which is exactly
+      // what a production crawler write does. Row set is unchanged —
+      // only the record→file assignment moves.
+      val width = s.sessionState.conf.numShufflePartitions
       val pages = t(s, dir).documents
         .filter(col("text").isNotNull)
+        .repartition(width, col("doc_id"))
         .select(col("doc_id"),
           HtmlText.renderPage(col("text"),
             concat(lit("Document "), col("doc_id")), col("lang")).as("page"),
