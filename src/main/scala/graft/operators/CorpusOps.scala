@@ -1174,9 +1174,31 @@ object CorpusOps {
       .agg(min(col("pos")).as("p0"), (max(col("pos")) + 4).as("p1"))
   }
 
+  /** Spread a NARROW scan before a heavy per-row derivation (guide §2.5
+    * "input skew: one huge unsplittable file"): the test fixtures are
+    * one-row-group parquet files, so Spark gives the whole documents
+    * scan — and everything pipelined into it (normalize, gram-position
+    * explode, the positional checkpoint write) — a single task. Gated on
+    * the scan's REAL split count so it is a no-op at scale: a corpus
+    * laid out as many files (the 100 TB shape) already scans at ≥ cores
+    * parallelism and must NOT pay an exchange of the text payload just
+    * to chase cores. Measured at sf0.1 (min-of-3, solo): the span family
+    * 1.61/1.19/1.24 s → 1.13/1.07/1.11 s. Map-only rows with ~µs/doc
+    * work (plain withNorm) measured FLAT under the same spread — this is
+    * only worth it above the ~100 µs/doc derivation weight of the
+    * positional gram explode, so it is applied per call site, not
+    * globally. */
+  private def spreadIfNarrow(s: SparkSession, df: DataFrame): DataFrame = {
+    val width = s.sessionState.conf.numShufflePartitions
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < math.min(cores, width))
+      df.repartition(width, col("doc_id"))
+    else df
+  }
+
   private def sharedGramPositions(s: SparkSession, dir: String,
       withWordCount: Boolean = false): DataFrame = {
-    val base = withNorm(t(s, dir).documents)
+    val base = withNorm(spreadIfNarrow(s, t(s, dir).documents))
       .filter(size(col("words")) >= 5)
     val keep =
       if (withWordCount)

@@ -266,8 +266,21 @@ object Extended {
     GraftQuery("q_hll_portable", hllOracle) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val li = t(s, dir).lineitem
+      // HLL is duplicate-insensitive (register = max rho), so BOTH the
+      // sketch and its exact verification twin read the deduplicated
+      // (flag, partkey) relation: one fact-table scan + one exchange
+      // whose final aggregate both branches reuse (ReusedExchange),
+      // instead of scanning lineitem twice (registers over raw rows +
+      // countDistinct's Expand/two-exchange path). Same trick
+      // q_approx_distinct documents; register maxima, estimate, and
+      // exact counts are value-identical. r19: 2 scans → 1, exchange of
+      // raw (flag, partkey) pairs shared, plan diff in plans/r19.
+      // (lazily checkpointed: the optimizer rewrites the two branches'
+      // distinct differently, so ReusedExchange alone does not fire)
+      val dedup = li.select(col("l_returnflag"), col("l_partkey"))
+        .distinct().localCheckpoint(false)
       val regs = graft.functions.HllSketch.registers(
-        li, "l_partkey", Seq("l_returnflag"))
+        dedup, "l_partkey", Seq("l_returnflag"))
       val sketch = regs.groupBy(col("l_returnflag")).agg(
         count(lit(1)).as("v_buckets"),
         sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 55 - reg) AS DECIMAL(38,0))"))
@@ -278,8 +291,8 @@ object Extended {
           "((512 - v_buckets) * CAST(36028797018963968 AS DECIMAL(38,0)) + s_part))")
           .as("hll_estimate"),
         col("reg_checksum"))
-      val exact = li.groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val exact = dedup.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("exact_parts"))
       est.join(exact, "l_returnflag")
     },
 
@@ -1575,7 +1588,12 @@ object Extended {
       val sz = k.groupBy(col("band"), col("key"))
         .agg(count(lit(1)).as("n")).filter(col("n") <= 256)
         .select(col("band"), col("key"))
+      // kk feeds BOTH self-join sides: lazily checkpoint it so the banded
+      // key derivation + census join run once, not once per side (the
+      // un-checkpointed form re-derived sz and re-scanned customer for
+      // each side — 4 scans + 2 census exchanges; r19 plan diff: 1 scan).
       val kk = k.join(broadcast(sz), Seq("band", "key"))
+        .localCheckpoint(false)
       val a = kk.select(col("band"), col("key"),
         col("c_custkey").as("a_key"), col("c_name").as("a_name"))
       val b = kk.select(col("band"), col("key"),
