@@ -26,7 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): the bench registry's 200 queries at local[32]
+  // hold 2-3.5 GB live mid-run; an 8 GB old gen filled every few dozen
+  // rows and each monolithic full collection is exposed to this host's
+  // steal bursts (one observed 15.5 s single-pause, BENCH telemetry
+  // gc_n=1/gc_ms=15497). Doubling headroom halves full-GC frequency;
+  // live set is unchanged so pause cost stays flat. The host has 128 GB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Throughput GC for the batch JVMs (bench/verify/tests): JDK-17-default
   // G1 optimizes pause time, which this workload never needs, and its
   // concurrent cycles degrade the multi-threaded codec/codegen allocation
