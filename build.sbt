@@ -23,16 +23,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+val commonJvmOpts = jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default (was 8g): the bench registry's 200 queries at local[32]
-  // hold 2-3.5 GB live mid-run; an 8 GB old gen filled every few dozen
-  // rows and each monolithic full collection is exposed to this host's
-  // steal bursts (one observed 15.5 s single-pause, BENCH telemetry
-  // gc_n=1/gc_ms=15497). Doubling headroom halves full-GC frequency;
-  // live set is unchanged so pause cost stays flat. The host has 128 GB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Process launch mechanism, env-overridable for diagnostics. Default
+  // POSIX_SPAWN (the JDK default): Hadoop's RawLocalFileSystem shells
+  // out (chmod) on every local file create, and an A/B over the
+  // write-heavy bench rows measured FORK at 3-5x the row time (csv
+  // roundtrip 1.72 s vs 0.51 s, warc 6.9 s vs 1.3 s — forking a
+  // multi-GB-heap JVM per exec'd chmod) with non-exec rows identical.
+  // r19's one-off "Failed to exec spawn helper: signal 15" under the
+  // driver is mitigated by the 8g test heap below, not by FORK.
+  s"-Djdk.lang.Process.launchMechanism=${
+    sys.env.getOrElse("SPARK_GRAFT_LAUNCH", "POSIX_SPAWN")}",
   // Throughput GC for the batch JVMs (bench/verify/tests): JDK-17-default
   // G1 optimizes pause time, which this workload never needs, and its
   // concurrent cycles degrade the multi-threaded codec/codegen allocation
@@ -40,10 +43,33 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 0.53 ms/doc under ParallelGC, same code; tools/sweep50.sh) and again
   // at sf0.1 in round 19 (top-15 bench rows, min-of-passes over 2×2 runs:
   // ParallelGC wins 12/15 rows by 10-25%, per-row gc_ms total 0.45 s vs
-  // 1.1-1.5 s — OPTIMIZATION_r19.md). Stop-the-world throughput GC is the
-  // standard choice for batch analytics executors.
+  // 1.1-1.5 s — OPTIMIZATION_r19.md). Its stop-the-world full pauses can
+  // stall the in-process executor heartbeat, so the Bench/Verify sessions
+  // carry matching heartbeat/network tolerance (Bench.scala).
   "-XX:+UseParallelGC",
 )
+// Bench/Verify JVM heap: adaptive — min(16g, max(8g, MemTotal/4)). The
+// registry's 200 queries at local[32] hold 2-3.5 GB live mid-run; an 8 GB
+// old gen filled every few dozen rows (one observed 15.5 s monolithic
+// full pause under a steal burst, telemetry gc_n=1/gc_ms=15497). 16g on
+// this 128 GiB host halves full-GC frequency with an unchanged live set;
+// smaller hosts degrade gracefully instead of over-reserving.
+val benchHeapMb: Long = {
+  val memTotalMb =
+    try {
+      val line = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .find(_.startsWith("MemTotal:"))
+      line.map(_.split("\\s+")(1).toLong / 1024).getOrElse(64L * 1024)
+    } catch { case _: Throwable => 64L * 1024 }
+  math.min(16L * 1024, math.max(8L * 1024, memTotalMb / 4))
+}
+javaOptions ++= commonJvmOpts :+
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${benchHeapMb}m")}"
+// Test JVMs never need the bench heap: the suite was green for 18 rounds
+// at 8g, and a flat 16g reservation per forked test JVM is what pushed
+// the driver host into the spawn-helper kill (VERIFY_r19 tests_ok=false).
+Test / javaOptions := commonJvmOpts :+
+  s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "8g")}"
 
 // HiveThriftServer2 can only be started once per JVM, so the CUSTOM-auth
 // wire suite gets its own forked test JVM; everything else shares one.

@@ -37,6 +37,17 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local[N] heartbeat tolerance: the "executor" shares this JVM, so
+      // a missed heartbeat can only mean a GC pause or hypervisor steal
+      // burst — self-killing on it (exit 56, BENCH_r19: "unable to send
+      // heartbeats to driver more than 60 times" after a stop-the-world
+      // full GC stacked on an 18% steal burst) turns a slow run into a
+      // dead one. Widen the interval, the receiver's expiry timeout, and
+      // the failure budget; on a real cluster these would be tuned to the
+      // fleet's failure-detection needs instead.
+      .config("spark.executor.heartbeatInterval", "20s")
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeat.maxFailures", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -34,7 +34,7 @@ object StageProfile {
         submitted: Long, completed: Long, shuffleReadMs: Long,
         execRunMs: Long, gcMs: Long)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
-    var jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {

@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same local-mode heartbeat tolerance as Bench: a GC/steal stall
+      // must degrade to "slow", never to executor self-kill (BENCH_r19
+      // died of exactly this, exit 56).
+      .config("spark.executor.heartbeatInterval", "20s")
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeat.maxFailures", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -733,9 +733,8 @@ object CorpusOps {
       val grams = withNorm(t(s, dir).documents)
         .filter(size(col("words")) >= 5)
         .select(col("doc_id"), explode(expr("graft_gram_hashes(words, 5)")).as("g"))
-      val train = grams.filter(col("doc_id") % 10 =!= 0)
-        .select(col("g")).distinct()
-        .localCheckpoint(false) // feeds positions AND the exact join
+      val train = graft.util.Reuse.materialize( // feeds positions AND the exact join
+        grams.filter(col("doc_id") % 10 =!= 0).select(col("g")).distinct())
       // the Bloom filter as data: the distinct set positions of both
       // 16-bit hash slices — bounded by m, broadcast to the eval side
       val pos = train.select((col("g") % 65536).as("p"))
@@ -878,10 +877,9 @@ object CorpusOps {
          |  round(CAST(n_shared AS DOUBLE) / n_grams, 6) AS shared_frac
          |FROM per""".stripMargin) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
-      val grams = withNorm(t(s, dir).documents)
+      val grams = graft.util.Reuse.materialize(withNorm(t(s, dir).documents)
         .filter(size(col("words")) >= 5)
-        .select(col("doc_id"), explode(expr("graft_gram_hashes(words, 5)")).as("g"))
-        .localCheckpoint(false)
+        .select(col("doc_id"), explode(expr("graft_gram_hashes(words, 5)")).as("g")))
       val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       grams.join(df, "g")
         .groupBy(col("doc_id")).agg(
@@ -1191,7 +1189,16 @@ object CorpusOps {
   private def spreadIfNarrow(s: SparkSession, df: DataFrame): DataFrame = {
     val width = s.sessionState.conf.numShufflePartitions
     val cores = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < math.min(cores, width))
+    // gate on the scan's INPUT FILE COUNT, not rdd.getNumPartitions:
+    // parquet partition counts are byte-range splits, but a one-row-group
+    // file yields rows from only its first split no matter how many byte
+    // ranges it reports (the fixture shape), so file count is the real
+    // unit of parallelism; it also avoids instantiating a physical plan
+    // just to read a partition count. RDD-backed frames (no files) keep
+    // the partition-count gate.
+    val files = df.inputFiles.length
+    val splits = if (files > 0) files else df.rdd.getNumPartitions
+    if (splits * 2 < math.min(cores, width))
       df.repartition(width, col("doc_id"))
     else df
   }
@@ -1205,10 +1212,9 @@ object CorpusOps {
         base.withColumn("n_words", size(col("words")).cast("bigint"))
           .select(col("doc_id"), col("n_words"), col("words"))
       else base.select(col("doc_id"), col("words"))
-    val grams = keep
+    val grams = graft.util.Reuse.materialize(keep
       .select(keep.columns.filterNot(_ == "words").map(col) :+
-        posexplode(expr("graft_gram_pos_hashes(words, 5)")).as(Seq("pos", "g")): _*)
-      .localCheckpoint(false)
+        posexplode(expr("graft_gram_pos_hashes(words, 5)")).as(Seq("pos", "g")): _*))
     // "occurs in ≥2 DISTINCT docs" ⇔ min(doc) ≠ max(doc): one map-side-
     // combinable aggregate per gram instead of a distinct pre-shuffle
     // followed by a count — saves a whole exchange of the gram relation

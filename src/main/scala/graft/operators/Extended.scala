@@ -275,10 +275,12 @@ object Extended {
       // q_approx_distinct documents; register maxima, estimate, and
       // exact counts are value-identical. r19: 2 scans → 1, exchange of
       // raw (flag, partkey) pairs shared, plan diff in plans/r19.
-      // (lazily checkpointed: the optimizer rewrites the two branches'
-      // distinct differently, so ReusedExchange alone does not fire)
-      val dedup = li.select(col("l_returnflag"), col("l_partkey"))
-        .distinct().localCheckpoint(false)
+      // (materialized: the optimizer rewrites the two branches'
+      // distinct differently, so ReusedExchange alone does not fire;
+      // Reuse picks localCheckpoint locally, recoverable persist on a
+      // cluster)
+      val dedup = graft.util.Reuse.materialize(
+        li.select(col("l_returnflag"), col("l_partkey")).distinct())
       val regs = graft.functions.HllSketch.registers(
         dedup, "l_partkey", Seq("l_returnflag"))
       val sketch = regs.groupBy(col("l_returnflag")).agg(
@@ -1588,12 +1590,12 @@ object Extended {
       val sz = k.groupBy(col("band"), col("key"))
         .agg(count(lit(1)).as("n")).filter(col("n") <= 256)
         .select(col("band"), col("key"))
-      // kk feeds BOTH self-join sides: lazily checkpoint it so the banded
+      // kk feeds BOTH self-join sides: materialize it so the banded
       // key derivation + census join run once, not once per side (the
-      // un-checkpointed form re-derived sz and re-scanned customer for
+      // un-materialized form re-derived sz and re-scanned customer for
       // each side — 4 scans + 2 census exchanges; r19 plan diff: 1 scan).
-      val kk = k.join(broadcast(sz), Seq("band", "key"))
-        .localCheckpoint(false)
+      val kk = graft.util.Reuse.materialize(
+        k.join(broadcast(sz), Seq("band", "key")))
       val a = kk.select(col("band"), col("key"),
         col("c_custkey").as("a_key"), col("c_name").as("a_name"))
       val b = kk.select(col("band"), col("key"),

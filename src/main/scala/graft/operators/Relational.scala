@@ -323,7 +323,14 @@ object Relational {
       // 3× the fact table on the wire). Decomposed form: one map-side-
       // combinable dedup shuffle per distinct column over just (flag, key),
       // then a 3-row broadcast join to stitch the results.
-      val li = t(s, dir).lineitem
+      // The three consumers (two distinct counts + the row count) read ONE
+      // materialized projection of the fact table instead of scanning it
+      // three times (guide §2.4). The projection is width-bounded by
+      // construction — exactly the 3 referenced columns (byte + 2 longs,
+      // ~3% of lineitem's bytes), so materializing it at 100 TB costs far
+      // less than two extra full scans.
+      val li = graft.util.Reuse.materialize(t(s, dir).lineitem
+        .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey")))
       def distinctCount(key: String, as: String): DataFrame =
         li.filter(col(key).isNotNull)
           .groupBy(col("l_returnflag"), col(key)).agg(lit(1))

@@ -49,7 +49,9 @@ object Warc {
 
   /** One streaming input per WARC file, one task per file (up to the
     * session's parallelism — more files than cores pack several files
-    * into one task, round-robin by index).
+    * into one task, interleaved round-robin by sorted index so lexically
+    * clustered or size-skewed files spread across tasks instead of
+    * landing contiguously in one).
     *
     * NOT `sc.binaryFiles`: its `CombineFileInputFormat` sizes splits at
     * max(openCostInBytes, totalBytes/minPartitions) — a 4 MB FLOOR that
@@ -70,21 +72,37 @@ object Warc {
     import org.apache.hadoop.fs.Path
     val glob = new Path(s"$dir/*.warc*")
     val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fail loudly on a bad location, like sc.binaryFiles did: a typo'd
+    // or unreadable corpus dir must be an error, never zero rows
     val paths = Option(fs.globStatus(glob))
-      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .getOrElse(throw new IOException(
+        s"warc: input path does not exist: $dir"))
       .filterNot(_.isDirectory).map(_.getPath.toString).sorted.toSeq
+    if (paths.isEmpty)
+      throw new IOException(s"warc: no *.warc files under $dir")
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val parts = math.max(1, math.min(paths.size,
       spark.sparkContext.defaultParallelism))
-    spark.sparkContext.parallelize(paths, parts).flatMap { p =>
-      val path = new Path(p)
-      val raw = new BufferedInputStream(
-        path.getFileSystem(hconf.value).open(path))
-      val in =
-        if (p.endsWith(".gz")) new GZIPInputStream(raw) else raw
-      new WarcStream[T](new DataInputStream(in), p, sink)
-    }
+    // one RDD element per TASK GROUP (files i, i+parts, i+2*parts, ...)
+    // — exact round-robin packing, immune to parallelize's contiguous
+    // slicing of the sorted list
+    val groups = paths.indices.groupBy(_ % parts).toSeq.sortBy(_._1)
+      .map { case (_, idxs) => idxs.map(paths) }
+    spark.sparkContext.parallelize(groups, groups.size)
+      .flatMap(identity).flatMap { p =>
+        val path = new Path(p)
+        val raw = new BufferedInputStream(
+          path.getFileSystem(hconf.value).open(path))
+        val in: InputStream =
+          if (p.endsWith(".gz")) new GZIPInputStream(raw) else raw
+        // an undrained iterator (limit, task failure) must not leak the
+        // file handle + Inflater until GC
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: Throwable => () }))
+        new WarcStream[T](new DataInputStream(in), p, sink)
+      }
   }
 
   private val recordSchema = {

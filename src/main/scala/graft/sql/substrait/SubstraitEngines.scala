@@ -108,6 +108,104 @@ object SubstraitEngines {
       |        w.write_table(tbl)
       |""".stripMargin
 
+  /** Loop form of [[aceroBridge]]: one long-lived interpreter executes
+    * many plans, one job dir per stdin line, `ok`/`err ...` per stdout
+    * line. Amortizes the ~1 s python+pyarrow startup that a
+    * process-per-plan bridge pays on EVERY call (guide §6 / §4.5 —
+    * initialise heavyweight state once, not per invocation); each job
+    * still executes its plan bytes on Acero from the parquet inputs. */
+  private val aceroWorkerLoop =
+    """import json, os, sys, traceback
+      |import pyarrow as pa
+      |import pyarrow.parquet as pq
+      |import pyarrow.substrait as ps
+      |for line in sys.stdin:
+      |    d = line.strip()
+      |    if not d:
+      |        continue
+      |    try:
+      |        tables = json.load(open(os.path.join(d, "tables.json")))
+      |        def provider(names, schema, tables=tables):
+      |            return pq.read_table(tables[names[0]]).select(schema.names)
+      |        plan = open(os.path.join(d, "plan.bin"), "rb").read()
+      |        tbl = ps.run_query(pa.py_buffer(plan), table_provider=provider,
+      |                           use_threads=False).read_all()
+      |        with pa.OSFile(os.path.join(d, "out.arrow"), "wb") as sink:
+      |            with pa.ipc.new_stream(sink, tbl.schema) as w:
+      |                w.write_table(tbl)
+      |        print("ok", flush=True)
+      |    except Exception:
+      |        msg = traceback.format_exc(limit=3).replace("\n", " / ")
+      |        print("err " + msg[:500], flush=True)
+      |""".stripMargin
+
+  /** The long-lived Acero worker: one python process per JVM, restarted
+    * on death, all access serialized (plans are driver-sized; the bridge
+    * contract is dimension-sized results). None after a failed start —
+    * callers fall back to the process-per-plan path. */
+  private object AceroWorker {
+    private var proc: java.lang.Process = _
+    private var stdin: java.io.Writer = _
+    private var stdout: java.io.BufferedReader = _
+    private var startFailed = false
+
+    private def start(): Boolean = {
+      try {
+        val script = Files.createTempFile("graft-acero-worker", ".py")
+        Files.writeString(script, aceroWorkerLoop)
+        script.toFile.deleteOnExit()
+        val pb = new java.lang.ProcessBuilder("python3", script.toString)
+        pb.redirectErrorStream(false)
+        proc = pb.start()
+        stdin = new java.io.OutputStreamWriter(
+          proc.getOutputStream, StandardCharsets.UTF_8)
+        stdout = new java.io.BufferedReader(new java.io.InputStreamReader(
+          proc.getInputStream, StandardCharsets.UTF_8))
+        // stderr drained so a chatty interpreter can't fill the pipe
+        val drainer = new Thread(() => {
+          try {
+            val err = proc.getErrorStream
+            val buf = new Array[Byte](4096)
+            while (err.read(buf) >= 0) {}
+          } catch { case _: Exception => () }
+        }, "graft-acero-worker-stderr")
+        drainer.setDaemon(true)
+        drainer.start()
+        Runtime.getRuntime.addShutdownHook(
+          new Thread(() => try proc.destroy() catch { case _: Exception => () }))
+        true
+      } catch {
+        case _: Exception => startFailed = true; false
+      }
+    }
+
+    /** Right(()) when the worker wrote `dir`/out.arrow; Left(diag) on an
+      * execution error; None when no worker is available (start failure
+      * — callers use the one-shot bridge instead). */
+    def run(dir: Path): Option[Either[String, Unit]] = synchronized {
+      if (startFailed) return None
+      if (proc == null || !proc.isAlive) {
+        if (proc != null) { // died mid-flight: one restart, then give up
+          try proc.destroy() catch { case _: Exception => () }
+          proc = null
+        }
+        if (!start()) return None
+      }
+      try {
+        stdin.write(dir.toString + "\n")
+        stdin.flush()
+        val line = stdout.readLine()
+        if (line == null) { // worker died: this job falls back one-shot
+          startFailed = true
+          None
+        } else if (line == "ok") Some(Right(()))
+        else Some(Left(line.stripPrefix("err ")))
+      } catch {
+        case _: Exception => startFailed = true; None
+      }
+    }
+  }
+
   /** Execute `plan` on the chosen engine; Left(diagnostic) on any
     * failure (missing engine, invalid plan, execution error). */
   def run(engine: String, plan: Array[Byte],
@@ -126,16 +224,27 @@ object SubstraitEngines {
             .writeValueAsString(v)}"""
       }.mkString("{", ",", "}")
       Files.writeString(dir.resolve("tables.json"), tj)
-      Files.writeString(dir.resolve("bridge.py"), bridge)
-      val log = new StringBuilder
-      val code = Process(Seq("python3",
-        dir.resolve("bridge.py").toString, dir.toString))
-        .!(ProcessLogger(s => log.append(s).append('\n')))
       val out = dir.resolve("out.arrow")
-      if (code != 0 || !Files.exists(out))
-        Left(s"$engine bridge failed (exit $code): ${
-          log.toString.linesIterator.take(5).mkString(" / ")}")
-      else Right(Files.readAllBytes(out))
+      // acero first tries the persistent worker (no interpreter startup
+      // per plan); a worker that cannot start or died falls back to the
+      // process-per-plan bridge below, same contract
+      val viaWorker: Option[Either[String, Array[Byte]]] =
+        if (bridge eq aceroBridge) AceroWorker.run(dir).map {
+          case Right(()) if Files.exists(out) => Right(Files.readAllBytes(out))
+          case Right(()) => Left(s"$engine worker wrote no result stream")
+          case Left(diag) => Left(s"$engine worker failed: $diag")
+        } else None
+      viaWorker.getOrElse {
+        Files.writeString(dir.resolve("bridge.py"), bridge)
+        val log = new StringBuilder
+        val code = Process(Seq("python3",
+          dir.resolve("bridge.py").toString, dir.toString))
+          .!(ProcessLogger(s => log.append(s).append('\n')))
+        if (code != 0 || !Files.exists(out))
+          Left(s"$engine bridge failed (exit $code): ${
+            log.toString.linesIterator.take(5).mkString(" / ")}")
+        else Right(Files.readAllBytes(out))
+      }
     } finally {
       // temp artifacts are small (plans + one result stream); best-effort
       try {
