@@ -63,8 +63,16 @@ val benchHeapMb: Long = {
     } catch { case _: Throwable => 64L * 1024 }
   math.min(16L * 1024, math.max(8L * 1024, memTotalMb / 4))
 }
-javaOptions ++= commonJvmOpts :+
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${benchHeapMb}m")}"
+javaOptions ++= commonJvmOpts ++ {
+  val mx = sys.env.getOrElse("SPARK_DRIVER_MEM", s"${benchHeapMb}m")
+  // -Xms = -Xmx for the bench/verify JVMs: ParallelGC's adaptive sizing
+  // expands the heap far too slowly under this workload's allocation
+  // bursts — measured at sf5.0, one row spent 480 s in GC at -Xmx32g
+  // with the default ~2 GB -Xms (iterations 363/215/30 s as the heap
+  // grew), vs 17.6 s in a pre-sized JVM. Standard benchmarking practice;
+  // commit-on-start is harmless on a dedicated run host.
+  Seq(s"-Xmx$mx", s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS", mx)}")
+}
 // Test JVMs never need the bench heap: the suite was green for 18 rounds
 // at 8g, and a flat 16g reservation per forked test JVM is what pushed
 // the driver host into the spawn-helper kill (VERIFY_r19 tests_ok=false).

@@ -54,7 +54,19 @@ object Bench {
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Residue drop per ITERATION, outside the timed region (r20):
+      // every iteration rebuilds its plan from parquet, so a previous
+      // iteration's localCheckpoint blocks are dead weight — on the
+      // sf5.0 rung a median-of-3 span row accumulated 3 iterations of
+      // multi-GB block residue on the 16 GB heap and drove ParallelGC
+      // into a full-collection spiral (23 GC threads at ~95 s CPU each,
+      // mutators at 4%). Timing methodology is unchanged: the noop sink
+      // still materializes every column inside the timed window; only
+      // the cleanup moved from per-row to per-iteration.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      dt
     }
 
     // warm the JVM/codegen/file-listing paths once with the flagship

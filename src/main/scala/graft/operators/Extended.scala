@@ -323,7 +323,8 @@ object Extended {
       // read) and hashCode collisions could cross-wire data dirs
       val tmp = roundTripDir("csv")
       val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
-      t(s, dir).customer.select(cols.map(col): _*)
+      spreadForWrite(s, t(s, dir).customer.select(cols.map(col): _*),
+          "c_custkey")
         .write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.option("header", "true")
         .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
@@ -337,7 +338,8 @@ object Extended {
       val tmp = roundTripDir("json")
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate")
-      t(s, dir).orders.select(cols.map(col): _*)
+      spreadForWrite(s, t(s, dir).orders.select(cols.map(col): _*),
+          "o_orderkey")
         .write.mode("overwrite").json(tmp)
       s.read
         .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
@@ -356,7 +358,8 @@ object Extended {
         |FROM part""".stripMargin) { (s, dir) =>
       val tmp = roundTripDir("orc")
       val cols = Seq("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
-      t(s, dir).part.select(cols.map(col): _*)
+      spreadForWrite(s, t(s, dir).part.select(cols.map(col): _*),
+          "p_partkey")
         .write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
     },
@@ -1616,6 +1619,36 @@ object Extended {
     val p = java.nio.file.Files.createTempDirectory(s"graft_rt_$format")
     p.toFile.deleteOnExit()
     p.toString
+  }
+
+  /** Volume-gated write spread for the format round-trip rows (guide §6
+    * output file sizing): target one output file per ~16 MB of SOURCE
+    * parquet — text renderings expand parquet 4–10×, so that lands
+    * output files in the ~64–160 MB range while engaging the machine
+    * (measured at sf5.0: a 64 MB divisor gave orders.json 2 files of
+    * ~650 MB on 2 of 32 cores, 9.9–13.3 s; see OPTIMIZATION_r20.md).
+    * Capped at the session's volume-derived shuffle width. Under one
+    * file's worth — the sf0.1 fixture shape — this is a NO-OP: an A/B
+    * at sf0.1 measured the unconditional spread SLOWER (json
+    * 0.65→1.02 s, orc 0.46→0.74 s warm; 32 task commits + 32 per-file
+    * chmod execs + an exchange for KB-sized files), while at scale the
+    * single-task serialize+write and the single-split read-back are
+    * exactly the d_warc_extract pathology. Hash on the PK:
+    * deterministic assignment, row set unchanged. */
+  private def spreadForWrite(s: SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      key: String): org.apache.spark.sql.DataFrame = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val bytes = df.inputFiles.map { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).getFileStatus(hp).getLen
+      } catch { case _: Exception => 0L }
+    }.sum
+    val target = math.min(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      math.max(1L, bytes / (16L << 20))).toInt
+    if (target > 1) df.repartition(target, col(key)) else df
   }
 
   /** Build-once-per-JVM Iceberg fixture cache. The multi-commit
