@@ -71,6 +71,10 @@ javaOptions ++= commonJvmOpts ++ {
   // with the default ~2 GB -Xms (iterations 363/215/30 s as the heap
   // grew), vs 17.6 s in a pre-sized JVM. Standard benchmarking practice;
   // commit-on-start is harmless on a dedicated run host.
+  // (AlwaysPreTouch was trialled against the cold first iterations and
+  // rejected: cross-pass data shows the cold cost is codegen/JIT, not
+  // page faults — q1's first iteration is ~2.5-3.3 s under default Xms
+  // and under Xms=Xmx alike.)
   Seq(s"-Xmx$mx", s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS", mx)}")
 }
 // Test JVMs never need the bench heap: the suite was green for 18 rounds
